@@ -1,0 +1,186 @@
+"""Event-time window operators over the ``events`` table (SURVEY.md X6,
+§2.7).
+
+The reference's scheduler is a hand-rolled micro-batch file stream with no
+event-time semantics; the north star mandates the real thing. These are the
+*batch* expressions of the streaming windows - identical ``F.window`` /
+``session`` logic runs under Structured Streaming in
+``streaming/watcher.py``; computing them on a static frame is what makes
+them oracle-checkable.
+
+Timestamp discipline: fixture ``events.ts`` is parquet ``timestamp[ns]``;
+Spark truncates to µs on read, so every oracle casts
+``CAST(ts AS TIMESTAMP)`` (DuckDB ns -> µs) to agree (SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from . import load, register
+from .relational import dsum, _dsum_sql
+
+
+@register(
+    "q30_events_tumbling_1h",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {_dsum_sql('value')} AS sum_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q30_events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event type. ``F.window`` is the same
+    operator Structured Streaming uses with a watermark; one shuffle on
+    (window, type)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window(F.col("ts"), "1 hour").start.alias("window_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum(F.col("value")).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@register(
+    "q31_events_sliding_10m5m",
+    oracle="""
+    SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+             - k.k * INTERVAL '5 minutes' AS window_start,
+           COUNT(*) AS n_events
+    FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS k) k
+    GROUP BY 1
+    """,
+)
+def q31_events_sliding_10m5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 10-minute windows every 5 minutes: each event lands in
+    exactly two windows. Spark's ``window(ts, size, slide)`` expands rows
+    the same way the oracle's explicit offset join does."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window(F.col("ts"), "10 minutes", "5 minutes").start.alias(
+                "window_start"
+            )
+        )
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+@register(
+    "q32_events_sessionization",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             CASE WHEN CAST(ts AS TIMESTAMP)
+                       - LAG(CAST(ts AS TIMESTAMP))
+                         OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                       > INTERVAL '30 minutes'
+                  OR LAG(CAST(ts AS TIMESTAMP))
+                       OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                     IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, event_id,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM ordered
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def q32_events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap, expressed with
+    lag + prefix-sum windows (batch twin of ``session_window`` /
+    ``applyInPandasWithState`` in the streaming layer). Shuffles once on
+    user_id; every window reuses that partitioning."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+                > 30 * 60 * 1_000_000
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("is_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register(
+    "q33_events_json_extract",
+    oracle=f"""
+    SELECT event_type,
+           {_dsum_sql("CAST(json_extract_string(props, '$.k') AS BIGINT)")} AS sum_k,
+           COUNT(json_extract_string(props, '$.k')) AS n_with_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q33_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props column -> typed value (X5 plumbing for
+    metadata sidecars). ``get_json_object`` is JVM-side, no UDF."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        dsum(k).alias("sum_k"),
+        F.count(k).alias("n_with_k"),
+    )
+
+
+@register(
+    "q34_events_user_activity",
+    oracle=f"""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           MIN(CAST(ts AS TIMESTAMP)) AS first_seen,
+           MAX(CAST(ts AS TIMESTAMP)) AS last_seen,
+           {_dsum_sql('value')} AS total_value
+    FROM events
+    GROUP BY user_id
+    HAVING COUNT(*) >= 10
+    """,
+)
+def q34_events_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped min/max/count with HAVING (A1/A4 grouped)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("first_seen"),
+            F.max("ts").alias("last_seen"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+        .filter(F.col("n_events") >= 10)
+    )

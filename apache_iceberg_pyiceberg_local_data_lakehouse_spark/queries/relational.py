@@ -1,0 +1,575 @@
+"""Relational operator coverage over the star schema (SURVEY.md §2.2-2.6).
+
+Every query here maps a reference operator (or a mandated generalization of
+one) to idiomatic, Catalyst-optimizable DataFrame code:
+
+- filters/projections (P1-P5)       -> pushed-down parquet scans
+- anti/semi joins (J1)              -> broadcast/shuffled hash anti-joins
+- whole-column aggregates (A1-A5)   -> single-pass hash aggregates
+- GROUP BY / rollup / windows       -> generalization mandated by the
+  north star (the reference has no GROUP BY; a query engine needs one)
+
+Determinism discipline: a double sum is order-sensitive in the last few
+ulps, and double->DECIMAL casts round differently across engines. So
+portable sums quantize each term to a fixed grid with *pure double IEEE
+ops* (identical on both engines): ``floor(x*SCALE + 0.5)`` cast to BIGINT,
+summed exactly (order-insensitive integers), divided back to double. Sums
+stay < 2^53 at every judged scale factor, so the final division is exact
+too and the driver's value-hash is stable bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import load, register
+
+# --- deterministic aggregation helpers -------------------------------------
+
+SCALE = 10_000  # 4 decimal digits of quantization
+
+
+def dsum(col: Column, scale: int = SCALE) -> Column:
+    """Order-insensitive, engine-portable sum of a double expression."""
+    q = F.floor(col * F.lit(float(scale)) + F.lit(0.5)).cast("long")
+    return F.sum(q).cast("double") / F.lit(float(scale))
+
+
+def davg(col: Column, scale: int = SCALE) -> Column:
+    """Portable average: exact scaled-integer sum / count, divided in double."""
+    return dsum(col, scale) / F.count(col)
+
+
+def _dsum_sql(expr: str, scale: int = SCALE) -> str:
+    return (
+        f"CAST(SUM(CAST(FLOOR(({expr}) * {scale}.0 + 0.5) AS BIGINT)) AS DOUBLE)"
+        f" / {scale}.0"
+    )
+
+
+def _davg_sql(expr: str, scale: int = SCALE) -> str:
+    return f"{_dsum_sql(expr, scale)} / COUNT({expr})"
+
+
+# --- Q1: pricing summary (flagship; scan -> filter -> hash agg -> sort) -----
+
+
+@register(
+    "q01_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {_dsum_sql('l_quantity')} AS sum_qty,
+           {_dsum_sql('l_extendedprice')} AS sum_base_price,
+           {_dsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {_dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {_davg_sql('l_quantity')} AS avg_qty,
+           {_davg_sql('l_extendedprice')} AS avg_price,
+           {_davg_sql('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape. Filter pushes to the parquet scan; the aggregate is
+    a partial (map-side) + final hash agg - one shuffle on a 6-value key."""
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(F.col("l_extendedprice")).alias("avg_price"),
+            davg(F.col("l_discount")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# --- Q3: join + group + top-k ----------------------------------------------
+
+
+@register(
+    "q03_shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey AS orderkey,
+           {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           o.o_orderdate AS orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, orderkey
+    LIMIT 10
+    """,
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ orders ⋈ lineitem. ``customer`` is dimension-sized ->
+    broadcast it so the only shuffle is orders⋈lineitem on orderkey."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        li.join(F.broadcast(c.join(o, c.c_custkey == o.o_custkey).select("o_orderkey", "o_orderdate")),
+                li.l_orderkey == F.col("o_orderkey"))
+        .groupBy(F.col("l_orderkey").alias("orderkey"), F.col("o_orderdate").alias("orderdate"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("orderkey", "revenue", "orderdate")
+        .orderBy(F.desc("revenue"), F.asc("orderkey"))
+        .limit(10)
+    )
+
+
+# --- Q5: multi-way star join -----------------------------------------------
+
+
+@register(
+    "q05_region_revenue",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-way join. All dimensions (region/nation/supplier/customer) are
+    broadcast; the fact-fact join orders⋈lineitem shuffles once on
+    orderkey. At 100 TB that one shuffle is the cost - AQE handles skew."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+# --- Q6: tight filter + scalar aggregate -----------------------------------
+
+
+@register(
+    "q06_forecast_revenue",
+    oracle=f"""
+    SELECT {_dsum_sql('l_extendedprice * l_discount')} AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four predicates push into the parquet scan (PushedFilters);
+    the aggregate collapses map-side to one row per partition."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+# --- J1 generalizations: anti / semi joins ---------------------------------
+
+
+@register(
+    "q10_customers_without_orders",
+    oracle="""
+    SELECT c.c_custkey AS custkey, c.c_name AS name
+    FROM customer c
+    ANTI JOIN orders o ON c.c_custkey = o.o_custkey
+    """,
+)
+def q10_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's only join is an anti-join dedup
+    (``lakehouse_pipeline.py:204-227``). Same plan shape here: left side
+    keeps rows with no match; Spark picks broadcast-hash-anti when the
+    build side is small, shuffled-hash at scale."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select(F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name"))
+    )
+
+
+@register(
+    "q11_customers_with_big_orders",
+    oracle="""
+    SELECT c.c_custkey AS custkey, c.c_acctbal AS acctbal
+    FROM customer c
+    SEMI JOIN (SELECT * FROM orders WHERE o_totalprice > 250000) o
+      ON c.c_custkey = o.o_custkey
+    """,
+)
+def q11_customers_with_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi twin of the anti-join: EXISTS semantics, no row dup."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        F.col("c_custkey").alias("custkey"), F.col("c_acctbal").alias("acctbal")
+    )
+
+
+# --- outer joins ------------------------------------------------------------
+
+
+@register(
+    "q12_nation_order_counts",
+    oracle="""
+    SELECT n.n_name AS nation, COUNT(o.o_orderkey) AS n_orders
+    FROM nation n
+    LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN orders o   ON o.o_custkey = c.c_custkey
+    GROUP BY n.n_name
+    """,
+)
+def q12_nation_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer joins preserve empty nations; COUNT(col) skips nulls -
+    the A2/A5 null-semantics of the reference generalized to grouped form."""
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        n.join(c, c.c_nationkey == n.n_nationkey, "left")
+        .join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count(F.col("o_orderkey")).alias("n_orders"))
+    )
+
+
+# --- window functions -------------------------------------------------------
+
+
+@register(
+    "q13_top_orders_per_customer",
+    oracle="""
+    SELECT custkey, orderkey, totalprice, rn
+    FROM (
+      SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+             o_totalprice AS totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def q13_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via row_number window; the orderkey tiebreak makes
+    it deterministic. One shuffle on the partition key."""
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_totalprice").alias("totalprice"),
+            "rn",
+        )
+    )
+
+
+@register(
+    "q14_running_customer_spend",
+    oracle="""
+    SELECT custkey, orderkey,
+           CAST(SUM(CAST(FLOOR(totalprice * 100.0 + 0.5) AS BIGINT))
+                OVER (PARTITION BY custkey ORDER BY orderdate, orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) / 100.0 AS running_spend
+    FROM (SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+                 o_totalprice AS totalprice, o_orderdate AS orderdate
+          FROM orders)
+    """,
+)
+def q14_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum window - scaled-integer (cents) accumulation keeps the
+    prefix sums bit-identical across engines."""
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        (
+            F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long"))
+            .over(w)
+            .cast("double")
+            / 100.0
+        ).alias("running_spend"),
+    )
+
+
+@register(
+    "q15_order_lag_gap",
+    oracle="""
+    SELECT custkey, orderkey,
+           CAST(date_diff('day', prev_date, orderdate) AS BIGINT) AS days_since_prev
+    FROM (
+      SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+             o_orderdate AS orderdate,
+             LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS prev_date
+      FROM orders
+    ) WHERE prev_date IS NOT NULL
+    """,
+)
+def q15_order_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() + date arithmetic (F6 generalized to row data)."""
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("prev_date", F.lag("o_orderdate").over(w))
+        .filter(F.col("prev_date").isNotNull())
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.datediff(F.to_date("o_orderdate"), F.to_date("prev_date"))
+            .cast("long")
+            .alias("days_since_prev"),
+        )
+    )
+
+
+# --- rollup / grouping sets -------------------------------------------------
+
+
+@register(
+    "q16_status_priority_rollup",
+    oracle=f"""
+    SELECT o_orderstatus AS status, o_orderpriority AS priority,
+           COUNT(*) AS n_orders,
+           {_dsum_sql('o_totalprice')} AS total_spend
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def q16_status_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals via rollup (subtotal rows carry NULL keys)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.rollup(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total_spend"),
+        )
+    )
+
+
+# --- distinct / set ops -----------------------------------------------------
+
+
+@register(
+    "q17_segment_distinct_nations",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           COUNT(DISTINCT c_nationkey) AS n_nations,
+           COUNT(*) AS n_customers
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def q17_segment_distinct_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT DISTINCT (A3 generalized): expands to a two-phase agg -
+    Catalyst plans partial distinct then merge, no extra code."""
+    c = load(spark, sf_dir, "customer")
+    return c.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.count("*").alias("n_customers"),
+    )
+
+
+@register(
+    "q18_setops_machinery_vs_rich",
+    oracle="""
+    SELECT custkey, 'machinery_only' AS bucket FROM (
+      SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+      EXCEPT
+      SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+    )
+    UNION ALL
+    SELECT custkey, 'machinery_and_rich' AS bucket FROM (
+      SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+      INTERSECT
+      SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+    )
+    """,
+)
+def q18_setops_machinery_vs_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT / INTERSECT / UNION ALL in one result (§2.5 gap filled)."""
+    c = load(spark, sf_dir, "customer")
+    mach = c.filter(F.col("c_mktsegment") == "MACHINERY").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    rich = c.filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    only = mach.exceptAll(rich).distinct().withColumn("bucket", F.lit("machinery_only"))
+    both = mach.intersect(rich).withColumn("bucket", F.lit("machinery_and_rich"))
+    return only.unionAll(both)
+
+
+# --- scalar functions / conditional aggregation ----------------------------
+
+
+@register(
+    "q19_part_brand_stats",
+    oracle=f"""
+    SELECT UPPER(p_brand) AS brand,
+           COUNT(*) AS n_parts,
+           {_davg_sql('p_retailprice')} AS avg_price,
+           CAST(SUM(CASE WHEN p_size >= 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_large,
+           MIN(p_retailprice) AS min_price,
+           MAX(p_retailprice) AS max_price
+    FROM part
+    GROUP BY UPPER(p_brand)
+    """,
+)
+def q19_part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar fn (F3 generalized) + CASE WHEN conditional agg +
+    min/max (A4)."""
+    p = load(spark, sf_dir, "part")
+    return p.groupBy(F.upper(F.col("p_brand")).alias("brand")).agg(
+        F.count("*").alias("n_parts"),
+        davg(F.col("p_retailprice")).alias("avg_price"),
+        F.sum(F.when(F.col("p_size") >= 25, 1).otherwise(0))
+        .cast("long")
+        .alias("n_large"),
+        F.min("p_retailprice").alias("min_price"),
+        F.max("p_retailprice").alias("max_price"),
+    )
+
+
+@register(
+    "q20_monthly_order_volume",
+    oracle=f"""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+           COUNT(*) AS n_orders,
+           {_dsum_sql('o_totalprice')} AS month_spend
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q20_monthly_order_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_trunc bucketing (F6/F7 on row data)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("order_month")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("month_spend"),
+        )
+    )
+
+
+@register(
+    "q21_null_metrics_lineitem",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(l_quantity) AS null_quantity,
+           COUNT(*) - COUNT(l_shipdate) AS null_shipdate,
+           COUNT(*) - COUNT(l_returnflag) AS null_returnflag
+    FROM lineitem
+    """,
+)
+def q21_null_metrics_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference QC null-ratio check (A2/A5, ``lakehouse_pipeline.py:147-158``)
+    as one single-pass aggregate over all columns."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        (F.count("*") - F.count("l_quantity")).alias("null_quantity"),
+        (F.count("*") - F.count("l_shipdate")).alias("null_shipdate"),
+        (F.count("*") - F.count("l_returnflag")).alias("null_returnflag"),
+    )
+
+
+@register(
+    "q22_orders_dedup_antijoin",
+    oracle="""
+    WITH incoming AS (SELECT * FROM orders WHERE o_orderstatus = 'O'),
+         existing AS (SELECT DISTINCT o_orderkey FROM orders
+                      WHERE o_orderstatus <> 'O')
+    SELECT (SELECT COUNT(*) FROM incoming) AS incoming_rows,
+           (SELECT COUNT(*) FROM incoming i
+            ANTI JOIN existing e ON i.o_orderkey = e.o_orderkey)
+             AS rows_after_dedup
+    """,
+)
+def q22_orders_dedup_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's J1 dedup verbatim, at query level: incoming batch =
+    open orders, committed table = everything else; project committed keys,
+    distinct them, anti-join (``lakehouse_pipeline.py:206-217``)."""
+    o = load(spark, sf_dir, "orders")
+    incoming = o.filter(F.col("o_orderstatus") == "O")
+    existing_keys = (
+        o.filter(F.col("o_orderstatus") != "O").select("o_orderkey").distinct()
+    )
+    surviving = incoming.join(existing_keys, on="o_orderkey", how="left_anti")
+    return spark.createDataFrame(
+        [(incoming.count(), surviving.count())],
+        "incoming_rows long, rows_after_dedup long",
+    )

@@ -1,0 +1,306 @@
+"""Text-analysis + dedup operators over ``documents`` (SURVEY.md X1/X2/X4).
+
+The training-data-pipeline surface: exact dedup, n-gram Jaccard near-dup,
+token statistics, quality scoring, language scoring, fingerprinting. All
+JVM-side (split/explode/higher-order functions) - no Python UDFs in any
+hot path, so the plans whole-stage-codegen and scale linearly.
+
+Tokenization contract shared with every oracle: split on single spaces
+(fixture text is space-separated lowercase words, no punctuation edge
+cases to diverge on).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import load, register
+from .relational import _davg_sql, davg
+
+# Tiny function-word list used for the language-scoring heuristic.
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+
+@register(
+    "q40_dedup_exact",
+    oracle="""
+    SELECT sha256(text) AS content_hash,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY sha256(text)
+    HAVING COUNT(*) > 1
+    """,
+)
+def q40_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 exact dedup: content-hash groupBy, keep min doc_id. At 100 TB
+    this is one shuffle on a 256-bit key with near-perfect distribution;
+    map-side partial aggregation collapses most duplicates early."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.sha2(F.col("text"), 256).alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+@register(
+    "q41_dedup_token_jaccard",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_toks FROM toks GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.id_a, i.id_b,
+           CAST(i.n_common AS DOUBLE)
+             / (sa.n_toks + sb.n_toks - i.n_common) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE CAST(i.n_common AS DOUBLE)
+             / (sa.n_toks + sb.n_toks - i.n_common) >= 0.8
+    """,
+)
+def q41_dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set Jaccard near-dup (exact form - the correctness oracle for
+    the MinHash path in operators/dedup.py). Explode -> self-join on token
+    -> count intersections. Quadratic in docs-per-token, which is why the
+    scale path is MinHash/LSH; this exact variant is the ground truth."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("tok")
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_toks"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = (
+        inter.join(sa, F.col("id_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("id_b") == F.col("sb.doc_id"))
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("sa.n_toks") + F.col("sb.n_toks") - F.col("n_common")),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= 0.8).select("id_a", "id_b", "jaccard")
+
+
+@register(
+    "q42_text_stats_by_lang",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           {_davg_sql('n_chars')} AS avg_chars,
+           {_davg_sql("len(string_split(text, ' '))")} AS avg_tokens,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q42_text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 corpus statistics per language tag."""
+    d = load(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        davg(F.col("n_chars")).alias("avg_chars"),
+        davg(n_tokens).alias("avg_tokens"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register(
+    "q43_token_frequency",
+    oracle="""
+    SELECT tok, COUNT(*) AS tok_count, COUNT(DISTINCT doc_id) AS doc_freq
+    FROM (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+    )
+    GROUP BY tok
+    ORDER BY tok_count DESC, tok
+    LIMIT 25
+    """,
+)
+def q43_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequency + document frequency (the tf/df halves of
+    tf-idf). explode -> two-level agg; top-k with deterministic tiebreak."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    return (
+        toks.groupBy("tok")
+        .agg(
+            F.count("*").alias("tok_count"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.desc("tok_count"), F.asc("tok"))
+        .limit(25)
+    )
+
+
+@register(
+    "q44_quality_scores",
+    oracle="""
+    SELECT doc_id,
+           n_toks,
+           CAST(n_distinct AS DOUBLE) / n_toks AS uniqueness,
+           CAST(stop_hits AS DOUBLE) / n_toks AS stopword_ratio,
+           CAST(n_chars AS DOUBLE) / n_toks AS avg_token_len
+    FROM (
+      SELECT doc_id, n_chars,
+             len(string_split(text, ' ')) AS n_toks,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct,
+             len(list_filter(string_split(text, ' '),
+                 t -> list_contains(['the','a','of','and','to','in','is','on','for','with'], t)))
+               AS stop_hits
+      FROM documents
+    )
+    WHERE n_toks > 0
+    """,
+)
+def q44_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 quality scoring: per-doc uniqueness / stopword-density /
+    token-length signals, all via higher-order array functions (JVM-side,
+    no shuffle at all - embarrassingly parallel at any scale)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    q = d.select(
+        "doc_id",
+        "n_chars",
+        F.size(toks).alias("n_toks"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).alias(
+            "stop_hits"
+        ),
+    ).filter(F.col("n_toks") > 0)
+    return q.select(
+        "doc_id",
+        "n_toks",
+        (F.col("n_distinct").cast("double") / F.col("n_toks")).alias("uniqueness"),
+        (F.col("stop_hits").cast("double") / F.col("n_toks")).alias("stopword_ratio"),
+        (F.col("n_chars").cast("double") / F.col("n_toks")).alias("avg_token_len"),
+    )
+
+
+@register(
+    "q45_language_scoring",
+    oracle=f"""
+    SELECT lang,
+           {_davg_sql("len(list_filter(string_split(text, ' '), "
+                      "t -> list_contains(['the','a','of','and','to','in','is','on','for','with'], t)))"
+                      " / CAST(len(string_split(text, ' ')) AS DOUBLE)")} AS avg_stopword_ratio,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q45_language_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (function-word density per language tag).
+    A real lang-id model would be a Pandas UDF; the n-gram/stopword
+    heuristic stays in JVM expressions."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    ratio = (
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+        / F.size(toks).cast("double")
+    )
+    return d.groupBy("lang").agg(
+        davg(ratio).alias("avg_stopword_ratio"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+@register(
+    "q46_doc_fingerprint",
+    oracle="""
+    SELECT fingerprint, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
+    FROM (
+      SELECT doc_id,
+             sha256(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+               AS fingerprint
+      FROM documents
+    )
+    GROUP BY fingerprint
+    HAVING COUNT(*) > 1
+    """,
+)
+def q46_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words fingerprint: sha256 over the sorted distinct token
+    set. Catches reordered/duplicated-word copies that exact hashing (X1)
+    misses - the deterministic cousin of MinHash."""
+    d = load(spark, sf_dir, "documents")
+    fp = F.sha2(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(F.split(F.col("text"), " ")))),
+        256,
+    )
+    return (
+        d.select(fp.alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@register(
+    "q47_ngram_shingles",
+    oracle="""
+    SELECT shingle, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+    FROM (
+      SELECT doc_id,
+             UNNEST([string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]
+                     FOR i IN generate_series(1, len(string_split(text,' ')) - 2)])
+               AS shingle
+      FROM documents
+      WHERE len(string_split(text,' ')) >= 3
+    )
+    GROUP BY shingle
+    HAVING COUNT(DISTINCT doc_id) > 1
+    ORDER BY n_occurrences DESC, shingle
+    LIMIT 20
+    """,
+)
+def q47_ngram_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram shingling (the MinHash input representation) as a
+    first-class query: which shingles repeat across documents."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), n - F.lit(3))
+    shingles = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2), F.element_at(toks, i + 3)
+        ),
+    )
+    return (
+        d.filter(n >= 3)
+        .select("doc_id", F.explode(shingles).alias("shingle"))
+        .groupBy("shingle")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy(F.desc("n_occurrences"), F.asc("shingle"))
+        .limit(20)
+    )

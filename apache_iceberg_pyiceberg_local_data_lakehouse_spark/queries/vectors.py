@@ -1,0 +1,183 @@
+"""Embedding / similarity-search operators over ``embeddings`` (SURVEY.md
+X3) plus the multimodal binary-column plumbing (X5).
+
+Vector math is expressed with higher-order array functions
+(``zip_with`` + ``aggregate``) - JVM-side, codegen'd, no Python in the
+loop. Arrays are cast float->double *before* any arithmetic so both
+engines fold the same doubles in the same order; similarities are rounded
+to 9 dp before ranking so sub-ulp differences can't flip the driver hash.
+
+Scale path: the brute-force top-k here is the correctness oracle; the
+LSH-bucketed ANN variant lives in ``operators/similarity.py`` (rows-only
+checked; recall is pytest-asserted against brute force).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from . import load, register
+
+N_QUERY_VECS = 10
+TOP_K = 5
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product of two array<double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+_DOT_SQL = "list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
+_COS_SQL = (
+    f"({_DOT_SQL.format(a='{a}', b='{b}')} / "
+    f"(sqrt({_DOT_SQL.format(a='{a}', b='{a}')}) * "
+    f"sqrt({_DOT_SQL.format(a='{b}', b='{b}')})))"
+)
+
+
+@register(
+    "q50_knn_bruteforce",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND({_COS_SQL.format(a='q.embedding', b='c.embedding')}, 9) AS sim
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < {N_QUERY_VECS}
+    )
+    SELECT query_id, neighbor_id, sim, rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rank
+      FROM pairs
+    ) WHERE rank <= {TOP_K}
+    """,
+)
+def q50_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the (small) query set against
+    the corpus - no shuffle for the similarity computation, one window
+    shuffle on query_id for ranking. This is the exact baseline every ANN
+    variant is measured against."""
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    pairs = (
+        load(spark, sf_dir, "embeddings")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+        .join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col("embedding")), 9).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+@register(
+    "q51_embedding_norms_by_label",
+    oracle=f"""
+    SELECT label,
+           COUNT(*) AS n_vectors,
+           CAST(SUM(CAST(FLOOR(sqrt({_DOT_SQL.format(a='embedding', b='embedding')}) * 1000000.0 + 0.5)
+                         AS BIGINT)) AS DOUBLE) / 1000000.0 / COUNT(*) AS avg_norm,
+           MIN(FLOOR(sqrt({_DOT_SQL.format(a='embedding', b='embedding')}) * 1000000.0 + 0.5) / 1000000.0) AS min_norm,
+           MAX(FLOOR(sqrt({_DOT_SQL.format(a='embedding', b='embedding')}) * 1000000.0 + 0.5) / 1000000.0) AS max_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def q51_embedding_norms_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm statistics - the vector-column twin of the
+    reference's per-column quality aggregates (A4). Norms are quantized to
+    1e-6 with pure-double ops so both engines agree bit-for-bit."""
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    qnorm = F.floor(
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))) * 1_000_000.0 + 0.5
+    )
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        (F.sum(qnorm.cast("long")).cast("double") / 1_000_000.0 / F.count("*")).alias(
+            "avg_norm"
+        ),
+        F.min(qnorm / 1_000_000.0).alias("min_norm"),
+        F.max(qnorm / 1_000_000.0).alias("max_norm"),
+    )
+
+
+@register(
+    "q52_embedding_near_duplicates",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({_COS_SQL.format(a='a.embedding', b='b.embedding')}, 9) AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND({_COS_SQL.format(a='a.embedding', b='b.embedding')}, 9) >= 0.95
+    """,
+)
+def q52_embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection (the semantic-dedup member of
+    the X1/X2 family): all pairs >= 0.95 cosine. Quadratic by design here
+    (it is the oracle); the scale path blocks by LSH bucket first."""
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 9).alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.95)
+    )
+
+
+@register(
+    "q53_multimodal_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(CAST(text AS BLOB)) AS n_bytes,
+           md5(text) AS content_md5,
+           lang
+    FROM documents
+    WHERE octet_length(CAST(text AS BLOB)) > 200
+    """,
+)
+def q53_multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 multimodal plumbing: treat content as an opaque binary column
+    with typed metadata (byte length, checksum, tag). The decode /
+    feature-extract stages over real image/audio bytes live in
+    operators/multimodal.py as mapInPandas stubs; this query proves the
+    schema + checksum path on binary data end-to-end."""
+    d = load(spark, sf_dir, "documents")
+    blob = F.encode(F.col("text"), "UTF-8")
+    return (
+        d.select(
+            "doc_id",
+            F.octet_length(blob).alias("n_bytes"),
+            F.md5(blob).alias("content_md5"),
+            "lang",
+        )
+        .filter(F.col("n_bytes") > 200)
+    )
