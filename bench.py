@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the total wall-clock over the headline set (each query fully
+executed and its result materialized via a count-collect, so lazy plans
+can't cheat). Session build time is excluded; per-query times include
+plan + execute.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per plan shape that matters at 100 TB.
+HEADLINE = [
+    "q01_pricing_summary",        # scan + hash agg
+    "q03_shipping_priority",      # broadcast join + agg + topk
+    "q05_region_revenue",         # multi-way star join
+    "q06_forecast_revenue",       # pushed-down filter scan
+    "q13_top_orders_per_customer",  # window topk
+    "q16_status_priority_rollup",   # rollup
+    "q30_events_tumbling_1h",     # event-time tumbling window
+    "q32_events_sessionization",  # sessionization windows
+    "q41_dedup_token_jaccard",    # explode + self-join near-dup
+    "q43_token_frequency",        # explode + two-level agg
+    "q50_knn_bruteforce",         # vector similarity topk
+    "q51_embedding_norms_by_label",  # higher-order array agg
+]
+
+
+def main() -> None:
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.queries import QUERIES
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.session import get_spark
+
+    spark = get_spark(app_name="lakehouse-bench")
+    # warm the JVM + parquet footers once so timings measure the engine,
+    # not first-touch JIT
+    spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = QUERIES[name](spark, SF_DIR)
+        n = df.count()
+        times[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {n} rows in {times[name]:.2f}s", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_total_wall_clock",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
