@@ -1,0 +1,134 @@
+"""Warehouse catalog: namespaces + tables on a local/remote filesystem.
+
+Reference surface (``/root/reference/lakehouse_pipeline.py``):
+- ``load_catalog`` with a file warehouse (``:303-311``)  -> ``LakehouseCatalog(warehouse)``
+- ``create_namespace`` idempotent (``:314-318``)         -> ``create_namespace``
+- ``create_table`` with schema + partition spec,
+  swallowing already-exists (``ensure_table``, ``:275-284``) -> ``ensure_table``
+- ``load_table`` (``:385,402``)                          -> ``load_table``
+
+The catalog is directory-backed (``<warehouse>/<namespace>/<table>``) -
+the same layout a Hadoop-type Iceberg catalog uses, so a future swap to
+the real Iceberg runtime is a config change, not a rewrite.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from .table import LakehouseTable, PartitionField, Snapshot
+
+
+class NoSuchTableError(Exception):
+    pass
+
+
+class LakehouseCatalog:
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.warehouse = os.path.abspath(warehouse)
+        os.makedirs(self.warehouse, exist_ok=True)
+
+    # -- namespaces ---------------------------------------------------------
+
+    def create_namespace(self, namespace: str) -> None:
+        """Idempotent (reference swallows NamespaceAlreadyExistsError)."""
+        os.makedirs(os.path.join(self.warehouse, namespace), exist_ok=True)
+
+    def list_namespaces(self) -> list[str]:
+        return sorted(
+            d
+            for d in os.listdir(self.warehouse)
+            if os.path.isdir(os.path.join(self.warehouse, d))
+        )
+
+    # -- tables -------------------------------------------------------------
+
+    def _table_location(self, identifier: str) -> str:
+        namespace, _, name = identifier.rpartition(".")
+        if not namespace:
+            raise ValueError(f"identifier must be namespace.table: {identifier}")
+        return os.path.join(self.warehouse, namespace, name)
+
+    def table_exists(self, identifier: str) -> bool:
+        return os.path.exists(
+            os.path.join(self._table_location(identifier), "metadata", "v0.json")
+        )
+
+    def create_table(
+        self,
+        identifier: str,
+        schema: StructType,
+        partition_spec: list[PartitionField] | None = None,
+    ) -> LakehouseTable:
+        loc = self._table_location(identifier)
+        os.makedirs(os.path.join(loc, "metadata"), exist_ok=True)
+        os.makedirs(os.path.join(loc, "data"), exist_ok=True)
+        table = LakehouseTable(self.spark, loc)
+        snap = Snapshot(
+            snapshot_id=uuid.uuid4().hex,
+            version=0,
+            timestamp_ms=int(time.time() * 1000),
+            operation="create",
+            parent_id=None,
+            schema_json=json.loads(schema.json()),
+            partition_spec=partition_spec or [],
+            manifest=[],
+            summary={},
+        )
+        table._commit(snap)
+        return table
+
+    def ensure_table(
+        self,
+        identifier: str,
+        schema: StructType,
+        partition_spec: list[PartitionField] | None = None,
+    ) -> LakehouseTable:
+        """Create-if-absent (reference ``ensure_table``,
+        ``lakehouse_pipeline.py:275-284``)."""
+        if self.table_exists(identifier):
+            return self.load_table(identifier)
+        try:
+            return self.create_table(identifier, schema, partition_spec)
+        except Exception:
+            if self.table_exists(identifier):
+                return self.load_table(identifier)
+            raise
+
+    def load_table(self, identifier: str) -> LakehouseTable:
+        loc = self._table_location(identifier)
+        if not os.path.exists(os.path.join(loc, "metadata", "v0.json")):
+            raise NoSuchTableError(identifier)
+        return LakehouseTable(self.spark, loc)
+
+    def list_tables(self, namespace: str) -> list[str]:
+        ns_dir = os.path.join(self.warehouse, namespace)
+        if not os.path.isdir(ns_dir):
+            return []
+        return sorted(
+            f"{namespace}.{d}"
+            for d in os.listdir(ns_dir)
+            if os.path.exists(os.path.join(ns_dir, d, "metadata", "v0.json"))
+        )
+
+    def drop_table(self, identifier: str) -> None:
+        import shutil
+
+        loc = self._table_location(identifier)
+        if os.path.exists(loc):
+            shutil.rmtree(loc)
+
+    # -- convenience --------------------------------------------------------
+
+    def append(self, identifier: str, df: DataFrame) -> Snapshot:
+        return self.load_table(identifier).append(df)
+
+    def read(self, identifier: str) -> DataFrame:
+        return self.load_table(identifier).to_df()

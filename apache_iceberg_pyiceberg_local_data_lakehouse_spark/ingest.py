@@ -1,0 +1,266 @@
+"""The ingest pipeline: the reference's ``run_pipeline`` re-expressed as
+Spark jobs over the snapshot table format.
+
+Reference dataflow (``/root/reference/lakehouse_pipeline.py:289-424``,
+mapped step-by-step in SURVEY.md §3):
+
+  for each symbol folder under the source root:          (:322-331)
+    for each parquet file under it (recursive):          (:343)
+      skip if md5(file) already in the ingest ledger     (:350-357)
+      read -> normalize -> quality-check                 (:361-370)
+      create table if absent (years(DateTime) partition) (:372-384)
+      dedup against committed keys -> append             (:386-394)
+      record ledger entry                                (:391,398)
+    expire old snapshots (7 days, keep 2)                (:401-405)
+  persist ledger; append audit entry                     (:411-417)
+
+Engine changes for scale (SURVEY.md §7):
+- the per-file loop becomes a per-symbol *batch*: all new files of a
+  symbol are read as ONE DataFrame (Spark's multi-file parquet reader),
+  so normalize/QC/dedup/append are one distributed job each, not O(files)
+  driver roundtrips. Per-file QC parity mode (``per_file=True``) keeps
+  the reference's file-granular accept/reject semantics for tests.
+- ledger + audit log live in lakehouse tables (``ops`` namespace), not
+  JSON read-modify-write files (S10/S11 - a JSON array rewrite per run
+  is not 100 TB-safe and cannot be written concurrently).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import time
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from .catalog import LakehouseCatalog
+from .functions.normalize import normalize
+from .functions.quality import QualityReport, check_quality
+from .operators.dedup import dedup_against_table
+from .maintenance import expire_snapshots
+from .table import PartitionField
+
+NAMESPACE = "gold"  # lakehouse_pipeline.py:69
+OPS_NAMESPACE = "ops"
+
+LEDGER_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("checksum", StringType()),
+        StructField("ingested_at", TimestampType()),
+    ]
+)
+
+AUDIT_SCHEMA = StructType(
+    [
+        StructField("run_id", StringType()),
+        StructField("started_at", TimestampType()),
+        StructField("duration_secs", DoubleType()),
+        StructField("tables_processed", LongType()),
+        StructField("files_processed", LongType()),
+        StructField("files_skipped", LongType()),
+        StructField("files_rejected", LongType()),
+        StructField("rows_appended", LongType()),
+        StructField("quality_issues", StringType()),
+    ]
+)
+
+
+def file_checksum(path: str | Path, chunk: int = 8192) -> str:
+    """Streaming MD5 (reference ``file_checksum``,
+    ``lakehouse_pipeline.py:122-128``)."""
+    md5 = hashlib.md5()
+    with open(path, "rb") as f:
+        while True:
+            data = f.read(chunk)
+            if not data:
+                break
+            md5.update(data)
+    return md5.hexdigest()
+
+
+@dataclass
+class RunSummary:
+    run_id: str
+    tables_processed: int = 0
+    files_processed: int = 0
+    files_skipped: int = 0
+    files_rejected: int = 0
+    rows_appended: int = 0
+    quality_issues: list[str] = field(default_factory=list)
+    duration_secs: float = 0.0
+
+
+class IngestPipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        namespace: str = NAMESPACE,
+        expire_older_than_days: float = 7.0,
+        retain_last: int = 2,
+    ):
+        self.spark = spark
+        self.catalog = LakehouseCatalog(spark, warehouse)
+        self.namespace = namespace
+        self.expire_older_than_days = expire_older_than_days
+        self.retain_last = retain_last
+        self.catalog.create_namespace(namespace)
+        self.catalog.create_namespace(OPS_NAMESPACE)
+        self._ledger = self.catalog.ensure_table(
+            f"{OPS_NAMESPACE}.ingest_ledger", LEDGER_SCHEMA
+        )
+        self._audit = self.catalog.ensure_table(
+            f"{OPS_NAMESPACE}.audit_runs", AUDIT_SCHEMA
+        )
+
+    # -- ledger (ST2 exactly-once per file content) --------------------------
+
+    def ingested(self) -> dict[str, str]:
+        """Current path->checksum map: latest entry per path wins."""
+        df = self._ledger.to_df()
+        w = Window.partitionBy("path").orderBy(F.desc("ingested_at"))
+        rows = (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("path", "checksum")
+            .collect()
+        )
+        return {r["path"]: r["checksum"] for r in rows}
+
+    def _record_ledger(self, entries: list[tuple[str, str]]) -> None:
+        if not entries:
+            return
+        now = datetime.now(tz=timezone.utc).replace(tzinfo=None)
+        df = self.spark.createDataFrame(
+            [(p, c, now) for p, c in entries], LEDGER_SCHEMA
+        )
+        self._ledger.append(df)
+
+    # -- pipeline ------------------------------------------------------------
+
+    def run(self, source_root: str, per_file: bool = False) -> RunSummary:
+        """One pipeline run over ``source_root`` (reference entry point 1,
+        ``lakehouse_scheduler.py --now``).
+
+        ``per_file=False`` (default): batch all new files per symbol into
+        one DataFrame - the scale path.
+        ``per_file=True``: reference-parity mode - QC accepts/rejects each
+        file independently (a bad file doesn't poison its siblings).
+        """
+        t0 = time.time()
+        summary = RunSummary(run_id=time.strftime("%Y%m%d_%H%M%S"))
+        root = Path(source_root)
+        if not root.is_dir():
+            summary.duration_secs = time.time() - t0
+            return summary
+
+        ledger = self.ingested()
+        ledger_updates: list[tuple[str, str]] = []
+
+        symbols = sorted(p for p in root.iterdir() if p.is_dir())
+        for symbol_dir in symbols:
+            table_id = f"{self.namespace}.{symbol_dir.name.lower()}"  # :330-331
+            files = sorted(symbol_dir.rglob("*.parquet"))  # :343 (S2)
+            new_files: list[Path] = []
+            for pfile in files:
+                checksum = file_checksum(pfile)
+                if ledger.get(str(pfile)) == checksum:  # :352-357
+                    summary.files_skipped += 1
+                    continue
+                new_files.append(pfile)
+            if not new_files:
+                continue
+            summary.tables_processed += 1
+
+            groups = (
+                [[f] for f in new_files] if per_file else [new_files]
+            )
+            for group in groups:
+                appended = self._ingest_files(table_id, group, summary)
+                if appended is not None:
+                    ledger_updates.extend(
+                        (str(f), file_checksum(f)) for f in group
+                    )
+
+            # M2 snapshot expiry per table (:401-405)
+            try:
+                table = self.catalog.load_table(table_id)
+                expire_snapshots(
+                    table,
+                    older_than_ms=int(
+                        (time.time() - self.expire_older_than_days * 86400) * 1000
+                    ),
+                    retain_last=self.retain_last,
+                )
+            except Exception:
+                pass
+
+        self._record_ledger(ledger_updates)
+        summary.duration_secs = time.time() - t0
+        self._append_audit(summary)
+        return summary
+
+    def _ingest_files(
+        self, table_id: str, files: list[Path], summary: RunSummary
+    ) -> int | None:
+        """normalize -> QC -> ensure table -> dedup -> append for one batch.
+        Returns rows appended, or None if the batch was rejected."""
+        paths = [str(f) for f in files]
+        df = normalize(self.spark.read.parquet(*paths))  # S1 + F1/F2
+
+        report: QualityReport = check_quality(df)  # P6/P7, A1/A2/A4/A5
+        if not report.ok:
+            summary.files_rejected += len(files)
+            summary.quality_issues.extend(
+                f"{table_id}:{os.path.basename(paths[0])}: {i}" for i in report.issues
+            )
+            return None
+
+        spec = (
+            [PartitionField(source="DateTime", transform="years", name="DateTime_year")]
+            if "DateTime" in df.columns
+            else []
+        )  # M3 (:373-382)
+        table = self.catalog.ensure_table(table_id, df.schema, spec)  # S8
+        clean = dedup_against_table(df, table, key="DateTime")  # J1
+        n = clean.count()
+        if n > 0:  # empty-append short-circuit (:388-392)
+            table.append(clean)  # S5
+        summary.files_processed += len(files)
+        summary.rows_appended += n
+        return n
+
+    def _append_audit(self, s: RunSummary) -> None:
+        """S10 audit entry - a table append, not a JSON rewrite."""
+        now = datetime.now(tz=timezone.utc).replace(tzinfo=None)
+        df = self.spark.createDataFrame(
+            [
+                (
+                    s.run_id,
+                    now,
+                    float(s.duration_secs),
+                    s.tables_processed,
+                    s.files_processed,
+                    s.files_skipped,
+                    s.files_rejected,
+                    s.rows_appended,
+                    "; ".join(s.quality_issues) or None,
+                )
+            ],
+            AUDIT_SCHEMA,
+        )
+        self._audit.append(df)

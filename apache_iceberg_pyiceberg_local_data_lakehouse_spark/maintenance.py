@@ -1,0 +1,106 @@
+"""Table maintenance: snapshot expiry + compaction (SURVEY.md §2.8).
+
+- M1 snapshot listing  -> ``LakehouseTable.snapshots()``
+- M2 snapshot expiry   -> ``expire_snapshots`` with the reference policy:
+  protect the newest ``retain_last`` snapshots unconditionally, expire the
+  rest when older than the cutoff, then garbage-collect data files no
+  retained snapshot references (``lakehouse_pipeline.py:232-270``;
+  constants ``:72,242`` - 7 days / keep 2). The reference computes its
+  protected set explicitly (``:242-254``) but only passes ``older_than``
+  to the commit; here the floor is contractual (SURVEY.md §7.4).
+- M4 compaction        -> ``compact`` (absent in the reference, mandated
+  by the north star): read current file set, rewrite small files into
+  ~target-sized ones per partition, commit a ``replace`` snapshot. At
+  100 TB this is the operation that keeps scan task counts sane - it
+  runs as one distributed job per partition subset, never on the driver.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from .table import LakehouseTable, Snapshot
+
+DEFAULT_RETENTION_DAYS = 7  # lakehouse_pipeline.py:72
+MIN_SNAPSHOTS_TO_KEEP = 2  # lakehouse_pipeline.py:242
+
+
+def expire_snapshots(
+    table: LakehouseTable,
+    older_than_ms: int | None = None,
+    retain_last: int = MIN_SNAPSHOTS_TO_KEEP,
+    delete_orphan_files: bool = True,
+) -> dict:
+    """Expire old snapshot metadata and GC unreferenced data files.
+
+    Returns a summary dict (expired snapshot count, deleted file count)
+    mirroring the reference's per-run bookkeeping."""
+    if older_than_ms is None:
+        older_than_ms = int(time.time() * 1000) - DEFAULT_RETENTION_DAYS * 86400_000
+
+    snaps = table.snapshots()
+    # newest `retain_last` are protected unconditionally; the current
+    # snapshot is always protected
+    by_newest = sorted(snaps, key=lambda s: s.timestamp_ms, reverse=True)
+    protected = {s.version for s in by_newest[:retain_last]}
+    protected.add(table.current_version())
+
+    expired = [
+        s
+        for s in snaps
+        if s.version not in protected and s.timestamp_ms < older_than_ms
+    ]
+    for s in expired:
+        table.delete_metadata_version(s.version)
+
+    deleted_files = 0
+    if delete_orphan_files:
+        referenced = table.referenced_files()
+        for root, _dirs, files in os.walk(table.data_dir):
+            for fn in files:
+                fpath = os.path.join(root, fn)
+                rel = os.path.relpath(fpath, table.location)
+                if fn.endswith(".parquet") and rel not in referenced:
+                    os.remove(fpath)
+                    deleted_files += 1
+    return {
+        "expired_snapshots": len(expired),
+        "deleted_files": deleted_files,
+        "retained_snapshots": len(snaps) - len(expired),
+    }
+
+
+def compact(
+    table: LakehouseTable,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    small_file_threshold: float = 0.5,
+) -> Snapshot | None:
+    """Rewrite small data files into ~target-sized files.
+
+    Strategy: pick manifest entries below ``small_file_threshold *
+    target_file_bytes``, read just those through one Spark job,
+    repartition to ceil(total_bytes / target) output files, write, and
+    commit a ``replace`` snapshot keeping the untouched large files.
+    Old files remain referenced by historical snapshots until expiry."""
+    snap = table.snapshot()
+    small = [
+        e for e in snap.manifest if e["bytes"] < target_file_bytes * small_file_threshold
+    ]
+    if len(small) < 2:
+        return None
+    large = [e for e in snap.manifest if e not in small]
+
+    total = sum(e["bytes"] for e in small)
+    n_out = max(1, -(-total // target_file_bytes))
+    df = table.scan(file_filter=lambda e: e in small).repartition(int(n_out))
+    new_entries = table._write_files(df, snap.partition_spec)
+    return table.overwrite_manifest(
+        large + new_entries,
+        operation="replace",
+        summary={
+            "compacted_files": len(small),
+            "new_files": len(new_entries),
+            "rewritten_bytes": total,
+        },
+    )

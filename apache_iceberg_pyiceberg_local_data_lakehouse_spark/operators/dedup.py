@@ -1,0 +1,292 @@
+"""Deduplication operators (J1 + X1/X2 family).
+
+J1 - the reference's only join: remove incoming rows whose key already
+exists in the committed table (``/root/reference/lakehouse_pipeline.py:
+204-227``: project existing keys -> unique -> is_in -> invert -> filter).
+Spark form: a left anti-join. Catalyst picks broadcast-hash-anti when the
+key set is small and shuffled-hash/SMJ at scale; either way the key
+projection is pushed into the table scan.
+
+Reference semantics preserved exactly (SURVEY.md §2.3 note + §7.4):
+- dedup is only *against committed data* - intra-batch duplicates all
+  append (two identical rows in one file both land);
+- an empty target short-circuits (``:210-211``);
+- any failure scanning the target degrades to no-dedup (``:225-227``).
+
+X1/X2 - the scale generalizations a training-data pipeline needs:
+exact content-hash dedup, MinHash/LSH near-dedup, SimHash fingerprints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..table import LakehouseTable
+
+# ---------------------------------------------------------------------------
+# J1: dedup against a committed table
+# ---------------------------------------------------------------------------
+
+
+def dedup_against_table(
+    new_df: DataFrame, table: LakehouseTable, key: str = "DateTime"
+) -> DataFrame:
+    """The reference's ingest dedup, Spark-first.
+
+    Anti-join against the *projected, distinct* key column of the table -
+    exactly the reference's ``scan(selected_fields=(key,)) -> unique ->
+    anti`` pipeline (``lakehouse_pipeline.py:206-217``), but distributed:
+    the key scan reads only the key column (column pruning reaches the
+    parquet footers), and the anti-join shuffles both sides on the key
+    only if the build side is too big to broadcast."""
+    try:
+        snap = table.snapshot()
+        if snap.total_rows == 0:  # empty-target short-circuit (:210-211)
+            return new_df
+        existing_keys = table.scan(selected_fields=[key]).distinct()
+        return new_df.join(existing_keys, on=key, how="left_anti")
+    except Exception:
+        # graceful degradation: dedup skipped, all rows pass (:225-227)
+        return new_df
+
+
+def dedup_intra_batch(df: DataFrame, keys: list[str]) -> DataFrame:
+    """STRICT-mode extension (NOT reference behavior - documented §2.3):
+    also drop duplicates within the incoming batch, keeping an arbitrary
+    single row per key (Spark's dropDuplicates)."""
+    return df.dropDuplicates(keys)
+
+
+# ---------------------------------------------------------------------------
+# X1: exact content-hash dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, content_col: str, id_col: str, keep: str = "min"
+) -> DataFrame:
+    """Keep one row per distinct content value (hash-groupBy).
+
+    Uses a window row_number over sha2(content) so the *entire row* of the
+    keeper survives (a pure groupBy would lose the other columns). One
+    shuffle on the hash; at 100 TB the 256-bit key distributes evenly."""
+    order = F.asc(id_col) if keep == "min" else F.desc(id_col)
+    w = Window.partitionBy(F.sha2(F.col(content_col), 256)).orderBy(order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2: MinHash / LSH near-duplicate detection
+# ---------------------------------------------------------------------------
+
+# Permutation arithmetic stays under 2^62 (no int64 overflow):
+# h in [0, 2^31), coefficients in [0, 2^31), product < 2^62.
+_MERSENNE = (1 << 31) - 1
+
+
+def _token_array(text: Column, shingle_len: int) -> Column:
+    toks = F.split(text, " ")
+    if shingle_len <= 1:
+        return F.array_distinct(toks)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), n - F.lit(shingle_len))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(shingle_len)]
+            ),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = 128,
+    shingle_len: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-document MinHash signature as array<bigint> of length n_hashes.
+
+    Each permutation h_i(x) = (a_i * xxhash64(x) + b_i) mod p; the min
+    over the doc's shingle set approximates set identity. All arithmetic
+    happens in JVM expressions over the exploded-then-reaggregated
+    shingles - no Python UDF, fully codegen'd."""
+    import random
+
+    rng = random.Random(seed)
+    coefs = [(rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE)) for _ in range(n_hashes)]
+
+    shingles = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(_token_array(F.col(text_col), shingle_len)).alias("__sh"),
+    ).withColumn("__h", F.abs(F.xxhash64(F.col("__sh"))) % _MERSENNE)
+
+    mins = shingles.groupBy("__id").agg(
+        *[
+            F.min((F.col("__h") * F.lit(a) + F.lit(b)) % _MERSENNE).alias(f"mh_{i}")
+            for i, (a, b) in enumerate(coefs)
+        ]
+    )
+    return mins.select(
+        F.col("__id").alias(id_col),
+        F.array(*[F.col(f"mh_{i}") for i in range(n_hashes)]).alias("minhash"),
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str, n_bands: int = 32, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH banding: hash each band of the signature; docs sharing any band
+    bucket become candidate pairs. The band groupBy is the only shuffle;
+    bucket sizes stay small because a 4-row band at jaccard<0.5 rarely
+    collides (P(collide) = j^rows_per_band per band)."""
+    sig = F.col("minhash")
+    bands = []
+    for b in range(n_bands):
+        band = F.slice(sig, b * rows_per_band + 1, rows_per_band)
+        bands.append(F.struct(F.lit(b).alias("band"), F.hash(band).alias("bucket")))
+    exploded = signatures.select(
+        F.col(id_col).alias("__id"), F.explode(F.array(*bands)).alias("bb")
+    ).select("__id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a, b_ = exploded.alias("a"), exploded.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    n_hashes: int = 128,
+    n_bands: int = 32,
+    shingle_len: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Full MinHash+LSH near-dedup: signatures -> banded candidates ->
+    EXACT jaccard verification of candidates only.
+
+    Precision is exact (every output pair passes the true-jaccard filter);
+    recall depends on banding - with 32 bands x 4 rows, a 0.95-jaccard
+    pair is missed with probability (1-0.95^4)^32 ~= 3e-3. The quadratic
+    work of the exact verifier only runs on LSH survivors, which is what
+    makes this the 100 TB path (pytest asserts recall vs the exact
+    q41 oracle at fixture scale)."""
+    rows_per_band = n_hashes // n_bands
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_len, seed)
+    cands = lsh_candidate_pairs(sigs, id_col, n_bands, rows_per_band)
+
+    sets = df.select(
+        F.col(id_col).alias("__id"),
+        _token_array(F.col(text_col), shingle_len).alias("toks"),
+    )
+    verified = (
+        cands.join(sets.withColumnRenamed("__id", "id_a").withColumnRenamed("toks", "toks_a"), "id_a")
+        .join(sets.withColumnRenamed("__id", "id_b").withColumnRenamed("toks", "toks_b"), "id_b")
+        .withColumn("n_common", F.size(F.array_intersect("toks_a", "toks_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.size("toks_a") + F.size("toks_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("id_a", "id_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document: sign-sum of per-token hash bits.
+
+    Computed entirely with integer expressions: explode tokens, derive
+    each bit's +-1 contribution from xxhash64(token), sum per (doc, bit),
+    reassemble the fingerprint. Near-dup candidates are then rows whose
+    fingerprints differ in few bits (hamming distance via xor+popcount).
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("__tok"),
+    ).withColumn("__h", F.xxhash64("__tok"))
+    bit_cols = [
+        F.sum(
+            F.when(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    sums = toks.groupBy("__id").agg(*bit_cols)
+    fp = None
+    for b in range(bits):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, b)
+        fp = term if fp is None else fp.bitwiseOR(term)
+    return sums.select(F.col("__id").alias(id_col), fp.alias("simhash"))
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    """Popcount of xor - bit_count is a built-in (JVM, codegen)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_duplicates(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup: block on 16-bit fingerprint quadrants (a pair
+    within hamming<=3 of 64 bits must share at least one of 4 quadrants -
+    pigeonhole), then verify hamming distance within blocks."""
+    fps = simhash(df, text_col, id_col).cache()
+    quads = fps.select(
+        F.col(id_col).alias("__id"),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("q"),
+                        F.shiftright(F.col("simhash"), q * 16)
+                        .bitwiseAND(F.lit((1 << 16) - 1))
+                        .alias("quad"),
+                    )
+                    for q in range(4)
+                ]
+            )
+        ).alias("qq"),
+    ).select("__id", "simhash", F.col("qq.q").alias("q"), F.col("qq.quad").alias("quad"))
+    a, b = quads.alias("a"), quads.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.q") == F.col("b.q"))
+            & (F.col("a.quad") == F.col("b.quad"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            hamming_distance(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,431 @@
+"""Snapshot-based table format over Parquet, managed from Spark.
+
+The reference's storage substrate is PyIceberg: namespaced tables with a
+partition spec, atomic snapshot-commit appends, column-projected scans and
+snapshot expiry (``/root/reference/lakehouse_pipeline.py:275-284,303-318,
+373-394,232-270``). No Iceberg Spark runtime jar exists in this
+environment, so this module re-implements that lifecycle as a *minimal,
+Spark-native* table format with the same semantics:
+
+- **Metadata**: versioned JSON snapshots under ``<table>/metadata/``;
+  each snapshot carries the schema, the partition spec, and a manifest of
+  data files with per-file stats (row count, per-column min/max).
+- **Commit protocol**: write ``v<N>.json`` with ``O_CREAT|O_EXCL`` -
+  creation either succeeds or the version is taken (optimistic
+  concurrency, like Iceberg's); a ``version-hint.text`` is updated via
+  atomic rename for fast current-version lookup.
+- **Data**: zstd Parquet written by Spark executors; file-level pruning
+  uses manifest stats (partition values + min/max) before Spark ever
+  lists a file - the engine-side analogue of Iceberg's hidden
+  partitioning + file skipping.
+- **Scale**: manifests store only per-file metadata (KBs per thousand
+  files); data moves exclusively through Spark jobs. On a 1000-executor
+  cluster the driver handles metadata exactly as PyIceberg's client does,
+  while reads/writes stay distributed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+# ---------------------------------------------------------------------------
+# Partition transforms (reference: YearTransform at lakehouse_pipeline.py:373-382)
+# ---------------------------------------------------------------------------
+
+TRANSFORMS = ("identity", "years", "months", "days", "bucket")
+
+
+@dataclass(frozen=True)
+class PartitionField:
+    source: str
+    transform: str = "identity"
+    name: str | None = None
+    n_buckets: int | None = None  # for bucket transform
+
+    @property
+    def field_name(self) -> str:
+        if self.name:
+            return self.name
+        if self.transform == "identity":
+            return self.source
+        return f"{self.source}_{self.transform.rstrip('s')}"
+
+    def column(self) -> F.Column:
+        c = F.col(self.source)
+        if self.transform == "identity":
+            return c
+        if self.transform == "years":
+            return F.year(c)
+        if self.transform == "months":
+            return F.year(c) * 100 + F.month(c)
+        if self.transform == "days":
+            return F.date_format(c, "yyyy-MM-dd")
+        if self.transform == "bucket":
+            return F.pmod(F.hash(c), F.lit(self.n_buckets or 16))
+        raise ValueError(f"unknown transform {self.transform}")
+
+    def to_json(self) -> dict[str, Any]:
+        return {
+            "source": self.source,
+            "transform": self.transform,
+            "name": self.field_name,
+            "n_buckets": self.n_buckets,
+        }
+
+    @staticmethod
+    def from_json(d: dict[str, Any]) -> "PartitionField":
+        return PartitionField(
+            source=d["source"],
+            transform=d["transform"],
+            name=d.get("name"),
+            n_buckets=d.get("n_buckets"),
+        )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot metadata
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: str
+    version: int
+    timestamp_ms: int
+    operation: str  # append | replace | delete | create
+    parent_id: str | None
+    schema_json: dict[str, Any]
+    partition_spec: list[PartitionField]
+    manifest: list[dict[str, Any]]  # per data file: path, rows, stats, partition
+    summary: dict[str, Any] = field(default_factory=dict)
+
+    def to_json(self) -> dict[str, Any]:
+        return {
+            "snapshot_id": self.snapshot_id,
+            "version": self.version,
+            "timestamp_ms": self.timestamp_ms,
+            "operation": self.operation,
+            "parent_id": self.parent_id,
+            "schema": self.schema_json,
+            "partition_spec": [p.to_json() for p in self.partition_spec],
+            "manifest": self.manifest,
+            "summary": self.summary,
+        }
+
+    @staticmethod
+    def from_json(d: dict[str, Any]) -> "Snapshot":
+        return Snapshot(
+            snapshot_id=d["snapshot_id"],
+            version=d["version"],
+            timestamp_ms=d["timestamp_ms"],
+            operation=d["operation"],
+            parent_id=d.get("parent_id"),
+            schema_json=d["schema"],
+            partition_spec=[PartitionField.from_json(p) for p in d["partition_spec"]],
+            manifest=d["manifest"],
+            summary=d.get("summary", {}),
+        )
+
+    @property
+    def total_rows(self) -> int:
+        return sum(f.get("rows", 0) for f in self.manifest)
+
+
+class CommitConflict(Exception):
+    """Another writer committed the version first; caller should retry."""
+
+
+# ---------------------------------------------------------------------------
+# Table
+# ---------------------------------------------------------------------------
+
+
+class LakehouseTable:
+    """Handle to one table directory; all mutation goes through snapshot
+    commits. Mirrors the PyIceberg ``Table`` surface the reference uses:
+    ``append``, ``scan(selected_fields=...)``, snapshot listing, expiry.
+    """
+
+    def __init__(self, spark: SparkSession, location: str):
+        self.spark = spark
+        self.location = os.path.abspath(location)
+        self.metadata_dir = os.path.join(self.location, "metadata")
+        self.data_dir = os.path.join(self.location, "data")
+
+    # -- metadata plumbing --------------------------------------------------
+
+    def _version_path(self, v: int) -> str:
+        return os.path.join(self.metadata_dir, f"v{v}.json")
+
+    def current_version(self) -> int:
+        """Highest committed version. The hint file is a fast path; the
+        directory listing is authoritative (hint update is not part of the
+        atomic commit)."""
+        hint = os.path.join(self.metadata_dir, "version-hint.text")
+        v = 0
+        if os.path.exists(hint):
+            try:
+                v = int(open(hint).read().strip())
+            except ValueError:
+                v = 0
+        while os.path.exists(self._version_path(v + 1)):
+            v += 1
+        if v == 0 and not os.path.exists(self._version_path(0)):
+            raise FileNotFoundError(f"no table at {self.location}")
+        return v
+
+    def snapshot(self, version: int | None = None) -> Snapshot:
+        v = self.current_version() if version is None else version
+        with open(self._version_path(v)) as f:
+            return Snapshot.from_json(json.load(f))
+
+    def snapshots(self) -> list[Snapshot]:
+        """All retained snapshots, oldest first (M1 snapshot listing,
+        reference ``lakehouse_pipeline.py:234-235``)."""
+        out = []
+        for name in sorted(os.listdir(self.metadata_dir)):
+            if name.startswith("v") and name.endswith(".json"):
+                with open(os.path.join(self.metadata_dir, name)) as f:
+                    out.append(Snapshot.from_json(json.load(f)))
+        out.sort(key=lambda s: s.version)
+        return out
+
+    def snapshot_as_of(self, timestamp_ms: int) -> Snapshot:
+        """Time travel: latest snapshot committed at or before the instant."""
+        eligible = [s for s in self.snapshots() if s.timestamp_ms <= timestamp_ms]
+        if not eligible:
+            raise ValueError(f"no snapshot at or before {timestamp_ms}")
+        return eligible[-1]
+
+    def _commit(self, snap: Snapshot) -> None:
+        """O_CREAT|O_EXCL commit: exactly one writer wins each version."""
+        os.makedirs(self.metadata_dir, exist_ok=True)
+        path = self._version_path(snap.version)
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError as e:
+            raise CommitConflict(f"version {snap.version} already committed") from e
+        with os.fdopen(fd, "w") as f:
+            json.dump(snap.to_json(), f)
+        tmp = os.path.join(self.metadata_dir, f".hint.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(str(snap.version))
+        os.replace(tmp, os.path.join(self.metadata_dir, "version-hint.text"))
+
+    # -- schema -------------------------------------------------------------
+
+    @property
+    def schema(self) -> StructType:
+        return StructType.fromJson(self.snapshot().schema_json)
+
+    @property
+    def partition_spec(self) -> list[PartitionField]:
+        return self.snapshot().partition_spec
+
+    # -- write path ---------------------------------------------------------
+
+    def _write_files(self, df: DataFrame, spec: list[PartitionField]) -> list[dict]:
+        """Write a DataFrame as parquet data files + collect per-file
+        manifest entries (rows, per-column min/max, partition values).
+
+        The data write is a distributed Spark job; stats collection reads
+        only parquet footers (driver-side, metadata-only - same division
+        of labor as an Iceberg commit)."""
+        import pyarrow.parquet as pq
+
+        batch_dir = os.path.join(self.data_dir, uuid.uuid4().hex[:12])
+        out = df
+        part_cols = []
+        for p in spec:
+            pname = f"_p_{p.field_name}"
+            out = out.withColumn(pname, p.column())
+            part_cols.append(pname)
+        writer = out.write.mode("append")
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        writer.parquet(batch_dir)
+
+        entries: list[dict] = []
+        stat_cols = {f.name for f in df.schema.fields}
+        for root, _dirs, files in os.walk(batch_dir):
+            # partition values encoded in the directory path by Spark
+            rel = os.path.relpath(root, batch_dir)
+            pvals: dict[str, Any] = {}
+            if rel != ".":
+                for seg in rel.split(os.sep):
+                    if "=" in seg:
+                        k, v = seg.split("=", 1)
+                        pvals[k.removeprefix("_p_")] = v
+            for fn in files:
+                if not fn.endswith(".parquet"):
+                    continue
+                fpath = os.path.join(root, fn)
+                meta = pq.ParquetFile(fpath)
+                stats: dict[str, Any] = {}
+                fmeta = meta.metadata
+                for rg in range(fmeta.num_row_groups):
+                    for ci in range(fmeta.num_columns):
+                        col = fmeta.row_group(rg).column(ci)
+                        name = col.path_in_schema
+                        if name not in stat_cols or col.statistics is None:
+                            continue
+                        st = col.statistics
+                        if not st.has_min_max:
+                            continue
+                        mn, mx = _stat_val(st.min), _stat_val(st.max)
+                        if name in stats:
+                            stats[name] = [
+                                min(stats[name][0], mn),
+                                max(stats[name][1], mx),
+                            ]
+                        else:
+                            stats[name] = [mn, mx]
+                entries.append(
+                    {
+                        "path": os.path.relpath(fpath, self.location),
+                        "rows": fmeta.num_rows,
+                        "bytes": os.path.getsize(fpath),
+                        "partition": pvals,
+                        "stats": stats,
+                    }
+                )
+        return entries
+
+    def append(self, df: DataFrame, max_retries: int = 5) -> Snapshot:
+        """Append rows as a new snapshot (S5, reference
+        ``lakehouse_pipeline.py:394``). Retries on commit conflict -
+        appends are commutative, so the manifest is rebased and retried
+        like Iceberg's optimistic protocol."""
+        spec = self.partition_spec
+        new_files = self._write_files(df, spec)
+        for _ in range(max_retries):
+            cur = self.snapshot()
+            snap = Snapshot(
+                snapshot_id=uuid.uuid4().hex,
+                version=cur.version + 1,
+                timestamp_ms=int(time.time() * 1000),
+                operation="append",
+                parent_id=cur.snapshot_id,
+                schema_json=cur.schema_json,
+                partition_spec=spec,
+                manifest=cur.manifest + new_files,
+                summary={
+                    "added_files": len(new_files),
+                    "added_rows": sum(f["rows"] for f in new_files),
+                },
+            )
+            try:
+                self._commit(snap)
+                return snap
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"append to {self.location} failed after retries")
+
+    def overwrite_manifest(
+        self, manifest: list[dict], operation: str, summary: dict | None = None
+    ) -> Snapshot:
+        """Replace the file set wholesale (compaction / rewrite)."""
+        cur = self.snapshot()
+        snap = Snapshot(
+            snapshot_id=uuid.uuid4().hex,
+            version=cur.version + 1,
+            timestamp_ms=int(time.time() * 1000),
+            operation=operation,
+            parent_id=cur.snapshot_id,
+            schema_json=cur.schema_json,
+            partition_spec=cur.partition_spec,
+            manifest=manifest,
+            summary=summary or {},
+        )
+        self._commit(snap)
+        return snap
+
+    # -- read path ----------------------------------------------------------
+
+    def scan(
+        self,
+        selected_fields: list[str] | None = None,
+        snapshot: Snapshot | None = None,
+        file_filter=None,
+    ) -> DataFrame:
+        """Read the table at a snapshot with engine-side file pruning.
+
+        ``file_filter(entry) -> bool`` prunes manifest entries *before*
+        Spark lists anything (partition values + min/max stats); Catalyst
+        then pushes column pruning / predicates into the surviving files.
+        Reference parity: the ``selected_fields=("DateTime",)`` projected
+        scan of dedup (``lakehouse_pipeline.py:206-208``)."""
+        snap = snapshot or self.snapshot()
+        entries = snap.manifest
+        if file_filter is not None:
+            entries = [e for e in entries if file_filter(e)]
+        schema = StructType.fromJson(snap.schema_json)
+        if not entries:
+            df = self.spark.createDataFrame([], schema)
+        else:
+            paths = [os.path.join(self.location, e["path"]) for e in entries]
+            df = self.spark.read.schema(schema).parquet(*paths)
+        if selected_fields:
+            df = df.select(*selected_fields)
+        return df
+
+    def to_df(self) -> DataFrame:
+        return self.scan()
+
+    # -- maintenance hooks (driven by maintenance.py) ------------------------
+
+    def referenced_files(self) -> set[str]:
+        refs: set[str] = set()
+        for s in self.snapshots():
+            refs.update(e["path"] for e in s.manifest)
+        return refs
+
+    def delete_metadata_version(self, version: int) -> None:
+        os.remove(self._version_path(version))
+
+
+def _stat_val(v: Any) -> Any:
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8", "replace")
+        except Exception:
+            return str(v)
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=timezone.utc).isoformat()
+    return v
+
+
+def year_prune(column: str, year_min: int | None = None, year_max: int | None = None):
+    """File filter for a ``years(column)`` partitioned table: keeps files
+    whose partition year (or min/max stats) overlap [year_min, year_max].
+    This is the engine-side analogue of Iceberg hidden-partition pruning."""
+
+    def keep(entry: dict) -> bool:
+        y = entry.get("partition", {}).get(f"{column}_year")
+        if y is not None:
+            y = int(y)
+            if year_min is not None and y < year_min:
+                return False
+            if year_max is not None and y > year_max:
+                return False
+            return True
+        stats = entry.get("stats", {}).get(column)
+        if stats:
+            mn, mx = stats
+            if year_min is not None and str(mx) < str(year_min):
+                return False
+            if year_max is not None and str(mn) > str(year_max + 1):
+                return False
+        return True
+
+    return keep

@@ -1,0 +1,179 @@
+"""Lakehouse table format: create / append / scan / time-travel /
+expire / compact / concurrent-commit semantics."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from apache_iceberg_pyiceberg_local_data_lakehouse_spark.catalog import (
+    LakehouseCatalog,
+    NoSuchTableError,
+)
+from apache_iceberg_pyiceberg_local_data_lakehouse_spark.maintenance import (
+    compact,
+    expire_snapshots,
+)
+from apache_iceberg_pyiceberg_local_data_lakehouse_spark.table import (
+    CommitConflict,
+    PartitionField,
+    Snapshot,
+    year_prune,
+)
+
+TICK_SCHEMA = StructType(
+    [
+        StructField("DateTime", TimestampType()),
+        StructField("Bid", DoubleType()),
+        StructField("Ask", DoubleType()),
+    ]
+)
+
+
+def tick_df(spark, start="2024-01-01 00:00:00", n=10, year=None):
+    base = f"{year}-01-01 00:00:00" if year else start
+    return spark.range(n).select(
+        (F.to_timestamp(F.lit(base)) + F.make_interval(secs=F.col("id"))).alias(
+            "DateTime"
+        ),
+        (F.lit(1.1) + F.col("id") * 0.001).alias("Bid"),
+        (F.lit(1.2) + F.col("id") * 0.001).alias("Ask"),
+    )
+
+
+@pytest.fixture
+def catalog(spark, tmp_path):
+    return LakehouseCatalog(spark, str(tmp_path / "warehouse"))
+
+
+def test_create_and_load(catalog):
+    catalog.create_namespace("gold")
+    t = catalog.create_table(
+        "gold.eurusd",
+        TICK_SCHEMA,
+        [PartitionField("DateTime", "years", "DateTime_year")],
+    )
+    assert t.snapshot().operation == "create"
+    assert t.snapshot().total_rows == 0
+    assert catalog.load_table("gold.eurusd").schema == TICK_SCHEMA
+    assert catalog.list_tables("gold") == ["gold.eurusd"]
+    with pytest.raises(NoSuchTableError):
+        catalog.load_table("gold.nope")
+
+
+def test_append_and_scan(catalog, spark):
+    t = catalog.create_table("gold.t1", TICK_SCHEMA, [])
+    t.append(tick_df(spark, n=10))
+    t.append(tick_df(spark, start="2024-02-01 00:00:00", n=5))
+    assert t.snapshot().total_rows == 15
+    assert t.to_df().count() == 15
+    # projected scan (S4): only one column materializes
+    assert t.scan(selected_fields=["DateTime"]).columns == ["DateTime"]
+
+
+def test_empty_scan_schema(catalog):
+    t = catalog.create_table("gold.empty", TICK_SCHEMA, [])
+    df = t.to_df()
+    assert df.count() == 0
+    assert df.schema == TICK_SCHEMA
+
+
+def test_partitioned_write_and_prune(catalog, spark):
+    t = catalog.create_table(
+        "gold.part",
+        TICK_SCHEMA,
+        [PartitionField("DateTime", "years", "DateTime_year")],
+    )
+    t.append(tick_df(spark, year=2023, n=100))
+    t.append(tick_df(spark, year=2024, n=50))
+    snap = t.snapshot()
+    years = {e["partition"].get("DateTime_year") for e in snap.manifest}
+    assert years == {"2023", "2024"}
+    # file-level pruning: only 2024 files survive the filter
+    pruned = t.scan(file_filter=year_prune("DateTime", year_min=2024))
+    assert pruned.count() == 50
+
+
+def test_time_travel(catalog, spark):
+    t = catalog.create_table("gold.tt", TICK_SCHEMA, [])
+    t.append(tick_df(spark, n=10))
+    v1 = t.current_version()
+    ts_after_v1 = int(time.time() * 1000)
+    time.sleep(0.01)
+    t.append(tick_df(spark, start="2025-01-01 00:00:00", n=7))
+    assert t.to_df().count() == 17
+    assert t.scan(snapshot=t.snapshot(v1)).count() == 10
+    assert t.snapshot_as_of(ts_after_v1).version == v1
+
+
+def test_commit_conflict_is_atomic(catalog, spark):
+    t = catalog.create_table("gold.cc", TICK_SCHEMA, [])
+    snap = t.snapshot()
+    clone = Snapshot.from_json(snap.to_json())
+    clone.version = snap.version + 1
+    clone.snapshot_id = "a" * 32
+    t._commit(clone)
+    dup = Snapshot.from_json(snap.to_json())
+    dup.version = snap.version + 1
+    dup.snapshot_id = "b" * 32
+    with pytest.raises(CommitConflict):
+        t._commit(dup)
+    # append retries past the conflict window: two sequential appends from
+    # two handles both land
+    t2 = catalog.load_table("gold.cc")
+    t.append(tick_df(spark, n=3))
+    t2.append(tick_df(spark, start="2030-01-01 00:00:00", n=4))
+    assert catalog.load_table("gold.cc").to_df().count() == 7
+
+
+def test_expire_snapshots_floor(catalog, spark):
+    t = catalog.create_table("gold.exp", TICK_SCHEMA, [])
+    for i in range(5):
+        t.append(tick_df(spark, start=f"202{i}-01-01 00:00:00", n=3))
+    assert len(t.snapshots()) == 6  # create + 5 appends
+    # everything "old": retain floor must still keep 2 + current
+    res = expire_snapshots(
+        t, older_than_ms=int(time.time() * 1000) + 10_000, retain_last=2
+    )
+    remaining = t.snapshots()
+    assert len(remaining) >= 2
+    assert t.current_version() == max(s.version for s in remaining)
+    assert res["expired_snapshots"] > 0
+    # data still fully readable after expiry + orphan GC
+    assert t.to_df().count() == 15
+
+
+def test_compact_small_files(catalog, spark):
+    t = catalog.create_table("gold.comp", TICK_SCHEMA, [])
+    for i in range(6):
+        t.append(tick_df(spark, start=f"2024-0{i+1}-01 00:00:00", n=20).coalesce(1))
+    before = len(t.snapshot().manifest)
+    assert before >= 6
+    snap = compact(t, target_file_bytes=1024 * 1024)
+    assert snap is not None and snap.operation == "replace"
+    after = len(t.snapshot().manifest)
+    assert after < before
+    assert t.to_df().count() == 120
+    # old files are GC'd only after snapshot expiry
+    expire_snapshots(t, older_than_ms=int(time.time() * 1000) + 10_000, retain_last=1)
+    assert t.to_df().count() == 120
+
+
+def test_manifest_stats_recorded(catalog, spark):
+    t = catalog.create_table("gold.stats", TICK_SCHEMA, [])
+    t.append(tick_df(spark, n=50))
+    entry = t.snapshot().manifest[0]
+    assert entry["rows"] > 0
+    assert entry["bytes"] > 0
+    assert "Bid" in entry["stats"]
+    lo, hi = entry["stats"]["Bid"]
+    assert lo <= hi
