@@ -1,0 +1,156 @@
+"""Similarity search over embedding columns (SURVEY.md X3).
+
+Two tiers, per the north star:
+- ``knn_bruteforce``: exact cosine top-k - broadcast the query set,
+  score every (query, corpus) pair with JVM array expressions, window
+  top-k. O(|Q|·|C|) but embarrassingly parallel; the correctness oracle.
+- ``knn_lsh``: random-hyperplane LSH - bucket corpus + queries by
+  sign-bit sketches, score only within matching buckets (multi-probe via
+  several independent sketch tables). Approximate; recall is tunable with
+  (n_tables, n_bits) and pytest-asserted against brute force.
+
+At 100 TB the corpus side stays partitioned (never collected); the only
+shuffle is the bucket join on sketch value. A real deployment would add
+an IVF variant (k-means centroids) - the bucket-join skeleton is the
+same, so the LSH path is the architectural template.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k: returns (query_id, neighbor_id, sim, rank)."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    pairs = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("qv"), F.col("cv")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _sketch(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit sketch: one bit per hyperplane, packed into a long."""
+    bits = None
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        d = dot(vec, p)
+        bit = F.when(d >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        bits = term if bits is None else bits.bitwiseOR(term)
+    return bits
+
+
+def knn_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_tables: int = 24,
+    n_bits: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH.
+
+    Each of ``n_tables`` sketch tables buckets vectors by an ``n_bits``
+    sign sketch; candidates = corpus rows sharing a bucket with the query
+    in ANY table. Exact cosine re-ranks candidates. P(candidate | angle
+    theta) = 1-(1-(1-theta/pi)^n_bits)^n_tables.
+
+    Parameter note: defaults are tuned for WEAK similarity structure
+    (fixture top-5 neighbors sit at cosine ~0.3, i.e. theta~70deg, where
+    a sign bit agrees only 61% of the time - measured). Real embedding
+    corpora cluster much tighter (neighbors at cosine 0.8+), where fewer
+    tables with more bits give higher recall at lower cost; scale n_bits
+    up with corpus size to keep bucket occupancy ~O(100)."""
+    import random
+
+    rng = random.Random(seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+
+    tables = []
+    for t in range(n_tables):
+        planes = [
+            [rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_bits)
+        ]
+        tables.append(
+            F.struct(
+                F.lit(t).alias("t"),
+                _sketch(F.col("cv"), planes).alias("bucket"),
+            )
+        )
+    c_buckets = c.select(
+        "neighbor_id",
+        "cv",
+        F.explode(F.array(*tables)).alias("tb"),
+    ).select("neighbor_id", "cv", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+
+    q_tables = []
+    rng = random.Random(seed)  # same planes for queries
+    for t in range(n_tables):
+        planes = [
+            [rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_bits)
+        ]
+        q_tables.append(
+            F.struct(
+                F.lit(t).alias("t"),
+                _sketch(F.col("qv"), planes).alias("bucket"),
+            )
+        )
+    q_buckets = q.select(
+        "query_id", "qv", F.explode(F.array(*q_tables)).alias("tb")
+    ).select("query_id", "qv", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+
+    cands = (
+        c_buckets.join(q_buckets, on=["t", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "qv", "neighbor_id", "cv")
+        .distinct()
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("qv"), F.col("cv")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

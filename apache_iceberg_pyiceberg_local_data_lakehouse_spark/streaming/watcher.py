@@ -1,0 +1,205 @@
+"""Incremental ingest: the reference's scheduler re-expressed on
+Structured Streaming (SURVEY.md §2.7 ST1-ST6).
+
+Reference (``/root/reference/lakehouse_scheduler.py``):
+- ST1 folder watcher: 30 s mtime-poll loop (``:25,34-58,93-113``)
+- ST2 exactly-once per file via md5 ledger (``lakehouse_pipeline.py:350-357``)
+- ST3 daily 02:00 UTC scheduled run (``:26-27,64-78,116-135``)
+- ST4 single-flight lock (``:149,156-174``)
+- ST5 error backoff (``:111-113,133-135``)
+- ST6 CLI modes --now/--watch/--schedule/all (``:194-211``)
+
+Spark mapping: the file *source* is both the trigger and the ledger -
+``readStream`` discovers new files, the checkpoint guarantees
+exactly-once per path, and ``foreachBatch`` runs the SAME batch ingest
+(normalize -> QC -> dedup -> append) per micro-batch. State lives in the
+table + checkpoint, never in executor memory, so a restart needs no
+recovery and late data appends whenever it arrives (the reference's
+storage-is-state design, kept deliberately - SURVEY.md §2.7).
+
+The mtime-diff ``FolderWatcher`` is also provided for exact reference
+parity (Spark's file source ignores *modified* files; the md5-ledger
+pipeline run it triggers handles content changes - the reference's own
+two-level design: cheap trigger, exact ledger).
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from datetime import datetime, timezone
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+from pyspark.sql.types import StructType
+
+from ..ingest import IngestPipeline
+
+WATCH_INTERVAL_SECS = 30  # lakehouse_scheduler.py:25
+SCHEDULE_HOUR_UTC = 2  # lakehouse_scheduler.py:26-27
+
+
+# ---------------------------------------------------------------------------
+# ST1 (Structured Streaming form): per-symbol streaming ingest
+# ---------------------------------------------------------------------------
+
+
+def stream_symbol(
+    pipeline: IngestPipeline,
+    symbol_dir: str,
+    schema: StructType,
+    checkpoint_dir: str,
+    trigger_secs: int = WATCH_INTERVAL_SECS,
+    available_now: bool = False,
+):
+    """Streaming ingest of one symbol folder into its gold table.
+
+    ``readStream`` + checkpoint = ST1 trigger + ST2 per-path exactly-once,
+    natively. Each micro-batch reuses the batch pipeline operators, so
+    batch and streaming share one code path (and one set of tests).
+    Returns the StreamingQuery handle."""
+    spark = pipeline.spark
+    symbol = Path(symbol_dir).name.lower()
+    table_id = f"{pipeline.namespace}.{symbol}"
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 64)
+        .parquet(symbol_dir)
+    )
+
+    def ingest_batch(batch_df, batch_id: int):
+        from ..functions.normalize import normalize
+        from ..functions.quality import check_quality
+        from ..operators.dedup import dedup_against_table
+        from ..table import PartitionField
+
+        if batch_df.isEmpty():
+            return
+        df = normalize(batch_df)
+        report = check_quality(df)
+        if not report.ok:
+            return  # rejected batches never commit (QC gate)
+        spec = (
+            [PartitionField("DateTime", "years", "DateTime_year")]
+            if "DateTime" in df.columns
+            else []
+        )
+        table = pipeline.catalog.ensure_table(table_id, df.schema, spec)
+        clean = dedup_against_table(df, table, key="DateTime")
+        if clean.count() > 0:
+            table.append(clean)
+
+    writer = (
+        stream.writeStream.foreachBatch(ingest_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_secs} seconds")
+    return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# ST1 (reference-parity form): mtime-diff poll watcher
+# ---------------------------------------------------------------------------
+
+
+class FolderWatcher:
+    """mtime-snapshot diff over ``**/*.parquet``
+    (reference ``FolderWatcher``, ``lakehouse_scheduler.py:34-58``)."""
+
+    def __init__(self, root: str):
+        self.root = Path(root)
+        self._snapshot = self._take()
+
+    def _take(self) -> dict[str, float]:
+        if not self.root.is_dir():
+            return {}
+        return {
+            str(p): p.stat().st_mtime for p in self.root.rglob("*.parquet")
+        }
+
+    def has_changes(self) -> bool:
+        cur = self._take()
+        changed = cur != self._snapshot
+        self._snapshot = cur
+        return changed
+
+
+class Scheduler:
+    """Daily >=24h + fixed-hour gate (reference ``Scheduler``,
+    ``lakehouse_scheduler.py:64-78``). Reference quirk preserved:
+    ``last_run is None`` -> not due, so schedule-only mode never fires
+    until something marks a run (``:71-72``; SURVEY.md ST3)."""
+
+    def __init__(self, hour_utc: int = SCHEDULE_HOUR_UTC):
+        self.hour_utc = hour_utc
+        self.last_run: float | None = None
+
+    def should_run(self) -> bool:
+        if self.last_run is None:
+            return False
+        now = datetime.now(tz=timezone.utc)
+        return (time.time() - self.last_run) >= 86400 and now.hour == self.hour_utc
+
+    def mark_ran(self) -> None:
+        self.last_run = time.time()
+
+
+def run_production(
+    pipeline: IngestPipeline,
+    source_root: str,
+    watch_interval: int = WATCH_INTERVAL_SECS,
+    schedule_hour_utc: int = SCHEDULE_HOUR_UTC,
+    max_cycles: int | None = None,
+    error_backoff: int = 60,
+):
+    """Production mode: watcher + scheduler threads serialized by one lock
+    (reference ``mode_all``, ``lakehouse_scheduler.py:138-188``).
+    ``max_cycles`` bounds the loops for tests; None = run forever."""
+    watcher = FolderWatcher(source_root)
+    scheduler = Scheduler(schedule_hour_utc)
+    lock = threading.Lock()
+    stop = threading.Event()
+
+    def watch_loop():
+        cycles = 0
+        while not stop.is_set():
+            try:
+                if watcher.has_changes():
+                    with lock:  # ST4 single-flight
+                        pipeline.run(source_root)
+                        scheduler.mark_ran()
+            except Exception:
+                time.sleep(error_backoff)  # ST5
+            cycles += 1
+            if max_cycles and cycles >= max_cycles:
+                return
+            stop.wait(watch_interval)
+
+    def schedule_loop():
+        cycles = 0
+        while not stop.is_set():
+            try:
+                if scheduler.should_run():
+                    with lock:
+                        pipeline.run(source_root)
+                        scheduler.mark_ran()
+            except Exception:
+                time.sleep(error_backoff * 5)
+            cycles += 1
+            if max_cycles and cycles >= max_cycles:
+                return
+            stop.wait(60)
+
+    threads = [
+        threading.Thread(target=watch_loop, name="watcher", daemon=True),
+        threading.Thread(target=schedule_loop, name="scheduler", daemon=True),
+    ]
+    for t in threads:
+        t.start()
+    return stop, threads

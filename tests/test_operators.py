@@ -1,0 +1,171 @@
+"""Operator-layer tests: dedup family (X1/X2), similarity search (X3),
+multimodal plumbing (X5), file sources, plan quality."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.dedup import (
+    dedup_intra_batch,
+    exact_dedup,
+    minhash_near_duplicates,
+    simhash,
+    simhash_near_duplicates,
+)
+from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.multimodal import (
+    attach_binary,
+    decode_binary_metadata,
+    frame_sample_plan,
+)
+from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.similarity import (
+    knn_bruteforce,
+    knn_lsh,
+)
+from apache_iceberg_pyiceberg_local_data_lakehouse_spark.queries import QUERIES
+from apache_iceberg_pyiceberg_local_data_lakehouse_spark.sources.files import (
+    file_checksums,
+    list_symbol_dirs,
+    read_parquet_recursive,
+)
+
+
+# --- X1 exact dedup ---------------------------------------------------------
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "aaa"), (5, "ccc")],
+        "doc_id long, text string",
+    )
+    out = exact_dedup(df, "text", "doc_id")
+    kept = {r["doc_id"] for r in out.collect()}
+    assert kept == {1, 2, 5}
+    # full rows survive, not just keys
+    assert set(out.columns) == {"doc_id", "text"}
+
+
+def test_intra_batch_dedup_strict_mode(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (2, "y")], "k long, v string"
+    )
+    assert dedup_intra_batch(df, ["k"]).count() == 2
+
+
+# --- X2 MinHash/LSH vs exact jaccard ---------------------------------------
+
+
+def test_minhash_matches_exact_jaccard(spark, sf_small):
+    """Precision must be exact (verified pairs) and recall ~1 at the
+    fixture scale vs the exact q41 result."""
+    d = spark.read.parquet(f"{sf_small}/documents.parquet")
+    approx = minhash_near_duplicates(d, "text", "doc_id", threshold=0.95)
+    approx_pairs = {(r["id_a"], r["id_b"]) for r in approx.collect()}
+
+    exact = QUERIES["q41_dedup_token_jaccard"](spark, sf_small)
+    exact_pairs = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+
+    assert approx_pairs <= exact_pairs, "minhash produced a false positive"
+    if exact_pairs:
+        recall = len(approx_pairs) / len(exact_pairs)
+        assert recall >= 0.9, f"minhash recall too low: {recall:.3f}"
+
+
+def test_simhash_deterministic_and_near_dup(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # 1 token differs
+        (3, "completely different content about spark engines and tables"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp1 = {r["doc_id"]: r["simhash"] for r in simhash(df, "text", "doc_id").collect()}
+    fp2 = {r["doc_id"]: r["simhash"] for r in simhash(df, "text", "doc_id").collect()}
+    assert fp1 == fp2  # deterministic
+    pairs = simhash_near_duplicates(df, "text", "doc_id", max_hamming=16).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in found
+    assert (1, 3) not in found
+
+
+# --- X3 similarity search ---------------------------------------------------
+
+
+def test_knn_bruteforce_self_consistent(spark, sf_small):
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    out = knn_bruteforce(emb, q, k=3)
+    rows = out.collect()
+    assert len(rows) == 15  # 5 queries x 3
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, nbrs in by_q.items():
+        sims = [r["sim"] for r in sorted(nbrs, key=lambda r: r["rank"])]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r["neighbor_id"] != qid for r in nbrs)
+
+
+def test_knn_lsh_recall_vs_bruteforce(spark, sf_small):
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = knn_bruteforce(emb, q, k=5)
+    approx = knn_lsh(emb, q, dim=64, k=5)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # fixture neighbors sit at cosine ~0.3 (near-orthogonal synthetic
+    # data) - the hardest possible regime for sign-LSH; clustered real
+    # embeddings recall far higher at the same params
+    assert recall >= 0.55, f"LSH recall too low: {recall:.2f}"
+
+
+# --- X5 multimodal plumbing -------------------------------------------------
+
+
+def test_decode_binary_metadata_plumbing(spark, sf_small):
+    d = spark.read.parquet(f"{sf_small}/documents.parquet").limit(50)
+    binary = attach_binary(d)
+    out = decode_binary_metadata(binary, id_col="doc_id")
+    rows = out.collect()
+    assert len(rows) == 50
+    r0 = rows[0]
+    assert r0["n_bytes"] > 0
+    assert 1 <= r0["width"] <= 1920
+    assert len(r0["feature_hash"]) == 16
+    # deterministic fake: same input -> same output
+    rows2 = decode_binary_metadata(binary, id_col="doc_id").collect()
+    assert {r["feature_hash"] for r in rows} == {r["feature_hash"] for r in rows2}
+
+
+def test_decode_real_codec_is_stubbed(spark, sf_small):
+    d = spark.read.parquet(f"{sf_small}/documents.parquet").limit(2)
+    binary = attach_binary(d)
+    out = decode_binary_metadata(binary, id_col="doc_id", use_real_codec=True)
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        out.collect()
+
+
+def test_frame_sample_plan(spark, sf_small):
+    d = spark.read.parquet(f"{sf_small}/documents.parquet").limit(10)
+    binary = attach_binary(d)
+    out = frame_sample_plan(binary, every_n=1)
+    assert out.columns == ["doc_id", "frame_index"]
+    assert out.count() >= 10
+
+
+# --- sources ---------------------------------------------------------------
+
+
+def test_recursive_parquet_and_checksums(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    (tmp_path / "sym" / "deep").mkdir(parents=True)
+    t = pa.table({"x": [1, 2, 3]})
+    pq.write_table(t, tmp_path / "sym" / "a.parquet")
+    pq.write_table(t, tmp_path / "sym" / "deep" / "b.parquet")
+    df = read_parquet_recursive(spark, str(tmp_path / "sym"))
+    assert df.count() == 6
+    assert list_symbol_dirs(str(tmp_path)) == [str(tmp_path / "sym")]
+    sums = file_checksums(spark, str(tmp_path / "sym" / "*.parquet")).collect()
+    assert len(sums) == 1 and len(sums[0]["checksum"]) == 32

@@ -1,0 +1,79 @@
+"""Plan-quality assertions (SURVEY.md §4): Catalyst must push filters to
+the parquet scans, prune columns, and broadcast dimension tables. These
+pin the *shape* of the physical plan so a regression that silently
+de-optimizes a query fails CI, not the 100 TB run."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from apache_iceberg_pyiceberg_local_data_lakehouse_spark.plans.explain import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    assert_pushed_filter,
+    assert_reads_only_columns,
+    codegen_stage_count,
+    formatted_plan,
+)
+from apache_iceberg_pyiceberg_local_data_lakehouse_spark.queries import QUERIES
+
+
+def test_q06_filters_pushed_to_scan(spark, sf_small):
+    df = QUERIES["q06_forecast_revenue"](spark, sf_small)
+    assert_pushed_filter(df, "l_shipdate")
+    # only the 4 referenced columns are read from a 11-column table
+    assert_reads_only_columns(
+        df, {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+    )
+
+
+def test_q01_column_pruning(spark, sf_small):
+    df = QUERIES["q01_pricing_summary"](spark, sf_small)
+    assert_reads_only_columns(
+        df,
+        {
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_shipdate",
+        },
+    )
+
+
+def test_q05_broadcasts_dimensions(spark, sf_small):
+    df = QUERIES["q05_region_revenue"](spark, sf_small)
+    assert_broadcast_join(df)
+    assert_no_cartesian(df)
+
+
+def test_q03_broadcast_no_cartesian(spark, sf_small):
+    df = QUERIES["q03_shipping_priority"](spark, sf_small)
+    assert_broadcast_join(df)
+    assert_no_cartesian(df)
+
+
+def test_queries_use_codegen(spark, sf_small):
+    """The hot relational paths must run inside WholeStageCodegen.
+    AQE hides codegen subtrees until execution, so plan without it for
+    the inspection (runtime toggle only - the queries still run under
+    AQE everywhere else)."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for name in ["q01_pricing_summary", "q13_top_orders_per_customer"]:
+            df = QUERIES[name](spark, sf_small)
+            assert codegen_stage_count(df) >= 1, f"{name} fell out of codegen"
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_anti_join_projects_only_key(spark, sf_small):
+    """J1 discipline: the committed-keys side of the dedup anti-join reads
+    only the key column."""
+    o = spark.read.parquet(f"{sf_small}/orders.parquet")
+    keys = o.select("o_orderkey").distinct()
+    plan = formatted_plan(keys)
+    assert_reads_only_columns(keys, {"o_orderkey"})
+    assert "Exchange" in plan  # distinct shuffles once on the key
