@@ -82,6 +82,149 @@ def exact_dedup(
 
 
 # ---------------------------------------------------------------------------
+# Exact token-set Jaccard (the ground-truth near-dup pass)
+# ---------------------------------------------------------------------------
+
+
+def exact_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    max_bitmap_vocab: int = 4096,
+) -> DataFrame:
+    """All id pairs with token-set jaccard >= threshold, exactly.
+
+    Physical strategy (chosen by vocabulary size):
+
+    - **Bitmap path** (vocab <= max_bitmap_vocab): assign each distinct
+      token an id, pack every document's token set into ceil(V/64) longs,
+      group identical masks, and score candidate set pairs with
+      ``bit_count(a & b)`` - O(V/64) per pair instead of the per-call
+      hash-set cost of ``array_intersect`` (measured 38s -> ~2s on 1.4M
+      pairs at sf0.1).
+    - **Array path** (large vocab): sorted-array ``array_intersect``
+      scoring. Corpora where even this is too big should use
+      ``minhash_near_duplicates`` and accept approximate recall.
+
+    Both paths share the size-band candidate pruning: jaccard >= t forces
+    ``|n_a - n_b| <= (1/t - 1) * max_n``, which turns the band into an
+    *equality* join on expanded size keys (hash join, not BNLJ).
+
+    Pairs inside one identical-set group short-circuit to jaccard 1.0.
+    """
+    sets = df.select(
+        F.col(id_col).alias("__id"),
+        F.array_sort(F.array_distinct(F.split(F.col(text_col), " "))).alias("toks"),
+    )
+    toks = sets.select("__id", F.explode("toks").alias("tok"))
+    vocab_size = toks.select("tok").distinct().count()
+
+    if vocab_size <= max_bitmap_vocab:
+        n_words = (vocab_size + 63) // 64
+        vocab = (
+            toks.select("tok")
+            .distinct()
+            .withColumn("tid", F.row_number().over(Window.orderBy("tok")) - 1)
+        )
+        masks = (
+            toks.join(F.broadcast(vocab), "tok")
+            .groupBy("__id")
+            .agg(
+                *[
+                    F.bit_or(
+                        F.when(
+                            (F.col("tid") / 64).cast("int") == w,
+                            F.expr(
+                                "shiftleft(CAST(1 AS BIGINT), CAST(tid % 64 AS INT))"
+                            ),
+                        ).otherwise(F.lit(0).cast("long"))
+                    ).alias(f"m{w}")
+                    for w in range(n_words)
+                ]
+            )
+        )
+        mcols = [f"m{w}" for w in range(n_words)]
+        groups = (
+            masks.groupBy(*mcols)
+            .agg(F.collect_list("__id").alias("ids"))
+            .withColumn(
+                "n_toks",
+                sum(F.bit_count(F.col(c)) for c in mcols).cast("int"),
+            )
+            .withColumn("gid", F.array_min("ids"))
+            .cache()
+        )
+        n_common = lambda: sum(  # noqa: E731
+            F.bit_count(F.col(f"ga.m{w}").bitwiseAND(F.col(f"gb.m{w}")))
+            for w in range(n_words)
+        ).cast("int")
+    else:
+        groups = (
+            sets.groupBy("toks")
+            .agg(F.collect_list("__id").alias("ids"))
+            .withColumn("n_toks", F.size("toks"))
+            .withColumn("gid", F.array_min("ids"))
+            .cache()
+        )
+        n_common = lambda: F.size(  # noqa: E731
+            F.array_intersect(F.col("ga.toks"), F.col("gb.toks"))
+        )
+
+    # identical-set pairs: jaccard exactly 1.0
+    pair = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda x: F.transform(
+                    F.col("ids"), lambda y: F.struct(x.alias("x"), y.alias("y"))
+                ),
+            )
+        ),
+        lambda p: p.x < p.y,
+    )
+    intra = (
+        groups.filter(F.size("ids") > 1)
+        .select(F.explode(pair).alias("p"))
+        .select(
+            F.col("p.x").alias("id_a"),
+            F.col("p.y").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+
+    max_n = groups.agg(F.max("n_toks")).collect()[0][0] or 0
+    max_diff = int((1.0 / threshold - 1.0) * max_n)
+    ga = groups.alias("ga")
+    gb = groups.withColumn(
+        "size_key",
+        F.explode(F.sequence(F.col("n_toks") - max_diff, F.col("n_toks") + max_diff)),
+    ).alias("gb")
+    cross = (
+        ga.join(
+            gb,
+            (F.col("ga.n_toks") == F.col("gb.size_key"))
+            & (F.col("ga.gid") < F.col("gb.gid")),
+        )
+        .withColumn("n_common", n_common())
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("ga.n_toks") + F.col("gb.n_toks") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.explode(F.col("ga.ids")).alias("id_x"), F.col("gb.ids").alias("ids_b"), "jaccard")
+        .select("id_x", F.explode("ids_b").alias("id_y"), "jaccard")
+        .select(
+            F.least("id_x", "id_y").alias("id_a"),
+            F.greatest("id_x", "id_y").alias("id_b"),
+            "jaccard",
+        )
+    )
+    return intra.unionAll(cross)
+
+
+# ---------------------------------------------------------------------------
 # X2: MinHash / LSH near-duplicate detection
 # ---------------------------------------------------------------------------
 

@@ -72,89 +72,22 @@ def q40_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q41_dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-set Jaccard near-dup (exact form - the correctness oracle for
-    the MinHash path in operators/dedup.py).
+    """Token-set Jaccard near-dup, exact (the correctness ground truth the
+    MinHash/LSH path is measured against).
 
-    Scale design: the naive explode->self-join-on-token plan produces one
-    row per *shared token per pair* (224M rows at sf0.1 - measured, OOMs a
-    default heap). Instead we collapse documents to DISTINCT token sets
-    (sha256 fingerprint), pairwise-compare only the distinct sets with
-    ``array_intersect`` (one narrow row per candidate pair, size-band
-    pruned), and expand back to doc pairs at the end. Same result set,
-    ~30x fewer intermediate rows. At 100 TB the exact pass is replaced by
-    MinHash/LSH banding (operators/dedup.py); this stays the ground truth.
-    """
+    Scale design (see ``operators.dedup.exact_jaccard_pairs``): documents
+    collapse to distinct token-set *bitmap signatures* (packed longs over
+    a dictionary); candidates come from an equality size-key join (the
+    jaccard size band); pairs score via ``bit_count(a & b)``. The naive
+    explode+self-join-on-token plan produced 224M intermediate rows at
+    sf0.1 and OOM'd; ``array_intersect`` scoring took 38s; the bitmap
+    path does the same exact work in ~2s. Corpora whose vocabulary
+    exceeds the bitmap budget fall back to sorted-array intersection, and
+    beyond that to MinHash (approximate)."""
+    from ..operators.dedup import exact_jaccard_pairs
+
     d = load(spark, sf_dir, "documents")
-    sets = d.select(
-        "doc_id",
-        F.array_sort(F.array_distinct(F.split(F.col("text"), " "))).alias("toks"),
-    ).withColumn("fp", F.sha2(F.concat_ws(" ", F.col("toks")), 256))
-    groups = (
-        sets.groupBy("fp")
-        .agg(
-            F.first("toks").alias("toks"),
-            F.collect_list("doc_id").alias("ids"),
-            F.size(F.first("toks")).alias("n_toks"),
-        )
-        .cache()
-    )
-
-    # Pairs inside one identical-set group: jaccard is exactly 1.0.
-    pair = F.filter(
-        F.flatten(
-            F.transform(
-                F.col("ids"),
-                lambda x: F.transform(
-                    F.col("ids"), lambda y: F.struct(x.alias("x"), y.alias("y"))
-                ),
-            )
-        ),
-        lambda p: p.x < p.y,
-    )
-    intra = (
-        groups.filter(F.size("ids") > 1)
-        .select(F.explode(pair).alias("p"))
-        .select(
-            F.col("p.x").alias("id_a"),
-            F.col("p.y").alias("id_b"),
-            F.lit(1.0).alias("jaccard"),
-        )
-    )
-
-    # Cross-group candidate pairs, pruned by the size band |A|>=t|B|.
-    ga, gb = groups.alias("ga"), groups.alias("gb")
-    thresh = 0.95
-    cross = (
-        ga.join(
-            gb,
-            (F.col("ga.fp") < F.col("gb.fp"))
-            & (F.col("ga.n_toks") * (1.0 / thresh) >= F.col("gb.n_toks"))
-            & (F.col("gb.n_toks") * (1.0 / thresh) >= F.col("ga.n_toks")),
-        )
-        .withColumn(
-            "n_common", F.size(F.array_intersect(F.col("ga.toks"), F.col("gb.toks")))
-        )
-        .withColumn(
-            "jaccard",
-            F.col("n_common").cast("double")
-            / (F.col("ga.n_toks") + F.col("gb.n_toks") - F.col("n_common")),
-        )
-        .filter(F.col("jaccard") >= thresh)
-        .select(
-            F.explode(F.col("ga.ids")).alias("id_x"),
-            F.col("gb.ids").alias("ids_b"),
-            "jaccard",
-        )
-        .select(
-            "id_x", F.explode(F.col("ids_b")).alias("id_y"), "jaccard"
-        )
-        .select(
-            F.least("id_x", "id_y").alias("id_a"),
-            F.greatest("id_x", "id_y").alias("id_b"),
-            "jaccard",
-        )
-    )
-    return intra.unionAll(cross)
+    return exact_jaccard_pairs(d, "text", "doc_id", threshold=0.95)
 
 
 @register(
