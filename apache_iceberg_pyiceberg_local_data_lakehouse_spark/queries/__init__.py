@@ -62,3 +62,5 @@ from . import relational  # noqa: E402,F401
 from . import events  # noqa: E402,F401
 from . import textops  # noqa: E402,F401
 from . import vectors  # noqa: E402,F401
+from . import sqlqueries  # noqa: E402,F401
+from . import lakehouse  # noqa: E402,F401

@@ -1,0 +1,98 @@
+"""Lakehouse-lifecycle queries: the table format itself (S5-S9, J1, M1)
+exercised inside the judged correctness gate.
+
+Each query ingests fixture data into a THROWAWAY warehouse via the real
+snapshot table format, reads it back through ``LakehouseTable.scan``, and
+returns an aggregate the DuckDB oracle can compute straight from the
+source parquet. If the format lost, duplicated, or corrupted rows
+anywhere in write -> commit -> manifest -> scan, the hashes diverge.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import load, register
+from .relational import dsum, _dsum_sql
+
+
+@register(
+    "q60_lakehouse_roundtrip",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           {_dsum_sql('n_chars')} AS total_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q60_lakehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> create table -> append -> snapshot scan -> aggregate.
+    The aggregate equals plain SQL over the source iff the round-trip is
+    lossless."""
+    from ..catalog import LakehouseCatalog
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_q60_")
+    try:
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("tmp")
+        d = load(spark, sf_dir, "documents")
+        t = cat.create_table("tmp.docs", d.schema)
+        t.append(d)
+        out = (
+            t.scan()
+            .groupBy("lang")
+            .agg(
+                F.count("*").alias("n_docs"),
+                dsum(F.col("n_chars")).alias("total_chars"),
+            )
+        )
+        # materialize before the warehouse dir disappears
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+@register(
+    "q61_lakehouse_dedup_append",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM events WHERE event_id % 2 = 0) AS first_batch,
+           (SELECT COUNT(*) FROM events) AS incoming,
+           (SELECT COUNT(*) FROM events WHERE event_id % 2 <> 0) AS appended,
+           (SELECT COUNT(*) FROM events) AS final_rows
+    """,
+)
+def q61_lakehouse_dedup_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's idempotent-append contract end-to-end: commit the
+    even half of events, then ingest ALL events through the J1 anti-join
+    dedup - only the odd half may append, and the final table must hold
+    each event exactly once (``lakehouse_pipeline.py:204-227,386-394``)."""
+    from ..catalog import LakehouseCatalog
+    from ..operators.dedup import dedup_against_table
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_q61_")
+    try:
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("tmp")
+        ev = load(spark, sf_dir, "events")
+        first = ev.filter(F.col("event_id") % 2 == 0)
+        t = cat.create_table("tmp.events", ev.schema)
+        t.append(first)
+        n_first = t.to_df().count()
+
+        clean = dedup_against_table(ev, t, key="event_id")
+        n_appended = clean.count()
+        if n_appended:
+            t.append(clean)
+        n_final = t.to_df().count()
+        return spark.createDataFrame(
+            [(n_first, ev.count(), n_appended, n_final)],
+            "first_batch long, incoming long, appended long, final_rows long",
+        )
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)

@@ -1,0 +1,130 @@
+"""Portable-SQL query coverage: the SAME SQL text runs on Spark SQL (via
+temp views) and on DuckDB (as its own oracle). This exercises the
+engine's SQL layer - parser, analyzer, subquery planning - rather than
+the DataFrame DSL, and pins a dialect-portable subset: correlated/scalar
+subqueries, IN-subqueries, CTEs, conditional pivots, min_by/max_by.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import load, register
+
+_VIEW_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def _with_views(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    for t in _VIEW_TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(sql)
+
+
+def _register_sql(name: str, sql: str) -> None:
+    """One SQL text, two engines: Spark runs it via temp views, DuckDB
+    runs it verbatim as the oracle."""
+
+    def fn(spark: SparkSession, sf_dir: str, _sql=sql) -> DataFrame:
+        return _with_views(spark, sf_dir, _sql)
+
+    fn.__name__ = name
+    register(name, oracle=sql)(fn)
+
+
+_register_sql(
+    "q23_above_avg_customers",
+    """
+    SELECT c_custkey AS custkey, c_acctbal AS acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+    """,
+)
+
+_register_sql(
+    "q24_orders_of_building_segment",
+    """
+    SELECT o_orderkey AS orderkey, o_totalprice AS totalprice
+    FROM orders
+    WHERE o_custkey IN (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
+      AND o_totalprice > 100000
+    """,
+)
+
+_register_sql(
+    "q25_cte_nation_order_rank",
+    """
+    WITH nation_orders AS (
+        SELECT n.n_name AS nation, COUNT(*) AS n_orders
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    )
+    SELECT nation, n_orders,
+           RANK() OVER (ORDER BY n_orders DESC, nation) AS rnk
+    FROM nation_orders
+    """,
+)
+
+_register_sql(
+    "q26_correlated_exists",
+    """
+    SELECT c_custkey AS custkey, c_name AS name
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+    )
+    """,
+)
+
+_register_sql(
+    "q27_minby_maxby",
+    """
+    SELECT o_orderstatus AS status,
+           MAX_BY(o_orderkey, o_totalprice + o_orderkey / 1000000000.0)
+             AS biggest_orderkey,
+           MIN_BY(o_orderkey, o_totalprice + o_orderkey / 1000000000.0)
+             AS smallest_orderkey,
+           MAX(o_totalprice) AS max_price,
+           MIN(o_totalprice) AS min_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+
+_register_sql(
+    "q28_status_pivot",
+    """
+    SELECT o_orderpriority AS priority,
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+           COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+           COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+
+_register_sql(
+    "q29_year_extract_volume",
+    """
+    SELECT CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS ship_year,
+           COUNT(*) AS n_items,
+           COUNT(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem
+    GROUP BY 1
+    """,
+)

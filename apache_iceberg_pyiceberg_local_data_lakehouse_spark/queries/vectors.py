@@ -181,3 +181,15 @@ def q53_multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_bytes") > 200)
     )
+
+
+@register("q54_ann_lsh_topk")  # no SQL oracle: LSH bucketing is approximate
+def q54_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 scale path: random-hyperplane LSH ANN (rows-only check; recall
+    vs the exact q50 baseline is pinned by pytest at >=0.55 on this
+    worst-case near-orthogonal fixture)."""
+    from ..operators.similarity import knn_lsh
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return knn_lsh(emb, q, dim=64, k=TOP_K)
