@@ -1,0 +1,95 @@
+"""Property-based tests (SURVEY.md §5.2.4): dedup-append invariants under
+random overlapping batches.
+
+Invariant (the reference's core contract): after ``ingest(A); ingest(B)``
+the table key set equals keys(A) | keys(B), every key appears exactly
+once per occurrence in its first batch, and re-ingesting any batch never
+grows the table.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from apache_iceberg_pyiceberg_local_data_lakehouse_spark.catalog import (
+    LakehouseCatalog,
+)
+from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.dedup import (
+    dedup_against_table,
+)
+
+from pyspark.sql.types import (
+    DoubleType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("DateTime", TimestampType()),
+        StructField("Bid", DoubleType()),
+        StructField("Ask", DoubleType()),
+    ]
+)
+
+BASE = dt.datetime(2024, 1, 1)
+
+keys_strategy = st.lists(
+    st.integers(min_value=0, max_value=50), min_size=1, max_size=40
+)
+
+
+def make_df(spark, keys):
+    rows = [
+        (BASE + dt.timedelta(seconds=int(k)), 1.0 + k * 0.01, 2.0 + k * 0.01)
+        for k in keys
+    ]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(a=keys_strategy, b=keys_strategy)
+def test_dedup_append_union_semantics(spark, tmp_path_factory, a, b):
+    wh = tmp_path_factory.mktemp("wh")
+    cat = LakehouseCatalog(spark, str(wh))
+    cat.create_namespace("gold")
+    t = cat.create_table("gold.prop", SCHEMA)
+
+    df_a = make_df(spark, a)
+    clean_a = dedup_against_table(df_a, t, key="DateTime")
+    if clean_a.count():
+        t.append(clean_a)
+    n_after_a = t.to_df().count()
+    # empty table: everything in A lands (incl. intra-batch dupes - J1
+    # only dedups against committed data)
+    assert n_after_a == len(a)
+
+    df_b = make_df(spark, b)
+    clean_b = dedup_against_table(df_b, t, key="DateTime")
+    n_new = clean_b.count()
+    if n_new:
+        t.append(clean_b)
+
+    keys_a, keys_b = set(a), set(b)
+    # B contributes exactly its occurrences of keys not already committed
+    expected_new = sum(1 for k in b if k not in keys_a)
+    assert n_new == expected_new
+
+    final = t.to_df()
+    assert final.count() == len(a) + expected_new
+    final_keys = {
+        int((r["DateTime"] - BASE).total_seconds()) for r in final.collect()
+    }
+    assert final_keys == keys_a | keys_b
+
+    # re-ingesting either batch is a no-op now
+    again = dedup_against_table(make_df(spark, a + b), t, key="DateTime")
+    assert again.count() == 0
