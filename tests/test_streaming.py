@@ -127,3 +127,134 @@ def test_scheduler_quirk_never_fires_until_seeded():
     assert s.should_run()
     s.mark_ran()
     assert not s.should_run()
+
+
+def test_streaming_tumbling_window_with_watermark(spark, tmp_path):
+    """X6 streaming form: watermarked tumbling aggregation over a file
+    stream finalizes the same counts the batch query computes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import LongType, DoubleType
+
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.streaming.windows import (
+        tumbling_counts,
+    )
+
+    src = tmp_path / "events"
+    src.mkdir()
+    base = dt.datetime(2024, 1, 1)
+    ts = [base + dt.timedelta(minutes=7 * i) for i in range(40)]
+
+    def write_chunk(name, chunk):
+        tab = pa.table(
+            {
+                "ts": pa.array([t for t, _ in chunk], type=pa.timestamp("us")),
+                "value": pa.array([v for _, v in chunk]),
+            }
+        )
+        pq.write_table(tab, src / name)
+
+    rows = [(t, float(i)) for i, t in enumerate(ts)]
+    # two files with increasing mtime -> two micro-batches (append-mode
+    # windows only emit once a LATER batch advances the watermark)
+    write_chunk("a.parquet", rows[:30])
+    time.sleep(1.1)
+    write_chunk("b.parquet", rows[30:])
+
+    schema = StructType(
+        [StructField("ts", TimestampType()), StructField("value", DoubleType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    agg = tumbling_counts(stream, window_size="1 hour", watermark="10 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tumbling_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["n_events"])
+        for r in spark.sql("select * from tumbling_out").collect()
+    }
+    batch = tumbling_counts(
+        spark.createDataFrame(rows, schema),
+        window_size="1 hour",
+        watermark="10 minutes",
+    )
+    expect = {(r["window_start"], r["n_events"]) for r in batch.collect()}
+    # every emitted window matches batch exactly; only windows beyond the
+    # final watermark may be missing
+    assert got <= expect
+    assert len(got) >= len(expect) - 2
+
+
+def test_streaming_session_window(spark, tmp_path):
+    """Native session_window under a file stream."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import LongType, DoubleType
+
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.streaming.windows import (
+        session_aggregate,
+    )
+
+    src = tmp_path / "events"
+    src.mkdir()
+    base = dt.datetime(2024, 1, 1)
+
+    def write_rows(name, rows):
+        tab = pa.table(
+            {
+                "ts": pa.array([r[0] for r in rows], type=pa.timestamp("us")),
+                "user_id": pa.array([r[1] for r in rows], type=pa.int64()),
+                "value": pa.array([1.0] * len(rows)),
+            }
+        )
+        pq.write_table(tab, src / name)
+
+    # burst now, burst 3h later - in two files so the second micro-batch
+    # advances the watermark past the first sessions
+    first = [(base + dt.timedelta(minutes=i), u) for u in (1, 2) for i in range(3)]
+    second = [
+        (base + dt.timedelta(hours=3, minutes=i), u) for u in (1, 2) for i in range(2)
+    ]
+    write_rows("a.parquet", first)
+    time.sleep(1.1)
+    write_rows("b.parquet", second)
+    schema = StructType(
+        [
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    agg = session_aggregate(stream, gap="30 minutes", watermark="10 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("session_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from session_out").collect()
+    # 2 users x >=1 finalized session each (last session may stay open)
+    by_user = {}
+    for r in got:
+        by_user.setdefault(r["user_id"], []).append(r["n_events"])
+    assert set(by_user) == {1, 2}
+    for u, counts in by_user.items():
+        assert 3 in counts  # the first burst finalized with 3 events
