@@ -1,0 +1,156 @@
+"""Copy-on-write DML over the snapshot table format: DELETE, UPDATE-style
+MERGE (upsert), and schema evolution.
+
+The reference is append-only; Iceberg (its storage substrate) also
+supports row-level mutation via copy-on-write - ``MERGE INTO`` is the
+SURVEY-noted alternative form of the J1 dedup
+(``SURVEY.md §2.3``: ``MERGE INTO t USING s ON t.DateTime=s.DateTime
+WHEN NOT MATCHED THEN INSERT *``). This module provides those semantics
+Spark-natively:
+
+- **File pruning before rewrite**: only data files whose manifest
+  key-range overlaps the mutation predicate/keys are rewritten; all other
+  files carry over to the new snapshot untouched. At 100 TB this is the
+  difference between rewriting a partition and rewriting the table.
+- **Atomicity**: the rewrite commits as one ``replace`` snapshot;
+  concurrent appends conflict-retry exactly like Iceberg's optimistic
+  protocol. Old files stay referenced by older snapshots (time travel
+  still sees pre-DML data) until expiry GCs them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .table import LakehouseTable, Snapshot
+
+
+def _norm_bound(v):
+    """Manifest stats store datetimes as naive ISO strings; normalize
+    in-flight bounds the same way so comparisons are type-consistent."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    return v
+
+
+def _gt(a, b) -> bool:
+    try:
+        return a > b
+    except TypeError:
+        return str(a) > str(b)
+
+
+def _overlapping_entries(
+    table: LakehouseTable, key: str, key_min, key_max
+) -> tuple[list[dict], list[dict]]:
+    """Split the current manifest into (touched, untouched) by overlap of
+    the file's [min,max] stats for ``key`` with [key_min, key_max]."""
+    key_min, key_max = _norm_bound(key_min), _norm_bound(key_max)
+    snap = table.snapshot()
+    touched, untouched = [], []
+    for e in snap.manifest:
+        stats = e.get("stats", {}).get(key)
+        if stats is None:
+            touched.append(e)  # no stats -> must assume overlap
+            continue
+        lo, hi = stats
+        if key_max is not None and _gt(lo, key_max):
+            untouched.append(e)
+        elif key_min is not None and _gt(key_min, hi):
+            untouched.append(e)
+        else:
+            touched.append(e)
+    return touched, untouched
+
+
+def delete_where(table: LakehouseTable, predicate: Column) -> Snapshot:
+    """DELETE FROM t WHERE predicate, copy-on-write.
+
+    Reads the current snapshot once, rewrites surviving rows, commits a
+    replace snapshot. (File-level pruning for arbitrary predicates would
+    need predicate analysis; the common key-range case goes through
+    ``merge_into``'s pruning instead.)"""
+    snap = table.snapshot()
+    survivors = table.scan().filter(~predicate)
+    new_entries = table._write_files(survivors, snap.partition_spec)
+    return table.overwrite_manifest(
+        new_entries,
+        operation="delete",
+        summary={"deleted_predicate": str(predicate._jc)},
+    )
+
+
+def merge_into(
+    table: LakehouseTable,
+    updates: DataFrame,
+    key: str,
+    when_matched: str = "update",
+) -> Snapshot:
+    """MERGE INTO table USING updates ON table.key = updates.key
+    WHEN MATCHED THEN UPDATE (row replace) WHEN NOT MATCHED THEN INSERT.
+
+    ``when_matched='ignore'`` reproduces the reference's J1 dedup-append
+    exactly (insert-only), as a single atomic snapshot instead of
+    anti-join + append.
+
+    Physical plan: collect the updates' key range (one tiny agg), prune
+    manifest files to those overlapping it, rewrite ONLY those files with
+    matched rows replaced/kept, append new-key rows, commit one replace
+    snapshot carrying untouched files forward."""
+    bounds = updates.agg(
+        F.min(key).alias("lo"), F.max(key).alias("hi")
+    ).collect()[0]
+    touched, untouched = _overlapping_entries(table, key, bounds["lo"], bounds["hi"])
+    snap = table.snapshot()
+
+    touched_df = table.scan(file_filter=lambda e: e in touched)
+    if when_matched == "update":
+        kept = touched_df.join(updates.select(key), on=key, how="left_anti")
+        incoming = updates
+    else:  # ignore: matched rows keep the table's version
+        kept = touched_df
+        existing_keys = touched_df.select(key).distinct()
+        incoming = updates.join(existing_keys, on=key, how="left_anti")
+
+    merged = kept.unionByName(incoming.select(*touched_df.columns))
+    new_entries = table._write_files(merged, snap.partition_spec)
+    return table.overwrite_manifest(
+        untouched + new_entries,
+        operation="merge",
+        summary={
+            "rewritten_files": len(touched),
+            "carried_files": len(untouched),
+            "mode": when_matched,
+        },
+    )
+
+
+def add_column(table: LakehouseTable, name: str, spark_type: str) -> Snapshot:
+    """Schema evolution: add a nullable column (Iceberg-style - purely a
+    metadata commit; existing files read the new column as null via the
+    scan-time schema)."""
+    import copy
+
+    cur = table.snapshot()
+    schema_json = copy.deepcopy(cur.schema_json)
+    if any(f["name"] == name for f in schema_json["fields"]):
+        raise ValueError(f"column {name} already exists")
+    schema_json["fields"].append(
+        {"name": name, "type": spark_type, "nullable": True, "metadata": {}}
+    )
+    snap = Snapshot(
+        snapshot_id=__import__("uuid").uuid4().hex,
+        version=cur.version + 1,
+        timestamp_ms=int(__import__("time").time() * 1000),
+        operation="alter",
+        parent_id=cur.snapshot_id,
+        schema_json=schema_json,
+        partition_spec=cur.partition_spec,
+        manifest=cur.manifest,
+        summary={"added_column": name},
+    )
+    table._commit(snap)
+    return snap

@@ -96,3 +96,84 @@ def q61_lakehouse_dedup_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+@register(
+    "q62_lakehouse_time_travel",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM documents WHERE lang = 'en') AS v1_rows,
+           (SELECT COUNT(*) FROM documents) AS v2_rows,
+           (SELECT COUNT(*) FROM documents WHERE lang = 'en') AS rows_at_v1
+    """,
+)
+def q62_lakehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation + time travel (M1): append English docs, then
+    the rest; reading snapshot v1 must still see only the first batch
+    even after v2 committed (``table.metadata.snapshots`` parity,
+    ``lakehouse_pipeline.py:234-254``)."""
+    from ..catalog import LakehouseCatalog
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_q62_")
+    try:
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("tmp")
+        d = load(spark, sf_dir, "documents")
+        t = cat.create_table("tmp.docs", d.schema)
+        t.append(d.filter(F.col("lang") == "en"))
+        v1 = t.current_version()
+        t.append(d.filter(F.col("lang") != "en"))
+        return spark.createDataFrame(
+            [
+                (
+                    t.scan(snapshot=t.snapshot(v1)).count(),
+                    t.to_df().count(),
+                    t.scan(snapshot=t.snapshot(v1)).count(),
+                )
+            ],
+            "v1_rows long, v2_rows long, rows_at_v1 long",
+        )
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+@register(
+    "q63_lakehouse_merge_upsert",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM events) AS final_rows,
+           (SELECT COUNT(*) FROM events WHERE event_id < 100) AS updated_rows,
+           (SELECT CAST(SUM(CASE WHEN event_id < 100 THEN 0 ELSE 1 END) AS BIGINT)
+              FROM events) AS untouched_rows
+    """,
+)
+def q63_lakehouse_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE (SURVEY §2.3's set-based J1 alternative):
+    commit all events, upsert new values for event_id < 100, verify the
+    table still holds every event exactly once with exactly the updated
+    rows changed - counted back against plain SQL."""
+    from ..catalog import LakehouseCatalog
+    from ..dml import merge_into
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_q63_")
+    try:
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("tmp")
+        ev = load(spark, sf_dir, "events")
+        t = cat.create_table("tmp.events", ev.schema)
+        t.append(ev)
+        updates = ev.filter(F.col("event_id") < 100).withColumn(
+            "value", F.lit(-1.0)
+        )
+        merge_into(t, updates, key="event_id", when_matched="update")
+        final = t.to_df()
+        return spark.createDataFrame(
+            [
+                (
+                    final.count(),
+                    final.filter(F.col("value") == -1.0).count(),
+                    final.filter(F.col("value") != -1.0).count(),
+                )
+            ],
+            "final_rows long, updated_rows long, untouched_rows long",
+        )
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)

@@ -401,7 +401,9 @@ def _stat_val(v: Any) -> Any:
         except Exception:
             return str(v)
     if isinstance(v, datetime):
-        return v.replace(tzinfo=timezone.utc).isoformat()
+        # naive ISO form: comparable with in-flight bounds and with
+        # year-prefix strings (dml._overlapping_entries, year_prune)
+        return v.replace(tzinfo=None).isoformat()
     return v
 
 
