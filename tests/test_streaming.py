@@ -258,3 +258,109 @@ def test_streaming_session_window(spark, tmp_path):
     assert set(by_user) == {1, 2}
     for u, counts in by_user.items():
         assert 3 in counts  # the first burst finalized with 3 events
+
+
+def test_stateful_streaming_dedup_first_seen(spark, tmp_path):
+    """applyInPandasWithState: keys emit on first appearance only, across
+    micro-batches (state survives between batches)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import LongType, DoubleType
+
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.streaming.stateful import (
+        streaming_dedup_first_seen,
+    )
+
+    src = tmp_path / "stream"
+    src.mkdir()
+
+    def write(name, keys):
+        pq.write_table(
+            pa.table(
+                {
+                    "k": pa.array(keys, type=pa.int64()),
+                    "value": pa.array([1.0] * len(keys)),
+                }
+            ),
+            src / name,
+        )
+
+    write("a.parquet", [1, 1, 2, 3])
+    time.sleep(1.1)
+    write("b.parquet", [2, 3, 4])  # only 4 is new
+
+    schema = StructType(
+        [StructField("k", LongType()), StructField("value", DoubleType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = streaming_dedup_first_seen(stream, "k")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_state_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from dedup_state_out").collect()
+    emitted = sorted(r["key"] for r in rows)
+    assert emitted == [1, 2, 3, 4]  # each key exactly once across batches
+
+
+def test_stateful_running_user_stats(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import LongType, DoubleType
+
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.streaming.stateful import (
+        running_user_stats,
+    )
+
+    src = tmp_path / "stream"
+    src.mkdir()
+
+    def write(name, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                    "value": pa.array([r[1] for r in rows]),
+                }
+            ),
+            src / name,
+        )
+
+    write("a.parquet", [(1, 10.0), (1, 5.0), (2, 1.0)])
+    time.sleep(1.1)
+    write("b.parquet", [(1, 2.5), (2, 1.5)])
+
+    schema = StructType(
+        [StructField("user_id", LongType()), StructField("value", DoubleType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = running_user_stats(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stats_state_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from stats_state_out").collect()
+    # last emission per user carries the running totals
+    latest = {}
+    for r in rows:
+        latest[r["user_id"]] = (r["n_events"], r["total"])
+    assert latest[1] == (3, 1750)  # 10+5+2.5 in cents
+    assert latest[2] == (2, 250)
