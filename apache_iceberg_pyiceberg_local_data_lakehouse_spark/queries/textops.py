@@ -344,3 +344,49 @@ def q49_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return simhash_near_duplicates(d, "text", "doc_id", max_hamming=8)
+
+
+@register(
+    "q4a_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+    ), tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok
+    ), df AS (
+      SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT t.doc_id, t.tok,
+           FLOOR(t.tf * ln((SELECT n_docs FROM n) / CAST(d.df AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS tfidf
+    FROM tf t JOIN df d ON t.tok = d.tok
+    WHERE t.doc_id < 50
+      AND FLOOR(t.tf * ln((SELECT n_docs FROM n) / CAST(d.df AS DOUBLE))
+                * 1000000.0 + 0.5) / 1000000.0 > 0
+    """,
+)
+def q4a_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full tf-idf (X4): term frequency per doc x inverse document
+    frequency, joined on term. Two shuffles (doc-term agg, term df agg) +
+    one broadcast join on the term dictionary; scores quantized to 1e-6
+    with pure-double ops for cross-engine determinism."""
+    d = load(spark, sf_dir, "documents")
+    n_docs = d.count()
+    toks = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df_ = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    tfidf = (
+        F.floor(
+            F.col("tf")
+            * F.log(F.lit(float(n_docs)) / F.col("df").cast("double"))
+            * 1_000_000.0
+            + 0.5
+        )
+        / 1_000_000.0
+    )
+    return (
+        tf.join(F.broadcast(df_), "tok")
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", "tok", tfidf.alias("tfidf"))
+        .filter(F.col("tfidf") > 0)
+    )
