@@ -1,6 +1,6 @@
 """Similarity search over embedding columns (SURVEY.md X3).
 
-Two tiers, per the north star:
+Three tiers, per the north star:
 - ``knn_bruteforce``: exact cosine top-k - broadcast the query set,
   score every (query, corpus) pair with JVM array expressions, window
   top-k. O(|Q|·|C|) but embarrassingly parallel; the correctness oracle.
@@ -8,11 +8,12 @@ Two tiers, per the north star:
   sign-bit sketches, score only within matching buckets (multi-probe via
   several independent sketch tables). Approximate; recall is tunable with
   (n_tables, n_bits) and pytest-asserted against brute force.
+- ``knn_ivf``: inverted-file ANN - k-means cells (pyspark.ml), queries
+  probe the nearest n_probes cells only. The scan-fraction path for data
+  that clusters.
 
 At 100 TB the corpus side stays partitioned (never collected); the only
-shuffle is the bucket join on sketch value. A real deployment would add
-an IVF variant (k-means centroids) - the bucket-join skeleton is the
-same, so the LSH path is the architectural template.
+wide exchange in every tier is one bucket/cell join.
 """
 
 from __future__ import annotations
@@ -151,6 +152,79 @@ def knn_lsh(
         "query_id",
         "neighbor_id",
         cosine(F.col("qv"), F.col("cv")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_lists: int = 16,
+    n_probes: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means partitions the corpus into
+    ``n_lists`` cells; each query scores only the ``n_probes`` cells
+    whose centroids are nearest.
+
+    The centroid fit is pyspark.ml KMeans (distributed Lloyd's); the
+    assignment + probe join are plain DataFrame ops - centroids broadcast
+    (tiny), the only wide exchange is the bucket join on cell id. At
+    100 TB: cells persist alongside the table (a ``bucket(cell_id)``
+    partition spec), so probe queries read n_probes/n_lists of the data -
+    the classic IVF scan-fraction tradeoff. Recall is pytest-pinned
+    against brute force."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).withColumn("features", array_to_vector("cv"))
+    km = KMeans(k=n_lists, seed=seed, maxIter=10)
+    model = km.fit(c)
+    assigned = model.transform(c).select(
+        "neighbor_id", "cv", F.col("prediction").alias("cell")
+    )
+
+    centroids = [list(map(float, ctr)) for ctr in model.clusterCenters()]
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    cell_sims = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cell"),
+                cosine(
+                    F.col("qv"), F.array(*[F.lit(x) for x in ctr])
+                ).alias("csim"),
+            )
+            for i, ctr in enumerate(centroids)
+        ]
+    )
+    probes = (
+        q.withColumn(
+            "probe",
+            F.explode(
+                F.slice(
+                    F.reverse(F.array_sort(cell_sims, lambda a, b: F.when(a.csim < b.csim, -1).when(a.csim > b.csim, 1).otherwise(0))),
+                    1,
+                    n_probes,
+                )
+            ),
+        )
+        .select("query_id", "qv", F.col("probe.cell").alias("cell"))
+    )
+    cands = probes.join(assigned, on="cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = cands.select(
+        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

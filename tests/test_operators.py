@@ -169,3 +169,29 @@ def test_recursive_parquet_and_checksums(spark, tmp_path):
     assert list_symbol_dirs(str(tmp_path)) == [str(tmp_path / "sym")]
     sums = file_checksums(spark, str(tmp_path / "sym" / "*.parquet")).collect()
     assert len(sums) == 1 and len(sums[0]["checksum"]) == 32
+
+
+def test_knn_ivf_recall_vs_bruteforce(spark, sf_small):
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.similarity import (
+        knn_ivf,
+    )
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = knn_bruteforce(emb, q, k=5)
+    approx = knn_ivf(emb, q, k=5, n_lists=8, n_probes=4)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # probing half the cells on near-uniform synthetic data: expect to
+    # see roughly >= half the true neighbors
+    assert recall >= 0.4, f"IVF recall too low: {recall:.2f}"
+    # every reported neighbor's sim must be exact (re-ranked exactly)
+    sims = {
+        (r["query_id"], r["neighbor_id"]): r["sim"] for r in approx.collect()
+    }
+    exact_sims = {
+        (r["query_id"], r["neighbor_id"]): r["sim"] for r in exact.collect()
+    }
+    for pair in e & a:
+        assert abs(sims[pair] - exact_sims[pair]) < 1e-9
