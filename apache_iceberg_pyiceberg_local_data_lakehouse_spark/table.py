@@ -431,3 +431,41 @@ def year_prune(column: str, year_min: int | None = None, year_max: int | None = 
         return True
 
     return keep
+
+
+def bucket_prune(field: "PartitionField", value) -> "callable":
+    """File filter for a bucket(N)-partitioned table: keeps only the
+    files in the key's bucket - point lookups read 1/N of the data
+    without any index. Must use the same hash Spark used at write time,
+    so the bucket id is computed with a one-row Spark job at plan time
+    (cheap, metadata-scale)."""
+
+    def keep_with_bucket(bucket_id: int):
+        name = field.field_name
+
+        def keep(entry: dict) -> bool:
+            b = entry.get("partition", {}).get(name)
+            return b is None or int(b) == bucket_id
+
+        return keep
+
+    return keep_with_bucket
+
+
+def compute_bucket(table: "LakehouseTable", field: "PartitionField", value) -> int:
+    """Bucket id for a literal key value, using Spark's own hash.
+
+    The literal is cast to the source column's declared type first -
+    Spark's murmur3 hashes int and long differently, so an uncast literal
+    would land in the wrong bucket."""
+    src_type = table.schema[field.source].dataType.simpleString()
+    row = (
+        table.spark.range(1)
+        .select(
+            F.pmod(
+                F.hash(F.lit(value).cast(src_type)), F.lit(field.n_buckets or 16)
+            ).alias("b")
+        )
+        .collect()[0]
+    )
+    return int(row["b"])

@@ -195,3 +195,58 @@ def test_knn_ivf_recall_vs_bruteforce(spark, sf_small):
     }
     for pair in e & a:
         assert abs(sims[pair] - exact_sims[pair]) < 1e-9
+
+
+def test_salted_join_preserves_semantics(spark):
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.skew import (
+        salted_join,
+    )
+
+    # heavily skewed probe: 90% of rows share key 1
+    probe = spark.createDataFrame(
+        [(1, i) for i in range(900)] + [(k, 0) for k in range(2, 102)],
+        "k long, payload long",
+    )
+    build = spark.createDataFrame(
+        [(k, f"dim_{k}") for k in range(1, 102)], "k long, name string"
+    )
+    plain = probe.join(build, on="k").select("k", "payload", "name")
+    salted = salted_join(probe, build, on="k").select("k", "payload", "name")
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
+    # left join keeps unmatched probe rows
+    probe2 = probe.union(spark.createDataFrame([(999, 7)], "k long, payload long"))
+    lj = salted_join(probe2, build, on="k", how="left")
+    assert lj.filter(F.col("k") == 999).count() == 1
+
+
+def test_bucket_partitioned_point_lookup(spark, tmp_path):
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.catalog import (
+        LakehouseCatalog,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.table import (
+        PartitionField,
+        bucket_prune,
+        compute_bucket,
+    )
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("gold")
+    df = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+    spec = [PartitionField("k", "bucket", "k_bucket", n_buckets=8)]
+    t = cat.create_table("gold.bucketed", df.schema, spec)
+    t.append(df)
+
+    snap = t.snapshot()
+    buckets = {e["partition"].get("k_bucket") for e in snap.manifest}
+    assert len(buckets) == 8  # all buckets materialized
+
+    target = 137
+    b = compute_bucket(t, spec[0], target)
+    pruned = t.scan(file_filter=bucket_prune(spec[0], target)(b))
+    full_files = len(snap.manifest)
+    pruned_files = len([e for e in snap.manifest if int(e["partition"]["k_bucket"]) == b])
+    assert pruned_files < full_files  # actually pruned
+    got = pruned.filter(F.col("k") == target).collect()
+    assert len(got) == 1 and got[0]["v"] == 137.0
