@@ -38,6 +38,32 @@ HEADLINE = [
 ]
 
 
+def bench_ingest(spark, sf_dir: str) -> float:
+    """Write-path benchmark: lineitem through the snapshot table format
+    (create + partitioned append + full scan-back), timed end to end."""
+    import shutil
+    import tempfile
+
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.catalog import (
+        LakehouseCatalog,
+    )
+
+    wh = tempfile.mkdtemp(prefix="bench_ingest_")
+    try:
+        t0 = time.perf_counter()
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("bench")
+        df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        t = cat.create_table("bench.lineitem", df.schema)
+        t.append(df)
+        n = t.to_df().count()
+        dt = time.perf_counter() - t0
+        print(f"# ingest_lineitem: {n} rows in {dt:.2f}s", file=sys.stderr)
+        return round(dt, 3)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
 def main() -> None:
     from apache_iceberg_pyiceberg_local_data_lakehouse_spark.queries import QUERIES
     from apache_iceberg_pyiceberg_local_data_lakehouse_spark.session import get_spark
@@ -54,6 +80,7 @@ def main() -> None:
         n = df.count()
         times[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {n} rows in {times[name]:.2f}s", file=sys.stderr)
+    times["ingest_lineitem"] = bench_ingest(spark, SF_DIR)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {

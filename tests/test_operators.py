@@ -250,3 +250,28 @@ def test_bucket_partitioned_point_lookup(spark, tmp_path):
     assert pruned_files < full_files  # actually pruned
     got = pruned.filter(F.col("k") == target).collect()
     assert len(got) == 1 and got[0]["v"] == 137.0
+
+
+def test_langid_char_ngrams(spark):
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.langid import (
+        detect_language,
+    )
+
+    rows = [
+        (1, "the quick brown fox and the lazy dog in the garden"),
+        (2, "le chat est sur la table et les enfants sont dans le jardin"),
+        (3, "der hund und die katze sind nicht in dem haus mit dem kind"),
+        (4, "el perro y el gato que viven en la casa de los abuelos"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["detected_lang"], r["lang_confidence"])
+           for r in detect_language(df).collect()}
+    assert out[1][0] == "en"
+    assert out[2][0] == "fr"
+    assert out[3][0] == "de"
+    assert out[4][0] == "es"
+    for lang, conf in out.values():
+        assert conf > 0.3
+    # deterministic across runs
+    out2 = {r["doc_id"]: r["detected_lang"] for r in detect_language(df).collect()}
+    assert {k: v[0] for k, v in out.items()} == out2
