@@ -64,3 +64,4 @@ from . import textops  # noqa: E402,F401
 from . import vectors  # noqa: E402,F401
 from . import sqlqueries  # noqa: E402,F401
 from . import lakehouse  # noqa: E402,F401
+from . import temporal  # noqa: E402,F401

@@ -275,3 +275,53 @@ def test_langid_char_ngrams(spark):
     # deterministic across runs
     out2 = {r["doc_id"]: r["detected_lang"] for r in detect_language(df).collect()}
     assert {k: v[0] for k, v in out.items()} == out2
+
+
+def test_asof_join_edges(spark):
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.temporal import (
+        asof_join,
+    )
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    L = spark.createDataFrame(
+        [(1, base, "a"), (1, base + dt.timedelta(seconds=10), "b"),
+         (2, base, "c")],
+        "user_id long, ts timestamp, tag string",
+    )
+    R = spark.createDataFrame(
+        [(1, base, 100.0),  # equal ts: matches (asof <=)
+         (1, base + dt.timedelta(seconds=5), 200.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    out = {r["tag"]: r["value_right"] for r in
+           asof_join(L, R, "ts", "user_id", ["value"]).collect()}
+    assert out["a"] == 100.0   # exact-ts tie matches
+    assert out["b"] == 200.0   # latest prior
+    assert out["c"] is None    # no right rows for user 2
+
+
+def test_interval_join_bucket_correctness(spark):
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.temporal import (
+        interval_join,
+    )
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    L = spark.createDataFrame(
+        [(1, base + dt.timedelta(seconds=600), 1)],
+        "user_id long, ts timestamp, lid int",
+    )
+    # rights at -601 (out), -600 (in), -1 (in), 0 (out: strictly before), +5 (out)
+    R = spark.createDataFrame(
+        [(1, base + dt.timedelta(seconds=600 + off), i)
+         for i, off in enumerate([-601, -600, -1, 0, 5])],
+        "user_id long, ts timestamp, rid int",
+    )
+    got = sorted(
+        r["r_rid"]
+        for r in interval_join(
+            L, R, "ts", -600, -1e-6, bucket_secs=600, by="user_id"
+        ).collect()
+    )
+    assert got == [1, 2]
