@@ -128,3 +128,17 @@ _register_sql(
     GROUP BY 1
     """,
 )
+
+_register_sql(
+    "q2a_percentiles",
+    """
+    SELECT o_orderstatus AS status,
+           PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY o_totalprice)
+             AS median_price,
+           PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY o_totalprice)
+             AS p90_price,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)

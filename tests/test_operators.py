@@ -325,3 +325,19 @@ def test_interval_join_bucket_correctness(spark):
         ).collect()
     )
     assert got == [1, 2]
+
+
+def test_approx_sketches_within_error(spark, sf_small):
+    """approx_count_distinct (HLL++) and percentile_approx sketches stay
+    within their documented error vs exact - the mergeable-sketch path
+    for 100 TB cardinality/quantile work (no portable oracle exists, so
+    accuracy is pinned here instead of the driver gate)."""
+    o = spark.read.parquet(f"{sf_small}/orders.parquet")
+    row = o.agg(
+        F.countDistinct("o_custkey").alias("exact"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("exact_med"),
+        F.expr("percentile_approx(o_totalprice, 0.5, 10000)").alias("approx_med"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
+    assert abs(row["approx_med"] - row["exact_med"]) / row["exact_med"] < 0.02

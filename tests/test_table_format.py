@@ -177,3 +177,29 @@ def test_manifest_stats_recorded(catalog, spark):
     assert "Bid" in entry["stats"]
     lo, hi = entry["stats"]["Bid"]
     assert lo <= hi
+
+
+def test_concurrent_appends_from_threads(catalog, spark):
+    """Optimistic concurrency under real thread contention: N threads
+    append simultaneously; every commit must land exactly once (the
+    O_CREAT|O_EXCL protocol serializes them via retries)."""
+    import threading
+
+    t = catalog.create_table("gold.conc", TICK_SCHEMA, [])
+    errors = []
+
+    def worker(i):
+        try:
+            df = tick_df(spark, start=f"202{i}-06-01 00:00:00", n=10)
+            catalog.load_table("gold.conc").append(df)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(5)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors
+    assert t.to_df().count() == 50
+    assert len(t.snapshots()) == 6  # create + 5 appends, distinct versions
