@@ -154,3 +154,27 @@ def add_column(table: LakehouseTable, name: str, spark_type: str) -> Snapshot:
     )
     table._commit(snap)
     return snap
+
+
+def set_partition_spec(table: LakehouseTable, spec: list) -> Snapshot:
+    """Partition-spec evolution (Iceberg-style): a metadata-only commit;
+    existing data files keep their old layout (their manifest partition
+    values are per-file, so pruning stays correct per file), future
+    appends write under the new spec."""
+    import time as _time
+    import uuid as _uuid
+
+    cur = table.snapshot()
+    snap = Snapshot(
+        snapshot_id=_uuid.uuid4().hex,
+        version=cur.version + 1,
+        timestamp_ms=int(_time.time() * 1000),
+        operation="alter",
+        parent_id=cur.snapshot_id,
+        schema_json=cur.schema_json,
+        partition_spec=spec,
+        manifest=cur.manifest,
+        summary={"new_partition_spec": [p.to_json() for p in spec]},
+    )
+    table._commit(snap)
+    return snap

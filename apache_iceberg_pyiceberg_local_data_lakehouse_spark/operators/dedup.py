@@ -118,18 +118,21 @@ def exact_jaccard_pairs(
         F.array_sort(F.array_distinct(F.split(F.col(text_col), " "))).alias("toks"),
     )
     toks = sets.select("__id", F.explode("toks").alias("tok"))
-    vocab_size = toks.select("tok").distinct().count()
+    # one bounded pass decides the strategy AND materializes the
+    # dictionary: collect at most max+1 distinct tokens (the dictionary
+    # is driver-sized by definition of the bitmap path)
+    vocab_rows = toks.select("tok").distinct().limit(max_bitmap_vocab + 1).collect()
+    vocab_size = len(vocab_rows)
 
     if vocab_size <= max_bitmap_vocab:
         n_words = (vocab_size + 63) // 64
-        vocab = (
-            toks.select("tok")
-            .distinct()
-            .withColumn("tid", F.row_number().over(Window.orderBy("tok")) - 1)
+        tok2id = {r["tok"]: i for i, r in enumerate(sorted(vocab_rows))}
+        id_map = F.create_map(
+            *[x for tok, i in tok2id.items() for x in (F.lit(tok), F.lit(i))]
         )
+        with_tid = toks.withColumn("tid", id_map[F.col("tok")])
         masks = (
-            toks.join(F.broadcast(vocab), "tok")
-            .groupBy("__id")
+            with_tid.groupBy("__id")
             .agg(
                 *[
                     F.bit_or(

@@ -51,6 +51,10 @@ def get_spark(
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # INT96 (Spark's legacy default) carries no parquet min/max stats,
+        # which would blind manifest-level file skipping on timestamps;
+        # TIMESTAMP_MICROS is also the reference's us discipline
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
     )
@@ -67,4 +71,5 @@ def configure_runtime(spark: SparkSession) -> SparkSession:
     timestamp collection) can.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     return spark

@@ -102,3 +102,47 @@ def test_add_column_schema_evolution(table):
     assert table.to_df().filter(F.col("tag") == "fresh").count() == 1
     with pytest.raises(ValueError):
         add_column(table, "tag", "string")
+
+
+def test_partition_spec_evolution(spark, tmp_path):
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.dml import (
+        set_partition_spec,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.table import (
+        PartitionField,
+        year_prune,
+    )
+    from pyspark.sql.types import (
+        DoubleType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [StructField("DateTime", TimestampType()), StructField("v", DoubleType())]
+    )
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("gold")
+    t = cat.create_table("gold.evolve", schema, [])  # unpartitioned
+
+    df23 = spark.range(10).select(
+        (F.to_timestamp(F.lit("2023-06-01")) + F.make_interval(secs=F.col("id"))).alias("DateTime"),
+        F.lit(1.0).alias("v"),
+    )
+    t.append(df23)
+    assert all(not e["partition"] for e in t.snapshot().manifest)
+
+    set_partition_spec(t, [PartitionField("DateTime", "years", "DateTime_year")])
+    df24 = spark.range(10).select(
+        (F.to_timestamp(F.lit("2024-06-01")) + F.make_interval(secs=F.col("id"))).alias("DateTime"),
+        F.lit(2.0).alias("v"),
+    )
+    t.append(df24)
+    parts = [e["partition"] for e in t.snapshot().manifest]
+    assert any(p.get("DateTime_year") == "2024" for p in parts)  # new layout
+    assert any(not p for p in parts)  # old files untouched
+    # pruning still correct across mixed layouts: 2024 filter drops the
+    # 2023 files via their min/max stats even without partition values
+    assert t.scan(file_filter=year_prune("DateTime", year_min=2024)).count() == 10
+    assert t.to_df().count() == 20
