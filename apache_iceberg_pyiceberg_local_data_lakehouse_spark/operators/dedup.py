@@ -37,15 +37,35 @@ def dedup_against_table(
 
     Anti-join against the *projected, distinct* key column of the table -
     exactly the reference's ``scan(selected_fields=(key,)) -> unique ->
-    anti`` pipeline (``lakehouse_pipeline.py:206-217``), but distributed:
-    the key scan reads only the key column (column pruning reaches the
-    parquet footers), and the anti-join shuffles both sides on the key
-    only if the build side is too big to broadcast."""
+    anti`` pipeline (``lakehouse_pipeline.py:206-217``), but distributed
+    and range-pruned:
+
+    - the incoming batch's [min, max] key range (one tiny agg) prunes the
+      committed-key scan to overlapping files via manifest stats - for
+      append-mostly time-series, a new tick batch only touches the most
+      recent files, so the scan cost stays O(recent), not O(history);
+    - column pruning reaches the parquet footers (key column only);
+    - the anti-join broadcasts the key set when small, shuffles when not.
+    """
     try:
         snap = table.snapshot()
         if snap.total_rows == 0:  # empty-target short-circuit (:210-211)
             return new_df
-        existing_keys = table.scan(selected_fields=[key]).distinct()
+        from ..dml import _gt, _norm_bound
+
+        bounds = new_df.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).collect()[0]
+        lo, hi = _norm_bound(bounds["lo"]), _norm_bound(bounds["hi"])
+
+        def overlaps(entry: dict) -> bool:
+            stats = entry.get("stats", {}).get(key)
+            if stats is None or lo is None:
+                return True  # no stats -> must scan
+            s_lo, s_hi = stats
+            return not (_gt(s_lo, hi) or _gt(lo, s_hi))
+
+        existing_keys = (
+            table.scan(selected_fields=[key], file_filter=overlaps).distinct()
+        )
         return new_df.join(existing_keys, on=key, how="left_anti")
     except Exception:
         # graceful degradation: dedup skipped, all rows pass (:225-227)

@@ -341,3 +341,54 @@ def test_approx_sketches_within_error(spark, sf_small):
     ).collect()[0]
     assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
     assert abs(row["approx_med"] - row["exact_med"]) / row["exact_med"] < 0.02
+
+
+def test_dedup_scan_prunes_by_key_range(spark, tmp_path):
+    """J1 at scale: the committed-keys scan only reads files whose key
+    range overlaps the incoming batch (manifest-stats pruning)."""
+    import datetime as dt
+
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.catalog import (
+        LakehouseCatalog,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.dedup import (
+        dedup_against_table,
+    )
+    from pyspark.sql.types import (
+        DoubleType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [StructField("DateTime", TimestampType()), StructField("v", DoubleType())]
+    )
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("gold")
+    t = cat.create_table("gold.rangededup", schema, [])
+
+    def batch(year, n=20):
+        return spark.range(n).select(
+            (
+                F.to_timestamp(F.lit(f"{year}-01-01"))
+                + F.make_interval(secs=F.col("id"))
+            ).alias("DateTime"),
+            F.lit(float(year)).alias("v"),
+        )
+
+    t.append(batch(2020).coalesce(1))
+    t.append(batch(2024).coalesce(1))
+
+    # incoming overlaps only 2024: half its keys are already committed
+    incoming = spark.range(10, 30).select(
+        (
+            F.to_timestamp(F.lit("2024-01-01")) + F.make_interval(secs=F.col("id"))
+        ).alias("DateTime"),
+        F.lit(9.0).alias("v"),
+    )
+    clean = dedup_against_table(incoming, t, key="DateTime")
+    assert clean.count() == 10  # 10..19 deduped, 20..29 new
+    # and correctness end-to-end after append
+    t.append(clean)
+    assert t.to_df().count() == 50
