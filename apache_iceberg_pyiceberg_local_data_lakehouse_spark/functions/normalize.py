@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import FloatType, TimestampType
+from pyspark.sql.types import FloatType, NumericType, TimestampType
 
 
 def normalize(df: DataFrame) -> DataFrame:
@@ -24,6 +24,26 @@ def normalize(df: DataFrame) -> DataFrame:
             c = c.cast("double").alias(f.name)
         elif isinstance(f.dataType, TimestampType):
             c = c.cast("timestamp").alias(f.name)
+        else:
+            c = c.alias(f.name)
+        cols.append(c)
+    return df.select(*cols)
+
+
+def normalize_reference_schema(df: DataFrame) -> DataFrame:
+    """STRICT reference-parity schema collapse: the reference's
+    ``iceberg_schema_from_arrow`` maps every non-timestamp field to
+    DoubleType (``lakehouse_pipeline.py:191-199``, branch at ``:197``) -
+    ints included. Use only on the tick-ingest path (SURVEY.md §7.4 warns
+    against applying it to the star-schema fixtures, which carry real
+    int/string columns)."""
+    cols = []
+    for f in df.schema.fields:
+        c = F.col(f.name)
+        if isinstance(f.dataType, TimestampType):
+            c = c.cast("timestamp").alias(f.name)
+        elif isinstance(f.dataType, NumericType):
+            c = c.cast("double").alias(f.name)
         else:
             c = c.alias(f.name)
         cols.append(c)

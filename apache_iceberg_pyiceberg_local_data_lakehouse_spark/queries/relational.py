@@ -43,8 +43,8 @@ def davg(col: Column, scale: int = SCALE) -> Column:
 
 def _dsum_sql(expr: str, scale: int = SCALE) -> str:
     return (
-        f"CAST(SUM(CAST(FLOOR(({expr}) * {scale}.0 + 0.5) AS BIGINT)) AS DOUBLE)"
-        f" / {scale}.0"
+        f"(CAST(SUM(CAST(FLOOR(({expr}) * {scale}.0 + 0.5) AS BIGINT)) AS DOUBLE)"
+        f" / {scale}.0)"
     )
 
 
@@ -623,4 +623,65 @@ def q07_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume")
         )
+    )
+
+
+@register(
+    "q08_order_priority_share",
+    oracle=f"""
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS order_year,
+           {_dsum_sql("CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0.0 END")}
+             / {_dsum_sql('o_totalprice')} AS urgent_share,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q08_order_priority_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (market share): conditional-sum ratio per year.
+    Both sums quantize identically, so the ratio is a deterministic
+    double division."""
+    o = load(spark, sf_dir, "orders")
+    urgent = F.when(
+        F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice")
+    ).otherwise(F.lit(0.0))
+    return (
+        o.groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(
+            (dsum(urgent) / dsum(F.col("o_totalprice"))).alias("urgent_share"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "q09_product_type_profit",
+    oracle=f"""
+    SELECT p.p_type AS part_type,
+           CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INT) AS ship_year,
+           {_dsum_sql('l.l_extendedprice * (1 - l.l_discount) - l.l_quantity * p.p_retailprice * 0.6')}
+             AS profit
+    FROM lineitem l
+    JOIN part p ON l.l_partkey % 200 + 1 = p.p_partkey
+    WHERE p.p_type LIKE '%A'
+    GROUP BY 1, 2
+    """,
+)
+def q09_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per part type per year. The part dimension
+    is filtered (LIKE pushdown) then broadcast; lineitem maps into the
+    part key domain with the same modular expression on both engines."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_type").like("%A"))
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("l_quantity") * F.col("p_retailprice") * 0.6
+    )
+    return (
+        li.join(F.broadcast(p), (F.col("l_partkey") % 200 + 1) == F.col("p_partkey"))
+        .groupBy(
+            F.col("p_type").alias("part_type"),
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(dsum(profit).alias("profit"))
     )

@@ -203,3 +203,22 @@ def test_per_symbol_tables(pipeline, source):
     write(source / "GBPJPY", "b.parquet", tick_table(n=110))
     pipeline.run(str(source))
     assert pipeline.catalog.list_tables("gold") == ["gold.eurusd", "gold.gbpjpy"]
+
+
+def test_reference_schema_collapse(spark):
+    """Strict parity mode: every non-timestamp numeric becomes double
+    (reference iceberg_schema_from_arrow :197)."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.functions.normalize import (
+        normalize_reference_schema,
+    )
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1), 1, 2.5, "x")],
+        "DateTime timestamp, volume int, Bid double, note string",
+    )
+    out = normalize_reference_schema(df)
+    types = dict(out.dtypes)
+    assert types["DateTime"] == "timestamp"
+    assert types["volume"] == "double"  # int collapsed, like the reference
+    assert types["Bid"] == "double"
+    assert types["note"] == "string"  # strings are control-plane only
