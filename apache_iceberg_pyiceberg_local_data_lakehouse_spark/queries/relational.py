@@ -663,7 +663,7 @@ def q08_order_priority_share(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS profit
     FROM lineitem l
     JOIN part p ON l.l_partkey % 200 + 1 = p.p_partkey
-    WHERE p.p_type LIKE '%A'
+    WHERE p.p_type LIKE '%M%'
     GROUP BY 1, 2
     """,
 )
@@ -672,7 +672,7 @@ def q09_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     is filtered (LIKE pushdown) then broadcast; lineitem maps into the
     part key domain with the same modular expression on both engines."""
     li = load(spark, sf_dir, "lineitem")
-    p = load(spark, sf_dir, "part").filter(F.col("p_type").like("%A"))
+    p = load(spark, sf_dir, "part").filter(F.col("p_type").like("%M%"))
     profit = (
         F.col("l_extendedprice") * (1 - F.col("l_discount"))
         - F.col("l_quantity") * F.col("p_retailprice") * 0.6
