@@ -177,3 +177,46 @@ def q63_lakehouse_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+@register(
+    "q64_lakehouse_compaction",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q64_lakehouse_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 compaction in the judged gate: append documents in 5 small
+    snapshots, compact to target-sized files (replace snapshot), verify
+    the post-compaction scan still aggregates to plain-SQL truth AND the
+    file count actually dropped."""
+    from ..catalog import LakehouseCatalog
+    from ..maintenance import compact
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_q64_")
+    try:
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("tmp")
+        d = load(spark, sf_dir, "documents")
+        t = cat.create_table("tmp.docs", d.schema)
+        for i in range(5):
+            t.append(d.filter(F.col("doc_id") % 5 == i).coalesce(1))
+        before = len(t.snapshot().manifest)
+        snap = compact(t, target_file_bytes=64 * 1024 * 1024)
+        after = len(t.snapshot().manifest)
+        assert snap is not None and after < before, (before, after)
+        out = (
+            t.scan()
+            .groupBy("lang")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.min("doc_id").alias("min_id"),
+                F.max("doc_id").alias("max_id"),
+            )
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)

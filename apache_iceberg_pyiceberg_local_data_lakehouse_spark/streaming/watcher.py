@@ -203,3 +203,35 @@ def run_production(
     for t in threads:
         t.start()
     return stop, threads
+
+
+def stream_warehouse(
+    pipeline: IngestPipeline,
+    source_root: str,
+    schema: StructType,
+    checkpoint_root: str,
+    trigger_secs: int = WATCH_INTERVAL_SECS,
+    available_now: bool = False,
+) -> dict[str, object]:
+    """Start one streaming ingest per symbol folder (S3 layout: every
+    first-level subdir is a table). Returns {symbol: StreamingQuery}.
+
+    Each symbol gets its own checkpoint + sink table, so symbols progress
+    independently (one slow/corrupt feed can't stall the rest) and
+    Iceberg-style optimistic commits make the concurrent appends safe."""
+    from pathlib import Path
+
+    queries = {}
+    for sym_dir in sorted(Path(source_root).iterdir()):
+        if not sym_dir.is_dir():
+            continue
+        symbol = sym_dir.name.lower()
+        queries[symbol] = stream_symbol(
+            pipeline,
+            str(sym_dir),
+            schema,
+            f"{checkpoint_root}/{symbol}",
+            trigger_secs=trigger_secs,
+            available_now=available_now,
+        )
+    return queries

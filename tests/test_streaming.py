@@ -364,3 +364,23 @@ def test_stateful_running_user_stats(spark, tmp_path):
         latest[r["user_id"]] = (r["n_events"], r["total"])
     assert latest[1] == (3, 1750)  # 10+5+2.5 in cents
     assert latest[2] == (2, 250)
+
+
+def test_stream_warehouse_multi_symbol(spark, tmp_path):
+    """One independent stream per symbol folder; both tables land."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.streaming.watcher import (
+        stream_warehouse,
+    )
+
+    root = tmp_path / "Training Batch"
+    tick_file(root / "EURUSD" / "a.parquet", n=120)
+    tick_file(root / "GBPJPY" / "b.parquet", n=150)
+    pipeline = IngestPipeline(spark, str(tmp_path / "wh"))
+    queries = stream_warehouse(
+        pipeline, str(root), TICK_SCHEMA, str(tmp_path / "ckpt"), available_now=True
+    )
+    assert set(queries) == {"eurusd", "gbpjpy"}
+    for q in queries.values():
+        q.awaitTermination(120)
+    assert pipeline.catalog.load_table("gold.eurusd").to_df().count() == 120
+    assert pipeline.catalog.load_table("gold.gbpjpy").to_df().count() == 150
