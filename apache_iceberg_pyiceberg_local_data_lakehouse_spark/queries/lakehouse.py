@@ -220,3 +220,47 @@ def q64_lakehouse_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+@register(
+    "q65_lakehouse_snapshot_expiry",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM documents) AS final_rows,
+           2 AS retained_snapshots,
+           2 AS expired_snapshots
+    """,
+)
+def q65_lakehouse_snapshot_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 snapshot expiry with the reference's retain-floor
+    (``lakehouse_pipeline.py:232-270``: expire old snapshots, protect the
+    newest 2): create + 3 appends = 4 snapshots; expiring everything
+    "old" must still retain exactly the protected 2, expire 2, and leave
+    the data fully readable."""
+    from ..catalog import LakehouseCatalog
+    from ..maintenance import expire_snapshots
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_q65_")
+    try:
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("tmp")
+        d = load(spark, sf_dir, "documents")
+        t = cat.create_table("tmp.docs", d.schema)
+        for i in range(3):
+            t.append(d.filter(F.col("doc_id") % 3 == i))
+        res = expire_snapshots(
+            t,
+            older_than_ms=(1 << 62),  # everything is "old"
+            retain_last=2,
+        )
+        return spark.createDataFrame(
+            [
+                (
+                    t.to_df().count(),
+                    res["retained_snapshots"],
+                    res["expired_snapshots"],
+                )
+            ],
+            "final_rows long, retained_snapshots long, expired_snapshots long",
+        )
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
