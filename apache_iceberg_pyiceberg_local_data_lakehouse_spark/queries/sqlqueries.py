@@ -142,3 +142,18 @@ _register_sql(
     GROUP BY o_orderstatus
     """,
 )
+
+_register_sql(
+    "q2b_stddev_portable",
+    """
+    SELECT status,
+           SQRT((COUNT(*) * CAST(SUM(d * d) AS DOUBLE)
+                 - CAST(SUM(d) AS DOUBLE) * CAST(SUM(d) AS DOUBLE))
+                / (COUNT(*) * (COUNT(*) - 1.0))) AS stddev_dollars,
+           COUNT(*) AS n_orders
+    FROM (SELECT o_orderstatus AS status,
+                 CAST(FLOOR(o_totalprice) AS BIGINT) AS d
+          FROM orders)
+    GROUP BY status
+    """,
+)
