@@ -392,3 +392,31 @@ def test_dedup_scan_prunes_by_key_range(spark, tmp_path):
     # and correctness end-to-end after append
     t.append(clean)
     assert t.to_df().count() == 50
+
+
+def test_interval_join_wider_than_bucket(spark):
+    """Intervals wider than one bucket explode to enough bucket keys."""
+    import datetime as dt
+
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.temporal import (
+        interval_join,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    L = spark.createDataFrame(
+        [(1, base + dt.timedelta(seconds=1000), 1)],
+        "user_id long, ts timestamp, lid int",
+    )
+    # window [-900, +900] around t=1000 -> [100, 1900]; bucket=600
+    offs = [-950, -900, -600, -1, 0, 500, 899, 900, 901]
+    R = spark.createDataFrame(
+        [(1, base + dt.timedelta(seconds=1000 + o), i) for i, o in enumerate(offs)],
+        "user_id long, ts timestamp, rid int",
+    )
+    got = sorted(
+        r["r_rid"]
+        for r in interval_join(
+            L, R, "ts", -900, 900, bucket_secs=600, by="user_id"
+        ).collect()
+    )
+    assert got == [1, 2, 3, 4, 5, 6, 7]  # -900..900 inclusive, ends excluded

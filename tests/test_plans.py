@@ -77,3 +77,26 @@ def test_anti_join_projects_only_key(spark, sf_small):
     plan = formatted_plan(keys)
     assert_reads_only_columns(keys, {"o_orderkey"})
     assert "Exchange" in plan  # distinct shuffles once on the key
+
+
+def test_heavy_queries_avoid_cartesian(spark, sf_small):
+    """The near-dup / temporal-join plans must stay hash/broadcast joins -
+    a regression to CartesianProduct would be quadratic at scale."""
+    for name in [
+        "q41_dedup_token_jaccard",
+        "q48_minhash_near_duplicates",
+        "q35_asof_join",
+        "q36_trailing_window_count",
+    ]:
+        df = QUERIES[name](spark, sf_small)
+        assert_no_cartesian(df)
+
+
+def test_asof_join_single_shuffle(spark, sf_small):
+    """The as-of join is one exchange on the key (plus the final agg) -
+    not a join at all physically."""
+    df = QUERIES["q35_asof_join"](spark, sf_small)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan  # no join operator: union + window
+    assert "Window" in plan
