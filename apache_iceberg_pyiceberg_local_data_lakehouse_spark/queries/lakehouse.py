@@ -264,3 +264,109 @@ def q65_lakehouse_snapshot_expiry(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+@register(
+    "q66_full_ingest_pipeline",
+    oracle="""
+    SELECT 150 AS first_run_appended,
+           50 AS second_run_appended,
+           1 AS rejected_files,
+           200 AS final_rows
+    """,
+)
+def q66_full_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete reference pipeline (entry point 1: discover ->
+    checksum-skip -> normalize -> QC -> dedup -> append -> audit) run
+    end-to-end inside the judged gate on deterministic synthetic ticks:
+    150 clean rows land; a second file overlapping 50% appends only its
+    new half (J1); an under-threshold file is rejected (P6). The oracle
+    pins the arithmetic the reference's semantics dictate."""
+    import datetime as dtm
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..ingest import IngestPipeline
+
+    root = tempfile.mkdtemp(prefix="lakehouse_q66_")
+    try:
+        src = os.path.join(root, "src", "EURUSD")
+        os.makedirs(src)
+        base = dtm.datetime(2024, 3, 1)
+
+        def tick_file(path, n, start_s=0):
+            ts = [base + dtm.timedelta(seconds=start_s + i) for i in range(n)]
+            pq.write_table(
+                pa.table(
+                    {
+                        "DateTime": pa.array(ts, type=pa.timestamp("us")),
+                        "Bid": pa.array(np.linspace(1.1, 1.2, n)),
+                        "Ask": pa.array(np.linspace(1.2, 1.3, n)),
+                    }
+                ),
+                path,
+            )
+
+        pipeline = IngestPipeline(spark, os.path.join(root, "wh"))
+        tick_file(f"{src}/a.parquet", 150)
+        s1 = pipeline.run(os.path.join(root, "src"))
+
+        tick_file(f"{src}/b.parquet", 100, start_s=100)  # 50 overlap w/ a
+        tick_file(f"{src}/tiny.parquet", 99)  # under MIN_ROWS -> rejected
+        s2 = pipeline.run(os.path.join(root, "src"), per_file=True)
+
+        final = pipeline.catalog.load_table("gold.eurusd").to_df().count()
+        return spark.createDataFrame(
+            [(s1.rows_appended, s2.rows_appended, s2.files_rejected, final)],
+            "first_run_appended long, second_run_appended long, "
+            "rejected_files long, final_rows long",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "q67_bucket_point_lookup",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events
+    FROM events
+    WHERE user_id = 42
+    GROUP BY user_id
+    """,
+)
+def q67_bucket_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bucket(8) partitioning + manifest pruning: commit events bucketed
+    on user_id, then answer a point lookup reading ONLY the key's bucket
+    files (asserted: the pruned scan touches fewer files). The reader
+    discipline behind O(1/N)-scan point queries at 100 TB."""
+    from ..catalog import LakehouseCatalog
+    from ..table import PartitionField, bucket_prune, compute_bucket
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_q67_")
+    try:
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("tmp")
+        ev = load(spark, sf_dir, "events")
+        spec = [PartitionField("user_id", "bucket", "user_bucket", n_buckets=8)]
+        t = cat.create_table("tmp.events", ev.schema, spec)
+        t.append(ev)
+
+        b = compute_bucket(t, spec[0], 42)
+        keep = bucket_prune(spec[0], 42)(b)
+        snap = t.snapshot()
+        pruned_files = [e for e in snap.manifest if keep(e)]
+        assert len(pruned_files) < len(snap.manifest), "bucket pruning inert"
+
+        out = (
+            t.scan(file_filter=keep)
+            .filter(F.col("user_id") == 42)
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n_events"))
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
