@@ -128,3 +128,54 @@ def attach_binary(
     return df.withColumn("content", F.encode(F.col(text_col), "UTF-8")).withColumn(
         "mime", F.lit(mime)
     )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("target_w", IntegerType()),
+        StructField("target_h", IntegerType()),
+        StructField("resized", BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    target: tuple[int, int] = (224, 224),
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    use_real_codec: bool = False,
+) -> DataFrame:
+    """Image resize stage as a mapInPandas batch transform (X5).
+
+    The pixel work is the stubbed codec layer (a real deployment plugs
+    PIL/torchvision into the lambda); the Spark-side contract - binary
+    in, fixed (target_w, target_h, binary) out, Arrow-batched - is real
+    and tested. The deterministic fake emits a truncated/padded byte
+    payload sized w*h/64 so tests can assert batch shapes."""
+
+    def process(batches):
+        import pandas as pd
+
+        w, h = target
+        for pdf in batches:
+            if use_real_codec:
+                raise NotImplementedError(
+                    "image codec not available in this environment; "
+                    "install Pillow and wire the resize here"
+                )
+            size = max(1, w * h // 64)
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype(str),
+                    "target_w": w,
+                    "target_h": h,
+                    "resized": pdf[content_col].map(
+                        lambda b: bytes(b[:size]).ljust(size, b"\0")
+                    ),
+                }
+            )
+            yield out
+
+    return df.mapInPandas(process, RESIZED_SCHEMA)

@@ -157,3 +157,36 @@ _register_sql(
     GROUP BY status
     """,
 )
+
+@register(
+    "q43b_regex_tokenization",
+    oracle="""
+    SELECT tok, COUNT(*) AS n
+    FROM (
+        SELECT UNNEST(regexp_extract_all(text, '([a-z]+|[0-9]+)', 1)) AS tok
+        FROM documents
+    )
+    GROUP BY tok
+    ORDER BY n DESC, tok
+    LIMIT 15
+    """,
+)
+def q43b_regex_tokenization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenization (X4): letter-runs and digit-runs as
+    separate tokens via ``regexp_extract_all`` - the same regex engine
+    semantics on both sides, DataFrame explode on Spark / UNNEST on
+    DuckDB."""
+    from pyspark.sql import functions as F
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit("([a-z]+|[0-9]+)"), 1)
+        ).alias("tok")
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(15)
+    )

@@ -420,3 +420,36 @@ def test_interval_join_wider_than_bucket(spark):
         ).collect()
     )
     assert got == [1, 2, 3, 4, 5, 6, 7]  # -900..900 inclusive, ends excluded
+
+
+def test_rolling_hash_deterministic(spark):
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.functions.hashing import (
+        fingerprint_documents,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello world"), (3, "hello worle")],
+        "doc_id long, text string",
+    )
+    fp = {r["doc_id"]: r["rolling_fp"] for r in fingerprint_documents(df).collect()}
+    assert fp[1] == fp[2]          # identical text -> identical hash
+    assert fp[1] != fp[3]          # one-char difference -> different hash
+    assert 0 <= fp[1] < (1 << 31)  # modulo bound holds
+    fp2 = {r["doc_id"]: r["rolling_fp"] for r in
+           fingerprint_documents(df.repartition(7)).collect()}
+    assert fp == fp2               # partition-layout independent
+
+
+def test_resize_images_plumbing(spark, sf_small):
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.multimodal import (
+        attach_binary,
+        resize_images,
+    )
+
+    d = spark.read.parquet(f"{sf_small}/documents.parquet").limit(8)
+    out = resize_images(attach_binary(d), target=(224, 224)).collect()
+    assert len(out) == 8
+    expected = 224 * 224 // 64
+    for r in out:
+        assert (r["target_w"], r["target_h"]) == (224, 224)
+        assert len(r["resized"]) == expected
