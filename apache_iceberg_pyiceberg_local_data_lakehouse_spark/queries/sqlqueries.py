@@ -190,3 +190,42 @@ def q43b_regex_tokenization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("tok"))
         .limit(15)
     )
+
+_register_sql(
+    "q16b_cube_counts",
+    """
+    SELECT o_orderstatus AS status, o_orderpriority AS priority,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+
+_register_sql(
+    "q13b_rank_functions",
+    """
+    SELECT c_custkey AS custkey,
+           DENSE_RANK() OVER (ORDER BY c_acctbal DESC, c_custkey) AS dr,
+           NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS quartile,
+           CAST(PERCENT_RANK() OVER (ORDER BY c_acctbal DESC, c_custkey)
+                AS DOUBLE) AS pr
+    FROM customer
+    """,
+)
+
+_register_sql(
+    "q14b_moving_avg",
+    """
+    SELECT custkey, orderkey,
+           CAST(SUM(CAST(FLOOR(totalprice * 100.0 + 0.5) AS BIGINT))
+                OVER (PARTITION BY custkey ORDER BY orderdate, orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / 100.0
+             / LEAST(ROW_NUMBER() OVER (PARTITION BY custkey
+                                        ORDER BY orderdate, orderkey), 3)
+             AS moving_avg_price
+    FROM (SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+                 o_orderdate AS orderdate, o_totalprice AS totalprice
+          FROM orders)
+    """,
+)

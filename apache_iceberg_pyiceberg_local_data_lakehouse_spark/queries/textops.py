@@ -390,3 +390,22 @@ def q4a_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "tok", tfidf.alias("tfidf"))
         .filter(F.col("tfidf") > 0)
     )
+
+
+@register("q45b_langid_ngram")  # rows-only: char-trigram profiles have no SQL twin
+def q45b_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-n-gram language ID (X4) over the corpus: per detected
+    language, doc count and mean confidence. Deterministic (argmax over
+    literal profiles); accuracy pinned by pytest on real sentences."""
+    from ..operators.langid import detect_language
+
+    d = load(spark, sf_dir, "documents")
+    out = detect_language(d)
+    return out.groupBy("detected_lang").agg(
+        F.count("*").alias("n_docs"),
+        (
+            F.sum(F.floor(F.col("lang_confidence") * 1_000_000.0 + 0.5).cast("long")).cast("double")
+            / 1_000_000.0
+            / F.count("*")
+        ).alias("avg_confidence"),
+    )
