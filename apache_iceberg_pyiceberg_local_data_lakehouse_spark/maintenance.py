@@ -75,6 +75,7 @@ def compact(
     table: LakehouseTable,
     target_file_bytes: int = 128 * 1024 * 1024,
     small_file_threshold: float = 0.5,
+    sort_by: list[str] | None = None,
 ) -> Snapshot | None:
     """Rewrite small data files into ~target-sized files.
 
@@ -82,7 +83,12 @@ def compact(
     target_file_bytes``, read just those through one Spark job,
     repartition to ceil(total_bytes / target) output files, write, and
     commit a ``replace`` snapshot keeping the untouched large files.
-    Old files remain referenced by historical snapshots until expiry."""
+    Old files remain referenced by historical snapshots until expiry.
+
+    ``sort_by`` clusters the rewrite (Iceberg's rewrite-with-sort-order):
+    a range-partition + within-file sort on the given columns makes each
+    output file's min/max stats narrow and disjoint, so manifest-level
+    skipping prunes point/range queries to ~one file instead of all."""
     snap = table.snapshot()
     small = [
         e for e in snap.manifest if e["bytes"] < target_file_bytes * small_file_threshold
@@ -93,7 +99,13 @@ def compact(
 
     total = sum(e["bytes"] for e in small)
     n_out = max(1, -(-total // target_file_bytes))
-    df = table.scan(file_filter=lambda e: e in small).repartition(int(n_out))
+    df = table.scan(file_filter=lambda e: e in small)
+    if sort_by:
+        df = df.repartitionByRange(int(n_out), *sort_by).sortWithinPartitions(
+            *sort_by
+        )
+    else:
+        df = df.repartition(int(n_out))
     new_entries = table._write_files(df, snap.partition_spec)
     return table.overwrite_manifest(
         large + new_entries,

@@ -301,12 +301,22 @@ class LakehouseTable:
                 )
         return entries
 
-    def append(self, df: DataFrame, max_retries: int = 5) -> Snapshot:
+    def append(
+        self, df: DataFrame, max_retries: int = 5, optimize_write: bool = False
+    ) -> Snapshot:
         """Append rows as a new snapshot (S5, reference
         ``lakehouse_pipeline.py:394``). Retries on commit conflict -
         appends are commutative, so the manifest is rebased and retried
-        like Iceberg's optimistic protocol."""
+        like Iceberg's optimistic protocol.
+
+        ``optimize_write=True`` hash-distributes rows by the partition
+        columns before writing (Iceberg's write.distribution-mode=hash):
+        each partition's rows land in few tasks instead of every task
+        writing a sliver of every partition - the difference between
+        O(partitions) and O(partitions x tasks) small files per append."""
         spec = self.partition_spec
+        if optimize_write and spec:
+            df = df.repartition(*[p.column() for p in spec])
         new_files = self._write_files(df, spec)
         for _ in range(max_retries):
             cur = self.snapshot()

@@ -203,3 +203,42 @@ def test_concurrent_appends_from_threads(catalog, spark):
     assert not errors
     assert t.to_df().count() == 50
     assert len(t.snapshots()) == 6  # create + 5 appends, distinct versions
+
+
+def test_optimized_write_reduces_files(catalog, spark):
+    """optimize_write hash-distributes by partition column: file count
+    drops from O(tasks x partitions) to O(partitions)."""
+    spec = [PartitionField("DateTime", "years", "DateTime_year")]
+    t1 = catalog.create_table("gold.noopt", TICK_SCHEMA, spec)
+    t2 = catalog.create_table("gold.opt", TICK_SCHEMA, spec)
+    # rows spanning 2 years, spread over 8 input partitions
+    df = tick_df(spark, year=2023, n=200).union(
+        tick_df(spark, year=2024, n=200)
+    ).repartition(8)
+    t1.append(df)
+    t2.append(df, optimize_write=True)
+    n1 = len(t1.snapshot().manifest)
+    n2 = len(t2.snapshot().manifest)
+    assert n2 < n1
+    assert t2.to_df().count() == 400
+
+
+def test_sorted_compaction_tightens_stats(catalog, spark):
+    """compact(sort_by): output files carry disjoint key ranges, so a
+    point-range file filter keeps ~1 file instead of all."""
+    t = catalog.create_table("gold.sorted", TICK_SCHEMA, [])
+    # 6 small appends with interleaved time ranges (bad clustering)
+    for i in range(6):
+        t.append(
+            tick_df(
+                spark, start=f"2024-01-0{i+1} 00:00:00", n=50, 
+            ).union(tick_df(spark, start=f"2024-02-0{i+1} 00:00:00", n=50)).coalesce(1)
+        )
+    snap = compact(t, target_file_bytes=8 * 1024, sort_by=["DateTime"])
+    assert snap is not None
+    entries = [e for e in t.snapshot().manifest if e["stats"].get("DateTime")]
+    assert len(entries) >= 2
+    ranges = sorted(tuple(e["stats"]["DateTime"]) for e in entries)
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint, sorted ranges
+    assert t.to_df().count() == 600
