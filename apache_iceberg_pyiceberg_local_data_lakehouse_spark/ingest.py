@@ -239,7 +239,8 @@ class IngestPipeline:
         clean = dedup_against_table(df, table, key="DateTime")  # J1
         n = clean.count()
         if n > 0:  # empty-append short-circuit (:388-392)
-            table.append(clean)  # S5
+            # hash-distributed write: O(partitions) files per append
+            table.append(clean, optimize_write=True)  # S5
         summary.files_processed += len(files)
         summary.rows_appended += n
         return n

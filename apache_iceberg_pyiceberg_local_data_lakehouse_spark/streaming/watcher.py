@@ -89,7 +89,7 @@ def stream_symbol(
         table = pipeline.catalog.ensure_table(table_id, df.schema, spec)
         clean = dedup_against_table(df, table, key="DateTime")
         if clean.count() > 0:
-            table.append(clean)
+            table.append(clean, optimize_write=True)
 
     writer = (
         stream.writeStream.foreachBatch(ingest_batch)
