@@ -593,3 +593,82 @@ def simhash_near_duplicates(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clusters: pairs -> connected components -> keeper selection
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Min-label propagation over the near-dup pair graph: every node
+    ends up labeled with the smallest id reachable from it. Returns
+    (id, cluster) for ALL nodes (singletons label themselves).
+
+    This is the step a real dedup pipeline needs between "similar pairs"
+    and "rows to keep": near-duplication is transitive in practice (A~B,
+    B~C => drop two of three), so keeper selection must run per
+    component, not per pair.
+
+    Plan shape: each iteration is one hash join (edges x labels) + one
+    min-agg - O(diameter) rounds, each a single shuffle. Label state
+    lives in a DataFrame, checkpoint-free; near-dup graphs have tiny
+    diameters (dense clusters), so 3-5 rounds converge. The driver-side
+    loop only checks a convergence count."""
+    labels = nodes.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("label")
+    ).localCheckpoint()
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .cache()
+    )
+    for _ in range(max_iter):
+        # 1-hop: min over neighbors' labels
+        neigh = (
+            edges.join(labels, edges.dst == labels.id)
+            .select(F.col("src").alias("id"), "label")
+        )
+        # pointer jump: label of my label (path halving -> O(log n) rounds
+        # even on long similarity chains)
+        lab2 = labels.select(F.col("id").alias("jid"), F.col("label").alias("jlabel"))
+        jumped = (
+            labels.join(lab2, labels.label == F.col("jid"))
+            .select("id", F.col("jlabel").alias("label"))
+        )
+        new_labels = (
+            labels.unionAll(neigh)
+            .unionAll(jumped)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            # truncate lineage: without this, each round's plan embeds all
+            # previous rounds and planning time grows superlinearly
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("cluster"))
+
+
+def dedup_keepers(
+    pairs: DataFrame, nodes: DataFrame, id_col: str, max_iter: int = 20
+) -> DataFrame:
+    """(id, cluster, is_keeper): keep exactly the min-id row per
+    near-dup component - the end-to-end X2 contract."""
+    cc = connected_components(pairs, nodes, id_col, max_iter)
+    return cc.select(
+        "id", "cluster", (F.col("id") == F.col("cluster")).alias("is_keeper")
+    )

@@ -409,3 +409,57 @@ def q45b_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*")
         ).alias("avg_confidence"),
     )
+
+
+@register(
+    "q4c_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE
+    toks AS (
+      SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS c
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT ia AS id_a, ib AS id_b
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.ia
+      JOIN sizes sb ON sb.doc_id = i.ib
+      WHERE CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) >= 0.95
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION ALL
+      SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    cc(id, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.s, cc.label FROM cc JOIN edges e ON cc.id = e.d
+      WHERE cc.label < e.s
+    )
+    SELECT id AS doc_id, MIN(label) AS cluster,
+           (MIN(label) = id) AS is_keeper
+    FROM cc
+    GROUP BY id
+    """,
+)
+def q4c_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete X2 contract: near-dup pairs -> connected components
+    -> one keeper per cluster. Near-duplication is transitive in practice
+    (A~B, B~C => keep one of three), so keeper selection must run per
+    component. Spark: iterative min-label propagation (one hash join per
+    round, O(cluster diameter) rounds); oracle: recursive CTE transitive
+    closure over the exact jaccard-0.95 graph."""
+    from ..operators.dedup import dedup_keepers, exact_jaccard_pairs
+
+    d = load(spark, sf_dir, "documents")
+    pairs = exact_jaccard_pairs(d, "text", "doc_id", threshold=0.95)
+    return dedup_keepers(pairs, d.select("doc_id"), "doc_id").select(
+        F.col("id").alias("doc_id"), "cluster", "is_keeper"
+    )

@@ -453,3 +453,20 @@ def test_resize_images_plumbing(spark, sf_small):
     for r in out:
         assert (r["target_w"], r["target_h"]) == (224, 224)
         assert len(r["resized"]) == expected
+
+
+def test_connected_components_and_keepers(spark):
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.dedup import (
+        connected_components,
+        dedup_keepers,
+    )
+
+    # components: {1,2,3,4} (chain), {10,11}, singleton {99}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 99]], "id long")
+    cc = {r["id"]: r["cluster"] for r in connected_components(pairs, nodes, "id").collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
+    keep = {r["id"]: r["is_keeper"] for r in dedup_keepers(pairs, nodes, "id").collect()}
+    assert keep == {1: True, 2: False, 3: False, 4: False, 10: True, 11: False, 99: True}
