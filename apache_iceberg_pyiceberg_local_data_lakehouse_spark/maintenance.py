@@ -31,8 +31,15 @@ def expire_snapshots(
     older_than_ms: int | None = None,
     retain_last: int = MIN_SNAPSHOTS_TO_KEEP,
     delete_orphan_files: bool = True,
+    orphan_grace_secs: float = 3600.0,
 ) -> dict:
     """Expire old snapshot metadata and GC unreferenced data files.
+
+    ``orphan_grace_secs``: unreferenced files younger than this are left
+    alone - a concurrent append writes its data files BEFORE committing
+    the snapshot that references them, so freshly-written orphans may be
+    in-flight commits, not garbage (same grace discipline as Iceberg's
+    remove_orphan_files). Tests pass 0 to force immediate GC.
 
     Returns a summary dict (expired snapshot count, deleted file count)
     mirroring the reference's per-run bookkeeping."""
@@ -57,13 +64,20 @@ def expire_snapshots(
     deleted_files = 0
     if delete_orphan_files:
         referenced = table.referenced_files()
+        now = time.time()
         for root, _dirs, files in os.walk(table.data_dir):
             for fn in files:
                 fpath = os.path.join(root, fn)
                 rel = os.path.relpath(fpath, table.location)
-                if fn.endswith(".parquet") and rel not in referenced:
+                if not fn.endswith(".parquet") or rel in referenced:
+                    continue
+                try:
+                    if now - os.path.getmtime(fpath) < orphan_grace_secs:
+                        continue  # possible in-flight commit
                     os.remove(fpath)
                     deleted_files += 1
+                except FileNotFoundError:
+                    pass  # another process GC'd it first
     return {
         "expired_snapshots": len(expired),
         "deleted_files": deleted_files,

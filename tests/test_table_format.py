@@ -242,3 +242,28 @@ def test_sorted_compaction_tightens_stats(catalog, spark):
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2  # disjoint, sorted ranges
     assert t.to_df().count() == 600
+
+
+def test_orphan_gc_respects_grace_period(catalog, spark, tmp_path):
+    """Unreferenced files younger than the grace period survive GC (they
+    may belong to an in-flight commit); grace=0 deletes them."""
+    t = catalog.create_table("gold.grace", TICK_SCHEMA, [])
+    t.append(tick_df(spark, n=10))
+    # simulate an in-flight append: data file on disk, no snapshot yet
+    orphan = os.path.join(t.data_dir, "inflight", "part-0.parquet")
+    os.makedirs(os.path.dirname(orphan))
+    import shutil as sh
+
+    src = next(
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(t.data_dir)
+        for f in fs
+        if f.endswith(".parquet") and "inflight" not in r
+    )
+    sh.copy(src, orphan)
+
+    expire_snapshots(t, older_than_ms=0, retain_last=2)  # default grace 1h
+    assert os.path.exists(orphan)  # young orphan protected
+    expire_snapshots(t, older_than_ms=0, retain_last=2, orphan_grace_secs=0)
+    assert not os.path.exists(orphan)  # grace waived -> GC'd
+    assert t.to_df().count() == 10
