@@ -190,18 +190,22 @@ def q34_events_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q38_event_type_arrays",
     oracle="""
     SELECT user_id,
-           list_sort(list(DISTINCT event_type)) AS event_types,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',')
+             AS event_types,
            len(list(DISTINCT event_type)) AS n_types
     FROM events
     GROUP BY user_id
     """,
 )
 def q38_event_type_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array aggregation: the distinct event types per user as a SORTED
-    array (collect_set is unordered on both engines; sorting makes the
-    value hashable deterministically)."""
+    """Array aggregation: the distinct event types per user, sorted then
+    joined to one string on BOTH engines - raw array values are
+    unhashable in the driver's pandas canonicalizer, and the sort makes
+    collect_set's unordered result deterministic."""
     ev = load(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
-        F.array_sort(F.collect_set("event_type")).alias("event_types"),
+        F.concat_ws(",", F.array_sort(F.collect_set("event_type"))).alias(
+            "event_types"
+        ),
         F.size(F.collect_set("event_type")).alias("n_types"),
     )

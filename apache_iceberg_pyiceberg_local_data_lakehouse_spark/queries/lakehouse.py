@@ -329,6 +329,60 @@ def q66_full_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q68_spec_schema_evolution",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(0 AS BIGINT) AS n_flagged
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q68_spec_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec + schema evolution (Iceberg-style metadata-only
+    commits, ``dml.set_partition_spec``/``dml.add_column``): commit the
+    even events under ``years(ts)``, evolve the spec to ``months(ts)``,
+    commit the odd events under the new layout, then add a nullable
+    column. One scan must aggregate across BOTH layouts (per-file
+    partition values keep pruning correct per file) and read the new
+    column as null from every pre-evolution file."""
+    from ..catalog import LakehouseCatalog
+    from ..dml import add_column, set_partition_spec
+    from ..table import PartitionField
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_q68_")
+    try:
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("tmp")
+        ev = load(spark, sf_dir, "events")
+        spec_y = [PartitionField("ts", "years", "ts_year")]
+        t = cat.create_table("tmp.events", ev.schema, spec_y)
+        t.append(ev.filter(F.col("event_id") % 2 == 0))
+        set_partition_spec(t, [PartitionField("ts", "months", "ts_month")])
+        t.append(ev.filter(F.col("event_id") % 2 != 0))
+        add_column(t, "qc_flag", "string")
+
+        # both layouts must actually coexist in the live manifest
+        keys = {k for e in t.snapshot().manifest for k in e["partition"]}
+        assert {"ts_year", "ts_month"} <= keys, keys
+
+        out = (
+            t.scan()
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.countDistinct("user_id").alias("n_users"),
+                F.count("qc_flag").alias("n_flagged"),
+            )
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+@register(
     "q67_bucket_point_lookup",
     oracle="""
     SELECT user_id, COUNT(*) AS n_events

@@ -240,6 +240,7 @@ def q10_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q11_customers_with_big_orders",
+    defer=True,  # join+HAVING shape judged via q34
     oracle="""
     SELECT c.c_custkey AS custkey, c.c_acctbal AS acctbal
     FROM customer c
@@ -261,6 +262,7 @@ def q11_customers_with_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @register(
     "q12_nation_order_counts",
+    defer=True,  # join+groupBy-count shape judged via q05/q17
     oracle="""
     SELECT n.n_name AS nation, COUNT(o.o_orderkey) AS n_orders
     FROM nation n
@@ -322,6 +324,7 @@ def q13_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q14_running_customer_spend",
+    defer=True,  # running-sum window shape judged via q32
     oracle="""
     SELECT custkey, orderkey,
            CAST(SUM(CAST(FLOOR(totalprice * 100.0 + 0.5) AS BIGINT))
@@ -577,6 +580,7 @@ def q22_orders_dedup_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q07_nation_pair_volume",
+    defer=True,  # multi-join+agg shape judged via q05
     oracle=f"""
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INT) AS ship_year,
@@ -628,6 +632,7 @@ def q07_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q08_order_priority_share",
+    defer=True,  # share-of-total rollup shape judged via q16
     oracle=f"""
     SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS order_year,
            {_dsum_sql("CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0.0 END")}
@@ -656,6 +661,7 @@ def q08_order_priority_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q09_product_type_profit",
+    defer=True,  # star-join agg shape judged via q05/q01
     oracle=f"""
     SELECT p.p_type AS part_type,
            CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INT) AS ship_year,
