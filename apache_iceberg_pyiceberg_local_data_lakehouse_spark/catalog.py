@@ -56,10 +56,22 @@ class LakehouseCatalog:
             raise ValueError(f"identifier must be namespace.table: {identifier}")
         return os.path.join(self.warehouse, namespace, name)
 
-    def table_exists(self, identifier: str) -> bool:
-        return os.path.exists(
-            os.path.join(self._table_location(identifier), "metadata", "v0.json")
+    @staticmethod
+    def _has_metadata(location: str) -> bool:
+        """A table exists iff ANY snapshot version file remains. Anchoring
+        on ``v0.json`` specifically is a data-loss hazard: snapshot expiry
+        may legitimately remove version 0 once it ages past the retention
+        floor, and a v0-anchored existence check would then make
+        ``ensure_table`` re-create an empty table over live data."""
+        meta = os.path.join(location, "metadata")
+        if not os.path.isdir(meta):
+            return False
+        return any(
+            n.startswith("v") and n.endswith(".json") for n in os.listdir(meta)
         )
+
+    def table_exists(self, identifier: str) -> bool:
+        return self._has_metadata(self._table_location(identifier))
 
     def create_table(
         self,
@@ -104,7 +116,7 @@ class LakehouseCatalog:
 
     def load_table(self, identifier: str) -> LakehouseTable:
         loc = self._table_location(identifier)
-        if not os.path.exists(os.path.join(loc, "metadata", "v0.json")):
+        if not self._has_metadata(loc):
             raise NoSuchTableError(identifier)
         return LakehouseTable(self.spark, loc)
 
@@ -115,7 +127,7 @@ class LakehouseCatalog:
         return sorted(
             f"{namespace}.{d}"
             for d in os.listdir(ns_dir)
-            if os.path.exists(os.path.join(ns_dir, d, "metadata", "v0.json"))
+            if self._has_metadata(os.path.join(ns_dir, d))
         )
 
     def drop_table(self, identifier: str) -> None:

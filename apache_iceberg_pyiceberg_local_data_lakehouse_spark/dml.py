@@ -44,12 +44,11 @@ def _gt(a, b) -> bool:
 
 
 def _overlapping_entries(
-    table: LakehouseTable, key: str, key_min, key_max
+    snap: Snapshot, key: str, key_min, key_max
 ) -> tuple[list[dict], list[dict]]:
-    """Split the current manifest into (touched, untouched) by overlap of
+    """Split a snapshot's manifest into (touched, untouched) by overlap of
     the file's [min,max] stats for ``key`` with [key_min, key_max]."""
     key_min, key_max = _norm_bound(key_min), _norm_bound(key_max)
-    snap = table.snapshot()
     touched, untouched = [], []
     for e in snap.manifest:
         stats = e.get("stats", {}).get(key)
@@ -74,12 +73,13 @@ def delete_where(table: LakehouseTable, predicate: Column) -> Snapshot:
     need predicate analysis; the common key-range case goes through
     ``merge_into``'s pruning instead.)"""
     snap = table.snapshot()
-    survivors = table.scan().filter(~predicate)
+    survivors = table.scan(snapshot=snap).filter(~predicate)
     new_entries = table._write_files(survivors, snap.partition_spec)
     return table.overwrite_manifest(
         new_entries,
         operation="delete",
         summary={"deleted_predicate": str(predicate._jc)},
+        base_version=snap.version,
     )
 
 
@@ -103,10 +103,12 @@ def merge_into(
     bounds = updates.agg(
         F.min(key).alias("lo"), F.max(key).alias("hi")
     ).collect()[0]
-    touched, untouched = _overlapping_entries(table, key, bounds["lo"], bounds["hi"])
+    # one snapshot read anchors BOTH the manifest split and the commit's
+    # base version - a second read could silently skip a concurrent append
     snap = table.snapshot()
+    touched, untouched = _overlapping_entries(snap, key, bounds["lo"], bounds["hi"])
 
-    touched_df = table.scan(file_filter=lambda e: e in touched)
+    touched_df = table.scan(snapshot=snap, file_filter=lambda e: e in touched)
     if when_matched == "update":
         kept = touched_df.join(updates.select(key), on=key, how="left_anti")
         incoming = updates
@@ -125,6 +127,7 @@ def merge_into(
             "carried_files": len(untouched),
             "mode": when_matched,
         },
+        base_version=snap.version,
     )
 
 

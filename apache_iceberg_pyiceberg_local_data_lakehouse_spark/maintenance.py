@@ -31,7 +31,7 @@ def expire_snapshots(
     older_than_ms: int | None = None,
     retain_last: int = MIN_SNAPSHOTS_TO_KEEP,
     delete_orphan_files: bool = True,
-    orphan_grace_secs: float = 3600.0,
+    orphan_grace_secs: float = 86400.0,
 ) -> dict:
     """Expire old snapshot metadata and GC unreferenced data files.
 
@@ -39,7 +39,9 @@ def expire_snapshots(
     alone - a concurrent append writes its data files BEFORE committing
     the snapshot that references them, so freshly-written orphans may be
     in-flight commits, not garbage (same grace discipline as Iceberg's
-    remove_orphan_files). Tests pass 0 to force immediate GC.
+    remove_orphan_files; default 24 h - a distributed write phase can
+    legitimately run for hours before its commit). Tests pass 0 to force
+    immediate GC.
 
     Returns a summary dict (expired snapshot count, deleted file count)
     mirroring the reference's per-run bookkeeping."""
@@ -121,6 +123,8 @@ def compact(
     else:
         df = df.repartition(int(n_out))
     new_entries = table._write_files(df, snap.partition_spec)
+    # base_version: a concurrent append between our manifest read and this
+    # commit would otherwise be silently dropped from the rewritten set
     return table.overwrite_manifest(
         large + new_entries,
         operation="replace",
@@ -129,4 +133,5 @@ def compact(
             "new_files": len(new_entries),
             "rewritten_bytes": total,
         },
+        base_version=snap.version,
     )

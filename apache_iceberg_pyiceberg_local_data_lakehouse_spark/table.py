@@ -170,7 +170,9 @@ class LakehouseTable:
     def current_version(self) -> int:
         """Highest committed version. The hint file is a fast path; the
         directory listing is authoritative (hint update is not part of the
-        atomic commit)."""
+        atomic commit). Must stay correct when EARLY versions (including
+        v0) have been expired: only the walk-up from the hint plus a
+        directory-scan fallback - never an assumption that v0 exists."""
         hint = os.path.join(self.metadata_dir, "version-hint.text")
         v = 0
         if os.path.exists(hint):
@@ -180,8 +182,20 @@ class LakehouseTable:
                 v = 0
         while os.path.exists(self._version_path(v + 1)):
             v += 1
-        if v == 0 and not os.path.exists(self._version_path(0)):
-            raise FileNotFoundError(f"no table at {self.location}")
+        if not os.path.exists(self._version_path(v)):
+            # hint stale/corrupt and the walk-up anchor is expired:
+            # the listing is the source of truth
+            versions = []
+            if os.path.isdir(self.metadata_dir):
+                for name in os.listdir(self.metadata_dir):
+                    if name.startswith("v") and name.endswith(".json"):
+                        try:
+                            versions.append(int(name[1:-5]))
+                        except ValueError:
+                            pass
+            if not versions:
+                raise FileNotFoundError(f"no table at {self.location}")
+            v = max(versions)
         return v
 
     def snapshot(self, version: int | None = None) -> Snapshot:
@@ -342,10 +356,26 @@ class LakehouseTable:
         raise CommitConflict(f"append to {self.location} failed after retries")
 
     def overwrite_manifest(
-        self, manifest: list[dict], operation: str, summary: dict | None = None
+        self,
+        manifest: list[dict],
+        operation: str,
+        summary: dict | None = None,
+        base_version: int | None = None,
     ) -> Snapshot:
-        """Replace the file set wholesale (compaction / rewrite)."""
+        """Replace the file set wholesale (compaction / rewrite).
+
+        ``base_version`` is the version the caller DERIVED the manifest
+        from. Unlike appends (commutative, rebase-and-retry), a rewrite
+        computed against version N is invalid once any other writer
+        committed N+1 - blindly committing would silently drop that
+        writer's files. Iceberg's validation semantics: raise
+        ``CommitConflict`` and let the caller re-read and redo."""
         cur = self.snapshot()
+        if base_version is not None and cur.version != base_version:
+            raise CommitConflict(
+                f"rewrite based on v{base_version} but table is at "
+                f"v{cur.version}; re-read and retry"
+            )
         snap = Snapshot(
             snapshot_id=uuid.uuid4().hex,
             version=cur.version + 1,
@@ -425,7 +455,13 @@ def year_prune(column: str, year_min: int | None = None, year_max: int | None = 
     def keep(entry: dict) -> bool:
         y = entry.get("partition", {}).get(f"{column}_year")
         if y is not None:
-            y = int(y)
+            try:
+                y = int(y)
+            except (TypeError, ValueError):
+                # null partition keys land in __HIVE_DEFAULT_PARTITION__
+                # (admitted by the <=5% null QC gate): not prunable, the
+                # file may hold rows of any year
+                return True
             if year_min is not None and y < year_min:
                 return False
             if year_max is not None and y > year_max:
@@ -455,7 +491,12 @@ def bucket_prune(field: "PartitionField", value) -> "callable":
 
         def keep(entry: dict) -> bool:
             b = entry.get("partition", {}).get(name)
-            return b is None or int(b) == bucket_id
+            if b is None:
+                return True
+            try:
+                return int(b) == bucket_id
+            except (TypeError, ValueError):
+                return True  # __HIVE_DEFAULT_PARTITION__ etc: unprunable
 
         return keep
 

@@ -1,0 +1,138 @@
+"""Regression tests for the correctness hazards around metadata lifecycle:
+
+- expiring snapshot v0 must NOT make the table "disappear" (a v0-anchored
+  existence check would let ``ensure_table`` re-create an empty table over
+  live data on the next ingest run);
+- a manifest rewrite (compaction / DML) derived from version N must
+  conflict, not silently drop a concurrent append committed at N+1;
+- partition pruning must treat null-partition files
+  (``__HIVE_DEFAULT_PARTITION__``) as unprunable instead of crashing.
+
+Each of these failed before the fix (v0-anchored ``table_exists``,
+unvalidated ``overwrite_manifest``, ``int()`` on partition values).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache_iceberg_pyiceberg_local_data_lakehouse_spark.catalog import (
+    LakehouseCatalog,
+)
+from apache_iceberg_pyiceberg_local_data_lakehouse_spark.maintenance import (
+    compact,
+    expire_snapshots,
+)
+from apache_iceberg_pyiceberg_local_data_lakehouse_spark.table import (
+    CommitConflict,
+    PartitionField,
+    year_prune,
+)
+from tests.test_table_format import TICK_SCHEMA, tick_df
+
+
+@pytest.fixture
+def catalog(spark, tmp_path):
+    return LakehouseCatalog(spark, str(tmp_path / "warehouse"))
+
+
+def test_expiring_v0_does_not_reset_table(catalog, spark, tmp_path):
+    """Expire everything but the newest 2 snapshots (v0 included), then
+    touch the table again through a FRESH catalog handle - existence,
+    loading, and ensure_table must all still see the live table."""
+    catalog.create_namespace("gold")
+    t = catalog.create_table("gold.ticks", TICK_SCHEMA)
+    for year in (2020, 2021, 2022):
+        t.append(tick_df(spark, year=year, n=5))
+    # versions 0..3; protect newest 2 only, cutoff in the far future
+    res = expire_snapshots(
+        t, older_than_ms=(1 << 62), retain_last=2, orphan_grace_secs=0
+    )
+    assert res["expired_snapshots"] == 2  # v0 (create) and v1
+    remaining = {s.version for s in t.snapshots()}
+    assert 0 not in remaining and remaining == {2, 3}
+
+    fresh = LakehouseCatalog(spark, str(tmp_path / "warehouse"))
+    assert fresh.table_exists("gold.ticks")
+    assert fresh.list_tables("gold") == ["gold.ticks"]
+    assert fresh.load_table("gold.ticks").to_df().count() == 15
+    # the ingest path's create-if-absent must load, not re-create
+    t2 = fresh.ensure_table("gold.ticks", TICK_SCHEMA)
+    assert t2.to_df().count() == 15
+    assert t2.current_version() == 3
+
+
+def test_current_version_survives_stale_hint_and_expired_v0(catalog, spark):
+    """Walk-up anchored at an expired version must fall back to the
+    directory listing instead of raising or resetting."""
+    import os
+
+    catalog.create_namespace("gold")
+    t = catalog.create_table("gold.ticks", TICK_SCHEMA)
+    for year in (2020, 2021, 2022):
+        t.append(tick_df(spark, year=year, n=3))
+    expire_snapshots(t, older_than_ms=(1 << 62), retain_last=2, orphan_grace_secs=0)
+    os.remove(os.path.join(t.metadata_dir, "version-hint.text"))
+    assert t.current_version() == 3
+
+
+def test_rewrite_conflicts_with_concurrent_append(catalog, spark):
+    """Compaction derived from version N must raise CommitConflict when an
+    append lands at N+1 mid-rewrite - not silently drop the new files."""
+    catalog.create_namespace("gold")
+    t = catalog.create_table("gold.ticks", TICK_SCHEMA)
+    for year in (2020, 2021, 2022):
+        t.append(tick_df(spark, year=year, n=4).coalesce(1))
+    snap = t.snapshot()
+    small = snap.manifest  # all files are tiny: compact everything
+    rewritten = t._write_files(
+        t.scan(snapshot=snap).repartition(1), snap.partition_spec
+    )
+    # a concurrent append commits while the rewrite job runs
+    t.append(tick_df(spark, year=2023, n=4))
+    with pytest.raises(CommitConflict):
+        t.overwrite_manifest(
+            rewritten, operation="replace", base_version=snap.version
+        )
+    # nothing lost: the concurrent append's rows are all present
+    assert t.to_df().count() == 16
+    # and the retried compaction (re-read base) succeeds
+    assert compact(t, target_file_bytes=64 * 1024 * 1024) is not None
+    assert t.to_df().count() == 16
+
+
+def test_year_prune_handles_null_partition_values(catalog, spark):
+    """Rows with null DateTime (admitted by the <=5% null QC gate) land in
+    __HIVE_DEFAULT_PARTITION__; a pruned scan must keep that file as
+    unprunable rather than raise ValueError."""
+    catalog.create_namespace("gold")
+    spec = [PartitionField("DateTime", "years", "DateTime_year")]
+    t = catalog.create_table("gold.ticks", TICK_SCHEMA, spec)
+    with_null = tick_df(spark, year=2024, n=20).unionByName(
+        spark.createDataFrame([(None, 1.5, 1.6)], TICK_SCHEMA)
+    )
+    t.append(with_null)
+    parts = {
+        e["partition"].get("DateTime_year") for e in t.snapshot().manifest
+    }
+    assert "__HIVE_DEFAULT_PARTITION__" in parts, parts
+
+    pruned = t.scan(file_filter=year_prune("DateTime", year_min=2024))
+    assert pruned.count() == 21  # null-partition file kept, no crash
+    # pruning away 2024 still keeps the (unprunable) null file only
+    off_range = t.scan(file_filter=year_prune("DateTime", year_max=2000))
+    assert off_range.filter(F.col("DateTime").isNull()).count() == 1
+
+
+def test_bucket_prune_handles_non_numeric_partition(catalog, spark):
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.table import (
+        bucket_prune,
+    )
+
+    f = PartitionField("user_id", "bucket", "user_bucket", n_buckets=8)
+    keep = bucket_prune(f, 42)(3)
+    assert keep({"partition": {"user_bucket": "3"}})
+    assert not keep({"partition": {"user_bucket": "5"}})
+    assert keep({"partition": {"user_bucket": "__HIVE_DEFAULT_PARTITION__"}})
+    assert keep({"partition": {}})
