@@ -129,17 +129,25 @@ class IngestPipeline:
 
     # -- ledger (ST2 exactly-once per file content) --------------------------
 
-    def ingested(self) -> dict[str, str]:
-        """Current path->checksum map: latest entry per path wins."""
+    def ledger_latest(self):
+        """Current (path, checksum) ledger state as a DataFrame: latest
+        entry per path wins. Stays distributed - the scale path anti-joins
+        against this instead of collecting it."""
         df = self._ledger.to_df()
         w = Window.partitionBy("path").orderBy(F.desc("ingested_at"))
-        rows = (
+        return (
             df.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("path", "checksum")
-            .collect()
         )
-        return {r["path"]: r["checksum"] for r in rows}
+
+    def ingested(self) -> dict[str, str]:
+        """Ledger as a driver dict - reference-parity helper for the
+        ``per_file`` mode and tests; the batch path never materializes
+        this (millions of files would not fit a driver dict)."""
+        return {
+            r["path"]: r["checksum"] for r in self.ledger_latest().collect()
+        }
 
     def _record_ledger(self, entries: list[tuple[str, str]]) -> None:
         if not entries:
@@ -157,9 +165,15 @@ class IngestPipeline:
         ``lakehouse_scheduler.py --now``).
 
         ``per_file=False`` (default): batch all new files per symbol into
-        one DataFrame - the scale path.
+        one DataFrame - the scale path. Change detection is one
+        distributed job per symbol (binaryFile + md5 anti-joined against
+        the ledger table); only the NEW files' (path, checksum) pairs
+        reach the driver, and their checksums are reused for the ledger
+        write - no per-file driver hashing anywhere.
         ``per_file=True``: reference-parity mode - QC accepts/rejects each
-        file independently (a bad file doesn't poison its siblings).
+        file independently (a bad file doesn't poison its siblings) and
+        the md5 runs file-by-file on the driver exactly like the
+        reference (``lakehouse_pipeline.py:350-357``).
         """
         t0 = time.time()
         summary = RunSummary(run_id=time.strftime("%Y%m%d_%H%M%S"))
@@ -168,33 +182,54 @@ class IngestPipeline:
             summary.duration_secs = time.time() - t0
             return summary
 
-        ledger = self.ingested()
+        ledger = self.ingested() if per_file else None
+        ledger_df = None if per_file else self.ledger_latest()
         ledger_updates: list[tuple[str, str]] = []
 
         symbols = sorted(p for p in root.iterdir() if p.is_dir())
         for symbol_dir in symbols:
             table_id = f"{self.namespace}.{symbol_dir.name.lower()}"  # :330-331
-            files = sorted(symbol_dir.rglob("*.parquet"))  # :343 (S2)
-            new_files: list[Path] = []
-            for pfile in files:
-                checksum = file_checksum(pfile)
-                if ledger.get(str(pfile)) == checksum:  # :352-357
-                    summary.files_skipped += 1
-                    continue
-                new_files.append(pfile)
-            if not new_files:
+            if per_file:
+                files = sorted(symbol_dir.rglob("*.parquet"))  # :343 (S2)
+                new_entries: list[tuple[str, str]] = []
+                for pfile in files:
+                    path = os.path.abspath(str(pfile))
+                    checksum = file_checksum(pfile)
+                    if ledger.get(path) == checksum:  # :352-357
+                        summary.files_skipped += 1
+                        continue
+                    new_entries.append((path, checksum))
+            else:
+                from .sources.files import file_checksums
+
+                checks = file_checksums(self.spark, str(symbol_dir))
+                seen = ledger_df.withColumn("__seen", F.lit(1))
+                rows = (
+                    checks.join(seen, on=["path", "checksum"], how="left")
+                    .select("path", "checksum", "__seen")
+                    .collect()
+                )
+                summary.files_skipped += sum(
+                    1 for r in rows if r["__seen"] is not None
+                )
+                new_entries = sorted(
+                    (r["path"], r["checksum"])
+                    for r in rows
+                    if r["__seen"] is None
+                )
+            if not new_entries:
                 continue
             summary.tables_processed += 1
 
             groups = (
-                [[f] for f in new_files] if per_file else [new_files]
+                [[e] for e in new_entries] if per_file else [new_entries]
             )
             for group in groups:
-                appended = self._ingest_files(table_id, group, summary)
+                appended = self._ingest_files(
+                    table_id, [p for p, _ in group], summary
+                )
                 if appended is not None:
-                    ledger_updates.extend(
-                        (str(f), file_checksum(f)) for f in group
-                    )
+                    ledger_updates.extend(group)
 
             # M2 snapshot expiry per table (:401-405)
             try:
@@ -215,16 +250,15 @@ class IngestPipeline:
         return summary
 
     def _ingest_files(
-        self, table_id: str, files: list[Path], summary: RunSummary
+        self, table_id: str, paths: list[str], summary: RunSummary
     ) -> int | None:
         """normalize -> QC -> ensure table -> dedup -> append for one batch.
         Returns rows appended, or None if the batch was rejected."""
-        paths = [str(f) for f in files]
         df = normalize(self.spark.read.parquet(*paths))  # S1 + F1/F2
 
         report: QualityReport = check_quality(df)  # P6/P7, A1/A2/A4/A5
         if not report.ok:
-            summary.files_rejected += len(files)
+            summary.files_rejected += len(paths)
             summary.quality_issues.extend(
                 f"{table_id}:{os.path.basename(paths[0])}: {i}" for i in report.issues
             )
@@ -241,7 +275,7 @@ class IngestPipeline:
         if n > 0:  # empty-append short-circuit (:388-392)
             # hash-distributed write: O(partitions) files per append
             table.append(clean, optimize_write=True)  # S5
-        summary.files_processed += len(files)
+        summary.files_processed += len(paths)
         summary.rows_appended += n
         return n
 

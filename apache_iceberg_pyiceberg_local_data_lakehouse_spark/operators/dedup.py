@@ -137,7 +137,10 @@ def exact_jaccard_pairs(
         F.col(id_col).alias("__id"),
         F.array_sort(F.array_distinct(F.split(F.col(text_col), " "))).alias("toks"),
     )
-    toks = sets.select("__id", F.explode("toks").alias("tok"))
+    # cache the exploded (id, token) pairs: ONE tokenization pass feeds
+    # both the vocab probe and the mask build (previously each ran its
+    # own split/explode over the corpus)
+    toks = sets.select("__id", F.explode("toks").alias("tok")).cache()
     # one bounded pass decides the strategy AND materializes the
     # dictionary: collect at most max+1 distinct tokens (the dictionary
     # is driver-sized by definition of the bitmap path)

@@ -38,14 +38,27 @@ def list_symbol_dirs(source_root: str) -> list[str]:
     )
 
 
-def file_checksums(spark: SparkSession, glob: str) -> DataFrame:
+def file_checksums(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.parquet",
+    recursive: bool = True,
+) -> DataFrame:
     """S12 at scale: distributed md5 of file contents via the binaryFile
-    source - returns (path, length, modificationTime, checksum)."""
+    source - returns (path, length, modificationTime, checksum). The md5
+    matches the reference's md5-of-bytes exactly
+    (``lakehouse_pipeline.py:122-128``), but runs on executors: the
+    ingest change-detection anti-join consumes this instead of a
+    sequential driver hash loop. ``path`` is normalized from Spark's
+    ``file:`` URI back to a plain filesystem path so it joins against
+    ledger entries recorded by any mode."""
     return (
         spark.read.format("binaryFile")
-        .load(glob)
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", str(recursive).lower())
+        .load(path)
         .select(
-            "path",
+            F.regexp_replace(F.col("path"), "^file:/+", "/").alias("path"),
             "length",
             "modificationTime",
             F.md5(F.col("content")).alias("checksum"),

@@ -248,15 +248,20 @@ class LakehouseTable:
 
     # -- write path ---------------------------------------------------------
 
+    # below this file count, per-file footer reads run inline on the
+    # driver (a Spark job's scheduling overhead would dominate)
+    _STATS_JOB_THRESHOLD = 16
+
     def _write_files(self, df: DataFrame, spec: list[PartitionField]) -> list[dict]:
         """Write a DataFrame as parquet data files + collect per-file
         manifest entries (rows, per-column min/max, partition values).
 
-        The data write is a distributed Spark job; stats collection reads
-        only parquet footers (driver-side, metadata-only - same division
-        of labor as an Iceberg commit)."""
-        import pyarrow.parquet as pq
-
+        The data write is a distributed Spark job. Stats come from
+        parquet FOOTERS only (never a data re-scan); for commits beyond a
+        handful of files the footer reads also run as a Spark job over
+        the file list - at O(10^4) files per commit a sequential driver
+        loop would serialize the commit path, exactly the bottleneck an
+        Iceberg writer avoids by collecting stats in the write tasks."""
         batch_dir = os.path.join(self.data_dir, uuid.uuid4().hex[:12])
         out = df
         part_cols = []
@@ -269,8 +274,8 @@ class LakehouseTable:
             writer = writer.partitionBy(*part_cols)
         writer.parquet(batch_dir)
 
-        entries: list[dict] = []
-        stat_cols = {f.name for f in df.schema.fields}
+        # cheap driver-side listing: one readdir per partition directory
+        tasks: list[tuple[str, dict[str, Any]]] = []
         for root, _dirs, files in os.walk(batch_dir):
             # partition values encoded in the directory path by Spark
             rel = os.path.relpath(root, batch_dir)
@@ -281,38 +286,20 @@ class LakehouseTable:
                         k, v = seg.split("=", 1)
                         pvals[k.removeprefix("_p_")] = v
             for fn in files:
-                if not fn.endswith(".parquet"):
-                    continue
-                fpath = os.path.join(root, fn)
-                meta = pq.ParquetFile(fpath)
-                stats: dict[str, Any] = {}
-                fmeta = meta.metadata
-                for rg in range(fmeta.num_row_groups):
-                    for ci in range(fmeta.num_columns):
-                        col = fmeta.row_group(rg).column(ci)
-                        name = col.path_in_schema
-                        if name not in stat_cols or col.statistics is None:
-                            continue
-                        st = col.statistics
-                        if not st.has_min_max:
-                            continue
-                        mn, mx = _stat_val(st.min), _stat_val(st.max)
-                        if name in stats:
-                            stats[name] = [
-                                min(stats[name][0], mn),
-                                max(stats[name][1], mx),
-                            ]
-                        else:
-                            stats[name] = [mn, mx]
-                entries.append(
-                    {
-                        "path": os.path.relpath(fpath, self.location),
-                        "rows": fmeta.num_rows,
-                        "bytes": os.path.getsize(fpath),
-                        "partition": pvals,
-                        "stats": stats,
-                    }
-                )
+                if fn.endswith(".parquet"):
+                    tasks.append((os.path.join(root, fn), pvals))
+
+        stat_cols = {f.name for f in df.schema.fields}
+        location = self.location
+        if len(tasks) >= self._STATS_JOB_THRESHOLD:
+            sc = self.spark.sparkContext
+            entries = (
+                sc.parallelize(tasks, min(len(tasks), 64))
+                .map(lambda t: _footer_entry(t[0], t[1], stat_cols, location))
+                .collect()
+            )
+        else:
+            entries = [_footer_entry(f, p, stat_cols, location) for f, p in tasks]
         return entries
 
     def append(
@@ -432,6 +419,40 @@ class LakehouseTable:
 
     def delete_metadata_version(self, version: int) -> None:
         os.remove(self._version_path(version))
+
+
+def _footer_entry(
+    fpath: str, pvals: dict[str, Any], stat_cols: set[str], location: str
+) -> dict[str, Any]:
+    """One manifest entry from one parquet footer. Module-level (not a
+    method) so Spark can ship it to executors for distributed stats
+    collection on large commits; runs identically inline on the driver
+    for small ones."""
+    import pyarrow.parquet as pq
+
+    fmeta = pq.ParquetFile(fpath).metadata
+    stats: dict[str, Any] = {}
+    for rg in range(fmeta.num_row_groups):
+        for ci in range(fmeta.num_columns):
+            col = fmeta.row_group(rg).column(ci)
+            name = col.path_in_schema
+            if name not in stat_cols or col.statistics is None:
+                continue
+            st = col.statistics
+            if not st.has_min_max:
+                continue
+            mn, mx = _stat_val(st.min), _stat_val(st.max)
+            if name in stats:
+                stats[name] = [min(stats[name][0], mn), max(stats[name][1], mx)]
+            else:
+                stats[name] = [mn, mx]
+    return {
+        "path": os.path.relpath(fpath, location),
+        "rows": fmeta.num_rows,
+        "bytes": os.path.getsize(fpath),
+        "partition": pvals,
+        "stats": stats,
+    }
 
 
 def _stat_val(v: Any) -> Any:

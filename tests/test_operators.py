@@ -167,8 +167,14 @@ def test_recursive_parquet_and_checksums(spark, tmp_path):
     df = read_parquet_recursive(spark, str(tmp_path / "sym"))
     assert df.count() == 6
     assert list_symbol_dirs(str(tmp_path)) == [str(tmp_path / "sym")]
-    sums = file_checksums(spark, str(tmp_path / "sym" / "*.parquet")).collect()
-    assert len(sums) == 1 and len(sums[0]["checksum"]) == 32
+    sums = file_checksums(spark, str(tmp_path / "sym")).collect()
+    assert len(sums) == 2  # recursive discovery
+    by_path = {r["path"]: r["checksum"] for r in sums}
+    import hashlib
+
+    for p, c in by_path.items():
+        assert not p.startswith("file:")  # normalized to plain paths
+        assert c == hashlib.md5(open(p, "rb").read()).hexdigest()
 
 
 def test_knn_ivf_recall_vs_bruteforce(spark, sf_small):
