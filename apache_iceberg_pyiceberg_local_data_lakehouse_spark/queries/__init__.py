@@ -82,6 +82,7 @@ from . import vectors  # noqa: E402,F401
 from . import lakehouse  # noqa: E402,F401
 from . import temporal  # noqa: E402,F401
 from . import sqlqueries  # noqa: E402,F401
+from . import sketches  # noqa: E402,F401
 
 # Flush deferred registrations behind the judged window.
 for _name, _fn, _oracle in _DEFERRED:
