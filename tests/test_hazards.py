@@ -102,6 +102,47 @@ def test_rewrite_conflicts_with_concurrent_append(catalog, spark):
     assert t.to_df().count() == 16
 
 
+def test_compactor_racing_appenders_loses_nothing(catalog, spark):
+    """Multi-writer stress: appender threads race a compactor that
+    retries on CommitConflict. Every appended row must survive, and the
+    final manifest must be consistent (manifest row counts == scan)."""
+    import threading
+
+    catalog.create_namespace("gold")
+    t = catalog.create_table("gold.ticks", TICK_SCHEMA)
+    t.append(tick_df(spark, year=2019, n=4).coalesce(1))
+    errors: list[Exception] = []
+
+    def appender(year: int):
+        try:
+            t.append(tick_df(spark, year=year, n=4).coalesce(1))
+        except Exception as e:  # pragma: no cover - failure recorded
+            errors.append(e)
+
+    def compactor():
+        for _ in range(6):
+            try:
+                compact(t, target_file_bytes=64 * 1024 * 1024)
+                return
+            except CommitConflict:
+                continue  # re-read and retry, Iceberg-style
+        errors.append(AssertionError("compaction never succeeded"))
+
+    threads = [
+        threading.Thread(target=appender, args=(2020 + i,)) for i in range(4)
+    ]
+    threads.append(threading.Thread(target=compactor))
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+
+    assert not errors, errors
+    snap = t.snapshot()
+    assert t.to_df().count() == 20  # 5 batches x 4 rows, none lost
+    assert sum(e["rows"] for e in snap.manifest) == 20
+
+
 def test_year_prune_handles_null_partition_values(catalog, spark):
     """Rows with null DateTime (admitted by the <=5% null QC gate) land in
     __HIVE_DEFAULT_PARTITION__; a pruned scan must keep that file as
