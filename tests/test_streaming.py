@@ -120,6 +120,52 @@ def test_folder_watcher_mtime_diff(tmp_path):
     assert not w.has_changes()  # snapshot updated
 
 
+def test_watcher_error_backoff_keeps_loop_alive(tmp_path):
+    """ST5: a pipeline failure must back off and keep watching - the next
+    file arrival still triggers a (now successful) run, and the failed
+    cycle never marks the scheduler as ran."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.streaming.watcher import (
+        run_production,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    class FlakyPipeline:
+        def __init__(self):
+            self.calls = 0
+
+        def run(self, source_root):
+            self.calls += 1
+            if self.calls == 1:
+                raise RuntimeError("transient ingest failure")
+
+    fake = FlakyPipeline()
+    stop, threads = run_production(
+        fake,
+        str(src),
+        watch_interval=0,
+        max_cycles=2000,
+        error_backoff=0,
+    )
+    try:
+        deadline = time.time() + 10
+        tick_file(src / "a.parquet", n=10)  # arrival -> failing run
+        while fake.calls < 1 and time.time() < deadline:
+            time.sleep(0.02)
+        assert fake.calls >= 1  # first change seen, run raised
+
+        tick_file(src / "b.parquet", n=10)  # arrival after the failure
+        while fake.calls < 2 and time.time() < deadline:
+            time.sleep(0.02)
+        assert fake.calls >= 2  # loop survived and ran again
+    finally:
+        stop.set()
+        for t in threads:
+            t.join(timeout=10)
+    assert not any(t.is_alive() for t in threads)
+
+
 def test_scheduler_quirk_never_fires_until_seeded():
     s = Scheduler(hour_utc=dt.datetime.now(dt.timezone.utc).hour)
     assert not s.should_run()  # last_run None -> False (reference :71-72)
