@@ -409,6 +409,44 @@ class LakehouseTable:
     def to_df(self) -> DataFrame:
         return self.scan()
 
+    def scan_where(
+        self,
+        column: str,
+        lower=None,
+        upper=None,
+        selected_fields: list[str] | None = None,
+    ) -> DataFrame:
+        """Range/point scan with manifest pruning derived from the
+        predicate - the user-facing form of Iceberg hidden partitioning:
+        the caller writes bounds on the RAW column; the engine maps them
+        through the table's partition transform (years/months/days/
+        identity; bucket for point lookups) and the per-file min/max
+        stats, drops non-overlapping files before Spark lists anything,
+        and applies the exact residual predicate so Catalyst pushes it
+        into the surviving parquet scans. ``lower``/``upper`` are
+        inclusive; either may be None (half-open)."""
+        snap = self.snapshot()
+        part = next(
+            (p for p in snap.partition_spec if p.source == column), None
+        )
+        bucket_id = None
+        if (
+            part is not None
+            and part.transform == "bucket"
+            and lower is not None
+            and lower == upper
+        ):
+            bucket_id = compute_bucket(self, part, lower)
+        keep = _range_keep(column, lower, upper, part, bucket_id)
+        df = self.scan(snapshot=snap, file_filter=keep)
+        if lower is not None:
+            df = df.filter(F.col(column) >= F.lit(lower))
+        if upper is not None:
+            df = df.filter(F.col(column) <= F.lit(upper))
+        if selected_fields:
+            df = df.select(*selected_fields)
+        return df
+
     # -- maintenance hooks (driven by maintenance.py) ------------------------
 
     def referenced_files(self) -> set[str]:
@@ -466,6 +504,88 @@ def _stat_val(v: Any) -> Any:
         # year-prefix strings (dml._overlapping_entries, year_prune)
         return v.replace(tzinfo=None).isoformat()
     return v
+
+
+def _prune_bound(v: Any) -> Any:
+    """Normalize a predicate bound the same way manifest stats are
+    normalized (`_stat_val`): datetimes/dates to naive ISO strings, so
+    comparisons against stored stats are type-consistent."""
+    from datetime import date
+
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
+    return v
+
+
+def _prune_gt(a, b) -> bool:
+    try:
+        return a > b
+    except TypeError:
+        return str(a) > str(b)
+
+
+def _range_keep(
+    column: str,
+    lower,
+    upper,
+    part: "PartitionField | None",
+    bucket_id: int | None,
+):
+    """Manifest file filter for ``scan_where``: transform-aware partition
+    check first (cheapest, exact per file), then min/max stats overlap.
+    Any non-interpretable partition value (null partitions, legacy
+    layouts) falls through to stats; missing stats mean unprunable."""
+    lo_n, hi_n = _prune_bound(lower), _prune_bound(upper)
+
+    def part_bound(v, head: int | None = None):
+        # map a raw bound to the transform's partition-value space
+        s = str(_prune_bound(v))
+        if part.transform == "years":
+            return int(s[:4])
+        if part.transform == "months":
+            return int(s[:4]) * 100 + int(s[5:7])
+        if part.transform == "days":
+            return s[:10]
+        return v  # identity
+
+    def keep(entry: dict) -> bool:
+        if part is not None:
+            pv = entry.get("partition", {}).get(part.field_name)
+            if pv is not None:
+                try:
+                    if part.transform == "bucket":
+                        if bucket_id is not None and int(pv) != bucket_id:
+                            return False
+                    elif part.transform == "days":
+                        if lower is not None and str(pv) < part_bound(lower):
+                            return False
+                        if upper is not None and str(pv) > part_bound(upper):
+                            return False
+                    elif part.transform in ("years", "months"):
+                        if lower is not None and int(pv) < part_bound(lower):
+                            return False
+                        if upper is not None and int(pv) > part_bound(upper):
+                            return False
+                    else:  # identity: compare in the column's own space
+                        tv = type(lower if lower is not None else upper)(pv)
+                        if lower is not None and tv < lower:
+                            return False
+                        if upper is not None and tv > upper:
+                            return False
+                except (TypeError, ValueError):
+                    pass  # unprunable partition value: fall through
+        stats = entry.get("stats", {}).get(column)
+        if stats:
+            mn, mx = stats
+            if hi_n is not None and _prune_gt(mn, hi_n):
+                return False
+            if lo_n is not None and _prune_gt(lo_n, mx):
+                return False
+        return True
+
+    return keep
 
 
 def year_prune(column: str, year_min: int | None = None, year_max: int | None = None):

@@ -1,0 +1,141 @@
+"""``LakehouseTable.scan_where``: predicate-driven manifest pruning.
+
+The contract is the hidden-partitioning one: the answer must equal a
+full-scan filter (correctness), while the manifest-level file filter
+actually drops non-overlapping files (efficiency, asserted by counting
+files the keep-filter retains).
+"""
+
+from __future__ import annotations
+
+import datetime as dtm
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache_iceberg_pyiceberg_local_data_lakehouse_spark.catalog import (
+    LakehouseCatalog,
+)
+from apache_iceberg_pyiceberg_local_data_lakehouse_spark.table import (
+    PartitionField,
+    _range_keep,
+    compute_bucket,
+)
+from tests.test_table_format import TICK_SCHEMA, tick_df
+
+
+@pytest.fixture
+def catalog(spark, tmp_path):
+    return LakehouseCatalog(spark, str(tmp_path / "warehouse"))
+
+
+def _kept(table, column, lower=None, upper=None):
+    snap = table.snapshot()
+    part = next((p for p in snap.partition_spec if p.source == column), None)
+    bucket_id = None
+    if part and part.transform == "bucket" and lower is not None and lower == upper:
+        bucket_id = compute_bucket(table, part, lower)
+    keep = _range_keep(column, lower, upper, part, bucket_id)
+    return [e for e in snap.manifest if keep(e)]
+
+
+def test_scan_where_years_prunes_and_matches(catalog, spark):
+    catalog.create_namespace("gold")
+    spec = [PartitionField("DateTime", "years", "DateTime_year")]
+    t = catalog.create_table("gold.ticks", TICK_SCHEMA, spec)
+    for year in (2020, 2021, 2022, 2023):
+        t.append(tick_df(spark, year=year, n=10))
+
+    lo = dtm.datetime(2021, 1, 1)
+    hi = dtm.datetime(2022, 12, 31)
+    total = len(t.snapshot().manifest)
+    kept = _kept(t, "DateTime", lo, hi)
+    assert 0 < len(kept) < total  # 2020/2023 files dropped
+
+    got = t.scan_where("DateTime", lo, hi).count()
+    want = (
+        t.to_df()
+        .filter((F.col("DateTime") >= lo) & (F.col("DateTime") <= hi))
+        .count()
+    )
+    assert got == want == 20
+
+
+def test_scan_where_months_transform(catalog, spark):
+    catalog.create_namespace("gold")
+    spec = [PartitionField("DateTime", "months", "DateTime_month")]
+    t = catalog.create_table("gold.ticks", TICK_SCHEMA, spec)
+    for month in (1, 4, 9):
+        t.append(tick_df(spark, start=f"2024-{month:02d}-15 00:00:00", n=8))
+
+    lo, hi = dtm.datetime(2024, 3, 1), dtm.datetime(2024, 6, 30)
+    kept = _kept(t, "DateTime", lo, hi)
+    assert len(kept) < len(t.snapshot().manifest)
+    assert t.scan_where("DateTime", lo, hi).count() == 8  # April only
+
+
+def test_scan_where_bucket_point_lookup(catalog, spark):
+    catalog.create_namespace("gold")
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField("user_id", LongType()), StructField("v", LongType())]
+    )
+    spec = [PartitionField("user_id", "bucket", "user_bucket", n_buckets=8)]
+    t = catalog.create_table("gold.users", schema, spec)
+    t.append(
+        spark.range(1000).select(
+            (F.col("id") % 50).alias("user_id"), F.col("id").alias("v")
+        )
+    )
+    kept = _kept(t, "user_id", 42, 42)
+    assert 0 < len(kept) < len(t.snapshot().manifest)
+    assert t.scan_where("user_id", 42, 42).count() == 20
+
+
+def test_scan_where_stats_only_unpartitioned(catalog, spark):
+    """No partition spec: pruning falls back to per-file min/max stats."""
+    catalog.create_namespace("gold")
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([StructField("k", LongType())])
+    t = catalog.create_table("gold.seq", schema)
+    # three appends with disjoint key ranges -> disjoint file stats
+    for base in (0, 1000, 2000):
+        t.append(spark.range(base, base + 100).select(F.col("id").alias("k")))
+    kept = _kept(t, "k", 1010, 1020)
+    assert len(kept) < len(t.snapshot().manifest)
+    assert t.scan_where("k", 1010, 1020).count() == 11
+
+
+def test_scan_where_null_partition_unprunable(catalog, spark):
+    catalog.create_namespace("gold")
+    spec = [PartitionField("DateTime", "years", "DateTime_year")]
+    t = catalog.create_table("gold.ticks", TICK_SCHEMA, spec)
+    with_null = tick_df(spark, year=2024, n=10).unionByName(
+        spark.createDataFrame([(None, 1.5, 1.6)], TICK_SCHEMA)
+    )
+    t.append(with_null)
+    # a range that excludes 2024 must still keep the null-partition file
+    kept = _kept(t, "DateTime", dtm.datetime(2000, 1, 1), dtm.datetime(2001, 1, 1))
+    assert any(
+        e["partition"].get("DateTime_year") == "__HIVE_DEFAULT_PARTITION__"
+        for e in kept
+    )
+    # and the residual predicate still filters exactly (null row excluded)
+    assert (
+        t.scan_where(
+            "DateTime", dtm.datetime(2000, 1, 1), dtm.datetime(2001, 1, 1)
+        ).count()
+        == 0
+    )
+
+
+def test_scan_where_half_open_bounds(catalog, spark):
+    catalog.create_namespace("gold")
+    spec = [PartitionField("DateTime", "years", "DateTime_year")]
+    t = catalog.create_table("gold.ticks", TICK_SCHEMA, spec)
+    for year in (2020, 2022):
+        t.append(tick_df(spark, year=year, n=5))
+    assert t.scan_where("DateTime", lower=dtm.datetime(2021, 1, 1)).count() == 5
+    assert t.scan_where("DateTime", upper=dtm.datetime(2021, 1, 1)).count() == 5
