@@ -51,20 +51,19 @@ def dedup_against_table(
         snap = table.snapshot()
         if snap.total_rows == 0:  # empty-target short-circuit (:210-211)
             return new_df
-        from ..dml import _gt, _norm_bound
+        from ..table import _range_keep
 
         bounds = new_df.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).collect()[0]
-        lo, hi = _norm_bound(bounds["lo"]), _norm_bound(bounds["hi"])
-
-        def overlaps(entry: dict) -> bool:
-            stats = entry.get("stats", {}).get(key)
-            if stats is None or lo is None:
-                return True  # no stats -> must scan
-            s_lo, s_hi = stats
-            return not (_gt(s_lo, hi) or _gt(lo, s_hi))
-
+        lo, hi = bounds["lo"], bounds["hi"]
+        if lo is None:  # all-null keys: nothing can match committed keys
+            return new_df
+        # transform-aware pruning (partition values + min/max stats): on a
+        # years(DateTime) tick table a new batch prunes to the partitions
+        # it touches even for files with no usable stats
+        part = next((p for p in snap.partition_spec if p.source == key), None)
+        keep = _range_keep(key, lo, hi, part, None)
         existing_keys = (
-            table.scan(selected_fields=[key], file_filter=overlaps).distinct()
+            table.scan(selected_fields=[key], file_filter=keep).distinct()
         )
         return new_df.join(existing_keys, on=key, how="left_anti")
     except Exception:
