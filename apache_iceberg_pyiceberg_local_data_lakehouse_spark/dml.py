@@ -141,6 +141,12 @@ def add_column(table: LakehouseTable, name: str, spark_type: str) -> Snapshot:
     schema_json = copy.deepcopy(cur.schema_json)
     if any(f["name"] == name for f in schema_json["fields"]):
         raise ValueError(f"column {name} already exists")
+    for f in schema_json["fields"]:
+        if name in (f.get("metadata") or {}).get("renamed_from", []):
+            raise ValueError(
+                f"{name} is a historical name of {f['name']}; re-adding it "
+                "would make rename resolution ambiguous"
+            )
     schema_json["fields"].append(
         {"name": name, "type": spark_type, "nullable": True, "metadata": {}}
     )
@@ -157,6 +163,97 @@ def add_column(table: LakehouseTable, name: str, spark_type: str) -> Snapshot:
     )
     table._commit(snap)
     return snap
+
+
+def drop_column(table: LakehouseTable, name: str) -> Snapshot:
+    """Schema evolution: drop a column (metadata-only commit). Existing
+    data files keep the physical column; scans read with the new schema
+    (name-matched), so the dropped column simply stops being projected -
+    Iceberg's drop semantics, no rewrite."""
+    import copy
+    import time as _time
+    import uuid as _uuid
+
+    cur = table.snapshot()
+    schema_json = copy.deepcopy(cur.schema_json)
+    fields = [f for f in schema_json["fields"] if f["name"] != name]
+    if len(fields) == len(schema_json["fields"]):
+        raise ValueError(f"no column {name}")
+    if any(p.source == name for p in cur.partition_spec):
+        raise ValueError(f"{name} is a partition source; evolve the spec first")
+    schema_json["fields"] = fields
+    snap = Snapshot(
+        snapshot_id=_uuid.uuid4().hex,
+        version=cur.version + 1,
+        timestamp_ms=int(_time.time() * 1000),
+        operation="alter",
+        parent_id=cur.snapshot_id,
+        schema_json=schema_json,
+        partition_spec=cur.partition_spec,
+        manifest=cur.manifest,
+        summary={"dropped_column": name},
+    )
+    table._commit(snap)
+    return snap
+
+
+def rename_column(table: LakehouseTable, old: str, new: str) -> Snapshot:
+    """Schema evolution: rename a column (metadata-only commit).
+
+    Our parquet scans match columns BY NAME (no Iceberg field ids), so a
+    bare rename would read null from every pre-rename file. Instead the
+    renamed field records its lineage in field metadata
+    (``renamed_from``), and ``LakehouseTable.scan`` resolves it:
+    pre-rename files are read under every historical name and coalesced
+    into the current one. Re-adding a dropped/renamed-away name later is
+    rejected to keep that resolution unambiguous."""
+    import copy
+    import time as _time
+    import uuid as _uuid
+
+    cur = table.snapshot()
+    schema_json = copy.deepcopy(cur.schema_json)
+    names = [f["name"] for f in schema_json["fields"]]
+    if old not in names:
+        raise ValueError(f"no column {old}")
+    if new in names:
+        raise ValueError(f"column {new} already exists")
+    for f in schema_json["fields"]:
+        if f["name"] == old:
+            meta = dict(f.get("metadata") or {})
+            lineage = list(meta.get("renamed_from", []))
+            lineage.append(old)
+            meta["renamed_from"] = lineage
+            f["name"] = new
+            f["metadata"] = meta
+    new_spec = [
+        PartitionFieldRenamed(p, old, new) if p.source == old else p
+        for p in cur.partition_spec
+    ]
+    snap = Snapshot(
+        snapshot_id=_uuid.uuid4().hex,
+        version=cur.version + 1,
+        timestamp_ms=int(_time.time() * 1000),
+        operation="alter",
+        parent_id=cur.snapshot_id,
+        schema_json=schema_json,
+        partition_spec=new_spec,
+        manifest=cur.manifest,
+        summary={"renamed_column": {old: new}},
+    )
+    table._commit(snap)
+    return snap
+
+
+def PartitionFieldRenamed(p, old: str, new: str):
+    """A partition field whose source column was renamed keeps its
+    *partition* name (directory values stay valid) but points at the new
+    source column for future writes."""
+    from .table import PartitionField
+
+    return PartitionField(
+        source=new, transform=p.transform, name=p.field_name, n_buckets=p.n_buckets
+    )
 
 
 def set_partition_spec(table: LakehouseTable, spec: list) -> Snapshot:

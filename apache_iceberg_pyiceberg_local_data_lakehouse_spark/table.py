@@ -397,8 +397,31 @@ class LakehouseTable:
         if file_filter is not None:
             entries = [e for e in entries if file_filter(e)]
         schema = StructType.fromJson(snap.schema_json)
+        # rename lineage: parquet columns match by NAME here (no field
+        # ids), so renamed columns read pre-rename files under every
+        # historical name and coalesce into the current one
+        renames = {
+            f["name"]: (f.get("metadata") or {}).get("renamed_from")
+            for f in snap.schema_json["fields"]
+            if (f.get("metadata") or {}).get("renamed_from")
+        }
         if not entries:
             df = self.spark.createDataFrame([], schema)
+        elif renames:
+            read_fields = list(schema.fields)
+            by_name = {f.name: f for f in schema.fields}
+            for cur_name, olds in renames.items():
+                for old in olds:
+                    read_fields.append(
+                        type(by_name[cur_name])(
+                            old, by_name[cur_name].dataType, True
+                        )
+                    )
+            paths = [os.path.join(self.location, e["path"]) for e in entries]
+            df = self.spark.read.schema(StructType(read_fields)).parquet(*paths)
+            for cur_name, olds in renames.items():
+                df = df.withColumn(cur_name, F.coalesce(cur_name, *olds))
+            df = df.select(*[f.name for f in schema.fields])
         else:
             paths = [os.path.join(self.location, e["path"]) for e in entries]
             df = self.spark.read.schema(schema).parquet(*paths)

@@ -146,3 +146,76 @@ def test_partition_spec_evolution(spark, tmp_path):
     # 2023 files via their min/max stats even without partition values
     assert t.scan(file_filter=year_prune("DateTime", year_min=2024)).count() == 10
     assert t.to_df().count() == 20
+
+
+def test_drop_column_metadata_only(table):
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.dml import drop_column
+
+    files_before = len(table.snapshot().manifest)
+    drop_column(table, "v")
+    assert table.to_df().columns == ["k"]
+    assert len(table.snapshot().manifest) == files_before  # no rewrite
+    assert table.to_df().count() == 100
+    with pytest.raises(ValueError):
+        drop_column(table, "nope")
+
+
+def test_drop_partition_source_rejected(spark, tmp_path):
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.dml import drop_column
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.table import (
+        PartitionField,
+    )
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh2"))
+    cat.create_namespace("gold")
+    df = spark.range(10).select(F.col("id").alias("k"), (F.col("id") % 3).alias("b"))
+    t = cat.create_table("gold.pk", df.schema, [PartitionField("b")])
+    t.append(df)
+    with pytest.raises(ValueError):
+        drop_column(t, "b")
+
+
+def test_rename_column_reads_old_and_new_files(table):
+    """Files written before AND after the rename must both surface under
+    the new name (coalesce over the recorded lineage)."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.dml import rename_column
+
+    spark = table.spark
+    rename_column(table, "v", "value")
+    assert table.to_df().columns == ["k", "value"]
+    # pre-rename rows keep their data under the new name
+    assert table.to_df().filter(F.col("value").isNull()).count() == 0
+    got = {r["k"]: r["value"] for r in table.to_df().collect()}
+    assert got[7] == 14.0
+
+    # append under the NEW schema, read both generations in one scan
+    new_rows = spark.range(100, 110).select(
+        F.col("id").alias("k"), F.lit(99.0).alias("value")
+    )
+    table.append(new_rows)
+    df = table.to_df()
+    assert df.count() == 110
+    assert df.filter(F.col("value").isNull()).count() == 0
+    assert df.filter(F.col("value") == 99.0).count() == 10
+
+    # chained rename: lineage accumulates
+    rename_column(table, "value", "price")
+    df = table.to_df()
+    assert df.columns == ["k", "price"]
+    assert df.filter(F.col("price").isNull()).count() == 0
+
+    # re-adding a historical name is rejected (would be ambiguous)
+    with pytest.raises(ValueError):
+        add_column(table, "v", "double")
+
+
+def test_rename_then_dml_rewrite_consolidates(table):
+    """A copy-on-write rewrite after a rename writes files under the new
+    name; the scan stays correct across all three file generations."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.dml import rename_column
+
+    rename_column(table, "v", "value")
+    delete_where(table, F.col("k") >= 90)
+    df = table.to_df()
+    assert df.count() == 90
+    assert df.filter(F.col("value").isNull()).count() == 0
