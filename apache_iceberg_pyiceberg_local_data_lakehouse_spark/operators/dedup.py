@@ -314,9 +314,16 @@ def lsh_candidate_pairs(
     signatures: DataFrame, id_col: str, n_bands: int = 32, rows_per_band: int = 4
 ) -> DataFrame:
     """LSH banding: hash each band of the signature; docs sharing any band
-    bucket become candidate pairs. The band groupBy is the only shuffle;
-    bucket sizes stay small because a 4-row band at jaccard<0.5 rarely
-    collides (P(collide) = j^rows_per_band per band)."""
+    bucket become candidate pairs.
+
+    The band-bucket equi-join is the only shuffle; bucket sizes stay
+    small because a 4-row band at jaccard<0.5 rarely collides
+    (P(collide) = j^rows_per_band per band). Callers should cache
+    ``signatures`` - it feeds both sides of the self-join. (A
+    groupBy-bucket + intra-bucket pair-expansion variant was tried and
+    regressed 2.7x at sf0.1: building the quadratic pair array per
+    bucket in a higher-order transform costs far more than the
+    sort-merge join on compact (band, bucket) keys.)"""
     sig = F.col("minhash")
     bands = []
     for b in range(n_bands):
@@ -423,7 +430,7 @@ def minhash_near_duplicates(
         ]
     ).select(
         "gid", F.array(*[F.col(f"mh_{i}") for i in range(n_hashes)]).alias("minhash")
-    )
+    ).cache()  # feeds both sides of the LSH self-join; O(#distinct sets) rows
     cands = lsh_candidate_pairs(sigs, "gid", n_bands, rows_per_band)
 
     # exact verification of candidate SET pairs
@@ -454,7 +461,10 @@ def minhash_near_duplicates(
                 ]
             )
         )
-        side = masks.join(groups.select("gid", "ids", "n_toks"), "gid")
+        # Cached: read for BOTH sides of the candidate-verify join below;
+        # without the cache the mask aggregation over every exploded token
+        # runs twice. Size is O(#distinct sets), not corpus size.
+        side = masks.join(groups.select("gid", "ids", "n_toks"), "gid").cache()
         a = side.select(
             F.col("gid").alias("gid_a"),
             F.col("ids").alias("ids_a"),
