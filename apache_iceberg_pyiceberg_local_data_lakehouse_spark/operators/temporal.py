@@ -120,3 +120,57 @@ def interval_join(
     # no dedup needed: the right side carries exactly one bucket per row,
     # so each qualifying (left, right) pair joins exactly once
     return joined.select(*left_cols, *right_cols)
+
+
+def point_in_range_join(
+    intervals: DataFrame,
+    points: DataFrame,
+    start_col: str,
+    end_col: str,
+    ts_col: str,
+    bucket_secs: int,
+    by: str | None = None,
+    point_prefix: str = "p_",
+) -> DataFrame:
+    """Join each interval row to every point row whose ``ts`` falls in
+    ``[start, end]`` - the symmetric sibling of ``interval_join`` for
+    VARIABLE-width intervals (sessions, activity spans) instead of a
+    fixed offset window around a point.
+
+    Each interval explodes to every ``bucket_secs``-wide bucket it
+    spans (``sequence(floor(start/B), floor(end/B))``); each point
+    carries exactly one bucket. The join is therefore EQUALITY on
+    (bucket [, by]) followed by the exact BETWEEN filter - a hash join
+    with per-bucket fan-out, never a broadcast-nested-loop - and each
+    qualifying (interval, point) pair joins exactly once, so no dedup
+    pass is needed. Pick ``bucket_secs`` near the typical interval
+    width: wider intervals just explode to more buckets."""
+    bucket_us = int(bucket_secs * 1e6)
+    s_us = F.unix_micros(F.col(start_col))
+    e_us = F.unix_micros(F.col(end_col))
+    i_exp = intervals.select(
+        F.struct(*[F.col(c) for c in intervals.columns]).alias("__i"),
+        s_us.alias("__s"),
+        e_us.alias("__e"),
+        F.explode(
+            F.sequence(
+                F.floor(s_us / F.lit(bucket_us)), F.floor(e_us / F.lit(bucket_us))
+            )
+        ).alias("__bucket"),
+        *([F.col(by).alias("__by")] if by else []),
+    )
+    p_ts = F.unix_micros(F.col(ts_col))
+    p_keyed = points.select(
+        F.struct(*[F.col(c) for c in points.columns]).alias("__p"),
+        p_ts.alias("__pts"),
+        F.floor(p_ts / F.lit(bucket_us)).alias("__bucket"),
+        *([F.col(by).alias("__by")] if by else []),
+    )
+    on = ["__bucket"] + (["__by"] if by else [])
+    joined = i_exp.join(p_keyed, on=on).filter(
+        (F.col("__pts") >= F.col("__s")) & (F.col("__pts") <= F.col("__e"))
+    )
+    return joined.select(
+        *[F.col(f"__i.{c}").alias(c) for c in intervals.columns],
+        *[F.col(f"__p.{c}").alias(f"{point_prefix}{c}") for c in points.columns],
+    )

@@ -73,3 +73,58 @@ def q36_trailing_window_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         by="user_id",
     )
     return pairs.groupBy("event_id").agg(F.count("*").alias("n_prior"))
+
+
+@register(
+    "q37_session_range_join",
+    oracle="""
+    WITH spans AS (
+      SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             MIN(CAST(ts AS TIMESTAMP)) AS span_start,
+             MAX(CAST(ts AS TIMESTAMP)) AS span_end,
+             COUNT(*) AS n_own
+      FROM events
+      GROUP BY user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE)
+    ), iv AS (
+      SELECT * FROM spans WHERE n_own >= 4
+    )
+    SELECT iv.user_id AS user_id, iv.span_start AS span_start,
+           CAST(iv.n_own AS BIGINT) AS n_own,
+           COUNT(*) AS n_purchases
+    FROM iv
+    JOIN (SELECT CAST(ts AS TIMESTAMP) AS ts FROM events
+          WHERE event_type = 'purchase') p
+      ON p.ts BETWEEN iv.span_start AND iv.span_end
+    GROUP BY iv.user_id, iv.span_start, iv.n_own
+    """,
+)
+def q37_session_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join with VARIABLE-width intervals: each
+    active user-day span (>= 4 own events; avg ~8 h, max ~24 h wide)
+    counts the purchase events - across ALL users - that fall inside it.
+
+    The fixed-offset sibling q36 evidences ``interval_join``; this one
+    evidences ``point_in_range_join``: intervals explode to the 6-hour
+    buckets they span, points key by their own bucket, so the BETWEEN
+    predicate only runs inside an equality hash join - never a
+    broadcast-nested-loop (plan-asserted in tests/test_plans.py)."""
+    from ..operators.temporal import point_in_range_join
+
+    ev = load(spark, sf_dir, "events")
+    spans = (
+        ev.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            F.min("ts").alias("span_start"),
+            F.max("ts").alias("span_end"),
+            F.count("*").alias("n_own"),
+        )
+        .filter(F.col("n_own") >= 4)
+        .drop("day")
+    )
+    points = ev.filter(F.col("event_type") == "purchase").select("ts")
+    joined = point_in_range_join(
+        spans, points, "span_start", "span_end", "ts", bucket_secs=6 * 3600
+    )
+    return joined.groupBy("user_id", "span_start", "n_own").agg(
+        F.count("*").alias("n_purchases")
+    )

@@ -335,7 +335,10 @@ def q48_minhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q49_simhash_fingerprints")  # no SQL oracle: xxhash64 is Spark-side
+# Deferred: rows-only (no SQL oracle - xxhash64 is Spark-side), and the
+# SimHash plan shape is pytest-pinned; its judged-window slot goes to the
+# full-oracle range join q37 instead.
+@register("q49_simhash_fingerprints", defer=True)
 def q49_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash 64-bit fingerprints + quadrant-blocked near-dup pairs
     (rows-only check: the fingerprint function has no DuckDB twin).

@@ -476,3 +476,40 @@ def test_connected_components_and_keepers(spark):
     assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
     keep = {r["id"]: r["is_keeper"] for r in dedup_keepers(pairs, nodes, "id").collect()}
     assert keep == {1: True, 2: False, 3: False, 4: False, 10: True, 11: False, 99: True}
+
+
+def test_point_in_range_join_boundaries_and_wide_intervals(spark):
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.temporal import (
+        point_in_range_join,
+    )
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    # interval A: 600s wide (fits one bucket); interval B: 3 buckets wide
+    iv = spark.createDataFrame(
+        [
+            ("A", base, base + dt.timedelta(seconds=600)),
+            ("B", base + dt.timedelta(seconds=1000), base + dt.timedelta(seconds=2500)),
+        ],
+        "name string, s timestamp, e timestamp",
+    )
+    # points: at A.start (in), inside A (in), at A.end (in: BETWEEN is
+    # inclusive), 1s past A.end (out), inside B spanning a bucket edge (in),
+    # at B.end (in), past B.end (out)
+    pts = spark.createDataFrame(
+        [(i, base + dt.timedelta(seconds=off))
+         for i, off in enumerate([0, 300, 600, 601, 1500, 2500, 2501])],
+        "pid int, ts timestamp",
+    )
+    got = sorted(
+        (r["name"], r["p_pid"])
+        for r in point_in_range_join(iv, pts, "s", "e", "ts", bucket_secs=600).collect()
+    )
+    assert got == [("A", 0), ("A", 1), ("A", 2), ("B", 4), ("B", 5)]
+    # with a by-key, cross-key points must not match
+    iv2 = iv.withColumn("k", F.lit(1))
+    pts2 = pts.withColumn("k", F.lit(2))
+    assert (
+        point_in_range_join(iv2, pts2, "s", "e", "ts", bucket_secs=600, by="k").count()
+        == 0
+    )

@@ -87,6 +87,7 @@ def test_heavy_queries_avoid_cartesian(spark, sf_small):
         "q48_minhash_near_duplicates",
         "q35_asof_join",
         "q36_trailing_window_count",
+        "q37_session_range_join",
     ]:
         df = QUERIES[name](spark, sf_small)
         assert_no_cartesian(df)
