@@ -430,3 +430,81 @@ def test_stream_warehouse_multi_symbol(spark, tmp_path):
         q.awaitTermination(120)
     assert pipeline.catalog.load_table("gold.eurusd").to_df().count() == 120
     assert pipeline.catalog.load_table("gold.gbpjpy").to_df().count() == 150
+
+
+def test_streaming_ingest_races_batch_appends(spark, tmp_path):
+    """Streaming foreachBatch commits racing DIRECT batch appends on the
+    same table (the streaming twin of
+    test_hazards.test_compactor_racing_appenders_loses_nothing):
+    optimistic rebase-and-retry must preserve every row from both
+    writers, and the checkpoint must preserve exactly-once for the
+    streamed files."""
+    import threading
+
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.functions.normalize import (
+        normalize,
+    )
+
+    src = tmp_path / "Training Batch" / "EURUSD"
+    tick_file(src / "a.parquet", n=150)
+    pipeline = IngestPipeline(spark, str(tmp_path / "wh"))
+    q = stream_symbol(
+        pipeline, str(src), TICK_SCHEMA, str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(120)
+    table = pipeline.catalog.load_table("gold.eurusd")
+    assert table.to_df().count() == 150
+
+    # live stream (1 s trigger) + 4 concurrent direct appenders with
+    # disjoint key ranges (years 2030-2033 vs the stream's 2024 days)
+    q2 = stream_symbol(
+        pipeline, str(src), TICK_SCHEMA, str(tmp_path / "ckpt"), trigger_secs=1
+    )
+    errors: list[Exception] = []
+
+    def appender(year: int):
+        try:
+            rows = [
+                (dt.datetime(year, 1, 1) + dt.timedelta(seconds=i), 2.0, 2.1)
+                for i in range(150)
+            ]
+            df = normalize(spark.createDataFrame(rows, TICK_SCHEMA))
+            pipeline.catalog.load_table("gold.eurusd").append(df)
+        except Exception as e:  # surfaced below; a bare thread would hide it
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=appender, args=(2030 + i,)) for i in range(4)
+    ]
+    for i, t in enumerate(threads):
+        t.start()
+        if i < 2:  # drop new stream files while appenders run
+            tick_file(
+                src / f"live{i}.parquet",
+                n=150,
+                start=dt.datetime(2024, 3, 2 + i),
+            )
+    for t in threads:
+        t.join(timeout=120)
+    time.sleep(3)  # let the live trigger pick up the dropped files
+    q2.stop()
+    q2.awaitTermination(60)
+    # drain anything the live stream missed before it was stopped
+    q3 = stream_symbol(
+        pipeline, str(src), TICK_SCHEMA, str(tmp_path / "ckpt"), available_now=True
+    )
+    q3.awaitTermination(120)
+
+    assert errors == []
+    final = pipeline.catalog.load_table("gold.eurusd").to_df()
+    # 3 streamed files x 150 + 4 appended batches x 150, nothing lost
+    assert final.count() == 3 * 150 + 4 * 150
+    from pyspark.sql import functions as F
+
+    per_year = {
+        r["y"]: r["n"]
+        for r in final.groupBy(F.year("DateTime").alias("y"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert per_year == {2024: 450, 2030: 150, 2031: 150, 2032: 150, 2033: 150}
