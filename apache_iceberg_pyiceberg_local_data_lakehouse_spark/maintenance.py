@@ -104,22 +104,39 @@ def compact(
     ``sort_by`` clusters the rewrite (Iceberg's rewrite-with-sort-order):
     a range-partition + within-file sort on the given columns makes each
     output file's min/max stats narrow and disjoint, so manifest-level
-    skipping prunes point/range queries to ~one file instead of all."""
+    skipping prunes point/range queries to ~one file instead of all.
+
+    Partition-boundary-aware: small files are grouped by their partition
+    values and only partitions holding >= 2 small files are rewritten -
+    a lone small file per partition is already the best layout the
+    dir-per-partition format allows, and rewriting it is pure write
+    amplification. The rewrite job range-distributes on the partition
+    transform columns (then ``sort_by``), so each task holds contiguous
+    whole partitions and the write's ``partitionBy`` emits ~1 file per
+    partition instead of a sliver from every task (a plain global
+    ``repartition`` would re-fragment exactly what compaction is meant
+    to fix)."""
     snap = table.snapshot()
-    small = [
-        e for e in snap.manifest if e["bytes"] < target_file_bytes * small_file_threshold
-    ]
-    if len(small) < 2:
+    cutoff = target_file_bytes * small_file_threshold
+    small_by_part: dict[tuple, list[dict]] = {}
+    for e in snap.manifest:
+        if e["bytes"] < cutoff:
+            key = tuple(sorted((e.get("partition") or {}).items()))
+            small_by_part.setdefault(key, []).append(e)
+    small = [e for grp in small_by_part.values() if len(grp) >= 2 for e in grp]
+    if not small:
         return None
-    large = [e for e in snap.manifest if e not in small]
+    small_paths = {e["path"] for e in small}
+    large = [e for e in snap.manifest if e["path"] not in small_paths]
 
     total = sum(e["bytes"] for e in small)
     n_out = max(1, -(-total // target_file_bytes))
-    df = table.scan(file_filter=lambda e: e in small)
-    if sort_by:
-        df = df.repartitionByRange(int(n_out), *sort_by).sortWithinPartitions(
-            *sort_by
-        )
+    df = table.scan(file_filter=lambda e: e["path"] in small_paths)
+    keys = [p.column() for p in snap.partition_spec] + list(sort_by or [])
+    if keys:
+        df = df.repartitionByRange(int(n_out), *keys)
+        if sort_by:
+            df = df.sortWithinPartitions(*keys)
     else:
         df = df.repartition(int(n_out))
     new_entries = table._write_files(df, snap.partition_spec)

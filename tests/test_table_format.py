@@ -267,3 +267,48 @@ def test_orphan_gc_respects_grace_period(catalog, spark, tmp_path):
     expire_snapshots(t, older_than_ms=0, retain_last=2, orphan_grace_secs=0)
     assert not os.path.exists(orphan)  # grace waived -> GC'd
     assert t.to_df().count() == 10
+
+
+def test_partition_aware_compaction(catalog, spark):
+    """Compaction of a partitioned table must respect partition
+    boundaries: each year ends at ~1 file (never re-fragmented by a
+    global repartition), and a partition whose single small file is
+    already optimal keeps that file byte-for-byte untouched."""
+    t = catalog.create_table(
+        "gold.pcomp",
+        TICK_SCHEMA,
+        [PartitionField("DateTime", "years", "DateTime_year")],
+    )
+    # years 2020/2021: 4 small appends each; year 2022: exactly one file
+    for _ in range(4):
+        t.append(
+            tick_df(spark, year=2020, n=30)
+            .union(tick_df(spark, year=2021, n=30))
+            .coalesce(1)
+        )
+    t.append(tick_df(spark, year=2022, n=30).coalesce(1))
+
+    def by_year(manifest):
+        out = {}
+        for e in manifest:
+            out.setdefault(e["partition"]["DateTime_year"], []).append(e["path"])
+        return out
+
+    before = by_year(t.snapshot().manifest)
+    assert len(before["2020"]) == 4 and len(before["2021"]) == 4
+    lone_file = before["2022"]
+
+    snap = compact(t, target_file_bytes=64 * 1024 * 1024)
+    assert snap is not None and snap.operation == "replace"
+    after = by_year(t.snapshot().manifest)
+    assert len(after["2020"]) == 1 and len(after["2021"]) == 1
+    assert after["2022"] == lone_file  # untouched, not rewritten
+    assert t.to_df().count() == 4 * 60 + 30
+    got = {
+        r["y"]: r["n"]
+        for r in t.to_df()
+        .groupBy(F.year("DateTime").alias("y"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == {2020: 120, 2021: 120, 2022: 30}
