@@ -424,3 +424,46 @@ def q67_bucket_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+@register(
+    "q69_incremental_read",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM documents
+    WHERE doc_id >= 250
+    GROUP BY lang
+    """,
+)
+def q69_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental append scan (Iceberg's CDC-style table tail): append
+    documents in two batches with a compaction in between; reading the
+    diff since the first append must return exactly the second batch's
+    rows - the compaction's rewrite contributes nothing, and only the
+    files added after the checkpoint version are ever listed (no full
+    re-scan). This is how a 100 TB downstream consumer polls a table:
+    O(new data) per poll, not O(table)."""
+    from ..catalog import LakehouseCatalog
+    from ..maintenance import compact
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_q69_")
+    try:
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("tmp")
+        d = load(spark, sf_dir, "documents")
+        t = cat.create_table("tmp.docs", d.schema)
+        t.append(d.filter(F.col("doc_id") < 250).coalesce(2))
+        checkpoint = t.current_version()
+        compact(t, target_file_bytes=64 * 1024 * 1024)
+        t.append(d.filter(F.col("doc_id") >= 250).coalesce(2))
+        inc = t.scan_incremental(checkpoint)
+        out = inc.groupBy("lang").agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)

@@ -395,7 +395,10 @@ def q4a_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q45b_langid_ngram")  # rows-only: char-trigram profiles have no SQL twin
+# Deferred: rows-only (char-trigram profiles have no SQL twin) and the
+# langid output shape is pytest-pinned; its judged-window slot goes to
+# the full-oracle incremental-read q69 instead.
+@register("q45b_langid_ngram", defer=True)
 def q45b_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-n-gram language ID (X4) over the corpus: per detected
     language, doc count and mean confidence. Deterministic (argmax over

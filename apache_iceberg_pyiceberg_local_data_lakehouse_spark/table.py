@@ -470,6 +470,60 @@ class LakehouseTable:
             df = df.select(*selected_fields)
         return df
 
+    def scan_incremental(
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        selected_fields: list[str] | None = None,
+    ) -> DataFrame:
+        """Rows appended strictly AFTER ``from_version``, up to
+        ``to_version`` (default: current) - Iceberg's incremental append
+        scan. Downstream consumers tail a table by remembering the last
+        version they processed; each poll reads ONLY the data files new
+        appends added, never a full re-scan.
+
+        Content-preserving snapshots in the range (``replace``
+        compactions, ``alter`` schema/spec evolution) contribute nothing:
+        their rewrites carry no new logical rows, and the pre-rewrite
+        files they replaced stay readable until snapshot expiry.
+        ``delete``/``merge`` snapshots raise - row removals cannot be
+        expressed as an append-only diff (same contract as Iceberg's
+        incremental scan). An expired snapshot inside the range also
+        raises: the consumer fell too far behind and must full-scan."""
+        import dataclasses
+
+        snaps = {s.version: s for s in self.snapshots()}
+        to_v = self.current_version() if to_version is None else to_version
+        # Collect the added manifest ENTRIES at each append (not just a
+        # path filter over to_v's manifest: a later compaction in the
+        # range rewrites appended files out of the current manifest, but
+        # their rows still belong to the diff and the pre-rewrite files
+        # remain readable until expiry).
+        added_entries: list[dict] = []
+        prev_paths: set[str] = set()
+        for v in range(from_version, to_v + 1):
+            if v not in snaps:
+                raise ValueError(
+                    f"snapshot v{v} has been expired; incremental read "
+                    f"from v{from_version} is no longer possible - fall "
+                    "back to a full scan"
+                )
+            paths = {e["path"] for e in snaps[v].manifest}
+            if v > from_version:
+                op = snaps[v].operation
+                if op == "append":
+                    added_entries.extend(
+                        e for e in snaps[v].manifest if e["path"] not in prev_paths
+                    )
+                elif op not in ("replace", "alter", "create"):
+                    raise ValueError(
+                        f"v{v} is a {op!r} snapshot: row removals cannot "
+                        "be expressed as an append-only diff"
+                    )
+            prev_paths = paths
+        inc_snap = dataclasses.replace(snaps[to_v], manifest=added_entries)
+        return self.scan(selected_fields=selected_fields, snapshot=inc_snap)
+
     # -- maintenance hooks (driven by maintenance.py) ------------------------
 
     def referenced_files(self) -> set[str]:

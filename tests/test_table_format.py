@@ -312,3 +312,48 @@ def test_partition_aware_compaction(catalog, spark):
         .collect()
     }
     assert got == {2020: 120, 2021: 120, 2022: 30}
+
+
+def test_incremental_scan_tails_appends(catalog, spark):
+    """scan_incremental(v) returns exactly the rows appended after v,
+    survives an in-range compaction (rewrites carry no new rows but the
+    pre-rewrite appends still surface), and refuses ranges containing
+    row removals or expired snapshots."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.dml import delete_where
+
+    t = catalog.create_table("gold.inc", TICK_SCHEMA, [])
+    t.append(tick_df(spark, year=2020, n=30))          # v1
+    v1 = t.current_version()
+    t.append(tick_df(spark, year=2021, n=40))          # v2
+    t.append(tick_df(spark, year=2022, n=50))          # v3
+    assert t.scan_incremental(v1).count() == 90
+    assert t.scan_incremental(v1, to_version=v1 + 1).count() == 40
+    assert t.scan_incremental(t.current_version()).count() == 0
+    years = {
+        r["y"]
+        for r in t.scan_incremental(v1)
+        .select(F.year("DateTime").alias("y"))
+        .distinct()
+        .collect()
+    }
+    assert years == {2021, 2022}
+
+    # compaction inside the range: appended rows still surface once
+    compact(t, target_file_bytes=64 * 1024 * 1024)     # v4 (replace)
+    t.append(tick_df(spark, year=2023, n=60))          # v5
+    assert t.scan_incremental(v1).count() == 150
+    assert t.scan_incremental(v1, to_version=v1 + 3).count() == 90
+
+    # row removal in range: not expressible as an append diff
+    delete_where(t, F.year("DateTime") == 2020)        # v6
+    with pytest.raises(ValueError, match="append-only"):
+        t.scan_incremental(v1)
+    # range entirely after the delete is fine again
+    v6 = t.current_version()
+    t.append(tick_df(spark, year=2024, n=70))          # v7
+    assert t.scan_incremental(v6).count() == 70
+
+    # expired snapshot inside the range
+    t.delete_metadata_version(v6)
+    with pytest.raises(ValueError, match="expired"):
+        t.scan_incremental(v6 - 1)
