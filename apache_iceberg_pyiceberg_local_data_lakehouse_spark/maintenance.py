@@ -25,6 +25,58 @@ from .table import LakehouseTable, Snapshot
 DEFAULT_RETENTION_DAYS = 7  # lakehouse_pipeline.py:72
 MIN_SNAPSHOTS_TO_KEEP = 2  # lakehouse_pipeline.py:242
 
+# Below this many batch directories the GC listing stays a driver walk
+# (a Spark job's scheduling overhead would dominate); above it, listing
+# fans out one task per batch dir - same threshold discipline as the
+# commit-path footer-stats job (table._STATS_JOB_THRESHOLD).
+_GC_JOB_THRESHOLD = 16
+
+
+def _walk_parquet(root: str) -> list[tuple[str, float]]:
+    """(path, mtime) for every parquet file under ``root``. Module-level
+    so Spark tasks can pickle it."""
+    out = []
+    for r, _dirs, files in os.walk(root):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                p = os.path.join(r, fn)
+                try:
+                    out.append((p, os.path.getmtime(p)))
+                except FileNotFoundError:
+                    pass  # raced with a concurrent GC/abort cleanup
+    return out
+
+
+def _list_data_files(table: LakehouseTable) -> list[tuple[str, float]]:
+    """List (path, mtime) of all data files for orphan GC.
+
+    Every append writes under its own ``data/<uuid>/`` batch dir, so the
+    listing fans out naturally one task per batch dir. At O(10^6) files
+    a sequential driver walk is the GC bottleneck; Iceberg's
+    remove_orphan_files runs this listing as a Spark job for the same
+    reason. Small tables stay on the driver - job overhead dominates."""
+    if not os.path.isdir(table.data_dir):
+        return []
+    roots = [
+        os.path.join(table.data_dir, d) for d in os.listdir(table.data_dir)
+    ]
+    subdirs = [r for r in roots if os.path.isdir(r)]
+    if len(subdirs) < _GC_JOB_THRESHOLD:
+        return _walk_parquet(table.data_dir)
+    sc = table.spark.sparkContext
+    listed = (
+        sc.parallelize(subdirs, min(len(subdirs), 64))
+        .flatMap(_walk_parquet)
+        .collect()
+    )
+    # stray files directly under data_dir (not in any batch dir)
+    listed.extend(
+        (r, os.path.getmtime(r))
+        for r in roots
+        if not os.path.isdir(r) and r.endswith(".parquet")
+    )
+    return listed
+
 
 def expire_snapshots(
     table: LakehouseTable,
@@ -67,19 +119,17 @@ def expire_snapshots(
     if delete_orphan_files:
         referenced = table.referenced_files()
         now = time.time()
-        for root, _dirs, files in os.walk(table.data_dir):
-            for fn in files:
-                fpath = os.path.join(root, fn)
-                rel = os.path.relpath(fpath, table.location)
-                if not fn.endswith(".parquet") or rel in referenced:
-                    continue
-                try:
-                    if now - os.path.getmtime(fpath) < orphan_grace_secs:
-                        continue  # possible in-flight commit
-                    os.remove(fpath)
-                    deleted_files += 1
-                except FileNotFoundError:
-                    pass  # another process GC'd it first
+        for fpath, mtime in _list_data_files(table):
+            rel = os.path.relpath(fpath, table.location)
+            if rel in referenced:
+                continue
+            if now - mtime < orphan_grace_secs:
+                continue  # possible in-flight commit
+            try:
+                os.remove(fpath)
+                deleted_files += 1
+            except FileNotFoundError:
+                pass  # another process GC'd it first
     return {
         "expired_snapshots": len(expired),
         "deleted_files": deleted_files,

@@ -357,3 +357,30 @@ def test_incremental_scan_tails_appends(catalog, spark):
     t.delete_metadata_version(v6)
     with pytest.raises(ValueError, match="expired"):
         t.scan_incremental(v6 - 1)
+
+
+def test_orphan_gc_distributed_listing(catalog, spark):
+    """Past _GC_JOB_THRESHOLD batch dirs the orphan listing runs as a
+    Spark job (one task per batch dir); GC must still delete exactly the
+    unreferenced rewrites and keep the table readable."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.maintenance import (
+        _GC_JOB_THRESHOLD,
+        _list_data_files,
+    )
+
+    t = catalog.create_table("gold.gcbig", TICK_SCHEMA, [])
+    for i in range(_GC_JOB_THRESHOLD + 2):
+        t.append(tick_df(spark, start=f"2024-01-01 {i:02d}:00:00", n=10).coalesce(1))
+    n_batch_dirs = len(os.listdir(t.data_dir))
+    assert n_batch_dirs >= _GC_JOB_THRESHOLD  # job path engaged
+    assert len(_list_data_files(t)) == _GC_JOB_THRESHOLD + 2
+
+    compact(t, target_file_bytes=64 * 1024 * 1024)
+    res = expire_snapshots(
+        t,
+        older_than_ms=int(time.time() * 1000) + 10_000,
+        retain_last=1,
+        orphan_grace_secs=0.0,
+    )
+    assert res["deleted_files"] == _GC_JOB_THRESHOLD + 2  # every rewritten small
+    assert t.to_df().count() == (_GC_JOB_THRESHOLD + 2) * 10
