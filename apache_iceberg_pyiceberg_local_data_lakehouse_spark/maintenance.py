@@ -20,6 +20,7 @@ from __future__ import annotations
 import os
 import time
 
+from .functions.zorder import zorder_key
 from .table import LakehouseTable, Snapshot
 
 DEFAULT_RETENTION_DAYS = 7  # lakehouse_pipeline.py:72
@@ -142,6 +143,7 @@ def compact(
     target_file_bytes: int = 128 * 1024 * 1024,
     small_file_threshold: float = 0.5,
     sort_by: list[str] | None = None,
+    zorder_by: list[str] | None = None,
 ) -> Snapshot | None:
     """Rewrite small data files into ~target-sized files.
 
@@ -182,13 +184,29 @@ def compact(
     total = sum(e["bytes"] for e in small)
     n_out = max(1, -(-total // target_file_bytes))
     df = table.scan(file_filter=lambda e: e["path"] in small_paths)
-    keys = [p.column() for p in snap.partition_spec] + list(sort_by or [])
-    if keys:
-        df = df.repartitionByRange(int(n_out), *keys)
+    if zorder_by:
         if sort_by:
-            df = df.sortWithinPartitions(*keys)
+            raise ValueError("compact: sort_by and zorder_by are exclusive")
+        # bounds come from the manifest stats of the files being
+        # rewritten (zero extra reads); a column missing stats in any
+        # file falls back to one small agg job
+        bounds = _zorder_bounds(small, zorder_by, df)
+        z = zorder_key(df, zorder_by, bounds)
+        spec_cols = [p.column() for p in snap.partition_spec]
+        df = (
+            df.withColumn("__z", z)
+            .repartitionByRange(int(n_out), *spec_cols, "__z")
+            .sortWithinPartitions(*spec_cols, "__z")
+            .drop("__z")
+        )
     else:
-        df = df.repartition(int(n_out))
+        keys = [p.column() for p in snap.partition_spec] + list(sort_by or [])
+        if keys:
+            df = df.repartitionByRange(int(n_out), *keys)
+            if sort_by:
+                df = df.sortWithinPartitions(*keys)
+        else:
+            df = df.repartition(int(n_out))
     new_entries = table._write_files(df, snap.partition_spec)
     # base_version: a concurrent append between our manifest read and this
     # commit would otherwise be silently dropped from the rewritten set
@@ -202,3 +220,69 @@ def compact(
         },
         base_version=snap.version,
     )
+
+
+def _stat_num(v) -> float | None:
+    """Manifest stat value -> the same numeric scale ``zorder_key``'s
+    column expressions use (timestamps as epoch microseconds)."""
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, (int, float)):
+        return float(v)
+    if isinstance(v, str):
+        try:
+            from datetime import datetime, timezone
+
+            dt = datetime.fromisoformat(v)
+            return dt.replace(tzinfo=timezone.utc).timestamp() * 1e6
+        except ValueError:
+            return None
+    return None
+
+
+def _zorder_bounds(
+    entries: list[dict], cols: list[str], df
+) -> dict[str, tuple[float, float]]:
+    """Per-column (lo, hi) for z-order quantization.
+
+    Preferred source: the manifest min/max of the files being rewritten
+    (zero extra reads). Columns with missing/non-numeric stats in any
+    file fall back to one combined agg job over the rewrite scan. Exact
+    bounds are not required for correctness - the z-key stays monotone
+    per dimension under any consistent bound - only for rank
+    resolution."""
+    from pyspark.sql import functions as F
+
+    from .functions.zorder import _numeric_expr
+
+    bounds: dict[str, tuple[float, float]] = {}
+    missing: list[str] = []
+    for c in cols:
+        los, his = [], []
+        for e in entries:
+            st = (e.get("stats") or {}).get(c)
+            lo = _stat_num(st[0]) if st else None
+            hi = _stat_num(st[1]) if st else None
+            if lo is None or hi is None:
+                los = []
+                break
+            los.append(lo)
+            his.append(hi)
+        if los:
+            bounds[c] = (min(los), max(his))
+        else:
+            missing.append(c)
+    if missing:
+        row = df.agg(
+            *[
+                f
+                for c in missing
+                for f in (
+                    F.min(_numeric_expr(df, c)).alias(f"__lo_{c}"),
+                    F.max(_numeric_expr(df, c)).alias(f"__hi_{c}"),
+                )
+            ]
+        ).first()
+        for c in missing:
+            bounds[c] = (row[f"__lo_{c}"] or 0.0, row[f"__hi_{c}"] or 0.0)
+    return bounds

@@ -384,3 +384,67 @@ def test_orphan_gc_distributed_listing(catalog, spark):
     )
     assert res["deleted_files"] == _GC_JOB_THRESHOLD + 2  # every rewritten small
     assert t.to_df().count() == (_GC_JOB_THRESHOLD + 2) * 10
+
+
+def test_zorder_key_morton_interleave(spark):
+    """2-bit Morton sanity: z(x,y) interleaves x into even bits and y
+    into odd bits."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.functions.zorder import (
+        zorder_key,
+    )
+
+    df = spark.createDataFrame(
+        [(x, y) for x in range(4) for y in range(4)], "x int, y int"
+    )
+    rows = df.withColumn(
+        "z", zorder_key(df, ["x", "y"], {"x": (0.0, 3.0), "y": (0.0, 3.0)}, bits=2)
+    ).collect()
+    for r in rows:
+        x, y = r["x"], r["y"]
+        expect = sum(
+            (((x >> b) & 1) << (2 * b)) + (((y >> b) & 1) << (2 * b + 1))
+            for b in range(2)
+        )
+        assert r["z"] == expect, (x, y, r["z"], expect)
+
+
+def test_zorder_compaction_prunes_both_dimensions(catalog, spark):
+    """compact(zorder_by): after the rewrite, per-file min/max stats
+    prune scans on EITHER clustered column - a linear sort would only
+    tighten the first one."""
+    n = 4096
+    grid = spark.range(n).select(
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(hours=F.col("id") % 64)
+        ).alias("DateTime"),
+        F.floor(F.col("id") / 64).cast("double").alias("Bid"),
+        F.lit(1.2).alias("Ask"),
+    )
+    t = catalog.create_table("gold.zorder", TICK_SCHEMA, [])
+    for i in range(4):  # 4 unclustered appends (hash-sliced, not sorted)
+        t.append(
+            grid.filter(F.pmod(F.hash("DateTime", "Bid"), F.lit(4)) == i).coalesce(1)
+        )
+    snap = compact(
+        t, target_file_bytes=1024, small_file_threshold=64.0,
+        zorder_by=["DateTime", "Bid"],
+    )
+    assert snap is not None
+    total_files = len(t.snapshot().manifest)
+    assert total_files >= 8, total_files
+
+    import datetime as dt
+
+    time_slice = t.scan_where(
+        "DateTime",
+        dt.datetime(2024, 1, 1, 0),
+        dt.datetime(2024, 1, 1, 3, 59, 59),
+    )
+    bid_slice = t.scan_where("Bid", 0.0, 3.0)
+    assert time_slice.count() == 4 * 64
+    assert bid_slice.count() == 4 * 64
+    n_time = len(time_slice.inputFiles())
+    n_bid = len(bid_slice.inputFiles())
+    assert n_time <= total_files // 2, (n_time, total_files)
+    assert n_bid <= total_files // 2, (n_bid, total_files)
