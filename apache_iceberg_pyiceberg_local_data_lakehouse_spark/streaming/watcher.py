@@ -235,3 +235,50 @@ def stream_warehouse(
             available_now=available_now,
         )
     return queries
+
+
+def stream_table_tail(
+    table,
+    process,
+    from_version: int | None = None,
+    poll_secs: int = WATCH_INTERVAL_SECS,
+    on_reset=None,
+    error_backoff: int = 60,
+):
+    """Tail a lakehouse table: every poll, read the append-diff since the
+    last processed version via ``scan_incremental`` and hand it to
+    ``process(df, from_version, to_version)`` - the downstream half of
+    the CDC story (``scan_incremental`` is the batch API; this wraps it
+    in the same daemon-thread/foreachBatch discipline as the ingest
+    watcher). O(new data) per poll, never a full re-scan.
+
+    If the diff becomes unreadable (a delete/merge snapshot landed in
+    range, or the consumer fell behind snapshot expiry),
+    ``on_reset(from_v, to_v, reason)`` is called and the cursor jumps to
+    the current version - the consumer decides whether to full-rescan.
+    Returns ``(stop_event, thread, cursor)``; ``cursor()`` reports the
+    last processed version (for checkpointing)."""
+    import threading as _threading
+
+    stop = _threading.Event()
+    state = {"v": table.current_version() if from_version is None else from_version}
+
+    def loop():
+        while not stop.is_set():
+            try:
+                cur = table.current_version()
+                if cur > state["v"]:
+                    try:
+                        df = table.scan_incremental(state["v"], to_version=cur)
+                        process(df, state["v"], cur)
+                    except ValueError as e:
+                        if on_reset is not None:
+                            on_reset(state["v"], cur, str(e))
+                    state["v"] = cur
+            except Exception:
+                stop.wait(error_backoff)  # same ST5 discipline as ingest
+            stop.wait(poll_secs)
+
+    t = _threading.Thread(target=loop, name="table-tail", daemon=True)
+    t.start()
+    return stop, t, lambda: state["v"]

@@ -508,3 +508,68 @@ def test_streaming_ingest_races_batch_appends(spark, tmp_path):
         .collect()
     }
     assert per_year == {2024: 450, 2030: 150, 2031: 150, 2032: 150, 2033: 150}
+
+
+def test_table_tail_consumes_append_diffs(spark, tmp_path):
+    """stream_table_tail delivers each append exactly once (as an
+    incremental diff, never a re-scan), skips content-preserving
+    compactions, and reports resets when a delete lands in range."""
+    import threading
+
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.catalog import (
+        LakehouseCatalog,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.dml import delete_where
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.maintenance import compact
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.streaming.watcher import (
+        stream_table_tail,
+    )
+    from pyspark.sql import functions as F
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    t = cat.create_table("gold.tail", TICK_SCHEMA, [])
+
+    got = []
+    resets = []
+    seen = threading.Event()
+
+    def process(df, from_v, to_v):
+        got.append((from_v, to_v, df.count()))
+        seen.set()
+
+    def mk(year, n):
+        return spark.createDataFrame(
+            [(dt.datetime(year, 1, 1) + dt.timedelta(seconds=i), 1.1, 1.2)
+             for i in range(n)],
+            TICK_SCHEMA,
+        )
+
+    stop, thread, cursor = stream_table_tail(
+        t, process, poll_secs=1, on_reset=lambda f, to, r: resets.append(r)
+    )
+    try:
+        t.append(mk(2020, 30).coalesce(1))
+        t.append(mk(2021, 40).coalesce(1))
+        deadline = time.time() + 60
+        while sum(n for _, _, n in got) < 70 and time.time() < deadline:
+            time.sleep(0.5)
+        assert sum(n for _, _, n in got) == 70  # both appends, exactly once
+
+        # a compaction alone must deliver nothing new
+        got_before = list(got)
+        assert compact(t, target_file_bytes=64 * 1024 * 1024) is not None
+        time.sleep(2.5)
+        assert sum(n for _, _, n in got) == sum(n for _, _, n in got_before)
+        assert cursor() == t.current_version()  # cursor still advances
+
+        # delete in range -> reset notification, no spurious batch
+        seen.clear()
+        delete_where(t, F.year("DateTime") == 2020)
+        deadline = time.time() + 60
+        while not resets and time.time() < deadline:
+            time.sleep(0.5)
+        assert resets and "append-only" in resets[0]
+        assert sum(n for _, _, n in got) == 70
+    finally:
+        stop.set()
+        thread.join(timeout=10)
