@@ -303,7 +303,11 @@ class LakehouseTable:
         return entries
 
     def append(
-        self, df: DataFrame, max_retries: int = 5, optimize_write: bool = False
+        self,
+        df: DataFrame,
+        max_retries: int = 5,
+        optimize_write: bool = False,
+        cluster_by: list[str] | None = None,
     ) -> Snapshot:
         """Append rows as a new snapshot (S5, reference
         ``lakehouse_pipeline.py:394``). Retries on commit conflict -
@@ -314,9 +318,43 @@ class LakehouseTable:
         columns before writing (Iceberg's write.distribution-mode=hash):
         each partition's rows land in few tasks instead of every task
         writing a sliver of every partition - the difference between
-        O(partitions) and O(partitions x tasks) small files per append."""
+        O(partitions) and O(partitions x tasks) small files per append.
+
+        ``cluster_by`` z-order-clusters the batch at write time (the
+        write-side twin of ``maintenance.compact(zorder_by=...)``): rows
+        range-distribute on (partition transforms, Morton key) so every
+        clustered column gets tight per-file min/max stats from the
+        first write, at the cost of one extra pass over ``df`` to
+        compute quantization bounds - worth it for large batches that
+        would otherwise wait for a compaction to become prunable."""
         spec = self.partition_spec
-        if optimize_write and spec:
+        if cluster_by:
+            from .functions.zorder import _numeric_expr, zorder_key
+
+            row = df.agg(
+                *[
+                    f
+                    for c in cluster_by
+                    for f in (
+                        F.min(_numeric_expr(df, c)).alias(f"__lo_{c}"),
+                        F.max(_numeric_expr(df, c)).alias(f"__hi_{c}"),
+                    )
+                ]
+            ).first()
+            bounds = {
+                c: (row[f"__lo_{c}"] or 0.0, row[f"__hi_{c}"] or 0.0)
+                for c in cluster_by
+            }
+            n_tasks = df.rdd.getNumPartitions()
+            df = (
+                df.withColumn("__z", zorder_key(df, cluster_by, bounds))
+                .repartitionByRange(
+                    max(1, n_tasks), *[p.column() for p in spec], "__z"
+                )
+                .sortWithinPartitions(*[p.column() for p in spec], "__z")
+                .drop("__z")
+            )
+        elif optimize_write and spec:
             df = df.repartition(*[p.column() for p in spec])
         new_files = self._write_files(df, spec)
         for _ in range(max_retries):

@@ -448,3 +448,32 @@ def test_zorder_compaction_prunes_both_dimensions(catalog, spark):
     n_bid = len(bid_slice.inputFiles())
     assert n_time <= total_files // 2, (n_time, total_files)
     assert n_bid <= total_files // 2, (n_bid, total_files)
+
+
+def test_append_cluster_by_writes_prunable_files(catalog, spark):
+    """append(cluster_by=...): a single large append lands z-ordered, so
+    per-file stats prune on both clustered columns with no compaction."""
+    n = 4096
+    grid = spark.range(n).repartition(8).select(
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(hours=F.col("id") % 64)
+        ).alias("DateTime"),
+        F.floor(F.col("id") / 64).cast("double").alias("Bid"),
+        F.lit(1.2).alias("Ask"),
+    )
+    t = catalog.create_table("gold.zwrite", TICK_SCHEMA, [])
+    t.append(grid, cluster_by=["DateTime", "Bid"])
+    total_files = len(t.snapshot().manifest)
+    assert total_files >= 4, total_files
+
+    import datetime as dt
+
+    time_slice = t.scan_where(
+        "DateTime", dt.datetime(2024, 1, 1, 0), dt.datetime(2024, 1, 1, 3, 59, 59)
+    )
+    bid_slice = t.scan_where("Bid", 0.0, 3.0)
+    assert time_slice.count() == 4 * 64
+    assert bid_slice.count() == 4 * 64
+    assert len(time_slice.inputFiles()) <= total_files // 2
+    assert len(bid_slice.inputFiles()) <= total_files // 2
