@@ -75,8 +75,9 @@ def delete_where(table: LakehouseTable, predicate: Column) -> Snapshot:
     snap = table.snapshot()
     survivors = table.scan(snapshot=snap).filter(~predicate)
     new_entries = table._write_files(survivors, snap.partition_spec)
-    return table.overwrite_manifest(
-        new_entries,
+    return table.commit_delta(
+        added=new_entries,
+        removed_paths={e["path"] for e in snap.manifest},
         operation="delete",
         summary={"deleted_predicate": str(predicate._jc)},
         base_version=snap.version,
@@ -119,8 +120,12 @@ def merge_into(
 
     merged = kept.unionByName(incoming.select(*touched_df.columns))
     new_entries = table._write_files(merged, snap.partition_spec)
-    return table.overwrite_manifest(
-        untouched + new_entries,
+    # delta commit: manifest files holding only untouched entries carry
+    # over by reference - a key-range MERGE re-serializes the overlapped
+    # files' manifests, not the table's
+    return table.commit_delta(
+        added=new_entries,
+        removed_paths={e["path"] for e in touched},
         operation="merge",
         summary={
             "rewritten_files": len(touched),
@@ -159,6 +164,7 @@ def add_column(table: LakehouseTable, name: str, spark_type: str) -> Snapshot:
         schema_json=schema_json,
         partition_spec=cur.partition_spec,
         manifest=cur.manifest,
+        manifest_files=table._parent_manifest_files(cur),
         summary={"added_column": name},
     )
     table._commit(snap)
@@ -191,6 +197,7 @@ def drop_column(table: LakehouseTable, name: str) -> Snapshot:
         schema_json=schema_json,
         partition_spec=cur.partition_spec,
         manifest=cur.manifest,
+        manifest_files=table._parent_manifest_files(cur),
         summary={"dropped_column": name},
     )
     table._commit(snap)
@@ -239,6 +246,7 @@ def rename_column(table: LakehouseTable, old: str, new: str) -> Snapshot:
         schema_json=schema_json,
         partition_spec=new_spec,
         manifest=cur.manifest,
+        manifest_files=table._parent_manifest_files(cur),
         summary={"renamed_column": {old: new}},
     )
     table._commit(snap)
@@ -274,6 +282,7 @@ def set_partition_spec(table: LakehouseTable, spec: list) -> Snapshot:
         schema_json=cur.schema_json,
         partition_spec=spec,
         manifest=cur.manifest,
+        manifest_files=table._parent_manifest_files(cur),
         summary={"new_partition_spec": [p.to_json() for p in spec]},
     )
     table._commit(snap)

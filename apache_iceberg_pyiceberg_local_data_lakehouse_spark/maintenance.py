@@ -103,10 +103,12 @@ def expire_snapshots(
 
     snaps = table.snapshots()
     # newest `retain_last` are protected unconditionally; the current
-    # snapshot is always protected
+    # snapshot is always protected; tagged snapshots are pinned for as
+    # long as their tag exists (Iceberg tag retention)
     by_newest = sorted(snaps, key=lambda s: s.timestamp_ms, reverse=True)
     protected = {s.version for s in by_newest[:retain_last]}
     protected.add(table.current_version())
+    protected.update(table.refs().values())
 
     expired = [
         s
@@ -117,8 +119,10 @@ def expire_snapshots(
         table.delete_metadata_version(s.version)
 
     deleted_files = 0
+    deleted_manifests = 0
     if delete_orphan_files:
-        referenced = table.referenced_files()
+        retained = table.snapshots()
+        referenced = {e["path"] for s in retained for e in s.manifest}
         now = time.time()
         for fpath, mtime in _list_data_files(table):
             rel = os.path.relpath(fpath, table.location)
@@ -131,9 +135,31 @@ def expire_snapshots(
                 deleted_files += 1
             except FileNotFoundError:
                 pass  # another process GC'd it first
+        # manifest files referenced only by expired (or crashed) commits
+        # are garbage too; same grace discipline - a writer stages its
+        # delta manifest before the snapshot that references it commits
+        referenced_mfs = {
+            mf for s in retained for mf in s.manifest_files
+        }
+        mdir = os.path.join(table.metadata_dir, "manifests")
+        if os.path.isdir(mdir):
+            for name in os.listdir(mdir):
+                rel = os.path.join("manifests", name)
+                if rel in referenced_mfs:
+                    continue
+                p = os.path.join(mdir, name)
+                try:
+                    if now - os.path.getmtime(p) < orphan_grace_secs:
+                        continue
+                    os.remove(p)
+                    table._manifest_cache.pop(rel, None)
+                    deleted_manifests += 1
+                except FileNotFoundError:
+                    pass
     return {
         "expired_snapshots": len(expired),
         "deleted_files": deleted_files,
+        "deleted_manifests": deleted_manifests,
         "retained_snapshots": len(snaps) - len(expired),
     }
 
@@ -179,7 +205,6 @@ def compact(
     if not small:
         return None
     small_paths = {e["path"] for e in small}
-    large = [e for e in snap.manifest if e["path"] not in small_paths]
 
     total = sum(e["bytes"] for e in small)
     n_out = max(1, -(-total // target_file_bytes))
@@ -209,9 +234,13 @@ def compact(
             df = df.repartition(int(n_out))
     new_entries = table._write_files(df, snap.partition_spec)
     # base_version: a concurrent append between our manifest read and this
-    # commit would otherwise be silently dropped from the rewritten set
-    return table.overwrite_manifest(
-        large + new_entries,
+    # commit would otherwise be silently dropped from the rewritten set.
+    # Delta commit: manifest files untouched by the rewrite carry over by
+    # reference, so compacting one partition's small files re-serializes
+    # that partition's manifests, not the whole table's.
+    return table.commit_delta(
+        added=new_entries,
+        removed_paths=small_paths,
         operation="replace",
         summary={
             "compacted_files": len(small),

@@ -108,9 +108,14 @@ class Snapshot:
     partition_spec: list[PartitionField]
     manifest: list[dict[str, Any]]  # per data file: path, rows, stats, partition
     summary: dict[str, Any] = field(default_factory=dict)
+    # Iceberg-style manifest list: metadata-relative paths of immutable
+    # manifest files that together hold `manifest`. When set, the
+    # snapshot JSON stores ONLY this list - an append re-serializes its
+    # own delta (one new manifest file), never the full O(files) set.
+    manifest_files: list[str] = field(default_factory=list)
 
     def to_json(self) -> dict[str, Any]:
-        return {
+        d = {
             "snapshot_id": self.snapshot_id,
             "version": self.version,
             "timestamp_ms": self.timestamp_ms,
@@ -118,9 +123,13 @@ class Snapshot:
             "parent_id": self.parent_id,
             "schema": self.schema_json,
             "partition_spec": [p.to_json() for p in self.partition_spec],
-            "manifest": self.manifest,
             "summary": self.summary,
         }
+        if self.manifest_files:
+            d["manifest_files"] = self.manifest_files
+        else:
+            d["manifest"] = self.manifest
+        return d
 
     @staticmethod
     def from_json(d: dict[str, Any]) -> "Snapshot":
@@ -132,8 +141,11 @@ class Snapshot:
             parent_id=d.get("parent_id"),
             schema_json=d["schema"],
             partition_spec=[PartitionField.from_json(p) for p in d["partition_spec"]],
-            manifest=d["manifest"],
+            # None marks "stored in manifest files"; the table loader
+            # resolves it (Snapshot alone has no filesystem context)
+            manifest=d.get("manifest") if "manifest" in d else None,
             summary=d.get("summary", {}),
+            manifest_files=d.get("manifest_files", []),
         )
 
     @property
@@ -156,16 +168,63 @@ class LakehouseTable:
     ``append``, ``scan(selected_fields=...)``, snapshot listing, expiry.
     """
 
+    # once a snapshot references this many manifest files, the commit
+    # merges them into one - amortized O(files/threshold) metadata work
+    # per commit instead of O(files) every commit (Iceberg's
+    # commit.manifest.min-count-to-merge plays the same role)
+    _MANIFEST_MERGE_THRESHOLD = 32
+
     def __init__(self, spark: SparkSession, location: str):
         self.spark = spark
         self.location = os.path.abspath(location)
         self.metadata_dir = os.path.join(self.location, "metadata")
         self.data_dir = os.path.join(self.location, "data")
+        # manifest files are immutable once referenced by a committed
+        # snapshot, so entries cache safely across snapshots/handles
+        self._manifest_cache: dict[str, list[dict[str, Any]]] = {}
 
     # -- metadata plumbing --------------------------------------------------
 
     def _version_path(self, v: int) -> str:
         return os.path.join(self.metadata_dir, f"v{v}.json")
+
+    # -- manifest files -----------------------------------------------------
+
+    def _manifest_path(self, rel: str) -> str:
+        return os.path.join(self.metadata_dir, rel)
+
+    def _read_manifest_file(self, rel: str) -> list[dict[str, Any]]:
+        cached = self._manifest_cache.get(rel)
+        if cached is None:
+            with open(self._manifest_path(rel)) as f:
+                cached = json.load(f)
+            self._manifest_cache[rel] = cached
+        return cached
+
+    def _write_manifest_file(self, entries: list[dict[str, Any]]) -> str:
+        """Persist one immutable manifest file; returns its
+        metadata-relative path. Written tmp+rename so a reader never sees
+        a partial file; unreferenced leftovers (crashed commits) are
+        orphan-GC'd by snapshot expiry."""
+        mdir = os.path.join(self.metadata_dir, "manifests")
+        os.makedirs(mdir, exist_ok=True)
+        rel = os.path.join("manifests", f"m-{uuid.uuid4().hex}.json")
+        tmp = os.path.join(mdir, f".tmp.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(entries, f)
+        os.replace(tmp, self._manifest_path(rel))
+        self._manifest_cache[rel] = list(entries)
+        return rel
+
+    def _resolve_manifest(self, snap: Snapshot) -> Snapshot:
+        """Fill in ``snap.manifest`` from its manifest-file list (no-op
+        for legacy snapshots that inline the manifest)."""
+        if snap.manifest is None:
+            entries: list[dict[str, Any]] = []
+            for rel in snap.manifest_files:
+                entries.extend(self._read_manifest_file(rel))
+            snap.manifest = entries
+        return snap
 
     def current_version(self) -> int:
         """Highest committed version. The hint file is a fast path; the
@@ -201,16 +260,18 @@ class LakehouseTable:
     def snapshot(self, version: int | None = None) -> Snapshot:
         v = self.current_version() if version is None else version
         with open(self._version_path(v)) as f:
-            return Snapshot.from_json(json.load(f))
+            return self._resolve_manifest(Snapshot.from_json(json.load(f)))
 
     def snapshots(self) -> list[Snapshot]:
         """All retained snapshots, oldest first (M1 snapshot listing,
-        reference ``lakehouse_pipeline.py:234-235``)."""
+        reference ``lakehouse_pipeline.py:234-235``). Snapshots share
+        manifest files, so loading N versions costs O(distinct manifest
+        files) reads (cached), not O(N x files)."""
         out = []
         for name in sorted(os.listdir(self.metadata_dir)):
             if name.startswith("v") and name.endswith(".json"):
                 with open(os.path.join(self.metadata_dir, name)) as f:
-                    out.append(Snapshot.from_json(json.load(f)))
+                    out.append(self._resolve_manifest(Snapshot.from_json(json.load(f))))
         out.sort(key=lambda s: s.version)
         return out
 
@@ -357,8 +418,16 @@ class LakehouseTable:
         elif optimize_write and spec:
             df = df.repartition(*[p.column() for p in spec])
         new_files = self._write_files(df, spec)
+        # the delta manifest is written ONCE and reused across commit
+        # retries - the commit re-serializes O(added + manifest-file
+        # count), never the full O(files) manifest
+        new_mf = self._write_manifest_file(new_files) if new_files else None
         for _ in range(max_retries):
             cur = self.snapshot()
+            mfs = self._parent_manifest_files(cur) + ([new_mf] if new_mf else [])
+            manifest = cur.manifest + new_files
+            if len(mfs) >= self._MANIFEST_MERGE_THRESHOLD:
+                mfs = [self._write_manifest_file(manifest)]
             snap = Snapshot(
                 snapshot_id=uuid.uuid4().hex,
                 version=cur.version + 1,
@@ -367,7 +436,8 @@ class LakehouseTable:
                 parent_id=cur.snapshot_id,
                 schema_json=cur.schema_json,
                 partition_spec=spec,
-                manifest=cur.manifest + new_files,
+                manifest=manifest,
+                manifest_files=mfs,
                 summary={
                     "added_files": len(new_files),
                     "added_rows": sum(f["rows"] for f in new_files),
@@ -379,6 +449,16 @@ class LakehouseTable:
             except CommitConflict:
                 continue
         raise CommitConflict(f"append to {self.location} failed after retries")
+
+    def _parent_manifest_files(self, cur: Snapshot) -> list[str]:
+        """Manifest-file list to inherit from the parent snapshot. A
+        legacy parent that inlines a non-empty manifest is migrated by
+        materializing it as one manifest file (one-time cost)."""
+        if cur.manifest_files:
+            return list(cur.manifest_files)
+        if cur.manifest:
+            return [self._write_manifest_file(cur.manifest)]
+        return []
 
     def overwrite_manifest(
         self,
@@ -410,6 +490,61 @@ class LakehouseTable:
             schema_json=cur.schema_json,
             partition_spec=cur.partition_spec,
             manifest=manifest,
+            manifest_files=[self._write_manifest_file(manifest)] if manifest else [],
+            summary=summary or {},
+        )
+        self._commit(snap)
+        return snap
+
+    def commit_delta(
+        self,
+        added: list[dict],
+        removed_paths: set[str],
+        operation: str,
+        summary: dict | None = None,
+        base_version: int | None = None,
+    ) -> Snapshot:
+        """Commit a file-set delta with manifest-file reuse: parent
+        manifest files untouched by ``removed_paths`` carry over by
+        reference; only affected ones are rewritten (minus the removed
+        entries), plus one new file for ``added``. A partition-scoped
+        compaction or MERGE on a million-file table re-serializes the
+        touched partition's manifests, not the table's - the same reason
+        Iceberg splits metadata into a manifest list. Conflict semantics
+        match ``overwrite_manifest`` (``base_version`` validation)."""
+        cur = self.snapshot()
+        if base_version is not None and cur.version != base_version:
+            raise CommitConflict(
+                f"rewrite based on v{base_version} but table is at "
+                f"v{cur.version}; re-read and retry"
+            )
+        mfs: list[str] = []
+        manifest: list[dict] = []
+        for rel in self._parent_manifest_files(cur):
+            entries = self._read_manifest_file(rel)
+            if any(e["path"] in removed_paths for e in entries):
+                kept = [e for e in entries if e["path"] not in removed_paths]
+                if kept:
+                    mfs.append(self._write_manifest_file(kept))
+                    manifest.extend(kept)
+            else:
+                mfs.append(rel)
+                manifest.extend(entries)
+        if added:
+            mfs.append(self._write_manifest_file(added))
+            manifest.extend(added)
+        if len(mfs) >= self._MANIFEST_MERGE_THRESHOLD:
+            mfs = [self._write_manifest_file(manifest)] if manifest else []
+        snap = Snapshot(
+            snapshot_id=uuid.uuid4().hex,
+            version=cur.version + 1,
+            timestamp_ms=int(time.time() * 1000),
+            operation=operation,
+            parent_id=cur.snapshot_id,
+            schema_json=cur.schema_json,
+            partition_spec=cur.partition_spec,
+            manifest=manifest,
+            manifest_files=mfs,
             summary=summary or {},
         )
         self._commit(snap)
@@ -561,6 +696,109 @@ class LakehouseTable:
             prev_paths = paths
         inc_snap = dataclasses.replace(snaps[to_v], manifest=added_entries)
         return self.scan(selected_fields=selected_fields, snapshot=inc_snap)
+
+    # -- named refs (tags) ---------------------------------------------------
+
+    def _refs_path(self) -> str:
+        return os.path.join(self.metadata_dir, "refs.json")
+
+    def refs(self) -> dict[str, int]:
+        """Named refs: tag name -> snapshot version (Iceberg's tags).
+        A tag pins a snapshot for as long as it exists - "the exact table
+        state training run X read" stays time-travelable even after
+        normal retention would expire it."""
+        try:
+            with open(self._refs_path()) as f:
+                return {k: int(v) for k, v in json.load(f).items()}
+        except FileNotFoundError:
+            return {}
+
+    def _write_refs(self, refs: dict[str, int]) -> None:
+        tmp = os.path.join(self.metadata_dir, f".refs.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(refs, f)
+        os.replace(tmp, self._refs_path())
+
+    def create_tag(self, name: str, version: int | None = None) -> int:
+        v = self.current_version() if version is None else version
+        if not os.path.exists(self._version_path(v)):
+            raise ValueError(f"no snapshot v{v} to tag")
+        refs = self.refs()
+        if name in refs:
+            raise ValueError(f"tag {name!r} already exists (at v{refs[name]})")
+        refs[name] = v
+        self._write_refs(refs)
+        return v
+
+    def drop_tag(self, name: str) -> None:
+        refs = self.refs()
+        if name not in refs:
+            raise ValueError(f"no tag {name!r}")
+        del refs[name]
+        self._write_refs(refs)
+
+    def snapshot_by_tag(self, name: str) -> Snapshot:
+        refs = self.refs()
+        if name not in refs:
+            raise ValueError(f"no tag {name!r}")
+        return self.snapshot(refs[name])
+
+    # -- metadata inspection tables (Iceberg's table.inspect surface) --------
+
+    def inspect_snapshots(self) -> DataFrame:
+        """History as a DataFrame: one row per retained snapshot."""
+        rows = [
+            (
+                s.version,
+                s.snapshot_id,
+                s.timestamp_ms,
+                s.operation,
+                s.parent_id,
+                len(s.manifest),
+                s.total_rows,
+                {k: str(v) for k, v in s.summary.items()},
+            )
+            for s in self.snapshots()
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "version int, snapshot_id string, timestamp_ms long, "
+            "operation string, parent_id string, n_files int, "
+            "total_rows long, summary map<string,string>",
+        )
+
+    def inspect_files(self, snapshot: Snapshot | None = None) -> DataFrame:
+        """The manifest as a DataFrame: one row per live data file with
+        its size, row count and partition values - the input to layout
+        diagnostics (small-file ratio, partition skew) without touching
+        any data file."""
+        snap = snapshot or self.snapshot()
+        rows = [
+            (
+                e["path"],
+                int(e.get("rows", 0)),
+                int(e.get("bytes", 0)),
+                {k: str(v) for k, v in (e.get("partition") or {}).items()},
+            )
+            for e in snap.manifest
+        ]
+        schema = (
+            "path string, rows long, bytes long, partition map<string,string>"
+        )
+        if not rows:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.createDataFrame(rows, schema)
+
+    def inspect_partitions(self, snapshot: Snapshot | None = None) -> DataFrame:
+        """Per-partition rollup of the manifest: file count, rows, bytes.
+        The first thing to read when deciding whether to compact."""
+        files = self.inspect_files(snapshot)
+        return files.groupBy("partition").agg(
+            F.count("*").alias("n_files"),
+            F.sum("rows").alias("rows"),
+            F.sum("bytes").alias("bytes"),
+            F.min("bytes").alias("min_file_bytes"),
+        )
 
     # -- maintenance hooks (driven by maintenance.py) ------------------------
 

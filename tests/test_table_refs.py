@@ -1,0 +1,103 @@
+"""Named refs (tags) + metadata inspection tables.
+
+Tags pin a snapshot version under a name (Iceberg tag semantics): time
+travel by name, protection from snapshot expiry while the tag exists.
+The inspect_* tables expose snapshots/files/partitions as DataFrames -
+the layout-diagnostics surface (small-file ratio, partition skew) that
+drives compaction decisions without reading any data file.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache_iceberg_pyiceberg_local_data_lakehouse_spark.catalog import LakehouseCatalog
+from apache_iceberg_pyiceberg_local_data_lakehouse_spark.maintenance import (
+    expire_snapshots,
+)
+from apache_iceberg_pyiceberg_local_data_lakehouse_spark.table import PartitionField
+
+from test_table_format import TICK_SCHEMA, tick_df
+
+
+@pytest.fixture
+def catalog(spark, tmp_path):
+    return LakehouseCatalog(spark, str(tmp_path / "warehouse"))
+
+
+def test_tag_time_travel(catalog, spark):
+    t = catalog.create_table("gold.tags1", TICK_SCHEMA, [])
+    t.append(tick_df(spark, n=5))
+    t.create_tag("training-v1")
+    t.append(tick_df(spark, n=7))
+    assert t.snapshot_by_tag("training-v1").total_rows == 5
+    assert t.snapshot().total_rows == 12
+    assert t.scan(snapshot=t.snapshot_by_tag("training-v1")).count() == 5
+    assert t.refs() == {"training-v1": 1}
+    with pytest.raises(ValueError):
+        t.create_tag("training-v1")  # no silent re-point
+    with pytest.raises(ValueError):
+        t.create_tag("bad", version=99)
+    t.drop_tag("training-v1")
+    assert t.refs() == {}
+    with pytest.raises(ValueError):
+        t.snapshot_by_tag("training-v1")
+
+
+def test_tagged_snapshot_survives_expiry(catalog, spark):
+    t = catalog.create_table("gold.tags2", TICK_SCHEMA, [])
+    t.append(tick_df(spark, n=3))  # v1
+    t.create_tag("pinned")
+    for _ in range(3):
+        t.append(tick_df(spark, n=3))  # v2..v4
+    res = expire_snapshots(
+        t, older_than_ms=2**62, retain_last=1, orphan_grace_secs=0.0
+    )
+    assert res["expired_snapshots"] > 0
+    # v1 outlived retention because the tag pins it - and still scans
+    assert t.snapshot_by_tag("pinned").total_rows == 3
+    assert t.scan(snapshot=t.snapshot_by_tag("pinned")).count() == 3
+    # dropping the tag releases it for the next expiry run
+    t.drop_tag("pinned")
+    expire_snapshots(t, older_than_ms=2**62, retain_last=1, orphan_grace_secs=0.0)
+    versions = {s.version for s in t.snapshots()}
+    assert 1 not in versions
+
+
+def test_inspect_snapshots_and_files(catalog, spark):
+    t = catalog.create_table(
+        "gold.ins1",
+        TICK_SCHEMA,
+        [PartitionField("DateTime", "years", "DateTime_year")],
+    )
+    t.append(tick_df(spark, year=2023, n=4).repartition(1))
+    t.append(tick_df(spark, year=2024, n=6).repartition(1))
+    hist = t.inspect_snapshots().orderBy("version").collect()
+    assert [r["operation"] for r in hist] == ["create", "append", "append"]
+    assert hist[-1]["total_rows"] == 10
+    assert hist[-1]["n_files"] == 2
+
+    files = t.inspect_files().collect()
+    assert len(files) == 2
+    assert sum(r["rows"] for r in files) == 10
+    years = {r["partition"]["DateTime_year"] for r in files}
+    assert years == {"2023", "2024"}
+
+    parts = t.inspect_partitions().collect()
+    assert len(parts) == 2
+    assert all(r["n_files"] == 1 for r in parts)
+    total = {r["partition"]["DateTime_year"]: r["rows"] for r in parts}
+    assert total == {"2023": 4, "2024": 6}
+
+
+def test_inspect_partitions_drives_compaction_decision(catalog, spark):
+    t = catalog.create_table("gold.ins2", TICK_SCHEMA, [])
+    t.append(tick_df(spark, n=8).repartition(4))
+    parts = t.inspect_partitions().collect()
+    # unpartitioned: single group, 4 small files -> compactable
+    assert len(parts) == 1 and parts[0]["n_files"] == 4
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.maintenance import compact
+
+    assert compact(t, target_file_bytes=1 << 30) is not None
+    assert t.inspect_partitions().collect()[0]["n_files"] < 4
