@@ -59,6 +59,43 @@ def distinct_within_bound(
     )
 
 
+def hll_rollup(
+    df: DataFrame, key: str, grain_cols: list[str], lgk: int = 12
+) -> DataFrame:
+    """Materialize per-grain HLL sketches (Apache DataSketches binary,
+    ``hll_sketch_agg``): one fixed-size (~2^lgk bytes) sketch per grain
+    group, computed in a single map-side-combinable pass.
+
+    This is the incremental-analytics building block exact distincts
+    cannot provide: a day's sketch is computed once when the day's data
+    arrives, persisted as a binary column, and any coarser rollup
+    (month, all-time) is a cheap union of the stored sketches - no
+    re-scan of history. At 100 TB, "distinct users per day, month, and
+    lifetime" becomes one pass over each new day plus metadata-scale
+    merges, instead of three full-table shuffles."""
+    return df.groupBy(*grain_cols).agg(
+        F.hll_sketch_agg(key, F.lit(lgk)).alias(f"{key}_sketch"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def hll_rollup_merge(
+    sketches: DataFrame, key: str, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Union stored per-grain sketches up to ``group_cols`` (empty =
+    grand total) and estimate the distinct count. Merging is exact over
+    the sketch registers: the union of per-month sketches is the SAME
+    sketch (same lgK) as one built over the whole range, so rollups lose
+    no accuracy versus a from-scratch build."""
+    merged = F.hll_sketch_estimate(
+        F.hll_union_agg(f"{key}_sketch", F.lit(True))
+    ).alias(f"{key}_approx_distinct")
+    rows = F.sum("n_rows").alias("n_rows")
+    if group_cols:
+        return sketches.groupBy(*group_cols).agg(merged, rows)
+    return sketches.agg(merged, rows)
+
+
 def quantile_within_bound(
     df: DataFrame,
     col: str,

@@ -12,6 +12,8 @@ from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.sketches impo
     approx_distinct,
     approx_quantiles,
     distinct_within_bound,
+    hll_rollup,
+    hll_rollup_merge,
     quantile_within_bound,
 )
 
@@ -61,6 +63,58 @@ def test_quantile_within_bound_frame(spark, sf_small):
         o, col="o_totalprice", group="o_orderstatus"
     ).collect()
     assert out and all(r["approx_ok"] for r in out)
+
+
+def test_hll_rollup_merge_equals_direct_build(spark, sf_small):
+    """Union of per-month DataSketches HLL sketches must estimate
+    IDENTICALLY to one sketch built over the whole range (register-level
+    merge is exact) - the property that makes persisted per-grain
+    sketches a lossless substitute for re-scanning history."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.queries import load
+
+    ev = load(spark, sf_small, "events").withColumn(
+        "month", F.date_format("ts", "yyyy-MM")
+    )
+    per_month = hll_rollup(ev, key="user_id", grain_cols=["event_type", "month"])
+    merged = {
+        r["event_type"]: r["user_id_approx_distinct"]
+        for r in hll_rollup_merge(
+            per_month, key="user_id", group_cols=["event_type"]
+        ).collect()
+    }
+    direct = {
+        r["event_type"]: r["e"]
+        for r in ev.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("e"))
+        .collect()
+    }
+    assert merged == direct
+    # and the estimate is honest: within 4 sigma of exact at lgK=12
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    rsd = 1.04 / (2**12) ** 0.5
+    for et, est in merged.items():
+        assert abs(est - exact[et]) <= max(1.0, 4 * rsd * exact[et])
+
+
+def test_hll_rollup_grand_total_and_row_counts(spark, sf_small):
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.queries import load
+
+    ev = load(spark, sf_small, "events").withColumn(
+        "month", F.date_format("ts", "yyyy-MM")
+    )
+    per_month = hll_rollup(ev, key="user_id", grain_cols=["month"])
+    total = hll_rollup_merge(per_month, key="user_id").collect()[0]
+    assert total["n_rows"] == ev.count()
+    exact_total = ev.select("user_id").distinct().count()
+    rsd = 1.04 / (2**12) ** 0.5
+    assert abs(total["user_id_approx_distinct"] - exact_total) <= max(
+        1.0, 4 * rsd * exact_total
+    )
 
 
 def test_sketch_aggregates_use_partial_aggregation(spark):
