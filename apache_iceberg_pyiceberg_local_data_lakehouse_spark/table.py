@@ -643,6 +643,45 @@ class LakehouseTable:
             df = df.select(*selected_fields)
         return df
 
+    def scan_where_all(
+        self,
+        bounds: dict[str, tuple],
+        selected_fields: list[str] | None = None,
+    ) -> DataFrame:
+        """Conjunctive range scan: ``{column: (lower, upper)}`` with every
+        column's manifest pruning composed (a file survives only if it
+        overlaps EVERY bound - intersection of the per-column keeps).
+        With z-order-clustered data this is the multi-dimensional
+        file-skipping path: each clustered column contributes its own
+        min/max cut, so an N-dim slice reads ~the intersection's files.
+        Bounds are inclusive; None for half-open ends."""
+        snap = self.snapshot()
+        keeps = []
+        for column, (lower, upper) in bounds.items():
+            part = next(
+                (p for p in snap.partition_spec if p.source == column), None
+            )
+            bucket_id = None
+            if (
+                part is not None
+                and part.transform == "bucket"
+                and lower is not None
+                and lower == upper
+            ):
+                bucket_id = compute_bucket(self, part, lower)
+            keeps.append(_range_keep(column, lower, upper, part, bucket_id))
+        df = self.scan(
+            snapshot=snap, file_filter=lambda e: all(k(e) for k in keeps)
+        )
+        for column, (lower, upper) in bounds.items():
+            if lower is not None:
+                df = df.filter(F.col(column) >= F.lit(lower))
+            if upper is not None:
+                df = df.filter(F.col(column) <= F.lit(upper))
+        if selected_fields:
+            df = df.select(*selected_fields)
+        return df
+
     def scan_incremental(
         self,
         from_version: int,

@@ -131,6 +131,54 @@ def test_scan_where_null_partition_unprunable(catalog, spark):
     )
 
 
+def test_scan_where_all_composes_pruning(catalog, spark):
+    """Conjunctive bounds: each column cuts the file set independently;
+    the scan reads only the intersection and the result equals a
+    full-scan double filter."""
+    catalog.create_namespace("gold")
+    spec = [PartitionField("DateTime", "years", "DateTime_year")]
+    t = catalog.create_table("gold.ticks", TICK_SCHEMA, spec)
+    # per year, two files with disjoint Bid ranges (stats-cut on Bid)
+    for year in (2020, 2021, 2022):
+        lo_bid = tick_df(spark, year=year, n=10).withColumn(
+            "Bid", F.col("Bid") - 1.0
+        )
+        hi_bid = tick_df(spark, year=year, n=10).withColumn(
+            "Bid", F.col("Bid") + 10.0
+        )
+        t.append(lo_bid.repartition(1))
+        t.append(hi_bid.repartition(1))
+
+    total = len(t.snapshot().manifest)
+    lo = dtm.datetime(2021, 1, 1)
+    hi = dtm.datetime(2021, 12, 31)
+    sliced = t.scan_where_all({"DateTime": (lo, hi), "Bid": (5.0, None)})
+    want = (
+        t.to_df()
+        .filter(
+            (F.col("DateTime") >= lo)
+            & (F.col("DateTime") <= hi)
+            & (F.col("Bid") >= 5.0)
+        )
+        .count()
+    )
+    assert sliced.count() == want == 10
+    # intersection: 1 of 6 files (2021 AND high-Bid)
+    assert len(sliced.inputFiles()) == 1 < total
+
+
+def test_scan_where_all_matches_single_column_form(catalog, spark):
+    catalog.create_namespace("gold")
+    t = catalog.create_table("gold.ticks2", TICK_SCHEMA, [])
+    for year in (2020, 2022):
+        t.append(tick_df(spark, year=year, n=5))
+    lo, hi = dtm.datetime(2021, 1, 1), dtm.datetime(2023, 1, 1)
+    a = t.scan_where("DateTime", lo, hi)
+    b = t.scan_where_all({"DateTime": (lo, hi)})
+    assert a.count() == b.count() == 5
+    assert sorted(a.inputFiles()) == sorted(b.inputFiles())
+
+
 def test_scan_where_half_open_bounds(catalog, spark):
     catalog.create_namespace("gold")
     spec = [PartitionField("DateTime", "years", "DateTime_year")]
