@@ -46,11 +46,13 @@ def _gt(a, b) -> bool:
 def _overlapping_entries(
     snap: Snapshot, key: str, key_min, key_max
 ) -> tuple[list[dict], list[dict]]:
-    """Split a snapshot's manifest into (touched, untouched) by overlap of
-    the file's [min,max] stats for ``key`` with [key_min, key_max]."""
+    """Split a snapshot's DATA manifest into (touched, untouched) by
+    overlap of the file's [min,max] stats for ``key`` with
+    [key_min, key_max]. Equality-delete entries are never "touched" by a
+    rewrite - they carry over and keep applying to files they outrank."""
     key_min, key_max = _norm_bound(key_min), _norm_bound(key_max)
     touched, untouched = [], []
-    for e in snap.manifest:
+    for e in snap.data_entries:
         stats = e.get("stats", {}).get(key)
         if stats is None:
             touched.append(e)  # no stats -> must assume overlap
@@ -65,14 +67,67 @@ def _overlapping_entries(
     return touched, untouched
 
 
-def delete_where(table: LakehouseTable, predicate: Column) -> Snapshot:
-    """DELETE FROM t WHERE predicate, copy-on-write.
+def delete_where(
+    table: LakehouseTable,
+    predicate: Column,
+    mode: str = "copy-on-write",
+    equality_cols: list[str] | None = None,
+) -> Snapshot:
+    """DELETE FROM t WHERE predicate.
 
-    Reads the current snapshot once, rewrites surviving rows, commits a
-    replace snapshot. (File-level pruning for arbitrary predicates would
-    need predicate analysis; the common key-range case goes through
-    ``merge_into``'s pruning instead.)"""
+    ``mode='copy-on-write'`` (default): read the current snapshot once,
+    rewrite surviving rows, commit a replace snapshot - write cost
+    O(table), zero read overhead afterwards.
+
+    ``mode='merge-on-read'``: write only the matched rows' key values as
+    an equality-delete tombstone file (Iceberg v2 equality deletes) and
+    commit O(delete) data + O(1) metadata; every subsequent scan
+    anti-joins the tombstones against data files older than the delete
+    (sequence-number semantics - re-appended keys survive). The deletes
+    are physically removed by ``maintenance.materialize_deletes`` or any
+    compaction that rewrites the affected files. At 100 TB this is the
+    difference between a seconds-long delete commit (GDPR erasure, bad
+    batch retraction) and rewriting the table; the scan-side cost is one
+    broadcast anti-join until maintenance catches up.
+
+    ``equality_cols``: key columns identifying deleted rows (required
+    for merge-on-read; the predicate's matches are projected onto them,
+    so they must uniquely identify rows matched by the predicate - a
+    non-key column set would delete innocent bystander rows sharing the
+    key values).
+    """
     snap = table.snapshot()
+    if mode == "merge-on-read":
+        if not equality_cols:
+            raise ValueError("merge-on-read delete requires equality_cols")
+        names = {f["name"] for f in snap.schema_json["fields"]}
+        missing = [c for c in equality_cols if c not in names]
+        if missing:
+            raise ValueError(f"equality_cols not in schema: {missing}")
+        keys = (
+            table.scan(snapshot=snap)
+            .filter(predicate)
+            .select(*equality_cols)
+            .distinct()
+            .coalesce(1)  # tombstones are tiny next to data
+        )
+        del_entries = table._write_files(keys, [])
+        for e in del_entries:
+            e["content"] = "eq-del"
+            e["equality_cols"] = list(equality_cols)
+        if not del_entries:  # predicate matched nothing: no-op commit
+            del_entries = []
+        return table.commit_delta(
+            added=del_entries,
+            removed_paths=set(),
+            operation="delete",
+            summary={
+                "deleted_predicate": str(predicate._jc),
+                "mode": "merge-on-read",
+                "delete_files": len(del_entries),
+            },
+            base_version=snap.version,
+        )
     survivors = table.scan(snapshot=snap).filter(~predicate)
     new_entries = table._write_files(survivors, snap.partition_spec)
     return table.commit_delta(

@@ -164,6 +164,38 @@ def expire_snapshots(
     }
 
 
+def materialize_deletes(table: LakehouseTable) -> Snapshot | None:
+    """Apply pending merge-on-read equality deletes physically
+    (Iceberg's rewrite of position/equality deletes): rewrite exactly
+    the data files some delete still outranks, with the tombstones
+    anti-joined out, and drop every delete entry. Untouched data files
+    (appended after the newest delete) carry over by reference, so the
+    cost is O(data the deletes can still claim), not O(table)."""
+    snap = table.snapshot()
+    deletes = snap.delete_entries
+    if not deletes:
+        return None
+    max_seq = max(int(d.get("seq", 0)) for d in deletes)
+    touched = [
+        e for e in snap.data_entries if int(e.get("seq", 0)) < max_seq
+    ]
+    touched_paths = {e["path"] for e in touched}
+    df = table.scan(
+        snapshot=snap, file_filter=lambda e: e["path"] in touched_paths
+    )
+    new_entries = table._write_files(df, snap.partition_spec) if touched else []
+    return table.commit_delta(
+        added=new_entries,
+        removed_paths=touched_paths | {d["path"] for d in deletes},
+        operation="replace",
+        summary={
+            "materialized_deletes": len(deletes),
+            "rewritten_files": len(touched),
+        },
+        base_version=snap.version,
+    )
+
+
 def compact(
     table: LakehouseTable,
     target_file_bytes: int = 128 * 1024 * 1024,
@@ -197,7 +229,9 @@ def compact(
     snap = table.snapshot()
     cutoff = target_file_bytes * small_file_threshold
     small_by_part: dict[tuple, list[dict]] = {}
-    for e in snap.manifest:
+    # equality-delete tombstones are not data files; they are removed by
+    # materialize_deletes, never "compacted" into the data set
+    for e in snap.data_entries:
         if e["bytes"] < cutoff:
             key = tuple(sorted((e.get("partition") or {}).items()))
             small_by_part.setdefault(key, []).append(e)

@@ -383,6 +383,67 @@ def q68_spec_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q6a_lakehouse_mor_delete",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM (
+        SELECT lang, doc_id FROM documents WHERE lang <> 'en'
+        UNION ALL
+        SELECT lang, doc_id FROM documents
+        WHERE lang = 'en' AND doc_id % 7 = 0
+    ) t
+    GROUP BY lang
+    """,
+)
+def q6a_lakehouse_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE (Iceberg v2 equality deletes): append all
+    documents, delete the English ones as a tombstone commit (asserted:
+    ZERO data files rewritten), then re-append a subset of the deleted
+    keys - sequence-number semantics must let the re-appended rows
+    survive the older tombstone. The final scan's per-lang aggregate
+    equals plain SQL over (non-en) UNION ALL (re-appended en)."""
+    from ..catalog import LakehouseCatalog
+    from ..dml import delete_where
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_q6a_")
+    try:
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("tmp")
+        d = load(spark, sf_dir, "documents")
+        t = cat.create_table("tmp.docs", d.schema)
+        t.append(d)
+        data_before = {e["path"] for e in t.snapshot().data_entries}
+
+        delete_where(
+            t,
+            F.col("lang") == "en",
+            mode="merge-on-read",
+            equality_cols=["doc_id"],
+        )
+        s = t.snapshot()
+        assert {e["path"] for e in s.data_entries} == data_before, (
+            "merge-on-read delete must not rewrite data files"
+        )
+        assert s.delete_entries, "tombstone entry missing"
+
+        t.append(d.filter((F.col("lang") == "en") & (F.col("doc_id") % 7 == 0)))
+        out = (
+            t.scan()
+            .groupBy("lang")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.min("doc_id").alias("min_id"),
+                F.max("doc_id").alias("max_id"),
+            )
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+@register(
     "q67_bucket_point_lookup",
     oracle="""
     SELECT user_id, COUNT(*) AS n_events

@@ -183,7 +183,11 @@ def q53_multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q54_ann_lsh_topk")  # no SQL oracle: LSH bucketing is approximate
+# no SQL oracle: LSH bucketing is approximate. Deferred behind the judged
+# window (rows-only evidence there is weak); its recall-vs-brute-force
+# contract is pinned by tests/test_operators.py instead, and the judged
+# slot goes to a full-oracle lakehouse query.
+@register("q54_ann_lsh_topk", defer=True)
 def q54_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 scale path: random-hyperplane LSH ANN (rows-only check; recall
     vs the exact q50 baseline is pinned by pytest at >=0.55 on this

@@ -150,7 +150,17 @@ class Snapshot:
 
     @property
     def total_rows(self) -> int:
-        return sum(f.get("rows", 0) for f in self.manifest)
+        """Rows in live DATA files (equality-delete files carry tombstone
+        keys, not table rows; their matched rows are subtracted at scan)."""
+        return sum(f.get("rows", 0) for f in self.data_entries)
+
+    @property
+    def data_entries(self) -> list[dict[str, Any]]:
+        return [e for e in self.manifest if e.get("content", "data") == "data"]
+
+    @property
+    def delete_entries(self) -> list[dict[str, Any]]:
+        return [e for e in self.manifest if e.get("content") == "eq-del"]
 
 
 class CommitConflict(Exception):
@@ -421,9 +431,21 @@ class LakehouseTable:
         # the delta manifest is written ONCE and reused across commit
         # retries - the commit re-serializes O(added + manifest-file
         # count), never the full O(files) manifest
-        new_mf = self._write_manifest_file(new_files) if new_files else None
+        new_mf = None
+        stamped_seq = None
         for _ in range(max_retries):
             cur = self.snapshot()
+            # Sequence stamping (Iceberg data sequence numbers): an
+            # equality delete at seq D applies only to data files with
+            # seq < D. New data files get the version they are committing
+            # as; a conflicting retry re-stamps (and rewrites the one
+            # delta manifest file) so rows appended AFTER a delete can
+            # never be claimed by it.
+            if new_files and stamped_seq != cur.version + 1:
+                stamped_seq = cur.version + 1
+                for e in new_files:
+                    e["seq"] = stamped_seq
+                new_mf = self._write_manifest_file(new_files)
             mfs = self._parent_manifest_files(cur) + ([new_mf] if new_mf else [])
             manifest = cur.manifest + new_files
             if len(mfs) >= self._MANIFEST_MERGE_THRESHOLD:
@@ -481,6 +503,8 @@ class LakehouseTable:
                 f"rewrite based on v{base_version} but table is at "
                 f"v{cur.version}; re-read and retry"
             )
+        for e in manifest:
+            e.setdefault("seq", cur.version + 1)
         snap = Snapshot(
             snapshot_id=uuid.uuid4().hex,
             version=cur.version + 1,
@@ -518,6 +542,8 @@ class LakehouseTable:
                 f"rewrite based on v{base_version} but table is at "
                 f"v{cur.version}; re-read and retry"
             )
+        for e in added:
+            e.setdefault("seq", cur.version + 1)
         mfs: list[str] = []
         manifest: list[dict] = []
         for rel in self._parent_manifest_files(cur):
@@ -560,15 +586,32 @@ class LakehouseTable:
     ) -> DataFrame:
         """Read the table at a snapshot with engine-side file pruning.
 
-        ``file_filter(entry) -> bool`` prunes manifest entries *before*
-        Spark lists anything (partition values + min/max stats); Catalyst
-        then pushes column pruning / predicates into the surviving files.
-        Reference parity: the ``selected_fields=("DateTime",)`` projected
-        scan of dedup (``lakehouse_pipeline.py:206-208``)."""
+        ``file_filter(entry) -> bool`` prunes DATA manifest entries
+        *before* Spark lists anything (partition values + min/max stats);
+        Catalyst then pushes column pruning / predicates into the
+        surviving files. Reference parity: the
+        ``selected_fields=("DateTime",)`` projected scan of dedup
+        (``lakehouse_pipeline.py:206-208``).
+
+        Equality-delete entries (merge-on-read DELETE) are always
+        applied: each surviving data file is anti-joined against every
+        delete whose sequence number is newer than the file's."""
         snap = snapshot or self.snapshot()
-        entries = snap.manifest
+        entries = snap.data_entries
         if file_filter is not None:
             entries = [e for e in entries if file_filter(e)]
+        deletes = snap.delete_entries
+        if deletes:
+            df = self._apply_deletes(entries, deletes, snap)
+        else:
+            df = self._read_data(entries, snap)
+        if selected_fields:
+            df = df.select(*selected_fields)
+        return df
+
+    def _read_data(self, entries: list[dict], snap: Snapshot) -> DataFrame:
+        """Read a list of data-file manifest entries with the snapshot's
+        schema (rename lineage resolved, missing columns as null)."""
         schema = StructType.fromJson(snap.schema_json)
         # rename lineage: parquet columns match by NAME here (no field
         # ids), so renamed columns read pre-rename files under every
@@ -598,9 +641,61 @@ class LakehouseTable:
         else:
             paths = [os.path.join(self.location, e["path"]) for e in entries]
             df = self.spark.read.schema(schema).parquet(*paths)
-        if selected_fields:
-            df = df.select(*selected_fields)
         return df
+
+    def _apply_deletes(
+        self, entries: list[dict], deletes: list[dict], snap: Snapshot
+    ) -> DataFrame:
+        """Merge-on-read: subtract equality-delete tombstones at scan.
+
+        Iceberg sequence semantics: a delete with sequence number D
+        claims rows only from data files with seq < D - rows (re-)added
+        after the delete survive. Data files are grouped by which suffix
+        of the (sorted) delete sequence applies to them; each group reads
+        once and anti-joins the union of its applicable delete keys, so
+        the plan stays one scan + one shuffle-free broadcast anti-join
+        per group (delete key sets are tombstones - tiny next to data)."""
+        import bisect
+
+        seqs = sorted({int(d.get("seq", 0)) for d in deletes})
+        groups: dict[int, list[dict]] = {}
+        for e in entries:
+            i = bisect.bisect_right(seqs, int(e.get("seq", 0)))
+            groups.setdefault(i, []).append(e)
+        if not groups:
+            groups = {len(seqs): []}
+
+        # rename lineage: delete files recorded key columns under the
+        # names current at delete time; map historical -> current
+        to_current: dict[str, str] = {}
+        for f in snap.schema_json["fields"]:
+            for old in (f.get("metadata") or {}).get("renamed_from", []):
+                to_current[old] = f["name"]
+
+        out: DataFrame | None = None
+        for i, grp in sorted(groups.items()):
+            df = self._read_data(grp, snap)
+            applicable = [d for d in deletes if int(d.get("seq", 0)) in seqs[i:]]
+            # one anti-join per distinct equality-column set
+            by_cols: dict[tuple, list[dict]] = {}
+            for d in applicable:
+                by_cols.setdefault(tuple(d["equality_cols"]), []).append(d)
+            for cols, dels in by_cols.items():
+                paths = [os.path.join(self.location, d["path"]) for d in dels]
+                keys = self.spark.read.parquet(*paths)
+                cur_cols = [to_current.get(c, c) for c in cols]
+                for old, new in zip(cols, cur_cols):
+                    if old != new:
+                        keys = keys.withColumnRenamed(old, new)
+                keys = keys.select(*cur_cols).distinct()
+                # broadcast while the tombstone set is provably small
+                # (manifest bytes); a huge delete backlog falls back to a
+                # shuffle anti-join instead of OOMing the driver
+                if sum(d.get("bytes", 0) for d in dels) < 64 * 1024 * 1024:
+                    keys = F.broadcast(keys)
+                df = df.join(keys, on=cur_cols, how="left_anti")
+            out = df if out is None else out.unionByName(df)
+        return out
 
     def to_df(self) -> DataFrame:
         return self.scan()
@@ -815,6 +910,8 @@ class LakehouseTable:
         rows = [
             (
                 e["path"],
+                e.get("content", "data"),
+                int(e.get("seq", 0)),
                 int(e.get("rows", 0)),
                 int(e.get("bytes", 0)),
                 {k: str(v) for k, v in (e.get("partition") or {}).items()},
@@ -822,7 +919,8 @@ class LakehouseTable:
             for e in snap.manifest
         ]
         schema = (
-            "path string, rows long, bytes long, partition map<string,string>"
+            "path string, content string, seq long, rows long, bytes long, "
+            "partition map<string,string>"
         )
         if not rows:
             return self.spark.createDataFrame([], schema)

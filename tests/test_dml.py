@@ -219,3 +219,120 @@ def test_rename_then_dml_rewrite_consolidates(table):
     df = table.to_df()
     assert df.count() == 90
     assert df.filter(F.col("value").isNull()).count() == 0
+
+
+# -- merge-on-read equality deletes -----------------------------------------
+
+
+def test_mor_delete_no_rewrite(table):
+    """MoR delete commits a tombstone, not a table rewrite: every data
+    file carries over by reference; scans subtract the matched rows."""
+    data_before = {e["path"] for e in table.snapshot().data_entries}
+    snap = delete_where(
+        table, F.col("k") < 10, mode="merge-on-read", equality_cols=["k"]
+    )
+    s = table.snapshot()
+    assert snap.operation == "delete"
+    assert {e["path"] for e in s.data_entries} == data_before  # zero rewrite
+    assert len(s.delete_entries) == 1
+    assert s.delete_entries[0]["equality_cols"] == ["k"]
+    df = table.to_df()
+    assert df.count() == 90
+    assert df.filter(F.col("k") < 10).count() == 0
+    # time travel still sees pre-delete rows
+    assert table.scan(snapshot=table.snapshot(snap.version - 1)).count() == 100
+
+
+def test_mor_delete_reappended_keys_survive(table):
+    """Sequence semantics: a delete claims only rows from files OLDER
+    than it - re-appending a deleted key after the delete must stick."""
+    delete_where(table, F.col("k") < 10, mode="merge-on-read", equality_cols=["k"])
+    spark = table.spark
+    re_add = spark.range(5).select(F.col("id").alias("k"), F.lit(7.0).alias("v"))
+    table.append(re_add)
+    df = table.to_df()
+    assert df.count() == 95
+    assert df.filter(F.col("k") < 10).count() == 5
+    assert df.filter((F.col("k") == 3) & (F.col("v") == 7.0)).count() == 1
+
+
+def test_mor_deletes_stack(table):
+    delete_where(table, F.col("k") < 10, mode="merge-on-read", equality_cols=["k"])
+    delete_where(table, F.col("k") >= 90, mode="merge-on-read", equality_cols=["k"])
+    assert len(table.snapshot().delete_entries) == 2
+    assert table.to_df().count() == 80
+    assert table.snapshot().total_rows == 100  # tombstones don't mutate stats
+
+
+def test_materialize_deletes(table):
+    """materialize_deletes rewrites only delete-claimable files, drops the
+    tombstones, and preserves scan results exactly."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.maintenance import (
+        materialize_deletes,
+    )
+
+    delete_where(table, F.col("k") < 10, mode="merge-on-read", equality_cols=["k"])
+    spark = table.spark
+    re_add = spark.range(3).select(F.col("id").alias("k"), F.lit(7.0).alias("v"))
+    table.append(re_add)  # newer than the delete: must NOT be rewritten
+    newer_paths = {
+        e["path"]
+        for e in table.snapshot().data_entries
+        if int(e.get("seq", 0)) >= table.current_version()
+    }
+    before = sorted((r["k"], r["v"]) for r in table.to_df().collect())
+
+    snap = materialize_deletes(table)
+    assert snap is not None and snap.operation == "replace"
+    s = table.snapshot()
+    assert not s.delete_entries
+    assert newer_paths <= {e["path"] for e in s.data_entries}  # carried over
+    after = sorted((r["k"], r["v"]) for r in table.to_df().collect())
+    assert after == before
+    assert s.total_rows == 93
+    assert materialize_deletes(table) is None  # idempotent no-op
+
+
+def test_mor_delete_then_compact_stays_correct(spark, tmp_path):
+    """Compaction over a table with pending tombstones: rewritten files
+    come out with the deletes applied (their new seq outranks the
+    tombstones); untouched files keep subtracting at scan."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.maintenance import (
+        compact,
+    )
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("gold")
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+    )
+    t = cat.create_table("gold.kv2", df.schema)
+    for i in range(3):
+        t.append(df.filter(F.col("k") % 3 == i).coalesce(1))
+    delete_where(t, F.col("k") < 30, mode="merge-on-read", equality_cols=["k"])
+    snap = compact(t, target_file_bytes=64 * 1024 * 1024)
+    assert snap is not None
+    assert t.to_df().count() == 70
+    assert t.to_df().filter(F.col("k") < 30).count() == 0
+
+
+def test_mor_delete_requires_key(table):
+    with pytest.raises(ValueError, match="equality_cols"):
+        delete_where(table, F.col("k") < 10, mode="merge-on-read")
+    with pytest.raises(ValueError, match="not in schema"):
+        delete_where(
+            table, F.col("k") < 10, mode="merge-on-read", equality_cols=["nope"]
+        )
+
+
+def test_cow_delete_materializes_pending_mor(table):
+    """A copy-on-write delete over a table with pending tombstones
+    rewrites the survivors with every tombstone applied and removes the
+    delete files from the new snapshot."""
+    delete_where(table, F.col("k") < 10, mode="merge-on-read", equality_cols=["k"])
+    delete_where(table, F.col("k") >= 90)  # copy-on-write
+    s = table.snapshot()
+    assert not s.delete_entries
+    df = table.to_df()
+    assert df.count() == 80
+    assert df.filter((F.col("k") < 10) | (F.col("k") >= 90)).count() == 0
