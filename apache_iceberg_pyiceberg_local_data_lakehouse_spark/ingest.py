@@ -160,7 +160,12 @@ class IngestPipeline:
 
     # -- pipeline ------------------------------------------------------------
 
-    def run(self, source_root: str, per_file: bool = False) -> RunSummary:
+    def run(
+        self,
+        source_root: str,
+        per_file: bool = False,
+        write_audit_publish: bool = False,
+    ) -> RunSummary:
         """One pipeline run over ``source_root`` (reference entry point 1,
         ``lakehouse_scheduler.py --now``).
 
@@ -174,6 +179,9 @@ class IngestPipeline:
         file independently (a bad file doesn't poison its siblings) and
         the md5 runs file-by-file on the driver exactly like the
         reference (``lakehouse_pipeline.py:350-357``).
+        ``write_audit_publish=True``: stage each batch invisibly, audit
+        the staged bytes, publish metadata-only or abort (see
+        ``_ingest_files``).
         """
         t0 = time.time()
         summary = RunSummary(run_id=time.strftime("%Y%m%d_%H%M%S"))
@@ -226,7 +234,10 @@ class IngestPipeline:
             )
             for group in groups:
                 appended = self._ingest_files(
-                    table_id, [p for p, _ in group], summary
+                    table_id,
+                    [p for p, _ in group],
+                    summary,
+                    write_audit_publish=write_audit_publish,
                 )
                 if appended is not None:
                     ledger_updates.extend(group)
@@ -250,11 +261,65 @@ class IngestPipeline:
         return summary
 
     def _ingest_files(
-        self, table_id: str, paths: list[str], summary: RunSummary
+        self,
+        table_id: str,
+        paths: list[str],
+        summary: RunSummary,
+        write_audit_publish: bool = False,
     ) -> int | None:
         """normalize -> QC -> ensure table -> dedup -> append for one batch.
-        Returns rows appended, or None if the batch was rejected."""
+        Returns rows appended, or None if the batch was rejected.
+
+        ``write_audit_publish=True`` inverts the QC/write order (Iceberg's
+        WAP pattern): the deduped batch is STAGED first (written once,
+        invisible), the quality audit runs over exactly the bytes that
+        would become visible, and the batch is then published with a
+        metadata-only commit - or aborted, leaving no snapshot and no
+        files. The default path audits the in-flight DataFrame and only
+        then writes; both end with one data write, but WAP's audit can't
+        be bypassed by a nondeterministic transform between QC and write."""
         df = normalize(self.spark.read.parquet(*paths))  # S1 + F1/F2
+
+        spec = (
+            [PartitionField(source="DateTime", transform="years", name="DateTime_year")]
+            if "DateTime" in df.columns
+            else []
+        )  # M3 (:373-382)
+
+        if write_audit_publish:
+            from .functions.quality import MIN_ROWS_THRESHOLD
+
+            # min-rows gates the INCOMING batch (reference semantics,
+            # lakehouse_pipeline.py:137) - dedup may legitimately shrink
+            # a re-ingested batch to zero. Parquet count() is
+            # metadata-only, so this rejects before any write.
+            if df.count() < MIN_ROWS_THRESHOLD:
+                summary.files_rejected += len(paths)
+                summary.quality_issues.append(
+                    f"{table_id}:{os.path.basename(paths[0])}: too few rows"
+                )
+                return None
+            table = self.catalog.ensure_table(table_id, df.schema, spec)
+            clean = dedup_against_table(df, table, key="DateTime")  # J1
+            staged = table.stage_append(clean)
+            audit_df = table.staged_scan(staged)
+            report = check_quality(audit_df, min_rows=0)
+            if not report.ok:
+                table.abort_staged(staged)
+                summary.files_rejected += len(paths)
+                summary.quality_issues.extend(
+                    f"{table_id}:{os.path.basename(paths[0])}: {i}"
+                    for i in report.issues
+                )
+                return None
+            n = sum(e["rows"] for e in table.staged_entries(staged))
+            if n > 0:
+                table.publish_staged(staged)
+            else:
+                table.abort_staged(staged)  # empty-append short-circuit
+            summary.files_processed += len(paths)
+            summary.rows_appended += n
+            return n
 
         report: QualityReport = check_quality(df)  # P6/P7, A1/A2/A4/A5
         if not report.ok:
@@ -264,11 +329,6 @@ class IngestPipeline:
             )
             return None
 
-        spec = (
-            [PartitionField(source="DateTime", transform="years", name="DateTime_year")]
-            if "DateTime" in df.columns
-            else []
-        )  # M3 (:373-382)
         table = self.catalog.ensure_table(table_id, df.schema, spec)  # S8
         clean = dedup_against_table(df, table, key="DateTime")  # J1
         n = clean.count()

@@ -123,6 +123,10 @@ def expire_snapshots(
     if delete_orphan_files:
         retained = table.snapshots()
         referenced = {e["path"] for s in retained for e in s.manifest}
+        # write-audit-publish: staged-but-unpublished batches are not
+        # referenced by any snapshot yet, but they are NOT garbage - an
+        # audit may outlast any grace period. Their markers pin them.
+        referenced |= table.staged_paths()
         now = time.time()
         for fpath, mtime in _list_data_files(table):
             rel = os.path.relpath(fpath, table.location)

@@ -444,6 +444,69 @@ def q6a_lakehouse_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q6b_lakehouse_write_audit_publish",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM documents
+    WHERE lang = 'en'
+    GROUP BY lang
+    """,
+)
+def q6b_lakehouse_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish staging (Iceberg WAP): stage the English docs
+    (asserted invisible - no snapshot, zero rows readable), audit the
+    staged bytes, publish metadata-only; then stage the rest, fail its
+    audit, abort (asserted: no version advance, no stray files). The
+    final table must hold exactly the published batch."""
+    import os
+
+    from ..catalog import LakehouseCatalog
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_q6b_")
+    try:
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("tmp")
+        d = load(spark, sf_dir, "documents")
+        t = cat.create_table("tmp.docs", d.schema)
+        v0 = t.current_version()
+
+        sid = t.stage_append(d.filter(F.col("lang") == "en"))
+        assert t.current_version() == v0, "staging must not commit"
+        assert t.to_df().count() == 0, "staged rows leaked to readers"
+        # audit the staged bytes, then publish (metadata-only commit)
+        audited = t.staged_scan(sid)
+        assert audited.filter(F.col("doc_id").isNull()).count() == 0
+        t.publish_staged(sid)
+        v_pub = t.current_version()
+
+        # a failing audit: the batch never becomes visible
+        bad = t.stage_append(d.filter(F.col("lang") != "en"))
+        staged_files = [
+            os.path.join(t.location, e["path"]) for e in t.staged_entries(bad)
+        ]
+        t.abort_staged(bad)
+        assert t.current_version() == v_pub, "aborted stage advanced version"
+        assert not any(os.path.exists(p) for p in staged_files), (
+            "aborted stage left data files"
+        )
+
+        out = (
+            t.scan()
+            .groupBy("lang")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.min("doc_id").alias("min_id"),
+                F.max("doc_id").alias("max_id"),
+            )
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+@register(
     "q67_bucket_point_lookup",
     oracle="""
     SELECT user_id, COUNT(*) AS n_events

@@ -95,8 +95,11 @@ _register_sql(
         WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
     )
     """,
-    # correlated-subquery planning has no DataFrame twin: keep judged
-    defer=False,
+    # correlated EXISTS plans as a left-semi join - the same shape q10's
+    # judged anti-join evidences from the other side; deferred so the
+    # write-audit-publish lifecycle (q6b, evidence nothing else gives)
+    # fits the driver's 50-entry window. Local DuckDB parity still runs.
+    defer=True,
 )
 
 _register_sql(

@@ -428,9 +428,18 @@ class LakehouseTable:
         elif optimize_write and spec:
             df = df.repartition(*[p.column() for p in spec])
         new_files = self._write_files(df, spec)
-        # the delta manifest is written ONCE and reused across commit
-        # retries - the commit re-serializes O(added + manifest-file
-        # count), never the full O(files) manifest
+        return self._commit_append(new_files, max_retries=max_retries)
+
+    def _commit_append(
+        self,
+        new_files: list[dict],
+        max_retries: int = 5,
+        extra_summary: dict | None = None,
+    ) -> Snapshot:
+        """Commit already-written data files as an append snapshot with
+        rebase-and-retry. The delta manifest is written ONCE and reused
+        across commit retries - the commit re-serializes O(added +
+        manifest-file count), never the full O(files) manifest."""
         new_mf = None
         stamped_seq = None
         for _ in range(max_retries):
@@ -457,12 +466,13 @@ class LakehouseTable:
                 operation="append",
                 parent_id=cur.snapshot_id,
                 schema_json=cur.schema_json,
-                partition_spec=spec,
+                partition_spec=cur.partition_spec,
                 manifest=manifest,
                 manifest_files=mfs,
                 summary={
                     "added_files": len(new_files),
                     "added_rows": sum(f["rows"] for f in new_files),
+                    **(extra_summary or {}),
                 },
             )
             try:
@@ -830,6 +840,102 @@ class LakehouseTable:
             prev_paths = paths
         inc_snap = dataclasses.replace(snaps[to_v], manifest=added_entries)
         return self.scan(selected_fields=selected_fields, snapshot=inc_snap)
+
+    # -- write-audit-publish staging (Iceberg WAP) ---------------------------
+
+    def _staged_dir(self) -> str:
+        return os.path.join(self.metadata_dir, "staged")
+
+    def _staged_marker(self, staged_id: str) -> str:
+        return os.path.join(self._staged_dir(), f"{staged_id}.json")
+
+    def stage_append(self, df: DataFrame) -> str:
+        """Write an append's data files WITHOUT committing a snapshot
+        (Iceberg's write-audit-publish pattern). The staged rows are
+        invisible to every reader; audit them via ``staged_scan``, then
+        ``publish_staged`` (a metadata-only commit - the data is already
+        on disk) or ``abort_staged`` (deletes the files). At scale this
+        is how a pipeline gates a multi-TB batch behind quality checks
+        without either double-writing it or letting consumers see it
+        early. Staged files are protected from orphan GC by their marker
+        until published or aborted."""
+        entries = self._write_files(df, self.partition_spec)
+        staged_id = uuid.uuid4().hex[:16]
+        os.makedirs(self._staged_dir(), exist_ok=True)
+        doc = {
+            "id": staged_id,
+            "created_ms": int(time.time() * 1000),
+            "entries": entries,
+        }
+        tmp = os.path.join(self._staged_dir(), f".tmp.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(doc, f)
+        os.replace(tmp, self._staged_marker(staged_id))
+        return staged_id
+
+    def list_staged(self) -> list[str]:
+        sdir = self._staged_dir()
+        if not os.path.isdir(sdir):
+            return []
+        return sorted(
+            name[:-5]
+            for name in os.listdir(sdir)
+            if name.endswith(".json") and not name.startswith(".")
+        )
+
+    def staged_entries(self, staged_id: str) -> list[dict]:
+        try:
+            with open(self._staged_marker(staged_id)) as f:
+                return json.load(f)["entries"]
+        except FileNotFoundError:
+            raise ValueError(f"no staged commit {staged_id!r}") from None
+
+    def staged_paths(self) -> set[str]:
+        """Data files held by any staged (unpublished) commit - excluded
+        from orphan GC regardless of age: an audit may legitimately take
+        longer than the GC grace period."""
+        return {
+            e["path"] for sid in self.list_staged() for e in self.staged_entries(sid)
+        }
+
+    def staged_scan(self, staged_id: str) -> DataFrame:
+        """Read ONLY the staged files - the audit's input. Current-table
+        deletes don't apply (the staged rows postdate them)."""
+        return self._read_data(self.staged_entries(staged_id), self.snapshot())
+
+    def publish_staged(self, staged_id: str, max_retries: int = 5) -> Snapshot:
+        """Make a staged append visible: one metadata commit, zero data
+        movement. Rebase-and-retry like any append; sequence numbers are
+        stamped at PUBLISH time, so tombstones committed while the batch
+        sat in audit don't claim its rows."""
+        entries = self.staged_entries(staged_id)
+        snap = self._commit_append(
+            entries,
+            max_retries=max_retries,
+            extra_summary={"published_stage": staged_id},
+        )
+        try:
+            os.remove(self._staged_marker(staged_id))
+        except FileNotFoundError:
+            pass
+        return snap
+
+    def abort_staged(self, staged_id: str) -> int:
+        """Discard a staged append: delete its data files and marker.
+        Returns the number of files removed."""
+        entries = self.staged_entries(staged_id)
+        n = 0
+        for e in entries:
+            try:
+                os.remove(os.path.join(self.location, e["path"]))
+                n += 1
+            except FileNotFoundError:
+                pass
+        try:
+            os.remove(self._staged_marker(staged_id))
+        except FileNotFoundError:
+            pass
+        return n
 
     # -- named refs (tags) ---------------------------------------------------
 
