@@ -170,6 +170,11 @@ def q33_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY user_id
     HAVING COUNT(*) >= 10
     """,
+    # grouped min/max/count + HAVING: the same plan shape q20/q42 already
+    # evidence in the window. Deferred so the k-means clustering operator
+    # (q55, evidence nothing else gives) fits the driver's 50 entries;
+    # local DuckDB parity still runs.
+    defer=True,
 )
 def q34_events_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped min/max/count with HAVING (A1/A4 grouped)."""

@@ -183,6 +183,72 @@ def q53_multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_CENTROIDS = 8
+
+
+@register(
+    "q55_kmeans_assignment",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id < {N_CENTROIDS}
+    ),
+    pairs AS (
+      SELECT e.vec_id, e.label, c.cid,
+             ROUND(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+                   - 2 * list_dot_product(e.embedding::DOUBLE[], c.cv)
+                   + list_dot_product(c.cv, c.cv), 9) AS d2
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    assigned AS (
+      SELECT vec_id, label, cid, d2,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      FROM pairs
+    )
+    SELECT cid AS cluster_id,
+           COUNT(*) AS n_members,
+           COUNT(DISTINCT label) AS n_labels,
+           MIN(vec_id) AS min_member,
+           MAX(vec_id) AS max_member,
+           CAST(SUM(CAST(FLOOR(d2 * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_d2_q
+    FROM assigned WHERE rn = 1
+    GROUP BY cid
+    """,
+)
+def q55_kmeans_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means cluster assignment (operators/clustering.py): nearest of
+    K=8 fixed centroids (the lowest-id embeddings - deterministic seed,
+    exactly ``kmeans_fit``'s init) per vector. The operator folds the
+    centroids into the plan as literals and argmins with
+    ``array_min(transform(...))`` - a zero-shuffle projection; the only
+    shuffle is the final per-cluster rollup. Distances use the expanded
+    dot-product form so DuckDB's ``list_dot_product`` folds the exact
+    same doubles; the rollup quantizes d2 at 1e-6 before summing."""
+    from ..operators.clustering import assign_clusters
+
+    emb = load(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.filter(F.col("vec_id") < N_CENTROIDS)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in cent_rows
+    ]
+    assigned = assign_clusters(emb, cents, distance="l2_expanded")
+    return assigned.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"),
+        F.countDistinct("label").alias("n_labels"),
+        F.min("vec_id").alias("min_member"),
+        F.max("vec_id").alias("max_member"),
+        F.sum(F.floor(F.col("dist_sq") * 1_000_000.0 + 0.5).cast("long"))
+        .cast("long")
+        .alias("total_d2_q"),
+    )
+
+
 # no SQL oracle: LSH bucketing is approximate. Deferred behind the judged
 # window (rows-only evidence there is weak); its recall-vs-brute-force
 # contract is pinned by tests/test_operators.py instead, and the judged

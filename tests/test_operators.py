@@ -513,3 +513,66 @@ def test_point_in_range_join_boundaries_and_wide_intervals(spark):
         point_in_range_join(iv2, pts2, "s", "e", "ts", bucket_secs=600, by="k").count()
         == 0
     )
+
+
+# -- k-means clustering (operators/clustering.py) ----------------------------
+
+
+def test_kmeans_assignment_matches_numpy(spark, sf_small):
+    """assign_clusters argmin == numpy argmin (ties to lowest cluster)."""
+    import numpy as np
+
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.clustering import (
+        assign_clusters,
+    )
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    X = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    cents = [(i, [float(x) for x in X[i]]) for i in range(8)]
+    out = assign_clusters(emb, cents).select(
+        "vec_id", "cluster_id", "dist_sq"
+    ).collect()
+    assert len(out) == len(X)
+    for r in out:
+        v = X[r["vec_id"]]
+        d = [round(float(((v - np.array(cv)) ** 2).sum()), 9) for _, cv in cents]
+        expected = min(range(8), key=lambda i: (d[i], i))
+        assert r["cluster_id"] == expected, r["vec_id"]
+
+
+def test_kmeans_assignment_plan_has_no_shuffle(spark, sf_small):
+    """The assignment is a pure projection: centroids live in the plan as
+    literals, so no Exchange appears before the scan->project pipeline."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.clustering import (
+        assign_clusters,
+    )
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    cents = [(0, [0.0] * 64), (1, [1.0] * 64)]
+    plan = (
+        assign_clusters(emb, cents)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_kmeans_fit_inertia_non_increasing(spark, sf_small):
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.clustering import (
+        kmeans_fit,
+    )
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    assigned, cents, inertia = kmeans_fit(emb, k=5, n_iters=4)
+    assert len(inertia) == 4
+    assert all(
+        inertia[i] >= inertia[i + 1] - 1e-6 for i in range(len(inertia) - 1)
+    ), inertia
+    assert len(cents) == 5
+    # every row assigned exactly once
+    assert assigned.count() == emb.count()
+    assert assigned.select("cluster_id").distinct().count() <= 5
