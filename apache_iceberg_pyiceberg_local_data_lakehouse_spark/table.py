@@ -323,7 +323,12 @@ class LakehouseTable:
     # driver (a Spark job's scheduling overhead would dominate)
     _STATS_JOB_THRESHOLD = 16
 
-    def _write_files(self, df: DataFrame, spec: list[PartitionField]) -> list[dict]:
+    def _write_files(
+        self,
+        df: DataFrame,
+        spec: list[PartitionField],
+        bloom_cols: tuple[str, ...] = (),
+    ) -> list[dict]:
         """Write a DataFrame as parquet data files + collect per-file
         manifest entries (rows, per-column min/max, partition values).
 
@@ -366,11 +371,18 @@ class LakehouseTable:
             sc = self.spark.sparkContext
             entries = (
                 sc.parallelize(tasks, min(len(tasks), 64))
-                .map(lambda t: _footer_entry(t[0], t[1], stat_cols, location))
+                .map(
+                    lambda t: _footer_entry(
+                        t[0], t[1], stat_cols, location, bloom_cols
+                    )
+                )
                 .collect()
             )
         else:
-            entries = [_footer_entry(f, p, stat_cols, location) for f, p in tasks]
+            entries = [
+                _footer_entry(f, p, stat_cols, location, bloom_cols)
+                for f, p in tasks
+            ]
         return entries
 
     def append(
@@ -379,6 +391,7 @@ class LakehouseTable:
         max_retries: int = 5,
         optimize_write: bool = False,
         cluster_by: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
     ) -> Snapshot:
         """Append rows as a new snapshot (S5, reference
         ``lakehouse_pipeline.py:394``). Retries on commit conflict -
@@ -397,7 +410,13 @@ class LakehouseTable:
         clustered column gets tight per-file min/max stats from the
         first write, at the cost of one extra pass over ``df`` to
         compute quantization bounds - worth it for large batches that
-        would otherwise wait for a compaction to become prunable."""
+        would otherwise wait for a compaction to become prunable.
+
+        ``bloom_cols`` stores a ~1 KB bloom bitset per (file, column) in
+        the manifest: equality lookups via ``scan_where`` then prune
+        files whose filter excludes the key - the point-lookup analogue
+        of min/max skipping, for columns whose values scatter (ids,
+        hashes) so range stats never prune."""
         spec = self.partition_spec
         if cluster_by:
             from .functions.zorder import _numeric_expr, zorder_key
@@ -427,7 +446,9 @@ class LakehouseTable:
             )
         elif optimize_write and spec:
             df = df.repartition(*[p.column() for p in spec])
-        new_files = self._write_files(df, spec)
+        new_files = self._write_files(
+            df, spec, bloom_cols=tuple(bloom_cols or ())
+        )
         return self._commit_append(new_files, max_retries=max_retries)
 
     def _commit_append(
@@ -849,7 +870,9 @@ class LakehouseTable:
     def _staged_marker(self, staged_id: str) -> str:
         return os.path.join(self._staged_dir(), f"{staged_id}.json")
 
-    def stage_append(self, df: DataFrame) -> str:
+    def stage_append(
+        self, df: DataFrame, bloom_cols: list[str] | None = None
+    ) -> str:
         """Write an append's data files WITHOUT committing a snapshot
         (Iceberg's write-audit-publish pattern). The staged rows are
         invisible to every reader; audit them via ``staged_scan``, then
@@ -859,7 +882,9 @@ class LakehouseTable:
         without either double-writing it or letting consumers see it
         early. Staged files are protected from orphan GC by their marker
         until published or aborted."""
-        entries = self._write_files(df, self.partition_spec)
+        entries = self._write_files(
+            df, self.partition_spec, bloom_cols=tuple(bloom_cols or ())
+        )
         staged_id = uuid.uuid4().hex[:16]
         os.makedirs(self._staged_dir(), exist_ok=True)
         doc = {
@@ -1055,13 +1080,91 @@ class LakehouseTable:
         os.remove(self._version_path(version))
 
 
+# -- per-file bloom filters (point-lookup pruning) ---------------------------
+#
+# Iceberg stores parquet bloom filters / puffin sketches for the same
+# reason: on a high-cardinality column whose values scatter across files
+# (uuids, user ids), per-file min/max spans everything and prunes
+# nothing. A ~1 KB bitset per (file, column) lets an equality lookup
+# drop files with zero I/O. False positives only cost a wasted read;
+# false negatives are impossible.
+
+_BLOOM_M = 8192  # bits per filter (1 KB); ~1.2% fp at 1000 distinct values
+_BLOOM_K = 4  # hash functions (double hashing from one md5)
+
+
+def _bloom_key(v: Any) -> bytes | None:
+    """Engine-wide canonical bytes for a value, shared by build (write
+    path, pyarrow values) and probe (read path, python literals) - both
+    sides MUST agree or the filter silently never matches."""
+    import datetime as _dt
+
+    if v is None:
+        return None
+    if isinstance(v, bytes):
+        return v
+    if isinstance(v, bool):
+        return b"\x01" if v else b"\x00"
+    if isinstance(v, int):
+        return str(v).encode()
+    if isinstance(v, float):
+        return repr(v).encode()
+    if isinstance(v, _dt.datetime):
+        return v.replace(tzinfo=None).isoformat().encode()
+    if isinstance(v, _dt.date):
+        return v.isoformat().encode()
+    return str(v).encode()
+
+
+def _bloom_hashes(key: bytes, m: int, k: int) -> list[int]:
+    import hashlib
+
+    d = hashlib.md5(key).digest()
+    h1 = int.from_bytes(d[:8], "little")
+    h2 = int.from_bytes(d[8:], "little") | 1
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def _bloom_build(values, m: int = _BLOOM_M, k: int = _BLOOM_K) -> str:
+    """Base64 bitset over the values' canonical keys."""
+    import base64
+
+    bits = bytearray(m // 8)
+    for v in values:
+        key = _bloom_key(v)
+        if key is None:
+            continue
+        for h in _bloom_hashes(key, m, k):
+            bits[h >> 3] |= 1 << (h & 7)
+    return base64.b64encode(bytes(bits)).decode()
+
+
+def bloom_might_contain(bloom: dict[str, Any], value: Any) -> bool:
+    """Probe a manifest bloom entry; None/missing data = unprunable."""
+    import base64
+
+    key = _bloom_key(value)
+    if key is None or not bloom or not bloom.get("bits"):
+        return True
+    bits = base64.b64decode(bloom["bits"])
+    m = int(bloom.get("m", _BLOOM_M))
+    k = int(bloom.get("k", _BLOOM_K))
+    return all(bits[h >> 3] & (1 << (h & 7)) for h in _bloom_hashes(key, m, k))
+
+
 def _footer_entry(
-    fpath: str, pvals: dict[str, Any], stat_cols: set[str], location: str
+    fpath: str,
+    pvals: dict[str, Any],
+    stat_cols: set[str],
+    location: str,
+    bloom_cols: tuple[str, ...] = (),
 ) -> dict[str, Any]:
     """One manifest entry from one parquet footer. Module-level (not a
     method) so Spark can ship it to executors for distributed stats
     collection on large commits; runs identically inline on the driver
-    for small ones."""
+    for small ones. ``bloom_cols`` additionally reads those columns (a
+    column-projected read of a file this task just wrote - page-cache
+    hot) and stores a ~1 KB bloom bitset per column in the entry."""
     import pyarrow.parquet as pq
 
     fmeta = pq.ParquetFile(fpath).metadata
@@ -1080,13 +1183,29 @@ def _footer_entry(
                 stats[name] = [min(stats[name][0], mn), max(stats[name][1], mx)]
             else:
                 stats[name] = [mn, mx]
-    return {
+    entry = {
         "path": os.path.relpath(fpath, location),
         "rows": fmeta.num_rows,
         "bytes": os.path.getsize(fpath),
         "partition": pvals,
         "stats": stats,
     }
+    blooms = {}
+    for c in bloom_cols:
+        if c not in stat_cols:
+            continue
+        try:
+            col = pq.ParquetFile(fpath).read(columns=[c]).column(0)
+        except Exception:
+            continue  # column missing in this file: unprunable, not fatal
+        blooms[c] = {
+            "m": _BLOOM_M,
+            "k": _BLOOM_K,
+            "bits": _bloom_build(col.to_pylist()),
+        }
+    if blooms:
+        entry["bloom"] = blooms
+    return entry
 
 
 def _stat_val(v: Any) -> Any:
@@ -1178,6 +1297,12 @@ def _range_keep(
             if hi_n is not None and _prune_gt(mn, hi_n):
                 return False
             if lo_n is not None and _prune_gt(lo_n, mx):
+                return False
+        # point lookup: consult the per-file bloom filter (if the writer
+        # stored one) - prunes scattered-key files min/max can't
+        if lower is not None and lower == upper:
+            bl = entry.get("bloom", {}).get(column)
+            if bl is not None and not bloom_might_contain(bl, lower):
                 return False
         return True
 

@@ -187,3 +187,74 @@ def test_scan_where_half_open_bounds(catalog, spark):
         t.append(tick_df(spark, year=year, n=5))
     assert t.scan_where("DateTime", lower=dtm.datetime(2021, 1, 1)).count() == 5
     assert t.scan_where("DateTime", upper=dtm.datetime(2021, 1, 1)).count() == 5
+
+
+# -- bloom-filter point-lookup pruning ---------------------------------------
+
+
+def test_bloom_prunes_scattered_keys(spark, tmp_path):
+    """High-cardinality string keys scattered across files: min/max spans
+    everything (prunes nothing), the per-file bloom prunes to ~1 file."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.catalog import (
+        LakehouseCatalog,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.table import (
+        _range_keep,
+    )
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("gold")
+    df = spark.range(2000).select(
+        F.col("id").alias("k"), F.md5(F.col("id").cast("string")).alias("uid")
+    )
+    t = cat.create_table("gold.uids", df.schema)
+    # 8 files, uids scattered across all of them
+    for i in range(8):
+        t.append(df.filter(F.col("k") % 8 == i).coalesce(1), bloom_cols=["uid"])
+    snap = t.snapshot()
+    assert all("bloom" in e and "uid" in e["bloom"] for e in snap.manifest)
+
+    # pick one existing uid; its file must survive, most others must not
+    target = df.filter(F.col("k") == 1234).collect()[0]["uid"]
+    keep = _range_keep("uid", target, target, None, None)
+    kept = [e for e in snap.manifest if keep(e)]
+    assert 1 <= len(kept) <= 2, f"bloom pruned to {len(kept)} files"
+    # the scan over pruned files still finds the row
+    got = t.scan_where("uid", target, target).collect()
+    assert len(got) == 1 and got[0]["k"] == 1234
+
+    # an absent key prunes everything (modulo rare fp) and returns nothing
+    keep_absent = _range_keep("uid", "not-a-real-uid", "not-a-real-uid", None, None)
+    assert len([e for e in snap.manifest if keep_absent(e)]) <= 1
+    assert t.scan_where("uid", "nope", "nope").count() == 0
+
+
+def test_bloom_int_keys_and_absent_column(spark, tmp_path):
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.catalog import (
+        LakehouseCatalog,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.table import (
+        _range_keep,
+    )
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("gold")
+    df = spark.range(1000).select(
+        (F.pmod(F.hash("id"), F.lit(100000))).alias("user_id"),
+        F.col("id").alias("k"),
+    )
+    t = cat.create_table("gold.users", df.schema)
+    for i in range(4):
+        t.append(df.filter(F.col("k") % 4 == i).coalesce(1), bloom_cols=["user_id"])
+    snap = t.snapshot()
+    uid = df.filter(F.col("k") == 77).collect()[0]["user_id"]
+    # int key round-trips through the canonicalizer
+    assert t.scan_where("user_id", int(uid), int(uid)).count() >= 1
+    # range (non-point) lookups ignore the bloom - no false pruning
+    assert (
+        t.scan_where("user_id", int(uid) - 1, int(uid) + 1).count()
+        >= t.scan_where("user_id", int(uid), int(uid)).count()
+    )
+    # files without a bloom for the column stay unprunable
+    keep = _range_keep("nope_col", 1, 1, None, None)
+    assert all(keep(e) for e in snap.manifest)
