@@ -372,6 +372,11 @@ def q14_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders
     ) WHERE prev_date IS NOT NULL
     """,
+    # lag-window + date-diff: window evidence stays in-window via q13's
+    # row_number and F6 datetime arithmetic via q20. Deferred so the PII
+    # redaction operator (q56, evidence nothing else gives) fits the
+    # driver's 50 entries; local DuckDB parity still runs.
+    defer=True,
 )
 def q15_order_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag() + date arithmetic (F6 generalized to row data)."""

@@ -469,3 +469,60 @@ def q4c_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_keepers(pairs, d.select("doc_id"), "doc_id").select(
         F.col("id").alias("doc_id"), "cluster", "is_keeper"
     )
+
+
+_EMAIL_PAT = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_PAT = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+
+
+@register(
+    "q56_pii_redaction",
+    oracle=f"""
+    WITH pii AS (
+      SELECT doc_id,
+             text || ' reach user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example.com or 555-123-4567' AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_EMAIL_PAT}')) AS INT) AS n_email,
+           CAST(len(regexp_extract_all(t, '{_PHONE_PAT}')) AS INT) AS n_phone,
+           md5(regexp_replace(regexp_replace(t, '{_EMAIL_PAT}', '[email]', 'g'),
+                              '{_PHONE_PAT}', '[phone]', 'g')) AS redacted_md5,
+           length(regexp_replace(regexp_replace(t, '{_EMAIL_PAT}', '[email]', 'g'),
+                                 '{_PHONE_PAT}', '[phone]', 'g')) AS redacted_len
+    FROM pii
+    """,
+)
+def q56_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (operators/redact.py) - the first pass of any LLM
+    training-data pipeline: plant a per-doc email + phone into the
+    fixture text (same synthesis in both engines), then count and redact
+    with RE2-portable patterns. The md5 of every redacted document must
+    match DuckDB's byte-for-byte - replacement-order and pattern
+    semantics are pinned exactly, not just row counts."""
+    from ..operators.redact import redact_text
+
+    d = load(spark, sf_dir, "documents")
+    pii = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or 555-123-4567"),
+        ).alias("t"),
+    )
+    out = redact_text(
+        pii,
+        text_col="t",
+        rules={"email": _EMAIL_PAT, "phone": _PHONE_PAT},
+        placeholder="[{kind}]",
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("int").alias("n_email"),
+        F.col("n_phone").cast("int").alias("n_phone"),
+        F.md5(F.col("t_redacted")).alias("redacted_md5"),
+        F.length(F.col("t_redacted")).alias("redacted_len"),
+    )

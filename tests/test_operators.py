@@ -576,3 +576,35 @@ def test_kmeans_fit_inertia_non_increasing(spark, sf_small):
     # every row assigned exactly once
     assert assigned.count() == emb.count()
     assert assigned.select("cluster_id").distinct().count() <= 5
+
+
+# -- PII redaction (operators/redact.py) -------------------------------------
+
+
+def test_redact_default_rules(spark):
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.redact import (
+        redact_text,
+    )
+
+    rows = [
+        (1, "mail bob.smith+x@corp.example.co or call 415-555-1234 now"),
+        (2, "ssn 123-45-6789 from host 192.168.0.1"),
+        (3, "clean text, nothing to scrub"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in redact_text(df).collect()}
+
+    assert out[1]["n_email"] == 1 and out[1]["n_phone"] == 1
+    assert "[email]" in out[1]["text_redacted"]
+    assert "[phone]" in out[1]["text_redacted"]
+    assert "bob.smith" not in out[1]["text_redacted"]
+
+    assert out[2]["n_ssn"] == 1 and out[2]["n_ipv4"] == 1
+    assert "[ssn]" in out[2]["text_redacted"]
+    assert "[ipv4]" in out[2]["text_redacted"]
+    assert "123-45-6789" not in out[2]["text_redacted"]
+
+    assert out[3]["text_redacted"] == rows[2][1]  # untouched
+    assert sum(out[3][f"n_{k}"] for k in ("email", "phone", "ssn", "ipv4")) == 0
+    assert out[4]["text_redacted"] == ""  # null-safe
