@@ -1,0 +1,70 @@
+"""Deterministic sampling for training-data pipelines: content-hash
+ordering instead of RNG, so a sample is (a) reproducible run-to-run,
+(b) engine-portable (any SQL engine with md5 draws the identical rows),
+(c) stable under repartitioning - properties seeded RNG sampling loses
+the moment the plan or partitioning changes.
+
+- ``sample_fraction``: keep rows whose md5(key) hex string sorts below
+  the fraction's hex threshold - a pure filter, pushes down, zero
+  shuffle. (Fixed-width lowercase hex compares lexicographically ==
+  numerically, so the threshold is computed once in the driver.)
+- ``stratified_sample``: exactly n rows per stratum (class balancing),
+  chosen as the n lowest md5(key) per group - one window shuffle keyed
+  on the strata columns; at 100 TB that is the same single shuffle any
+  per-class top-k costs.
+
+Hash-ordering caveat (documented, deliberate): md5 over the key column
+is uniform, so the sample is unbiased as long as the KEY does not
+correlate with the measured property. Use the row's stable id, not a
+feature column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _hash_key(key: Column) -> Column:
+    """md5 hex of the stringified key: a deterministic, engine-portable
+    uniform draw. Lowercase fixed-width hex, so string order == numeric
+    order in every engine."""
+    return F.md5(key.cast("string"))
+
+
+def fraction_threshold_hex(fraction: float, digits: int = 8) -> str:
+    """The hex string h such that P[md5 prefix < h] == fraction."""
+    return format(int(fraction * (16**digits)), f"0{digits}x")
+
+
+def sample_fraction(df: DataFrame, fraction: float, key_col: str) -> DataFrame:
+    """Deterministic ~``fraction`` sample: rows whose hash prefix sorts
+    below the threshold. A pure filter - no shuffle, no state,
+    repeatable, and re-running on a grown table keeps every previously
+    sampled row (append-stable samples)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    thr = fraction_threshold_hex(fraction)
+    return df.filter(
+        F.substring(_hash_key(F.col(key_col)), 1, 8) < F.lit(thr)
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    n_per_stratum: int,
+    key_col: str,
+) -> DataFrame:
+    """Exactly ``min(n, |stratum|)`` rows per stratum: the n lowest
+    md5(key) per group (ties broken by key - total order, so the result
+    set is unique). One window shuffle on the strata columns."""
+    w = Window.partitionBy(*strata_cols).orderBy(
+        _hash_key(F.col(key_col)), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )

@@ -437,6 +437,11 @@ def q16_status_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer
     GROUP BY c_mktsegment
     """,
+    # grouped COUNT DISTINCT: evidenced in-window by q68/q55 (n_users /
+    # n_labels) and q22's distinct. Deferred so the deterministic
+    # stratified-sampling operator (q57) fits the driver's 50 entries;
+    # local DuckDB parity still runs.
+    defer=True,
 )
 def q17_segment_distinct_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COUNT DISTINCT (A3 generalized): expands to a two-phase agg -

@@ -526,3 +526,46 @@ def q56_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("t_redacted")).alias("redacted_md5"),
         F.length(F.col("t_redacted")).alias("redacted_len"),
     )
+
+
+@register(
+    "q57_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang,
+           (substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000')
+               AS in_quarter_sample
+    FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 20
+    """,
+)
+def q57_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic class-balanced sampling (operators/sampling.py):
+    exactly 20 docs per language, drawn by content-hash order - no RNG,
+    so the EXACT row set is reproducible and engine-portable (the oracle
+    draws the identical rows via the same md5 ordering). The fraction-
+    sample membership flag rides along: a pure hash-prefix filter,
+    append-stable and pushdown-friendly."""
+    from ..operators.sampling import (
+        fraction_threshold_hex,
+        stratified_sample,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    sampled = stratified_sample(
+        d.select("doc_id", "lang"), ["lang"], 20, key_col="doc_id"
+    )
+    thr = fraction_threshold_hex(0.25)
+    return sampled.select(
+        "doc_id",
+        "lang",
+        (
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+            < F.lit(thr)
+        ).alias("in_quarter_sample"),
+    )

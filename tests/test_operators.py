@@ -608,3 +608,44 @@ def test_redact_default_rules(spark):
     assert out[3]["text_redacted"] == rows[2][1]  # untouched
     assert sum(out[3][f"n_{k}"] for k in ("email", "phone", "ssn", "ipv4")) == 0
     assert out[4]["text_redacted"] == ""  # null-safe
+
+
+# -- deterministic sampling (operators/sampling.py) --------------------------
+
+
+def test_stratified_sample_exact_and_stable(spark, sf_small):
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    d = spark.read.parquet(f"{sf_small}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    s1 = stratified_sample(d, ["lang"], 10, key_col="doc_id")
+    per = {r["lang"]: r["n"] for r in s1.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    sizes = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in per.items():
+        assert n == min(10, sizes[lang]), (lang, n)
+    # deterministic: same rows on re-run and after repartitioning
+    ids1 = sorted(r["doc_id"] for r in s1.collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in stratified_sample(d.repartition(13), ["lang"], 10, "doc_id").collect()
+    )
+    assert ids1 == ids2
+
+
+def test_sample_fraction_append_stable(spark, sf_small):
+    """Rows sampled from a prefix of the data stay sampled when more
+    data arrives - the property RNG sampling loses."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.sampling import (
+        sample_fraction,
+    )
+
+    d = spark.read.parquet(f"{sf_small}/documents.parquet").select("doc_id")
+    half = d.filter(F.col("doc_id") < 250)
+    s_half = {r["doc_id"] for r in sample_fraction(half, 0.3, "doc_id").collect()}
+    s_full = {r["doc_id"] for r in sample_fraction(d, 0.3, "doc_id").collect()}
+    assert s_half <= s_full
+    # roughly the requested fraction (md5 is uniform; 500 docs)
+    assert 0.15 < len(s_full) / d.count() < 0.45
