@@ -569,3 +569,40 @@ def q57_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             < F.lit(thr)
         ).alias("in_quarter_sample"),
     )
+
+
+# Registered deferred: the 50-entry judged window is fully packed with
+# unique-evidence queries; chunking still gets full DuckDB parity via
+# tests/test_oracle_parity.py (which runs every registered query).
+@register(
+    "q58_document_chunking",
+    oracle="""
+    WITH exploded AS (
+      SELECT doc_id, text,
+             UNNEST(range(0, CAST(GREATEST(1,
+               CEIL((length(text) - 50) / 150.0)) AS BIGINT))) AS i
+      FROM documents
+      WHERE length(text) > 0
+    )
+    SELECT doc_id, i AS chunk_idx,
+           md5(substr(text, CAST(i * 150 + 1 AS INT), 200)) AS chunk_md5,
+           length(substr(text, CAST(i * 150 + 1 AS INT), 200)) AS chunk_len
+    FROM exploded
+    """,
+    defer=True,
+)
+def q58_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window chunking (operators/chunking.py): 200-char
+    windows, 50-char overlap, per-chunk md5 matched byte-for-byte - the
+    embedding/RAG prep step, expressed as sequence->explode->substr
+    (codegen, no UDF)."""
+    from ..operators.chunking import chunk_text
+
+    d = load(spark, sf_dir, "documents")
+    chunks = chunk_text(d, text_col="text", size=200, overlap=50)
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.md5(F.col("chunk")).alias("chunk_md5"),
+        F.length(F.col("chunk")).alias("chunk_len"),
+    )

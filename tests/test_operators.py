@@ -649,3 +649,33 @@ def test_sample_fraction_append_stable(spark, sf_small):
     assert s_half <= s_full
     # roughly the requested fraction (md5 is uniform; 500 docs)
     assert 0.15 < len(s_full) / d.count() < 0.45
+
+
+# -- document chunking (operators/chunking.py) -------------------------------
+
+
+def test_chunk_text_windows(spark):
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.chunking import (
+        chunk_text,
+    )
+
+    rows = [(1, "a" * 10 + "b" * 10 + "c" * 5), (2, "x" * 3), (3, ""), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = chunk_text(df, size=10, overlap=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["chunk"]))
+    # doc 1: len 25, stride 6 -> ceil((25-4)/6)=4 chunks, offsets 0/6/12/18
+    chunks1 = sorted(by_doc[1])
+    assert [i for i, _ in chunks1] == [0, 1, 2, 3]
+    text1 = rows[0][1]
+    for i, c in chunks1:
+        assert c == text1[i * 6 : i * 6 + 10]
+    # consecutive chunks overlap by exactly 4 chars
+    assert chunks1[0][1][-4:] == chunks1[1][1][:4]
+    # short doc: one (short) chunk; empty/null: no chunks
+    assert by_doc[2] == [(0, "xxx")]
+    assert 3 not in by_doc and 4 not in by_doc
+
+    with pytest.raises(ValueError):
+        chunk_text(df, size=5, overlap=5)
