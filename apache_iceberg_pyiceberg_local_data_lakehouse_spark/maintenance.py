@@ -105,7 +105,12 @@ def expire_snapshots(
     # newest `retain_last` are protected unconditionally; the current
     # snapshot is always protected; tagged snapshots are pinned for as
     # long as their tag exists (Iceberg tag retention)
-    by_newest = sorted(snaps, key=lambda s: s.timestamp_ms, reverse=True)
+    # timestamp_ms is millisecond-granular: two metadata-only commits can
+    # tie, and a stable desc sort would then rank the OLDER version first
+    # and protect it instead of the newest. Version is the tiebreak.
+    by_newest = sorted(
+        snaps, key=lambda s: (s.timestamp_ms, s.version), reverse=True
+    )
     protected = {s.version for s in by_newest[:retain_last]}
     protected.add(table.current_version())
     protected.update(table.refs().values())

@@ -177,3 +177,36 @@ def test_bucket_prune_handles_non_numeric_partition(catalog, spark):
     assert not keep({"partition": {"user_bucket": "5"}})
     assert keep({"partition": {"user_bucket": "__HIVE_DEFAULT_PARTITION__"}})
     assert keep({"partition": {}})
+
+
+def test_expiry_protects_newest_version_on_timestamp_tie(catalog, spark):
+    """Two commits can land in the same millisecond (metadata-only commits
+    especially). Snapshot protection must rank the newer VERSION first on
+    a timestamp tie - a stable timestamp-only sort protected the older
+    snapshot, retaining a stale view and blocking manifest GC."""
+    import json
+    import os
+
+    t = catalog.create_table("gold.tiebreak", TICK_SCHEMA, [])
+    for _ in range(3):
+        t.append(tick_df(spark, n=3))
+    snap = t.snapshot()
+    t.overwrite_manifest(
+        snap.manifest, operation="replace", base_version=snap.version
+    )
+    # force every snapshot to the same timestamp: worst-case tie
+    ts = None
+    for v in range(t.current_version() + 1):
+        p = os.path.join(t.metadata_dir, f"v{v}.json")
+        with open(p) as f:
+            d = json.load(f)
+        ts = ts or d["timestamp_ms"]
+        d["timestamp_ms"] = ts
+        with open(p, "w") as f:
+            json.dump(d, f)
+    res = expire_snapshots(
+        t, older_than_ms=2**62, retain_last=1, orphan_grace_secs=0.0
+    )
+    retained = [s.version for s in t.snapshots()]
+    assert retained == [t.current_version()]
+    assert res["deleted_manifests"] > 0
