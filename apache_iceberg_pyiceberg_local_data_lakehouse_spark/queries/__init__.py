@@ -58,16 +58,37 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``events.ts`` is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
-    default. Read nanos as long (legacy conf) and truncate to µs -
-    matching DuckDB's ``CAST(ts AS TIMESTAMP)`` semantics exactly
-    (SURVEY.md §7.4 timestamp discipline)."""
+    """Normalize ``events.ts`` to TIMESTAMP (µs instants, UTC wall clock)
+    across testdata generations (SURVEY.md §7.4 timestamp discipline):
+
+    - TIMESTAMP(NANOS) parquet: Spark 4 refuses it by default - read
+      nanos as long (legacy conf) and truncate to µs.
+    - naive TIMESTAMP(MICROS) parquet (isAdjustedToUTC=false): Spark
+      reads TIMESTAMP_NTZ, which TIMESTAMP-only functions
+      (``unix_micros``) reject. Re-interpret the wall clock as UTC via
+      ``timestampdiff`` from an NTZ epoch literal - pure wall-clock
+      arithmetic, so the result is session-timezone-independent (a
+      bare NTZ->TIMESTAMP cast would shift with the session zone).
+
+    Both paths yield the same instants DuckDB sees for
+    ``CAST(ts AS TIMESTAMP)``, keeping oracle value-hashes stable."""
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(df.dtypes).get("ts") == "bigint":
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dtype == "timestamp_ntz":
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(
+                F.expr(
+                    "timestampdiff(MICROSECOND,"
+                    " TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+                )
+            ),
+        )
     return df
 
 
