@@ -212,19 +212,25 @@ class IngestPipeline:
 
                 checks = file_checksums(self.spark, str(symbol_dir))
                 seen = ledger_df.withColumn("__seen", F.lit(1))
-                rows = (
+                # Driver memory is bounded by the NEW-file count, never the
+                # discovered-file count: skips are counted with an agg and
+                # only the anti-join survivors are collected (those rows
+                # must reach the driver anyway for the ledger write).
+                joined = (
                     checks.join(seen, on=["path", "checksum"], how="left")
                     .select("path", "checksum", "__seen")
-                    .collect()
+                    .cache()
                 )
-                summary.files_skipped += sum(
-                    1 for r in rows if r["__seen"] is not None
+                summary.files_skipped += (
+                    joined.agg(F.count("__seen")).collect()[0][0] or 0
                 )
                 new_entries = sorted(
                     (r["path"], r["checksum"])
-                    for r in rows
-                    if r["__seen"] is None
+                    for r in joined.filter(F.col("__seen").isNull())
+                    .select("path", "checksum")
+                    .collect()
                 )
+                joined.unpersist()
             if not new_entries:
                 continue
             summary.tables_processed += 1

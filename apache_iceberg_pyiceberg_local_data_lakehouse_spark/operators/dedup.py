@@ -111,6 +111,7 @@ def exact_jaccard_pairs(
     id_col: str,
     threshold: float,
     max_bitmap_vocab: int = 4096,
+    max_size_band: int = 256,
 ) -> DataFrame:
     """All id pairs with token-set jaccard >= threshold, exactly.
 
@@ -220,6 +221,21 @@ def exact_jaccard_pairs(
 
     max_n = groups.agg(F.max("n_toks")).collect()[0][0] or 0
     max_diff = int((1.0 / threshold - 1.0) * max_n)
+    if max_diff > max_size_band:
+        # The size-band expansion materializes (2*max_diff+1) keys per
+        # distinct token set; at low thresholds with long documents that
+        # multiplies the group table toward a quadratic plan. Refuse
+        # rather than silently build it - the scale tier for loose
+        # thresholds is minhash_near_duplicates (banded LSH, no size
+        # expansion).
+        raise ValueError(
+            f"exact_jaccard_pairs size band is {max_diff} keys/group "
+            f"(threshold={threshold}, longest token set={max_n}), above "
+            f"max_size_band={max_size_band}: the expanded equality join "
+            "would approach all-pairs cost. Raise the threshold, raise "
+            "max_size_band explicitly, or use minhash_near_duplicates "
+            "for loose-threshold near-dup at scale."
+        )
     ga = groups.alias("ga")
     gb = groups.withColumn(
         "size_key",

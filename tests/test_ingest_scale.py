@@ -114,3 +114,43 @@ def test_large_append_manifest_complete(spark, tmp_path):
     assert 0 < len(hit) < len(snap.manifest)
     pruned = t.scan(file_filter=lambda e: e in hit)
     assert pruned.filter(F.col("k") == 5).count() == 1
+
+
+def test_rerun_collect_bounded_by_new_file_count(spark, tmp_path, monkeypatch):
+    """A re-run over a large already-ingested tree must NOT pull one row
+    per discovered file to the driver: skip counting is an aggregate, and
+    the only (path, checksum)-shaped collect is the anti-join survivors -
+    bounded by the NEW-file count (0 on a no-op re-run, 3 after 3 late
+    files), not the 1000 discovered files."""
+    # patch the CONCRETE class (pyspark.sql.DataFrame is the abstract
+    # base in Spark 4; instances override collect)
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    n_files = 1000
+    src = tmp_path / "src" / "EURUSD"
+    _write_tick_files(str(src), n_files, rows_per_file=120)
+    pipeline = IngestPipeline(spark, str(tmp_path / "wh"))
+    s1 = pipeline.run(str(tmp_path / "src"))
+    assert s1.files_processed == n_files
+
+    collected_file_rows: list[int] = []
+    orig_collect = DataFrame.collect
+
+    def spy(self):
+        rows = orig_collect(self)
+        names = [f.name for f in self.schema.fields]
+        if names[:2] == ["path", "checksum"]:
+            collected_file_rows.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", spy)
+
+    s2 = pipeline.run(str(tmp_path / "src"))
+    assert s2.files_skipped == n_files and s2.files_processed == 0
+    assert all(n == 0 for n in collected_file_rows), collected_file_rows
+
+    collected_file_rows.clear()
+    _write_tick_files(str(src / "late"), 3, rows_per_file=150)
+    s3 = pipeline.run(str(tmp_path / "src"))
+    assert s3.files_skipped == n_files and s3.files_processed == 3
+    assert max(collected_file_rows) == 3, collected_file_rows

@@ -679,3 +679,25 @@ def test_chunk_text_windows(spark):
 
     with pytest.raises(ValueError):
         chunk_text(df, size=5, overlap=5)
+
+
+def test_exact_jaccard_low_threshold_guard(spark):
+    """t=0.3 on long documents would expand the size band toward an
+    all-pairs join - the operator must refuse with a pointer to the
+    minhash scale tier instead of silently building a quadratic plan."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.dedup import (
+        exact_jaccard_pairs,
+    )
+
+    long_docs = spark.createDataFrame(
+        [(i, " ".join(f"tok{i}_{j}" for j in range(200))) for i in range(6)],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="minhash_near_duplicates"):
+        exact_jaccard_pairs(long_docs, "text", "doc_id", threshold=0.3)
+
+    # explicit opt-in still works
+    out = exact_jaccard_pairs(
+        long_docs, "text", "doc_id", threshold=0.3, max_size_band=1000
+    )
+    assert out.count() == 0  # disjoint vocabularies: no pairs
