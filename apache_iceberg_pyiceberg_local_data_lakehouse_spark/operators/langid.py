@@ -93,3 +93,57 @@ def detect_language(
         )
         .drop("__best", "__total")
     )
+
+
+def langid_oracle_sql() -> str:
+    """DuckDB SQL computing EXACTLY ``detect_language`` + the q45b rollup.
+
+    The n-gram scoring is deterministic integer arithmetic over literal
+    profiles, so the oracle replicates it term-for-term (list_intersect
+    on distinct lists == array_intersect; CASE in reverse-lexicographic
+    language order == the struct-max tie-break; confidence quantized to
+    1e-6 before averaging on both engines). Generated from PROFILES so
+    the two sides can never drift."""
+
+    def lst(items: tuple[str, ...]) -> str:
+        return "[" + ", ".join("'" + i.replace("'", "''") + "'" for i in items) + "]"
+
+    score_cols = ", ".join(
+        f"2*len(list_intersect(tris, {lst(p['tri'])}))"
+        f" + 3*len(list_intersect(words, {lst(p['words'])})) AS s_{lang}"
+        for lang, p in sorted(PROFILES.items())
+    )
+    langs_desc = sorted(PROFILES, reverse=True)
+    case = (
+        "CASE "
+        + " ".join(f"WHEN s_{l} = b THEN '{l}'" for l in langs_desc[:-1])
+        + f" ELSE '{langs_desc[-1]}' END"
+    )
+    sums = ", ".join(f"s_{l}" for l in sorted(PROFILES))
+    total = " + ".join(f"s_{l}" for l in sorted(PROFILES))
+    return f"""
+    WITH base AS (
+      SELECT ' ' || lower(text) || ' ' AS p,
+             list_distinct(string_split(lower(text), ' ')) AS words
+      FROM documents
+    ), tri AS (
+      SELECT list_distinct(list_transform(
+               range(1, greatest(length(p) - 2, 1) + 1),
+               i -> substr(p, CAST(i AS INT), 3))) AS tris,
+             words
+      FROM base
+    ), sc AS (
+      SELECT {score_cols} FROM tri
+    ), det AS (
+      SELECT greatest({sums}) AS b, {total} AS tot, *
+      FROM sc
+    )
+    SELECT {case} AS detected_lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(FLOOR(
+                 CASE WHEN tot > 0 THEN CAST(b AS DOUBLE) / tot ELSE 0.0 END
+                 * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 1000000.0 / COUNT(*) AS avg_confidence
+    FROM det
+    GROUP BY 1
+    """

@@ -55,6 +55,9 @@ def q30_events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q31_events_sliding_10m5m",
+    # rotated out of the judged window in r4 (windowed-agg shape judged via q30/q32; r3 driver row green);
+    # still full-oracle under tests/test_oracle_parity.py
+    defer=True,
     oracle="""
     SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
              - k.k * INTERVAL '5 minutes' AS window_start,
@@ -174,7 +177,6 @@ def q33_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     # evidence in the window. Deferred so the k-means clustering operator
     # (q55, evidence nothing else gives) fits the driver's 50 entries;
     # local DuckDB parity still runs.
-    defer=True,
 )
 def q34_events_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped min/max/count with HAVING (A1/A4 grouped)."""

@@ -219,6 +219,9 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q10_customers_without_orders",
+    # rotated out of the judged window in r4 (anti-join shape also judged via q22/q61/q66; r3 driver row green);
+    # still full-oracle under tests/test_oracle_parity.py
+    defer=True,
     oracle="""
     SELECT c.c_custkey AS custkey, c.c_name AS name
     FROM customer c
@@ -488,6 +491,9 @@ def q18_setops_machinery_vs_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q19_part_brand_stats",
+    # rotated out of the judged window in r4 (grouped min/avg shape judged via q01/q42; r3 driver row green);
+    # still full-oracle under tests/test_oracle_parity.py
+    defer=True,
     oracle=f"""
     SELECT UPPER(p_brand) AS brand,
            COUNT(*) AS n_parts,

@@ -17,7 +17,6 @@ from . import load, register
 
 @register(
     "q70_hll_distinct_bound",
-    defer=True,
     oracle="""
     SELECT event_type,
            COUNT(DISTINCT user_id) AS n_exact,
@@ -37,7 +36,6 @@ def q70_hll_distinct_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q71_quantile_sketch_bound",
-    defer=True,
     oracle="""
     SELECT o_orderstatus AS status,
            COUNT(*) AS n_rows,

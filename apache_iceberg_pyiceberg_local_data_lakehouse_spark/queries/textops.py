@@ -118,6 +118,9 @@ def q42_text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q43_token_frequency",
+    # rotated out of the judged window in r4 (explode+groupBy shape judged via q42/q4a; r3 driver row green);
+    # still full-oracle under tests/test_oracle_parity.py
+    defer=True,
     oracle="""
     SELECT tok, COUNT(*) AS tok_count, COUNT(DISTINCT doc_id) AS doc_freq
     FROM (
@@ -146,6 +149,9 @@ def q43_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q44_quality_scores",
+    # rotated out of the judged window in r4 (per-doc ratio shape judged via q42; r3 driver row green);
+    # still full-oracle under tests/test_oracle_parity.py
+    defer=True,
     oracle="""
     SELECT doc_id,
            n_toks,
@@ -191,6 +197,9 @@ def q44_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q45_language_scoring",
+    # rotated out of the judged window in r4 (langid now judged exactly via q45b; r3 driver row green);
+    # still full-oracle under tests/test_oracle_parity.py
+    defer=True,
     oracle=f"""
     SELECT lang,
            {_davg_sql("len(list_filter(string_split(text, ' '), "
@@ -220,6 +229,9 @@ def q45_language_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q46_doc_fingerprint",
+    # rotated out of the judged window in r4 (md5 fingerprint shape judged via q40/q57; r3 driver row green);
+    # still full-oracle under tests/test_oracle_parity.py
+    defer=True,
     oracle="""
     SELECT fingerprint, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
     FROM (
@@ -251,6 +263,9 @@ def q46_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q47_ngram_shingles",
+    # rotated out of the judged window in r4 (shingle explode shape judged via q41/q48; r3 driver row green);
+    # still full-oracle under tests/test_oracle_parity.py
+    defer=True,
     oracle="""
     SELECT shingle, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
     FROM (
@@ -335,18 +350,95 @@ def q48_minhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Deferred: rows-only (no SQL oracle - xxhash64 is Spark-side), and the
-# SimHash plan shape is pytest-pinned; its judged-window slot goes to the
-# full-oracle range join q37 instead.
-@register("q49_simhash_fingerprints", defer=True)
+@register(
+    "q49_simhash_fingerprints",
+    oracle="""
+    SELECT COUNT(*) AS n_docs,
+           COUNT(*) AS n_planted,
+           TRUE AS blocking_exact,
+           TRUE AS planted_all_detected,
+           TRUE AS found_beyond_planted
+    FROM documents
+    """,
+)
 def q49_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash 64-bit fingerprints + quadrant-blocked near-dup pairs
-    (rows-only check: the fingerprint function has no DuckDB twin).
-    Deterministic across runs - pinned by pytest instead of the oracle."""
-    from ..operators.dedup import simhash_near_duplicates
+    """SimHash near-dup detection, judged via the q70/q71 bound pattern
+    (xxhash64 has no DuckDB twin, so the fingerprints themselves can't
+    hash-match an oracle - the *contract* can):
 
-    d = load(spark, sf_dir, "documents")
-    return simhash_near_duplicates(d, "text", "doc_id", max_hamming=8)
+    - ``blocking_exact``: at max_hamming=3 the 4x16-bit quadrant
+      blocking is provably complete (pigeonhole: <=3 flipped bits leave
+      >=1 of 4 quadrants intact), so the blocked detector must return
+      EXACTLY the brute-force hamming<=3 pair set. Verified here with a
+      broadcast all-pairs twin (fixture-scale verification tier, same
+      role as q50's brute-force KNN).
+    - ``planted_all_detected``: a token-reversed twin of every document
+      has the identical token multiset, hence the identical fingerprint
+      (SimHash is order-invariant) - all n_docs planted (doc, twin)
+      pairs must be detected at hamming 0.
+    - ``found_beyond_planted``: the detector also finds organic
+      near-dups (non-vacuity).
+
+    The exact columns (n_docs, n_planted) are plain SQL; the booleans
+    are deterministic TRUE whenever the implementation is correct."""
+    from ..operators.dedup import (
+        hamming_distance,
+        simhash,
+        simhash_near_duplicates,
+    )
+
+    _PLANT_OFF = 10_000_000
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    twin = d.select(
+        (F.col("doc_id") + _PLANT_OFF).alias("doc_id"),
+        F.concat_ws(" ", F.reverse(F.split(F.col("text"), " "))).alias("text"),
+    )
+    corpus = d.unionAll(twin)
+
+    det = simhash_near_duplicates(corpus, "text", "doc_id", max_hamming=3)
+    fps = simhash(corpus, "text", "doc_id")
+    a = fps.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("fa"))
+    b = fps.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("fb"))
+    brute = (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .withColumn("ham", hamming_distance(F.col("fa"), F.col("fb")))
+        .filter(F.col("ham") <= 3)
+        .select("id_a", "id_b")
+    )
+
+    # set equality via full outer join with presence flags
+    cmp = (
+        det.select("id_a", "id_b").withColumn("__d", F.lit(1))
+        .join(brute.withColumn("__b", F.lit(1)), ["id_a", "id_b"], "full")
+        .agg(
+            F.sum(
+                F.when(F.col("__d").isNull() | F.col("__b").isNull(), 1).otherwise(0)
+            ).alias("n_mismatch"),
+            F.count("*").alias("n_det"),
+        )
+    )
+    planted = (
+        d.select("doc_id")
+        .join(
+            det.filter(
+                (F.col("id_b") - F.col("id_a") == _PLANT_OFF)
+                & (F.col("hamming") == 0)
+            ).select(F.col("id_a").alias("doc_id"), F.lit(1).alias("__hit")),
+            "doc_id",
+            "left",
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0)).alias("n_missed"),
+        )
+    )
+    return cmp.crossJoin(planted).select(
+        F.col("n_docs"),
+        F.col("n_docs").alias("n_planted"),
+        (F.col("n_mismatch") == 0).alias("blocking_exact"),
+        (F.col("n_missed") == 0).alias("planted_all_detected"),
+        (F.col("n_det") > F.col("n_docs")).alias("found_beyond_planted"),
+    )
 
 
 @register(
@@ -395,14 +487,18 @@ def q4a_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Deferred: rows-only (char-trigram profiles have no SQL twin) and the
-# langid output shape is pytest-pinned; its judged-window slot goes to
-# the full-oracle incremental-read q69 instead.
-@register("q45b_langid_ngram", defer=True)
+from ..operators.langid import langid_oracle_sql
+
+
+@register("q45b_langid_ngram", oracle=langid_oracle_sql())
 def q45b_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-n-gram language ID (X4) over the corpus: per detected
-    language, doc count and mean confidence. Deterministic (argmax over
-    literal profiles); accuracy pinned by pytest on real sentences."""
+    language, doc count and mean confidence. The trigram/word-overlap
+    scoring is deterministic integer arithmetic, so the DuckDB oracle
+    (generated from the same PROFILES literals - see
+    ``operators.langid.langid_oracle_sql``) replicates it exactly:
+    full row-count + schema + value-hash evidence, not rows-only.
+    Accuracy on real sentences stays pytest-pinned."""
     from ..operators.langid import detect_language
 
     d = load(spark, sf_dir, "documents")
@@ -589,7 +685,6 @@ def q57_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
            length(substr(text, CAST(i * 150 + 1 AS INT), 200)) AS chunk_len
     FROM exploded
     """,
-    defer=True,
 )
 def q58_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping-window chunking (operators/chunking.py): 200-char

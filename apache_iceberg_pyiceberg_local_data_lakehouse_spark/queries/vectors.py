@@ -93,6 +93,9 @@ def q50_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q51_embedding_norms_by_label",
+    # rotated out of the judged window in r4 (array-agg shape judged via q50/q52; r3 driver row green);
+    # still full-oracle under tests/test_oracle_parity.py
+    defer=True,
     oracle=f"""
     SELECT label,
            COUNT(*) AS n_vectors,
@@ -249,17 +252,68 @@ def q55_kmeans_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# no SQL oracle: LSH bucketing is approximate. Deferred behind the judged
-# window (rows-only evidence there is weak); its recall-vs-brute-force
-# contract is pinned by tests/test_operators.py instead, and the judged
-# slot goes to a full-oracle lakehouse query.
-@register("q54_ann_lsh_topk", defer=True)
+_LSH_RECALL_FLOOR = 0.55
+
+
+@register(
+    "q54_ann_lsh_topk",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND({_COS_SQL.format(a='q.embedding', b='c.embedding')}, 9) AS sim
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < {N_QUERY_VECS}
+    ), topk AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id) AS rank
+        FROM pairs
+      ) WHERE rank <= {TOP_K}
+    )
+    SELECT (SELECT COUNT(*) FROM embeddings WHERE vec_id < {N_QUERY_VECS})
+             AS n_queries,
+           COUNT(*) AS n_brute,
+           CAST(SUM(CAST(FLOOR(sim * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS brute_sim_qsum,
+           TRUE AS lsh_recall_ok
+    FROM topk
+    """,
+)
 def q54_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X3 scale path: random-hyperplane LSH ANN (rows-only check; recall
-    vs the exact q50 baseline is pinned by pytest at >=0.55 on this
-    worst-case near-orthogonal fixture)."""
+    """X3 scale path judged via the q70/q71 bound pattern: LSH bucket
+    membership is approximate, so the hash row carries the EXACT
+    brute-force anchors (query count, top-k pair count, quantized
+    similarity sum - all recomputable in plain SQL, and the same
+    arithmetic q50 hash-matches) plus ``lsh_recall_ok``: the
+    random-hyperplane ANN (fixed seed, deterministic plan literals) must
+    recover >= {_LSH_RECALL_FLOOR:.0%} of the exact top-k on this
+    worst-case near-orthogonal fixture (measured 0.74-0.76; real
+    clustered corpora recall far higher - see ``knn_lsh``)."""
     from ..operators.similarity import knn_lsh
 
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < N_QUERY_VECS)
-    return knn_lsh(emb, q, dim=64, k=TOP_K)
+    brute = q50_knn_bruteforce(spark, sf_dir)
+    lsh = knn_lsh(emb, q, dim=64, k=TOP_K).select("query_id", "neighbor_id")
+
+    brute_agg = brute.agg(
+        F.count("*").alias("n_brute"),
+        F.sum(
+            F.floor(F.col("sim") * 1_000_000.0 + 0.5).cast("long")
+        ).alias("brute_sim_qsum"),
+    )
+    hits = (
+        brute.select("query_id", "neighbor_id")
+        .join(lsh, ["query_id", "neighbor_id"])
+        .agg(F.count("*").alias("n_hits"))
+    )
+    n_q = q.agg(F.count("*").alias("n_queries"))
+    return n_q.crossJoin(brute_agg).crossJoin(hits).select(
+        "n_queries",
+        "n_brute",
+        "brute_sim_qsum",
+        (
+            F.col("n_hits").cast("double")
+            >= F.lit(_LSH_RECALL_FLOOR) * F.col("n_brute")
+        ).alias("lsh_recall_ok"),
+    )
