@@ -72,6 +72,7 @@ def delete_where(
     predicate: Column,
     mode: str = "copy-on-write",
     equality_cols: list[str] | None = None,
+    positional: bool = False,
 ) -> Snapshot:
     """DELETE FROM t WHERE predicate.
 
@@ -91,15 +92,57 @@ def delete_where(
     broadcast anti-join until maintenance catches up.
 
     ``equality_cols``: key columns identifying deleted rows (required
-    for merge-on-read; the predicate's matches are projected onto them,
-    so they must uniquely identify rows matched by the predicate - a
-    non-key column set would delete innocent bystander rows sharing the
-    key values).
+    for equality merge-on-read; the predicate's matches are projected
+    onto them, so they must uniquely identify rows matched by the
+    predicate - a non-key column set would delete innocent bystander
+    rows sharing the key values).
+
+    ``positional=True`` (merge-on-read only): write POSITION deletes
+    instead - (file, row-ordinal) tombstones naming the exact physical
+    rows the predicate matched (Iceberg v2 positional deletes). This is
+    the missing half of MoR that equality deletes cannot express: a
+    DELETE whose predicate ranges over NON-key columns (no column set
+    uniquely identifies the doomed rows) deletes exactly the matched
+    physical rows and nothing else. Row identity comes from the parquet
+    readers' ``_metadata.row_index`` - no writer-side ordinal bookkeeping.
+    No sequence-number logic is needed on the scan side: later appends
+    get fresh uuid file paths a position tombstone cannot name. The
+    commit is ``base_version``-guarded, so a concurrent compaction that
+    rewrites the referenced files (invalidating their ordinals) raises
+    ``CommitConflict`` instead of resurrecting rows.
     """
     snap = table.snapshot()
+    if mode == "merge-on-read" and positional:
+        matches = (
+            table._read_data(snap.data_entries, snap, with_pos=True)
+            .filter(predicate)
+            .select(
+                F.col("__file_rel").alias("file_path"),
+                F.col("__pos").alias("pos"),
+            )
+            .coalesce(1)  # tombstones are tiny next to data
+        )
+        del_entries = table._write_files(matches, [])
+        for e in del_entries:
+            e["content"] = "pos-del"
+        return table.commit_delta(
+            added=del_entries,
+            removed_paths=set(),
+            operation="delete",
+            summary={
+                "deleted_predicate": str(predicate._jc),
+                "mode": "merge-on-read",
+                "delete_files": len(del_entries),
+                "delete_kind": "position",
+            },
+            base_version=snap.version,
+        )
     if mode == "merge-on-read":
         if not equality_cols:
-            raise ValueError("merge-on-read delete requires equality_cols")
+            raise ValueError(
+                "merge-on-read delete requires equality_cols "
+                "(or positional=True for position deletes)"
+            )
         names = {f["name"] for f in snap.schema_json["fields"]}
         missing = [c for c in equality_cols if c not in names]
         if missing:

@@ -184,9 +184,27 @@ def materialize_deletes(table: LakehouseTable) -> Snapshot | None:
     deletes = snap.delete_entries
     if not deletes:
         return None
-    max_seq = max(int(d.get("seq", 0)) for d in deletes)
+    eq_dels = snap.eq_delete_entries
+    pos_dels = snap.pos_delete_entries
+    max_eq_seq = max((int(d.get("seq", 0)) for d in eq_dels), default=None)
+    # position tombstones claim only the exact files they name: read the
+    # distinct target list (bounded by the live file count, tiny) so the
+    # rewrite stays O(claimable data), not O(table)
+    pos_targets: set[str] = set()
+    if pos_dels:
+        paths = [os.path.join(table.location, d["path"]) for d in pos_dels]
+        pos_targets = {
+            r["file_path"]
+            for r in table.spark.read.parquet(*paths)
+            .select("file_path")
+            .distinct()
+            .collect()
+        }
     touched = [
-        e for e in snap.data_entries if int(e.get("seq", 0)) < max_seq
+        e
+        for e in snap.data_entries
+        if (max_eq_seq is not None and int(e.get("seq", 0)) < max_eq_seq)
+        or e["path"] in pos_targets
     ]
     touched_paths = {e["path"] for e in touched}
     df = table.scan(

@@ -173,10 +173,8 @@ def q33_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY user_id
     HAVING COUNT(*) >= 10
     """,
-    # grouped min/max/count + HAVING: the same plan shape q20/q42 already
-    # evidence in the window. Deferred so the k-means clustering operator
-    # (q55, evidence nothing else gives) fits the driver's 50 entries;
-    # local DuckDB parity still runs.
+    # r4: rotated INTO the judged window (was deferred in r3 to make room
+    # for q55) so driver evidence accumulates across rounds.
 )
 def q34_events_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped min/max/count with HAVING (A1/A4 grouped)."""
@@ -215,4 +213,50 @@ def q38_event_type_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_types"
         ),
         F.size(F.collect_set("event_type")).alias("n_types"),
+    )
+
+
+@register(
+    "q39_first_seen_per_user",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP), event_id)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_events
+      FROM events
+    )
+    SELECT user_id,
+           event_id AS first_event_id,
+           ts AS first_ts,
+           event_type AS first_event_type,
+           n_events
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q39_first_seen_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of ``streaming.stateful.streaming_dedup_first_seen``
+    (X6/ST stateful surface): one row per key, carrying the FIRST event
+    in event time (ties broken by event_id) plus the suppressed-repeat
+    count. The streaming variant keeps first-seen state per key with a
+    TTL; this is the identical semantics expressed as one window shuffle
+    on the key - the hash-verifiable face of the stateful operator
+    (driver evidence the applyInPandasWithState path can't produce)."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    wc = Window.partitionBy("user_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_events", F.count("*").over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("first_event_id"),
+            F.col("ts").alias("first_ts"),
+            F.col("event_type").alias("first_event_type"),
+            "n_events",
+        )
     )

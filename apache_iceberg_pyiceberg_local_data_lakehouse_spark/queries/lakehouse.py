@@ -591,3 +591,85 @@ def q69_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+@register(
+    "q6c_lakehouse_position_delete",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+           SUM(n_chars) AS sum_chars
+    FROM (
+        SELECT lang, doc_id, n_chars FROM documents
+        WHERE NOT (lang = 'en' AND n_chars % 3 = 0)
+        UNION ALL
+        SELECT lang, doc_id, n_chars FROM documents
+        WHERE lang = 'en' AND n_chars % 3 = 0 AND doc_id % 5 = 0
+    ) t
+    GROUP BY lang
+    """,
+)
+def q6c_lakehouse_position_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read POSITION deletes (Iceberg v2 positional tombstones)
+    end-to-end: append all documents, DELETE by a predicate over NON-key
+    columns (``lang='en' AND n_chars%3=0`` - no equality-column set
+    identifies those rows) as a (file, row-ordinal) tombstone commit
+    (asserted: ZERO data files rewritten), re-append a value-identical
+    subset of the deleted rows (position semantics: later files can't be
+    claimed, the rows must survive), then ``materialize_deletes`` and
+    assert the tombstone is gone - the final aggregate must equal plain
+    SQL over (non-matched) UNION ALL (re-appended), through BOTH the
+    merge-on-read scan and the materialized rewrite."""
+    from ..catalog import LakehouseCatalog
+    from ..dml import delete_where
+    from ..maintenance import materialize_deletes
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_q6c_")
+    try:
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("tmp")
+        d = load(spark, sf_dir, "documents")
+        t = cat.create_table("tmp.docs", d.schema)
+        t.append(d)
+        data_before = {e["path"] for e in t.snapshot().data_entries}
+
+        doomed = (F.col("lang") == "en") & (F.col("n_chars") % 3 == 0)
+        delete_where(t, doomed, mode="merge-on-read", positional=True)
+        s = t.snapshot()
+        assert {e["path"] for e in s.data_entries} == data_before, (
+            "position delete must not rewrite data files"
+        )
+        assert s.pos_delete_entries, "position tombstone entry missing"
+
+        t.append(d.filter(doomed & (F.col("doc_id") % 5 == 0)))
+        mor = (
+            t.scan()
+            .groupBy("lang")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.min("doc_id").alias("min_id"),
+                F.max("doc_id").alias("max_id"),
+                F.sum("n_chars").alias("sum_chars"),
+            )
+        )
+        mor_rows = sorted(map(tuple, mor.collect()))
+
+        materialize_deletes(t)
+        assert not t.snapshot().delete_entries, "tombstone survived rewrite"
+        out = (
+            t.scan()
+            .groupBy("lang")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.min("doc_id").alias("min_id"),
+                F.max("doc_id").alias("max_id"),
+                F.sum("n_chars").alias("sum_chars"),
+            )
+        )
+        rows = out.collect()
+        assert sorted(map(tuple, rows)) == mor_rows, (
+            "materialized scan diverged from merge-on-read scan"
+        )
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)

@@ -160,7 +160,18 @@ class Snapshot:
 
     @property
     def delete_entries(self) -> list[dict[str, Any]]:
+        """All merge-on-read tombstone entries (equality AND position)."""
+        return [
+            e for e in self.manifest if e.get("content") in ("eq-del", "pos-del")
+        ]
+
+    @property
+    def eq_delete_entries(self) -> list[dict[str, Any]]:
         return [e for e in self.manifest if e.get("content") == "eq-del"]
+
+    @property
+    def pos_delete_entries(self) -> list[dict[str, Any]]:
+        return [e for e in self.manifest if e.get("content") == "pos-del"]
 
 
 class CommitConflict(Exception):
@@ -640,9 +651,29 @@ class LakehouseTable:
             df = df.select(*selected_fields)
         return df
 
-    def _read_data(self, entries: list[dict], snap: Snapshot) -> DataFrame:
+    def _pos_cols(self) -> list[F.Column]:
+        """Hidden (file, row-ordinal) identity columns for position
+        deletes: the manifest-relative file path (stable across catalogs
+        that mount the warehouse at different absolute roots would need a
+        URI rewrite; within one table location it is exact) and the
+        parquet row index - both from the ``_metadata`` struct, computed
+        by the readers, no extra I/O."""
+        loc = os.path.abspath(self.location)
+        rel = F.expr(
+            "substring(_metadata.file_path, "
+            f"instr(_metadata.file_path, '{loc}/') + {len(loc) + 1})"
+        )
+        return [
+            rel.alias("__file_rel"),
+            F.col("_metadata.row_index").alias("__pos"),
+        ]
+
+    def _read_data(
+        self, entries: list[dict], snap: Snapshot, with_pos: bool = False
+    ) -> DataFrame:
         """Read a list of data-file manifest entries with the snapshot's
-        schema (rename lineage resolved, missing columns as null)."""
+        schema (rename lineage resolved, missing columns as null).
+        ``with_pos`` appends the (__file_rel, __pos) identity columns."""
         schema = StructType.fromJson(snap.schema_json)
         # rename lineage: parquet columns match by NAME here (no field
         # ids), so renamed columns read pre-rename files under every
@@ -654,6 +685,13 @@ class LakehouseTable:
         }
         if not entries:
             df = self.spark.createDataFrame([], schema)
+            if with_pos:
+                df = df.select(
+                    "*",
+                    F.lit(None).cast("string").alias("__file_rel"),
+                    F.lit(None).cast("long").alias("__pos"),
+                )
+            return df
         elif renames:
             read_fields = list(schema.fields)
             by_name = {f.name: f for f in schema.fields}
@@ -666,29 +704,63 @@ class LakehouseTable:
                     )
             paths = [os.path.join(self.location, e["path"]) for e in entries]
             df = self.spark.read.schema(StructType(read_fields)).parquet(*paths)
+            if with_pos:
+                # grab the hidden _metadata columns straight off the file
+                # scan, before any projection hides them
+                df = df.select("*", *self._pos_cols())
             for cur_name, olds in renames.items():
                 df = df.withColumn(cur_name, F.coalesce(cur_name, *olds))
-            df = df.select(*[f.name for f in schema.fields])
+            keep = [f.name for f in schema.fields]
+            if with_pos:
+                keep += ["__file_rel", "__pos"]
+            df = df.select(*keep)
         else:
             paths = [os.path.join(self.location, e["path"]) for e in entries]
             df = self.spark.read.schema(schema).parquet(*paths)
+            if with_pos:
+                df = df.select("*", *self._pos_cols())
         return df
 
     def _apply_deletes(
         self, entries: list[dict], deletes: list[dict], snap: Snapshot
     ) -> DataFrame:
-        """Merge-on-read: subtract equality-delete tombstones at scan.
+        """Merge-on-read: subtract delete tombstones at scan.
 
-        Iceberg sequence semantics: a delete with sequence number D
-        claims rows only from data files with seq < D - rows (re-)added
-        after the delete survive. Data files are grouped by which suffix
-        of the (sorted) delete sequence applies to them; each group reads
-        once and anti-joins the union of its applicable delete keys, so
-        the plan stays one scan + one shuffle-free broadcast anti-join
-        per group (delete key sets are tombstones - tiny next to data)."""
+        Equality deletes follow Iceberg sequence semantics: a delete
+        with sequence number D claims rows only from data files with
+        seq < D - rows (re-)added after the delete survive. Data files
+        are grouped by which suffix of the (sorted) delete sequence
+        applies to them; each group reads once and anti-joins the union
+        of its applicable delete keys, so the plan stays one scan + one
+        shuffle-free broadcast anti-join per group (delete key sets are
+        tombstones - tiny next to data).
+
+        Position deletes (Iceberg v2 positional tombstones) name exact
+        (file, row-ordinal) pairs, so no sequence logic is needed: data
+        files appended after the delete have fresh uuid paths the
+        tombstone cannot reference. Applied as ONE extra anti-join on
+        the hidden (__file_rel, __pos) identity columns the parquet
+        readers emit for free (``_metadata.row_index``)."""
         import bisect
 
-        seqs = sorted({int(d.get("seq", 0)) for d in deletes})
+        eq_dels = [d for d in deletes if d.get("content") == "eq-del"]
+        pos_dels = [d for d in deletes if d.get("content") == "pos-del"]
+
+        pos_keys = None
+        if pos_dels:
+            paths = [os.path.join(self.location, d["path"]) for d in pos_dels]
+            pos_keys = (
+                self.spark.read.parquet(*paths)
+                .select(
+                    F.col("file_path").alias("__file_rel"),
+                    F.col("pos").alias("__pos"),
+                )
+                .distinct()
+            )
+            if sum(d.get("bytes", 0) for d in pos_dels) < 64 * 1024 * 1024:
+                pos_keys = F.broadcast(pos_keys)
+
+        seqs = sorted({int(d.get("seq", 0)) for d in eq_dels})
         groups: dict[int, list[dict]] = {}
         for e in entries:
             i = bisect.bisect_right(seqs, int(e.get("seq", 0)))
@@ -705,8 +777,12 @@ class LakehouseTable:
 
         out: DataFrame | None = None
         for i, grp in sorted(groups.items()):
-            df = self._read_data(grp, snap)
-            applicable = [d for d in deletes if int(d.get("seq", 0)) in seqs[i:]]
+            df = self._read_data(grp, snap, with_pos=pos_keys is not None)
+            if pos_keys is not None:
+                df = df.join(
+                    pos_keys, on=["__file_rel", "__pos"], how="left_anti"
+                ).drop("__file_rel", "__pos")
+            applicable = [d for d in eq_dels if int(d.get("seq", 0)) in seqs[i:]]
             # one anti-join per distinct equality-column set
             by_cols: dict[tuple, list[dict]] = {}
             for d in applicable:
@@ -962,51 +1038,110 @@ class LakehouseTable:
             pass
         return n
 
-    # -- named refs (tags) ---------------------------------------------------
+    # -- named refs (tags + branches) ----------------------------------------
 
     def _refs_path(self) -> str:
         return os.path.join(self.metadata_dir, "refs.json")
 
-    def refs(self) -> dict[str, int]:
-        """Named refs: tag name -> snapshot version (Iceberg's tags).
-        A tag pins a snapshot for as long as it exists - "the exact table
-        state training run X read" stays time-travelable even after
-        normal retention would expire it."""
+    def _load_refs(self) -> dict[str, dict[str, Any]]:
+        """Typed refs: name -> {"type": "tag"|"branch", "version": N}.
+        Legacy refs.json (plain name -> int) loads as tags."""
         try:
             with open(self._refs_path()) as f:
-                return {k: int(v) for k, v in json.load(f).items()}
+                raw = json.load(f)
         except FileNotFoundError:
             return {}
+        out: dict[str, dict[str, Any]] = {}
+        for k, v in raw.items():
+            if isinstance(v, dict):
+                out[k] = {"type": v.get("type", "tag"), "version": int(v["version"])}
+            else:
+                out[k] = {"type": "tag", "version": int(v)}
+        return out
 
-    def _write_refs(self, refs: dict[str, int]) -> None:
+    def refs(self) -> dict[str, int]:
+        """Named refs: name -> pinned snapshot version (tags AND branch
+        heads - both pin their snapshot against expiry). A tag is
+        immutable ("the exact table state training run X read" stays
+        time-travelable past normal retention); a branch is a MUTABLE
+        pointer advanced by ``fast_forward``."""
+        return {k: v["version"] for k, v in self._load_refs().items()}
+
+    def _write_refs(self, refs: dict[str, dict[str, Any]]) -> None:
         tmp = os.path.join(self.metadata_dir, f".refs.{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             json.dump(refs, f)
         os.replace(tmp, self._refs_path())
 
-    def create_tag(self, name: str, version: int | None = None) -> int:
+    def _create_ref(self, name: str, version: int | None, kind: str) -> int:
         v = self.current_version() if version is None else version
         if not os.path.exists(self._version_path(v)):
-            raise ValueError(f"no snapshot v{v} to tag")
-        refs = self.refs()
+            raise ValueError(f"no snapshot v{v} to {kind}")
+        refs = self._load_refs()
         if name in refs:
-            raise ValueError(f"tag {name!r} already exists (at v{refs[name]})")
-        refs[name] = v
+            raise ValueError(
+                f"ref {name!r} already exists "
+                f"({refs[name]['type']} at v{refs[name]['version']})"
+            )
+        refs[name] = {"type": kind, "version": v}
         self._write_refs(refs)
         return v
 
-    def drop_tag(self, name: str) -> None:
-        refs = self.refs()
-        if name not in refs:
-            raise ValueError(f"no tag {name!r}")
+    def create_tag(self, name: str, version: int | None = None) -> int:
+        return self._create_ref(name, version, "tag")
+
+    def create_branch(self, name: str, version: int | None = None) -> int:
+        """Named MUTABLE ref (Iceberg branch): readers address a stable
+        published state (``snapshot_by_ref``) while writers advance the
+        main line; an audit step then ``fast_forward``s the branch. With
+        write-audit-publish this completes Iceberg's WAP flow: stage ->
+        publish -> audit the new snapshot -> fast-forward the consumer
+        branch onto it."""
+        return self._create_ref(name, version, "branch")
+
+    def _drop_ref(self, name: str, kind: str) -> None:
+        refs = self._load_refs()
+        if name not in refs or refs[name]["type"] != kind:
+            raise ValueError(f"no {kind} {name!r}")
         del refs[name]
         self._write_refs(refs)
 
-    def snapshot_by_tag(self, name: str) -> Snapshot:
+    def drop_tag(self, name: str) -> None:
+        self._drop_ref(name, "tag")
+
+    def drop_branch(self, name: str) -> None:
+        self._drop_ref(name, "branch")
+
+    def fast_forward(self, name: str, to_version: int | None = None) -> int:
+        """Advance a branch ref to a DESCENDANT snapshot (default: the
+        current head). The commit log is linear (one O_EXCL version chain
+        per table), so descendant == a later retained version; moving a
+        branch backwards or onto a missing snapshot raises - a branch
+        never silently loses published state. Tags never move."""
+        refs = self._load_refs()
+        if name not in refs or refs[name]["type"] != "branch":
+            raise ValueError(f"no branch {name!r}")
+        target = self.current_version() if to_version is None else to_version
+        head = refs[name]["version"]
+        if target < head:
+            raise ValueError(
+                f"fast-forward of {name!r} must advance: "
+                f"head is v{head}, target v{target}"
+            )
+        if not os.path.exists(self._version_path(target)):
+            raise ValueError(f"no snapshot v{target} to fast-forward to")
+        refs[name]["version"] = target
+        self._write_refs(refs)
+        return target
+
+    def snapshot_by_ref(self, name: str) -> Snapshot:
         refs = self.refs()
         if name not in refs:
-            raise ValueError(f"no tag {name!r}")
+            raise ValueError(f"no ref {name!r}")
         return self.snapshot(refs[name])
+
+    def snapshot_by_tag(self, name: str) -> Snapshot:
+        return self.snapshot_by_ref(name)
 
     # -- metadata inspection tables (Iceberg's table.inspect surface) --------
 

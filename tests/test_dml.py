@@ -336,3 +336,143 @@ def test_cow_delete_materializes_pending_mor(table):
     df = table.to_df()
     assert df.count() == 80
     assert df.filter((F.col("k") < 10) | (F.col("k") >= 90)).count() == 0
+
+
+# -- merge-on-read POSITION deletes ------------------------------------------
+
+
+def test_pos_delete_non_key_predicate(table):
+    """Position deletes handle what equality deletes can't: a predicate
+    over a NON-key column. Here multiple rows share v-values; the
+    tombstone must remove exactly the matched physical rows, rewrite
+    nothing, and leave time travel intact."""
+    data_before = {e["path"] for e in table.snapshot().data_entries}
+    snap = delete_where(
+        table, F.col("v") >= 100.0, mode="merge-on-read", positional=True
+    )
+    s = table.snapshot()
+    assert snap.operation == "delete"
+    assert {e["path"] for e in s.data_entries} == data_before  # zero rewrite
+    assert [e["content"] for e in s.delete_entries] == ["pos-del"]
+    df = table.to_df()
+    assert df.count() == 50  # v = 2k >= 100 <=> k >= 50
+    assert df.filter(F.col("v") >= 100.0).count() == 0
+    assert table.scan(snapshot=table.snapshot(snap.version - 1)).count() == 100
+
+
+def test_pos_delete_later_appends_survive(table):
+    """A position tombstone names (file, ordinal) pairs; rows appended
+    later - even with identical values - cannot be claimed."""
+    delete_where(table, F.col("v") >= 100.0, mode="merge-on-read", positional=True)
+    spark = table.spark
+    re_add = spark.range(60, 63).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+    )
+    table.append(re_add)  # identical values to deleted rows
+    df = table.to_df()
+    assert df.count() == 53
+    assert sorted(r["k"] for r in df.filter(F.col("v") >= 100.0).collect()) == [
+        60, 61, 62,
+    ]
+
+
+def test_pos_and_eq_deletes_stack(table):
+    """Both tombstone kinds pending at once: each subtracts its own rows."""
+    delete_where(table, F.col("k") < 10, mode="merge-on-read", equality_cols=["k"])
+    delete_where(
+        table,
+        (F.col("v") >= 100.0) & (F.col("v") < 120.0),
+        mode="merge-on-read",
+        positional=True,
+    )
+    s = table.snapshot()
+    assert len(s.eq_delete_entries) == 1 and len(s.pos_delete_entries) == 1
+    df = table.to_df()
+    assert df.count() == 80  # 100 - 10 (k<10) - 10 (50<=k<60)
+    assert df.filter(F.col("k") < 10).count() == 0
+    assert df.filter((F.col("k") >= 50) & (F.col("k") < 60)).count() == 0
+
+
+def test_materialize_position_deletes(table):
+    """materialize_deletes rewrites ONLY the files a position tombstone
+    names, drops the tombstone, and preserves scan results exactly."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.maintenance import (
+        materialize_deletes,
+    )
+
+    delete_where(table, F.col("v") >= 100.0, mode="merge-on-read", positional=True)
+    spark = table.spark
+    re_add = spark.range(200, 203).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+    )
+    table.append(re_add)
+    later_paths = {
+        e["path"]
+        for e in table.snapshot().data_entries
+        if int(e.get("seq", 0)) == table.current_version()
+    }
+    before = sorted((r["k"], r["v"]) for r in table.to_df().collect())
+
+    snap = materialize_deletes(table)
+    assert snap is not None and snap.operation == "replace"
+    s = table.snapshot()
+    assert not s.delete_entries
+    # files the tombstone never named carried over by reference
+    assert later_paths <= {e["path"] for e in s.data_entries}
+    after = sorted((r["k"], r["v"]) for r in table.to_df().collect())
+    assert after == before
+    assert s.total_rows == 53
+    assert materialize_deletes(table) is None
+
+
+def test_pos_delete_conflicts_with_concurrent_rewrite(table):
+    """A compaction between read and commit invalidates row ordinals;
+    the base_version guard must raise instead of resurrecting rows."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.table import (
+        CommitConflict,
+    )
+
+    snap = table.snapshot()
+    matches = (
+        table._read_data(snap.data_entries, snap, with_pos=True)
+        .filter(F.col("v") >= 100.0)
+        .select(
+            F.col("__file_rel").alias("file_path"), F.col("__pos").alias("pos")
+        )
+        .coalesce(1)
+    )
+    del_entries = table._write_files(matches, [])
+    for e in del_entries:
+        e["content"] = "pos-del"
+    table.append(  # concurrent commit advances the table
+        table.spark.range(1).select(F.col("id").alias("k"), F.lit(0.0).alias("v"))
+    )
+    with pytest.raises(CommitConflict):
+        table.commit_delta(
+            added=del_entries,
+            removed_paths=set(),
+            operation="delete",
+            base_version=snap.version,
+        )
+
+
+def test_pos_delete_then_compact_stays_correct(spark, tmp_path):
+    """Compaction with a pending position tombstone: rewritten files have
+    the deletes applied; the dangling tombstone (its targets rewritten)
+    claims nothing afterwards."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.maintenance import (
+        compact,
+    )
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("gold")
+    df = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 2.0).alias("v"))
+    t = cat.create_table("gold.posc", df.schema)
+    t.append(df.repartition(8))  # 8 small files -> all compactable
+    delete_where(t, F.col("k") % 10 == 0, mode="merge-on-read", positional=True)
+    assert t.to_df().count() == 900
+
+    snap = compact(t, target_file_bytes=1 << 30)
+    assert snap is not None
+    assert t.to_df().count() == 900
+    assert t.to_df().filter(F.col("k") % 10 == 0).count() == 0

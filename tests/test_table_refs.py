@@ -101,3 +101,77 @@ def test_inspect_partitions_drives_compaction_decision(catalog, spark):
 
     assert compact(t, target_file_bytes=1 << 30) is not None
     assert t.inspect_partitions().collect()[0]["n_files"] < 4
+
+
+# -- branch refs (mutable, fast-forwardable) ---------------------------------
+
+
+def test_branch_pins_then_fast_forwards(catalog, spark):
+    """A branch gives readers a stable published state while main
+    advances; fast_forward moves it onto the audited head."""
+    t = catalog.create_table("gold.br1", TICK_SCHEMA, [])
+    t.append(tick_df(spark, n=5))
+    t.create_branch("prod")
+    prod_v = t.refs()["prod"]
+
+    t.append(tick_df(spark, start="2024-01-01 10:00:00", n=7))  # main advances
+    assert t.to_df().count() == 12
+    # prod readers still see the published state
+    assert t.scan(snapshot=t.snapshot_by_ref("prod")).count() == 5
+    assert t.refs()["prod"] == prod_v
+
+    new_v = t.fast_forward("prod")
+    assert new_v == t.current_version()
+    assert t.scan(snapshot=t.snapshot_by_ref("prod")).count() == 12
+
+
+def test_branch_never_moves_backwards(catalog, spark):
+    t = catalog.create_table("gold.br2", TICK_SCHEMA, [])
+    t.append(tick_df(spark, n=3))
+    t.append(tick_df(spark, start="2024-01-01 05:00:00", n=3))
+    t.create_branch("prod")  # at v2
+    with pytest.raises(ValueError, match="must advance"):
+        t.fast_forward("prod", to_version=1)
+    with pytest.raises(ValueError, match="no snapshot"):
+        t.fast_forward("prod", to_version=99)
+
+
+def test_tags_never_fast_forward(catalog, spark):
+    t = catalog.create_table("gold.br3", TICK_SCHEMA, [])
+    t.append(tick_df(spark, n=3))
+    t.create_tag("release")
+    with pytest.raises(ValueError, match="no branch"):
+        t.fast_forward("release")
+    with pytest.raises(ValueError, match="no tag"):
+        t.drop_tag("nope")
+
+
+def test_branch_head_protected_from_expiry(catalog, spark):
+    """Expiry must not GC a branch head even when retention would."""
+    t = catalog.create_table("gold.br4", TICK_SCHEMA, [])
+    t.append(tick_df(spark, n=3))
+    t.create_branch("prod")  # head = v1
+    for h in (6, 12, 18):
+        t.append(tick_df(spark, start=f"2024-01-01 {h:02d}:00:00", n=2))
+    expire_snapshots(t, older_than_ms=0, retain_last=1)
+    assert t.scan(snapshot=t.snapshot_by_ref("prod")).count() == 3
+    t.drop_branch("prod")
+    with pytest.raises(ValueError, match="no ref"):
+        t.snapshot_by_ref("prod")
+
+
+def test_legacy_refs_file_loads_as_tags(catalog, spark, tmp_path):
+    """Pre-branch refs.json (name -> int) must keep working."""
+    import json
+    import os
+
+    t = catalog.create_table("gold.br5", TICK_SCHEMA, [])
+    t.append(tick_df(spark, n=4))
+    with open(os.path.join(t.metadata_dir, "refs.json"), "w") as f:
+        json.dump({"old-tag": 1}, f)
+    assert t.refs() == {"old-tag": 1}
+    assert t.snapshot_by_tag("old-tag").total_rows == 4
+    t.create_branch("b")  # mixed-type file round-trips
+    assert set(t.refs()) == {"old-tag", "b"}
+    with pytest.raises(ValueError, match="no branch"):
+        t.drop_branch("old-tag")
