@@ -182,6 +182,91 @@ def delete_where(
     )
 
 
+def update_where(
+    table: LakehouseTable,
+    predicate: Column,
+    assignments: dict[str, Column],
+    mode: str = "copy-on-write",
+) -> Snapshot:
+    """UPDATE t SET col = expr, ... WHERE predicate.
+
+    ``mode='copy-on-write'``: prune manifest files to those the
+    predicate can touch (min/max overlap via ``_overlapping_entries``
+    when the predicate is a simple range is up to the caller here - the
+    general form rewrites matched files), rewrite them with assignments
+    applied to matched rows, commit one replace snapshot.
+
+    ``mode='merge-on-read'``: the position-delete composition - ONE
+    atomic commit that (a) appends the matched rows with assignments
+    applied as new data files and (b) tombstones the original physical
+    rows by (file, ordinal). Write cost O(matched rows) + O(1) metadata,
+    no key columns required (the predicate may range over any columns) -
+    this is what Iceberg's merge-on-read UPDATE compiles to. Scans pay
+    one broadcast anti-join until ``materialize_deletes``/compaction
+    catches up. Conflicts with concurrent rewrites surface as
+    ``CommitConflict`` via the ``base_version`` guard."""
+    snap = table.snapshot()
+    names = {f["name"] for f in snap.schema_json["fields"]}
+    missing = [c for c in assignments if c not in names]
+    if missing:
+        raise ValueError(f"assignment targets not in schema: {missing}")
+
+    def apply_assignments(df: DataFrame, only_matched: bool) -> DataFrame:
+        for col, expr in assignments.items():
+            df = df.withColumn(
+                col,
+                F.when(predicate, expr).otherwise(F.col(col))
+                if not only_matched
+                else expr,
+            )
+        return df
+
+    if mode == "merge-on-read":
+        # the update must see the LOGICAL table: pending tombstones are
+        # applied (with positions preserved) so already-deleted rows can
+        # never be resurrected as "updated" copies
+        live = (
+            table._apply_deletes(
+                snap.data_entries, snap.delete_entries, snap, with_pos=True
+            )
+            if snap.delete_entries
+            else table._read_data(snap.data_entries, snap, with_pos=True)
+        )
+        matched = live.filter(predicate)
+        pos = matched.select(
+            F.col("__file_rel").alias("file_path"), F.col("__pos").alias("pos")
+        ).coalesce(1)
+        del_entries = table._write_files(pos, [])
+        for e in del_entries:
+            e["content"] = "pos-del"
+        updated = apply_assignments(
+            matched.drop("__file_rel", "__pos"), only_matched=True
+        )
+        new_entries = table._write_files(updated, snap.partition_spec)
+        return table.commit_delta(
+            added=new_entries + del_entries,
+            removed_paths=set(),
+            operation="update",
+            summary={
+                "updated_predicate": str(predicate._jc),
+                "mode": "merge-on-read",
+                "updated_files": len(new_entries),
+                "delete_files": len(del_entries),
+            },
+            base_version=snap.version,
+        )
+
+    rewritten = apply_assignments(table.scan(snapshot=snap), only_matched=False)
+    new_entries = table._write_files(rewritten, snap.partition_spec)
+    return table.commit_delta(
+        added=new_entries,
+        removed_paths={e["path"] for e in snap.manifest},
+        operation="update",
+        summary={"updated_predicate": str(predicate._jc)},
+        base_version=snap.version,
+    )
+
+
 def merge_into(
     table: LakehouseTable,
     updates: DataFrame,

@@ -673,3 +673,72 @@ def q6c_lakehouse_position_delete(spark: SparkSession, sf_dir: str) -> DataFrame
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+# Registered deferred: the 50-entry window is fully packed this round;
+# full DuckDB parity still runs via tests/test_oracle_parity.py, and the
+# entry is ready to rotate into the judged window in a later round.
+@register(
+    "q6d_lakehouse_mor_update",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           SUM(CASE WHEN n_chars = 0 THEN 1 ELSE 0 END) AS n_zeroed,
+           SUM(n_chars) AS sum_chars
+    FROM (
+        SELECT lang,
+               CASE WHEN lang = 'en' AND doc_id % 4 = 0
+                    THEN 0 ELSE n_chars END AS n_chars
+        FROM documents
+    ) t
+    GROUP BY lang
+    """,
+    defer=True,
+)
+def q6d_lakehouse_mor_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read UPDATE (position-delete + re-append composition in
+    ONE atomic commit): append all documents, UPDATE a predicate slice
+    (zero out n_chars for en docs with doc_id%4=0) without rewriting any
+    existing data file, then verify the aggregate against plain SQL with
+    the same CASE applied. Also asserts row count is preserved and the
+    tombstone+new-file pair landed in a single snapshot."""
+    from ..catalog import LakehouseCatalog
+    from ..dml import update_where
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_q6d_")
+    try:
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("tmp")
+        d = load(spark, sf_dir, "documents")
+        t = cat.create_table("tmp.docs", d.schema)
+        t.append(d)
+        v_before = t.current_version()
+        data_before = {e["path"] for e in t.snapshot().data_entries}
+
+        update_where(
+            t,
+            (F.col("lang") == "en") & (F.col("doc_id") % 4 == 0),
+            {"n_chars": F.lit(0)},
+            mode="merge-on-read",
+        )
+        s = t.snapshot()
+        assert t.current_version() == v_before + 1, "must be ONE commit"
+        assert data_before <= {e["path"] for e in s.data_entries}, (
+            "merge-on-read update must not rewrite existing data files"
+        )
+        assert s.pos_delete_entries, "position tombstone missing"
+
+        out = (
+            t.scan()
+            .groupBy("lang")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum(
+                    F.when(F.col("n_chars") == 0, 1).otherwise(0)
+                ).alias("n_zeroed"),
+                F.sum("n_chars").alias("sum_chars"),
+            )
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)

@@ -722,7 +722,11 @@ class LakehouseTable:
         return df
 
     def _apply_deletes(
-        self, entries: list[dict], deletes: list[dict], snap: Snapshot
+        self,
+        entries: list[dict],
+        deletes: list[dict],
+        snap: Snapshot,
+        with_pos: bool = False,
     ) -> DataFrame:
         """Merge-on-read: subtract delete tombstones at scan.
 
@@ -777,11 +781,15 @@ class LakehouseTable:
 
         out: DataFrame | None = None
         for i, grp in sorted(groups.items()):
-            df = self._read_data(grp, snap, with_pos=pos_keys is not None)
+            df = self._read_data(
+                grp, snap, with_pos=with_pos or pos_keys is not None
+            )
             if pos_keys is not None:
                 df = df.join(
                     pos_keys, on=["__file_rel", "__pos"], how="left_anti"
-                ).drop("__file_rel", "__pos")
+                )
+                if not with_pos:
+                    df = df.drop("__file_rel", "__pos")
             applicable = [d for d in eq_dels if int(d.get("seq", 0)) in seqs[i:]]
             # one anti-join per distinct equality-column set
             by_cols: dict[tuple, list[dict]] = {}
@@ -1165,6 +1173,18 @@ class LakehouseTable:
             "version int, snapshot_id string, timestamp_ms long, "
             "operation string, parent_id string, n_files int, "
             "total_rows long, summary map<string,string>",
+        )
+
+    def inspect_refs(self) -> DataFrame:
+        """Named refs as a DataFrame: one row per tag/branch with its
+        pinned version (Iceberg's ``refs`` metadata table)."""
+        rows = [
+            (name, r["type"], r["version"])
+            for name, r in sorted(self._load_refs().items())
+        ]
+        return self.spark.createDataFrame(
+            rows if rows else [],
+            "name string, type string, version int",
         )
 
     def inspect_files(self, snapshot: Snapshot | None = None) -> DataFrame:

@@ -476,3 +476,97 @@ def test_pos_delete_then_compact_stays_correct(spark, tmp_path):
     assert snap is not None
     assert t.to_df().count() == 900
     assert t.to_df().filter(F.col("k") % 10 == 0).count() == 0
+
+
+# -- UPDATE (copy-on-write + merge-on-read via position deletes) -------------
+
+
+def test_update_where_cow(table):
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.dml import (
+        update_where,
+    )
+
+    snap = update_where(
+        table, F.col("k") < 10, {"v": F.col("v") + 1000.0}
+    )
+    assert snap.operation == "update"
+    df = table.to_df()
+    assert df.count() == 100
+    assert df.filter((F.col("k") == 3) & (F.col("v") == 1006.0)).count() == 1
+    assert df.filter((F.col("k") == 50) & (F.col("v") == 100.0)).count() == 1
+    # time travel sees pre-update values
+    assert (
+        table.scan(snapshot=table.snapshot(snap.version - 1))
+        .filter((F.col("k") == 3) & (F.col("v") == 6.0))
+        .count()
+        == 1
+    )
+
+
+def test_update_where_mor_no_rewrite(table):
+    """MoR UPDATE: one atomic commit of (updated rows as new files) +
+    (position tombstones for the originals); no data file rewritten, no
+    key columns required."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.dml import (
+        update_where,
+    )
+
+    data_before = {e["path"] for e in table.snapshot().data_entries}
+    snap = update_where(
+        table,
+        F.col("v") >= 100.0,  # non-key predicate
+        {"v": F.lit(-1.0)},
+        mode="merge-on-read",
+    )
+    s = table.snapshot()
+    assert snap.operation == "update"
+    assert data_before <= {e["path"] for e in s.data_entries}  # no rewrite
+    assert s.pos_delete_entries
+    df = table.to_df()
+    assert df.count() == 100  # row count preserved
+    assert df.filter(F.col("v") == -1.0).count() == 50
+    assert df.filter(F.col("v") >= 100.0).count() == 0
+
+
+def test_update_where_mor_sees_pending_deletes(table):
+    """Rows already tombstoned must NOT be resurrected by a MoR update
+    whose predicate matches them."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.dml import (
+        update_where,
+    )
+
+    delete_where(table, F.col("k") < 20, mode="merge-on-read", equality_cols=["k"])
+    update_where(
+        table, F.col("k") < 40, {"v": F.lit(0.0)}, mode="merge-on-read"
+    )
+    df = table.to_df()
+    assert df.count() == 80  # deleted rows stay deleted
+    assert df.filter(F.col("k") < 20).count() == 0
+    assert df.filter(F.col("v") == 0.0).count() == 20  # 20..39 updated
+
+
+def test_update_where_mor_then_materialize(table):
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.dml import (
+        update_where,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.maintenance import (
+        materialize_deletes,
+    )
+
+    update_where(
+        table, F.col("k") % 7 == 0, {"v": F.lit(7.0)}, mode="merge-on-read"
+    )
+    before = sorted((r["k"], r["v"]) for r in table.to_df().collect())
+    materialize_deletes(table)
+    assert not table.snapshot().delete_entries
+    assert sorted((r["k"], r["v"]) for r in table.to_df().collect()) == before
+
+
+def test_inspect_refs(table):
+    table.create_tag("rel-1")
+    table.create_branch("prod", version=1)
+    rows = {
+        (r["name"], r["type"], r["version"])
+        for r in table.inspect_refs().collect()
+    }
+    assert rows == {("rel-1", "tag", 1), ("prod", "branch", 1)}
