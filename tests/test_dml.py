@@ -570,3 +570,36 @@ def test_inspect_refs(table):
         for r in table.inspect_refs().collect()
     }
     assert rows == {("rel-1", "tag", 1), ("prod", "branch", 1)}
+
+
+def test_tombstone_files_gcd_after_materialize_and_expiry(table):
+    """Once deletes are materialized and the tombstone-referencing
+    snapshots expire, the tombstone FILES themselves are orphan-GC'd
+    like any other unreferenced file."""
+    import os
+
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.maintenance import (
+        expire_snapshots,
+        materialize_deletes,
+    )
+
+    delete_where(table, F.col("k") < 5, mode="merge-on-read", equality_cols=["k"])
+    delete_where(table, F.col("v") >= 180.0, mode="merge-on-read", positional=True)
+    tomb_paths = [
+        os.path.join(table.location, d["path"])
+        for d in table.snapshot().delete_entries
+    ]
+    assert len(tomb_paths) == 2 and all(os.path.exists(p) for p in tomb_paths)
+
+    materialize_deletes(table)
+    before = sorted((r["k"], r["v"]) for r in table.to_df().collect())
+    import time
+
+    expire_snapshots(
+        table,
+        older_than_ms=int(time.time() * 1000) + 10_000,
+        retain_last=1,
+        orphan_grace_secs=0,
+    )
+    assert not any(os.path.exists(p) for p in tomb_paths), "tombstones leaked"
+    assert sorted((r["k"], r["v"]) for r in table.to_df().collect()) == before
