@@ -137,6 +137,25 @@ class LakehouseCatalog:
         if os.path.exists(loc):
             shutil.rmtree(loc)
 
+    def rename_table(self, from_identifier: str, to_identifier: str) -> None:
+        """Catalog-level rename (Iceberg ``rename_table``): an atomic
+        directory move - all snapshot metadata, manifests, refs and data
+        travel with the table because every internal path is
+        location-relative. The target namespace must exist; the target
+        name must be free."""
+        src = self._table_location(from_identifier)
+        if not self._has_metadata(src):
+            raise NoSuchTableError(from_identifier)
+        dst = self._table_location(to_identifier)
+        ns_dir = os.path.dirname(dst)
+        if not os.path.isdir(ns_dir):
+            raise ValueError(
+                f"target namespace does not exist: {to_identifier.rsplit('.', 1)[0]}"
+            )
+        if os.path.exists(dst):
+            raise ValueError(f"table already exists: {to_identifier}")
+        os.rename(src, dst)
+
     # -- convenience --------------------------------------------------------
 
     def append(self, identifier: str, df: DataFrame) -> Snapshot:

@@ -603,3 +603,36 @@ def test_tombstone_files_gcd_after_materialize_and_expiry(table):
     )
     assert not any(os.path.exists(p) for p in tomb_paths), "tombstones leaked"
     assert sorted((r["k"], r["v"]) for r in table.to_df().collect()) == before
+
+
+def test_catalog_rename_table(spark, tmp_path):
+    """rename_table moves the whole table atomically; relative internal
+    paths (manifests, refs, position tombstones) survive the move."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.catalog import (
+        NoSuchTableError,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.dml import (
+        delete_where,
+    )
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("gold")
+    df = spark.range(50).select(F.col("id").alias("k"), (F.col("id") * 2.0).alias("v"))
+    t = cat.create_table("gold.old_name", df.schema)
+    t.append(df)
+    delete_where(t, F.col("v") >= 80.0, mode="merge-on-read", positional=True)
+    t.create_branch("prod")
+
+    cat.rename_table("gold.old_name", "gold.new_name")
+    with pytest.raises(NoSuchTableError):
+        cat.load_table("gold.old_name")
+    t2 = cat.load_table("gold.new_name")
+    assert t2.to_df().count() == 40  # pos tombstones still apply
+    assert t2.refs() == {"prod": t2.current_version()}
+    with pytest.raises(ValueError, match="namespace does not exist"):
+        cat.rename_table("gold.new_name", "nowhere.x")
+    other = cat.create_table(
+        "gold.occupied", spark.range(1).selectExpr("id as k").schema
+    )
+    with pytest.raises(ValueError, match="already exists"):
+        cat.rename_table("gold.new_name", "gold.occupied")
