@@ -477,3 +477,34 @@ def test_append_cluster_by_writes_prunable_files(catalog, spark):
     assert bid_slice.count() == 4 * 64
     assert len(time_slice.inputFiles()) <= total_files // 2
     assert len(bid_slice.inputFiles()) <= total_files // 2
+
+
+def test_incremental_scan_refuses_mor_mutations(catalog, spark):
+    """Merge-on-read DELETE and UPDATE snapshots both remove/replace
+    rows, so an incremental range containing either must raise exactly
+    like their copy-on-write twins - never silently emit a diff missing
+    the subtraction."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.dml import (
+        delete_where,
+        update_where,
+    )
+
+    t = catalog.create_table("gold.incmor", TICK_SCHEMA, [])
+    t.append(tick_df(spark, year=2020, n=30))
+    v1 = t.current_version()
+    delete_where(
+        t, F.col("Bid") >= 1.12, mode="merge-on-read", positional=True
+    )
+    with pytest.raises(ValueError, match="append-only"):
+        t.scan_incremental(v1)
+
+    v2 = t.current_version()
+    t.append(tick_df(spark, year=2021, n=10))
+    assert t.scan_incremental(v2).count() == 10  # post-delete range ok
+
+    v3 = t.current_version()
+    update_where(
+        t, F.col("Bid") < 1.11, {"Ask": F.lit(9.9)}, mode="merge-on-read"
+    )
+    with pytest.raises(ValueError, match="append-only"):
+        t.scan_incremental(v3)
