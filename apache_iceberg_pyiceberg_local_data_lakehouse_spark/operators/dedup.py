@@ -219,27 +219,45 @@ def exact_jaccard_pairs(
         )
     )
 
-    max_n = groups.agg(F.max("n_toks")).collect()[0][0] or 0
-    max_diff = int((1.0 / threshold - 1.0) * max_n)
-    if max_diff > max_size_band:
-        # The size-band expansion materializes (2*max_diff+1) keys per
-        # distinct token set; at low thresholds with long documents that
-        # multiplies the group table toward a quadratic plan. Refuse
-        # rather than silently build it - the scale tier for loose
-        # thresholds is minhash_near_duplicates (banded LSH, no size
-        # expansion).
-        raise ValueError(
-            f"exact_jaccard_pairs size band is {max_diff} keys/group "
-            f"(threshold={threshold}, longest token set={max_n}), above "
-            f"max_size_band={max_size_band}: the expanded equality join "
-            "would approach all-pairs cost. Raise the threshold, raise "
-            "max_size_band explicitly, or use minhash_near_duplicates "
-            "for loose-threshold near-dup at scale."
-        )
+    # Per-row size band (the exact Jaccard bound): jaccard(a,b) >= t
+    # forces t*n_b <= n_a <= n_b/t, so each group expands to size keys
+    # [ceil(t*n), floor(n/t)] - tighter than the historical global
+    # (1/t-1)*max_n band at mixed document lengths, and it removes the
+    # driver round-trip that computed max_n (one fewer Spark job per
+    # call). Candidate over-generation is harmless (the exact jaccard
+    # filter below is the correctness gate); candidate UNDER-generation
+    # is impossible because the bound is exact.
+    #
+    # The quadratic-plan guard moves into the plan itself: a band wider
+    # than max_size_band keys raises AT EXECUTION via raise_error -
+    # loose thresholds on long documents must use
+    # minhash_near_duplicates (banded LSH, no size expansion) instead of
+    # silently exploding the group table toward all-pairs.
+    lo = F.ceil(F.col("n_toks") * threshold).cast("long")
+    hi = F.floor(F.col("n_toks") / threshold).cast("long")
+    guard = F.when(
+        hi - lo + 1 > max_size_band,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "exact_jaccard_pairs size band exceeds "
+                    f"max_size_band={max_size_band} keys/group at "
+                    f"threshold={threshold} (token-set size "
+                ),
+                F.col("n_toks").cast("string"),
+                F.lit(
+                    "): the expanded equality join would approach "
+                    "all-pairs cost. Raise the threshold, raise "
+                    "max_size_band explicitly, or use "
+                    "minhash_near_duplicates for loose-threshold "
+                    "near-dup at scale."
+                ),
+            )
+        ).cast("long"),
+    ).otherwise(lo)
     ga = groups.alias("ga")
     gb = groups.withColumn(
-        "size_key",
-        F.explode(F.sequence(F.col("n_toks") - max_diff, F.col("n_toks") + max_diff)),
+        "size_key", F.explode(F.sequence(guard, hi))
     ).alias("gb")
     cross = (
         ga.join(

@@ -693,8 +693,10 @@ def test_exact_jaccard_low_threshold_guard(spark):
         [(i, " ".join(f"tok{i}_{j}" for j in range(200))) for i in range(6)],
         "doc_id long, text string",
     )
-    with pytest.raises(ValueError, match="minhash_near_duplicates"):
-        exact_jaccard_pairs(long_docs, "text", "doc_id", threshold=0.3)
+    # the guard lives IN the plan (raise_error on over-wide bands), so it
+    # fires when the quadratic expansion would actually execute
+    with pytest.raises(Exception, match="minhash_near_duplicates"):
+        exact_jaccard_pairs(long_docs, "text", "doc_id", threshold=0.3).count()
 
     # explicit opt-in still works
     out = exact_jaccard_pairs(
