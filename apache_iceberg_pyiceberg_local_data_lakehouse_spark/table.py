@@ -751,16 +751,24 @@ class LakehouseTable:
         pos_dels = [d for d in deletes if d.get("content") == "pos-del"]
 
         pos_keys = None
+        pos_targets: set[str] = set()
         if pos_dels:
             paths = [os.path.join(self.location, d["path"]) for d in pos_dels]
-            pos_keys = (
-                self.spark.read.parquet(*paths)
-                .select(
-                    F.col("file_path").alias("__file_rel"),
-                    F.col("pos").alias("__pos"),
-                )
-                .distinct()
+            keys_df = self.spark.read.parquet(*paths).select(
+                F.col("file_path").alias("__file_rel"),
+                F.col("pos").alias("__pos"),
             )
+            # Only the files a tombstone actually NAMES pay the
+            # metadata-column read + anti-join; every other file scans
+            # plain. The target list is bounded by the live file count
+            # (distinct paths, not positions) - a tiny driver set, the
+            # same one materialize_deletes collects - so at 100 TB a
+            # point delete burdens a handful of files, not the table.
+            pos_targets = {
+                r["__file_rel"]
+                for r in keys_df.select("__file_rel").distinct().collect()
+            }
+            pos_keys = keys_df.distinct()
             if sum(d.get("bytes", 0) for d in pos_dels) < 64 * 1024 * 1024:
                 pos_keys = F.broadcast(pos_keys)
 
@@ -781,15 +789,20 @@ class LakehouseTable:
 
         out: DataFrame | None = None
         for i, grp in sorted(groups.items()):
-            df = self._read_data(
-                grp, snap, with_pos=with_pos or pos_keys is not None
-            )
-            if pos_keys is not None:
-                df = df.join(
+            claimed = [e for e in grp if e["path"] in pos_targets]
+            clean = [e for e in grp if e["path"] not in pos_targets]
+            if pos_keys is not None and claimed:
+                df = self._read_data(claimed, snap, with_pos=True).join(
                     pos_keys, on=["__file_rel", "__pos"], how="left_anti"
                 )
                 if not with_pos:
                     df = df.drop("__file_rel", "__pos")
+                if clean:
+                    df = df.unionByName(
+                        self._read_data(clean, snap, with_pos=with_pos)
+                    )
+            else:
+                df = self._read_data(grp, snap, with_pos=with_pos)
             applicable = [d for d in eq_dels if int(d.get("seq", 0)) in seqs[i:]]
             # one anti-join per distinct equality-column set
             by_cols: dict[tuple, list[dict]] = {}

@@ -475,8 +475,14 @@ def test_append_cluster_by_writes_prunable_files(catalog, spark):
     bid_slice = t.scan_where("Bid", 0.0, 3.0)
     assert time_slice.count() == 4 * 64
     assert bid_slice.count() == 4 * 64
-    assert len(time_slice.inputFiles()) <= total_files // 2
-    assert len(bid_slice.inputFiles()) <= total_files // 2
+    # Both dimensions must prune meaningfully (a single-dim sort prunes
+    # only its own dimension - the other slice would read EVERY file).
+    # The exact pruned fraction wobbles with the output file count, which
+    # AQE + range-sampler boundaries shift by +-1 depending on what ran
+    # earlier in the session, so assert <= 3/4 rather than a knife-edge
+    # half (observed: 2-5 files of 8 for a 1/16-width slab).
+    assert len(time_slice.inputFiles()) <= total_files * 3 // 4
+    assert len(bid_slice.inputFiles()) <= total_files * 3 // 4
 
 
 def test_incremental_scan_refuses_mor_mutations(catalog, spark):
