@@ -93,3 +93,64 @@ def test_dedup_append_union_semantics(spark, tmp_path_factory, a, b):
     # re-ingesting either batch is a no-op now
     again = dedup_against_table(make_df(spark, a + b), t, key="DateTime")
     assert again.count() == 0
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lo=st.integers(min_value=0, max_value=90),
+    width=st.integers(min_value=1, max_value=60),
+    n_batches=st.integers(min_value=1, max_value=3),
+)
+def test_mor_delete_equivalent_to_cow(spark, tmp_path_factory, lo, width, n_batches):
+    """DELETE equivalence: for any value-range predicate, merge-on-read
+    position deletes, merge-on-read equality deletes, and copy-on-write
+    must leave exactly the same logical table - before AND after
+    materialize_deletes."""
+    from pyspark.sql import functions as F
+
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.dml import delete_where
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.maintenance import (
+        materialize_deletes,
+    )
+
+    tmp = tmp_path_factory.mktemp("morprop")
+    cat = LakehouseCatalog(spark, str(tmp / "wh"))
+    cat.create_namespace("gold")
+
+    def build(name):
+        df0 = spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") % 25).cast("double").alias("v")
+        )
+        t = cat.create_table(f"gold.{name}", df0.schema)
+        rows = 100 // n_batches
+        for i in range(n_batches):
+            t.append(df0.filter((F.col("k") >= i * rows) &
+                                ((F.col("k") < (i + 1) * rows) | (i == n_batches - 1))))
+        return t
+
+    pred_cols = (lambda: (F.col("k") >= lo) & (F.col("k") < lo + width))
+
+    t_cow = build(f"cow_{lo}_{width}_{n_batches}")
+    t_pos = build(f"pos_{lo}_{width}_{n_batches}")
+    t_eq = build(f"eq_{lo}_{width}_{n_batches}")
+    delete_where(t_cow, pred_cols())
+    delete_where(t_pos, pred_cols(), mode="merge-on-read", positional=True)
+    delete_where(t_eq, pred_cols(), mode="merge-on-read", equality_cols=["k"])
+
+    def rows(t):
+        return sorted((r["k"], r["v"]) for r in t.to_df().collect())
+
+    expected = rows(t_cow)
+    assert rows(t_pos) == expected
+    assert rows(t_eq) == expected
+
+    materialize_deletes(t_pos)
+    materialize_deletes(t_eq)
+    assert not t_pos.snapshot().delete_entries
+    assert not t_eq.snapshot().delete_entries
+    assert rows(t_pos) == expected
+    assert rows(t_eq) == expected
