@@ -111,6 +111,11 @@ def delete_where(
     rewrites the referenced files (invalidating their ordinals) raises
     ``CommitConflict`` instead of resurrecting rows.
     """
+    if positional and mode != "merge-on-read":
+        raise ValueError(
+            "positional=True requires mode='merge-on-read' (copy-on-write "
+            "rewrites files, so there are no positions to tombstone)"
+        )
     snap = table.snapshot()
     if mode == "merge-on-read" and positional:
         matches = (
@@ -190,11 +195,14 @@ def update_where(
 ) -> Snapshot:
     """UPDATE t SET col = expr, ... WHERE predicate.
 
-    ``mode='copy-on-write'``: prune manifest files to those the
-    predicate can touch (min/max overlap via ``_overlapping_entries``
-    when the predicate is a simple range is up to the caller here - the
-    general form rewrites matched files), rewrite them with assignments
-    applied to matched rows, commit one replace snapshot.
+    ``mode='copy-on-write'``: locate the data files that contain
+    matched rows (one predicate scan over metadata columns), rewrite
+    ONLY those with assignments applied, carry every untouched file
+    forward by reference, commit one replace snapshot - write
+    amplification is O(files containing matches), not O(table). With
+    pending merge-on-read tombstones the rewrite falls back to the full
+    logical table (and materializes the deletes), since a partial
+    rewrite cannot keep tombstones consistent across both file sets.
 
     ``mode='merge-on-read'``: the position-delete composition - ONE
     atomic commit that (a) appends the matched rows with assignments
@@ -232,7 +240,15 @@ def update_where(
             if snap.delete_entries
             else table._read_data(snap.data_entries, snap, with_pos=True)
         )
-        matched = live.filter(predicate)
+        # ONE evaluation of the predicate feeds BOTH writes: the
+        # tombstone file and the updated re-append read the same
+        # materialized row set (localCheckpoint = eager, lineage cut),
+        # so a non-deterministic predicate/assignment (rand(),
+        # current_timestamp) cannot tombstone one set of rows and
+        # re-append a different one inside the "atomic" commit. Cost is
+        # O(matched rows) executor storage - the same order as the
+        # update's write itself.
+        matched = live.filter(predicate).localCheckpoint(eager=True)
         pos = matched.select(
             F.col("__file_rel").alias("file_path"), F.col("__pos").alias("pos")
         ).coalesce(1)
@@ -256,13 +272,52 @@ def update_where(
             base_version=snap.version,
         )
 
-    rewritten = apply_assignments(table.scan(snapshot=snap), only_matched=False)
+    if snap.delete_entries:
+        # pending MoR tombstones: a partial rewrite can't both keep the
+        # tombstones applying to untouched files and clear them for
+        # rewritten ones - rewrite the whole logical table (which also
+        # materializes the deletes, like CoW DELETE does)
+        rewritten = apply_assignments(
+            table.scan(snapshot=snap), only_matched=False
+        )
+        new_entries = table._write_files(rewritten, snap.partition_spec)
+        return table.commit_delta(
+            added=new_entries,
+            removed_paths={e["path"] for e in snap.manifest},
+            operation="update",
+            summary={"updated_predicate": str(predicate._jc)},
+            base_version=snap.version,
+        )
+    # Copy-on-write file pruning: find the data files that actually
+    # contain matched rows (one metadata-column scan - Catalyst prunes
+    # the projection to the predicate's columns + _metadata) and rewrite
+    # ONLY those; every other file carries over by reference. A point
+    # UPDATE on a 100 TB table rewrites a handful of files, not the
+    # table. The collected set is bounded by the live file count, same
+    # as the position-delete target list.
+    matched_files = {
+        r["__file_rel"]
+        for r in table._read_data(snap.data_entries, snap, with_pos=True)
+        .filter(predicate)
+        .select("__file_rel")
+        .distinct()
+        .collect()
+    }
+    touched = [e for e in snap.data_entries if e["path"] in matched_files]
+    rewritten = apply_assignments(
+        table.scan(snapshot=snap, file_filter=lambda e: e in touched),
+        only_matched=False,
+    )
     new_entries = table._write_files(rewritten, snap.partition_spec)
     return table.commit_delta(
         added=new_entries,
-        removed_paths={e["path"] for e in snap.manifest},
+        removed_paths={e["path"] for e in touched},
         operation="update",
-        summary={"updated_predicate": str(predicate._jc)},
+        summary={
+            "updated_predicate": str(predicate._jc),
+            "rewritten_files": len(touched),
+            "carried_files": len(snap.data_entries) - len(touched),
+        },
         base_version=snap.version,
     )
 

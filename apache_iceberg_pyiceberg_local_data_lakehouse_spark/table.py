@@ -657,11 +657,32 @@ class LakehouseTable:
         that mount the warehouse at different absolute roots would need a
         URI rewrite; within one table location it is exact) and the
         parquet row index - both from the ``_metadata`` struct, computed
-        by the readers, no extra I/O."""
-        loc = os.path.abspath(self.location)
-        rel = F.expr(
-            "substring(_metadata.file_path, "
-            f"instr(_metadata.file_path, '{loc}/') + {len(loc) + 1})"
+        by the readers, no extra I/O.
+
+        The scan-reported URI must literally contain ``<location>/`` -
+        a percent-encoded path (spaces/non-ASCII), symlinked mount, or
+        any other mismatch would make every derived path garbage and
+        silently skip pending tombstones (resurrecting deleted rows), so
+        a miss fails the scan loudly instead. The prefix is passed as a
+        Column literal, never interpolated into SQL text, so quotes in
+        the warehouse path cannot break or inject the expression."""
+        prefix = os.path.abspath(self.location) + "/"
+        fp = F.col("_metadata.file_path")
+        # Column-literal haystack search: locate(substr: str, col) only
+        # takes a plain string, so flip to expr-free primitives
+        idx = F.instr(fp, prefix)
+        rel = F.when(
+            idx > 0, fp.substr(idx + F.lit(len(prefix)), F.length(fp))
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "position-delete identity: scanned file URI does "
+                        f"not contain table location {prefix!r}: "
+                    ),
+                    fp,
+                )
+            )
         )
         return [
             rel.alias("__file_rel"),

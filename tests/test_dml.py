@@ -562,6 +562,74 @@ def test_update_where_mor_then_materialize(table):
     assert sorted((r["k"], r["v"]) for r in table.to_df().collect()) == before
 
 
+def test_positional_requires_merge_on_read(table):
+    """ADVICE r4: positional=True under copy-on-write used to silently
+    degrade to a full-table rewrite; now it raises."""
+    with pytest.raises(ValueError, match="positional"):
+        delete_where(table, F.col("k") < 10, positional=True)
+
+
+def test_update_where_cow_prunes_files(spark, tmp_path):
+    """ADVICE r4: CoW UPDATE rewrites only the files containing matched
+    rows; untouched files carry over by reference (same path, same
+    entry) - a point update must not pay O(table) write amplification."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.dml import (
+        update_where,
+    )
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("gold")
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+    )
+    t = cat.create_table("gold.kvp", df.schema)
+    t.append(df.filter(F.col("k") < 50).coalesce(1))
+    t.append(df.filter(F.col("k") >= 50).coalesce(1))
+    paths_before = {e["path"] for e in t.snapshot().data_entries}
+    assert len(paths_before) >= 2
+
+    snap = update_where(t, F.col("k") == 7, {"v": F.lit(-7.0)})
+    paths_after = {e["path"] for e in t.snapshot().data_entries}
+    # the k>=50 file(s) survived untouched; the matched file was replaced
+    untouched = paths_before & paths_after
+    assert untouched, "every file was rewritten despite a point predicate"
+    assert snap.summary["carried_files"] >= 1
+    df2 = t.to_df()
+    assert df2.count() == 100
+    assert df2.filter((F.col("k") == 7) & (F.col("v") == -7.0)).count() == 1
+    assert df2.filter((F.col("k") == 99) & (F.col("v") == 198.0)).count() == 1
+
+
+def test_update_where_cow_no_match_is_noop_rewrite(table):
+    """Predicate matching nothing: zero files rewritten, table intact."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.dml import (
+        update_where,
+    )
+
+    snap = update_where(table, F.col("k") > 10_000, {"v": F.lit(-123.0)})
+    assert snap.summary["rewritten_files"] == 0
+    assert table.to_df().count() == 100
+    assert table.to_df().filter(F.col("v") == -123.0).count() == 0
+
+
+def test_update_where_mor_nondeterministic_predicate_consistent(table):
+    """ADVICE r4: the matched set is materialized ONCE (localCheckpoint)
+    before the tombstone and re-append writes, so even a predicate that
+    evaluates differently per run cannot desync the two sides - row
+    count is always preserved."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.dml import (
+        update_where,
+    )
+
+    update_where(
+        table, F.rand() < 0.5, {"v": F.lit(-1.0)}, mode="merge-on-read"
+    )
+    df = table.to_df()
+    assert df.count() == 100  # tombstoned exactly the re-appended rows
+    n_updated = df.filter(F.col("v") == -1.0).count()
+    assert df.filter(F.col("v") != -1.0).count() == 100 - n_updated
+
+
 def test_inspect_refs(table):
     table.create_tag("rel-1")
     table.create_branch("prod", version=1)
