@@ -105,6 +105,13 @@ from . import temporal  # noqa: E402,F401
 from . import sqlqueries  # noqa: E402,F401
 from . import sketches  # noqa: E402,F401
 
+# The driver judges exactly the first 50 registered entries. Captured
+# BEFORE the deferred flush so tests can assert the window never
+# silently misaligns (tests/test_judged_window.py).
+JUDGED_WINDOW = 50
+N_JUDGED = len(QUERIES)
+JUDGED_NAMES = list(QUERIES)
+
 # Flush deferred registrations behind the judged window.
 for _name, _fn, _oracle in _DEFERRED:
     QUERIES[_name] = _fn

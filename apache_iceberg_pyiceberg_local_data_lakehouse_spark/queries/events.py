@@ -173,8 +173,9 @@ def q33_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY user_id
     HAVING COUNT(*) >= 10
     """,
-    # r4: rotated INTO the judged window (was deferred in r3 to make room
-    # for q55) so driver evidence accumulates across rounds.
+    # r5: judged green in r4; deferred (grouped-agg shape evidenced by
+    # q30/q16/q01) to make window room for q6d/q55b/q6e/q6f.
+    defer=True,
 )
 def q34_events_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped min/max/count with HAVING (A1/A4 grouped)."""
@@ -201,6 +202,9 @@ def q34_events_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     GROUP BY user_id
     """,
+    # r5: judged green in r4; deferred (sorted-array-to-string shape
+    # evidenced by q4a/q42) to make window room for q6d/q55b/q6e/q6f.
+    defer=True,
 )
 def q38_event_type_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation: the distinct event types per user, sorted then
@@ -234,6 +238,9 @@ def q38_event_type_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
            n_events
     FROM ranked WHERE rn = 1
     """,
+    # r5: judged green in r4; deferred (row_number-window shape
+    # evidenced by q13) to make window room for q6d/q55b/q6e/q6f.
+    defer=True,
 )
 def q39_first_seen_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of ``streaming.stateful.streaming_dedup_first_seen``

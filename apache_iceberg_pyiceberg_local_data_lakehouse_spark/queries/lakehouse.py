@@ -675,9 +675,130 @@ def q6c_lakehouse_position_delete(spark: SparkSession, sf_dir: str) -> DataFrame
         shutil.rmtree(wh, ignore_errors=True)
 
 
-# Registered deferred: the 50-entry window is fully packed this round;
-# full DuckDB parity still runs via tests/test_oracle_parity.py, and the
-# entry is ready to rotate into the judged window in a later round.
+@register(
+    "q6e_incremental_over_mor",
+    oracle="""
+    SELECT _change_type, lang, COUNT(*) AS n_rows, SUM(doc_id) AS sum_id
+    FROM (
+        SELECT 'insert' AS _change_type, lang, doc_id
+        FROM documents WHERE doc_id >= 250
+        UNION ALL
+        SELECT 'delete' AS _change_type, lang, doc_id
+        FROM documents WHERE lang = 'en'
+    ) t
+    GROUP BY _change_type, lang
+    """,
+)
+def q6e_incremental_over_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog scan across merge-on-read DML (VERDICT r4 #4 - the CDC
+    consumer's first collision with MoR): append half the documents
+    (checkpoint), append the rest, then position-DELETE the English docs
+    as a tombstone commit. ``scan_changelog(checkpoint)`` must emit the
+    second batch as 'insert' rows and every English doc live at delete
+    time as 'delete' rows - old values preserved - while
+    ``scan_incremental`` still refuses the range (append-only
+    contract). Oracle: the same events as a UNION ALL over plain SQL."""
+    from ..catalog import LakehouseCatalog
+    from ..dml import delete_where
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_q6e_")
+    try:
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("tmp")
+        d = load(spark, sf_dir, "documents")
+        t = cat.create_table("tmp.docs", d.schema)
+        t.append(d.filter(F.col("doc_id") < 250))
+        checkpoint = t.current_version()
+        t.append(d.filter(F.col("doc_id") >= 250))
+        data_before = {e["path"] for e in t.snapshot().data_entries}
+        delete_where(
+            t, F.col("lang") == "en", mode="merge-on-read", positional=True
+        )
+        assert {e["path"] for e in t.snapshot().data_entries} == data_before, (
+            "position delete must not rewrite data files"
+        )
+        # the append-only API still refuses - removals need the changelog
+        try:
+            t.scan_incremental(checkpoint)
+            raise AssertionError("scan_incremental accepted a delete range")
+        except ValueError:
+            pass
+        out = (
+            t.scan_changelog(checkpoint)
+            .groupBy("_change_type", "lang")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("doc_id").alias("sum_id"),
+            )
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+@register(
+    "q6f_lakehouse_branch_wap",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM documents WHERE lang = 'en')
+               AS branch_rows_before,
+           (SELECT COUNT(*) FROM documents) AS branch_rows_after,
+           (SELECT COUNT(DISTINCT lang) FROM documents) AS langs_after,
+           (SELECT COUNT(*) FROM documents WHERE lang = 'en')
+               AS main_rows_at_branch_point
+    """,
+)
+def q6f_lakehouse_branch_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish ON A BRANCH (VERDICT r4 #6 - the actual
+    Iceberg audit pattern): consumers read the ``prod`` branch pinned at
+    the published state; a new batch is staged, published to main,
+    audited, and only then is ``prod`` fast-forwarded. Asserted: the
+    branch read is unchanged until the fast-forward, moving a branch
+    backwards raises, and both refs resolve to plain-SQL truth."""
+    from ..catalog import LakehouseCatalog
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_q6f_")
+    try:
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("tmp")
+        d = load(spark, sf_dir, "documents")
+        t = cat.create_table("tmp.docs", d.schema)
+        t.append(d.filter(F.col("lang") == "en"))
+        v_pub = t.current_version()
+        t.create_branch("prod")
+
+        # stage + audit + publish the next batch to main
+        sid = t.stage_append(d.filter(F.col("lang") != "en"))
+        audited = t.staged_scan(sid)
+        assert audited.filter(F.col("doc_id").isNull()).count() == 0
+        t.publish_staged(sid)
+
+        # consumers on the branch still see ONLY the published state
+        branch_before = t.scan(snapshot=t.snapshot_by_ref("prod")).count()
+        # audit main's new head, then promote the branch
+        t.fast_forward("prod")
+        branch_after = t.scan(snapshot=t.snapshot_by_ref("prod"))
+        try:
+            t.fast_forward("prod", to_version=v_pub)
+            raise AssertionError("fast-forward moved a branch backwards")
+        except ValueError:
+            pass
+        return spark.createDataFrame(
+            [
+                (
+                    branch_before,
+                    branch_after.count(),
+                    branch_after.select("lang").distinct().count(),
+                    t.scan(snapshot=t.snapshot(v_pub)).count(),
+                )
+            ],
+            "branch_rows_before long, branch_rows_after long, "
+            "langs_after long, main_rows_at_branch_point long",
+        )
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
 @register(
     "q6d_lakehouse_mor_update",
     oracle="""
@@ -692,7 +813,6 @@ def q6c_lakehouse_position_delete(spark: SparkSession, sf_dir: str) -> DataFrame
     ) t
     GROUP BY lang
     """,
-    defer=True,
 )
 def q6d_lakehouse_mor_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-on-read UPDATE (position-delete + re-append composition in

@@ -322,10 +322,8 @@ def q54_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_RECALL_FLOOR = 0.4
 
 
-# Registered deferred (the 50-entry window is packed this round); full
-# DuckDB parity runs via tests/test_oracle_parity.py and the entry is
-# ready to rotate into the judged window later - it completes bound-
-# oracle coverage for the X3 family (brute q50 exact, LSH q54, IVF here).
+# Completes bound-oracle coverage for the X3 family (brute q50 exact,
+# LSH q54, IVF here).
 @register(
     "q55b_ann_ivf_topk",
     oracle=f"""
@@ -349,7 +347,8 @@ _IVF_RECALL_FLOOR = 0.4
            TRUE AS ivf_recall_ok
     FROM topk
     """,
-    defer=True,
+    # r5: rotated INTO the judged window (VERDICT r4 #2) - the only ANN
+    # tier without driver evidence until now.
 )
 def q55b_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 scan-fraction path judged via the bound pattern (same exact

@@ -359,6 +359,96 @@ def test_incremental_scan_tails_appends(catalog, spark):
         t.scan_incremental(v6 - 1)
 
 
+def test_scan_changelog_mor_and_cow(catalog, spark):
+    """scan_changelog nets every snapshot kind into insert/delete events:
+    appends -> inserts; MoR position/equality deletes -> deletes of the
+    claimed parent rows; MoR update -> delete(old)+insert(new); CoW
+    rewrites diff only the touched files; compactions contribute
+    nothing."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.dml import (
+        delete_where,
+        update_where,
+    )
+
+    t = catalog.create_table("gold.cdc", TICK_SCHEMA, [])
+    t.append(tick_df(spark, year=2020, n=30))              # v1
+    v1 = t.current_version()
+    t.append(tick_df(spark, year=2021, n=40))              # v2: +40 inserts
+
+    # MoR positional delete of 10 of the 2020 rows          v3: 10 deletes
+    delete_where(
+        t,
+        (F.year("DateTime") == 2020) & (F.second("DateTime") < 10),
+        mode="merge-on-read",
+        positional=True,
+    )
+    cl = t.scan_changelog(v1)
+    by_type = {
+        (r["_change_type"], r["_change_version"]): r["n"]
+        for r in cl.groupBy("_change_type", "_change_version")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert by_type == {("insert", v1 + 1): 40, ("delete", v1 + 2): 10}
+    # deleted rows carry the OLD values (2020 rows, seconds 0..9)
+    dels = cl.filter(F.col("_change_type") == "delete")
+    assert dels.filter(F.year("DateTime") != 2020).count() == 0
+    assert dels.select(F.max(F.second("DateTime"))).first()[0] == 9
+
+    # compaction in range contributes nothing                v4
+    compact(t, target_file_bytes=64 * 1024 * 1024)
+    assert t.scan_changelog(t.current_version() - 1).count() == 0
+
+    # MoR equality delete                                    v5: 5 deletes
+    v4 = t.current_version()
+    delete_where(
+        t,
+        (F.year("DateTime") == 2021) & (F.second("DateTime") < 5),
+        mode="merge-on-read",
+        equality_cols=["DateTime"],
+    )
+    cl5 = t.scan_changelog(v4)
+    assert cl5.filter(F.col("_change_type") == "delete").count() == 5
+    assert cl5.filter(F.col("_change_type") == "insert").count() == 0
+
+    # MoR update: delete(old) + insert(new) pairs            v6
+    v5 = t.current_version()
+    update_where(
+        t,
+        F.second("DateTime") == 20,
+        {"Bid": F.lit(9.9)},
+        mode="merge-on-read",
+    )
+    cl6 = t.scan_changelog(v5)
+    old = cl6.filter(F.col("_change_type") == "delete")
+    new = cl6.filter(F.col("_change_type") == "insert")
+    assert old.count() == 2 and new.count() == 2  # one 2020 + one 2021 row
+    assert old.filter(F.col("Bid") == 9.9).count() == 0
+    assert new.filter(F.col("Bid") != 9.9).count() == 0
+
+    # CoW delete: full-rewrite diff still yields exact rows  v7
+    v6 = t.current_version()
+    n_2020_live = t.to_df().filter(F.year("DateTime") == 2020).count()
+    delete_where(t, F.year("DateTime") == 2020)  # copy-on-write
+    cl7 = t.scan_changelog(v6)
+    assert (
+        cl7.filter(F.col("_change_type") == "delete").count() == n_2020_live
+    )
+    assert cl7.filter(F.col("_change_type") == "insert").count() == 0
+
+    # whole-range changelog nets out to the live table: inserts minus
+    # deletes == final row count
+    whole = t.scan_changelog(v1)
+    n_ins = whole.filter(F.col("_change_type") == "insert").count()
+    n_del = whole.filter(F.col("_change_type") == "delete").count()
+    assert t.to_df().count() == 30 + n_ins - n_del
+
+    # expired snapshot inside the range still raises
+    t.delete_metadata_version(v5)
+    with pytest.raises(ValueError, match="expired"):
+        t.scan_changelog(v4)
+
+
 def test_orphan_gc_distributed_listing(catalog, spark):
     """Past _GC_JOB_THRESHOLD batch dirs the orphan listing runs as a
     Spark job (one task per batch dir); GC must still delete exactly the
