@@ -667,9 +667,6 @@ def q57_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Registered deferred: the 50-entry judged window is fully packed with
-# unique-evidence queries; chunking still gets full DuckDB parity via
-# tests/test_oracle_parity.py (which runs every registered query).
 @register(
     "q58_document_chunking",
     oracle="""
@@ -700,4 +697,48 @@ def q58_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("chunk_idx").cast("long").alias("chunk_idx"),
         F.md5(F.col("chunk")).alias("chunk_md5"),
         F.length(F.col("chunk")).alias("chunk_len"),
+    )
+
+
+# Registered deferred (window packed with this round's rotations);
+# full DuckDB parity still runs every pytest via test_oracle_parity, and
+# the entry is ready to rotate into the judged window next round.
+@register(
+    "q59_token_chunking",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t
+      FROM documents
+      WHERE length(text) > 0
+    ), exploded AS (
+      SELECT doc_id, t,
+             UNNEST(range(0, CAST(GREATEST(1,
+               CEIL((len(t) - 10) / 30.0)) AS BIGINT))) AS i
+      FROM toks
+    )
+    SELECT doc_id, i AS chunk_idx,
+           md5(array_to_string(list_slice(t,
+             CAST(i * 30 + 1 AS BIGINT),
+             CAST(i * 30 + 40 AS BIGINT)), ' ')) AS chunk_md5,
+           len(list_slice(t,
+             CAST(i * 30 + 1 AS BIGINT),
+             CAST(i * 30 + 40 AS BIGINT))) AS chunk_tokens
+    FROM exploded
+    """,
+    defer=True,
+)
+def q59_token_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-aware chunking (operators/chunking.py:chunk_by_tokens,
+    VERDICT r4 #5): 40-token windows with 10-token overlap over the
+    whitespace token stream; per-chunk md5 + token count matched against
+    DuckDB's list_slice arithmetic over the identical tokenization."""
+    from ..operators.chunking import chunk_by_tokens
+
+    d = load(spark, sf_dir, "documents")
+    chunks = chunk_by_tokens(d, text_col="text", max_tokens=40, overlap=10)
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.md5(F.col("chunk")).alias("chunk_md5"),
+        F.col("chunk_tokens").cast("long").alias("chunk_tokens"),
     )

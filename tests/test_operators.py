@@ -681,6 +681,82 @@ def test_chunk_text_windows(spark):
         chunk_text(df, size=5, overlap=5)
 
 
+def test_chunk_by_tokens_windows(spark):
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.chunking import (
+        chunk_by_tokens,
+    )
+
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(25))),  # 25 tokens
+        (2, "one two three"),                        # 3 tokens, 1 chunk
+        (3, ""),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = chunk_by_tokens(df, max_tokens=10, overlap=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["chunk"], r["chunk_tokens"])
+        )
+    # doc 1: 25 tokens, stride 6 -> ceil((25-4)/6) = 4 chunks
+    chunks1 = sorted(by_doc[1])
+    assert [i for i, _, _ in chunks1] == [0, 1, 2, 3]
+    toks1 = rows[0][1].split(" ")
+    for i, c, n in chunks1:
+        expect = toks1[i * 6 : i * 6 + 10]
+        assert c.split(" ") == expect
+        assert n == len(expect) <= 10  # no chunk exceeds max_tokens
+    # exact overlap: last 4 tokens of chunk i == first 4 of chunk i+1
+    for (_, a, _), (_, b, _) in zip(chunks1, chunks1[1:]):
+        assert a.split(" ")[-4:] == b.split(" ")[:4]
+    # coverage: chunk 0 + tails of later chunks reconstruct the stream
+    recon = chunks1[0][1].split(" ")
+    for _, c, _ in chunks1[1:]:
+        recon += c.split(" ")[4:]
+    assert recon == toks1
+    # short doc: one chunk, full text; empty/null: no chunks
+    assert by_doc[2] == [(0, "one two three", 3)]
+    assert 3 not in by_doc and 4 not in by_doc
+
+    with pytest.raises(ValueError):
+        chunk_by_tokens(df, max_tokens=4, overlap=4)
+
+
+def test_chunk_by_tokens_properties(spark):
+    """Property sweep over sizes: for every (max_tokens, overlap) the
+    chunks cover the token stream exactly, every chunk respects
+    max_tokens, and stride arithmetic leaves no gap."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.chunking import (
+        chunk_by_tokens,
+    )
+
+    texts = [
+        (n, " ".join(f"w{j}" for j in range(n)))
+        for n in (1, 5, 9, 10, 11, 37, 100)
+    ]
+    df = spark.createDataFrame(texts, "doc_id int, text string")
+    for max_tokens, overlap in [(10, 0), (10, 4), (10, 9), (7, 3)]:
+        out = chunk_by_tokens(df, max_tokens=max_tokens, overlap=overlap)
+        by_doc = {}
+        for r in out.collect():
+            by_doc.setdefault(r["doc_id"], []).append(
+                (r["chunk_idx"], r["chunk"].split(" "))
+            )
+        stride = max_tokens - overlap
+        for n, _ in texts:
+            toks = [f"w{j}" for j in range(n)]
+            chunks = [c for _, c in sorted(by_doc[n])]
+            assert all(len(c) <= max_tokens for c in chunks)
+            recon = list(chunks[0])
+            for c in chunks[1:]:
+                recon += c[overlap:]
+            assert recon == toks, (n, max_tokens, overlap)
+            # every chunk starts exactly stride tokens after the last
+            for i, c in enumerate(chunks):
+                assert c[0] == toks[i * stride]
+
+
 def test_exact_jaccard_low_threshold_guard(spark):
     """t=0.3 on long documents would expand the size band toward an
     all-pairs join - the operator must refuse with a pointer to the
