@@ -2,18 +2,26 @@
 """Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+   "queries_median": {...}, "queries_min": {...}, "sf": ...}
 
-``value`` is the total wall-clock over the headline set (each query fully
-executed and its result materialized via a count-collect, so lazy plans
-can't cheat). Session build time is excluded; per-query times include
-plan + execute.
+``value`` and ``queries`` are COLD first-run times (comparable to
+BASELINE.md and every prior BENCH_r*.json, which recorded one cold
+sample). Each query then re-runs so ``queries_median``/``queries_min``
+(over all runs incl. the cold one) separate real plan regressions from
+first-touch JVM/codegen noise - VERDICT r4 flagged 26-54% single-sample
+swings on untouched code that a 1-sample bench cannot classify.
+
+Each run fully executes and materializes via count, so lazy plans can't
+cheat. Session build time is excluded; per-query times include plan +
+execute.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -73,14 +81,30 @@ def main() -> None:
     # not first-touch JIT
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
 
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     times: dict[str, float] = {}
+    medians: dict[str, float] = {}
+    mins: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        df = QUERIES[name](spark, SF_DIR)
-        n = df.count()
-        times[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {n} rows in {times[name]:.2f}s", file=sys.stderr)
+        samples = []
+        n = -1
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            df = QUERIES[name](spark, SF_DIR)
+            n = df.count()
+            samples.append(time.perf_counter() - t0)
+        times[name] = round(samples[0], 3)  # cold: baseline-comparable
+        medians[name] = round(statistics.median(samples), 3)
+        mins[name] = round(min(samples), 3)
+        print(
+            f"# {name}: {n} rows; cold {times[name]:.2f}s "
+            f"median {medians[name]:.2f}s min {mins[name]:.2f}s",
+            file=sys.stderr,
+        )
     times["ingest_lineitem"] = bench_ingest(spark, SF_DIR)
+    medians["ingest_lineitem"] = mins["ingest_lineitem"] = times[
+        "ingest_lineitem"
+    ]  # write path: one sample (re-running would re-create the table)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -88,6 +112,8 @@ def main() -> None:
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
+        "queries_median": medians,
+        "queries_min": mins,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))
