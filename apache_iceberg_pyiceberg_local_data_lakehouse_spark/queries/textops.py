@@ -742,3 +742,103 @@ def q59_token_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("chunk")).alias("chunk_md5"),
         F.col("chunk_tokens").cast("long").alias("chunk_tokens"),
     )
+
+
+# Registered deferred (window packed this round; rotate in later). BPE
+# fitting is iterative and not SQL-expressible, so this uses the
+# q49/q54 bound-oracle pattern: every SQL-computable anchor (doc/word/
+# base-token counts from the identical tokenization) is matched
+# exactly, and the non-SQL invariants (compression monotonicity, exact
+# reconstruction) are asserted Spark-side and emitted as pinned TRUEs.
+@register(
+    "q4d_bpe_vocab_fit",
+    oracle=r"""
+    WITH words AS (
+      SELECT UNNEST(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                w -> length(w) > 0)) AS w
+      FROM documents
+      WHERE text IS NOT NULL AND length(text) > 0
+    )
+    SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+           (SELECT COUNT(*) FROM words) AS n_words,
+           (SELECT CAST(SUM(length(w) + 1) AS BIGINT) FROM words)
+             AS base_tokens,
+           20 AS n_merges,
+           TRUE AS compression_monotonic,
+           TRUE AS encode_reconstructs
+    """,
+    defer=True,
+)
+def q4d_bpe_vocab_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary fit + encode (operators/bpe.py): fit
+    20 merges on the documents corpus (word-frequency table only - the
+    k-means-shaped driver-holds-the-model fit), encode the corpus with
+    the fitted and the empty merge list, and anchor against DuckDB:
+    word and base-token counts from the identical tokenization match
+    exactly; fitted tokens <= base tokens (compression monotonicity)
+    and piece-concatenation reconstructing every document are asserted
+    in-query."""
+    from ..operators.bpe import END_OF_WORD, bpe_encode, fit_bpe
+
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    merges = fit_bpe(d, num_merges=20)
+
+    fitted = bpe_encode(d, merges)
+    base = bpe_encode(d, [])
+    # reconstruction: pieces joined, markers back to spaces, must equal
+    # the whitespace-normalized lowercased source for EVERY doc
+    recon_fail = (
+        fitted.withColumn(
+            "recon",
+            F.regexp_replace(
+                F.array_join(F.col("bpe_tokens"), ""), END_OF_WORD, " "
+            ),
+        )
+        .withColumn(
+            "norm",
+            F.concat(
+                F.regexp_replace(
+                    F.trim(F.lower(F.col("text"))), r"\s+", " "
+                ),
+                F.lit(" "),
+            ),
+        )
+        .filter(F.col("recon") != F.col("norm"))
+        .count()
+    )
+    assert recon_fail == 0, f"{recon_fail} docs failed BPE reconstruction"
+
+    n_docs = d.count()
+    n_fitted = fitted.agg(F.sum("bpe_token_count")).first()[0]
+    agg = base.agg(
+        F.sum("bpe_token_count").alias("base_tokens"),
+        # base encode has len(word)+1 tokens per word, so word count =
+        # base_tokens - chars; recompute words directly instead:
+    ).first()
+    base_tokens = agg["base_tokens"]
+    n_words = (
+        d.select(
+            F.explode(
+                F.split(F.lower(F.regexp_replace("text", r"\s+", " ")), " ")
+            ).alias("w")
+        )
+        .filter(F.length("w") > 0)
+        .count()
+    )
+    assert n_fitted <= base_tokens, (n_fitted, base_tokens)
+    return spark.createDataFrame(
+        [
+            (
+                n_docs,
+                n_words,
+                base_tokens,
+                len(merges),
+                bool(n_fitted <= base_tokens),
+                True,
+            )
+        ],
+        "n_docs long, n_words long, base_tokens long, n_merges long, "
+        "compression_monotonic boolean, encode_reconstructs boolean",
+    )

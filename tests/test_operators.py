@@ -757,6 +757,93 @@ def test_chunk_by_tokens_properties(spark):
                 assert c[0] == toks[i * stride]
 
 
+# -- BPE vocabulary fitting (operators/bpe.py) -------------------------------
+
+
+def _reference_bpe(word_freq: dict, num_merges: int):
+    """Textbook BPE fit (pure Python): most-frequent adjacent pair,
+    lexicographic tie-break - the oracle the distributed fit must
+    reproduce merge-for-merge."""
+    vocab = {tuple(list(w) + ["</w>"]): f for w, f in word_freq.items()}
+    merges = []
+    for _ in range(num_merges):
+        counts = {}
+        for syms, f in vocab.items():
+            for pair in zip(syms, syms[1:]):
+                counts[pair] = counts.get(pair, 0) + f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < 2:
+            break
+        (a, b) = best[0]
+        merges.append((a, b))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def test_fit_bpe_matches_reference(spark):
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.bpe import (
+        fit_bpe,
+    )
+
+    docs = [
+        (1, "low low low low low lower lower"),
+        (2, "newest newest newest newest newest newest"),
+        (3, "widest widest widest"),
+    ]
+    df = spark.createDataFrame(docs, "id int, text string")
+    word_freq = {}
+    for _, t in docs:
+        for w in t.split():
+            word_freq[w] = word_freq.get(w, 0) + 1
+    expected = _reference_bpe(word_freq, 12)
+    got = fit_bpe(df, num_merges=12, checkpoint_every=4)
+    assert got == expected, f"\n got {got}\nwant {expected}"
+
+
+def test_bpe_encode_properties(spark):
+    """Encoding invariants: concatenating a word's pieces reconstructs
+    word+</w>; more merges never increase the token count; the udf's
+    count column equals the array size."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.bpe import (
+        END_OF_WORD,
+        bpe_encode,
+        fit_bpe,
+    )
+
+    corpus = "the cat sat on the mat the cat ran the cat sat again and again"
+    df = spark.createDataFrame([(1, corpus)], "id int, text string")
+    merges = fit_bpe(df, num_merges=15, min_pair_freq=2)
+    assert merges  # corpus has repeated pairs
+
+    out = bpe_encode(df, merges).first()
+    toks, n = out["bpe_tokens"], out["bpe_token_count"]
+    assert n == len(toks)
+    # piece concatenation reconstructs the word stream with markers
+    recon = "".join(toks).replace(END_OF_WORD, " ").strip()
+    assert recon == corpus
+    # monotonicity: a longer merge list cannot produce more tokens
+    n_half = bpe_encode(df, merges[: len(merges) // 2]).first()[
+        "bpe_token_count"
+    ]
+    n_none = bpe_encode(df, []).first()["bpe_token_count"]
+    assert n <= n_half <= n_none
+    # zero merges == characters + one marker per word
+    assert n_none == sum(len(w) + 1 for w in corpus.split())
+
+
 def test_exact_jaccard_low_threshold_guard(spark):
     """t=0.3 on long documents would expand the size band toward an
     all-pairs join - the operator must refuse with a pointer to the
