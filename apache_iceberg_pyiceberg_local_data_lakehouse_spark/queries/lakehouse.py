@@ -880,3 +880,63 @@ def q6d_lakehouse_mor_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+@register(
+    "q6g_lakehouse_restore",
+    # new in r5: local oracle parity only; rotate into the judged window
+    # once a slot frees (certifies restore_to + inspect_history end-to-end)
+    defer=True,
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM documents WHERE lang = 'en') AS v1_rows,
+           (SELECT COUNT(*) FROM documents) AS v2_rows,
+           (SELECT COUNT(*) FROM documents WHERE lang = 'en') AS restored_rows,
+           3 AS restore_version,
+           1 AS n_non_ancestors,
+           (SELECT COUNT(*) FROM documents WHERE lang IN ('en', 'de'))
+             AS final_rows
+    """,
+)
+def q6g_lakehouse_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE lifecycle: append English docs (v1), append the rest (v2,
+    the \"bad\" batch), restore to v1 (v3, metadata-only), verify the
+    scan sees only v1's rows and ``inspect_history`` marks v2 as a
+    non-ancestor, then keep writing (append German docs) on top of the
+    restored state. Exercises restore_to + inspect_history
+    (Iceberg rollback_to_snapshot / history-table semantics)."""
+    from ..catalog import LakehouseCatalog
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_q6g_")
+    try:
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("tmp")
+        d = load(spark, sf_dir, "documents")
+        t = cat.create_table("tmp.docs", d.schema)  # v0
+        t.append(d.filter(F.col("lang") == "en"))  # v1
+        v1_rows = t.to_df().count()
+        t.append(d.filter(F.col("lang") != "en"))  # v2
+        v2_rows = t.to_df().count()
+
+        snap = t.restore_to(1)  # v3
+        restored_rows = t.to_df().count()
+        non_ancestors = (
+            t.inspect_history().filter(~F.col("is_current_ancestor")).count()
+        )
+        t.append(d.filter(F.col("lang") == "de"))  # v4 on restored lineage
+        final_rows = t.to_df().count()
+        return spark.createDataFrame(
+            [
+                (
+                    v1_rows,
+                    v2_rows,
+                    restored_rows,
+                    snap.version,
+                    non_ancestors,
+                    final_rows,
+                )
+            ],
+            "v1_rows long, v2_rows long, restored_rows long, "
+            "restore_version int, n_non_ancestors long, final_rows long",
+        )
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)

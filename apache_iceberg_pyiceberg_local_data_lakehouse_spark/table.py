@@ -1372,7 +1372,95 @@ class LakehouseTable:
     def snapshot_by_tag(self, name: str) -> Snapshot:
         return self.snapshot_by_ref(name)
 
+    # -- restore / rollback --------------------------------------------------
+
+    def restore_to(
+        self, version: int | None = None, *, timestamp_ms: int | None = None,
+        max_retries: int = 5,
+    ) -> Snapshot:
+        """Roll the table back to an earlier snapshot's state.
+
+        Iceberg's ``rollback_to_snapshot`` moves the current-snapshot
+        pointer backwards; this format's commit log is a linear O_EXCL
+        version chain, so the same user-visible result is expressed the
+        way Delta's RESTORE does it: commit a NEW snapshot that
+        replicates the target's schema, partition spec, and manifest.
+        Metadata-only (no data files move), the bad versions stay
+        time-travelable until snapshot expiry, and the audit trail stays
+        append-only. Manifest files are immutable and shared, so the new
+        snapshot simply re-references the target's.
+
+        Pick the target by ``version`` or by ``timestamp_ms``
+        (latest snapshot at-or-before the instant, like time travel).
+        """
+        if (version is None) == (timestamp_ms is None):
+            raise ValueError("pass exactly one of version / timestamp_ms")
+        target = (
+            self.snapshot(version)
+            if version is not None
+            else self.snapshot_as_of(timestamp_ms)
+        )
+        for _ in range(max_retries):
+            cur = self.snapshot()
+            if cur.version == target.version:
+                return cur  # already there
+            snap = Snapshot(
+                snapshot_id=uuid.uuid4().hex,
+                version=cur.version + 1,
+                timestamp_ms=int(time.time() * 1000),
+                operation="restore",
+                parent_id=cur.snapshot_id,
+                schema_json=target.schema_json,
+                partition_spec=target.partition_spec,
+                manifest=target.manifest,
+                summary={
+                    "restore-source-version": target.version,
+                    "restore-source-snapshot-id": target.snapshot_id,
+                },
+                manifest_files=list(target.manifest_files),
+            )
+            try:
+                self._commit(snap)
+                return snap
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"restore to v{target.version} lost {max_retries} commit races"
+        )
+
     # -- metadata inspection tables (Iceberg's table.inspect surface) --------
+
+    def inspect_history(self) -> DataFrame:
+        """Iceberg's ``history`` metadata table: one row per retained
+        snapshot with its ancestry status. ``is_current_ancestor`` is
+        False for versions that were rolled back past — i.e. any version
+        v for which a later ``restore`` commit targets a version < v
+        (their rows are NOT part of the current state's lineage even
+        though the linear version chain retains them for time travel)."""
+        snaps = self.snapshots()
+        # Walk restores newest-first: a restore to version t makes every
+        # version in (t, restore_version) a non-ancestor.
+        shadowed: set[int] = set()
+        for s in snaps:
+            if s.operation == "restore":
+                t = int(s.summary.get("restore-source-version", s.version))
+                shadowed.update(range(t + 1, s.version))
+        rows = [
+            (
+                s.timestamp_ms,
+                s.version,
+                s.snapshot_id,
+                s.parent_id,
+                s.operation,
+                s.version not in shadowed,
+            )
+            for s in snaps
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "made_current_at_ms long, version int, snapshot_id string, "
+            "parent_id string, operation string, is_current_ancestor boolean",
+        )
 
     def inspect_snapshots(self) -> DataFrame:
         """History as a DataFrame: one row per retained snapshot."""

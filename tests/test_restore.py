@@ -1,0 +1,121 @@
+"""RESTORE / rollback: roll a table back to an earlier snapshot's state.
+
+Expressed as a new metadata-only commit replicating the target snapshot
+(Delta RESTORE semantics; user-visible result of Iceberg's
+rollback_to_snapshot) so the linear O_EXCL version chain and the audit
+trail stay append-only. ``inspect_history`` marks the rolled-back-past
+versions as non-ancestors (Iceberg ``history.is_current_ancestor``).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache_iceberg_pyiceberg_local_data_lakehouse_spark.catalog import LakehouseCatalog
+from apache_iceberg_pyiceberg_local_data_lakehouse_spark.maintenance import (
+    expire_snapshots,
+)
+
+from test_table_format import TICK_SCHEMA, tick_df
+
+
+@pytest.fixture
+def catalog(spark, tmp_path):
+    return LakehouseCatalog(spark, str(tmp_path / "warehouse"))
+
+
+def test_restore_to_version(catalog, spark):
+    t = catalog.create_table("gold.r1", TICK_SCHEMA, [])
+    t.append(tick_df(spark, n=5))  # v1
+    v1 = t.current_version()
+    t.append(tick_df(spark, n=7, start="2024-02-01 00:00:00"))  # v2
+    assert t.to_df().count() == 12
+
+    snap = t.restore_to(v1)
+    assert snap.operation == "restore"
+    assert snap.summary["restore-source-version"] == v1
+    # current state == v1 state, metadata-only (same files referenced)
+    assert t.to_df().count() == 5
+    assert {e["path"] for e in t.snapshot().manifest} == {
+        e["path"] for e in t.snapshot(v1).manifest
+    }
+    # the bad version is still time-travelable
+    assert t.scan(snapshot=t.snapshot(2)).count() == 12
+
+
+def test_restore_is_new_commit_and_writable(catalog, spark):
+    t = catalog.create_table("gold.r2", TICK_SCHEMA, [])
+    t.append(tick_df(spark, n=3))  # v1
+    t.append(tick_df(spark, n=4, start="2024-03-01 00:00:00"))  # v2
+    t.restore_to(1)  # v3
+    assert t.current_version() == 3
+    # appends continue on top of the restored state
+    t.append(tick_df(spark, n=2, start="2024-04-01 00:00:00"))  # v4
+    assert t.to_df().count() == 5
+
+
+def test_restore_by_timestamp(catalog, spark):
+    t = catalog.create_table("gold.r3", TICK_SCHEMA, [])
+    t.append(tick_df(spark, n=3))  # v1
+    ts_after_v1 = t.snapshot().timestamp_ms
+    t.append(tick_df(spark, n=4, start="2024-03-01 00:00:00"))  # v2
+    # force distinct timestamps in case both commits landed in the same ms
+    if t.snapshot().timestamp_ms == ts_after_v1:
+        ts_after_v1 = t.snapshot().timestamp_ms - 1
+        pytest.skip("commits landed in the same millisecond")
+    t.restore_to(timestamp_ms=ts_after_v1)
+    assert t.to_df().count() == 3
+    with pytest.raises(ValueError):
+        t.restore_to()  # neither selector
+    with pytest.raises(ValueError):
+        t.restore_to(1, timestamp_ms=ts_after_v1)  # both selectors
+
+
+def test_restore_noop_when_already_current(catalog, spark):
+    t = catalog.create_table("gold.r4", TICK_SCHEMA, [])
+    t.append(tick_df(spark, n=3))  # v1
+    v = t.current_version()
+    snap = t.restore_to(v)
+    assert snap.version == v  # no empty restore commit
+    assert t.current_version() == v
+
+
+def test_restore_across_schema_evolution(catalog, spark):
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.dml import add_column
+
+    t = catalog.create_table("gold.r5", TICK_SCHEMA, [])
+    t.append(tick_df(spark, n=3))  # v1
+    add_column(t, "venue", "string")  # v2
+    t.append(
+        tick_df(spark, n=2, start="2024-05-01 00:00:00").withColumn(
+            "venue", F.lit("x")
+        )
+    )  # v3
+    t.restore_to(1)  # v4: back to the 3-col schema
+    assert t.schema.fieldNames() == ["DateTime", "Bid", "Ask"]
+    assert t.to_df().count() == 3
+
+
+def test_inspect_history_marks_non_ancestors(catalog, spark):
+    t = catalog.create_table("gold.r6", TICK_SCHEMA, [])
+    t.append(tick_df(spark, n=2))  # v1
+    t.append(tick_df(spark, n=2, start="2024-02-01 00:00:00"))  # v2
+    t.append(tick_df(spark, n=2, start="2024-03-01 00:00:00"))  # v3
+    t.restore_to(1)  # v4
+    h = {
+        r["version"]: r["is_current_ancestor"]
+        for r in t.inspect_history().collect()
+    }
+    assert h == {0: True, 1: True, 2: False, 3: False, 4: True}
+
+
+def test_restored_files_survive_expiry_gc(catalog, spark, tmp_path):
+    """After restore, expiring the rolled-back version must not GC files
+    the restore re-references."""
+    t = catalog.create_table("gold.r7", TICK_SCHEMA, [])
+    t.append(tick_df(spark, n=4))  # v1
+    t.append(tick_df(spark, n=5, start="2024-02-01 00:00:00"))  # v2
+    t.restore_to(1)  # v3
+    expire_snapshots(t, retain_last=1, orphan_grace_secs=0)
+    assert t.to_df().count() == 4
