@@ -442,6 +442,82 @@ def drop_column(table: LakehouseTable, name: str) -> Snapshot:
     return snap
 
 
+# Iceberg-legal primitive type promotions (spec §Schema Evolution): the
+# widened type can represent every value of the narrow one, and Spark 4's
+# vectorized parquet reader converts narrow physical columns on the fly,
+# so promotion never rewrites a data file.
+_PROMOTIONS: dict[str, set[str]] = {
+    "byte": {"short", "integer", "long"},
+    "short": {"integer", "long"},
+    "integer": {"long"},
+    "float": {"double"},
+}
+
+
+def _decimal_params(t: str) -> tuple[int, int] | None:
+    import re
+
+    m = re.fullmatch(r"decimal\((\d+),(\d+)\)", t)
+    return (int(m.group(1)), int(m.group(2))) if m else None
+
+
+def promote_column(table: LakehouseTable, name: str, new_type: str) -> Snapshot:
+    """Schema evolution: widen a column's type (metadata-only commit).
+
+    Allowed promotions follow the Iceberg spec — int→long, float→double,
+    byte/short widening, and decimal(p,s)→decimal(p',s) with p'≥p — i.e.
+    exactly the conversions where existing parquet files remain readable
+    under the new scan schema with no precision loss and no rewrite.
+    Anything else (narrowing, cross-family like long→string, decimal
+    scale change) raises."""
+    import copy
+    import time as _time
+    import uuid as _uuid
+
+    cur = table.snapshot()
+    schema_json = copy.deepcopy(cur.schema_json)
+    fld = next((f for f in schema_json["fields"] if f["name"] == name), None)
+    if fld is None:
+        raise ValueError(f"no column {name}")
+    old_type = fld["type"]
+    if not isinstance(old_type, str):
+        raise ValueError(f"cannot promote nested type of {name}")
+    new_type = new_type.strip().lower()
+    old_dec, new_dec = _decimal_params(old_type), _decimal_params(new_type)
+    ok = (
+        new_type in _PROMOTIONS.get(old_type, set())
+        or (
+            old_dec is not None
+            and new_dec is not None
+            and new_dec[1] == old_dec[1]
+            and new_dec[0] >= old_dec[0]
+        )
+    )
+    if old_type == new_type:
+        raise ValueError(f"{name} is already {new_type}")
+    if not ok:
+        raise ValueError(
+            f"illegal promotion {old_type} -> {new_type} for {name}; allowed: "
+            "byte/short/int->wider int, float->double, "
+            "decimal(p,s)->decimal(p'>=p,s)"
+        )
+    fld["type"] = new_type
+    snap = Snapshot(
+        snapshot_id=_uuid.uuid4().hex,
+        version=cur.version + 1,
+        timestamp_ms=int(_time.time() * 1000),
+        operation="alter",
+        parent_id=cur.snapshot_id,
+        schema_json=schema_json,
+        partition_spec=cur.partition_spec,
+        manifest=cur.manifest,
+        manifest_files=table._parent_manifest_files(cur),
+        summary={"promoted_column": name, "from": old_type, "to": new_type},
+    )
+    table._commit(snap)
+    return snap
+
+
 def rename_column(table: LakehouseTable, old: str, new: str) -> Snapshot:
     """Schema evolution: rename a column (metadata-only commit).
 

@@ -1642,7 +1642,14 @@ def _footer_entry(
             st = col.statistics
             if not st.has_min_max:
                 continue
-            mn, mx = _stat_val(st.min), _stat_val(st.max)
+            try:
+                mn, mx = _stat_val(st.min), _stat_val(st.max)
+            except Exception:
+                # e.g. pyarrow can't extract decimal stats; the column
+                # just stays unprunable for this file — never fatal
+                continue
+            if mn is None or mx is None:
+                continue
             if name in stats:
                 stats[name] = [min(stats[name][0], mn), max(stats[name][1], mx)]
             else:
@@ -1673,6 +1680,12 @@ def _footer_entry(
 
 
 def _stat_val(v: Any) -> Any:
+    from decimal import Decimal
+
+    if isinstance(v, Decimal):
+        # JSON can't hold Decimal faithfully; storing a float bound could
+        # prune a file that actually matches. No stats = conservative.
+        return None
     if isinstance(v, bytes):
         try:
             return v.decode("utf-8", "replace")

@@ -704,3 +704,77 @@ def test_catalog_rename_table(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="already exists"):
         cat.rename_table("gold.new_name", "gold.occupied")
+
+
+def test_promote_column_int_to_long(spark, tmp_path):
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.dml import (
+        promote_column,
+    )
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh_promote"))
+    cat.create_namespace("gold")
+    df = spark.range(10).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") * 1.5).cast("float").alias("v"),
+    )
+    t = cat.create_table("gold.narrow", df.schema)
+    t.append(df)
+
+    promote_column(t, "k", "long")
+    promote_column(t, "v", "double")
+    got = t.to_df()
+    assert dict(got.dtypes) == {"k": "bigint", "v": "double"}
+    # old int32/float32 files read losslessly under the widened schema
+    assert got.agg(F.sum("k")).first()[0] == 45
+    # appends beyond int32 range now round-trip
+    big = spark.createDataFrame([(2**40, 0.5)], "k long, v double")
+    t.append(big)
+    assert t.to_df().filter(F.col("k") == 2**40).count() == 1
+    assert t.to_df().count() == 11
+
+
+def test_promote_column_rejects_illegal(table):
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.dml import (
+        promote_column,
+    )
+
+    with pytest.raises(ValueError):
+        promote_column(table, "k", "integer")  # narrowing (k is long)
+    with pytest.raises(ValueError):
+        promote_column(table, "v", "string")  # cross-family
+    with pytest.raises(ValueError):
+        promote_column(table, "missing", "long")
+    with pytest.raises(ValueError):
+        promote_column(table, "v", "double")  # already double
+
+
+def test_promote_decimal_precision(spark, tmp_path):
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.dml import (
+        promote_column,
+    )
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh_dec"))
+    cat.create_namespace("gold")
+    df = spark.range(5).select(F.col("id").cast("decimal(5,2)").alias("amt"))
+    t = cat.create_table("gold.dec", df.schema)
+    t.append(df)
+    with pytest.raises(ValueError):
+        promote_column(t, "amt", "decimal(10,3)")  # scale change
+    promote_column(t, "amt", "decimal(12,2)")
+    assert dict(t.to_df().dtypes)["amt"] == "decimal(12,2)"
+    assert t.to_df().agg(F.sum("amt")).first()[0] == 10
+
+
+def test_promote_then_time_travel_keeps_old_schema(spark, tmp_path):
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.dml import (
+        promote_column,
+    )
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh_tt"))
+    cat.create_namespace("gold")
+    df = spark.range(5).select(F.col("id").cast("int").alias("k"))
+    t = cat.create_table("gold.tt", df.schema)
+    t.append(df)  # v1
+    promote_column(t, "k", "long")  # v2
+    assert dict(t.scan(snapshot=t.snapshot(1)).dtypes)["k"] == "int"
+    assert dict(t.to_df().dtypes)["k"] == "bigint"
