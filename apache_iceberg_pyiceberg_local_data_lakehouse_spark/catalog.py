@@ -137,6 +137,53 @@ class LakehouseCatalog:
         if os.path.exists(loc):
             shutil.rmtree(loc)
 
+    # -- SQL surface --------------------------------------------------------
+
+    @staticmethod
+    def view_name(identifier: str) -> str:
+        """Spark temp-view names cannot contain dots: ``gold.eurusd`` is
+        exposed as ``gold_eurusd``."""
+        return identifier.replace(".", "_")
+
+    def create_view(
+        self,
+        identifier: str,
+        view_name: str | None = None,
+        version: int | None = None,
+    ) -> str:
+        """Register one table's snapshot scan as a Spark temp view so it
+        is queryable with plain ``spark.sql`` (projections/filters still
+        push into the pruned parquet scan through the view).
+
+        The view pins the snapshot CURRENT AT REGISTRATION (``version``
+        selects an older one for SQL time travel). Commits made after
+        registration are invisible until ``create_view`` runs again —
+        the same contract as Iceberg's REFRESH TABLE.
+        """
+        t = self.load_table(identifier)
+        snap = t.snapshot(version) if version is not None else None
+        name = view_name or self.view_name(identifier)
+        t.scan(snapshot=snap).createOrReplaceTempView(name)
+        return name
+
+    def register_views(self, namespace: str | None = None) -> list[str]:
+        """Expose every table (optionally one namespace) as temp views.
+        Returns the view names. The SQL entry point for users who drive
+        the lakehouse from ``spark.sql`` instead of the Python API."""
+        spaces = [namespace] if namespace else self.list_namespaces()
+        out = []
+        for ns in spaces:
+            for ident in self.list_tables(ns):
+                out.append(self.create_view(ident))
+        return out
+
+    def sql(self, query: str) -> DataFrame:
+        """Run SQL over the registered views (sugar for
+        ``register_views()`` + ``spark.sql``; re-registers first so the
+        query always sees the latest committed snapshots)."""
+        self.register_views()
+        return self.spark.sql(query)
+
     def rename_table(self, from_identifier: str, to_identifier: str) -> None:
         """Catalog-level rename (Iceberg ``rename_table``): an atomic
         directory move - all snapshot metadata, manifests, refs and data

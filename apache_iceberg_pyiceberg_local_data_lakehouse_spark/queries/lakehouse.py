@@ -940,3 +940,49 @@ def q6g_lakehouse_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+@register(
+    "q6h_lakehouse_sql_views",
+    # new in r5: local oracle parity only; rotate into the judged window
+    # once a slot frees (certifies catalog.sql / temp-view SQL surface)
+    defer=True,
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           {_dsum_sql('n_chars')} AS total_chars,
+           (SELECT COUNT(*) FROM documents WHERE lang = 'en') AS rows_at_v1
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q6h_lakehouse_sql_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry point: drive the lakehouse purely through
+    ``catalog.sql`` over registered temp views — including a
+    time-travel view pinned at v1. A user of the reference switching to
+    SQL gets identical results to the Python scan API."""
+    from ..catalog import LakehouseCatalog
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_q6h_")
+    try:
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("tmp")
+        d = load(spark, sf_dir, "documents")
+        t = cat.create_table("tmp.docs", d.schema)
+        t.append(d.filter(F.col("lang") == "en"))  # v1
+        t.append(d.filter(F.col("lang") != "en"))  # v2
+        cat.create_view("tmp.docs", view_name="docs_v1", version=1)
+        out = cat.sql(
+            f"""
+            SELECT lang,
+                   COUNT(*) AS n_docs,
+                   {_dsum_sql('n_chars')} AS total_chars,
+                   (SELECT COUNT(*) FROM docs_v1) AS rows_at_v1
+            FROM tmp_docs
+            GROUP BY lang
+            """
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)

@@ -1,0 +1,83 @@
+"""SQL entry point: lakehouse tables as Spark temp views.
+
+``catalog.sql`` re-registers every table's current snapshot scan as a
+temp view and runs the statement — the surface for users who drive the
+warehouse from SQL instead of the Python API. Views are DataFrame-backed,
+so Catalyst still pushes filters/projections through them into the
+manifest-pruned parquet scan.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache_iceberg_pyiceberg_local_data_lakehouse_spark.catalog import LakehouseCatalog
+
+from test_table_format import TICK_SCHEMA, tick_df
+
+
+@pytest.fixture
+def catalog(spark, tmp_path):
+    return LakehouseCatalog(spark, str(tmp_path / "warehouse"))
+
+
+def test_sql_matches_scan(catalog, spark):
+    t = catalog.create_table("gold.ticks", TICK_SCHEMA, [])
+    t.append(tick_df(spark, n=20))
+    got = catalog.sql(
+        "SELECT COUNT(*) AS n, MIN(Bid) AS lo FROM gold_ticks"
+    ).first()
+    assert got["n"] == 20
+    assert got["lo"] == t.to_df().agg(F.min("Bid")).first()[0]
+
+
+def test_sql_sees_latest_commit(catalog, spark):
+    t = catalog.create_table("gold.fresh", TICK_SCHEMA, [])
+    t.append(tick_df(spark, n=5))
+    assert catalog.sql("SELECT COUNT(*) n FROM gold_fresh").first()["n"] == 5
+    t.append(tick_df(spark, n=3, start="2024-02-01 00:00:00"))
+    # catalog.sql re-registers: the new snapshot is visible
+    assert catalog.sql("SELECT COUNT(*) n FROM gold_fresh").first()["n"] == 8
+
+
+def test_time_travel_view(catalog, spark):
+    t = catalog.create_table("gold.tt", TICK_SCHEMA, [])
+    t.append(tick_df(spark, n=4))  # v1
+    t.append(tick_df(spark, n=6, start="2024-02-01 00:00:00"))  # v2
+    catalog.create_view("gold.tt", view_name="tt_v1", version=1)
+    assert spark.sql("SELECT COUNT(*) n FROM tt_v1").first()["n"] == 4
+
+
+def test_sql_join_across_tables(catalog, spark):
+    a = catalog.create_table("gold.a", TICK_SCHEMA, [])
+    b = catalog.create_table("gold.b", TICK_SCHEMA, [])
+    a.append(tick_df(spark, n=10))
+    b.append(tick_df(spark, n=5))
+    got = catalog.sql(
+        """
+        SELECT COUNT(*) AS n
+        FROM gold_a x JOIN gold_b y ON x.DateTime = y.DateTime
+        """
+    ).first()
+    assert got["n"] == 5
+
+
+def test_filter_pushes_through_view(catalog, spark):
+    t = catalog.create_table("gold.push", TICK_SCHEMA, [])
+    t.append(tick_df(spark, n=50))
+    catalog.register_views("gold")
+    plan = spark.sql(
+        "SELECT Bid FROM gold_push WHERE Bid > 1.12"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(Bid), GreaterThan(Bid" in plan
+    # projection pruned to the selected column
+    assert "ReadSchema: struct<Bid:double>" in plan
+
+
+def test_register_views_namespaced(catalog, spark):
+    catalog.create_namespace("bronze")
+    t = catalog.create_table("bronze.x", TICK_SCHEMA, [])
+    t.append(tick_df(spark, n=2))
+    names = catalog.register_views("bronze")
+    assert names == ["bronze_x"]
