@@ -1,0 +1,110 @@
+"""Structured-Streaming sink into a lakehouse table, exactly-once.
+
+The Iceberg Spark sink's commit protocol, re-expressed for this format:
+each micro-batch appends as one snapshot commit stamped with the
+``(query-id, epoch-id)`` that produced it. After a crash, Spark replays
+the last un-checkpointed epoch into ``foreachBatch`` — the sink then
+finds the stamp already committed in the snapshot log and skips, so a
+replayed epoch can never double-append. Idempotence lives in the TABLE's
+commit history (the system of record), not in the checkpoint, so it
+holds even if the checkpoint and the table disagree about how far the
+query got (the crash window between table commit and checkpoint commit).
+
+Scale: the dedup check reads only snapshot *summaries* (O(retained
+snapshots) driver-side JSON, no data files); the append itself is the
+ordinary distributed write path. Snapshot expiry can GC old epochs'
+summaries — safe, because Spark's checkpoint only ever replays the LAST
+epoch, which expiry's retention floor always keeps.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+
+from ..table import LakehouseTable
+
+_QUERY_KEY = "streaming-query-id"
+_EPOCH_KEY = "streaming-epoch-id"
+
+
+class EpochCommitSink:
+    """``foreachBatch`` callable that appends each epoch exactly once.
+
+    Use directly (testable without a running stream) or via
+    ``write_stream_to_table``. ``transform`` optionally maps each
+    micro-batch DataFrame before the append (QC gates, normalization),
+    keeping batch and streaming on one operator path.
+    """
+
+    def __init__(
+        self,
+        table: LakehouseTable,
+        query_id: str,
+        transform: Callable[[DataFrame], DataFrame] | None = None,
+        optimize_write: bool = False,
+    ):
+        self.table = table
+        self.query_id = query_id
+        self.transform = transform
+        self.optimize_write = optimize_write
+
+    def committed_epochs(self) -> set[int]:
+        """Epoch ids this query already committed (from the snapshot log)."""
+        return {
+            int(s.summary[_EPOCH_KEY])
+            for s in self.table.snapshots()
+            if s.summary.get(_QUERY_KEY) == self.query_id
+            and _EPOCH_KEY in s.summary
+        }
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        if epoch_id in self.committed_epochs():
+            return  # checkpoint replay of an epoch the table already holds
+        if self.transform is not None:
+            batch_df = self.transform(batch_df)
+        if batch_df.isEmpty():
+            return
+        self.table.append(
+            batch_df,
+            optimize_write=self.optimize_write,
+            extra_summary={
+                _QUERY_KEY: self.query_id,
+                _EPOCH_KEY: int(epoch_id),
+            },
+        )
+
+
+def write_stream_to_table(
+    stream_df: DataFrame,
+    table: LakehouseTable,
+    checkpoint_dir: str,
+    query_id: str,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    trigger_secs: int | None = None,
+    available_now: bool = False,
+    optimize_write: bool = False,
+):
+    """Start a streaming query appending ``stream_df`` into ``table``.
+
+    ``query_id`` names the logical query for epoch idempotence — keep it
+    stable across restarts (it plays the role of Spark's internal
+    queryId, but survives checkpoint re-creation)."""
+    writer = (
+        stream_df.writeStream.foreachBatch(
+            EpochCommitSink(
+                table,
+                query_id,
+                transform=transform,
+                optimize_write=optimize_write,
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_secs is not None:
+        writer = writer.trigger(processingTime=f"{trigger_secs} seconds")
+    return writer.start()

@@ -403,6 +403,7 @@ class LakehouseTable:
         optimize_write: bool = False,
         cluster_by: list[str] | None = None,
         bloom_cols: list[str] | None = None,
+        extra_summary: dict | None = None,
     ) -> Snapshot:
         """Append rows as a new snapshot (S5, reference
         ``lakehouse_pipeline.py:394``). Retries on commit conflict -
@@ -460,7 +461,9 @@ class LakehouseTable:
         new_files = self._write_files(
             df, spec, bloom_cols=tuple(bloom_cols or ())
         )
-        return self._commit_append(new_files, max_retries=max_retries)
+        return self._commit_append(
+            new_files, max_retries=max_retries, extra_summary=extra_summary
+        )
 
     def _commit_append(
         self,

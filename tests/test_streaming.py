@@ -573,3 +573,102 @@ def test_table_tail_consumes_append_diffs(spark, tmp_path):
     finally:
         stop.set()
         thread.join(timeout=10)
+
+
+def test_epoch_sink_exactly_once_stream(spark, tmp_path):
+    """write_stream_to_table drains a file source into a lakehouse table;
+    re-running with the same checkpoint appends nothing; a new file
+    appends only its own rows."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.catalog import (
+        LakehouseCatalog,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.streaming.sink import (
+        write_stream_to_table,
+    )
+
+    src = tmp_path / "stream_src"
+    tick_file(src / "a.parquet", n=100)
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("gold")
+    t = cat.create_table("gold.sunk", TICK_SCHEMA, [])
+    ckpt = str(tmp_path / "ckpt")
+
+    stream = spark.readStream.schema(TICK_SCHEMA).parquet(str(src))
+    write_stream_to_table(
+        stream, t, ckpt, query_id="sink-test", available_now=True
+    ).awaitTermination(120)
+    assert t.to_df().count() == 100
+
+    # drained checkpoint: nothing new to commit
+    stream = spark.readStream.schema(TICK_SCHEMA).parquet(str(src))
+    write_stream_to_table(
+        stream, t, ckpt, query_id="sink-test", available_now=True
+    ).awaitTermination(120)
+    assert t.to_df().count() == 100
+
+    tick_file(src / "b.parquet", n=30, start=dt.datetime(2024, 4, 1))
+    stream = spark.readStream.schema(TICK_SCHEMA).parquet(str(src))
+    write_stream_to_table(
+        stream, t, ckpt, query_id="sink-test", available_now=True
+    ).awaitTermination(120)
+    assert t.to_df().count() == 130
+    # every streaming commit carries its epoch stamp
+    stamped = [
+        s.summary
+        for s in t.snapshots()
+        if s.summary.get("streaming-query-id") == "sink-test"
+    ]
+    assert len(stamped) == 2
+
+
+def test_epoch_sink_replay_is_idempotent(spark, tmp_path):
+    """Direct replay of the same epoch (what Spark does after a crash
+    between table commit and checkpoint commit) must not double-append —
+    even though the checkpoint never recorded the epoch."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.catalog import (
+        LakehouseCatalog,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.streaming.sink import (
+        EpochCommitSink,
+    )
+    from test_table_format import tick_df
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("gold")
+    t = cat.create_table("gold.replay", TICK_SCHEMA, [])
+    sink = EpochCommitSink(t, query_id="q1")
+
+    batch = tick_df(spark, n=25)
+    sink(batch, 0)
+    assert t.to_df().count() == 25
+    sink(batch, 0)  # replayed epoch: skipped
+    assert t.to_df().count() == 25
+    assert t.current_version() == 1
+    sink(batch, 1)  # genuinely new epoch
+    assert t.to_df().count() == 50
+    # a different query's epoch 0 is independent
+    EpochCommitSink(t, query_id="q2")(tick_df(spark, n=5), 0)
+    assert t.to_df().count() == 55
+
+
+def test_epoch_sink_transform_and_empty_batches(spark, tmp_path):
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.catalog import (
+        LakehouseCatalog,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.streaming.sink import (
+        EpochCommitSink,
+    )
+    from pyspark.sql import functions as F
+    from test_table_format import tick_df
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("gold")
+    t = cat.create_table("gold.tf", TICK_SCHEMA, [])
+    sink = EpochCommitSink(
+        t, query_id="q", transform=lambda df: df.filter(F.col("Bid") > 1.105)
+    )
+    sink(tick_df(spark, n=10), 0)
+    assert t.to_df().count() == 4  # bids 1.106..1.109
+    v = t.current_version()
+    sink(tick_df(spark, n=3), 1)  # all filtered out -> no empty commit
+    assert t.current_version() == v
