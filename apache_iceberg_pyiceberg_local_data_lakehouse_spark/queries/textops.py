@@ -842,3 +842,84 @@ def q4d_bpe_vocab_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs long, n_words long, base_tokens long, n_merges long, "
         "compression_monotonic boolean, encode_reconstructs boolean",
     )
+
+
+@register(
+    "q5e_repetition_quality",
+    # new in r5: local oracle parity only; rotate into the judged window
+    # once a slot frees (certifies operators/quality_filters.py)
+    defer=True,
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS t,
+             length(text) AS n_ch
+      FROM documents
+    ), base AS (
+      SELECT doc_id, lang, len(t) AS wc,
+             (n_ch - len(t) + 1.0) / len(t) AS mwl
+      FROM toks
+    ), grams AS (
+      SELECT doc_id, 2 AS n,
+             UNNEST([t[i] || ' ' || t[i+1]
+                     FOR i IN generate_series(1, len(t) - 1)]) AS gram
+      FROM toks WHERE len(t) >= 2
+      UNION ALL
+      SELECT doc_id, 3,
+             UNNEST([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                     FOR i IN generate_series(1, len(t) - 2)])
+      FROM toks WHERE len(t) >= 3
+      UNION ALL
+      SELECT doc_id, 5,
+             UNNEST([t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                     t[i+3] || ' ' || t[i+4]
+                     FOR i IN generate_series(1, len(t) - 4)])
+      FROM toks WHERE len(t) >= 5
+    ), cnts AS (
+      SELECT doc_id, n, gram, COUNT(*) AS cnt FROM grams GROUP BY ALL
+    ), per AS (
+      SELECT doc_id, n,
+             MAX(cnt)::DOUBLE / SUM(cnt) AS topf,
+             1.0 - COUNT(*)::DOUBLE / SUM(cnt) AS dupf
+      FROM cnts GROUP BY doc_id, n
+    ), wide AS (
+      SELECT b.doc_id, b.lang, b.wc, b.mwl,
+             COALESCE(MAX(CASE WHEN n = 2 THEN topf END), 0.0) AS top2,
+             COALESCE(MAX(CASE WHEN n = 3 THEN topf END), 0.0) AS top3,
+             COALESCE(MAX(CASE WHEN n = 5 THEN dupf END), 0.0) AS dup5
+      FROM base b LEFT JOIN per p ON b.doc_id = p.doc_id
+      GROUP BY b.doc_id, b.lang, b.wc, b.mwl
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(CASE WHEN wc >= 30 AND wc <= 100000
+                     AND mwl >= 3.0 AND mwl <= 10.0
+                     AND top2 <= 0.06 AND top3 <= 0.18 AND dup5 <= 0.30
+                    THEN 1 ELSE 0 END) AS n_kept,
+           {_davg_sql('top2', 1_000_000)} AS avg_top2gram,
+           {_davg_sql('top3', 1_000_000)} AS avg_top3gram,
+           {_davg_sql('dup5', 1_000_000)} AS avg_dup5gram,
+           {_davg_sql('mwl', 1_000_000)} AS avg_word_len
+    FROM wide
+    GROUP BY lang
+    """,
+)
+def q5e_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality gate (Rae et al. 2021 §A1.1) over the corpus:
+    word-shape + n-gram repetition metrics per document, keep/reject
+    verdicts, aggregated per language. The heavy path (one explode
+    covering 2/3/5-grams, map-side-combined counts) is the shape that
+    survives a 100 TB corpus; per-doc verdicts never touch the driver."""
+    from ..operators.quality_filters import gopher_quality
+
+    d = load(spark, sf_dir, "documents")
+    m = gopher_quality(
+        d, thresholds={"min_words": 30, "max_top2gram_frac": 0.06}
+    ).join(d.select("doc_id", "lang"), "doc_id")
+    return m.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+        davg(F.col("top2gram_frac"), 1_000_000).alias("avg_top2gram"),
+        davg(F.col("top3gram_frac"), 1_000_000).alias("avg_top3gram"),
+        davg(F.col("dup5gram_frac"), 1_000_000).alias("avg_dup5gram"),
+        davg(F.col("mean_word_len"), 1_000_000).alias("avg_word_len"),
+    )
