@@ -923,3 +923,67 @@ def q5e_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         davg(F.col("dup5gram_frac"), 1_000_000).alias("avg_dup5gram"),
         davg(F.col("mean_word_len"), 1_000_000).alias("avg_word_len"),
     )
+
+
+@register(
+    "q5f_benchmark_contamination",
+    # new in r5: local oracle parity only; rotate into the judged window
+    # once a slot frees (certifies operators/contamination.py)
+    defer=True,
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    cg AS (
+      SELECT doc_id,
+             UNNEST(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                     FOR i IN generate_series(1, len(t) - 2)])) AS gram
+      FROM toks WHERE doc_id % 17 <> 0 AND len(t) >= 3
+    ), bg AS (
+      SELECT DISTINCT
+             UNNEST(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                     FOR i IN generate_series(1, len(t) - 2)])) AS gram
+      FROM toks WHERE doc_id % 17 = 0 AND len(t) >= 3
+    ), tot AS (
+      SELECT doc_id, COUNT(*) AS n_grams FROM cg GROUP BY doc_id
+    ), hit AS (
+      SELECT doc_id, COUNT(*) AS n_matched
+      FROM cg JOIN bg USING (gram) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(t.n_grams, 0) AS n_grams,
+           COALESCE(h.n_matched, 0) AS n_matched,
+           FLOOR(CASE WHEN COALESCE(t.n_grams, 0) > 0
+                      THEN COALESCE(h.n_matched, 0)::DOUBLE / t.n_grams
+                      ELSE 0.0 END * 1000000 + 0.5) / 1000000
+             AS contamination_frac
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0) d
+    LEFT JOIN tot t ON d.doc_id = t.doc_id
+    LEFT JOIN hit h ON d.doc_id = h.doc_id
+    ORDER BY n_matched DESC, d.doc_id
+    LIMIT 20
+    """,
+)
+def q5f_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination pass: treat every 17th document as the held-out
+    eval benchmark and flag training docs sharing exact word 3-grams
+    with it (GPT-3 appendix C / PaLM §7 n-gram overlap). The benchmark
+    gram set is broadcast — the corpus-side stream (the 100 TB side)
+    never shuffles for the join."""
+    from ..operators.contamination import ngram_contamination
+
+    d = load(spark, sf_dir, "documents")
+    rep = ngram_contamination(
+        d.filter(F.col("doc_id") % 17 != 0),
+        d.filter(F.col("doc_id") % 17 == 0),
+        n=3,
+    )
+    return (
+        rep.select(
+            "doc_id",
+            "n_grams",
+            "n_matched",
+            (F.floor(F.col("contamination_frac") * 1000000 + F.lit(0.5))
+             / 1000000).alias("contamination_frac"),
+        )
+        .orderBy(F.desc("n_matched"), F.asc("doc_id"))
+        .limit(20)
+    )

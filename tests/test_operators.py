@@ -866,3 +866,58 @@ def test_exact_jaccard_low_threshold_guard(spark):
         long_docs, "text", "doc_id", threshold=0.3, max_size_band=1000
     )
     assert out.count() == 0  # disjoint vocabularies: no pairs
+
+
+# ---------------------------------------------------------------------------
+# benchmark contamination (operators/contamination.py)
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_contamination_exact(spark):
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.contamination import (
+        ngram_contamination,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the capital of france is paris indeed"),  # leaks benchmark
+            (2, "completely unrelated text about spark joins"),
+            (3, "too short"),  # fewer than n words
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "what is the capital of france is paris")],
+        "doc_id long, text string",
+    )
+    rep = {
+        r["doc_id"]: r
+        for r in ngram_contamination(corpus, bench, n=4).collect()
+    }
+    # doc1 grams: 4 distinct; all but "france is paris indeed" appear
+    # in the benchmark's gram set
+    assert rep[1]["n_grams"] == 4
+    assert rep[1]["n_matched"] == 3
+    assert rep[1]["contamination_frac"] == pytest.approx(0.75)
+    assert rep[1]["is_contaminated"]
+    assert rep[2]["n_matched"] == 0 and not rep[2]["is_contaminated"]
+    assert rep[3]["n_grams"] == 0
+    assert rep[3]["contamination_frac"] == 0.0
+
+
+def test_ngram_contamination_broadcasts_benchmark(spark):
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.contamination import (
+        ngram_contamination,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2} w{i+3}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(0, "w1 w2 w3")], "doc_id long, text string")
+    rep = ngram_contamination(corpus, bench, n=3)
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # duplicate grams inside one doc count once (distinct-set semantics)
+    assert rep.filter("is_contaminated").count() == 2  # docs 0 (w1 w2 w3) & 1
