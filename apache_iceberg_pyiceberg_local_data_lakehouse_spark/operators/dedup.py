@@ -718,3 +718,60 @@ def dedup_keepers(
     return cc.select(
         "id", "cluster", (F.col("id") == F.col("cluster")).alias("is_keeper")
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup): cluster-blocked embedding-cosine near-dups
+# ---------------------------------------------------------------------------
+
+
+def semantic_duplicates(
+    df: DataFrame,
+    centroids,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    distance: str = "l2_expanded",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): find semantic near-duplicates by
+    clustering embeddings and scoring cosine similarity only WITHIN each
+    cluster. Returns (id_a, id_b, cluster_id, sim) for pairs with
+    ``sim >= threshold`` (sim rounded to 9 dp for cross-engine parity).
+
+    Scale shape: assignment is a zero-shuffle plan-literal argmin
+    (``assign_clusters``); the pair generation is an equality self-join
+    on cluster_id — with K well-sized clusters the work drops from n²
+    to ~n²/K, and each cluster's pairs build inside one shuffle
+    partition. The assigned table is cached because it feeds BOTH sides
+    of the self-join (the q48 LSH lesson). By construction, pairs whose
+    members land in different clusters are invisible — the documented
+    SemDeDup trade-off (raise K for speed, lower K for recall)."""
+    from .similarity import cosine
+    from .clustering import assign_clusters
+
+    assigned = assign_clusters(
+        df.select(id_col, vec_col), centroids, vec_col=vec_col,
+        distance=distance,
+    ).select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+        "cluster_id",
+    )
+    assigned.cache()
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), F.col("__v").alias("__va"), "cluster_id"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"), "cluster_id"
+    )
+    return (
+        a.join(b, ["cluster_id"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            "cluster_id",
+            F.round(cosine(F.col("__va"), F.col("__vb")), 9).alias("sim"),
+        )
+        .filter(F.col("sim") >= F.lit(threshold))
+    )

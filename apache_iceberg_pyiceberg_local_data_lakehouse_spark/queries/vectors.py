@@ -386,3 +386,91 @@ def q55b_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= F.lit(_IVF_RECALL_FLOOR) * F.col("n_brute")
         ).alias("ivf_recall_ok"),
     )
+
+
+@register(
+    "q5g_semantic_dedup",
+    # new in r5: local oracle parity only; rotate into the judged window
+    # once a slot frees (certifies operators/dedup.semantic_duplicates)
+    defer=True,
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id < {N_CENTROIDS}
+    ),
+    dists AS (
+      SELECT e.vec_id, c.cid,
+             ROUND(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+                   - 2 * list_dot_product(e.embedding::DOUBLE[], c.cv)
+                   + list_dot_product(c.cv, c.cv), 9) AS d2
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    assigned AS (
+      SELECT vec_id, cid AS cluster_id FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT x.cluster_id,
+             ROUND({_COS_SQL.format(a='a.embedding', b='b.embedding')}, 9)
+               AS sim
+      FROM assigned x JOIN embeddings a ON a.vec_id = x.vec_id
+      JOIN assigned y ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
+      JOIN embeddings b ON b.vec_id = y.vec_id
+    )
+    SELECT m.cluster_id,
+           m.n_members,
+           COALESCE(p.n_pairs, 0) AS n_pairs,
+           COALESCE(p.n_dups, 0) AS n_dups,
+           COALESCE(p.max_sim_q, 0) AS max_sim_q
+    FROM (SELECT cluster_id, COUNT(*) AS n_members
+          FROM assigned GROUP BY cluster_id) m
+    LEFT JOIN (
+      SELECT cluster_id, COUNT(*) AS n_pairs,
+             SUM(CASE WHEN sim >= 0.5 THEN 1 ELSE 0 END) AS n_dups,
+             MAX(CAST(FLOOR(sim * 1000000 + 0.5) AS BIGINT)) AS max_sim_q
+      FROM pairs GROUP BY cluster_id
+    ) p ON m.cluster_id = p.cluster_id
+    """,
+)
+def q5g_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup end-to-end: cluster embeddings to K=8 fixed centroids
+    (lowest-id vectors — deterministic seed), score cosine only within
+    clusters, and roll up per cluster: member count, scored pairs, dup
+    pairs at 0.5, and the max similarity (quantized 1e-6). The per-pair
+    stream stays distributed; only the K-row rollup returns."""
+    from ..operators.clustering import assign_clusters
+    from ..operators.dedup import semantic_duplicates
+
+    emb = load(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.filter(F.col("vec_id") < N_CENTROIDS)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in cent_rows
+    ]
+    pairs = semantic_duplicates(emb, cents, threshold=-1.0)
+    members = (
+        assign_clusters(emb, cents, distance="l2_expanded")
+        .groupBy("cluster_id")
+        .agg(F.count("*").alias("n_members"))
+    )
+    per_pair = pairs.groupBy("cluster_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.when(F.col("sim") >= 0.5, 1).otherwise(0)).alias("n_dups"),
+        F.max(
+            F.floor(F.col("sim") * 1000000 + F.lit(0.5)).cast("long")
+        ).alias("max_sim_q"),
+    )
+    return members.join(per_pair, "cluster_id", "left").select(
+        "cluster_id",
+        "n_members",
+        F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+        F.coalesce("n_dups", F.lit(0)).alias("n_dups"),
+        F.coalesce("max_sim_q", F.lit(0)).alias("max_sim_q"),
+    )

@@ -921,3 +921,46 @@ def test_ngram_contamination_broadcasts_benchmark(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # duplicate grams inside one doc count once (distinct-set semantics)
     assert rep.filter("is_contaminated").count() == 2  # docs 0 (w1 w2 w3) & 1
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup: cluster-blocked cosine)
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_duplicates_within_cluster(spark):
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.dedup import (
+        semantic_duplicates,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),          # centroid A
+        (1, [0.0, 1.0, 0.0]),          # centroid B
+        (2, [0.99, 0.01, 0.0]),        # near-dup of 0, cluster A
+        (3, [0.01, 0.99, 0.0]),        # near-dup of 1, cluster B
+        (4, [0.0, 0.0, 1.0]),          # isolated, joins nearer cluster
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])]
+    pairs = semantic_duplicates(df, cents, threshold=0.95).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 2) in got and (1, 3) in got
+    # high-sim pairs across clusters are invisible by design
+    assert all(a != 4 and b != 4 for a, b in got)
+    for r in pairs:
+        assert r["sim"] >= 0.95
+
+
+def test_semantic_duplicates_cross_cluster_blindness(spark):
+    """The documented SemDeDup trade-off: a near-dup pair that straddles
+    a cluster boundary is not reported."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.dedup import (
+        semantic_duplicates,
+    )
+
+    # two vectors 0.9995 cosine-similar, but centroids chosen so each
+    # lands in a different cluster
+    rows = [(0, [1.0, 0.02, 0.0]), (1, [1.0, -0.02, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [(0, [1.0, 0.5, 0.0]), (1, [1.0, -0.5, 0.0])]
+    assert semantic_duplicates(df, cents, threshold=0.9).count() == 0
