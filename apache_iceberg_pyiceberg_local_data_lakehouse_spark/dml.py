@@ -333,7 +333,9 @@ def merge_into(
 
     ``when_matched='ignore'`` reproduces the reference's J1 dedup-append
     exactly (insert-only), as a single atomic snapshot instead of
-    anti-join + append.
+    anti-join + append. ``when_matched='delete'`` is SQL MERGE's WHEN
+    MATCHED THEN DELETE: matched table rows are removed, and only
+    update rows with genuinely new keys insert.
 
     Physical plan: collect the updates' key range (one tiny agg), prune
     manifest files to those overlapping it, rewrite ONLY those files with
@@ -351,10 +353,18 @@ def merge_into(
     if when_matched == "update":
         kept = touched_df.join(updates.select(key), on=key, how="left_anti")
         incoming = updates
-    else:  # ignore: matched rows keep the table's version
+    elif when_matched == "ignore":  # matched rows keep the table's version
         kept = touched_df
         existing_keys = touched_df.select(key).distinct()
         incoming = updates.join(existing_keys, on=key, how="left_anti")
+    elif when_matched == "delete":  # matched rows drop; new keys insert
+        kept = touched_df.join(updates.select(key), on=key, how="left_anti")
+        existing_keys = touched_df.select(key).distinct()
+        incoming = updates.join(existing_keys, on=key, how="left_anti")
+    else:
+        raise ValueError(
+            f"when_matched must be update|ignore|delete, got {when_matched!r}"
+        )
 
     merged = kept.unionByName(incoming.select(*touched_df.columns))
     new_entries = table._write_files(merged, snap.partition_spec)

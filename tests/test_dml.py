@@ -778,3 +778,19 @@ def test_promote_then_time_travel_keeps_old_schema(spark, tmp_path):
     promote_column(t, "k", "long")  # v2
     assert dict(t.scan(snapshot=t.snapshot(1)).dtypes)["k"] == "int"
     assert dict(t.to_df().dtypes)["k"] == "bigint"
+
+
+def test_merge_matched_delete(table):
+    spark = table.spark
+    # keys 90..109: 90..99 exist (matched -> delete), 100..109 are new
+    updates = spark.range(90, 110).select(
+        F.col("id").alias("k"), (F.col("id") * 10.0).alias("v")
+    )
+    merge_into(table, updates, key="k", when_matched="delete")
+    df = table.to_df()
+    assert df.count() == 100  # 100 - 10 deleted + 10 inserted
+    assert df.filter((F.col("k") >= 90) & (F.col("k") < 100)).count() == 0
+    # inserted rows carry the updates' values
+    assert df.filter(F.col("k") == 105).first()["v"] == 1050.0
+    with pytest.raises(ValueError):
+        merge_into(table, updates, key="k", when_matched="upsert")
