@@ -884,9 +884,7 @@ def q6d_lakehouse_mor_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q6g_lakehouse_restore",
-    # new in r5: local oracle parity only; rotate into the judged window
-    # once a slot frees (certifies restore_to + inspect_history end-to-end)
-    defer=True,
+    # rotated into the judged window in r5
     oracle="""
     SELECT (SELECT COUNT(*) FROM documents WHERE lang = 'en') AS v1_rows,
            (SELECT COUNT(*) FROM documents) AS v2_rows,
@@ -944,9 +942,7 @@ def q6g_lakehouse_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q6h_lakehouse_sql_views",
-    # new in r5: local oracle parity only; rotate into the judged window
-    # once a slot frees (certifies catalog.sql / temp-view SQL surface)
-    defer=True,
+    # rotated into the judged window in r5
     oracle=f"""
     SELECT lang,
            COUNT(*) AS n_docs,

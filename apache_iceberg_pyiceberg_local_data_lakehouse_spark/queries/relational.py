@@ -458,6 +458,10 @@ def q17_segment_distinct_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q18_setops_machinery_vs_rich",
+    # rotated out of the judged window in r5 (judged green r4; shape
+    # covered by a windowed sibling); still full-oracle under
+    # tests/test_oracle_parity.py
+    defer=True,
     oracle="""
     SELECT custkey, 'machinery_only' AS bucket FROM (
       SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'MACHINERY'

@@ -92,6 +92,10 @@ def q41_dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q42_text_stats_by_lang",
+    # rotated out of the judged window in r5 (judged green r4; shape
+    # covered by a windowed sibling); still full-oracle under
+    # tests/test_oracle_parity.py
+    defer=True,
     oracle=f"""
     SELECT lang,
            COUNT(*) AS n_docs,
@@ -626,6 +630,10 @@ def q56_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q57_stratified_sample",
+    # rotated out of the judged window in r5 (judged green r4; shape
+    # covered by a windowed sibling); still full-oracle under
+    # tests/test_oracle_parity.py
+    defer=True,
     oracle="""
     SELECT doc_id, lang,
            (substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000')
@@ -669,6 +677,10 @@ def q57_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q58_document_chunking",
+    # rotated out of the judged window in r5 (judged green r4; shape
+    # covered by a windowed sibling); still full-oracle under
+    # tests/test_oracle_parity.py
+    defer=True,
     oracle="""
     WITH exploded AS (
       SELECT doc_id, text,
@@ -846,9 +858,7 @@ def q4d_bpe_vocab_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q5e_repetition_quality",
-    # new in r5: local oracle parity only; rotate into the judged window
-    # once a slot frees (certifies operators/quality_filters.py)
-    defer=True,
+    # rotated into the judged window in r5
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, lang, string_split(text, ' ') AS t,
@@ -927,9 +937,7 @@ def q5e_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q5f_benchmark_contamination",
-    # new in r5: local oracle parity only; rotate into the judged window
-    # once a slot frees (certifies operators/contamination.py)
-    defer=True,
+    # rotated into the judged window in r5
     oracle="""
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
     cg AS (

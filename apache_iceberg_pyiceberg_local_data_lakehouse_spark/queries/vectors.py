@@ -129,6 +129,10 @@ def q51_embedding_norms_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q52_embedding_near_duplicates",
+    # rotated out of the judged window in r5 (judged green r4; shape
+    # covered by a windowed sibling); still full-oracle under
+    # tests/test_oracle_parity.py
+    defer=True,
     oracle=f"""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            ROUND({_COS_SQL.format(a='a.embedding', b='b.embedding')}, 9) AS sim
@@ -390,9 +394,7 @@ def q55b_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q5g_semantic_dedup",
-    # new in r5: local oracle parity only; rotate into the judged window
-    # once a slot frees (certifies operators/dedup.semantic_duplicates)
-    defer=True,
+    # rotated into the judged window in r5
     oracle=f"""
     WITH cent AS (
       SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
