@@ -465,6 +465,63 @@ class LakehouseTable:
             new_files, max_retries=max_retries, extra_summary=extra_summary
         )
 
+    def add_files(
+        self, paths: list[str], max_retries: int = 5
+    ) -> Snapshot:
+        """Adopt existing parquet files by REFERENCE (Iceberg's
+        ``add_files`` / migrate): no copy, no rewrite — one metadata
+        commit whose entries point at the files where they are, with
+        row counts and min/max stats read from the parquet footers
+        (distributed for large imports, like ``_write_files``).
+
+        Constraints: unpartitioned tables only (partition values cannot
+        be derived safely without scanning the data); file columns must
+        be a subset of the table schema by name (missing columns read as
+        null, extra columns raise — they would be silently dropped).
+        Adopted files may live OUTSIDE the table location; orphan GC
+        only ever deletes under ``<table>/data``, so maintenance can
+        never destroy an adopted file — dropping it from the current
+        snapshot (compaction, DELETE) just stops referencing it."""
+        if self.partition_spec:
+            raise ValueError(
+                "add_files requires an unpartitioned table; partition "
+                "values cannot be derived without reading the data"
+            )
+        import pyarrow.parquet as pq
+
+        snap = self.snapshot()
+        known = {e["path"] for e in snap.manifest}
+        table_cols = {f.name for f in self.schema.fields}
+        abs_paths = []
+        for p in paths:
+            ap = os.path.abspath(p)
+            if os.path.relpath(ap, self.location) in known:
+                raise ValueError(f"{p} is already referenced by the table")
+            extra = set(pq.read_schema(ap).names) - table_cols
+            if extra:
+                raise ValueError(
+                    f"{p} has columns not in the table schema: {sorted(extra)}"
+                )
+            abs_paths.append(ap)
+        location = self.location
+        stat_cols = set(table_cols)
+        if len(abs_paths) >= self._STATS_JOB_THRESHOLD:
+            sc = self.spark.sparkContext
+            entries = (
+                sc.parallelize(abs_paths, min(len(abs_paths), 64))
+                .map(lambda f: _footer_entry(f, {}, stat_cols, location))
+                .collect()
+            )
+        else:
+            entries = [
+                _footer_entry(f, {}, stat_cols, location) for f in abs_paths
+            ]
+        return self._commit_append(
+            entries,
+            max_retries=max_retries,
+            extra_summary={"adopted_files": len(entries)},
+        )
+
     def _commit_append(
         self,
         new_files: list[dict],
@@ -1519,6 +1576,32 @@ class LakehouseTable:
         schema = (
             "path string, content string, seq long, rows long, bytes long, "
             "partition map<string,string>"
+        )
+        if not rows:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.createDataFrame(rows, schema)
+
+    def inspect_manifests(self) -> DataFrame:
+        """One row per manifest file of the current snapshot: path, size,
+        entry counts by content type (Iceberg's ``manifests`` metadata
+        table) — the input for deciding a manifest rewrite."""
+        snap = self.snapshot()
+        rows = []
+        for rel in snap.manifest_files:
+            entries = self._read_manifest_file(rel)
+            rows.append(
+                (
+                    rel,
+                    os.path.getsize(self._manifest_path(rel)),
+                    len(entries),
+                    sum(1 for e in entries if e.get("content", "data") == "data"),
+                    sum(1 for e in entries if e.get("content") == "eq-del"),
+                    sum(1 for e in entries if e.get("content") == "pos-del"),
+                )
+            )
+        schema = (
+            "path string, bytes long, n_entries int, n_data int, "
+            "n_eq_deletes int, n_pos_deletes int"
         )
         if not rows:
             return self.spark.createDataFrame([], schema)

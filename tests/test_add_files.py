@@ -1,0 +1,108 @@
+"""add_files: adopt existing parquet by reference (Iceberg migrate path).
+
+The onboarding story for an existing 100 TB parquet lake: one metadata
+commit per import batch, footer-derived stats, zero data movement — and
+maintenance can never delete a file it merely references.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache_iceberg_pyiceberg_local_data_lakehouse_spark.catalog import LakehouseCatalog
+from apache_iceberg_pyiceberg_local_data_lakehouse_spark.maintenance import (
+    expire_snapshots,
+)
+
+from test_table_format import TICK_SCHEMA, tick_df
+
+
+@pytest.fixture
+def catalog(spark, tmp_path):
+    return LakehouseCatalog(spark, str(tmp_path / "warehouse"))
+
+
+def _external_parquet(spark, path, n=20, start="2024-01-01 00:00:00"):
+    tick_df(spark, n=n, start=start).coalesce(1).write.parquet(str(path))
+    return [
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    ]
+
+
+def test_add_files_by_reference(catalog, spark, tmp_path):
+    files = _external_parquet(spark, tmp_path / "ext1", n=20)
+    t = catalog.create_table("gold.adopt", TICK_SCHEMA, [])
+    snap = t.add_files(files)
+    assert snap.summary["adopted_files"] == len(files)
+    assert t.to_df().count() == 20
+    # no copy: the data files still live outside the table location
+    assert all(os.path.exists(f) for f in files)
+    assert os.listdir(t.data_dir) == []
+    # footer stats power pruning like native writes
+    entry = t.snapshot().data_entries[0]
+    assert entry["rows"] == 20 and "Bid" in entry["stats"]
+    # appends compose with adopted files
+    t.append(tick_df(spark, n=5, start="2024-06-01 00:00:00"))
+    assert t.to_df().count() == 25
+
+
+def test_add_files_validation(catalog, spark, tmp_path):
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.table import (
+        PartitionField,
+    )
+
+    files = _external_parquet(spark, tmp_path / "ext2", n=5)
+    part = catalog.create_table(
+        "gold.part",
+        TICK_SCHEMA,
+        [PartitionField("DateTime", "years", "DateTime_year")],
+    )
+    with pytest.raises(ValueError):
+        part.add_files(files)
+
+    t = catalog.create_table("gold.flat", TICK_SCHEMA, [])
+    t.add_files(files)
+    with pytest.raises(ValueError):
+        t.add_files(files)  # double-adopt
+
+    # extra columns would silently vanish on scan -> refuse
+    extra_dir = tmp_path / "ext3"
+    tick_df(spark, n=3).withColumn("venue", F.lit("x")).coalesce(1).write.parquet(
+        str(extra_dir)
+    )
+    extra_files = [
+        os.path.join(extra_dir, f)
+        for f in os.listdir(extra_dir)
+        if f.endswith(".parquet")
+    ]
+    with pytest.raises(ValueError):
+        t.add_files(extra_files)
+
+
+def test_adopted_files_survive_expiry_gc(catalog, spark, tmp_path):
+    files = _external_parquet(spark, tmp_path / "ext4", n=10)
+    t = catalog.create_table("gold.safe", TICK_SCHEMA, [])
+    t.add_files(files)  # v1
+    t.append(tick_df(spark, n=5, start="2024-06-01 00:00:00"))  # v2
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.dml import delete_where
+
+    delete_where(t, F.col("Bid") >= 0.0)  # v3: drops every reference
+    expire_snapshots(t, retain_last=1, orphan_grace_secs=0)
+    # the adopted files are un-referenced now, but GC must not touch them
+    assert all(os.path.exists(f) for f in files)
+
+
+def test_inspect_manifests(catalog, spark):
+    t = catalog.create_table("gold.mf", TICK_SCHEMA, [])
+    t.append(tick_df(spark, n=5))
+    t.append(tick_df(spark, n=5, start="2024-02-01 00:00:00"))
+    m = t.inspect_manifests()
+    rows = m.collect()
+    assert len(rows) == 2  # one delta manifest per append
+    assert all(r["n_entries"] == r["n_data"] >= 1 for r in rows)
+    assert all(r["bytes"] > 0 for r in rows)
