@@ -775,3 +775,101 @@ def semantic_duplicates(
         )
         .filter(F.col("sim") >= F.lit(threshold))
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dedup: new batch vs an existing corpus (cross-LSH)
+# ---------------------------------------------------------------------------
+
+
+def minhash_against_corpus(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    n_hashes: int = 128,
+    n_bands: int = 32,
+    shingle_len: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup matches of NEW documents against an EXISTING corpus:
+    (new_id, corpus_id, jaccard) for true jaccard >= threshold.
+
+    The incremental twin of ``minhash_near_duplicates`` — the everyday
+    shape in a training pipeline (dedup today's crawl against the
+    accumulated corpus before appending). Cost scales with the NEW
+    side: both sides band with the same seeded permutations, but the
+    join is new-bands x corpus-bands only — no corpus-corpus pairs
+    ever form, so yesterday's 100 TB never self-joins again.
+    Candidates verify with exact jaccard (array intersect/union on the
+    two token sets); precision is exact, recall is the LSH banding
+    curve (miss prob (1-t^rows)^bands)."""
+    rows_per_band = n_hashes // n_bands
+
+    def bandit(sig_df: DataFrame, name: str) -> DataFrame:
+        sig = F.col("minhash")
+        bands = []
+        for b in range(n_bands):
+            band = F.slice(sig, b * rows_per_band + 1, rows_per_band)
+            bands.append(
+                F.struct(F.lit(b).alias("band"), F.hash(band).alias("bucket"))
+            )
+        return sig_df.select(
+            F.col(id_col).alias(name), F.explode(F.array(*bands)).alias("bb")
+        ).select(name, "bb.band", "bb.bucket")
+
+    new_sig = minhash_signatures(
+        new_df, text_col, id_col, n_hashes, shingle_len, seed
+    )
+    corpus_sig = minhash_signatures(
+        corpus_df, text_col, id_col, n_hashes, shingle_len, seed
+    )
+    cands = (
+        bandit(new_sig, "new_id")
+        .join(bandit(corpus_sig, "corpus_id"), ["band", "bucket"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    new_toks = new_df.select(
+        F.col(id_col).alias("new_id"),
+        F.array_distinct(_token_array(F.col(text_col), shingle_len)).alias(
+            "__tn"
+        ),
+    )
+    corpus_toks = corpus_df.select(
+        F.col(id_col).alias("corpus_id"),
+        F.array_distinct(_token_array(F.col(text_col), shingle_len)).alias(
+            "__tc"
+        ),
+    )
+    inter = F.size(F.array_intersect("__tn", "__tc"))
+    union = F.size("__tn") + F.size("__tc") - inter
+    return (
+        cands.join(new_toks, "new_id")
+        .join(corpus_toks, "corpus_id")
+        .select(
+            "new_id",
+            "corpus_id",
+            (inter / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+    )
+
+
+def filter_near_duplicates_of(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    **kwargs,
+) -> DataFrame:
+    """``new_df`` minus rows near-duplicating the corpus — the J1
+    exact-key dedup gate (``dedup_against_table``) generalized to
+    near-duplicates. Anti-join on the match list; the new batch passes
+    through otherwise untouched."""
+    matches = minhash_against_corpus(
+        new_df, corpus_df, text_col, id_col, threshold, **kwargs
+    ).select(F.col("new_id").alias(id_col))
+    return new_df.join(matches, id_col, "left_anti")

@@ -995,3 +995,58 @@ def q5f_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_matched"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+@register(
+    "q5h_incremental_near_dedup",
+    # new in r5, registered behind the judged window (rotate in when a
+    # slot frees); certifies dedup.minhash_against_corpus end-to-end
+    defer=True,
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS t
+      FROM documents
+    ),
+    n AS (SELECT * FROM toks WHERE doc_id % 3 = 0),
+    c AS (SELECT * FROM toks WHERE doc_id % 3 <> 0),
+    pairs AS (
+      SELECT n.doc_id AS new_id, c.doc_id AS corpus_id
+      FROM n JOIN c
+      ON len(list_intersect(n.t, c.t))::DOUBLE
+         / (len(n.t) + len(c.t) - len(list_intersect(n.t, c.t))) >= 0.9
+    )
+    SELECT (SELECT COUNT(*) FROM n) AS n_new,
+           (SELECT COUNT(DISTINCT new_id) FROM pairs) AS n_flagged,
+           (SELECT COUNT(*) FROM pairs) AS n_pairs,
+           (SELECT COUNT(*) FROM n) -
+             (SELECT COUNT(DISTINCT new_id) FROM pairs) AS n_clean
+    """,
+)
+def q5h_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup: treat 1/3 of documents as today's batch
+    and the rest as the accumulated corpus; count batch docs
+    near-duplicating the corpus (true jaccard >= 0.9 via LSH banding +
+    exact verification) and the size of the cleaned batch. The corpus
+    side never self-joins — the everyday dedup gate at 100 TB."""
+    from ..operators.dedup import (
+        filter_near_duplicates_of,
+        minhash_against_corpus,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 3 == 0)
+    corpus = d.filter(F.col("doc_id") % 3 != 0)
+    matches = minhash_against_corpus(
+        new, corpus, "text", "doc_id", threshold=0.9
+    )
+    matches.cache()
+    n_new = new.count()
+    n_flagged = matches.select("new_id").distinct().count()
+    n_pairs = matches.count()
+    n_clean = filter_near_duplicates_of(
+        new, corpus, "text", "doc_id", threshold=0.9
+    ).count()
+    return spark.createDataFrame(
+        [(n_new, n_flagged, n_pairs, n_clean)],
+        "n_new long, n_flagged long, n_pairs long, n_clean long",
+    )

@@ -964,3 +964,44 @@ def test_semantic_duplicates_cross_cluster_blindness(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     cents = [(0, [1.0, 0.5, 0.0]), (1, [1.0, -0.5, 0.0])]
     assert semantic_duplicates(df, cents, threshold=0.9).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# incremental near-dedup (new batch vs corpus)
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_against_corpus(spark):
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.dedup import (
+        filter_near_duplicates_of,
+        minhash_against_corpus,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six seven"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta"),   # exact dup of 1
+            (11, "alpha beta gamma delta epsilon eta"),    # 5/7 jaccard of 1
+            (12, "totally fresh unseen content here now"),
+        ],
+        "doc_id long, text string",
+    )
+    m = minhash_against_corpus(new, corpus, "text", "doc_id", threshold=0.9)
+    rows = {(r["new_id"], r["corpus_id"]): r["jaccard"] for r in m.collect()}
+    assert rows == {(10, 1): 1.0}  # only the exact dup passes 0.9
+    # lower threshold admits the 5/7 overlap
+    m2 = minhash_against_corpus(new, corpus, "text", "doc_id", threshold=0.7)
+    got = {(r["new_id"], r["corpus_id"]) for r in m2.collect()}
+    assert got == {(10, 1), (11, 1)}
+    # the gate keeps only genuinely new docs; corpus rows never pair
+    # with each other (no corpus_id ever equals another corpus doc)
+    clean = filter_near_duplicates_of(
+        new, corpus, "text", "doc_id", threshold=0.7
+    )
+    assert {r["doc_id"] for r in clean.collect()} == {12}
