@@ -82,7 +82,7 @@ def _list_data_files(table: LakehouseTable) -> list[tuple[str, float]]:
 def expire_snapshots(
     table: LakehouseTable,
     older_than_ms: int | None = None,
-    retain_last: int = MIN_SNAPSHOTS_TO_KEEP,
+    retain_last: int | None = None,
     delete_orphan_files: bool = True,
     orphan_grace_secs: float = 86400.0,
 ) -> dict:
@@ -97,9 +97,28 @@ def expire_snapshots(
     immediate GC.
 
     Returns a summary dict (expired snapshot count, deleted file count)
-    mirroring the reference's per-run bookkeeping."""
+    mirroring the reference's per-run bookkeeping.
+
+    Unset arguments resolve from table properties (Iceberg's names:
+    ``history.expire.min-snapshots-to-keep``,
+    ``history.expire.max-snapshot-age-ms``), then from module defaults —
+    so retention policy can live with the table instead of every
+    call site."""
+    props = table.properties()
+    if retain_last is None:
+        retain_last = int(
+            props.get(
+                "history.expire.min-snapshots-to-keep", MIN_SNAPSHOTS_TO_KEEP
+            )
+        )
     if older_than_ms is None:
-        older_than_ms = int(time.time() * 1000) - DEFAULT_RETENTION_DAYS * 86400_000
+        age_ms = int(
+            props.get(
+                "history.expire.max-snapshot-age-ms",
+                DEFAULT_RETENTION_DAYS * 86400_000,
+            )
+        )
+        older_than_ms = int(time.time() * 1000) - age_ms
 
     snaps = table.snapshots()
     # newest `retain_last` are protected unconditionally; the current

@@ -1327,6 +1327,37 @@ class LakehouseTable:
             pass
         return n
 
+    # -- table properties ----------------------------------------------------
+
+    def _properties_path(self) -> str:
+        return os.path.join(self.metadata_dir, "properties.json")
+
+    def properties(self) -> dict[str, str]:
+        """Table properties (Iceberg's string-keyed config surface, e.g.
+        ``history.expire.min-snapshots-to-keep``). Stored next to refs;
+        maintenance ops read their defaults from here."""
+        try:
+            with open(self._properties_path()) as f:
+                return {str(k): str(v) for k, v in json.load(f).items()}
+        except FileNotFoundError:
+            return {}
+
+    def set_properties(self, **props: Any) -> dict[str, str]:
+        merged = {**self.properties(), **{k: str(v) for k, v in props.items()}}
+        tmp = os.path.join(self.metadata_dir, f".props.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(merged, f)
+        os.replace(tmp, self._properties_path())
+        return merged
+
+    def unset_properties(self, *keys: str) -> dict[str, str]:
+        kept = {k: v for k, v in self.properties().items() if k not in keys}
+        tmp = os.path.join(self.metadata_dir, f".props.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(kept, f)
+        os.replace(tmp, self._properties_path())
+        return kept
+
     # -- named refs (tags + branches) ----------------------------------------
 
     def _refs_path(self) -> str:

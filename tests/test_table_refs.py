@@ -175,3 +175,34 @@ def test_legacy_refs_file_loads_as_tags(catalog, spark, tmp_path):
     assert set(t.refs()) == {"old-tag", "b"}
     with pytest.raises(ValueError, match="no branch"):
         t.drop_branch("old-tag")
+
+
+def test_table_properties_roundtrip(catalog, spark):
+    t = catalog.create_table("gold.props", TICK_SCHEMA, [])
+    assert t.properties() == {}
+    t.set_properties(**{"history.expire.min-snapshots-to-keep": 5, "owner": "x"})
+    assert t.properties()["owner"] == "x"
+    t.unset_properties("owner")
+    assert "owner" not in t.properties()
+    assert t.properties()["history.expire.min-snapshots-to-keep"] == "5"
+
+
+def test_expiry_reads_retention_properties(catalog, spark):
+    t = catalog.create_table("gold.proppol", TICK_SCHEMA, [])
+    for i in range(4):
+        t.append(tick_df(spark, n=2, start=f"2024-0{i+1}-01 00:00:00"))
+    # policy on the table: keep every snapshot
+    t.set_properties(**{
+        "history.expire.min-snapshots-to-keep": 100,
+        "history.expire.max-snapshot-age-ms": 0,
+    })
+    out = expire_snapshots(t, orphan_grace_secs=0)
+    assert out["expired_snapshots"] == 0
+    # tighten the policy: keep only 1
+    t.set_properties(**{"history.expire.min-snapshots-to-keep": 1})
+    out = expire_snapshots(t, orphan_grace_secs=0)
+    assert out["expired_snapshots"] > 0
+    assert t.to_df().count() == 8  # current state untouched
+    # explicit arguments still override the table policy
+    out = expire_snapshots(t, retain_last=100, orphan_grace_secs=0)
+    assert out["expired_snapshots"] == 0
