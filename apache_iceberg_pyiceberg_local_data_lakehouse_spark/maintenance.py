@@ -395,3 +395,32 @@ def _zorder_bounds(
         for c in missing:
             bounds[c] = (row[f"__lo_{c}"] or 0.0, row[f"__hi_{c}"] or 0.0)
     return bounds
+
+
+def rewrite_manifests(table: LakehouseTable) -> dict:
+    """Compact the current snapshot's manifest-file list into one file
+    (Iceberg's ``rewrite_manifests``), committed as a metadata-only
+    snapshot. Appends auto-merge at the table's threshold; this is the
+    explicit form for after a burst of small commits — an O(entries)
+    metadata write, no data movement. No-op at <=1 manifest file."""
+    import uuid as _uuid
+
+    snap = table.snapshot()
+    before = len(snap.manifest_files)
+    if before <= 1:
+        return {"manifests_before": before, "manifests_after": before}
+    merged = table._write_manifest_file(snap.manifest)
+    new = type(snap)(
+        snapshot_id=_uuid.uuid4().hex,
+        version=snap.version + 1,
+        timestamp_ms=int(time.time() * 1000),
+        operation="rewrite-manifests",
+        parent_id=snap.snapshot_id,
+        schema_json=snap.schema_json,
+        partition_spec=snap.partition_spec,
+        manifest=snap.manifest,
+        manifest_files=[merged],
+        summary={"merged_manifests": before},
+    )
+    table._commit(new)
+    return {"manifests_before": before, "manifests_after": 1}

@@ -187,3 +187,28 @@ def test_merge_into_reuses_out_of_range_manifests(catalog, spark):
     df = t.to_df()
     assert df.count() == 8
     assert df.filter(F.col("Bid") == 9.9).count() == 2
+
+
+def test_rewrite_manifests_explicit(spark, tmp_path):
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.catalog import (
+        LakehouseCatalog,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.maintenance import (
+        rewrite_manifests,
+    )
+    from test_table_format import TICK_SCHEMA, tick_df
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    t = cat.create_table("gold.rwm", TICK_SCHEMA, [])
+    for i in range(5):
+        t.append(tick_df(spark, n=3, start=f"2024-0{i+1}-01 00:00:00"))
+    n_before = t.to_df().count()
+    assert len(t.snapshot().manifest_files) == 5
+    out = rewrite_manifests(t)
+    assert out == {"manifests_before": 5, "manifests_after": 1}
+    assert len(t.snapshot().manifest_files) == 1
+    assert t.to_df().count() == n_before  # metadata-only
+    # idempotent / no-op on a single manifest
+    v = t.current_version()
+    assert rewrite_manifests(t)["manifests_after"] == 1
+    assert t.current_version() == v
