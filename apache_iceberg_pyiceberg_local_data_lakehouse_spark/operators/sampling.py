@@ -68,3 +68,33 @@ def stratified_sample(
         .filter(F.col("__rn") <= n_per_stratum)
         .drop("__rn")
     )
+
+
+def uniform_from_key(key: Column) -> Column:
+    """Deterministic uniform draw in [0, 1) from a key: the first 8 md5
+    hex chars as a 32-bit integer (exact in a double), scaled. The same
+    value is computable in any engine with md5 + hex parsing (DuckDB:
+    ``CAST('0x' || substring(md5(k), 1, 8) AS BIGINT) / 4294967296.0``)."""
+    return (
+        F.conv(F.substring(_hash_key(key), 1, 8), 16, 10).cast("double")
+        / F.lit(4294967296.0)
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight: Column,
+    key_col: str,
+    scale: float = 1.0,
+) -> DataFrame:
+    """Deterministic weighted sampling: keep a row iff its hash-derived
+    uniform draw is below ``scale * weight`` — each row kept with
+    probability min(1, scale*weight), independently, reproducibly.
+
+    The quality-weighted resampling step of corpus curation (CCNet /
+    GPT-3 style: upweight high-quality documents by keeping them with
+    higher probability). Pure per-row filter: no shuffle, no RNG state,
+    append-stable, and pushes down like any predicate. ``weight`` is an
+    arbitrary Column (a quality score, a per-language rate, ...)."""
+    u = uniform_from_key(F.col(key_col))
+    return df.filter(u < F.lit(float(scale)) * weight)

@@ -1050,3 +1050,36 @@ def q5h_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_new, n_flagged, n_pairs, n_clean)],
         "n_new long, n_flagged long, n_pairs long, n_clean long",
     )
+
+
+@register(
+    "q5i_weighted_sample",
+    # new in r5, registered behind the judged window (rotate in when a
+    # slot frees); certifies sampling.weighted_sample cross-engine
+    defer=True,
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_kept,
+           SUM(n_chars) AS chars_kept
+    FROM documents
+    WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+          / 4294967296.0
+          < 0.5 * LEAST(n_chars / 500.0, 1.0)
+    GROUP BY lang
+    """,
+)
+def q5i_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus resampling: keep each document with
+    probability 0.5 * min(n_chars/500, 1) via the deterministic
+    hash-uniform draw — reproducible, append-stable, pure filter
+    (no RNG, no shuffle). Counts per language certify the exact kept
+    set cross-engine."""
+    from ..operators.sampling import weighted_sample
+
+    d = load(spark, sf_dir, "documents")
+    w = F.least(F.col("n_chars") / 500.0, F.lit(1.0))
+    kept = weighted_sample(d, w, "doc_id", scale=0.5)
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_chars").alias("chars_kept"),
+    )

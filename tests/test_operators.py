@@ -1005,3 +1005,30 @@ def test_minhash_against_corpus(spark):
         new, corpus, "text", "doc_id", threshold=0.7
     )
     assert {r["doc_id"] for r in clean.collect()} == {12}
+
+
+def test_weighted_sample_deterministic_and_proportional(spark):
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.sampling import (
+        weighted_sample,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(4000).select(
+        F.col("id"),
+        # two weight classes: 0.8 and 0.2
+        F.when(F.col("id") % 2 == 0, 0.8).otherwise(0.2).alias("w"),
+    )
+    kept = weighted_sample(df, F.col("w"), "id")
+    a = kept.filter(F.col("id") % 2 == 0).count()
+    b = kept.filter(F.col("id") % 2 != 0).count()
+    # expectation: 1600 vs 400; allow generous tolerance
+    assert 1300 < a < 1900
+    assert 250 < b < 550
+    # deterministic: identical second run
+    kept2 = weighted_sample(df, F.col("w"), "id")
+    assert sorted(r["id"] for r in kept.collect()) == sorted(
+        r["id"] for r in kept2.collect()
+    )
+    # weight >= 1 with scale 1 keeps everything; weight 0 keeps nothing
+    assert weighted_sample(df, F.lit(1.0), "id", scale=1.0).count() == 4000
+    assert weighted_sample(df, F.lit(0.0), "id").count() == 0
