@@ -1083,3 +1083,49 @@ def q5i_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_kept"),
         F.sum("n_chars").alias("chars_kept"),
     )
+
+
+@register(
+    "q5j_hashed_embeddings",
+    # new in r5, registered behind the judged window (rotate in when a
+    # slot frees); certifies operators/embedding.py cross-engine
+    defer=True,
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS tok
+      FROM documents
+    ), h AS (
+      SELECT doc_id, lang,
+             CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT) AS u
+      FROM toks
+    ), b AS (
+      SELECT doc_id, lang, u % 64 AS bucket,
+             CASE WHEN (u // 64) % 2 = 0 THEN -1.0 ELSE 1.0 END AS sign
+      FROM h
+    ), v AS (
+      SELECT doc_id, lang, bucket, SUM(sign) AS val FROM b GROUP BY ALL
+    ), n AS (
+      SELECT doc_id, lang, sqrt(SUM(val * val)) AS norm
+      FROM v GROUP BY doc_id, lang
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           {_davg_sql('norm', 1_000_000)} AS avg_norm
+    FROM n
+    GROUP BY lang
+    """,
+)
+def q5j_hashed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed embeddings end-to-end: hash every token to a
+    signed bucket (md5-derived, engine-portable), roll up per-document
+    L2 norms, and aggregate per language. The operator also materializes
+    the dense array<double> for the ANN stack (hashed_embedding);
+    the norms path here avoids the dense build entirely."""
+    from ..operators.embedding import embedding_norms
+
+    d = load(spark, sf_dir, "documents")
+    norms = embedding_norms(d).join(d.select("doc_id", "lang"), "doc_id")
+    return norms.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        davg(F.col("norm"), 1_000_000).alias("avg_norm"),
+    )

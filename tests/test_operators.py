@@ -1032,3 +1032,44 @@ def test_weighted_sample_deterministic_and_proportional(spark):
     # weight >= 1 with scale 1 keeps everything; weight 0 keeps nothing
     assert weighted_sample(df, F.lit(1.0), "id", scale=1.0).count() == 4000
     assert weighted_sample(df, F.lit(0.0), "id").count() == 0
+
+
+def test_hashed_embedding_dense_matches_norms(spark):
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.embedding import (
+        embedding_norms,
+        hashed_embedding,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark hash trick embedding spark"),
+            (2, "a completely different document"),
+            (3, None),  # no tokens -> zero vector
+        ],
+        "doc_id long, text string",
+    )
+    emb = hashed_embedding(df, dim=32)
+    rows = {r["doc_id"]: r["embedding"] for r in emb.collect()}
+    assert all(len(v) == 32 for v in rows.values())
+    assert rows[3] == [0.0] * 32
+    # dense-array norms equal the no-materialization norms path
+    import math
+
+    norms = {r["doc_id"]: r["norm"] for r in embedding_norms(df, dim=32).collect()}
+    for did in (1, 2):
+        assert math.sqrt(sum(x * x for x in rows[did])) == pytest.approx(
+            norms[did]
+        )
+    # duplicate tokens accumulate: "spark" twice -> some |component| == 2
+    assert any(abs(x) == 2.0 for x in rows[1])
+    # deterministic across runs
+    again = {r["doc_id"]: r["embedding"] for r in hashed_embedding(df, dim=32).collect()}
+    assert again == rows
+    # normalized variant has unit norm (except the zero vector)
+    unit = {
+        r["doc_id"]: r["embedding"]
+        for r in hashed_embedding(df, dim=32, normalize=True).collect()
+    }
+    assert math.sqrt(sum(x * x for x in unit[1])) == pytest.approx(1.0)
+    assert unit[3] == [0.0] * 32
