@@ -20,6 +20,8 @@ Spark-natively:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -65,6 +67,20 @@ def _overlapping_entries(
         else:
             touched.append(e)
     return touched, untouched
+
+
+def _require_no_external_files(snap: Snapshot, op: str) -> None:
+    """Positional merge-on-read DML derives (file, ordinal) identities
+    from scan URIs under the table location; adopted external files
+    (``add_files``) live outside it, so their identities cannot be
+    derived - refuse up front with a actionable message instead of a
+    mid-scan raise_error."""
+    if any(e["path"].startswith("..") for e in snap.data_entries):
+        raise ValueError(
+            f"{op} is not supported on tables referencing adopted "
+            "external files (add_files); compact() them into the table "
+            "first, or use equality deletes / copy-on-write"
+        )
 
 
 def delete_where(
@@ -118,6 +134,7 @@ def delete_where(
         )
     snap = table.snapshot()
     if mode == "merge-on-read" and positional:
+        _require_no_external_files(snap, "positional merge-on-read DELETE")
         matches = (
             table._read_data(snap.data_entries, snap, with_pos=True)
             .filter(predicate)
@@ -230,6 +247,7 @@ def update_where(
         return df
 
     if mode == "merge-on-read":
+        _require_no_external_files(snap, "merge-on-read UPDATE")
         # the update must see the LOGICAL table: pending tombstones are
         # applied (with positions preserved) so already-deleted rows can
         # never be resurrected as "updated" copies
@@ -295,15 +313,31 @@ def update_where(
     # UPDATE on a 100 TB table rewrites a handful of files, not the
     # table. The collected set is bounded by the live file count, same
     # as the position-delete target list.
-    matched_files = {
-        r["__file_rel"]
-        for r in table._read_data(snap.data_entries, snap, with_pos=True)
+    # The pruning scan reads the raw _metadata.file_path (no __file_rel
+    # derivation, so adopted external files — whose URIs don't contain
+    # the table location — prune fine too) and resolves URIs to manifest
+    # paths driver-side with real URL decoding.
+    from urllib.parse import unquote, urlparse
+
+    matched_uris = [
+        r["file_path"]
+        for r in table._read_data(snap.data_entries, snap)
         .filter(predicate)
-        .select("__file_rel")
+        .select(F.col("_metadata.file_path").alias("file_path"))
         .distinct()
         .collect()
+    ]
+    matched_files = {
+        os.path.relpath(unquote(urlparse(u).path), table.location)
+        for u in matched_uris
     }
     touched = [e for e in snap.data_entries if e["path"] in matched_files]
+    if len(touched) != len(matched_files):
+        raise RuntimeError(
+            "update_where file pruning could not map every matched scan "
+            "URI back to a manifest entry; refusing a partial rewrite. "
+            f"unmatched: {sorted(matched_files - {e['path'] for e in touched})[:5]}"
+        )
     rewritten = apply_assignments(
         table.scan(snapshot=snap, file_filter=lambda e: e in touched),
         only_matched=False,

@@ -85,22 +85,21 @@ def token_repetition_metrics(
         (F.max("cnt") / F.sum("cnt")).alias("top_frac"),
         (F.lit(1.0) - F.count("*") / F.sum("cnt")).alias("dup_frac"),
     )
+    # with multiple aggregations, pivot always names columns
+    # "<value>_<alias>" — even for a single pivot value
     wide = per.groupBy(id_col).pivot("n", list(sizes)).agg(
         F.first("top_frac").alias("top"), F.first("dup_frac").alias("dup")
     )
     out = df.select(id_col).join(wide, id_col, "left")
     for n in top_grams:
-        col = f"{n}_top" if len(sizes) > 1 else "top"
         out = out.withColumn(
-            f"top{n}gram_frac", F.coalesce(F.col(col), F.lit(0.0))
+            f"top{n}gram_frac", F.coalesce(F.col(f"{n}_top"), F.lit(0.0))
         )
     for n in dup_grams:
-        col = f"{n}_dup" if len(sizes) > 1 else "dup"
         out = out.withColumn(
-            f"dup{n}gram_frac", F.coalesce(F.col(col), F.lit(0.0))
+            f"dup{n}gram_frac", F.coalesce(F.col(f"{n}_dup"), F.lit(0.0))
         )
-    drop = [c for c in out.columns if c.endswith("_top") or c.endswith("_dup")
-            or c in ("top", "dup")]
+    drop = [c for c in out.columns if c.endswith("_top") or c.endswith("_dup")]
     return out.drop(*drop)
 
 

@@ -477,7 +477,11 @@ class LakehouseTable:
         Constraints: unpartitioned tables only (partition values cannot
         be derived safely without scanning the data); file columns must
         be a subset of the table schema by name (missing columns read as
-        null, extra columns raise — they would be silently dropped).
+        null, extra columns raise — they would be silently dropped), and
+        each present column's type must equal the table's or widen to it
+        (int→long, float→double, decimal precision — the same legal set
+        as ``promote_column``; anything else would defer a
+        parquet-conversion crash to every future scan).
         Adopted files may live OUTSIDE the table location; orphan GC
         only ever deletes under ``<table>/data``, so maintenance can
         never destroy an adopted file — dropping it from the current
@@ -491,20 +495,28 @@ class LakehouseTable:
 
         snap = self.snapshot()
         known = {e["path"] for e in snap.manifest}
-        table_cols = {f.name for f in self.schema.fields}
+        table_fields = {f.name: f.dataType for f in self.schema.fields}
         abs_paths = []
         for p in paths:
             ap = os.path.abspath(p)
             if os.path.relpath(ap, self.location) in known:
                 raise ValueError(f"{p} is already referenced by the table")
-            extra = set(pq.read_schema(ap).names) - table_cols
+            fschema = pq.read_schema(ap)
+            extra = set(fschema.names) - set(table_fields)
             if extra:
                 raise ValueError(
                     f"{p} has columns not in the table schema: {sorted(extra)}"
                 )
+            for fld in fschema:
+                if not _readable_as(fld.type, table_fields[fld.name]):
+                    raise ValueError(
+                        f"{p} column {fld.name!r} has type {fld.type} which "
+                        f"is not readable as the table's "
+                        f"{table_fields[fld.name].simpleString()}"
+                    )
             abs_paths.append(ap)
         location = self.location
-        stat_cols = set(table_cols)
+        stat_cols = set(table_fields)
         if len(abs_paths) >= self._STATS_JOB_THRESHOLD:
             sc = self.spark.sparkContext
             entries = (
@@ -1031,7 +1043,9 @@ class LakehouseTable:
                     added_entries.extend(
                         e for e in snaps[v].manifest if e["path"] not in prev_paths
                     )
-                elif op not in ("replace", "alter", "create"):
+                elif op not in (
+                    "replace", "alter", "create", "rewrite-manifests"
+                ):
                     raise ValueError(
                         f"v{v} is a {op!r} snapshot: row removals cannot "
                         "be expressed as an append-only diff - use "
@@ -1105,7 +1119,9 @@ class LakehouseTable:
         for v in range(from_version + 1, to_v + 1):
             s = snaps[v]
             prev_s = snaps[v - 1]
-            if s.operation in ("replace", "alter", "create"):
+            if s.operation in (
+                "replace", "alter", "create", "rewrite-manifests"
+            ):
                 continue  # content-preserving: no logical row changes
             prev_paths = {e["path"] for e in prev_s.manifest}
             added_data = [
@@ -1529,13 +1545,21 @@ class LakehouseTable:
         (their rows are NOT part of the current state's lineage even
         though the linear version chain retains them for time travel)."""
         snaps = self.snapshots()
-        # Walk restores newest-first: a restore to version t makes every
-        # version in (t, restore_version) a non-ancestor.
-        shadowed: set[int] = set()
-        for s in snaps:
+        by_version = {s.version: s for s in snaps}
+        # Walk the CONTENT lineage back from the current version: a
+        # restore commit's content parent is its restore source (so a
+        # later restore can put previously-rolled-back versions right
+        # back onto the ancestry), every other commit's is version-1.
+        # Versions off this walk were rolled back past — non-ancestors.
+        ancestors: set[int] = set()
+        v = self.current_version()
+        while v in by_version and v not in ancestors:
+            ancestors.add(v)
+            s = by_version[v]
             if s.operation == "restore":
-                t = int(s.summary.get("restore-source-version", s.version))
-                shadowed.update(range(t + 1, s.version))
+                v = int(s.summary.get("restore-source-version", v - 1))
+            else:
+                v = v - 1
         rows = [
             (
                 s.timestamp_ms,
@@ -1543,7 +1567,7 @@ class LakehouseTable:
                 s.snapshot_id,
                 s.parent_id,
                 s.operation,
-                s.version not in shadowed,
+                s.version in ancestors,
             )
             for s in snaps
         ]
@@ -1672,6 +1696,33 @@ class LakehouseTable:
 
 _BLOOM_M = 8192  # bits per filter (1 KB); ~1.2% fp at 1000 distinct values
 _BLOOM_K = 4  # hash functions (double hashing from one md5)
+
+
+def _readable_as(arrow_type, spark_type) -> bool:
+    """Can a parquet column with this arrow type be scanned under the
+    given Spark type? True for exact matches and for the legal widening
+    set the vectorized reader supports (mirrors ``dml._PROMOTIONS``)."""
+    try:
+        from pyspark.sql.pandas.types import from_arrow_type
+
+        file_t = from_arrow_type(arrow_type)
+    except Exception:
+        return False  # unconvertible exotic type: refuse loudly
+    if file_t == spark_type:
+        return True
+    widening = {
+        ("byte", "short"), ("byte", "int"), ("byte", "bigint"),
+        ("short", "int"), ("short", "bigint"),
+        ("int", "bigint"), ("float", "double"),
+    }
+    a, b = file_t.simpleString(), spark_type.simpleString()
+    if (a, b) in widening:
+        return True
+    if a.startswith("decimal(") and b.startswith("decimal("):
+        pa_, sa = map(int, a[8:-1].split(","))
+        pb, sb = map(int, b[8:-1].split(","))
+        return sa == sb and pb >= pa_
+    return False
 
 
 def _bloom_key(v: Any) -> bytes | None:

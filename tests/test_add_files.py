@@ -106,3 +106,77 @@ def test_inspect_manifests(catalog, spark):
     assert len(rows) == 2  # one delta manifest per append
     assert all(r["n_entries"] == r["n_data"] >= 1 for r in rows)
     assert all(r["bytes"] > 0 for r in rows)
+
+
+def test_add_files_type_validation(catalog, spark, tmp_path):
+    """Adopting a type-incompatible file must fail at adopt time, not
+    poison every later scan; legal widenings are accepted."""
+    t = catalog.create_table("gold.types", TICK_SCHEMA, [])
+    bad_dir = tmp_path / "ext_badtype"
+    spark.range(3).selectExpr(
+        "CAST(current_timestamp() AS timestamp) AS DateTime",
+        "CAST(id AS string) AS Bid",  # string under a double column
+        "CAST(id AS double) AS Ask",
+    ).coalesce(1).write.parquet(str(bad_dir))
+    bad = [
+        os.path.join(bad_dir, f)
+        for f in os.listdir(bad_dir)
+        if f.endswith(".parquet")
+    ]
+    with pytest.raises(ValueError, match="Bid"):
+        t.add_files(bad)
+
+    # float32 files widen into a double column — legal adoption
+    nar_dir = tmp_path / "ext_narrow"
+    spark.range(3).selectExpr(
+        "CAST(current_timestamp() AS timestamp) AS DateTime",
+        "CAST(id AS float) AS Bid",
+        "CAST(id AS float) AS Ask",
+    ).coalesce(1).write.parquet(str(nar_dir))
+    nar = [
+        os.path.join(nar_dir, f)
+        for f in os.listdir(nar_dir)
+        if f.endswith(".parquet")
+    ]
+    t.add_files(nar)
+    assert t.to_df().agg(F.sum("Bid")).first()[0] == 3.0
+
+
+def test_dml_on_adopted_files(catalog, spark, tmp_path):
+    """Copy-on-write DML prunes/rewrites adopted external files fine;
+    positional merge-on-read DML refuses up front (their (file, pos)
+    identities cannot be derived from scan URIs outside the location)."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.dml import (
+        delete_where,
+        update_where,
+    )
+
+    files = _external_parquet(spark, tmp_path / "ext_dml", n=10)
+    t = catalog.create_table("gold.dml", TICK_SCHEMA, [])
+    t.add_files(files)
+    t.append(tick_df(spark, n=5, start="2024-06-01 00:00:00"))
+
+    # positional MoR refuses while external entries are referenced
+    with pytest.raises(ValueError, match="external"):
+        delete_where(
+            t, F.col("Bid") > 0, mode="merge-on-read", positional=True
+        )
+    with pytest.raises(ValueError, match="external"):
+        update_where(
+            t, F.col("Bid") > 0, {"Ask": F.lit(0.0)}, mode="merge-on-read"
+        )
+
+    # CoW UPDATE: pruning scan maps external URIs back to entries
+    # (Bid < 1.102 matches ids 0,1 in BOTH batches -> 4 rows)
+    update_where(t, F.col("Bid") < 1.102, {"Ask": F.lit(9.9)})
+    assert t.to_df().filter(F.col("Ask") == 9.9).count() == 4
+    assert t.to_df().count() == 15
+    # the original external files are untouched on disk (CoW wrote new)
+    assert all(os.path.exists(f) for f in files)
+    # the matched external file was rewritten INTO the table, so the
+    # snapshot no longer references external entries -> MoR unblocks
+    assert not any(
+        e["path"].startswith("..") for e in t.snapshot().data_entries
+    )
+    delete_where(t, F.col("Ask") == 9.9)
+    assert t.to_df().count() == 11

@@ -89,3 +89,14 @@ def test_every_doc_gets_a_row(spark):
     out = gopher_quality(df)
     assert out.count() == 4
     assert out.filter(F.col("top2gram_frac").isNull()).count() == 0
+
+
+def test_single_gram_size_configuration(spark):
+    # regression: pivot names columns "<n>_<alias>" even for ONE pivot
+    # value when there are multiple aggregations
+    df = spark.createDataFrame(
+        [(1, "a b a b a b a b")], "doc_id long, text string"
+    )
+    m = token_repetition_metrics(df, top_grams=(2,), dup_grams=(2,)).first()
+    assert m["top2gram_frac"] == pytest.approx(4 / 7)
+    assert m["dup2gram_frac"] == pytest.approx(1 - 2 / 7)

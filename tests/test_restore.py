@@ -119,3 +119,36 @@ def test_restored_files_survive_expiry_gc(catalog, spark, tmp_path):
     t.restore_to(1)  # v3
     expire_snapshots(t, retain_last=1, orphan_grace_secs=0)
     assert t.to_df().count() == 4
+
+
+def test_inspect_history_restore_of_restore(catalog, spark):
+    """A later restore can put previously-rolled-back versions back on
+    the ancestry: restore_to(3) after restore_to(1) makes v2,v3
+    ancestors again and v4 (the first restore) the non-ancestor."""
+    t = catalog.create_table("gold.r8", TICK_SCHEMA, [])
+    t.append(tick_df(spark, n=1))  # v1
+    t.append(tick_df(spark, n=1, start="2024-02-01 00:00:00"))  # v2
+    t.append(tick_df(spark, n=1, start="2024-03-01 00:00:00"))  # v3
+    t.restore_to(1)  # v4
+    t.restore_to(3)  # v5
+    assert t.to_df().count() == 3
+    h = {
+        r["version"]: r["is_current_ancestor"]
+        for r in t.inspect_history().collect()
+    }
+    assert h == {0: True, 1: True, 2: True, 3: True, 4: False, 5: True}
+
+
+def test_incremental_scan_skips_rewrite_manifests(catalog, spark):
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.maintenance import (
+        rewrite_manifests,
+    )
+
+    t = catalog.create_table("gold.r9", TICK_SCHEMA, [])
+    t.append(tick_df(spark, n=2))  # v1
+    t.append(tick_df(spark, n=3, start="2024-02-01 00:00:00"))  # v2
+    rewrite_manifests(t)  # v3: metadata-only
+    t.append(tick_df(spark, n=4, start="2024-03-01 00:00:00"))  # v4
+    # incremental consumers cross the rewrite without a refusal
+    assert t.scan_incremental(1).count() == 7  # v2 + v4 rows
+    assert t.scan_changelog(1).count() == 7
