@@ -159,7 +159,18 @@ class LakehouseCatalog:
         selects an older one for SQL time travel). Commits made after
         registration are invisible until ``create_view`` runs again —
         the same contract as Iceberg's REFRESH TABLE.
+
+        A time-travel view (``version=...``) must carry its OWN
+        ``view_name``: under the default name it would be silently
+        re-pointed at the head by the next ``register_views``/``sql``
+        refresh — a pin that quietly unpins is a data-correctness trap.
         """
+        if version is not None and view_name is None:
+            raise ValueError(
+                "a version-pinned view needs an explicit view_name (the "
+                f"default name {self.view_name(identifier)!r} is refreshed "
+                "to the current snapshot by register_views/sql)"
+            )
         t = self.load_table(identifier)
         snap = t.snapshot(version) if version is not None else None
         name = view_name or self.view_name(identifier)
@@ -169,11 +180,23 @@ class LakehouseCatalog:
     def register_views(self, namespace: str | None = None) -> list[str]:
         """Expose every table (optionally one namespace) as temp views.
         Returns the view names. The SQL entry point for users who drive
-        the lakehouse from ``spark.sql`` instead of the Python API."""
+        the lakehouse from ``spark.sql`` instead of the Python API.
+        Raises if two tables map to one view name (dots→underscores is
+        not injective: ``gold.a_b`` vs ``gold_a.b``) — a silent overwrite
+        would serve the wrong table's data."""
         spaces = [namespace] if namespace else self.list_namespaces()
+        seen: dict[str, str] = {}
         out = []
         for ns in spaces:
             for ident in self.list_tables(ns):
+                name = self.view_name(ident)
+                if name in seen:
+                    raise ValueError(
+                        f"view name collision: {ident!r} and {seen[name]!r} "
+                        f"both map to {name!r}; register one with "
+                        "create_view(..., view_name=...) instead"
+                    )
+                seen[name] = ident
                 out.append(self.create_view(ident))
         return out
 

@@ -313,12 +313,22 @@ def update_where(
     # UPDATE on a 100 TB table rewrites a handful of files, not the
     # table. The collected set is bounded by the live file count, same
     # as the position-delete target list.
-    # The pruning scan reads the raw _metadata.file_path (no __file_rel
-    # derivation, so adopted external files — whose URIs don't contain
-    # the table location — prune fine too) and resolves URIs to manifest
-    # paths driver-side with real URL decoding.
+    # The pruned CoW path evaluates the predicate TWICE (file-pruning
+    # scan, then rewrite) in independent jobs; a non-deterministic
+    # predicate could pick files under one draw and update rows under
+    # another, leaving the update scope inconsistent. The MoR branch
+    # solves this with localCheckpoint; here the two-pass structure is
+    # the point (never materialize the table), so refuse instead.
     from urllib.parse import unquote, urlparse
 
+    probe = table._read_data(snap.data_entries, snap).filter(predicate)
+    if not probe._jdf.queryExecution().analyzed().deterministic():
+        raise ValueError(
+            "copy-on-write update_where requires a deterministic "
+            "predicate (it is evaluated once to prune files and once to "
+            "rewrite); use mode='merge-on-read', which materializes the "
+            "matched set exactly once"
+        )
     matched_uris = [
         r["file_path"]
         for r in table._read_data(snap.data_entries, snap)

@@ -81,7 +81,12 @@ def chunk_by_tokens(
     if max_tokens <= 0 or overlap < 0 or overlap >= max_tokens:
         raise ValueError("need max_tokens > 0 and 0 <= overlap < max_tokens")
     stride = max_tokens - overlap
-    toks = F.split(F.col(text_col), delimiter)
+    # split() treats its separator as a regex but array_join re-joins
+    # literally - escape so regex-significant delimiters ('.', '|') split
+    # on the literal character and round-trip exactly
+    import re as _re
+
+    toks = F.split(F.col(text_col), _re.escape(delimiter))
     n = F.size(toks)
     n_chunks = F.greatest(
         F.lit(1), F.ceil((n - F.lit(overlap)) / F.lit(stride))

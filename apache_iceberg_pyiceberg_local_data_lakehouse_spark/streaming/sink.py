@@ -49,15 +49,23 @@ class EpochCommitSink:
         self.query_id = query_id
         self.transform = transform
         self.optimize_write = optimize_write
+        # loaded from the snapshot log on first use, then maintained
+        # in-memory: the log only needs re-reading after a restart, and
+        # a restart builds a fresh sink anyway. Keeps the per-batch
+        # driver cost O(1) instead of O(retained snapshots).
+        self._committed: set[int] | None = None
 
     def committed_epochs(self) -> set[int]:
-        """Epoch ids this query already committed (from the snapshot log)."""
-        return {
-            int(s.summary[_EPOCH_KEY])
-            for s in self.table.snapshots()
-            if s.summary.get(_QUERY_KEY) == self.query_id
-            and _EPOCH_KEY in s.summary
-        }
+        """Epoch ids this query already committed (from the snapshot log
+        on first call; cached and maintained afterwards)."""
+        if self._committed is None:
+            self._committed = {
+                int(s.summary[_EPOCH_KEY])
+                for s in self.table.snapshots()
+                if s.summary.get(_QUERY_KEY) == self.query_id
+                and _EPOCH_KEY in s.summary
+            }
+        return self._committed
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         if epoch_id in self.committed_epochs():
@@ -74,6 +82,7 @@ class EpochCommitSink:
                 _EPOCH_KEY: int(epoch_id),
             },
         )
+        self.committed_epochs().add(int(epoch_id))
 
 
 def write_stream_to_table(

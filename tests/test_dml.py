@@ -794,3 +794,12 @@ def test_merge_matched_delete(table):
     assert df.filter(F.col("k") == 105).first()["v"] == 1050.0
     with pytest.raises(ValueError):
         merge_into(table, updates, key="k", when_matched="upsert")
+
+
+def test_cow_update_rejects_nondeterministic_predicate(table):
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.dml import (
+        update_where,
+    )
+
+    with pytest.raises(ValueError, match="deterministic"):
+        update_where(table, F.rand() < 0.5, {"v": F.lit(0.0)})

@@ -1073,3 +1073,18 @@ def test_hashed_embedding_dense_matches_norms(spark):
     }
     assert math.sqrt(sum(x * x for x in unit[1])) == pytest.approx(1.0)
     assert unit[3] == [0.0] * 32
+
+
+def test_chunk_by_tokens_regex_delimiter(spark):
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.chunking import (
+        chunk_by_tokens,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a.b.c.d.e")], "doc_id long, text string"
+    )
+    out = chunk_by_tokens(
+        df, max_tokens=2, overlap=0, delimiter="."
+    ).orderBy("chunk_idx").collect()
+    assert [r["chunk"] for r in out] == ["a.b", "c.d", "e"]
+    assert [r["chunk_tokens"] for r in out] == [2, 2, 1]

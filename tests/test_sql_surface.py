@@ -81,3 +81,24 @@ def test_register_views_namespaced(catalog, spark):
     t.append(tick_df(spark, n=2))
     names = catalog.register_views("bronze")
     assert names == ["bronze_x"]
+
+
+def test_pinned_view_requires_explicit_name(catalog, spark):
+    t = catalog.create_table("gold.pin", TICK_SCHEMA, [])
+    t.append(tick_df(spark, n=3))
+    t.append(tick_df(spark, n=2, start="2024-02-01 00:00:00"))
+    with pytest.raises(ValueError, match="view_name"):
+        catalog.create_view("gold.pin", version=1)
+    # with its own name, the pin survives a sql() refresh
+    catalog.create_view("gold.pin", view_name="pin_v1", version=1)
+    assert catalog.sql("SELECT COUNT(*) n FROM pin_v1").first()["n"] == 3
+
+
+def test_register_views_detects_name_collisions(catalog, spark):
+    catalog.create_namespace("gold_a")
+    a = catalog.create_table("gold.a_b", TICK_SCHEMA, [])
+    b = catalog.create_table("gold_a.b", TICK_SCHEMA, [])
+    a.append(tick_df(spark, n=1))
+    b.append(tick_df(spark, n=2))
+    with pytest.raises(ValueError, match="collision"):
+        catalog.register_views()
