@@ -282,3 +282,50 @@ def stream_table_tail(
     t = _threading.Thread(target=loop, name="table-tail", daemon=True)
     t.start()
     return stop, t, lambda: state["v"]
+
+
+def stream_table_changes(
+    table,
+    process,
+    from_version: int | None = None,
+    poll_secs: int = WATCH_INTERVAL_SECS,
+    on_reset=None,
+    error_backoff: int = 60,
+):
+    """Tail a table's CHANGELOG: every poll, hand the insert/delete row
+    stream since the last processed version (``scan_changelog``, with
+    ``_change_type``/``_change_version`` columns) to
+    ``process(df, from_version, to_version)``.
+
+    The CDC consumer for tables that MUTATE: unlike
+    ``stream_table_tail`` (append-diff; refuses delete/merge ranges),
+    this survives merge-on-read DML, copy-on-write rewrites, and
+    restores — a restore emits retraction events for the rolled-back
+    rows, exactly what a downstream materialization needs to stay
+    consistent. ``on_reset`` fires only when the consumer fell behind
+    snapshot expiry (the one unrecoverable case). Same daemon-thread /
+    cursor discipline as ``stream_table_tail``."""
+    import threading as _threading
+
+    stop = _threading.Event()
+    state = {"v": table.current_version() if from_version is None else from_version}
+
+    def loop():
+        while not stop.is_set():
+            try:
+                cur = table.current_version()
+                if cur > state["v"]:
+                    try:
+                        df = table.scan_changelog(state["v"], to_version=cur)
+                        process(df, state["v"], cur)
+                    except ValueError as e:
+                        if on_reset is not None:
+                            on_reset(state["v"], cur, str(e))
+                    state["v"] = cur
+            except Exception:
+                stop.wait(error_backoff)
+            stop.wait(poll_secs)
+
+    t = _threading.Thread(target=loop, name="table-changes", daemon=True)
+    t.start()
+    return stop, t, lambda: state["v"]

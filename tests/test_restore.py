@@ -152,3 +152,23 @@ def test_incremental_scan_skips_rewrite_manifests(catalog, spark):
     # incremental consumers cross the rewrite without a refusal
     assert t.scan_incremental(1).count() == 7  # v2 + v4 rows
     assert t.scan_changelog(1).count() == 7
+
+
+def test_changelog_emits_retractions_across_restore(catalog, spark):
+    """A restore is a content change: the changelog emits 'delete'
+    events for the rolled-back rows, so a CDC consumer's downstream
+    materialization stays consistent."""
+    t = catalog.create_table("gold.r10", TICK_SCHEMA, [])
+    t.append(tick_df(spark, n=3))  # v1
+    t.append(tick_df(spark, n=4, start="2024-02-01 00:00:00"))  # v2
+    t.restore_to(1)  # v3
+    ch = t.scan_changelog(2)  # from the bad version to post-restore
+    rows = ch.collect()
+    assert all(r["_change_type"] == "delete" for r in rows)
+    assert len(rows) == 4
+    assert {r["_change_version"] for r in rows} == {3}
+    # end-to-end from v0: net effect = 3 inserts
+    net = t.scan_changelog(0)
+    ins = net.filter(F.col("_change_type") == "insert").count()
+    dels = net.filter(F.col("_change_type") == "delete").count()
+    assert ins - dels == 3

@@ -672,3 +672,54 @@ def test_epoch_sink_transform_and_empty_batches(spark, tmp_path):
     v = t.current_version()
     sink(tick_df(spark, n=3), 1)  # all filtered out -> no empty commit
     assert t.current_version() == v
+
+
+def test_stream_table_changes_survives_mor_delete(spark, tmp_path):
+    """The changelog tail keeps consuming across merge-on-read DML where
+    the append-diff tail must reset."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.catalog import (
+        LakehouseCatalog,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.dml import (
+        delete_where,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.streaming.watcher import (
+        stream_table_changes,
+    )
+    from pyspark.sql import functions as F
+    from test_table_format import tick_df
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("gold")
+    t = cat.create_table("gold.cdc", TICK_SCHEMA, [])
+    t.append(tick_df(spark, n=6))  # v1 (before the tail starts)
+
+    batches = []
+    resets = []
+    stop, thread, cursor = stream_table_changes(
+        t,
+        lambda df, a, b: batches.append(
+            (a, b, df.groupBy("_change_type").count().collect())
+        ),
+        poll_secs=1,
+        on_reset=lambda a, b, r: resets.append(r),
+    )
+    try:
+        t.append(tick_df(spark, n=4, start="2024-02-01 00:00:00"))  # v2
+        delete_where(
+            t, F.col("Bid") < 1.102, mode="merge-on-read",
+            equality_cols=["DateTime"],
+        )  # v3: MoR delete of 2 rows per batch start... (Bid 1.100,1.101)
+        deadline = time.time() + 30
+        while cursor() < t.current_version() and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        stop.set()
+        thread.join(timeout=10)
+    assert not resets, f"changelog tail reset unexpectedly: {resets}"
+    counts = {}
+    for _a, _b, rows in batches:
+        for r in rows:
+            counts[r["_change_type"]] = counts.get(r["_change_type"], 0) + r["count"]
+    assert counts.get("insert", 0) == 4
+    assert counts.get("delete", 0) == 4  # 2 matched rows in each batch
