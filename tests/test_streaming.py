@@ -723,3 +723,76 @@ def test_stream_table_changes_survives_mor_delete(spark, tmp_path):
             counts[r["_change_type"]] = counts.get(r["_change_type"], 0) + r["count"]
     assert counts.get("insert", 0) == 4
     assert counts.get("delete", 0) == 4  # 2 matched rows in each batch
+
+
+def test_windowed_aggregate_streams_into_lakehouse(spark, tmp_path):
+    """Composition: watermarked tumbling window aggregation ->
+    exactly-once epoch sink -> lakehouse table. The full streaming
+    pipeline a metrics rollup runs in production."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.catalog import (
+        LakehouseCatalog,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.streaming.sink import (
+        write_stream_to_table,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.streaming.windows import (
+        tumbling_counts,
+    )
+    from pyspark.sql.types import LongType, StructField
+
+    src = tmp_path / "events_src"
+    src.mkdir()
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    schema = StructType(
+        [StructField("ts", TimestampType()), StructField("value", DoubleType())]
+    )
+
+    def write_events(name, minutes):
+        tab = pa.table(
+            {
+                "ts": pa.array(
+                    [base + dt.timedelta(minutes=m) for m in minutes],
+                    type=pa.timestamp("us"),
+                ),
+                "value": pa.array([1.0] * len(minutes)),
+            }
+        )
+        pq.write_table(tab, src / name)
+
+    # batch 1: events in windows 00 and 01; batch 2 advances the
+    # watermark so both windows close (append mode emits on advance)
+    write_events("a.parquet", [1, 2, 61])
+    write_events("b.parquet", [200])
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("gold")
+    agg_schema = StructType(
+        [
+            StructField("window_start", TimestampType()),
+            StructField("window_end", TimestampType()),
+            StructField("n_events", LongType()),
+            StructField("sum_value", DoubleType()),
+        ]
+    )
+    t = cat.create_table("gold.rollup", agg_schema, [])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    agg = tumbling_counts(
+        stream, ts_col="ts", window_size="1 hour", watermark="30 minutes"
+    )
+    q = write_stream_to_table(
+        agg, t, str(tmp_path / "ckpt"), query_id="rollup", available_now=True
+    )
+    q.awaitTermination(120)
+    rows = {
+        r["window_start"].minute + r["window_start"].hour * 60: r["n_events"]
+        for r in t.to_df().collect()
+    }
+    assert rows.get(0) == 2  # window 00:00 holds minutes 1,2
+    assert rows.get(60) == 1  # window 01:00 holds minute 61
