@@ -429,6 +429,7 @@ class LakehouseTable:
         files whose filter excludes the key - the point-lookup analogue
         of min/max skipping, for columns whose values scatter (ids,
         hashes) so range stats never prune."""
+        self._validate_append_schema(df)
         spec = self.partition_spec
         if cluster_by:
             from .functions.zorder import _numeric_expr, zorder_key
@@ -464,6 +465,31 @@ class LakehouseTable:
         return self._commit_append(
             new_files, max_retries=max_retries, extra_summary=extra_summary
         )
+
+    def _validate_append_schema(self, df: DataFrame) -> None:
+        """Writer-schema enforcement (Iceberg's write validation): every
+        incoming column must exist in the table schema with its exact
+        type or one the scan can widen FROM (int written into a long
+        column is fine — the reader widens; double into a float column
+        would poison every later scan, so it raises HERE, at write time).
+        Missing table columns are allowed — optional fields read as null,
+        the add_column evolution contract."""
+        table_fields = {f.name: f.dataType for f in self.schema.fields}
+        for f in df.schema.fields:
+            if f.name not in table_fields:
+                raise ValueError(
+                    f"append column {f.name!r} is not in the table schema "
+                    f"({sorted(table_fields)}); evolve the schema first "
+                    "(dml.add_column)"
+                )
+            tgt = table_fields[f.name]
+            if f.dataType != tgt and not _spark_readable_as(f.dataType, tgt):
+                raise ValueError(
+                    f"append column {f.name!r} has type "
+                    f"{f.dataType.simpleString()} which cannot be read "
+                    f"under the table's {tgt.simpleString()}; cast before "
+                    "appending (or promote_column the table)"
+                )
 
     def add_files(
         self, paths: list[str], max_retries: int = 5
@@ -1698,24 +1724,18 @@ _BLOOM_M = 8192  # bits per filter (1 KB); ~1.2% fp at 1000 distinct values
 _BLOOM_K = 4  # hash functions (double hashing from one md5)
 
 
-def _readable_as(arrow_type, spark_type) -> bool:
-    """Can a parquet column with this arrow type be scanned under the
-    given Spark type? True for exact matches and for the legal widening
+def _spark_readable_as(file_t, table_t) -> bool:
+    """Can a parquet column physically written as ``file_t`` be scanned
+    under ``table_t``? True for exact matches and for the legal widening
     set the vectorized reader supports (mirrors ``dml._PROMOTIONS``)."""
-    try:
-        from pyspark.sql.pandas.types import from_arrow_type
-
-        file_t = from_arrow_type(arrow_type)
-    except Exception:
-        return False  # unconvertible exotic type: refuse loudly
-    if file_t == spark_type:
+    if file_t == table_t:
         return True
     widening = {
         ("byte", "short"), ("byte", "int"), ("byte", "bigint"),
         ("short", "int"), ("short", "bigint"),
         ("int", "bigint"), ("float", "double"),
     }
-    a, b = file_t.simpleString(), spark_type.simpleString()
+    a, b = file_t.simpleString(), table_t.simpleString()
     if (a, b) in widening:
         return True
     if a.startswith("decimal(") and b.startswith("decimal("):
@@ -1723,6 +1743,18 @@ def _readable_as(arrow_type, spark_type) -> bool:
         pb, sb = map(int, b[8:-1].split(","))
         return sa == sb and pb >= pa_
     return False
+
+
+def _readable_as(arrow_type, spark_type) -> bool:
+    """Arrow-typed front door for ``_spark_readable_as`` (add_files reads
+    parquet footers via pyarrow)."""
+    try:
+        from pyspark.sql.pandas.types import from_arrow_type
+
+        file_t = from_arrow_type(arrow_type)
+    except Exception:
+        return False  # unconvertible exotic type: refuse loudly
+    return _spark_readable_as(file_t, spark_type)
 
 
 def _bloom_key(v: Any) -> bytes | None:

@@ -604,3 +604,32 @@ def test_incremental_scan_refuses_mor_mutations(catalog, spark):
     )
     with pytest.raises(ValueError, match="append-only"):
         t.scan_incremental(v3)
+
+
+def test_append_validates_writer_schema(catalog, spark):
+    t = catalog.create_table("gold.strict", TICK_SCHEMA, [])
+    t.append(tick_df(spark, n=3))
+    # unknown column refuses (evolve first)
+    with pytest.raises(ValueError, match="not in the table schema"):
+        t.append(tick_df(spark, n=1).withColumn("venue", F.lit("x")))
+    # narrowing-incompatible type refuses at write time, not scan time
+    bad = spark.range(1).selectExpr(
+        "current_timestamp() AS DateTime",
+        "CAST(id AS string) AS Bid",
+        "CAST(id AS double) AS Ask",
+    )
+    with pytest.raises(ValueError, match="Bid"):
+        t.append(bad)
+    # widening-compatible input is allowed (reader widens on scan)
+    narrow = spark.range(1).selectExpr(
+        "current_timestamp() AS DateTime",
+        "CAST(id AS float) AS Bid",
+        "CAST(id AS float) AS Ask",
+    )
+    t.append(narrow)
+    # missing optional column reads as null after evolution
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.dml import add_column
+
+    add_column(t, "venue", "string")
+    t.append(tick_df(spark, n=2, start="2024-05-01 00:00:00"))  # no venue
+    assert t.to_df().filter(F.col("venue").isNull()).count() == 6
