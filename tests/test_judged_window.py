@@ -30,6 +30,12 @@ def test_round5_rotations_are_in_window():
         "q55b_ann_ivf_topk",
         "q6e_incremental_over_mor",
         "q6f_lakehouse_branch_wap",
+        # r5 rotations (restore, SQL views, quality/contamination/SemDeDup)
+        "q6g_lakehouse_restore",
+        "q6h_lakehouse_sql_views",
+        "q5e_repetition_quality",
+        "q5f_benchmark_contamination",
+        "q5g_semantic_dedup",
     }
     assert must_be_judged <= set(JUDGED_NAMES)
 
