@@ -101,3 +101,39 @@ def test_asof_join_single_shuffle(spark, sf_small):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan  # no join operator: union + window
     assert "Window" in plan
+
+
+def test_r5_operators_avoid_cartesian_and_python(spark, sf_small):
+    """The r5 LLM-operator plans: cluster-blocked SemDeDup is an equality
+    join on cluster_id (not a nested-loop), contamination broadcasts the
+    benchmark gram set, repetition metrics stay JVM-side."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.contamination import (
+        ngram_contamination,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.dedup import (
+        semantic_duplicates,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.quality_filters import (
+        gopher_quality,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.queries import load
+
+    docs = load(spark, sf_small, "documents")
+    emb = load(spark, sf_small, "embeddings")
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 4).collect()
+    ]
+    for df in [
+        semantic_duplicates(emb, cents, threshold=0.5),
+        ngram_contamination(
+            docs.filter(F.col("doc_id") % 2 == 0),
+            docs.filter(F.col("doc_id") % 2 == 1),
+            n=3,
+        ),
+        gopher_quality(docs),
+    ]:
+        assert_no_cartesian(df)
+        plan = formatted_plan(df)
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
