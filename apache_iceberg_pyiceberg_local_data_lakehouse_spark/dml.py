@@ -78,8 +78,9 @@ def _require_no_external_files(snap: Snapshot, op: str) -> None:
     if any(e["path"].startswith("..") for e in snap.data_entries):
         raise ValueError(
             f"{op} is not supported on tables referencing adopted "
-            "external files (add_files); compact() them into the table "
-            "first, or use equality deletes / copy-on-write"
+            "external files (add_files); run "
+            "maintenance.materialize_external_files first, or use "
+            "equality deletes / copy-on-write"
         )
 
 

@@ -424,3 +424,26 @@ def rewrite_manifests(table: LakehouseTable) -> dict:
     )
     table._commit(new)
     return {"manifests_before": before, "manifests_after": 1}
+
+
+def materialize_external_files(table: LakehouseTable) -> Snapshot | None:
+    """Rewrite adopted external data files (``add_files``) into the
+    table's own data directory — one copy-on-write replace commit;
+    internal files carry over by reference. After this, every entry
+    lives under ``<table>/data``, so positional merge-on-read DML and
+    orphan-GC ownership both apply. Returns None when nothing external
+    is referenced. The originals on disk are untouched (the table never
+    owned them)."""
+    snap = table.snapshot()
+    ext = [e for e in snap.data_entries if e["path"].startswith("..")]
+    if not ext:
+        return None
+    df = table._read_data(ext, snap)
+    new_entries = table._write_files(df, snap.partition_spec)
+    return table.commit_delta(
+        added=new_entries,
+        removed_paths={e["path"] for e in ext},
+        operation="replace",
+        summary={"materialized_external_files": len(ext)},
+        base_version=snap.version,
+    )

@@ -180,3 +180,32 @@ def test_dml_on_adopted_files(catalog, spark, tmp_path):
     )
     delete_where(t, F.col("Ask") == 9.9)
     assert t.to_df().count() == 11
+
+
+def test_materialize_external_files_unblocks_positional_dml(
+    catalog, spark, tmp_path
+):
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.dml import (
+        delete_where,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.maintenance import (
+        materialize_external_files,
+    )
+
+    files = _external_parquet(spark, tmp_path / "ext_mat", n=8)
+    t = catalog.create_table("gold.mat", TICK_SCHEMA, [])
+    t.add_files(files)
+    snap = materialize_external_files(t)
+    assert snap.summary["materialized_external_files"] == len(files)
+    assert not any(
+        e["path"].startswith("..") for e in t.snapshot().data_entries
+    )
+    assert t.to_df().count() == 8
+    assert all(os.path.exists(f) for f in files)  # originals untouched
+    # positional MoR DML now works
+    delete_where(
+        t, F.col("Bid") < 1.102, mode="merge-on-read", positional=True
+    )
+    assert t.to_df().count() == 6
+    # idempotent: nothing external left
+    assert materialize_external_files(t) is None
