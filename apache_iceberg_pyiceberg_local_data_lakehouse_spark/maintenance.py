@@ -438,7 +438,12 @@ def materialize_external_files(table: LakehouseTable) -> Snapshot | None:
     ext = [e for e in snap.data_entries if e["path"].startswith("..")]
     if not ext:
         return None
-    df = table._read_data(ext, snap)
+    # read through scan, NOT _read_data: pending merge-on-read tombstones
+    # must apply, or deleted rows would be copied into fresh files whose
+    # new sequence number outranks the equality deletes (resurrection)
+    df = table.scan(
+        snapshot=snap, file_filter=lambda e: e["path"].startswith("..")
+    )
     new_entries = table._write_files(df, snap.partition_spec)
     return table.commit_delta(
         added=new_entries,

@@ -237,6 +237,52 @@ def stream_warehouse(
     return queries
 
 
+def _tail_loop(
+    table,
+    process,
+    scan_fn,
+    thread_name: str,
+    from_version: int | None,
+    poll_secs: int,
+    on_reset,
+    error_backoff: int,
+):
+    """Shared polling loop for the table tails: every poll, scan the
+    diff since the cursor and hand it to ``process(df, from_v, to_v)``.
+
+    Only the SCAN runs inside the ValueError guard — ``on_reset`` means
+    "the diff itself is unreadable" (consumer fell behind expiry, or the
+    range cannot be expressed). A ValueError raised by the user callback
+    must propagate to the generic backoff path, NOT advance the cursor:
+    misclassifying it would silently drop the batch."""
+    import threading as _threading
+
+    stop = _threading.Event()
+    state = {"v": table.current_version() if from_version is None else from_version}
+
+    def loop():
+        while not stop.is_set():
+            try:
+                cur = table.current_version()
+                if cur > state["v"]:
+                    df = None
+                    try:
+                        df = scan_fn(state["v"], cur)
+                    except ValueError as e:
+                        if on_reset is not None:
+                            on_reset(state["v"], cur, str(e))
+                    if df is not None:
+                        process(df, state["v"], cur)
+                    state["v"] = cur
+            except Exception:
+                stop.wait(error_backoff)  # same ST5 discipline as ingest
+            stop.wait(poll_secs)
+
+    t = _threading.Thread(target=loop, name=thread_name, daemon=True)
+    t.start()
+    return stop, t, lambda: state["v"]
+
+
 def stream_table_tail(
     table,
     process,
@@ -258,30 +304,16 @@ def stream_table_tail(
     the current version - the consumer decides whether to full-rescan.
     Returns ``(stop_event, thread, cursor)``; ``cursor()`` reports the
     last processed version (for checkpointing)."""
-    import threading as _threading
-
-    stop = _threading.Event()
-    state = {"v": table.current_version() if from_version is None else from_version}
-
-    def loop():
-        while not stop.is_set():
-            try:
-                cur = table.current_version()
-                if cur > state["v"]:
-                    try:
-                        df = table.scan_incremental(state["v"], to_version=cur)
-                        process(df, state["v"], cur)
-                    except ValueError as e:
-                        if on_reset is not None:
-                            on_reset(state["v"], cur, str(e))
-                    state["v"] = cur
-            except Exception:
-                stop.wait(error_backoff)  # same ST5 discipline as ingest
-            stop.wait(poll_secs)
-
-    t = _threading.Thread(target=loop, name="table-tail", daemon=True)
-    t.start()
-    return stop, t, lambda: state["v"]
+    return _tail_loop(
+        table,
+        process,
+        lambda a, b: table.scan_incremental(a, to_version=b),
+        "table-tail",
+        from_version,
+        poll_secs,
+        on_reset,
+        error_backoff,
+    )
 
 
 def stream_table_changes(
@@ -302,30 +334,16 @@ def stream_table_changes(
     this survives merge-on-read DML, copy-on-write rewrites, and
     restores — a restore emits retraction events for the rolled-back
     rows, exactly what a downstream materialization needs to stay
-    consistent. ``on_reset`` fires only when the consumer fell behind
-    snapshot expiry (the one unrecoverable case). Same daemon-thread /
-    cursor discipline as ``stream_table_tail``."""
-    import threading as _threading
-
-    stop = _threading.Event()
-    state = {"v": table.current_version() if from_version is None else from_version}
-
-    def loop():
-        while not stop.is_set():
-            try:
-                cur = table.current_version()
-                if cur > state["v"]:
-                    try:
-                        df = table.scan_changelog(state["v"], to_version=cur)
-                        process(df, state["v"], cur)
-                    except ValueError as e:
-                        if on_reset is not None:
-                            on_reset(state["v"], cur, str(e))
-                    state["v"] = cur
-            except Exception:
-                stop.wait(error_backoff)
-            stop.wait(poll_secs)
-
-    t = _threading.Thread(target=loop, name="table-changes", daemon=True)
-    t.start()
-    return stop, t, lambda: state["v"]
+    consistent. ``on_reset`` fires only when the diff itself is
+    unreadable (the consumer fell behind snapshot expiry). Same
+    daemon-thread / cursor discipline as ``stream_table_tail``."""
+    return _tail_loop(
+        table,
+        process,
+        lambda a, b: table.scan_changelog(a, to_version=b),
+        "table-changes",
+        from_version,
+        poll_secs,
+        on_reset,
+        error_backoff,
+    )

@@ -429,8 +429,9 @@ class LakehouseTable:
         files whose filter excludes the key - the point-lookup analogue
         of min/max skipping, for columns whose values scatter (ids,
         hashes) so range stats never prune."""
-        self._validate_append_schema(df)
-        spec = self.partition_spec
+        snap = self.snapshot()  # one load serves validation AND the spec
+        self._validate_append_schema(df, snap)
+        spec = snap.partition_spec
         if cluster_by:
             from .functions.zorder import _numeric_expr, zorder_key
 
@@ -466,23 +467,42 @@ class LakehouseTable:
             new_files, max_retries=max_retries, extra_summary=extra_summary
         )
 
-    def _validate_append_schema(self, df: DataFrame) -> None:
+    def _validate_append_schema(
+        self, df: DataFrame, snap: Snapshot | None = None
+    ) -> None:
         """Writer-schema enforcement (Iceberg's write validation): every
         incoming column must exist in the table schema with its exact
         type or one the scan can widen FROM (int written into a long
         column is fine — the reader widens; double into a float column
         would poison every later scan, so it raises HERE, at write time).
         Missing table columns are allowed — optional fields read as null,
-        the add_column evolution contract."""
-        table_fields = {f.name: f.dataType for f in self.schema.fields}
+        the add_column evolution contract. Name resolution matches the
+        READ path: case-insensitive (Spark's default) and accepting of
+        ``renamed_from`` historical names (the rename lineage the scan
+        coalesces)."""
+        snap = snap or self.snapshot()
+        schema = StructType.fromJson(snap.schema_json)
+        lookup: dict[str, Any] = {}
+        for f in schema.fields:
+            lookup[f.name.lower()] = f.dataType
+            meta = next(
+                (
+                    fd.get("metadata") or {}
+                    for fd in snap.schema_json["fields"]
+                    if fd["name"] == f.name
+                ),
+                {},
+            )
+            for old in meta.get("renamed_from", []):
+                lookup.setdefault(old.lower(), f.dataType)
         for f in df.schema.fields:
-            if f.name not in table_fields:
+            tgt = lookup.get(f.name.lower())
+            if tgt is None:
                 raise ValueError(
                     f"append column {f.name!r} is not in the table schema "
-                    f"({sorted(table_fields)}); evolve the schema first "
+                    f"({schema.fieldNames()}); evolve the schema first "
                     "(dml.add_column)"
                 )
-            tgt = table_fields[f.name]
             if f.dataType != tgt and not _spark_readable_as(f.dataType, tgt):
                 raise ValueError(
                     f"append column {f.name!r} has type "
@@ -1730,12 +1750,18 @@ def _spark_readable_as(file_t, table_t) -> bool:
     set the vectorized reader supports (mirrors ``dml._PROMOTIONS``)."""
     if file_t == table_t:
         return True
+    a, b = file_t.simpleString(), table_t.simpleString()
+    if a == b:
+        # differs only in nested nullability (struct inner fields, array
+        # containsNull) — StructType equality is nullability-sensitive,
+        # the parquet read path is not
+        return True
+    # NB Spark's simpleString for byte/short is tinyint/smallint
     widening = {
-        ("byte", "short"), ("byte", "int"), ("byte", "bigint"),
-        ("short", "int"), ("short", "bigint"),
+        ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+        ("smallint", "int"), ("smallint", "bigint"),
         ("int", "bigint"), ("float", "double"),
     }
-    a, b = file_t.simpleString(), table_t.simpleString()
     if (a, b) in widening:
         return True
     if a.startswith("decimal(") and b.startswith("decimal("):

@@ -209,3 +209,31 @@ def test_materialize_external_files_unblocks_positional_dml(
     assert t.to_df().count() == 6
     # idempotent: nothing external left
     assert materialize_external_files(t) is None
+
+
+def test_materialize_respects_pending_equality_deletes(
+    catalog, spark, tmp_path
+):
+    """Regression: materializing adopted files must apply pending MoR
+    tombstones — raw copying would re-commit deleted rows at a newer
+    sequence number and resurrect them."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.dml import (
+        delete_where,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.maintenance import (
+        materialize_external_files,
+    )
+
+    files = _external_parquet(spark, tmp_path / "ext_res", n=6)
+    t = catalog.create_table("gold.res", TICK_SCHEMA, [])
+    t.add_files(files)
+    delete_where(
+        t, F.col("Bid") < 1.102, mode="merge-on-read",
+        equality_cols=["DateTime"],
+    )  # tombstones 2 rows still living in the external file
+    assert t.to_df().count() == 4
+    materialize_external_files(t)
+    assert t.to_df().count() == 4  # deleted rows must NOT come back
+    assert not any(
+        e["path"].startswith("..") for e in t.snapshot().data_entries
+    )

@@ -633,3 +633,26 @@ def test_append_validates_writer_schema(catalog, spark):
     add_column(t, "venue", "string")
     t.append(tick_df(spark, n=2, start="2024-05-01 00:00:00"))  # no venue
     assert t.to_df().filter(F.col("venue").isNull()).count() == 6
+
+
+def test_append_accepts_small_int_widening_and_lineage_names(catalog, spark):
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.dml import (
+        rename_column,
+    )
+    from pyspark.sql.types import IntegerType, StructField as SF
+
+    t = catalog.create_table(
+        "gold.widen", StructType([SF("k", IntegerType())]), []
+    )
+    # tinyint/smallint widen into an int column (simpleString mapping)
+    t.append(spark.range(3).selectExpr("CAST(id AS tinyint) AS k"))
+    t.append(spark.range(3).selectExpr("CAST(id AS smallint) AS k"))
+    # case-insensitive name resolution, matching the read path
+    t.append(spark.range(2).selectExpr("CAST(id AS int) AS K"))
+    assert t.to_df().count() == 8
+    # a long-running writer may still produce the pre-rename name
+    rename_column(t, "k", "key_id")
+    t.append(spark.range(2).selectExpr("CAST(id AS int) AS k"))
+    df = t.to_df()
+    assert df.columns == ["key_id"]
+    assert df.filter(F.col("key_id").isNotNull()).count() == 10
