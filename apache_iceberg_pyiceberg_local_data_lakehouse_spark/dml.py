@@ -370,60 +370,130 @@ def update_where(
 def merge_into(
     table: LakehouseTable,
     updates: DataFrame,
-    key: str,
+    key: str | list[str],
     when_matched: str = "update",
+    matched_condition: str | Column | None = None,
+    when_not_matched: str = "insert",
+    when_not_matched_by_source: str = "keep",
 ) -> Snapshot:
-    """MERGE INTO table USING updates ON table.key = updates.key
-    WHEN MATCHED THEN UPDATE (row replace) WHEN NOT MATCHED THEN INSERT.
+    """MERGE INTO table USING updates ON table.key = updates.key — the
+    full SQL MERGE clause matrix over the snapshot format.
 
-    ``when_matched='ignore'`` reproduces the reference's J1 dedup-append
-    exactly (insert-only), as a single atomic snapshot instead of
-    anti-join + append. ``when_matched='delete'`` is SQL MERGE's WHEN
-    MATCHED THEN DELETE: matched table rows are removed, and only
-    update rows with genuinely new keys insert.
+    - ``when_matched``: ``'update'`` (row replace), ``'ignore'`` (table
+      row wins — reproduces the reference's J1 dedup-append as one
+      atomic snapshot instead of anti-join + append), or ``'delete'``
+      (WHEN MATCHED THEN DELETE).
+    - ``matched_condition``: optional extra predicate over the TABLE
+      row (SQL string or Column) gating the matched action — matched
+      rows failing it keep the table version (``WHEN MATCHED AND cond
+      THEN ...``). Must be deterministic; it may reference only table
+      columns.
+    - ``when_not_matched``: ``'insert'`` (default) or ``'ignore'`` —
+      source rows with keys absent from the table insert or drop.
+    - ``when_not_matched_by_source``: ``'keep'`` (default) or
+      ``'delete'`` — Delta/SQL:2003's WHEN NOT MATCHED BY SOURCE THEN
+      DELETE. ``'delete'`` turns MERGE into full sync: after the
+      commit the table's key set equals the source's key set.
+
+    ``key`` may be a list for composite business keys; source keys must
+    be unique (duplicate source keys make row-replace ambiguous).
 
     Physical plan: collect the updates' key range (one tiny agg), prune
-    manifest files to those overlapping it, rewrite ONLY those files with
-    matched rows replaced/kept, append new-key rows, commit one replace
-    snapshot carrying untouched files forward."""
+    manifest files to those overlapping it on the leading key, rewrite
+    ONLY those files, append new-key rows, commit one replace snapshot
+    carrying untouched files forward. In sync mode, files entirely
+    OUTSIDE the source key range hold only not-matched-by-source rows,
+    so they are dropped as pure metadata (no read, no rewrite) — only
+    range-overlapping files pay the rewrite."""
+    keys = [key] if isinstance(key, str) else list(key)
+    lead = keys[0]
+    if when_matched not in ("update", "ignore", "delete"):
+        raise ValueError(
+            f"when_matched must be update|ignore|delete, got {when_matched!r}"
+        )
+    if when_not_matched not in ("insert", "ignore"):
+        raise ValueError(
+            f"when_not_matched must be insert|ignore, got {when_not_matched!r}"
+        )
+    if when_not_matched_by_source not in ("keep", "delete"):
+        raise ValueError(
+            "when_not_matched_by_source must be keep|delete, "
+            f"got {when_not_matched_by_source!r}"
+        )
+    sync = when_not_matched_by_source == "delete"
+    cond = (
+        F.expr(matched_condition)
+        if isinstance(matched_condition, str)
+        else matched_condition
+    )
+
     bounds = updates.agg(
-        F.min(key).alias("lo"), F.max(key).alias("hi")
+        F.min(lead).alias("lo"), F.max(lead).alias("hi")
     ).collect()[0]
     # one snapshot read anchors BOTH the manifest split and the commit's
     # base version - a second read could silently skip a concurrent append
     snap = table.snapshot()
-    touched, untouched = _overlapping_entries(snap, key, bounds["lo"], bounds["hi"])
+    touched, untouched = _overlapping_entries(snap, lead, bounds["lo"], bounds["hi"])
 
     touched_df = table.scan(snapshot=snap, file_filter=lambda e: e in touched)
-    if when_matched == "update":
-        kept = touched_df.join(updates.select(key), on=key, how="left_anti")
-        incoming = updates
-    elif when_matched == "ignore":  # matched rows keep the table's version
-        kept = touched_df
-        existing_keys = touched_df.select(key).distinct()
-        incoming = updates.join(existing_keys, on=key, how="left_anti")
-    elif when_matched == "delete":  # matched rows drop; new keys insert
-        kept = touched_df.join(updates.select(key), on=key, how="left_anti")
-        existing_keys = touched_df.select(key).distinct()
-        incoming = updates.join(existing_keys, on=key, how="left_anti")
-    else:
-        raise ValueError(
-            f"when_matched must be update|ignore|delete, got {when_matched!r}"
-        )
+    src_keys = updates.select(*keys).distinct()
 
-    merged = kept.unionByName(incoming.select(*touched_df.columns))
+    # Which table rows survive the rewrite. ``replaced`` = matched rows
+    # the matched-action consumes (update: superseded by source; delete:
+    # dropped); matched rows failing the condition always survive.
+    marked = touched_df.join(
+        src_keys.withColumn("__m", F.lit(1)), on=keys, how="left"
+    )
+    matched = F.col("__m").isNotNull()
+    if when_matched == "ignore":
+        replaced = F.lit(False)
+    elif cond is not None:
+        replaced = matched & F.coalesce(cond, F.lit(False))
+    else:
+        replaced = matched
+    keep_pred = (matched & ~replaced) if sync else ~replaced
+    kept = marked.filter(keep_pred).drop("__m")
+
+    # Which source rows enter the table.
+    parts: list[DataFrame] = []
+    if when_matched == "update" and when_not_matched == "insert" and cond is None:
+        # fast path: every source row lands (replace matched, insert new)
+        parts.append(updates)
+    else:
+        tbl_keys = touched_df.select(*keys).distinct()
+        if when_matched == "update":
+            if cond is None:
+                upd_keys = tbl_keys.join(src_keys, on=keys, how="left_semi")
+            else:
+                upd_keys = marked.filter(replaced).select(*keys).distinct()
+            parts.append(updates.join(upd_keys, on=keys, how="left_semi"))
+        if when_not_matched == "insert":
+            parts.append(updates.join(tbl_keys, on=keys, how="left_anti"))
+    incoming = parts[0] if parts else None
+    for p in parts[1:]:
+        incoming = incoming.unionByName(p)
+
+    merged = kept
+    if incoming is not None:
+        merged = kept.unionByName(incoming.select(*touched_df.columns))
     new_entries = table._write_files(merged, snap.partition_spec)
     # delta commit: manifest files holding only untouched entries carry
     # over by reference - a key-range MERGE re-serializes the overlapped
-    # files' manifests, not the table's
+    # files' manifests, not the table's. Sync mode instead REMOVES the
+    # out-of-range files: every row in them is not-matched-by-source.
+    removed = {e["path"] for e in touched}
+    if sync:
+        removed |= {e["path"] for e in untouched}
     return table.commit_delta(
         added=new_entries,
-        removed_paths={e["path"] for e in touched},
+        removed_paths=removed,
         operation="merge",
         summary={
             "rewritten_files": len(touched),
-            "carried_files": len(untouched),
+            "carried_files": 0 if sync else len(untouched),
+            "dropped_files": len(untouched) if sync else 0,
             "mode": when_matched,
+            "sync": sync,
         },
         base_version=snap.version,
     )

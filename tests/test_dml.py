@@ -803,3 +803,127 @@ def test_cow_update_rejects_nondeterministic_predicate(table):
 
     with pytest.raises(ValueError, match="deterministic"):
         update_where(table, F.rand() < 0.5, {"v": F.lit(0.0)})
+
+
+def test_merge_sync_deletes_unmatched_by_source(table):
+    """when_not_matched_by_source='delete' turns MERGE into full sync:
+    the table's key set equals the source's afterwards."""
+    spark = table.spark
+    # source = keys 40..119: 40..99 matched (update), 100..119 new,
+    # 0..39 not matched by source (deleted)
+    updates = spark.range(40, 120).select(
+        F.col("id").alias("k"), F.lit(-7.0).alias("v")
+    )
+    snap = merge_into(
+        table, updates, key="k", when_not_matched_by_source="delete"
+    )
+    df = table.to_df()
+    assert df.count() == 80
+    assert df.agg(F.min("k")).first()[0] == 40
+    assert df.agg(F.max("k")).first()[0] == 119
+    assert df.filter(F.col("v") != -7.0).count() == 0
+    assert snap.summary["sync"] is True
+
+
+def test_merge_sync_drops_out_of_range_files_metadata_only(spark, tmp_path):
+    """Files entirely outside the source key range are removed without a
+    rewrite: removed from the manifest, no replacement files written."""
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("gold")
+    lo = spark.range(0, 100).select(F.col("id").alias("k"), F.lit(1.0).alias("v"))
+    hi = spark.range(1000, 1100).select(
+        F.col("id").alias("k"), F.lit(2.0).alias("v")
+    )
+    t = cat.create_table("gold.sync", lo.schema)
+    t.append(lo.coalesce(1))
+    t.append(hi.coalesce(1))
+
+    updates = spark.range(1000, 1100).select(
+        F.col("id").alias("k"), F.lit(9.0).alias("v")
+    )
+    snap = merge_into(
+        t, updates, key="k", when_not_matched_by_source="delete"
+    )
+    assert snap.summary["dropped_files"] >= 1  # the low file: pure metadata
+    assert snap.summary["carried_files"] == 0
+    df = t.to_df()
+    assert df.count() == 100
+    assert df.filter(F.col("k") < 1000).count() == 0
+    assert df.filter(F.col("v") == 9.0).count() == 100
+
+
+def test_merge_matched_condition_gates_update(table):
+    """WHEN MATCHED AND cond THEN UPDATE: matched rows failing the
+    condition keep the table version, and the source twin is dropped."""
+    spark = table.spark
+    updates = spark.range(90, 110).select(
+        F.col("id").alias("k"), F.lit(-1.0).alias("v")
+    )
+    merge_into(
+        table, updates, key="k", matched_condition="k % 2 = 0"
+    )
+    df = table.to_df()
+    assert df.count() == 110  # no row duplicated or lost
+    # even matched keys updated, odd matched keys untouched
+    assert df.filter((F.col("k") == 92) & (F.col("v") == -1.0)).count() == 1
+    assert df.filter((F.col("k") == 93) & (F.col("v") == 186.0)).count() == 1
+    # unmatched source keys insert regardless of the condition
+    assert df.filter((F.col("k") == 101) & (F.col("v") == -1.0)).count() == 1
+
+
+def test_merge_matched_condition_gates_delete(table):
+    spark = table.spark
+    updates = spark.range(0, 100).select(
+        F.col("id").alias("k"), F.lit(0.0).alias("v")
+    )
+    merge_into(
+        table,
+        updates,
+        key="k",
+        when_matched="delete",
+        matched_condition="v >= 100.0",  # table rows with v>=100 (k>=50)
+        when_not_matched="ignore",
+    )
+    df = table.to_df()
+    assert df.count() == 50
+    assert df.agg(F.max("k")).first()[0] == 49
+
+
+def test_merge_not_matched_ignore(table):
+    """when_not_matched='ignore': update-only MERGE, no inserts."""
+    spark = table.spark
+    updates = spark.range(95, 105).select(
+        F.col("id").alias("k"), F.lit(-2.0).alias("v")
+    )
+    merge_into(table, updates, key="k", when_not_matched="ignore")
+    df = table.to_df()
+    assert df.count() == 100  # no new keys inserted
+    assert df.filter(F.col("v") == -2.0).count() == 5  # 95..99 updated
+    with pytest.raises(ValueError, match="when_not_matched"):
+        merge_into(table, updates, key="k", when_not_matched="skip")
+    with pytest.raises(ValueError, match="when_not_matched_by_source"):
+        merge_into(table, updates, key="k", when_not_matched_by_source="drop")
+
+
+def test_merge_composite_key(spark, tmp_path):
+    """Composite business keys: join on every key column, prune on the
+    leading one."""
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("gold")
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (1, "b", 20.0), (2, "a", 30.0)],
+        "k1 int, k2 string, v double",
+    )
+    t = cat.create_table("gold.comp", df.schema)
+    t.append(df)
+    updates = spark.createDataFrame(
+        [(1, "b", -1.0), (2, "b", -2.0)], "k1 int, k2 string, v double"
+    )
+    merge_into(t, updates, key=["k1", "k2"])
+    rows = {(r["k1"], r["k2"]): r["v"] for r in t.to_df().collect()}
+    assert rows == {
+        (1, "a"): 10.0,
+        (1, "b"): -1.0,
+        (2, "a"): 30.0,
+        (2, "b"): -2.0,
+    }
