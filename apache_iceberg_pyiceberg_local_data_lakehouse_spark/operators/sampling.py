@@ -98,3 +98,46 @@ def weighted_sample(
     arbitrary Column (a quality score, a per-language rate, ...)."""
     u = uniform_from_key(F.col(key_col))
     return df.filter(u < F.lit(float(scale)) * weight)
+
+
+def mix_corpus(
+    df: DataFrame,
+    domain_col: str,
+    weights: dict[str, float],
+    budget: int,
+    size_col: str,
+    key_col: str,
+) -> DataFrame:
+    """Corpus composition: select documents per domain until each
+    domain's selected volume reaches its share of ``budget``
+    (``weights[domain] * budget`` units of ``size_col`` — tokens, chars,
+    bytes). The training-data mixing step (The Pile / Llama-style
+    per-source sampling weights) as one deterministic operator.
+
+    Selection order within a domain is the hash order (md5 of the key),
+    so the mix is reproducible, engine-portable, and append-stable:
+    re-running over a grown corpus keeps previously chosen docs unless
+    hash-earlier arrivals displace the tail. A row is kept while the
+    running total BEFORE it is under the domain budget, so every domain
+    with any data gets at least one document and the overshoot is at
+    most one document per domain.
+
+    Physical plan: one window shuffle partitioned by domain (the same
+    single shuffle any per-group ranking costs); domains absent from
+    ``weights`` drop out via the map lookup BEFORE the shuffle, so
+    unsampled sources never pay it."""
+    pairs: list[Column] = []
+    for d, w in weights.items():
+        pairs += [F.lit(d), F.lit(float(w) * budget)]
+    dom_budget = F.create_map(*pairs)[F.col(domain_col)]
+    w = (
+        Window.partitionBy(domain_col)
+        .orderBy(_hash_key(F.col(key_col)), F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.filter(dom_budget.isNotNull())
+        .withColumn("__cum_before", F.coalesce(F.sum(size_col).over(w), F.lit(0)))
+        .filter(F.col("__cum_before") < dom_budget)
+        .drop("__cum_before")
+    )

@@ -1129,3 +1129,54 @@ def q5j_hashed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         davg(F.col("norm"), 1_000_000).alias("avg_norm"),
     )
+
+
+@register(
+    "q5k_corpus_mix",
+    # new in r5, registered behind the judged window (rotate in when a
+    # slot frees); certifies sampling.mix_corpus cross-engine
+    defer=True,
+    oracle="""
+    WITH ranked AS (
+      SELECT source, n_chars,
+             COALESCE(SUM(n_chars) OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM documents
+      WHERE source IN ('src0', 'src1', 'src2', 'src3')
+    ), kept AS (
+      SELECT source, n_chars FROM ranked
+      WHERE cum_before < CASE source
+        WHEN 'src0' THEN 5000.0 WHEN 'src1' THEN 2500.0
+        WHEN 'src2' THEN 1250.0 ELSE 1250.0 END
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS chars_kept
+    FROM kept
+    GROUP BY source
+    """,
+)
+def q5k_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus composition: mix four sources to a 10k-char
+    budget at 50/25/12.5/12.5 weights (exact binary fractions, so the
+    per-domain budget literal is bit-identical cross-engine). Selection
+    is hash-ordered and cumulative — deterministic, append-stable, one
+    window shuffle. Unweighted sources drop before the shuffle."""
+    from ..operators.sampling import mix_corpus
+
+    d = load(spark, sf_dir, "documents")
+    kept = mix_corpus(
+        d,
+        domain_col="source",
+        weights={"src0": 0.5, "src1": 0.25, "src2": 0.125, "src3": 0.125},
+        budget=10_000,
+        size_col="n_chars",
+        key_col="doc_id",
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("chars_kept"),
+    )

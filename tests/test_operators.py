@@ -1088,3 +1088,42 @@ def test_chunk_by_tokens_regex_delimiter(spark):
     ).orderBy("chunk_idx").collect()
     assert [r["chunk"] for r in out] == ["a.b", "c.d", "e"]
     assert [r["chunk_tokens"] for r in out] == [2, 2, 1]
+
+
+class TestMixCorpus:
+    def test_budget_and_determinism(self, spark, sf_small):
+        from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.sampling import (
+            mix_corpus,
+        )
+
+        d = spark.read.parquet(f"{sf_small}/documents.parquet")
+        weights = {"src0": 0.5, "src1": 0.5}
+        kept = mix_corpus(
+            d, "source", weights, budget=6000, size_col="n_chars",
+            key_col="doc_id",
+        )
+        rows = kept.collect()
+        # only weighted domains survive
+        assert {r["source"] for r in rows} <= set(weights)
+        max_doc = max(r["n_chars"] for r in rows)
+        for src in weights:
+            tot = sum(r["n_chars"] for r in rows if r["source"] == src)
+            dom_budget = weights[src] * 6000
+            assert tot > 0  # at least one doc per populated domain
+            # overshoot bounded by one document
+            assert tot < dom_budget + max_doc
+        # deterministic: identical set on re-run
+        again = {r["doc_id"] for r in kept.collect()}
+        assert again == {r["doc_id"] for r in rows}
+
+    def test_tiny_budget_keeps_one_doc(self, spark, sf_small):
+        from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.sampling import (
+            mix_corpus,
+        )
+
+        d = spark.read.parquet(f"{sf_small}/documents.parquet")
+        kept = mix_corpus(
+            d, "source", {"src5": 1.0}, budget=1, size_col="n_chars",
+            key_col="doc_id",
+        )
+        assert kept.count() == 1  # first hash-ordered doc always lands
