@@ -1,0 +1,108 @@
+"""Unigram language-model scoring: the perplexity-style quality signal
+of corpus curation (CCNet / GPT-3 style filter corpora by LM score),
+reduced to its fully SQL-expressible core.
+
+A unigram model is just the corpus token-frequency table plus two
+scalars (total token count, vocabulary size) — exactly what a
+distributed engine computes as one explode + groupBy. Scoring any
+document set against the fitted model is then an equi-join of the
+document's tokens with the frequency table; add-alpha smoothing covers
+tokens unseen at fit time, so the model can score NEW batches (the
+actual curation workflow: fit on a trusted corpus, score incoming data,
+keep the well-scored tail).
+
+Scale shape: the model lives as a DataFrame keyed by token (shuffled,
+never collected — vocabulary at 100 TB does not fit a driver); only the
+two scalars come back to the driver and become plan literals. Scoring
+is one explode + one equi-join + one groupBy on doc id.
+
+Cross-engine determinism: ``ln`` is not guaranteed correctly rounded,
+so raw log-prob sums are not portable. Scores quantize each per-token
+log-prob to a scaled BIGINT before summing (the ``dsum`` discipline,
+``queries/relational.py``), making every aggregate exact integer math.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+LOG_SCALE = 1_000_000  # 6 decimal digits per token log-prob
+
+
+def _tokens(df: DataFrame, text_col: str) -> DataFrame:
+    """Whitespace tokenization — the same convention the rest of the
+    text stack uses (textops word splits), so fitted vocabularies are
+    interchangeable across operators."""
+    return df.withColumn(
+        "__tok", F.explode(F.split(F.col(text_col), " "))
+    ).filter(F.col("__tok") != "")
+
+
+@dataclass
+class UnigramModel:
+    """A fitted unigram LM: the frequency table stays distributed."""
+
+    freq: DataFrame  # columns: __tok, __cnt
+    total_tokens: int
+    vocab_size: int
+
+
+def fit_unigram(corpus: DataFrame, text_col: str = "text") -> UnigramModel:
+    """One explode + groupBy; the only driver state is two scalars."""
+    freq = _tokens(corpus, text_col).groupBy("__tok").agg(
+        F.count("*").alias("__cnt")
+    )
+    freq = freq.cache()
+    row = freq.agg(
+        F.sum("__cnt").alias("t"), F.count("*").alias("v")
+    ).collect()[0]
+    return UnigramModel(freq=freq, total_tokens=row["t"], vocab_size=row["v"])
+
+
+def score_unigram(
+    df: DataFrame,
+    model: UnigramModel,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.0,
+) -> DataFrame:
+    """Per-document mean token log-probability under the model.
+
+    ``alpha`` > 0 applies add-alpha smoothing — p(tok) =
+    (c + alpha) / (total + alpha * (V + 1)) with unseen tokens at c=0 —
+    required when scoring documents the model never saw. With the
+    default alpha=0 unseen tokens would be -inf; scoring the fit corpus
+    itself never hits that case.
+
+    Returns (id_col, n_tokens, sum_qlogp, mean_logprob): ``sum_qlogp``
+    is the exact integer sum of per-token quantized log-probs
+    (engine-portable; use it in judged comparisons), ``mean_logprob``
+    the float convenience view. Plan: explode -> equi-join on token ->
+    groupBy(id). The frequency table broadcast-joins when small; at
+    vocabulary scale it shuffles on the token key like any join."""
+    denom = model.total_tokens + alpha * (model.vocab_size + 1)
+    toks = _tokens(df, text_col)
+    joined = toks.join(model.freq, on="__tok", how="left")
+    c = F.coalesce(F.col("__cnt"), F.lit(0)).cast("double")
+    if alpha == 0.0:
+        logp = F.log(c / F.lit(float(denom)))  # unseen -> -inf, by design
+    else:
+        logp = F.log((c + F.lit(float(alpha))) / F.lit(float(denom)))
+    qlogp = F.floor(logp * F.lit(float(LOG_SCALE)) + F.lit(0.5)).cast("long")
+    return (
+        joined.select(id_col, qlogp.alias("__qlp"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("__qlp").alias("sum_qlogp"),
+        )
+        .withColumn(
+            "mean_logprob",
+            F.col("sum_qlogp").cast("double")
+            / F.lit(float(LOG_SCALE))
+            / F.col("n_tokens"),
+        )
+    )

@@ -1180,3 +1180,57 @@ def q5k_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("chars_kept"),
     )
+
+
+@register(
+    "q5l_unigram_lm_score",
+    # new in r5, registered behind the judged window (rotate in when a
+    # slot frees); certifies operators/lm.py cross-engine
+    defer=True,
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, tok FROM (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+        FROM documents
+      ) WHERE tok <> ''
+    ), freq AS (
+      SELECT tok, COUNT(*) AS c FROM tk GROUP BY tok
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM tk
+    ), per_tok AS (
+      SELECT t.doc_id,
+             CAST(FLOOR(ln(f.c / (SELECT n FROM tot)) * 1000000.0 + 0.5)
+                  AS BIGINT) AS qlp
+      FROM tk t JOIN freq f USING (tok)
+    ), doc AS (
+      SELECT doc_id, COUNT(*) AS n_tokens, SUM(qlp) AS sq
+      FROM per_tok GROUP BY doc_id
+    )
+    SELECT d.lang,
+           COUNT(*) AS n_docs,
+           SUM(doc.n_tokens) AS total_tokens,
+           SUM(doc.sq) AS sum_qlogp
+    FROM doc JOIN documents d USING (doc_id)
+    GROUP BY d.lang
+    """,
+)
+def q5l_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style corpus scoring: fit a unigram LM on the corpus
+    (explode + groupBy; only two scalars reach the driver), score every
+    document against it (explode + token equi-join), roll up per
+    language. Per-token log-probs quantize to scaled BIGINTs before any
+    sum, so every aggregate is exact integer math cross-engine."""
+    from ..operators.lm import fit_unigram, score_unigram
+
+    d = load(spark, sf_dir, "documents")
+    model = fit_unigram(d)
+    scores = score_unigram(d, model)
+    return (
+        scores.join(d.select("doc_id", "lang"), on="doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("sum_qlogp").alias("sum_qlogp"),
+        )
+    )

@@ -1127,3 +1127,47 @@ class TestMixCorpus:
             key_col="doc_id",
         )
         assert kept.count() == 1  # first hash-ordered doc always lands
+
+
+class TestUnigramLM:
+    def test_smoothing_scores_unseen_tokens(self, spark):
+        from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.lm import (
+            fit_unigram,
+            score_unigram,
+        )
+
+        corpus = spark.createDataFrame(
+            [(1, "the cat sat"), (2, "the dog sat")], "doc_id long, text string"
+        )
+        model = fit_unigram(corpus)
+        assert model.total_tokens == 6
+        assert model.vocab_size == 4  # the, cat, dog, sat
+        new = spark.createDataFrame(
+            [(10, "the zebra")], "doc_id long, text string"
+        )
+        scored = score_unigram(new, model, alpha=0.5).collect()[0]
+        assert scored["n_tokens"] == 2
+        # finite score even though 'zebra' was never seen
+        assert scored["mean_logprob"] < 0
+        import math
+
+        assert math.isfinite(scored["mean_logprob"])
+        # seen token scores higher than the unseen one
+        denom = 6 + 0.5 * 5
+        exp_the = math.log((2 + 0.5) / denom)
+        exp_zebra = math.log(0.5 / denom)
+        approx = (exp_the + exp_zebra) / 2
+        assert abs(scored["mean_logprob"] - approx) < 1e-5
+
+    def test_self_scoring_ranks_common_docs_higher(self, spark, sf_small):
+        from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.lm import (
+            fit_unigram,
+            score_unigram,
+        )
+
+        d = spark.read.parquet(f"{sf_small}/documents.parquet")
+        model = fit_unigram(d)
+        scores = score_unigram(d, model)
+        assert scores.count() == d.count()
+        # every doc scored finite (alpha=0 over the fit corpus is safe)
+        assert scores.filter(F.col("sum_qlogp").isNull()).count() == 0
