@@ -452,3 +452,90 @@ def materialize_external_files(table: LakehouseTable) -> Snapshot | None:
         summary={"materialized_external_files": len(ext)},
         base_version=snap.version,
     )
+
+
+def analyze_table(
+    table: LakehouseTable, columns: list[str] | None = None
+) -> dict:
+    """ANALYZE TABLE: one aggregation pass over the logical table (MoR
+    deletes applied) computing per-column null counts, approximate NDV
+    (HLL-backed ``approx_count_distinct``), and min/max for orderable
+    types. Results persist in table properties (``stats.json`` +
+    ``stats.version``), Iceberg-Puffin style: stats travel with the
+    table, so a consumer reads NDV for join-size decisions without
+    touching data.
+
+    Scale shape: a single Spark agg job - every statistic is a partial
+    (count / HLL sketch / min / max), so the plan map-side combines and
+    the driver receives exactly one row regardless of table size."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    snap = table.snapshot()
+    df = table.scan(snapshot=snap)
+    unorderable = ("map<", "array<", "struct<", "binary")
+    fields = [
+        f for f in df.schema.fields if columns is None or f.name in columns
+    ]
+    missing = set(columns or []) - {f.name for f in fields}
+    if missing:
+        raise ValueError(f"analyze_table: unknown columns {sorted(missing)}")
+
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for f in fields:
+        c = F.col(f.name)
+        aggs.append(F.sum(c.isNull().cast("long")).alias(f"{f.name} nulls"))
+        aggs.append(F.approx_count_distinct(c).alias(f"{f.name} ndv"))
+        if not f.dataType.simpleString().startswith(unorderable):
+            aggs.append(F.min(c).alias(f"{f.name} min"))
+            aggs.append(F.max(c).alias(f"{f.name} max"))
+    row = df.agg(*aggs).collect()[0].asDict()
+
+    cols: dict[str, dict] = {}
+    for f in fields:
+        cols[f.name] = {
+            "nulls": int(row[f"{f.name} nulls"] or 0),
+            "ndv": int(row[f"{f.name} ndv"] or 0),
+            "min": (
+                None
+                if row.get(f"{f.name} min") is None
+                else str(row[f"{f.name} min"])
+            ),
+            "max": (
+                None
+                if row.get(f"{f.name} max") is None
+                else str(row[f"{f.name} max"])
+            ),
+        }
+    stats = {"rows": int(row["__rows"]), "columns": cols}
+    table.set_properties(
+        **{
+            "stats.json": _json.dumps(stats, sort_keys=True),
+            "stats.version": snap.version,
+        }
+    )
+    return stats
+
+
+def column_stats(table: LakehouseTable):
+    """The persisted ANALYZE output as a DataFrame (one row per column),
+    plus the snapshot version it was computed at - a consumer checks
+    staleness by comparing ``stats_version`` with the current version."""
+    import json as _json
+
+    props = table.properties()
+    raw = props.get("stats.json")
+    schema = (
+        "column string, n_nulls long, ndv long, min_value string, "
+        "max_value string, table_rows long, stats_version long"
+    )
+    if raw is None:
+        return table.spark.createDataFrame([], schema)
+    stats = _json.loads(raw)
+    ver = int(props.get("stats.version", -1))
+    rows = [
+        (name, s["nulls"], s["ndv"], s["min"], s["max"], stats["rows"], ver)
+        for name, s in sorted(stats["columns"].items())
+    ]
+    return table.spark.createDataFrame(rows, schema)

@@ -1040,3 +1040,84 @@ def q6i_lakehouse_merge_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+@register(
+    "q6j_lakehouse_analyze_stats",
+    # new in r5, registered behind the judged window (rotate in when a
+    # slot frees); certifies maintenance.analyze_table end-to-end: the
+    # stats pass runs over the LOGICAL table (post-MoR-delete), exact
+    # fields hash-compare, NDV bound-checks vs exact distinct (q70
+    # pattern - approx sketches never emit raw estimates).
+    defer=True,
+    oracle="""
+    WITH live AS (SELECT * FROM documents WHERE lang <> 'de')
+    SELECT * FROM (
+      SELECT 'doc_id' AS column_name,
+             COUNT(*) - COUNT(doc_id) AS n_nulls,
+             CAST(MIN(doc_id) AS VARCHAR) AS min_value,
+             CAST(MAX(doc_id) AS VARCHAR) AS max_value,
+             TRUE AS ndv_ok,
+             COUNT(*) AS table_rows
+      FROM live
+      UNION ALL
+      SELECT 'lang', COUNT(*) - COUNT(lang), MIN(lang), MAX(lang),
+             TRUE, COUNT(*) FROM live
+      UNION ALL
+      SELECT 'source', COUNT(*) - COUNT(source), MIN(source), MAX(source),
+             TRUE, COUNT(*) FROM live
+      UNION ALL
+      SELECT 'n_chars', COUNT(*) - COUNT(n_chars),
+             CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR),
+             TRUE, COUNT(*) FROM live
+    )
+    """,
+)
+def q6j_lakehouse_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE over the logical table: append all documents, MoR-delete
+    German ones (tombstones pending, never materialized), analyze, and
+    emit per-column stats. Null counts / min / max / row count are
+    exact and hash-compare; NDV is HLL-approximate so it ships as a
+    bound flag (within 15% of the exact distinct count computed
+    in-query)."""
+    from ..catalog import LakehouseCatalog
+    from ..dml import delete_where
+    from ..maintenance import analyze_table
+
+    cols = ["doc_id", "lang", "source", "n_chars"]
+    wh = tempfile.mkdtemp(prefix="lakehouse_q6j_")
+    try:
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("tmp")
+        d = load(spark, sf_dir, "documents")
+        t = cat.create_table("tmp.docs", d.schema)
+        t.append(d)
+        delete_where(
+            t, F.col("lang") == "de", mode="merge-on-read",
+            equality_cols=["lang"],
+        )
+        stats = analyze_table(t, columns=cols)
+        exact = (
+            t.to_df()
+            .agg(*[F.countDistinct(c).alias(c) for c in cols])
+            .collect()[0]
+            .asDict()
+        )
+        rows = [
+            (
+                c,
+                stats["columns"][c]["nulls"],
+                stats["columns"][c]["min"],
+                stats["columns"][c]["max"],
+                abs(stats["columns"][c]["ndv"] - exact[c]) <= 0.15 * exact[c],
+                stats["rows"],
+            )
+            for c in cols
+        ]
+        return spark.createDataFrame(
+            rows,
+            "column_name string, n_nulls long, min_value string, "
+            "max_value string, ndv_ok boolean, table_rows long",
+        )
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
