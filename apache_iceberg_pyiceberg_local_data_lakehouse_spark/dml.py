@@ -375,6 +375,7 @@ def merge_into(
     matched_condition: str | Column | None = None,
     when_not_matched: str = "insert",
     when_not_matched_by_source: str = "keep",
+    extra_summary: dict | None = None,
 ) -> Snapshot:
     """MERGE INTO table USING updates ON table.key = updates.key — the
     full SQL MERGE clause matrix over the snapshot format.
@@ -494,6 +495,7 @@ def merge_into(
             "dropped_files": len(untouched) if sync else 0,
             "mode": when_matched,
             "sync": sync,
+            **(extra_summary or {}),
         },
         base_version=snap.version,
     )

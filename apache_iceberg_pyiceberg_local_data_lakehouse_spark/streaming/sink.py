@@ -117,3 +117,105 @@ def write_stream_to_table(
     elif trigger_secs is not None:
         writer = writer.trigger(processingTime=f"{trigger_secs} seconds")
     return writer.start()
+
+
+class UpsertSink(EpochCommitSink):
+    """``foreachBatch`` callable that MERGEs each epoch exactly once -
+    the CDC-apply pattern (Delta's foreachBatch-merge idiom): a stream
+    of row versions keyed by a business key lands as upserts, so the
+    table holds the latest version of every key instead of an append
+    log.
+
+    ``dedup_order_col`` handles multiple versions of one key inside a
+    single micro-batch (the normal CDC case): only the row with the
+    highest value per key is merged. Without it, source keys must be
+    unique per batch (merge_into's contract).
+
+    Epoch idempotence is inherited: the merge commit carries the
+    (query-id, epoch-id) stamp, so a checkpoint replay of an epoch the
+    table already holds is skipped, even though a replayed MERGE would
+    otherwise be non-idempotent (when_matched='delete', condition
+    flips, ...)."""
+
+    def __init__(
+        self,
+        table: LakehouseTable,
+        query_id: str,
+        key: str | list,
+        when_matched: str = "update",
+        dedup_order_col: str | None = None,
+        transform: Callable[[DataFrame], DataFrame] | None = None,
+    ):
+        super().__init__(table, query_id, transform=transform)
+        self.key = key
+        self.when_matched = when_matched
+        self.dedup_order_col = dedup_order_col
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from ..dml import merge_into
+
+        if epoch_id in self.committed_epochs():
+            return  # checkpoint replay of an epoch the table already holds
+        if self.transform is not None:
+            batch_df = self.transform(batch_df)
+        if self.dedup_order_col is not None:
+            keys = [self.key] if isinstance(self.key, str) else list(self.key)
+            w = Window.partitionBy(*keys).orderBy(
+                F.col(self.dedup_order_col).desc()
+            )
+            batch_df = (
+                batch_df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        if batch_df.isEmpty():
+            return
+        merge_into(
+            self.table,
+            batch_df,
+            key=self.key,
+            when_matched=self.when_matched,
+            extra_summary={
+                _QUERY_KEY: self.query_id,
+                _EPOCH_KEY: int(epoch_id),
+            },
+        )
+        self.committed_epochs().add(int(epoch_id))
+
+
+def upsert_stream_to_table(
+    stream_df: DataFrame,
+    table: LakehouseTable,
+    checkpoint_dir: str,
+    query_id: str,
+    key: str | list,
+    when_matched: str = "update",
+    dedup_order_col: str | None = None,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    trigger_secs: int | None = None,
+    available_now: bool = False,
+):
+    """Start a streaming query UPSERTING ``stream_df`` into ``table``
+    by ``key`` - each micro-batch is one exactly-once MERGE commit."""
+    writer = (
+        stream_df.writeStream.foreachBatch(
+            UpsertSink(
+                table,
+                query_id,
+                key=key,
+                when_matched=when_matched,
+                dedup_order_col=dedup_order_col,
+                transform=transform,
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_secs is not None:
+        writer = writer.trigger(processingTime=f"{trigger_secs} seconds")
+    return writer.start()

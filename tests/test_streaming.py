@@ -796,3 +796,100 @@ def test_windowed_aggregate_streams_into_lakehouse(spark, tmp_path):
     }
     assert rows.get(0) == 2  # window 00:00 holds minutes 1,2
     assert rows.get(60) == 1  # window 01:00 holds minute 61
+
+
+def test_upsert_sink_cdc_apply(spark, tmp_path):
+    """UpsertSink applies a changelog: latest version per key wins,
+    intra-batch duplicates collapse by the order column, and a replayed
+    epoch is skipped even though MERGE is not naturally idempotent."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.catalog import (
+        LakehouseCatalog,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.streaming.sink import (
+        UpsertSink,
+    )
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("gold")
+    schema = "k long, v string, seq long"
+    t = cat.create_table("gold.cdc", spark.createDataFrame([], schema).schema, [])
+    sink = UpsertSink(t, query_id="cdc", key="k", dedup_order_col="seq")
+
+    # epoch 0: k=1 twice in one batch (seq 1 then 2) + k=2
+    b0 = spark.createDataFrame([(1, "a1", 1), (1, "a2", 2), (2, "b1", 1)], schema)
+    sink(b0, 0)
+    rows = {r["k"]: r["v"] for r in t.to_df().collect()}
+    assert rows == {1: "a2", 2: "b1"}  # intra-batch last-writer-wins
+
+    # epoch 1: update k=2, insert k=3
+    b1 = spark.createDataFrame([(2, "b2", 5), (3, "c1", 1)], schema)
+    sink(b1, 1)
+    rows = {r["k"]: r["v"] for r in t.to_df().collect()}
+    assert rows == {1: "a2", 2: "b2", 3: "c1"}
+
+    # crash replay: a FRESH sink (recovers committed epochs from the
+    # snapshot log) must skip epoch 1
+    v = t.current_version()
+    replay = UpsertSink(t, query_id="cdc", key="k", dedup_order_col="seq")
+    replay(b1, 1)
+    assert t.current_version() == v
+    rows = {r["k"]: r["v"] for r in t.to_df().collect()}
+    assert rows == {1: "a2", 2: "b2", 3: "c1"}
+
+    # a different query id is independent and does merge
+    UpsertSink(t, query_id="other", key="k")(
+        spark.createDataFrame([(3, "c9", 9)], schema), 1
+    )
+    assert {r["v"] for r in t.to_df().filter("k = 3").collect()} == {"c9"}
+
+
+def test_upsert_stream_end_to_end(spark, tmp_path):
+    """availableNow file stream -> UpsertSink: the table converges to
+    the latest row per key across micro-batches and a re-run with a
+    drained checkpoint commits nothing."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.catalog import (
+        LakehouseCatalog,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.streaming.sink import (
+        upsert_stream_to_table,
+    )
+
+    schema = "k long, v string, seq long"
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("gold")
+    t = cat.create_table(
+        "gold.upstream", spark.createDataFrame([], schema).schema, []
+    )
+
+    spark.createDataFrame(
+        [(1, "a1", 1), (2, "b1", 1)], schema
+    ).coalesce(1).write.parquet(str(src / "f0"))
+    stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+    upsert_stream_to_table(
+        stream, t, ckpt, query_id="up1", key="k",
+        dedup_order_col="seq", available_now=True,
+    ).awaitTermination(120)
+    assert {r["k"]: r["v"] for r in t.to_df().collect()} == {1: "a1", 2: "b1"}
+
+    spark.createDataFrame(
+        [(2, "b2", 7), (3, "c1", 1)], schema
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+    upsert_stream_to_table(
+        stream, t, ckpt, query_id="up1", key="k",
+        dedup_order_col="seq", available_now=True,
+    ).awaitTermination(120)
+    assert {r["k"]: r["v"] for r in t.to_df().collect()} == {
+        1: "a1", 2: "b2", 3: "c1",
+    }
+
+    v = t.current_version()
+    stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+    upsert_stream_to_table(
+        stream, t, ckpt, query_id="up1", key="k",
+        dedup_order_col="seq", available_now=True,
+    ).awaitTermination(120)
+    assert t.current_version() == v  # drained: no empty-merge commits
