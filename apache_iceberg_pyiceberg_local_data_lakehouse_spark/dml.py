@@ -427,6 +427,12 @@ def merge_into(
         if isinstance(matched_condition, str)
         else matched_condition
     )
+    if cond is not None and when_matched == "ignore":
+        raise ValueError(
+            "matched_condition has no effect with when_matched='ignore' "
+            "(matched rows always keep the table version); drop the "
+            "condition or use when_matched='update'/'delete'"
+        )
 
     bounds = updates.agg(
         F.min(lead).alias("lo"), F.max(lead).alias("hi")
@@ -437,6 +443,18 @@ def merge_into(
     touched, untouched = _overlapping_entries(snap, lead, bounds["lo"], bounds["hi"])
 
     touched_df = table.scan(snapshot=snap, file_filter=lambda e: e in touched)
+    if cond is not None:
+        # the condition is evaluated in independent subtrees of the
+        # write plan (surviving table rows vs replacement keys); a
+        # non-deterministic condition could keep AND replace one row -
+        # same refusal discipline as copy-on-write update_where
+        probe = touched_df.filter(cond)
+        if not probe._jdf.queryExecution().analyzed().deterministic():
+            raise ValueError(
+                "merge_into requires a deterministic matched_condition "
+                "(it is evaluated independently for kept rows and "
+                "replacement keys)"
+            )
     src_keys = updates.select(*keys).distinct()
 
     # Which table rows survive the rewrite. ``replaced`` = matched rows

@@ -486,7 +486,10 @@ def analyze_table(
     for f in fields:
         c = F.col(f.name)
         aggs.append(F.sum(c.isNull().cast("long")).alias(f"{f.name} nulls"))
-        aggs.append(F.approx_count_distinct(c).alias(f"{f.name} ndv"))
+        # map values are unhashable for HLL (Spark rejects them); their
+        # NDV stays None rather than failing the whole stats pass
+        if not f.dataType.simpleString().startswith("map<"):
+            aggs.append(F.approx_count_distinct(c).alias(f"{f.name} ndv"))
         if not f.dataType.simpleString().startswith(unorderable):
             aggs.append(F.min(c).alias(f"{f.name} min"))
             aggs.append(F.max(c).alias(f"{f.name} max"))
@@ -496,7 +499,11 @@ def analyze_table(
     for f in fields:
         cols[f.name] = {
             "nulls": int(row[f"{f.name} nulls"] or 0),
-            "ndv": int(row[f"{f.name} ndv"] or 0),
+            "ndv": (
+                None
+                if f"{f.name} ndv" not in row
+                else int(row[f"{f.name} ndv"] or 0)
+            ),
             "min": (
                 None
                 if row.get(f"{f.name} min") is None

@@ -49,12 +49,20 @@ class UnigramModel:
     total_tokens: int
     vocab_size: int
 
+    def unpersist(self) -> None:
+        """Release the cached frequency table (fit_unigram caches it)."""
+        self.freq.unpersist()
+
 
 def fit_unigram(corpus: DataFrame, text_col: str = "text") -> UnigramModel:
     """One explode + groupBy; the only driver state is two scalars."""
     freq = _tokens(corpus, text_col).groupBy("__tok").agg(
         F.count("*").alias("__cnt")
     )
+    # cached because the fit's scalar agg materializes it anyway and
+    # every score_unigram call re-joins it; callers fitting many models
+    # should unpersist() finished ones (the cache pins executor memory
+    # for the model's lifetime otherwise)
     freq = freq.cache()
     row = freq.agg(
         F.sum("__cnt").alias("t"), F.count("*").alias("v")
@@ -74,35 +82,51 @@ def score_unigram(
     ``alpha`` > 0 applies add-alpha smoothing — p(tok) =
     (c + alpha) / (total + alpha * (V + 1)) with unseen tokens at c=0 —
     required when scoring documents the model never saw. With the
-    default alpha=0 unseen tokens would be -inf; scoring the fit corpus
-    itself never hits that case.
+    default alpha=0 an unseen token has probability zero, so any doc
+    containing one scores ``mean_logprob = -inf`` (``sum_qlogp`` then
+    covers only the seen tokens) and ``n_unseen`` reports how many;
+    scoring the fit corpus itself never hits that case.
 
-    Returns (id_col, n_tokens, sum_qlogp, mean_logprob): ``sum_qlogp``
-    is the exact integer sum of per-token quantized log-probs
-    (engine-portable; use it in judged comparisons), ``mean_logprob``
-    the float convenience view. Plan: explode -> equi-join on token ->
-    groupBy(id). The frequency table broadcast-joins when small; at
-    vocabulary scale it shuffles on the token key like any join."""
+    Returns (id_col, n_tokens, n_unseen, sum_qlogp, mean_logprob):
+    ``sum_qlogp`` is the exact integer sum of per-token quantized
+    log-probs (engine-portable; use it in judged comparisons),
+    ``mean_logprob`` the float convenience view. Plan: explode ->
+    equi-join on token -> groupBy(id). The frequency table
+    broadcast-joins when small; at vocabulary scale it shuffles on the
+    token key like any join."""
     denom = model.total_tokens + alpha * (model.vocab_size + 1)
     toks = _tokens(df, text_col)
     joined = toks.join(model.freq, on="__tok", how="left")
     c = F.coalesce(F.col("__cnt"), F.lit(0)).cast("double")
     if alpha == 0.0:
-        logp = F.log(c / F.lit(float(denom)))  # unseen -> -inf, by design
+        # Spark's ln(0) yields NULL, not -inf: keep the NULL per token
+        # (counted via n_unseen) and surface -inf at the doc level so
+        # out-of-vocabulary docs can never masquerade as well-scored.
+        logp = F.log(c / F.lit(float(denom)))
     else:
         logp = F.log((c + F.lit(float(alpha))) / F.lit(float(denom)))
     qlogp = F.floor(logp * F.lit(float(LOG_SCALE)) + F.lit(0.5)).cast("long")
-    return (
-        joined.select(id_col, qlogp.alias("__qlp"))
+    agg = (
+        joined.select(
+            id_col,
+            qlogp.alias("__qlp"),
+            F.col("__cnt").isNull().cast("long").alias("__oov"),
+        )
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_tokens"),
+            F.sum("__oov").alias("n_unseen"),  # OOV count at any alpha
             F.sum("__qlp").alias("sum_qlogp"),
         )
-        .withColumn(
-            "mean_logprob",
+    )
+    zero_prob_hit = (
+        (F.col("n_unseen") > 0) if alpha == 0.0 else F.lit(False)
+    )
+    return agg.withColumn(
+        "mean_logprob",
+        F.when(zero_prob_hit, F.lit(float("-inf"))).otherwise(
             F.col("sum_qlogp").cast("double")
             / F.lit(float(LOG_SCALE))
-            / F.col("n_tokens"),
-        )
+            / F.col("n_tokens")
+        ),
     )

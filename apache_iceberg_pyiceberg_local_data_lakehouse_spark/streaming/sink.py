@@ -68,21 +68,35 @@ class EpochCommitSink:
         return self._committed
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        """The exactly-once protocol, shared by every sink flavor: skip
+        already-committed epochs, transform + prepare the batch, commit
+        via the subclass hook, record the epoch. Subclasses override
+        ``_prepare`` / ``_commit``, never this method — so a protocol
+        fix applies to all sinks."""
         if epoch_id in self.committed_epochs():
             return  # checkpoint replay of an epoch the table already holds
         if self.transform is not None:
             batch_df = self.transform(batch_df)
+        batch_df = self._prepare(batch_df)
         if batch_df.isEmpty():
             return
+        self._commit(
+            batch_df,
+            {_QUERY_KEY: self.query_id, _EPOCH_KEY: int(epoch_id)},
+        )
+        self.committed_epochs().add(int(epoch_id))
+
+    def _prepare(self, batch_df: DataFrame) -> DataFrame:
+        """Subclass hook: batch-level rewrites before the commit."""
+        return batch_df
+
+    def _commit(self, batch_df: DataFrame, stamp: dict) -> None:
+        """Subclass hook: one atomic table commit carrying ``stamp``."""
         self.table.append(
             batch_df,
             optimize_write=self.optimize_write,
-            extra_summary={
-                _QUERY_KEY: self.query_id,
-                _EPOCH_KEY: int(epoch_id),
-            },
+            extra_summary=stamp,
         )
-        self.committed_epochs().add(int(epoch_id))
 
 
 def write_stream_to_table(
@@ -128,8 +142,15 @@ class UpsertSink(EpochCommitSink):
 
     ``dedup_order_col`` handles multiple versions of one key inside a
     single micro-batch (the normal CDC case): only the row with the
-    highest value per key is merged. Without it, source keys must be
-    unique per batch (merge_into's contract).
+    highest value per key is merged, ties broken by the remaining
+    columns (total order, so the winner is deterministic). Without it,
+    source keys must be unique per batch (merge_into's contract).
+
+    The prepared batch is ``localCheckpoint``-ed before the merge: the
+    merge evaluates its source in several independent actions (bounds
+    agg, key distinct, the rewrite), and pinning one materialization
+    both removes the re-computation and guarantees every action sees
+    the same winner rows.
 
     Epoch idempotence is inherited: the merge commit carries the
     (query-id, epoch-id) stamp, so a checkpoint replay of an epoch the
@@ -151,39 +172,39 @@ class UpsertSink(EpochCommitSink):
         self.when_matched = when_matched
         self.dedup_order_col = dedup_order_col
 
-    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+    def _prepare(self, batch_df: DataFrame) -> DataFrame:
         from pyspark.sql import Window
         from pyspark.sql import functions as F
 
-        from ..dml import merge_into
-
-        if epoch_id in self.committed_epochs():
-            return  # checkpoint replay of an epoch the table already holds
-        if self.transform is not None:
-            batch_df = self.transform(batch_df)
         if self.dedup_order_col is not None:
             keys = [self.key] if isinstance(self.key, str) else list(self.key)
+            rest = [
+                c
+                for c in batch_df.columns
+                if c not in keys and c != self.dedup_order_col
+            ]
             w = Window.partitionBy(*keys).orderBy(
-                F.col(self.dedup_order_col).desc()
+                F.col(self.dedup_order_col).desc(),
+                *[F.col(c) for c in rest],  # total order: ties resolve
             )
             batch_df = (
                 batch_df.withColumn("__rn", F.row_number().over(w))
                 .filter(F.col("__rn") == 1)
                 .drop("__rn")
             )
-        if batch_df.isEmpty():
-            return
+        # one materialization feeds isEmpty + every merge action
+        return batch_df.localCheckpoint(eager=True)
+
+    def _commit(self, batch_df: DataFrame, stamp: dict) -> None:
+        from ..dml import merge_into
+
         merge_into(
             self.table,
             batch_df,
             key=self.key,
             when_matched=self.when_matched,
-            extra_summary={
-                _QUERY_KEY: self.query_id,
-                _EPOCH_KEY: int(epoch_id),
-            },
+            extra_summary=stamp,
         )
-        self.committed_epochs().add(int(epoch_id))
 
 
 def upsert_stream_to_table(

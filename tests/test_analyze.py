@@ -77,3 +77,20 @@ def test_column_stats_roundtrip_and_staleness(table):
 def test_analyze_unknown_column_raises(table):
     with pytest.raises(ValueError, match="unknown columns"):
         analyze_table(table, columns=["nope"])
+
+
+def test_analyze_map_column_skips_ndv(spark, tmp_path):
+    """HLL rejects map values; ANALYZE must skip their NDV instead of
+    failing the whole stats pass."""
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("gold")
+    df = spark.createDataFrame(
+        [(1, {"a": "b"})], "k long, attrs map<string,string>"
+    )
+    t = cat.create_table("gold.mapped", df.schema)
+    t.append(df)
+    stats = analyze_table(t)
+    assert stats["columns"]["attrs"]["ndv"] is None
+    assert stats["columns"]["attrs"]["nulls"] == 0
+    assert stats["columns"]["k"]["ndv"] == 1
+    assert column_stats(t).filter("column = 'attrs'").first()["ndv"] is None

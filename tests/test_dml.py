@@ -927,3 +927,19 @@ def test_merge_composite_key(spark, tmp_path):
         (2, "a"): 30.0,
         (2, "b"): -2.0,
     }
+
+
+def test_merge_matched_condition_must_be_deterministic(table):
+    spark = table.spark
+    updates = spark.range(90, 110).select(
+        F.col("id").alias("k"), F.lit(-1.0).alias("v")
+    )
+    with pytest.raises(ValueError, match="deterministic"):
+        merge_into(
+            table, updates, key="k", matched_condition=F.rand() < 0.5
+        )
+    with pytest.raises(ValueError, match="no effect"):
+        merge_into(
+            table, updates, key="k", when_matched="ignore",
+            matched_condition="v > 0",
+        )

@@ -1171,3 +1171,34 @@ class TestUnigramLM:
         assert scores.count() == d.count()
         # every doc scored finite (alpha=0 over the fit corpus is safe)
         assert scores.filter(F.col("sum_qlogp").isNull()).count() == 0
+
+
+    def test_alpha_zero_unseen_scores_neg_inf(self, spark):
+        """alpha=0 + OOV tokens: the doc must score -inf (zero
+        probability), never a finite average over only its seen tokens
+        (Spark ln(0) is NULL, which F.sum would silently drop)."""
+        import math
+
+        from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.lm import (
+            fit_unigram,
+            score_unigram,
+        )
+
+        corpus = spark.createDataFrame(
+            [(1, "the cat sat")], "doc_id long, text string"
+        )
+        model = fit_unigram(corpus)
+        new = spark.createDataFrame(
+            [(10, "the zebra"), (11, "qq zz")], "doc_id long, text string"
+        )
+        rows = {r["doc_id"]: r for r in score_unigram(new, model).collect()}
+        assert rows[10]["n_unseen"] == 1
+        assert rows[10]["mean_logprob"] == float("-inf")
+        assert rows[11]["n_unseen"] == 2  # fully OOV
+        assert rows[11]["mean_logprob"] == float("-inf")
+        # with smoothing the same docs score finite, OOV still counted
+        sm = {r["doc_id"]: r for r in
+              score_unigram(new, model, alpha=0.5).collect()}
+        assert sm[10]["n_unseen"] == 1
+        assert math.isfinite(sm[10]["mean_logprob"])
+        model.unpersist()

@@ -893,3 +893,26 @@ def test_upsert_stream_end_to_end(spark, tmp_path):
         dedup_order_col="seq", available_now=True,
     ).awaitTermination(120)
     assert t.current_version() == v  # drained: no empty-merge commits
+
+
+def test_upsert_sink_tied_order_resolves_deterministically(spark, tmp_path):
+    """Two versions of one key with the SAME order value: the tiebreak
+    over the remaining columns picks one winner, and exactly one row
+    per key commits."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.catalog import (
+        LakehouseCatalog,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.streaming.sink import (
+        UpsertSink,
+    )
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("gold")
+    schema = "k long, v string, seq long"
+    t = cat.create_table("gold.tie", spark.createDataFrame([], schema).schema, [])
+    sink = UpsertSink(t, query_id="tie", key="k", dedup_order_col="seq")
+    b = spark.createDataFrame([(1, "a", 5), (1, "b", 5)], schema)
+    sink(b, 0)
+    rows = t.to_df().collect()
+    assert len(rows) == 1
+    assert rows[0]["v"] == "a"  # ascending tiebreak on the rest columns
