@@ -1234,3 +1234,46 @@ def q5l_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sum_qlogp").alias("sum_qlogp"),
         )
     )
+
+
+@register(
+    "q5m_sequence_packing",
+    # new in r5, registered behind the judged window (rotate in when a
+    # slot frees); certifies operators/packing.py: the two-phase
+    # distributed prefix sum must be bit-identical to the oracle's
+    # single global window.
+    defer=True,
+    oracle="""
+    WITH ordered AS (
+      SELECT doc_id, n_chars,
+             COALESCE(SUM(n_chars) OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS off
+      FROM documents
+    )
+    SELECT CAST(FLOOR(off / 2048.0) AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS chars_in,
+           MIN(off) AS first_offset
+    FROM ordered
+    GROUP BY 1
+    """,
+)
+def q5m_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: documents concatenated in
+    deterministic hash order, the stream cut into 2048-unit sequences.
+    The global offset comes from a two-phase distributed scan (bucket
+    cumsums + an O(256) driver prefix), which the oracle replicates as
+    ONE global window - equality certifies the distributed scan."""
+    from ..operators.packing import pack_sequences
+
+    d = load(spark, sf_dir, "documents")
+    packed = pack_sequences(
+        d, max_tokens=2048, size_col="n_chars", key_col="doc_id"
+    )
+    return packed.groupBy("seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("chars_in"),
+        F.min("offset").alias("first_offset"),
+    )

@@ -1202,3 +1202,68 @@ class TestUnigramLM:
         assert sm[10]["n_unseen"] == 1
         assert math.isfinite(sm[10]["mean_logprob"])
         model.unpersist()
+
+
+class TestSequencePacking:
+    def test_matches_naive_global_window(self, spark, sf_small):
+        """The two-phase scan equals a single global-window cumsum."""
+        from pyspark.sql.window import Window
+
+        from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.packing import (
+            global_prefix_sum,
+        )
+
+        d = spark.read.parquet(f"{sf_small}/documents.parquet")
+        got = {
+            r["doc_id"]: r["offset"]
+            for r in global_prefix_sum(d, "n_chars", "doc_id").collect()
+        }
+        h = F.md5(F.col("doc_id").cast("string"))
+        w = (
+            Window.orderBy(h, "doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        naive = {
+            r["doc_id"]: r["off"]
+            for r in d.select(
+                "doc_id",
+                F.coalesce(F.sum("n_chars").over(w), F.lit(0)).alias("off"),
+            ).collect()
+        }
+        assert got == naive
+
+    def test_packing_invariants(self, spark, sf_small):
+        from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.packing import (
+            pack_sequences,
+        )
+
+        d = spark.read.parquet(f"{sf_small}/documents.parquet")
+        rows = pack_sequences(
+            d, max_tokens=512, size_col="n_chars", key_col="doc_id"
+        ).collect()
+        total = sum(r["n_chars"] for r in rows)
+        by_off = sorted(rows, key=lambda r: r["offset"])
+        # offsets tile the stream exactly: no gaps, no overlaps
+        acc = 0
+        for r in by_off:
+            assert r["offset"] == acc
+            acc += r["n_chars"]
+        assert acc == total
+        # span labels consistent with offsets
+        for r in by_off:
+            assert r["seq_id"] == r["offset"] // 512
+            assert r["seq_end_id"] == (r["offset"] + r["n_chars"] - 1) // 512
+            assert r["n_seqs_spanned"] == r["seq_end_id"] - r["seq_id"] + 1
+        # long docs span; at 512 chars most documents do
+        assert any(r["n_seqs_spanned"] > 1 for r in by_off)
+
+    def test_rejects_bad_budget(self, spark, sf_small):
+        from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.packing import (
+            pack_sequences,
+        )
+
+        d = spark.read.parquet(f"{sf_small}/documents.parquet")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            pack_sequences(d, 0, size_col="n_chars", key_col="doc_id")

@@ -137,3 +137,42 @@ def test_r5_operators_avoid_cartesian_and_python(spark, sf_small):
         plan = formatted_plan(df)
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+def test_session3_operators_stay_distributed(spark, sf_small):
+    """Session-3 operators: the packing prefix-sum must never collapse
+    to a single-partition global window, mixing/LM plans stay JVM-side
+    with no cartesian products."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.lm import (
+        fit_unigram,
+        score_unigram,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.packing import (
+        pack_sequences,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.sampling import (
+        mix_corpus,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.queries import load
+
+    docs = load(spark, sf_small, "documents")
+
+    packed = pack_sequences(docs, 2048, size_col="n_chars", key_col="doc_id")
+    plan = formatted_plan(packed)
+    # the scale trap pack_sequences exists to avoid: a no-partition
+    # window forces Exchange SinglePartition before the sort
+    assert "SinglePartition" not in plan
+    assert "Window" in plan  # the per-bucket scan is still a window
+
+    mixed = mix_corpus(
+        docs, "source", {"src0": 0.5, "src1": 0.5}, 10_000,
+        size_col="n_chars", key_col="doc_id",
+    )
+    model = fit_unigram(docs)
+    scored = score_unigram(docs, model)
+    for df in [packed, mixed, scored]:
+        assert_no_cartesian(df)
+        p = formatted_plan(df)
+        assert "BatchEvalPython" not in p
+        assert "ArrowEvalPython" not in p
+    model.unpersist()
