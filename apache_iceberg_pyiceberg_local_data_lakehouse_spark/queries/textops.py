@@ -1277,3 +1277,59 @@ def q5m_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("chars_in"),
         F.min("offset").alias("first_offset"),
     )
+
+
+@register(
+    "q5n_bin_packing",
+    # new in r5, registered behind the judged window (rotate in when a
+    # slot frees); certifies pack_bins_greedy via the q70 bound-check
+    # pattern (greedy packing is not SQL-expressible; the exact fields
+    # and invariant booleans are)
+    defer=True,
+    oracle="""
+    SELECT COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_size,
+           TRUE AS no_overflow,
+           TRUE AS none_oversize,
+           TRUE AS bin_count_ok
+    FROM documents
+    """,
+)
+def q5n_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-split FFD bin packing: every document placed exactly once, no
+    bin over capacity, no oversize docs at this capacity, and the bin
+    count within 25% + one-tail-bin-per-bucket of the volume lower
+    bound. Exact fields (doc count, total size) hash-compare; the
+    greedy layout itself is certified by the invariant booleans."""
+    from ..operators.packing import pack_bins_greedy
+
+    cap = 2048
+    d = load(spark, sf_dir, "documents")
+    packed = pack_bins_greedy(d, cap, size_col="n_chars", key_col="doc_id")
+    bins = packed.groupBy("bin_id").agg(
+        F.sum("n_chars").alias("fill"),
+        F.max(F.col("oversize").cast("int")).alias("over"),
+    )
+    stats = packed.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_size"),
+        F.max(F.col("oversize").cast("int")).alias("any_over"),
+    ).collect()[0]
+    bin_stats = bins.agg(
+        F.count("*").alias("n_bins"),
+        F.max(F.when(F.col("over") == 0, F.col("fill"))).alias("max_fill"),
+    ).collect()[0]
+    lower = -(-int(stats["total_size"]) // cap)
+    return spark.createDataFrame(
+        [
+            (
+                stats["n_docs"],
+                stats["total_size"],
+                bool(bin_stats["max_fill"] <= cap),
+                bool(stats["any_over"] == 0),
+                bool(bin_stats["n_bins"] <= lower * 1.25 + 256),
+            )
+        ],
+        "n_docs long, total_size long, no_overflow boolean, "
+        "none_oversize boolean, bin_count_ok boolean",
+    )

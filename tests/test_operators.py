@@ -1267,3 +1267,49 @@ class TestSequencePacking:
 
         with _pytest.raises(ValueError):
             pack_sequences(d, 0, size_col="n_chars", key_col="doc_id")
+
+
+    def test_bin_packing_invariants(self, spark, sf_small):
+        from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.packing import (
+            pack_bins_greedy,
+        )
+
+        d = spark.read.parquet(f"{sf_small}/documents.parquet")
+        cap = 2048
+        rows = pack_bins_greedy(
+            d, cap, size_col="n_chars", key_col="doc_id"
+        ).collect()
+        assert len(rows) == d.count()  # every doc placed exactly once
+        fills: dict[int, int] = {}
+        for r in rows:
+            fills[r["bin_id"]] = fills.get(r["bin_id"], 0) + r["n_chars"]
+            assert not r["oversize"]  # no sf0.001 doc exceeds 2048 chars
+        assert all(f <= cap for f in fills.values())
+        # FFD waste bound: bins used close to the volume lower bound
+        total = sum(r["n_chars"] for r in rows)
+        lower = -(-total // cap)
+        assert len(fills) <= lower * 1.25 + 256  # +1 tail bin per bucket
+        # deterministic
+        again = {
+            (r["doc_id"], r["bin_id"])
+            for r in pack_bins_greedy(
+                d, cap, size_col="n_chars", key_col="doc_id"
+            ).collect()
+        }
+        assert again == {(r["doc_id"], r["bin_id"]) for r in rows}
+
+    def test_bin_packing_oversize_isolated(self, spark):
+        from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.packing import (
+            pack_bins_greedy,
+        )
+
+        d = spark.createDataFrame(
+            [(1, 50), (2, 5000), (3, 60)], "doc_id long, n_chars long"
+        )
+        rows = {r["doc_id"]: r for r in pack_bins_greedy(
+            d, 100, size_col="n_chars", key_col="doc_id"
+        ).collect()}
+        assert rows[2]["oversize"]
+        # the oversize bin holds only the oversize doc
+        assert [r["doc_id"] for r in rows.values()
+                if r["bin_id"] == rows[2]["bin_id"]] == [2]
