@@ -156,9 +156,11 @@ def pack_bins_greedy(
     if max_tokens <= 0:
         raise ValueError("max_tokens must be positive")
 
+    # the key keeps its native type (string doc ids pack fine); only
+    # the size is normalized to long
     out_schema = StructType(
         [
-            StructField("key", LongType()),
+            StructField("key", df.schema[key_col].dataType),
             StructField("size", LongType()),
             StructField("bucket", LongType()),
             StructField("bin_id", LongType()),
@@ -196,7 +198,7 @@ def pack_bins_greedy(
 
     h = F.md5(F.col(key_col).cast("string"))
     bucketed = df.select(
-        F.col(key_col).cast("long").alias("key"),
+        F.col(key_col).alias("key"),
         F.col(size_col).cast("long").alias("size"),
         F.conv(F.substring(h, 1, 2), 16, 10).cast("long").alias("bucket"),
     )

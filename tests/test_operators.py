@@ -1313,3 +1313,21 @@ class TestSequencePacking:
         # the oversize bin holds only the oversize doc
         assert [r["doc_id"] for r in rows.values()
                 if r["bin_id"] == rows[2]["bin_id"]] == [2]
+
+
+    def test_bin_packing_string_keys(self, spark):
+        from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.packing import (
+            pack_bins_greedy,
+        )
+
+        d = spark.createDataFrame(
+            [("a", 40), ("b", 50), ("c", 70)], "doc_id string, n_chars long"
+        )
+        rows = pack_bins_greedy(
+            d, 100, size_col="n_chars", key_col="doc_id"
+        ).collect()
+        assert {r["doc_id"] for r in rows} == {"a", "b", "c"}
+        fills = {}
+        for r in rows:
+            fills[r["bin_id"]] = fills.get(r["bin_id"], 0) + r["n_chars"]
+        assert all(f <= 100 for f in fills.values())
