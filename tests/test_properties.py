@@ -154,3 +154,84 @@ def test_mor_delete_equivalent_to_cow(spark, tmp_path_factory, lo, width, n_batc
     assert not t_eq.snapshot().delete_entries
     assert rows(t_pos) == expected
     assert rows(t_eq) == expected
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    tbl_keys=st.lists(
+        st.integers(min_value=0, max_value=30), min_size=1, max_size=20,
+        unique=True,
+    ),
+    src_keys=st.lists(
+        st.integers(min_value=0, max_value=30), min_size=0, max_size=20,
+        unique=True,
+    ),
+    when_matched=st.sampled_from(["update", "ignore", "delete"]),
+    when_not_matched=st.sampled_from(["insert", "ignore"]),
+    sync=st.booleans(),
+    cond_mod=st.sampled_from([None, 2, 3]),
+)
+def test_merge_matrix_matches_set_model(
+    spark, tmp_path_factory, tbl_keys, src_keys,
+    when_matched, when_not_matched, sync, cond_mod,
+):
+    """Every MERGE clause combination agrees with the plain set-algebra
+    model computed in Python: matched rows follow when_matched (gated by
+    the condition over the TABLE row), new keys follow when_not_matched,
+    table-only keys follow when_not_matched_by_source."""
+    from hypothesis import assume
+
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.dml import merge_into
+
+    # ignore-mode + condition is rejected up front by merge_into
+    assume(not (when_matched == "ignore" and cond_mod is not None))
+
+    wh = tmp_path_factory.mktemp("merge_prop")
+    cat = LakehouseCatalog(spark, str(wh))
+    cat.create_namespace("gold")
+    df = spark.createDataFrame(
+        [(k, float(k) * 10) for k in tbl_keys], "k long, v double"
+    )
+    t = cat.create_table("gold.m", df.schema)
+    t.append(df)
+    src = spark.createDataFrame(
+        [(k, -1.0) for k in src_keys], "k long, v double"
+    ) if src_keys else spark.createDataFrame([], "k long, v double")
+
+    merge_into(
+        t, src, key="k",
+        when_matched=when_matched,
+        matched_condition=(
+            None if cond_mod is None
+            else f"k % {cond_mod} = 0"
+        ),
+        when_not_matched=when_not_matched,
+        when_not_matched_by_source="delete" if sync else "keep",
+    )
+
+    # the set model
+    expected: dict[int, float] = {}
+    tset, sset = set(tbl_keys), set(src_keys)
+    for k in tset:
+        matched = k in sset
+        if not matched:
+            if not sync:
+                expected[k] = float(k) * 10
+            continue
+        fires = (cond_mod is None or k % cond_mod == 0)
+        if when_matched == "update" and fires:
+            expected[k] = -1.0
+        elif when_matched == "delete" and fires:
+            pass  # deleted
+        else:  # ignore, or condition failed
+            expected[k] = float(k) * 10
+    if when_not_matched == "insert":
+        for k in sset - tset:
+            expected[k] = -1.0
+
+    got = {r["k"]: r["v"] for r in t.to_df().collect()}
+    assert got == expected
