@@ -1044,6 +1044,42 @@ class LakehouseTable:
             df = df.select(*selected_fields)
         return df
 
+    def scan_where_in(
+        self,
+        column: str,
+        values,
+        selected_fields: list[str] | None = None,
+    ) -> DataFrame:
+        """Multi-point lookup (``column IN (...)``): a file survives if
+        ANY of the values could live in it - the union of the per-value
+        point keeps, so every pruning tier applies per value (bucket
+        transform, min/max stats, per-file bloom). The residual
+        ``isin`` pushes into the surviving parquet scans as an In
+        filter. The 100 TB shape of "fetch these N keys": N bucket
+        probes touch ~N files, never the table."""
+        vals = list(dict.fromkeys(values))
+        snap = self.snapshot()
+        if not vals:
+            return self.scan(snapshot=snap, file_filter=lambda e: False)
+        part = next(
+            (p for p in snap.partition_spec if p.source == column), None
+        )
+        keeps = []
+        for v in vals:
+            bucket_id = (
+                compute_bucket(self, part, v)
+                if part is not None and part.transform == "bucket"
+                else None
+            )
+            keeps.append(_range_keep(column, v, v, part, bucket_id))
+        df = self.scan(
+            snapshot=snap, file_filter=lambda e: any(k(e) for k in keeps)
+        )
+        df = df.filter(F.col(column).isin(vals))
+        if selected_fields:
+            df = df.select(*selected_fields)
+        return df
+
     def scan_incremental(
         self,
         from_version: int,

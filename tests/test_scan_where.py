@@ -258,3 +258,63 @@ def test_bloom_int_keys_and_absent_column(spark, tmp_path):
     # files without a bloom for the column stay unprunable
     keep = _range_keep("nope_col", 1, 1, None, None)
     assert all(keep(e) for e in snap.manifest)
+
+
+def test_scan_where_in_multi_point(catalog, spark):
+    """IN-list scan: per-value bucket pruning unions, result equals the
+    full-scan isin filter, empty list scans nothing."""
+    catalog.create_namespace("gold")
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField("user_id", LongType()), StructField("v", LongType())]
+    )
+    spec = [PartitionField("user_id", "bucket", "user_bucket", n_buckets=8)]
+    t = catalog.create_table("gold.users_in", schema, spec)
+    t.append(
+        spark.range(1000).select(
+            (F.col("id") % 50).alias("user_id"), F.col("id").alias("v")
+        )
+    )
+    got = t.scan_where_in("user_id", [42, 7, 42])
+    assert got.count() == 40  # 20 rows per key, duplicate value deduped
+    assert {r["user_id"] for r in got.select("user_id").distinct().collect()} == {7, 42}
+
+    # pruning: the union keep retains fewer files than the manifest
+    snap = t.snapshot()
+    part = next(p for p in snap.partition_spec if p.source == "user_id")
+    keeps = [
+        _range_keep("user_id", v, v, part, compute_bucket(t, part, v))
+        for v in (42, 7)
+    ]
+    kept = [e for e in snap.manifest if any(k(e) for k in keeps)]
+    assert 0 < len(kept) < len(snap.manifest)
+
+    assert t.scan_where_in("user_id", []).count() == 0
+    # projection pushes down
+    one_col = t.scan_where_in("user_id", [42], selected_fields=["v"])
+    assert one_col.columns == ["v"]
+
+
+def test_scan_where_in_stats_pruning_unpartitioned(catalog, spark):
+    """Without a partition spec the per-value min/max stats still prune
+    files whose range contains none of the probed keys."""
+    catalog.create_namespace("gold")
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField("k", LongType()), StructField("v", LongType())]
+    )
+    t = catalog.create_table("gold.plain_in", schema)
+    for base in (0, 1000, 2000):
+        t.append(
+            spark.range(base, base + 100)
+            .select(F.col("id").alias("k"), F.col("id").alias("v"))
+            .coalesce(1)
+        )
+    got = t.scan_where_in("k", [5, 2050])
+    assert got.count() == 2
+    snap = t.snapshot()
+    keeps = [_range_keep("k", v, v, None, None) for v in (5, 2050)]
+    kept = [e for e in snap.manifest if any(k(e) for k in keeps)]
+    assert len(kept) == 2  # the middle file (1000..1099) pruned
