@@ -1121,3 +1121,47 @@ def q6j_lakehouse_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+@register(
+    "q6k_lakehouse_in_list_lookup",
+    # new in r5, registered behind the judged window (rotate in when a
+    # slot frees); certifies scan_where_in: bucket-partitioned multi-key
+    # lookup returns exactly the full-scan IN-filter rows.
+    defer=True,
+    oracle="""
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           COUNT(*) AS n_rows
+    FROM events
+    WHERE event_id IN (11, 4242, 90001, 123456789)
+    GROUP BY event_id
+    """,
+)
+def q6k_lakehouse_in_list_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key point lookup through the table format: ingest events
+    into a bucket-partitioned table, probe four keys (one absent) via
+    scan_where_in - per-key bucket pruning, then the residual In filter.
+    Row-for-row equal to SQL's WHERE event_id IN (...)."""
+    from ..catalog import LakehouseCatalog
+    from ..table import PartitionField
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_q6k_")
+    try:
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("tmp")
+        ev = load(spark, sf_dir, "events").select("event_id", "user_id")
+        t = cat.create_table(
+            "tmp.events",
+            ev.schema,
+            [PartitionField("event_id", "bucket", "eb", n_buckets=8)],
+        )
+        t.append(ev)
+        out = (
+            t.scan_where_in("event_id", [11, 4242, 90001, 123456789])
+            .groupBy("event_id")
+            .agg(F.count("*").alias("n_rows"))
+        )
+        rows = out.collect()  # materialize before the warehouse vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
