@@ -1333,3 +1333,73 @@ def q5n_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs long, total_size long, no_overflow boolean, "
         "none_oversize boolean, bin_count_ok boolean",
     )
+
+
+@register(
+    "q5o_curation_pipeline",
+    # new in r5, registered behind the judged window (rotate in when a
+    # slot frees); the COMPOSITION showpiece: exact dedup -> quality
+    # gate -> corpus mixing -> sequence packing chained end-to-end, the
+    # whole pipeline replicated as one SQL CTE chain.
+    defer=True,
+    oracle="""
+    WITH dedup AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+    ), kept AS (
+      SELECT d.* FROM documents d JOIN dedup USING (doc_id)
+      WHERE len(string_split(d.text, ' ')) >= 30
+    ), mixed AS (
+      SELECT * FROM (
+        SELECT k.*, COALESCE(SUM(n_chars) OVER (
+            PARTITION BY source
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        FROM kept k
+        WHERE source IN ('src0','src1','src2','src3',
+                         'src4','src5','src6','src7')
+      ) WHERE cb < 5000.0
+    ), packed AS (
+      SELECT source, n_chars,
+             COALESCE(SUM(n_chars) OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM mixed
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS chars_kept,
+           COUNT(DISTINCT CAST(FLOOR(off / 2048.0) AS BIGINT)) AS n_seqs
+    FROM packed
+    GROUP BY source
+    """,
+)
+def q5o_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation pipeline as ONE composed plan: exact dedup
+    (sha-window keeper), quality gate (word count >= 30), corpus mixing
+    (8 sources at 12.5% of a 40k-char budget each), sequence packing
+    (2048-unit stream). Every stage is the production operator; the
+    oracle chains the same stages as SQL CTEs, so a hash match
+    certifies the COMPOSITION, not just each stage alone."""
+    from ..operators.dedup import exact_dedup
+    from ..operators.packing import pack_sequences
+    from ..operators.sampling import mix_corpus
+
+    d = load(spark, sf_dir, "documents")
+    unique = exact_dedup(d, content_col="text", id_col="doc_id", keep="min")
+    gated = unique.filter(F.size(F.split(F.col("text"), " ")) >= 30)
+    mixed = mix_corpus(
+        gated,
+        domain_col="source",
+        weights={f"src{i}": 0.125 for i in range(8)},
+        budget=40_000,
+        size_col="n_chars",
+        key_col="doc_id",
+    )
+    packed = pack_sequences(
+        mixed, max_tokens=2048, size_col="n_chars", key_col="doc_id"
+    )
+    return packed.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("chars_kept"),
+        F.countDistinct("seq_id").alias("n_seqs"),
+    )
