@@ -44,7 +44,14 @@ def global_prefix_sum(
     of sizes of all rows strictly before this one."""
     h = F.md5(F.col(key_col).cast("string"))
     bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
-    rows = df.withColumn("__h", h).withColumn("__b", bucket)
+    # one eager materialization feeds BOTH passes (bucket totals + the
+    # windowed output): without it the upstream plan - possibly a whole
+    # curation pipeline - executes twice
+    rows = (
+        df.withColumn("__h", h)
+        .withColumn("__b", bucket)
+        .localCheckpoint(eager=True)
+    )
 
     # phase 1+2: within-bucket exclusive cumsum (ordinary partitioned
     # window; ties impossible - md5 plus the unique key totally order)
@@ -53,19 +60,16 @@ def global_prefix_sum(
         .orderBy("__h", key_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    rows = rows.withColumn(
+    out = rows.withColumn(
         "__local", F.coalesce(F.sum(size_col).over(w), F.lit(0).cast("long"))
     )
 
     # phase 3: bucket totals -> driver prefix (bounded: N_BUCKETS rows).
-    # Computed from the raw projection, NOT the windowed rows - the agg
-    # needs no ordering, so this pass is a plain map-side-combined sum.
+    # Computed from the checkpointed projection, NOT the windowed rows -
+    # the agg needs no ordering, so this pass map-side combines.
     totals = {
         r["__b"]: r["t"]
-        for r in df.select(bucket.alias("__b"), F.col(size_col))
-        .groupBy("__b")
-        .agg(F.sum(size_col).alias("t"))
-        .collect()
+        for r in rows.groupBy("__b").agg(F.sum(size_col).alias("t")).collect()
     }
     prefix, acc = {}, 0
     for b in range(N_BUCKETS):
@@ -78,7 +82,7 @@ def global_prefix_sum(
         pairs += [F.lit(b), F.lit(p)]
     bucket_prefix = F.create_map(*pairs)[F.col("__b")]
     return (
-        rows.withColumn(out_col, (bucket_prefix + F.col("__local")).cast("long"))
+        out.withColumn(out_col, (bucket_prefix + F.col("__local")).cast("long"))
         .drop("__h", "__b", "__local")
     )
 
