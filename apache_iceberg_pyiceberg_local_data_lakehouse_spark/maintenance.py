@@ -297,7 +297,7 @@ def compact(
         # file falls back to one small agg job
         bounds = _zorder_bounds(small, zorder_by, df)
         z = zorder_key(df, zorder_by, bounds)
-        spec_cols = [p.column() for p in snap.partition_spec]
+        spec_cols = [p.column(df) for p in snap.partition_spec]
         df = (
             df.withColumn("__z", z)
             .repartitionByRange(int(n_out), *spec_cols, "__z")
@@ -305,7 +305,7 @@ def compact(
             .drop("__z")
         )
     else:
-        keys = [p.column() for p in snap.partition_spec] + list(sort_by or [])
+        keys = [p.column(df) for p in snap.partition_spec] + list(sort_by or [])
         if keys:
             df = df.repartitionByRange(int(n_out), *keys)
             if sort_by:

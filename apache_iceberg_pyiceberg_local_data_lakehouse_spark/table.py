@@ -36,13 +36,13 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StringType, StructType
 
 # ---------------------------------------------------------------------------
 # Partition transforms (reference: YearTransform at lakehouse_pipeline.py:373-382)
 # ---------------------------------------------------------------------------
 
-TRANSFORMS = ("identity", "years", "months", "days", "bucket")
+TRANSFORMS = ("identity", "years", "months", "days", "hours", "bucket", "truncate")
 
 
 @dataclass(frozen=True)
@@ -51,6 +51,7 @@ class PartitionField:
     transform: str = "identity"
     name: str | None = None
     n_buckets: int | None = None  # for bucket transform
+    width: int | None = None  # for truncate transform
 
     @property
     def field_name(self) -> str:
@@ -60,7 +61,7 @@ class PartitionField:
             return self.source
         return f"{self.source}_{self.transform.rstrip('s')}"
 
-    def column(self) -> F.Column:
+    def column(self, df: "DataFrame | None" = None) -> F.Column:
         c = F.col(self.source)
         if self.transform == "identity":
             return c
@@ -70,9 +71,28 @@ class PartitionField:
             return F.year(c) * 100 + F.month(c)
         if self.transform == "days":
             return F.date_format(c, "yyyy-MM-dd")
+        if self.transform == "hours":
+            return F.date_format(c, "yyyy-MM-dd-HH")
         if self.transform == "bucket":
             return F.pmod(F.hash(c), F.lit(self.n_buckets or 16))
+        if self.transform == "truncate":
+            # Iceberg truncate[W]: string -> W-char prefix, integer ->
+            # floor to a multiple of W. Type dispatch needs the frame's
+            # schema; without one, numeric is assumed.
+            w = self.width or 10
+            if df is not None and isinstance(
+                df.schema[self.source].dataType, StringType
+            ):
+                return F.substring(c, 1, w)
+            return (c - F.pmod(c, F.lit(w))).cast("long")
         raise ValueError(f"unknown transform {self.transform}")
+
+    def truncate_bound(self, v):
+        """Map a raw predicate bound into truncate's partition space."""
+        w = self.width or 10
+        if isinstance(v, str):
+            return v[:w]
+        return (int(v) // w) * w
 
     def to_json(self) -> dict[str, Any]:
         return {
@@ -80,6 +100,7 @@ class PartitionField:
             "transform": self.transform,
             "name": self.field_name,
             "n_buckets": self.n_buckets,
+            "width": self.width,
         }
 
     @staticmethod
@@ -89,6 +110,7 @@ class PartitionField:
             transform=d["transform"],
             name=d.get("name"),
             n_buckets=d.get("n_buckets"),
+            width=d.get("width"),
         )
 
 
@@ -354,7 +376,7 @@ class LakehouseTable:
         part_cols = []
         for p in spec:
             pname = f"_p_{p.field_name}"
-            out = out.withColumn(pname, p.column())
+            out = out.withColumn(pname, p.column(out))
             part_cols.append(pname)
         writer = out.write.mode("append")
         if part_cols:
@@ -453,13 +475,13 @@ class LakehouseTable:
             df = (
                 df.withColumn("__z", zorder_key(df, cluster_by, bounds))
                 .repartitionByRange(
-                    max(1, n_tasks), *[p.column() for p in spec], "__z"
+                    max(1, n_tasks), *[p.column(df) for p in spec], "__z"
                 )
-                .sortWithinPartitions(*[p.column() for p in spec], "__z")
+                .sortWithinPartitions(*[p.column(df) for p in spec], "__z")
                 .drop("__z")
             )
         elif optimize_write and spec:
-            df = df.repartition(*[p.column() for p in spec])
+            df = df.repartition(*[p.column(df) for p in spec])
         new_files = self._write_files(
             df, spec, bloom_cols=tuple(bloom_cols or ())
         )
@@ -2002,6 +2024,11 @@ def _range_keep(
             return int(s[:4]) * 100 + int(s[5:7])
         if part.transform == "days":
             return s[:10]
+        if part.transform == "hours":
+            # ISO instant "2024-01-01T05:..." -> "2024-01-01-05"
+            return s[:10] + "-" + s[11:13]
+        if part.transform == "truncate":
+            return part.truncate_bound(v)
         return v  # identity
 
     def keep(entry: dict) -> bool:
@@ -2012,11 +2039,23 @@ def _range_keep(
                     if part.transform == "bucket":
                         if bucket_id is not None and int(pv) != bucket_id:
                             return False
-                    elif part.transform == "days":
+                    elif part.transform in ("days", "hours"):
                         if lower is not None and str(pv) < part_bound(lower):
                             return False
                         if upper is not None and str(pv) > part_bound(upper):
                             return False
+                    elif part.transform == "truncate":
+                        ref = lower if lower is not None else upper
+                        if isinstance(ref, str):
+                            if lower is not None and str(pv) < part_bound(lower):
+                                return False
+                            if upper is not None and str(pv) > part_bound(upper):
+                                return False
+                        else:
+                            if lower is not None and int(pv) < part_bound(lower):
+                                return False
+                            if upper is not None and int(pv) > part_bound(upper):
+                                return False
                     elif part.transform in ("years", "months"):
                         if lower is not None and int(pv) < part_bound(lower):
                             return False

@@ -318,3 +318,72 @@ def test_scan_where_in_stats_pruning_unpartitioned(catalog, spark):
     keeps = [_range_keep("k", v, v, None, None) for v in (5, 2050)]
     kept = [e for e in snap.manifest if any(k(e) for k in keeps)]
     assert len(kept) == 2  # the middle file (1000..1099) pruned
+
+
+def test_scan_where_hours_transform(catalog, spark):
+    """hours(ts) partitioning: an hour-range scan prunes files from
+    other hours and still matches the full-scan filter."""
+    catalog.create_namespace("gold")
+    t = catalog.create_table(
+        "gold.hourly",
+        TICK_SCHEMA,
+        [PartitionField("DateTime", "hours")],
+    )
+    # tick_df spaces rows 1 s apart -> 10800 rows = hours 00..02
+    t.append(tick_df(spark, n=10800, start="2024-03-01 00:00:00"))
+    lo = dtm.datetime(2024, 3, 1, 2, 0)
+    hi = dtm.datetime(2024, 3, 1, 2, 59, 59)
+    kept = _kept(t, "DateTime", lo, hi)
+    assert 0 < len(kept) < len(t.snapshot().manifest)
+    got = t.scan_where("DateTime", lo, hi)
+    want = t.to_df().filter(
+        (F.col("DateTime") >= F.lit(lo)) & (F.col("DateTime") <= F.lit(hi))
+    )
+    assert got.count() == want.count() == 3600
+
+
+def test_scan_where_truncate_numeric(catalog, spark):
+    """truncate[100](k): files keyed by floored hundreds prune numeric
+    range scans."""
+    catalog.create_namespace("gold")
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField("k", LongType()), StructField("v", LongType())]
+    )
+    t = catalog.create_table(
+        "gold.trunc",
+        schema,
+        [PartitionField("k", "truncate", "k_trunc", width=100)],
+    )
+    t.append(
+        spark.range(1000).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    )
+    kept = _kept(t, "k", 250, 260)
+    assert 0 < len(kept) < len(t.snapshot().manifest)
+    assert t.scan_where("k", 250, 260).count() == 11
+
+
+def test_scan_where_truncate_string_prefix(catalog, spark):
+    """truncate[1](name): string prefix partitioning prunes point scans."""
+    catalog.create_namespace("gold")
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("name", StringType()), StructField("v", StringType())]
+    )
+    t = catalog.create_table(
+        "gold.names",
+        schema,
+        [PartitionField("name", "truncate", "name_pfx", width=1)],
+    )
+    t.append(
+        spark.createDataFrame(
+            [("alpha", "1"), ("beta", "2"), ("bravo", "3"), ("gamma", "4")],
+            schema,
+        )
+    )
+    kept = _kept(t, "name", "beta", "bravo")
+    assert 0 < len(kept) < len(t.snapshot().manifest)
+    got = t.scan_where("name", "beta", "bravo")
+    assert {r["name"] for r in got.collect()} == {"beta", "bravo"}
