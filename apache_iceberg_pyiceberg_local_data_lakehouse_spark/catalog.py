@@ -15,6 +15,7 @@ the real Iceberg runtime is a config change, not a rewrite.
 from __future__ import annotations
 
 import json
+import re
 import os
 import time
 import uuid
@@ -23,6 +24,44 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
 from .table import LakehouseTable, PartitionField, Snapshot
+
+# SQL DML statements handled by catalog.sql (Spark temp views are
+# read-only, so DELETE/UPDATE compile to the table-format DML engines)
+_DML_DELETE = re.compile(
+    r"^\s*DELETE\s+FROM\s+([\w.]+)\s+WHERE\s+(.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DML_UPDATE = re.compile(
+    r"^\s*UPDATE\s+([\w.]+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split a SET list on commas outside parentheses and quotes, so
+    assignments like ``v = greatest(v, 0), tag = \'a,b\'`` parse."""
+    parts, depth, quote, cur = [], 0, None, []
+    for ch in s:
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in ("\'", '"'):
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+            continue
+        cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return parts
+
 
 
 class NoSuchTableError(Exception):
@@ -203,7 +242,48 @@ class LakehouseCatalog:
     def sql(self, query: str) -> DataFrame:
         """Run SQL over the registered views (sugar for
         ``register_views()`` + ``spark.sql``; re-registers first so the
-        query always sees the latest committed snapshots)."""
+        query always sees the latest committed snapshots).
+
+        DML statements route to the table-format engines instead of
+        Spark's parser (temp views are not writable): ``DELETE FROM
+        ns.table WHERE <cond>`` and ``UPDATE ns.table SET col = expr,
+        ... WHERE <cond>`` compile to :func:`dml.delete_where` /
+        :func:`dml.update_where` (file-pruned copy-on-write) and return
+        a one-row summary frame. The table is named by its dotted
+        identifier; conditions and assignment expressions are any Spark
+        SQL expressions over the table's columns."""
+        m = _DML_DELETE.match(query)
+        if m:
+            from pyspark.sql import functions as F
+
+            from .dml import delete_where
+
+            t = self.load_table(m.group(1))
+            snap = delete_where(t, F.expr(m.group(2)))
+            return self.spark.createDataFrame(
+                [("delete", m.group(1), snap.version)],
+                "operation string, table string, version long",
+            )
+        m = _DML_UPDATE.match(query)
+        if m:
+            from pyspark.sql import functions as F
+
+            from .dml import update_where
+
+            t = self.load_table(m.group(1))
+            assignments = {}
+            for part in _split_top_level(m.group(2)):
+                if "=" not in part:
+                    raise ValueError(
+                        f"malformed SET assignment: {part.strip()!r}"
+                    )
+                col, expr = part.split("=", 1)
+                assignments[col.strip()] = F.expr(expr.strip())
+            snap = update_where(t, F.expr(m.group(3)), assignments)
+            return self.spark.createDataFrame(
+                [("update", m.group(1), snap.version)],
+                "operation string, table string, version long",
+            )
         self.register_views()
         return self.spark.sql(query)
 

@@ -102,3 +102,49 @@ def test_register_views_detects_name_collisions(catalog, spark):
     b.append(tick_df(spark, n=2))
     with pytest.raises(ValueError, match="collision"):
         catalog.register_views()
+
+
+def test_sql_delete_dml(catalog, spark):
+    """DELETE FROM routes to the copy-on-write engine and the next SQL
+    read sees the shrunken table."""
+    t = catalog.create_table("gold.ticks", TICK_SCHEMA, [])
+    t.append(tick_df(spark, n=20))
+    out = catalog.sql(
+        "DELETE FROM gold.ticks WHERE Bid < 1.105"
+    ).first()
+    assert out["operation"] == "delete"
+    assert out["version"] == t.current_version()
+    assert catalog.sql("SELECT COUNT(*) AS n FROM gold_ticks").first()["n"] == 15
+
+
+def test_sql_update_dml(catalog, spark):
+    """UPDATE ... SET with a function call containing commas parses and
+    applies only to matched rows."""
+    t = catalog.create_table("gold.ticks", TICK_SCHEMA, [])
+    t.append(tick_df(spark, n=10))
+    catalog.sql(
+        "UPDATE gold.ticks SET Bid = greatest(Bid, 9.0), Ask = 0.0 "
+        "WHERE Bid >= 1.105"
+    )
+    df = t.to_df()
+    assert df.filter(F.col("Bid") == 9.0).count() == 5
+    assert df.filter(F.col("Ask") == 0.0).count() == 5
+    # untouched rows keep their values
+    assert df.filter(F.col("Bid") < 1.105).count() == 5
+
+
+def test_sql_update_malformed_set_raises(catalog, spark):
+    t = catalog.create_table("gold.ticks", TICK_SCHEMA, [])
+    t.append(tick_df(spark, n=5))
+    with pytest.raises(ValueError, match="malformed SET"):
+        catalog.sql("UPDATE gold.ticks SET Bid WHERE Bid > 0")
+
+
+def test_sql_select_mentioning_delete_still_selects(catalog, spark):
+    """Only statements STARTING with DML verbs route to the engines."""
+    t = catalog.create_table("gold.ticks", TICK_SCHEMA, [])
+    t.append(tick_df(spark, n=5))
+    got = catalog.sql(
+        "SELECT COUNT(*) AS n FROM gold_ticks WHERE 'delete from x where y' <> ''"
+    ).first()
+    assert got["n"] == 5
