@@ -1165,3 +1165,51 @@ def q6k_lakehouse_in_list_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+@register(
+    "q6l_lakehouse_hourly_prune",
+    # new in r5, registered behind the judged window (rotate in when a
+    # slot frees); certifies the hours(ts) partition transform: write
+    # hour-partitioned, scan one day window with manifest pruning, and
+    # match SQL row-for-row.
+    defer=True,
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events
+    FROM events
+    WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-05 06:00:00'
+      AND CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-05 17:59:59.999999'
+    GROUP BY event_type
+    """,
+)
+def q6l_lakehouse_hourly_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hours(ts) hidden partitioning end-to-end: ingest events into an
+    hour-partitioned table, range-scan a 12-hour window through
+    scan_where (manifest prune on the hour transform + residual
+    predicate), aggregate by type - equal to plain SQL."""
+    import datetime as _dt
+
+    from ..catalog import LakehouseCatalog
+    from ..table import PartitionField
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_q6l_")
+    try:
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("tmp")
+        ev = load(spark, sf_dir, "events").select("ts", "event_type")
+        t = cat.create_table(
+            "tmp.events", ev.schema, [PartitionField("ts", "hours")]
+        )
+        t.append(ev)
+        lo = _dt.datetime(2024, 1, 5, 6, 0, 0)
+        hi = _dt.datetime(2024, 1, 5, 17, 59, 59, 999999)
+        out = (
+            t.scan_where("ts", lo, hi)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_events"))
+        )
+        rows = out.collect()  # materialize before the warehouse vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
