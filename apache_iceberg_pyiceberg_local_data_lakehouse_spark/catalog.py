@@ -35,6 +35,15 @@ _DML_UPDATE = re.compile(
     r"^\s*UPDATE\s+([\w.]+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_DML_OPTIMIZE = re.compile(
+    r"^\s*OPTIMIZE\s+([\w.]+)"
+    r"(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DML_VACUUM = re.compile(
+    r"^\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*$",
+    re.IGNORECASE,
+)
 
 
 def _split_top_level(s: str) -> list[str]:
@@ -283,6 +292,52 @@ class LakehouseCatalog:
             return self.spark.createDataFrame(
                 [("update", m.group(1), snap.version)],
                 "operation string, table string, version long",
+            )
+        m = _DML_OPTIMIZE.match(query)
+        if m:
+            from .maintenance import compact
+
+            t = self.load_table(m.group(1))
+            zorder = (
+                [c.strip() for c in m.group(2).split(",")]
+                if m.group(2)
+                else None
+            )
+            snap = compact(t, zorder_by=zorder)
+            return self.spark.createDataFrame(
+                [
+                    (
+                        "optimize",
+                        m.group(1),
+                        t.current_version(),
+                        int(snap.summary["compacted_files"]) if snap else 0,
+                    )
+                ],
+                "operation string, table string, version long, "
+                "compacted_files long",
+            )
+        m = _DML_VACUUM.match(query)
+        if m:
+            from .maintenance import expire_snapshots
+
+            t = self.load_table(m.group(1))
+            older = (
+                int(time.time() * 1000) - int(m.group(2)) * 3600_000
+                if m.group(2)
+                else None
+            )
+            res = expire_snapshots(t, older_than_ms=older)
+            return self.spark.createDataFrame(
+                [
+                    (
+                        "vacuum",
+                        m.group(1),
+                        int(res.get("expired_snapshots", 0)),
+                        int(res.get("deleted_files", 0)),
+                    )
+                ],
+                "operation string, table string, expired_snapshots long, "
+                "deleted_files long",
             )
         self.register_views()
         return self.spark.sql(query)

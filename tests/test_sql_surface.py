@@ -148,3 +148,30 @@ def test_sql_select_mentioning_delete_still_selects(catalog, spark):
         "SELECT COUNT(*) AS n FROM gold_ticks WHERE 'delete from x where y' <> ''"
     ).first()
     assert got["n"] == 5
+
+
+def test_sql_optimize_statement(catalog, spark):
+    """OPTIMIZE compiles to compaction: small files merge and the scan
+    still answers correctly."""
+    t = catalog.create_table("gold.ticks", TICK_SCHEMA, [])
+    for i in range(4):
+        t.append(tick_df(spark, n=10, start=f"2024-01-0{i+1} 00:00:00").coalesce(1))
+    before = len(t.snapshot().manifest)
+    out = catalog.sql("OPTIMIZE gold.ticks").first()
+    assert out["operation"] == "optimize"
+    assert out["compacted_files"] == before
+    assert len(t.snapshot().manifest) < before
+    assert catalog.sql("SELECT COUNT(*) AS n FROM gold_ticks").first()["n"] == 40
+
+
+def test_sql_vacuum_statement(catalog, spark):
+    """VACUUM RETAIN 0 HOURS expires unprotected snapshots."""
+    t = catalog.create_table("gold.ticks", TICK_SCHEMA, [])
+    for i in range(5):
+        t.append(tick_df(spark, n=5, start=f"2024-02-0{i+1} 00:00:00"))
+    n_before = len(t.snapshots())
+    out = catalog.sql("VACUUM gold.ticks RETAIN 0 HOURS").first()
+    assert out["operation"] == "vacuum"
+    assert out["expired_snapshots"] > 0
+    assert len(t.snapshots()) < n_before
+    assert catalog.sql("SELECT COUNT(*) AS n FROM gold_ticks").first()["n"] == 25
