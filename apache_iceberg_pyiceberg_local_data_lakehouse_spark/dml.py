@@ -746,3 +746,26 @@ def set_partition_spec(table: LakehouseTable, spec: list) -> Snapshot:
     )
     table._commit(snap)
     return snap
+
+
+def retry_on_conflict(op, attempts: int = 3):
+    """Optimistic-concurrency retry for row-level DML (Iceberg's commit
+    retry loop): ``op`` is a zero-arg callable wrapping one DML call,
+    e.g. ``lambda: delete_where(t, pred)``. Every DML function re-reads
+    the CURRENT snapshot at entry and guards its commit with
+    ``base_version``, so a retry automatically recomputes against the
+    winner of the race - safe to repeat, never double-applied (the
+    failed attempt committed nothing).
+
+    Appends carry their own bounded retry (`_commit_append`); this
+    brings the same discipline to DELETE/UPDATE/MERGE without baking a
+    retry policy into each engine."""
+    from .table import CommitConflict
+
+    last: CommitConflict | None = None
+    for _ in range(max(1, attempts)):
+        try:
+            return op()
+        except CommitConflict as e:
+            last = e
+    raise last

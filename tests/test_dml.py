@@ -943,3 +943,65 @@ def test_merge_matched_condition_must_be_deterministic(table):
             table, updates, key="k", when_matched="ignore",
             matched_condition="v > 0",
         )
+
+
+def test_retry_on_conflict_recomputes_against_winner(table, monkeypatch):
+    """A DML op losing the optimistic race retries and applies against
+    the concurrent append's result."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.dml import (
+        retry_on_conflict,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.table import (
+        CommitConflict,
+        LakehouseTable,
+    )
+
+    spark = table.spark
+    real = LakehouseTable.commit_delta
+    state = {"raced": False}
+
+    def racing_commit(self, *args, **kwargs):
+        if not state["raced"]:
+            # simulate a concurrent append winning between the DML's
+            # snapshot read and its commit
+            state["raced"] = True
+            self.append(
+                spark.range(100, 110).select(
+                    F.col("id").alias("k"), F.lit(999.0).alias("v")
+                )
+            )
+            raise CommitConflict("concurrent append won the race")
+        return real(self, *args, **kwargs)
+
+    monkeypatch.setattr(LakehouseTable, "commit_delta", racing_commit)
+
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.dml import (
+        delete_where,
+    )
+
+    snap = retry_on_conflict(lambda: delete_where(table, F.col("k") < 10))
+    assert snap.operation == "delete"
+    df = table.to_df()
+    assert df.filter(F.col("k") < 10).count() == 0
+    # the concurrent append's rows survived the retried delete
+    assert df.filter(F.col("v") == 999.0).count() == 10
+    assert df.count() == 100  # 100 original - 10 deleted + 10 raced
+
+
+def test_retry_on_conflict_exhausts(table, monkeypatch):
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.dml import (
+        retry_on_conflict,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.table import (
+        CommitConflict,
+    )
+
+    calls = {"n": 0}
+
+    def always_lose():
+        calls["n"] += 1
+        raise CommitConflict("always")
+
+    with pytest.raises(CommitConflict):
+        retry_on_conflict(always_lose, attempts=3)
+    assert calls["n"] == 3
