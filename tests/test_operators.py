@@ -1331,3 +1331,29 @@ class TestSequencePacking:
         for r in rows:
             fills[r["bin_id"]] = fills.get(r["bin_id"], 0) + r["n_chars"]
         assert all(f <= 100 for f in fills.values())
+
+
+    def test_prefix_sum_scales_to_a_million_rows(self, spark):
+        """1M-row scan: the two-phase prefix sum must stay distributed
+        (driver holds only the 256-bucket prefix) and tile exactly."""
+        from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.packing import (
+            global_prefix_sum,
+        )
+
+        d = spark.range(1_000_000).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 700 + 1).alias("n"),
+        )
+        out = global_prefix_sum(d, "n", "doc_id")
+        total = d.agg(F.sum("n")).first()[0]
+        stats = out.agg(
+            F.count("*").alias("rows"),
+            F.min("offset").alias("lo"),
+            F.max(F.col("offset") + F.col("n")).alias("end"),
+            F.sum("n").alias("sum_n"),
+        ).first()
+        assert stats["rows"] == 1_000_000
+        assert stats["lo"] == 0
+        assert stats["end"] == total == stats["sum_n"]
+        # offsets are unique (a perfect tiling implies no collisions)
+        assert out.select("offset").distinct().count() == 1_000_000
