@@ -769,3 +769,70 @@ def retry_on_conflict(op, attempts: int = 3):
         except CommitConflict as e:
             last = e
     raise last
+
+
+def overwrite_partitions(table: LakehouseTable, df: DataFrame) -> Snapshot | None:
+    """INSERT OVERWRITE with dynamic partition resolution (Iceberg's
+    dynamic overwrite): atomically replace every partition the incoming
+    frame touches - untouched partitions carry forward by reference.
+    THE backfill primitive: recompute one day/hour/bucket and swap it
+    in without rewriting neighbours or racing readers (old snapshots
+    still see the pre-overwrite data).
+
+    Partition resolution maps the incoming rows through the table's
+    transforms (one distinct over the transform columns - driver state
+    bounded by the number of TOUCHED partitions, not rows). On an
+    unpartitioned table this degenerates to a full-table replace.
+
+    Returns None without committing when ``df`` is empty (an empty
+    dynamic overwrite touches no partitions, so it has nothing to
+    replace - matching Iceberg, which treats it as a no-op rather than
+    truncating the table)."""
+    snap = table.snapshot()
+    spec = snap.partition_spec
+    if not spec:
+        new_entries = table._write_files(df, spec)
+        if not new_entries:
+            return None
+        return table.commit_delta(
+            added=new_entries,
+            removed_paths={e["path"] for e in snap.data_entries},
+            operation="overwrite",
+            summary={"overwritten_partitions": "all (unpartitioned)"},
+            base_version=snap.version,
+        )
+
+    names = [p.field_name for p in spec]
+    touched = {
+        tuple(
+            "__HIVE_DEFAULT_PARTITION__" if r[n] is None else str(r[n])
+            for n in names
+        )
+        for r in df.select(
+            *[p.column(df).alias(p.field_name) for p in spec]
+        )
+        .distinct()
+        .collect()
+    }
+    if not touched:
+        return None  # empty frame: dynamic overwrite touches nothing
+
+    def entry_key(e: dict) -> tuple:
+        part = e.get("partition") or {}
+        return tuple(str(part.get(n)) for n in names)
+
+    removed = {
+        e["path"] for e in snap.data_entries if entry_key(e) in touched
+    }
+    new_entries = table._write_files(df, spec)
+    return table.commit_delta(
+        added=new_entries,
+        removed_paths=removed,
+        operation="overwrite",
+        summary={
+            "overwritten_partitions": len(touched),
+            "replaced_files": len(removed),
+            "new_files": len(new_entries),
+        },
+        base_version=snap.version,
+    )

@@ -1213,3 +1213,65 @@ def q6l_lakehouse_hourly_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+@register(
+    "q6m_lakehouse_partition_overwrite",
+    # new in r5, registered behind the judged window (rotate in when a
+    # slot frees); certifies dml.overwrite_partitions: a one-day
+    # backfill swaps exactly that partition, untouched days unchanged.
+    defer=True,
+    oracle="""
+    WITH ev AS (
+      SELECT CAST(ts AS TIMESTAMP) AS t, event_id FROM events
+    ), final AS (
+      SELECT t, event_id FROM ev
+      WHERE CAST(t AS DATE) <> DATE '2024-01-05'
+      UNION ALL
+      SELECT t, event_id FROM ev
+      WHERE CAST(t AS DATE) = DATE '2024-01-05' AND event_id % 2 = 0
+    )
+    SELECT CAST(t AS DATE) AS day,
+           COUNT(*) AS n_events,
+           SUM(event_id) AS sum_ids
+    FROM final
+    GROUP BY day
+    """,
+)
+def q6m_lakehouse_partition_overwrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dynamic partition overwrite end-to-end: ingest all events into a
+    days(ts)-partitioned table, backfill 2024-01-05 with a corrected
+    frame (only even event ids), and roll up per day - every other day
+    must be untouched and day 5 exactly replaced."""
+    from ..catalog import LakehouseCatalog
+    from ..dml import overwrite_partitions
+    from ..table import PartitionField
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_q6m_")
+    try:
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("tmp")
+        ev = load(spark, sf_dir, "events").select("ts", "event_id")
+        t = cat.create_table(
+            "tmp.events", ev.schema, [PartitionField("ts", "days")]
+        )
+        t.append(ev)
+        fixed = ev.filter(
+            (F.col("ts").cast("date") == F.lit("2024-01-05").cast("date"))
+            & (F.col("event_id") % 2 == 0)
+        )
+        overwrite_partitions(t, fixed)
+        out = (
+            t.to_df()
+            .groupBy(F.col("ts").cast("date").alias("day"))
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum("event_id").alias("sum_ids"),
+            )
+        )
+        rows = out.collect()  # materialize before the warehouse vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)

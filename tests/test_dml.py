@@ -1005,3 +1005,82 @@ def test_retry_on_conflict_exhausts(table, monkeypatch):
     with pytest.raises(CommitConflict):
         retry_on_conflict(always_lose, attempts=3)
     assert calls["n"] == 3
+
+
+def test_overwrite_partitions_backfill(spark, tmp_path):
+    """Dynamic overwrite replaces exactly the touched partitions; the
+    rest carry forward byte-identical, and time travel still sees the
+    pre-backfill data."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.dml import (
+        overwrite_partitions,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.table import (
+        PartitionField,
+    )
+    from test_table_format import TICK_SCHEMA, tick_df
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("gold")
+    t = cat.create_table(
+        "gold.days", TICK_SCHEMA, [PartitionField("DateTime", "days")]
+    )
+    # three days of data
+    for d in ("2024-01-01", "2024-01-02", "2024-01-03"):
+        t.append(tick_df(spark, n=10, start=f"{d} 00:00:00"))
+    v_before = t.current_version()
+    before_paths = {e["path"] for e in t.snapshot().manifest}
+
+    # backfill day 2 with corrected values (5 rows instead of 10)
+    fixed = tick_df(spark, n=5, start="2024-01-02 12:00:00").withColumn(
+        "Bid", F.lit(7.0)
+    )
+    snap = overwrite_partitions(t, fixed)
+    assert snap.operation == "overwrite"
+    assert snap.summary["overwritten_partitions"] == 1
+
+    df = t.to_df()
+    assert df.count() == 25  # 10 + 5 + 10
+    day2 = df.filter(F.col("DateTime").cast("date") == "2024-01-02")
+    assert day2.count() == 5
+    assert day2.filter(F.col("Bid") == 7.0).count() == 5
+    # untouched days carried over byte-identical
+    after_paths = {e["path"] for e in t.snapshot().manifest}
+    assert len(before_paths & after_paths) >= 2
+    # time travel sees the original day 2
+    old = t.scan(snapshot=t.snapshot(v_before))
+    assert old.filter(F.col("DateTime").cast("date") == "2024-01-02").count() == 10
+
+
+def test_overwrite_partitions_empty_is_noop(spark, tmp_path):
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.dml import (
+        overwrite_partitions,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.table import (
+        PartitionField,
+    )
+    from test_table_format import TICK_SCHEMA, tick_df
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("gold")
+    t = cat.create_table(
+        "gold.noop", TICK_SCHEMA, [PartitionField("DateTime", "days")]
+    )
+    t.append(tick_df(spark, n=10))
+    v = t.current_version()
+    assert overwrite_partitions(t, tick_df(spark, n=0)) is None
+    assert t.current_version() == v
+    assert t.to_df().count() == 10
+
+
+def test_overwrite_unpartitioned_replaces_table(spark, tmp_path):
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.dml import (
+        overwrite_partitions,
+    )
+    from test_table_format import TICK_SCHEMA, tick_df
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("gold")
+    t = cat.create_table("gold.flat", TICK_SCHEMA, [])
+    t.append(tick_df(spark, n=10))
+    overwrite_partitions(t, tick_df(spark, n=3, start="2025-06-01 00:00:00"))
+    assert t.to_df().count() == 3
