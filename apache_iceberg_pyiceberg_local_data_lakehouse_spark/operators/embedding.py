@@ -110,3 +110,35 @@ def embedding_norms(
         .groupBy(id_col)
         .agg(F.sqrt(F.sum(F.col("__v") * F.col("__v"))).alias("norm"))
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "q_embedding",
+) -> DataFrame:
+    """Symmetric int8 quantization: per-vector scale s = max|v| / 127,
+    q_i = round(v_i / s) as TINYINT. Cuts embedding storage and shuffle
+    width 4x (float32 -> int8, 8x vs float64) - at 100 TB of vectors
+    the difference between an ANN index that fits executor memory and
+    one that spills. Adds ``out_col`` (array<tinyint>) and
+    ``{out_col}_scale`` (float); zero vectors get scale 0 and all-zero
+    codes. Pure expression plan - no UDF, no shuffle."""
+    c = F.col(vec_col)
+    amax = F.array_max(F.transform(c, lambda x: F.abs(x)))
+    scale = (amax / F.lit(127.0)).cast("float")
+    q = F.when(
+        amax > 0,
+        F.transform(
+            c,
+            lambda x: F.round(x / (amax / F.lit(127.0))).cast("tinyint"),
+        ),
+    ).otherwise(F.transform(c, lambda x: F.lit(0).cast("tinyint")))
+    return df.withColumn(out_col, q).withColumn(f"{out_col}_scale", scale)
+
+
+def dequantize_embedding(q_col: str, scale_col: str) -> Column:
+    """Reconstruct the approximate float vector: q_i * scale."""
+    return F.transform(
+        F.col(q_col), lambda x: x.cast("double") * F.col(scale_col)
+    )

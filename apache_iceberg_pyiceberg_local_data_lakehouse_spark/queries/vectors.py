@@ -476,3 +476,77 @@ def q5g_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_dups", F.lit(0)).alias("n_dups"),
         F.coalesce("max_sim_q", F.lit(0)).alias("max_sim_q"),
     )
+
+
+@register(
+    "q5p_quantized_ann",
+    # new in r5, registered behind the judged window (rotate in when a
+    # slot frees); certifies embedding int8 quantization via the bound
+    # pattern: exact corpus facts hash-compare, neighbor preservation
+    # ships as a floor flag.
+    defer=True,
+    oracle="""
+    SELECT COUNT(*) AS n_vectors,
+           MAX(len(embedding)) AS dims,
+           TRUE AS roundtrip_ok,
+           TRUE AS top1_agreement_ok
+    FROM embeddings
+    """,
+)
+def q5p_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 embedding quantization end-to-end: quantize the corpus
+    (4x storage), dequantize, and check (a) per-element roundtrip error
+    is within half a quantization step and (b) top-1 brute-force
+    neighbors agree with exact for >= 80% of 20 probe queries."""
+    from ..operators.embedding import dequantize_embedding, quantize_embeddings
+    from ..operators.similarity import knn_bruteforce
+
+    emb = load(spark, sf_dir, "embeddings")
+    n, dims = emb.count(), emb.select(
+        F.max(F.size("embedding"))
+    ).first()[0]
+
+    q = quantize_embeddings(emb)
+    worst = (
+        q.select(
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    dequantize_embedding("q_embedding", "q_embedding_scale"),
+                    lambda a, b: F.abs(a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: F.greatest(acc, x),
+            ).alias("err"),
+            F.col("q_embedding_scale").alias("s"),
+        )
+        .agg(F.max(F.when(F.col("s") > 0, F.col("err") / F.col("s"))))
+        .first()[0]
+    )
+
+    probes = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        r["query_id"]: r["neighbor_id"]
+        for r in knn_bruteforce(emb, probes, k=1).collect()
+    }
+    deq = q.withColumn(
+        "embedding", dequantize_embedding("q_embedding", "q_embedding_scale")
+    ).select("vec_id", "embedding")
+    dprobes = deq.filter(F.col("vec_id") < 20)
+    approx = {
+        r["query_id"]: r["neighbor_id"]
+        for r in knn_bruteforce(deq, dprobes, k=1).collect()
+    }
+    agree = sum(1 for k in exact if approx.get(k) == exact[k])
+    return spark.createDataFrame(
+        [
+            (
+                n,
+                dims,
+                bool(worst <= 0.5 + 1e-6),
+                bool(agree >= int(0.8 * len(exact))),
+            )
+        ],
+        "n_vectors long, dims int, roundtrip_ok boolean, "
+        "top1_agreement_ok boolean",
+    )

@@ -1357,3 +1357,70 @@ class TestSequencePacking:
         assert stats["end"] == total == stats["sum_n"]
         # offsets are unique (a perfect tiling implies no collisions)
         assert out.select("offset").distinct().count() == 1_000_000
+
+
+class TestQuantization:
+    def test_roundtrip_error_bounded(self, spark, sf_small):
+        from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.embedding import (
+            dequantize_embedding,
+            quantize_embeddings,
+        )
+
+        emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+        q = quantize_embeddings(emb)
+        row = q.select(
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    dequantize_embedding("q_embedding", "q_embedding_scale"),
+                    lambda a, b: F.abs(a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: F.greatest(acc, x),
+            ).alias("max_err"),
+            F.col("q_embedding_scale").alias("s"),
+        ).agg(F.max(F.col("max_err") / F.col("s")).alias("worst")).first()
+        # error per element is at most half a quantization step
+        assert row["worst"] <= 0.5 + 1e-6
+
+    def test_quantized_similarity_preserves_neighbors(self, spark, sf_small):
+        """Top-1 neighbor by quantized cosine matches exact for most
+        queries (the ANN-compression contract)."""
+        from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.embedding import (
+            dequantize_embedding,
+            quantize_embeddings,
+        )
+        from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.similarity import (
+            knn_bruteforce,
+        )
+
+        emb = spark.read.parquet(f"{sf_small}/embeddings.parquet").limit(200)
+        queries = emb.filter(F.col("vec_id") < 5)
+        exact = {
+            (r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in knn_bruteforce(emb, queries, k=1).collect()
+        }
+        deq = quantize_embeddings(emb).withColumn(
+            "embedding", dequantize_embedding("q_embedding", "q_embedding_scale")
+        ).select("vec_id", "embedding", "label")
+        dq = quantize_embeddings(queries).withColumn(
+            "embedding", dequantize_embedding("q_embedding", "q_embedding_scale")
+        ).select("vec_id", "embedding", "label")
+        approx = {
+            (r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in knn_bruteforce(deq, dq, k=1).collect()
+        }
+        agree = sum(1 for k in exact if approx.get(k) == exact[k])
+        assert agree >= int(0.8 * len(exact))
+
+    def test_zero_vector_safe(self, spark):
+        from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.embedding import (
+            quantize_embeddings,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [0.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+        )
+        r = quantize_embeddings(df).first()
+        assert r["q_embedding_scale"] == 0.0
+        assert list(r["q_embedding"]) == [0, 0, 0]
