@@ -35,6 +35,9 @@ _DML_UPDATE = re.compile(
     r"^\s*UPDATE\s+([\w.]+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_DML_TRUNCATE = re.compile(
+    r"^\s*TRUNCATE\s+TABLE\s+([\w.]+)\s*;?\s*$", re.IGNORECASE
+)
 _DML_OPTIMIZE = re.compile(
     r"^\s*OPTIMIZE\s+([\w.]+)"
     r"(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$",
@@ -291,6 +294,16 @@ class LakehouseCatalog:
             snap = update_where(t, F.expr(m.group(3)), assignments)
             return self.spark.createDataFrame(
                 [("update", m.group(1), snap.version)],
+                "operation string, table string, version long",
+            )
+        m = _DML_TRUNCATE.match(query)
+        if m:
+            from .dml import truncate_table
+
+            t = self.load_table(m.group(1))
+            snap = truncate_table(t)
+            return self.spark.createDataFrame(
+                [("truncate", m.group(1), snap.version)],
                 "operation string, table string, version long",
             )
         m = _DML_OPTIMIZE.match(query)

@@ -836,3 +836,19 @@ def overwrite_partitions(table: LakehouseTable, df: DataFrame) -> Snapshot | Non
         },
         base_version=snap.version,
     )
+
+
+def truncate_table(table: LakehouseTable) -> Snapshot:
+    """TRUNCATE TABLE: drop every row as pure metadata - a delete
+    snapshot removing all file references, no data read or written
+    (rows stay reachable through older snapshots until expiry). The
+    O(1) path for "clear and reload"; a copy-on-write DELETE WHERE true
+    would pay a full rewrite for the same result."""
+    snap = table.snapshot()
+    return table.commit_delta(
+        added=[],
+        removed_paths={e["path"] for e in snap.manifest},
+        operation="delete",
+        summary={"truncated": True, "removed_files": len(snap.manifest)},
+        base_version=snap.version,
+    )

@@ -175,3 +175,19 @@ def test_sql_vacuum_statement(catalog, spark):
     assert out["expired_snapshots"] > 0
     assert len(t.snapshots()) < n_before
     assert catalog.sql("SELECT COUNT(*) AS n FROM gold_ticks").first()["n"] == 25
+
+
+def test_sql_truncate_statement(catalog, spark):
+    """TRUNCATE TABLE is metadata-only: rows vanish at head, time
+    travel still reads them, no data was rewritten."""
+    t = catalog.create_table("gold.ticks", TICK_SCHEMA, [])
+    t.append(tick_df(spark, n=20))
+    v = t.current_version()
+    out = catalog.sql("TRUNCATE TABLE gold.ticks").first()
+    assert out["operation"] == "truncate"
+    assert catalog.sql("SELECT COUNT(*) AS n FROM gold_ticks").first()["n"] == 0
+    assert t.scan(snapshot=t.snapshot(v)).count() == 20
+    assert t.snapshot().summary["truncated"] is True
+    # table accepts fresh appends after the truncate
+    t.append(tick_df(spark, n=3))
+    assert t.to_df().count() == 3
