@@ -38,6 +38,10 @@ _DML_UPDATE = re.compile(
 _DML_TRUNCATE = re.compile(
     r"^\s*TRUNCATE\s+TABLE\s+([\w.]+)\s*;?\s*$", re.IGNORECASE
 )
+_DML_INSERT = re.compile(
+    r"^\s*INSERT\s+(INTO|OVERWRITE)\s+([\w.]+)\s+(SELECT\b.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _DML_OPTIMIZE = re.compile(
     r"^\s*OPTIMIZE\s+([\w.]+)"
     r"(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$",
@@ -294,6 +298,40 @@ class LakehouseCatalog:
             snap = update_where(t, F.expr(m.group(3)), assignments)
             return self.spark.createDataFrame(
                 [("update", m.group(1), snap.version)],
+                "operation string, table string, version long",
+            )
+        m = _DML_INSERT.match(query)
+        if m:
+            # the SELECT runs over the registered views (reads may
+            # reference any table, including the target's pre-insert
+            # snapshot); INTO appends, OVERWRITE swaps the touched
+            # partitions (dynamic overwrite)
+            from .dml import overwrite_partitions
+
+            t = self.load_table(m.group(2))
+            self.register_views()
+            src = self.spark.sql(m.group(3))
+            # ANSI INSERT coerces the source to the target's types (a
+            # bare 5.0 literal is DECIMAL; the table column is double)
+            tbl_schema = {f.name.lower(): f for f in t.schema.fields}
+            cast_cols = []
+            for c in src.columns:
+                f = tbl_schema.get(c.lower())
+                cast_cols.append(
+                    src[c].cast(f.dataType).alias(f.name)
+                    if f is not None
+                    else src[c]
+                )
+            src = src.select(*cast_cols)
+            if m.group(1).upper() == "INTO":
+                snap = t.append(src)
+                op = "insert"
+            else:
+                snap = overwrite_partitions(t, src)
+                op = "insert overwrite"
+            return self.spark.createDataFrame(
+                [(op, m.group(2),
+                  t.current_version() if snap is None else snap.version)],
                 "operation string, table string, version long",
             )
         m = _DML_TRUNCATE.match(query)

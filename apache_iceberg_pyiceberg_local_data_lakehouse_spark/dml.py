@@ -789,6 +789,10 @@ def overwrite_partitions(table: LakehouseTable, df: DataFrame) -> Snapshot | Non
     replace - matching Iceberg, which treats it as a no-op rather than
     truncating the table)."""
     snap = table.snapshot()
+    # same writer-schema gate as append: _write_files alone would let a
+    # narrowing-incompatible column (e.g. a bare 5.0 DECIMAL literal
+    # into a double column) poison every later scan of the partition
+    table._validate_append_schema(df, snap)
     spec = snap.partition_spec
     if not spec:
         new_entries = table._write_files(df, spec)

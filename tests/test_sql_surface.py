@@ -191,3 +191,43 @@ def test_sql_truncate_statement(catalog, spark):
     # table accepts fresh appends after the truncate
     t.append(tick_df(spark, n=3))
     assert t.to_df().count() == 3
+
+
+def test_sql_insert_into_statement(catalog, spark):
+    """INSERT INTO ... SELECT appends the query result; the source may
+    read the target's own pre-insert view."""
+    t = catalog.create_table("gold.ticks", TICK_SCHEMA, [])
+    t.append(tick_df(spark, n=10))
+    out = catalog.sql(
+        "INSERT INTO gold.ticks "
+        "SELECT DateTime, Bid + 100.0 AS Bid, Ask FROM gold_ticks "
+        "WHERE Bid < 1.105"
+    ).first()
+    assert out["operation"] == "insert"
+    df = t.to_df()
+    assert df.count() == 15
+    assert df.filter(F.col("Bid") > 100).count() == 5
+
+
+def test_sql_insert_overwrite_statement(catalog, spark):
+    """INSERT OVERWRITE swaps exactly the partitions the SELECT
+    produces (dynamic overwrite through SQL)."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.table import (
+        PartitionField,
+    )
+
+    t = catalog.create_table(
+        "gold.days", TICK_SCHEMA, [PartitionField("DateTime", "days")]
+    )
+    for d in ("2024-01-01", "2024-01-02"):
+        t.append(tick_df(spark, n=10, start=f"{d} 00:00:00"))
+    catalog.sql(
+        "INSERT OVERWRITE gold.days "
+        "SELECT DateTime, 5.0 AS Bid, Ask FROM gold_days "
+        "WHERE CAST(DateTime AS DATE) = DATE '2024-01-02' AND Ask > 1.205"
+    )
+    df = t.to_df()
+    assert df.filter(F.col("DateTime").cast("date") == "2024-01-01").count() == 10
+    day2 = df.filter(F.col("DateTime").cast("date") == "2024-01-02")
+    assert day2.count() == 4  # Ask > 1.205 kept 4 of 10
+    assert day2.filter(F.col("Bid") == 5.0).count() == 4
