@@ -42,6 +42,16 @@ _DML_INSERT = re.compile(
     r"^\s*INSERT\s+(INTO|OVERWRITE)\s+([\w.]+)\s+(SELECT\b.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_DML_CTAS = re.compile(
+    r"^\s*CREATE\s+TABLE\s+([\w.]+)"
+    r"(?:\s+PARTITIONED\s+BY\s*\(((?:[^()]|\([^)]*\))+)\))?"
+    r"\s+AS\s+(SELECT\b.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DML_DROP = re.compile(
+    r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$",
+    re.IGNORECASE,
+)
 _DML_OPTIMIZE = re.compile(
     r"^\s*OPTIMIZE\s+([\w.]+)"
     r"(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$",
@@ -51,6 +61,24 @@ _DML_VACUUM = re.compile(
     r"^\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*$",
     re.IGNORECASE,
 )
+
+
+def _parse_partition_field(spec: str) -> PartitionField:
+    """Parse one PARTITIONED BY element: ``col`` (identity),
+    ``days(col)`` / ``hours(col)`` / ``months(col)`` / ``years(col)``,
+    ``bucket(N, col)``, ``truncate(W, col)``."""
+    spec = spec.strip()
+    m = re.fullmatch(r"(\w+)\s*\(([^)]*)\)", spec)
+    if not m:
+        return PartitionField(spec)
+    fn, args = m.group(1).lower(), [a.strip() for a in m.group(2).split(",")]
+    if fn in ("years", "months", "days", "hours"):
+        return PartitionField(args[0], fn)
+    if fn == "bucket":
+        return PartitionField(args[1], "bucket", n_buckets=int(args[0]))
+    if fn == "truncate":
+        return PartitionField(args[1], "truncate", width=int(args[0]))
+    raise ValueError(f"unknown partition transform: {fn}")
 
 
 def _split_top_level(s: str) -> list[str]:
@@ -299,6 +327,43 @@ class LakehouseCatalog:
             return self.spark.createDataFrame(
                 [("update", m.group(1), snap.version)],
                 "operation string, table string, version long",
+            )
+        m = _DML_CTAS.match(query)
+        if m:
+            # CREATE TABLE ns.t [PARTITIONED BY (col | transform(col))]
+            # AS SELECT ...: schema comes from the query, data lands as
+            # the first append. Transforms accept identity columns,
+            # years/months/days/hours(col), bucket(N, col),
+            # truncate(W, col).
+            ident = m.group(1)
+            if self.table_exists(ident):
+                raise ValueError(f"table already exists: {ident}")
+            self.register_views()
+            src = self.spark.sql(m.group(3))
+            spec = (
+                [_parse_partition_field(p) for p in _split_top_level(m.group(2))]
+                if m.group(2)
+                else []
+            )
+            ns = ident.rsplit(".", 1)[0]
+            self.create_namespace(ns)
+            t = self.create_table(ident, src.schema, spec)
+            n = src.count()
+            if n:
+                t.append(src)
+            return self.spark.createDataFrame(
+                [("create table as", ident, t.current_version(), n)],
+                "operation string, table string, version long, rows long",
+            )
+        m = _DML_DROP.match(query)
+        if m:
+            existed = self.table_exists(m.group(1))
+            if not existed and "IF EXISTS" not in query.upper():
+                raise NoSuchTableError(m.group(1))
+            self.drop_table(m.group(1))
+            return self.spark.createDataFrame(
+                [("drop table", m.group(1), existed)],
+                "operation string, table string, existed boolean",
             )
         m = _DML_INSERT.match(query)
         if m:

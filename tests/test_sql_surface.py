@@ -231,3 +231,36 @@ def test_sql_insert_overwrite_statement(catalog, spark):
     day2 = df.filter(F.col("DateTime").cast("date") == "2024-01-02")
     assert day2.count() == 4  # Ask > 1.205 kept 4 of 10
     assert day2.filter(F.col("Bid") == 5.0).count() == 4
+
+
+def test_sql_ctas_statement(catalog, spark):
+    """CREATE TABLE ... PARTITIONED BY (days(ts)) AS SELECT: schema from
+    the query, data as the first append, hidden partitioning applied."""
+    t0 = catalog.create_table("gold.ticks", TICK_SCHEMA, [])
+    t0.append(tick_df(spark, n=20))
+    out = catalog.sql(
+        "CREATE TABLE gold.big PARTITIONED BY (days(DateTime)) AS "
+        "SELECT DateTime, Bid FROM gold_ticks WHERE Bid >= 1.11"
+    ).first()
+    assert out["operation"] == "create table as"
+    assert out["rows"] == 10
+    t = catalog.load_table("gold.big")
+    assert t.to_df().count() == 10
+    assert [p.transform for p in t.partition_spec] == ["days"]
+    with pytest.raises(ValueError, match="already exists"):
+        catalog.sql("CREATE TABLE gold.big AS SELECT * FROM gold_ticks")
+
+
+def test_sql_drop_table_statement(catalog, spark):
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.catalog import (
+        NoSuchTableError,
+    )
+
+    t = catalog.create_table("gold.tmp", TICK_SCHEMA, [])
+    t.append(tick_df(spark, n=3))
+    out = catalog.sql("DROP TABLE gold.tmp").first()
+    assert out["existed"] is True
+    assert not catalog.table_exists("gold.tmp")
+    with pytest.raises(NoSuchTableError):
+        catalog.sql("DROP TABLE gold.tmp")
+    assert catalog.sql("DROP TABLE IF EXISTS gold.tmp").first()["existed"] is False
