@@ -376,18 +376,21 @@ class LakehouseCatalog:
             t = self.load_table(m.group(2))
             self.register_views()
             src = self.spark.sql(m.group(3))
-            # ANSI INSERT coerces the source to the target's types (a
-            # bare 5.0 literal is DECIMAL; the table column is double)
-            tbl_schema = {f.name.lower(): f for f in t.schema.fields}
-            cast_cols = []
-            for c in src.columns:
-                f = tbl_schema.get(c.lower())
-                cast_cols.append(
-                    src[c].cast(f.dataType).alias(f.name)
-                    if f is not None
-                    else src[c]
+            # ANSI INSERT resolves the SELECT's columns by POSITION and
+            # coerces to the target's types (a computed column keeps its
+            # expression name; a bare 5.0 literal is DECIMAL)
+            fields = t.schema.fields
+            if len(src.columns) != len(fields):
+                raise ValueError(
+                    f"INSERT column count {len(src.columns)} does not "
+                    f"match table arity {len(fields)}"
                 )
-            src = src.select(*cast_cols)
+            src = src.select(
+                *[
+                    src[c].cast(f.dataType).alias(f.name)
+                    for c, f in zip(src.columns, fields)
+                ]
+            )
             if m.group(1).upper() == "INTO":
                 snap = t.append(src)
                 op = "insert"

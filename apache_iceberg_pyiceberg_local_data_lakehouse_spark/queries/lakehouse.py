@@ -1275,3 +1275,53 @@ def q6m_lakehouse_partition_overwrite(
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+@register(
+    "q6n_lakehouse_sql_lifecycle",
+    # new in r5, registered behind the judged window (rotate in when a
+    # slot frees); certifies the SQL verb surface end-to-end: CTAS ->
+    # INSERT INTO -> UPDATE -> DELETE, read back through a SELECT.
+    defer=True,
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(CASE WHEN lang = 'fr' THEN -1 ELSE n_chars END) AS sum_chars
+    FROM documents
+    WHERE lang <> 'es'
+    GROUP BY lang
+    """,
+)
+def q6n_lakehouse_sql_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the lakehouse purely through SQL statements: CTAS a
+    projection without German docs, INSERT the German docs back with
+    shifted ids, UPDATE French char counts to -1, DELETE Spanish, then
+    SELECT the per-language rollup - equal to one CTE over the source."""
+    from ..catalog import LakehouseCatalog
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_q6n_")
+    try:
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("tmp")
+        d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+        t = cat.create_table("tmp.docs", d.schema)
+        t.append(d)
+        cat.sql(
+            "CREATE TABLE tmp.derived AS "
+            "SELECT doc_id, lang, n_chars FROM tmp_docs WHERE lang <> 'de'"
+        )
+        cat.sql(
+            "INSERT INTO tmp.derived "
+            "SELECT doc_id + 1000000, lang, n_chars FROM tmp_docs "
+            "WHERE lang = 'de'"
+        )
+        cat.sql("UPDATE tmp.derived SET n_chars = -1 WHERE lang = 'fr'")
+        cat.sql("DELETE FROM tmp.derived WHERE lang = 'es'")
+        out = cat.sql(
+            "SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars "
+            "FROM tmp_derived GROUP BY lang"
+        )
+        rows = out.collect()  # materialize before the warehouse vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
