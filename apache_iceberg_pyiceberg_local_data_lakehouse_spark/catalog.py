@@ -21,6 +21,7 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from .table import LakehouseTable, PartitionField, Snapshot
@@ -49,7 +50,7 @@ _DML_CTAS = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _DML_DROP = re.compile(
-    r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$",
+    r"^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$",
     re.IGNORECASE,
 )
 _DML_OPTIMIZE = re.compile(
@@ -84,11 +85,15 @@ def _parse_partition_field(spec: str) -> PartitionField:
 def _split_top_level(s: str) -> list[str]:
     """Split a SET list on commas outside parentheses and quotes, so
     assignments like ``v = greatest(v, 0), tag = \'a,b\'`` parse."""
-    parts, depth, quote, cur = [], 0, None, []
+    parts, depth, quote, esc, cur = [], 0, None, False, []
     for ch in s:
         if quote:
             cur.append(ch)
-            if ch == quote:
+            if esc:
+                esc = False
+            elif ch == "\\":
+                esc = True
+            elif ch == quote:
                 quote = None
             continue
         if ch in ("\'", '"'):
@@ -296,10 +301,10 @@ class LakehouseCatalog:
         a one-row summary frame. The table is named by its dotted
         identifier; conditions and assignment expressions are any Spark
         SQL expressions over the table's columns."""
+        from pyspark.sql import functions as F
+
         m = _DML_DELETE.match(query)
         if m:
-            from pyspark.sql import functions as F
-
             from .dml import delete_where
 
             t = self.load_table(m.group(1))
@@ -310,8 +315,6 @@ class LakehouseCatalog:
             )
         m = _DML_UPDATE.match(query)
         if m:
-            from pyspark.sql import functions as F
-
             from .dml import update_where
 
             t = self.load_table(m.group(1))
@@ -348,6 +351,10 @@ class LakehouseCatalog:
             ns = ident.rsplit(".", 1)[0]
             self.create_namespace(ns)
             t = self.create_table(ident, src.schema, spec)
+            # one materialization: count and append read the same rows
+            # (a non-deterministic SELECT must not report a row count
+            # that differs from what was written)
+            src = src.localCheckpoint(eager=True)
             n = src.count()
             if n:
                 t.append(src)
@@ -357,12 +364,13 @@ class LakehouseCatalog:
             )
         m = _DML_DROP.match(query)
         if m:
-            existed = self.table_exists(m.group(1))
-            if not existed and "IF EXISTS" not in query.upper():
-                raise NoSuchTableError(m.group(1))
-            self.drop_table(m.group(1))
+            ident = m.group(2)
+            existed = self.table_exists(ident)
+            if not existed and m.group(1) is None:
+                raise NoSuchTableError(ident)
+            self.drop_table(ident)
             return self.spark.createDataFrame(
-                [("drop table", m.group(1), existed)],
+                [("drop table", ident, existed)],
                 "operation string, table string, existed boolean",
             )
         m = _DML_INSERT.match(query)
@@ -384,6 +392,27 @@ class LakehouseCatalog:
                 raise ValueError(
                     f"INSERT column count {len(src.columns)} does not "
                     f"match table arity {len(fields)}"
+                )
+            # one materialization feeds the cast audit AND the write
+            src = src.localCheckpoint(eager=True)
+            # ANSI store assignment: a cast that turns a value into
+            # NULL is an error, not silent corruption
+            bad = src.select(
+                *[
+                    F.sum(
+                        (
+                            src[c].isNotNull()
+                            & src[c].try_cast(f.dataType).isNull()
+                        ).cast("long")
+                    ).alias(f.name)
+                    for c, f in zip(src.columns, fields)
+                ]
+            ).first()
+            broken = [f.name for f in fields if (bad[f.name] or 0) > 0]
+            if broken:
+                raise ValueError(
+                    f"INSERT cast produced NULLs in columns {broken}; "
+                    "fix the SELECT's types (ANSI store assignment)"
                 )
             src = src.select(
                 *[

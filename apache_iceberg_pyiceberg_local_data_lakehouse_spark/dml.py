@@ -793,6 +793,10 @@ def overwrite_partitions(table: LakehouseTable, df: DataFrame) -> Snapshot | Non
     # narrowing-incompatible column (e.g. a bare 5.0 DECIMAL literal
     # into a double column) poison every later scan of the partition
     table._validate_append_schema(df, snap)
+    # one materialization: partition resolution and the write must see
+    # the SAME rows - a non-deterministic frame re-executed for the
+    # write could land rows in partitions the first pass never removed
+    df = df.localCheckpoint(eager=True)
     spec = snap.partition_spec
     if not spec:
         new_entries = table._write_files(df, spec)
@@ -821,10 +825,24 @@ def overwrite_partitions(table: LakehouseTable, df: DataFrame) -> Snapshot | Non
     if not touched:
         return None  # empty frame: dynamic overwrite touches nothing
 
-    def entry_key(e: dict) -> tuple:
-        part = e.get("partition") or {}
-        return tuple(str(part.get(n)) for n in names)
+    from urllib.parse import unquote
 
+    def entry_key(e: dict) -> tuple | None:
+        part = e.get("partition") or {}
+        if any(n not in part for n in names):
+            return None  # entry predates the current partition spec
+        # directory-encoded values are percent-escaped by Spark
+        return tuple(unquote(str(part[n])) for n in names)
+
+    legacy = [e for e in snap.data_entries if entry_key(e) is None]
+    if legacy:
+        raise ValueError(
+            f"{len(legacy)} data file(s) predate the current partition "
+            "spec, so their partition membership is unknown - a dynamic "
+            "overwrite could silently leave stale rows next to the new "
+            "ones. Run maintenance.compact first to rewrite them under "
+            "the current spec."
+        )
     removed = {
         e["path"] for e in snap.data_entries if entry_key(e) in touched
     }

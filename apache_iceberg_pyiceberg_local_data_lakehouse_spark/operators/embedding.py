@@ -126,12 +126,20 @@ def quantize_embeddings(
     codes. Pure expression plan - no UDF, no shuffle."""
     c = F.col(vec_col)
     amax = F.array_max(F.transform(c, lambda x: F.abs(x)))
+    # quantize against the SAME float32-rounded scale that is stored -
+    # dividing by the unrounded double would let the half-step roundtrip
+    # bound drift by the float32 rounding error (up to 127 * 2^-24)
     scale = (amax / F.lit(127.0)).cast("float")
+    s_d = scale.cast("double")
+    # clamp: a down-rounded float32 scale can push |v/s| past 127, and
+    # a 128 would overflow TINYINT (wrap to -128 outside ANSI mode)
     q = F.when(
         amax > 0,
         F.transform(
             c,
-            lambda x: F.round(x / (amax / F.lit(127.0))).cast("tinyint"),
+            lambda x: F.greatest(
+                F.lit(-127.0), F.least(F.lit(127.0), F.round(x / s_d))
+            ).cast("tinyint"),
         ),
     ).otherwise(F.transform(c, lambda x: F.lit(0).cast("tinyint")))
     return df.withColumn(out_col, q).withColumn(f"{out_col}_scale", scale)

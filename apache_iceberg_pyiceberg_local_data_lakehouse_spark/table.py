@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -1086,14 +1087,21 @@ class LakehouseTable:
         part = next(
             (p for p in snap.partition_spec if p.source == column), None
         )
+        buckets: dict = {}
+        if part is not None and part.transform == "bucket":
+            # ONE job computes every value's bucket id; per-value
+            # compute_bucket calls would serialize N driver round-trips
+            src_type = self.schema[column].dataType.simpleString()
+            n = part.n_buckets or 16
+            rows = self.spark.createDataFrame(
+                [(v,) for v in vals], f"v {src_type}"
+            ).select(
+                "v", F.pmod(F.hash(F.col("v")), F.lit(n)).alias("b")
+            )
+            buckets = {r["v"]: r["b"] for r in rows.collect()}
         keeps = []
         for v in vals:
-            bucket_id = (
-                compute_bucket(self, part, v)
-                if part is not None and part.transform == "bucket"
-                else None
-            )
-            keeps.append(_range_keep(column, v, v, part, bucket_id))
+            keeps.append(_range_keep(column, v, v, part, buckets.get(v)))
         df = self.scan(
             snapshot=snap, file_filter=lambda e: any(k(e) for k in keeps)
         )
@@ -2002,6 +2010,17 @@ def _prune_gt(a, b) -> bool:
         return str(a) > str(b)
 
 
+def _as_instant(v):
+    """A ``datetime.date`` bound on a timestamp column means midnight in
+    Spark's own cast semantics; normalize it BEFORE pruning so manifest
+    stats (ISO instants) and the hour transform compare consistently."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+        return _dt.datetime(v.year, v.month, v.day)
+    return v
+
+
 def _range_keep(
     column: str,
     lower,
@@ -2013,7 +2032,16 @@ def _range_keep(
     check first (cheapest, exact per file), then min/max stats overlap.
     Any non-interpretable partition value (null partitions, legacy
     layouts) falls through to stats; missing stats mean unprunable."""
+    lower, upper = _as_instant(lower), _as_instant(upper)
     lo_n, hi_n = _prune_bound(lower), _prune_bound(upper)
+    # a date-only STRING upper bound ("2024-01-05") sorts BELOW that
+    # day's ISO instants; pad it past 'T' for the stats compare so the
+    # day's files are kept (the residual filter still applies exactly)
+    if (
+        isinstance(hi_n, str)
+        and re.fullmatch(r"\d{4}-\d{2}-\d{2}", hi_n)
+    ):
+        hi_n = hi_n + "~"
 
     def part_bound(v, head: int | None = None):
         # map a raw bound to the transform's partition-value space
@@ -2025,8 +2053,13 @@ def _range_keep(
         if part.transform == "days":
             return s[:10]
         if part.transform == "hours":
-            # ISO instant "2024-01-01T05:..." -> "2024-01-01-05"
-            return s[:10] + "-" + s[11:13]
+            # ISO instant "2024-01-01T05:..." -> "2024-01-01-05"; a
+            # date-only bound has no hour digits - widen to the day's
+            # first/last hour so the day is never silently pruned
+            hh = s[11:13] if len(s) >= 13 else ""
+            if not hh:
+                hh = "00" if head == 0 else "23"
+            return s[:10] + "-" + hh
         if part.transform == "truncate":
             return part.truncate_bound(v)
         return v  # identity
@@ -2040,9 +2073,9 @@ def _range_keep(
                         if bucket_id is not None and int(pv) != bucket_id:
                             return False
                     elif part.transform in ("days", "hours"):
-                        if lower is not None and str(pv) < part_bound(lower):
+                        if lower is not None and str(pv) < part_bound(lower, 0):
                             return False
-                        if upper is not None and str(pv) > part_bound(upper):
+                        if upper is not None and str(pv) > part_bound(upper, 1):
                             return False
                     elif part.transform == "truncate":
                         ref = lower if lower is not None else upper

@@ -1084,3 +1084,24 @@ def test_overwrite_unpartitioned_replaces_table(spark, tmp_path):
     t.append(tick_df(spark, n=10))
     overwrite_partitions(t, tick_df(spark, n=3, start="2025-06-01 00:00:00"))
     assert t.to_df().count() == 3
+
+
+def test_overwrite_partitions_refuses_pre_spec_files(spark, tmp_path):
+    """Files written before partition evolution have unknown membership;
+    a dynamic overwrite must refuse instead of leaving stale rows."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.dml import (
+        overwrite_partitions,
+        set_partition_spec,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.table import (
+        PartitionField,
+    )
+    from test_table_format import TICK_SCHEMA, tick_df
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("gold")
+    t = cat.create_table("gold.evolve", TICK_SCHEMA, [])
+    t.append(tick_df(spark, n=10))  # unpartitioned file
+    set_partition_spec(t, [PartitionField("DateTime", "days")])
+    with pytest.raises(ValueError, match="predate the current partition"):
+        overwrite_partitions(t, tick_df(spark, n=5))

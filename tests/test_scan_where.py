@@ -387,3 +387,20 @@ def test_scan_where_truncate_string_prefix(catalog, spark):
     assert 0 < len(kept) < len(t.snapshot().manifest)
     got = t.scan_where("name", "beta", "bravo")
     assert {r["name"] for r in got.collect()} == {"beta", "bravo"}
+
+
+def test_scan_where_hours_date_only_bounds(catalog, spark):
+    """Date-only bounds on an hours-partitioned table widen to the
+    day's first/last hour instead of pruning the whole day."""
+    catalog.create_namespace("gold")
+    t = catalog.create_table(
+        "gold.hourly2", TICK_SCHEMA, [PartitionField("DateTime", "hours")]
+    )
+    t.append(tick_df(spark, n=10800, start="2024-03-01 00:00:00"))
+    lo = dtm.date(2024, 3, 1)
+    hi = dtm.date(2024, 3, 1)
+    got = t.scan_where("DateTime", lo, hi)
+    want = t.to_df().filter(
+        (F.col("DateTime") >= F.lit(lo)) & (F.col("DateTime") <= F.lit(hi))
+    )
+    assert got.count() == want.count()

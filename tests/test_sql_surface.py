@@ -264,3 +264,34 @@ def test_sql_drop_table_statement(catalog, spark):
     with pytest.raises(NoSuchTableError):
         catalog.sql("DROP TABLE gold.tmp")
     assert catalog.sql("DROP TABLE IF EXISTS gold.tmp").first()["existed"] is False
+
+
+def test_sql_insert_rejects_null_producing_cast(catalog, spark):
+    t = catalog.create_table("gold.ticks", TICK_SCHEMA, [])
+    t.append(tick_df(spark, n=5))
+    with pytest.raises(ValueError, match="produced NULLs"):
+        catalog.sql(
+            "INSERT INTO gold.ticks "
+            "SELECT 'not-a-timestamp', Bid, Ask FROM gold_ticks"
+        )
+    assert t.to_df().count() == 5  # nothing committed
+
+
+def test_sql_drop_if_exists_flexible_whitespace(catalog, spark):
+    out = catalog.sql("DROP TABLE IF  EXISTS gold.never_made").first()
+    assert out["existed"] is False
+
+
+def test_sql_update_escaped_quote_in_string(catalog, spark):
+    """Backslash-escaped quotes inside SET string literals must not
+    break the top-level comma split."""
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id long, name string")
+    t = catalog.create_table("gold.names2", df.schema, [])
+    t.append(df)
+    catalog.sql(
+        "UPDATE gold.names2 SET name = 'O\\'Brien, Jr', id = id + 10 "
+        "WHERE id = 1"
+    )
+    rows = {r["id"]: r["name"] for r in t.to_df().collect()}
+    assert rows[11] == "O'Brien, Jr"
+    assert rows[2] == "y"
