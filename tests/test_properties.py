@@ -235,3 +235,61 @@ def test_merge_matrix_matches_set_model(
 
     got = {r["k"]: r["v"] for r in t.to_df().collect()}
     assert got == expected
+
+
+@settings(
+    max_examples=14,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    transform=st.sampled_from(
+        ["identity", "years", "months", "days", "hours"]
+    ),
+    lo_day=st.integers(min_value=0, max_value=40),
+    width_days=st.integers(min_value=0, max_value=40),
+    date_bounds=st.booleans(),
+)
+def test_scan_where_equals_full_scan_filter(
+    spark, tmp_path_factory, transform, lo_day, width_days, date_bounds
+):
+    """The hidden-partitioning contract, property-form: for ANY time
+    transform and ANY bound range (datetime or date-typed), the pruned
+    scan returns exactly the rows of an unpruned filter. This is the
+    invariant the hours/date-bound pruning bugs violated."""
+    import datetime as _dt
+
+    from pyspark.sql import functions as F
+
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.table import (
+        PartitionField,
+    )
+
+    wh = tmp_path_factory.mktemp("swp")
+    cat = LakehouseCatalog(spark, str(wh))
+    cat.create_namespace("gold")
+    spec = [] if transform == "identity" else [PartitionField("DateTime", transform)]
+    t = cat.create_table("gold.p", SCHEMA, spec)
+    # 90 days of sparse data, 4 rows/day at 0:00/6:00/12:00/18:00
+    rows = [
+        (BASE + _dt.timedelta(days=d, hours=h), 1.0 + d, 2.0 + d)
+        for d in range(0, 90, 3)
+        for h in (0, 6, 12, 18)
+    ]
+    t.append(spark.createDataFrame(rows, SCHEMA))
+
+    lo_dt = BASE + _dt.timedelta(days=lo_day)
+    hi_dt = lo_dt + _dt.timedelta(days=width_days)
+    lo = lo_dt.date() if date_bounds else lo_dt
+    hi = hi_dt.date() if date_bounds else hi_dt
+
+    got = t.scan_where("DateTime", lo, hi).count()
+    want = (
+        t.to_df()
+        .filter(
+            (F.col("DateTime") >= F.lit(lo))
+            & (F.col("DateTime") <= F.lit(hi))
+        )
+        .count()
+    )
+    assert got == want
