@@ -293,3 +293,68 @@ def test_scan_where_equals_full_scan_filter(
         .count()
     )
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    days=st.lists(
+        st.integers(min_value=0, max_value=9), min_size=1, max_size=5,
+        unique=True,
+    ),
+    target=st.integers(min_value=0, max_value=9),
+    n_new=st.integers(min_value=0, max_value=6),
+)
+def test_overwrite_partitions_set_model(
+    spark, tmp_path_factory, days, target, n_new
+):
+    """Dynamic overwrite == set algebra: rows of untouched days survive
+    exactly; the target day's rows are exactly the backfill frame (or
+    unchanged when the backfill is empty - overwrite touches nothing)."""
+    import datetime as _dt
+
+    from pyspark.sql import functions as F
+
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.dml import (
+        overwrite_partitions,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.table import (
+        PartitionField,
+    )
+
+    wh = tmp_path_factory.mktemp("ow_prop")
+    cat = LakehouseCatalog(spark, str(wh))
+    cat.create_namespace("gold")
+    t = cat.create_table(
+        "gold.ow", SCHEMA, [PartitionField("DateTime", "days")]
+    )
+    rows = [
+        (BASE + _dt.timedelta(days=d, hours=h), float(d), 0.0)
+        for d in days
+        for h in range(3)
+    ]
+    t.append(spark.createDataFrame(rows, SCHEMA))
+
+    backfill = [
+        (BASE + _dt.timedelta(days=target, minutes=i), -1.0, -1.0)
+        for i in range(n_new)
+    ]
+    snap = overwrite_partitions(
+        t, spark.createDataFrame(backfill, SCHEMA)
+    )
+
+    got = sorted(
+        (r["DateTime"], r["Bid"]) for r in t.to_df().collect()
+    )
+    if n_new == 0:
+        assert snap is None
+        expected = sorted((ts, b) for ts, b, _ in rows)
+    else:
+        expected = sorted(
+            [(ts, b) for ts, b, _ in rows if ts.date() != (BASE + _dt.timedelta(days=target)).date()]
+            + [(ts, b) for ts, b, _ in backfill]
+        )
+    assert got == expected
