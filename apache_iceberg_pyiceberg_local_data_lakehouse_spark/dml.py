@@ -519,10 +519,22 @@ def merge_into(
     )
 
 
-def add_column(table: LakehouseTable, name: str, spark_type: str) -> Snapshot:
+def add_column(
+    table: LakehouseTable,
+    name: str,
+    spark_type: str,
+    default=None,
+) -> Snapshot:
     """Schema evolution: add a nullable column (Iceberg-style - purely a
     metadata commit; existing files read the new column as null via the
-    scan-time schema)."""
+    scan-time schema).
+
+    ``default`` (Iceberg v3 initial default): rows written BEFORE the
+    column existed read this value instead of null; rows appended after
+    carry whatever the writer stored (explicit nulls stay null).
+    Metadata-only - no file is touched; rewrites (compaction, CoW DML)
+    materialize the default into new files naturally because they write
+    what the scan produced."""
     import copy
 
     cur = table.snapshot()
@@ -535,8 +547,20 @@ def add_column(table: LakehouseTable, name: str, spark_type: str) -> Snapshot:
                 f"{name} is a historical name of {f['name']}; re-adding it "
                 "would make rename resolution ambiguous"
             )
+    meta = {}
+    if default is not None:
+        if not isinstance(default, (str, int, float, bool)):
+            raise ValueError(
+                "initial default must be a JSON scalar (str/int/float/bool)"
+            )
+        # entries committed from the NEXT version on carry seq >= this;
+        # everything below predates the column and reads the default
+        meta = {
+            "initial_default": default,
+            "default_added_seq": cur.version + 1,
+        }
     schema_json["fields"].append(
-        {"name": name, "type": spark_type, "nullable": True, "metadata": {}}
+        {"name": name, "type": spark_type, "nullable": True, "metadata": meta}
     )
     snap = Snapshot(
         snapshot_id=__import__("uuid").uuid4().hex,

@@ -834,8 +834,55 @@ class LakehouseTable:
         self, entries: list[dict], snap: Snapshot, with_pos: bool = False
     ) -> DataFrame:
         """Read a list of data-file manifest entries with the snapshot's
-        schema (rename lineage resolved, missing columns as null).
+        schema (rename lineage resolved, missing columns as null, and
+        initial defaults applied to files predating their column).
         ``with_pos`` appends the (__file_rel, __pos) identity columns."""
+        defaults = [
+            (
+                f["name"],
+                (f.get("metadata") or {})["initial_default"],
+                int((f.get("metadata") or {}).get("default_added_seq", 0)),
+                f["type"],
+            )
+            for f in snap.schema_json["fields"]
+            if "initial_default" in (f.get("metadata") or {})
+        ]
+        if defaults and entries:
+            # Iceberg v3 initial defaults: a file written BEFORE the
+            # column existed (entry seq < addition seq) reads the
+            # default for every row; files written after carry their own
+            # values (explicit nulls stay null). Entries group by which
+            # defaults apply - one read per group, unioned.
+            groups: dict[tuple, list[dict]] = {}
+            for e in entries:
+                key = tuple(
+                    name
+                    for name, _v, added_seq, _t in defaults
+                    if int(e.get("seq", 0)) < added_seq
+                )
+                groups.setdefault(key, []).append(e)
+            if len(groups) > 1 or next(iter(groups)) != ():
+                parts = []
+                for key, grp in groups.items():
+                    df_g = self._read_data_plain(grp, snap, with_pos)
+                    for name, value, _seq, typ in defaults:
+                        if name in key:
+                            df_g = df_g.withColumn(
+                                name,
+                                F.coalesce(
+                                    F.col(name), F.lit(value).cast(typ)
+                                ),
+                            )
+                    parts.append(df_g)
+                out = parts[0]
+                for part in parts[1:]:
+                    out = out.unionByName(part)
+                return out
+        return self._read_data_plain(entries, snap, with_pos)
+
+    def _read_data_plain(
+        self, entries: list[dict], snap: Snapshot, with_pos: bool = False
+    ) -> DataFrame:
         schema = StructType.fromJson(snap.schema_json)
         # rename lineage: parquet columns match by NAME here (no field
         # ids), so renamed columns read pre-rename files under every

@@ -1105,3 +1105,48 @@ def test_overwrite_partitions_refuses_pre_spec_files(spark, tmp_path):
     set_partition_spec(t, [PartitionField("DateTime", "days")])
     with pytest.raises(ValueError, match="predate the current partition"):
         overwrite_partitions(t, tick_df(spark, n=5))
+
+
+def test_add_column_with_initial_default(spark, tmp_path):
+    """Iceberg v3 initial defaults: pre-addition rows read the default,
+    post-addition rows keep their written values including explicit
+    nulls; compaction materializes the default."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.maintenance import (
+        compact,
+    )
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("gold")
+    df = spark.range(10).select(F.col("id").alias("k"))
+    t = cat.create_table("gold.defs", df.schema)
+    t.append(df)  # predates the column
+    add_column(t, "tier", "string", default="bronze")
+    newer = spark.createDataFrame(
+        [(100, "gold"), (101, None)], "k long, tier string"
+    )
+    t.append(newer)
+
+    rows = {r["k"]: r["tier"] for r in t.to_df().collect()}
+    assert all(rows[k] == "bronze" for k in range(10))  # defaulted
+    assert rows[100] == "gold"
+    assert rows[101] is None  # explicit null after addition survives
+
+    # rewrites bake the default in; the logical table is unchanged
+    compact(t, target_file_bytes=1 << 30, small_file_threshold=1.0)
+    rows2 = {r["k"]: r["tier"] for r in t.to_df().collect()}
+    assert rows2 == rows
+
+
+def test_add_column_default_numeric_and_scan_paths(spark, tmp_path):
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("gold")
+    df = spark.range(5).select(F.col("id").alias("k"))
+    t = cat.create_table("gold.defs2", df.schema)
+    t.append(df)
+    add_column(t, "score", "double", default=1.5)
+    # pruned scans and DML read the defaulted view too
+    assert t.scan_where("k", 1, 3).agg(F.sum("score")).first()[0] == 4.5
+    delete_where(t, F.col("score") > 1.0)  # matches every defaulted row
+    assert t.to_df().count() == 0
+    with pytest.raises(ValueError, match="JSON scalar"):
+        add_column(t, "bad", "array<int>", default=[1])
