@@ -1325,3 +1325,53 @@ def q6n_lakehouse_sql_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+@register(
+    "q6o_lakehouse_column_default",
+    # new in r5, registered behind the judged window (rotate in when a
+    # slot frees); certifies initial-default column evolution: rows
+    # predating the column read the default, later rows their values.
+    defer=True,
+    oracle="""
+    SELECT 'std' AS tier, COUNT(*) AS n_docs, SUM(n_chars) AS chars
+    FROM documents
+    UNION ALL
+    SELECT 'vip', COUNT(*), SUM(n_chars) FROM documents WHERE lang = 'en'
+    """,
+)
+def q6o_lakehouse_column_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Initial-default evolution in the judged gate: append all
+    documents, add a 'tier' column defaulting to 'std' (metadata-only),
+    then append the English docs again with tier='vip'. The per-tier
+    rollup proves pre-addition rows read the default while new rows
+    keep their written value."""
+    from ..catalog import LakehouseCatalog
+    from ..dml import add_column
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_q6o_")
+    try:
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("tmp")
+        d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+        t = cat.create_table("tmp.docs", d.schema)
+        t.append(d)
+        add_column(t, "tier", "string", default="std")
+        vip = (
+            d.filter(F.col("lang") == "en")
+            .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+            .withColumn("tier", F.lit("vip"))
+        )
+        t.append(vip)
+        out = (
+            t.to_df()
+            .groupBy("tier")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_chars").alias("chars"),
+            )
+        )
+        rows = out.collect()  # materialize before the warehouse vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
