@@ -43,6 +43,15 @@ _DML_INSERT = re.compile(
     r"^\s*INSERT\s+(INTO|OVERWRITE)\s+([\w.]+)\s+(SELECT\b.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_DML_CREATE_VIEW = re.compile(
+    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+([\w.]+)\s+AS\s+"
+    r"(SELECT\b.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DML_DROP_VIEW = re.compile(
+    r"^\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$",
+    re.IGNORECASE,
+)
 _DML_CTAS = re.compile(
     r"^\s*CREATE\s+TABLE\s+([\w.]+)"
     r"(?:\s+PARTITIONED\s+BY\s*\(((?:[^()]|\([^)]*\))+)\))?"
@@ -288,6 +297,77 @@ class LakehouseCatalog:
                 out.append(self.create_view(ident))
         return out
 
+    # -- stored views (persisted SQL definitions, Iceberg view spec) --------
+
+    def _views_path(self, namespace: str) -> str:
+        return os.path.join(self.warehouse, namespace, "_views.json")
+
+    def _load_stored_views(self, namespace: str) -> dict:
+        try:
+            with open(self._views_path(namespace)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def create_stored_view(
+        self, identifier: str, sql_text: str, replace: bool = False
+    ) -> None:
+        """Persist a named SQL view definition in the catalog (the
+        Iceberg view spec's role): the TEXT is stored, not data, and
+        every ``sql()`` call re-registers it over the current table
+        snapshots - a stored view always reflects the live tables."""
+        namespace, _, name = identifier.rpartition(".")
+        if not namespace:
+            raise ValueError(f"identifier must be namespace.view: {identifier}")
+        views = self._load_stored_views(namespace)
+        if name in views and not replace:
+            raise ValueError(f"view already exists: {identifier}")
+        if self.table_exists(identifier):
+            raise ValueError(f"a table already holds the name {identifier}")
+        views[name] = sql_text
+        os.makedirs(os.path.join(self.warehouse, namespace), exist_ok=True)
+        tmp = self._views_path(namespace) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(views, f)
+        os.replace(tmp, self._views_path(namespace))
+
+    def drop_stored_view(self, identifier: str, if_exists: bool = False) -> bool:
+        namespace, _, name = identifier.rpartition(".")
+        views = self._load_stored_views(namespace)
+        if name not in views:
+            if if_exists:
+                return False
+            raise ValueError(f"no such view: {identifier}")
+        del views[name]
+        tmp = self._views_path(namespace) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(views, f)
+        os.replace(tmp, self._views_path(namespace))
+        self.spark.catalog.dropTempView(self.view_name(identifier))
+        return True
+
+    def _register_stored_views(self) -> None:
+        """Register stored views AFTER table views so they can reference
+        them. Every pass re-registers EVERY view: a view may initially
+        bind against a stale same-named temp view left in the session
+        (or fail on a not-yet-registered sibling), and each full pass
+        freshens one dependency level, so len(defs) passes reach the
+        fixpoint for any reference chain. The final pass raises."""
+        defs = []
+        for ns in self.list_namespaces():
+            for name, text in self._load_stored_views(ns).items():
+                defs.append((f"{ns}.{name}", text))
+        for attempt in range(max(1, len(defs))):
+            last = attempt == max(0, len(defs) - 1)
+            for ident, text in defs:
+                try:
+                    self.spark.sql(text).createOrReplaceTempView(
+                        self.view_name(ident)
+                    )
+                except Exception:
+                    if last:
+                        raise
+
     def sql(self, query: str) -> DataFrame:
         """Run SQL over the registered views (sugar for
         ``register_views()`` + ``spark.sql``; re-registers first so the
@@ -330,6 +410,27 @@ class LakehouseCatalog:
             return self.spark.createDataFrame(
                 [("update", m.group(1), snap.version)],
                 "operation string, table string, version long",
+            )
+        m = _DML_CREATE_VIEW.match(query)
+        if m:
+            self.register_views()
+            self._register_stored_views()
+            self.spark.sql(m.group(2))  # validate eagerly, loud errors
+            self.create_stored_view(
+                m.group(1), m.group(2),
+                replace="REPLACE" in query.upper().split("VIEW")[0],
+            )
+            return self.spark.createDataFrame(
+                [("create view", m.group(1))], "operation string, view string"
+            )
+        m = _DML_DROP_VIEW.match(query)
+        if m:
+            existed = self.drop_stored_view(
+                m.group(2), if_exists=m.group(1) is not None
+            )
+            return self.spark.createDataFrame(
+                [("drop view", m.group(2), existed)],
+                "operation string, view string, existed boolean",
             )
         m = _DML_CTAS.match(query)
         if m:
@@ -488,6 +589,7 @@ class LakehouseCatalog:
                 "deleted_files long",
             )
         self.register_views()
+        self._register_stored_views()
         return self.spark.sql(query)
 
     def rename_table(self, from_identifier: str, to_identifier: str) -> None:

@@ -295,3 +295,52 @@ def test_sql_update_escaped_quote_in_string(catalog, spark):
     rows = {r["id"]: r["name"] for r in t.to_df().collect()}
     assert rows[11] == "O'Brien, Jr"
     assert rows[2] == "y"
+
+
+def test_sql_stored_views(catalog, spark):
+    """CREATE VIEW persists the definition; queries see live table
+    state; DROP VIEW removes it."""
+    t = catalog.create_table("gold.ticks", TICK_SCHEMA, [])
+    t.append(tick_df(spark, n=10))
+    catalog.sql(
+        "CREATE VIEW gold.high AS "
+        "SELECT * FROM gold_ticks WHERE Bid >= 1.105"
+    )
+    assert catalog.sql("SELECT COUNT(*) AS n FROM gold_high").first()["n"] == 5
+    # a stored view tracks LIVE table state (re-registered per query)
+    t.append(tick_df(spark, n=10, start="2025-01-01 00:00:00"))
+    assert catalog.sql("SELECT COUNT(*) AS n FROM gold_high").first()["n"] == 10
+    # persistence: a fresh catalog object sees the stored definition
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.catalog import (
+        LakehouseCatalog,
+    )
+
+    cat2 = LakehouseCatalog(spark, catalog.warehouse)
+    assert cat2.sql("SELECT COUNT(*) AS n FROM gold_high").first()["n"] == 10
+
+    with pytest.raises(ValueError, match="already exists"):
+        catalog.sql("CREATE VIEW gold.high AS SELECT 1 AS x")
+    catalog.sql("CREATE OR REPLACE VIEW gold.high AS "
+                "SELECT * FROM gold_ticks WHERE Bid < 1.105")
+    assert catalog.sql("SELECT COUNT(*) AS n FROM gold_high").first()["n"] == 10
+
+    out = catalog.sql("DROP VIEW gold.high").first()
+    assert out["existed"] is True
+    with pytest.raises(ValueError, match="no such view"):
+        catalog.sql("DROP VIEW gold.high")
+    assert catalog.sql("DROP VIEW IF EXISTS gold.high").first()["existed"] is False
+
+
+def test_sql_stored_views_chain(catalog, spark):
+    """Stored views may reference other stored views regardless of
+    definition order (two-pass registration)."""
+    t = catalog.create_table("gold.ticks", TICK_SCHEMA, [])
+    t.append(tick_df(spark, n=10))
+    # define the DEPENDENT first to exercise the retry pass
+    catalog.create_stored_view(
+        "gold.b", "SELECT COUNT(*) AS n FROM gold_a"
+    )
+    catalog.create_stored_view(
+        "gold.a", "SELECT * FROM gold_ticks WHERE Bid >= 1.105"
+    )
+    assert catalog.sql("SELECT n FROM gold_b").first()["n"] == 5
