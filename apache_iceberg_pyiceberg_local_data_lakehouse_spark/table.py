@@ -454,6 +454,7 @@ class LakehouseTable:
         hashes) so range stats never prune."""
         snap = self.snapshot()  # one load serves validation AND the spec
         self._validate_append_schema(df, snap)
+        self._validate_constraints(df, snap)
         spec = snap.partition_spec
         if cluster_by:
             from .functions.zorder import _numeric_expr, zorder_key
@@ -1524,6 +1525,62 @@ class LakehouseTable:
             json.dump(merged, f)
         os.replace(tmp, self._properties_path())
         return merged
+
+    def add_constraint(self, name: str, expr: str) -> dict[str, str]:
+        """Delta-style CHECK constraint: a SQL predicate every INCOMING
+        row must satisfy from now on (e.g. ``"price > 0"``,
+        ``"ts IS NOT NULL"``). Stored in table properties
+        (``constraint.<name>``); ``append`` evaluates all constraints in
+        ONE aggregation over the batch and refuses the commit if any
+        row violates any of them. Existing data is not re-checked
+        (add constraints before loading, or validate separately)."""
+        from pyspark.sql import functions as F
+
+        # force analysis against the table schema: a bad expression (or
+        # a reference to a nonexistent column) fails HERE, not on the
+        # first append (Spark 4 parses F.expr lazily)
+        try:
+            probe = self.scan().limit(0).filter(F.expr(expr))
+            probe._jdf.queryExecution().analyzed()
+        except Exception as e:
+            raise ValueError(
+                f"invalid constraint expression {expr!r}: {e}"
+            ) from e
+        return self.set_properties(**{f"constraint.{name}": expr})
+
+    def drop_constraint(self, name: str) -> dict[str, str]:
+        return self.unset_properties(f"constraint.{name}")
+
+    def constraints(self) -> dict[str, str]:
+        return {
+            k.removeprefix("constraint."): v
+            for k, v in self.properties().items()
+            if k.startswith("constraint.")
+        }
+
+    def _validate_constraints(self, df: DataFrame, snap) -> None:
+        cons = self.constraints()
+        if not cons:
+            return
+        # standard SQL CHECK semantics: a row violates only when the
+        # predicate is FALSE - UNKNOWN (NULL) passes. Reject nulls with
+        # an explicit "col IS NOT NULL" constraint.
+        counts = df.agg(
+            *[
+                F.sum(
+                    F.when(F.expr(e) == F.lit(False), 1).otherwise(0)
+                ).alias(n)
+                for n, e in cons.items()
+            ]
+        ).first()
+        violated = {n: int(counts[n] or 0) for n in cons if (counts[n] or 0) > 0}
+        if violated:
+            detail = ", ".join(
+                f"{n} ({cons[n]!r}): {v} row(s)" for n, v in violated.items()
+            )
+            raise ValueError(
+                f"append violates CHECK constraint(s): {detail}"
+            )
 
     def unset_properties(self, *keys: str) -> dict[str, str]:
         kept = {k: v for k, v in self.properties().items() if k not in keys}

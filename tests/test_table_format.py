@@ -656,3 +656,48 @@ def test_append_accepts_small_int_widening_and_lineage_names(catalog, spark):
     df = t.to_df()
     assert df.columns == ["key_id"]
     assert df.filter(F.col("key_id").isNotNull()).count() == 10
+
+
+def test_check_constraints(spark, tmp_path):
+    """Delta-style CHECK constraints: violating appends refuse the whole
+    batch atomically; NULL predicates pass (standard SQL CHECK); IS NOT
+    NULL rejects nulls explicitly; dropped constraints stop applying."""
+    import pytest as _pytest
+
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.catalog import (
+        LakehouseCatalog,
+    )
+    from pyspark.sql import functions as F
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("gold")
+    df = spark.createDataFrame([(1, 5.0)], "k long, price double")
+    t = cat.create_table("gold.c", df.schema)
+    t.add_constraint("positive_price", "price > 0")
+    with _pytest.raises(ValueError, match="invalid constraint"):
+        t.add_constraint("broken", "price >>>")
+    with _pytest.raises(ValueError, match="invalid constraint"):
+        t.add_constraint("ghost", "no_such_col > 0")
+    t.append(df)  # satisfies
+
+    v = t.current_version()
+    bad = spark.createDataFrame([(2, 1.0), (3, -4.0)], "k long, price double")
+    with _pytest.raises(ValueError, match="positive_price.*1 row"):
+        t.append(bad)
+    assert t.current_version() == v  # nothing committed
+    assert t.to_df().count() == 1
+
+    # UNKNOWN passes: NULL price is not a violation of price > 0
+    t.append(spark.createDataFrame([(4, None)], "k long, price double"))
+    assert t.to_df().count() == 2
+    # explicit null rejection
+    t.add_constraint("price_set", "price IS NOT NULL")
+    with _pytest.raises(ValueError, match="price_set"):
+        t.append(spark.createDataFrame([(5, None)], "k long, price double"))
+    assert t.constraints() == {
+        "positive_price": "price > 0",
+        "price_set": "price IS NOT NULL",
+    }
+    t.drop_constraint("price_set")
+    t.append(spark.createDataFrame([(6, None)], "k long, price double"))
+    assert t.to_df().count() == 3
