@@ -43,6 +43,12 @@ _DML_INSERT = re.compile(
     r"^\s*INSERT\s+(INTO|OVERWRITE)\s+([\w.]+)\s+(SELECT\b.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_DML_SHOW_TABLES = re.compile(
+    r"^\s*SHOW\s+TABLES(?:\s+IN\s+(\w+))?\s*;?\s*$", re.IGNORECASE
+)
+_DML_DESCRIBE = re.compile(
+    r"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?([\w.]+)\s*;?\s*$", re.IGNORECASE
+)
 _DML_CREATE_VIEW = re.compile(
     r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+([\w.]+)\s+AS\s+"
     r"(SELECT\b.+?)\s*;?\s*$",
@@ -410,6 +416,39 @@ class LakehouseCatalog:
             return self.spark.createDataFrame(
                 [("update", m.group(1), snap.version)],
                 "operation string, table string, version long",
+            )
+        m = _DML_SHOW_TABLES.match(query)
+        if m:
+            spaces = [m.group(1)] if m.group(1) else self.list_namespaces()
+            rows = [
+                (ns, ident.rsplit(".", 1)[1])
+                for ns in spaces
+                for ident in self.list_tables(ns)
+            ]
+            return self.spark.createDataFrame(
+                rows or [], "namespace string, table string"
+            )
+        m = _DML_DESCRIBE.match(query)
+        if m:
+            t = self.load_table(m.group(1))
+            spec = {p.field_name: p for p in t.partition_spec}
+            rows = [
+                (
+                    f.name,
+                    f.dataType.simpleString(),
+                    next(
+                        (
+                            f"{p.transform}({p.source})"
+                            for p in spec.values()
+                            if p.source == f.name
+                        ),
+                        None,
+                    ),
+                )
+                for f in t.schema.fields
+            ]
+            return self.spark.createDataFrame(
+                rows, "column string, type string, partition string"
             )
         m = _DML_CREATE_VIEW.match(query)
         if m:

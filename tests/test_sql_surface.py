@@ -344,3 +344,25 @@ def test_sql_stored_views_chain(catalog, spark):
         "gold.a", "SELECT * FROM gold_ticks WHERE Bid >= 1.105"
     )
     assert catalog.sql("SELECT n FROM gold_b").first()["n"] == 5
+
+
+def test_sql_show_and_describe(catalog, spark):
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.table import (
+        PartitionField,
+    )
+
+    catalog.create_namespace("silver")
+    catalog.create_table(
+        "gold.ticks", TICK_SCHEMA, [PartitionField("DateTime", "days")]
+    )
+    catalog.create_table("silver.raw", TICK_SCHEMA, [])
+    rows = {(r["namespace"], r["table"])
+            for r in catalog.sql("SHOW TABLES").collect()}
+    assert rows == {("gold", "ticks"), ("silver", "raw")}
+    only = catalog.sql("SHOW TABLES IN silver").collect()
+    assert [(r["namespace"], r["table"]) for r in only] == [("silver", "raw")]
+
+    desc = {r["column"]: r for r in catalog.sql("DESCRIBE gold.ticks").collect()}
+    assert desc["DateTime"]["type"] == "timestamp"
+    assert desc["DateTime"]["partition"] == "days(DateTime)"
+    assert desc["Bid"]["partition"] is None
