@@ -49,6 +49,15 @@ _DML_SHOW_TABLES = re.compile(
 _DML_DESCRIBE = re.compile(
     r"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?([\w.]+)\s*;?\s*$", re.IGNORECASE
 )
+_DML_CREATE_MV = re.compile(
+    r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s+AS\s+"
+    r"(SELECT\b.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DML_REFRESH_MV = re.compile(
+    r"^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s*;?\s*$",
+    re.IGNORECASE,
+)
 _DML_CREATE_VIEW = re.compile(
     r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+([\w.]+)\s+AS\s+"
     r"(SELECT\b.+?)\s*;?\s*$",
@@ -374,6 +383,44 @@ class LakehouseCatalog:
                     if last:
                         raise
 
+    # -- materialized views (stored query + refreshable table) --------------
+
+    def create_materialized_view(self, identifier: str, sql_text: str):
+        """A table whose contents are a stored query's result: created
+        by running the query once (CTAS), refreshed on demand by
+        re-running it as one atomic overwrite. Readers see either the
+        old or the new result, never a mix; time travel keeps prior
+        refreshes until expiry. Full refresh only - the query may be
+        arbitrary SQL over any tables and views."""
+        if self.table_exists(identifier):
+            raise ValueError(f"table already exists: {identifier}")
+        self.register_views()
+        self._register_stored_views()
+        src = self.spark.sql(sql_text).localCheckpoint(eager=True)
+        ns = identifier.rsplit(".", 1)[0]
+        self.create_namespace(ns)
+        t = self.create_table(identifier, src.schema)
+        t.append(src)
+        t.set_properties(**{"mv.query": sql_text})
+        return t
+
+    def refresh_materialized_view(self, identifier: str):
+        """Re-run the stored query and atomically replace the table's
+        contents (one overwrite commit)."""
+        from .dml import overwrite_partitions
+
+        t = self.load_table(identifier)
+        sql_text = t.properties().get("mv.query")
+        if not sql_text:
+            raise ValueError(
+                f"{identifier} is not a materialized view (no mv.query)"
+            )
+        self.register_views()
+        self._register_stored_views()
+        src = self.spark.sql(sql_text)
+        snap = overwrite_partitions(t, src)
+        return snap
+
     def sql(self, query: str) -> DataFrame:
         """Run SQL over the registered views (sugar for
         ``register_views()`` + ``spark.sql``; re-registers first so the
@@ -449,6 +496,27 @@ class LakehouseCatalog:
             ]
             return self.spark.createDataFrame(
                 rows, "column string, type string, partition string"
+            )
+        m = _DML_CREATE_MV.match(query)
+        if m:
+            t = self.create_materialized_view(m.group(1), m.group(2))
+            return self.spark.createDataFrame(
+                [("create materialized view", m.group(1), t.to_df().count())],
+                "operation string, table string, rows long",
+            )
+        m = _DML_REFRESH_MV.match(query)
+        if m:
+            snap = self.refresh_materialized_view(m.group(1))
+            t = self.load_table(m.group(1))
+            return self.spark.createDataFrame(
+                [
+                    (
+                        "refresh materialized view",
+                        m.group(1),
+                        t.current_version() if snap is None else snap.version,
+                    )
+                ],
+                "operation string, table string, version long",
             )
         m = _DML_CREATE_VIEW.match(query)
         if m:

@@ -2091,6 +2091,10 @@ def _stat_val(v: Any) -> Any:
         # naive ISO form: comparable with in-flight bounds and with
         # year-prefix strings (dml._overlapping_entries, year_prune)
         return v.replace(tzinfo=None).isoformat()
+    from datetime import date
+
+    if isinstance(v, date):
+        return v.isoformat()  # DATE columns: footer stats arrive as date
     return v
 
 

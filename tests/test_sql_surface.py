@@ -366,3 +366,33 @@ def test_sql_show_and_describe(catalog, spark):
     assert desc["DateTime"]["type"] == "timestamp"
     assert desc["DateTime"]["partition"] == "days(DateTime)"
     assert desc["Bid"]["partition"] is None
+
+
+def test_sql_materialized_view(catalog, spark):
+    """MV lifecycle: create materializes the query, the MV is stale
+    until REFRESH re-runs it atomically, time travel keeps the prior
+    refresh."""
+    t = catalog.create_table("gold.ticks", TICK_SCHEMA, [])
+    t.append(tick_df(spark, n=10))
+    out = catalog.sql(
+        "CREATE MATERIALIZED VIEW gold.daily AS "
+        "SELECT CAST(DateTime AS DATE) AS day, COUNT(*) AS n, "
+        "SUM(Bid) AS bid_sum FROM gold_ticks GROUP BY 1"
+    ).first()
+    assert out["rows"] == 1
+    assert catalog.sql("SELECT n FROM gold_daily").first()["n"] == 10
+
+    # base table grows; the MV is stale until refreshed
+    t.append(tick_df(spark, n=5, start="2024-01-02 00:00:00"))
+    assert catalog.sql("SELECT COUNT(*) AS d FROM gold_daily").first()["d"] == 1
+    mv = catalog.load_table("gold.daily")
+    v_before = mv.current_version()
+    catalog.sql("REFRESH MATERIALIZED VIEW gold.daily")
+    rows = {r["day"].isoformat(): r["n"]
+            for r in catalog.sql("SELECT * FROM gold_daily").collect()}
+    assert rows == {"2024-01-01": 10, "2024-01-02": 5}
+    # prior refresh still time-travels
+    assert mv.scan(snapshot=mv.snapshot(v_before)).count() == 1
+
+    with pytest.raises(ValueError, match="not a materialized view"):
+        catalog.refresh_materialized_view("gold.ticks")
