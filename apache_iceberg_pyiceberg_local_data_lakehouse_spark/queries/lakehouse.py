@@ -1375,3 +1375,55 @@ def q6o_lakehouse_column_default(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+@register(
+    "q6p_lakehouse_materialized_view",
+    # new in r5, registered behind the judged window (rotate in when a
+    # slot frees); certifies materialized views: the stale MV misses
+    # later base commits until REFRESH atomically re-materializes.
+    defer=True,
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS chars,
+           (SELECT COUNT(*) FROM documents WHERE lang = 'en') AS rows_when_stale
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q6p_lakehouse_materialized_view(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MV lifecycle in the judged gate: base table starts with English
+    docs, an MV materializes the per-lang rollup, the base grows with
+    every other language (MV stays stale - its total still counts only
+    the English rows), then REFRESH re-materializes and the MV equals
+    the full rollup."""
+    from ..catalog import LakehouseCatalog
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_q6p_")
+    try:
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("tmp")
+        d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+        t = cat.create_table("tmp.docs", d.schema)
+        t.append(d.filter(F.col("lang") == "en"))
+        cat.sql(
+            "CREATE MATERIALIZED VIEW tmp.by_lang AS "
+            "SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS chars "
+            "FROM tmp_docs GROUP BY lang"
+        )
+        t.append(d.filter(F.col("lang") != "en"))
+        stale_rows = (
+            cat.sql("SELECT SUM(n_docs) AS n FROM tmp_by_lang").first()["n"]
+        )
+        cat.sql("REFRESH MATERIALIZED VIEW tmp.by_lang")
+        out = cat.sql(
+            f"SELECT lang, n_docs, chars, CAST({stale_rows} AS BIGINT) "
+            "AS rows_when_stale FROM tmp_by_lang"
+        )
+        rows = out.collect()  # materialize before the warehouse vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
