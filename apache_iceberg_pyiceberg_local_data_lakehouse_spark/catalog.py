@@ -191,6 +191,13 @@ class LakehouseCatalog:
         schema: StructType,
         partition_spec: list[PartitionField] | None = None,
     ) -> LakehouseTable:
+        namespace, _, name = identifier.rpartition(".")
+        if namespace and name in self._load_stored_views(namespace):
+            raise ValueError(
+                f"a stored view already holds the name {identifier}; "
+                "drop the view first (stored views register over table "
+                "views, so the table's data would be unreachable via SQL)"
+            )
         loc = self._table_location(identifier)
         os.makedirs(os.path.join(loc, "metadata"), exist_ok=True)
         os.makedirs(os.path.join(loc, "data"), exist_ok=True)
@@ -341,7 +348,7 @@ class LakehouseCatalog:
             raise ValueError(f"a table already holds the name {identifier}")
         views[name] = sql_text
         os.makedirs(os.path.join(self.warehouse, namespace), exist_ok=True)
-        tmp = self._views_path(namespace) + ".tmp"
+        tmp = self._views_path(namespace) + f".{uuid.uuid4().hex}.tmp"
         with open(tmp, "w") as f:
             json.dump(views, f)
         os.replace(tmp, self._views_path(namespace))
@@ -354,7 +361,7 @@ class LakehouseCatalog:
                 return False
             raise ValueError(f"no such view: {identifier}")
         del views[name]
-        tmp = self._views_path(namespace) + ".tmp"
+        tmp = self._views_path(namespace) + f".{uuid.uuid4().hex}.tmp"
         with open(tmp, "w") as f:
             json.dump(views, f)
         os.replace(tmp, self._views_path(namespace))
@@ -363,25 +370,37 @@ class LakehouseCatalog:
 
     def _register_stored_views(self) -> None:
         """Register stored views AFTER table views so they can reference
-        them. Every pass re-registers EVERY view: a view may initially
-        bind against a stale same-named temp view left in the session
-        (or fail on a not-yet-registered sibling), and each full pass
-        freshens one dependency level, so len(defs) passes reach the
-        fixpoint for any reference chain. The final pass raises."""
+        them. Two full passes re-register every view (a view may first
+        bind against a stale same-named temp view from the session, or
+        fail on a not-yet-registered sibling; the second pass freshens
+        one dependency level), then failure-only retries run until the
+        failure set stops shrinking. A view that never resolves (e.g.
+        its base table was dropped) is SKIPPED, not raised: one broken
+        definition must not brick unrelated SQL statements - the error
+        surfaces only when a query actually references the view."""
         defs = []
         for ns in self.list_namespaces():
             for name, text in self._load_stored_views(ns).items():
                 defs.append((f"{ns}.{name}", text))
-        for attempt in range(max(1, len(defs))):
-            last = attempt == max(0, len(defs) - 1)
-            for ident, text in defs:
+
+        def register(batch):
+            failed = []
+            for ident, text in batch:
                 try:
                     self.spark.sql(text).createOrReplaceTempView(
                         self.view_name(ident)
                     )
                 except Exception:
-                    if last:
-                        raise
+                    failed.append((ident, text))
+            return failed
+
+        register(defs)
+        pending = register(defs)  # second full pass: re-bind successes too
+        while pending:
+            nxt = register(pending)
+            if len(nxt) >= len(pending):
+                break  # no progress: remaining views are genuinely broken
+            pending = nxt
 
     # -- materialized views (stored query + refreshable table) --------------
 
@@ -392,12 +411,14 @@ class LakehouseCatalog:
         old or the new result, never a mix; time travel keeps prior
         refreshes until expiry. Full refresh only - the query may be
         arbitrary SQL over any tables and views."""
+        ns, _, _name = identifier.rpartition(".")
+        if not ns:
+            raise ValueError(f"identifier must be namespace.table: {identifier}")
         if self.table_exists(identifier):
             raise ValueError(f"table already exists: {identifier}")
         self.register_views()
         self._register_stored_views()
         src = self.spark.sql(sql_text).localCheckpoint(eager=True)
-        ns = identifier.rsplit(".", 1)[0]
         self.create_namespace(ns)
         t = self.create_table(identifier, src.schema)
         t.append(src)
@@ -478,19 +499,16 @@ class LakehouseCatalog:
         m = _DML_DESCRIBE.match(query)
         if m:
             t = self.load_table(m.group(1))
-            spec = {p.field_name: p for p in t.partition_spec}
             rows = [
                 (
                     f.name,
                     f.dataType.simpleString(),
-                    next(
-                        (
-                            f"{p.transform}({p.source})"
-                            for p in spec.values()
-                            if p.source == f.name
-                        ),
-                        None,
-                    ),
+                    ", ".join(
+                        f"{p.transform}({p.source})"
+                        for p in t.partition_spec
+                        if p.source == f.name
+                    )
+                    or None,
                 )
                 for f in t.schema.fields
             ]
@@ -500,8 +518,9 @@ class LakehouseCatalog:
         m = _DML_CREATE_MV.match(query)
         if m:
             t = self.create_materialized_view(m.group(1), m.group(2))
+            n = int(t.snapshot().summary.get("added_rows", t.to_df().count()))
             return self.spark.createDataFrame(
-                [("create materialized view", m.group(1), t.to_df().count())],
+                [("create materialized view", m.group(1), n)],
                 "operation string, table string, rows long",
             )
         m = _DML_REFRESH_MV.match(query)
@@ -550,6 +569,7 @@ class LakehouseCatalog:
             if self.table_exists(ident):
                 raise ValueError(f"table already exists: {ident}")
             self.register_views()
+            self._register_stored_views()
             src = self.spark.sql(m.group(3))
             spec = (
                 [_parse_partition_field(p) for p in _split_top_level(m.group(2))]
@@ -591,6 +611,7 @@ class LakehouseCatalog:
 
             t = self.load_table(m.group(2))
             self.register_views()
+            self._register_stored_views()
             src = self.spark.sql(m.group(3))
             # ANSI INSERT resolves the SELECT's columns by POSITION and
             # coerces to the target's types (a computed column keeps its
