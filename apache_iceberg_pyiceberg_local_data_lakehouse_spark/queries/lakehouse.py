@@ -598,7 +598,7 @@ def q69_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang, COUNT(*) AS n_docs,
            MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
-           SUM(n_chars) AS sum_chars
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
     FROM (
         SELECT lang, doc_id, n_chars FROM documents
         WHERE NOT (lang = 'en' AND n_chars % 3 = 0)
@@ -696,7 +696,8 @@ def q6c_lakehouse_position_delete(spark: SparkSession, sf_dir: str) -> DataFrame
 @register(
     "q6e_incremental_over_mor",
     oracle="""
-    SELECT _change_type, lang, COUNT(*) AS n_rows, SUM(doc_id) AS sum_id
+    SELECT _change_type, lang, COUNT(*) AS n_rows,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_id
     FROM (
         SELECT 'insert' AS _change_type, lang, doc_id
         FROM documents WHERE doc_id >= 250
@@ -821,8 +822,9 @@ def q6f_lakehouse_branch_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q6d_lakehouse_mor_update",
     oracle="""
     SELECT lang, COUNT(*) AS n_docs,
-           SUM(CASE WHEN n_chars = 0 THEN 1 ELSE 0 END) AS n_zeroed,
-           SUM(n_chars) AS sum_chars
+           CAST(SUM(CASE WHEN n_chars = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zeroed,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
     FROM (
         SELECT lang,
                CASE WHEN lang = 'en' AND doc_id % 4 = 0
@@ -994,7 +996,8 @@ def q6h_lakehouse_sql_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(CASE WHEN lang = 'en' THEN -1 ELSE n_chars END) AS sum_chars
+           CAST(SUM(CASE WHEN lang = 'en' THEN -1 ELSE n_chars END)
+                AS BIGINT) AS sum_chars
     FROM documents
     WHERE doc_id % 3 = 0
     GROUP BY lang
@@ -1233,7 +1236,7 @@ def q6l_lakehouse_hourly_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(t AS DATE) AS day,
            COUNT(*) AS n_events,
-           SUM(event_id) AS sum_ids
+           CAST(SUM(event_id) AS BIGINT) AS sum_ids
     FROM final
     GROUP BY day
     """,
@@ -1286,7 +1289,8 @@ def q6m_lakehouse_partition_overwrite(
     oracle="""
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(CASE WHEN lang = 'fr' THEN -1 ELSE n_chars END) AS sum_chars
+           CAST(SUM(CASE WHEN lang = 'fr' THEN -1 ELSE n_chars END)
+                AS BIGINT) AS sum_chars
     FROM documents
     WHERE lang <> 'es'
     GROUP BY lang
@@ -1334,10 +1338,12 @@ def q6n_lakehouse_sql_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     # predating the column read the default, later rows their values.
     defer=True,
     oracle="""
-    SELECT 'std' AS tier, COUNT(*) AS n_docs, SUM(n_chars) AS chars
+    SELECT 'std' AS tier, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars
     FROM documents
     UNION ALL
-    SELECT 'vip', COUNT(*), SUM(n_chars) FROM documents WHERE lang = 'en'
+    SELECT 'vip', COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+    FROM documents WHERE lang = 'en'
     """,
 )
 def q6o_lakehouse_column_default(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1386,7 +1392,7 @@ def q6o_lakehouse_column_default(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS chars,
+           CAST(SUM(n_chars) AS BIGINT) AS chars,
            (SELECT COUNT(*) FROM documents WHERE lang = 'en') AS rows_when_stale
     FROM documents
     GROUP BY lang

@@ -901,10 +901,10 @@ def q4d_bpe_vocab_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(CASE WHEN wc >= 30 AND wc <= 100000
+           CAST(SUM(CASE WHEN wc >= 30 AND wc <= 100000
                      AND mwl >= 3.0 AND mwl <= 10.0
                      AND top2 <= 0.06 AND top3 <= 0.18 AND dup5 <= 0.30
-                    THEN 1 ELSE 0 END) AS n_kept,
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
            {_davg_sql('top2', 1_000_000)} AS avg_top2gram,
            {_davg_sql('top3', 1_000_000)} AS avg_top3gram,
            {_davg_sql('dup5', 1_000_000)} AS avg_dup5gram,
@@ -1060,7 +1060,7 @@ def q5h_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang,
            COUNT(*) AS n_kept,
-           SUM(n_chars) AS chars_kept
+           CAST(SUM(n_chars) AS BIGINT) AS chars_kept
     FROM documents
     WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
           / 4294967296.0
@@ -1154,7 +1154,7 @@ def q5j_hashed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS chars_kept
+           CAST(SUM(n_chars) AS BIGINT) AS chars_kept
     FROM kept
     GROUP BY source
     """,
@@ -1208,8 +1208,8 @@ def q5k_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT d.lang,
            COUNT(*) AS n_docs,
-           SUM(doc.n_tokens) AS total_tokens,
-           SUM(doc.sq) AS sum_qlogp
+           CAST(SUM(doc.n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(doc.sq) AS BIGINT) AS sum_qlogp
     FROM doc JOIN documents d USING (doc_id)
     GROUP BY d.lang
     """,
@@ -1254,8 +1254,8 @@ def q5l_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(FLOOR(off / 2048.0) AS BIGINT) AS seq_id,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS chars_in,
-           MIN(off) AS first_offset
+           CAST(SUM(n_chars) AS BIGINT) AS chars_in,
+           CAST(MIN(off) AS BIGINT) AS first_offset
     FROM ordered
     GROUP BY 1
     """,
@@ -1288,7 +1288,7 @@ def q5m_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     defer=True,
     oracle="""
     SELECT COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_size,
+           CAST(SUM(n_chars) AS BIGINT) AS total_size,
            TRUE AS no_overflow,
            TRUE AS none_oversize,
            TRUE AS bin_count_ok
@@ -1367,7 +1367,7 @@ def q5n_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS chars_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_kept,
            COUNT(DISTINCT CAST(FLOOR(off / 2048.0) AS BIGINT)) AS n_seqs
     FROM packed
     GROUP BY source

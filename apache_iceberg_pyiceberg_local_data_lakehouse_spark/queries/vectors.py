@@ -431,7 +431,8 @@ def q55b_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM assigned GROUP BY cluster_id) m
     LEFT JOIN (
       SELECT cluster_id, COUNT(*) AS n_pairs,
-             SUM(CASE WHEN sim >= 0.5 THEN 1 ELSE 0 END) AS n_dups,
+             CAST(SUM(CASE WHEN sim >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dups,
              MAX(CAST(FLOOR(sim * 1000000 + 0.5) AS BIGINT)) AS max_sim_q
       FROM pairs GROUP BY cluster_id
     ) p ON m.cluster_id = p.cluster_id

@@ -9,6 +9,7 @@ from __future__ import annotations
 import datetime as dt
 import decimal
 import math
+import re
 
 import duckdb
 import pytest
@@ -72,6 +73,45 @@ def oracle_result(sql: str, sf_dir: str):
         cols = [d[0] for d in res.description]
         rows = res.fetchall()
         return cols, rows
+    finally:
+        con.close()
+
+
+# DuckDB types that have no Spark physical twin: the driver's hasher
+# preserves the oracle result's physical (Arrow) type, so an output
+# column of HUGEINT (int128, DuckDB's default for integer SUM) or
+# DECIMAL hash-mismatches a value-identical Spark BIGINT/DOUBLE column.
+# _canon below folds these to Python scalars, which is why the value
+# compare alone could never catch it (r5 verdict: five driver reds, all
+# this artifact). Every oracle's *declared* output type must therefore
+# avoid these — wrap integer SUMs in CAST(... AS BIGINT).
+_FORBIDDEN_ORACLE_TYPES = re.compile(
+    r"\b(HUGEINT|UHUGEINT|DECIMAL|UBIGINT|UINTEGER|USMALLINT|UTINYINT)\b",
+    re.IGNORECASE,
+)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_output_types(sf_small, name):
+    """Binder-only check (no execution): fail any oracle whose declared
+    output schema contains a DuckDB type Spark cannot produce."""
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_small}/{t}.parquet')"
+            )
+        rel = con.sql(ORACLES[name])
+        bad = [
+            (c, str(tp))
+            for c, tp in zip(rel.columns, rel.types)
+            if _FORBIDDEN_ORACLE_TYPES.search(str(tp))
+        ]
+        assert not bad, (
+            f"{name}: oracle output columns use DuckDB types the driver's "
+            f"hasher cannot match against Spark: {bad}; CAST them "
+            f"(integer SUM -> BIGINT, DECIMAL -> DOUBLE)"
+        )
     finally:
         con.close()
 
