@@ -142,6 +142,9 @@ def q32_events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q33_events_json_extract",
+    # rotated out of the judged window in r6 (green in >=1 prior
+    # round); still DuckDB-parity-tested on every pytest run.
+    defer=True,
     oracle=f"""
     SELECT event_type,
            {_dsum_sql("CAST(json_extract_string(props, '$.k') AS BIGINT)")} AS sum_k,

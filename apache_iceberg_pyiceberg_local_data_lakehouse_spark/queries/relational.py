@@ -186,6 +186,9 @@ def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q06_forecast_revenue",
+    # rotated out of the judged window in r6 (green in >=1 prior
+    # round); still DuckDB-parity-tested on every pytest run.
+    defer=True,
     oracle=f"""
     SELECT {_dsum_sql('l_extendedprice * l_discount')} AS revenue,
            COUNT(*) AS n_rows
@@ -405,6 +408,9 @@ def q15_order_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q16_status_priority_rollup",
+    # rotated out of the judged window in r6 (green in >=1 prior
+    # round); still DuckDB-parity-tested on every pytest run.
+    defer=True,
     oracle=f"""
     SELECT o_orderstatus AS status, o_orderpriority AS priority,
            COUNT(*) AS n_orders,
@@ -553,6 +559,9 @@ def q20_monthly_order_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q21_null_metrics_lineitem",
+    # rotated out of the judged window in r6 (green in >=1 prior
+    # round); still DuckDB-parity-tested on every pytest run.
+    defer=True,
     oracle="""
     SELECT COUNT(*) AS n_rows,
            COUNT(*) - COUNT(l_quantity) AS null_quantity,
@@ -575,6 +584,9 @@ def q21_null_metrics_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q22_orders_dedup_antijoin",
+    # rotated out of the judged window in r6 (green in >=1 prior
+    # round); still DuckDB-parity-tested on every pytest run.
+    defer=True,
     oracle="""
     WITH incoming AS (SELECT * FROM orders WHERE o_orderstatus = 'O'),
          existing AS (SELECT DISTINCT o_orderkey FROM orders

@@ -24,6 +24,9 @@ STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
 @register(
     "q40_dedup_exact",
+    # rotated out of the judged window in r6 (green in >=1 prior
+    # round); still DuckDB-parity-tested on every pytest run.
+    defer=True,
     oracle="""
     SELECT sha256(text) AS content_hash,
            MIN(doc_id) AS keeper_doc_id,
@@ -315,6 +318,9 @@ def q47_ngram_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q48_minhash_near_duplicates",
+    # rotated out of the judged window in r6 (green in >=1 prior
+    # round); still DuckDB-parity-tested on every pytest run.
+    defer=True,
     oracle="""
     WITH toks AS (
       SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS tok
@@ -356,6 +362,9 @@ def q48_minhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q49_simhash_fingerprints",
+    # rotated out of the judged window in r6 (green in >=1 prior
+    # round); still DuckDB-parity-tested on every pytest run.
+    defer=True,
     oracle="""
     SELECT COUNT(*) AS n_docs,
            COUNT(*) AS n_planted,
@@ -447,6 +456,9 @@ def q49_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q4a_tfidf_top_terms",
+    # rotated out of the judged window in r6 (green in >=1 prior
+    # round); still DuckDB-parity-tested on every pytest run.
+    defer=True,
     oracle="""
     WITH toks AS (
       SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
@@ -494,7 +506,9 @@ def q4a_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ..operators.langid import langid_oracle_sql
 
 
-@register("q45b_langid_ngram", oracle=langid_oracle_sql())
+# q45b rotated out of the judged window in r6 (green r4+r5);
+# still DuckDB-parity-tested on every pytest run.
+@register("q45b_langid_ngram", defer=True, oracle=langid_oracle_sql())
 def q45b_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-n-gram language ID (X4) over the corpus: per detected
     language, doc count and mean confidence. The trigram/word-overlap
@@ -519,6 +533,9 @@ def q45b_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q4c_dedup_clusters",
+    # rotated out of the judged window in r6 (green in >=1 prior
+    # round); still DuckDB-parity-tested on every pytest run.
+    defer=True,
     oracle="""
     WITH RECURSIVE
     toks AS (
@@ -577,6 +594,9 @@ _PHONE_PAT = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
 
 @register(
     "q56_pii_redaction",
+    # rotated out of the judged window in r6 (green in >=1 prior
+    # round); still DuckDB-parity-tested on every pytest run.
+    defer=True,
     oracle=f"""
     WITH pii AS (
       SELECT doc_id,
@@ -737,7 +757,6 @@ def q58_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(i * 30 + 40 AS BIGINT))) AS chunk_tokens
     FROM exploded
     """,
-    defer=True,
 )
 def q59_token_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-aware chunking (operators/chunking.py:chunk_by_tokens,
@@ -779,7 +798,6 @@ def q59_token_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
            TRUE AS compression_monotonic,
            TRUE AS encode_reconstructs
     """,
-    defer=True,
 )
 def q4d_bpe_vocab_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE vocabulary fit + encode (operators/bpe.py): fit
@@ -1001,7 +1019,6 @@ def q5f_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5h_incremental_near_dedup",
     # new in r5, registered behind the judged window (rotate in when a
     # slot frees); certifies dedup.minhash_against_corpus end-to-end
-    defer=True,
     oracle="""
     WITH toks AS (
       SELECT doc_id, list_distinct(string_split(text, ' ')) AS t
@@ -1056,7 +1073,6 @@ def q5h_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5i_weighted_sample",
     # new in r5, registered behind the judged window (rotate in when a
     # slot frees); certifies sampling.weighted_sample cross-engine
-    defer=True,
     oracle="""
     SELECT lang,
            COUNT(*) AS n_kept,
@@ -1089,7 +1105,6 @@ def q5i_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5j_hashed_embeddings",
     # new in r5, registered behind the judged window (rotate in when a
     # slot frees); certifies operators/embedding.py cross-engine
-    defer=True,
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS tok
@@ -1135,7 +1150,6 @@ def q5j_hashed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5k_corpus_mix",
     # new in r5, registered behind the judged window (rotate in when a
     # slot frees); certifies sampling.mix_corpus cross-engine
-    defer=True,
     oracle="""
     WITH ranked AS (
       SELECT source, n_chars,
@@ -1186,7 +1200,6 @@ def q5k_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5l_unigram_lm_score",
     # new in r5, registered behind the judged window (rotate in when a
     # slot frees); certifies operators/lm.py cross-engine
-    defer=True,
     oracle="""
     WITH tk AS (
       SELECT doc_id, tok FROM (
@@ -1242,7 +1255,6 @@ def q5l_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # slot frees); certifies operators/packing.py: the two-phase
     # distributed prefix sum must be bit-identical to the oracle's
     # single global window.
-    defer=True,
     oracle="""
     WITH ordered AS (
       SELECT doc_id, n_chars,
@@ -1285,7 +1297,6 @@ def q5m_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # slot frees); certifies pack_bins_greedy via the q70 bound-check
     # pattern (greedy packing is not SQL-expressible; the exact fields
     # and invariant booleans are)
-    defer=True,
     oracle="""
     SELECT COUNT(*) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS total_size,
@@ -1341,7 +1352,6 @@ def q5n_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # slot frees); the COMPOSITION showpiece: exact dedup -> quality
     # gate -> corpus mixing -> sequence packing chained end-to-end, the
     # whole pipeline replicated as one SQL CTE chain.
-    defer=True,
     oracle="""
     WITH dedup AS (
       SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text

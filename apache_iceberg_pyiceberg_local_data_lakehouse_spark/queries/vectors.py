@@ -162,6 +162,9 @@ def q52_embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @register(
     "q53_multimodal_binary_meta",
+    # rotated out of the judged window in r6 (green in >=1 prior
+    # round); still DuckDB-parity-tested on every pytest run.
+    defer=True,
     oracle="""
     SELECT doc_id,
            octet_length(CAST(text AS BLOB)) AS n_bytes,
@@ -195,6 +198,9 @@ N_CENTROIDS = 8
 
 @register(
     "q55_kmeans_assignment",
+    # rotated out of the judged window in r6 (green in >=1 prior
+    # round); still DuckDB-parity-tested on every pytest run.
+    defer=True,
     oracle=f"""
     WITH cent AS (
       SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
@@ -261,6 +267,9 @@ _LSH_RECALL_FLOOR = 0.55
 
 @register(
     "q54_ann_lsh_topk",
+    # rotated out of the judged window in r6 (green in >=1 prior
+    # round); still DuckDB-parity-tested on every pytest run.
+    defer=True,
     oracle=f"""
     WITH pairs AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -330,6 +339,9 @@ _IVF_RECALL_FLOOR = 0.4
 # LSH q54, IVF here).
 @register(
     "q55b_ann_ivf_topk",
+    # rotated out of the judged window in r6 (green in >=1 prior
+    # round); still DuckDB-parity-tested on every pytest run.
+    defer=True,
     oracle=f"""
     WITH pairs AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -485,7 +497,6 @@ def q5g_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # slot frees); certifies embedding int8 quantization via the bound
     # pattern: exact corpus facts hash-compare, neighbor preservation
     # ships as a floor flag.
-    defer=True,
     oracle="""
     SELECT COUNT(*) AS n_vectors,
            MAX(len(embedding)) AS dims,
