@@ -29,11 +29,14 @@ from .table import LakehouseTable, PartitionField, Snapshot
 # SQL DML statements handled by catalog.sql (Spark temp views are
 # read-only, so DELETE/UPDATE compile to the table-format DML engines)
 _DML_DELETE = re.compile(
-    r"^\s*DELETE\s+FROM\s+([\w.]+)\s+WHERE\s+(.+?)\s*;?\s*$",
+    r"^\s*DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.+?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+# SET list and WHERE are split by a quote/paren-aware scanner
+# (_split_on_top_level_where), NOT here: an assignment whose string
+# literal or subexpression contains the word WHERE must not mis-parse.
 _DML_UPDATE = re.compile(
-    r"^\s*UPDATE\s+([\w.]+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$",
+    r"^\s*UPDATE\s+([\w.]+)\s+SET\s+(.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _DML_TRUNCATE = re.compile(
@@ -134,6 +137,38 @@ def _split_top_level(s: str) -> list[str]:
     if cur:
         parts.append("".join(cur))
     return parts
+
+
+def _split_on_top_level_where(s: str) -> tuple[str, str | None]:
+    """Split ``s`` at the first WHERE keyword that sits outside quotes,
+    backticks, and parentheses. Returns (before, after) with the keyword
+    removed; ``after`` is None when no top-level WHERE exists (standard
+    SQL: the statement applies to every row)."""
+    depth, quote, esc = 0, None, False
+    n = len(s)
+    for i, ch in enumerate(s):
+        if quote:
+            if esc:
+                esc = False
+            elif ch == "\\":
+                esc = True
+            elif ch == quote:
+                quote = None
+            continue
+        if ch in ("'", '"', "`"):
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and s[i : i + 5].upper() == "WHERE"
+            and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
+            and (i + 5 >= n or not (s[i + 5].isalnum() or s[i + 5] == "_"))
+        ):
+            return s[:i], s[i + 5 :]
+    return s, None
 
 
 
@@ -427,8 +462,12 @@ class LakehouseCatalog:
 
     def refresh_materialized_view(self, identifier: str):
         """Re-run the stored query and atomically replace the table's
-        contents (one overwrite commit)."""
-        from .dml import overwrite_partitions
+        contents (one overwrite commit). Full-refresh semantics: the
+        result replaces the contents EXACTLY - when the query now yields
+        zero rows the table empties (overwrite_partitions treats an
+        empty frame as a no-op, so that case commits an explicit
+        truncate instead of silently keeping the stale contents)."""
+        from .dml import overwrite_partitions, truncate_table
 
         t = self.load_table(identifier)
         sql_text = t.properties().get("mv.query")
@@ -439,7 +478,11 @@ class LakehouseCatalog:
         self.register_views()
         self._register_stored_views()
         src = self.spark.sql(sql_text)
+        # MV tables are created unpartitioned (create_materialized_view),
+        # so the non-empty path is a full-table replace in one commit
         snap = overwrite_partitions(t, src)
+        if snap is None:
+            snap = truncate_table(t)
         return snap
 
     def sql(self, query: str) -> DataFrame:
@@ -459,10 +502,16 @@ class LakehouseCatalog:
 
         m = _DML_DELETE.match(query)
         if m:
-            from .dml import delete_where
+            from .dml import delete_where, truncate_table
 
             t = self.load_table(m.group(1))
-            snap = delete_where(t, F.expr(m.group(2)))
+            if m.group(2) is None:
+                # standard SQL: DELETE without WHERE drops every row -
+                # the metadata-only truncate path (rows stay reachable
+                # through older snapshots until expiry)
+                snap = truncate_table(t)
+            else:
+                snap = delete_where(t, F.expr(m.group(2)))
             return self.spark.createDataFrame(
                 [("delete", m.group(1), snap.version)],
                 "operation string, table string, version long",
@@ -472,15 +521,24 @@ class LakehouseCatalog:
             from .dml import update_where
 
             t = self.load_table(m.group(1))
+            set_part, where_part = _split_on_top_level_where(m.group(2))
+            if where_part is not None and not where_part.strip():
+                raise ValueError("UPDATE has a WHERE keyword but no condition")
             assignments = {}
-            for part in _split_top_level(m.group(2)):
+            for part in _split_top_level(set_part):
                 if "=" not in part:
                     raise ValueError(
                         f"malformed SET assignment: {part.strip()!r}"
                     )
                 col, expr = part.split("=", 1)
                 assignments[col.strip()] = F.expr(expr.strip())
-            snap = update_where(t, F.expr(m.group(3)), assignments)
+            # no top-level WHERE = standard SQL: update every row
+            pred = (
+                F.expr(where_part.strip())
+                if where_part is not None
+                else F.lit(True)
+            )
+            snap = update_where(t, pred, assignments)
             return self.spark.createDataFrame(
                 [("update", m.group(1), snap.version)],
                 "operation string, table string, version long",
@@ -622,6 +680,10 @@ class LakehouseCatalog:
                     f"INSERT column count {len(src.columns)} does not "
                     f"match table arity {len(fields)}"
                 )
+            # positional resolution also sidesteps computed-expression
+            # names (`CAST(-1.0 AS DOUBLE)` contains dots that df[name]
+            # would mis-parse as struct access)
+            src = src.toDF(*[f"_c{i}" for i in range(len(src.columns))])
             # one materialization feeds the cast audit AND the write
             src = src.localCheckpoint(eager=True)
             # ANSI store assignment: a cast that turns a value into

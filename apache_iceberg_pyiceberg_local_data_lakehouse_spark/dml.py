@@ -277,6 +277,10 @@ def update_where(
         updated = apply_assignments(
             matched.drop("__file_rel", "__pos"), only_matched=True
         )
+        # assignments can violate a CHECK even when the source rows
+        # passed it on append - gate the rewritten values (reads the
+        # checkpointed matched set, so no plan re-execution)
+        table._validate_constraints(updated, snap, op="update")
         new_entries = table._write_files(updated, snap.partition_spec)
         return table.commit_delta(
             added=new_entries + del_entries,
@@ -299,6 +303,7 @@ def update_where(
         rewritten = apply_assignments(
             table.scan(snapshot=snap), only_matched=False
         )
+        table._validate_constraints(rewritten, snap, op="update")
         new_entries = table._write_files(rewritten, snap.partition_spec)
         return table.commit_delta(
             added=new_entries,
@@ -353,6 +358,7 @@ def update_where(
         table.scan(snapshot=snap, file_filter=lambda e: e in touched),
         only_matched=False,
     )
+    table._validate_constraints(rewritten, snap, op="update")
     new_entries = table._write_files(rewritten, snap.partition_spec)
     return table.commit_delta(
         added=new_entries,
@@ -434,6 +440,13 @@ def merge_into(
             "condition or use when_matched='update'/'delete'"
         )
 
+    # one materialization: the key-range bounds, the distinct-key
+    # semi/anti joins, and the write all run as INDEPENDENT Spark
+    # actions over ``updates`` - a non-deterministic source could make
+    # the pruning bounds inconsistent with the rows actually written.
+    # Same discipline as overwrite_partitions; cost is O(source rows)
+    # executor storage, the same order as the merge's own write.
+    updates = updates.localCheckpoint(eager=True)
     bounds = updates.agg(
         F.min(lead).alias("lo"), F.max(lead).alias("hi")
     ).collect()[0]
@@ -494,6 +507,11 @@ def merge_into(
 
     merged = kept
     if incoming is not None:
+        # only source-derived rows are new values; kept rows passed the
+        # gate when they were written (CHECK holds for every write verb)
+        table._validate_constraints(
+            incoming.select(*touched_df.columns), snap, op="merge"
+        )
         merged = kept.unionByName(incoming.select(*touched_df.columns))
     new_entries = table._write_files(merged, snap.partition_spec)
     # delta commit: manifest files holding only untouched entries carry
@@ -821,6 +839,9 @@ def overwrite_partitions(table: LakehouseTable, df: DataFrame) -> Snapshot | Non
     # the SAME rows - a non-deterministic frame re-executed for the
     # write could land rows in partitions the first pass never removed
     df = df.localCheckpoint(eager=True)
+    # CHECK constraints hold for every write verb, not just append
+    # (validated post-checkpoint so the gate reads the committed rows)
+    table._validate_constraints(df, snap, op="overwrite")
     spec = snap.partition_spec
     if not spec:
         new_entries = table._write_files(df, spec)

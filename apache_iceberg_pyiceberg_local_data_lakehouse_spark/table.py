@@ -1558,7 +1558,14 @@ class LakehouseTable:
             if k.startswith("constraint.")
         }
 
-    def _validate_constraints(self, df: DataFrame, snap) -> None:
+    def _validate_constraints(
+        self, df: DataFrame, snap, op: str = "append"
+    ) -> None:
+        """Enforced on EVERY write path that introduces or rewrites rows
+        (append, INSERT OVERWRITE/overwrite_partitions, UPDATE, MERGE) -
+        a declared CHECK must hold for the table's contents regardless of
+        which verb wrote them. No-op (and no Spark action) when the
+        table declares no constraints."""
         cons = self.constraints()
         if not cons:
             return
@@ -1579,7 +1586,7 @@ class LakehouseTable:
                 f"{n} ({cons[n]!r}): {v} row(s)" for n, v in violated.items()
             )
             raise ValueError(
-                f"append violates CHECK constraint(s): {detail}"
+                f"{op} violates CHECK constraint(s): {detail}"
             )
 
     def unset_properties(self, *keys: str) -> dict[str, str]:

@@ -396,3 +396,61 @@ def test_sql_materialized_view(catalog, spark):
 
     with pytest.raises(ValueError, match="not a materialized view"):
         catalog.refresh_materialized_view("gold.ticks")
+
+
+def test_sql_mv_refresh_to_empty(catalog, spark):
+    """ADVICE r5: full-refresh semantics - when the stored query now
+    yields zero rows, REFRESH must EMPTY the MV (explicit truncate
+    commit), not silently keep the previous contents."""
+    t = catalog.create_table("gold.ticks", TICK_SCHEMA, [])
+    t.append(tick_df(spark, n=10))
+    catalog.sql(
+        "CREATE MATERIALIZED VIEW gold.highs AS "
+        "SELECT * FROM gold_ticks WHERE Bid > 0"
+    )
+    assert catalog.sql("SELECT COUNT(*) n FROM gold_highs").first()["n"] == 10
+    mv = catalog.load_table("gold.highs")
+    v_full = mv.current_version()
+    catalog.sql("DELETE FROM gold.ticks")  # whole-table delete, no WHERE
+    catalog.sql("REFRESH MATERIALIZED VIEW gold.highs")
+    assert catalog.sql("SELECT COUNT(*) n FROM gold_highs").first()["n"] == 0
+    # the pre-refresh contents still time-travel
+    assert mv.scan(snapshot=mv.snapshot(v_full)).count() == 10
+
+
+def test_sql_delete_all_and_update_all(catalog, spark):
+    """Whole-table DELETE (metadata-only truncate path) and UPDATE
+    without WHERE (standard SQL: every row) both parse and commit."""
+    t = catalog.create_table("gold.d", TICK_SCHEMA, [])
+    t.append(tick_df(spark, n=8))
+    v1 = t.current_version()
+    catalog.sql("UPDATE gold.d SET Bid = 0.5")
+    assert t.to_df().filter(F.col("Bid") != 0.5).count() == 0
+    assert t.to_df().count() == 8
+    out = catalog.sql("DELETE FROM gold.d").first()
+    assert out["operation"] == "delete"
+    assert t.to_df().count() == 0
+    # truncate is metadata-only: prior snapshots still reachable
+    assert t.scan(snapshot=t.snapshot(v1)).count() == 8
+
+
+def test_sql_update_where_inside_string_literal(catalog, spark):
+    """ADVICE r5: the SET/WHERE split is quote/paren-aware - an
+    assignment whose string literal (or subexpression) contains the
+    word WHERE must not mis-parse."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, tag string"
+    )
+    t = catalog.create_table("gold.s", df.schema)
+    t.append(df)
+    catalog.sql("UPDATE gold.s SET tag = 'x WHERE y' WHERE k = 2")
+    rows = {r["k"]: r["tag"] for r in t.to_df().collect()}
+    assert rows == {1: "a", 2: "x WHERE y", 3: "c"}
+    # parenthesized subexpression containing WHERE-ish text + function call
+    catalog.sql(
+        "UPDATE gold.s SET tag = concat(tag, ' WHERE ', 'z') WHERE k = 1"
+    )
+    rows = {r["k"]: r["tag"] for r in t.to_df().collect()}
+    assert rows[1] == "a WHERE z"
+    with pytest.raises(ValueError, match="WHERE keyword but no condition"):
+        catalog.sql("UPDATE gold.s SET tag = 'q' WHERE ")

@@ -701,3 +701,60 @@ def test_check_constraints(spark, tmp_path):
     t.drop_constraint("price_set")
     t.append(spark.createDataFrame([(6, None)], "k long, price double"))
     assert t.to_df().count() == 3
+
+
+def test_check_constraints_all_write_paths(spark, tmp_path):
+    """ADVICE r5: CHECK is a table invariant, not an append feature -
+    INSERT OVERWRITE (overwrite_partitions), UPDATE ... SET, and MERGE
+    must refuse violating rows exactly like append does."""
+    import pytest as _pytest
+
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.catalog import (
+        LakehouseCatalog,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.dml import (
+        merge_into,
+        overwrite_partitions,
+        update_where,
+    )
+    from pyspark.sql import functions as F
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("gold")
+    df = spark.createDataFrame([(1, 5.0), (2, 7.0)], "k long, price double")
+    t = cat.create_table("gold.c", df.schema)
+    t.add_constraint("positive_price", "price > 0")
+    t.append(df)
+    v = t.current_version()
+
+    bad = spark.createDataFrame([(9, -1.0)], "k long, price double")
+    with _pytest.raises(ValueError, match="overwrite.*positive_price"):
+        overwrite_partitions(t, bad)
+    with _pytest.raises(ValueError, match="update.*positive_price"):
+        update_where(t, F.col("k") == 1, {"price": F.lit(-3.0)})
+    with _pytest.raises(ValueError, match="update.*positive_price"):
+        update_where(
+            t, F.col("k") == 1, {"price": F.lit(-3.0)}, mode="merge-on-read"
+        )
+    with _pytest.raises(ValueError, match="merge.*positive_price"):
+        merge_into(t, bad, key="k")
+    # SQL verbs route through the same gates
+    with _pytest.raises(ValueError, match="positive_price"):
+        cat.sql(
+            "INSERT OVERWRITE gold.c "
+            "SELECT CAST(9 AS LONG), CAST(-1.0 AS DOUBLE)"
+        )
+    with _pytest.raises(ValueError, match="positive_price"):
+        cat.sql("UPDATE gold.c SET price = -2.0 WHERE k = 2")
+    assert t.current_version() == v  # nothing committed anywhere
+    assert {r["k"]: r["price"] for r in t.to_df().collect()} == {1: 5.0, 2: 7.0}
+
+    # satisfying writes still commit through every verb
+    overwrite_partitions(
+        t, spark.createDataFrame([(3, 1.0)], "k long, price double")
+    )
+    update_where(t, F.col("k") == 3, {"price": F.lit(2.0)})
+    merge_into(
+        t, spark.createDataFrame([(4, 9.0)], "k long, price double"), key="k"
+    )
+    assert {r["k"]: r["price"] for r in t.to_df().collect()} == {3: 2.0, 4: 9.0}
