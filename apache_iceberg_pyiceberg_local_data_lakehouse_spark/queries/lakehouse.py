@@ -1434,3 +1434,71 @@ def q6p_lakehouse_materialized_view(
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+@register(
+    "q6q_snapshot_isolation_gc",
+    # new in r6, registered behind the judged window (r7 rotation
+    # fodder); certifies the GC/time-travel isolation contract:
+    # a tag-pinned snapshot survives compaction + zero-grace expiry
+    # with retain_last=1 (only the pin protects it), readable exactly.
+    defer=True,
+    oracle="""
+    SELECT 'pinned' AS src, lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents WHERE doc_id % 2 = 0
+    GROUP BY lang
+    UNION ALL
+    SELECT 'current', lang, COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q6q_snapshot_isolation_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot expiry + orphan GC vs a pinned reader: append the even
+    docs (several small files), tag the snapshot, compact, append the
+    odd docs, then expire with retain_last=1 and ZERO orphan grace - so
+    the tag is the only thing standing between the pinned snapshot's
+    pre-compaction files and the GC. The pinned scan must still equal
+    plain SQL over the even half; the current scan the full corpus; and
+    the untagged intermediate snapshots must actually be gone (the
+    expiry really ran - this is not a no-op pass)."""
+    from ..catalog import LakehouseCatalog
+    from ..maintenance import compact, expire_snapshots
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_q6q_")
+    try:
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("tmp")
+        d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+        even = d.filter(F.col("doc_id") % 2 == 0)
+        t = cat.create_table("tmp.docs", d.schema)
+        for m in (0, 1):  # two small files per half: GC has real targets
+            t.append(even.filter((F.col("doc_id") / 2 % 2).cast("int") == m).coalesce(1))
+        v_pin = t.current_version()
+        t.create_tag("audit", v_pin)
+        pinned = t.scan(snapshot=t.snapshot(v_pin))  # plan built pre-GC
+        compact(t, target_file_bytes=64 * 1024 * 1024)
+        t.append(d.filter(F.col("doc_id") % 2 == 1).coalesce(2))
+        import time as _time
+
+        expire_snapshots(
+            t,
+            older_than_ms=int(_time.time() * 1000) + 60_000,
+            retain_last=1,
+            orphan_grace_secs=0,
+        )
+        live = {s.version for s in t.snapshots()}
+        assert v_pin in live, "tag failed to pin its snapshot"
+        assert len(live) == 2, f"expiry was a no-op: {sorted(live)}"
+        agg = lambda df, src: (  # noqa: E731
+            df.groupBy("lang").agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_chars").alias("sum_chars"),
+            ).select(F.lit(src).alias("src"), "lang", "n_docs", "sum_chars")
+        )
+        out = agg(pinned, "pinned").unionByName(agg(t.to_df(), "current"))
+        rows = out.collect()  # materialize before the warehouse vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
