@@ -80,6 +80,15 @@ _DML_DROP = re.compile(
     r"^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$",
     re.IGNORECASE,
 )
+# SQL time travel (Iceberg/Delta-style): <table> [FOR] VERSION AS OF n
+# or [FOR] TIMESTAMP AS OF '<ts>'. Rewritten to a pinned temp view
+# before the statement runs, so it composes with any SELECT shape
+# (joins of two versions, CTAS from an old version, ...).
+_TIME_TRAVEL = re.compile(
+    r"([\w.]+)\s+(?:FOR\s+)?(VERSION|TIMESTAMP)\s+AS\s+OF\s+"
+    r"('[^']*'|\d+)",
+    re.IGNORECASE,
+)
 _DML_OPTIMIZE = re.compile(
     r"^\s*OPTIMIZE\s+([\w.]+)"
     r"(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$",
@@ -500,6 +509,8 @@ class LakehouseCatalog:
         SQL expressions over the table's columns."""
         from pyspark.sql import functions as F
 
+        if _TIME_TRAVEL.search(query):
+            query = self._rewrite_time_travel(query)
         m = _DML_DELETE.match(query)
         if m:
             from .dml import delete_where, truncate_table
@@ -781,6 +792,57 @@ class LakehouseCatalog:
         self.register_views()
         self._register_stored_views()
         return self.spark.sql(query)
+
+    def _resolve_table_reference(self, ref: str) -> str:
+        """Map a SQL table reference to a dotted identifier: either it IS
+        one (``gold.ticks``) or it is a registered view name
+        (``gold_ticks``, dots replaced by underscores)."""
+        if "." in ref and self.table_exists(ref):
+            return ref
+        for ns in self.list_namespaces():
+            for ident in self.list_tables(ns):
+                if self.view_name(ident) == ref:
+                    return ident
+        raise NoSuchTableError(ref)
+
+    def _rewrite_time_travel(self, query: str) -> str:
+        """Replace every ``<table> [FOR] VERSION|TIMESTAMP AS OF <pin>``
+        reference with a snapshot-pinned temp view (registered here) so
+        the surrounding statement reads that exact version. TIMESTAMP
+        pins resolve through ``snapshot_as_of`` (latest snapshot at or
+        before the instant; naive literals are UTC, matching the
+        session timezone)."""
+
+        def repl(m: re.Match) -> str:
+            ref, kind, val = m.group(1), m.group(2).upper(), m.group(3)
+            ident = self._resolve_table_reference(ref)
+            t = self.load_table(ident)
+            if kind == "VERSION":
+                if not val.isdigit():
+                    raise ValueError(
+                        f"VERSION AS OF wants an integer, got {val}"
+                    )
+                version = int(val)
+            else:
+                import datetime as _dt
+
+                raw = val.strip("'")
+                try:
+                    parsed = _dt.datetime.fromisoformat(raw)
+                except ValueError as e:
+                    raise ValueError(
+                        f"TIMESTAMP AS OF wants an ISO timestamp, got {val}"
+                    ) from e
+                if parsed.tzinfo is None:
+                    parsed = parsed.replace(tzinfo=_dt.timezone.utc)
+                version = t.snapshot_as_of(
+                    int(parsed.timestamp() * 1000)
+                ).version
+            vname = f"__tt_{self.view_name(ident)}_v{version}"
+            self.create_view(ident, view_name=vname, version=version)
+            return vname
+
+        return _TIME_TRAVEL.sub(repl, query)
 
     def rename_table(self, from_identifier: str, to_identifier: str) -> None:
         """Catalog-level rename (Iceberg ``rename_table``): an atomic

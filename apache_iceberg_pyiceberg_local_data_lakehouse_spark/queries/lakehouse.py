@@ -1502,3 +1502,138 @@ def q6q_snapshot_isolation_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+@register(
+    "q6r_sql_time_travel",
+    # new in r6, registered behind the judged window (r7 rotation
+    # fodder); certifies the SQL time-travel surface: VERSION AS OF and
+    # TIMESTAMP AS OF pin snapshots inside arbitrary SELECT shapes.
+    defer=True,
+    oracle="""
+    SELECT 'v1' AS src, lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents WHERE lang = 'en'
+    GROUP BY lang
+    UNION ALL
+    SELECT 'ts1', lang, COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+    FROM documents WHERE lang = 'en'
+    GROUP BY lang
+    UNION ALL
+    SELECT 'current', lang, COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q6r_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL time travel end-to-end: append the English docs (v1), wait a
+    beat, append the rest (v2), then ONE SQL statement reads the table
+    at VERSION AS OF v1, at TIMESTAMP AS OF v1's commit instant, and at
+    head - all three legs must equal plain SQL over the corresponding
+    source slices. The rewrite registers pinned temp views, so the
+    legs compose inside a single UNION ALL plan."""
+    import datetime as dt
+    import time as _time
+
+    from ..catalog import LakehouseCatalog
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_q6r_")
+    try:
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("tmp")
+        d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+        t = cat.create_table("tmp.docs", d.schema)
+        t.append(d.filter(F.col("lang") == "en"))
+        v1 = t.current_version()
+        ts1 = dt.datetime.fromtimestamp(
+            t.snapshot(v1).timestamp_ms / 1000, tz=dt.timezone.utc
+        ).strftime("%Y-%m-%dT%H:%M:%S.%f")
+        _time.sleep(0.05)  # v2 must commit strictly after ts1
+        t.append(d.filter(F.col("lang") != "en"))
+        out = cat.sql(
+            f"""
+            SELECT 'v1' AS src, lang, COUNT(*) AS n_docs,
+                   SUM(n_chars) AS sum_chars
+            FROM tmp_docs VERSION AS OF {v1} GROUP BY lang
+            UNION ALL
+            SELECT 'ts1', lang, COUNT(*), SUM(n_chars)
+            FROM tmp_docs TIMESTAMP AS OF '{ts1}' GROUP BY lang
+            UNION ALL
+            SELECT 'current', lang, COUNT(*), SUM(n_chars)
+            FROM tmp_docs GROUP BY lang
+            """
+        )
+        rows = out.collect()  # materialize before the warehouse vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+@register(
+    "q6s_changelog_images",
+    # new in r6, registered behind the judged window (r7 rotation
+    # fodder); certifies scan_changelog_with_images: Delta-CDF-style
+    # update_preimage/update_postimage classification over MoR updates,
+    # CoW deletes, and plain appends in one change stream.
+    defer=True,
+    oracle="""
+    SELECT 'update_preimage' AS change_type, lang, COUNT(*) AS n_rows,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents WHERE lang = 'en' GROUP BY lang
+    UNION ALL
+    SELECT 'update_postimage', lang, COUNT(*), CAST(SUM(0) AS BIGINT)
+    FROM documents WHERE lang = 'en' GROUP BY lang
+    UNION ALL
+    SELECT 'delete', lang, COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+    FROM documents WHERE lang = 'fr' GROUP BY lang
+    UNION ALL
+    SELECT 'insert', lang, COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+    FROM documents WHERE lang = 'de' GROUP BY lang
+    """,
+)
+def q6s_changelog_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC with pre/post images: append all documents (the changelog
+    checkpoint), merge-on-read UPDATE zeroing English char counts (one
+    snapshot: tombstones + re-append), copy-on-write DELETE of French,
+    then re-append the German docs with shifted ids. The image-paired
+    changelog from the checkpoint must classify each leg exactly:
+    English old rows as update_preimage, their zeroed twins as
+    update_postimage, French as delete, the new German rows as
+    insert."""
+    from ..catalog import LakehouseCatalog
+    from ..dml import delete_where, update_where
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_q6s_")
+    try:
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("tmp")
+        d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+        t = cat.create_table("tmp.docs", d.schema)
+        t.append(d)
+        v1 = t.current_version()
+        update_where(
+            t,
+            F.col("lang") == "en",
+            {"n_chars": F.lit(0).cast("long")},
+            mode="merge-on-read",
+        )
+        delete_where(t, F.col("lang") == "fr")
+        t.append(
+            d.filter(F.col("lang") == "de").withColumn(
+                "doc_id", F.col("doc_id") + 1_000_000
+            )
+        )
+        out = (
+            t.scan_changelog_with_images(v1, key="doc_id")
+            .groupBy(
+                F.col("_change_type").alias("change_type"), F.col("lang")
+            )
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("n_chars").alias("sum_chars"),
+            )
+        )
+        rows = out.collect()  # materialize before the warehouse vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)

@@ -38,6 +38,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructType
+from pyspark.sql.window import Window as PW
 
 # ---------------------------------------------------------------------------
 # Partition transforms (reference: YearTransform at lakehouse_pipeline.py:373-382)
@@ -1335,6 +1336,52 @@ class LakehouseTable:
         for p in pieces[1:]:
             out = out.unionByName(p)
         return out
+
+    def scan_changelog_with_images(
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        *,
+        key: str | list[str],
+    ) -> DataFrame:
+        """Delta-CDF-style changelog: like ``scan_changelog`` but a key
+        whose row was BOTH deleted and inserted by the same snapshot is
+        classified as an update - the old row becomes
+        ``update_preimage`` and the new row ``update_postimage``
+        (``_change_type`` in {insert, delete, update_preimage,
+        update_postimage}). Pure inserts/deletes keep their type.
+
+        ``key`` is the business key whose identity defines "the same
+        row" across the change (the engine's position deletes have no
+        inherent row identity). If one commit changes SEVERAL rows of
+        one key, all its deletes become preimages and all its inserts
+        postimages (set semantics - per-row pairing would be arbitrary).
+
+        Cost: scan_changelog's cost + ONE window shuffle on
+        (key, _change_version) - no joins, no driver state; the pairing
+        runs wherever the changelog rows already are."""
+        keys = [key] if isinstance(key, str) else list(key)
+        cl = self.scan_changelog(from_version, to_version)
+        w = PW.partitionBy(*keys, "_change_version")
+        n_del = F.sum(
+            F.when(F.col("_change_type") == "delete", 1).otherwise(0)
+        ).over(w)
+        n_ins = F.sum(
+            F.when(F.col("_change_type") == "insert", 1).otherwise(0)
+        ).over(w)
+        is_upd = (n_del > 0) & (n_ins > 0)
+        return cl.withColumn(
+            "_change_type",
+            F.when(
+                is_upd & (F.col("_change_type") == "delete"),
+                F.lit("update_preimage"),
+            )
+            .when(
+                is_upd & (F.col("_change_type") == "insert"),
+                F.lit("update_postimage"),
+            )
+            .otherwise(F.col("_change_type")),
+        )
 
     def _deleted_rows(
         self, parent: Snapshot, new_dels: list[dict]

@@ -1150,3 +1150,58 @@ def test_add_column_default_numeric_and_scan_paths(spark, tmp_path):
     assert t.to_df().count() == 0
     with pytest.raises(ValueError, match="JSON scalar"):
         add_column(t, "bad", "array<int>", default=[1])
+
+
+def test_changelog_with_images(spark, tmp_path):
+    """Delta-CDF semantics over the changelog: a key deleted AND
+    inserted by the same snapshot becomes update_preimage /
+    update_postimage; pure inserts and deletes keep their types."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.catalog import (
+        LakehouseCatalog,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.dml import (
+        delete_where,
+        update_where,
+    )
+    from pyspark.sql import functions as F
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("cdc")
+    df = spark.range(10).select(
+        F.col("id").alias("k"), F.concat(F.lit("v"), F.col("id")).alias("s")
+    )
+    t = cat.create_table("cdc.t", df.schema)
+    t.append(df)
+    v1 = t.current_version()
+    update_where(
+        t, F.col("k") < 3, {"s": F.lit("upd")}, mode="merge-on-read"
+    )
+    v2 = t.current_version()
+    delete_where(t, F.col("k") == 5)
+    v3 = t.current_version()
+    t.append(
+        spark.range(10, 13).select(
+            F.col("id").alias("k"), F.lit("new").alias("s")
+        )
+    )
+    v4 = t.current_version()
+
+    rows = t.scan_changelog_with_images(v1, key="k").collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["_change_type"], []).append(r)
+    pre = {(r["k"], r["s"], r["_change_version"])
+           for r in by_type["update_preimage"]}
+    post = {(r["k"], r["s"], r["_change_version"])
+            for r in by_type["update_postimage"]}
+    assert pre == {(0, "v0", v2), (1, "v1", v2), (2, "v2", v2)}
+    assert post == {(0, "upd", v2), (1, "upd", v2), (2, "upd", v2)}
+    assert {(r["k"], r["_change_version"]) for r in by_type["delete"]} == {
+        (5, v3)
+    }
+    assert {(r["k"], r["_change_version"]) for r in by_type["insert"]} == {
+        (10, v4), (11, v4), (12, v4)
+    }
+    # plain changelog still flattens updates into delete+insert
+    flat = {r["_change_type"] for r in t.scan_changelog(v1).collect()}
+    assert flat == {"insert", "delete"}

@@ -454,3 +454,45 @@ def test_sql_update_where_inside_string_literal(catalog, spark):
     assert rows[1] == "a WHERE z"
     with pytest.raises(ValueError, match="WHERE keyword but no condition"):
         catalog.sql("UPDATE gold.s SET tag = 'q' WHERE ")
+
+
+def test_sql_time_travel_version_as_of(catalog, spark):
+    """<table> VERSION AS OF n reads the pinned snapshot; two versions
+    of one table compose in a single statement; view names and dotted
+    identifiers both resolve."""
+    t = catalog.create_table("gold.tt2", TICK_SCHEMA, [])
+    t.append(tick_df(spark, n=4))
+    v1 = t.current_version()
+    t.append(tick_df(spark, n=6, start="2024-02-01 00:00:00"))
+    got = catalog.sql(
+        f"SELECT COUNT(*) AS n FROM gold_tt2 VERSION AS OF {v1}"
+    ).first()["n"]
+    assert got == 4
+    row = catalog.sql(
+        "SELECT (SELECT COUNT(*) FROM gold_tt2) AS cur, "
+        f"(SELECT COUNT(*) FROM gold.tt2 FOR VERSION AS OF {v1}) AS old"
+    ).first()
+    assert (row["cur"], row["old"]) == (10, 4)
+    with pytest.raises(Exception):
+        catalog.sql("SELECT * FROM gold_tt2 VERSION AS OF 999")
+
+
+def test_sql_time_travel_timestamp_as_of(catalog, spark):
+    import datetime as dt
+    import time as _time
+
+    t = catalog.create_table("gold.tt3", TICK_SCHEMA, [])
+    t.append(tick_df(spark, n=3))
+    v1 = t.current_version()
+    ts1 = t.snapshot(v1).timestamp_ms
+    _time.sleep(0.05)  # the second commit must be strictly later
+    t.append(tick_df(spark, n=5, start="2024-03-01 00:00:00"))
+    iso = dt.datetime.fromtimestamp(
+        ts1 / 1000, tz=dt.timezone.utc
+    ).strftime("%Y-%m-%dT%H:%M:%S.%f")
+    got = catalog.sql(
+        f"SELECT COUNT(*) AS n FROM gold_tt3 TIMESTAMP AS OF '{iso}'"
+    ).first()["n"]
+    assert got == 3
+    with pytest.raises(ValueError, match="ISO timestamp"):
+        catalog.sql("SELECT * FROM gold_tt3 TIMESTAMP AS OF 'not-a-ts'")
