@@ -1637,3 +1637,70 @@ def q6s_changelog_images(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+@register(
+    "q6t_metadata_agg_pushdown",
+    # new in r6, registered behind the judged window (r7 rotation
+    # fodder); certifies metadata_agg: COUNT/MIN/MAX served purely from
+    # manifest footer stats (zero data read) equal plain SQL, and the
+    # exactness fallback (pending MoR tombstones -> refuse) is honored.
+    defer=True,
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM documents) AS n_rows,
+           (SELECT CAST(MIN(doc_id) AS BIGINT) FROM documents) AS min_id,
+           (SELECT CAST(MAX(doc_id) AS BIGINT) FROM documents) AS max_id,
+           (SELECT CAST(MAX(n_chars) AS BIGINT) FROM documents) AS max_chars,
+           TRUE AS metadata_served,
+           TRUE AS refused_when_inexact
+    """,
+)
+def q6t_metadata_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-level aggregate pushdown in the judged gate: append the
+    documents in several files, answer COUNT/MIN/MAX from the manifest
+    alone (metadata_agg - O(files) driver work, no data files read) and
+    require equality with plain SQL. Then commit a merge-on-read
+    position delete and require metadata_agg to REFUSE (tombstoned rows
+    are still in the footer counts) - the exactness contract, pinned as
+    a judged boolean."""
+    from ..catalog import LakehouseCatalog
+    from ..dml import delete_where
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_q6t_")
+    try:
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("tmp")
+        d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+        t = cat.create_table("tmp.docs", d.schema)
+        for i in range(3):
+            t.append(d.filter(F.col("doc_id") % 3 == i).coalesce(1))
+        served = t.metadata_agg(
+            {
+                "n_rows": ("count", "*"),
+                "min_id": ("min", "doc_id"),
+                "max_id": ("max", "doc_id"),
+                "max_chars": ("max", "n_chars"),
+            }
+        )
+        assert served is not None, "metadata could not serve a clean table"
+        row = served.first()
+        delete_where(
+            t, F.col("lang") == "en", mode="merge-on-read", positional=True
+        )
+        refused = t.metadata_agg({"n_rows": ("count", "*")}) is None
+        return spark.createDataFrame(
+            [
+                (
+                    row["n_rows"],
+                    row["min_id"],
+                    row["max_id"],
+                    row["max_chars"],
+                    True,
+                    refused,
+                )
+            ],
+            "n_rows long, min_id long, max_id long, max_chars long, "
+            "metadata_served boolean, refused_when_inexact boolean",
+        )
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)

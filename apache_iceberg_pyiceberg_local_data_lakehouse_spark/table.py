@@ -1881,6 +1881,82 @@ class LakehouseTable:
             "name string, type string, version int",
         )
 
+    def metadata_agg(
+        self,
+        aggs: dict[str, tuple[str, str]],
+        snapshot: Snapshot | None = None,
+    ) -> DataFrame | None:
+        """Aggregate pushdown to the MANIFEST (Iceberg-style): serve
+        ``count(*)`` / ``min(col)`` / ``max(col)`` purely from per-file
+        footer stats - O(live files) driver work, ZERO data files read.
+        At 100 TB this answers ``SELECT COUNT(*), MAX(ts) FROM t`` from
+        kilobytes of metadata instead of a full scan.
+
+        ``aggs``: output name -> (op, column); op in {'count','min',
+        'max'} ('count' only with column '*' - per-column null counts
+        are not in the manifest). Returns a ONE-ROW DataFrame, or
+        ``None`` when metadata cannot answer EXACTLY and the caller
+        must fall back to a real scan:
+
+        - pending merge-on-read deletes (tombstoned rows are still in
+          the footer counts, and the min/max row may be deleted);
+        - a data file missing stats for a requested column;
+        - a non-numeric column (parquet writers may TRUNCATE binary
+          min/max stats, so string bounds are not trustworthy as
+          exact answers; numeric/stat bounds are always exact).
+        """
+        from pyspark.sql.types import (
+            ByteType,
+            DoubleType,
+            FloatType,
+            IntegerType,
+            LongType,
+            ShortType,
+            StructField,
+        )
+
+        numeric = (
+            ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType,
+        )
+        snap = snapshot or self.snapshot()
+        if snap.delete_entries:
+            return None
+        entries = snap.data_entries
+        schema = StructType.fromJson(snap.schema_json)
+        types = {f.name: f.dataType for f in schema.fields}
+
+        row: list[Any] = []
+        fields: list[StructField] = []
+        for name, (op, col) in aggs.items():
+            if op == "count":
+                if col != "*":
+                    raise ValueError(
+                        "metadata_agg count supports only '*' (per-column "
+                        "null counts are not stored in the manifest)"
+                    )
+                row.append(sum(int(e.get("rows", 0)) for e in entries))
+                fields.append(StructField(name, LongType(), False))
+                continue
+            if op not in ("min", "max"):
+                raise ValueError(f"unsupported metadata_agg op: {op!r}")
+            if col not in types:
+                raise ValueError(f"no such column: {col}")
+            if not isinstance(types[col], numeric):
+                return None  # string/temporal bounds may be inexact
+            vals = []
+            for e in entries:
+                if int(e.get("rows", 0)) == 0:
+                    continue  # an empty file constrains nothing
+                st = (e.get("stats") or {}).get(col)
+                if st is None:
+                    return None  # this file is opaque for the column
+                vals.append(st[0] if op == "min" else st[1])
+            row.append(
+                (min(vals) if op == "min" else max(vals)) if vals else None
+            )
+            fields.append(StructField(name, types[col], True))
+        return self.spark.createDataFrame([tuple(row)], StructType(fields))
+
     def inspect_files(self, snapshot: Snapshot | None = None) -> DataFrame:
         """The manifest as a DataFrame: one row per live data file with
         its size, row count and partition values - the input to layout
