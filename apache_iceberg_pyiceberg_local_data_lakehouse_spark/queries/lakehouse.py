@@ -1704,3 +1704,66 @@ def q6t_metadata_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+@register(
+    "q6u_runtime_join_pruning",
+    # new in r6, registered behind the judged window (r7 rotation
+    # fodder); certifies scan_join_pruned: build-side keys prune fact
+    # files at the manifest level before the join (DPP analogue).
+    defer=True,
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    WHERE lang = 'en'
+      AND doc_id < (SELECT CAST(FLOOR(COUNT(*) / 4) AS BIGINT)
+                    FROM documents)
+    GROUP BY lang
+    """,
+)
+def q6u_runtime_join_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime (build-side) file pruning in the judged gate: ingest the
+    documents as four doc_id-range-clustered files, derive a dim frame
+    (English docs in the first quartile), and let scan_join_pruned cut
+    the fact scan to the files that can hold those keys BEFORE the
+    semi-join - asserted: fewer files listed than live. The rollup over
+    the pruned join must equal the plain-SQL semi-join."""
+    from ..catalog import LakehouseCatalog
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_q6u_")
+    try:
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("tmp")
+        d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+        n = d.count()
+        q = n // 4
+        t = cat.create_table("tmp.docs", d.schema)
+        for i in range(4):  # key-clustered files: stats-prunable ranges
+            lo, hi = i * q, (i + 1) * q if i < 3 else n
+            t.append(
+                d.filter(
+                    (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+                ).coalesce(1)
+            )
+        dim = d.filter(
+            (F.col("lang") == "en") & (F.col("doc_id") < q)
+        ).select("doc_id")
+        pruned = t.scan_join_pruned("doc_id", dim)
+        n_live = len(t.snapshot().data_entries)
+        n_read = len(pruned.inputFiles())
+        assert n_read < n_live, (
+            f"join pruning read all {n_live} files - manifest cut failed"
+        )
+        out = (
+            pruned.join(dim, on="doc_id", how="left_semi")
+            .groupBy("lang")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_chars").alias("sum_chars"),
+            )
+        )
+        rows = out.collect()  # materialize before the warehouse vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)

@@ -1159,6 +1159,55 @@ class LakehouseTable:
             df = df.select(*selected_fields)
         return df
 
+    def scan_join_pruned(
+        self,
+        column: str,
+        keys: DataFrame,
+        key_column: str | None = None,
+        max_keys: int = 10_000,
+        selected_fields: list[str] | None = None,
+    ) -> DataFrame:
+        """Runtime file pruning from a join's build side (the manifest-
+        level analogue of Spark's dynamic partition pruning): before a
+        fact ⋈ dim join, aggregate the dim side's join keys ONCE
+        (min/max + exact distinct count) and prune this table's files
+        with them - files that cannot contain any build-side key are
+        never listed, let alone read.
+
+        - distinct keys <= ``max_keys``: collect the values and take the
+          per-value point path (``scan_where_in``: bucket probes,
+          min/max stats, per-file blooms all apply per key);
+        - more: prune by the [min, max] range only (zero driver state
+          beyond two scalars).
+
+        Returns the pruned PROBE-side scan; the caller performs the
+        join, e.g.::
+
+            pruned = fact.scan_join_pruned("order_key", dims)
+            pruned.join(F.broadcast(dims), on="order_key")
+
+        At 100 TB a selective dim filter typically makes the fact scan
+        O(matching files) instead of O(table). The build side is
+        evaluated by two Spark actions (agg, then collect of <=
+        ``max_keys`` values) - pass a deterministic (or checkpointed)
+        frame, same discipline as merge_into."""
+        kc = key_column or column
+        agg = keys.agg(
+            F.min(kc).alias("lo"),
+            F.max(kc).alias("hi"),
+            F.countDistinct(kc).alias("nd"),
+        ).first()
+        if agg["lo"] is None:  # empty (or all-null) build side: no match
+            return self.scan_where_in(column, [], selected_fields)
+        if agg["nd"] <= max_keys:
+            vals = [
+                r[0]
+                for r in keys.select(kc).where(F.col(kc).isNotNull())
+                .distinct().collect()
+            ]
+            return self.scan_where_in(column, vals, selected_fields)
+        return self.scan_where(column, agg["lo"], agg["hi"], selected_fields)
+
     def scan_incremental(
         self,
         from_version: int,

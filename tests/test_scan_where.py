@@ -404,3 +404,45 @@ def test_scan_where_hours_date_only_bounds(catalog, spark):
         (F.col("DateTime") >= F.lit(lo)) & (F.col("DateTime") <= F.lit(hi))
     )
     assert got.count() == want.count()
+
+
+def test_scan_join_pruned_small_build_side(catalog, spark):
+    """DPP-style runtime pruning: a small build side takes the
+    per-value path - only files that can hold one of the keys are
+    listed; the joined result equals the unpruned join."""
+    df = spark.range(400).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t = catalog.create_table("gold.fact", df.schema)
+    for i in range(4):  # key-clustered files: 0-99, 100-199, ...
+        t.append(df.filter((F.col("k") >= i * 100) & (F.col("k") < (i + 1) * 100)).coalesce(1))
+    dim = spark.createDataFrame([(5,), (17,), (42,)], "fk long")
+    pruned = t.scan_join_pruned("k", dim, key_column="fk")
+    assert len(pruned.inputFiles()) == 1  # all three keys live in file 0
+    joined = pruned.join(dim, pruned["k"] == dim["fk"])
+    assert sorted(r["v"] for r in joined.collect()) == [10, 34, 84]
+
+
+def test_scan_join_pruned_range_fallback(catalog, spark):
+    """Above max_keys the build side contributes only [min, max]: files
+    outside the range are still pruned, values inside are exact."""
+    df = spark.range(400).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t = catalog.create_table("gold.fact2", df.schema)
+    for i in range(4):
+        t.append(df.filter((F.col("k") >= i * 100) & (F.col("k") < (i + 1) * 100)).coalesce(1))
+    dim = spark.range(120, 180).select(F.col("id").alias("fk"))
+    pruned = t.scan_join_pruned("k", dim, key_column="fk", max_keys=10)
+    assert len(pruned.inputFiles()) == 1  # range [120, 179] is file 1 only
+    joined = pruned.join(dim, pruned["k"] == dim["fk"])
+    assert joined.count() == 60
+
+
+def test_scan_join_pruned_empty_build_side(catalog, spark):
+    df = spark.range(10).select(F.col("id").alias("k"))
+    t = catalog.create_table("gold.fact3", df.schema)
+    t.append(df)
+    empty = spark.createDataFrame([], "fk long")
+    pruned = t.scan_join_pruned("k", empty, key_column="fk")
+    assert pruned.count() == 0
