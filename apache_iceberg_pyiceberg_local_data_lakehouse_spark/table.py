@@ -483,7 +483,13 @@ class LakehouseTable:
                 .sortWithinPartitions(*[p.column(df) for p in spec], "__z")
                 .drop("__z")
             )
-        elif optimize_write and spec:
+        elif spec and (
+            optimize_write
+            # Iceberg's write.distribution-mode property: the table can
+            # declare hash distribution so EVERY writer gets the
+            # small-files protection without each call site opting in
+            or self.properties().get("write.distribution-mode") == "hash"
+        ):
             df = df.repartition(*[p.column(df) for p in spec])
         new_files = self._write_files(
             df, spec, bloom_cols=tuple(bloom_cols or ())

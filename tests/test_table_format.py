@@ -221,6 +221,13 @@ def test_optimized_write_reduces_files(catalog, spark):
     n2 = len(t2.snapshot().manifest)
     assert n2 < n1
     assert t2.to_df().count() == 400
+    # Iceberg's write.distribution-mode property: the table declares
+    # hash distribution once, every writer inherits it
+    t3 = catalog.create_table("gold.propopt", TICK_SCHEMA, spec)
+    t3.set_properties(**{"write.distribution-mode": "hash"})
+    t3.append(df)  # no per-call flag
+    assert len(t3.snapshot().manifest) == n2
+    assert t3.to_df().count() == 400
 
 
 def test_sorted_compaction_tightens_stats(catalog, spark):
