@@ -249,15 +249,39 @@ def update_where(
 
     if mode == "merge-on-read":
         _require_no_external_files(snap, "merge-on-read UPDATE")
+        # Row lineage (Iceberg v3): a MoR UPDATE preserves row identity.
+        # When every data file's id is known (first_row_id assigned, or
+        # physically materialized by a prior rewrite), the matched rows
+        # are read WITH the lineage columns and re-appended carrying
+        # their old _row_id (physical __row_id) and this commit as
+        # __added_v. Pre-lineage files fall back to fresh ids.
+        carry_lineage = bool(snap.data_entries) and all(
+            "first_row_id" in e or e.get("lineage_cols")
+            for e in snap.data_entries
+        )
+        extra = None
+        if carry_lineage:
+            from pyspark.sql.types import LongType, StructField
+
+            extra = [
+                StructField("__row_id", LongType(), True),
+                StructField("__added_v", LongType(), True),
+            ]
         # the update must see the LOGICAL table: pending tombstones are
         # applied (with positions preserved) so already-deleted rows can
         # never be resurrected as "updated" copies
         live = (
             table._apply_deletes(
-                snap.data_entries, snap.delete_entries, snap, with_pos=True
+                snap.data_entries,
+                snap.delete_entries,
+                snap,
+                with_pos=True,
+                extra_fields=extra,
             )
             if snap.delete_entries
-            else table._read_data(snap.data_entries, snap, with_pos=True)
+            else table._read_data(
+                snap.data_entries, snap, with_pos=True, extra_fields=extra
+            )
         )
         # ONE evaluation of the predicate feeds BOTH writes: the
         # tombstone file and the updated re-append read the same
@@ -274,14 +298,44 @@ def update_where(
         del_entries = table._write_files(pos, [])
         for e in del_entries:
             e["content"] = "pos-del"
-        updated = apply_assignments(
-            matched.drop("__file_rel", "__pos"), only_matched=True
-        )
+        if carry_lineage:
+            # physical ids (files materialized by a prior rewrite) win;
+            # derived files compute first_row_id + position via a
+            # broadcast O(files) mapping. __added_v becomes this commit
+            # (base_version guard: it IS snap.version+1 or the commit
+            # conflicts and nothing is published).
+            derived = [
+                (e["path"], int(e["first_row_id"]))
+                for e in snap.data_entries
+                if not e.get("lineage_cols")
+            ]
+            mapping = table.spark.createDataFrame(
+                derived or [("", 0)], "__file_rel string, __frid long"
+            )
+            upd_src = (
+                matched.join(F.broadcast(mapping), on="__file_rel", how="left")
+                .withColumn(
+                    "__row_id",
+                    F.coalesce(
+                        F.col("__row_id"), F.col("__frid") + F.col("__pos")
+                    ),
+                )
+                .withColumn("__added_v", F.lit(snap.version + 1).cast("long"))
+                .drop("__frid", "__file_rel", "__pos")
+            )
+            updated = apply_assignments(upd_src, only_matched=True)
+        else:
+            updated = apply_assignments(
+                matched.drop("__file_rel", "__pos"), only_matched=True
+            )
         # assignments can violate a CHECK even when the source rows
         # passed it on append - gate the rewritten values (reads the
         # checkpointed matched set, so no plan re-execution)
         table._validate_constraints(updated, snap, op="update")
         new_entries = table._write_files(updated, snap.partition_spec)
+        if carry_lineage:
+            for e in new_entries:
+                e["lineage_cols"] = True
         return table.commit_delta(
             added=new_entries + del_entries,
             removed_paths=set(),

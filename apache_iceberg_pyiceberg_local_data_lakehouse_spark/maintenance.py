@@ -226,10 +226,25 @@ def materialize_deletes(table: LakehouseTable) -> Snapshot | None:
         or e["path"] in pos_targets
     ]
     touched_paths = {e["path"] for e in touched}
-    df = table.scan(
-        snapshot=snap, file_filter=lambda e: e["path"] in touched_paths
-    )
+    # content-preserving for survivors: materialize their row identity
+    # (lineage) through the rewrite, like compaction; pre-lineage files
+    # fall back to a plain rewrite with fresh ids
+    materialize_lineage = True
+    try:
+        df = table.scan_lineage(
+            snapshot=snap, file_filter=lambda e: e["path"] in touched_paths
+        ).withColumnRenamed("_row_id", "__row_id").withColumnRenamed(
+            "_last_updated_version", "__added_v"
+        )
+    except ValueError:
+        materialize_lineage = False
+        df = table.scan(
+            snapshot=snap, file_filter=lambda e: e["path"] in touched_paths
+        )
     new_entries = table._write_files(df, snap.partition_spec) if touched else []
+    if materialize_lineage:
+        for e in new_entries:
+            e["lineage_cols"] = True
     return table.commit_delta(
         added=new_entries,
         removed_paths=touched_paths | {d["path"] for d in deletes},
@@ -288,7 +303,22 @@ def compact(
 
     total = sum(e["bytes"] for e in small)
     n_out = max(1, -(-total // target_file_bytes))
-    df = table.scan(file_filter=lambda e: e["path"] in small_paths)
+    # Row lineage (Iceberg v3): compaction is content-preserving, so the
+    # rewritten rows MATERIALIZE their existing identity (physical
+    # __row_id / __added_v columns) instead of being re-assigned -
+    # downstream consumers tracking _row_id never see compaction.
+    # Pre-lineage files (or tombstones over materialized files) fall
+    # back to a plain rewrite with fresh ids.
+    materialize_lineage = True
+    try:
+        df = table.scan_lineage(
+            file_filter=lambda e: e["path"] in small_paths
+        ).withColumnRenamed("_row_id", "__row_id").withColumnRenamed(
+            "_last_updated_version", "__added_v"
+        )
+    except ValueError:
+        materialize_lineage = False
+        df = table.scan(file_filter=lambda e: e["path"] in small_paths)
     if zorder_by:
         if sort_by:
             raise ValueError("compact: sort_by and zorder_by are exclusive")
@@ -313,6 +343,9 @@ def compact(
         else:
             df = df.repartition(int(n_out))
     new_entries = table._write_files(df, snap.partition_spec)
+    if materialize_lineage:
+        for e in new_entries:
+            e["lineage_cols"] = True
     # base_version: a concurrent append between our manifest read and this
     # commit would otherwise be silently dropped from the rewritten set.
     # Delta commit: manifest files untouched by the rewrite carry over by

@@ -1767,3 +1767,77 @@ def q6u_runtime_join_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+@register(
+    "q6v_row_lineage",
+    # new in r6, registered behind the judged window (r7 rotation
+    # fodder); certifies Iceberg-v3 row lineage: _row_id assignment at
+    # commit, stability across MoR UPDATE + compaction, and
+    # _last_updated_version bump semantics.
+    defer=True,
+    oracle="""
+    WITH ids AS (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rid
+      FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(rid) AS BIGINT) AS sum_row_ids,
+           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_updated
+    FROM ids GROUP BY lang
+    """,
+)
+def q6v_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row lineage end-to-end: append the documents in three doc_id-
+    ordered range chunks (so _row_id == the doc_id rank - SQL-checkable
+    via ROW_NUMBER), merge-on-read UPDATE the English rows (ids must
+    SURVIVE, _last_updated_version must bump to exactly the update
+    commit), then compact (ids must survive the rewrite too). The
+    per-lang rollup of _row_id sums and updated-row counts equals plain
+    SQL over the source iff identity was preserved through every
+    stage."""
+    from ..catalog import LakehouseCatalog
+    from ..dml import update_where
+    from ..maintenance import compact
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_q6v_")
+    try:
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("tmp")
+        d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+        n = d.count()
+        q = n // 3
+        t = cat.create_table("tmp.docs", d.schema)
+        for i in range(3):  # doc_id-ordered chunks: _row_id == rank
+            lo, hi = i * q, (i + 1) * q if i < 2 else n
+            t.append(
+                d.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+                .repartition(1)
+                .sortWithinPartitions("doc_id")
+            )
+        upd = update_where(
+            t,
+            F.col("lang") == "en",
+            {"n_chars": F.lit(0).cast("long")},
+            mode="merge-on-read",
+        )
+        compact(t, target_file_bytes=64 * 1024 * 1024)
+        out = (
+            t.scan_lineage()
+            .groupBy("lang")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("_row_id").alias("sum_row_ids"),
+                F.sum(
+                    (F.col("_last_updated_version") == upd.version).cast(
+                        "long"
+                    )
+                ).alias("n_updated"),
+            )
+        )
+        rows = out.collect()  # materialize before the warehouse vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)

@@ -611,6 +611,37 @@ class LakehouseTable:
             extra_summary={"adopted_files": len(entries)},
         )
 
+    @staticmethod
+    def _lineage_next(cur: Snapshot) -> int:
+        """The table-lifetime row-id counter (Iceberg v3 next-row-id):
+        read from the parent's summary; legacy snapshots derive it from
+        the entries that already carry ids. Ids are never reused - the
+        counter only grows, even across deletes."""
+        n = cur.summary.get("next_row_id")
+        if n is not None:
+            return int(n)
+        m = 0
+        for e in cur.manifest:
+            if "first_row_id" in e:
+                m = max(m, int(e["first_row_id"]) + int(e.get("rows", 0)))
+        return m
+
+    @classmethod
+    def _stamp_row_ids(cls, cur: Snapshot, entries: list[dict]) -> int:
+        """Assign ``first_row_id`` to freshly-added data entries (row N
+        of the file has id first_row_id + N) and return the table's new
+        next-row-id. Entries that already carry an id (a caller
+        re-attaching carried files) keep it; tombstone files hold no
+        rows and get none."""
+        nxt = cls._lineage_next(cur)
+        for e in entries:
+            if e.get("content", "data") != "data":
+                continue
+            if "first_row_id" not in e:
+                e["first_row_id"] = nxt
+            nxt = max(nxt, int(e["first_row_id"]) + int(e.get("rows", 0)))
+        return nxt
+
     def _commit_append(
         self,
         new_files: list[dict],
@@ -635,7 +666,13 @@ class LakehouseTable:
                 stamped_seq = cur.version + 1
                 for e in new_files:
                     e["seq"] = stamped_seq
+                    # a rebase re-stamps ids too: the parent's row-id
+                    # counter moved with the conflicting commit
+                    e.pop("first_row_id", None)
+                next_row_id = self._stamp_row_ids(cur, new_files)
                 new_mf = self._write_manifest_file(new_files)
+            elif not new_files:
+                next_row_id = self._lineage_next(cur)
             mfs = self._parent_manifest_files(cur) + ([new_mf] if new_mf else [])
             manifest = cur.manifest + new_files
             if len(mfs) >= self._MANIFEST_MERGE_THRESHOLD:
@@ -653,6 +690,7 @@ class LakehouseTable:
                 summary={
                     "added_files": len(new_files),
                     "added_rows": sum(f["rows"] for f in new_files),
+                    "next_row_id": next_row_id,
                     **(extra_summary or {}),
                 },
             )
@@ -696,6 +734,7 @@ class LakehouseTable:
             )
         for e in manifest:
             e.setdefault("seq", cur.version + 1)
+        next_row_id = self._stamp_row_ids(cur, manifest)
         snap = Snapshot(
             snapshot_id=uuid.uuid4().hex,
             version=cur.version + 1,
@@ -706,7 +745,7 @@ class LakehouseTable:
             partition_spec=cur.partition_spec,
             manifest=manifest,
             manifest_files=[self._write_manifest_file(manifest)] if manifest else [],
-            summary=summary or {},
+            summary={"next_row_id": next_row_id, **(summary or {})},
         )
         self._commit(snap)
         return snap
@@ -735,6 +774,7 @@ class LakehouseTable:
             )
         for e in added:
             e.setdefault("seq", cur.version + 1)
+        next_row_id = self._stamp_row_ids(cur, added)
         mfs: list[str] = []
         manifest: list[dict] = []
         for rel in self._parent_manifest_files(cur):
@@ -762,7 +802,7 @@ class LakehouseTable:
             partition_spec=cur.partition_spec,
             manifest=manifest,
             manifest_files=mfs,
-            summary=summary or {},
+            summary={"next_row_id": next_row_id, **(summary or {})},
         )
         self._commit(snap)
         return snap
@@ -839,12 +879,19 @@ class LakehouseTable:
         ]
 
     def _read_data(
-        self, entries: list[dict], snap: Snapshot, with_pos: bool = False
+        self,
+        entries: list[dict],
+        snap: Snapshot,
+        with_pos: bool = False,
+        extra_fields: list | None = None,
     ) -> DataFrame:
         """Read a list of data-file manifest entries with the snapshot's
         schema (rename lineage resolved, missing columns as null, and
         initial defaults applied to files predating their column).
-        ``with_pos`` appends the (__file_rel, __pos) identity columns."""
+        ``with_pos`` appends the (__file_rel, __pos) identity columns.
+        ``extra_fields`` (StructFields) additionally reads physical
+        columns OUTSIDE the logical schema (row-lineage materialization)
+        - they ride through rename/default handling untouched."""
         defaults = [
             (
                 f["name"],
@@ -872,7 +919,9 @@ class LakehouseTable:
             if len(groups) > 1 or next(iter(groups)) != ():
                 parts = []
                 for key, grp in groups.items():
-                    df_g = self._read_data_plain(grp, snap, with_pos)
+                    df_g = self._read_data_plain(
+                        grp, snap, with_pos, extra_fields
+                    )
                     for name, value, _seq, typ in defaults:
                         if name in key:
                             df_g = df_g.withColumn(
@@ -886,10 +935,14 @@ class LakehouseTable:
                 for part in parts[1:]:
                     out = out.unionByName(part)
                 return out
-        return self._read_data_plain(entries, snap, with_pos)
+        return self._read_data_plain(entries, snap, with_pos, extra_fields)
 
     def _read_data_plain(
-        self, entries: list[dict], snap: Snapshot, with_pos: bool = False
+        self,
+        entries: list[dict],
+        snap: Snapshot,
+        with_pos: bool = False,
+        extra_fields: list | None = None,
     ) -> DataFrame:
         schema = StructType.fromJson(snap.schema_json)
         # rename lineage: parquet columns match by NAME here (no field
@@ -900,8 +953,11 @@ class LakehouseTable:
             for f in snap.schema_json["fields"]
             if (f.get("metadata") or {}).get("renamed_from")
         }
+        extras = list(extra_fields or [])
         if not entries:
-            df = self.spark.createDataFrame([], schema)
+            df = self.spark.createDataFrame(
+                [], StructType(list(schema.fields) + extras)
+            )
             if with_pos:
                 df = df.select(
                     "*",
@@ -919,6 +975,7 @@ class LakehouseTable:
                             old, by_name[cur_name].dataType, True
                         )
                     )
+            read_fields += extras
             paths = [os.path.join(self.location, e["path"]) for e in entries]
             df = self.spark.read.schema(StructType(read_fields)).parquet(*paths)
             if with_pos:
@@ -927,13 +984,15 @@ class LakehouseTable:
                 df = df.select("*", *self._pos_cols())
             for cur_name, olds in renames.items():
                 df = df.withColumn(cur_name, F.coalesce(cur_name, *olds))
-            keep = [f.name for f in schema.fields]
+            keep = [f.name for f in schema.fields] + [f.name for f in extras]
             if with_pos:
                 keep += ["__file_rel", "__pos"]
             df = df.select(*keep)
         else:
             paths = [os.path.join(self.location, e["path"]) for e in entries]
-            df = self.spark.read.schema(schema).parquet(*paths)
+            df = self.spark.read.schema(
+                StructType(list(schema.fields) + extras)
+            ).parquet(*paths)
             if with_pos:
                 df = df.select("*", *self._pos_cols())
         return df
@@ -944,6 +1003,7 @@ class LakehouseTable:
         deletes: list[dict],
         snap: Snapshot,
         with_pos: bool = False,
+        extra_fields: list | None = None,
     ) -> DataFrame:
         """Merge-on-read: subtract delete tombstones at scan.
 
@@ -1009,17 +1069,26 @@ class LakehouseTable:
             claimed = [e for e in grp if e["path"] in pos_targets]
             clean = [e for e in grp if e["path"] not in pos_targets]
             if pos_keys is not None and claimed:
-                df = self._read_data(claimed, snap, with_pos=True).join(
+                df = self._read_data(
+                    claimed, snap, with_pos=True, extra_fields=extra_fields
+                ).join(
                     pos_keys, on=["__file_rel", "__pos"], how="left_anti"
                 )
                 if not with_pos:
                     df = df.drop("__file_rel", "__pos")
                 if clean:
                     df = df.unionByName(
-                        self._read_data(clean, snap, with_pos=with_pos)
+                        self._read_data(
+                            clean,
+                            snap,
+                            with_pos=with_pos,
+                            extra_fields=extra_fields,
+                        )
                     )
             else:
-                df = self._read_data(grp, snap, with_pos=with_pos)
+                df = self._read_data(
+                    grp, snap, with_pos=with_pos, extra_fields=extra_fields
+                )
             applicable = [d for d in eq_dels if int(d.get("seq", 0)) in seqs[i:]]
             # one anti-join per distinct equality-column set
             by_cols: dict[tuple, list[dict]] = {}
@@ -1213,6 +1282,109 @@ class LakehouseTable:
             ]
             return self.scan_where_in(column, vals, selected_fields)
         return self.scan_where(column, agg["lo"], agg["hi"], selected_fields)
+
+    def scan_lineage(
+        self,
+        snapshot: Snapshot | None = None,
+        file_filter=None,
+    ) -> DataFrame:
+        """Row lineage (Iceberg v3): the logical rows plus
+
+        - ``_row_id``: a stable table-lifetime identity (long). Row N of
+          a data file has ``entry.first_row_id + N``; files rewritten by
+          compaction or merge-on-read UPDATE carry MATERIALIZED ids (a
+          physical ``__row_id`` column), so the identity survives
+          rewrites that preserve the row.
+        - ``_last_updated_version``: the snapshot that last wrote the
+          row (the entry's commit sequence, or the materialized
+          ``__added_v``).
+
+        Stability contract: ids survive appends, merge-on-read DELETE
+        (survivors keep their file position), merge-on-read UPDATE
+        (ids are materialized into the re-appended rows), compaction /
+        z-order rewrites (materialized), carried-by-reference files
+        under partial rewrites, and snapshot expiry. Copy-on-write
+        DML assigns FRESH ids to the rows of files it rewrites - use
+        merge-on-read mode when downstream consumers track row identity.
+
+        Pending merge-on-read tombstones are applied (survivors keep
+        their ids). Raises only for files committed by a pre-lineage
+        writer (no ``first_row_id``) - rewrite them via compaction to
+        assign ids."""
+        from pyspark.sql.types import LongType, StructField
+
+        snap = snapshot or self.snapshot()
+        entries = snap.data_entries
+        if file_filter is not None:
+            entries = [e for e in entries if file_filter(e)]
+        pre = [
+            e
+            for e in entries
+            if "first_row_id" not in e and not e.get("lineage_cols")
+        ]
+        if pre:
+            raise ValueError(
+                f"{len(pre)} data file(s) were committed before row "
+                "lineage existed and carry no first_row_id; rewrite them "
+                "(maintenance.compact) to materialize ids"
+            )
+        phys = [e for e in entries if e.get("lineage_cols")]
+        derived = [e for e in entries if not e.get("lineage_cols")]
+        deletes = snap.delete_entries
+        schema_cols = [f["name"] for f in snap.schema_json["fields"]]
+        parts: list[DataFrame] = []
+        if derived:
+            df = (
+                self._apply_deletes(derived, deletes, snap, with_pos=True)
+                if deletes
+                else self._read_data(derived, snap, with_pos=True)
+            )
+            mapping = self.spark.createDataFrame(
+                [
+                    (e["path"], int(e["first_row_id"]), int(e.get("seq", 0)))
+                    for e in derived
+                ],
+                "__file_rel string, __frid long, __seq long",
+            )
+            df = df.join(F.broadcast(mapping), on="__file_rel")
+            parts.append(
+                df.select(
+                    *schema_cols,
+                    (F.col("__frid") + F.col("__pos")).alias("_row_id"),
+                    F.col("__seq").alias("_last_updated_version"),
+                )
+            )
+        if phys:
+            extra = [
+                StructField("__row_id", LongType(), True),
+                StructField("__added_v", LongType(), True),
+            ]
+            df = (
+                self._apply_deletes(
+                    phys, deletes, snap, extra_fields=extra
+                )
+                if deletes
+                else self._read_data(phys, snap, extra_fields=extra)
+            )
+            parts.append(
+                df.select(
+                    *schema_cols,
+                    F.col("__row_id").alias("_row_id"),
+                    F.col("__added_v").alias("_last_updated_version"),
+                )
+            )
+        if not parts:
+            schema = StructType.fromJson(snap.schema_json)
+            empty = self.spark.createDataFrame([], schema)
+            return empty.select(
+                "*",
+                F.lit(None).cast("long").alias("_row_id"),
+                F.lit(None).cast("long").alias("_last_updated_version"),
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def scan_incremental(
         self,
