@@ -1413,3 +1413,62 @@ def q5o_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("chars_kept"),
         F.countDistinct("seq_id").alias("n_seqs"),
     )
+
+
+@register(
+    "q72_bm25_topk",
+    # new in r6, registered behind the judged window (r7 rotation
+    # fodder); certifies operators/retrieval.py BM25: quantized
+    # per-term contributions, exact integer rollup, deterministic rank.
+    defer=True,
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+    ), qterms AS (
+      SELECT tok FROM toks GROUP BY tok ORDER BY COUNT(*) DESC, tok LIMIT 3
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM sizes
+    ), tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf
+      FROM toks JOIN qterms USING (tok) GROUP BY doc_id, tok
+    ), dfq AS (
+      SELECT tok, COUNT(DISTINCT doc_id) AS df
+      FROM toks JOIN qterms USING (tok) GROUP BY tok
+    ), per AS (
+      SELECT t.doc_id,
+             CAST(FLOOR(
+               ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+               * ((t.tf * (1.2 + 1.0))
+                  / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * z.dl / s.avgdl)))
+               * 1000000 + 0.5) AS BIGINT) AS sq
+      FROM tf t JOIN dfq d USING (tok)
+      JOIN sizes z ON z.doc_id = t.doc_id
+      CROSS JOIN stats s
+    ), scored AS (
+      SELECT doc_id, CAST(SUM(sq) AS BIGINT) AS score_q
+      FROM per GROUP BY doc_id
+    )
+    SELECT doc_id, score_q, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def q72_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (k1=1.2, b=0.75) against a reproducible
+    query (the corpus's 3 most frequent tokens): top-10 documents by
+    quantized score. Per-(doc, term) contributions quantize to scaled
+    BIGINTs BEFORE the per-document sum (exact integer rollup
+    cross-engine); ranking happens after quantization with a doc_id
+    tiebreak, so sub-ulp ln() differences can never flip the list."""
+    from ..operators.retrieval import bm25_scores, rank_by, top_terms
+
+    d = load(spark, sf_dir, "documents")
+    terms = top_terms(d, 3)
+    # k=10: TakeOrderedAndProject keeps the rank distributed
+    ranked = rank_by(bm25_scores(d, terms), "score_q", k=10)
+    return ranked.select("doc_id", "score_q", "rank")

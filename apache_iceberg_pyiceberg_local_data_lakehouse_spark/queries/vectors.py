@@ -562,3 +562,105 @@ def q5p_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_vectors long, dims int, roundtrip_ok boolean, "
         "top1_agreement_ok boolean",
     )
+
+
+@register(
+    "q73_hybrid_rrf_fusion",
+    # new in r6, registered behind the judged window (r7 rotation
+    # fodder); certifies retrieval.rrf_fuse: lexical BM25 and vector
+    # cosine ranked lists fused by quantized reciprocal rank.
+    defer=True,
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+    ), qterms AS (
+      SELECT tok FROM toks GROUP BY tok ORDER BY COUNT(*) DESC, tok LIMIT 3
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM sizes
+    ), tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf
+      FROM toks JOIN qterms USING (tok) GROUP BY doc_id, tok
+    ), dfq AS (
+      SELECT tok, COUNT(DISTINCT doc_id) AS df
+      FROM toks JOIN qterms USING (tok) GROUP BY tok
+    ), per AS (
+      SELECT t.doc_id,
+             CAST(FLOOR(
+               ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+               * ((t.tf * (1.2 + 1.0))
+                  / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * z.dl / s.avgdl)))
+               * 1000000 + 0.5) AS BIGINT) AS sq
+      FROM tf t JOIN dfq d USING (tok)
+      JOIN sizes z ON z.doc_id = t.doc_id
+      CROSS JOIN stats s
+    ), lex AS (
+      SELECT doc_id, ROW_NUMBER() OVER (
+        ORDER BY CAST(SUM(sq) AS BIGINT) DESC, doc_id) AS rank
+      FROM per GROUP BY doc_id
+    ), vec AS (
+      SELECT c.vec_id AS doc_id,
+             ROUND({_COS_SQL.format(a='q.embedding', b='c.embedding')}, 9)
+               AS sim
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> 0
+      WHERE q.vec_id = 0
+    ), vrank AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS rank
+      FROM vec
+    ), contrib AS (
+      SELECT doc_id,
+             CAST(FLOOR(1000000000.0 / (60.0 + rank) + 0.5) AS BIGINT) AS c
+      FROM lex WHERE rank <= 20
+      UNION ALL
+      SELECT doc_id,
+             CAST(FLOOR(1000000000.0 / (60.0 + rank) + 0.5) AS BIGINT) AS c
+      FROM vrank WHERE rank <= 20
+    ), fused AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS rrf_q
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, rrf_q, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY rrf_q DESC, doc_id) AS rank
+      FROM fused
+    ) WHERE rank <= 10
+    """,
+)
+def q73_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: fuse the BM25 top-20 (lexical, corpus top-3
+    terms as the query) with the cosine top-20 around query vector 0
+    (vector) by reciprocal-rank fusion (k=60). Contributions quantize
+    to scaled BIGINTs per list, the fusion sum is exact integer math,
+    and every ranking orders on quantized values with id tiebreaks -
+    the full lexical+semantic retrieval stack, bit-stable
+    cross-engine."""
+    from ..operators.retrieval import (
+        bm25_scores,
+        rank_by,
+        rrf_fuse,
+        top_terms,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    lex = rank_by(bm25_scores(d, top_terms(d, 3)), "score_q", k=20)
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    sims = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("qv"), F.col("embedding")), 9).alias("sim"),
+        )
+    )
+    vrank = rank_by(sims, "sim", k=20).select("doc_id", "rank")
+    fused = rrf_fuse([lex.select("doc_id", "rank"), vrank], k=60)
+    ranked = rank_by(fused, "rrf_q", k=10)
+    return ranked.select("doc_id", "rrf_q", "rank")
