@@ -85,6 +85,7 @@ def expire_snapshots(
     retain_last: int | None = None,
     delete_orphan_files: bool = True,
     orphan_grace_secs: float = 86400.0,
+    max_ref_age_ms: int | None = None,
 ) -> dict:
     """Expire old snapshot metadata and GC unreferenced data files.
 
@@ -119,6 +120,23 @@ def expire_snapshots(
             )
         )
         older_than_ms = int(time.time() * 1000) - age_ms
+    if max_ref_age_ms is None:
+        raw = props.get("history.expire.max-ref-age-ms")
+        max_ref_age_ms = int(raw) if raw is not None else None
+
+    # Ref aging (Iceberg's max-ref-age-ms): tags/branches past the age
+    # release their pin BEFORE protection is computed, so a forgotten
+    # audit tag cannot hold 100 TB of superseded files forever. Refs
+    # without a creation stamp (legacy) never age out - pinning must
+    # fail safe.
+    expired_refs = 0
+    if max_ref_age_ms is not None:
+        cutoff = int(time.time() * 1000) - max_ref_age_ms
+        for name, meta in list(table._load_refs().items()):
+            created = meta.get("created_ms")
+            if created is not None and created < cutoff:
+                table._drop_ref(name, meta["type"])
+                expired_refs += 1
 
     snaps = table.snapshots()
     # newest `retain_last` are protected unconditionally; the current
@@ -189,6 +207,7 @@ def expire_snapshots(
         "deleted_files": deleted_files,
         "deleted_manifests": deleted_manifests,
         "retained_snapshots": len(snaps) - len(expired),
+        "expired_refs": expired_refs,
     }
 
 

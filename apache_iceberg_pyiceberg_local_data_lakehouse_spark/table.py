@@ -1887,7 +1887,12 @@ class LakehouseTable:
         out: dict[str, dict[str, Any]] = {}
         for k, v in raw.items():
             if isinstance(v, dict):
-                out[k] = {"type": v.get("type", "tag"), "version": int(v["version"])}
+                out[k] = {
+                    "type": v.get("type", "tag"),
+                    "version": int(v["version"]),
+                }
+                if "created_ms" in v:  # ref aging measures from creation
+                    out[k]["created_ms"] = int(v["created_ms"])
             else:
                 out[k] = {"type": "tag", "version": int(v)}
         return out
@@ -1916,7 +1921,13 @@ class LakehouseTable:
                 f"ref {name!r} already exists "
                 f"({refs[name]['type']} at v{refs[name]['version']})"
             )
-        refs[name] = {"type": kind, "version": v}
+        refs[name] = {
+            "type": kind,
+            "version": v,
+            # ref aging (history.expire.max-ref-age-ms) measures from
+            # creation; legacy refs without the stamp never age out
+            "created_ms": int(time.time() * 1000),
+        }
         self._write_refs(refs)
         return v
 

@@ -166,3 +166,40 @@ def test_randomized_maintenance_interleaving_keeps_invariants(
             assert got == sorted(pinned_rows), (
                 f"step {step} ({op}): tag {name} lost rows"
             )
+
+
+def test_ref_aging_releases_pin(spark, tmp_path):
+    """history.expire.max-ref-age-ms: an aged tag releases its pin and
+    the next expiry collects the snapshot it protected; younger (and
+    unstamped legacy) refs keep pinning."""
+    t = _table(spark, tmp_path, "e")
+    t.append(_batch(spark, 0, 10).coalesce(1))
+    v_pin = t.current_version()
+    t.create_tag("old_audit", v_pin)
+    t.create_tag("legacy", v_pin)
+    t.append(_batch(spark, 10, 20).coalesce(1))
+    # backdate one ref; strip the stamp from the other (legacy format)
+    refs = t._load_refs()
+    refs["old_audit"]["created_ms"] = int(time.time() * 1000) - 10_000_000
+    refs["legacy"].pop("created_ms", None)
+    t._write_refs(refs)
+
+    res = expire_snapshots(
+        t,
+        older_than_ms=FUTURE_MS(),
+        retain_last=1,
+        orphan_grace_secs=0,
+        max_ref_age_ms=3_600_000,
+    )
+    assert res["expired_refs"] == 1
+    assert "old_audit" not in t.refs()
+    # legacy ref (no stamp) fails safe: still pinning
+    assert t.refs().get("legacy") == v_pin
+    assert v_pin in {s.version for s in t.snapshots()}
+    # drop the legacy pin too: now the snapshot goes
+    t.drop_tag("legacy")
+    expire_snapshots(
+        t, older_than_ms=FUTURE_MS(), retain_last=1, orphan_grace_secs=0
+    )
+    assert v_pin not in {s.version for s in t.snapshots()}
+    assert t.to_df().count() == 20
