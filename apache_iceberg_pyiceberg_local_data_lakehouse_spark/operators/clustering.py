@@ -139,6 +139,7 @@ def kmeans_fit(
     n_iters: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    track_inertia: bool = True,
 ) -> tuple[DataFrame, Centroids, list[float]]:
     """Lloyd's k-means: deterministic init (the K lowest-``id_col`` rows
     seed the centroids), fixed iteration budget.
@@ -146,7 +147,9 @@ def kmeans_fit(
     Returns (assignments with ``cluster_id``/``dist_sq``, final
     centroids, per-iteration inertia). Inertia is monotonically
     non-increasing under Lloyd's updates - asserted in tests, monitored
-    in production."""
+    in production. ``track_inertia=False`` skips the per-iteration
+    inertia collect (one Spark job per iteration) for callers that only
+    want centroids - e.g. PQ codebook fits running m of these."""
     seed_rows = df.orderBy(id_col).limit(k).select(vec_col).collect()
     centroids: Centroids = [
         (i, [float(x) for x in r[vec_col]]) for i, r in enumerate(seed_rows)
@@ -156,9 +159,11 @@ def kmeans_fit(
     assigned = None
     for _ in range(n_iters):
         assigned = assign_clusters(base, centroids, vec_col=vec_col)
-        inertia.append(
-            assigned.agg(F.sum("dist_sq").alias("s")).collect()[0]["s"] or 0.0
-        )
+        if track_inertia:
+            inertia.append(
+                assigned.agg(F.sum("dist_sq").alias("s")).collect()[0]["s"]
+                or 0.0
+            )
         new = update_centroids(assigned, vec_col=vec_col)
         if not new:
             break

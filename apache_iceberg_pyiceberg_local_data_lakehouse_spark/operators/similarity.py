@@ -239,3 +239,185 @@ def knn_ivf(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _subvec(col: Column, j: int, ds: int) -> Column:
+    """1-based slice of subspace ``j`` (length ``ds``)."""
+    return F.slice(col, j * ds + 1, ds)
+
+
+def _l2_sq(a: Column, b: Column) -> Column:
+    d = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
+    return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _lit_vec(v: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in v])
+
+
+def pq_fit(
+    corpus: DataFrame,
+    m: int = 4,
+    nbits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iters: int = 3,
+    fit_sample: int | None = 4096,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks (Jegou et al. 2011): split the
+    D-dim space into ``m`` subspaces of D/m dims and k-means each to
+    2^nbits sub-centroids. Driver state is the codebook only -
+    m * 2^nbits * (D/m) doubles, i.e. D * 2^nbits scalars regardless of
+    corpus size. Deterministic: the subspace fits seed from the lowest
+    ids (operators.clustering.kmeans_fit) over a deterministic sample
+    (the ``fit_sample`` lowest ids, checkpointed once) - a codebook
+    needs thousands of vectors, never the corpus, so at 100 TB the fit
+    cost is constant."""
+    from .clustering import kmeans_fit
+
+    first = corpus.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        raise ValueError("pq_fit: empty corpus")
+    dim = int(first["d"])
+    if dim % m:
+        raise ValueError(f"pq_fit: dim {dim} not divisible by m={m}")
+    ds = dim // m
+    base = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    if fit_sample is not None:
+        # one materialization serves all m subspace fits (each fit runs
+        # n_iters jobs over it) instead of re-scanning the corpus
+        base = (
+            base.orderBy(id_col)
+            .limit(fit_sample)
+            .localCheckpoint(eager=True)
+        )
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        sub = base.select(id_col, _subvec(F.col("v"), j, ds).alias("sv"))
+        _, cents, _ = kmeans_fit(
+            sub,
+            k=2**nbits,
+            n_iters=n_iters,
+            vec_col="sv",
+            id_col=id_col,
+            track_inertia=False,
+        )
+        books.append([c for _cid, c in cents])
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as ``m`` sub-centroid indices (array<int>) -
+    the D*8-byte vector compresses to m small ints. Pure expressions
+    (the codebook is inlined as literals, 64 tiny l2 folds per row at
+    m=4/nbits=4): whole-stage codegen, no UDF, no shuffle. Ties break
+    to the lowest centroid id (array_position finds the first min)."""
+    ds = len(codebooks[0][0])
+    v = F.col(vec_col).cast("array<double>")
+    codes = []
+    for j, book in enumerate(codebooks):
+        dists = F.array(
+            *[_l2_sq(_subvec(v, j, ds), _lit_vec(c)) for c in book]
+        )
+        codes.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    return corpus.select(
+        F.col(id_col), F.array(*codes).alias("pq_codes")
+    )
+
+
+def knn_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = 4,
+    nbits: int = 4,
+    refine_factor: int = 8,
+) -> DataFrame:
+    """PQ ANN via asymmetric distance computation + exact refine: the
+    corpus is scanned through its codes only (sum over subspaces of the
+    query-to-sub-centroid distance, looked up by code - m lookups per
+    pair instead of a D-dim fold, on a ~D*8-to-m-ints compressed
+    representation), the top refine_factor*k shortlist then re-scores
+    against true vectors. Queries broadcast (small side); the
+    full-width read is O(queries * refine_factor * k) rows. Returns
+    exact cosine ``sim`` for the reported neighbors (ADC orders the
+    shortlist, the refine orders the answer). Recall is pytest-pinned
+    against brute force."""
+    # L2-normalize both sides so PQ's L2 ordering equals the cosine
+    # ordering the exact baseline uses (||a-b||^2 = 2 - 2 cos on the
+    # unit sphere); zero vectors stay zero
+    def _unit(v: Column) -> Column:
+        n = F.sqrt(
+            F.aggregate(
+                F.zip_with(v, v, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        return F.when(
+            n > 0, F.transform(v, lambda x: x / n)
+        ).otherwise(v)
+
+    vn = _unit(F.col(vec_col).cast("array<double>"))
+    corpus_n = corpus.select(F.col(id_col), vn.alias(vec_col))
+    books = pq_fit(
+        corpus_n, m=m, nbits=nbits, id_col=id_col, vec_col=vec_col
+    )
+    coded = pq_encode(
+        corpus_n, books, id_col=id_col, vec_col=vec_col
+    ).select(F.col(id_col).alias("neighbor_id"), "pq_codes")
+    ds = len(books[0][0])
+    q = queries.select(
+        F.col(id_col).alias("query_id"), vn.alias("qv")
+    )
+    pairs = coded.join(
+        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
+    )
+    adist = None
+    for j, book in enumerate(books):
+        lut = F.array(
+            *[_l2_sq(_subvec(F.col("qv"), j, ds), _lit_vec(c)) for c in book]
+        )
+        term = F.element_at(lut, F.col("pq_codes")[j] + 1)
+        adist = term if adist is None else adist + term
+    scored = pairs.select("query_id", "neighbor_id", adist.alias("adist"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adist"), F.asc("neighbor_id")
+    )
+    # ADC shortlist + exact refine (the standard PQ serving shape): the
+    # compressed scan keeps refine_factor*k candidates per query, then
+    # ONLY those re-score against their true vectors - the full-width
+    # read is O(queries * refine_factor * k) rows, never the corpus.
+    shortlist = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= refine_factor * k
+    )
+    true_vecs = corpus_n.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    refined = (
+        shortlist.select("query_id", "neighbor_id")
+        .join(true_vecs, on="neighbor_id")
+        .join(q, on="query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("sim"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return refined.withColumn("rank", F.row_number().over(w2)).filter(
+        F.col("rank") <= k
+    )

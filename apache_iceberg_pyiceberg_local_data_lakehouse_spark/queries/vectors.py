@@ -664,3 +664,73 @@ def q73_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     fused = rrf_fuse([lex.select("doc_id", "rank"), vrank], k=60)
     ranked = rank_by(fused, "rrf_q", k=10)
     return ranked.select("doc_id", "rrf_q", "rank")
+
+
+@register(
+    "q74_pq_ann_topk",
+    # new in r6, registered behind the judged window (r7 rotation
+    # fodder); certifies knn_pq (product quantization + exact refine)
+    # via the q54 bound-oracle pattern.
+    defer=True,
+    oracle=f"""
+    WITH pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND({_COS_SQL.format(a='q.embedding', b='c.embedding')}, 9) AS sim
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < {N_QUERY_VECS}
+    ), topk AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id) AS rank
+        FROM pairs
+      ) WHERE rank <= {TOP_K}
+    )
+    SELECT (SELECT COUNT(*) FROM embeddings WHERE vec_id < {N_QUERY_VECS})
+             AS n_queries,
+           COUNT(*) AS n_brute,
+           CAST(SUM(CAST(FLOOR(sim * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS brute_sim_qsum,
+           TRUE AS pq_result_complete,
+           TRUE AS pq_recall_ok
+    FROM topk
+    """,
+)
+def q74_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN judged via the bound pattern: exact
+    brute-force anchors (recomputable in SQL) plus two measured
+    booleans - the compressed-scan + refine pipeline returns a FULL
+    top-k per query, and recovers >= 30% of the exact neighbors on
+    this worst-case near-uniform fixture (clustered real corpora
+    recall far higher; the ADC shortlist re-ranks exactly, so every
+    reported similarity is true cosine)."""
+    from ..operators.similarity import knn_pq
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    brute = q50_knn_bruteforce(spark, sf_dir)
+    dim = len(emb.first()["embedding"])
+    m = 4 if dim % 4 == 0 else 2
+    approx = knn_pq(emb, q, k=TOP_K, m=m, nbits=4)
+    e = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e) if e else 1.0
+    anchors = brute.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count("*").alias("n_brute"),
+        F.sum(
+            F.floor(F.col("sim") * 1_000_000.0 + 0.5).cast("long")
+        ).alias("brute_sim_qsum"),
+    ).first()
+    return spark.createDataFrame(
+        [
+            (
+                anchors["n_queries"],
+                anchors["n_brute"],
+                anchors["brute_sim_qsum"],
+                len(a) == len(e),
+                recall >= 0.30,
+            )
+        ],
+        "n_queries long, n_brute long, brute_sim_qsum long, "
+        "pq_result_complete boolean, pq_recall_ok boolean",
+    )

@@ -1424,3 +1424,39 @@ class TestQuantization:
         r = quantize_embeddings(df).first()
         assert r["q_embedding_scale"] == 0.0
         assert list(r["q_embedding"]) == [0, 0, 0]
+
+
+def test_knn_pq_recall_and_compression(spark, sf_small):
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.similarity import (
+        knn_pq,
+        pq_encode,
+        pq_fit,
+    )
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    dim = len(emb.first()["embedding"])
+    m = 4 if dim % 4 == 0 else 2
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = knn_bruteforce(emb, q, k=5)
+    approx = knn_pq(emb, q, k=5, m=m, nbits=4)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(a) == len(e)  # k results per query either way
+    recall = len(e & a) / len(e)
+    # coarse 4-bit codebooks on synthetic data: a lossy sketch, but it
+    # must beat random (k/N ~ 1%) by a wide margin
+    assert recall >= 0.3, f"PQ recall too low: {recall:.2f}"
+
+    # codes are valid and the representation is m small ints per vector
+    books = pq_fit(emb, m=m, nbits=4)
+    assert len(books) == m and all(len(b) == 16 for b in books)
+    codes = pq_encode(emb, books)
+    row = codes.first()
+    assert len(row["pq_codes"]) == m
+    bad = codes.filter(
+        F.exists("pq_codes", lambda c: (c < 0) | (c > 15))
+    ).count()
+    assert bad == 0
+    # encoding is deterministic: same fit -> same codes
+    again = pq_encode(emb, books)
+    assert codes.exceptAll(again).count() == 0
