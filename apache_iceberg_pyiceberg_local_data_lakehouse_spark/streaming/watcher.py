@@ -323,6 +323,7 @@ def stream_table_changes(
     poll_secs: int = WATCH_INTERVAL_SECS,
     on_reset=None,
     error_backoff: int = 60,
+    image_key=None,
 ):
     """Tail a table's CHANGELOG: every poll, hand the insert/delete row
     stream since the last processed version (``scan_changelog``, with
@@ -336,11 +337,22 @@ def stream_table_changes(
     rows, exactly what a downstream materialization needs to stay
     consistent. ``on_reset`` fires only when the diff itself is
     unreadable (the consumer fell behind snapshot expiry). Same
-    daemon-thread / cursor discipline as ``stream_table_tail``."""
+    daemon-thread / cursor discipline as ``stream_table_tail``.
+
+    ``image_key``: when set (a business-key column or list), each poll
+    streams Delta-CDF-style pre/post images instead
+    (``scan_changelog_with_images``): a key deleted and inserted by one
+    snapshot arrives as update_preimage/update_postimage."""
+    scan = (
+        (lambda a, b: table.scan_changelog_with_images(
+            a, to_version=b, key=image_key))
+        if image_key is not None
+        else (lambda a, b: table.scan_changelog(a, to_version=b))
+    )
     return _tail_loop(
         table,
         process,
-        lambda a, b: table.scan_changelog(a, to_version=b),
+        scan,
         "table-changes",
         from_version,
         poll_secs,

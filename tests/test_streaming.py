@@ -916,3 +916,56 @@ def test_upsert_sink_tied_order_resolves_deterministically(spark, tmp_path):
     rows = t.to_df().collect()
     assert len(rows) == 1
     assert rows[0]["v"] == "a"  # ascending tiebreak on the rest columns
+
+
+def test_stream_table_changes_with_images(spark, tmp_path):
+    """image_key: the changelog tail streams Delta-CDF pre/post images -
+    a MoR UPDATE arrives as update_preimage/update_postimage pairs."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.catalog import (
+        LakehouseCatalog,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.dml import (
+        update_where,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.streaming.watcher import (
+        stream_table_changes,
+    )
+    from pyspark.sql import functions as F
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("gold")
+    df = spark.range(6).select(
+        F.col("id").alias("k"), F.concat(F.lit("v"), F.col("id")).alias("s")
+    )
+    t = cat.create_table("gold.cdcimg", df.schema)
+    t.append(df)  # before the tail starts
+
+    batches = []
+    stop, thread, cursor = stream_table_changes(
+        t,
+        lambda d, a, b: batches.append(
+            sorted(
+                (r["_change_type"], r["k"], r["s"]) for r in d.collect()
+            )
+        ),
+        poll_secs=1,
+        image_key="k",
+    )
+    try:
+        update_where(
+            t, F.col("k") < 2, {"s": F.lit("upd")}, mode="merge-on-read"
+        )
+        deadline = time.time() + 60
+        while not batches and time.time() < deadline:
+            time.sleep(0.5)
+        assert batches, "changelog tail never delivered the update batch"
+        got = batches[0]
+        assert got == [
+            ("update_postimage", 0, "upd"),
+            ("update_postimage", 1, "upd"),
+            ("update_preimage", 0, "v0"),
+            ("update_preimage", 1, "v1"),
+        ]
+    finally:
+        stop.set()
+        thread.join(timeout=30)
