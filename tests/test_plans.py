@@ -176,3 +176,56 @@ def test_session3_operators_stay_distributed(spark, sf_small):
         assert "BatchEvalPython" not in p
         assert "ArrowEvalPython" not in p
     model.unpersist()
+
+
+def test_r6_operators_plan_quality(spark, sf_small):
+    """Round-6 additions stay JVM-side and distributed: BM25/RRF have
+    no Python evaluation and no cartesian; the ranked top-k goes
+    through TakeOrderedAndProject (never a full-table single-partition
+    window); PQ encode is pure codegen expressions."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.retrieval import (
+        bm25_scores,
+        rank_by,
+        top_terms,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.similarity import (
+        pq_encode,
+        pq_fit,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.queries import load
+
+    docs = load(spark, sf_small, "documents")
+    scored = bm25_scores(docs, top_terms(docs, 3))
+    ranked = rank_by(scored, "score_q", k=10)
+    p = formatted_plan(ranked)
+    assert "TakeOrderedAndProject" in p  # distributed top-k, then rank
+    for df in [scored, ranked]:
+        assert_no_cartesian(df)
+        fp = formatted_plan(df)
+        assert "BatchEvalPython" not in fp
+        assert "ArrowEvalPython" not in fp
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    books = pq_fit(emb, m=2, nbits=2, n_iters=1, fit_sample=64)
+    coded = pq_encode(emb, books)
+    fp = formatted_plan(coded)
+    assert "BatchEvalPython" not in fp and "ArrowEvalPython" not in fp
+    assert "Exchange" not in fp  # encoding is embarrassingly parallel
+
+
+def test_metadata_agg_reads_no_data(spark, tmp_path):
+    """metadata_agg answers from the manifest alone: the returned plan
+    is a local relation - no file source, no jobs over data."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.catalog import (
+        LakehouseCatalog,
+    )
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("m")
+    df = spark.range(100).select(F.col("id").alias("k"))
+    t = cat.create_table("m.t", df.schema)
+    t.append(df)
+    got = t.metadata_agg({"n": ("count", "*"), "hi": ("max", "k")})
+    p = formatted_plan(got)
+    assert "FileScan" not in p and "Scan parquet" not in p
+    assert got.first()["n"] == 100
