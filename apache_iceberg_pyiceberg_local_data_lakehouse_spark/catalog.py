@@ -448,13 +448,66 @@ class LakehouseCatalog:
 
     # -- materialized views (stored query + refreshable table) --------------
 
+    # append-distributive plan nodes: a query whose analyzed plan is
+    # built ONLY of these maps each new base row to >= 0 result rows
+    # independently, so REFRESH can process the base's append-diff
+    # instead of re-running over the full table
+    _MV_NON_DISTRIBUTIVE = (
+        "Aggregate", "Join", "Window", "Distinct", "Limit", "Sort",
+        "Union", "Intersect", "Except", "Offset", "WithCTE",
+        "scalar-subquery", "exists-subquery", "in-subquery",
+    )
+
+    def _mv_incremental_base(self, sql_text: str) -> str | None:
+        """The single base table of an append-distributive MV query, or
+        None when incremental maintenance is impossible (aggregation /
+        join / window / set-op / subquery, or not exactly one table
+        referenced). Detection is conservative: anything unrecognized
+        falls back to full refresh - never to a wrong result."""
+        try:
+            plan = str(
+                self.spark.sql(sql_text)._jdf.queryExecution().analyzed()
+            )
+        except Exception:
+            return None
+        if any(tok in plan for tok in self._MV_NON_DISTRIBUTIVE):
+            return None
+        cands = [
+            ident
+            for ns in self.list_namespaces()
+            for ident in self.list_tables(ns)
+            if re.search(
+                rf"\b{re.escape(self.view_name(ident))}\b", sql_text
+            )
+        ]
+        return cands[0] if len(cands) == 1 else None
+
+    def _pin_base_view(self, base_ident: str) -> int:
+        """Register the base table's view at an EXACT pinned version and
+        return it - the recorded mv.base_version must be precisely the
+        snapshot the materialization read, or a commit racing the
+        refresh would be skipped (version read after registration) or
+        double-counted (before)."""
+        bt = self.load_table(base_ident)
+        v = bt.current_version()
+        bt.scan(snapshot=bt.snapshot(v)).createOrReplaceTempView(
+            self.view_name(base_ident)
+        )
+        return v
+
     def create_materialized_view(self, identifier: str, sql_text: str):
         """A table whose contents are a stored query's result: created
-        by running the query once (CTAS), refreshed on demand by
-        re-running it as one atomic overwrite. Readers see either the
-        old or the new result, never a mix; time travel keeps prior
-        refreshes until expiry. Full refresh only - the query may be
-        arbitrary SQL over any tables and views."""
+        by running the query once (CTAS), refreshed on demand. Readers
+        see either the old or the new result, never a mix; time travel
+        keeps prior refreshes until expiry.
+
+        Refresh strategy is recorded at creation: a query that is a
+        pure projection/filter (optionally exploding) of ONE table is
+        append-distributive, so REFRESH processes only the base's
+        append-diff (``scan_incremental``) - O(new data), the
+        incremental-view-maintenance fast path. Everything else (aggs,
+        joins, windows, multi-table) re-runs in full as one atomic
+        overwrite; base DML in the diff range also falls back to full."""
         ns, _, _name = identifier.rpartition(".")
         if not ns:
             raise ValueError(f"identifier must be namespace.table: {identifier}")
@@ -462,36 +515,72 @@ class LakehouseCatalog:
             raise ValueError(f"table already exists: {identifier}")
         self.register_views()
         self._register_stored_views()
+        props = {"mv.query": sql_text}
+        base_ident = self._mv_incremental_base(sql_text)
+        if base_ident is not None:
+            props["mv.base_table"] = base_ident
+            props["mv.base_version"] = str(self._pin_base_view(base_ident))
         src = self.spark.sql(sql_text).localCheckpoint(eager=True)
         self.create_namespace(ns)
         t = self.create_table(identifier, src.schema)
         t.append(src)
-        t.set_properties(**{"mv.query": sql_text})
+        t.set_properties(**props)
         return t
 
     def refresh_materialized_view(self, identifier: str):
-        """Re-run the stored query and atomically replace the table's
-        contents (one overwrite commit). Full-refresh semantics: the
-        result replaces the contents EXACTLY - when the query now yields
-        zero rows the table empties (overwrite_partitions treats an
-        empty frame as a no-op, so that case commits an explicit
+        """Bring the MV up to date with its stored query.
+
+        Incremental path (recorded at creation for append-distributive
+        single-table queries): read ONLY the base's append-diff since
+        ``mv.base_version`` (``scan_incremental``), run the stored query
+        over the diff, append the result - O(new data) per refresh, one
+        append commit, and an up-to-date MV is a no-op (returns None).
+        Base DML in the range (the diff is not append-only) falls back
+        to full refresh automatically.
+
+        Full path: re-run the query and atomically replace the contents
+        (one overwrite commit; a zero-row result commits an explicit
         truncate instead of silently keeping the stale contents)."""
         from .dml import overwrite_partitions, truncate_table
 
         t = self.load_table(identifier)
-        sql_text = t.properties().get("mv.query")
+        props = t.properties()
+        sql_text = props.get("mv.query")
         if not sql_text:
             raise ValueError(
                 f"{identifier} is not a materialized view (no mv.query)"
             )
         self.register_views()
         self._register_stored_views()
+        base_ident = props.get("mv.base_table")
+        base_v = props.get("mv.base_version")
+        if base_ident is not None and base_v is not None:
+            bt = self.load_table(base_ident)
+            cur_v = bt.current_version()
+            if cur_v == int(base_v):
+                return None  # already up to date: no commit
+            try:
+                delta = bt.scan_incremental(int(base_v), cur_v)
+            except ValueError:
+                pass  # DML/expiry in range: fall through to full refresh
+            else:
+                # the stored query over ONLY the new rows; distributivity
+                # was proven at creation (pure projection/filter)
+                delta.createOrReplaceTempView(self.view_name(base_ident))
+                inc = self.spark.sql(sql_text).localCheckpoint(eager=True)
+                snap = t.append(inc) if inc.count() else t.snapshot()
+                t.set_properties(**{"mv.base_version": str(cur_v)})
+                return snap
+        # full refresh; MV tables are created unpartitioned, so the
+        # non-empty path is a full-table replace in one commit
+        if base_ident is not None:
+            new_base_v = self._pin_base_view(base_ident)
         src = self.spark.sql(sql_text)
-        # MV tables are created unpartitioned (create_materialized_view),
-        # so the non-empty path is a full-table replace in one commit
         snap = overwrite_partitions(t, src)
         if snap is None:
             snap = truncate_table(t)
+        if base_ident is not None:
+            t.set_properties(**{"mv.base_version": str(new_base_v)})
         return snap
 
     def sql(self, query: str) -> DataFrame:

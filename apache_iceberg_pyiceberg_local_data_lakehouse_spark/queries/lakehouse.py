@@ -1841,3 +1841,65 @@ def q6v_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+@register(
+    "q6w_incremental_mv_refresh",
+    # new in r6, registered behind the judged window (r7 rotation
+    # fodder); certifies incremental materialized-view maintenance:
+    # refresh processes only the base's append-diff.
+    defer=True,
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           TRUE AS refresh_was_append,
+           TRUE AS noop_when_current
+    FROM documents
+    WHERE n_chars >= 200
+    GROUP BY lang
+    """,
+)
+def q6w_incremental_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance in the judged gate: a pure-filter MV
+    over documents (n_chars >= 200), base appended in two halves with a
+    REFRESH between - the second refresh must be an APPEND commit that
+    processed only the diff (pinned boolean), an up-to-date refresh a
+    no-op (pinned boolean), and the final MV must equal plain SQL over
+    the full corpus."""
+    from ..catalog import LakehouseCatalog
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_q6w_")
+    try:
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("tmp")
+        d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+        t = cat.create_table("tmp.docs", d.schema)
+        n = d.count()
+        t.append(d.filter(F.col("doc_id") < n // 2))
+        mv = cat.create_materialized_view(
+            "tmp.big_docs",
+            "SELECT doc_id, lang, n_chars FROM tmp_docs WHERE n_chars >= 200",
+        )
+        t.append(d.filter(F.col("doc_id") >= n // 2))
+        snap = cat.refresh_materialized_view("tmp.big_docs")
+        was_append = snap is not None and snap.operation == "append"
+        noop = cat.refresh_materialized_view("tmp.big_docs") is None
+        out = (
+            mv.to_df()
+            .groupBy("lang")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_chars").alias("sum_chars"),
+            )
+            .select(
+                "lang",
+                "n_docs",
+                "sum_chars",
+                F.lit(was_append).alias("refresh_was_append"),
+                F.lit(noop).alias("noop_when_current"),
+            )
+        )
+        rows = out.collect()  # materialize before the warehouse vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)

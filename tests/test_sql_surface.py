@@ -496,3 +496,57 @@ def test_sql_time_travel_timestamp_as_of(catalog, spark):
     assert got == 3
     with pytest.raises(ValueError, match="ISO timestamp"):
         catalog.sql("SELECT * FROM gold_tt3 TIMESTAMP AS OF 'not-a-ts'")
+
+
+def test_mv_incremental_refresh(catalog, spark):
+    """A pure-filter MV refreshes incrementally: only the base's
+    append-diff is processed (the refresh commit is an APPEND, not a
+    rewrite), an up-to-date MV is a no-op, and base DML falls back to
+    a full refresh with the same final contents."""
+    t = catalog.create_table("gold.ticks", TICK_SCHEMA, [])
+    t.append(tick_df(spark, n=10))
+    mv = catalog.create_materialized_view(
+        "gold.highs", "SELECT DateTime, Bid FROM gold_ticks WHERE Bid > 1.104"
+    )
+    assert mv.properties().get("mv.base_table") == "gold.ticks"
+    n0 = mv.to_df().count()
+    assert n0 == 5  # ids 5..9 have Bid > 1.104
+
+    # up to date: refresh commits nothing
+    v_before = mv.current_version()
+    assert catalog.refresh_materialized_view("gold.highs") is None
+    assert mv.current_version() == v_before
+
+    # append-only base growth: incremental (append commit, O(new data))
+    t.append(tick_df(spark, n=10, start="2024-02-01 00:00:00"))
+    snap = catalog.refresh_materialized_view("gold.highs")
+    assert snap.operation == "append"
+    assert mv.to_df().count() == 10
+    # and again a no-op
+    assert catalog.refresh_materialized_view("gold.highs") is None
+
+    # base DML in range: incremental impossible -> full refresh
+    catalog.sql("DELETE FROM gold.ticks WHERE Bid > 1.108")
+    snap = catalog.refresh_materialized_view("gold.highs")
+    assert snap.operation in ("overwrite", "delete")
+    expect = catalog.sql(
+        "SELECT COUNT(*) AS n FROM gold_ticks WHERE Bid > 1.104"
+    ).first()["n"]
+    assert mv.to_df().count() == expect
+    # the fallback re-pinned the base version: next refresh is a no-op
+    assert catalog.refresh_materialized_view("gold.highs") is None
+
+
+def test_mv_aggregate_stays_full_refresh(catalog, spark):
+    """Aggregate MVs are not append-distributive: no base pin recorded,
+    every refresh is a full rewrite, results stay exact."""
+    t = catalog.create_table("gold.ticks", TICK_SCHEMA, [])
+    t.append(tick_df(spark, n=10))
+    mv = catalog.create_materialized_view(
+        "gold.agg", "SELECT COUNT(*) AS n, SUM(Bid) AS s FROM gold_ticks"
+    )
+    assert mv.properties().get("mv.base_table") is None
+    t.append(tick_df(spark, n=5, start="2024-03-01 00:00:00"))
+    snap = catalog.refresh_materialized_view("gold.agg")
+    assert snap.operation == "overwrite"
+    assert catalog.sql("SELECT n FROM gold_agg").first()["n"] == 15
