@@ -559,18 +559,27 @@ class LakehouseCatalog:
             cur_v = bt.current_version()
             if cur_v == int(base_v):
                 return None  # already up to date: no commit
-            try:
-                delta = bt.scan_incremental(int(base_v), cur_v)
-            except ValueError:
-                pass  # DML/expiry in range: fall through to full refresh
-            else:
-                # the stored query over ONLY the new rows; distributivity
-                # was proven at creation (pure projection/filter)
-                delta.createOrReplaceTempView(self.view_name(base_ident))
-                inc = self.spark.sql(sql_text).localCheckpoint(eager=True)
-                snap = t.append(inc) if inc.count() else t.snapshot()
-                t.set_properties(**{"mv.base_version": str(cur_v)})
-                return snap
+            # cur_v < base_v means the base was dropped/recreated (its
+            # history restarted): an empty diff would silently miss the
+            # new table's initial rows - full-refresh instead
+            if cur_v > int(base_v):
+                try:
+                    delta = bt.scan_incremental(int(base_v), cur_v)
+                except ValueError:
+                    pass  # DML/expiry in range: full refresh
+                else:
+                    # the stored query over ONLY the new rows;
+                    # distributivity was proven at creation (pure
+                    # projection/filter)
+                    delta.createOrReplaceTempView(
+                        self.view_name(base_ident)
+                    )
+                    inc = self.spark.sql(sql_text).localCheckpoint(
+                        eager=True
+                    )
+                    snap = t.append(inc) if inc.count() else t.snapshot()
+                    t.set_properties(**{"mv.base_version": str(cur_v)})
+                    return snap
         # full refresh; MV tables are created unpartitioned, so the
         # non-empty path is a full-table replace in one commit
         if base_ident is not None:
