@@ -973,3 +973,72 @@ def truncate_table(table: LakehouseTable) -> Snapshot:
         summary={"truncated": True, "removed_files": len(snap.manifest)},
         base_version=snap.version,
     )
+
+
+def apply_changes(
+    target: LakehouseTable,
+    changes: DataFrame,
+    key: str | list[str],
+) -> dict:
+    """APPLY CHANGES INTO (Delta-DLT semantics): apply a CDC frame -
+    rows carrying ``_change_type`` in {insert, delete, update_preimage,
+    update_postimage} and ``_change_version`` - to ``target`` so it
+    converges to the source table's state. The consumer half of
+    ``scan_changelog_with_images`` / ``stream_table_changes``: tailing
+    table A's changelog and applying into table B is replication.
+
+    Semantics: per key, the LATEST change wins (max ``_change_version``;
+    preimages are informational and ignored). A winning
+    insert/update_postimage upserts; a winning delete removes the key.
+    Both phases are key-range-pruned MERGEs (``merge_into``); a batch
+    with both upserts and deletes commits in two snapshots (upserts
+    first), so a mid-apply reader sees a consistent prefix, never a
+    torn row.
+
+    Returns ``{"upserted": n, "deleted": n}``."""
+    keys = [key] if isinstance(key, str) else list(key)
+    data_cols = [
+        c
+        for c in changes.columns
+        if c not in ("_change_type", "_change_version")
+    ]
+    # one materialization: the winner computation and both merges must
+    # see the same rows (same discipline as merge_into itself)
+    events = changes.filter(
+        F.col("_change_type") != "update_preimage"
+    ).localCheckpoint(eager=True)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*keys).orderBy(F.desc("_change_version"))
+    last = (
+        events.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    ups = last.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).select(*data_cols)
+    dels = last.filter(F.col("_change_type") == "delete").select(*keys)
+    n_ups = ups.count()
+    n_dels = dels.count()
+    if n_ups:
+        merge_into(
+            target,
+            ups,
+            key=keys,
+            when_matched="update",
+            when_not_matched="insert",
+            extra_summary={"cdc_apply": "upsert"},
+        )
+    if n_dels:
+        # MERGE as targeted delete: matched keys drop, source rows that
+        # match nothing insert nothing - key-range file pruning applies
+        merge_into(
+            target,
+            dels,
+            key=keys,
+            when_matched="delete",
+            when_not_matched="ignore",
+            extra_summary={"cdc_apply": "delete"},
+        )
+    return {"upserted": int(n_ups), "deleted": int(n_dels)}

@@ -1903,3 +1903,83 @@ def q6w_incremental_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+@register(
+    "q6x_cdc_replication",
+    # new in r6, registered behind the judged window (r7 rotation
+    # fodder); certifies the full CDC loop: image-paired changelog out
+    # of the source, apply_changes into a replica, byte-equal states.
+    defer=True,
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           TRUE AS replica_matches_source
+    FROM (
+      SELECT lang,
+             CASE WHEN lang = 'en' THEN 0 ELSE n_chars END AS n_chars
+      FROM documents WHERE lang <> 'fr'
+      UNION ALL
+      SELECT lang, n_chars FROM documents WHERE lang = 'de'
+    ) t
+    GROUP BY lang
+    """,
+)
+def q6x_cdc_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC replication end-to-end: bootstrap a replica from the source
+    snapshot, mutate the source (merge-on-read UPDATE zeroing English
+    chars, copy-on-write DELETE of French, append shifted German
+    copies), stream the image-paired changelog from the bootstrap
+    cursor, apply_changes into the replica - the replica's rollup must
+    equal plain SQL over the mutated state, and a row-for-row compare
+    against the source is pinned as a judged boolean."""
+    from ..catalog import LakehouseCatalog
+    from ..dml import apply_changes, delete_where, update_where
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_q6x_")
+    try:
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("tmp")
+        d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+        src = cat.create_table("tmp.src", d.schema)
+        src.append(d)
+        replica = cat.create_table("tmp.replica", d.schema)
+        replica.append(src.to_df())
+        cursor = src.current_version()
+
+        update_where(
+            src,
+            F.col("lang") == "en",
+            {"n_chars": F.lit(0).cast("long")},
+            mode="merge-on-read",
+        )
+        delete_where(src, F.col("lang") == "fr")
+        src.append(
+            d.filter(F.col("lang") == "de").withColumn(
+                "doc_id", F.col("doc_id") + 1_000_000
+            )
+        )
+        apply_changes(
+            replica, src.scan_changelog_with_images(cursor, key="doc_id"),
+            key="doc_id",
+        )
+        matches = (
+            replica.to_df().exceptAll(src.to_df()).count() == 0
+            and src.to_df().exceptAll(replica.to_df()).count() == 0
+        )
+        out = (
+            replica.to_df()
+            .groupBy("lang")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_chars").alias("sum_chars"),
+            )
+            .select(
+                "lang", "n_docs", "sum_chars",
+                F.lit(matches).alias("replica_matches_source"),
+            )
+        )
+        rows = out.collect()  # materialize before the warehouse vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
