@@ -52,6 +52,15 @@ _DML_SHOW_TABLES = re.compile(
 _DML_DESCRIBE = re.compile(
     r"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?([\w.]+)\s*;?\s*$", re.IGNORECASE
 )
+_DML_DESCRIBE_HISTORY = re.compile(
+    r"^\s*DESC(?:RIBE)?\s+HISTORY\s+([\w.]+)\s*;?\s*$", re.IGNORECASE
+)
+_DML_SHOW_PARTITIONS = re.compile(
+    r"^\s*SHOW\s+PARTITIONS\s+([\w.]+)\s*;?\s*$", re.IGNORECASE
+)
+_DML_SHOW_REFS = re.compile(
+    r"^\s*SHOW\s+REFS\s+([\w.]+)\s*;?\s*$", re.IGNORECASE
+)
 _DML_CREATE_MV = re.compile(
     r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s+AS\s+"
     r"(SELECT\b.+?)\s*;?\s*$",
@@ -95,7 +104,8 @@ _DML_OPTIMIZE = re.compile(
     re.IGNORECASE,
 )
 _DML_VACUUM = re.compile(
-    r"^\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*$",
+    r"^\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+HOURS)?"
+    r"(\s+DRY\s+RUN)?\s*;?\s*$",
     re.IGNORECASE,
 )
 
@@ -663,6 +673,15 @@ class LakehouseCatalog:
             return self.spark.createDataFrame(
                 rows or [], "namespace string, table string"
             )
+        m = _DML_DESCRIBE_HISTORY.match(query)
+        if m:
+            return self.load_table(m.group(1)).inspect_history()
+        m = _DML_SHOW_PARTITIONS.match(query)
+        if m:
+            return self.load_table(m.group(1)).inspect_partitions()
+        m = _DML_SHOW_REFS.match(query)
+        if m:
+            return self.load_table(m.group(1)).inspect_refs()
         m = _DML_DESCRIBE.match(query)
         if m:
             t = self.load_table(m.group(1))
@@ -874,11 +893,12 @@ class LakehouseCatalog:
                 if m.group(2)
                 else None
             )
-            res = expire_snapshots(t, older_than_ms=older)
+            dry = m.group(3) is not None
+            res = expire_snapshots(t, older_than_ms=older, dry_run=dry)
             return self.spark.createDataFrame(
                 [
                     (
-                        "vacuum",
+                        "vacuum (dry run)" if dry else "vacuum",
                         m.group(1),
                         int(res.get("expired_snapshots", 0)),
                         int(res.get("deleted_files", 0)),

@@ -86,8 +86,14 @@ def expire_snapshots(
     delete_orphan_files: bool = True,
     orphan_grace_secs: float = 86400.0,
     max_ref_age_ms: int | None = None,
+    dry_run: bool = False,
 ) -> dict:
     """Expire old snapshot metadata and GC unreferenced data files.
+
+    ``dry_run=True`` computes the same summary (what WOULD be expired,
+    aged out, and GC'd under the given policy) without touching a
+    single file or ref - the audit mode every destructive maintenance
+    verb needs before running against 100 TB.
 
     ``orphan_grace_secs``: unreferenced files younger than this are left
     alone - a concurrent append writes its data files BEFORE committing
@@ -130,12 +136,16 @@ def expire_snapshots(
     # without a creation stamp (legacy) never age out - pinning must
     # fail safe.
     expired_refs = 0
+    aged_ref_names: set[str] = set()
     if max_ref_age_ms is not None:
         cutoff = int(time.time() * 1000) - max_ref_age_ms
         for name, meta in list(table._load_refs().items()):
             created = meta.get("created_ms")
             if created is not None and created < cutoff:
-                table._drop_ref(name, meta["type"])
+                if dry_run:
+                    aged_ref_names.add(name)
+                else:
+                    table._drop_ref(name, meta["type"])
                 expired_refs += 1
 
     snaps = table.snapshots()
@@ -150,20 +160,26 @@ def expire_snapshots(
     )
     protected = {s.version for s in by_newest[:retain_last]}
     protected.add(table.current_version())
-    protected.update(table.refs().values())
+    protected.update(
+        v
+        for n, v in table.refs().items()
+        if n not in aged_ref_names  # dry-run: aged pins WOULD be gone
+    )
 
     expired = [
         s
         for s in snaps
         if s.version not in protected and s.timestamp_ms < older_than_ms
     ]
-    for s in expired:
-        table.delete_metadata_version(s.version)
+    if not dry_run:
+        for s in expired:
+            table.delete_metadata_version(s.version)
 
     deleted_files = 0
     deleted_manifests = 0
     if delete_orphan_files:
-        retained = table.snapshots()
+        expired_vs = {s.version for s in expired}
+        retained = [s for s in snaps if s.version not in expired_vs]
         referenced = {e["path"] for s in retained for e in s.manifest}
         # write-audit-publish: staged-but-unpublished batches are not
         # referenced by any snapshot yet, but they are NOT garbage - an
@@ -177,7 +193,8 @@ def expire_snapshots(
             if now - mtime < orphan_grace_secs:
                 continue  # possible in-flight commit
             try:
-                os.remove(fpath)
+                if not dry_run:
+                    os.remove(fpath)
                 deleted_files += 1
             except FileNotFoundError:
                 pass  # another process GC'd it first
@@ -197,8 +214,9 @@ def expire_snapshots(
                 try:
                     if now - os.path.getmtime(p) < orphan_grace_secs:
                         continue
-                    os.remove(p)
-                    table._manifest_cache.pop(rel, None)
+                    if not dry_run:
+                        os.remove(p)
+                        table._manifest_cache.pop(rel, None)
                     deleted_manifests += 1
                 except FileNotFoundError:
                     pass
@@ -208,6 +226,7 @@ def expire_snapshots(
         "deleted_manifests": deleted_manifests,
         "retained_snapshots": len(snaps) - len(expired),
         "expired_refs": expired_refs,
+        "dry_run": dry_run,
     }
 
 

@@ -203,3 +203,36 @@ def test_ref_aging_releases_pin(spark, tmp_path):
     )
     assert v_pin not in {s.version for s in t.snapshots()}
     assert t.to_df().count() == 20
+
+
+def test_expire_dry_run_touches_nothing(spark, tmp_path):
+    """dry_run reports exactly what the real run would do, then the
+    real run does it - and the dry run mutated nothing."""
+    t = _table(spark, tmp_path, "f")
+    for i in range(3):
+        t.append(_batch(spark, i * 10, (i + 1) * 10).coalesce(1))
+    compact(t, target_file_bytes=64 * 1024 * 1024)
+    versions_before = {s.version for s in t.snapshots()}
+
+    preview = expire_snapshots(
+        t,
+        older_than_ms=FUTURE_MS(),
+        retain_last=1,
+        orphan_grace_secs=0,
+        dry_run=True,
+    )
+    assert preview["dry_run"] is True
+    assert preview["expired_snapshots"] > 0
+    assert preview["deleted_files"] > 0
+    # nothing actually changed
+    assert {s.version for s in t.snapshots()} == versions_before
+    assert t.to_df().count() == 30
+
+    real = expire_snapshots(
+        t, older_than_ms=FUTURE_MS(), retain_last=1, orphan_grace_secs=0
+    )
+    assert real["dry_run"] is False
+    assert real["expired_snapshots"] == preview["expired_snapshots"]
+    assert real["deleted_files"] == preview["deleted_files"]
+    assert real["deleted_manifests"] == preview["deleted_manifests"]
+    assert t.to_df().count() == 30

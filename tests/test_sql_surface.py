@@ -550,3 +550,29 @@ def test_mv_aggregate_stays_full_refresh(catalog, spark):
     snap = catalog.refresh_materialized_view("gold.agg")
     assert snap.operation == "overwrite"
     assert catalog.sql("SELECT n FROM gold_agg").first()["n"] == 15
+
+
+def test_sql_inspect_verbs(catalog, spark):
+    """DESCRIBE HISTORY / SHOW PARTITIONS / SHOW REFS / VACUUM DRY RUN
+    route to the metadata tables without touching data."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.table import (
+        PartitionField,
+    )
+
+    t = catalog.create_table(
+        "gold.ticks", TICK_SCHEMA, [PartitionField("DateTime", "years")]
+    )
+    t.append(tick_df(spark, year=2023, n=4))
+    t.append(tick_df(spark, year=2024, n=6))
+    t.create_tag("audit")
+
+    hist = catalog.sql("DESCRIBE HISTORY gold.ticks").collect()
+    assert len(hist) >= 3  # create + 2 appends
+    parts = catalog.sql("SHOW PARTITIONS gold.ticks").collect()
+    assert len(parts) == 2
+    assert {sum(r["rows"] for r in parts)} == {10}
+    refs = catalog.sql("SHOW REFS gold.ticks").collect()
+    assert any(r["name"] == "audit" for r in refs)
+    out = catalog.sql("VACUUM gold.ticks RETAIN 0 HOURS DRY RUN").first()
+    assert out["operation"] == "vacuum (dry run)"
+    assert t.to_df().count() == 10  # dry run touched nothing
