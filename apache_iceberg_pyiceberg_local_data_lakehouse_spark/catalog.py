@@ -61,6 +61,14 @@ _DML_SHOW_PARTITIONS = re.compile(
 _DML_SHOW_REFS = re.compile(
     r"^\s*SHOW\s+REFS\s+([\w.]+)\s*;?\s*$", re.IGNORECASE
 )
+_DML_ANALYZE = re.compile(
+    r"^\s*ANALYZE\s+TABLE\s+([\w.]+)"
+    r"(?:\s+FOR\s+COLUMNS\s*\(([^)]+)\))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DML_SHOW_STATS = re.compile(
+    r"^\s*SHOW\s+STATS\s+([\w.]+)\s*;?\s*$", re.IGNORECASE
+)
 _DML_CREATE_MV = re.compile(
     r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s+AS\s+"
     r"(SELECT\b.+?)\s*;?\s*$",
@@ -673,6 +681,27 @@ class LakehouseCatalog:
             return self.spark.createDataFrame(
                 rows or [], "namespace string, table string"
             )
+        m = _DML_ANALYZE.match(query)
+        if m:
+            from .maintenance import analyze_table
+
+            t = self.load_table(m.group(1))
+            cols = (
+                [c.strip() for c in m.group(2).split(",")]
+                if m.group(2)
+                else None
+            )
+            res = analyze_table(t, columns=cols)
+            return self.spark.createDataFrame(
+                [("analyze", m.group(1), len(res), t.current_version())],
+                "operation string, table string, n_columns long, "
+                "stats_version long",
+            )
+        m = _DML_SHOW_STATS.match(query)
+        if m:
+            from .maintenance import column_stats
+
+            return column_stats(self.load_table(m.group(1)))
         m = _DML_DESCRIBE_HISTORY.match(query)
         if m:
             return self.load_table(m.group(1)).inspect_history()

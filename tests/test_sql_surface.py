@@ -576,3 +576,14 @@ def test_sql_inspect_verbs(catalog, spark):
     out = catalog.sql("VACUUM gold.ticks RETAIN 0 HOURS DRY RUN").first()
     assert out["operation"] == "vacuum (dry run)"
     assert t.to_df().count() == 10  # dry run touched nothing
+
+
+def test_sql_analyze_and_show_stats(catalog, spark):
+    t = catalog.create_table("gold.ticks", TICK_SCHEMA, [])
+    t.append(tick_df(spark, n=10))
+    out = catalog.sql("ANALYZE TABLE gold.ticks FOR COLUMNS (Bid, Ask)").first()
+    assert out["operation"] == "analyze"
+    stats = {r["column"]: r for r in catalog.sql("SHOW STATS gold.ticks").collect()}
+    assert set(stats) == {"Bid", "Ask"}
+    assert stats["Bid"]["table_rows"] == 10
+    assert stats["Bid"]["n_nulls"] == 0
