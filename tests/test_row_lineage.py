@@ -147,3 +147,60 @@ def test_cow_update_unique_ids(spark, table):
     # the untouched second file kept its ids
     by_k = {r["k"]: r["_row_id"] for r in rows}
     assert by_k[15] == 15
+
+
+def test_concurrent_appends_get_disjoint_ids(spark, tmp_path):
+    """The rebase path re-stamps row ids against the winning parent:
+    racing appends must end with globally unique, gap-free ids."""
+    import threading
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "whr"))
+    cat.create_namespace("lin")
+    df0 = spark.range(0).select(
+        F.col("id").alias("k"), F.lit("x").alias("s")
+    )
+    t = cat.create_table("lin.race", df0.schema)
+    errors = []
+
+    def worker(i):
+        try:
+            t.append(_batch(spark, i * 100, i * 100 + 100, tag=f"w{i}_"))
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(5)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors
+    rows = t.scan_lineage().collect()
+    ids = sorted(r["_row_id"] for r in rows)
+    assert ids == list(range(500))  # unique AND dense across all racers
+    assert t.snapshot().summary["next_row_id"] == 500
+
+
+def test_lineage_scale_many_files(spark, tmp_path):
+    """200k rows over 32 files + compaction: ids stay dense/unique and
+    the lineage scan is one distributed plan (no driver row loops)."""
+    cat = LakehouseCatalog(spark, str(tmp_path / "whs"))
+    cat.create_namespace("lin")
+    df = spark.range(200_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    )
+    t = cat.create_table("lin.big", df.schema)
+    t.append(df.repartition(32))
+    agg = t.scan_lineage().agg(
+        F.count("*").alias("n"),
+        F.countDistinct("_row_id").alias("nd"),
+        F.min("_row_id").alias("lo"),
+        F.max("_row_id").alias("hi"),
+    ).first()
+    assert (agg["n"], agg["nd"], agg["lo"], agg["hi"]) == (
+        200_000, 200_000, 0, 199_999,
+    )
+    compact(t, target_file_bytes=256 * 1024 * 1024)
+    agg2 = t.scan_lineage().agg(
+        F.count("*").alias("n"), F.countDistinct("_row_id").alias("nd")
+    ).first()
+    assert (agg2["n"], agg2["nd"]) == (200_000, 200_000)
