@@ -12,6 +12,7 @@ from __future__ import annotations
 import datetime as dt
 
 from hypothesis import HealthCheck, given, settings
+from pyspark.sql import functions as F
 from hypothesis import strategies as st
 
 from apache_iceberg_pyiceberg_local_data_lakehouse_spark.catalog import (
@@ -358,3 +359,132 @@ def test_overwrite_partitions_set_model(
             + [(ts, b) for ts, b, _ in backfill]
         )
     assert got == expected
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(["append", "mor_update", "cow_delete"]),
+            st.integers(min_value=0, max_value=49),
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_cdc_replication_converges(spark, tmp_path_factory, ops):
+    """For ANY sequence of appends / MoR updates / CoW deletes on the
+    source, tailing the image-paired changelog and apply_changes-ing
+    into a replica converges to exactly the source's rows."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.dml import (
+        apply_changes,
+        delete_where,
+        update_where,
+    )
+
+    wh = tmp_path_factory.mktemp("whcdc")
+    cat = LakehouseCatalog(spark, str(wh))
+    cat.create_namespace("cdc")
+    df = spark.range(20).select(
+        F.col("id").alias("k"), F.concat(F.lit("v"), F.col("id")).alias("s")
+    )
+    src = cat.create_table("cdc.src", df.schema)
+    src.append(df)
+    replica = cat.create_table("cdc.rep", df.schema)
+    replica.append(src.to_df())
+    cursor = src.current_version()
+
+    nxt = 100
+    for op, arg in ops:
+        if op == "append":
+            src.append(
+                spark.range(nxt, nxt + 3).select(
+                    F.col("id").alias("k"), F.lit("new").alias("s")
+                )
+            )
+            nxt += 3
+        elif op == "mor_update":
+            update_where(
+                src,
+                F.col("k") % 7 == arg % 7,
+                {"s": F.lit(f"u{arg}")},
+                mode="merge-on-read",
+            )
+        else:
+            delete_where(src, F.col("k") % 11 == arg % 11)
+
+    cdc = src.scan_changelog_with_images(cursor, key="k")
+    apply_changes(replica, cdc, key="k")
+    a = sorted(tuple(r) for r in src.to_df().collect())
+    b = sorted(tuple(r) for r in replica.to_df().collect())
+    assert a == b
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    batches=st.lists(
+        st.lists(
+            st.integers(min_value=-1000, max_value=1000),
+            min_size=1,
+            max_size=20,
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    del_mod=st.integers(min_value=2, max_value=5),
+)
+def test_metadata_agg_matches_scan(spark, tmp_path_factory, batches, del_mod):
+    """metadata_agg either equals the real aggregate exactly or refuses
+    (None) - it never returns a wrong number, including after MoR
+    deletes and their materialization."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.dml import (
+        delete_where,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.maintenance import (
+        materialize_deletes,
+    )
+
+    wh = tmp_path_factory.mktemp("whma")
+    cat = LakehouseCatalog(spark, str(wh))
+    cat.create_namespace("m")
+    t = cat.create_table(
+        "m.t", spark.createDataFrame([], "k long, v double").schema
+    )
+    i = 0
+    for b in batches:
+        t.append(
+            spark.createDataFrame(
+                [(i * 10_000 + j, float(x)) for j, x in enumerate(b)],
+                "k long, v double",
+            ).coalesce(1)
+        )
+        i += 1
+
+    def check():
+        got = t.metadata_agg(
+            {"n": ("count", "*"), "lo": ("min", "v"), "hi": ("max", "v")}
+        )
+        if got is None:
+            return
+        real = t.to_df().agg(
+            F.count("*").alias("n"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        ).first()
+        assert tuple(got.first()) == tuple(real)
+
+    check()
+    delete_where(
+        t, F.col("k") % del_mod == 0, mode="merge-on-read", positional=True
+    )
+    assert t.metadata_agg({"n": ("count", "*")}) is None  # must refuse
+    materialize_deletes(t)
+    check()
