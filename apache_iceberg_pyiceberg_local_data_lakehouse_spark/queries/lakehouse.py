@@ -1983,3 +1983,60 @@ def q6x_cdc_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+@register(
+    "q75_jsonl_ingest",
+    # new in r6, registered behind the judged window (r7 rotation
+    # fodder); certifies the JSONL corpus source: explicit-schema read,
+    # PERMISSIVE quarantine, lossless round-trip into the lakehouse.
+    defer=True,
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           TRUE AS quarantine_exact
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q75_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL ingestion end-to-end: export the documents as .jsonl files,
+    inject known-malformed lines, re-ingest with an explicit schema -
+    every clean row must survive byte-exactly (the per-lang rollup
+    equals plain SQL over the parquet source) and every malformed line
+    must land in the quarantine frame (count pinned as a judged
+    boolean), not vanish."""
+    from ..catalog import LakehouseCatalog
+    from ..sources.files import read_jsonl
+
+    out_dir = tempfile.mkdtemp(prefix="jsonl_q75_")
+    wh = tempfile.mkdtemp(prefix="lakehouse_q75_")
+    try:
+        d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+        d.coalesce(2).write.mode("overwrite").json(out_dir)
+        # inject malformed lines into a separate part file
+        with open(f"{out_dir}/part-99999-corrupt.json", "w") as fh:
+            fh.write("not json at all\n{broken: true\n")
+        clean, bad = read_jsonl(spark, out_dir, schema=d.schema)
+        n_bad = bad.count()
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("tmp")
+        t = cat.create_table("tmp.docs", d.schema)
+        t.append(clean)
+        out = (
+            t.to_df()
+            .groupBy("lang")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_chars").alias("sum_chars"),
+            )
+            .select(
+                "lang", "n_docs", "sum_chars",
+                F.lit(n_bad == 2).alias("quarantine_exact"),
+            )
+        )
+        rows = out.collect()  # materialize before the dirs vanish
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(wh, ignore_errors=True)

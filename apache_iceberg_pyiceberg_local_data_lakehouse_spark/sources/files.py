@@ -82,3 +82,49 @@ def read_binary_files(spark: SparkSession, glob: str, mime: str | None = None) -
     if mime:
         df = df.withColumn("mime", F.lit(mime))
     return df
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    recursive: bool = True,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """JSONL corpus ingestion (the standard LLM training-data exchange
+    format; .jsonl / .jsonl.gz - Spark decompresses per file).
+
+    With an explicit ``schema`` the reader skips the inference pass
+    (one full read saved - at 100 TB, mandatory) and runs PERMISSIVE:
+    malformed lines land in ``corrupt_col`` instead of killing the job
+    or being silently dropped. Returns (rows, corrupt) - the clean
+    frame (corrupt rows removed, corrupt_col dropped) and the quarantine
+    frame holding the raw bad lines for the reject audit, mirroring the
+    QC-gate discipline of ingest.py."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    reader = spark.read.option(
+        "recursiveFileLookup", str(recursive).lower()
+    ).option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", corrupt_col
+    )
+    if schema is not None:
+        read_schema = StructType(
+            list(schema.fields) + [StructField(corrupt_col, StringType())]
+        )
+        df = reader.schema(read_schema).json(path)
+    else:
+        df = reader.json(path)
+    if corrupt_col not in df.columns:
+        # inference saw only clean rows; quarantine is empty
+        return df, df.limit(0).select(
+            F.lit(None).cast("string").alias(corrupt_col)
+        ).limit(0)
+    # PERMISSIVE quirk: a corrupt row must be CACHED-or-rescanned to be
+    # filterable (Spark requires referencing the corrupt column from a
+    # materialized plan); selecting it through a checkpoint keeps the
+    # split deterministic and single-pass
+    df = df.localCheckpoint(eager=True)
+    clean = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    quarantine = df.filter(F.col(corrupt_col).isNotNull()).select(corrupt_col)
+    return clean, quarantine

@@ -222,3 +222,48 @@ def test_reference_schema_collapse(spark):
     assert types["volume"] == "double"  # int collapsed, like the reference
     assert types["Bid"] == "double"
     assert types["note"] == "string"  # strings are control-plane only
+
+
+def test_read_jsonl_clean_and_quarantine(spark, tmp_path):
+    """JSONL ingestion: explicit schema (no inference pass), malformed
+    lines quarantined - never dropped, never fatal."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.sources.files import (
+        read_jsonl,
+    )
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    p = tmp_path / "corpus"
+    p.mkdir()
+    (p / "a.jsonl").write_text(
+        '{"doc_id": 1, "text": "hello world"}\n'
+        '{"doc_id": 2, "text": "ok"}\n'
+        "this is not json\n"
+        '{"doc_id": 3, "text": "fine", "extra": "ignored"}\n'
+    )
+    (p / "b.jsonl").write_text('{"doc_id": 4, "text": "deeper"}\n')
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+        ]
+    )
+    clean, bad = read_jsonl(spark, str(p), schema=schema)
+    rows = {r["doc_id"]: r["text"] for r in clean.collect()}
+    assert rows == {1: "hello world", 2: "ok", 3: "fine", 4: "deeper"}
+    quarantined = [r["_corrupt_record"] for r in bad.collect()]
+    assert quarantined == ["this is not json"]
+    # the clean frame flows straight into the lakehouse ingest path
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.catalog import (
+        LakehouseCatalog,
+    )
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("bronze")
+    t = cat.create_table("bronze.docs", clean.schema)
+    t.append(clean)
+    assert t.to_df().count() == 4
