@@ -230,6 +230,46 @@ def expire_snapshots(
     }
 
 
+def rewrite_position_deletes(table: LakehouseTable) -> Snapshot | None:
+    """Consolidate position-delete tombstone files (Iceberg's
+    rewrite_position_delete_files): N small delete files become one,
+    WITHOUT touching any data file - the cheap fix for scan overhead
+    when many point DELETEs each committed their own tombstone. Every
+    merge-on-read scan pays O(delete files) reads before the anti-join;
+    after consolidation it pays one.
+
+    Safe for POSITION deletes specifically because they claim exact
+    (file, row-ordinal) identities: files appended later have fresh
+    uuid paths a tombstone cannot name, so sequence numbers play no
+    role in their application (unlike equality deletes, which must
+    never merge across sequence boundaries and are left untouched).
+    No-op (None) unless there are >= 2 position-delete files."""
+    snap = table.snapshot()
+    pos_dels = snap.pos_delete_entries
+    if len(pos_dels) < 2:
+        return None
+    paths = [os.path.join(table.location, d["path"]) for d in pos_dels]
+    merged = (
+        table.spark.read.parquet(*paths)
+        .select("file_path", "pos")
+        .distinct()
+        .coalesce(1)
+    )
+    new_entries = table._write_files(merged, [])
+    for e in new_entries:
+        e["content"] = "pos-del"
+    return table.commit_delta(
+        added=new_entries,
+        removed_paths={d["path"] for d in pos_dels},
+        operation="replace",
+        summary={
+            "rewritten_delete_files": len(pos_dels),
+            "new_delete_files": len(new_entries),
+        },
+        base_version=snap.version,
+    )
+
+
 def materialize_deletes(table: LakehouseTable) -> Snapshot | None:
     """Apply pending merge-on-read equality deletes physically
     (Iceberg's rewrite of position/equality deletes): rewrite exactly

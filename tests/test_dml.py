@@ -1256,3 +1256,50 @@ def test_apply_changes_replicates_table(spark, tmp_path):
     apply_changes(replica, cdc, key="k")
     b2 = sorted(tuple(r) for r in replica.to_df().collect())
     assert a == b2
+
+
+def test_rewrite_position_deletes_consolidates(spark, tmp_path):
+    """N point DELETEs = N tombstone files; consolidation folds them to
+    ONE without touching data files, scans unchanged, lineage intact."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.catalog import (
+        LakehouseCatalog,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.dml import (
+        delete_where,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.maintenance import (
+        rewrite_position_deletes,
+    )
+    from pyspark.sql import functions as F
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("gold")
+    df = spark.range(30).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t = cat.create_table("gold.pd", df.schema)
+    t.append(df.coalesce(1))
+    for k in (3, 11, 19, 27):  # four point deletes, four tombstones
+        delete_where(
+            t, F.col("k") == k, mode="merge-on-read", positional=True
+        )
+    snap = t.snapshot()
+    assert len(snap.pos_delete_entries) == 4
+    data_before = {e["path"] for e in snap.data_entries}
+    lineage_before = {
+        r["k"]: r["_row_id"] for r in t.scan_lineage().collect()
+    }
+
+    out = rewrite_position_deletes(t)
+    assert out is not None and out.summary["rewritten_delete_files"] == 4
+    snap2 = t.snapshot()
+    assert len(snap2.pos_delete_entries) == 1
+    assert {e["path"] for e in snap2.data_entries} == data_before
+    assert sorted(r["k"] for r in t.to_df().collect()) == [
+        k for k in range(30) if k not in (3, 11, 19, 27)
+    ]
+    assert {
+        r["k"]: r["_row_id"] for r in t.scan_lineage().collect()
+    } == lineage_before
+    # idempotent-ish: one file left -> no-op
+    assert rewrite_position_deletes(t) is None
