@@ -2040,3 +2040,69 @@ def q75_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
         shutil.rmtree(wh, ignore_errors=True)
+
+
+@register(
+    "q6y_tombstone_consolidation",
+    # new in r6, registered behind the judged window (r7 rotation
+    # fodder); certifies rewrite_position_deletes: N tombstone files
+    # fold to one with zero data-file rewrites and identical scans.
+    defer=True,
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           TRUE AS data_files_untouched,
+           TRUE AS one_tombstone_left
+    FROM documents
+    WHERE doc_id % 10 NOT IN (1, 4, 7)
+    GROUP BY lang
+    """,
+)
+def q6y_tombstone_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-delete consolidation end-to-end: three separate
+    merge-on-read point DELETEs commit three tombstone files;
+    rewrite_position_deletes folds them into ONE with every data file
+    carried by reference (pinned boolean) - and the post-consolidation
+    scan still equals plain SQL over the surviving rows."""
+    from ..catalog import LakehouseCatalog
+    from ..dml import delete_where
+    from ..maintenance import rewrite_position_deletes
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_q6y_")
+    try:
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("tmp")
+        d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+        t = cat.create_table("tmp.docs", d.schema)
+        t.append(d)
+        for m in (1, 4, 7):
+            delete_where(
+                t,
+                F.col("doc_id") % 10 == m,
+                mode="merge-on-read",
+                positional=True,
+            )
+        before = t.snapshot()
+        assert len(before.pos_delete_entries) == 3
+        data_before = {e["path"] for e in before.data_entries}
+        rewrite_position_deletes(t)
+        after = t.snapshot()
+        untouched = {e["path"] for e in after.data_entries} == data_before
+        one_left = len(after.pos_delete_entries) == 1
+        out = (
+            t.to_df()
+            .groupBy("lang")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_chars").alias("sum_chars"),
+            )
+            .select(
+                "lang", "n_docs", "sum_chars",
+                F.lit(untouched).alias("data_files_untouched"),
+                F.lit(one_left).alias("one_tombstone_left"),
+            )
+        )
+        rows = out.collect()  # materialize before the warehouse vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
