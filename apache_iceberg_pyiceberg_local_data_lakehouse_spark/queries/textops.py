@@ -1472,3 +1472,83 @@ def q72_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # k=10: TakeOrderedAndProject keeps the rank distributed
     ranked = rank_by(bm25_scores(d, terms), "score_q", k=10)
     return ranked.select("doc_id", "score_q", "rank")
+
+
+@register(
+    "q5q_paragraph_dedup",
+    # new in r6, registered behind the judged window (r7 rotation
+    # fodder); certifies operators/paragraphs.py CCNet-style line dedup
+    # end-to-end including reassembly order (md5 of rebuilt text).
+    defer=True,
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ), lines AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(tk[(i*3+1):(i*3+3)], ' ') AS para
+      FROM t, UNNEST(range(0, CAST(ceil(len(tk)/3.0) AS BIGINT))) AS g(i)
+    ), stats AS (
+      SELECT para, COUNT(*) AS cnt,
+             MIN(doc_id * 1000000 + pos) AS first_key
+      FROM lines GROUP BY para
+    ), kept AS (
+      SELECT l.doc_id, l.pos, l.para,
+             (s.cnt < 2 OR l.doc_id * 1000000 + l.pos = s.first_key)
+               AS keep
+      FROM lines l JOIN stats s USING (para)
+    ), rebuilt AS (
+      SELECT doc_id,
+             COUNT(*) AS n_paras,
+             CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_removed,
+             md5(COALESCE(string_agg(CASE WHEN keep THEN para END,
+                                     chr(10) ORDER BY pos), ''))
+               AS new_md5
+      FROM kept GROUP BY doc_id
+    )
+    SELECT doc_id, n_paras, n_removed, new_md5
+    FROM rebuilt
+    ORDER BY n_removed DESC, doc_id
+    LIMIT 20
+    """,
+)
+def q5q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style paragraph dedup (Wenzek et al. 2020 §3.1): reshape
+    every document into 3-word lines, drop lines duplicated anywhere in
+    the corpus (keeping the globally-first occurrence), reassemble, and
+    emit the 20 most-deduplicated documents with the md5 of their
+    rebuilt text. The operator's hot path is two map-side-combining
+    aggregates on the paragraph key — no window over the hash, so one
+    boilerplate line repeated 10^8 times at 100 TB cannot hot-spot a
+    partition."""
+    from ..operators.paragraphs import dedup_paragraphs
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    n_lines = F.ceil(F.size(toks) / F.lit(3.0)).cast("int")
+    reshaped = d.withColumn(
+        "text",
+        F.array_join(
+            F.when(
+                n_lines > 0,
+                F.transform(
+                    F.sequence(F.lit(0), n_lines - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(toks, i * 3 + 1, 3)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+            "\n",
+        ),
+    )
+    out = dedup_paragraphs(reshaped, min_count=2, keep_first=True)
+    return (
+        out.select(
+            "doc_id",
+            "n_paras",
+            "n_removed",
+            F.md5(F.col("text")).alias("new_md5"),
+        )
+        .orderBy(F.desc("n_removed"), F.asc("doc_id"))
+        .limit(20)
+    )

@@ -1460,3 +1460,60 @@ def test_knn_pq_recall_and_compression(spark, sf_small):
     # encoding is deterministic: same fit -> same codes
     again = pq_encode(emb, books)
     assert codes.exceptAll(again).count() == 0
+
+
+def test_dedup_paragraphs_keep_first(spark):
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.paragraphs import (
+        dedup_paragraphs,
+    )
+
+    rows = [
+        (1, "alpha\nbeta\ngamma"),
+        (2, "beta\ndelta"),
+        (3, "beta\nbeta\nepsilon"),
+        (4, "zeta"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in dedup_paragraphs(df).collect()}
+    # "beta" occurs 4x corpus-wide: only its first occurrence (doc 1
+    # pos 1) survives; everything unique is untouched.
+    assert out[1]["text"] == "alpha\nbeta\ngamma"
+    assert out[2]["text"] == "delta" and out[2]["n_removed"] == 1
+    assert out[3]["text"] == "epsilon" and out[3]["n_removed"] == 2
+    assert out[4]["text"] == "zeta" and out[4]["n_removed"] == 0
+    assert out[3]["n_paras"] == 3
+
+
+def test_dedup_paragraphs_drop_all_copies_and_empty_doc(spark):
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.paragraphs import (
+        dedup_paragraphs,
+    )
+
+    rows = [(1, "dup"), (2, "dup"), (3, "dup\nsolo")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in dedup_paragraphs(df, keep_first=False).collect()
+    }
+    # keep_first=False removes EVERY copy; doc 1/2 collapse to ''
+    assert out[1]["text"] == "" and out[1]["n_removed"] == 1
+    assert out[2]["text"] == ""
+    assert out[3]["text"] == "solo"
+    # min_count above the max multiplicity keeps everything
+    kept = {
+        r["doc_id"]: r["text"]
+        for r in dedup_paragraphs(df, min_count=10).collect()
+    }
+    assert kept == {1: "dup", 2: "dup", 3: "dup\nsolo"}
+
+
+def test_paragraph_duplication_stats(spark):
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.paragraphs import (
+        paragraph_duplication_stats,
+    )
+
+    rows = [(1, "x\ny"), (2, "x\nz")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in paragraph_duplication_stats(df).collect()}
+    assert out[1]["n_dup_paras"] == 1 and out[1]["n_paras"] == 2
+    assert out[2]["dup_frac"] == 0.5
