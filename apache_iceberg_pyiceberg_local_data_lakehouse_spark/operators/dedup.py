@@ -873,3 +873,106 @@ def filter_near_duplicates_of(
         new_df, corpus_df, text_col, id_col, threshold, **kwargs
     ).select(F.col("new_id").alias(id_col))
     return new_df.join(matches, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# X2: exact-substring duplication (rolling token windows)
+# ---------------------------------------------------------------------------
+
+
+def _window_array(text: Column, window: int) -> Column:
+    """Every consecutive ``window``-token span of the text, as
+    space-joined strings (step 1, NOT distinct — positions matter for
+    the duplicated-fraction profile)."""
+    toks = F.split(text, " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), n - F.lit(window))
+    return F.when(
+        n >= window,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, window))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def substring_duplication_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 20,
+) -> DataFrame:
+    """Per-document exact-substring duplication profile (Lee et al.
+    2021, "Deduplicating Training Data Makes Language Models Better"):
+    the fraction of a document's rolling ``window``-token spans whose
+    exact text occurs anywhere else in the corpus (including repeats
+    inside the same document). The suffix-array approach of the paper
+    is replaced by the distributed equivalent: explode every span,
+    count occurrences per span text (ONE map-side-combining groupBy),
+    join the verdict back. Documents shorter than ``window`` tokens
+    report n_windows = 0.
+
+    Returns (id_col, n_windows, n_dup_windows, dup_frac)."""
+    spans = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(_window_array(F.col(text_col), window)).alias("__w"),
+    )
+    counts = spans.groupBy("__w").agg(F.count("*").alias("__cnt"))
+    prof = (
+        spans.join(counts, "__w")
+        .groupBy("__id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum((F.col("__cnt") >= 2).cast("long")).alias("n_dup_windows"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(prof, F.col(id_col) == F.col("__id"), "left")
+        .drop("__id")
+        .fillna({"n_windows": 0, "n_dup_windows": 0})
+        .withColumn(
+            "dup_frac",
+            F.when(
+                F.col("n_windows") > 0,
+                F.col("n_dup_windows").cast("double") / F.col("n_windows"),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+def exact_substring_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 20,
+    max_docs_per_window: int = 64,
+) -> DataFrame:
+    """Document pairs sharing at least one exact ``window``-token span,
+    with the number of distinct shared spans per pair.
+
+    Scale discipline (same lessons as the LSH/Jaccard operators): each
+    document contributes its DISTINCT spans once; spans present in more
+    than ``max_docs_per_window`` documents are dropped as boilerplate
+    "stop windows" BEFORE the pair join (the standard cap — a span in
+    10^5 docs would otherwise expand to 10^10 pairs), so the self-join
+    is bounded at cap² per span; the eligible (span, doc) table is
+    cached because it feeds both sides.
+
+    Returns (doc_a, doc_b, n_shared) with doc_a < doc_b."""
+    wins = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode_outer(
+            F.array_distinct(_window_array(F.col(text_col), window))
+        ).alias("__w"),
+    ).filter(F.col("__w").isNotNull())
+    eligible = wins.groupBy("__w").agg(F.count("*").alias("__nd")).filter(
+        (F.col("__nd") >= 2) & (F.col("__nd") <= max_docs_per_window)
+    )
+    e = wins.join(eligible.select("__w"), "__w").cache()
+    a = e.select(F.col("__w"), F.col("__id").alias("doc_a"))
+    b = e.select(F.col("__w"), F.col("__id").alias("doc_b"))
+    pairs = (
+        a.join(b, "__w")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return pairs

@@ -1552,3 +1552,82 @@ def q5q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_removed"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+@register(
+    "q5r_exact_substring_dedup",
+    # new in r6, registered behind the judged window (r7 rotation
+    # fodder); certifies operators/dedup.py exact-substring family:
+    # the pair join (distinct spans, stop-window cap) AND the per-doc
+    # duplicated-span profile in one result.
+    defer=True,
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ), wpos AS (
+      SELECT doc_id, array_to_string(tk[i:i+9], ' ') AS win
+      FROM t, UNNEST(range(1, len(tk) - 10 + 2)) AS g(i)
+      WHERE len(tk) >= 10
+    ), w AS (
+      SELECT DISTINCT doc_id, win FROM wpos
+    ), c AS (
+      SELECT win FROM w GROUP BY win HAVING COUNT(*) BETWEEN 2 AND 64
+    ), e AS (
+      SELECT doc_id, win FROM w JOIN c USING (win)
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM e a JOIN e b ON a.win = b.win AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), cnts AS (
+      SELECT win, COUNT(*) AS cnt FROM wpos GROUP BY win
+    ), prof AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_windows,
+             CAST(SUM(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_windows
+      FROM wpos JOIN cnts USING (win) GROUP BY doc_id
+    )
+    SELECT p.doc_a, p.doc_b, p.n_shared,
+           FLOOR(pa.n_dup_windows::DOUBLE / pa.n_windows * 1000000 + 0.5)
+             / 1000000 AS dup_frac_a
+    FROM pairs p JOIN prof pa ON pa.doc_id = p.doc_a
+    ORDER BY p.n_shared DESC, p.doc_a, p.doc_b
+    LIMIT 20
+    """,
+)
+def q5r_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate detection (Lee et al. 2021): document
+    pairs sharing a verbatim 10-token span, ranked by how many distinct
+    spans they share, with the left doc's duplicated-span fraction.
+    Spans occurring in >64 documents are dropped as boilerplate stop
+    windows BEFORE the pair join — the cap that keeps a 10^5-document
+    cookie banner from expanding to 10^10 pairs at 100 TB."""
+    from ..operators.dedup import (
+        exact_substring_pairs,
+        substring_duplication_profile,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = exact_substring_pairs(d, window=10, max_docs_per_window=64)
+    prof = substring_duplication_profile(d, window=10)
+    return (
+        pairs.join(
+            prof.select(
+                F.col("doc_id").alias("doc_a"),
+                (
+                    F.floor(
+                        F.col("n_dup_windows").cast("double")
+                        / F.col("n_windows")
+                        * 1000000
+                        + F.lit(0.5)
+                    )
+                    / 1000000
+                ).alias("dup_frac_a"),
+            ),
+            "doc_a",
+        )
+        .select("doc_a", "doc_b", "n_shared", "dup_frac_a")
+        .orderBy(F.desc("n_shared"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(20)
+    )

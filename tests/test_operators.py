@@ -1517,3 +1517,44 @@ def test_paragraph_duplication_stats(spark):
     out = {r["doc_id"]: r for r in paragraph_duplication_stats(df).collect()}
     assert out[1]["n_dup_paras"] == 1 and out[1]["n_paras"] == 2
     assert out[2]["dup_frac"] == 0.5
+
+
+def test_exact_substring_pairs_and_cap(spark):
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.dedup import (
+        exact_substring_pairs,
+    )
+
+    shared = "w1 w2 w3 w4"  # a 4-token span planted in docs 1 and 2
+    rows = [
+        (1, f"a b {shared} c d"),
+        (2, f"x {shared} y z"),
+        (3, "p q r s t u v"),
+        # boilerplate span in docs 10..14 — capped out at max 3 docs
+        *[(10 + i, "hot hot hot hot pad%d" % i) for i in range(5)],
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = exact_substring_pairs(df, window=4, max_docs_per_window=3)
+    got = {(r["doc_a"], r["doc_b"]): r["n_shared"] for r in pairs.collect()}
+    assert (1, 2) in got and got[(1, 2)] == 1
+    # the "hot hot hot hot" span sits in 5 docs > cap 3: no pair from it
+    assert all(a < 10 for a, _ in got)
+
+
+def test_substring_duplication_profile_short_docs(spark):
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.dedup import (
+        substring_duplication_profile,
+    )
+
+    rows = [
+        (1, "a b c d e"),
+        (2, "a b c d f"),   # shares windows "a b c" / "b c d" with doc 1
+        (3, "zz"),          # shorter than the window: zero windows
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in substring_duplication_profile(df, window=3).collect()
+    }
+    assert out[1]["n_windows"] == 3 and out[1]["n_dup_windows"] == 2
+    assert out[2]["n_dup_windows"] == 2
+    assert out[3]["n_windows"] == 0 and out[3]["dup_frac"] == 0.0
