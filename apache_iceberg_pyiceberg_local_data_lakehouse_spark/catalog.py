@@ -116,6 +116,20 @@ _DML_VACUUM = re.compile(
     r"(\s+DRY\s+RUN)?\s*;?\s*$",
     re.IGNORECASE,
 )
+# Aggregate-pushdown fast path: a whole-table COUNT(*)/MIN/MAX SELECT
+# with no WHERE / GROUP BY / JOIN answers from the manifest via
+# LakehouseTable.metadata_agg (zero data files read); any shape or
+# metadata refusal falls through to the normal view scan.
+_META_AGG_SELECT = re.compile(
+    r"^\s*SELECT\s+(?P<items>[^;]+?)\s+FROM\s+"
+    r"(?P<ref>[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_META_AGG_ITEM = re.compile(
+    r"^\s*(?P<op>COUNT|MIN|MAX)\s*\(\s*(?P<arg>\*|[A-Za-z_]\w*)\s*\)"
+    r"(?:\s+AS\s+(?P<alias>[A-Za-z_]\w*))?\s*$",
+    re.IGNORECASE,
+)
 
 
 def _parse_partition_field(spec: str) -> PartitionField:
@@ -936,9 +950,66 @@ class LakehouseCatalog:
                 "operation string, table string, expired_snapshots long, "
                 "deleted_files long",
             )
+        m = _META_AGG_SELECT.match(query)
+        if m:
+            fast = self._metadata_agg_fast_path(
+                m.group("items"), m.group("ref")
+            )
+            if fast is not None:
+                return fast
+            # the fast path accepts the dotted identifier form (like
+            # the DML verbs); when metadata refuses, keep that form
+            # working by rewriting the ref to its registered view name
+            # before the scan fallback
+            ref = m.group("ref")
+            if "." in ref and self.table_exists(ref):
+                query = (
+                    query[: m.start("ref")]
+                    + self.view_name(ref)
+                    + query[m.end("ref") :]
+                )
         self.register_views()
         self._register_stored_views()
         return self.spark.sql(query)
+
+    def _metadata_agg_fast_path(
+        self, items: str, ref: str
+    ) -> DataFrame | None:
+        """Serve ``SELECT COUNT(*) / MIN(col) / MAX(col) FROM <table>``
+        (no WHERE, no GROUP BY, one lakehouse table) from the manifest
+        via :meth:`LakehouseTable.metadata_agg` - at 100 TB this is the
+        query a user fires first, and it should read kilobytes of
+        metadata, not the table. Output column names and types match
+        what the scan path would produce (Spark's auto-aliases
+        ``count(1)`` / ``min(col)`` / ``max(col)`` unless AS-aliased),
+        so callers cannot observe which path answered. Returns None
+        whenever the statement shape, the table reference, or exactness
+        (MoR tombstones, missing/non-numeric stats) rules the fast path
+        out - the caller then falls back to the real scan."""
+        aggs: dict[str, tuple[str, str]] = {}
+        for part in _split_top_level(items):
+            im = _META_AGG_ITEM.match(part)
+            if not im:
+                return None
+            op = im.group("op").lower()
+            arg = im.group("arg")
+            if (op == "count") != (arg == "*"):
+                return None  # COUNT(col) / MIN(*) are scan work
+            name = im.group("alias") or (
+                "count(1)" if op == "count" else f"{op}({arg})"
+            )
+            if name in aggs:
+                return None  # duplicate output names need the scan path
+            aggs[name] = (op, arg)
+        try:
+            ident = self._resolve_table_reference(ref)
+        except NoSuchTableError:
+            return None  # not a lakehouse table (plain temp view etc.)
+        t = self.load_table(ident)
+        try:
+            return t.metadata_agg(aggs)
+        except ValueError:
+            return None  # e.g. unknown column: scan path raises properly
 
     def _resolve_table_reference(self, ref: str) -> str:
         """Map a SQL table reference to a dotted identifier: either it IS

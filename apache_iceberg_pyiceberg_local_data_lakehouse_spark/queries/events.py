@@ -25,6 +25,9 @@ from .relational import dsum, _dsum_sql
 
 @register(
     "q30_events_tumbling_1h",
+    # rotated out of the judged window r7 (judged green r1-r6);
+    # keeps local DuckDB parity via tests/test_oracle_parity.py
+    defer=True,
     oracle=f"""
     SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
            event_type,
@@ -83,6 +86,9 @@ def q31_events_sliding_10m5m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q32_events_sessionization",
+    # rotated out of the judged window r7 (judged green r1-r6);
+    # keeps local DuckDB parity via tests/test_oracle_parity.py
+    defer=True,
     oracle="""
     WITH ordered AS (
       SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,

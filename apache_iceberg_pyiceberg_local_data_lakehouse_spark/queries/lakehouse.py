@@ -1442,7 +1442,6 @@ def q6p_lakehouse_materialized_view(
     # fodder); certifies the GC/time-travel isolation contract:
     # a tag-pinned snapshot survives compaction + zero-grace expiry
     # with retain_last=1 (only the pin protects it), readable exactly.
-    defer=True,
     oracle="""
     SELECT 'pinned' AS src, lang, COUNT(*) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS sum_chars
@@ -1509,7 +1508,6 @@ def q6q_snapshot_isolation_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # new in r6, registered behind the judged window (r7 rotation
     # fodder); certifies the SQL time-travel surface: VERSION AS OF and
     # TIMESTAMP AS OF pin snapshots inside arbitrary SELECT shapes.
-    defer=True,
     oracle="""
     SELECT 'v1' AS src, lang, COUNT(*) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS sum_chars
@@ -1575,7 +1573,6 @@ def q6r_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fodder); certifies scan_changelog_with_images: Delta-CDF-style
     # update_preimage/update_postimage classification over MoR updates,
     # CoW deletes, and plain appends in one change stream.
-    defer=True,
     oracle="""
     SELECT 'update_preimage' AS change_type, lang, COUNT(*) AS n_rows,
            CAST(SUM(n_chars) AS BIGINT) AS sum_chars
@@ -1645,7 +1642,6 @@ def q6s_changelog_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fodder); certifies metadata_agg: COUNT/MIN/MAX served purely from
     # manifest footer stats (zero data read) equal plain SQL, and the
     # exactness fallback (pending MoR tombstones -> refuse) is honored.
-    defer=True,
     oracle="""
     SELECT (SELECT COUNT(*) FROM documents) AS n_rows,
            (SELECT CAST(MIN(doc_id) AS BIGINT) FROM documents) AS min_id,
@@ -1711,7 +1707,6 @@ def q6t_metadata_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     # new in r6, registered behind the judged window (r7 rotation
     # fodder); certifies scan_join_pruned: build-side keys prune fact
     # files at the manifest level before the join (DPP analogue).
-    defer=True,
     oracle="""
     SELECT lang, COUNT(*) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS sum_chars
@@ -1775,7 +1770,6 @@ def q6u_runtime_join_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fodder); certifies Iceberg-v3 row lineage: _row_id assignment at
     # commit, stability across MoR UPDATE + compaction, and
     # _last_updated_version bump semantics.
-    defer=True,
     oracle="""
     WITH ids AS (
       SELECT lang, doc_id,
@@ -1848,7 +1842,6 @@ def q6v_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # new in r6, registered behind the judged window (r7 rotation
     # fodder); certifies incremental materialized-view maintenance:
     # refresh processes only the base's append-diff.
-    defer=True,
     oracle="""
     SELECT lang, COUNT(*) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
@@ -1910,7 +1903,6 @@ def q6w_incremental_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # new in r6, registered behind the judged window (r7 rotation
     # fodder); certifies the full CDC loop: image-paired changelog out
     # of the source, apply_changes into a replica, byte-equal states.
-    defer=True,
     oracle="""
     SELECT lang, COUNT(*) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
@@ -1990,7 +1982,6 @@ def q6x_cdc_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
     # new in r6, registered behind the judged window (r7 rotation
     # fodder); certifies the JSONL corpus source: explicit-schema read,
     # PERMISSIVE quarantine, lossless round-trip into the lakehouse.
-    defer=True,
     oracle="""
     SELECT lang, COUNT(*) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
@@ -2047,7 +2038,6 @@ def q75_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # new in r6, registered behind the judged window (r7 rotation
     # fodder); certifies rewrite_position_deletes: N tombstone files
     # fold to one with zero data-file rewrites and identical scans.
-    defer=True,
     oracle="""
     SELECT lang, COUNT(*) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
@@ -2104,5 +2094,70 @@ def q6y_tombstone_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = out.collect()  # materialize before the warehouse vanishes
         return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+@register(
+    "q76_sql_metadata_agg",
+    # new in r7, registered behind the judged window (r8 rotation
+    # fodder); certifies the SQL-surface wiring of metadata_agg
+    # (catalog.sql routes whole-table COUNT/MIN/MAX through the
+    # manifest, falls back to the scan on MoR tombstones).
+    defer=True,
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM documents) AS n_rows,
+           (SELECT CAST(MIN(doc_id) AS BIGINT) FROM documents) AS min_id,
+           (SELECT CAST(MAX(n_chars) AS BIGINT) FROM documents) AS max_chars,
+           (SELECT COUNT(*) FROM documents WHERE lang <> 'en')
+             AS n_after_delete,
+           TRUE AS spark_names_match,
+           TRUE AS fast_path_available
+    """,
+)
+def q76_sql_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-surface aggregate pushdown judged end-to-end: a bare
+    ``SELECT COUNT(*), MIN(..), MAX(..) FROM <table>`` through
+    ``catalog.sql`` answers from the manifest (the fast path q6t
+    certified at the API level), names its output exactly as the scan
+    path would (``count(1)``/``min(col)``/``max(col)``), and after a
+    merge-on-read delete the SAME statement transparently falls back
+    to the scan and returns the logical table's count."""
+    from ..catalog import LakehouseCatalog
+    from ..dml import delete_where
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_q76_")
+    try:
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("tmp")
+        d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+        t = cat.create_table("tmp.sqlagg", d.schema)
+        for i in range(3):
+            t.append(d.filter(F.col("doc_id") % 3 == i).coalesce(1))
+        fast = cat.sql("SELECT COUNT(*), MIN(doc_id), MAX(n_chars) FROM tmp.sqlagg")
+        names_ok = fast.columns == ["count(1)", "min(doc_id)", "max(n_chars)"]
+        row = fast.first()
+        # the fast path is live iff metadata_agg can serve this table
+        fast_available = (
+            t.metadata_agg({"n": ("count", "*")}) is not None
+        )
+        delete_where(
+            t, F.col("lang") == "en", mode="merge-on-read", positional=True
+        )
+        after = cat.sql("SELECT COUNT(*) AS n FROM tmp.sqlagg").first()["n"]
+        return spark.createDataFrame(
+            [
+                (
+                    row["count(1)"],
+                    row["min(doc_id)"],
+                    row["max(n_chars)"],
+                    after,
+                    names_ok,
+                    fast_available,
+                )
+            ],
+            "n_rows long, min_id long, max_chars long, n_after_delete long, "
+            "spark_names_match boolean, fast_path_available boolean",
+        )
     finally:
         shutil.rmtree(wh, ignore_errors=True)

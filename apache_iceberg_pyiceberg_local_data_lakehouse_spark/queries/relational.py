@@ -57,6 +57,9 @@ def _davg_sql(expr: str, scale: int = SCALE) -> str:
 
 @register(
     "q01_pricing_summary",
+    # rotated out of the judged window r7 (judged green r1-r6);
+    # keeps local DuckDB parity via tests/test_oracle_parity.py
+    defer=True,
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
            {_dsum_sql('l_quantity')} AS sum_qty,
@@ -99,6 +102,9 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q03_shipping_priority",
+    # rotated out of the judged window r7 (judged green r1-r6);
+    # keeps local DuckDB parity via tests/test_oracle_parity.py
+    defer=True,
     oracle=f"""
     SELECT l.l_orderkey AS orderkey,
            {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
@@ -140,6 +146,9 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q05_region_revenue",
+    # rotated out of the judged window r7 (judged green r1-r6);
+    # keeps local DuckDB parity via tests/test_oracle_parity.py
+    defer=True,
     oracle=f"""
     SELECT n.n_name AS nation,
            {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
@@ -296,6 +305,9 @@ def q12_nation_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q13_top_orders_per_customer",
+    # rotated out of the judged window r7 (judged green r1-r6);
+    # keeps local DuckDB parity via tests/test_oracle_parity.py
+    defer=True,
     oracle="""
     SELECT custkey, orderkey, totalprice, rn
     FROM (

@@ -17,6 +17,9 @@ from . import load, register
 
 @register(
     "q70_hll_distinct_bound",
+    # rotated out of the judged window r7 (judged green r4-r6);
+    # keeps local DuckDB parity via tests/test_oracle_parity.py
+    defer=True,
     oracle="""
     SELECT event_type,
            COUNT(DISTINCT user_id) AS n_exact,
@@ -36,6 +39,9 @@ def q70_hll_distinct_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q71_quantile_sketch_bound",
+    # rotated out of the judged window r7 (judged green r4-r6);
+    # keeps local DuckDB parity via tests/test_oracle_parity.py
+    defer=True,
     oracle="""
     SELECT o_orderstatus AS status,
            COUNT(*) AS n_rows,

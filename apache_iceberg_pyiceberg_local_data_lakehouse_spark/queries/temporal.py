@@ -17,6 +17,9 @@ from . import load, register
 
 @register(
     "q35_asof_join",
+    # rotated out of the judged window r7 (judged green r3-r6);
+    # keeps local DuckDB parity via tests/test_oracle_parity.py
+    defer=True,
     oracle="""
     SELECT l.event_id AS event_id, l.user_id AS user_id,
            r.value AS asof_value
@@ -45,6 +48,9 @@ def q35_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q36_trailing_window_count",
+    # rotated out of the judged window r7 (judged green r3-r6);
+    # keeps local DuckDB parity via tests/test_oracle_parity.py
+    defer=True,
     oracle="""
     SELECT l.event_id AS event_id, COUNT(*) AS n_prior
     FROM events l
@@ -77,6 +83,9 @@ def q36_trailing_window_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q37_session_range_join",
+    # rotated out of the judged window r7 (judged green r3-r6);
+    # keeps local DuckDB parity via tests/test_oracle_parity.py
+    defer=True,
     oracle="""
     WITH spans AS (
       SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,

@@ -53,6 +53,9 @@ def q40_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q41_dedup_token_jaccard",
+    # rotated out of the judged window r7 (judged green r1-r6);
+    # keeps local DuckDB parity via tests/test_oracle_parity.py
+    defer=True,
     oracle="""
     WITH toks AS (
       SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS tok
@@ -1071,6 +1074,9 @@ def q5h_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q5i_weighted_sample",
+    # rotated out of the judged window r7 (judged green r6; shape ~ q57);
+    # keeps local DuckDB parity via tests/test_oracle_parity.py
+    defer=True,
     # new in r5, registered behind the judged window (rotate in when a
     # slot frees); certifies sampling.weighted_sample cross-engine
     oracle="""
@@ -1103,6 +1109,9 @@ def q5i_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q5j_hashed_embeddings",
+    # rotated out of the judged window r7 (judged green r6; shape ~ q51);
+    # keeps local DuckDB parity via tests/test_oracle_parity.py
+    defer=True,
     # new in r5, registered behind the judged window (rotate in when a
     # slot frees); certifies operators/embedding.py cross-engine
     oracle=f"""
@@ -1420,7 +1429,6 @@ def q5o_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # new in r6, registered behind the judged window (r7 rotation
     # fodder); certifies operators/retrieval.py BM25: quantized
     # per-term contributions, exact integer rollup, deterministic rank.
-    defer=True,
     oracle="""
     WITH toks AS (
       SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
@@ -1479,7 +1487,6 @@ def q72_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # new in r6, registered behind the judged window (r7 rotation
     # fodder); certifies operators/paragraphs.py CCNet-style line dedup
     # end-to-end including reassembly order (md5 of rebuilt text).
-    defer=True,
     oracle="""
     WITH t AS (
       SELECT doc_id, string_split(text, ' ') AS tk FROM documents
@@ -1560,7 +1567,6 @@ def q5q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fodder); certifies operators/dedup.py exact-substring family:
     # the pair join (distinct spans, stop-window cap) AND the per-doc
     # duplicated-span profile in one result.
-    defer=True,
     oracle="""
     WITH t AS (
       SELECT doc_id, string_split(text, ' ') AS tk FROM documents

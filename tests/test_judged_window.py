@@ -21,39 +21,50 @@ def test_window_is_exactly_fifty():
     assert list(QUERIES)[:JUDGED_WINDOW] == JUDGED_NAMES
 
 
-def test_round6_rotations_are_in_window():
-    """VERDICT r5: keep the five HUGEINT-artifact reds in the window so
-    the oracle cast gets its driver-green row, and rotate every
-    never-judged oracle-backed entry in."""
+def test_round7_rotations_are_in_window():
+    """VERDICT r6 #1: rotate ALL 15 never-judged oracle-backed entries
+    (the entire r6 feature wave) into the window; the deferred residents
+    (q01/q03/q05/q13/q30/q32/q41/q50 with 6 green rounds, q35-q37,
+    q70/q71, q5i/q5j) keep local DuckDB parity via
+    tests/test_oracle_parity.py."""
     must_be_judged = {
-        # r5's five hash-only reds, oracles fixed at head (BIGINT casts)
-        "q6c_lakehouse_position_delete",
-        "q6d_lakehouse_mor_update",
-        "q6e_incremental_over_mor",
-        "q5e_repetition_quality",
-        "q5g_semantic_dedup",
-        # first-time-judged rotations (never had a CORRECTNESS row)
-        "q4d_bpe_vocab_fit",
-        "q59_token_chunking",
-        "q5h_incremental_near_dedup",
-        "q5i_weighted_sample",
-        "q5j_hashed_embeddings",
-        "q5k_corpus_mix",
-        "q5l_unigram_lm_score",
-        "q5m_sequence_packing",
-        "q5n_bin_packing",
-        "q5o_curation_pipeline",
-        "q5p_quantized_ann",
-        "q6i_lakehouse_merge_sync",
-        "q6j_lakehouse_analyze_stats",
-        "q6k_lakehouse_in_list_lookup",
-        "q6l_lakehouse_hourly_prune",
-        "q6m_lakehouse_partition_overwrite",
-        "q6n_lakehouse_sql_lifecycle",
-        "q6o_lakehouse_column_default",
-        "q6p_lakehouse_materialized_view",
+        "q6q_snapshot_isolation_gc",
+        "q6r_sql_time_travel",
+        "q6s_changelog_images",
+        "q6t_metadata_agg_pushdown",
+        "q6u_runtime_join_pruning",
+        "q6v_row_lineage",
+        "q6w_incremental_mv_refresh",
+        "q6x_cdc_replication",
+        "q6y_tombstone_consolidation",
+        "q72_bm25_topk",
+        "q73_hybrid_rrf_fusion",
+        "q74_pq_ann_topk",
+        "q75_jsonl_ingest",
+        "q5q_paragraph_dedup",
+        "q5r_exact_substring_dedup",
     }
     assert must_be_judged <= set(JUDGED_NAMES)
+    rotated_out = {
+        "q01_pricing_summary",
+        "q03_shipping_priority",
+        "q05_region_revenue",
+        "q13_top_orders_per_customer",
+        "q30_events_tumbling_1h",
+        "q32_events_sessionization",
+        "q41_dedup_token_jaccard",
+        "q50_knn_bruteforce",
+        "q35_asof_join",
+        "q36_trailing_window_count",
+        "q37_session_range_join",
+        "q70_hll_distinct_bound",
+        "q71_quantile_sketch_bound",
+        "q5i_weighted_sample",
+        "q5j_hashed_embeddings",
+    }
+    assert not rotated_out & set(JUDGED_NAMES)
+    # rotated-out entries stay registered (local parity keeps running)
+    assert rotated_out <= set(QUERIES)
 
 
 def test_every_registration_has_an_oracle():

@@ -121,3 +121,73 @@ def test_column_added_later_is_conservative(spark, table):
     assert table.metadata_agg({"m": ("min", "w")}) is None
     # count is still served: row counts don't depend on the new column
     assert table.metadata_agg({"n": ("count", "*")}).first()["n"] == 100
+
+
+# -- SQL surface wiring (VERDICT r6 #4): SELECT COUNT(*)/MIN/MAX FROM t
+# routes through metadata_agg with zero data files read ----------------
+
+
+@pytest.fixture
+def cat_table(spark, tmp_path):
+    cat = LakehouseCatalog(spark, str(tmp_path / "whsql"))
+    cat.create_namespace("m")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 1.5 - 20.0).alias("v"),
+        F.concat(F.lit("s"), F.col("id")).alias("s"),
+    )
+    t = cat.create_table("m.t", df.schema)
+    t.append(df)
+    return cat, t
+
+
+def test_sql_count_served_from_metadata(monkeypatch, cat_table):
+    """The happy path must never touch a data file: poison the reader
+    and assert the SQL answer still comes back, named and typed exactly
+    as the scan path would name it."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark import table as T
+
+    cat, t = cat_table
+
+    def boom(*a, **k):
+        raise AssertionError("data file read on the metadata fast path")
+
+    monkeypatch.setattr(T.LakehouseTable, "_read_data", boom)
+    got = cat.sql("SELECT COUNT(*), MIN(k), MAX(v) FROM m.t")
+    assert got.columns == ["count(1)", "min(k)", "max(v)"]
+    row = got.first()
+    assert (row["count(1)"], row["min(k)"]) == (100, 0)
+    assert row["max(v)"] == pytest.approx(99 * 1.5 - 20.0)
+    # aliases flow through; view-name reference (m_t) resolves too
+    row2 = cat.sql("SELECT COUNT(*) AS n FROM m_t").first()
+    assert row2["n"] == 100
+
+
+def test_sql_falls_back_when_metadata_inexact(cat_table):
+    """MoR tombstones / string bounds force the scan path - the answer
+    must be the LOGICAL table's, not the stale footer counts."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.dml import (
+        delete_where,
+    )
+
+    cat, t = cat_table
+    # string bounds are refused by metadata_agg -> scan fallback works
+    assert cat.sql("SELECT MIN(s) FROM m.t").first()[0] == "s0"
+    delete_where(t, F.col("k") >= 90, mode="merge-on-read", positional=True)
+    assert cat.sql("SELECT COUNT(*) FROM m.t").first()[0] == 90
+    assert cat.sql("SELECT MAX(k) FROM m.t").first()[0] == 89
+
+
+def test_sql_fast_path_shape_gate(cat_table, spark):
+    """WHERE / GROUP BY / expressions / non-lakehouse views keep the
+    normal Spark path (and its semantics) untouched."""
+    cat, t = cat_table
+    # non-matching shapes use the registered view name, like any SELECT
+    assert cat.sql("SELECT COUNT(*) FROM m_t WHERE k < 10").first()[0] == 10
+    assert cat.sql("SELECT MAX(k + 1) FROM m_t").first()[0] == 100
+    assert (
+        cat.sql("SELECT COUNT(*) AS n, COUNT(*) AS n2 FROM m_t").first()["n2"]
+        == 100
+    )
+    spark.range(7).createOrReplaceTempView("plain_view")
+    assert cat.sql("SELECT COUNT(*) FROM plain_view").first()[0] == 7
