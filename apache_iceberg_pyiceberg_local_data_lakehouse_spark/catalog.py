@@ -116,6 +116,53 @@ _DML_VACUUM = re.compile(
     r"(\s+DRY\s+RUN)?\s*;?\s*$",
     re.IGNORECASE,
 )
+# MERGE INTO target USING source ON <equi-keys> WHEN ... - compiled to
+# dml.merge_into (row-replace semantics: UPDATE SET * / INSERT *).
+_DML_MERGE_HEAD = re.compile(
+    r"^\s*MERGE\s+INTO\s+(?P<target>[\w.]+)"
+    r"(?:\s+(?:AS\s+)?(?!USING\b)(?P<talias>\w+))?"
+    r"\s+USING\s+(?P<src>\((?:[^()]|\([^()]*\))*\)|[\w.]+)"
+    r"(?:\s+(?:AS\s+)?(?!ON\b)(?P<salias>\w+))?"
+    r"\s+ON\s+(?P<on>.+?)(?P<clauses>\s+WHEN\s+.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DML_MERGE_CLAUSE = re.compile(
+    r"WHEN\s+(?P<kind>NOT\s+MATCHED\s+BY\s+SOURCE|NOT\s+MATCHED|MATCHED)"
+    r"(?:\s+AND\s+(?P<cond>.+?))?"
+    r"\s+THEN\s+(?P<action>UPDATE\s+SET\s+\*|INSERT\s+\*|DELETE)",
+    re.IGNORECASE | re.DOTALL,
+)
+
+# ALTER TABLE schema-evolution verbs - all metadata-only commits
+# routed to the dml engines (add/drop/rename/promote) or properties.
+_DML_ALTER = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+(.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ALTER_ADD_COL = re.compile(
+    r"^ADD\s+COLUMN\s+(\w+)\s+([\w()<>, ]+?)"
+    r"(?:\s+DEFAULT\s+(.+?))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ALTER_DROP_COL = re.compile(r"^DROP\s+COLUMN\s+(\w+)$", re.IGNORECASE)
+_ALTER_RENAME_COL = re.compile(
+    r"^RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)$", re.IGNORECASE
+)
+_ALTER_COL_TYPE = re.compile(
+    r"^ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+([\w()<>, ]+)$", re.IGNORECASE
+)
+_ALTER_SET_PROPS = re.compile(
+    r"^SET\s+TBLPROPERTIES\s*\((.+)\)$", re.IGNORECASE | re.DOTALL
+)
+# SQL type aliases -> the schema-json canonical names the table format
+# stores (StructType.fromJson rejects the SQL spellings)
+_SQL_TYPE_ALIAS = {
+    "int": "integer",
+    "bigint": "long",
+    "tinyint": "byte",
+    "smallint": "short",
+}
+
 # Aggregate-pushdown fast path: a whole-table COUNT(*)/MIN/MAX SELECT
 # with no WHERE / GROUP BY / JOIN answers from the manifest via
 # LakehouseTable.metadata_agg (zero data files read); any shape or
@@ -514,6 +561,86 @@ class LakehouseCatalog:
         ]
         return cands[0] if len(cands) == 1 else None
 
+    # GROUP BY + distributive aggregates: the classic second tier of
+    # incremental view maintenance. COUNT/SUM merge by addition,
+    # MIN/MAX by least/greatest, so REFRESH can aggregate ONLY the
+    # base's append-diff and MERGE the partials into the
+    # materialization on the group keys - O(delta + touched groups).
+    _MV_AGG_SHAPE = re.compile(
+        r"^\s*SELECT\s+(?P<items>.+?)\s+FROM\s+(?P<ref>[A-Za-z_]\w*)"
+        r"(?:\s+WHERE\s+(?P<where>.+?))?"
+        r"\s+GROUP\s+BY\s+(?P<keys>[\w\s,]+?)\s*;?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _MV_AGG_ITEM = re.compile(
+        r"^\s*(?P<op>COUNT|SUM|MIN|MAX)\s*\((?P<arg>[^()]*|\*)\)"
+        r"\s+AS\s+(?P<alias>[A-Za-z_]\w*)\s*$",
+        re.IGNORECASE,
+    )
+
+    def _mv_agg_spec(
+        self, sql_text: str
+    ) -> tuple[str, list[str], list[tuple[str, str]]] | None:
+        """Parse an aggregate-distributive MV query: ``SELECT <bare key
+        cols and COUNT/SUM/MIN/MAX(expr) AS alias> FROM <one table view>
+        [WHERE ...] GROUP BY <the key cols>``. Returns (base identifier,
+        group columns, [(agg alias, op)]) or None. Conservative like
+        :meth:`_mv_incremental_base`: HAVING, DISTINCT, AVG, expression
+        group keys, unaliased aggregates, subqueries or a second table
+        all fall back to full refresh - never to a wrong result."""
+        m = self._MV_AGG_SHAPE.match(sql_text)
+        if m is None:
+            return None
+        if re.search(r"\b(HAVING|DISTINCT|AVG)\b", sql_text, re.IGNORECASE):
+            return None
+        keys = [k.strip() for k in m.group("keys").split(",") if k.strip()]
+        if not keys or any(not re.fullmatch(r"[A-Za-z_]\w*", k) for k in keys):
+            return None
+        group_cols, aggs = [], []
+        for part in _split_top_level(m.group("items")):
+            part = part.strip()
+            if re.fullmatch(r"[A-Za-z_]\w*", part):
+                group_cols.append(part)
+                continue
+            im = self._MV_AGG_ITEM.match(part)
+            if im is None:
+                return None
+            arg = im.group("arg").strip()
+            op = im.group("op").lower()
+            if re.search(
+                r"\b(COUNT|SUM|MIN|MAX|AVG)\b", arg, re.IGNORECASE
+            ):
+                return None  # nested aggregate
+            if arg == "*" and op != "count":
+                return None
+            aggs.append((im.group("alias"), op))
+        if sorted(group_cols) != sorted(keys) or not aggs:
+            return None
+        # the FROM ref must be exactly one lakehouse table's view name
+        idents = [
+            ident
+            for ns in self.list_namespaces()
+            for ident in self.list_tables(ns)
+            if self.view_name(ident) == m.group("ref")
+        ]
+        if len(idents) != 1:
+            return None
+        # plan-level guard: exactly the one Aggregate, nothing sneaky
+        # (a subquery in WHERE would add plan nodes the regex missed)
+        try:
+            self.register_views()
+            plan = str(
+                self.spark.sql(sql_text)._jdf.queryExecution().analyzed()
+            )
+        except Exception:
+            return None
+        bad = tuple(
+            tok for tok in self._MV_NON_DISTRIBUTIVE if tok != "Aggregate"
+        )
+        if any(tok in plan for tok in bad) or plan.count("Aggregate") != 1:
+            return None
+        return idents[0], group_cols, aggs
+
     def _pin_base_view(self, base_ident: str) -> int:
         """Register the base table's view at an EXACT pinned version and
         return it - the recorded mv.base_version must be precisely the
@@ -552,6 +679,17 @@ class LakehouseCatalog:
         if base_ident is not None:
             props["mv.base_table"] = base_ident
             props["mv.base_version"] = str(self._pin_base_view(base_ident))
+        else:
+            agg_spec = self._mv_agg_spec(sql_text)
+            if agg_spec is not None:
+                base_ident, group_cols, aggs = agg_spec
+                props["mv.base_table"] = base_ident
+                props["mv.base_version"] = str(
+                    self._pin_base_view(base_ident)
+                )
+                props["mv.refresh_mode"] = "agg"
+                props["mv.group_cols"] = json.dumps(group_cols)
+                props["mv.aggs"] = json.dumps(aggs)
         src = self.spark.sql(sql_text).localCheckpoint(eager=True)
         self.create_namespace(ns)
         t = self.create_table(identifier, src.schema)
@@ -602,16 +740,29 @@ class LakehouseCatalog:
                 else:
                     # the stored query over ONLY the new rows;
                     # distributivity was proven at creation (pure
-                    # projection/filter)
+                    # projection/filter, or GROUP BY + distributive
+                    # aggregates in 'agg' mode)
                     delta.createOrReplaceTempView(
                         self.view_name(base_ident)
                     )
                     inc = self.spark.sql(sql_text).localCheckpoint(
                         eager=True
                     )
-                    snap = t.append(inc) if inc.count() else t.snapshot()
-                    t.set_properties(**{"mv.base_version": str(cur_v)})
-                    return snap
+                    if props.get("mv.refresh_mode") == "agg":
+                        snap = self._merge_agg_delta(t, props, inc)
+                        if snap is not NotImplemented:
+                            t.set_properties(
+                                **{"mv.base_version": str(cur_v)}
+                            )
+                            return snap
+                        # NULL group key in the delta: fall through to
+                        # the full-refresh path below
+                    else:
+                        snap = (
+                            t.append(inc) if inc.count() else t.snapshot()
+                        )
+                        t.set_properties(**{"mv.base_version": str(cur_v)})
+                        return snap
         # full refresh; MV tables are created unpartitioned, so the
         # non-empty path is a full-table replace in one commit
         if base_ident is not None:
@@ -623,6 +774,251 @@ class LakehouseCatalog:
         if base_ident is not None:
             t.set_properties(**{"mv.base_version": str(new_base_v)})
         return snap
+
+    def _sql_merge(self, m: re.Match) -> DataFrame:
+        """Compile ``MERGE INTO t USING s ON t.k = s.k WHEN ...`` to
+        :func:`dml.merge_into`. Supported matrix (row-replace form, the
+        one the engine's MERGE implements):
+
+        - ``WHEN MATCHED [AND <cond over target cols>] THEN
+          UPDATE SET * | DELETE`` (absent -> matched rows keep the
+          table version, merge_into's 'ignore');
+        - ``WHEN NOT MATCHED THEN INSERT *`` (absent -> source-only
+          keys are dropped);
+        - ``WHEN NOT MATCHED BY SOURCE THEN DELETE`` (full sync).
+
+        ON must be a conjunction of equality predicates naming the
+        SAME column on both sides (``t.k = s.k [AND t.k2 = s.k2]``) -
+        that is merge_into's key model; the source may be a registered
+        view, a lakehouse table, or a parenthesized subquery."""
+        from .dml import merge_into
+
+        target = m.group("target")
+        t = self.load_table(target)
+        src_txt = m.group("src")
+        self.register_views()
+        self._register_stored_views()
+        if src_txt.startswith("("):
+            src_df = self.spark.sql(src_txt[1:-1])
+        else:
+            try:
+                src_df = self.load_table(
+                    self._resolve_table_reference(src_txt)
+                ).to_df()
+            except NoSuchTableError:
+                src_df = self.spark.table(src_txt)
+
+        keys = []
+        for part in re.split(r"\bAND\b", m.group("on"), flags=re.IGNORECASE):
+            em = re.fullmatch(r"\s*([\w.]+)\s*=\s*([\w.]+)\s*", part)
+            if em is None:
+                raise ValueError(
+                    "MERGE ON must be a conjunction of column equalities "
+                    f"(t.k = s.k), got: {part.strip()!r}"
+                )
+            lcol = em.group(1).rsplit(".", 1)[-1]
+            rcol = em.group(2).rsplit(".", 1)[-1]
+            if lcol != rcol:
+                raise ValueError(
+                    "MERGE ON requires the same column name on both "
+                    f"sides, got {em.group(1)} = {em.group(2)}"
+                )
+            keys.append(lcol)
+
+        when_matched = "ignore"
+        matched_condition = None
+        when_not_matched = "ignore"
+        by_source = "keep"
+        clauses = m.group("clauses")
+        seen_spans = []
+        for cm in _DML_MERGE_CLAUSE.finditer(clauses):
+            seen_spans.append(cm.span())
+            kind = re.sub(r"\s+", " ", cm.group("kind").upper())
+            action = re.sub(r"\s+", " ", cm.group("action").upper())
+            cond = cm.group("cond")
+            if kind == "MATCHED":
+                if action == "DELETE":
+                    when_matched = "delete"
+                elif action == "UPDATE SET *":
+                    when_matched = "update"
+                else:
+                    raise ValueError(f"WHEN MATCHED cannot {action}")
+                if cond is not None:
+                    matched_condition = self._strip_alias(
+                        cond, m.group("talias"), target
+                    )
+            elif kind == "NOT MATCHED":
+                if action != "INSERT *":
+                    raise ValueError(f"WHEN NOT MATCHED cannot {action}")
+                if cond is not None:
+                    raise ValueError(
+                        "WHEN NOT MATCHED AND <cond> is not supported"
+                    )
+                when_not_matched = "insert"
+            else:  # NOT MATCHED BY SOURCE
+                if action != "DELETE" or cond is not None:
+                    raise ValueError(
+                        "WHEN NOT MATCHED BY SOURCE supports only "
+                        "unconditional DELETE"
+                    )
+                by_source = "delete"
+        leftover = _DML_MERGE_CLAUSE.sub("", clauses).strip()
+        if leftover or not seen_spans:
+            raise ValueError(
+                f"unparsed MERGE clause text: {leftover!r}"
+            )
+        snap = merge_into(
+            t,
+            src_df,
+            key=keys,
+            when_matched=when_matched,
+            matched_condition=matched_condition,
+            when_not_matched=when_not_matched,
+            when_not_matched_by_source=by_source,
+        )
+        return self.spark.createDataFrame(
+            [("merge", target, snap.version)],
+            "operation string, table string, version long",
+        )
+
+    def _sql_alter(self, ident: str, action: str) -> DataFrame:
+        """ALTER TABLE <t> ADD COLUMN c type [DEFAULT lit] | DROP
+        COLUMN c | RENAME COLUMN a TO b | ALTER COLUMN c TYPE t |
+        SET TBLPROPERTIES (k=v, ...) - the SQL spellings of the
+        schema-evolution engines (all metadata-only commits; type
+        changes restricted to the safe widenings promote_column
+        enforces)."""
+        from .dml import (
+            add_column,
+            drop_column,
+            promote_column,
+            rename_column,
+        )
+
+        t = self.load_table(ident)
+        action = action.strip()
+        am = _ALTER_ADD_COL.match(action)
+        if am:
+            col_type = am.group(2).strip().lower()
+            col_type = _SQL_TYPE_ALIAS.get(col_type, col_type)
+            default = am.group(3)
+            if default is not None:
+                # literal only: evaluate via a one-row projection so
+                # 'DEFAULT 5' / "DEFAULT 'x'" / DEFAULT NULL all parse;
+                # cast to the declared type (a bare 0.5 literal is
+                # DECIMAL, which the v3 default encoding refuses)
+                default = self.spark.range(1).select(
+                    F.expr(default).cast(col_type).alias("d")
+                ).first()["d"]
+            snap = add_column(t, am.group(1), col_type, default=default)
+            op = "alter add column"
+        elif (am := _ALTER_DROP_COL.match(action)) is not None:
+            snap = drop_column(t, am.group(1))
+            op = "alter drop column"
+        elif (am := _ALTER_RENAME_COL.match(action)) is not None:
+            snap = rename_column(t, am.group(1), am.group(2))
+            op = "alter rename column"
+        elif (am := _ALTER_COL_TYPE.match(action)) is not None:
+            new_type = am.group(2).strip().lower()
+            snap = promote_column(
+                t, am.group(1), _SQL_TYPE_ALIAS.get(new_type, new_type)
+            )
+            op = "alter column type"
+        elif (am := _ALTER_SET_PROPS.match(action)) is not None:
+            props = {}
+            for part in _split_top_level(am.group(1)):
+                if "=" not in part:
+                    raise ValueError(
+                        f"malformed TBLPROPERTIES entry: {part.strip()!r}"
+                    )
+                k, v = part.split("=", 1)
+                props[k.strip().strip("'\"")] = v.strip().strip("'\"")
+            t.set_properties(**props)
+            snap = t.snapshot()
+            op = "alter set tblproperties"
+        else:
+            raise ValueError(f"unsupported ALTER TABLE action: {action!r}")
+        return self.spark.createDataFrame(
+            [(op, ident, snap.version)],
+            "operation string, table string, version long",
+        )
+
+    @staticmethod
+    def _strip_alias(cond: str, alias: str | None, target: str) -> str:
+        """Rewrite ``t.col`` / ``ns.tbl.col`` references in a matched
+        condition to bare column names (merge_into predicates range
+        over the TABLE row only)."""
+        for prefix in (alias, target, target.rsplit(".", 1)[-1]):
+            if prefix:
+                cond = re.sub(
+                    rf"\b{re.escape(prefix)}\.", "", cond
+                )
+        return cond.strip()
+
+    def _merge_agg_delta(self, t: LakehouseTable, props: dict, inc: DataFrame):
+        """Merge an aggregated append-diff into an 'agg'-mode MV: the
+        delta's partial aggregates combine with the materialized groups
+        (COUNT/SUM add, MIN least, MAX greatest - NULL partials defer
+        to the other side), then one MERGE on the group keys updates
+        touched groups and inserts new ones. O(delta + touched groups),
+        never the base table. Returns the commit snapshot, the current
+        snapshot for an empty diff, or ``NotImplemented`` when the
+        delta contains a NULL group key (equality-keyed MERGE cannot
+        address the NULL group; the caller full-refreshes - rare and
+        always correct)."""
+        from functools import reduce
+
+        from .dml import merge_into
+
+        group_cols = json.loads(props["mv.group_cols"])
+        aggs = json.loads(props["mv.aggs"])
+        if not inc.count():
+            return t.snapshot()
+        has_null_key = (
+            inc.filter(
+                reduce(
+                    lambda a, b: a | b,
+                    [F.col(k).isNull() for k in group_cols],
+                )
+            )
+            .limit(1)
+            .count()
+        )
+        if has_null_key:
+            return NotImplemented
+        types = {f.name: f.dataType for f in t.schema.fields}
+        cur = t.to_df().alias("t")
+        joined = inc.alias("d").join(cur, on=group_cols, how="left")
+        merged_cols = [F.col(k) for k in group_cols]
+        for name, op in aggs:
+            tv, dv = F.col(f"t.{name}"), F.col(f"d.{name}")
+            if op in ("count", "sum"):
+                combined = (
+                    F.when(tv.isNull(), dv)
+                    .when(dv.isNull(), tv)
+                    .otherwise(tv + dv)
+                )
+            elif op == "min":
+                combined = (
+                    F.when(tv.isNull(), dv)
+                    .when(dv.isNull(), tv)
+                    .otherwise(F.least(tv, dv))
+                )
+            else:  # max
+                combined = (
+                    F.when(tv.isNull(), dv)
+                    .when(dv.isNull(), tv)
+                    .otherwise(F.greatest(tv, dv))
+                )
+            merged_cols.append(combined.cast(types[name]).alias(name))
+        merged = joined.select(*merged_cols)
+        return merge_into(
+            t,
+            merged,
+            key=group_cols,
+            when_matched="update",
+            when_not_matched="insert",
+        )
 
     def sql(self, query: str) -> DataFrame:
         """Run SQL over the registered views (sugar for
@@ -684,6 +1080,12 @@ class LakehouseCatalog:
                 [("update", m.group(1), snap.version)],
                 "operation string, table string, version long",
             )
+        m = _DML_MERGE_HEAD.match(query)
+        if m:
+            return self._sql_merge(m)
+        m = _DML_ALTER.match(query)
+        if m:
+            return self._sql_alter(m.group(1), m.group(2))
         m = _DML_SHOW_TABLES.match(query)
         if m:
             spaces = [m.group(1)] if m.group(1) else self.list_namespaces()

@@ -345,7 +345,11 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str, n_bands: int = 32, rows_per_band: int = 4
+    signatures: DataFrame,
+    id_col: str,
+    n_bands: int = 32,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH banding: hash each band of the signature; docs sharing any band
     bucket become candidate pairs.
@@ -357,7 +361,20 @@ def lsh_candidate_pairs(
     groupBy-bucket + intra-bucket pair-expansion variant was tried and
     regressed 2.7x at sf0.1: building the quadratic pair array per
     bucket in a higher-order transform costs far more than the
-    sort-merge join on compact (band, bucket) keys.)"""
+    sort-merge join on compact (band, bucket) keys.)
+
+    ``max_bucket_size`` is the skew guard for web-scale corpora: a
+    band bucket shared by boilerplate (license headers, navigation
+    chrome) can hold millions of documents, turning the self-join
+    quadratic on that one key. Buckets larger than the cap are dropped
+    BEFORE the join (one map-side-combining groupBy + equi-join, no
+    window over the hot key - the q5r ``max_docs_per_window``
+    precedent), bounding worst-case candidates per bucket at cap^2. A
+    true near-duplicate cluster bigger than the cap still surfaces
+    through its OTHER bands (boilerplate shares one band's tokens;
+    near-identical documents collide in most of the 32), so recall
+    degrades gracefully while the worst case becomes bounded. None
+    (default) keeps exact historical behavior."""
     sig = F.col("minhash")
     bands = []
     for b in range(n_bands):
@@ -366,6 +383,14 @@ def lsh_candidate_pairs(
     exploded = signatures.select(
         F.col(id_col).alias("__id"), F.explode(F.array(*bands)).alias("bb")
     ).select("__id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    if max_bucket_size is not None:
+        keep = (
+            exploded.groupBy("band", "bucket")
+            .agg(F.count("*").alias("__bs"))
+            .filter(F.col("__bs") <= max_bucket_size)
+            .drop("__bs")
+        )
+        exploded = exploded.join(keep, on=["band", "bucket"])
     a, b_ = exploded.alias("a"), exploded.alias("b")
     return (
         a.join(
@@ -389,9 +414,14 @@ def minhash_near_duplicates(
     shingle_len: int = 1,
     seed: int = 42,
     max_bitmap_vocab: int = 4096,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full MinHash+LSH near-dedup: signatures -> banded candidates ->
     EXACT jaccard verification of candidates only.
+
+    ``max_bucket_size`` forwards to :func:`lsh_candidate_pairs` - the
+    boilerplate skew guard that drops band buckets larger than the cap
+    before the candidate self-join (None keeps full recall).
 
     Precision is exact (every output pair passes the true-jaccard filter);
     recall depends on banding - with 32 bands x 4 rows, a 0.95-jaccard
@@ -465,7 +495,9 @@ def minhash_near_duplicates(
     ).select(
         "gid", F.array(*[F.col(f"mh_{i}") for i in range(n_hashes)]).alias("minhash")
     ).cache()  # feeds both sides of the LSH self-join; O(#distinct sets) rows
-    cands = lsh_candidate_pairs(sigs, "gid", n_bands, rows_per_band)
+    cands = lsh_candidate_pairs(
+        sigs, "gid", n_bands, rows_per_band, max_bucket_size=max_bucket_size
+    )
 
     # exact verification of candidate SET pairs
     toks_all = groups.select("gid", F.explode("toks").alias("tok"))

@@ -2161,3 +2161,127 @@ def q76_sql_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+@register(
+    "q77_mv_agg_incremental",
+    # new in r7, registered behind the judged window (r8 rotation
+    # fodder); certifies the distributive-aggregate tier of incremental
+    # MV maintenance: REFRESH after an append merges the diff's partial
+    # aggregates into the materialization (one MERGE on the group keys,
+    # O(delta + touched groups)) and equals the full recompute.
+    defer=True,
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           TRUE AS refreshed_by_merge
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q77_mv_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate MV incremental maintenance judged end-to-end: the MV
+    is created over HALF the documents, the other half appends to the
+    base, and REFRESH must merge partial aggregates (commit operation
+    'merge', not a rewrite) into exactly the groups a full GROUP BY
+    over the whole corpus would produce."""
+    from ..catalog import LakehouseCatalog
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_q77_")
+    try:
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("tmp")
+        d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+        t = cat.create_table("tmp.docs77", d.schema)
+        t.append(d.filter(F.col("doc_id") % 2 == 0))
+        cat.create_materialized_view(
+            "tmp.by_lang",
+            "SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars, "
+            "MAX(n_chars) AS max_chars FROM tmp_docs77 GROUP BY lang",
+        )
+        t.append(d.filter(F.col("doc_id") % 2 == 1))
+        snap = cat.refresh_materialized_view("tmp.by_lang")
+        merged = snap is not None and snap.operation == "merge"
+        mv = cat.load_table("tmp.by_lang")
+        out = mv.to_df().select(
+            "lang",
+            "n_docs",
+            F.col("sum_chars").cast("long").alias("sum_chars"),
+            F.col("max_chars").cast("long").alias("max_chars"),
+            F.lit(merged).alias("refreshed_by_merge"),
+        )
+        rows = out.collect()  # materialize before the warehouse vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+@register(
+    "q78_sql_merge_alter",
+    # new in r7, registered behind the judged window (r8 rotation
+    # fodder); certifies the SQL MERGE INTO verb (subquery source,
+    # UPDATE SET * / INSERT *) and the ALTER TABLE verbs (ADD COLUMN
+    # with an Iceberg-v3 initial default, RENAME COLUMN) end-to-end.
+    defer=True,
+    oracle="""
+    WITH final AS (
+      SELECT doc_id, lang, n_chars FROM documents
+      WHERE doc_id % 2 = 0 AND doc_id % 3 <> 0
+      UNION ALL
+      SELECT doc_id, lang, n_chars + 1000 FROM documents
+      WHERE doc_id % 3 = 0
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(COUNT(*) * 7 AS BIGINT) AS sum_flag
+    FROM final GROUP BY lang ORDER BY lang
+    """,
+)
+def q78_sql_merge_alter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL DML+DDL lifecycle: seed a table with the even documents,
+    MERGE a +1000-chars version of every doc_id divisible by 3
+    (matched rows update, new rows insert - one atomic commit), then
+    ALTER TABLE ADD COLUMN flag DEFAULT 7 (pre-existing rows read the
+    initial default) and RENAME the chars column; the final GROUP BY
+    must equal the relational-algebra recomputation in the oracle."""
+    from ..catalog import LakehouseCatalog
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_q78_")
+    try:
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("tmp")
+        d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+        t = cat.create_table("tmp.m78", d.schema)
+        t.append(d.filter(F.col("doc_id") % 2 == 0))
+        s = cat.create_table("tmp.src78", d.schema)
+        s.append(
+            d.filter(F.col("doc_id") % 3 == 0).withColumn(
+                "n_chars", F.col("n_chars") + 1000
+            )
+        )
+        out = cat.sql(
+            "MERGE INTO tmp.m78 t "
+            "USING (SELECT doc_id, lang, n_chars FROM tmp_src78) s "
+            "ON t.doc_id = s.doc_id "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        ).first()
+        assert out["operation"] == "merge"
+        cat.sql("ALTER TABLE tmp.m78 ADD COLUMN flag bigint DEFAULT 7")
+        cat.sql("ALTER TABLE tmp.m78 RENAME COLUMN n_chars TO chars")
+        res = (
+            t.to_df()
+            .groupBy("lang")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("chars").cast("long").alias("sum_chars"),
+                F.sum("flag").cast("long").alias("sum_flag"),
+            )
+            .orderBy("lang")
+        )
+        rows = res.collect()  # materialize before the warehouse vanishes
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)

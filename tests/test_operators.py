@@ -71,6 +71,55 @@ def test_minhash_matches_exact_jaccard(spark, sf_small):
         assert recall >= 0.9, f"minhash recall too low: {recall:.3f}"
 
 
+def test_lsh_bucket_cap_drops_boilerplate(spark):
+    """Skew guard: a band bucket stuffed with boilerplate documents is
+    dropped before the candidate self-join (bounding the worst case at
+    cap^2 per bucket), while small buckets keep producing candidates -
+    and None preserves the exact uncapped behavior."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.dedup import (
+        lsh_candidate_pairs,
+    )
+
+    # 2 bands x 2 rows; ids 0..29 collide in band 0 (same leading rows,
+    # boilerplate), all differ in band 1 except ids 100/101 which share
+    # BOTH bands (a true near-duplicate pair)
+    rows = [(i, [7, 7, 1000 + i, 2000 + i]) for i in range(30)]
+    rows += [(100, [50, 51, 60, 61]), (101, [50, 51, 60, 61])]
+    sigs = spark.createDataFrame(rows, "gid long, minhash array<long>")
+
+    uncapped = lsh_candidate_pairs(sigs, "gid", n_bands=2, rows_per_band=2)
+    up = {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
+    assert (100, 101) in up
+    assert sum(1 for a, b in up if a < 30 and b < 30) == 30 * 29 // 2
+
+    capped = lsh_candidate_pairs(
+        sigs, "gid", n_bands=2, rows_per_band=2, max_bucket_size=8
+    )
+    cp = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in cp, "small buckets must keep their candidates"
+    assert not any(a < 30 and b < 30 for a, b in cp), (
+        "boilerplate bucket must be dropped entirely"
+    )
+    # end-to-end pass-through: capped pairs are a subset of uncapped
+    d = spark.createDataFrame(
+        [(i, f"common words here tail{i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_duplicates(
+            d, "text", "doc_id", threshold=0.2
+        ).collect()
+    }
+    sub = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_duplicates(
+            d, "text", "doc_id", threshold=0.2, max_bucket_size=2
+        ).collect()
+    }
+    assert sub <= full
+
+
 def test_simhash_deterministic_and_near_dup(spark):
     rows = [
         (1, "the quick brown fox jumps over the lazy dog"),

@@ -587,3 +587,256 @@ def test_sql_analyze_and_show_stats(catalog, spark):
     assert set(stats) == {"Bid", "Ask"}
     assert stats["Bid"]["table_rows"] == 10
     assert stats["Bid"]["n_nulls"] == 0
+
+
+# -- incremental MV maintenance, distributive-aggregate tier (r7) -------
+
+
+def _sales_df(spark, rows):
+    return spark.createDataFrame(rows, "cat string, v long")
+
+
+def test_mv_agg_incremental_refresh(catalog, spark):
+    """GROUP BY + COUNT/SUM/MIN/MAX refreshes by MERGING the diff's
+    partial aggregates into the materialization: append-only base
+    growth commits a merge (O(delta + touched groups)), existing
+    groups combine, new groups insert, untouched groups survive, and
+    the result always equals the full recompute."""
+    t = catalog.create_table(
+        "gold.sales", _sales_df(spark, []).schema
+    )
+    t.append(_sales_df(spark, [("a", 1), ("a", 5), ("b", 10)]))
+    mv = catalog.create_materialized_view(
+        "gold.by_cat",
+        "SELECT cat, COUNT(*) AS n, SUM(v) AS s, MIN(v) AS lo, "
+        "MAX(v) AS hi FROM gold_sales GROUP BY cat",
+    )
+    assert mv.properties().get("mv.refresh_mode") == "agg"
+    assert mv.properties().get("mv.base_table") == "gold.sales"
+
+    # up to date: no commit
+    assert catalog.refresh_materialized_view("gold.by_cat") is None
+
+    # grow an existing group + introduce a new one
+    t.append(_sales_df(spark, [("a", 100), ("c", 7)]))
+    snap = catalog.refresh_materialized_view("gold.by_cat")
+    assert snap.operation == "merge"  # merged, not rewritten
+    got = {
+        r["cat"]: (r["n"], r["s"], r["lo"], r["hi"])
+        for r in mv.to_df().collect()
+    }
+    assert got == {
+        "a": (3, 106, 1, 100),
+        "b": (1, 10, 10, 10),
+        "c": (1, 7, 7, 7),
+    }
+    # and a no-op again
+    assert catalog.refresh_materialized_view("gold.by_cat") is None
+
+    # base DML in range: falls back to full refresh, result still exact
+    catalog.sql("DELETE FROM gold.sales WHERE v >= 100")
+    snap = catalog.refresh_materialized_view("gold.by_cat")
+    assert snap.operation in ("overwrite", "delete")
+    got = {
+        r["cat"]: (r["n"], r["s"], r["lo"], r["hi"])
+        for r in mv.to_df().collect()
+    }
+    assert got == {
+        "a": (2, 6, 1, 5),
+        "b": (1, 10, 10, 10),
+        "c": (1, 7, 7, 7),
+    }
+    assert catalog.refresh_materialized_view("gold.by_cat") is None
+
+
+def test_mv_agg_where_and_sum_null_groups(catalog, spark):
+    """The stored WHERE distributes over appends; a delta group whose
+    SUM is NULL (all values filtered to NULL) defers to the stored
+    side and vice versa."""
+    t = catalog.create_table(
+        "gold.sales2",
+        spark.createDataFrame([], "cat string, v long, w long").schema,
+    )
+    t.append(
+        spark.createDataFrame(
+            [("a", 1, None), ("b", 2, 5)], "cat string, v long, w long"
+        )
+    )
+    mv = catalog.create_materialized_view(
+        "gold.by_cat2",
+        "SELECT cat, COUNT(*) AS n, SUM(w) AS sw FROM gold_sales2 "
+        "WHERE v < 100 GROUP BY cat",
+    )
+    assert mv.properties().get("mv.refresh_mode") == "agg"
+    # delta: 'a' gains a real w (NULL stored side), 'b' gains a NULL w,
+    # and a filtered-out row must not count
+    t.append(
+        spark.createDataFrame(
+            [("a", 3, 7), ("b", 4, None), ("b", 999, 1)],
+            "cat string, v long, w long",
+        )
+    )
+    snap = catalog.refresh_materialized_view("gold.by_cat2")
+    assert snap.operation == "merge"
+    got = {r["cat"]: (r["n"], r["sw"]) for r in mv.to_df().collect()}
+    assert got == {"a": (2, 7), "b": (2, 5)}
+
+
+def test_mv_agg_null_group_key_falls_back(catalog, spark):
+    """A NULL group key in the delta cannot be addressed by an
+    equality-keyed MERGE: the refresh must full-rebuild (never
+    duplicate the NULL group) and still be exact."""
+    t = catalog.create_table("gold.sales3", _sales_df(spark, []).schema)
+    t.append(_sales_df(spark, [("a", 1), (None, 2)]))
+    mv = catalog.create_materialized_view(
+        "gold.by_cat3",
+        "SELECT cat, COUNT(*) AS n, SUM(v) AS s FROM gold_sales3 "
+        "GROUP BY cat",
+    )
+    t.append(_sales_df(spark, [(None, 10), ("a", 4)]))
+    snap = catalog.refresh_materialized_view("gold.by_cat3")
+    assert snap.operation == "overwrite"  # fell back, no merge
+    got = {r["cat"]: (r["n"], r["s"]) for r in mv.to_df().collect()}
+    assert got == {"a": (2, 5), None: (2, 12)}
+    assert catalog.refresh_materialized_view("gold.by_cat3") is None
+
+
+def test_mv_agg_shape_gates(catalog, spark):
+    """HAVING / AVG / expression group keys / COUNT DISTINCT stay on
+    the always-correct full-refresh path (no agg mode recorded)."""
+    t = catalog.create_table("gold.sales4", _sales_df(spark, []).schema)
+    t.append(_sales_df(spark, [("a", 1), ("b", 2)]))
+    for i, q in enumerate(
+        [
+            "SELECT cat, COUNT(*) AS n FROM gold_sales4 GROUP BY cat "
+            "HAVING COUNT(*) > 1",
+            "SELECT cat, AVG(v) AS m FROM gold_sales4 GROUP BY cat",
+            "SELECT UPPER(cat) AS k, COUNT(*) AS n FROM gold_sales4 "
+            "GROUP BY UPPER(cat)",
+            "SELECT cat, COUNT(DISTINCT v) AS n FROM gold_sales4 "
+            "GROUP BY cat",
+        ]
+    ):
+        mv = catalog.create_materialized_view(f"gold.gate{i}", q)
+        assert mv.properties().get("mv.refresh_mode") is None, q
+        # and refresh still works (full path)
+        t.append(_sales_df(spark, [("a", 9)]))
+        catalog.refresh_materialized_view(f"gold.gate{i}")
+
+
+# -- SQL MERGE INTO verb (r7) ------------------------------------------
+
+
+def test_sql_merge_upsert(catalog, spark):
+    t = catalog.create_table("gold.m1", _sales_df(spark, []).schema)
+    t.append(_sales_df(spark, [("a", 1), ("b", 2)]))
+    spark.createDataFrame(
+        [("b", 20), ("c", 30)], "cat string, v long"
+    ).createOrReplaceTempView("updates_src")
+    out = catalog.sql(
+        "MERGE INTO gold.m1 AS t USING updates_src AS s ON t.cat = s.cat "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    ).first()
+    assert out["operation"] == "merge"
+    got = {r["cat"]: r["v"] for r in t.to_df().collect()}
+    assert got == {"a": 1, "b": 20, "c": 30}
+
+
+def test_sql_merge_matched_delete_and_condition(catalog, spark):
+    t = catalog.create_table("gold.m2", _sales_df(spark, []).schema)
+    t.append(_sales_df(spark, [("a", 1), ("b", 200), ("c", 3)]))
+    spark.createDataFrame(
+        [("a", 0), ("b", 0)], "cat string, v long"
+    ).createOrReplaceTempView("del_src")
+    # only matched rows passing the TARGET-side condition delete
+    catalog.sql(
+        "MERGE INTO gold.m2 t USING del_src s ON t.cat = s.cat "
+        "WHEN MATCHED AND t.v > 100 THEN DELETE"
+    )
+    got = {r["cat"]: r["v"] for r in t.to_df().collect()}
+    assert got == {"a": 1, "c": 3}
+
+
+def test_sql_merge_subquery_source_and_sync(catalog, spark):
+    t = catalog.create_table("gold.m3", _sales_df(spark, []).schema)
+    t.append(_sales_df(spark, [("a", 1), ("b", 2), ("z", 99)]))
+    s = catalog.create_table("gold.m3src", _sales_df(spark, []).schema)
+    s.append(_sales_df(spark, [("a", 10), ("c", 30)]))
+    # full sync: after the merge the key set equals the source's
+    catalog.sql(
+        "MERGE INTO gold.m3 USING (SELECT cat, v FROM gold_m3src) "
+        "ON m3.cat = cat WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT * "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+    )
+    got = {r["cat"]: r["v"] for r in t.to_df().collect()}
+    assert got == {"a": 10, "c": 30}
+
+
+def test_sql_merge_insert_only_and_errors(catalog, spark):
+    t = catalog.create_table("gold.m4", _sales_df(spark, []).schema)
+    t.append(_sales_df(spark, [("a", 1)]))
+    spark.createDataFrame(
+        [("a", 999), ("b", 2)], "cat string, v long"
+    ).createOrReplaceTempView("ins_src")
+    # no WHEN MATCHED clause: table rows win (dedup-append shape)
+    catalog.sql(
+        "MERGE INTO gold.m4 USING ins_src ON m4.cat = ins_src.cat "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = {r["cat"]: r["v"] for r in t.to_df().collect()}
+    assert got == {"a": 1, "b": 2}
+    with pytest.raises(ValueError, match="column equalities"):
+        catalog.sql(
+            "MERGE INTO gold.m4 USING ins_src ON m4.cat < ins_src.cat "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+    with pytest.raises(ValueError, match="same column name"):
+        catalog.sql(
+            "MERGE INTO gold.m4 USING ins_src ON m4.cat = ins_src.v "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+    with pytest.raises(ValueError, match="cannot DELETE"):
+        catalog.sql(
+            "MERGE INTO gold.m4 USING ins_src ON m4.cat = ins_src.cat "
+            "WHEN NOT MATCHED THEN DELETE"
+        )
+
+
+# -- SQL ALTER TABLE verbs (r7) ----------------------------------------
+
+
+def test_sql_alter_table_lifecycle(catalog, spark):
+    t = catalog.create_table(
+        "gold.alt",
+        spark.createDataFrame([], "cat string, v int").schema,
+    )
+    t.append(
+        spark.createDataFrame([("a", 1), ("b", 2)], "cat string, v int")
+    )
+
+    out = catalog.sql(
+        "ALTER TABLE gold.alt ADD COLUMN score double DEFAULT 0.5"
+    ).first()
+    assert out["operation"] == "alter add column"
+    # pre-addition rows read the v3 initial default
+    assert {r["score"] for r in t.to_df().collect()} == {0.5}
+
+    catalog.sql("ALTER TABLE gold.alt RENAME COLUMN score TO quality")
+    assert "quality" in t.to_df().columns
+
+    catalog.sql("ALTER TABLE gold.alt ALTER COLUMN v TYPE bigint")
+    assert dict(t.to_df().dtypes)["v"] == "bigint"
+
+    catalog.sql("ALTER TABLE gold.alt DROP COLUMN quality")
+    assert "quality" not in t.to_df().columns
+
+    catalog.sql(
+        "ALTER TABLE gold.alt SET TBLPROPERTIES ('owner' = 'me', k = 7)"
+    )
+    props = t.properties()
+    assert props.get("owner") == "me" and props.get("k") == "7"
+
+    with pytest.raises(ValueError, match="unsupported ALTER"):
+        catalog.sql("ALTER TABLE gold.alt FROB COLUMN v")
