@@ -1464,6 +1464,93 @@ class LakehouseCatalog:
 
         return _TIME_TRAVEL.sub(repl, query)
 
+    def clone_table(
+        self,
+        src_identifier: str,
+        dst_identifier: str,
+        version: int | None = None,
+        pin_source: bool = True,
+    ) -> LakehouseTable:
+        """Shallow (zero-copy) clone - Delta's SHALLOW CLONE / an
+        Iceberg snapshot-ref table: the clone is a NEW table whose
+        first data commit references the source's data files by
+        relative path. No data is copied or rewritten; at 100 TB a
+        clone for a dev/test sandbox or a what-if migration costs one
+        metadata commit regardless of table size.
+
+        Semantics:
+        - the clone starts at the source's current (or pinned
+          ``version``) snapshot and then diverges: writes/DML/compaction
+          on either side never affect the other (clone CoW rewrites land
+          under the clone's own location and simply stop referencing
+          source files);
+        - row lineage carries over: cloned entries keep their
+          ``first_row_id`` and the clone's row-id counter resumes from
+          the source's, so ids stay stable across the clone;
+        - the clone's orphan GC walks only ``<clone>/data`` - it can
+          never delete source files (the ``add_files`` external-file
+          rule);
+        - ``pin_source=True`` (default) tags the cloned snapshot on the
+          SOURCE (``clone-<dst>``) so source snapshot expiry cannot GC
+          the files the clone references - drop the tag to release.
+          With ``pin_source=False`` the caller owns that hazard (the
+          documented shallow-clone contract: vacuum on the source can
+          break clones).
+
+        Refuses when the source snapshot has pending merge-on-read
+        tombstones: cloned entries are re-stamped to one sequence
+        number (the clone's first commit), which cannot preserve the
+        delete-applicability ordering - run ``materialize_deletes`` on
+        the source first."""
+        st = self.load_table(src_identifier)
+        snap = st.snapshot(version)
+        if snap.delete_entries:
+            raise ValueError(
+                "clone_table: source snapshot has pending merge-on-read "
+                "delete files; run maintenance.materialize_deletes on "
+                "the source (or clone an older clean version) first"
+            )
+        if self.table_exists(dst_identifier):
+            raise ValueError(f"table already exists: {dst_identifier}")
+        ns = dst_identifier.rsplit(".", 1)[0]
+        self.create_namespace(ns)
+        t = self.create_table(
+            dst_identifier,
+            StructType.fromJson(snap.schema_json),
+            snap.partition_spec,
+        )
+        entries = []
+        for e in snap.data_entries:
+            ne = dict(e)
+            ne["path"] = os.path.relpath(
+                os.path.join(st.location, e["path"]), t.location
+            )
+            # one uniform sequence number for the whole cloned file set
+            # (no tombstones -> relative order carries no information);
+            # overwrite_manifest assigns the commit's version
+            ne.pop("seq", None)
+            entries.append(ne)
+        clone_snap = t.overwrite_manifest(
+            entries,
+            operation="clone",
+            summary={
+                "cloned_from": src_identifier,
+                "source_version": snap.version,
+                "cloned_files": len(entries),
+                "cloned_rows": sum(int(e.get("rows", 0)) for e in entries),
+                # resume the SOURCE's row-id counter (not the max over
+                # cloned entries): ids of source-deleted rows must not
+                # be reissued by future clone appends
+                "next_row_id": LakehouseTable._lineage_next(snap),
+            },
+        )
+        del clone_snap
+        if pin_source:
+            st.create_tag(
+                f"clone-{self.view_name(dst_identifier)}", snap.version
+            )
+        return t
+
     def rename_table(self, from_identifier: str, to_identifier: str) -> None:
         """Catalog-level rename (Iceberg ``rename_table``): an atomic
         directory move - all snapshot metadata, manifests, refs and data

@@ -840,7 +840,7 @@ class LakehouseTable:
             df = df.select(*selected_fields)
         return df
 
-    def _pos_cols(self) -> list[F.Column]:
+    def _pos_cols(self, entries: list[dict] | None = None) -> list[F.Column]:
         """Hidden (file, row-ordinal) identity columns for position
         deletes: the manifest-relative file path (stable across catalogs
         that mount the warehouse at different absolute roots would need a
@@ -848,12 +848,18 @@ class LakehouseTable:
         parquet row index - both from the ``_metadata`` struct, computed
         by the readers, no extra I/O.
 
-        The scan-reported URI must literally contain ``<location>/`` -
+        ``entries`` (when the caller has them) lets EXTERNAL (``../``)
+        references - ``add_files`` imports and shallow clones - derive
+        their identity too: each distinct external root (one per source
+        table's data dir, NOT one per file) adds one more prefix probe,
+        reconstructing the same relative path the manifest stores.
+
+        The scan-reported URI must literally contain one known root -
         a percent-encoded path (spaces/non-ASCII), symlinked mount, or
         any other mismatch would make every derived path garbage and
         silently skip pending tombstones (resurrecting deleted rows), so
-        a miss fails the scan loudly instead. The prefix is passed as a
-        Column literal, never interpolated into SQL text, so quotes in
+        a miss fails the scan loudly instead. Prefixes are passed as
+        Column literals, never interpolated into SQL text, so quotes in
         the warehouse path cannot break or inject the expression."""
         prefix = os.path.abspath(self.location) + "/"
         fp = F.col("_metadata.file_path")
@@ -862,12 +868,35 @@ class LakehouseTable:
         idx = F.instr(fp, prefix)
         rel = F.when(
             idx > 0, fp.substr(idx + F.lit(len(prefix)), F.length(fp))
-        ).otherwise(
+        )
+        roots = set()
+        for e in entries or []:
+            if not e["path"].startswith(".."):
+                continue
+            ap = os.path.abspath(os.path.join(self.location, e["path"]))
+            # collapse to the owning data dir when the layout shows one
+            # (bounds the probe count at one per source table)
+            marker = ap.rfind("/data/")
+            roots.add(ap[: marker + len("/data")] if marker >= 0 else os.path.dirname(ap))
+        for root in sorted(roots):
+            rp = root + "/"
+            rel_root = os.path.relpath(root, self.location) + "/"
+            i2 = F.instr(fp, rp)
+            rel = rel.when(
+                i2 > 0,
+                F.concat(
+                    F.lit(rel_root),
+                    fp.substr(i2 + F.lit(len(rp)), F.length(fp)),
+                ),
+            )
+        rel = rel.otherwise(
             F.raise_error(
                 F.concat(
                     F.lit(
                         "position-delete identity: scanned file URI does "
-                        f"not contain table location {prefix!r}: "
+                        f"not contain table location {prefix!r}"
+                        + (f" or external roots {sorted(roots)!r}" if roots else "")
+                        + ": "
                     ),
                     fp,
                 )
@@ -981,7 +1010,7 @@ class LakehouseTable:
             if with_pos:
                 # grab the hidden _metadata columns straight off the file
                 # scan, before any projection hides them
-                df = df.select("*", *self._pos_cols())
+                df = df.select("*", *self._pos_cols(entries))
             for cur_name, olds in renames.items():
                 df = df.withColumn(cur_name, F.coalesce(cur_name, *olds))
             keep = [f.name for f in schema.fields] + [f.name for f in extras]
@@ -994,7 +1023,7 @@ class LakehouseTable:
                 StructType(list(schema.fields) + extras)
             ).parquet(*paths)
             if with_pos:
-                df = df.select("*", *self._pos_cols())
+                df = df.select("*", *self._pos_cols(entries))
         return df
 
     def _apply_deletes(

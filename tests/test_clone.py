@@ -1,0 +1,143 @@
+"""Shallow (zero-copy) clone: a new table referencing the source's
+data files by relative path - one metadata commit, full divergence
+afterwards, GC-safe in both directions (clone GC never touches the
+source; the default source tag pins cloned files against source
+expiry)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache_iceberg_pyiceberg_local_data_lakehouse_spark.catalog import (
+    LakehouseCatalog,
+)
+
+
+@pytest.fixture
+def cat(spark, tmp_path):
+    return LakehouseCatalog(spark, str(tmp_path / "wh"))
+
+
+def _seed(spark, cat, ident="src.t", n=100):
+    cat.create_namespace(ident.rsplit(".", 1)[0])
+    df = spark.range(0, n).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("g")
+    )
+    t = cat.create_table(ident, df.schema)
+    t.append(df.filter(F.col("k") < n // 2))
+    t.append(df.filter(F.col("k") >= n // 2))
+    return t
+
+
+def test_clone_zero_copy_and_content(spark, cat):
+    src = _seed(spark, cat)
+    clone = cat.clone_table("src.t", "dev.t")
+    assert clone.to_df().count() == 100
+    assert sorted(r["k"] for r in clone.to_df().collect()) == list(range(100))
+    # zero copy: nothing landed under the clone's data dir
+    assert not any(
+        files for _, _, files in os.walk(clone.data_dir)
+    ), "shallow clone must not copy data files"
+    s = clone.snapshot()
+    assert s.operation == "clone"
+    assert s.summary["cloned_from"] == "src.t"
+    # every entry is an external (../) reference
+    assert all(e["path"].startswith("..") for e in s.data_entries)
+
+
+def test_clone_divergence_both_ways(spark, cat):
+    src = _seed(spark, cat)
+    clone = cat.clone_table("src.t", "dev.t2")
+    clone.append(
+        spark.range(1000, 1010).select(
+            F.col("id").alias("k"), F.lit(0).alias("g")
+        )
+    )
+    assert clone.to_df().count() == 110
+    assert src.to_df().count() == 100  # source untouched
+    src.append(
+        spark.range(2000, 2005).select(
+            F.col("id").alias("k"), F.lit(1).alias("g")
+        )
+    )
+    assert clone.to_df().count() == 110  # clone pinned to its lineage
+    # CoW DML on the clone rewrites into the CLONE's location only
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.dml import (
+        delete_where,
+    )
+
+    before_src_files = {
+        e["path"] for e in src.snapshot().data_entries
+    }
+    delete_where(clone, F.col("k") < 10)
+    assert clone.to_df().count() == 100
+    assert src.to_df().count() == 105
+    assert {e["path"] for e in src.snapshot().data_entries} == before_src_files
+
+
+def test_clone_pinned_version_and_row_lineage(spark, cat):
+    src = _seed(spark, cat)
+    v_mid = src.current_version()
+    src.append(
+        spark.range(500, 510).select(
+            F.col("id").alias("k"), F.lit(2).alias("g")
+        )
+    )
+    clone = cat.clone_table("src.t", "dev.t3", version=v_mid)
+    assert clone.to_df().count() == 100  # pre-append state
+    # row lineage carries over: cloned rows keep their source ids
+    src_ids = {
+        r["_row_id"]
+        for r in src.scan_lineage(snapshot=src.snapshot(v_mid)).collect()
+    }
+    clone_ids = {r["_row_id"] for r in clone.scan_lineage().collect()}
+    assert clone_ids == src_ids
+    # and fresh clone appends continue past the source counter
+    clone.append(
+        spark.range(600, 603).select(
+            F.col("id").alias("k"), F.lit(3).alias("g")
+        )
+    )
+    new_ids = {r["_row_id"] for r in clone.scan_lineage().collect()} - src_ids
+    assert len(new_ids) == 3
+    assert min(new_ids) >= max(src_ids) + 1
+
+
+def test_clone_refuses_pending_tombstones(spark, cat):
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.dml import (
+        delete_where,
+    )
+
+    src = _seed(spark, cat)
+    delete_where(
+        src, F.col("k") < 5, mode="merge-on-read", positional=True
+    )
+    with pytest.raises(ValueError, match="materialize_deletes"):
+        cat.clone_table("src.t", "dev.t4")
+
+
+def test_clone_pin_survives_source_expiry(spark, cat):
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.maintenance import (
+        compact,
+        expire_snapshots,
+    )
+
+    src = _seed(spark, cat)
+    clone = cat.clone_table("src.t", "dev.t5")
+    # source moves on and aggressively expires history
+    compact(src)
+    res = expire_snapshots(
+        src, older_than_ms=10**18, retain_last=1, orphan_grace_secs=0
+    )
+    assert res["expired_snapshots"] > 0
+    # the clone-<name> tag pinned the cloned snapshot: files survive
+    assert clone.to_df().count() == 100
+    assert any(
+        r["name"] == "clone-dev_t5" for r in src.inspect_refs().collect()
+    )
+    # dropping the pin releases the files to future GC (contract check
+    # only - we don't re-expire here)
+    src.drop_tag("clone-dev_t5")
