@@ -1637,3 +1637,89 @@ def q5r_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_shared"), F.asc("doc_a"), F.asc("doc_b"))
         .limit(20)
     )
+
+
+@register(
+    "q7a_bigram_lm",
+    # new in r7, registered behind the judged window (r8 rotation
+    # fodder); certifies operators/lm.py fit_bigram/score_bigram
+    # (Stupid Backoff) cross-engine: fit on the corpus, score a
+    # token-REVERSED probe of the same documents so both the
+    # seen-bigram path and the unigram-backoff path carry weight.
+    defer=True,
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ), tk AS (
+      SELECT UNNEST(toks) AS tok FROM docs
+    ), freq AS (
+      SELECT tok, COUNT(*) AS c FROM tk GROUP BY tok
+    ), tot AS (
+      SELECT CAST(SUM(c) AS DOUBLE) AS n FROM freq
+    ), fit_pairs AS (
+      SELECT toks[i] AS w1, toks[i+1] AS w2
+      FROM docs, UNNEST(range(1, len(toks))) AS g(i)
+      WHERE len(toks) >= 2
+    ), bi AS (
+      SELECT w1, w2, COUNT(*) AS bc FROM fit_pairs GROUP BY w1, w2
+    ), probe AS (
+      SELECT doc_id, lang, list_reverse(toks) AS toks FROM docs
+    ), probe_pairs AS (
+      SELECT doc_id, lang, toks[i] AS w1, toks[i+1] AS w2
+      FROM probe, UNNEST(range(1, len(toks))) AS g(i)
+      WHERE len(toks) >= 2
+    ), scored AS (
+      SELECT p.doc_id, p.lang,
+             CASE WHEN b.bc IS NOT NULL
+               THEN CAST(FLOOR(ln(CAST(b.bc AS DOUBLE) / f1.c)
+                               * 1000000.0 + 0.5) AS BIGINT)
+               ELSE CAST(FLOOR(ln(0.4 * f2.c / (SELECT n FROM tot))
+                               * 1000000.0 + 0.5) AS BIGINT)
+             END AS q,
+             CASE WHEN b.bc IS NULL THEN 1 ELSE 0 END AS bk
+      FROM probe_pairs p
+      LEFT JOIN bi b ON b.w1 = p.w1 AND b.w2 = p.w2
+      JOIN freq f1 ON f1.tok = p.w1
+      JOIN freq f2 ON f2.tok = p.w2
+    )
+    SELECT lang,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions,
+           CAST(SUM(bk) AS BIGINT) AS n_backoff,
+           CAST(SUM(q) AS BIGINT) AS sum_qscore
+    FROM scored GROUP BY lang
+    """,
+)
+def q7a_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM scoring with Stupid Backoff (Brants et al. 2007):
+    fit = two count tables (unigram, bigram), score = one pair
+    projection + three token-keyed joins. The probe set reverses each
+    document's tokens, so unseen-bigram transitions exercise the
+    backoff arm while every unigram stays in-vocabulary (no -inf);
+    per-pair scores quantize to BIGINT before summing (the q5l ln
+    discipline)."""
+    from ..operators.lm import fit_bigram, score_bigram
+
+    d = load(spark, sf_dir, "documents")
+    model = fit_bigram(d)
+    probe = d.select(
+        "doc_id",
+        "lang",
+        F.array_join(
+            F.reverse(F.filter(F.split("text", " "), lambda x: x != "")),
+            " ",
+        ).alias("text"),
+    )
+    scores = score_bigram(probe, model, "text")
+    return (
+        scores.join(probe.select("doc_id", "lang"), on="doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_transitions").alias("n_transitions"),
+            F.sum("n_backoff").alias("n_backoff"),
+            F.sum("sum_qscore").alias("sum_qscore"),
+        )
+    )

@@ -1607,3 +1607,55 @@ def test_substring_duplication_profile_short_docs(spark):
     assert out[1]["n_windows"] == 3 and out[1]["n_dup_windows"] == 2
     assert out[2]["n_dup_windows"] == 2
     assert out[3]["n_windows"] == 0 and out[3]["dup_frac"] == 0.0
+
+
+# --- bigram LM with Stupid Backoff -----------------------------------------
+
+
+def test_bigram_lm_backoff_and_oov(spark):
+    import math
+
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.lm import (
+        LOG_SCALE,
+        fit_bigram,
+        score_bigram,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b"), (3, "c a b")],
+        "doc_id long, text string",
+    )
+    m = fit_bigram(corpus, "text")
+    # tokens: a x4, b x4, c x2 -> total 10, V 3; bigrams ab=4 ba=1 bc=1 ca=1
+    assert (m.total_tokens, m.vocab_size) == (10, 3)
+
+    probe = spark.createDataFrame(
+        [
+            (10, "a b"),      # seen bigram: ln(4/4) = 0
+            (11, "b a c b"),  # ba seen ln(1/4); (a,c) backoff; (c,b) backoff
+            (12, "a zz"),     # zz OOV -> -inf at alpha=0
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in score_bigram(probe, m, "text").collect()}
+    assert out[10]["sum_qscore"] == 0 and out[10]["n_backoff"] == 0
+
+    r = out[11]
+    assert (r["n_transitions"], r["n_backoff"], r["n_oov"]) == (3, 2, 0)
+    expect = (
+        math.floor(math.log(1 / 4) * LOG_SCALE + 0.5)
+        + math.floor(math.log(0.4 * 2 / 10) * LOG_SCALE + 0.5)  # S(c)
+        + math.floor(math.log(0.4 * 4 / 10) * LOG_SCALE + 0.5)  # S(b)
+    )
+    assert r["sum_qscore"] == expect
+
+    r = out[12]
+    assert r["n_oov"] == 1 and r["mean_logscore"] == float("-inf")
+
+    # alpha smoothing rescues OOV backoff tokens
+    sm = {
+        r["doc_id"]: r
+        for r in score_bigram(probe, m, "text", alpha=1.0).collect()
+    }
+    assert sm[12]["mean_logscore"] > float("-inf")
+    m.unpersist()
