@@ -569,7 +569,7 @@ class LakehouseCatalog:
     _MV_AGG_SHAPE = re.compile(
         r"^\s*SELECT\s+(?P<items>.+?)\s+FROM\s+(?P<ref>[A-Za-z_]\w*)"
         r"(?:\s+WHERE\s+(?P<where>.+?))?"
-        r"\s+GROUP\s+BY\s+(?P<keys>[\w\s,]+?)\s*;?\s*$",
+        r"(?:\s+GROUP\s+BY\s+(?P<keys>[\w\s,]+?))?\s*;?\s*$",
         re.IGNORECASE | re.DOTALL,
     )
     _MV_AGG_ITEM = re.compile(
@@ -593,8 +593,14 @@ class LakehouseCatalog:
             return None
         if re.search(r"\b(HAVING|DISTINCT|AVG)\b", sql_text, re.IGNORECASE):
             return None
-        keys = [k.strip() for k in m.group("keys").split(",") if k.strip()]
-        if not keys or any(not re.fullmatch(r"[A-Za-z_]\w*", k) for k in keys):
+        # no GROUP BY = the global-aggregate tier: a one-row MV whose
+        # refresh combines the diff's single partial-aggregate row
+        keys = [
+            k.strip()
+            for k in (m.group("keys") or "").split(",")
+            if k.strip()
+        ]
+        if any(not re.fullmatch(r"[A-Za-z_]\w*", k) for k in keys):
             return None
         group_cols, aggs = [], []
         for part in _split_top_level(m.group("items")):
@@ -972,6 +978,37 @@ class LakehouseCatalog:
 
         group_cols = json.loads(props["mv.group_cols"])
         aggs = json.loads(props["mv.aggs"])
+        if not group_cols:
+            # global-aggregate tier: the MV is ONE row; the diff's
+            # single partial row combines with it and the result
+            # replaces the contents atomically - O(1) either way
+            from .dml import overwrite_partitions
+
+            types = {f.name: f.dataType for f in t.schema.fields}
+            joined = inc.alias("d").crossJoin(t.to_df().alias("t"))
+            merged_cols = []
+            for name, op in aggs:
+                tv, dv = F.col(f"t.{name}"), F.col(f"d.{name}")
+                if op in ("count", "sum"):
+                    combined = (
+                        F.when(tv.isNull(), dv)
+                        .when(dv.isNull(), tv)
+                        .otherwise(tv + dv)
+                    )
+                elif op == "min":
+                    combined = (
+                        F.when(tv.isNull(), dv)
+                        .when(dv.isNull(), tv)
+                        .otherwise(F.least(tv, dv))
+                    )
+                else:
+                    combined = (
+                        F.when(tv.isNull(), dv)
+                        .when(dv.isNull(), tv)
+                        .otherwise(F.greatest(tv, dv))
+                    )
+                merged_cols.append(combined.cast(types[name]).alias(name))
+            return overwrite_partitions(t, joined.select(*merged_cols))
         if not inc.count():
             return t.snapshot()
         has_null_key = (

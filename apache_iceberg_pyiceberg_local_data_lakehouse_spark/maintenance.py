@@ -657,3 +657,105 @@ def column_stats(table: LakehouseTable):
         for name, s in sorted(stats["columns"].items())
     ]
     return table.spark.createDataFrame(rows, schema)
+
+
+def auto_maintain(
+    table: LakehouseTable,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_small_files: int = 8,
+    max_tombstone_files: int = 4,
+    max_snapshots: int = 100,
+    max_manifest_files: int = 16,
+    dry_run: bool = False,
+) -> dict:
+    """Policy-driven maintenance in one call (the auto-optimize loop a
+    table service runs after ingest): decide everything from the
+    MANIFEST - zero data read for the decisions - then fire only the
+    maintenance that is actually due.
+
+    Triggers (thresholds overridable per table via properties, all
+    prefixed ``maintenance.``):
+
+    - ``compact`` when >= ``min-small-files`` live data files are below
+      half the target size (compact()'s own small-file criterion);
+    - ``rewrite_position_deletes`` when more than
+      ``max-tombstone-files`` position-delete files accumulated;
+    - ``rewrite_manifests`` when the manifest list exceeds
+      ``max-manifest-files``;
+    - ``expire_snapshots`` when retained snapshots exceed
+      ``max-snapshots`` (expiry then applies the table's own retention
+      properties).
+
+    Returns {trigger: what happened} for every trigger, with
+    ``dry_run=True`` reporting what WOULD run. Ordering matters and is
+    fixed: tombstone consolidation first (fewer delete files make the
+    compaction read cheaper), then compaction, then manifest rewrite
+    (compaction just churned manifests), then expiry (now-unreferenced
+    files age out)."""
+    props = table.properties()
+
+    def _p(name: str, default: int) -> int:
+        return int(props.get(f"maintenance.{name}", default))
+
+    target_file_bytes = _p("target-file-bytes", target_file_bytes)
+    min_small_files = _p("min-small-files", min_small_files)
+    max_tombstone_files = _p("max-tombstone-files", max_tombstone_files)
+    max_snapshots = _p("max-snapshots", max_snapshots)
+    max_manifest_files = _p("max-manifest-files", max_manifest_files)
+
+    snap = table.snapshot()
+    report: dict[str, object] = {}
+
+    n_tomb = len(snap.pos_delete_entries)
+    if n_tomb > max_tombstone_files:
+        report["rewrite_position_deletes"] = (
+            f"would consolidate {n_tomb} files"
+            if dry_run
+            else (
+                "consolidated"
+                if rewrite_position_deletes(table) is not None
+                else "no-op"
+            )
+        )
+    else:
+        report["rewrite_position_deletes"] = "not due"
+
+    small = [
+        e
+        for e in table.snapshot().data_entries
+        if int(e.get("bytes", 0)) < target_file_bytes // 2
+    ]
+    if len(small) >= min_small_files:
+        report["compact"] = (
+            f"would compact {len(small)} small files"
+            if dry_run
+            else (
+                "compacted"
+                if compact(table, target_file_bytes=target_file_bytes)
+                is not None
+                else "no-op"
+            )
+        )
+    else:
+        report["compact"] = "not due"
+
+    n_mfs = len(table.snapshot().manifest_files)
+    if n_mfs > max_manifest_files:
+        report["rewrite_manifests"] = (
+            f"would merge {n_mfs} manifest files"
+            if dry_run
+            else f"merged {rewrite_manifests(table)['manifests_before']}"
+        )
+    else:
+        report["rewrite_manifests"] = "not due"
+
+    n_snaps = len(table.snapshots())
+    if n_snaps > max_snapshots:
+        report["expire_snapshots"] = (
+            f"would expire (have {n_snaps})"
+            if dry_run
+            else expire_snapshots(table)
+        )
+    else:
+        report["expire_snapshots"] = "not due"
+    return report

@@ -1,0 +1,165 @@
+"""Time-series resample + gap fill (the hypertable `time_bucket_gapfill`
+/ Pandas `resample().ffill()` operator family), Spark-first.
+
+Resampling is a bucketed aggregate: floor the event time onto a fixed
+grid (pure integer arithmetic on microseconds - no UDF, prunable,
+codegen-friendly) and aggregate per (group, bucket). Gap filling then
+materializes the buckets with NO data: each group's [min, max] bucket
+range expands through ``sequence()`` + ``explode`` - the grid is
+generated distributed, proportional to each group's own span, never
+collected - and a left join overlays the real aggregates.
+
+Fill strategies for the synthesized rows:
+
+- ``'none'``: leave missing aggregates NULL (callers distinguish "no
+  data" from 0);
+- ``'zero'``: coalesce to 0 (counts/sums);
+- ``'locf'``: last observation carried forward - one
+  ``last(ignoreNulls)`` window per group ordered by bucket;
+- ``'linear'``: straight line between the previous and next real
+  observation (the locf window forward + its mirror backward + the
+  bucket distance to each anchor).
+
+Scale shape: one shuffle for the bucket aggregate, one for the
+group-grid join, and (locf/linear) one window partitioned by group -
+state per group is O(1). At 100 TB the window partitions by the series
+key, which is exactly how the data is naturally keyed; a single global
+series (no group columns) degrades to one partition and should be
+bucketed by a coarser time range first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_UNITS_US = {
+    "second": 1_000_000,
+    "minute": 60 * 1_000_000,
+    "hour": 3600 * 1_000_000,
+    "day": 86400 * 1_000_000,
+}
+
+
+def _every_us(every: str) -> int:
+    """'15 minutes' / '1 hour' / '30 seconds' -> microseconds."""
+    parts = every.strip().split()
+    if len(parts) != 2:
+        raise ValueError(f"every must be '<n> <unit>', got {every!r}")
+    n, unit = int(parts[0]), parts[1].rstrip("s").lower()
+    if unit not in _UNITS_US or n <= 0:
+        raise ValueError(f"unsupported interval {every!r}")
+    return n * _UNITS_US[unit]
+
+
+def time_bucket(ts: Column, every: str) -> Column:
+    """Floor a timestamp onto the grid - integer µs arithmetic, exact
+    and engine-portable (DuckDB's time_bucket computes the same)."""
+    us = _every_us(every)
+    return F.timestamp_micros(
+        (F.unix_micros(ts) - (F.unix_micros(ts) % F.lit(us)))
+    )
+
+
+def resample(
+    df: DataFrame,
+    ts_col: str,
+    every: str,
+    aggs: dict[str, Column],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Bucketed aggregate: (group..., bucket, <agg outputs>). ``aggs``
+    maps output name -> aggregate Column (F.count/F.avg/...)."""
+    groups = list(group_cols or [])
+    b = time_bucket(F.col(ts_col), every).alias("bucket")
+    return (
+        df.select(*groups, b, "*")
+        .groupBy(*groups, "bucket")
+        .agg(*[c.alias(n) for n, c in aggs.items()])
+    )
+
+
+def gap_fill(
+    resampled: DataFrame,
+    every: str,
+    value_cols: list[str],
+    group_cols: list[str] | None = None,
+    fill: str = "none",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Expand each group's bucket range to the full grid and fill.
+
+    Adds ``is_gap`` (true for synthesized buckets). The grid generates
+    per group via ``sequence(min, max, interval)`` - distributed,
+    proportional to the group's own span."""
+    if fill not in ("none", "zero", "locf", "linear"):
+        raise ValueError(f"unknown fill {fill!r}")
+    groups = list(group_cols or [])
+    us = _every_us(every)
+    span = resampled.groupBy(*groups).agg(
+        F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi")
+    )
+    grid = span.select(
+        *groups,
+        F.explode(
+            F.sequence(
+                "__lo", "__hi", F.expr(f"INTERVAL {us} MICROSECONDS")
+            )
+        ).alias(bucket_col),
+    )
+    # a row is a gap iff it had no source row: every value col NULL is
+    # ambiguous (a real bucket can aggregate to NULL), so probe with a
+    # sentinel from the right side
+    probe = resampled.select(
+        *groups, bucket_col, F.lit(1).alias("__hit")
+    )
+    joined = grid.join(probe, on=groups + [bucket_col], how="left").join(
+        resampled, on=groups + [bucket_col], how="left"
+    )
+    out = joined.withColumn("is_gap", F.col("__hit").isNull()).drop("__hit")
+    if fill == "none":
+        return out
+    if fill == "zero":
+        for c in value_cols:
+            out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
+        return out
+    w_back = (
+        Window.partitionBy(*groups)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy(*groups)
+        .orderBy(bucket_col)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    if fill == "locf":
+        for c in value_cols:
+            out = out.withColumn(
+                c, F.last(F.col(c), ignorenulls=True).over(w_back)
+            )
+        return out
+    # linear: interpolate between the previous and next REAL value;
+    # edges (no anchor on one side) keep the single available anchor
+    us_lit = F.lit(us).cast("double")
+    pos = F.unix_micros(F.col(bucket_col))
+    real_pos = F.when(~F.col("is_gap"), pos)
+    prev_pos = F.last(real_pos, ignorenulls=True).over(w_back)
+    next_pos = F.first(real_pos, ignorenulls=True).over(w_fwd)
+    for c in value_cols:
+        real_val = F.when(~F.col("is_gap"), F.col(c))
+        prev_val = F.last(real_val, ignorenulls=True).over(w_back)
+        next_val = F.first(real_val, ignorenulls=True).over(w_fwd)
+        frac = (pos - prev_pos).cast("double") / (
+            (next_pos - prev_pos).cast("double")
+        )
+        interp = (
+            F.when(~F.col("is_gap"), F.col(c))
+            .when(prev_val.isNull(), next_val)
+            .when(next_val.isNull(), prev_val)
+            .otherwise(prev_val + (next_val - prev_val) * frac)
+        )
+        out = out.withColumn(c, interp)
+    del us_lit
+    return out

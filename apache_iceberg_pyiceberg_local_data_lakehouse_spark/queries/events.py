@@ -276,3 +276,79 @@ def q39_first_seen_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "q7b_resample_gapfill",
+    # new in r7, registered behind the judged window (r8 rotation
+    # fodder); certifies operators/timeseries.py: hourly resample per
+    # event type, grid expansion via sequence(), zero-fill for counts
+    # and LOCF for the (BIGINT-quantized) value sums - integer math
+    # throughout, so the filled series hashes exactly cross-engine.
+    defer=True,
+    oracle="""
+    WITH ev AS (
+      SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+    ), r AS (
+      SELECT event_type,
+             make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)
+               AS bucket,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS qv
+      FROM ev GROUP BY event_type, bucket
+    ), span AS (
+      SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi FROM r
+      GROUP BY event_type
+    ), grid AS (
+      SELECT event_type, g.b AS bucket
+      FROM span, UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS g(b)
+    ), filled AS (
+      SELECT grid.event_type, grid.bucket,
+             COALESCE(r.n, 0) AS n,
+             CASE WHEN r.n IS NULL THEN 1 ELSE 0 END AS gap,
+             last_value(r.qv IGNORE NULLS) OVER (
+               PARTITION BY grid.event_type ORDER BY grid.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS qv_locf
+      FROM grid LEFT JOIN r
+        ON r.event_type = grid.event_type AND r.bucket = grid.bucket
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(gap) AS BIGINT) AS n_gaps,
+           CAST(SUM(n) AS BIGINT) AS total_events,
+           CAST(SUM(qv_locf) AS BIGINT) AS sum_locf_qv
+    FROM filled GROUP BY event_type
+    """,
+)
+def q7b_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample of the event stream per type with gap filling:
+    counts zero-fill (a silent hour is 0 events, not missing data)
+    while the quantized value sums carry forward (LOCF) - the two
+    canonical fill semantics, certified on one grid."""
+    from ..operators.timeseries import gap_fill, resample
+
+    ev = load(spark, sf_dir, "events")
+    r = resample(
+        ev,
+        "ts",
+        "1 hour",
+        {
+            "n": F.count("*"),
+            "qv": F.sum(
+                F.floor(F.col("value") * 1_000_000.0 + 0.5).cast("long")
+            ),
+        },
+        ["event_type"],
+    )
+    filled = gap_fill(r, "1 hour", ["qv"], ["event_type"], fill="locf")
+    return (
+        filled.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.sum(F.col("is_gap").cast("long")).alias("n_gaps"),
+            F.sum(F.coalesce(F.col("n"), F.lit(0))).alias("total_events"),
+            F.sum("qv").alias("sum_locf_qv"),
+        )
+    )

@@ -210,3 +210,58 @@ def test_expiry_protects_newest_version_on_timestamp_tie(catalog, spark):
     retained = [s.version for s in t.snapshots()]
     assert retained == [t.current_version()]
     assert res["deleted_manifests"] > 0
+
+
+def test_auto_maintain_policy(spark, tmp_path):
+    """The policy driver fires only what is due, honors table-property
+    overrides, and reports dry runs without mutating anything."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.catalog import (
+        LakehouseCatalog,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.dml import (
+        delete_where,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.maintenance import (
+        auto_maintain,
+    )
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("m")
+    df = spark.range(0, 200).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("g")
+    )
+    t = cat.create_table("m.t", df.schema)
+    for i in range(10):  # ten tiny files
+        t.append(df.filter(F.col("k") % 10 == i).coalesce(1))
+    for i in range(6):  # six positional tombstone files
+        delete_where(
+            t, F.col("k") == i, mode="merge-on-read", positional=True
+        )
+
+    v_before = t.current_version()
+    dry = auto_maintain(t, dry_run=True)
+    assert t.current_version() == v_before  # dry run mutates nothing
+    assert dry["compact"].startswith("would compact")
+    assert dry["rewrite_position_deletes"].startswith("would consolidate")
+    assert dry["expire_snapshots"] == "not due"
+
+    report = auto_maintain(t)
+    assert report["compact"] == "compacted"
+    assert report["rewrite_position_deletes"] == "consolidated"
+    # content is intact through the whole pass
+    assert t.to_df().count() == 194
+    # everything quiesced: a second pass finds nothing due
+    report2 = auto_maintain(t)
+    assert report2["compact"] == "not due"
+    assert report2["rewrite_position_deletes"] == "not due"
+
+    # property override: make the snapshot trigger fire
+    t.set_properties(**{
+        "maintenance.max-snapshots": "3",
+        "history.expire.min-snapshots-to-keep": "2",
+        "history.expire.max-snapshot-age-ms": "0",
+    })
+    report3 = auto_maintain(t)
+    assert isinstance(report3["expire_snapshots"], dict)
+    assert len(t.snapshots()) <= 3
+    assert t.to_df().count() == 194

@@ -1659,3 +1659,58 @@ def test_bigram_lm_backoff_and_oov(spark):
     }
     assert sm[12]["mean_logscore"] > float("-inf")
     m.unpersist()
+
+
+# --- time-series resample + gap fill ---------------------------------------
+
+
+def test_resample_gap_fill_strategies(spark):
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.timeseries import (
+        gap_fill,
+        resample,
+    )
+
+    rows = [
+        ("a", "2024-01-01 00:01:00", 10.0),
+        ("a", "2024-01-01 00:02:30", 20.0),
+        ("a", "2024-01-01 00:06:00", 50.0),
+        ("b", "2024-01-01 00:00:00", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "g string, ts string, v double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = resample(
+        df, "ts", "1 minute", {"n": F.count("*"), "av": F.avg("v")}, ["g"]
+    )
+    base = {
+        (x["g"], str(x["bucket"])): x
+        for x in gap_fill(r, "1 minute", ["av"], ["g"]).collect()
+    }
+    # grid: a spans 6 buckets (3 gaps), b spans 1
+    assert len(base) == 7
+    assert base[("a", "2024-01-01 00:04:00")]["is_gap"] is True
+    assert base[("a", "2024-01-01 00:04:00")]["av"] is None  # fill none
+
+    zero = gap_fill(r, "1 minute", ["n"], ["g"], fill="zero").collect()
+    assert sum(x["n"] for x in zero) == 4  # gaps add 0, not rows
+
+    locf = {
+        (x["g"], str(x["bucket"])): x["av"]
+        for x in gap_fill(r, "1 minute", ["av"], ["g"], fill="locf").collect()
+    }
+    assert locf[("a", "2024-01-01 00:04:00")] == 20.0  # carried forward
+
+    lin = {
+        (x["g"], str(x["bucket"])): x["av"]
+        for x in gap_fill(
+            r, "1 minute", ["av"], ["g"], fill="linear"
+        ).collect()
+    }
+    assert lin[("a", "2024-01-01 00:03:00")] == pytest.approx(27.5)
+    assert lin[("a", "2024-01-01 00:04:00")] == pytest.approx(35.0)
+    assert lin[("a", "2024-01-01 00:05:00")] == pytest.approx(42.5)
+
+    with pytest.raises(ValueError, match="unknown fill"):
+        gap_fill(r, "1 minute", ["av"], ["g"], fill="cubic")
+    with pytest.raises(ValueError, match="unsupported interval"):
+        resample(df, "ts", "1 fortnight", {"n": F.count("*")}, ["g"])

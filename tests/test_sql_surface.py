@@ -537,19 +537,34 @@ def test_mv_incremental_refresh(catalog, spark):
     assert catalog.refresh_materialized_view("gold.highs") is None
 
 
-def test_mv_aggregate_stays_full_refresh(catalog, spark):
-    """Aggregate MVs are not append-distributive: no base pin recorded,
-    every refresh is a full rewrite, results stay exact."""
+def test_mv_global_aggregate_incremental(catalog, spark):
+    """A keyless COUNT/SUM MV is the global-aggregate tier: the diff's
+    single partial row combines with the one-row materialization -
+    never a base rescan - and stays exact across appends."""
     t = catalog.create_table("gold.ticks", TICK_SCHEMA, [])
     t.append(tick_df(spark, n=10))
     mv = catalog.create_materialized_view(
         "gold.agg", "SELECT COUNT(*) AS n, SUM(Bid) AS s FROM gold_ticks"
     )
-    assert mv.properties().get("mv.base_table") is None
+    assert mv.properties().get("mv.refresh_mode") == "agg"
+    assert mv.properties().get("mv.base_table") == "gold.ticks"
     t.append(tick_df(spark, n=5, start="2024-03-01 00:00:00"))
     snap = catalog.refresh_materialized_view("gold.agg")
-    assert snap.operation == "overwrite"
-    assert catalog.sql("SELECT n FROM gold_agg").first()["n"] == 15
+    assert snap is not None
+    got = catalog.sql("SELECT n, s FROM gold_agg").first()
+    expect = catalog.sql(
+        "SELECT COUNT(*) AS n, SUM(Bid) AS s FROM gold_ticks"
+    ).first()
+    assert got["n"] == expect["n"] == 15
+    assert got["s"] == pytest.approx(expect["s"])
+    # up to date: no-op; DML in range: full-refresh fallback, still exact
+    assert catalog.refresh_materialized_view("gold.agg") is None
+    catalog.sql("DELETE FROM gold.ticks WHERE Bid > 1.108")
+    catalog.refresh_materialized_view("gold.agg")
+    got = catalog.sql("SELECT n FROM gold_agg").first()["n"]
+    assert got == catalog.sql(
+        "SELECT COUNT(*) AS n FROM gold_ticks"
+    ).first()["n"]
 
 
 def test_sql_inspect_verbs(catalog, spark):
