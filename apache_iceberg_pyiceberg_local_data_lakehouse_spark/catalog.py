@@ -491,6 +491,63 @@ class LakehouseCatalog:
         self.spark.catalog.dropTempView(self.view_name(identifier))
         return True
 
+    def create_masked_view(
+        self,
+        table_identifier: str,
+        view_identifier: str,
+        column_masks: dict[str, str] | None = None,
+        row_filter: str | None = None,
+        drop_columns: list[str] | None = None,
+        replace: bool = False,
+    ) -> str:
+        """Governance view (the column-mask / row-filter pattern of
+        Iceberg view-based access control): a STORED view over one
+        table where masked columns are replaced by an expression (cast
+        back to the column's type, so consumers see the same schema),
+        dropped columns disappear entirely, and ``row_filter`` gates
+        which rows exist at all. The definition is TEXT in the catalog -
+        it always reflects the live table and costs nothing to create;
+        masking expressions run inside the consumer's scan, so filters
+        and pruning still push down past the view.
+
+        Returns the generated SQL (also persisted via
+        ``create_stored_view``). Masks may reference the underlying
+        column (``md5(email)``) or any SQL over the table's columns."""
+        t = self.load_table(table_identifier)
+        masks = dict(column_masks or {})
+        dropped = set(drop_columns or [])
+        names = {f.name for f in t.schema.fields}
+        for bad in (set(masks) | dropped) - names:
+            raise ValueError(
+                f"create_masked_view: no column {bad!r} in "
+                f"{table_identifier}"
+            )
+        cols = []
+        for f in t.schema.fields:
+            if f.name in dropped:
+                continue
+            if f.name in masks:
+                cols.append(
+                    f"CAST(({masks[f.name]}) AS "
+                    f"{f.dataType.simpleString()}) AS {f.name}"
+                )
+            else:
+                cols.append(f.name)
+        if not cols:
+            raise ValueError("create_masked_view: every column dropped")
+        sql_text = (
+            f"SELECT {', '.join(cols)} FROM "
+            f"{self.view_name(table_identifier)}"
+        )
+        if row_filter:
+            sql_text += f" WHERE {row_filter}"
+        # validate eagerly over the current snapshot - loud errors at
+        # definition time, not at first consumer query
+        self.register_views()
+        self.spark.sql(sql_text)
+        self.create_stored_view(view_identifier, sql_text, replace=replace)
+        return sql_text
+
     def _register_stored_views(self) -> None:
         """Register stored views AFTER table views so they can reference
         them. Two full passes re-register every view (a view may first

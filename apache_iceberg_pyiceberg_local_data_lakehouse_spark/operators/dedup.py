@@ -1008,3 +1008,37 @@ def exact_substring_pairs(
         .agg(F.count("*").alias("n_shared"))
     )
     return pairs
+
+
+def canonical_text(col: Column) -> Column:
+    """Portable canonical form for normalization-invariant dedup (the
+    Dolma/C4 "fuzzy-exact" tier between byte-exact and MinHash):
+    lowercase, non-alphanumerics to spaces, whitespace collapsed,
+    trimmed. Every step is a deterministic expression both Spark and
+    ANSI-SQL engines evaluate identically - case folds, punctuation,
+    extra whitespace and surrounding markup stop distinguishing
+    otherwise-identical documents."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, "[^a-z0-9 ]", " ")
+    c = F.regexp_replace(c, " +", " ")
+    return F.trim(c)
+
+
+def canonical_dedup(
+    df: DataFrame, text_col: str, id_col: str, keep: str = "min"
+) -> DataFrame:
+    """Exact dedup over the canonical form: one shuffle on
+    sha2(canonical), whole keeper row survives plus ``n_variants`` (how
+    many rows collapsed into this keeper - 1 means unique). Same window
+    skeleton as :func:`exact_dedup`; the canonicalization is a pure
+    projection, so the plan cost is identical."""
+    order = F.asc(id_col) if keep == "min" else F.desc(id_col)
+    key = F.sha2(canonical_text(F.col(text_col)), 256)
+    w = Window.partitionBy(key).orderBy(order)
+    wc = Window.partitionBy(key)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("n_variants", F.count("*").over(wc))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -2357,3 +2357,124 @@ def q79_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+@register(
+    "q7d_cherrypick_recovery",
+    # new in r7, registered behind the judged window (r8 rotation
+    # fodder); certifies table.cherrypick: rollback past a good append,
+    # re-apply it by reference, refuse the double-pick.
+    defer=True,
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           TRUE AS picked_by_reference,
+           TRUE AS double_pick_refused
+    FROM documents
+    WHERE doc_id % 3 IN (0, 1)
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def q7d_cherrypick_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cherry-pick recovery judged end-to-end: base append (doc_id%3=0),
+    good append (%3=1), bad append (%3=2), RESTORE to base (losing both
+    later appends), then cherrypick the good one - final contents must
+    equal base+good exactly; the picked files must re-attach by
+    reference (no new data file written) and a second pick must
+    refuse."""
+    from ..catalog import LakehouseCatalog
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_q7d_")
+    try:
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("tmp")
+        d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+        t = cat.create_table("tmp.cp", d.schema)
+        t.append(d.filter(F.col("doc_id") % 3 == 0))
+        v_base = t.current_version()
+        t.append(d.filter(F.col("doc_id") % 3 == 1))
+        v_good = t.current_version()
+        good_paths = {
+            e["path"] for e in t.snapshot().data_entries
+        } - {e["path"] for e in t.snapshot(v_base).data_entries}
+        t.append(d.filter(F.col("doc_id") % 3 == 2))
+        t.restore_to(v_base)
+        snap = t.cherrypick(v_good)
+        picked_paths = {
+            e["path"] for e in snap.data_entries
+        } - {e["path"] for e in t.snapshot(v_base).data_entries}
+        by_reference = picked_paths == good_paths  # same files, no copy
+        try:
+            t.cherrypick(v_good)
+            double_refused = False
+        except ValueError:
+            double_refused = True
+        out = (
+            t.to_df()
+            .groupBy("lang")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("sum_chars"),
+            )
+            .select(
+                "lang", "n_docs", "sum_chars",
+                F.lit(by_reference).alias("picked_by_reference"),
+                F.lit(double_refused).alias("double_pick_refused"),
+            )
+            .orderBy("lang")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+@register(
+    "q7e_masked_view",
+    # new in r7, registered behind the judged window (r8 rotation
+    # fodder); certifies create_masked_view: column masks (cast back to
+    # the column type), row filters, and pass-through of the rest -
+    # queried through the stored-view SQL surface.
+    defer=True,
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_masked,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    WHERE lang <> 'en'
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def q7e_masked_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Governance view judged end-to-end: text masked to its md5, 'en'
+    rows filtered out, the remaining columns passing through - then the
+    analytical rollup runs AGAINST THE VIEW via catalog.sql and must
+    equal the oracle's direct computation over the base data."""
+    from ..catalog import LakehouseCatalog
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_q7e_")
+    try:
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("tmp")
+        d = load(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "n_chars"
+        )
+        t = cat.create_table("tmp.docs7e", d.schema)
+        t.append(d)
+        cat.create_masked_view(
+            "tmp.docs7e",
+            "tmp.docs_masked",
+            column_masks={"text": "md5(text)"},
+            row_filter="lang <> 'en'",
+        )
+        out = cat.sql(
+            "SELECT lang, COUNT(*) AS n_docs, "
+            "CAST(COUNT(DISTINCT text) AS BIGINT) AS n_masked, "
+            "CAST(SUM(n_chars) AS BIGINT) AS sum_chars "
+            "FROM tmp_docs_masked GROUP BY lang ORDER BY lang"
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)

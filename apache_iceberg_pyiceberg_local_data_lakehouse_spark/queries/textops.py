@@ -1723,3 +1723,49 @@ def q7a_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sum_qscore").alias("sum_qscore"),
         )
     )
+
+
+@register(
+    "q7c_canonical_dedup",
+    # new in r7, registered behind the judged window (r8 rotation
+    # fodder); certifies canonical_dedup: normalization-invariant exact
+    # dedup (lowercase, punctuation->space, whitespace collapse) - the
+    # Dolma/C4 fuzzy-exact tier between byte-exact and MinHash.
+    defer=True,
+    oracle="""
+    WITH canon AS (
+      SELECT doc_id, lang,
+             trim(regexp_replace(regexp_replace(lower(text),
+                  '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS c
+      FROM documents
+    ), grp AS (
+      SELECT c, MIN(doc_id) AS keeper, COUNT(*) AS n_variants
+      FROM canon GROUP BY c
+    ), kept AS (
+      SELECT g.keeper AS doc_id, g.n_variants, d.lang
+      FROM grp g JOIN documents d ON d.doc_id = g.keeper
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(n_variants) AS BIGINT) AS n_source_docs,
+           CAST(SUM(CASE WHEN n_variants > 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_collapsed_groups
+    FROM kept GROUP BY lang
+    """,
+)
+def q7c_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-form dedup rolled up per language: keepers (lowest id
+    per canonical group) with the group size surviving as
+    ``n_variants`` - summed per language the variants must re-count the
+    whole corpus, pinning both the grouping and the keeper policy."""
+    from ..operators.dedup import canonical_dedup
+
+    d = load(spark, sf_dir, "documents")
+    kept = canonical_dedup(d, "text", "doc_id")
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_variants").alias("n_source_docs"),
+        F.sum((F.col("n_variants") > 1).cast("long")).alias(
+            "n_collapsed_groups"
+        ),
+    )

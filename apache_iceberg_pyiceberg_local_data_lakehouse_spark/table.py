@@ -2072,6 +2072,59 @@ class LakehouseTable:
             f"restore to v{target.version} lost {max_retries} commit races"
         )
 
+    def cherrypick(self, version: int, max_retries: int = 5) -> Snapshot:
+        """Re-apply one APPEND snapshot's file additions onto the
+        current head (Iceberg's ``cherrypick_snapshot``): the classic
+        recovery after a rollback rolled past a good append, and the
+        promote step of audit workflows - the picked files attach by
+        REFERENCE (no data read or copied, one metadata commit).
+
+        Only pure appends are pickable: the added file set is computed
+        against the picked snapshot's parent, and a snapshot that also
+        removed files (compaction, DML) or added delete tombstones has
+        ordering the head may no longer satisfy - those raise. Picking
+        is idempotent-safe: if the head already references any of the
+        files, the pick refuses instead of double-counting rows.
+        Row-lineage ids are re-stamped (the head's counter moved on)."""
+        src = self.snapshot(version)
+        if src.operation != "append":
+            raise ValueError(
+                f"cherrypick: v{version} is {src.operation!r}; only "
+                "append snapshots can be cherry-picked"
+            )
+        by_id = {s.snapshot_id: s for s in self.snapshots()}
+        parent = by_id.get(src.parent_id)
+        parent_paths = {e["path"] for e in parent.manifest} if parent else set()
+        added = [
+            dict(e) for e in src.manifest if e["path"] not in parent_paths
+        ]
+        if any(e.get("content", "data") != "data" for e in added):
+            raise ValueError(
+                "cherrypick: picked snapshot added delete tombstones; "
+                "only pure data appends are pickable"
+            )
+        cur = self.snapshot()
+        dup = [
+            e["path"]
+            for e in added
+            if e["path"] in {c["path"] for c in cur.manifest}
+        ]
+        if dup:
+            raise ValueError(
+                f"cherrypick: head already references {len(dup)} of the "
+                f"picked files (first: {dup[0]}); nothing to re-apply"
+            )
+        for e in added:
+            e.pop("seq", None)  # re-stamped at commit
+        return self._commit_append(
+            added,
+            max_retries=max_retries,
+            extra_summary={
+                "cherrypick-source-version": version,
+                "cherrypick-source-snapshot-id": src.snapshot_id,
+            },
+        )
+
     # -- metadata inspection tables (Iceberg's table.inspect surface) --------
 
     def inspect_history(self) -> DataFrame:

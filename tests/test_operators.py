@@ -1714,3 +1714,29 @@ def test_resample_gap_fill_strategies(spark):
         gap_fill(r, "1 minute", ["av"], ["g"], fill="cubic")
     with pytest.raises(ValueError, match="unsupported interval"):
         resample(df, "ts", "1 fortnight", {"n": F.count("*")}, ["g"])
+
+
+def test_canonical_dedup(spark):
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.dedup import (
+        canonical_dedup,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hello, World!"),
+            (2, "hello   world"),
+            (3, "HELLO WORLD."),
+            (4, "other text"),
+            (5, "Other; TEXT"),
+            (6, "unique"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in canonical_dedup(df, "text", "doc_id").collect()}
+    assert set(out) == {1, 4, 6}
+    assert out[1]["n_variants"] == 3
+    assert out[4]["n_variants"] == 2
+    assert out[6]["n_variants"] == 1
+    # keep='max' flips the keeper, not the grouping
+    mx = {r["doc_id"] for r in canonical_dedup(df, "text", "doc_id", keep="max").collect()}
+    assert mx == {3, 5, 6}

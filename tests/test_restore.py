@@ -172,3 +172,39 @@ def test_changelog_emits_retractions_across_restore(catalog, spark):
     ins = net.filter(F.col("_change_type") == "insert").count()
     dels = net.filter(F.col("_change_type") == "delete").count()
     assert ins - dels == 3
+
+
+def test_cherrypick_after_rollback(spark, tmp_path):
+    """Restore past a good append, then cherry-pick it back: the files
+    re-attach by reference with fresh lineage, and the guards refuse
+    non-append snapshots and double-picks."""
+    import pytest as _pytest
+
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.catalog import (
+        LakehouseCatalog,
+    )
+    from pyspark.sql import functions as F
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("g")
+    df = spark.range(0, 10).select(F.col("id").alias("k"))
+    t = cat.create_table("g.t", df.schema)
+    t.append(df)  # good base
+    v_base = t.current_version()
+    t.append(spark.range(10, 20).select(F.col("id").alias("k")))  # good
+    v_good = t.current_version()
+    t.append(spark.range(99, 199).select(F.col("id").alias("k")))  # bad
+    t.restore_to(v_base)  # rolls back past the GOOD append too
+    assert t.to_df().count() == 10
+
+    snap = t.cherrypick(v_good)
+    assert snap.operation == "append"
+    assert snap.summary["cherrypick-source-version"] == v_good
+    assert sorted(r["k"] for r in t.to_df().collect()) == list(range(20))
+
+    # double-pick refuses (head already references the files)
+    with _pytest.raises(ValueError, match="already references"):
+        t.cherrypick(v_good)
+    # non-append snapshots refuse
+    with _pytest.raises(ValueError, match="only append"):
+        t.cherrypick(t.current_version() - 1)  # the restore commit

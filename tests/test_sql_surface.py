@@ -855,3 +855,57 @@ def test_sql_alter_table_lifecycle(catalog, spark):
 
     with pytest.raises(ValueError, match="unsupported ALTER"):
         catalog.sql("ALTER TABLE gold.alt FROB COLUMN v")
+
+
+# -- governance: masked / row-filtered views (r7) ----------------------
+
+
+def test_masked_view(catalog, spark):
+    t = catalog.create_table(
+        "gold.pii",
+        spark.createDataFrame(
+            [], "uid long, email string, region string, balance double"
+        ).schema,
+    )
+    t.append(
+        spark.createDataFrame(
+            [
+                (1, "a@x.com", "eu", 10.0),
+                (2, "b@y.com", "us", 20.0),
+                (3, "c@z.com", "eu", 30.0),
+            ],
+            "uid long, email string, region string, balance double",
+        )
+    )
+    catalog.create_masked_view(
+        "gold.pii",
+        "gold.pii_eu",
+        column_masks={"email": "md5(email)", "balance": "0.0"},
+        row_filter="region = 'eu'",
+    )
+    rows = catalog.sql("SELECT * FROM gold_pii_eu ORDER BY uid").collect()
+    assert [r["uid"] for r in rows] == [1, 3]  # row filter applied
+    assert all(len(r["email"]) == 32 for r in rows)  # masked
+    assert all(r["balance"] == 0.0 for r in rows)
+    # schema is preserved (masks cast back to the column type)
+    assert dict(
+        catalog.sql("SELECT * FROM gold_pii_eu").dtypes
+    ) == dict(t.to_df().dtypes)
+
+    # dropped columns disappear; unknown columns refuse
+    catalog.create_masked_view(
+        "gold.pii", "gold.pii_nodrop", drop_columns=["email"]
+    )
+    assert "email" not in catalog.sql("SELECT * FROM gold_pii_nodrop").columns
+    with pytest.raises(ValueError, match="no column"):
+        catalog.create_masked_view(
+            "gold.pii", "gold.bad", column_masks={"ghost": "1"}
+        )
+    # the view tracks the LIVE table
+    t.append(
+        spark.createDataFrame(
+            [(4, "d@w.com", "eu", 40.0)],
+            "uid long, email string, region string, balance double",
+        )
+    )
+    assert catalog.sql("SELECT COUNT(*) AS n FROM gold_pii_eu").first()["n"] == 3
