@@ -352,3 +352,38 @@ def q7b_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("qv").alias("sum_locf_qv"),
         )
     )
+
+
+@register(
+    "q7f_json_flatten",
+    # new in r7, registered behind the judged window (r8 rotation
+    # fodder); certifies functions/jsonops.py: schema inferred from a
+    # bounded sample, one from_json projection expands the field, the
+    # flattened column aggregates like any native one.
+    defer=True,
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT))
+                AS BIGINT) AS min_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT))
+                AS BIGINT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def q7f_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured flattening judged end-to-end: infer the props
+    schema from a sample, expand to a real column, aggregate it per
+    event type - equal to the oracle's direct json_extract."""
+    from ..functions.jsonops import flatten_json
+
+    ev = load(spark, sf_dir, "events")
+    flat = flatten_json(ev, "props")
+    return flat.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("k").cast("long")).alias("sum_k"),
+        F.min(F.col("k").cast("long")).alias("min_k"),
+        F.max(F.col("k").cast("long")).alias("max_k"),
+    )

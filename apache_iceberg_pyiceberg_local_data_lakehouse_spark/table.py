@@ -491,6 +491,20 @@ class LakehouseTable:
             or self.properties().get("write.distribution-mode") == "hash"
         ):
             df = df.repartition(*[p.column(df) for p in spec])
+        elif spec and (
+            self.properties().get("write.distribution-mode") == "range"
+        ):
+            # Iceberg's write.distribution-mode=range: range-distribute
+            # AND sort within tasks on the partition transforms - same
+            # small-files protection as hash, plus globally ordered
+            # output so each file's min/max stats on the partition
+            # source columns are tight and disjoint from the first
+            # write (the pruning benefit of a sort-order rewrite,
+            # without waiting for compaction)
+            cols = [p.column(df) for p in spec]
+            df = df.repartitionByRange(
+                max(1, df.rdd.getNumPartitions()), *cols
+            ).sortWithinPartitions(*cols)
         new_files = self._write_files(
             df, spec, bloom_cols=tuple(bloom_cols or ())
         )
@@ -1472,6 +1486,22 @@ class LakehouseTable:
             prev_paths = paths
         inc_snap = dataclasses.replace(snaps[to_v], manifest=added_entries)
         return self.scan(selected_fields=selected_fields, snapshot=inc_snap)
+
+    def scan_changelog_between(
+        self, from_timestamp_ms: int, to_timestamp_ms: int | None = None
+    ) -> DataFrame:
+        """Timestamp-range CDC sugar (Delta's
+        ``table_changes(..., startTs, endTs)`` form): resolve each
+        instant to the latest snapshot at-or-before it (time-travel
+        rules) and delegate to :meth:`scan_changelog` - changes
+        committed AFTER ``from`` up to and including ``to``."""
+        frm = self.snapshot_as_of(from_timestamp_ms).version
+        to = (
+            self.snapshot_as_of(to_timestamp_ms).version
+            if to_timestamp_ms is not None
+            else None
+        )
+        return self.scan_changelog(frm, to)
 
     def scan_changelog(
         self, from_version: int, to_version: int | None = None

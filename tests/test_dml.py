@@ -1303,3 +1303,31 @@ def test_rewrite_position_deletes_consolidates(spark, tmp_path):
     } == lineage_before
     # idempotent-ish: one file left -> no-op
     assert rewrite_position_deletes(t) is None
+
+
+def test_scan_changelog_between_timestamps(spark, tmp_path):
+    """Timestamp-range CDC resolves instants by time-travel rules and
+    matches the version-range scan exactly."""
+    import time as _time
+
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.catalog import (
+        LakehouseCatalog,
+    )
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("g")
+    df = spark.range(0, 5).select(F.col("id").alias("k"))
+    t = cat.create_table("g.cdc", df.schema)
+    t.append(df)
+    v1 = t.current_version()
+    ts1 = t.snapshot(v1).timestamp_ms
+    _time.sleep(0.05)
+    t.append(spark.range(5, 8).select(F.col("id").alias("k")))
+    delete_where(t, F.col("k") == 0)
+    ts_end = t.snapshot().timestamp_ms
+
+    by_ts = t.scan_changelog_between(ts1, ts_end).collect()
+    by_v = t.scan_changelog(v1).collect()
+    assert sorted(map(tuple, by_ts)) == sorted(map(tuple, by_v))
+    kinds = {(r["k"], r["_change_type"]) for r in by_ts}
+    assert (5, "insert") in kinds and (0, "delete") in kinds

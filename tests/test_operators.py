@@ -1740,3 +1740,41 @@ def test_canonical_dedup(spark):
     # keep='max' flips the keeper, not the grouping
     mx = {r["doc_id"] for r in canonical_dedup(df, "text", "doc_id", keep="max").collect()}
     assert mx == {3, 5, 6}
+
+
+def test_flatten_json_infers_and_expands(spark):
+    from pyspark.sql.types import StructType
+
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.functions.jsonops import (
+        flatten_json,
+        infer_json_schema,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, '{"k": 7, "tag": "x"}'),
+            (2, '{"k": 9}'),
+            (3, "not json"),
+            (4, None),
+        ],
+        "id long, props string",
+    )
+    out = flatten_json(df, "props")
+    assert out.columns == ["id", "k", "tag"]
+    rows = {r["id"]: r for r in out.collect()}
+    assert (rows[1]["k"], rows[1]["tag"]) == (7, "x")
+    assert rows[2]["tag"] is None
+    assert rows[3]["k"] is None and rows[4]["k"] is None  # permissive
+
+    # prefix avoids collisions; keep the raw column with drop=False
+    out2 = flatten_json(df, "props", prefix="p_", drop=False)
+    assert set(out2.columns) == {"id", "props", "p_k", "p_tag"}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="collide"):
+        flatten_json(df.withColumnRenamed("id", "k"), "props")
+
+    # pinned schema path skips inference entirely
+    s = infer_json_schema(df, "props")
+    assert isinstance(s, StructType)
+    assert flatten_json(df, "props", schema=s).columns == ["id", "k", "tag"]

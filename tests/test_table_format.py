@@ -765,3 +765,30 @@ def test_check_constraints_all_write_paths(spark, tmp_path):
         t, spark.createDataFrame([(4, 9.0)], "k long, price double"), key="k"
     )
     assert {r["k"]: r["price"] for r in t.to_df().collect()} == {3: 2.0, 4: 9.0}
+
+
+def test_range_distribution_mode_tightens_stats(catalog, spark):
+    """write.distribution-mode=range: the same small-files protection
+    as hash, plus disjoint per-file min/max on the partition source
+    column from the FIRST write - a point-range file filter then keeps
+    a subset of files without waiting for a sorted compaction."""
+    spec = [PartitionField("DateTime", "years", "DateTime_year")]
+    t = catalog.create_table("gold.rangemode", TICK_SCHEMA, spec)
+    t.set_properties(**{"write.distribution-mode": "range"})
+    df = tick_df(spark, year=2023, n=200).union(
+        tick_df(spark, year=2024, n=200)
+    ).repartition(8)
+    t.append(df)
+    assert t.to_df().count() == 400
+    entries = t.snapshot().data_entries
+    # small-files protection: O(partitions)-ish, not tasks x partitions
+    assert len(entries) <= 8
+    # per-file DateTime ranges are pairwise disjoint (sorted output)
+    spans = sorted(
+        (e["stats"]["DateTime"][0], e["stats"]["DateTime"][1])
+        for e in entries
+        if (e.get("stats") or {}).get("DateTime")
+    )
+    assert len(spans) == len(entries)
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges {hi1} vs {lo2}"
