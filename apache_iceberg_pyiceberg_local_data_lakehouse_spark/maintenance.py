@@ -341,6 +341,7 @@ def compact(
     small_file_threshold: float = 0.5,
     sort_by: list[str] | None = None,
     zorder_by: list[str] | None = None,
+    max_rewrite_bytes: int | None = None,
 ) -> Snapshot | None:
     """Rewrite small data files into ~target-sized files.
 
@@ -377,6 +378,28 @@ def compact(
     small = [e for grp in small_by_part.values() if len(grp) >= 2 for e in grp]
     if not small:
         return None
+    if max_rewrite_bytes is not None:
+        # Bounded incremental run (Iceberg's rewrite max-bytes): at
+        # 100 TB one compaction cannot rewrite everything in a single
+        # commit window. Take WHOLE partition groups (partial groups
+        # would leave a lone small file behind - write amplification
+        # with no layout gain) in deterministic order until the budget
+        # is spent; the next run continues where this one stopped.
+        budget, picked = max_rewrite_bytes, []
+        for key in sorted(small_by_part):
+            grp = small_by_part[key]
+            if len(grp) < 2:
+                continue
+            gb = sum(e["bytes"] for e in grp)
+            if picked and gb > budget:
+                continue
+            picked.extend(grp)
+            budget -= gb
+            if budget <= 0:
+                break
+        small = picked
+        if not small:
+            return None
     small_paths = {e["path"] for e in small}
 
     total = sum(e["bytes"] for e in small)
@@ -726,12 +749,18 @@ def auto_maintain(
         if int(e.get("bytes", 0)) < target_file_bytes // 2
     ]
     if len(small) >= min_small_files:
+        raw_budget = props.get("maintenance.max-rewrite-bytes")
+        budget = int(raw_budget) if raw_budget is not None else None
         report["compact"] = (
             f"would compact {len(small)} small files"
             if dry_run
             else (
                 "compacted"
-                if compact(table, target_file_bytes=target_file_bytes)
+                if compact(
+                    table,
+                    target_file_bytes=target_file_bytes,
+                    max_rewrite_bytes=budget,
+                )
                 is not None
                 else "no-op"
             )
@@ -759,3 +788,38 @@ def auto_maintain(
     else:
         report["expire_snapshots"] = "not due"
     return report
+
+
+def table_metrics(table: LakehouseTable) -> dict:
+    """Layout-health metrics from the MANIFEST alone (zero data files
+    read) - the numbers a table service dashboards and auto_maintain
+    thresholds on. O(live files) driver work over already-loaded
+    metadata."""
+    snap = table.snapshot()
+    data = snap.data_entries
+    sizes = [int(e.get("bytes", 0)) for e in data]
+    target = int(
+        table.properties().get(
+            "maintenance.target-file-bytes", 128 * 1024 * 1024
+        )
+    )
+    parts = {
+        tuple(sorted((e.get("partition") or {}).items())) for e in data
+    }
+    return {
+        "version": snap.version,
+        "data_files": len(data),
+        "rows": snap.total_rows,
+        "total_bytes": sum(sizes),
+        "avg_file_bytes": (sum(sizes) // len(sizes)) if sizes else 0,
+        "small_file_ratio": (
+            sum(1 for s in sizes if s < target // 2) / len(sizes)
+            if sizes
+            else 0.0
+        ),
+        "pos_delete_files": len(snap.pos_delete_entries),
+        "eq_delete_files": len(snap.eq_delete_entries),
+        "manifest_files": len(snap.manifest_files),
+        "partitions": len(parts),
+        "snapshots": len(table.snapshots()),
+    }

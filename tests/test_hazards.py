@@ -265,3 +265,45 @@ def test_auto_maintain_policy(spark, tmp_path):
     assert isinstance(report3["expire_snapshots"], dict)
     assert len(t.snapshots()) <= 3
     assert t.to_df().count() == 194
+
+
+def test_compact_bounded_run_and_metrics(spark, tmp_path):
+    """max_rewrite_bytes bounds one compaction run to whole partition
+    groups; successive runs converge; table_metrics reads the manifest
+    only and tracks the layout as it heals."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.maintenance import (
+        compact,
+        table_metrics,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.table import (
+        PartitionField,
+    )
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("m")
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("p")
+    )
+    t = cat.create_table("m.b", df.schema, [PartitionField("p")])
+    for i in range(16):  # 4 small files per partition (p = k % 4)
+        t.append(df.filter(F.col("k") % 16 == i).coalesce(1))
+    m0 = table_metrics(t)
+    assert m0["data_files"] == 16 and m0["partitions"] == 4
+    assert m0["small_file_ratio"] == 1.0
+
+    grp_bytes = sum(
+        e["bytes"]
+        for e in t.snapshot().data_entries
+        if e["partition"].get("p") == "0"
+    )
+    snap = compact(t, max_rewrite_bytes=grp_bytes)
+    assert snap is not None
+    m1 = table_metrics(t)
+    # exactly one partition group rewrote (4 small -> 1), others intact
+    assert m1["data_files"] == 13
+    assert t.to_df().count() == 400
+    # the next runs converge without a budget
+    compact(t)
+    m2 = table_metrics(t)
+    assert m2["data_files"] == 4 and m2["partitions"] == 4
+    assert t.to_df().count() == 400
