@@ -133,6 +133,15 @@ _DML_MERGE_CLAUSE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 
+# CREATE TABLE dst [SHALLOW] CLONE src [[FOR] VERSION AS OF n] - must
+# match BEFORE the time-travel rewrite (which would swallow the
+# VERSION AS OF clause into a pinned temp view).
+_DML_CLONE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+([\w.]+)\s+(?:SHALLOW\s+)?CLONE\s+([\w.]+)"
+    r"(?:\s+(?:FOR\s+)?VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+
 # ALTER TABLE schema-evolution verbs - all metadata-only commits
 # routed to the dml engines (add/drop/rename/promote) or properties.
 _DML_ALTER = re.compile(
@@ -1129,6 +1138,18 @@ class LakehouseCatalog:
         SQL expressions over the table's columns."""
         from pyspark.sql import functions as F
 
+        m = _DML_CLONE.match(query)
+        if m:
+            t = self.clone_table(
+                m.group(2),
+                m.group(1),
+                version=int(m.group(3)) if m.group(3) else None,
+            )
+            return self.spark.createDataFrame(
+                [("clone", m.group(1), m.group(2), t.current_version())],
+                "operation string, table string, source string, "
+                "version long",
+            )
         if _TIME_TRAVEL.search(query):
             query = self._rewrite_time_travel(query)
         m = _DML_DELETE.match(query)

@@ -1234,6 +1234,41 @@ class LakehouseTable:
             df = df.select(*selected_fields)
         return df
 
+    def scan_estimate(self, bounds: dict[str, tuple] | None = None) -> dict:
+        """Planner aid: how much would a ``scan_where_all(bounds)``
+        read, WITHOUT reading anything - files/rows/bytes before and
+        after manifest pruning, straight from the metadata a driver
+        already holds. The number a user checks before firing a query
+        at 100 TB ("does my predicate prune, or am I about to scan the
+        table?"), and the regression signal for layout work (a sorted
+        compaction should move pruned_bytes, not total_bytes)."""
+        snap = self.snapshot()
+        entries = snap.data_entries
+        keeps = []
+        for column, (lower, upper) in (bounds or {}).items():
+            part = next(
+                (p for p in snap.partition_spec if p.source == column), None
+            )
+            bucket_id = None
+            if (
+                part is not None
+                and part.transform == "bucket"
+                and lower is not None
+                and lower == upper
+            ):
+                bucket_id = compute_bucket(self, part, lower)
+            keeps.append(_range_keep(column, lower, upper, part, bucket_id))
+        kept = [e for e in entries if all(k(e) for k in keeps)]
+        return {
+            "total_files": len(entries),
+            "total_rows": sum(int(e.get("rows", 0)) for e in entries),
+            "total_bytes": sum(int(e.get("bytes", 0)) for e in entries),
+            "scanned_files": len(kept),
+            "scanned_rows": sum(int(e.get("rows", 0)) for e in kept),
+            "scanned_bytes": sum(int(e.get("bytes", 0)) for e in kept),
+            "pending_delete_files": len(snap.delete_entries),
+        }
+
     def scan_where_in(
         self,
         column: str,

@@ -141,3 +141,29 @@ def test_clone_pin_survives_source_expiry(spark, cat):
     # dropping the pin releases the files to future GC (contract check
     # only - we don't re-expire here)
     src.drop_tag("clone-dev_t5")
+
+
+def test_sql_clone_verb_and_scan_estimate(spark, cat):
+    """CREATE TABLE ... SHALLOW CLONE ... [VERSION AS OF n] routes to
+    clone_table; scan_estimate answers pruning questions from the
+    manifest alone."""
+    src = _seed(spark, cat)
+    v1 = src.current_version()
+    src.append(
+        spark.range(100, 150).select(
+            F.col("id").alias("k"), F.lit(9).alias("g")
+        )
+    )
+    out = cat.sql(f"CREATE TABLE dev.sqlclone CLONE src.t VERSION AS OF {v1}").first()
+    assert out["operation"] == "clone"
+    clone = cat.load_table("dev.sqlclone")
+    assert clone.to_df().count() == 100  # pinned pre-append state
+
+    est = src.scan_estimate({"k": (0, 49)})
+    assert est["total_rows"] == 150
+    assert est["scanned_rows"] == 50  # stats-pruned to the low range
+    assert est["scanned_files"] < est["total_files"]
+    assert est["scanned_bytes"] < est["total_bytes"]
+    assert est["pending_delete_files"] == 0
+    # no bounds = whole table
+    assert src.scan_estimate()["scanned_rows"] == 150
