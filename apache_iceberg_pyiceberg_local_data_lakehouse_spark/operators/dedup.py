@@ -1033,12 +1033,17 @@ def canonical_dedup(
     skeleton as :func:`exact_dedup`; the canonicalization is a pure
     projection, so the plan cost is identical."""
     order = F.asc(id_col) if keep == "min" else F.desc(id_col)
-    key = F.sha2(canonical_text(F.col(text_col)), 256)
-    w = Window.partitionBy(key).orderBy(order)
-    wc = Window.partitionBy(key)
+    # materialize the key ONCE: two windows each deriving their own
+    # sha2(...) expression would not share a distribution and Catalyst
+    # plans two exchanges (plan-asserted to stay at one)
+    keyed = df.withColumn(
+        "__ck", F.sha2(canonical_text(F.col(text_col)), 256)
+    )
+    w = Window.partitionBy("__ck").orderBy(order)
+    wc = Window.partitionBy("__ck")
     return (
-        df.withColumn("__rn", F.row_number().over(w))
+        keyed.withColumn("__rn", F.row_number().over(w))
         .withColumn("n_variants", F.count("*").over(wc))
         .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        .drop("__rn", "__ck")
     )

@@ -229,3 +229,50 @@ def test_metadata_agg_reads_no_data(spark, tmp_path):
     p = formatted_plan(got)
     assert "FileScan" not in p and "Scan parquet" not in p
     assert got.first()["n"] == 100
+
+
+def test_r7_operators_plan_quality(spark, sf_small):
+    """Plan shapes of the round-7 operators: no cartesian products, the
+    PQ ADC scan broadcasts its per-query LUT frame, grouped gap filling
+    never collapses to a single partition, canonical dedup is one hash
+    exchange."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.dedup import (
+        canonical_dedup,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.lm import (
+        fit_bigram,
+        score_bigram,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.similarity import (
+        knn_pq,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.timeseries import (
+        gap_fill,
+        resample,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    m = fit_bigram(docs)
+    scored = score_bigram(docs, m, "text")
+    assert_no_cartesian(scored)
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3)
+    pq = knn_pq(emb, q, k=3, m=4, nbits=4)
+    assert_broadcast_join(pq)  # LUT frame + refine joins broadcast
+
+    ev_schema_df = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00", 1.0)], "g string, ts string, v double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = resample(ev_schema_df, "ts", "1 hour", {"n": F.count("*")}, ["g"])
+    filled = gap_fill(r, "1 hour", ["n"], ["g"], fill="locf")
+    plan = formatted_plan(filled)
+    assert "Exchange SinglePartition" not in plan
+
+    cd = canonical_dedup(docs, "text", "doc_id")
+    plan = formatted_plan(cd)
+    assert "CartesianProduct" not in plan
+    # exactly one shuffle, on the hash key (formatted plans print each
+    # node in the tree AND the detail section - count argument lines)
+    assert plan.count("Arguments: hashpartitioning") == 1
+    m.unpersist()
