@@ -2478,3 +2478,133 @@ def q7e_masked_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+@register(
+    "q7g_auto_maintain",
+    # new in r7, registered behind the judged window (r8 rotation
+    # fodder); certifies maintenance.auto_maintain + table_metrics:
+    # policy-driven tombstone consolidation, bounded compaction and
+    # expiry fire together and preserve the logical contents exactly.
+    defer=True,
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           TRUE AS compacted,
+           TRUE AS tombstones_consolidated,
+           TRUE AS layout_improved
+    FROM documents
+    WHERE lang <> 'en'
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def q7g_auto_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-maintenance judged end-to-end: a fragmented table (12 small
+    files, 6 positional tombstone files from merge-on-read deletes of
+    the 'en' documents) goes through ONE auto_maintain pass - the
+    policy must consolidate tombstones, compact the small files
+    (metrics from the manifest prove the file count dropped), and the
+    logical table must still equal the oracle's recomputation."""
+    from ..catalog import LakehouseCatalog
+    from ..dml import delete_where
+    from ..maintenance import auto_maintain, table_metrics
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_q7g_")
+    try:
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("tmp")
+        d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+        t = cat.create_table("tmp.frag", d.schema)
+        for i in range(12):
+            t.append(d.filter(F.col("doc_id") % 12 == i).coalesce(1))
+        for i in range(6):  # six tombstone files over the 'en' docs
+            delete_where(
+                t,
+                (F.col("lang") == "en") & (F.col("doc_id") % 6 == i),
+                mode="merge-on-read",
+                positional=True,
+            )
+        before = table_metrics(t)
+        report = auto_maintain(t, min_small_files=8, max_tombstone_files=4)
+        after = table_metrics(t)
+        out = (
+            t.to_df()
+            .groupBy("lang")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("sum_chars"),
+            )
+            .select(
+                "lang", "n_docs", "sum_chars",
+                F.lit(report["compact"] == "compacted").alias("compacted"),
+                F.lit(
+                    report["rewrite_position_deletes"] == "consolidated"
+                ).alias("tombstones_consolidated"),
+                F.lit(
+                    after["data_files"] < before["data_files"]
+                    and after["pos_delete_files"] <= 1
+                ).alias("layout_improved"),
+            )
+            .orderBy("lang")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+@register(
+    "q7h_scan_estimate",
+    # new in r7, registered behind the judged window (r8 rotation
+    # fodder); certifies table.scan_estimate: manifest-only cost
+    # preview whose row numbers are exact for range-disjoint files and
+    # whose pruning actually cuts the file set.
+    defer=True,
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM documents) AS total_rows,
+           (SELECT COUNT(*) FROM documents
+             WHERE doc_id < (SELECT COUNT(*) FROM documents) / 4)
+             AS scanned_rows,
+           TRUE AS files_pruned,
+           TRUE AS estimate_matches_scan
+    """,
+)
+def q7h_scan_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan cost preview judged end-to-end: four range-disjoint files
+    (quartiles of doc_id), estimate a bound covering the first quartile
+    - scanned_rows must be EXACT (disjoint ranges make the estimate
+    sharp), the file set must shrink, and the estimate must agree with
+    what scan_where actually returns."""
+    from ..catalog import LakehouseCatalog
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_q7h_")
+    try:
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("tmp")
+        d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+        n = d.count()
+        q = n // 4
+        t = cat.create_table("tmp.est", d.schema)
+        for i in range(4):  # range-disjoint quartile files
+            t.append(
+                d.filter(
+                    (F.col("doc_id") >= i * q)
+                    & (F.col("doc_id") < ((i + 1) * q if i < 3 else n))
+                ).coalesce(1)
+            )
+        est = t.scan_estimate({"doc_id": (None, q - 1)})
+        actual = t.scan_where("doc_id", upper=q - 1).count()
+        return spark.createDataFrame(
+            [
+                (
+                    est["total_rows"],
+                    est["scanned_rows"],
+                    est["scanned_files"] < est["total_files"],
+                    est["scanned_rows"] == actual,
+                )
+            ],
+            "total_rows long, scanned_rows long, files_pruned boolean, "
+            "estimate_matches_scan boolean",
+        )
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
