@@ -167,3 +167,32 @@ def test_sql_clone_verb_and_scan_estimate(spark, cat):
     assert est["pending_delete_files"] == 0
     # no bounds = whole table
     assert src.scan_estimate()["scanned_rows"] == 150
+
+
+def test_clone_localize_via_materialize_external(spark, cat):
+    """materialize_external_files turns a shallow clone into a fully
+    independent deep copy: data lands under the clone's own location,
+    no external references remain, contents identical - after which
+    the source pin can be dropped safely."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.maintenance import (
+        expire_snapshots,
+        materialize_external_files,
+    )
+
+    src = _seed(spark, cat)
+    clone = cat.clone_table("src.t", "dev.t6")
+    snap = materialize_external_files(clone)
+    assert snap is not None
+    assert not any(
+        e["path"].startswith("..") for e in clone.snapshot().data_entries
+    )
+    assert clone.to_df().count() == 100
+    # now the clone survives even a FULL source teardown
+    src.drop_tag("clone-dev_t6")
+    src.restore_to(src.current_version())  # no-op guard keeps src valid
+    cat.sql("TRUNCATE TABLE src.t")
+    expire_snapshots(
+        src, older_than_ms=10**18, retain_last=1, orphan_grace_secs=0
+    )
+    assert clone.to_df().count() == 100
+    assert sorted(r["k"] for r in clone.to_df().collect()) == list(range(100))

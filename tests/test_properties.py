@@ -488,3 +488,62 @@ def test_metadata_agg_matches_scan(spark, tmp_path_factory, batches, del_mod):
     assert t.metadata_agg({"n": ("count", "*")}) is None  # must refuse
     materialize_deletes(t)
     check()
+
+
+# --- incremental aggregate-MV refresh == full recompute ---------------------
+
+_mv_batches = st.lists(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c", None]),
+            st.integers(min_value=-50, max_value=50),
+        ),
+        min_size=0,
+        max_size=6,
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(batches=_mv_batches)
+def test_mv_agg_refresh_equals_full_recompute(
+    spark, tmp_path_factory, batches
+):
+    """Whatever append sequence arrives (including NULL group keys,
+    which force the full-refresh fallback, and empty batches), after
+    each refresh the aggregate MV equals the query run fresh over the
+    base."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.catalog import (
+        LakehouseCatalog,
+    )
+
+    wh = tmp_path_factory.mktemp("mvwh")
+    cat = LakehouseCatalog(spark, str(wh))
+    cat.create_namespace("g")
+    schema = "cat string, v long"
+    t = cat.create_table("g.base", spark.createDataFrame([], schema).schema)
+    t.append(spark.createDataFrame([("a", 1)], schema))
+    q = (
+        "SELECT cat, COUNT(*) AS n, SUM(v) AS s, MIN(v) AS lo, "
+        "MAX(v) AS hi FROM g_base GROUP BY cat"
+    )
+    cat.create_materialized_view("g.mv", q)
+    for batch in batches:
+        if batch:
+            t.append(spark.createDataFrame(batch, schema))
+        cat.refresh_materialized_view("g.mv")
+        got = {
+            r["cat"]: (r["n"], r["s"], r["lo"], r["hi"])
+            for r in cat.load_table("g.mv").to_df().collect()
+        }
+        want = {
+            r["cat"]: (r["n"], r["s"], r["lo"], r["hi"])
+            for r in cat.sql(q).collect()
+        }
+        assert got == want, f"diverged after batch {batch}"
