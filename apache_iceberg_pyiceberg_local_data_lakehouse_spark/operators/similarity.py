@@ -356,6 +356,25 @@ def pq_encode(
     )
 
 
+def save_pq_codebooks(table, books: list[list[list[float]]]) -> None:
+    """Persist fitted PQ codebooks in the table's properties (the index
+    registry at 100 TB: the fit is constant-cost but rerunning it per
+    query session is waste; a serving layer loads the codebooks with
+    the table metadata). Stored as JSON - m * 2^nbits * (D/m) doubles,
+    kilobytes."""
+    import json as _json
+
+    table.set_properties(**{"ann.pq.codebooks": _json.dumps(books)})
+
+
+def load_pq_codebooks(table) -> list[list[list[float]]] | None:
+    """The codebooks ``save_pq_codebooks`` stored, or None."""
+    import json as _json
+
+    raw = table.properties().get("ann.pq.codebooks")
+    return _json.loads(raw) if raw is not None else None
+
+
 def knn_pq(
     corpus: DataFrame,
     queries: DataFrame,
@@ -365,6 +384,7 @@ def knn_pq(
     m: int = 4,
     nbits: int = 4,
     refine_factor: int = 8,
+    codebooks: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """PQ ANN via asymmetric distance computation + exact refine: the
     corpus is scanned through its codes only (sum over subspaces of the
@@ -393,9 +413,13 @@ def knn_pq(
 
     vn = _unit(F.col(vec_col).cast("array<double>"))
     corpus_n = corpus.select(F.col(id_col), vn.alias(vec_col))
-    books = pq_fit(
+    # prefit codebooks (save_pq_codebooks) skip the fit entirely - the
+    # serve path at scale; they must have been fitted on the SAME
+    # normalization (knn_pq L2-normalizes before fitting)
+    books = codebooks or pq_fit(
         corpus_n, m=m, nbits=nbits, id_col=id_col, vec_col=vec_col
     )
+    m = len(books)
     coded = pq_encode(
         corpus_n, books, id_col=id_col, vec_col=vec_col
     ).select(F.col(id_col).alias("neighbor_id"), "pq_codes")

@@ -1769,3 +1769,67 @@ def q7c_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_collapsed_groups"
         ),
     )
+
+
+@register(
+    "q7i_curation_pipeline_v2",
+    # new in r7, registered behind the judged window (r8 rotation
+    # fodder); certifies the COMPOSITION of the round-7 text operators
+    # in one plan: canonical dedup -> length gate -> token chunking ->
+    # per-language chunk rollup. The oracle replays the same stages as
+    # SQL CTEs, so equality certifies the composed dataflow, not just
+    # each stage.
+    defer=True,
+    oracle="""
+    WITH canon AS (
+      SELECT doc_id, lang, n_chars,
+             trim(regexp_replace(regexp_replace(lower(text),
+                  '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS c,
+             text
+      FROM documents
+    ), keepers AS (
+      SELECT MIN(doc_id) AS doc_id FROM canon GROUP BY c
+    ), gated AS (
+      SELECT c.doc_id, c.lang, c.text
+      FROM canon c JOIN keepers k USING (doc_id)
+      WHERE c.n_chars >= 64
+    ), toks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS t
+      FROM gated WHERE length(text) > 0
+    ), exploded AS (
+      SELECT doc_id, lang, t,
+             UNNEST(range(0, CAST(GREATEST(1,
+               CEIL((len(t) - 8) / 24.0)) AS BIGINT))) AS i
+      FROM toks
+    ), chunks AS (
+      SELECT doc_id, lang,
+             len(list_slice(t,
+               CAST(i * 24 + 1 AS BIGINT),
+               CAST(i * 24 + 32 AS BIGINT))) AS ct
+      FROM exploded
+    )
+    SELECT lang,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(ct) AS BIGINT) AS sum_chunk_tokens
+    FROM chunks GROUP BY lang
+    """,
+)
+def q7i_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7 curation composition in ONE lazy plan: canonical-form
+    dedup keeps one doc per normalized text, a length gate drops short
+    docs, the survivors chunk into 32-token windows with 8-token
+    overlap, and the chunks roll up per language."""
+    from ..operators.chunking import chunk_by_tokens
+    from ..operators.dedup import canonical_dedup
+
+    d = load(spark, sf_dir, "documents")
+    kept = canonical_dedup(d, "text", "doc_id").filter(
+        F.col("n_chars") >= 64
+    )
+    chunks = chunk_by_tokens(kept, text_col="text", max_tokens=32, overlap=8)
+    return chunks.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_chunks"),
+        F.sum(F.col("chunk_tokens").cast("long")).alias("sum_chunk_tokens"),
+    )

@@ -1778,3 +1778,57 @@ def test_flatten_json_infers_and_expands(spark):
     s = infer_json_schema(df, "props")
     assert isinstance(s, StructType)
     assert flatten_json(df, "props", schema=s).columns == ["id", "k", "tag"]
+
+
+def test_pq_codebook_persistence(spark, sf_small, tmp_path):
+    """Fit once, persist in table properties, serve from the stored
+    codebooks: identical results to the refit path (the fit is
+    deterministic), zero fit jobs on the serve side."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.catalog import (
+        LakehouseCatalog,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.similarity import (
+        knn_pq,
+        load_pq_codebooks,
+        pq_fit,
+        save_pq_codebooks,
+    )
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3)
+
+    # normalize exactly the way knn_pq does before fitting
+    from pyspark.sql import functions as _F
+
+    def unit(c):
+        n = _F.sqrt(
+            _F.aggregate(
+                _F.zip_with(c, c, lambda x, y: x * y),
+                _F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        )
+        return _F.when(n > 0, _F.transform(c, lambda x: x / n)).otherwise(c)
+
+    corpus_n = emb.select(
+        "vec_id", unit(_F.col("embedding").cast("array<double>")).alias("embedding")
+    )
+    books = pq_fit(corpus_n, m=4, nbits=4)
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("v")
+    t = cat.create_table("v.emb", emb.schema)
+    save_pq_codebooks(t, books)
+    loaded = load_pq_codebooks(t)
+    assert loaded == books  # JSON round-trip is exact
+
+    fresh = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in knn_pq(emb, q, k=3, m=4, nbits=4).collect()
+    }
+    served = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in knn_pq(emb, q, k=3, codebooks=loaded).collect()
+    }
+    assert served == fresh
+    assert load_pq_codebooks(cat.load_table("v.emb")) == books
