@@ -168,6 +168,21 @@ def knn_lsh(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def save_ivf_centroids(table, centroids: list[list[float]]) -> None:
+    """Persist IVF cell centroids in table properties (same registry
+    pattern as :func:`save_pq_codebooks`): n_lists * D doubles."""
+    import json as _json
+
+    table.set_properties(**{"ann.ivf.centroids": _json.dumps(centroids)})
+
+
+def load_ivf_centroids(table) -> list[list[float]] | None:
+    import json as _json
+
+    raw = table.properties().get("ann.ivf.centroids")
+    return _json.loads(raw) if raw is not None else None
+
+
 def knn_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -177,6 +192,7 @@ def knn_ivf(
     n_lists: int = 16,
     n_probes: int = 4,
     seed: int = 42,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: k-means partitions the corpus into
     ``n_lists`` cells; each query scores only the ``n_probes`` cells
@@ -189,20 +205,33 @@ def knn_ivf(
     partition spec), so probe queries read n_probes/n_lists of the data -
     the classic IVF scan-fraction tradeoff. Recall is pytest-pinned
     against brute force."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-    ).withColumn("features", array_to_vector("cv"))
-    km = KMeans(k=n_lists, seed=seed, maxIter=10)
-    model = km.fit(c)
-    assigned = model.transform(c).select(
-        "neighbor_id", "cv", F.col("prediction").alias("cell")
     )
+    if centroids is None:
+        # fit path: distributed k-means over the corpus
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
 
-    centroids = [list(map(float, ctr)) for ctr in model.clusterCenters()]
+        feat = c.withColumn("features", array_to_vector("cv"))
+        km = KMeans(k=n_lists, seed=seed, maxIter=10)
+        model = km.fit(feat)
+        assigned = model.transform(feat).select(
+            "neighbor_id", "cv", F.col("prediction").alias("cell")
+        )
+        centroids = [list(map(float, ctr)) for ctr in model.clusterCenters()]
+    else:
+        # serve path (save_ivf_centroids registry): plan-literal argmin
+        # assignment - no ML fit, no model object, pure expressions
+        from .clustering import assign_clusters
+
+        assigned = assign_clusters(
+            c,
+            list(enumerate(centroids)),
+            vec_col="cv",
+            cluster_col="cell",
+        ).select("neighbor_id", "cv", "cell")
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),

@@ -1832,3 +1832,45 @@ def test_pq_codebook_persistence(spark, sf_small, tmp_path):
     }
     assert served == fresh
     assert load_pq_codebooks(cat.load_table("v.emb")) == books
+
+
+def test_ivf_centroid_persistence(spark, sf_small, tmp_path):
+    """Serve IVF from persisted centroids: no ML fit on the serve path,
+    recall within the fit path's ballpark (assignments use the same
+    argmin; cell ids may permute, results stay neighbors)."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.catalog import (
+        LakehouseCatalog,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.similarity import (
+        knn_bruteforce,
+        knn_ivf,
+        load_ivf_centroids,
+        save_ivf_centroids,
+    )
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+
+    feat = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("cv")
+    ).withColumn("features", array_to_vector("cv"))
+    model = KMeans(k=8, seed=42, maxIter=10).fit(feat)
+    cents = [list(map(float, c)) for c in model.clusterCenters()]
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("v")
+    t = cat.create_table("v.emb2", emb.schema)
+    save_ivf_centroids(t, cents)
+    loaded = load_ivf_centroids(t)
+    assert loaded == cents
+
+    served = knn_ivf(emb, q, k=5, n_lists=8, n_probes=4, centroids=loaded)
+    pairs = {(r["query_id"], r["neighbor_id"]) for r in served.collect()}
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_bruteforce(emb, q, k=5).collect()
+    }
+    recall = len(pairs & brute) / len(brute)
+    assert recall >= 0.3, f"served-IVF recall too low: {recall}"
