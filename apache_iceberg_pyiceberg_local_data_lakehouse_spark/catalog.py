@@ -1627,43 +1627,52 @@ class LakehouseCatalog:
             )
         if self.table_exists(dst_identifier):
             raise ValueError(f"table already exists: {dst_identifier}")
-        ns = dst_identifier.rsplit(".", 1)[0]
-        self.create_namespace(ns)
-        t = self.create_table(
-            dst_identifier,
-            StructType.fromJson(snap.schema_json),
-            snap.partition_spec,
-        )
-        entries = []
-        for e in snap.data_entries:
-            ne = dict(e)
-            ne["path"] = os.path.relpath(
-                os.path.join(st.location, e["path"]), t.location
-            )
-            # one uniform sequence number for the whole cloned file set
-            # (no tombstones -> relative order carries no information);
-            # overwrite_manifest assigns the commit's version
-            ne.pop("seq", None)
-            entries.append(ne)
-        clone_snap = t.overwrite_manifest(
-            entries,
-            operation="clone",
-            summary={
-                "cloned_from": src_identifier,
-                "source_version": snap.version,
-                "cloned_files": len(entries),
-                "cloned_rows": sum(int(e.get("rows", 0)) for e in entries),
-                # resume the SOURCE's row-id counter (not the max over
-                # cloned entries): ids of source-deleted rows must not
-                # be reissued by future clone appends
-                "next_row_id": LakehouseTable._lineage_next(snap),
-            },
-        )
-        del clone_snap
+        tag_name = f"clone-{self.view_name(dst_identifier)}"
         if pin_source:
-            st.create_tag(
-                f"clone-{self.view_name(dst_identifier)}", snap.version
+            # pin BEFORE building the clone: a snapshot expiry racing
+            # this window could otherwise GC the files between our
+            # manifest read and the tag
+            st.create_tag(tag_name, snap.version)
+        try:
+            ns = dst_identifier.rsplit(".", 1)[0]
+            self.create_namespace(ns)
+            t = self.create_table(
+                dst_identifier,
+                StructType.fromJson(snap.schema_json),
+                snap.partition_spec,
             )
+            entries = []
+            for e in snap.data_entries:
+                ne = dict(e)
+                ne["path"] = os.path.relpath(
+                    os.path.join(st.location, e["path"]), t.location
+                )
+                # one uniform sequence number for the whole cloned file
+                # set (no tombstones -> relative order carries no
+                # information); overwrite_manifest assigns the commit's
+                # version
+                ne.pop("seq", None)
+                entries.append(ne)
+            t.overwrite_manifest(
+                entries,
+                operation="clone",
+                summary={
+                    "cloned_from": src_identifier,
+                    "source_version": snap.version,
+                    "cloned_files": len(entries),
+                    "cloned_rows": sum(
+                        int(e.get("rows", 0)) for e in entries
+                    ),
+                    # resume the SOURCE's row-id counter (not the max
+                    # over cloned entries): ids of source-deleted rows
+                    # must not be reissued by future clone appends
+                    "next_row_id": LakehouseTable._lineage_next(snap),
+                },
+            )
+        except BaseException:
+            if pin_source:
+                st.drop_tag(tag_name)  # a failed clone must not pin
+            raise
         return t
 
     def rename_table(self, from_identifier: str, to_identifier: str) -> None:

@@ -196,3 +196,19 @@ def test_clone_localize_via_materialize_external(spark, cat):
     )
     assert clone.to_df().count() == 100
     assert sorted(r["k"] for r in clone.to_df().collect()) == list(range(100))
+
+
+def test_clone_failure_drops_pin(spark, cat):
+    """A clone that fails mid-way must not leave its pin tag on the
+    source (a dangling pin would block GC forever)."""
+    src = _seed(spark, cat)
+    # force a failure AFTER the pin: destination namespace dir is a file
+    wh_dev = os.path.join(cat.warehouse, "dev2")
+    os.makedirs(os.path.dirname(wh_dev), exist_ok=True)
+    open(wh_dev, "w").write("not a dir")
+    with pytest.raises(Exception):
+        cat.clone_table("src.t", "dev2.t")
+    assert not any(
+        r["name"].startswith("clone-dev2")
+        for r in src.inspect_refs().collect()
+    )
