@@ -385,8 +385,25 @@ class LakehouseCatalog:
         import shutil
 
         loc = self._table_location(identifier)
-        if os.path.exists(loc):
-            shutil.rmtree(loc)
+        if not os.path.exists(loc):
+            return
+        # a shallow clone recorded its source pin (clone.source
+        # property): release the tag with the clone, or the source
+        # could never expire the pinned snapshot and a re-clone to the
+        # same name would collide on the tag
+        try:
+            t = LakehouseTable(self.spark, loc)
+            src_ident = t.properties().get("clone.source")
+            if src_ident and self.table_exists(src_ident):
+                try:
+                    self.load_table(src_ident).drop_tag(
+                        f"clone-{self.view_name(identifier)}"
+                    )
+                except (KeyError, ValueError):
+                    pass  # pin already released (pin_source=False etc.)
+        except Exception:
+            pass  # a corrupt clone must still be droppable
+        shutil.rmtree(loc)
 
     # -- SQL surface --------------------------------------------------------
 
@@ -903,9 +920,19 @@ class LakehouseCatalog:
         by_source = "keep"
         clauses = m.group("clauses")
         seen_spans = []
+        seen_kinds: set[str] = set()
         for cm in _DML_MERGE_CLAUSE.finditer(clauses):
             seen_spans.append(cm.span())
             kind = re.sub(r"\s+", " ", cm.group("kind").upper())
+            if kind in seen_kinds:
+                # last-wins would silently mix actions and conditions
+                # across duplicate clauses (a stale matched_condition
+                # surviving an overwritten action) - reject instead
+                raise ValueError(
+                    f"duplicate WHEN {kind} clause; the engine supports "
+                    "one clause per kind"
+                )
+            seen_kinds.add(kind)
             action = re.sub(r"\s+", " ", cm.group("action").upper())
             cond = cm.group("cond")
             if kind == "MATCHED":
@@ -1669,6 +1696,10 @@ class LakehouseCatalog:
                     "next_row_id": LakehouseTable._lineage_next(snap),
                 },
             )
+            if pin_source:
+                # recorded so drop_table can release the pin with the
+                # clone (a dangling tag would block source GC forever)
+                t.set_properties(**{"clone.source": src_identifier})
         except BaseException:
             if pin_source:
                 st.drop_tag(tag_name)  # a failed clone must not pin

@@ -385,6 +385,13 @@ def compact(
         # would leave a lone small file behind - write amplification
         # with no layout gain) in deterministic order until the budget
         # is spent; the next run continues where this one stopped.
+        # PROGRESS GUARANTEE over strict bounding: the first eligible
+        # group is always taken even if it alone exceeds the budget -
+        # a partition group is the atomic rewrite unit, and skipping
+        # over-budget groups would mean a hot partition never compacts
+        # at all. Callers needing a hard ceiling should shrink the
+        # group first (tighter small_file_threshold) or accept the one
+        # oversized commit.
         budget, picked = max_rewrite_bytes, []
         for key in sorted(small_by_part):
             grp = small_by_part[key]

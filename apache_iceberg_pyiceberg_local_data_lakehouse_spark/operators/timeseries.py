@@ -47,7 +47,8 @@ def _every_us(every: str) -> int:
     parts = every.strip().split()
     if len(parts) != 2:
         raise ValueError(f"every must be '<n> <unit>', got {every!r}")
-    n, unit = int(parts[0]), parts[1].rstrip("s").lower()
+    # lowercase BEFORE stripping the plural: '15 MINUTES' must parse
+    n, unit = int(parts[0]), parts[1].lower().rstrip("s")
     if unit not in _UNITS_US or n <= 0:
         raise ValueError(f"unsupported interval {every!r}")
     return n * _UNITS_US[unit]
@@ -55,10 +56,13 @@ def _every_us(every: str) -> int:
 
 def time_bucket(ts: Column, every: str) -> Column:
     """Floor a timestamp onto the grid - integer µs arithmetic, exact
-    and engine-portable (DuckDB's time_bucket computes the same)."""
+    and engine-portable (DuckDB's time_bucket computes the same).
+    ``pmod``, not ``%``: Spark's % follows the sign, which would round
+    pre-1970 timestamps UP instead of flooring (and disagree with
+    DuckDB's flooring ``//``)."""
     us = _every_us(every)
     return F.timestamp_micros(
-        (F.unix_micros(ts) - (F.unix_micros(ts) % F.lit(us)))
+        F.unix_micros(ts) - F.pmod(F.unix_micros(ts), F.lit(us))
     )
 
 
@@ -72,11 +76,16 @@ def resample(
     """Bucketed aggregate: (group..., bucket, <agg outputs>). ``aggs``
     maps output name -> aggregate Column (F.count/F.avg/...)."""
     groups = list(group_cols or [])
-    b = time_bucket(F.col(ts_col), every).alias("bucket")
+    if "bucket" in groups:
+        raise ValueError("'bucket' is the output column; rename the group")
+    # internal alias: an input column already named 'bucket' (e.g. a
+    # prior resample pass being re-bucketed) must not become ambiguous
+    b = time_bucket(F.col(ts_col), every).alias("__rs_bucket")
     return (
-        df.select(*groups, b, "*")
-        .groupBy(*groups, "bucket")
+        df.select("*", b)
+        .groupBy(*groups, "__rs_bucket")
         .agg(*[c.alias(n) for n, c in aggs.items()])
+        .withColumnRenamed("__rs_bucket", "bucket")
     )
 
 
@@ -142,7 +151,6 @@ def gap_fill(
         return out
     # linear: interpolate between the previous and next REAL value;
     # edges (no anchor on one side) keep the single available anchor
-    us_lit = F.lit(us).cast("double")
     pos = F.unix_micros(F.col(bucket_col))
     real_pos = F.when(~F.col("is_gap"), pos)
     prev_pos = F.last(real_pos, ignorenulls=True).over(w_back)
@@ -161,5 +169,4 @@ def gap_fill(
             .otherwise(prev_val + (next_val - prev_val) * frac)
         )
         out = out.withColumn(c, interp)
-    del us_lit
     return out

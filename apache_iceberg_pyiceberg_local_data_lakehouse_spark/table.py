@@ -2159,6 +2159,14 @@ class LakehouseTable:
             )
         by_id = {s.snapshot_id: s for s in self.snapshots()}
         parent = by_id.get(src.parent_id)
+        if src.parent_id is not None and parent is None:
+            # an expired parent would make the diff the picked
+            # snapshot's ENTIRE cumulative manifest - re-applying every
+            # ancestor append, not the one picked; refuse loudly
+            raise ValueError(
+                f"cherrypick: v{version}'s parent snapshot has been "
+                "expired; the picked file set cannot be determined"
+            )
         parent_paths = {e["path"] for e in parent.manifest} if parent else set()
         added = [
             dict(e) for e in src.manifest if e["path"] not in parent_paths
@@ -2169,11 +2177,8 @@ class LakehouseTable:
                 "only pure data appends are pickable"
             )
         cur = self.snapshot()
-        dup = [
-            e["path"]
-            for e in added
-            if e["path"] in {c["path"] for c in cur.manifest}
-        ]
+        head_paths = {c["path"] for c in cur.manifest}
+        dup = [e["path"] for e in added if e["path"] in head_paths]
         if dup:
             raise ValueError(
                 f"cherrypick: head already references {len(dup)} of the "

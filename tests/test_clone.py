@@ -212,3 +212,19 @@ def test_clone_failure_drops_pin(spark, cat):
         r["name"].startswith("clone-dev2")
         for r in src.inspect_refs().collect()
     )
+
+
+def test_drop_clone_releases_source_pin(spark, cat):
+    """Dropping a clone drops its pin tag on the source, so source GC
+    unblocks and a re-clone to the same name works."""
+    src = _seed(spark, cat)
+    cat.clone_table("src.t", "dev.t7")
+    assert any(
+        r["name"] == "clone-dev_t7" for r in src.inspect_refs().collect()
+    )
+    cat.drop_table("dev.t7")
+    assert not any(
+        r["name"] == "clone-dev_t7" for r in src.inspect_refs().collect()
+    )
+    clone2 = cat.clone_table("src.t", "dev.t7")  # re-clone succeeds
+    assert clone2.to_df().count() == 100

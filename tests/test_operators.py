@@ -1874,3 +1874,25 @@ def test_ivf_centroid_persistence(spark, sf_small, tmp_path):
     }
     recall = len(pairs & brute) / len(brute)
     assert recall >= 0.3, f"served-IVF recall too low: {recall}"
+
+
+def test_resample_edge_cases(spark):
+    """Uppercase units parse, pre-epoch timestamps floor (pmod), and an
+    input column named 'bucket' doesn't collide."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.timeseries import (
+        resample,
+        time_bucket,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "1969-12-31 23:30:00", 1.0, "x")],
+        "g string, ts string, v double, bucket string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = resample(df, "ts", "1 HOUR", {"n": F.count("*")}, ["g"]).collect()
+    assert str(out[0]["bucket"]) == "1969-12-31 23:00:00"  # floored DOWN
+    r15 = resample(df, "ts", "15 MINUTES", {"n": F.count("*")}, ["g"])
+    assert str(r15.first()["bucket"]) == "1969-12-31 23:30:00"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="output column"):
+        resample(df, "ts", "1 hour", {"n": F.count("*")}, ["bucket"])

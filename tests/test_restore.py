@@ -208,3 +208,34 @@ def test_cherrypick_after_rollback(spark, tmp_path):
     # non-append snapshots refuse
     with _pytest.raises(ValueError, match="only append"):
         t.cherrypick(t.current_version() - 1)  # the restore commit
+
+
+def test_cherrypick_refuses_expired_parent(spark, tmp_path):
+    """An expired parent makes the picked file set undeterminable (the
+    cumulative manifest would re-apply every ancestor append): refuse
+    instead of silently over-applying."""
+    import pytest as _pytest
+
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.catalog import (
+        LakehouseCatalog,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.maintenance import (
+        expire_snapshots,
+    )
+    from pyspark.sql import functions as F
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("g")
+    df = spark.range(0, 5).select(F.col("id").alias("k"))
+    t = cat.create_table("g.cp2", df.schema)
+    t.append(df)  # v1 (parent of the pick)
+    t.append(spark.range(5, 9).select(F.col("id").alias("k")))  # v2
+    v2 = t.current_version()
+    t.append(spark.range(9, 12).select(F.col("id").alias("k")))  # v3
+    # expire v1 (v2's parent); keep v2/v3
+    expire_snapshots(
+        t, older_than_ms=10**18, retain_last=2, orphan_grace_secs=0
+    )
+    t.restore_to(v2)
+    with _pytest.raises(ValueError, match="parent snapshot has been"):
+        t.cherrypick(v2)

@@ -909,3 +909,17 @@ def test_masked_view(catalog, spark):
         )
     )
     assert catalog.sql("SELECT COUNT(*) AS n FROM gold_pii_eu").first()["n"] == 3
+
+
+def test_sql_merge_duplicate_clause_rejected(catalog, spark):
+    t = catalog.create_table("gold.m5", _sales_df(spark, []).schema)
+    t.append(_sales_df(spark, [("a", 1)]))
+    spark.createDataFrame(
+        [("a", 9)], "cat string, v long"
+    ).createOrReplaceTempView("m5src")
+    with pytest.raises(ValueError, match="duplicate WHEN MATCHED"):
+        catalog.sql(
+            "MERGE INTO gold.m5 USING m5src ON m5.cat = m5src.cat "
+            "WHEN MATCHED AND m5.v > 5 THEN DELETE "
+            "WHEN MATCHED THEN UPDATE SET *"
+        )
