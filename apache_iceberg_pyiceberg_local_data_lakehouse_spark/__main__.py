@@ -21,7 +21,17 @@ def main() -> None:
     mode.add_argument("--now", action="store_true", help="one batch run")
     mode.add_argument("--watch", action="store_true", help="watcher loop only")
     mode.add_argument("--schedule", action="store_true", help="daily scheduler only")
+    mode.add_argument(
+        "--maintain",
+        action="store_true",
+        help="one auto-maintenance pass over every table (policy-driven "
+        "tombstone consolidation / compaction / manifest rewrite / "
+        "snapshot expiry; add --dry-run to preview)",
+    )
     ap.add_argument("--interval", type=int, default=30, help="watch poll seconds")
+    ap.add_argument(
+        "--dry-run", action="store_true", help="with --maintain: report only"
+    )
     args = ap.parse_args()
 
     from .ingest import IngestPipeline
@@ -29,6 +39,27 @@ def main() -> None:
     from .streaming.watcher import FolderWatcher, Scheduler, run_production
 
     spark = get_spark(app_name="lakehouse-cli")
+
+    if args.maintain:
+        from .catalog import LakehouseCatalog
+        from .maintenance import auto_maintain, table_metrics
+
+        cat = LakehouseCatalog(spark, args.warehouse)
+        for ns in cat.list_namespaces():
+            for ident in cat.list_tables(ns):
+                t = cat.load_table(ident)
+                report = auto_maintain(t, dry_run=args.dry_run)
+                m = table_metrics(t)
+                acted = {
+                    k: v for k, v in report.items() if v != "not due"
+                }
+                print(
+                    f"{ident}: files={m['data_files']} rows={m['rows']} "
+                    f"small_ratio={m['small_file_ratio']:.2f} "
+                    f"{acted or 'nothing due'}"
+                )
+        return
+
     pipeline = IngestPipeline(spark, args.warehouse)
 
     if args.now:

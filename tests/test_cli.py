@@ -52,3 +52,43 @@ def test_cli_now_mode(tmp_path):
     assert out2.returncode == 0
     assert "+0 rows" in out2.stdout
     assert "1 skipped" in out2.stdout
+
+
+def test_cli_maintain_mode(tmp_path):
+    """--maintain walks every table, prints the metrics + actions line,
+    and --dry-run never commits."""
+    src = tmp_path / "src" / "EURUSD"
+    src.mkdir(parents=True)
+    ts = [dt.datetime(2024, 5, 1) + dt.timedelta(seconds=i) for i in range(150)]
+    pq.write_table(
+        pa.table(
+            {
+                "DateTime": pa.array(ts, type=pa.timestamp("us")),
+                "Bid": pa.array(np.linspace(1.0, 1.1, 150)),
+                "Ask": pa.array(np.linspace(1.1, 1.2, 150)),
+            }
+        ),
+        src / "x.parquet",
+    )
+    env = {**os.environ, "PYTHONPATH": REPO, "SPARK_GRAFT_CPUS": "4"}
+    base = [
+        sys.executable,
+        "-m",
+        "apache_iceberg_pyiceberg_local_data_lakehouse_spark",
+        "--source",
+        str(tmp_path / "src"),
+        "--warehouse",
+        str(tmp_path / "wh"),
+    ]
+    out = subprocess.run(
+        base + ["--now"], env=env, capture_output=True, text=True,
+        timeout=300, cwd=str(tmp_path),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    out = subprocess.run(
+        base + ["--maintain", "--dry-run"], env=env, capture_output=True,
+        text=True, timeout=300, cwd=str(tmp_path),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "gold.eurusd" in out.stdout
+    assert "rows=150" in out.stdout
