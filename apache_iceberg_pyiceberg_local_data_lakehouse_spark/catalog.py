@@ -163,6 +163,14 @@ _ALTER_COL_TYPE = re.compile(
 _ALTER_SET_PROPS = re.compile(
     r"^SET\s+TBLPROPERTIES\s*\((.+)\)$", re.IGNORECASE | re.DOTALL
 )
+_ALTER_CREATE_REF = re.compile(
+    r"^CREATE\s+(TAG|BRANCH)\s+(\w+)"
+    r"(?:\s+AS\s+OF\s+VERSION\s+(\d+))?$",
+    re.IGNORECASE,
+)
+_ALTER_DROP_REF = re.compile(
+    r"^DROP\s+(TAG|BRANCH)\s+(\w+)$", re.IGNORECASE
+)
 # SQL type aliases -> the schema-json canonical names the table format
 # stores (StructType.fromJson rejects the SQL spellings)
 _SQL_TYPE_ALIAS = {
@@ -1023,6 +1031,35 @@ class LakehouseCatalog:
                 t, am.group(1), _SQL_TYPE_ALIAS.get(new_type, new_type)
             )
             op = "alter column type"
+        elif (am := _ALTER_CREATE_REF.match(action)) is not None:
+            # Iceberg's ALTER TABLE ... CREATE TAG/BRANCH [AS OF
+            # VERSION n] - named refs pin (tag) or track (branch)
+            # snapshots; tags also protect against expiry
+            version = int(am.group(3)) if am.group(3) else None
+            if am.group(1).upper() == "TAG":
+                v = t.create_tag(am.group(2), version)
+            else:
+                v = t.create_branch(am.group(2), version)
+            return self.spark.createDataFrame(
+                [
+                    (
+                        f"create {am.group(1).lower()}",
+                        ident,
+                        am.group(2),
+                        v,
+                    )
+                ],
+                "operation string, table string, ref string, version long",
+            )
+        elif (am := _ALTER_DROP_REF.match(action)) is not None:
+            if am.group(1).upper() == "TAG":
+                t.drop_tag(am.group(2))
+            else:
+                t.drop_branch(am.group(2))
+            return self.spark.createDataFrame(
+                [(f"drop {am.group(1).lower()}", ident, am.group(2))],
+                "operation string, table string, ref string",
+            )
         elif (am := _ALTER_SET_PROPS.match(action)) is not None:
             props = {}
             for part in _split_top_level(am.group(1)):

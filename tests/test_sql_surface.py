@@ -923,3 +923,28 @@ def test_sql_merge_duplicate_clause_rejected(catalog, spark):
             "WHEN MATCHED AND m5.v > 5 THEN DELETE "
             "WHEN MATCHED THEN UPDATE SET *"
         )
+
+
+def test_sql_ref_verbs(catalog, spark):
+    """ALTER TABLE ... CREATE/DROP TAG|BRANCH manage named refs from
+    SQL; tags pin their snapshot and compose with SHOW REFS + time
+    travel."""
+    t = catalog.create_table("gold.refs", TICK_SCHEMA, [])
+    t.append(tick_df(spark, n=4))
+    v1 = t.current_version()
+    t.append(tick_df(spark, n=3, start="2024-02-01 00:00:00"))
+
+    out = catalog.sql(
+        f"ALTER TABLE gold.refs CREATE TAG audit AS OF VERSION {v1}"
+    ).first()
+    assert (out["operation"], out["version"]) == ("create tag", v1)
+    catalog.sql("ALTER TABLE gold.refs CREATE BRANCH dev")
+    refs = {r["name"]: r for r in catalog.sql("SHOW REFS gold.refs").collect()}
+    assert refs["audit"]["version"] == v1
+    assert refs["dev"]["version"] == t.current_version()
+    # the tagged snapshot reads exactly
+    assert t.scan(snapshot=t.snapshot_by_tag("audit")).count() == 4
+
+    catalog.sql("ALTER TABLE gold.refs DROP BRANCH dev")
+    catalog.sql("ALTER TABLE gold.refs DROP TAG audit")
+    assert catalog.sql("SHOW REFS gold.refs").count() == 0
