@@ -387,3 +387,69 @@ def q7f_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.col("k").cast("long")).alias("min_k"),
         F.max(F.col("k").cast("long")).alias("max_k"),
     )
+
+
+@register(
+    "q7j_event_funnel",
+    # new in r7, registered behind the judged window (r8 rotation
+    # fodder); certifies operators/funnel.py: ordered greedy sequence
+    # matching (signup -> view -> purchase) with a completion window,
+    # replayed in the oracle as the same chain of min-after joins.
+    defer=True,
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM ev
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM ev e JOIN s1 ON s1.user_id = e.user_id
+      WHERE e.event_type = 'view' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM ev e JOIN s2 ON s2.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    ), fun AS (
+      SELECT s1.user_id, s1.t1, s2.t2,
+             CASE WHEN epoch_us(s3.t3) - epoch_us(s1.t1)
+                    <= 86400000000 THEN s3.t3 END AS t3
+      FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+              LEFT JOIN s3 ON s1.user_id = s3.user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_entered,
+           CAST(SUM(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_step2,
+           CAST(SUM(CASE WHEN t2 IS NOT NULL AND t3 IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_completed,
+           CAST(SUM(epoch_us(t1) / 1000) AS BIGINT) AS sum_t1_ms
+    FROM fun
+    """,
+)
+def q7j_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup -> view -> purchase funnel over the event stream with a
+    24-hour completion window: entries, step-2 conversions, completions
+    and an exact integer anchor on the step-1 times."""
+    from ..operators.funnel import funnel
+
+    ev = load(spark, sf_dir, "events")
+    f = funnel(
+        ev, ["signup", "view", "purchase"], within="24 hours"
+    )
+    return f.agg(
+        F.count("*").alias("n_entered"),
+        F.sum(
+            F.col("step_2_ts").isNotNull().cast("long")
+        ).alias("n_step2"),
+        F.sum(
+            (
+                F.col("step_2_ts").isNotNull()
+                & F.col("step_3_ts").isNotNull()
+            ).cast("long")
+        ).alias("n_completed"),
+        F.sum(F.unix_micros("step_1_ts") / 1000).cast("long").alias(
+            "sum_t1_ms"
+        ),
+    )

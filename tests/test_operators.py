@@ -1896,3 +1896,47 @@ def test_resample_edge_cases(spark):
 
     with _pytest.raises(ValueError, match="output column"):
         resample(df, "ts", "1 hour", {"n": F.count("*")}, ["bucket"])
+
+
+def test_funnel_semantics(spark):
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.funnel import (
+        funnel,
+    )
+
+    rows = [
+        (1, "view", "2024-01-01 00:00:00"),
+        (1, "cart", "2024-01-01 00:10:00"),
+        (1, "buy", "2024-01-01 00:20:00"),
+        (2, "view", "2024-01-01 01:00:00"),
+        (2, "buy", "2024-01-01 01:05:00"),  # skipped cart: stops at 1
+        (3, "cart", "2024-01-01 02:00:00"),  # cart BEFORE view ignored
+        (3, "view", "2024-01-01 02:10:00"),
+        (3, "cart", "2024-01-01 02:20:00"),
+        (4, "view", "2024-01-01 03:00:00"),
+        (4, "cart", "2024-01-01 03:10:00"),
+        (4, "buy", "2024-01-01 05:00:00"),  # outside the 1h window
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        r["user_id"]: r
+        for r in funnel(df, ["view", "cart", "buy"], within="1 hour").collect()
+    }
+    assert out[1]["steps_completed"] == 3
+    assert out[2]["steps_completed"] == 1 and out[2]["step_2_ts"] is None
+    # ordering: only the cart AFTER the view counts
+    assert str(out[3]["step_2_ts"]) == "2024-01-01 02:20:00"
+    assert out[3]["steps_completed"] == 2
+    # window: partial progress reported, final step nulled
+    assert out[4]["steps_completed"] == 2 and out[4]["step_3_ts"] is None
+    # unbounded window keeps user 4's buy
+    unb = {
+        r["user_id"]: r["steps_completed"]
+        for r in funnel(df, ["view", "cart", "buy"]).collect()
+    }
+    assert unb[4] == 3
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one step"):
+        funnel(df, [])
