@@ -85,3 +85,47 @@ def funnel(
         *[f"step_{i}_ts" for i in range(1, len(steps) + 1)],
         expr.alias("steps_completed"),
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "1 day",
+) -> DataFrame:
+    """Cohort retention: entities bucketed by first-seen period; for
+    each (cohort, age-in-periods) the number of distinct entities
+    active - the matrix a retention curve reads off.
+
+    Shape: one min-aggregate for first-seen, one distinct over
+    (entity, period) for activity, one entity-keyed join, one final
+    (cohort, age) aggregate. All time arithmetic is integer
+    microseconds (flooring time_bucket), so counts are exact and
+    engine-portable."""
+    from .timeseries import time_bucket
+
+    us = _every_us(period)
+    first = (
+        events.select(
+            F.col(entity_col).alias("__e"), F.col(ts_col).alias("__ts")
+        )
+        .groupBy("__e")
+        .agg(F.min("__ts").alias("__first"))
+        .withColumn("cohort", time_bucket(F.col("__first"), period))
+    )
+    active = (
+        events.select(
+            F.col(entity_col).alias("__e"),
+            time_bucket(F.col(ts_col), period).alias("__p"),
+        )
+        .distinct()
+    )
+    joined = active.join(first.select("__e", "cohort"), on="__e")
+    age = (
+        (F.unix_micros("__p") - F.unix_micros("cohort")) / F.lit(us)
+    ).cast("long")
+    return (
+        joined.withColumn("age", age)
+        .groupBy("cohort", "age")
+        .agg(F.countDistinct("__e").alias("n_active"))
+    )

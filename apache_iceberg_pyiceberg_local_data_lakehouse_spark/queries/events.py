@@ -453,3 +453,43 @@ def q7j_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_t1_ms"
         ),
     )
+
+
+@register(
+    "q7k_cohort_retention",
+    # new in r7, registered behind the judged window (r8 rotation
+    # fodder); certifies operators/funnel.py cohort_retention: daily
+    # first-seen cohorts x age-in-days activity counts, replayed in
+    # the oracle with the identical flooring bucket arithmetic.
+    defer=True,
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), first AS (
+      SELECT user_id,
+             make_timestamp((epoch_us(MIN(ts)) // 86400000000)
+                            * 86400000000) AS cohort
+      FROM ev GROUP BY user_id
+    ), active AS (
+      SELECT DISTINCT user_id,
+             make_timestamp((epoch_us(ts) // 86400000000)
+                            * 86400000000) AS p
+      FROM ev
+    )
+    SELECT f.cohort,
+           CAST((epoch_us(a.p) - epoch_us(f.cohort)) / 86400000000
+                AS BIGINT) AS age,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+    FROM active a JOIN first f USING (user_id)
+    GROUP BY f.cohort, age
+    """,
+)
+def q7k_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily retention matrix over the event stream: first-seen cohorts
+    against age-in-days distinct-active counts."""
+    from ..operators.funnel import cohort_retention
+
+    ev = load(spark, sf_dir, "events")
+    return cohort_retention(ev, period="1 day").select(
+        "cohort", "age", F.col("n_active").cast("long").alias("n_active")
+    )

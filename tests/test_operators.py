@@ -1940,3 +1940,31 @@ def test_funnel_semantics(spark):
 
     with _pytest.raises(ValueError, match="at least one step"):
         funnel(df, [])
+
+
+def test_cohort_retention(spark):
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.funnel import (
+        cohort_retention,
+    )
+
+    rows = [
+        (1, "2024-01-01 10:00:00"),
+        (1, "2024-01-02 09:00:00"),
+        (1, "2024-01-04 09:00:00"),
+        (2, "2024-01-01 23:00:00"),
+        (3, "2024-01-02 01:00:00"),
+        (3, "2024-01-03 01:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    got = {
+        (str(r["cohort"])[:10], r["age"]): r["n_active"]
+        for r in cohort_retention(df, period="1 day").collect()
+    }
+    assert got[("2024-01-01", 0)] == 2  # users 1, 2 on day 0
+    assert got[("2024-01-01", 1)] == 1  # user 1 returns day 1
+    assert got[("2024-01-01", 3)] == 1  # user 1 returns day 3
+    assert got[("2024-01-02", 0)] == 1  # user 3's cohort
+    assert got[("2024-01-02", 1)] == 1
+    assert ("2024-01-01", 2) not in got  # nobody active that day
