@@ -1833,3 +1833,55 @@ def q7i_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_chunks"),
         F.sum(F.col("chunk_tokens").cast("long")).alias("sum_chunk_tokens"),
     )
+
+
+@register(
+    "q7l_data_expectations",
+    # new in r7, registered behind the judged window (r8 rotation
+    # fodder); certifies operators/expectations.py: the one-pass
+    # Deequ-style audit suite, each check's metric replayed in SQL.
+    defer=True,
+    oracle="""
+    WITH m AS (
+      SELECT AVG(CASE WHEN text IS NOT NULL THEN 1.0 ELSE 0.0 END)
+               AS completeness_text,
+             CAST(COUNT(DISTINCT doc_id) AS DOUBLE) / COUNT(doc_id)
+               AS uniqueness_id,
+             CAST(SUM(CASE WHEN n_chars IS NOT NULL
+                  AND (n_chars < 0 OR n_chars > 100000)
+                  THEN 1 ELSE 0 END) AS DOUBLE) AS oob_chars,
+             CAST(COUNT(*) AS DOUBLE) AS n_rows
+      FROM documents
+    )
+    SELECT 'completeness(text)' AS check, completeness_text AS metric,
+           completeness_text >= 1.0 AS passed FROM m
+    UNION ALL
+    SELECT 'uniqueness(doc_id)', uniqueness_id, uniqueness_id >= 1.0 FROM m
+    UNION ALL
+    SELECT 'between(n_chars)', oob_chars, oob_chars = 0 FROM m
+    UNION ALL
+    SELECT 'size', n_rows, n_rows >= 10 FROM m
+    """,
+)
+def q7l_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit of the corpus in one pass: text completeness,
+    doc_id uniqueness, n_chars bounds, table size - metrics AND
+    verdicts equal the oracle's direct SQL measurement."""
+    from ..operators.expectations import (
+        between,
+        completeness,
+        run_checks,
+        size,
+        uniqueness,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    return run_checks(
+        d,
+        [
+            completeness("text"),
+            uniqueness("doc_id"),
+            between("n_chars", 0, 100_000),
+            size(min_rows=10),
+        ],
+    )

@@ -1968,3 +1968,47 @@ def test_cohort_retention(spark):
     assert got[("2024-01-02", 0)] == 1  # user 3's cohort
     assert got[("2024-01-02", 1)] == 1
     assert ("2024-01-01", 2) not in got  # nobody active that day
+
+
+def test_expectations_suite_one_pass(spark):
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.expectations import (
+        between,
+        completeness,
+        in_set,
+        matches,
+        run_checks,
+        size,
+        uniqueness,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a@x.com", "eu", 10),
+            (2, "b@y.com", "us", 20),
+            (3, None, "eu", 200),
+            (3, "d@z.com", "mars", 30),
+        ],
+        "uid long, email string, region string, v long",
+    )
+    out = {
+        r["check"]: (r["metric"], r["passed"])
+        for r in run_checks(
+            df,
+            [
+                completeness("email", min_ratio=0.9),
+                completeness("uid"),
+                uniqueness("uid"),
+                between("v", 0, 100),
+                matches("email", r"^[^@]+@[^@]+$"),
+                in_set("region", ["eu", "us"]),
+                size(min_rows=2, max_rows=10),
+            ],
+        ).collect()
+    }
+    assert out["completeness(email)"] == (0.75, False)  # 3/4 < 0.9
+    assert out["completeness(uid)"] == (1.0, True)
+    assert out["uniqueness(uid)"][1] is False  # uid 3 duplicated
+    assert out["between(v)"] == (1.0, False)  # one out-of-range value
+    assert out["matches(email)"] == (1.0, True)  # nulls excluded
+    assert out["in_set(region)"] == (1.0, False)  # 'mars'
+    assert out["size"] == (4.0, True)
