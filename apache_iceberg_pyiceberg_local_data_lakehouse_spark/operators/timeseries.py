@@ -170,3 +170,80 @@ def gap_fill(
         )
         out = out.withColumn(c, interp)
     return out
+
+
+def rolling_zscore(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str | list[str],
+    group_cols: list[str] | None = None,
+    window: int = 20,
+    min_periods: int = 5,
+    threshold: float = 3.0,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Trailing-window anomaly score: each row's value against the mean
+    and sample-stddev of the PREVIOUS ``window`` rows in its series
+    (the point being scored is excluded from its own baseline).
+
+    Cross-engine determinism: values quantize to scaled BIGINTs and the
+    window accumulates integer (n, sum, sum-of-squares); the z-score
+    then uses only +,-,*,/,sqrt - all correctly-rounded IEEE ops - so
+    identical inputs give bit-identical scores in any engine (the
+    ``q2b`` portable-stddev discipline, applied over a window).
+    Scale shape: one window per series key, state O(1) per row.
+
+    Adds ``zscore`` (NULL until ``min_periods`` history exists, or when
+    the baseline has zero variance) and ``is_anomaly``
+    (|z| > threshold; false where z is NULL)."""
+    from pyspark.sql.window import Window as W
+
+    groups = list(group_cols or [])
+    # ts_col may be a list: pass a tie-breaking column (an event id)
+    # whenever timestamps can collide, or the window order - and with
+    # it every score - is nondeterministic
+    order = [ts_col] if isinstance(ts_col, str) else list(ts_col)
+    w = (
+        W.partitionBy(*groups)
+        .orderBy(*order)
+        .rowsBetween(-window, -1)
+    )
+    d = F.floor(F.col(value_col) * F.lit(float(scale)) + F.lit(0.5)).cast(
+        "long"
+    )
+    out = (
+        df.withColumn("__d", d)
+        .withColumn("__n", F.count("__d").over(w))
+        .withColumn("__s", F.sum("__d").over(w))
+        .withColumn("__ss", F.sum(F.col("__d") * F.col("__d")).over(w))
+    )
+    n = F.col("__n").cast("double")
+    s = F.col("__s").cast("double")
+    ss = F.col("__ss").cast("double")
+    var = (n * ss - s * s) / (n * (n - F.lit(1.0)))
+    std = F.sqrt(var)
+    z = (F.col("__d").cast("double") - s / n) / std
+    zscore = F.when(
+        (F.col("__n") >= F.lit(min_periods)) & (var > 0), z
+    )
+    # a zero-variance baseline with a DIFFERENT value is an infinite z:
+    # the clearest anomaly there is (a constant series broke). zscore
+    # stays NULL (undefined), the flag fires. Exact integer compare:
+    # d*n == sum iff the value equals the baseline mean.
+    flat_break = (
+        (F.col("__n") >= F.lit(min_periods))
+        & (var == 0)
+        & (F.col("__d") * F.col("__n") != F.col("__s"))
+    )
+    return (
+        out.withColumn("zscore", zscore)
+        .withColumn(
+            "is_anomaly",
+            F.coalesce(
+                F.abs(F.col("zscore")) > F.lit(float(threshold)),
+                flat_break,
+                F.lit(False),
+            ),
+        )
+        .drop("__d", "__n", "__s", "__ss")
+    )

@@ -2012,3 +2012,27 @@ def test_expectations_suite_one_pass(spark):
     assert out["matches(email)"] == (1.0, True)  # nulls excluded
     assert out["in_set(region)"] == (1.0, False)  # 'mars'
     assert out["size"] == (4.0, True)
+
+
+def test_rolling_zscore(spark):
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.timeseries import (
+        rolling_zscore,
+    )
+
+    vals = [10.0] * 10 + [50.0, 10.0]
+    rows = [
+        ("a", f"2024-01-01 00:{i:02d}:00", v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "g string, ts string, v double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = rolling_zscore(
+        df, "v", "ts", ["g"], window=8, min_periods=4
+    ).orderBy("ts").collect()
+    # warm-up rows and zero-variance baselines stay NULL / not anomalous
+    assert out[3]["zscore"] is None and out[3]["is_anomaly"] is False
+    assert out[9]["zscore"] is None  # baseline all-equal: zero variance
+    assert out[9]["is_anomaly"] is False  # value matches the flat baseline
+    # flat baseline broken by a different value: z undefined, flag fires
+    assert out[10]["zscore"] is None and out[10]["is_anomaly"] is True
+    assert out[11]["is_anomaly"] is False  # spike joined the baseline
