@@ -52,6 +52,10 @@ _DML_SHOW_TABLES = re.compile(
 _DML_DESCRIBE = re.compile(
     r"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?([\w.]+)\s*;?\s*$", re.IGNORECASE
 )
+# Delta's DESCRIBE DETAIL: one row of manifest-derived layout health
+_DML_DESCRIBE_DETAIL = re.compile(
+    r"^\s*DESC(?:RIBE)?\s+DETAIL\s+([\w.]+)\s*;?\s*$", re.IGNORECASE
+)
 _DML_DESCRIBE_HISTORY = re.compile(
     r"^\s*DESC(?:RIBE)?\s+HISTORY\s+([\w.]+)\s*;?\s*$", re.IGNORECASE
 )
@@ -1297,6 +1301,32 @@ class LakehouseCatalog:
             from .maintenance import column_stats
 
             return column_stats(self.load_table(m.group(1)))
+        m = _DML_DESCRIBE_DETAIL.match(query)
+        if m:
+            from .maintenance import table_metrics
+
+            met = table_metrics(self.load_table(m.group(1)))
+            return self.spark.createDataFrame(
+                [
+                    (
+                        m.group(1),
+                        met["version"],
+                        met["data_files"],
+                        met["rows"],
+                        met["total_bytes"],
+                        float(met["small_file_ratio"]),
+                        met["pos_delete_files"],
+                        met["eq_delete_files"],
+                        met["manifest_files"],
+                        met["partitions"],
+                        met["snapshots"],
+                    )
+                ],
+                "table string, version long, data_files long, rows long, "
+                "total_bytes long, small_file_ratio double, "
+                "pos_delete_files long, eq_delete_files long, "
+                "manifest_files long, partitions long, snapshots long",
+            )
         m = _DML_DESCRIBE_HISTORY.match(query)
         if m:
             return self.load_table(m.group(1)).inspect_history()

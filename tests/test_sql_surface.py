@@ -948,3 +948,17 @@ def test_sql_ref_verbs(catalog, spark):
     catalog.sql("ALTER TABLE gold.refs DROP BRANCH dev")
     catalog.sql("ALTER TABLE gold.refs DROP TAG audit")
     assert catalog.sql("SHOW REFS gold.refs").count() == 0
+
+
+def test_sql_describe_detail(catalog, spark):
+    t = catalog.create_table("gold.dd", TICK_SCHEMA, [])
+    for i in range(3):
+        t.append(tick_df(spark, n=5, start=f"2024-03-0{i+1} 00:00:00").coalesce(1))
+    row = catalog.sql("DESCRIBE DETAIL gold.dd").first()
+    assert row["table"] == "gold.dd"
+    assert row["data_files"] == 3 and row["rows"] == 15
+    assert row["small_file_ratio"] == 1.0
+    assert row["snapshots"] == 4  # create + 3 appends
+    # the plain DESCRIBE verb still works
+    cols = {r["column"] for r in catalog.sql("DESCRIBE gold.dd").collect()}
+    assert "DateTime" in cols
