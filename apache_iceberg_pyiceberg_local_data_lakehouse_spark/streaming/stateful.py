@@ -26,6 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     LongType,
     StructField,
     StructType,
@@ -92,5 +93,91 @@ def running_user_stats(stream: DataFrame, key_col: str = "user_id") -> DataFrame
         outputStructType=STATS_OUTPUT,
         stateStructType=STATS_STATE,
         outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --- streaming anomaly detection (twin of timeseries.rolling_zscore) -------
+
+ANOMALY_OUTPUT = StructType(
+    [
+        StructField("key", LongType()),
+        StructField("ts_us", LongType()),
+        StructField("qvalue", LongType()),
+        StructField("qzscore", LongType()),  # z * 1e6; None encoding: flat break
+    ]
+)
+ANOMALY_STATE = StructType(
+    [StructField("vals", ArrayType(LongType()))]
+)
+
+_ANOM_WINDOW = 20
+_ANOM_MIN_PERIODS = 5
+_ANOM_THRESHOLD = 3.0
+
+
+def _anomaly_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-key trailing window carried ACROSS micro-batches as state (at
+    most ``_ANOM_WINDOW`` quantized longs per key - bounded regardless
+    of stream length). Same math as the batch operator: integer sums,
+    sample stddev, the point excluded from its own baseline; emits ONLY
+    the anomalous rows (append mode). A zero-variance baseline broken
+    by a different value emits with qzscore NULL."""
+    (vals,) = state.get if state.exists else ([],)
+    vals = list(vals)
+    out_rows = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values("ts_us")
+        for ts_us, q in zip(pdf["ts_us"], pdf["qvalue"]):
+            n = len(vals)
+            if n >= _ANOM_MIN_PERIODS:
+                s = sum(vals)
+                ss = sum(v * v for v in vals)
+                var = (n * ss - s * s) / (n * (n - 1.0))
+                if var > 0:
+                    z = (q - s / n) / (var**0.5)
+                    if abs(z) > _ANOM_THRESHOLD:
+                        out_rows.append(
+                            (key[0], int(ts_us), int(q), int(z * 1e6))
+                        )
+                elif q * n != s:  # flat baseline broken
+                    out_rows.append((key[0], int(ts_us), int(q), None))
+            vals.append(int(q))
+            if len(vals) > _ANOM_WINDOW:
+                vals = vals[-_ANOM_WINDOW:]
+    state.update((vals,))
+    if out_rows:
+        yield pd.DataFrame(
+            out_rows, columns=["key", "ts_us", "qvalue", "qzscore"]
+        )
+
+
+def streaming_anomalies(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming twin of ``timeseries.rolling_zscore``: per-key
+    trailing-window z-score with the window carried across
+    micro-batches, emitting only anomalies. Input values quantize to
+    the same 1e6 scale as the batch operator, so a batch replay of the
+    same stream flags the same rows."""
+    from pyspark.sql import functions as F
+
+    prepared = stream.select(
+        F.col(key_col).cast("long").alias("key"),
+        F.unix_micros(F.col(ts_col)).alias("ts_us"),
+        F.floor(F.col(value_col) * 1_000_000.0 + 0.5)
+        .cast("long")
+        .alias("qvalue"),
+    )
+    return prepared.groupBy("key").applyInPandasWithState(
+        _anomaly_fn,
+        outputStructType=ANOMALY_OUTPUT,
+        stateStructType=ANOMALY_STATE,
+        outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -969,3 +969,80 @@ def test_stream_table_changes_with_images(spark, tmp_path):
     finally:
         stop.set()
         thread.join(timeout=30)
+
+
+def test_streaming_anomalies_state_across_batches(spark, tmp_path):
+    """The trailing window carries ACROSS micro-batches: a spike in
+    batch 2 is judged against the baseline accumulated in batch 1, and
+    the flagged rows equal the batch operator's on the same data."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import DoubleType, LongType, TimestampType
+
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.timeseries import (
+        rolling_zscore,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.streaming.stateful import (
+        streaming_anomalies,
+    )
+
+    src = tmp_path / "astream"
+    src.mkdir()
+    base = dt.datetime(2024, 1, 1)
+
+    def write(name, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                    "ts": pa.array(
+                        [base + dt.timedelta(minutes=r[1]) for r in rows],
+                        type=pa.timestamp("us"),
+                    ),
+                    "value": pa.array([float(r[2]) for r in rows]),
+                }
+            ),
+            src / name,
+        )
+
+    b1 = [(7, i, 10.0 + (i % 3)) for i in range(10)]  # noisy baseline
+    b2 = [(7, 10, 11.0), (7, 11, 99.0), (7, 12, 10.0)]  # spike mid-batch-2
+    write("a.parquet", b1)
+    time.sleep(1.1)
+    write("b.parquet", b2)
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_anomalies(stream)
+        .writeStream.format("memory")
+        .queryName("anom_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ackpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from anom_out").collect()
+    assert [r["qvalue"] for r in got] == [99_000_000]  # only the spike
+
+    # batch replay of the same data flags the same row
+    batch = spark.read.parquet(str(src))
+    flagged = (
+        rolling_zscore(
+            batch, "value", "ts", ["user_id"], window=20, min_periods=5
+        )
+        .filter("is_anomaly")
+        .collect()
+    )
+    assert [r["value"] for r in flagged] == [99.0]
