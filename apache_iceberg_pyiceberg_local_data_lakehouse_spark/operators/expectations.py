@@ -43,7 +43,11 @@ def completeness(col: str, min_ratio: float = 1.0) -> Check:
 
 
 def uniqueness(col: str) -> Check:
-    m = F.countDistinct(col).cast("double") / F.count(col).cast("double")
+    # try_divide: ANSI mode raises on 0/0 for an empty/all-NULL column;
+    # NULL here is the vacuous-pass signal run_checks expects
+    m = F.try_divide(
+        F.countDistinct(col).cast("double"), F.count(col).cast("double")
+    )
     return Check(f"uniqueness({col})", m, m >= F.lit(1.0))
 
 
@@ -84,7 +88,13 @@ def size(min_rows: int = 0, max_rows: int | None = None) -> Check:
 
 def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
     """Evaluate every check in one aggregate pass; returns one row per
-    check: (check, metric, passed). The whole suite is a single job."""
+    check: (check, metric, passed). The whole suite is a single job.
+
+    NULL metrics (nothing to measure: an empty frame, an all-NULL
+    column) are VACUOUSLY TRUE with a NULL metric - Deequ's semantics:
+    'no value violated the check' is a pass, not 0% compliance. A
+    suite that must also reject emptiness adds an explicit
+    ``size(min_rows=...)`` check (count is never NULL)."""
     if not checks:
         raise ValueError("run_checks: empty suite")
     row = df.agg(
@@ -92,10 +102,16 @@ def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
         *[c.passed.alias(f"__p{i}") for i, c in enumerate(checks)],
     ).first()
     spark = df.sparkSession
+    rows = []
+    for i, c in enumerate(checks):
+        m, p = row[f"__m{i}"], row[f"__p{i}"]
+        rows.append(
+            (
+                c.name,
+                float(m) if m is not None else None,
+                bool(p) if p is not None else True,
+            )
+        )
     return spark.createDataFrame(
-        [
-            (c.name, float(row[f"__m{i}"] or 0.0), bool(row[f"__p{i}"]))
-            for i, c in enumerate(checks)
-        ],
-        "check string, metric double, passed boolean",
+        rows, "check string, metric double, passed boolean"
     )

@@ -198,6 +198,15 @@ def rolling_zscore(
     (|z| > threshold; false where z is NULL)."""
     from pyspark.sql.window import Window as W
 
+    reserved = {"__d", "__n", "__s", "__ss", "zscore", "is_anomaly"}
+    clash = reserved & set(df.columns)
+    if clash:
+        # the resample-'bucket' lesson: silently overwriting and then
+        # dropping a caller's column is data loss, not convenience
+        raise ValueError(
+            f"rolling_zscore: input columns collide with its working/"
+            f"output names: {sorted(clash)}; rename them first"
+        )
     groups = list(group_cols or [])
     # ts_col may be a list: pass a tie-breaking column (an event id)
     # whenever timestamps can collide, or the window order - and with

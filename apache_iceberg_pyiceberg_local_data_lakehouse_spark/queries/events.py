@@ -424,7 +424,7 @@ def q7f_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS BIGINT) AS n_step2,
            CAST(SUM(CASE WHEN t2 IS NOT NULL AND t3 IS NOT NULL
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_completed,
-           CAST(SUM(epoch_us(t1) / 1000) AS BIGINT) AS sum_t1_ms
+           CAST(SUM(epoch_us(t1) // 1000) AS BIGINT) AS sum_t1_ms
     FROM fun
     """,
 )
@@ -449,7 +449,10 @@ def q7j_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & F.col("step_3_ts").isNotNull()
             ).cast("long")
         ).alias("n_completed"),
-        F.sum(F.unix_micros("step_1_ts") / 1000).cast("long").alias(
+        # integer ms per row BEFORE the sum (dsum discipline): a raw
+        # double sum is order-dependent and its final cast truncates
+        # where DuckDB's rounds - a real hash-red at sf0.1
+        F.sum(F.expr("unix_micros(step_1_ts) div 1000")).alias(
             "sum_t1_ms"
         ),
     )
@@ -554,8 +557,11 @@ def q7m_rolling_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.groupBy("event_type")
         .agg(
             F.count("zscore").alias("n_scored"),
-            F.sum(
-                (F.abs("zscore") > 3.0).cast("long")
+            # coalesce: a group whose zscores are ALL NULL (fewer than
+            # min_periods+1 events) sums to NULL where the oracle's
+            # CASE...ELSE 0 yields 0
+            F.coalesce(
+                F.sum((F.abs("zscore") > 3.0).cast("long")), F.lit(0)
             ).alias("n_anomalies"),
             F.sum(
                 F.floor(F.col("zscore") * 1_000_000.0 + 0.5).cast("long")

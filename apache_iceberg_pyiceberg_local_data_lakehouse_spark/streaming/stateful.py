@@ -99,14 +99,6 @@ def running_user_stats(stream: DataFrame, key_col: str = "user_id") -> DataFrame
 
 # --- streaming anomaly detection (twin of timeseries.rolling_zscore) -------
 
-ANOMALY_OUTPUT = StructType(
-    [
-        StructField("key", LongType()),
-        StructField("ts_us", LongType()),
-        StructField("qvalue", LongType()),
-        StructField("qzscore", LongType()),  # z * 1e6; None encoding: flat break
-    ]
-)
 ANOMALY_STATE = StructType(
     [StructField("vals", ArrayType(LongType()))]
 )
@@ -121,32 +113,56 @@ def _anomaly_fn(
 ) -> Iterator[pd.DataFrame]:
     """Per-key trailing window carried ACROSS micro-batches as state (at
     most ``_ANOM_WINDOW`` quantized longs per key - bounded regardless
-    of stream length). Same math as the batch operator: integer sums,
-    sample stddev, the point excluded from its own baseline; emits ONLY
-    the anomalous rows (append mode). A zero-variance baseline broken
-    by a different value emits with qzscore NULL."""
+    of stream length). The arithmetic MIRRORS the batch operator ulp
+    for ulp: each sum is converted to a double before the n*ss - s*s
+    products (Python floats are IEEE doubles, so the rounding matches
+    Spark's window expression), and the quantization is
+    floor(z*1e6 + 0.5), not int() truncation. Emits ONLY the anomalous
+    rows (append mode); a zero-variance baseline broken by a different
+    value emits with qzscore NULL."""
+    import math
+
     (vals,) = state.get if state.exists else ([],)
     vals = list(vals)
     out_rows = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values("ts_us")
-        for ts_us, q in zip(pdf["ts_us"], pdf["qvalue"]):
-            n = len(vals)
-            if n >= _ANOM_MIN_PERIODS:
-                s = sum(vals)
-                ss = sum(v * v for v in vals)
-                var = (n * ss - s * s) / (n * (n - 1.0))
-                if var > 0:
-                    z = (q - s / n) / (var**0.5)
-                    if abs(z) > _ANOM_THRESHOLD:
-                        out_rows.append(
-                            (key[0], int(ts_us), int(q), int(z * 1e6))
+    # a large group arrives as MULTIPLE Arrow chunks: sorting each
+    # chunk alone would process rows out of global time order across
+    # chunk boundaries - concatenate first, one sort, with qvalue as
+    # the deterministic tie-break for colliding timestamps
+    chunks = [pdf for pdf in pdfs]
+    if not chunks:
+        state.update((vals,))
+        return
+    pdf = (
+        pd.concat(chunks, ignore_index=True)
+        if len(chunks) > 1
+        else chunks[0]
+    ).sort_values(["ts_us", "qvalue"])
+    for ts_us, q in zip(pdf["ts_us"], pdf["qvalue"]):
+        n = len(vals)
+        if n >= _ANOM_MIN_PERIODS:
+            s = sum(vals)
+            ss = sum(v * v for v in vals)
+            nf = float(n)
+            var = (nf * float(ss) - float(s) * float(s)) / (
+                nf * (nf - 1.0)
+            )
+            if var > 0:
+                z = (float(q) - float(s) / nf) / math.sqrt(var)
+                if abs(z) > _ANOM_THRESHOLD:
+                    out_rows.append(
+                        (
+                            key[0],
+                            int(ts_us),
+                            int(q),
+                            math.floor(z * 1e6 + 0.5),
                         )
-                elif q * n != s:  # flat baseline broken
-                    out_rows.append((key[0], int(ts_us), int(q), None))
-            vals.append(int(q))
-            if len(vals) > _ANOM_WINDOW:
-                vals = vals[-_ANOM_WINDOW:]
+                    )
+            elif q * n != s:  # flat baseline broken
+                out_rows.append((key[0], int(ts_us), int(q), None))
+        vals.append(int(q))
+        if len(vals) > _ANOM_WINDOW:
+            vals = vals[-_ANOM_WINDOW:]
     state.update((vals,))
     if out_rows:
         yield pd.DataFrame(
@@ -163,20 +179,30 @@ def streaming_anomalies(
     """Streaming twin of ``timeseries.rolling_zscore``: per-key
     trailing-window z-score with the window carried across
     micro-batches, emitting only anomalies. Input values quantize to
-    the same 1e6 scale as the batch operator, so a batch replay of the
-    same stream flags the same rows."""
+    the same 1e6 scale and the per-row arithmetic mirrors the batch
+    operator's double rounding, so a batch replay of the same stream
+    flags the same rows. The key keeps its own type (a string device
+    id must not silently cast to NULL and merge every series)."""
     from pyspark.sql import functions as F
 
     prepared = stream.select(
-        F.col(key_col).cast("long").alias("key"),
+        F.col(key_col).alias("key"),
         F.unix_micros(F.col(ts_col)).alias("ts_us"),
         F.floor(F.col(value_col) * 1_000_000.0 + 0.5)
         .cast("long")
         .alias("qvalue"),
     )
+    out_schema = StructType(
+        [
+            StructField("key", stream.schema[key_col].dataType),
+            StructField("ts_us", LongType()),
+            StructField("qvalue", LongType()),
+            StructField("qzscore", LongType()),  # floor(z*1e6+0.5)
+        ]
+    )
     return prepared.groupBy("key").applyInPandasWithState(
         _anomaly_fn,
-        outputStructType=ANOMALY_OUTPUT,
+        outputStructType=out_schema,
         stateStructType=ANOMALY_STATE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,

@@ -2036,3 +2036,42 @@ def test_rolling_zscore(spark):
     # flat baseline broken by a different value: z undefined, flag fires
     assert out[10]["zscore"] is None and out[10]["is_anomaly"] is True
     assert out[11]["is_anomaly"] is False  # spike joined the baseline
+
+
+def test_expectations_vacuous_on_empty(spark):
+    """NULL metrics (empty frame / all-NULL column) pass vacuously with
+    a NULL metric - size() is the explicit non-emptiness gate."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.expectations import (
+        completeness,
+        matches,
+        run_checks,
+        size,
+        uniqueness,
+    )
+
+    empty = spark.createDataFrame([], "uid long, email string")
+    out = {
+        r["check"]: (r["metric"], r["passed"])
+        for r in run_checks(
+            empty,
+            [
+                uniqueness("uid"),
+                matches("email", ".*"),
+                completeness("email"),
+                size(min_rows=1),
+            ],
+        ).collect()
+    }
+    assert out["uniqueness(uid)"] == (None, True)
+    assert out["matches(email)"] == (None, True)
+    assert out["size"] == (0.0, False)  # the explicit emptiness gate
+    # all-NULL column: regex check vacuous, completeness 0 and failing
+    nulls = spark.createDataFrame([(1, None)], "uid long, email string")
+    out2 = {
+        r["check"]: (r["metric"], r["passed"])
+        for r in run_checks(
+            nulls, [matches("email", ".*"), completeness("email")]
+        ).collect()
+    }
+    assert out2["matches(email)"] == (None, True)
+    assert out2["completeness(email)"] == (0.0, False)
