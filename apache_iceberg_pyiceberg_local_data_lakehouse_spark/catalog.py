@@ -22,7 +22,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import DoubleType, StructType
 
 from .table import LakehouseTable, PartitionField, Snapshot
 
@@ -454,7 +454,14 @@ class LakehouseCatalog:
         t = self.load_table(identifier)
         snap = t.snapshot(version) if version is not None else None
         name = view_name or self.view_name(identifier)
-        t.scan(snapshot=snap).createOrReplaceTempView(name)
+        df = t.scan(snapshot=snap)
+        hidden = [c for c in df.columns if c.startswith("__mv_")]
+        if hidden:
+            # engine-managed partial-aggregate columns (AVG-tier MV
+            # maintenance) are physical state, not query results: the
+            # SQL surface serves the view the user's query defined
+            df = df.drop(*hidden)
+        df.createOrReplaceTempView(name)
         return name
 
     def register_views(self, namespace: str | None = None) -> list[str]:
@@ -668,25 +675,36 @@ class LakehouseCatalog:
         re.IGNORECASE | re.DOTALL,
     )
     _MV_AGG_ITEM = re.compile(
-        r"^\s*(?P<op>COUNT|SUM|MIN|MAX)\s*\((?P<arg>[^()]*|\*)\)"
+        r"^\s*(?P<op>COUNT|SUM|MIN|MAX|AVG)\s*\((?P<arg>[^()]*|\*)\)"
         r"\s+AS\s+(?P<alias>[A-Za-z_]\w*)\s*$",
         re.IGNORECASE,
     )
 
     def _mv_agg_spec(
         self, sql_text: str
-    ) -> tuple[str, list[str], list[tuple[str, str]]] | None:
+    ) -> tuple[str, list[str], list[tuple[str, str]], str | None] | None:
         """Parse an aggregate-distributive MV query: ``SELECT <bare key
-        cols and COUNT/SUM/MIN/MAX(expr) AS alias> FROM <one table view>
-        [WHERE ...] GROUP BY <the key cols>``. Returns (base identifier,
-        group columns, [(agg alias, op)]) or None. Conservative like
-        :meth:`_mv_incremental_base`: HAVING, DISTINCT, AVG, expression
-        group keys, unaliased aggregates, subqueries or a second table
-        all fall back to full refresh - never to a wrong result."""
+        cols and COUNT/SUM/MIN/MAX/AVG(expr) AS alias> FROM <one table
+        view> [WHERE ...] GROUP BY <the key cols>``. Returns (base
+        identifier, group columns, [(agg alias, op)], store query or
+        None). Conservative like :meth:`_mv_incremental_base`: HAVING,
+        DISTINCT, expression group keys, unaliased aggregates,
+        subqueries or a second table all fall back to full refresh -
+        never to a wrong result.
+
+        AVG is algebraic, not distributive: partials do not merge by a
+        single operator, so ``AVG(x) AS a`` decomposes into stored
+        SUM/COUNT partial columns (``__mv_sum_a``/``__mv_cnt_a``,
+        appended by the returned *store query*, which is what the
+        materialization actually runs). REFRESH merges the partials
+        additively and recomputes the visible column as sum/count -
+        NULL for an all-NULL group, matching AVG. Only double-typed
+        AVG is accepted (a DECIMAL average would change type under the
+        sum/count recomputation)."""
         m = self._MV_AGG_SHAPE.match(sql_text)
         if m is None:
             return None
-        if re.search(r"\b(HAVING|DISTINCT|AVG)\b", sql_text, re.IGNORECASE):
+        if re.search(r"\b(HAVING|DISTINCT)\b", sql_text, re.IGNORECASE):
             return None
         # no GROUP BY = the global-aggregate tier: a one-row MV whose
         # refresh combines the diff's single partial-aggregate row
@@ -697,11 +715,12 @@ class LakehouseCatalog:
         ]
         if any(not re.fullmatch(r"[A-Za-z_]\w*", k) for k in keys):
             return None
-        group_cols, aggs = [], []
+        group_cols, aggs, store_items, has_avg = [], [], [], False
         for part in _split_top_level(m.group("items")):
             part = part.strip()
             if re.fullmatch(r"[A-Za-z_]\w*", part):
                 group_cols.append(part)
+                store_items.append(part)
                 continue
             im = self._MV_AGG_ITEM.match(part)
             if im is None:
@@ -714,7 +733,18 @@ class LakehouseCatalog:
                 return None  # nested aggregate
             if arg == "*" and op != "count":
                 return None
-            aggs.append((im.group("alias"), op))
+            alias = im.group("alias")
+            aggs.append((alias, op))
+            store_items.append(part)
+            if op == "avg":
+                # the stored partials AVG merges from; the visible
+                # column keeps the native AVG value at creation and is
+                # recomputed as sum/count after every partial merge
+                has_avg = True
+                store_items.append(
+                    f"SUM(CAST(({arg}) AS DOUBLE)) AS __mv_sum_{alias}"
+                )
+                store_items.append(f"COUNT({arg}) AS __mv_cnt_{alias}")
         if sorted(group_cols) != sorted(keys) or not aggs:
             return None
         # the FROM ref must be exactly one lakehouse table's view name
@@ -730,9 +760,8 @@ class LakehouseCatalog:
         # (a subquery in WHERE would add plan nodes the regex missed)
         try:
             self.register_views()
-            plan = str(
-                self.spark.sql(sql_text)._jdf.queryExecution().analyzed()
-            )
+            df = self.spark.sql(sql_text)
+            plan = str(df._jdf.queryExecution().analyzed())
         except Exception:
             return None
         bad = tuple(
@@ -740,7 +769,23 @@ class LakehouseCatalog:
         )
         if any(tok in plan for tok in bad) or plan.count("Aggregate") != 1:
             return None
-        return idents[0], group_cols, aggs
+        if has_avg:
+            vis_types = {f.name: f.dataType for f in df.schema.fields}
+            for alias, op in aggs:
+                if op == "avg" and not isinstance(
+                    vis_types.get(alias), DoubleType
+                ):
+                    return None  # DECIMAL/interval AVG: full refresh
+        store_query = None
+        if has_avg:
+            store_query = f"SELECT {', '.join(store_items)} FROM " + (
+                m.group("ref")
+            )
+            if m.group("where"):
+                store_query += f" WHERE {m.group('where')}"
+            if keys:
+                store_query += f" GROUP BY {', '.join(keys)}"
+        return idents[0], group_cols, aggs, store_query
 
     def _pin_base_view(self, base_ident: str) -> int:
         """Register the base table's view at an EXACT pinned version and
@@ -783,7 +828,7 @@ class LakehouseCatalog:
         else:
             agg_spec = self._mv_agg_spec(sql_text)
             if agg_spec is not None:
-                base_ident, group_cols, aggs = agg_spec
+                base_ident, group_cols, aggs, store_query = agg_spec
                 props["mv.base_table"] = base_ident
                 props["mv.base_version"] = str(
                     self._pin_base_view(base_ident)
@@ -791,7 +836,13 @@ class LakehouseCatalog:
                 props["mv.refresh_mode"] = "agg"
                 props["mv.group_cols"] = json.dumps(group_cols)
                 props["mv.aggs"] = json.dumps(aggs)
-        src = self.spark.sql(sql_text).localCheckpoint(eager=True)
+                if store_query is not None:
+                    # AVG decomposition: the materialization runs the
+                    # store query (visible cols + __mv_* partials)
+                    props["mv.store_query"] = store_query
+        src = self.spark.sql(
+            props.get("mv.store_query", sql_text)
+        ).localCheckpoint(eager=True)
         self.create_namespace(ns)
         t = self.create_table(identifier, src.schema)
         t.append(src)
@@ -846,9 +897,9 @@ class LakehouseCatalog:
                     delta.createOrReplaceTempView(
                         self.view_name(base_ident)
                     )
-                    inc = self.spark.sql(sql_text).localCheckpoint(
-                        eager=True
-                    )
+                    inc = self.spark.sql(
+                        props.get("mv.store_query", sql_text)
+                    ).localCheckpoint(eager=True)
                     if props.get("mv.refresh_mode") == "agg":
                         snap = self._merge_agg_delta(t, props, inc)
                         if snap is not NotImplemented:
@@ -868,7 +919,7 @@ class LakehouseCatalog:
         # non-empty path is a full-table replace in one commit
         if base_ident is not None:
             new_base_v = self._pin_base_view(base_ident)
-        src = self.spark.sql(sql_text)
+        src = self.spark.sql(props.get("mv.store_query", sql_text))
         snap = overwrite_partitions(t, src)
         if snap is None:
             snap = truncate_table(t)
@@ -1095,17 +1146,66 @@ class LakehouseCatalog:
                 )
         return cond.strip()
 
+    @staticmethod
+    def _combine_partial(op: str, tv, dv):
+        """NULL-deferring combine of two partial aggregates: COUNT/SUM
+        add, MIN least, MAX greatest; a NULL partial on either side
+        defers to the other (a group absent from one side keeps the
+        other side's value)."""
+        if op in ("count", "sum"):
+            merged = tv + dv
+        elif op == "min":
+            merged = F.least(tv, dv)
+        else:  # max
+            merged = F.greatest(tv, dv)
+        return F.when(tv.isNull(), dv).when(dv.isNull(), tv).otherwise(merged)
+
+    def _merged_agg_columns(
+        self, t: LakehouseTable, aggs: list
+    ) -> dict[str, "F.Column"]:
+        """Combined expressions (over a ``d``/``t``-aliased join of the
+        delta partials and the materialization) for every non-key MV
+        column, keyed by name. Distributive ops combine directly; AVG
+        merges its stored ``__mv_sum_``/``__mv_cnt_`` partials and
+        recomputes the visible column as sum/count (NULL when the
+        merged count is 0: an all-NULL group, exactly AVG's answer)."""
+        types = {f.name: f.dataType for f in t.schema.fields}
+        out: dict = {}
+        for name, op in aggs:
+            if op == "avg":
+                s_name, c_name = f"__mv_sum_{name}", f"__mv_cnt_{name}"
+                s = self._combine_partial(
+                    "sum", F.col(f"t.{s_name}"), F.col(f"d.{s_name}")
+                )
+                c = self._combine_partial(
+                    "count", F.col(f"t.{c_name}"), F.col(f"d.{c_name}")
+                )
+                out[s_name] = s.cast(types[s_name]).alias(s_name)
+                out[c_name] = c.cast(types[c_name]).alias(c_name)
+                out[name] = (
+                    F.when(c.isNull() | (c == 0), F.lit(None))
+                    .otherwise(s / c)
+                    .cast(types[name])
+                    .alias(name)
+                )
+            else:
+                combined = self._combine_partial(
+                    op, F.col(f"t.{name}"), F.col(f"d.{name}")
+                )
+                out[name] = combined.cast(types[name]).alias(name)
+        return out
+
     def _merge_agg_delta(self, t: LakehouseTable, props: dict, inc: DataFrame):
         """Merge an aggregated append-diff into an 'agg'-mode MV: the
         delta's partial aggregates combine with the materialized groups
-        (COUNT/SUM add, MIN least, MAX greatest - NULL partials defer
-        to the other side), then one MERGE on the group keys updates
-        touched groups and inserts new ones. O(delta + touched groups),
-        never the base table. Returns the commit snapshot, the current
-        snapshot for an empty diff, or ``NotImplemented`` when the
-        delta contains a NULL group key (equality-keyed MERGE cannot
-        address the NULL group; the caller full-refreshes - rare and
-        always correct)."""
+        (COUNT/SUM add, MIN least, MAX greatest, AVG via its stored
+        sum/count partials - NULL partials defer to the other side),
+        then one MERGE on the group keys updates touched groups and
+        inserts new ones. O(delta + touched groups), never the base
+        table. Returns the commit snapshot, the current snapshot for an
+        empty diff, or ``NotImplemented`` when the delta contains a
+        NULL group key (equality-keyed MERGE cannot address the NULL
+        group; the caller full-refreshes - rare and always correct)."""
         from functools import reduce
 
         from .dml import merge_into
@@ -1118,30 +1218,9 @@ class LakehouseCatalog:
             # replaces the contents atomically - O(1) either way
             from .dml import overwrite_partitions
 
-            types = {f.name: f.dataType for f in t.schema.fields}
             joined = inc.alias("d").crossJoin(t.to_df().alias("t"))
-            merged_cols = []
-            for name, op in aggs:
-                tv, dv = F.col(f"t.{name}"), F.col(f"d.{name}")
-                if op in ("count", "sum"):
-                    combined = (
-                        F.when(tv.isNull(), dv)
-                        .when(dv.isNull(), tv)
-                        .otherwise(tv + dv)
-                    )
-                elif op == "min":
-                    combined = (
-                        F.when(tv.isNull(), dv)
-                        .when(dv.isNull(), tv)
-                        .otherwise(F.least(tv, dv))
-                    )
-                else:
-                    combined = (
-                        F.when(tv.isNull(), dv)
-                        .when(dv.isNull(), tv)
-                        .otherwise(F.greatest(tv, dv))
-                    )
-                merged_cols.append(combined.cast(types[name]).alias(name))
+            by_name = self._merged_agg_columns(t, aggs)
+            merged_cols = [by_name[f.name] for f in t.schema.fields]
             return overwrite_partitions(t, joined.select(*merged_cols))
         if not inc.count():
             return t.snapshot()
@@ -1157,31 +1236,15 @@ class LakehouseCatalog:
         )
         if has_null_key:
             return NotImplemented
-        types = {f.name: f.dataType for f in t.schema.fields}
         cur = t.to_df().alias("t")
         joined = inc.alias("d").join(cur, on=group_cols, how="left")
-        merged_cols = [F.col(k) for k in group_cols]
-        for name, op in aggs:
-            tv, dv = F.col(f"t.{name}"), F.col(f"d.{name}")
-            if op in ("count", "sum"):
-                combined = (
-                    F.when(tv.isNull(), dv)
-                    .when(dv.isNull(), tv)
-                    .otherwise(tv + dv)
-                )
-            elif op == "min":
-                combined = (
-                    F.when(tv.isNull(), dv)
-                    .when(dv.isNull(), tv)
-                    .otherwise(F.least(tv, dv))
-                )
-            else:  # max
-                combined = (
-                    F.when(tv.isNull(), dv)
-                    .when(dv.isNull(), tv)
-                    .otherwise(F.greatest(tv, dv))
-                )
-            merged_cols.append(combined.cast(types[name]).alias(name))
+        by_name = self._merged_agg_columns(t, aggs)
+        # select in the MV's schema order (keys resolve via the join's
+        # coalesced output; a key-first SELECT is not guaranteed)
+        merged_cols = [
+            F.col(f.name) if f.name in group_cols else by_name[f.name]
+            for f in t.schema.fields
+        ]
         merged = joined.select(*merged_cols)
         return merge_into(
             t,

@@ -531,19 +531,20 @@ def test_mv_agg_refresh_equals_full_recompute(
     t.append(spark.createDataFrame([("a", 1)], schema))
     q = (
         "SELECT cat, COUNT(*) AS n, SUM(v) AS s, MIN(v) AS lo, "
-        "MAX(v) AS hi FROM g_base GROUP BY cat"
+        "MAX(v) AS hi, AVG(v) AS m FROM g_base GROUP BY cat"
     )
     cat.create_materialized_view("g.mv", q)
+    cols = ("n", "s", "lo", "hi", "m")
     for batch in batches:
         if batch:
             t.append(spark.createDataFrame(batch, schema))
         cat.refresh_materialized_view("g.mv")
         got = {
-            r["cat"]: (r["n"], r["s"], r["lo"], r["hi"])
+            r["cat"]: tuple(r[c] for c in cols)
             for r in cat.load_table("g.mv").to_df().collect()
         }
         want = {
-            r["cat"]: (r["n"], r["s"], r["lo"], r["hi"])
+            r["cat"]: tuple(r[c] for c in cols)
             for r in cat.sql(q).collect()
         }
         assert got == want, f"diverged after batch {batch}"

@@ -717,15 +717,26 @@ def test_mv_agg_null_group_key_falls_back(catalog, spark):
 
 
 def test_mv_agg_shape_gates(catalog, spark):
-    """HAVING / AVG / expression group keys / COUNT DISTINCT stay on
-    the always-correct full-refresh path (no agg mode recorded)."""
-    t = catalog.create_table("gold.sales4", _sales_df(spark, []).schema)
-    t.append(_sales_df(spark, [("a", 1), ("b", 2)]))
+    """HAVING / expression group keys / COUNT DISTINCT / non-double
+    AVG stay on the always-correct full-refresh path (no agg mode
+    recorded)."""
+    t = catalog.create_table(
+        "gold.sales4",
+        spark.createDataFrame([], "cat string, v long, d decimal(10,2)").schema,
+    )
+    t.append(
+        spark.createDataFrame(
+            [("a", 1, None), ("b", 2, None)],
+            "cat string, v long, d decimal(10,2)",
+        )
+    )
     for i, q in enumerate(
         [
             "SELECT cat, COUNT(*) AS n FROM gold_sales4 GROUP BY cat "
             "HAVING COUNT(*) > 1",
-            "SELECT cat, AVG(v) AS m FROM gold_sales4 GROUP BY cat",
+            # DECIMAL average: sum/count recomputation would change the
+            # result type, so the conservative gate refuses agg mode
+            "SELECT cat, AVG(d) AS m FROM gold_sales4 GROUP BY cat",
             "SELECT UPPER(cat) AS k, COUNT(*) AS n FROM gold_sales4 "
             "GROUP BY UPPER(cat)",
             "SELECT cat, COUNT(DISTINCT v) AS n FROM gold_sales4 "
@@ -735,8 +746,89 @@ def test_mv_agg_shape_gates(catalog, spark):
         mv = catalog.create_materialized_view(f"gold.gate{i}", q)
         assert mv.properties().get("mv.refresh_mode") is None, q
         # and refresh still works (full path)
-        t.append(_sales_df(spark, [("a", 9)]))
+        t.append(
+            spark.createDataFrame(
+                [("a", 9, None)], "cat string, v long, d decimal(10,2)"
+            )
+        )
         catalog.refresh_materialized_view(f"gold.gate{i}")
+
+
+def test_mv_avg_incremental_refresh(catalog, spark):
+    """AVG is algebraic: the MV stores hidden SUM/COUNT partials
+    (__mv_sum_/__mv_cnt_), REFRESH merges them additively and
+    recomputes the visible average - so an append-only base refreshes
+    by MERGE, equals the full recompute, and an all-NULL group
+    averages to NULL."""
+    schema = "cat string, v long, w long"
+    t = catalog.create_table(
+        "gold.sales5", spark.createDataFrame([], schema).schema
+    )
+    t.append(
+        spark.createDataFrame(
+            [("a", 1, 10), ("a", 5, None), ("b", 10, None)], schema
+        )
+    )
+    mv = catalog.create_materialized_view(
+        "gold.avg5",
+        "SELECT cat, COUNT(*) AS n, AVG(v) AS mv_v, AVG(w) AS mv_w "
+        "FROM gold_sales5 GROUP BY cat",
+    )
+    assert mv.properties().get("mv.refresh_mode") == "agg"
+    # partials are physically stored but hidden from the SQL surface
+    stored = set(mv.to_df().columns)
+    assert {"__mv_sum_mv_v", "__mv_cnt_mv_v", "__mv_sum_mv_w",
+            "__mv_cnt_mv_w"} <= stored
+    catalog.register_views()
+    assert set(spark.table("gold_avg5").columns) == {
+        "cat", "n", "mv_v", "mv_w"
+    }
+    assert catalog.refresh_materialized_view("gold.avg5") is None
+
+    # grow an existing group ('a' gains a w), add a new group
+    t.append(
+        spark.createDataFrame([("a", 100, 20), ("c", 7, None)], schema)
+    )
+    snap = catalog.refresh_materialized_view("gold.avg5")
+    assert snap.operation == "merge"
+    catalog.register_views()  # views pin the snapshot at registration
+    got = {
+        r["cat"]: (r["n"], r["mv_v"], r["mv_w"])
+        for r in spark.table("gold_avg5").collect()
+    }
+    assert got == {
+        "a": (3, 106 / 3, 15.0),
+        "b": (1, 10.0, None),  # all-NULL w group stays NULL
+        "c": (1, 7.0, None),
+    }
+    # and always equals the stored query run fresh over the base
+    want = {
+        r["cat"]: (r["n"], r["mv_v"], r["mv_w"])
+        for r in catalog.sql(
+            "SELECT cat, COUNT(*) AS n, AVG(v) AS mv_v, AVG(w) AS mv_w "
+            "FROM gold_sales5 GROUP BY cat"
+        ).collect()
+    }
+    assert got == want
+    assert catalog.refresh_materialized_view("gold.avg5") is None
+
+
+def test_mv_avg_global_tier(catalog, spark):
+    """A no-GROUP-BY AVG materializes one row whose refresh combines
+    the stored sum/count partials with the diff's - never re-reading
+    the base."""
+    t = catalog.create_table("gold.sales6", _sales_df(spark, []).schema)
+    t.append(_sales_df(spark, [("a", 1), ("b", 3)]))
+    mv = catalog.create_materialized_view(
+        "gold.avg6",
+        "SELECT COUNT(*) AS n, AVG(v) AS m FROM gold_sales6",
+    )
+    assert mv.properties().get("mv.refresh_mode") == "agg"
+    t.append(_sales_df(spark, [("c", 8)]))
+    catalog.refresh_materialized_view("gold.avg6")
+    catalog.register_views()  # views pin the snapshot at registration
+    row = spark.table("gold_avg6").first()
+    assert (row["n"], row["m"]) == (3, 4.0)
 
 
 # -- SQL MERGE INTO verb (r7) ------------------------------------------
