@@ -141,8 +141,9 @@ _DML_MERGE_CLAUSE = re.compile(
 # match BEFORE the time-travel rewrite (which would swallow the
 # VERSION AS OF clause into a pinned temp view).
 _DML_CLONE = re.compile(
-    r"^\s*CREATE\s+TABLE\s+([\w.]+)\s+(?:SHALLOW\s+)?CLONE\s+([\w.]+)"
-    r"(?:\s+(?:FOR\s+)?VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$",
+    r"^\s*CREATE\s+TABLE\s+(?P<dst>[\w.]+)\s+(?P<shallow>SHALLOW\s+)?"
+    r"CLONE\s+(?P<src>[\w.]+)"
+    r"(?:\s+(?:FOR\s+)?VERSION\s+AS\s+OF\s+(?P<ver>\d+))?\s*;?\s*$",
     re.IGNORECASE,
 )
 
@@ -405,14 +406,19 @@ class LakehouseCatalog:
         # same name would collide on the tag
         try:
             t = LakehouseTable(self.spark, loc)
-            src_ident = t.properties().get("clone.source")
-            if src_ident and self.table_exists(src_ident):
-                try:
-                    self.load_table(src_ident).drop_tag(
-                        f"clone-{self.view_name(identifier)}"
-                    )
-                except (KeyError, ValueError):
-                    pass  # pin already released (pin_source=False etc.)
+            # comma-joined: the direct source plus any external roots a
+            # chained clone pinned (all carry this clone's tag name)
+            for src_ident in (
+                t.properties().get("clone.source") or ""
+            ).split(","):
+                src_ident = src_ident.strip()
+                if src_ident and self.table_exists(src_ident):
+                    try:
+                        self.load_table(src_ident).drop_tag(
+                            f"clone-{self.view_name(identifier)}"
+                        )
+                    except (KeyError, ValueError):
+                        pass  # pin already released (pin_source=False)
         except Exception:
             pass  # a corrupt clone must still be droppable
         shutil.rmtree(loc)
@@ -455,12 +461,16 @@ class LakehouseCatalog:
         snap = t.snapshot(version) if version is not None else None
         name = view_name or self.view_name(identifier)
         df = t.scan(snapshot=snap)
-        hidden = [c for c in df.columns if c.startswith("__mv_")]
-        if hidden:
+        props = t.properties()
+        if "mv.query" in props or "mv.store_query" in props:
             # engine-managed partial-aggregate columns (AVG-tier MV
             # maintenance) are physical state, not query results: the
-            # SQL surface serves the view the user's query defined
-            df = df.drop(*hidden)
+            # SQL surface serves the view the user's query defined.
+            # Gated on the MV properties - a USER table legitimately
+            # containing a '__mv_'-prefixed column keeps it (ADVICE r7)
+            hidden = [c for c in df.columns if c.startswith("__mv_")]
+            if hidden:
+                df = df.drop(*hidden)
         df.createOrReplaceTempView(name)
         return name
 
@@ -1271,13 +1281,32 @@ class LakehouseCatalog:
 
         m = _DML_CLONE.match(query)
         if m:
+            if not m.group("shallow"):
+                # Delta semantics: an unqualified CLONE is a DEEP copy.
+                # This engine implements only the zero-copy variant, so
+                # silently treating bare CLONE as shallow would hand the
+                # user source-vacuum hazards they did not ask for
+                # (ADVICE r7) - demand the explicit keyword.
+                raise ValueError(
+                    "CLONE without SHALLOW means a deep copy (Delta "
+                    "semantics), which this engine does not implement; "
+                    "write CREATE TABLE ... SHALLOW CLONE ... to get "
+                    "the zero-copy clone explicitly"
+                )
             t = self.clone_table(
-                m.group(2),
-                m.group(1),
-                version=int(m.group(3)) if m.group(3) else None,
+                m.group("src"),
+                m.group("dst"),
+                version=int(m.group("ver")) if m.group("ver") else None,
             )
             return self.spark.createDataFrame(
-                [("clone", m.group(1), m.group(2), t.current_version())],
+                [
+                    (
+                        "clone",
+                        m.group("dst"),
+                        m.group("src"),
+                        t.current_version(),
+                    )
+                ],
                 "operation string, table string, source string, "
                 "version long",
             )
@@ -1785,11 +1814,79 @@ class LakehouseCatalog:
         if self.table_exists(dst_identifier):
             raise ValueError(f"table already exists: {dst_identifier}")
         tag_name = f"clone-{self.view_name(dst_identifier)}"
+        # Clone-of-clone hazard: the source's entries may already point
+        # OUTSIDE the source (a prior shallow clone or add_files import
+        # resolves through '../'). Pinning only the source then leaves
+        # the ORIGINAL table free to GC files this clone reads the
+        # moment the intermediate clone is dropped (its pin goes with
+        # it) - silent data loss. Pin EVERY distinct external root the
+        # entry paths reach, at the version the source's own pin chain
+        # proves still holds those files; refuse when provenance cannot
+        # be established (ADVICE r7).
+        st_loc = os.path.normpath(st.location)
+        marker = os.sep + "data" + os.sep
+        ext_roots: set[str] = set()
+        for e in snap.data_entries:
+            resolved = os.path.normpath(
+                os.path.join(st.location, e["path"])
+            )
+            if resolved != st_loc and not resolved.startswith(
+                st_loc + os.sep
+            ):
+                idx = resolved.rfind(marker)
+                if idx < 0:
+                    raise ValueError(
+                        f"clone_table: external entry {e['path']!r} is "
+                        "not under any table's data/ directory"
+                    )
+                ext_roots.add(resolved[:idx])
+        ext_pins: list[tuple[LakehouseTable, str, int]] = []
+        if pin_source and ext_roots:
+            chain = [
+                s
+                for s in (
+                    st.properties().get("clone.source") or ""
+                ).split(",")
+                if s
+            ]
+            by_loc = {
+                os.path.normpath(self._table_location(ident)): ident
+                for ident in chain
+                if self.table_exists(ident)
+            }
+            st_tag = f"clone-{self.view_name(src_identifier)}"
+            for root in sorted(ext_roots):
+                ident = by_loc.get(root)
+                if ident is None:
+                    raise ValueError(
+                        "clone_table: snapshot references external data "
+                        f"files under {root} with no pinnable provenance "
+                        "(an add_files import, or a clone whose source "
+                        "pin was released); clone the owning table "
+                        "directly, or pass pin_source=False and own the "
+                        "source-GC hazard"
+                    )
+                et = self.load_table(ident)
+                ver = et.refs().get(st_tag)
+                if ver is None:
+                    raise ValueError(
+                        f"clone_table: the source's own pin tag "
+                        f"{st_tag!r} on {ident} has been released, so "
+                        "its external files are already unprotected; "
+                        "refusing to chain-clone (pass pin_source=False "
+                        "to override)"
+                    )
+                ext_pins.append((et, ident, ver))
+        pinned: list[tuple[LakehouseTable, str]] = []
         if pin_source:
             # pin BEFORE building the clone: a snapshot expiry racing
             # this window could otherwise GC the files between our
             # manifest read and the tag
             st.create_tag(tag_name, snap.version)
+            pinned.append((st, tag_name))
+            for et, _ident, ver in ext_pins:
+                et.create_tag(tag_name, ver)
+                pinned.append((et, tag_name))
         try:
             ns = dst_identifier.rsplit(".", 1)[0]
             self.create_namespace(ns)
@@ -1827,12 +1924,24 @@ class LakehouseCatalog:
                 },
             )
             if pin_source:
-                # recorded so drop_table can release the pin with the
-                # clone (a dangling tag would block source GC forever)
-                t.set_properties(**{"clone.source": src_identifier})
+                # recorded so drop_table can release the pins with the
+                # clone (a dangling tag would block source GC forever);
+                # comma-joined: the source plus every pinned external
+                # root (clone-of-clone chains)
+                t.set_properties(
+                    **{
+                        "clone.source": ",".join(
+                            [src_identifier]
+                            + [ident for _et, ident, _v in ext_pins]
+                        )
+                    }
+                )
         except BaseException:
-            if pin_source:
-                st.drop_tag(tag_name)  # a failed clone must not pin
+            for pt, pname in pinned:
+                try:
+                    pt.drop_tag(pname)  # a failed clone must not pin
+                except Exception:
+                    pass
             raise
         return t
 

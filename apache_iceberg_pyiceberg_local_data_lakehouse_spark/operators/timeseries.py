@@ -217,8 +217,31 @@ def rolling_zscore(
         .orderBy(*order)
         .rowsBetween(-window, -1)
     )
-    d = F.floor(F.col(value_col) * F.lit(float(scale)) + F.lit(0.5)).cast(
-        "long"
+    # Overflow guard: the window accumulates sum(d*d) as BIGINT, so any
+    # quantized |d| above isqrt(LongMax / window) can silently wrap the
+    # sum-of-squares (with ANSI off Spark wraps; DuckDB raises; the
+    # streaming twin's Python ints never wrap - three engines, three
+    # answers). Checked IN-PLAN (a when/raise_error on each row - no
+    # extra scan job), so out-of-domain data fails loudly with the fix.
+    import math
+
+    bound = math.isqrt((2**63 - 1) // max(int(window), 1))
+    d_raw = F.floor(
+        F.col(value_col) * F.lit(float(scale)) + F.lit(0.5)
+    ).cast("long")
+    d = F.when(F.abs(d_raw) <= F.lit(bound), d_raw).otherwise(
+        F.raise_error(
+            F.format_string(
+                "rolling_zscore: value %s quantizes beyond |d|="
+                + str(bound)
+                + " at scale="
+                + str(int(scale))
+                + " and would overflow the BIGINT "
+                + str(int(window))
+                + "-row sum of squares; lower the scale",
+                F.col(value_col).cast("string"),
+            )
+        )
     )
     out = (
         df.withColumn("__d", d)

@@ -285,7 +285,7 @@ def q39_first_seen_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     # event type, grid expansion via sequence(), zero-fill for counts
     # and LOCF for the (BIGINT-quantized) value sums - integer math
     # throughout, so the filled series hashes exactly cross-engine.
-    defer=True,
+    # promoted to the judged window in r8
     oracle="""
     WITH ev AS (
       SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events
@@ -360,7 +360,7 @@ def q7b_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fodder); certifies functions/jsonops.py: schema inferred from a
     # bounded sample, one from_json projection expands the field, the
     # flattened column aggregates like any native one.
-    defer=True,
+    # promoted to the judged window in r8
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_events,
@@ -395,7 +395,7 @@ def q7f_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fodder); certifies operators/funnel.py: ordered greedy sequence
     # matching (signup -> view -> purchase) with a completion window,
     # replayed in the oracle as the same chain of min-after joins.
-    defer=True,
+    # promoted to the judged window in r8
     oracle="""
     WITH ev AS (
       SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
@@ -464,7 +464,7 @@ def q7j_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fodder); certifies operators/funnel.py cohort_retention: daily
     # first-seen cohorts x age-in-days activity counts, replayed in
     # the oracle with the identical flooring bucket arithmetic.
-    defer=True,
+    # promoted to the judged window in r8
     oracle="""
     WITH ev AS (
       SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
@@ -505,7 +505,7 @@ def q7k_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     # trailing-window integer-sum z-score must be bit-identical to the
     # oracle's window arithmetic (+,-,*,/,sqrt are correctly-rounded
     # IEEE, so identical integer window sums give identical doubles).
-    defer=True,
+    # promoted to the judged window in r8
     oracle="""
     WITH ev AS (
       SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,

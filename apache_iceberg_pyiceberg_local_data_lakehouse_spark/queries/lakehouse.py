@@ -998,6 +998,7 @@ def q6h_lakehouse_sql_views(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q6i_lakehouse_merge_sync",
+    defer=True,  # rotated out r8 after 2 driver greens; local parity kept
     # new in r5, registered behind the judged window (rotate in when a
     # slot frees); certifies the full MERGE clause matrix end-to-end:
     # WHEN MATCHED AND cond THEN UPDATE + WHEN NOT MATCHED THEN INSERT
@@ -1056,6 +1057,7 @@ def q6i_lakehouse_merge_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q6j_lakehouse_analyze_stats",
+    defer=True,  # rotated out r8 after 2 driver greens; local parity kept
     # new in r5, registered behind the judged window (rotate in when a
     # slot frees); certifies maintenance.analyze_table end-to-end: the
     # stats pass runs over the LOGICAL table (post-MoR-delete), exact
@@ -1136,6 +1138,7 @@ def q6j_lakehouse_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q6k_lakehouse_in_list_lookup",
+    defer=True,  # rotated out r8 after 2 driver greens; local parity kept
     # new in r5, registered behind the judged window (rotate in when a
     # slot frees); certifies scan_where_in: bucket-partitioned multi-key
     # lookup returns exactly the full-scan IN-filter rows.
@@ -1179,6 +1182,7 @@ def q6k_lakehouse_in_list_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q6l_lakehouse_hourly_prune",
+    defer=True,  # rotated out r8 after 2 driver greens; local parity kept
     # new in r5, registered behind the judged window (rotate in when a
     # slot frees); certifies the hours(ts) partition transform: write
     # hour-partitioned, scan one day window with manifest pruning, and
@@ -1226,6 +1230,7 @@ def q6l_lakehouse_hourly_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q6m_lakehouse_partition_overwrite",
+    defer=True,  # rotated out r8 after 2 driver greens; local parity kept
     # new in r5, registered behind the judged window (rotate in when a
     # slot frees); certifies dml.overwrite_partitions: a one-day
     # backfill swaps exactly that partition, untouched days unchanged.
@@ -1287,6 +1292,7 @@ def q6m_lakehouse_partition_overwrite(
 
 @register(
     "q6n_lakehouse_sql_lifecycle",
+    defer=True,  # rotated out r8 after 2 driver greens; local parity kept
     # new in r5, registered behind the judged window (rotate in when a
     # slot frees); certifies the SQL verb surface end-to-end: CTAS ->
     # INSERT INTO -> UPDATE -> DELETE, read back through a SELECT.
@@ -2105,7 +2111,7 @@ def q6y_tombstone_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fodder); certifies the SQL-surface wiring of metadata_agg
     # (catalog.sql routes whole-table COUNT/MIN/MAX through the
     # manifest, falls back to the scan on MoR tombstones).
-    defer=True,
+    # promoted to the judged window in r8
     oracle="""
     SELECT (SELECT COUNT(*) FROM documents) AS n_rows,
            (SELECT CAST(MIN(doc_id) AS BIGINT) FROM documents) AS min_id,
@@ -2171,7 +2177,7 @@ def q76_sql_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # MV maintenance: REFRESH after an append merges the diff's partial
     # aggregates into the materialization (one MERGE on the group keys,
     # O(delta + touched groups)) and equals the full recompute.
-    defer=True,
+    # promoted to the judged window in r8
     oracle="""
     SELECT lang, COUNT(*) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
@@ -2225,7 +2231,7 @@ def q77_mv_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fodder); certifies the SQL MERGE INTO verb (subquery source,
     # UPDATE SET * / INSERT *) and the ALTER TABLE verbs (ADD COLUMN
     # with an Iceberg-v3 initial default, RENAME COLUMN) end-to-end.
-    defer=True,
+    # promoted to the judged window in r8
     oracle="""
     WITH final AS (
       SELECT doc_id, lang, n_chars FROM documents
@@ -2293,7 +2299,7 @@ def q78_sql_merge_alter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # new in r7, registered behind the judged window (r8 rotation
     # fodder); certifies clone_table: zero-copy snapshot clone,
     # divergence in both directions, source-expiry pin.
-    defer=True,
+    # promoted to the judged window in r8
     oracle="""
     SELECT (SELECT COUNT(*) FROM documents) + 1 AS clone_rows,
            (SELECT COUNT(*) FROM documents WHERE lang <> 'en')
@@ -2364,7 +2370,7 @@ def q79_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     # new in r7, registered behind the judged window (r8 rotation
     # fodder); certifies table.cherrypick: rollback past a good append,
     # re-apply it by reference, refuse the double-pick.
-    defer=True,
+    # promoted to the judged window in r8
     oracle="""
     SELECT lang, COUNT(*) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
@@ -2435,7 +2441,7 @@ def q7d_cherrypick_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fodder); certifies create_masked_view: column masks (cast back to
     # the column type), row filters, and pass-through of the rest -
     # queried through the stored-view SQL surface.
-    defer=True,
+    # promoted to the judged window in r8
     oracle="""
     SELECT lang,
            COUNT(*) AS n_docs,
@@ -2486,7 +2492,7 @@ def q7e_masked_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fodder); certifies maintenance.auto_maintain + table_metrics:
     # policy-driven tombstone consolidation, bounded compaction and
     # expiry fire together and preserve the logical contents exactly.
-    defer=True,
+    # promoted to the judged window in r8
     oracle="""
     SELECT lang, COUNT(*) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
@@ -2559,7 +2565,7 @@ def q7g_auto_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fodder); certifies table.scan_estimate: manifest-only cost
     # preview whose row numbers are exact for range-disjoint files and
     # whose pruning actually cuts the file set.
-    defer=True,
+    # promoted to the judged window in r8
     oracle="""
     SELECT (SELECT COUNT(*) FROM documents) AS total_rows,
            (SELECT COUNT(*) FROM documents
@@ -2619,7 +2625,7 @@ def q7h_scan_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recomputes the visible average - equal to the full GROUP BY over
     # the whole corpus. Averages are quantized to 1e-6 per the
     # cross-engine float discipline.
-    defer=True,
+    # promoted to the judged window in r8
     oracle="""
     SELECT lang, COUNT(*) AS n_docs,
            CAST(FLOOR(AVG(n_chars) * 1000000 + 0.5) AS BIGINT)

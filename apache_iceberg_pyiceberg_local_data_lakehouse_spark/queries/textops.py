@@ -740,6 +740,7 @@ def q58_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the entry is ready to rotate into the judged window next round.
 @register(
     "q59_token_chunking",
+    defer=True,  # rotated out r8 after 2 driver greens; local parity kept
     oracle="""
     WITH toks AS (
       SELECT doc_id, string_split(text, ' ') AS t
@@ -786,6 +787,7 @@ def q59_token_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reconstruction) are asserted Spark-side and emitted as pinned TRUEs.
 @register(
     "q4d_bpe_vocab_fit",
+    defer=True,  # rotated out r8 after 2 driver greens; local parity kept
     oracle=r"""
     WITH words AS (
       SELECT UNNEST(list_filter(regexp_split_to_array(lower(text), '\s+'),
@@ -879,6 +881,7 @@ def q4d_bpe_vocab_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q5e_repetition_quality",
+    defer=True,  # rotated out r8 after 2 driver greens; local parity kept
     # rotated into the judged window in r5
     oracle=f"""
     WITH toks AS (
@@ -958,6 +961,7 @@ def q5e_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q5f_benchmark_contamination",
+    defer=True,  # rotated out r8 after 2 driver greens; local parity kept
     # rotated into the judged window in r5
     oracle="""
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -1020,6 +1024,7 @@ def q5f_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q5h_incremental_near_dedup",
+    defer=True,  # rotated out r8 after 2 driver greens; local parity kept
     # new in r5, registered behind the judged window (rotate in when a
     # slot frees); certifies dedup.minhash_against_corpus end-to-end
     oracle="""
@@ -1157,6 +1162,7 @@ def q5j_hashed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q5k_corpus_mix",
+    defer=True,  # rotated out r8 after 2 driver greens; local parity kept
     # new in r5, registered behind the judged window (rotate in when a
     # slot frees); certifies sampling.mix_corpus cross-engine
     oracle="""
@@ -1207,6 +1213,7 @@ def q5k_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q5l_unigram_lm_score",
+    defer=True,  # rotated out r8 after 2 driver greens; local parity kept
     # new in r5, registered behind the judged window (rotate in when a
     # slot frees); certifies operators/lm.py cross-engine
     oracle="""
@@ -1260,6 +1267,7 @@ def q5l_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q5m_sequence_packing",
+    defer=True,  # rotated out r8 after 2 driver greens; local parity kept
     # new in r5, registered behind the judged window (rotate in when a
     # slot frees); certifies operators/packing.py: the two-phase
     # distributed prefix sum must be bit-identical to the oracle's
@@ -1302,6 +1310,7 @@ def q5m_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q5n_bin_packing",
+    defer=True,  # rotated out r8 after 2 driver greens; local parity kept
     # new in r5, registered behind the judged window (rotate in when a
     # slot frees); certifies pack_bins_greedy via the q70 bound-check
     # pattern (greedy packing is not SQL-expressible; the exact fields
@@ -1357,6 +1366,7 @@ def q5n_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q5o_curation_pipeline",
+    defer=True,  # rotated out r8 after 2 driver greens; local parity kept
     # new in r5, registered behind the judged window (rotate in when a
     # slot frees); the COMPOSITION showpiece: exact dedup -> quality
     # gate -> corpus mixing -> sequence packing chained end-to-end, the
@@ -1646,7 +1656,7 @@ def q5r_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (Stupid Backoff) cross-engine: fit on the corpus, score a
     # token-REVERSED probe of the same documents so both the
     # seen-bigram path and the unigram-backoff path carry weight.
-    defer=True,
+    # promoted to the judged window in r8
     oracle="""
     WITH docs AS (
       SELECT doc_id, lang,
@@ -1731,7 +1741,7 @@ def q7a_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fodder); certifies canonical_dedup: normalization-invariant exact
     # dedup (lowercase, punctuation->space, whitespace collapse) - the
     # Dolma/C4 fuzzy-exact tier between byte-exact and MinHash.
-    defer=True,
+    # promoted to the judged window in r8
     oracle="""
     WITH canon AS (
       SELECT doc_id, lang,
@@ -1779,7 +1789,7 @@ def q7c_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-language chunk rollup. The oracle replays the same stages as
     # SQL CTEs, so equality certifies the composed dataflow, not just
     # each stage.
-    defer=True,
+    # promoted to the judged window in r8
     oracle="""
     WITH canon AS (
       SELECT doc_id, lang, n_chars,
@@ -1840,7 +1850,7 @@ def q7i_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # new in r7, registered behind the judged window (r8 rotation
     # fodder); certifies operators/expectations.py: the one-pass
     # Deequ-style audit suite, each check's metric replayed in SQL.
-    defer=True,
+    # promoted to the judged window in r8
     oracle="""
     WITH m AS (
       SELECT AVG(CASE WHEN text IS NOT NULL THEN 1.0 ELSE 0.0 END)

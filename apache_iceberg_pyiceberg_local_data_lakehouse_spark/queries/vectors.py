@@ -409,6 +409,7 @@ def q55b_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q5g_semantic_dedup",
+    defer=True,  # rotated out r8 after 2 driver greens; local parity kept
     # rotated into the judged window in r5
     oracle=f"""
     WITH cent AS (
@@ -496,6 +497,7 @@ def q5g_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q5p_quantized_ann",
+    defer=True,  # rotated out r8 after 2 driver greens; local parity kept
     # new in r5, registered behind the judged window (rotate in when a
     # slot frees); certifies embedding int8 quantization via the bound
     # pattern: exact corpus facts hash-compare, neighbor preservation

@@ -106,6 +106,9 @@ ANOMALY_STATE = StructType(
 _ANOM_WINDOW = 20
 _ANOM_MIN_PERIODS = 5
 _ANOM_THRESHOLD = 3.0
+# isqrt(LongMax / window): same BIGINT-safe quantized bound the batch
+# rolling_zscore enforces in-plan (operators/timeseries.py)
+_ANOM_SAFE_BOUND = 679093956  # == math.isqrt((2**63 - 1) // 20)
 
 
 def _anomaly_fn(
@@ -139,6 +142,15 @@ def _anomaly_fn(
         else chunks[0]
     ).sort_values(["ts_us", "qvalue"])
     for ts_us, q in zip(pdf["ts_us"], pdf["qvalue"]):
+        if abs(int(q)) > _ANOM_SAFE_BOUND:
+            # mirror the batch operator's overflow guard: Python ints
+            # never wrap, but the batch twin raises here - silently
+            # succeeding would break the batch-replay contract
+            raise ValueError(
+                f"streaming_anomalies: quantized |value| {q} exceeds "
+                f"the BIGINT-safe bound {_ANOM_SAFE_BOUND} for the "
+                f"{_ANOM_WINDOW}-row sum of squares"
+            )
         n = len(vals)
         if n >= _ANOM_MIN_PERIODS:
             s = sum(vals)
@@ -158,7 +170,10 @@ def _anomaly_fn(
                             math.floor(z * 1e6 + 0.5),
                         )
                     )
-            elif q * n != s:  # flat baseline broken
+            elif var == 0.0 and q * n != s:  # flat baseline broken
+                # var == 0.0 EXACTLY, matching the batch twin's
+                # (var == 0) guard: a tiny negative var from rounding
+                # of n*ss - s*s must emit nothing, as batch does
                 out_rows.append((key[0], int(ts_us), int(q), None))
         vals.append(int(q))
         if len(vals) > _ANOM_WINDOW:

@@ -77,9 +77,27 @@ def main() -> None:
     from apache_iceberg_pyiceberg_local_data_lakehouse_spark.session import get_spark
 
     spark = get_spark(app_name="lakehouse-bench")
-    # warm the JVM + parquet footers once so timings measure the engine,
-    # not first-touch JIT
+    # Untimed warm-up pass (protocol parity with BASELINE.md, which was
+    # recorded on a warm box): byte-read EVERY input parquet into the OS
+    # page cache, then one Spark count to warm the JVM/codegen path.
+    # Without this, whatever ran before the bench (long pytest sweeps,
+    # the driver's correctness pass) evicts the sf inputs and every
+    # query pays real disk I/O - r6/r7 saw +25-90% median drift on
+    # untouched plans from this alone.
+    t0 = time.perf_counter()
+    warmed = 0
+    for fname in sorted(os.listdir(SF_DIR)):
+        if not fname.endswith(".parquet"):
+            continue
+        with open(os.path.join(SF_DIR, fname), "rb") as f:
+            while f.read(1 << 24):
+                warmed += 1
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+    print(
+        f"# warm-up: paged in {warmed * 16} MiB from {SF_DIR} "
+        f"in {time.perf_counter() - t0:.2f}s (untimed)",
+        file=sys.stderr,
+    )
 
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     times: dict[str, float] = {}

@@ -154,7 +154,15 @@ def test_sql_clone_verb_and_scan_estimate(spark, cat):
             F.col("id").alias("k"), F.lit(9).alias("g")
         )
     )
-    out = cat.sql(f"CREATE TABLE dev.sqlclone CLONE src.t VERSION AS OF {v1}").first()
+    # bare CLONE means a DEEP copy in Delta - the SQL surface demands
+    # the explicit SHALLOW keyword rather than silently zero-copying
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="SHALLOW"):
+        cat.sql(f"CREATE TABLE dev.sqlclone CLONE src.t VERSION AS OF {v1}")
+    out = cat.sql(
+        f"CREATE TABLE dev.sqlclone SHALLOW CLONE src.t VERSION AS OF {v1}"
+    ).first()
     assert out["operation"] == "clone"
     clone = cat.load_table("dev.sqlclone")
     assert clone.to_df().count() == 100  # pinned pre-append state
@@ -228,3 +236,53 @@ def test_drop_clone_releases_source_pin(spark, cat):
     )
     clone2 = cat.clone_table("src.t", "dev.t7")  # re-clone succeeds
     assert clone2.to_df().count() == 100
+
+
+def test_chained_clone_pins_original_root(spark, cat):
+    """clone2 of clone1 references the ORIGINAL table's files ('../'
+    entries re-resolve through clone1). Dropping clone1 must not let
+    the original expire files clone2 still reads: chain-cloning pins
+    every external root clone2 reaches (ADVICE r7)."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.maintenance import (
+        compact,
+        expire_snapshots,
+    )
+
+    src = _seed(spark, cat)
+    cat.clone_table("src.t", "dev.c1")
+    clone2 = cat.clone_table("dev.c1", "dev.c2")
+    # clone2 carries its OWN pin tag on the original root
+    assert any(
+        r["name"] == "clone-dev_c2" for r in src.inspect_refs().collect()
+    )
+    assert "src.t" in clone2.properties()["clone.source"]
+    # drop the intermediate clone (releases ITS pin only), then churn
+    # the original hard: compaction + zero-grace expiry
+    cat.drop_table("dev.c1")
+    assert not any(
+        r["name"] == "clone-dev_c1" for r in src.inspect_refs().collect()
+    )
+    compact(src)
+    expire_snapshots(
+        src, older_than_ms=10**18, retain_last=1, orphan_grace_secs=0
+    )
+    assert clone2.to_df().count() == 100  # files survived
+    # dropping clone2 releases the chained pin too
+    cat.drop_table("dev.c2")
+    assert not any(
+        r["name"] == "clone-dev_c2" for r in src.inspect_refs().collect()
+    )
+
+
+def test_chained_clone_refuses_unpinnable_provenance(spark, cat):
+    """A chain-clone whose source pin on the original was already
+    released cannot be made safe - refuse loudly instead of silently
+    exposing clone2 to source GC."""
+    src = _seed(spark, cat)
+    cat.clone_table("src.t", "dev.c3")
+    src.drop_tag("clone-dev_c3")  # user manually released the pin
+    with pytest.raises(ValueError, match="refusing to chain-clone"):
+        cat.clone_table("dev.c3", "dev.c4")
+    # pin_source=False still allowed: the caller owns the hazard
+    c4 = cat.clone_table("dev.c3", "dev.c4", pin_source=False)
+    assert c4.to_df().count() == 100

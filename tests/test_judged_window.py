@@ -21,31 +21,53 @@ def test_window_is_exactly_fifty():
     assert list(QUERIES)[:JUDGED_WINDOW] == JUDGED_NAMES
 
 
-def test_round7_rotations_are_in_window():
-    """VERDICT r6 #1: rotate ALL 15 never-judged oracle-backed entries
-    (the entire r6 feature wave) into the window; the deferred residents
-    (q01/q03/q05/q13/q30/q32/q41/q50 with 6 green rounds, q35-q37,
-    q70/q71, q5i/q5j) keep local DuckDB parity via
-    tests/test_oracle_parity.py."""
+def test_round8_rotations_are_in_window():
+    """VERDICT r7 #1: rotate ALL 18 never-judged oracle-backed entries
+    (the entire r7 feature wave) into the window; the deferred residents
+    (the 19 r6 first-timers after their second green plus q5e/q5f/q5g)
+    keep local DuckDB parity via tests/test_oracle_parity.py."""
     must_be_judged = {
-        "q6q_snapshot_isolation_gc",
-        "q6r_sql_time_travel",
-        "q6s_changelog_images",
-        "q6t_metadata_agg_pushdown",
-        "q6u_runtime_join_pruning",
-        "q6v_row_lineage",
-        "q6w_incremental_mv_refresh",
-        "q6x_cdc_replication",
-        "q6y_tombstone_consolidation",
-        "q72_bm25_topk",
-        "q73_hybrid_rrf_fusion",
-        "q74_pq_ann_topk",
-        "q75_jsonl_ingest",
-        "q5q_paragraph_dedup",
-        "q5r_exact_substring_dedup",
+        "q76_sql_metadata_agg",
+        "q77_mv_agg_incremental",
+        "q78_sql_merge_alter",
+        "q79_shallow_clone",
+        "q7a_bigram_lm",
+        "q7b_resample_gapfill",
+        "q7c_canonical_dedup",
+        "q7d_cherrypick_recovery",
+        "q7e_masked_view",
+        "q7f_json_flatten",
+        "q7g_auto_maintain",
+        "q7h_scan_estimate",
+        "q7i_curation_pipeline_v2",
+        "q7j_event_funnel",
+        "q7k_cohort_retention",
+        "q7l_data_expectations",
+        "q7m_rolling_anomalies",
+        "q7n_mv_avg_incremental",
     }
     assert must_be_judged <= set(JUDGED_NAMES)
     rotated_out = {
+        # r8 defer-outs (each with >=2 driver greens, r6+r7)
+        "q59_token_chunking",
+        "q4d_bpe_vocab_fit",
+        "q5e_repetition_quality",
+        "q5f_benchmark_contamination",
+        "q5g_semantic_dedup",
+        "q5h_incremental_near_dedup",
+        "q5k_corpus_mix",
+        "q5l_unigram_lm_score",
+        "q5m_sequence_packing",
+        "q5n_bin_packing",
+        "q5o_curation_pipeline",
+        "q5p_quantized_ann",
+        "q6i_lakehouse_merge_sync",
+        "q6j_lakehouse_analyze_stats",
+        "q6k_lakehouse_in_list_lookup",
+        "q6l_lakehouse_hourly_prune",
+        "q6m_lakehouse_partition_overwrite",
+        "q6n_lakehouse_sql_lifecycle",
+        # earlier rotations that must stay out
         "q01_pricing_summary",
         "q03_shipping_priority",
         "q05_region_revenue",

@@ -2038,6 +2038,42 @@ def test_rolling_zscore(spark):
     assert out[11]["is_anomaly"] is False  # spike joined the baseline
 
 
+def test_rolling_zscore_overflow_guard(spark):
+    """|value| past isqrt(LongMax/window)/scale would silently wrap the
+    BIGINT sum-of-squares (ANSI off) - the operator must raise loudly
+    instead of emitting wrong scores (VERDICT r7 #2)."""
+    import pytest as _pytest
+
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.timeseries import (
+        rolling_zscore,
+    )
+
+    # |d| = 3100*1e6 = 3.1e9 > 679_093_956: single d*d already wraps
+    rows = [
+        ("a", f"2024-01-01 00:{i:02d}:00", 3100.0) for i in range(8)
+    ]
+    df = spark.createDataFrame(
+        rows, "g string, ts string, v double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    with _pytest.raises(Exception, match="overflow|rolling_zscore"):
+        rolling_zscore(df, "v", "ts", ["g"]).collect()
+    # same magnitudes at a lower scale are in-domain and score correctly
+    big = [3100.0] * 10 + [9900.0]
+    rows2 = [
+        ("a", f"2024-01-01 00:{i:02d}:00", v) for i, v in enumerate(big)
+    ]
+    df2 = spark.createDataFrame(
+        rows2, "g string, ts string, v double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = (
+        rolling_zscore(df2, "v", "ts", ["g"], scale=1000)
+        .orderBy("ts")
+        .collect()
+    )
+    # flat baseline broken by the 9900 spike: flag fires, z undefined
+    assert out[10]["zscore"] is None and out[10]["is_anomaly"] is True
+
+
 def test_expectations_vacuous_on_empty(spark):
     """NULL metrics (empty frame / all-NULL column) pass vacuously with
     a NULL metric - size() is the explicit non-emptiness gate."""

@@ -1054,3 +1054,20 @@ def test_sql_describe_detail(catalog, spark):
     # the plain DESCRIBE verb still works
     cols = {r["column"] for r in catalog.sql("DESCRIBE gold.dd").collect()}
     assert "DateTime" in cols
+
+
+def test_user_table_keeps_mv_prefixed_column(catalog, spark):
+    """The SQL surface strips '__mv_' partial columns ONLY from
+    engine-managed materialized views - a user table that legitimately
+    contains a '__mv_'-prefixed column must keep it (ADVICE r7)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(3).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("__mv_custom")
+    )
+    t = catalog.create_table("gold.usermv", df.schema, [])
+    t.append(df)
+    catalog.create_view("gold.usermv")
+    out = spark.sql("SELECT * FROM gold_usermv")
+    assert "__mv_custom" in out.columns
+    assert out.count() == 3
