@@ -111,6 +111,12 @@ def expire_snapshots(
     ``history.expire.max-snapshot-age-ms``), then from module defaults —
     so retention policy can live with the table instead of every
     call site."""
+    if table.is_branch and delete_orphan_files:
+        # a branch shares the table's data directory: walking it from
+        # the branch's (partial) view would GC files only MAIN
+        # references. Branch expiry is metadata-only; run orphan GC
+        # from the main handle, which unions branch references.
+        delete_orphan_files = False
     props = table.properties()
     if retain_last is None:
         retain_last = int(
@@ -185,6 +191,18 @@ def expire_snapshots(
         # referenced by any snapshot yet, but they are NOT garbage - an
         # audit may outlast any grace period. Their markers pin them.
         referenced |= table.staged_paths()
+        # divergent branch chains write their data files into the SAME
+        # data directory; every path any branch snapshot references is
+        # live until the branch publishes or is dropped
+        from .table import BranchTable
+
+        for bname in table.branch_names():
+            # construct directly: the chain must stay protected even if
+            # its ref was dropped without drop_branch_chain
+            bt = BranchTable(table.spark, table.location, bname)
+            for s in bt.snapshots():
+                referenced |= {e["path"] for e in s.manifest}
+            referenced |= bt.staged_paths()
         now = time.time()
         for fpath, mtime in _list_data_files(table):
             rel = os.path.relpath(fpath, table.location)
@@ -204,6 +222,12 @@ def expire_snapshots(
         referenced_mfs = {
             mf for s in retained for mf in s.manifest_files
         }
+        for bname in table.branch_names():
+            bt = BranchTable(table.spark, table.location, bname)
+            for s in bt.snapshots():
+                # fork-era manifests live main-side and must survive
+                # while any branch snapshot still reads through to them
+                referenced_mfs |= set(s.manifest_files)
         mdir = os.path.join(table.metadata_dir, "manifests")
         if os.path.isdir(mdir):
             for name in os.listdir(mdir):
@@ -265,6 +289,63 @@ def rewrite_position_deletes(table: LakehouseTable) -> Snapshot | None:
         summary={
             "rewritten_delete_files": len(pos_dels),
             "new_delete_files": len(new_entries),
+        },
+        base_version=snap.version,
+    )
+
+
+def rewrite_equality_deletes(table: LakehouseTable) -> Snapshot | None:
+    """Consolidate equality-delete tombstone files - the symmetric twin
+    of ``rewrite_position_deletes`` for the other MoR tombstone kind.
+
+    An equality tombstone at sequence D claims rows in data files with
+    seq < D, so applicability is a property of (seq, equality column
+    set): files sharing BOTH may merge into one (their key sets union;
+    the merged file keeps the group's sequence number, which
+    ``commit_delta``'s setdefault preserves), while tombstones at
+    different sequence horizons must never combine - raising a seq-3
+    tombstone to seq 5 would claim rows appended AFTER the delete
+    (reverse resurrection), lowering it would drop legitimate claims.
+
+    Every MoR scan pays one anti-join per distinct (seq-horizon,
+    column-set) group regardless, but O(files-in-group) tombstone READS
+    before it; a long-running table taking steady streams of keyed
+    deletes accumulates hundreds of tiny key files per horizon, and
+    this collapses each horizon to one. No-op (None) unless some
+    (seq, cols) group holds >= 2 files."""
+    snap = table.snapshot()
+    groups: dict[tuple, list[dict]] = {}
+    for d in snap.eq_delete_entries:
+        key = (int(d.get("seq", 0)), tuple(d["equality_cols"]))
+        groups.setdefault(key, []).append(d)
+    mergeable = {k: v for k, v in groups.items() if len(v) >= 2}
+    if not mergeable:
+        return None
+    added: list[dict] = []
+    removed: set[str] = set()
+    for (seq, cols), dels in sorted(mergeable.items()):
+        paths = [os.path.join(table.location, d["path"]) for d in dels]
+        merged = (
+            table.spark.read.parquet(*paths)
+            .select(*cols)
+            .distinct()
+            .coalesce(1)
+        )
+        new_entries = table._write_files(merged, [])
+        for e in new_entries:
+            e["content"] = "eq-del"
+            e["equality_cols"] = list(cols)
+            e["seq"] = seq  # the group's horizon, NOT the commit's
+        added.extend(new_entries)
+        removed |= {d["path"] for d in dels}
+    return table.commit_delta(
+        added=added,
+        removed_paths=removed,
+        operation="replace",
+        summary={
+            "rewritten_delete_files": len(removed),
+            "new_delete_files": len(added),
+            "consolidated_groups": len(mergeable),
         },
         base_version=snap.version,
     )
@@ -749,6 +830,20 @@ def auto_maintain(
         )
     else:
         report["rewrite_position_deletes"] = "not due"
+
+    n_eq = len(snap.eq_delete_entries)
+    if n_eq > max_tombstone_files:
+        report["rewrite_equality_deletes"] = (
+            f"would consolidate {n_eq} files"
+            if dry_run
+            else (
+                "consolidated"
+                if rewrite_equality_deletes(table) is not None
+                else "no-op"
+            )
+        )
+    else:
+        report["rewrite_equality_deletes"] = "not due"
 
     small = [
         e

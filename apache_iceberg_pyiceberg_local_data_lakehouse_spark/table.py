@@ -211,6 +211,10 @@ class LakehouseTable:
     """Handle to one table directory; all mutation goes through snapshot
     commits. Mirrors the PyIceberg ``Table`` surface the reference uses:
     ``append``, ``scan(selected_fields=...)``, snapshot listing, expiry.
+
+    ``is_branch`` distinguishes divergent-branch handles
+    (``BranchTable``) - maintenance uses it to keep orphan GC off the
+    shared data directory when driven from a branch.
     """
 
     # once a snapshot references this many manifest files, the commit
@@ -218,6 +222,8 @@ class LakehouseTable:
     # per commit instead of O(files) every commit (Iceberg's
     # commit.manifest.min-count-to-merge plays the same role)
     _MANIFEST_MERGE_THRESHOLD = 32
+
+    is_branch = False
 
     def __init__(self, spark: SparkSession, location: str):
         self.spark = spark
@@ -2081,6 +2087,238 @@ class LakehouseTable:
     def snapshot_by_tag(self, name: str) -> Snapshot:
         return self.snapshot_by_ref(name)
 
+    # -- divergent branch writes (Iceberg branch commits / WAP) --------------
+
+    def _branches_dir(self) -> str:
+        return os.path.join(self.metadata_dir, "branches")
+
+    def branch_names(self) -> list[str]:
+        """Branches with a MATERIALIZED divergent chain (at least one
+        fork seed). Ref-only branches (pointers into the main chain,
+        never written to) don't appear here."""
+        d = self._branches_dir()
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            n
+            for n in os.listdir(d)
+            if os.path.isdir(os.path.join(d, n))
+        )
+
+    def branch(self, name: str) -> "BranchTable":
+        """Writable handle on a branch: a DIVERGENT commit chain under
+        ``metadata/branches/<name>/`` seeded from the branch ref's
+        snapshot. The branch shares the table's data directory and
+        reads the fork's manifest files by reference (the seed is one
+        O(1) metadata commit regardless of table size); every table
+        operation - append, DML, compaction, time travel, incremental
+        scan - works on the handle because it IS a table with its own
+        linear O_EXCL version chain. The full Iceberg
+        write-audit-publish-with-retries flow: ``create_branch`` ->
+        ``branch(name)`` -> stage commits -> audit the branch ->
+        ``publish_branch``.
+
+        GC safety: the branch REF stays pinned at the fork version
+        until publish (protecting shared fork-era files from main
+        expiry), and main orphan GC unions every branch chain's
+        referenced paths (see ``maintenance.expire_snapshots``)."""
+        if self.is_branch:
+            raise ValueError("branches of branches are not supported")
+        refs = self._load_refs()
+        if name not in refs or refs[name]["type"] != "branch":
+            raise ValueError(f"no branch {name!r}; create_branch first")
+        bt = BranchTable(self.spark, self.location, name)
+        if not os.path.isdir(bt.metadata_dir) or not any(
+            f.startswith("v") and f.endswith(".json")
+            for f in os.listdir(bt.metadata_dir)
+        ):
+            fork = self.snapshot(refs[name]["version"])
+            seed = Snapshot(
+                snapshot_id=uuid.uuid4().hex,
+                version=fork.version,
+                timestamp_ms=int(time.time() * 1000),
+                operation="branch-fork",
+                parent_id=fork.snapshot_id,
+                schema_json=fork.schema_json,
+                partition_spec=fork.partition_spec,
+                manifest=fork.manifest,
+                # fork-era manifest files resolve through the branch's
+                # read-through to the main metadata dir - zero copies
+                manifest_files=self._parent_manifest_files(fork),
+                summary={
+                    "forked_from": fork.version,
+                    "branch": name,
+                    "next_row_id": self._lineage_next(fork),
+                },
+            )
+            bt._commit(seed)
+        return bt
+
+    def publish_branch(
+        self,
+        name: str,
+        mode: str = "auto",
+        max_retries: int = 5,
+    ) -> Snapshot:
+        """Merge a divergent branch back into main.
+
+        - main unchanged since the fork -> FAST-FORWARD: the branch
+          head is replicated as one main commit (branch-side manifest
+          files are copied under main's metadata, data files never
+          move); row ids carry over unchanged.
+        - main moved AND every branch commit is an append ->
+          REBASE-AND-RETRY: the branch's added files re-commit onto the
+          main head as a fresh append (sequence numbers and row ids
+          re-stamped at publish time, the ``publish_staged``
+          discipline).
+        - main moved and the branch holds non-append commits (DML,
+          compaction) -> ``CommitConflict``: an automatic merge could
+          silently undo main's concurrent writes; re-fork and replay.
+
+        ``mode="fast_forward_only"`` raises instead of rebasing.
+        On success the branch ref advances to the published main
+        version and the divergent chain is removed (the branch state
+        now IS main; a later ``branch()`` re-forks from the new pin).
+        """
+        import shutil
+
+        if mode not in ("auto", "fast_forward_only"):
+            raise ValueError(f"unknown publish mode {mode!r}")
+        refs = self._load_refs()
+        if name not in refs or refs[name]["type"] != "branch":
+            raise ValueError(f"no branch {name!r}")
+        if name not in self.branch_names():
+            raise ValueError(
+                f"branch {name!r} has no divergent commits to publish"
+            )
+        bt = BranchTable(self.spark, self.location, name)
+        head = bt.snapshot()
+        chain = bt.snapshots()
+        # the seed records the fork point; if branch expiry removed the
+        # seed, the (unpublished) ref pin still holds it
+        fork_v = int(
+            chain[0].summary.get(
+                "forked_from", refs[name]["version"]
+            )
+        )
+        if head.operation == "branch-fork":
+            return self.snapshot()  # nothing staged on the branch
+        delta_ops = {s.operation for s in chain[1:]}
+        pub: Snapshot | None = None
+        for _ in range(max_retries):
+            cur = self.snapshot()
+            if cur.version == fork_v:
+                # fast-forward: main never moved - replicate the head
+                for rel in head.manifest_files:
+                    dst = self._manifest_path(rel)
+                    if not os.path.exists(dst):
+                        os.makedirs(
+                            os.path.dirname(dst), exist_ok=True
+                        )
+                        # re-serialize (not copy): the branch may hold
+                        # it only in cache, and a partial copy must
+                        # never be visible
+                        self._write_manifest_file_at(
+                            bt._read_manifest_file(rel), rel
+                        )
+                snap = Snapshot(
+                    snapshot_id=uuid.uuid4().hex,
+                    version=cur.version + 1,
+                    timestamp_ms=int(time.time() * 1000),
+                    operation="publish",
+                    parent_id=cur.snapshot_id,
+                    schema_json=head.schema_json,
+                    partition_spec=head.partition_spec,
+                    manifest=head.manifest,
+                    manifest_files=list(head.manifest_files),
+                    summary={
+                        "published_branch": name,
+                        "branch_head": head.version,
+                        "branch_commits": len(chain) - 1,
+                        "next_row_id": self._lineage_next(head),
+                    },
+                )
+                try:
+                    self._commit(snap)
+                    pub = snap
+                    break
+                except CommitConflict:
+                    continue  # main moved under us - reassess
+            # main diverged from the fork
+            if mode == "fast_forward_only":
+                raise CommitConflict(
+                    f"publish of branch {name!r}: main moved from "
+                    f"v{fork_v} to v{cur.version} since the fork and "
+                    "mode=fast_forward_only; re-fork and replay"
+                )
+            if delta_ops - {"append"}:
+                raise CommitConflict(
+                    f"publish of branch {name!r}: main moved from "
+                    f"v{fork_v} to v{cur.version} and the branch holds "
+                    f"non-append commits {sorted(delta_ops - {'append'})}; "
+                    "an automatic merge could undo main's concurrent "
+                    "writes - re-fork and replay the branch"
+                )
+            # append-only rebase: files the branch added since the fork
+            fork_paths = {e["path"] for e in chain[0].manifest}
+            added = [
+                {
+                    k: v
+                    for k, v in e.items()
+                    if k not in ("seq", "first_row_id")
+                }
+                for e in head.manifest
+                if e["path"] not in fork_paths
+            ]
+            pub = self._commit_append(
+                added,
+                max_retries=max_retries,
+                extra_summary={
+                    "published_branch": name,
+                    "branch_head": head.version,
+                    "rebased": True,
+                },
+            )
+            break
+        if pub is None:
+            raise CommitConflict(
+                f"publish of branch {name!r} failed after retries"
+            )
+        refs = self._load_refs()
+        if name in refs and refs[name]["type"] == "branch":
+            refs[name]["version"] = pub.version
+            self._write_refs(refs)
+        shutil.rmtree(bt.metadata_dir, ignore_errors=True)
+        return pub
+
+    def drop_branch_chain(self, name: str) -> None:
+        """Abandon a branch's divergent commits WITHOUT publishing
+        (the branch ref survives at its pin; branch-written data files
+        become orphans for GC)."""
+        import shutil
+
+        d = os.path.join(self._branches_dir(), name)
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+
+    def _write_manifest_file_at(
+        self, entries: list[dict[str, Any]], rel: str
+    ) -> str:
+        """Persist a manifest under a CALLER-CHOSEN relative path
+        (publish replicating a branch manifest main-side keeps the rel
+        name so the snapshot's manifest_files list stays valid).
+        tmp+rename like ``_write_manifest_file``."""
+        path = self._manifest_path(rel)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = os.path.join(
+            os.path.dirname(path), f".tmp.{uuid.uuid4().hex}"
+        )
+        with open(tmp, "w") as f:
+            json.dump(entries, f)
+        os.replace(tmp, path)
+        self._manifest_cache[rel] = list(entries)
+        return rel
+
     # -- restore / rollback --------------------------------------------------
 
     def restore_to(
@@ -2419,6 +2657,48 @@ class LakehouseTable:
 
     def delete_metadata_version(self, version: int) -> None:
         os.remove(self._version_path(version))
+
+
+class BranchTable(LakehouseTable):
+    """A branch's divergent commit chain, usable as a full table.
+
+    Shares the parent table's ``location`` (so entry data paths resolve
+    unchanged) and data directory; its OWN metadata chain lives under
+    ``metadata/branches/<name>/``, so branch commits never interleave
+    with main's linear history. Manifest files read through to the main
+    metadata directory (the fork references them in place); new
+    manifests written by branch commits land branch-side. Properties
+    (CHECK constraints, write distribution, retention policy) are
+    table-level, shared with main.
+
+    Obtain via ``LakehouseTable.branch(name)`` - constructing one
+    directly skips the fork seeding."""
+
+    is_branch = True
+
+    def __init__(self, spark: SparkSession, location: str, name: str):
+        super().__init__(spark, location)
+        self.branch_name = name
+        self._main_metadata_dir = self.metadata_dir
+        self.metadata_dir = os.path.join(
+            self._main_metadata_dir, "branches", name
+        )
+
+    def _manifest_path(self, rel: str) -> str:
+        p = os.path.join(self.metadata_dir, rel)
+        if os.path.exists(p):
+            return p
+        # read-through: fork-era manifests live in the main chain
+        main_p = os.path.join(self._main_metadata_dir, rel)
+        if os.path.exists(main_p):
+            return main_p
+        return p  # new branch-side manifest being written
+
+    def _properties_path(self) -> str:
+        # properties are TABLE-level (constraints, distribution mode,
+        # retention policy) - a branch must enforce the same contract
+        # main does, or publish would launder constraint-violating rows
+        return os.path.join(self._main_metadata_dir, "properties.json")
 
 
 # -- per-file bloom filters (point-lookup pruning) ---------------------------

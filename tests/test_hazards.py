@@ -245,11 +245,26 @@ def test_auto_maintain_policy(spark, tmp_path):
     assert dry["rewrite_position_deletes"].startswith("would consolidate")
     assert dry["expire_snapshots"] == "not due"
 
+    # six equality tombstones on a distinct horizon-aligned column set
+    for i in range(100, 106):
+        delete_where(
+            t, F.col("k") == i, mode="merge-on-read",
+            equality_cols=["k"],
+        )
+    dry_eq = auto_maintain(t, dry_run=True)
+    assert dry_eq["rewrite_equality_deletes"].startswith(
+        "would consolidate"
+    )
+
     report = auto_maintain(t)
     assert report["compact"] == "compacted"
     assert report["rewrite_position_deletes"] == "consolidated"
+    # each keyed delete committed at its own sequence horizon, so the
+    # trigger fires but per-(seq, cols) groups are singletons -> no-op
+    # (mixed-seq tombstones must never combine)
+    assert report["rewrite_equality_deletes"] == "no-op"
     # content is intact through the whole pass
-    assert t.to_df().count() == 194
+    assert t.to_df().count() == 188
     # everything quiesced: a second pass finds nothing due
     report2 = auto_maintain(t)
     assert report2["compact"] == "not due"
@@ -264,7 +279,7 @@ def test_auto_maintain_policy(spark, tmp_path):
     report3 = auto_maintain(t)
     assert isinstance(report3["expire_snapshots"], dict)
     assert len(t.snapshots()) <= 3
-    assert t.to_df().count() == 194
+    assert t.to_df().count() == 188
 
 
 def test_compact_bounded_run_and_metrics(spark, tmp_path):
