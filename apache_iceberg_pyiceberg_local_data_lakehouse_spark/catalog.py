@@ -468,6 +468,12 @@ class LakehouseCatalog:
             # SQL surface serves the view the user's query defined.
             # Gated on the MV properties - a USER table legitimately
             # containing a '__mv_'-prefixed column keeps it (ADVICE r7)
+            having = props.get("mv.having")
+            if having:
+                # HAVING tier: the table stores the UNFILTERED
+                # aggregate so partial merges stay correct; the user's
+                # predicate applies here, in the view the query defined
+                df = df.filter(F.expr(having))
             hidden = [c for c in df.columns if c.startswith("__mv_")]
             if hidden:
                 df = df.drop(*hidden)
@@ -692,15 +698,34 @@ class LakehouseCatalog:
 
     def _mv_agg_spec(
         self, sql_text: str
-    ) -> tuple[str, list[str], list[tuple[str, str]], str | None] | None:
+    ) -> (
+        tuple[
+            str,
+            list[str],
+            list[tuple[str, str]],
+            str | None,
+            str | None,
+        ]
+        | None
+    ):
         """Parse an aggregate-distributive MV query: ``SELECT <bare key
         cols and COUNT/SUM/MIN/MAX/AVG(expr) AS alias> FROM <one table
-        view> [WHERE ...] GROUP BY <the key cols>``. Returns (base
-        identifier, group columns, [(agg alias, op)], store query or
-        None). Conservative like :meth:`_mv_incremental_base`: HAVING,
+        view> [WHERE ...] GROUP BY <the key cols> [HAVING <pred>]``.
+        Returns (base identifier, group columns, [(agg alias, op)],
+        store query or None, having predicate over visible columns or
+        None). Conservative like :meth:`_mv_incremental_base`:
         DISTINCT, expression group keys, unaliased aggregates,
-        subqueries or a second table all fall back to full refresh -
-        never to a wrong result.
+        subqueries, a second table, or a HAVING referencing an
+        aggregate that is not in the select list all fall back to full
+        refresh - never to a wrong result.
+
+        HAVING over the selected distributive aggregates IS
+        incremental: the table materializes the UNFILTERED aggregate
+        (hidden state, like the AVG partials), REFRESH merges partials
+        exactly as without HAVING, and the predicate applies in the
+        SQL-surface view projection - so a group dipping below the
+        threshold reappears correctly when later appends push it back
+        over.
 
         AVG is algebraic, not distributive: partials do not merge by a
         single operator, so ``AVG(x) AS a`` decomposes into stored
@@ -711,10 +736,24 @@ class LakehouseCatalog:
         NULL for an all-NULL group, matching AVG. Only double-typed
         AVG is accepted (a DECIMAL average would change type under the
         sum/count recomputation)."""
+        # HAVING tier: detach the predicate first and parse the
+        # UNFILTERED query - the MV stores the unfiltered aggregate as
+        # hidden state (the __mv_* partials precedent) so below-threshold
+        # groups keep accumulating partials across refreshes, and the
+        # filter applies in the view projection instead.
+        having = None
+        hm = re.search(
+            r"\s+HAVING\s+(?P<pred>.+?)\s*;?\s*$",
+            sql_text,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if hm is not None:
+            having = hm.group("pred").strip()
+            sql_text = sql_text[: hm.start()].rstrip(" ;\n\t")
         m = self._MV_AGG_SHAPE.match(sql_text)
         if m is None:
             return None
-        if re.search(r"\b(HAVING|DISTINCT)\b", sql_text, re.IGNORECASE):
+        if re.search(r"\bDISTINCT\b", sql_text, re.IGNORECASE):
             return None
         # no GROUP BY = the global-aggregate tier: a one-row MV whose
         # refresh combines the diff's single partial-aggregate row
@@ -786,8 +825,40 @@ class LakehouseCatalog:
                     vis_types.get(alias), DoubleType
                 ):
                     return None  # DECIMAL/interval AVG: full refresh
+        if having is not None:
+            # rewrite into the MV's visible column space: each selected
+            # aggregate expression (same spelling, whitespace-tolerant)
+            # becomes its alias; what remains may reference only group
+            # keys and aliases - an aggregate NOT in the select list
+            # has no stored state to filter on, so refuse (full refresh)
+            for part in _split_top_level(m.group("items")):
+                im = self._MV_AGG_ITEM.match(part.strip())
+                if im is None:
+                    continue
+                pat = (
+                    im.group("op")
+                    + r"\s*\(\s*"
+                    + re.escape(im.group("arg").strip())
+                    + r"\s*\)"
+                )
+                having = re.sub(
+                    pat, im.group("alias"), having, flags=re.IGNORECASE
+                )
+            if re.search(
+                r"\b(COUNT|SUM|MIN|MAX|AVG)\s*\(", having, re.IGNORECASE
+            ):
+                return None  # an aggregate with no stored column
+            try:
+                # validate against the unfiltered output schema (catches
+                # unknown identifiers, subqueries, type errors)
+                df.filter(F.expr(having)).schema
+            except Exception:
+                return None
         store_query = None
-        if has_avg:
+        if has_avg or having is not None:
+            # a HAVING MV must MATERIALIZE the unfiltered aggregate
+            # (running the filtered query would discard the hidden
+            # state below-threshold groups need at the next merge)
             store_query = f"SELECT {', '.join(store_items)} FROM " + (
                 m.group("ref")
             )
@@ -795,7 +866,7 @@ class LakehouseCatalog:
                 store_query += f" WHERE {m.group('where')}"
             if keys:
                 store_query += f" GROUP BY {', '.join(keys)}"
-        return idents[0], group_cols, aggs, store_query
+        return idents[0], group_cols, aggs, store_query, having
 
     def _pin_base_view(self, base_ident: str) -> int:
         """Register the base table's view at an EXACT pinned version and
@@ -838,7 +909,9 @@ class LakehouseCatalog:
         else:
             agg_spec = self._mv_agg_spec(sql_text)
             if agg_spec is not None:
-                base_ident, group_cols, aggs, store_query = agg_spec
+                base_ident, group_cols, aggs, store_query, having = (
+                    agg_spec
+                )
                 props["mv.base_table"] = base_ident
                 props["mv.base_version"] = str(
                     self._pin_base_view(base_ident)
@@ -847,9 +920,14 @@ class LakehouseCatalog:
                 props["mv.group_cols"] = json.dumps(group_cols)
                 props["mv.aggs"] = json.dumps(aggs)
                 if store_query is not None:
-                    # AVG decomposition: the materialization runs the
-                    # store query (visible cols + __mv_* partials)
+                    # AVG decomposition and/or HAVING: the
+                    # materialization runs the store query (visible
+                    # cols + __mv_* partials, UNFILTERED)
                     props["mv.store_query"] = store_query
+                if having is not None:
+                    # applied in the view projection (create_view);
+                    # the stored rows are the hidden unfiltered state
+                    props["mv.having"] = having
         src = self.spark.sql(
             props.get("mv.store_query", sql_text)
         ).localCheckpoint(eager=True)

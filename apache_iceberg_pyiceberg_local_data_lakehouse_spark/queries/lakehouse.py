@@ -2751,3 +2751,61 @@ def q7o_branch_writes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+@register(
+    "q7p_mv_having_incremental",
+    # new in r8, registered behind the judged window (r9 rotation
+    # fodder); certifies the HAVING tier of incremental MV maintenance:
+    # the MV stores the UNFILTERED per-group aggregate as hidden state,
+    # REFRESH merges partials (commit operation 'merge'), and the
+    # HAVING gate applies in the SQL-surface view - groups crossing the
+    # threshold only after the second append must appear.
+    defer=True,
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY lang
+    HAVING COUNT(*) >= (SELECT COUNT(*) / 10 FROM documents)
+    ORDER BY lang
+    """,
+)
+def q7p_mv_having_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING-tier MV maintenance judged end-to-end: an MV gated on
+    COUNT(*) >= corpus/10 is created over the even-doc_id half (where
+    some languages sit below the gate), the odd half appends, and the
+    MERGE refresh + view-projection filter must equal the plain SQL
+    GROUP BY ... HAVING over the whole corpus."""
+    from ..catalog import LakehouseCatalog
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_q7p_")
+    try:
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("tmp")
+        d = load(spark, sf_dir, "documents")
+        threshold = d.count() // 10
+        t = cat.create_table("tmp.docs7p", d.schema)
+        t.append(d.filter(F.col("doc_id") % 2 == 0))
+        mv = cat.create_materialized_view(
+            "tmp.big_langs",
+            # bare OP(arg) AS alias items only - the agg-tier parser is
+            # deliberately conservative (SUM over BIGINT is BIGINT in
+            # Spark; the oracle casts its HUGEINT to match)
+            "SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars "
+            f"FROM tmp_docs7p GROUP BY lang HAVING COUNT(*) >= {threshold}",
+        )
+        assert mv.properties().get("mv.refresh_mode") == "agg"
+        assert mv.properties().get("mv.having") == f"n_docs >= {threshold}"
+        t.append(d.filter(F.col("doc_id") % 2 == 1))
+        snap = cat.refresh_materialized_view("tmp.big_langs")
+        assert snap is not None and snap.operation == "merge"
+        cat.create_view("tmp.big_langs")
+        out = spark.sql(
+            "SELECT lang, n_docs, sum_chars FROM tmp_big_langs "
+            "ORDER BY lang"
+        )
+        rows = out.collect()  # materialize before the warehouse vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)

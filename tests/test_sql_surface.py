@@ -717,9 +717,11 @@ def test_mv_agg_null_group_key_falls_back(catalog, spark):
 
 
 def test_mv_agg_shape_gates(catalog, spark):
-    """HAVING / expression group keys / COUNT DISTINCT / non-double
-    AVG stay on the always-correct full-refresh path (no agg mode
-    recorded)."""
+    """HAVING over an unselected aggregate / expression group keys /
+    COUNT DISTINCT / non-double AVG stay on the always-correct
+    full-refresh path (no agg mode recorded). HAVING over SELECTED
+    aggregates is the incremental HAVING tier - covered by
+    test_mv_having_incremental_refresh."""
     t = catalog.create_table(
         "gold.sales4",
         spark.createDataFrame([], "cat string, v long, d decimal(10,2)").schema,
@@ -732,8 +734,10 @@ def test_mv_agg_shape_gates(catalog, spark):
     )
     for i, q in enumerate(
         [
+            # MAX(v) is not in the select list: no stored column to
+            # filter on, so the HAVING tier refuses and full-refreshes
             "SELECT cat, COUNT(*) AS n FROM gold_sales4 GROUP BY cat "
-            "HAVING COUNT(*) > 1",
+            "HAVING MAX(v) > 1",
             # DECIMAL average: sum/count recomputation would change the
             # result type, so the conservative gate refuses agg mode
             "SELECT cat, AVG(d) AS m FROM gold_sales4 GROUP BY cat",
@@ -1071,3 +1075,100 @@ def test_user_table_keeps_mv_prefixed_column(catalog, spark):
     out = spark.sql("SELECT * FROM gold_usermv")
     assert "__mv_custom" in out.columns
     assert out.count() == 3
+
+
+def test_mv_having_incremental_refresh(catalog, spark):
+    """HAVING over selected distributive aggregates refreshes
+    incrementally: the table stores the UNFILTERED aggregate as hidden
+    state, REFRESH merges partials exactly as without HAVING, and the
+    predicate applies in the SQL-surface view - so a group below the
+    threshold keeps accumulating and appears once appends push it
+    over (VERDICT r7 #7)."""
+    t = catalog.create_table(
+        "gold.hsales", _sales_df(spark, []).schema
+    )
+    t.append(_sales_df(spark, [("a", 1), ("a", 5), ("b", 10)]))
+    mv = catalog.create_materialized_view(
+        "gold.big_cats",
+        "SELECT cat, COUNT(*) AS n, SUM(v) AS s FROM gold_hsales "
+        "GROUP BY cat HAVING COUNT(*) >= 2",
+    )
+    props = mv.properties()
+    assert props.get("mv.refresh_mode") == "agg"
+    assert props.get("mv.having") == "n >= 2"
+    # physical storage is UNFILTERED (hidden state for future merges)
+    assert mv.to_df().count() == 2
+    # the SQL surface serves the filtered view the query defined
+    catalog.create_view("gold.big_cats")
+    assert {
+        r["cat"] for r in spark.sql("SELECT * FROM gold_big_cats").collect()
+    } == {"a"}
+
+    # 'b' crosses the threshold via a MERGE refresh, 'c' stays below
+    t.append(_sales_df(spark, [("b", 20), ("c", 7)]))
+    snap = catalog.refresh_materialized_view("gold.big_cats")
+    assert snap.operation == "merge"
+    catalog.create_view("gold.big_cats")
+    got = {
+        r["cat"]: (r["n"], r["s"])
+        for r in spark.sql("SELECT * FROM gold_big_cats").collect()
+    }
+    assert got == {"a": (2, 6), "b": (2, 30)}
+    # below-threshold group kept its partials
+    assert {
+        r["cat"]: r["n"] for r in mv.to_df().collect()
+    } == {"a": 2, "b": 2, "c": 1}
+
+    # HAVING may also reference the alias directly
+    mv2 = catalog.create_materialized_view(
+        "gold.big_sums",
+        "SELECT cat, SUM(v) AS s FROM gold_hsales "
+        "GROUP BY cat HAVING s > 25",
+    )
+    assert mv2.properties().get("mv.having") == "s > 25"
+    catalog.create_view("gold.big_sums")
+    assert {
+        r["cat"] for r in spark.sql("SELECT * FROM gold_big_sums").collect()
+    } == {"b"}
+
+    # a HAVING over an aggregate NOT in the select list has no stored
+    # state to filter on: falls back to full refresh, still correct
+    mv3 = catalog.create_materialized_view(
+        "gold.odd_gate",
+        "SELECT cat, SUM(v) AS s FROM gold_hsales "
+        "GROUP BY cat HAVING MAX(v) > 15",
+    )
+    assert mv3.properties().get("mv.refresh_mode") is None
+    assert {r["cat"] for r in mv3.to_df().collect()} == {"b"}
+    t.append(_sales_df(spark, [("c", 99)]))
+    catalog.refresh_materialized_view("gold.odd_gate")
+    assert {r["cat"] for r in mv3.to_df().collect()} == {"b", "c"}
+
+
+def test_mv_having_with_avg_partials(catalog, spark):
+    """HAVING composes with the AVG tier: sum/count partials and the
+    filter coexist; the view hides partials AND applies the gate."""
+    t = catalog.create_table(
+        "gold.asales", _sales_df(spark, []).schema
+    )
+    t.append(_sales_df(spark, [("a", 2), ("a", 4), ("b", 100)]))
+    mv = catalog.create_materialized_view(
+        "gold.avg_gate",
+        "SELECT cat, COUNT(*) AS n, AVG(v) AS m FROM gold_asales "
+        "GROUP BY cat HAVING COUNT(*) >= 2",
+    )
+    assert mv.properties().get("mv.refresh_mode") == "agg"
+    assert "__mv_sum_m" in [f.name for f in mv.schema.fields]
+    t.append(_sales_df(spark, [("b", 200), ("a", 6)]))
+    snap = catalog.refresh_materialized_view("gold.avg_gate")
+    assert snap.operation == "merge"
+    catalog.create_view("gold.avg_gate")
+    got = {
+        r["cat"]: (r["n"], r["m"])
+        for r in spark.sql("SELECT * FROM gold_avg_gate").collect()
+    }
+    assert got == {"a": (3, 4.0), "b": (2, 150.0)}
+    # partials hidden, filter applied
+    assert "__mv_sum_m" not in spark.sql(
+        "SELECT * FROM gold_avg_gate"
+    ).columns
