@@ -1787,6 +1787,15 @@ class LakehouseCatalog:
         except NoSuchTableError:
             return None  # not a lakehouse table (plain temp view etc.)
         t = self.load_table(ident)
+        props = t.properties()
+        if "mv.having" in props or any(
+            f.name.startswith("__mv_") for f in t.schema.fields
+        ):
+            # a HAVING-tier MV stores UNFILTERED rows (and AVG-tier MVs
+            # store partial columns) as hidden state: manifest stats
+            # describe the physical table, not the view the SQL surface
+            # serves - answer through the view projection instead
+            return None
         try:
             return t.metadata_agg(aggs)
         except ValueError:

@@ -196,12 +196,17 @@ def expire_snapshots(
         # live until the branch publishes or is dropped
         from .table import BranchTable
 
+        branch_mfs: set[str] = set()
         for bname in table.branch_names():
             # construct directly: the chain must stay protected even if
-            # its ref was dropped without drop_branch_chain
+            # its ref was dropped without drop_branch_chain; one walk
+            # collects both data paths and manifest-file references
             bt = BranchTable(table.spark, table.location, bname)
             for s in bt.snapshots():
                 referenced |= {e["path"] for e in s.manifest}
+                # fork-era manifests live main-side and must survive
+                # while any branch snapshot still reads through to them
+                branch_mfs |= set(s.manifest_files)
             referenced |= bt.staged_paths()
         now = time.time()
         for fpath, mtime in _list_data_files(table):
@@ -221,13 +226,7 @@ def expire_snapshots(
         # delta manifest before the snapshot that references it commits
         referenced_mfs = {
             mf for s in retained for mf in s.manifest_files
-        }
-        for bname in table.branch_names():
-            bt = BranchTable(table.spark, table.location, bname)
-            for s in bt.snapshots():
-                # fork-era manifests live main-side and must survive
-                # while any branch snapshot still reads through to them
-                referenced_mfs |= set(s.manifest_files)
+        } | branch_mfs
         mdir = os.path.join(table.metadata_dir, "manifests")
         if os.path.isdir(mdir):
             for name in os.listdir(mdir):

@@ -229,7 +229,11 @@ def rolling_zscore(
     d_raw = F.floor(
         F.col(value_col) * F.lit(float(scale)) + F.lit(0.5)
     ).cast("long")
-    d = F.when(F.abs(d_raw) <= F.lit(bound), d_raw).otherwise(
+    # NULL values flow through (window count/sum ignore them; the row
+    # scores NULL) - only a non-NULL out-of-range value may raise
+    d = F.when(
+        d_raw.isNull() | (F.abs(d_raw) <= F.lit(bound)), d_raw
+    ).otherwise(
         F.raise_error(
             F.format_string(
                 "rolling_zscore: value %s quantizes beyond |d|="

@@ -2767,7 +2767,9 @@ def q7o_branch_writes(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(n_chars) AS BIGINT) AS sum_chars
     FROM documents
     GROUP BY lang
-    HAVING COUNT(*) >= (SELECT COUNT(*) / 10 FROM documents)
+    -- // = integer division, matching the Spark side's count() // 10
+    -- (DuckDB's / on integers is FLOAT division)
+    HAVING COUNT(*) >= (SELECT COUNT(*) // 10 FROM documents)
     ORDER BY lang
     """,
 )

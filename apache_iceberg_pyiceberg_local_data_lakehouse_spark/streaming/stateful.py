@@ -19,6 +19,7 @@ is RocksDB-backed per executor (config, not code).
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -108,7 +109,7 @@ _ANOM_MIN_PERIODS = 5
 _ANOM_THRESHOLD = 3.0
 # isqrt(LongMax / window): same BIGINT-safe quantized bound the batch
 # rolling_zscore enforces in-plan (operators/timeseries.py)
-_ANOM_SAFE_BOUND = 679093956  # == math.isqrt((2**63 - 1) // 20)
+_ANOM_SAFE_BOUND = math.isqrt((2**63 - 1) // _ANOM_WINDOW)
 
 
 def _anomaly_fn(

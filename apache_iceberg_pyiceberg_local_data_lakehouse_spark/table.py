@@ -2259,8 +2259,28 @@ class LakehouseTable:
                     "an automatic merge could undo main's concurrent "
                     "writes - re-fork and replay the branch"
                 )
-            # append-only rebase: files the branch added since the fork
-            fork_paths = {e["path"] for e in chain[0].manifest}
+            # append-only rebase: files the branch added since the fork.
+            # The fork file set comes from MAIN's fork snapshot (pinned
+            # by the ref), NOT chain[0]: branch expiry may have removed
+            # the seed, making chain[0] a later append whose manifest
+            # already contains branch-added files - deriving from it
+            # would silently drop those rows at publish.
+            fork_paths = {
+                e["path"] for e in self.snapshot(fork_v).manifest
+            }
+            # effect-based twin of the delta_ops check: branch expiry
+            # can hide a DML/compaction COMMIT from chain[1:], but its
+            # effect (fork-era files gone from the head) cannot hide
+            head_paths = {e["path"] for e in head.manifest}
+            if fork_paths - head_paths:
+                raise CommitConflict(
+                    f"publish of branch {name!r}: the branch no longer "
+                    f"references {len(fork_paths - head_paths)} fork-era "
+                    "file(s) (a DML/compaction, possibly expired from "
+                    "the branch history) and main has moved - an "
+                    "append-only rebase would silently undo that; "
+                    "re-fork and replay"
+                )
             added = [
                 {
                     k: v

@@ -85,17 +85,20 @@ def main() -> None:
     # query pays real disk I/O - r6/r7 saw +25-90% median drift on
     # untouched plans from this alone.
     t0 = time.perf_counter()
-    warmed = 0
+    warmed_bytes = 0
     for fname in sorted(os.listdir(SF_DIR)):
         if not fname.endswith(".parquet"):
             continue
         with open(os.path.join(SF_DIR, fname), "rb") as f:
-            while f.read(1 << 24):
-                warmed += 1
+            while True:
+                chunk = f.read(1 << 24)
+                if not chunk:
+                    break
+                warmed_bytes += len(chunk)
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
     print(
-        f"# warm-up: paged in {warmed * 16} MiB from {SF_DIR} "
-        f"in {time.perf_counter() - t0:.2f}s (untimed)",
+        f"# warm-up: paged in {warmed_bytes / (1 << 20):.0f} MiB from "
+        f"{SF_DIR} in {time.perf_counter() - t0:.2f}s (untimed)",
         file=sys.stderr,
     )
 

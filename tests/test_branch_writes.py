@@ -227,3 +227,55 @@ def test_branch_requires_ref(spark, cat):
     # a forked-but-never-written branch publishes as a no-op
     pub = t.publish_branch("dev")
     assert pub.version == t.current_version()
+
+
+def test_branch_publish_after_branch_expiry(spark, cat):
+    """Branch expiry may remove the fork seed from the chain; the
+    rebase delta must derive from MAIN's pinned fork snapshot, not
+    chain[0] - otherwise branch-appended rows silently vanish at
+    publish (r8 review finding)."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.maintenance import (
+        expire_snapshots,
+    )
+
+    t = _seed(spark, cat)
+    t.create_branch("dev")
+    bt = t.branch("dev")
+    bt.append(_rng(spark, 100, 120))
+    bt.append(_rng(spark, 120, 140))
+    bt.append(_rng(spark, 140, 160))
+    # expire the branch's own history down to the head (drops the seed)
+    expire_snapshots(
+        bt, older_than_ms=10**18, retain_last=1, orphan_grace_secs=0
+    )
+    assert len(bt.snapshots()) == 1
+    assert bt.snapshots()[0].operation == "append"
+    t.append(_rng(spark, 500, 510, g=1))  # main moves: rebase path
+    pub = t.publish_branch("dev")
+    assert pub.summary.get("rebased") is True
+    ks = {r["k"] for r in t.to_df().collect()}
+    assert set(range(100, 160)) <= ks  # ALL branch rows survived
+    assert t.to_df().count() == 170
+
+
+def test_branch_publish_refuses_hidden_nonappend_effect(spark, cat):
+    """If branch expiry hid a DML commit from the op walk, its EFFECT
+    (fork-era files missing from the head) still blocks the rebase."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.dml import (
+        delete_where,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.maintenance import (
+        expire_snapshots,
+    )
+
+    t = _seed(spark, cat)
+    t.create_branch("dev")
+    bt = t.branch("dev")
+    bt.append(_rng(spark, 100, 110))
+    delete_where(bt, F.col("k") < 5)  # CoW: fork files rewritten
+    expire_snapshots(
+        bt, older_than_ms=10**18, retain_last=1, orphan_grace_secs=0
+    )
+    t.append(_rng(spark, 500, 505, g=1))  # main moves
+    with pytest.raises(CommitConflict, match="fork-era"):
+        t.publish_branch("dev")

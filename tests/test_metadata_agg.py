@@ -191,3 +191,19 @@ def test_sql_fast_path_shape_gate(cat_table, spark):
     )
     spark.range(7).createOrReplaceTempView("plain_view")
     assert cat.sql("SELECT COUNT(*) FROM plain_view").first()[0] == 7
+
+
+def test_sql_fast_path_respects_having_mv(cat_table, spark):
+    """A HAVING-tier MV stores UNFILTERED rows as hidden state: the
+    metadata fast path must decline and answer through the filtered
+    view projection instead (r8 review finding)."""
+    cat, t = cat_table
+    cat.create_materialized_view(
+        "m.big",
+        "SELECT s, COUNT(*) AS n FROM m_t GROUP BY s HAVING COUNT(*) >= 2",
+    )
+    # every s is unique -> the view is EMPTY, the stored table is not
+    stored = cat.load_table("m.big").to_df().count()
+    assert stored == 100
+    assert cat.sql("SELECT COUNT(*) FROM m.big").first()[0] == 0
+    assert cat.sql("SELECT COUNT(*) FROM m_big").first()[0] == 0

@@ -2111,3 +2111,29 @@ def test_expectations_vacuous_on_empty(spark):
     }
     assert out2["matches(email)"] == (None, True)
     assert out2["completeness(email)"] == (0.0, False)
+
+
+def test_rolling_zscore_null_values_flow_through(spark):
+    """NULL inputs must not trip the overflow guard (CASE on a NULL
+    comparison falls to otherwise): they flow through, score NULL,
+    and never flag (r8 review finding)."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.timeseries import (
+        rolling_zscore,
+    )
+
+    vals = [10.0, 11.0, None, 12.0, 10.5, 11.5, None, 11.0]
+    rows = [
+        ("a", f"2024-01-01 00:{i:02d}:00", v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "g string, ts string, v double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = (
+        rolling_zscore(df, "v", "ts", ["g"], window=5, min_periods=3)
+        .orderBy("ts")
+        .collect()
+    )
+    assert len(out) == 8  # no raise_error fired
+    for i in (2, 6):  # the NULL rows: no score, no flag
+        assert out[i]["zscore"] is None
+        assert out[i]["is_anomaly"] is False
