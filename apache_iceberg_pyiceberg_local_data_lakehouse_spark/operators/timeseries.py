@@ -283,3 +283,58 @@ def rolling_zscore(
         )
         .drop("__d", "__n", "__s", "__ss")
     )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    ts_col: str,
+    price_col: str,
+    every: str,
+    group_cols: list[str] | None = None,
+    volume_col: str | None = None,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Candlestick downsampling - the reference's tick-data domain
+    (Dukascopy bid/ask streams, ``lakehouse_pipeline.py:72-74``)
+    aggregated to bars: per (group, bucket) emit ``open`` (price at the
+    earliest tick), ``high``, ``low``, ``close`` (price at the latest
+    tick), ``n_ticks``, and with a volume column also ``volume`` and
+    ``vwap`` (volume-weighted average price; NULL for a zero-volume
+    bar via ANSI-safe division).
+
+    One hash-aggregate, no window: open/close use ``min_by``/``max_by``
+    over a (ts, tiebreak) struct, which partial-aggregates map-side
+    like any min/max, so at 100 TB the plan is scan -> partial agg ->
+    one shuffle on (group, bucket) -> final agg. Pass ``tiebreak_col``
+    (an event id) whenever timestamps can collide, or open/close are
+    nondeterministic under ties - same discipline as rolling_zscore's
+    order columns."""
+    groups = list(group_cols or [])
+    if "bucket" in groups:
+        raise ValueError("'bucket' is the output column; rename the group")
+    order = (
+        F.struct(F.col(ts_col), F.col(tiebreak_col))
+        if tiebreak_col
+        else F.struct(F.col(ts_col))
+    )
+    aggs = [
+        F.min_by(F.col(price_col), order).alias("open"),
+        F.max(price_col).alias("high"),
+        F.min(price_col).alias("low"),
+        F.max_by(F.col(price_col), order).alias("close"),
+        F.count(price_col).alias("n_ticks"),
+    ]
+    if volume_col is not None:
+        aggs.append(F.sum(volume_col).alias("volume"))
+        aggs.append(
+            F.try_divide(
+                F.sum(F.col(price_col) * F.col(volume_col)),
+                F.sum(volume_col),
+            ).alias("vwap")
+        )
+    return (
+        df.groupBy(
+            *groups, time_bucket(F.col(ts_col), every).alias("bucket")
+        )
+        .agg(*aggs)
+    )

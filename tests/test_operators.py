@@ -2137,3 +2137,46 @@ def test_rolling_zscore_null_values_flow_through(spark):
     for i in (2, 6):  # the NULL rows: no score, no flag
         assert out[i]["zscore"] is None
         assert out[i]["is_anomaly"] is False
+
+
+def test_ohlc_bars_with_vwap_and_ties(spark):
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.timeseries import (
+        ohlc_bars,
+    )
+
+    rows = [
+        # (id, ts, sym, price, vol) - two symbols, colliding timestamps
+        (1, "2024-01-01 00:00:05", "A", 10.0, 2.0),
+        (2, "2024-01-01 00:00:05", "A", 11.0, 1.0),  # tie on ts: id wins
+        (3, "2024-01-01 00:00:40", "A", 9.0, 3.0),
+        (4, "2024-01-01 00:01:10", "A", 12.0, 0.0),  # zero-volume bar
+        (5, "2024-01-01 00:00:20", "B", 100.0, 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, sym string, price double, vol double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        (r["sym"], str(r["bucket"])): r
+        for r in ohlc_bars(
+            df, "ts", "price", "1 minute",
+            group_cols=["sym"], volume_col="vol", tiebreak_col="event_id",
+        ).collect()
+    }
+    a0 = out[("A", "2024-01-01 00:00:00")]
+    assert (a0["open"], a0["high"], a0["low"], a0["close"]) == (
+        10.0, 11.0, 9.0, 9.0,  # open = earliest (ts, id); close = latest
+    )
+    assert a0["n_ticks"] == 3 and a0["volume"] == 6.0
+    assert a0["vwap"] == (10.0 * 2 + 11.0 * 1 + 9.0 * 3) / 6.0
+    a1 = out[("A", "2024-01-01 00:01:00")]
+    assert a1["vwap"] is None  # zero volume: ANSI-safe NULL, no crash
+    b0 = out[("B", "2024-01-01 00:00:00")]
+    assert (b0["open"], b0["close"], b0["n_ticks"]) == (100.0, 100.0, 1)
+    # 'bucket' collides with a group column -> loud error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bucket"):
+        ohlc_bars(
+            df.withColumnRenamed("sym", "bucket"), "ts", "price",
+            "1 minute", group_cols=["bucket"],
+        )
