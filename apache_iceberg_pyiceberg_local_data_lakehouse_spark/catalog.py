@@ -115,6 +115,23 @@ _DML_OPTIMIZE = re.compile(
     r"(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$",
     re.IGNORECASE,
 )
+# Delta's RESTORE TABLE t [TO] VERSION|TIMESTAMP AS OF - routes to
+# restore_to (a NEW commit replicating the target state; history stays)
+_DML_RESTORE = re.compile(
+    r"^\s*RESTORE\s+TABLE\s+(?P<ident>[\w.]+)\s+(?:TO\s+)?"
+    r"(?P<kind>VERSION|TIMESTAMP)\s+AS\s+OF\s+"
+    r"(?P<target>\d+|'[^']+')\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+# Iceberg's stored-procedure surface: CALL system.<proc>(arg, ...).
+# Args are positional literals ('str' or int); each proc routes to the
+# corresponding Python API (maintenance / refs / branch publish).
+_DML_CALL = re.compile(
+    r"^\s*CALL\s+system\.(?P<proc>\w+)\s*\((?P<args>[^)]*)\)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
 _DML_VACUUM = re.compile(
     r"^\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+HOURS)?"
     r"(\s+DRY\s+RUN)?\s*;?\s*$",
@@ -1388,6 +1405,32 @@ class LakehouseCatalog:
                 "operation string, table string, source string, "
                 "version long",
             )
+        # RESTORE carries its own VERSION/TIMESTAMP AS OF clause - like
+        # CLONE, it must match BEFORE the time-travel rewrite, which
+        # would otherwise swallow the clause into a pinned temp view
+        m = _DML_RESTORE.match(query)
+        if m:
+            t = self.load_table(m.group("ident"))
+            target = m.group("target")
+            if m.group("kind").upper() == "VERSION":
+                snap = t.restore_to(int(target))
+            else:
+                import datetime as _dt
+
+                instant = _dt.datetime.fromisoformat(target.strip("'"))
+                if instant.tzinfo is None:  # naive literal = UTC;
+                    # an explicit offset is respected as written
+                    instant = instant.replace(tzinfo=_dt.timezone.utc)
+                snap = t.restore_to(
+                    timestamp_ms=int(instant.timestamp() * 1000)
+                )
+            return self.spark.createDataFrame(
+                [("restore", m.group("ident"), snap.version)],
+                "operation string, table string, version long",
+            )
+        m = _DML_CALL.match(query)
+        if m:
+            return self._sql_call(m.group("proc").lower(), m.group("args"))
         if _TIME_TRAVEL.search(query):
             query = self._rewrite_time_travel(query)
         m = _DML_DELETE.match(query)
@@ -1752,6 +1795,146 @@ class LakehouseCatalog:
         self.register_views()
         self._register_stored_views()
         return self.spark.sql(query)
+
+    _CALL_PROCS = {
+        "expire_snapshots",
+        "compact",
+        "rewrite_manifests",
+        "rewrite_position_deletes",
+        "rewrite_equality_deletes",
+        "materialize_deletes",
+        "cherrypick_snapshot",
+        "rollback_to_snapshot",
+        "fast_forward",
+        "publish_branch",
+        "create_branch",
+        "create_tag",
+        "auto_maintain",
+    }
+
+    def _sql_call(self, proc: str, args_txt: str) -> DataFrame:
+        """Iceberg's ``CALL system.<proc>(...)`` stored-procedure
+        surface, mapped onto the Python maintenance/refs/branch APIs.
+        Args are positional literals: ``'string'`` or integer. Each
+        procedure returns one summary row so scripts can assert on the
+        outcome - the same discipline as the DML verbs.
+
+        Supported: expire_snapshots(t [, retain_last]), compact(t),
+        rewrite_manifests(t), rewrite_position_deletes(t),
+        rewrite_equality_deletes(t), materialize_deletes(t),
+        cherrypick_snapshot(t, version), rollback_to_snapshot(t,
+        version), fast_forward(t, branch [, version]), publish_branch(t,
+        branch), create_branch(t, branch [, version]), create_tag(t,
+        tag [, version]), auto_maintain(t)."""
+        if proc not in self._CALL_PROCS:
+            raise ValueError(
+                f"unknown procedure system.{proc}; supported: "
+                f"{sorted(self._CALL_PROCS)}"
+            )
+        args: list[object] = []
+        for part in _split_top_level(args_txt):
+            part = part.strip()
+            if not part:
+                continue
+            if part.startswith("'") and part.endswith("'"):
+                args.append(part[1:-1])
+            elif re.fullmatch(r"-?\d+", part):
+                args.append(int(part))
+            else:
+                raise ValueError(
+                    f"CALL args must be 'string' or integer literals, "
+                    f"got {part!r}"
+                )
+        if not args or not isinstance(args[0], str):
+            raise ValueError(
+                f"system.{proc} takes the table identifier first"
+            )
+        t = self.load_table(str(args[0]))
+        rest = args[1:]
+
+        def row(**kv) -> DataFrame:
+            schema = ", ".join(
+                f"{k} {'string' if isinstance(v, str) else 'long'}"
+                for k, v in kv.items()
+            )
+            return self.spark.createDataFrame([tuple(kv.values())], schema)
+
+        from . import maintenance as M
+
+        if proc == "expire_snapshots":
+            # retention policy resolves from table properties (the
+            # documented path); the optional arg overrides retain_last
+            res = M.expire_snapshots(
+                t, retain_last=int(rest[0]) if rest else None
+            )
+            return row(
+                operation=proc,
+                expired_snapshots=int(res["expired_snapshots"]),
+                deleted_files=int(res["deleted_files"]),
+            )
+        if proc == "compact":
+            snap = M.compact(t)
+            return row(
+                operation=proc,
+                version=t.current_version(),
+                compacted_files=(
+                    int(snap.summary.get("compacted_files", 0))
+                    if snap
+                    else 0
+                ),
+            )
+        if proc == "rewrite_manifests":
+            res = M.rewrite_manifests(t)
+            return row(
+                operation=proc,
+                manifests_before=int(res.get("manifests_before", 0)),
+                manifests_after=int(res.get("manifests_after", 0)),
+            )
+        if proc in (
+            "rewrite_position_deletes",
+            "rewrite_equality_deletes",
+            "materialize_deletes",
+        ):
+            snap = getattr(M, proc)(t)
+            return row(
+                operation=proc,
+                version=t.current_version(),
+                changed=1 if snap is not None else 0,
+            )
+        if proc == "auto_maintain":
+            report = M.auto_maintain(t)
+            return self.spark.createDataFrame(
+                [(k, str(v)) for k, v in report.items()],
+                "trigger string, outcome string",
+            )
+        if proc == "cherrypick_snapshot":
+            snap = t.cherrypick(int(rest[0]))
+            return row(operation=proc, version=snap.version)
+        if proc == "rollback_to_snapshot":
+            snap = t.restore_to(int(rest[0]))
+            return row(operation=proc, version=snap.version)
+        if proc == "fast_forward":
+            v = t.fast_forward(
+                str(rest[0]),
+                to_version=int(rest[1]) if len(rest) > 1 else None,
+            )
+            return row(operation=proc, branch=str(rest[0]), version=v)
+        if proc == "publish_branch":
+            snap = t.publish_branch(str(rest[0]))
+            return row(
+                operation=proc, branch=str(rest[0]), version=snap.version
+            )
+        if proc == "create_branch":
+            v = t.create_branch(
+                str(rest[0]),
+                version=int(rest[1]) if len(rest) > 1 else None,
+            )
+            return row(operation=proc, branch=str(rest[0]), version=v)
+        # create_tag
+        v = t.create_tag(
+            str(rest[0]), version=int(rest[1]) if len(rest) > 1 else None
+        )
+        return row(operation=proc, tag=str(rest[0]), version=v)
 
     def _metadata_agg_fast_path(
         self, items: str, ref: str

@@ -2811,3 +2811,79 @@ def q7p_mv_having_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+@register(
+    "q7r_sql_procedures",
+    # new in r8, registered behind the judged window (r9 rotation
+    # fodder); certifies the SQL ops surface end-to-end: RESTORE TABLE
+    # ... VERSION AS OF (Delta), CALL system.cherrypick_snapshot /
+    # create_branch / publish_branch / compact (Iceberg stored
+    # procedures) - the same lifecycle q6g/q7d/q7o judge through the
+    # Python APIs, driven entirely from SQL.
+    defer=True,
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM documents WHERE lang = 'en') AS after_restore,
+      (SELECT COUNT(*) FROM documents WHERE lang IN ('en', 'de'))
+          AS after_cherrypick,
+      (SELECT COUNT(*) FROM documents WHERE lang IN ('en', 'de', 'fr'))
+          AS after_publish,
+      (SELECT CAST(SUM(n_chars) AS BIGINT) FROM documents
+        WHERE lang IN ('en', 'de', 'fr')) AS sum_chars_final
+    """,
+)
+def q7r_sql_procedures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintenance/recovery lifecycle driven purely from SQL:
+    append en+de, RESTORE back to the en-only version, CALL
+    cherrypick_snapshot to re-apply the de append, stage fr on a
+    branch via CALL create_branch + publish_branch (fast-forward), and
+    CALL compact - every step returning assertable summary rows."""
+    from ..catalog import LakehouseCatalog
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_q7r_")
+    try:
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("tmp")
+        d = load(spark, sf_dir, "documents")
+        t = cat.create_table("tmp.docs7r", d.schema)
+        t.append(d.filter(F.col("lang") == "en"))
+        v_en = t.current_version()
+        t.append(d.filter(F.col("lang") == "de"))
+        v_de = t.current_version()
+
+        out = cat.sql(
+            f"RESTORE TABLE tmp.docs7r TO VERSION AS OF {v_en}"
+        ).first()
+        assert out["operation"] == "restore"
+        after_restore = t.to_df().count()
+
+        picked = cat.sql(
+            f"CALL system.cherrypick_snapshot('tmp.docs7r', {v_de})"
+        ).first()
+        assert picked["version"] == t.current_version()
+        after_cherrypick = t.to_df().count()
+
+        cat.sql("CALL system.create_branch('tmp.docs7r', 'etl')")
+        bt = t.branch("etl")
+        bt.append(d.filter(F.col("lang") == "fr"))
+        cat.sql("CALL system.publish_branch('tmp.docs7r', 'etl')")
+        comp = cat.sql("CALL system.compact('tmp.docs7r')").first()
+        assert comp["operation"] == "compact"
+        final = t.to_df()
+        return spark.createDataFrame(
+            [
+                (
+                    after_restore,
+                    after_cherrypick,
+                    final.count(),
+                    final.select(
+                        F.sum("n_chars").cast("long")
+                    ).first()[0],
+                )
+            ],
+            "after_restore long, after_cherrypick long, "
+            "after_publish long, sum_chars_final long",
+        )
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)

@@ -1172,3 +1172,53 @@ def test_mv_having_with_avg_partials(catalog, spark):
     assert "__mv_sum_m" not in spark.sql(
         "SELECT * FROM gold_avg_gate"
     ).columns
+
+
+def test_sql_restore_and_call_procedures(catalog, spark):
+    """RESTORE TABLE ... VERSION AS OF and the CALL system.<proc>()
+    stored-procedure surface route to the Python APIs and return
+    assertable summary rows."""
+    t = catalog.create_table("gold.proc", TICK_SCHEMA, [])
+    t.append(tick_df(spark, n=10))
+    v1 = t.current_version()
+    t.append(tick_df(spark, n=5, start="2024-02-01 00:00:00"))
+    assert t.to_df().count() == 15
+
+    out = catalog.sql(
+        f"RESTORE TABLE gold.proc TO VERSION AS OF {v1}"
+    ).first()
+    assert out["operation"] == "restore"
+    assert t.to_df().count() == 10
+
+    # cherry-pick the rolled-back append right back on via CALL
+    picked = catalog.sql(
+        f"CALL system.cherrypick_snapshot('gold.proc', {v1 + 1})"
+    ).first()
+    assert picked["version"] == t.current_version()
+    assert t.to_df().count() == 15
+
+    # branch lifecycle through CALL: create -> publish (fast-forward)
+    catalog.sql("CALL system.create_branch('gold.proc', 'dev')")
+    bt = t.branch("dev")
+    bt.append(tick_df(spark, n=3, start="2024-03-01 00:00:00"))
+    pub = catalog.sql(
+        "CALL system.publish_branch('gold.proc', 'dev')"
+    ).first()
+    assert pub["version"] == t.current_version()
+    assert t.to_df().count() == 18
+
+    # maintenance procs return summary rows
+    res = catalog.sql("CALL system.compact('gold.proc')").first()
+    assert res["operation"] == "compact"
+    rep = catalog.sql("CALL system.auto_maintain('gold.proc')")
+    assert {r["trigger"] for r in rep.collect()} >= {
+        "compact",
+        "expire_snapshots",
+    }
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown procedure"):
+        catalog.sql("CALL system.drop_everything('gold.proc')")
+    with _pytest.raises(ValueError, match="literal"):
+        catalog.sql("CALL system.compact(gold.proc)")
