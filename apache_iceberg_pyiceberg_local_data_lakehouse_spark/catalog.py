@@ -2009,11 +2009,20 @@ class LakehouseCatalog:
             ident = self._resolve_table_reference(ref)
             t = self.load_table(ident)
             if kind == "VERSION":
-                if not val.isdigit():
-                    raise ValueError(
-                        f"VERSION AS OF wants an integer, got {val}"
-                    )
-                version = int(val)
+                if val.isdigit():
+                    version = int(val)
+                else:
+                    # Iceberg: VERSION AS OF also accepts a quoted ref
+                    # (tag or branch) name, resolved via the ref table
+                    name = val.strip("'")
+                    refs = t.refs()
+                    if name not in refs:
+                        raise ValueError(
+                            f"VERSION AS OF wants an integer version or "
+                            f"a ref name; {name!r} is neither "
+                            f"(refs: {sorted(refs)})"
+                        )
+                    version = refs[name]
             else:
                 import datetime as _dt
 

@@ -1222,3 +1222,26 @@ def test_sql_restore_and_call_procedures(catalog, spark):
         catalog.sql("CALL system.drop_everything('gold.proc')")
     with _pytest.raises(ValueError, match="literal"):
         catalog.sql("CALL system.compact(gold.proc)")
+
+
+def test_sql_time_travel_by_ref_name(catalog, spark):
+    """Iceberg's VERSION AS OF also accepts a quoted tag/branch name -
+    resolved through the ref table at query time."""
+    t = catalog.create_table("gold.ttr", TICK_SCHEMA, [])
+    t.append(tick_df(spark, n=4))
+    t.create_tag("audited")
+    t.append(tick_df(spark, n=6, start="2024-02-01 00:00:00"))
+    assert (
+        catalog.sql(
+            "SELECT COUNT(*) AS n FROM gold.ttr VERSION AS OF 'audited'"
+        ).first()["n"]
+        == 4
+    )
+    assert (
+        catalog.sql("SELECT COUNT(*) AS n FROM gold_ttr").first()["n"]
+        == 10
+    )
+    with pytest.raises(ValueError, match="neither"):
+        catalog.sql(
+            "SELECT COUNT(*) FROM gold.ttr VERSION AS OF 'nope'"
+        )
