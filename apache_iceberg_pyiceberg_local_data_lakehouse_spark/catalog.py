@@ -722,6 +722,8 @@ class LakehouseCatalog:
             list[tuple[str, str]],
             str | None,
             str | None,
+            dict[str, str],
+            str | None,
         ]
         | None
     ):
@@ -782,6 +784,7 @@ class LakehouseCatalog:
         if any(not re.fullmatch(r"[A-Za-z_]\w*", k) for k in keys):
             return None
         group_cols, aggs, store_items, has_avg = [], [], [], False
+        agg_args: dict[str, str] = {}
         for part in _split_top_level(m.group("items")):
             part = part.strip()
             if re.fullmatch(r"[A-Za-z_]\w*", part):
@@ -801,6 +804,7 @@ class LakehouseCatalog:
                 return None
             alias = im.group("alias")
             aggs.append((alias, op))
+            agg_args[alias] = arg
             store_items.append(part)
             if op == "avg":
                 # the stored partials AVG merges from; the visible
@@ -871,11 +875,41 @@ class LakehouseCatalog:
                 df.filter(F.expr(having)).schema
             except Exception:
                 return None
+        # CDC-invertibility state: COUNT/SUM deltas can be SUBTRACTED,
+        # so base DML in the refresh range can maintain the MV from the
+        # changelog instead of a full re-aggregation - provided the MV
+        # stores (a) a per-group row count (__mv_rows, to detect groups
+        # whose last row was deleted: they must LEAVE the view) and (b)
+        # a non-null count per SUM (__mv_nn_<alias>: an inverted sum
+        # reaching "0 non-null rows" must read NULL, not 0). Only
+        # integral SUMs qualify (float subtraction is inexact);
+        # MIN/MAX/AVG are not invertible and keep the full-refresh
+        # fallback on DML.
+        vis_types = {f.name: f.dataType for f in df.schema.fields}
+        from pyspark.sql.types import IntegerType, LongType
+
+        cdc_ready = group_cols and aggs and all(
+            op == "count"
+            or (
+                op == "sum"
+                and isinstance(
+                    vis_types.get(alias), (IntegerType, LongType)
+                )
+            )
+            for alias, op in aggs
+        )
+        if cdc_ready:
+            store_items.append("COUNT(*) AS __mv_rows")
+            for alias, op in aggs:
+                if op == "sum":
+                    store_items.append(
+                        f"COUNT({agg_args[alias]}) AS __mv_nn_{alias}"
+                    )
         store_query = None
-        if has_avg or having is not None:
-            # a HAVING MV must MATERIALIZE the unfiltered aggregate
-            # (running the filtered query would discard the hidden
-            # state below-threshold groups need at the next merge)
+        if has_avg or having is not None or cdc_ready:
+            # a HAVING/AVG/CDC-ready MV must MATERIALIZE hidden state
+            # alongside the visible columns (running the plain query
+            # would discard it)
             store_query = f"SELECT {', '.join(store_items)} FROM " + (
                 m.group("ref")
             )
@@ -883,7 +917,15 @@ class LakehouseCatalog:
                 store_query += f" WHERE {m.group('where')}"
             if keys:
                 store_query += f" GROUP BY {', '.join(keys)}"
-        return idents[0], group_cols, aggs, store_query, having
+        return (
+            idents[0],
+            group_cols,
+            aggs,
+            store_query,
+            having,
+            agg_args,
+            m.group("where"),
+        )
 
     def _pin_base_view(self, base_ident: str) -> int:
         """Register the base table's view at an EXACT pinned version and
@@ -926,9 +968,15 @@ class LakehouseCatalog:
         else:
             agg_spec = self._mv_agg_spec(sql_text)
             if agg_spec is not None:
-                base_ident, group_cols, aggs, store_query, having = (
-                    agg_spec
-                )
+                (
+                    base_ident,
+                    group_cols,
+                    aggs,
+                    store_query,
+                    having,
+                    agg_args,
+                    where_clause,
+                ) = agg_spec
                 props["mv.base_table"] = base_ident
                 props["mv.base_version"] = str(
                     self._pin_base_view(base_ident)
@@ -936,6 +984,9 @@ class LakehouseCatalog:
                 props["mv.refresh_mode"] = "agg"
                 props["mv.group_cols"] = json.dumps(group_cols)
                 props["mv.aggs"] = json.dumps(aggs)
+                props["mv.agg_args"] = json.dumps(agg_args)
+                if where_clause:
+                    props["mv.where"] = where_clause
                 if store_query is not None:
                     # AVG decomposition and/or HAVING: the
                     # materialization runs the store query (visible
@@ -993,7 +1044,20 @@ class LakehouseCatalog:
                 try:
                     delta = bt.scan_incremental(int(base_v), cur_v)
                 except ValueError:
-                    pass  # DML/expiry in range: full refresh
+                    # DML in range: COUNT/SUM are INVERTIBLE, so an
+                    # agg-mode MV with stored CDC state can refresh
+                    # from the changelog (insert adds, delete
+                    # subtracts) - O(changed rows), never the base
+                    if props.get("mv.refresh_mode") == "agg":
+                        snap = self._cdc_agg_refresh(
+                            t, props, bt, int(base_v), cur_v
+                        )
+                        if snap is not NotImplemented:
+                            t.set_properties(
+                                **{"mv.base_version": str(cur_v)}
+                            )
+                            return snap
+                    # not invertible / state missing: full refresh
                 else:
                     # the stored query over ONLY the new rows;
                     # distributivity was proven at creation (pure
@@ -1293,12 +1357,164 @@ class LakehouseCatalog:
                     .cast(types[name])
                     .alias(name)
                 )
+            elif op == "sum" and f"__mv_nn_{name}" in types:
+                # CDC-invertible SUM: the stored non-null count decides
+                # NULL-vs-0 after subtraction (an inverted sum whose
+                # group lost its last non-null value must read NULL)
+                nn_name = f"__mv_nn_{name}"
+                nn = self._combine_partial(
+                    "count", F.col(f"t.{nn_name}"), F.col(f"d.{nn_name}")
+                )
+                s = self._combine_partial(
+                    "sum", F.col(f"t.{name}"), F.col(f"d.{name}")
+                )
+                out[nn_name] = nn.cast(types[nn_name]).alias(nn_name)
+                out[name] = (
+                    F.when(nn.isNull() | (nn == 0), F.lit(None))
+                    .otherwise(s)
+                    .cast(types[name])
+                    .alias(name)
+                )
             else:
                 combined = self._combine_partial(
                     op, F.col(f"t.{name}"), F.col(f"d.{name}")
                 )
                 out[name] = combined.cast(types[name]).alias(name)
+        if "__mv_rows" in types:
+            out["__mv_rows"] = (
+                self._combine_partial(
+                    "count",
+                    F.col("t.__mv_rows"),
+                    F.col("d.__mv_rows"),
+                )
+                .cast(types["__mv_rows"])
+                .alias("__mv_rows")
+            )
         return out
+
+    def _cdc_agg_refresh(
+        self,
+        t: LakehouseTable,
+        props: dict,
+        bt: LakehouseTable,
+        from_v: int,
+        to_v: int,
+    ):
+        """Incremental MV maintenance UNDER BASE DML: aggregate the
+        base's changelog rows with a sign (+1 insert / -1 delete) per
+        group, then merge the signed partials into the materialization.
+        COUNT and integral SUM are exactly invertible; the MV's hidden
+        state decides the two cases plain subtraction cannot:
+        ``__mv_rows`` == 0 -> the group's last row was deleted and it
+        must LEAVE the view (a delete directive in the same MERGE
+        commit), ``__mv_nn_<alias>`` == 0 -> the sum lost its last
+        non-null value and must read NULL, not 0.
+
+        Returns the commit snapshot, the current snapshot when the
+        changelog nets to nothing, or ``NotImplemented`` whenever
+        exactness cannot be proven (MIN/MAX/AVG aggs, a pre-CDC MV
+        without the hidden state, expired changelog range, NULL group
+        keys, HAVING was fine) - the caller full-refreshes, which is
+        always correct."""
+        from functools import reduce
+
+        from .dml import merge_into
+
+        group_cols = json.loads(props["mv.group_cols"])
+        aggs = json.loads(props["mv.aggs"])
+        agg_args = json.loads(props.get("mv.agg_args", "{}"))
+        if not group_cols:
+            return NotImplemented  # global tier: full refresh is O(1)-ish
+        if any(op not in ("count", "sum") for _name, op in aggs):
+            return NotImplemented  # MIN/MAX/AVG are not invertible
+        names = {f.name for f in t.schema.fields}
+        if "__mv_rows" not in names or any(
+            op == "sum" and f"__mv_nn_{name}" not in names
+            for name, op in aggs
+        ) or any(name not in agg_args for name, _op in aggs):
+            return NotImplemented  # pre-CDC MV without the state
+        try:
+            ch = bt.scan_changelog(from_v, to_v)
+        except ValueError:
+            return NotImplemented  # a snapshot in range was expired
+        where = props.get("mv.where")
+        if where:
+            ch = ch.filter(F.expr(where))
+        types = {f.name: f.dataType for f in t.schema.fields}
+        sign = F.when(
+            F.col("_change_type") == "delete", F.lit(-1)
+        ).otherwise(F.lit(1))
+        exprs = []
+        for name, op in aggs:
+            arg = agg_args[name]
+            if op == "count" and arg.strip() == "*":
+                exprs.append(
+                    F.sum(sign).cast(types[name]).alias(name)
+                )
+            elif op == "count":
+                exprs.append(
+                    F.sum(
+                        sign
+                        * F.expr(arg).isNotNull().cast("long")
+                    )
+                    .cast(types[name])
+                    .alias(name)
+                )
+            else:  # integral sum (creation-gated)
+                e = F.expr(arg)
+                exprs.append(
+                    F.sum(
+                        F.when(e.isNull(), F.lit(0)).otherwise(
+                            sign * e
+                        )
+                    )
+                    .cast(types[name])
+                    .alias(name)
+                )
+                exprs.append(
+                    F.sum(sign * e.isNotNull().cast("long"))
+                    .cast(types[f"__mv_nn_{name}"])
+                    .alias(f"__mv_nn_{name}")
+                )
+        exprs.append(
+            F.sum(sign).cast(types["__mv_rows"]).alias("__mv_rows")
+        )
+        inc = ch.groupBy(*group_cols).agg(*exprs).localCheckpoint(
+            eager=True
+        )
+        if not inc.count():
+            return t.snapshot()  # the range netted to nothing
+        has_null_key = (
+            inc.filter(
+                reduce(
+                    lambda a, b: a | b,
+                    [F.col(k).isNull() for k in group_cols],
+                )
+            )
+            .limit(1)
+            .count()
+        )
+        if has_null_key:
+            return NotImplemented
+        cur = t.to_df().alias("t")
+        joined = inc.alias("d").join(cur, on=group_cols, how="left")
+        by_name = self._merged_agg_columns(t, aggs)
+        merged_cols = [
+            F.col(f.name) if f.name in group_cols else by_name[f.name]
+            for f in t.schema.fields
+        ]
+        merged = joined.select(*merged_cols)
+        return merge_into(
+            t,
+            merged,
+            key=group_cols,
+            when_matched="update",
+            when_not_matched="insert",
+            # a group whose last row was deleted leaves the view in
+            # the SAME commit its siblings update in
+            source_delete_condition="__mv_rows = 0",
+            extra_summary={"cdc_refresh": True},
+        )
 
     def _merge_agg_delta(self, t: LakehouseTable, props: dict, inc: DataFrame):
         """Merge an aggregated append-diff into an 'agg'-mode MV: the

@@ -194,7 +194,14 @@ def delete_where(
             },
             base_version=snap.version,
         )
-    survivors = table.scan(snapshot=snap).filter(~predicate)
+    # SQL three-valued logic: DELETE removes rows where the predicate
+    # is TRUE; rows where it is NULL (UNKNOWN) must SURVIVE. A bare
+    # filter(~predicate) silently deletes them (~NULL is NULL, and
+    # filter keeps only TRUE) - r8 regression caught by the CDC-MV
+    # test: DELETE ... WHERE v = 5 dropped every v-IS-NULL row.
+    survivors = table.scan(snapshot=snap).filter(
+        ~F.coalesce(predicate, F.lit(False))
+    )
     new_entries = table._write_files(survivors, snap.partition_spec)
     return table.commit_delta(
         added=new_entries,
@@ -435,6 +442,7 @@ def merge_into(
     matched_condition: str | Column | None = None,
     when_not_matched: str = "insert",
     when_not_matched_by_source: str = "keep",
+    source_delete_condition: str | Column | None = None,
     extra_summary: dict | None = None,
 ) -> Snapshot:
     """MERGE INTO table USING updates ON table.key = updates.key — the
@@ -455,6 +463,14 @@ def merge_into(
       ``'delete'`` — Delta/SQL:2003's WHEN NOT MATCHED BY SOURCE THEN
       DELETE. ``'delete'`` turns MERGE into full sync: after the
       commit the table's key set equals the source's key set.
+    - ``source_delete_condition``: optional predicate over SOURCE
+      columns turning a source row into a DELETE directive: matched
+      target rows for those keys are dropped (instead of replaced) and
+      the row itself never inserts. The caller that needs this is
+      incremental view maintenance under deletes - a merged group
+      whose row count reached zero must LEAVE the view, atomically in
+      the same commit that updates its siblings. Requires
+      ``when_matched='update'``.
 
     ``key`` may be a list for composite business keys; source keys must
     be unique (duplicate source keys make row-replace ambiguous).
@@ -492,6 +508,19 @@ def merge_into(
             "matched_condition has no effect with when_matched='ignore' "
             "(matched rows always keep the table version); drop the "
             "condition or use when_matched='update'/'delete'"
+        )
+    src_del = (
+        F.expr(source_delete_condition)
+        if isinstance(source_delete_condition, str)
+        else source_delete_condition
+    )
+    if src_del is not None and (
+        when_matched != "update" or cond is not None
+    ):
+        raise ValueError(
+            "source_delete_condition requires when_matched='update' "
+            "with no matched_condition (delete directives consume the "
+            "matched row unconditionally)"
         )
 
     # one materialization: the key-range bounds, the distinct-key
@@ -540,11 +569,18 @@ def merge_into(
     keep_pred = (matched & ~replaced) if sync else ~replaced
     kept = marked.filter(keep_pred).drop("__m")
 
-    # Which source rows enter the table.
+    # Which source rows enter the table. Delete directives (rows
+    # matching source_delete_condition) consumed their matched target
+    # above via src_keys but contribute NO replacement/insert here.
+    entering = (
+        updates
+        if src_del is None
+        else updates.filter(~F.coalesce(src_del, F.lit(False)))
+    )
     parts: list[DataFrame] = []
     if when_matched == "update" and when_not_matched == "insert" and cond is None:
-        # fast path: every source row lands (replace matched, insert new)
-        parts.append(updates)
+        # fast path: every entering source row lands
+        parts.append(entering)
     else:
         tbl_keys = touched_df.select(*keys).distinct()
         if when_matched == "update":
@@ -552,9 +588,9 @@ def merge_into(
                 upd_keys = tbl_keys.join(src_keys, on=keys, how="left_semi")
             else:
                 upd_keys = marked.filter(replaced).select(*keys).distinct()
-            parts.append(updates.join(upd_keys, on=keys, how="left_semi"))
+            parts.append(entering.join(upd_keys, on=keys, how="left_semi"))
         if when_not_matched == "insert":
-            parts.append(updates.join(tbl_keys, on=keys, how="left_anti"))
+            parts.append(entering.join(tbl_keys, on=keys, how="left_anti"))
     incoming = parts[0] if parts else None
     for p in parts[1:]:
         incoming = incoming.unionByName(p)

@@ -2887,3 +2887,57 @@ def q7r_sql_procedures(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+@register(
+    "q7s_mv_cdc_incremental",
+    # new in r8, registered behind the judged window (r9 rotation
+    # fodder); certifies CDC-driven incremental MV maintenance: base
+    # DML (a CoW DELETE erasing one language entirely and a doc_id
+    # slice of another) refreshes the COUNT/SUM MV by merging SIGNED
+    # changelog partials (insert +1 / delete -1) - commit operation
+    # 'merge' with cdc_refresh=true, O(changed rows), never re-reading
+    # the base - and the group whose last row was deleted LEAVES the
+    # view in the same commit.
+    defer=True,
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    WHERE NOT (lang = 'zh' OR (lang = 'en' AND doc_id % 3 = 0))
+    GROUP BY lang
+    """,
+)
+def q7s_mv_cdc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The invertible-aggregate tier end-to-end: MV over the full
+    corpus, a DELETE hits the base, REFRESH must merge signed deltas
+    (never full-recompute) and drop the fully-deleted zh group."""
+    from ..catalog import LakehouseCatalog
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_q7s_")
+    try:
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("tmp")
+        d = load(spark, sf_dir, "documents")
+        t = cat.create_table("tmp.docs7s", d.schema)
+        t.append(d)
+        mv = cat.create_materialized_view(
+            "tmp.by_lang7s",
+            "SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars "
+            "FROM tmp_docs7s GROUP BY lang",
+        )
+        assert {"__mv_rows", "__mv_nn_sum_chars"} <= {
+            f.name for f in mv.schema.fields
+        }
+        cat.sql(
+            "DELETE FROM tmp.docs7s WHERE lang = 'zh' "
+            "OR (lang = 'en' AND doc_id % 3 = 0)"
+        )
+        snap = cat.refresh_materialized_view("tmp.by_lang7s")
+        assert snap.operation == "merge"
+        assert snap.summary.get("cdc_refresh") is True
+        out = mv.to_df().select("lang", "n_docs", "sum_chars")
+        rows = out.collect()  # materialize before the warehouse vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)

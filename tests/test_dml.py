@@ -1434,3 +1434,27 @@ def test_rewrite_equality_deletes_consolidates(spark, tmp_path):
     assert sorted(tuple(r) for r in t.to_df().collect()) == before2
     # no-op when every group is singleton
     assert rewrite_equality_deletes(t) is None
+
+
+def test_delete_where_null_predicate_rows_survive(spark, tmp_path):
+    """SQL three-valued logic: DELETE removes only rows where the
+    predicate is TRUE - rows evaluating to NULL (UNKNOWN) survive.
+    filter(~pred) would silently drop them (r8 regression)."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.catalog import (
+        LakehouseCatalog,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.dml import (
+        delete_where,
+    )
+    from pyspark.sql import functions as F
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("g")
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 5), ("c", None)], "k string, v long"
+    )
+    t = cat.create_table("g.nulls", df.schema)
+    t.append(df)
+    delete_where(t, F.col("v") == 5)
+    got = {(r["k"], r["v"]) for r in t.to_df().collect()}
+    assert got == {("a", 1), ("c", None)}  # the NULL row survived

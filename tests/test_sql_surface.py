@@ -1245,3 +1245,82 @@ def test_sql_time_travel_by_ref_name(catalog, spark):
         catalog.sql(
             "SELECT COUNT(*) FROM gold.ttr VERSION AS OF 'nope'"
         )
+
+
+def test_mv_cdc_incremental_refresh(catalog, spark):
+    """Base DML no longer forces a full MV refresh for invertible
+    aggregates: COUNT/SUM merge SIGNED changelog partials (insert +1,
+    delete -1). The hidden state decides the two cases subtraction
+    cannot: a group losing its last row LEAVES the view in the same
+    commit, and a sum losing its last non-null value reads NULL."""
+    t = catalog.create_table(
+        "gold.csales", _sales_df(spark, []).schema
+    )
+    t.append(
+        _sales_df(
+            spark,
+            [("a", 1), ("a", 5), ("b", 10), ("c", 7), ("d", None)],
+        )
+    )
+    mv = catalog.create_materialized_view(
+        "gold.cdcagg",
+        "SELECT cat, COUNT(*) AS n, COUNT(v) AS nv, SUM(v) AS s "
+        "FROM gold_csales GROUP BY cat",
+    )
+    stored = {f.name for f in mv.schema.fields}
+    assert {"__mv_rows", "__mv_nn_s"} <= stored
+
+    # CoW DELETE: group c vanishes entirely, group a loses one row
+    catalog.sql("DELETE FROM gold.csales WHERE cat = 'c' OR v = 5")
+    snap = catalog.refresh_materialized_view("gold.cdcagg")
+    assert snap.operation == "merge"
+    assert snap.summary.get("cdc_refresh") is True
+    got = {
+        r["cat"]: (r["n"], r["nv"], r["s"]) for r in mv.to_df().collect()
+    }
+    assert got == {
+        "a": (1, 1, 1),
+        "b": (1, 1, 10),
+        "d": (1, 0, None),  # all-NULL group: COUNT(v)=0, SUM NULL
+    }
+    # a no-op afterwards
+    assert catalog.refresh_materialized_view("gold.cdcagg") is None
+
+    # UPDATE emits delete+insert pairs; sums must track exactly
+    catalog.sql("UPDATE gold.csales SET v = 100 WHERE cat = 'b'")
+    snap2 = catalog.refresh_materialized_view("gold.cdcagg")
+    assert snap2.summary.get("cdc_refresh") is True
+    got2 = {r["cat"]: r["s"] for r in mv.to_df().collect()}
+    assert got2["b"] == 100
+
+    # deleting a group's last NON-NULL value flips its sum to NULL
+    t.append(_sales_df(spark, [("d", 3)]))
+    catalog.refresh_materialized_view("gold.cdcagg")
+    catalog.sql("DELETE FROM gold.csales WHERE cat = 'd' AND v = 3")
+    catalog.refresh_materialized_view("gold.cdcagg")
+    got3 = {
+        r["cat"]: (r["n"], r["nv"], r["s"]) for r in mv.to_df().collect()
+    }
+    assert got3["d"] == (1, 0, None)
+
+    # the result always equals the full recompute
+    expect = {
+        (r["cat"], r["n"], r["nv"], r["s"])
+        for r in catalog.sql(
+            "SELECT cat, COUNT(*) AS n, COUNT(v) AS nv, SUM(v) AS s "
+            "FROM gold_csales GROUP BY cat"
+        ).collect()
+    }
+    assert {
+        (r["cat"], r["n"], r["nv"], r["s"])
+        for r in mv.to_df().drop("__mv_rows", "__mv_nn_s").collect()
+    } == expect
+
+    # MIN/MAX are not invertible: DML still full-refreshes those MVs
+    mv2 = catalog.create_materialized_view(
+        "gold.minagg",
+        "SELECT cat, MIN(v) AS lo FROM gold_csales GROUP BY cat",
+    )
+    catalog.sql("DELETE FROM gold.csales WHERE cat = 'a'")
+    snap3 = catalog.refresh_materialized_view("gold.minagg")
+    assert snap3.operation in ("overwrite", "delete", "replace")
