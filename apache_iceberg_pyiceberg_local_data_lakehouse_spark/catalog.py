@@ -732,7 +732,10 @@ class LakehouseCatalog:
         view> [WHERE ...] GROUP BY <the key cols> [HAVING <pred>]``.
         Returns (base identifier, group columns, [(agg alias, op)],
         store query or None, having predicate over visible columns or
-        None). Conservative like :meth:`_mv_incremental_base`:
+        None, {agg alias -> raw argument expression}, WHERE clause text
+        or None) - the last two feed CDC-incremental maintenance, which
+        must re-derive each aggregate's input over changelog rows.
+        Conservative like :meth:`_mv_incremental_base`:
         DISTINCT, expression group keys, unaliased aggregates,
         subqueries, a second table, or a HAVING referencing an
         aggregate that is not in the select list all fall back to full
@@ -1416,10 +1419,6 @@ class LakehouseCatalog:
         without the hidden state, expired changelog range, NULL group
         keys, HAVING was fine) - the caller full-refreshes, which is
         always correct."""
-        from functools import reduce
-
-        from .dml import merge_into
-
         group_cols = json.loads(props["mv.group_cols"])
         aggs = json.loads(props["mv.aggs"])
         agg_args = json.loads(props.get("mv.agg_args", "{}"))
@@ -1482,67 +1481,37 @@ class LakehouseCatalog:
         inc = ch.groupBy(*group_cols).agg(*exprs).localCheckpoint(
             eager=True
         )
-        if not inc.count():
-            return t.snapshot()  # the range netted to nothing
-        has_null_key = (
-            inc.filter(
-                reduce(
-                    lambda a, b: a | b,
-                    [F.col(k).isNull() for k in group_cols],
-                )
-            )
-            .limit(1)
-            .count()
-        )
-        if has_null_key:
-            return NotImplemented
-        cur = t.to_df().alias("t")
-        joined = inc.alias("d").join(cur, on=group_cols, how="left")
-        by_name = self._merged_agg_columns(t, aggs)
-        merged_cols = [
-            F.col(f.name) if f.name in group_cols else by_name[f.name]
-            for f in t.schema.fields
-        ]
-        merged = joined.select(*merged_cols)
-        return merge_into(
+        return self._merge_grouped_delta(
             t,
-            merged,
-            key=group_cols,
-            when_matched="update",
-            when_not_matched="insert",
+            group_cols,
+            aggs,
+            inc,
             # a group whose last row was deleted leaves the view in
             # the SAME commit its siblings update in
             source_delete_condition="__mv_rows = 0",
             extra_summary={"cdc_refresh": True},
         )
 
-    def _merge_agg_delta(self, t: LakehouseTable, props: dict, inc: DataFrame):
-        """Merge an aggregated append-diff into an 'agg'-mode MV: the
-        delta's partial aggregates combine with the materialized groups
-        (COUNT/SUM add, MIN least, MAX greatest, AVG via its stored
-        sum/count partials - NULL partials defer to the other side),
-        then one MERGE on the group keys updates touched groups and
-        inserts new ones. O(delta + touched groups), never the base
-        table. Returns the commit snapshot, the current snapshot for an
-        empty diff, or ``NotImplemented`` when the delta contains a
-        NULL group key (equality-keyed MERGE cannot address the NULL
-        group; the caller full-refreshes - rare and always correct)."""
+    def _merge_grouped_delta(
+        self,
+        t: LakehouseTable,
+        group_cols: list,
+        aggs: list,
+        inc: DataFrame,
+        **merge_kwargs,
+    ):
+        """Shared merge tail for keyed agg-MV refreshes (append partials
+        AND signed CDC partials): join the delta with the current
+        materialization on the group keys, combine every non-key column
+        via :meth:`_merged_agg_columns`, and MERGE touched groups in one
+        commit. Returns the commit snapshot, the current snapshot for an
+        empty delta, or ``NotImplemented`` on a NULL group key (an
+        equality-keyed MERGE cannot address the NULL group; the caller
+        full-refreshes - rare and always correct)."""
         from functools import reduce
 
         from .dml import merge_into
 
-        group_cols = json.loads(props["mv.group_cols"])
-        aggs = json.loads(props["mv.aggs"])
-        if not group_cols:
-            # global-aggregate tier: the MV is ONE row; the diff's
-            # single partial row combines with it and the result
-            # replaces the contents atomically - O(1) either way
-            from .dml import overwrite_partitions
-
-            joined = inc.alias("d").crossJoin(t.to_df().alias("t"))
-            by_name = self._merged_agg_columns(t, aggs)
-            merged_cols = [by_name[f.name] for f in t.schema.fields]
-            return overwrite_partitions(t, joined.select(*merged_cols))
         if not inc.count():
             return t.snapshot()
         has_null_key = (
@@ -1573,7 +1542,33 @@ class LakehouseCatalog:
             key=group_cols,
             when_matched="update",
             when_not_matched="insert",
+            **merge_kwargs,
         )
+
+    def _merge_agg_delta(self, t: LakehouseTable, props: dict, inc: DataFrame):
+        """Merge an aggregated append-diff into an 'agg'-mode MV: the
+        delta's partial aggregates combine with the materialized groups
+        (COUNT/SUM add, MIN least, MAX greatest, AVG via its stored
+        sum/count partials - NULL partials defer to the other side),
+        then one MERGE on the group keys updates touched groups and
+        inserts new ones. O(delta + touched groups), never the base
+        table. Returns the commit snapshot, the current snapshot for an
+        empty diff, or ``NotImplemented`` when the delta contains a
+        NULL group key (equality-keyed MERGE cannot address the NULL
+        group; the caller full-refreshes - rare and always correct)."""
+        group_cols = json.loads(props["mv.group_cols"])
+        aggs = json.loads(props["mv.aggs"])
+        if not group_cols:
+            # global-aggregate tier: the MV is ONE row; the diff's
+            # single partial row combines with it and the result
+            # replaces the contents atomically - O(1) either way
+            from .dml import overwrite_partitions
+
+            joined = inc.alias("d").crossJoin(t.to_df().alias("t"))
+            by_name = self._merged_agg_columns(t, aggs)
+            merged_cols = [by_name[f.name] for f in t.schema.fields]
+            return overwrite_partitions(t, joined.select(*merged_cols))
+        return self._merge_grouped_delta(t, group_cols, aggs, inc)
 
     def sql(self, query: str) -> DataFrame:
         """Run SQL over the registered views (sugar for
@@ -1629,11 +1624,39 @@ class LakehouseCatalog:
             t = self.load_table(m.group("ident"))
             target = m.group("target")
             if m.group("kind").upper() == "VERSION":
-                snap = t.restore_to(int(target))
+                if target.isdigit():
+                    snap = t.restore_to(int(target))
+                else:
+                    # quoted ref name, matching VERSION AS OF: resolve
+                    # via the ref table (a divergent branch cannot be
+                    # "restored to" - its head is not on main's chain)
+                    name = target.strip("'")
+                    refs = t.refs()
+                    if name not in refs:
+                        raise ValueError(
+                            "RESTORE ... VERSION AS OF wants an integer "
+                            f"version or a ref name; {name!r} is "
+                            f"neither (refs: {sorted(refs)})"
+                        )
+                    if name in t.branch_names():
+                        raise ValueError(
+                            f"{name!r} is a branch with divergent "
+                            "commits; its head is not a main-chain "
+                            "version - publish_branch it instead"
+                        )
+                    snap = t.restore_to(refs[name])
             else:
                 import datetime as _dt
 
-                instant = _dt.datetime.fromisoformat(target.strip("'"))
+                try:
+                    instant = _dt.datetime.fromisoformat(
+                        target.strip("'")
+                    )
+                except ValueError as e:
+                    raise ValueError(
+                        "RESTORE ... TIMESTAMP AS OF wants a quoted "
+                        f"ISO timestamp, got {target}"
+                    ) from e
                 if instant.tzinfo is None:  # naive literal = UTC;
                     # an explicit offset is respected as written
                     instant = instant.replace(tzinfo=_dt.timezone.utc)
@@ -2067,6 +2090,31 @@ class LakehouseCatalog:
             )
         t = self.load_table(str(args[0]))
         rest = args[1:]
+        # arity checks up front: a missing required arg must fail as a
+        # descriptive ValueError like every other malformed statement
+        # on this surface, not an IndexError from rest[i]
+        _REQUIRED = {
+            "cherrypick_snapshot": ("version", int),
+            "rollback_to_snapshot": ("version", int),
+            "fast_forward": ("branch name", str),
+            "publish_branch": ("branch name", str),
+            "create_branch": ("branch name", str),
+            "create_tag": ("tag name", str),
+        }
+        if proc in _REQUIRED:
+            what, typ = _REQUIRED[proc]
+            if not rest or not isinstance(rest[0], typ):
+                raise ValueError(
+                    f"system.{proc} wants a {what} "
+                    f"({'integer' if typ is int else 'quoted string'}) "
+                    "after the table identifier"
+                )
+        for extra in rest[1:] if proc in _REQUIRED else rest:
+            if not isinstance(extra, int):
+                raise ValueError(
+                    f"system.{proc}: trailing arguments must be "
+                    f"integers, got {extra!r}"
+                )
 
         def row(**kv) -> DataFrame:
             schema = ", ".join(
@@ -2238,6 +2286,22 @@ class LakehouseCatalog:
                             f"a ref name; {name!r} is neither "
                             f"(refs: {sorted(refs)})"
                         )
+                    if name in t.branch_names():
+                        # a branch with DIVERGENT commits: its head
+                        # lives in the branch chain, not at the main
+                        # ref pin (which stays at the fork until
+                        # publish) - serving the pin would silently
+                        # hide every staged branch commit
+                        bt = t.branch(name)
+                        bsnap = bt.snapshot()
+                        vname = (
+                            f"__tt_{self.view_name(ident)}"
+                            f"_br_{name}_v{bsnap.version}"
+                        )
+                        bt.scan(
+                            snapshot=bsnap
+                        ).createOrReplaceTempView(vname)
+                        return vname
                     version = refs[name]
             else:
                 import datetime as _dt

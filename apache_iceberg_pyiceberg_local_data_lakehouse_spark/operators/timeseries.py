@@ -308,28 +308,40 @@ def ohlc_bars(
     one shuffle on (group, bucket) -> final agg. Pass ``tiebreak_col``
     (an event id) whenever timestamps can collide, or open/close are
     nondeterministic under ties - same discipline as rolling_zscore's
-    order columns."""
+    order columns.
+
+    NULL prices (a tick with no quote): excluded CONSISTENTLY from
+    every price-derived number - open/close (the ordering struct nulls
+    out, which min_by/max_by skip), high/low, and BOTH sides of the
+    vwap ratio (a NULL-price tick's volume must not dilute the
+    denominator). ``n_ticks`` counts ALL ticks (COUNT(*));
+    ``volume`` sums all ticks' volume."""
     groups = list(group_cols or [])
     if "bucket" in groups:
         raise ValueError("'bucket' is the output column; rename the group")
-    order = (
+    price = F.col(price_col)
+    raw_order = (
         F.struct(F.col(ts_col), F.col(tiebreak_col))
         if tiebreak_col
         else F.struct(F.col(ts_col))
     )
+    # min_by/max_by skip rows whose ordering expression is NULL: a
+    # NULL-price tick must never become the bar's open/close
+    order = F.when(price.isNotNull(), raw_order)
     aggs = [
-        F.min_by(F.col(price_col), order).alias("open"),
+        F.min_by(price, order).alias("open"),
         F.max(price_col).alias("high"),
         F.min(price_col).alias("low"),
-        F.max_by(F.col(price_col), order).alias("close"),
-        F.count(price_col).alias("n_ticks"),
+        F.max_by(price, order).alias("close"),
+        F.count(F.lit(1)).alias("n_ticks"),
     ]
     if volume_col is not None:
+        vol = F.col(volume_col)
+        quoted_vol = F.when(price.isNotNull(), vol)
         aggs.append(F.sum(volume_col).alias("volume"))
         aggs.append(
             F.try_divide(
-                F.sum(F.col(price_col) * F.col(volume_col)),
-                F.sum(volume_col),
+                F.sum(price * quoted_vol), F.sum(quoted_vol)
             ).alias("vwap")
         )
     return (

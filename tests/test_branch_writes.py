@@ -279,3 +279,54 @@ def test_branch_publish_refuses_hidden_nonappend_effect(spark, cat):
     t.append(_rng(spark, 500, 505, g=1))  # main moves
     with pytest.raises(CommitConflict, match="fork-era"):
         t.publish_branch("dev")
+
+
+def test_sql_version_as_of_branch_reads_branch_head(spark, cat):
+    """VERSION AS OF '<branch>' must serve the BRANCH HEAD for a
+    divergent branch (the main-chain ref pin stays at the fork until
+    publish and would silently hide staged commits - r8 review
+    finding); tags keep resolving through the pin."""
+    t = _seed(spark, cat)
+    t.create_branch("etl")
+    bt = t.branch("etl")
+    bt.append(_rng(spark, 100, 130))
+    n = cat.sql(
+        "SELECT COUNT(*) AS n FROM b.t VERSION AS OF 'etl'"
+    ).first()["n"]
+    assert n == 130  # head, not the fork pin (100)
+    t.create_tag("audit")
+    t.append(_rng(spark, 500, 510, g=1))
+    assert (
+        cat.sql(
+            "SELECT COUNT(*) AS n FROM b.t VERSION AS OF 'audit'"
+        ).first()["n"]
+        == 100
+    )
+
+
+def test_sql_restore_rejects_branch_and_bad_targets(spark, cat):
+    t = _seed(spark, cat)
+    t.create_tag("good")
+    t.append(_rng(spark, 100, 110))
+    out = cat.sql("RESTORE TABLE b.t TO VERSION AS OF 'good'").first()
+    assert out["operation"] == "restore"
+    assert t.to_df().count() == 100
+    t.create_branch("dev")
+    t.branch("dev").append(_rng(spark, 200, 205))
+    with pytest.raises(ValueError, match="publish_branch"):
+        cat.sql("RESTORE TABLE b.t TO VERSION AS OF 'dev'")
+    with pytest.raises(ValueError, match="ISO timestamp"):
+        cat.sql("RESTORE TABLE b.t TO TIMESTAMP AS OF '170000'")
+    with pytest.raises(ValueError, match="neither"):
+        cat.sql("RESTORE TABLE b.t TO VERSION AS OF 'missing'")
+
+
+def test_sql_call_arity_errors(spark, cat):
+    t = _seed(spark, cat)
+    with pytest.raises(ValueError, match="integer"):
+        cat.sql("CALL system.cherrypick_snapshot('b.t')")
+    with pytest.raises(ValueError, match="branch name"):
+        cat.sql("CALL system.publish_branch('b.t')")
+    with pytest.raises(ValueError, match="trailing"):
+        cat.sql("CALL system.create_tag('b.t', 'x', 'y')")
+    del t

@@ -2172,6 +2172,25 @@ def test_ohlc_bars_with_vwap_and_ties(spark):
     assert a1["vwap"] is None  # zero volume: ANSI-safe NULL, no crash
     b0 = out[("B", "2024-01-01 00:00:00")]
     assert (b0["open"], b0["close"], b0["n_ticks"]) == (100.0, 100.0, 1)
+    # NULL-price ticks: counted in n_ticks/volume, excluded from every
+    # price-derived number (open/close/high/low AND both vwap sides)
+    rows2 = [
+        (1, "2024-01-01 00:00:05", "C", None, 5.0),
+        (2, "2024-01-01 00:00:30", "C", 10.0, 1.0),
+        (3, "2024-01-01 00:00:50", "C", None, 9.0),
+    ]
+    df2 = spark.createDataFrame(
+        rows2, "event_id long, ts string, sym string, price double, vol double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    c0 = ohlc_bars(
+        df2, "ts", "price", "1 minute",
+        group_cols=["sym"], volume_col="vol", tiebreak_col="event_id",
+    ).collect()[0]
+    assert (c0["open"], c0["high"], c0["low"], c0["close"]) == (
+        10.0, 10.0, 10.0, 10.0,
+    )
+    assert c0["n_ticks"] == 3 and c0["volume"] == 15.0
+    assert c0["vwap"] == 10.0  # unquoted volume must not dilute
     # 'bucket' collides with a group column -> loud error
     import pytest as _pytest
 
