@@ -70,3 +70,52 @@ def session_aggregate(
             "n_events",
         )
     )
+
+
+def streaming_ohlc(
+    ticks: DataFrame,
+    ts_col: str = "ts",
+    price_col: str = "price",
+    window_size: str = "1 minute",
+    watermark: str = "5 minutes",
+    keys: list[str] | None = None,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Watermarked tumbling OHLC candles - the streaming twin of
+    ``operators.timeseries.ohlc_bars`` (same min_by/max_by-over-
+    (ts, tiebreak) open/close semantics, same NULL-price exclusion).
+    On-time bars finalize exactly once in append mode when the
+    watermark passes the bar end; state per (key, open window) is the
+    five partial aggregates, not the ticks. Works on batch frames too
+    (identical plan modulo the stateful exchange), so a batch replay
+    of the same ticks produces the same candles."""
+    price = F.col(price_col)
+    raw_order = (
+        F.struct(F.col(ts_col), F.col(tiebreak_col))
+        if tiebreak_col
+        else F.struct(F.col(ts_col))
+    )
+    order = F.when(price.isNotNull(), raw_order)
+    group_cols = [
+        F.window(F.col(ts_col), window_size).alias("win")
+    ] + [F.col(k) for k in (keys or [])]
+    return (
+        ticks.withWatermark(ts_col, watermark)
+        .groupBy(*group_cols)
+        .agg(
+            F.min_by(price, order).alias("open"),
+            F.max(price).alias("high"),
+            F.min(price).alias("low"),
+            F.max_by(price, order).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+        .select(
+            F.col("win").start.alias("bucket"),
+            *[F.col(k) for k in (keys or [])],
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_ticks",
+        )
+    )

@@ -1046,3 +1046,109 @@ def test_streaming_anomalies_state_across_batches(spark, tmp_path):
         .collect()
     )
     assert [r["value"] for r in flagged] == [99.0]
+
+
+def test_streaming_ohlc_matches_batch(spark, tmp_path):
+    from pyspark.sql import functions as F
+    """Candles computed over a file stream equal ohlc_bars over the
+    same ticks read as a batch - open/close tie-breaks included - and
+    on-time bars finalize exactly once in append mode."""
+    import os
+
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.timeseries import (
+        ohlc_bars,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.streaming.windows import (
+        streaming_ohlc,
+    )
+
+    src = tmp_path / "ticks"
+    src.mkdir()
+    rows1 = [
+        (1, "2024-01-01 00:00:05", "A", 10.0),
+        (2, "2024-01-01 00:00:05", "A", 11.0),  # ts tie: id breaks it
+        (3, "2024-01-01 00:00:40", "A", 9.0),
+        (4, "2024-01-01 00:00:20", "B", None),  # NULL price tick
+        (5, "2024-01-01 00:00:30", "B", 100.0),
+    ]
+    rows2 = [
+        (6, "2024-01-01 00:01:10", "A", 12.0),
+        # late-but-in-watermark tick for the same (A, :00) bar would
+        # violate append finalization; instead advance time far enough
+        # to close the first bars
+        (7, "2024-01-01 00:10:00", "A", 13.0),
+        (8, "2024-01-01 00:10:00", "B", 101.0),
+    ]
+    schema = "event_id long, ts string, sym string, price double"
+
+    def write(batch, name):
+        spark.createDataFrame(batch, schema).withColumn(
+            "ts", F.to_timestamp("ts")
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(src / name)
+        )
+
+    write(rows1, "b1")
+    out_dir = tmp_path / "out"
+    chk = tmp_path / "chk"
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, sym string, price double"
+        ).option("pathGlobFilter", "*.parquet")
+        .parquet(str(src) + "/*")
+    )
+    candles = streaming_ohlc(
+        stream, "ts", "price", "1 minute",
+        watermark="1 minute", keys=["sym"], tiebreak_col="event_id",
+    )
+    q = (
+        candles.writeStream.outputMode("append")
+        .option("checkpointLocation", str(chk))
+        .format("parquet")
+        .option("path", str(out_dir))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    write(rows2, "b2")
+    q2 = (
+        candles.writeStream.outputMode("append")
+        .option("checkpointLocation", str(chk))
+        .format("parquet")
+        .option("path", str(out_dir))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+
+    got = spark.read.parquet(str(out_dir))
+    # finalized bars (the watermark passed them) match the batch twin
+    all_ticks = spark.createDataFrame(rows1 + rows2, schema).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    batch = ohlc_bars(
+        all_ticks, "ts", "price", "1 minute",
+        group_cols=["sym"], tiebreak_col="event_id",
+    )
+    done = {
+        (r["sym"], str(r["bucket"])): (
+            r["open"], r["high"], r["low"], r["close"], r["n_ticks"]
+        )
+        for r in got.collect()
+    }
+    expect = {
+        (r["sym"], str(r["bucket"])): (
+            r["open"], r["high"], r["low"], r["close"], r["n_ticks"]
+        )
+        for r in batch.collect()
+    }
+    # every emitted bar is exactly its batch twin (incl. the tie-broken
+    # open 10.0 and the NULL-price-excluded B bar), emitted once
+    assert done
+    for k, v in done.items():
+        assert expect[k] == v, k
+    assert ("A", "2024-01-01 00:00:00") in done
+    assert done[("A", "2024-01-01 00:00:00")][0] == 10.0
+    assert done[("B", "2024-01-01 00:00:00")] == (
+        100.0, 100.0, 100.0, 100.0, 2
+    )
