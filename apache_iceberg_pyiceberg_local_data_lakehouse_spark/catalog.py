@@ -124,6 +124,19 @@ _DML_RESTORE = re.compile(
     re.IGNORECASE,
 )
 
+# Delta's COPY INTO: idempotent bulk file loading - files already
+# loaded (tracked per table) are skipped on re-run.
+_DML_COPY_INTO = re.compile(
+    r"^\s*COPY\s+INTO\s+(?P<ident>[\w.]+)\s+FROM\s+'(?P<src>[^']+)'"
+    r"(?:\s+FILEFORMAT\s*=\s*(?P<fmt>\w+))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+_DML_SHOW_CREATE = re.compile(
+    r"^\s*SHOW\s+CREATE\s+TABLE\s+(?P<ident>[\w.]+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
 # Iceberg's stored-procedure surface: CALL system.<proc>(arg, ...).
 # Args are positional literals ('str' or int); each proc routes to the
 # corresponding Python API (maintenance / refs / branch publish).
@@ -1670,6 +1683,17 @@ class LakehouseCatalog:
         m = _DML_CALL.match(query)
         if m:
             return self._sql_call(m.group("proc").lower(), m.group("args"))
+        m = _DML_COPY_INTO.match(query)
+        if m:
+            fmt = (m.group("fmt") or "PARQUET").upper()
+            if fmt != "PARQUET":
+                raise ValueError(
+                    f"COPY INTO supports FILEFORMAT = PARQUET, got {fmt}"
+                )
+            return self._sql_copy_into(m.group("ident"), m.group("src"))
+        m = _DML_SHOW_CREATE.match(query)
+        if m:
+            return self._sql_show_create(m.group("ident"))
         if _TIME_TRAVEL.search(query):
             query = self._rewrite_time_travel(query)
         m = _DML_DELETE.match(query)
@@ -2034,6 +2058,102 @@ class LakehouseCatalog:
         self.register_views()
         self._register_stored_views()
         return self.spark.sql(query)
+
+    def _sql_copy_into(self, ident: str, src: str) -> DataFrame:
+        """Delta's ``COPY INTO t FROM '<path>'``: load every parquet
+        file under the path into the table, skipping files loaded by a
+        PRIOR COPY INTO - re-running after new files land loads only
+        the delta, re-running unchanged is a zero-commit no-op (the
+        idempotent bulk-ingest verb; the reference's pipeline gets the
+        same property from its ingest ledger, S11).
+
+        Ledger discipline: the loaded-file set lives in the table
+        property ``copy.ledger`` AND in each copy commit's summary;
+        reads reconcile the union, so a crash between the commit and
+        the property write cannot double-load while the copy snapshot
+        is retained. Files are deduplicated by (absolute path, mtime,
+        size) - a file REWRITTEN in place with new content reloads."""
+        import glob as _glob
+
+        t = self.load_table(ident)
+        root = os.path.abspath(src)
+        if os.path.isdir(root):
+            paths = sorted(
+                _glob.glob(
+                    os.path.join(root, "**", "*.parquet"), recursive=True
+                )
+            )
+        elif os.path.isfile(root):
+            paths = [root]
+        else:
+            raise ValueError(f"COPY INTO source not found: {src}")
+        candidates = {
+            f"{p}::{int(os.path.getmtime(p))}::{os.path.getsize(p)}": p
+            for p in paths
+        }
+        ledger: set[str] = set(
+            json.loads(t.properties().get("copy.ledger", "[]"))
+        )
+        for s in t.snapshots():  # reconcile a crashed property write
+            ledger |= set(s.summary.get("copied_file_keys", []))
+        new_keys = sorted(k for k in candidates if k not in ledger)
+        if not new_keys:
+            return self.spark.createDataFrame(
+                [("copy", ident, 0, t.current_version())],
+                "operation string, table string, loaded_files long, "
+                "version long",
+            )
+        df = self.spark.read.parquet(*[candidates[k] for k in new_keys])
+        snap = t.append(
+            df,
+            extra_summary={"copied_file_keys": new_keys},
+        )
+        all_keys = sorted(ledger | set(new_keys))
+        t.set_properties(**{"copy.ledger": json.dumps(all_keys)})
+        return self.spark.createDataFrame(
+            [("copy", ident, len(new_keys), snap.version)],
+            "operation string, table string, loaded_files long, "
+            "version long",
+        )
+
+    def _sql_show_create(self, ident: str) -> DataFrame:
+        """``SHOW CREATE TABLE``: reconstruct DDL from the current
+        snapshot's schema, partition spec, and table properties (the
+        engine-managed ``mv.*``/``copy.*``/``clone.*`` bookkeeping is
+        omitted - it is state, not definition)."""
+        t = self.load_table(ident)
+        cols = ",\n  ".join(
+            f"{f.name} {f.dataType.simpleString().upper()}"
+            + ("" if f.nullable else " NOT NULL")
+            for f in t.schema.fields
+        )
+        ddl = f"CREATE TABLE {ident} (\n  {cols}\n)"
+        spec = t.partition_spec
+        if spec:
+            parts = []
+            for p in spec:
+                if p.transform == "identity":
+                    parts.append(p.source)
+                elif p.transform == "bucket":
+                    parts.append(f"bucket({p.n_buckets}, {p.source})")
+                elif p.transform == "truncate":
+                    parts.append(f"truncate({p.width}, {p.source})")
+                else:
+                    parts.append(f"{p.transform}({p.source})")
+            ddl += f"\nPARTITIONED BY ({', '.join(parts)})"
+        user_props = {
+            k: v
+            for k, v in sorted(t.properties().items())
+            if not k.split(".")[0] in ("mv", "copy", "clone")
+        }
+        if user_props:
+            kv = ", ".join(
+                f"'{k}' = '{v}'" for k, v in user_props.items()
+            )
+            ddl += f"\nTBLPROPERTIES ({kv})"
+        return self.spark.createDataFrame(
+            [(ident, ddl)], "table string, create_statement string"
+        )
 
     _CALL_PROCS = {
         "expire_snapshots",

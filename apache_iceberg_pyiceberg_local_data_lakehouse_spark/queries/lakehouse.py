@@ -2941,3 +2941,50 @@ def q7s_mv_cdc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+@register(
+    "q7t_copy_into",
+    # new in r8, registered behind the judged window (r9 rotation
+    # fodder); certifies the idempotent bulk-ingest verb: COPY INTO
+    # loads the corpus once, the re-run is a zero-commit no-op (ledger
+    # reconciled from properties + commit summaries), and the loaded
+    # table matches plain SQL over the source exactly.
+    defer=True,
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q7t_copy_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY INTO lifecycle judged end-to-end: load, assert the
+    idempotent re-run commits nothing, aggregate the loaded table."""
+    from ..catalog import LakehouseCatalog
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_q7t_")
+    try:
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("tmp")
+        d = load(spark, sf_dir, "documents")
+        t = cat.create_table("tmp.docs7t", d.schema)
+        out = cat.sql(
+            f"COPY INTO tmp.docs7t FROM '{sf_dir}/documents.parquet'"
+        ).first()
+        assert out["loaded_files"] >= 1
+        v = t.current_version()
+        out2 = cat.sql(
+            f"COPY INTO tmp.docs7t FROM '{sf_dir}/documents.parquet'"
+        ).first()
+        assert out2["loaded_files"] == 0  # idempotent
+        assert t.current_version() == v  # zero-commit no-op
+        res = cat.sql(
+            "SELECT lang, COUNT(*) AS n_docs, "
+            "CAST(SUM(n_chars) AS BIGINT) AS sum_chars "
+            "FROM tmp_docs7t GROUP BY lang"
+        )
+        rows = res.collect()  # materialize before the warehouse vanishes
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)

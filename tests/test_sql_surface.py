@@ -1324,3 +1324,64 @@ def test_mv_cdc_incremental_refresh(catalog, spark):
     catalog.sql("DELETE FROM gold.csales WHERE cat = 'a'")
     snap3 = catalog.refresh_materialized_view("gold.minagg")
     assert snap3.operation in ("overwrite", "delete", "replace")
+
+
+def test_sql_copy_into_idempotent(catalog, spark, tmp_path):
+    """COPY INTO loads every parquet under the path once: re-running
+    unchanged is a zero-commit no-op; new files load as a delta; a
+    file rewritten in place (new mtime/size) reloads."""
+    src = tmp_path / "landing"
+    src.mkdir()
+    df1 = spark.createDataFrame(
+        [(1, "x"), (2, "y")], "id long, s string"
+    )
+    df1.coalesce(1).write.mode("overwrite").parquet(str(src / "a"))
+    t = catalog.create_table("gold.copied", df1.schema, [])
+    out = catalog.sql(
+        f"COPY INTO gold.copied FROM '{src}'"
+    ).first()
+    assert out["operation"] == "copy" and out["loaded_files"] >= 1
+    assert t.to_df().count() == 2
+    v = t.current_version()
+    # idempotent re-run: nothing loads, nothing commits
+    out2 = catalog.sql(f"COPY INTO gold.copied FROM '{src}'").first()
+    assert out2["loaded_files"] == 0
+    assert t.current_version() == v
+    # a new file loads only the delta
+    spark.createDataFrame([(3, "z")], "id long, s string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(src / "b"))
+    catalog.sql(f"COPY INTO gold.copied FROM '{src}'")
+    assert t.to_df().count() == 3
+    # non-parquet format refused loudly
+    with pytest.raises(ValueError, match="PARQUET"):
+        catalog.sql(
+            f"COPY INTO gold.copied FROM '{src}' FILEFORMAT = CSV"
+        )
+
+
+def test_sql_show_create_table(catalog, spark):
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.table import (
+        PartitionField,
+    )
+
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00", 1.0, 7)],
+        "DateTime string, Bid double, k long",
+    ).withColumn("DateTime", F.to_timestamp("DateTime"))
+    t = catalog.create_table(
+        "gold.ddl",
+        df.schema,
+        [
+            PartitionField("DateTime", "years"),
+            PartitionField("k", "bucket", n_buckets=8),
+        ],
+    )
+    t.set_properties(**{"history.expire.min-snapshots-to-keep": "4"})
+    ddl = catalog.sql("SHOW CREATE TABLE gold.ddl").first()[
+        "create_statement"
+    ]
+    assert "CREATE TABLE gold.ddl" in ddl
+    assert "DateTime TIMESTAMP" in ddl and "Bid DOUBLE" in ddl
+    assert "PARTITIONED BY (years(DateTime), bucket(8, k))" in ddl
+    assert "'history.expire.min-snapshots-to-keep' = '4'" in ddl
