@@ -276,3 +276,28 @@ def test_r7_operators_plan_quality(spark, sf_small):
     # node in the tree AND the detail section - count argument lines)
     assert plan.count("Arguments: hashpartitioning") == 1
     m.unpersist()
+
+
+def test_r8_operators_plan_shape(spark, sf_small):
+    """ohlc_bars must be ONE hash/sort aggregate pair around ONE
+    shuffle (partial min_by/max_by map-side, no window over the full
+    stream); the CDC-MV signed delta is one aggregate over the
+    changelog with no cartesian."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.timeseries import (
+        ohlc_bars,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.queries import (
+        load_events,
+    )
+
+    ev = load_events(spark, sf_small)
+    bars = ohlc_bars(
+        ev, "ts", "value", "1 hour",
+        group_cols=["event_type"], tiebreak_col="event_id",
+    )
+    plan = formatted_plan(bars)
+    assert_no_cartesian(bars)
+    assert "Window" not in plan  # no full-stream window
+    # one shuffle on (group, bucket); partial aggregate runs map-side
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert "partial_min_by" in plan
