@@ -359,3 +359,43 @@ def stream_table_changes(
         on_reset,
         error_backoff,
     )
+
+
+def watch_materialized_view(
+    catalog,
+    identifier: str,
+    poll_secs: int = WATCH_INTERVAL_SECS,
+    error_backoff: int = 60,
+    on_refresh=None,
+):
+    """Continuously-maintained MV: a daemon polls the view's base table
+    and runs ``refresh_materialized_view`` whenever it moved - the
+    refresh itself picks the cheapest proven-exact tier (incremental
+    append diff, partial-aggregate merge, signed CDC merge, or full),
+    and an up-to-date base is a zero-commit no-op, so the idle loop
+    costs one version read per poll. Same daemon-thread/backoff
+    discipline as the ingest watcher (ST1/ST5); state lives in the MV
+    table + its ``mv.base_version`` property, so a restart needs no
+    recovery. ``on_refresh(snapshot)`` fires after each non-no-op
+    refresh. Returns ``(stop_event, thread)``."""
+    stop = threading.Event()
+
+    def loop():
+        while not stop.is_set():
+            try:
+                snap = catalog.refresh_materialized_view(identifier)
+                if snap is not None and on_refresh is not None:
+                    on_refresh(snap)
+            except Exception:
+                # same keep-alive discipline as the ingest watcher: a
+                # transient failure (base mid-commit, executor loss)
+                # must not kill the maintenance loop
+                stop.wait(error_backoff)
+                continue
+            stop.wait(poll_secs)
+
+    thread = threading.Thread(
+        target=loop, name=f"mv-watch-{identifier}", daemon=True
+    )
+    thread.start()
+    return stop, thread

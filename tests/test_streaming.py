@@ -1152,3 +1152,57 @@ def test_streaming_ohlc_matches_batch(spark, tmp_path):
     assert done[("B", "2024-01-01 00:00:00")] == (
         100.0, 100.0, 100.0, 100.0, 2
     )
+
+
+def test_watch_materialized_view_keeps_mv_fresh(spark, tmp_path):
+    """The MV watcher daemon picks up base appends AND base DML (the
+    signed CDC tier) without any full recompute, and stops cleanly."""
+    from pyspark.sql import functions as F
+
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.catalog import (
+        LakehouseCatalog,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.streaming.watcher import (
+        watch_materialized_view,
+    )
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("g")
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 10)], "cat string, v long"
+    )
+    t = cat.create_table("g.base", df.schema)
+    t.append(df)
+    mv = cat.create_materialized_view(
+        "g.watched",
+        "SELECT cat, COUNT(*) AS n, SUM(v) AS s FROM g_base GROUP BY cat",
+    )
+    ops = []
+    stop, thread = watch_materialized_view(
+        cat, "g.watched", poll_secs=1,
+        on_refresh=lambda s: ops.append(s.operation),
+    )
+    try:
+        t.append(
+            spark.createDataFrame([("a", 5)], "cat string, v long")
+        )
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            got = {r["cat"]: r["s"] for r in mv.to_df().collect()}
+            if got.get("a") == 6:
+                break
+            time.sleep(0.5)
+        assert got["a"] == 6
+        cat.sql("DELETE FROM g.base WHERE cat = 'b'")
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            cats = {r["cat"] for r in mv.to_df().collect()}
+            if cats == {"a"}:
+                break
+            time.sleep(0.5)
+        assert cats == {"a"}  # the CDC tier dropped the emptied group
+        assert set(ops) <= {"merge"}  # never a full rewrite
+    finally:
+        stop.set()
+        thread.join(timeout=30)
+    assert not thread.is_alive()
