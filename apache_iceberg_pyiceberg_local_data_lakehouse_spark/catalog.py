@@ -49,6 +49,12 @@ _DML_INSERT = re.compile(
 _DML_SHOW_TABLES = re.compile(
     r"^\s*SHOW\s+TABLES(?:\s+IN\s+(\w+))?\s*;?\s*$", re.IGNORECASE
 )
+_DML_SHOW_NAMESPACES = re.compile(
+    r"^\s*SHOW\s+(?:NAMESPACES|DATABASES|SCHEMAS)\s*;?\s*$", re.IGNORECASE
+)
+_DML_SHOW_TBLPROPERTIES = re.compile(
+    r"^\s*SHOW\s+TBLPROPERTIES\s+([\w.]+)\s*;?\s*$", re.IGNORECASE
+)
 _DML_DESCRIBE = re.compile(
     r"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?([\w.]+)\s*;?\s*$", re.IGNORECASE
 )
@@ -1745,6 +1751,19 @@ class LakehouseCatalog:
         m = _DML_ALTER.match(query)
         if m:
             return self._sql_alter(m.group(1), m.group(2))
+        m = _DML_SHOW_NAMESPACES.match(query)
+        if m:
+            return self.spark.createDataFrame(
+                [(ns,) for ns in self.list_namespaces()] or [],
+                "namespace string",
+            )
+        m = _DML_SHOW_TBLPROPERTIES.match(query)
+        if m:
+            t = self.load_table(m.group(1))
+            return self.spark.createDataFrame(
+                sorted(t.properties().items()) or [],
+                "key string, value string",
+            )
         m = _DML_SHOW_TABLES.match(query)
         if m:
             spaces = [m.group(1)] if m.group(1) else self.list_namespaces()

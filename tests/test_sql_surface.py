@@ -1385,3 +1385,18 @@ def test_sql_show_create_table(catalog, spark):
     assert "DateTime TIMESTAMP" in ddl and "Bid DOUBLE" in ddl
     assert "PARTITIONED BY (years(DateTime), bucket(8, k))" in ddl
     assert "'history.expire.min-snapshots-to-keep' = '4'" in ddl
+
+
+def test_sql_show_namespaces_and_tblproperties(catalog, spark):
+    catalog.create_namespace("silver")
+    t = catalog.create_table("silver.p", TICK_SCHEMA, [])
+    t.set_properties(**{"history.expire.min-snapshots-to-keep": "3"})
+    assert {
+        r["namespace"]
+        for r in catalog.sql("SHOW NAMESPACES").collect()
+    } >= {"silver"}
+    props = {
+        r["key"]: r["value"]
+        for r in catalog.sql("SHOW TBLPROPERTIES silver.p").collect()
+    }
+    assert props["history.expire.min-snapshots-to-keep"] == "3"
