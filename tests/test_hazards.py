@@ -120,7 +120,11 @@ def test_compactor_racing_appenders_loses_nothing(catalog, spark):
             errors.append(e)
 
     def compactor():
-        for _ in range(6):
+        # retry budget sized for a LOADED box: with 4 appenders racing
+        # on a machine also running other Spark JVMs, 6 retries can
+        # legitimately starve (observed once in a 3-suite parallel run)
+        # - the invariant under test is lost-rows, not retry latency
+        for _ in range(16):
             try:
                 compact(t, target_file_bytes=64 * 1024 * 1024)
                 return
