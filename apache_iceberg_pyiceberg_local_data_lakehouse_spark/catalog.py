@@ -1091,6 +1091,16 @@ class LakehouseCatalog:
                     inc = self.spark.sql(
                         props.get("mv.store_query", sql_text)
                     ).localCheckpoint(eager=True)
+                    # inc is MATERIALIZED (eager checkpoint): restore
+                    # the base's PUBLIC view immediately so concurrent
+                    # readers - and the daemon MV watcher's foreground
+                    # peers - never resolve it while it points at the
+                    # append-delta (r8 review finding)
+                    bt.scan(
+                        snapshot=bt.snapshot(cur_v)
+                    ).createOrReplaceTempView(
+                        self.view_name(base_ident)
+                    )
                     if props.get("mv.refresh_mode") == "agg":
                         snap = self._merge_agg_delta(t, props, inc)
                         if snap is not NotImplemented:
@@ -2097,17 +2107,25 @@ class LakehouseCatalog:
         t = self.load_table(ident)
         root = os.path.abspath(src)
         if os.path.isdir(root):
+            # isfile filter: a Spark-written DATASET directory named
+            # day1.parquet matches the glob alongside its own part
+            # files - loading both would silently duplicate every row
             paths = sorted(
-                _glob.glob(
+                p
+                for p in _glob.glob(
                     os.path.join(root, "**", "*.parquet"), recursive=True
                 )
+                if os.path.isfile(p)
             )
         elif os.path.isfile(root):
             paths = [root]
         else:
             raise ValueError(f"COPY INTO source not found: {src}")
+        # nanosecond mtime: a same-size rewrite within one second must
+        # still produce a fresh key (whole-second truncation would
+        # silently skip its new content forever)
         candidates = {
-            f"{p}::{int(os.path.getmtime(p))}::{os.path.getsize(p)}": p
+            f"{p}::{os.stat(p).st_mtime_ns}::{os.path.getsize(p)}": p
             for p in paths
         }
         ledger: set[str] = set(
@@ -2141,8 +2159,10 @@ class LakehouseCatalog:
         engine-managed ``mv.*``/``copy.*``/``clone.*`` bookkeeping is
         omitted - it is state, not definition)."""
         t = self.load_table(ident)
+        # simpleString as-is: uppercasing would mangle nested field
+        # names (struct<userId:int> -> STRUCT<USERID:INT>)
         cols = ",\n  ".join(
-            f"{f.name} {f.dataType.simpleString().upper()}"
+            f"{f.name} {f.dataType.simpleString()}"
             + ("" if f.nullable else " NOT NULL")
             for f in t.schema.fields
         )
@@ -2167,7 +2187,10 @@ class LakehouseCatalog:
         }
         if user_props:
             kv = ", ".join(
-                f"'{k}' = '{v}'" for k, v in user_props.items()
+                "'{}' = '{}'".format(
+                    k.replace("'", "''"), v.replace("'", "''")
+                )
+                for k, v in user_props.items()
             )
             ddl += f"\nTBLPROPERTIES ({kv})"
         return self.spark.createDataFrame(

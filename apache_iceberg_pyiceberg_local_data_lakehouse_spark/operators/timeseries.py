@@ -285,6 +285,30 @@ def rolling_zscore(
     )
 
 
+def ohlc_price_aggs(
+    ts_col: str, price_col: str, tiebreak_col: str | None
+) -> tuple[Column, list[Column]]:
+    """The five candle aggregates (open/high/low/close/n_ticks) shared
+    by the batch and streaming OHLC twins - ONE definition so the NULL
+    exclusion and tie-break semantics can never diverge. min_by/max_by
+    skip rows whose ordering expression is NULL, so a NULL-price tick
+    never becomes a bar's open/close."""
+    price = F.col(price_col)
+    raw_order = (
+        F.struct(F.col(ts_col), F.col(tiebreak_col))
+        if tiebreak_col
+        else F.struct(F.col(ts_col))
+    )
+    order = F.when(price.isNotNull(), raw_order)
+    return price, [
+        F.min_by(price, order).alias("open"),
+        F.max(price_col).alias("high"),
+        F.min(price_col).alias("low"),
+        F.max_by(price, order).alias("close"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    ]
+
+
 def ohlc_bars(
     df: DataFrame,
     ts_col: str,
@@ -319,22 +343,7 @@ def ohlc_bars(
     groups = list(group_cols or [])
     if "bucket" in groups:
         raise ValueError("'bucket' is the output column; rename the group")
-    price = F.col(price_col)
-    raw_order = (
-        F.struct(F.col(ts_col), F.col(tiebreak_col))
-        if tiebreak_col
-        else F.struct(F.col(ts_col))
-    )
-    # min_by/max_by skip rows whose ordering expression is NULL: a
-    # NULL-price tick must never become the bar's open/close
-    order = F.when(price.isNotNull(), raw_order)
-    aggs = [
-        F.min_by(price, order).alias("open"),
-        F.max(price_col).alias("high"),
-        F.min(price_col).alias("low"),
-        F.max_by(price, order).alias("close"),
-        F.count(F.lit(1)).alias("n_ticks"),
-    ]
+    price, aggs = ohlc_price_aggs(ts_col, price_col, tiebreak_col)
     if volume_col is not None:
         vol = F.col(volume_col)
         quoted_vol = F.when(price.isNotNull(), vol)

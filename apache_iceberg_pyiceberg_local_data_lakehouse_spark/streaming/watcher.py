@@ -377,21 +377,64 @@ def watch_materialized_view(
     discipline as the ingest watcher (ST1/ST5); state lives in the MV
     table + its ``mv.base_version`` property, so a restart needs no
     recovery. ``on_refresh(snapshot)`` fires after each non-no-op
-    refresh. Returns ``(stop_event, thread)``."""
+    refresh (its own exceptions propagate to the caller's thread
+    policy, never misattributed as refresh failures). Returns
+    ``(stop_event, thread)``.
+
+    Only MVs with a recorded incremental base qualify: a join/window
+    MV has no no-op fast path, so a per-poll loop would commit a full
+    recompute every 30 s forever on an idle base - schedule those
+    explicitly instead. Permanent failures (the MV or its base
+    dropped) STOP the loop loudly rather than backing off forever."""
+    import logging
+
+    from ..catalog import NoSuchTableError as _NoSuchTableError
+
+    log = logging.getLogger(__name__)
+    props = catalog.load_table(identifier).properties()
+    if "mv.query" not in props:
+        raise ValueError(f"{identifier} is not a materialized view")
+    if "mv.base_table" not in props:
+        raise ValueError(
+            f"{identifier} records no incremental base (a join/window/"
+            "multi-table MV): a poll loop would full-recompute and "
+            "commit on EVERY poll - refresh it on an explicit schedule "
+            "instead"
+        )
     stop = threading.Event()
 
     def loop():
         while not stop.is_set():
             try:
                 snap = catalog.refresh_materialized_view(identifier)
-                if snap is not None and on_refresh is not None:
-                    on_refresh(snap)
-            except Exception:
+            except (
+                FileNotFoundError,
+                ValueError,
+                _NoSuchTableError,
+            ) as e:
+                # the MV or its base is gone / no longer an MV: no
+                # amount of retrying fixes this - stop loudly
+                log.error(
+                    "mv-watch %s: permanent failure, stopping: %s",
+                    identifier,
+                    e,
+                )
+                return
+            except Exception as e:
                 # same keep-alive discipline as the ingest watcher: a
                 # transient failure (base mid-commit, executor loss)
                 # must not kill the maintenance loop
+                log.warning(
+                    "mv-watch %s: transient refresh failure "
+                    "(backing off %ss): %s",
+                    identifier,
+                    error_backoff,
+                    e,
+                )
                 stop.wait(error_backoff)
                 continue
+            if snap is not None and on_refresh is not None:
+                on_refresh(snap)
             stop.wait(poll_secs)
 
     thread = threading.Thread(

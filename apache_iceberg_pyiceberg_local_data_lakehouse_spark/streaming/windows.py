@@ -89,26 +89,20 @@ def streaming_ohlc(
     five partial aggregates, not the ticks. Works on batch frames too
     (identical plan modulo the stateful exchange), so a batch replay
     of the same ticks produces the same candles."""
-    price = F.col(price_col)
-    raw_order = (
-        F.struct(F.col(ts_col), F.col(tiebreak_col))
-        if tiebreak_col
-        else F.struct(F.col(ts_col))
-    )
-    order = F.when(price.isNotNull(), raw_order)
+    from ..operators.timeseries import ohlc_price_aggs
+
+    if "bucket" in (keys or []):
+        raise ValueError(
+            "'bucket' is the output column; rename the group"
+        )
+    _price, aggs = ohlc_price_aggs(ts_col, price_col, tiebreak_col)
     group_cols = [
         F.window(F.col(ts_col), window_size).alias("win")
     ] + [F.col(k) for k in (keys or [])]
     return (
         ticks.withWatermark(ts_col, watermark)
         .groupBy(*group_cols)
-        .agg(
-            F.min_by(price, order).alias("open"),
-            F.max(price).alias("high"),
-            F.min(price).alias("low"),
-            F.max_by(price, order).alias("close"),
-            F.count(F.lit(1)).alias("n_ticks"),
-        )
+        .agg(*aggs)
         .select(
             F.col("win").start.alias("bucket"),
             *[F.col(k) for k in (keys or [])],

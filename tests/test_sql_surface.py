@@ -1382,7 +1382,7 @@ def test_sql_show_create_table(catalog, spark):
         "create_statement"
     ]
     assert "CREATE TABLE gold.ddl" in ddl
-    assert "DateTime TIMESTAMP" in ddl and "Bid DOUBLE" in ddl
+    assert "DateTime timestamp" in ddl and "Bid double" in ddl
     assert "PARTITIONED BY (years(DateTime), bucket(8, k))" in ddl
     assert "'history.expire.min-snapshots-to-keep' = '4'" in ddl
 

@@ -1049,11 +1049,10 @@ def test_streaming_anomalies_state_across_batches(spark, tmp_path):
 
 
 def test_streaming_ohlc_matches_batch(spark, tmp_path):
-    from pyspark.sql import functions as F
     """Candles computed over a file stream equal ohlc_bars over the
     same ticks read as a batch - open/close tie-breaks included - and
     on-time bars finalize exactly once in append mode."""
-    import os
+    from pyspark.sql import functions as F
 
     from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.timeseries import (
         ohlc_bars,
@@ -1157,8 +1156,6 @@ def test_streaming_ohlc_matches_batch(spark, tmp_path):
 def test_watch_materialized_view_keeps_mv_fresh(spark, tmp_path):
     """The MV watcher daemon picks up base appends AND base DML (the
     signed CDC tier) without any full recompute, and stops cleanly."""
-    from pyspark.sql import functions as F
-
     from apache_iceberg_pyiceberg_local_data_lakehouse_spark.catalog import (
         LakehouseCatalog,
     )
