@@ -143,6 +143,15 @@ _DML_SHOW_CREATE = re.compile(
     re.IGNORECASE,
 )
 
+# Delta's change-data-feed table function: table_changes('t', from
+# [, to]) anywhere a table reference could appear; rewritten to a temp
+# view over scan_changelog before the statement runs.
+_TABLE_CHANGES = re.compile(
+    r"table_changes\s*\(\s*'(?P<ident>[\w.]+)'\s*,\s*(?P<frm>\d+)"
+    r"(?:\s*,\s*(?P<to>\d+))?\s*\)",
+    re.IGNORECASE,
+)
+
 # Iceberg's stored-procedure surface: CALL system.<proc>(arg, ...).
 # Args are positional literals ('str' or int); each proc routes to the
 # corresponding Python API (maintenance / refs / branch publish).
@@ -1710,6 +1719,24 @@ class LakehouseCatalog:
         m = _DML_SHOW_CREATE.match(query)
         if m:
             return self._sql_show_create(m.group("ident"))
+        if _TABLE_CHANGES.search(query):
+            # rewrite each table_changes('t', from[, to]) call to a
+            # temp view over the version-range changelog (insert/delete
+            # rows + _change_type/_change_version) - Delta's CDF read
+            def _tc(m2: re.Match) -> str:
+                t2 = self.load_table(m2.group("ident"))
+                frm = int(m2.group("frm"))
+                to = int(m2.group("to")) if m2.group("to") else None
+                vname = (
+                    f"__tc_{self.view_name(m2.group('ident'))}"
+                    f"_{frm}_{to if to is not None else 'head'}"
+                )
+                t2.scan_changelog(frm, to).createOrReplaceTempView(
+                    vname
+                )
+                return vname
+
+            query = _TABLE_CHANGES.sub(_tc, query)
         if _TIME_TRAVEL.search(query):
             query = self._rewrite_time_travel(query)
         m = _DML_DELETE.match(query)

@@ -445,7 +445,23 @@ def compact(
     whole partitions and the write's ``partitionBy`` emits ~1 file per
     partition instead of a sliver from every task (a plain global
     ``repartition`` would re-fragment exactly what compaction is meant
-    to fix)."""
+    to fix).
+
+    Unset ``sort_by``/``zorder_by`` resolve from the table properties
+    ``write.sort-order`` / ``write.zorder-by`` (comma-separated
+    columns) - the table declares its layout once and every compaction
+    (incl. ``auto_maintain`` and the OPTIMIZE/CALL verbs) applies it,
+    Iceberg's table-level sort-order model."""
+    if sort_by is None and zorder_by is None:
+        props = table.properties()
+        raw_sort = props.get("write.sort-order")
+        raw_z = props.get("write.zorder-by")
+        if raw_z:
+            zorder_by = [c.strip() for c in raw_z.split(",") if c.strip()]
+        elif raw_sort:
+            sort_by = [
+                c.strip() for c in raw_sort.split(",") if c.strip()
+            ]
     snap = table.snapshot()
     cutoff = target_file_bytes * small_file_threshold
     small_by_part: dict[tuple, list[dict]] = {}

@@ -326,3 +326,27 @@ def test_compact_bounded_run_and_metrics(spark, tmp_path):
     m2 = table_metrics(t)
     assert m2["data_files"] == 4 and m2["partitions"] == 4
     assert t.to_df().count() == 400
+
+
+def test_table_level_sort_order_property(catalog, spark):
+    """write.sort-order declared ONCE on the table drives every
+    compaction: rewritten files carry narrow, disjoint Bid ranges."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.maintenance import (
+        compact,
+    )
+
+    catalog.create_namespace("m2")
+    t = catalog.create_table("m2.sorted", TICK_SCHEMA)
+    t.set_properties(**{"write.sort-order": "Bid"})
+    for i in range(4):  # interleaved ranges in every small file
+        t.append(tick_df(spark, year=2020 + i, n=8).coalesce(1))
+    assert compact(t, target_file_bytes=64 * 1024 * 1024) is not None
+    entries = t.snapshot().data_entries
+    spans = sorted(
+        tuple(e["stats"]["Bid"])  # manifest stats are [min, max]
+        for e in entries
+        if "Bid" in (e.get("stats") or {})
+    )
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2  # pairwise-disjoint: the sort applied
+    assert t.to_df().count() == 32

@@ -1400,3 +1400,30 @@ def test_sql_show_namespaces_and_tblproperties(catalog, spark):
         for r in catalog.sql("SHOW TBLPROPERTIES silver.p").collect()
     }
     assert props["history.expire.min-snapshots-to-keep"] == "3"
+
+
+def test_sql_table_changes_function(catalog, spark):
+    """Delta's table_changes('t', from[, to]) reads the version-range
+    changelog anywhere a table reference fits."""
+    t = catalog.create_table("gold.cdf", TICK_SCHEMA, [])
+    t.append(tick_df(spark, n=5))
+    v1 = t.current_version()
+    t.append(tick_df(spark, n=3, start="2024-02-01 00:00:00"))
+    catalog.sql("DELETE FROM gold.cdf WHERE Bid < 1.102")
+    v3 = t.current_version()
+    got = {
+        r["_change_type"]: r["n"]
+        for r in catalog.sql(
+            f"SELECT _change_type, COUNT(*) AS n FROM "
+            f"table_changes('gold.cdf', {v1}, {v3}) "
+            f"GROUP BY _change_type"
+        ).collect()
+    }
+    assert got["insert"] == 3
+    assert got["delete"] >= 1
+    # composable with ordinary SQL over other views
+    n = catalog.sql(
+        f"SELECT COUNT(*) AS n FROM table_changes('gold.cdf', {v1}) "
+        "WHERE _change_type = 'insert'"
+    ).first()["n"]
+    assert n == 3
