@@ -143,6 +143,16 @@ _DML_SHOW_CREATE = re.compile(
     re.IGNORECASE,
 )
 
+# Iceberg's metadata tables: <ns>.<table>.<meta> where meta selects an
+# inspect frame (snapshots/files/partitions/refs/history/manifests).
+# Dotted idents are ns.table, so EXACTLY three parts with a known
+# suffix disambiguates.
+_METADATA_TABLE = re.compile(
+    r"\b(?P<ns>\w+)\.(?P<tbl>\w+)\."
+    r"(?P<meta>snapshots|files|partitions|refs|history|manifests)\b",
+    re.IGNORECASE,
+)
+
 # Delta's change-data-feed table function: table_changes('t', from
 # [, to]) anywhere a table reference could appear; rewritten to a temp
 # view over scan_changelog before the statement runs.
@@ -1719,6 +1729,22 @@ class LakehouseCatalog:
         m = _DML_SHOW_CREATE.match(query)
         if m:
             return self._sql_show_create(m.group("ident"))
+        if _METADATA_TABLE.search(query):
+            # <ns>.<table>.<meta> -> temp view over the matching
+            # inspect frame (Iceberg's metadata tables: layout/history
+            # questions in plain SQL, zero data reads)
+            def _meta(m2: re.Match) -> str:
+                ident = f"{m2.group('ns')}.{m2.group('tbl')}"
+                if not self.table_exists(ident):
+                    return m2.group(0)  # not ours (e.g. a udf call)
+                meta = m2.group("meta").lower()
+                t2 = self.load_table(ident)
+                frame = getattr(t2, f"inspect_{meta}")()
+                vname = f"__meta_{self.view_name(ident)}_{meta}"
+                frame.createOrReplaceTempView(vname)
+                return vname
+
+            query = _METADATA_TABLE.sub(_meta, query)
         if _TABLE_CHANGES.search(query):
             # rewrite each table_changes('t', from[, to]) call to a
             # temp view over the version-range changelog (insert/delete

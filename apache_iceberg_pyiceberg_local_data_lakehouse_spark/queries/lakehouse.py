@@ -2988,3 +2988,63 @@ def q7t_copy_into(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, res.schema)
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+@register(
+    "q7u_table_changes_cdf",
+    # new in r8, registered behind the judged window (r9 rotation
+    # fodder); certifies the SQL change-data-feed read: appends + a
+    # CoW DELETE produce exactly the insert/delete row streams plain
+    # SQL predicts, queried via table_changes('t', from, to) and the
+    # ns.table.snapshots metadata table.
+    defer=True,
+    oracle="""
+    SELECT 'insert' AS change_type,
+           (SELECT COUNT(*) FROM documents WHERE lang = 'de')
+               AS n_rows,
+           (SELECT CAST(SUM(n_chars) AS BIGINT) FROM documents
+             WHERE lang = 'de') AS sum_chars
+    UNION ALL
+    SELECT 'delete' AS change_type,
+           (SELECT COUNT(*) FROM documents
+             WHERE lang = 'en' AND doc_id % 2 = 0) AS n_rows,
+           (SELECT CAST(SUM(n_chars) AS BIGINT) FROM documents
+             WHERE lang = 'en' AND doc_id % 2 = 0) AS sum_chars
+    """,
+)
+def q7u_table_changes_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF via SQL end-to-end: en docs -> baseline version; append de
+    docs; CoW-delete half the en docs; table_changes over the range
+    must show exactly the de inserts and the en-half deletes."""
+    from ..catalog import LakehouseCatalog
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_q7u_")
+    try:
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("tmp")
+        d = load(spark, sf_dir, "documents")
+        t = cat.create_table("tmp.docs7u", d.schema)
+        t.append(d.filter(F.col("lang") == "en"))
+        v1 = t.current_version()
+        t.append(d.filter(F.col("lang") == "de"))
+        cat.sql(
+            "DELETE FROM tmp.docs7u WHERE lang = 'en' AND doc_id % 2 = 0"
+        )
+        v3 = t.current_version()
+        # the metadata table answers the history question in SQL too
+        assert (
+            cat.sql(
+                "SELECT MAX(version) AS v FROM tmp.docs7u.snapshots"
+            ).first()["v"]
+            == v3
+        )
+        res = cat.sql(
+            f"SELECT _change_type AS change_type, COUNT(*) AS n_rows, "
+            f"CAST(SUM(n_chars) AS BIGINT) AS sum_chars "
+            f"FROM table_changes('tmp.docs7u', {v1}, {v3}) "
+            f"GROUP BY _change_type"
+        )
+        rows = res.collect()  # materialize before the warehouse vanishes
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)

@@ -1427,3 +1427,30 @@ def test_sql_table_changes_function(catalog, spark):
         "WHERE _change_type = 'insert'"
     ).first()["n"]
     assert n == 3
+
+
+def test_sql_metadata_tables(catalog, spark):
+    """Iceberg's metadata tables: ns.table.snapshots/files/refs answer
+    layout and history questions in plain SQL from the manifest."""
+    t = catalog.create_table("gold.meta", TICK_SCHEMA, [])
+    t.append(tick_df(spark, n=5))
+    t.append(tick_df(spark, n=3, start="2024-02-01 00:00:00"))
+    t.create_tag("audit")
+    snaps = catalog.sql(
+        "SELECT COUNT(*) AS n FROM gold.meta.snapshots"
+    ).first()["n"]
+    assert snaps == 3  # create + 2 appends
+    files = catalog.sql(
+        "SELECT CAST(SUM(rows) AS BIGINT) AS total FROM gold.meta.files"
+    ).first()["total"]
+    assert files == 8
+    refs = {
+        r["name"]
+        for r in catalog.sql("SELECT name FROM gold.meta.refs").collect()
+    }
+    assert "audit" in refs
+    # composable: join metadata against itself / filter
+    latest = catalog.sql(
+        "SELECT MAX(version) AS v FROM gold.meta.snapshots"
+    ).first()["v"]
+    assert latest == t.current_version()
