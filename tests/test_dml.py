@@ -1458,3 +1458,27 @@ def test_delete_where_null_predicate_rows_survive(spark, tmp_path):
     delete_where(t, F.col("v") == 5)
     got = {(r["k"], r["v"]) for r in t.to_df().collect()}
     assert got == {("a", 1), ("c", None)}  # the NULL row survived
+
+
+def test_update_where_null_predicate_rows_unchanged(spark, tmp_path):
+    """Three-valued-logic twin of the DELETE regression: UPDATE applies
+    assignments only where the predicate is TRUE; NULL-predicate rows
+    keep their values (CASE WHEN NULL falls to ELSE)."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.catalog import (
+        LakehouseCatalog,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.dml import (
+        update_where,
+    )
+    from pyspark.sql import functions as F
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("g")
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 5), ("c", None)], "k string, v long"
+    )
+    t = cat.create_table("g.un", df.schema)
+    t.append(df)
+    update_where(t, F.col("v") >= 5, {"v": F.lit(99)})
+    got = {(r["k"], r["v"]) for r in t.to_df().collect()}
+    assert got == {("a", 1), ("b", 99), ("c", None)}
