@@ -524,14 +524,32 @@ class LakehouseCatalog:
             # Gated on the MV properties - a USER table legitimately
             # containing a '__mv_'-prefixed column keeps it (ADVICE r7)
             having = props.get("mv.having")
-            if having:
-                # HAVING tier: the table stores the UNFILTERED
-                # aggregate so partial merges stay correct; the user's
-                # predicate applies here, in the view the query defined
-                df = df.filter(F.expr(having))
-            hidden = [c for c in df.columns if c.startswith("__mv_")]
-            if hidden:
-                df = df.drop(*hidden)
+            view_agg = props.get("mv.view_agg")
+            if view_agg:
+                # COUNT(DISTINCT) tier: the table stores the finer
+                # (keys, value) grain; re-aggregate to the user grain
+                # (COUNT of distinct-value rows, SUM/MIN/MAX of the
+                # __mv_p_* partials) - HAVING, when present, filters
+                # the re-aggregated result like any other MV
+                spec = json.loads(view_agg)
+                df = df.groupBy(*spec["keys"]).agg(
+                    *[F.expr(e) for e in spec["exprs"]]
+                )
+                df = df.select(*spec["order"])
+                if having:
+                    df = df.filter(F.expr(having))
+            else:
+                if having:
+                    # HAVING tier: the table stores the UNFILTERED
+                    # aggregate so partial merges stay correct; the
+                    # user's predicate applies here, in the view the
+                    # query defined
+                    df = df.filter(F.expr(having))
+                hidden = [
+                    c for c in df.columns if c.startswith("__mv_")
+                ]
+                if hidden:
+                    df = df.drop(*hidden)
         df.createOrReplaceTempView(name)
         return name
 
@@ -742,12 +760,28 @@ class LakehouseCatalog:
     _MV_AGG_SHAPE = re.compile(
         r"^\s*SELECT\s+(?P<items>.+?)\s+FROM\s+(?P<ref>[A-Za-z_]\w*)"
         r"(?:\s+WHERE\s+(?P<where>.+?))?"
-        r"(?:\s+GROUP\s+BY\s+(?P<keys>[\w\s,]+?))?\s*;?\s*$",
+        r"(?:\s+GROUP\s+BY\s+(?P<keys>.+?))?\s*;?\s*$",
         re.IGNORECASE | re.DOTALL,
     )
     _MV_AGG_ITEM = re.compile(
-        r"^\s*(?P<op>COUNT|SUM|MIN|MAX|AVG)\s*\((?P<arg>[^()]*|\*)\)"
+        r"^\s*(?P<op>COUNT|SUM|MIN|MAX|AVG)\s*\("
+        r"(?P<distinct>\s*DISTINCT\b)?(?P<arg>[^()]*|\*)\)"
         r"\s+AS\s+(?P<alias>[A-Za-z_]\w*)\s*$",
+        re.IGNORECASE,
+    )
+    # expression group key: any non-aggregate select item with an alias
+    _MV_KEY_EXPR = re.compile(
+        r"^\s*(?P<expr>.+?)\s+AS\s+(?P<alias>[A-Za-z_]\w*)\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    # a nondeterministic group key would re-derive DIFFERENTLY on every
+    # refresh (delta partials landing in groups the materialization
+    # never had) - refuse agg mode for these, conservatively by name
+    _MV_NONDETERMINISTIC = re.compile(
+        r"\b(rand|randn|uuid|shuffle|monotonically_increasing_id|"
+        r"current_timestamp|current_date|current_timezone|now|"
+        r"input_file_name|input_file_block_start|input_file_block_length|"
+        r"spark_partition_id)\s*\(|\bunix_timestamp\s*\(\s*\)",
         re.IGNORECASE,
     )
 
@@ -762,22 +796,43 @@ class LakehouseCatalog:
             str | None,
             dict[str, str],
             str | None,
+            dict[str, str],
+            dict | None,
         ]
         | None
     ):
-        """Parse an aggregate-distributive MV query: ``SELECT <bare key
-        cols and COUNT/SUM/MIN/MAX/AVG(expr) AS alias> FROM <one table
-        view> [WHERE ...] GROUP BY <the key cols> [HAVING <pred>]``.
-        Returns (base identifier, group columns, [(agg alias, op)],
-        store query or None, having predicate over visible columns or
-        None, {agg alias -> raw argument expression}, WHERE clause text
-        or None) - the last two feed CDC-incremental maintenance, which
-        must re-derive each aggregate's input over changelog rows.
-        Conservative like :meth:`_mv_incremental_base`:
-        DISTINCT, expression group keys, unaliased aggregates,
-        subqueries, a second table, or a HAVING referencing an
-        aggregate that is not in the select list all fall back to full
-        refresh - never to a wrong result.
+        """Parse an aggregate-distributive MV query: ``SELECT <group
+        keys and COUNT/SUM/MIN/MAX/AVG(expr) AS alias> FROM <one table
+        view> [WHERE ...] GROUP BY <the keys> [HAVING <pred>]``.
+        Returns (base identifier, STORED group columns, [(stored agg
+        column, op)], store query or None, having predicate over
+        visible columns or None, {stored agg column -> raw argument
+        expression}, WHERE clause text or None, {stored key column ->
+        defining expression} for non-bare keys, view re-aggregation
+        spec or None). agg args + key exprs feed CDC-incremental
+        maintenance, which must re-derive each stored column over
+        changelog rows. Conservative like :meth:`_mv_incremental_base`:
+        unaliased aggregates, nondeterministic or base-column-shadowing
+        key expressions, subqueries, a second table, DISTINCT anywhere
+        but a single ``COUNT(DISTINCT expr)``, or a HAVING referencing
+        an aggregate that is not in the select list all fall back to
+        full refresh - never to a wrong result.
+
+        Group keys may be arbitrary deterministic expressions when
+        aliased (``date_trunc('day', ts) AS day ... GROUP BY day`` /
+        the spelled-out expression / its ordinal): the MV materializes
+        the alias column, REFRESH aggregates the delta with the same
+        expressions and merges on the alias - the expression-key tier.
+
+        ``COUNT(DISTINCT expr) AS a`` (at most one per MV) switches the
+        materialization to the FINER (keys, expr) grain - the classic
+        two-level distinct rewrite: every other aggregate is stored as
+        a per-(keys, value) partial (``__mv_p_*``), the distinct value
+        itself as ``__mv_dv_a``, and the SQL-surface view re-aggregates
+        (COUNT of distinct-value rows, SUM/MIN/MAX of partials) back to
+        the user grain. Incremental refresh then merges at the finer
+        grain with the SAME distributive operators - and stays
+        CDC-invertible when the partials are all COUNT/integral-SUM.
 
         HAVING over the selected distributive aggregates IS
         incremental: the table materializes the UNFILTERED aggregate
@@ -813,51 +868,122 @@ class LakehouseCatalog:
         m = self._MV_AGG_SHAPE.match(sql_text)
         if m is None:
             return None
-        if re.search(r"\bDISTINCT\b", sql_text, re.IGNORECASE):
-            return None
+
+        def norm(s: str) -> str:
+            return re.sub(r"\s+", " ", s.strip()).lower()
+
         # no GROUP BY = the global-aggregate tier: a one-row MV whose
         # refresh combines the diff's single partial-aggregate row
-        keys = [
+        keys_raw = [
             k.strip()
-            for k in (m.group("keys") or "").split(",")
+            for k in _split_top_level(m.group("keys") or "")
             if k.strip()
         ]
-        if any(not re.fullmatch(r"[A-Za-z_]\w*", k) for k in keys):
-            return None
-        group_cols, aggs, store_items, has_avg = [], [], [], False
+        parts = [p.strip() for p in _split_top_level(m.group("items"))]
+        group_items: list[tuple[str, str | None]] = []  # (alias, expr)
+        aggs: list[tuple[str, str]] = []  # visible (alias, op)
         agg_args: dict[str, str] = {}
-        for part in _split_top_level(m.group("items")):
-            part = part.strip()
+        select_order: list[str] = []  # visible column order
+        distinct_item: tuple[str, str] | None = None  # (alias, arg)
+        for part in parts:
             if re.fullmatch(r"[A-Za-z_]\w*", part):
-                group_cols.append(part)
-                store_items.append(part)
+                if part.startswith("__mv_"):
+                    return None  # reserved for engine-managed state
+                group_items.append((part, None))
+                select_order.append(part)
                 continue
             im = self._MV_AGG_ITEM.match(part)
-            if im is None:
+            if im is not None:
+                arg = im.group("arg").strip()
+                op = im.group("op").lower()
+                alias = im.group("alias")
+                if alias.startswith("__mv_"):
+                    return None
+                if re.search(
+                    r"\b(COUNT|SUM|MIN|MAX|AVG)\b", arg, re.IGNORECASE
+                ):
+                    return None  # nested aggregate
+                if arg == "*" and op != "count":
+                    return None
+                if im.group("distinct"):
+                    # only a single COUNT(DISTINCT expr) has the
+                    # finer-grain rewrite; SUM/AVG DISTINCT or a second
+                    # distinct argument would multiply the grain
+                    if (
+                        op != "count"
+                        or distinct_item is not None
+                        or arg == "*"
+                        or self._MV_NONDETERMINISTIC.search(arg)
+                    ):
+                        return None
+                    distinct_item = (alias, arg)
+                aggs.append((alias, op))
+                agg_args[alias] = arg
+                select_order.append(alias)
+                continue
+            km = self._MV_KEY_EXPR.match(part)
+            if km is None:
                 return None
-            arg = im.group("arg").strip()
-            op = im.group("op").lower()
+            expr = km.group("expr").strip()
+            alias = km.group("alias")
+            if alias.startswith("__mv_"):
+                return None
             if re.search(
-                r"\b(COUNT|SUM|MIN|MAX|AVG)\b", arg, re.IGNORECASE
+                r"\b(COUNT|SUM|MIN|MAX|AVG)\s*\(", expr, re.IGNORECASE
             ):
-                return None  # nested aggregate
-            if arg == "*" and op != "count":
+                return None  # aggregate disguised as a key expression
+            if self._MV_NONDETERMINISTIC.search(expr):
                 return None
-            alias = im.group("alias")
-            aggs.append((alias, op))
-            agg_args[alias] = arg
-            store_items.append(part)
-            if op == "avg":
-                # the stored partials AVG merges from; the visible
-                # column keeps the native AVG value at creation and is
-                # recomputed as sum/count after every partial merge
-                has_avg = True
-                store_items.append(
-                    f"SUM(CAST(({arg}) AS DOUBLE)) AS __mv_sum_{alias}"
-                )
-                store_items.append(f"COUNT({arg}) AS __mv_cnt_{alias}")
-        if sorted(group_cols) != sorted(keys) or not aggs:
+            group_items.append((alias, expr))
+            select_order.append(alias)
+        if not aggs or len(set(select_order)) != len(select_order):
+            return None  # duplicate output names: ambiguous merge keys
+        # every DISTINCT in the (HAVING-detached) text must be the one
+        # parsed COUNT(DISTINCT ...) - a DISTINCT hiding in WHERE or an
+        # unparsed corner means this regex did not understand the query
+        n_distinct = len(
+            re.findall(r"\bDISTINCT\b", sql_text, re.IGNORECASE)
+        )
+        if n_distinct != (1 if distinct_item is not None else 0):
             return None
+
+        # GROUP BY entries must each name a select-list group item: by
+        # alias, by bare column, by the spelled-out expression, or by
+        # select-list ordinal - and cover ALL group items exactly
+        if group_items and not keys_raw:
+            return None
+        by_alias = {a for a, _ in group_items}
+        by_expr = {norm(e): a for a, e in group_items if e is not None}
+        matched: set[str] = set()
+        for k in keys_raw:
+            if re.fullmatch(r"\d+", k):
+                i = int(k) - 1
+                if not (0 <= i < len(parts)):
+                    return None
+                target = parts[i]
+                if re.fullmatch(r"[A-Za-z_]\w*", target):
+                    if target not in by_alias:
+                        return None
+                    matched.add(target)
+                    continue
+                tm = self._MV_KEY_EXPR.match(target)
+                if tm is None or tm.group("alias") not in by_alias:
+                    return None
+                matched.add(tm.group("alias"))
+                continue
+            if re.fullmatch(r"[A-Za-z_]\w*", k):
+                if k not in by_alias:
+                    return None
+                matched.add(k)
+                continue
+            a = by_expr.get(norm(k))
+            if a is None:
+                return None
+            matched.add(a)
+        if matched != by_alias:
+            return None
+        group_cols = [a for a, _ in group_items]
+        key_exprs = {a: e for a, e in group_items if e is not None}
         # the FROM ref must be exactly one lakehouse table's view name
         idents = [
             ident
@@ -867,6 +993,16 @@ class LakehouseCatalog:
         ]
         if len(idents) != 1:
             return None
+        # expression keys must not shadow base-table columns: GROUP BY
+        # <alias> (and the delta-side withColumn in CDC maintenance)
+        # would silently resolve to the base column instead
+        if key_exprs:
+            base_cols = {
+                f.name.lower()
+                for f in self.load_table(idents[0]).schema.fields
+            }
+            if any(a.lower() in base_cols for a in key_exprs):
+                return None
         # plan-level guard: exactly the one Aggregate, nothing sneaky
         # (a subquery in WHERE would add plan nodes the regex missed)
         try:
@@ -880,26 +1016,26 @@ class LakehouseCatalog:
         )
         if any(tok in plan for tok in bad) or plan.count("Aggregate") != 1:
             return None
-        if has_avg:
-            vis_types = {f.name: f.dataType for f in df.schema.fields}
-            for alias, op in aggs:
-                if op == "avg" and not isinstance(
-                    vis_types.get(alias), DoubleType
-                ):
-                    return None  # DECIMAL/interval AVG: full refresh
+        vis_types = {f.name: f.dataType for f in df.schema.fields}
+        for alias, op in aggs:
+            if op == "avg" and not isinstance(
+                vis_types.get(alias), DoubleType
+            ):
+                return None  # DECIMAL/interval AVG: full refresh
         if having is not None:
             # rewrite into the MV's visible column space: each selected
             # aggregate expression (same spelling, whitespace-tolerant)
             # becomes its alias; what remains may reference only group
             # keys and aliases - an aggregate NOT in the select list
             # has no stored state to filter on, so refuse (full refresh)
-            for part in _split_top_level(m.group("items")):
-                im = self._MV_AGG_ITEM.match(part.strip())
+            for part in parts:
+                im = self._MV_AGG_ITEM.match(part)
                 if im is None:
                     continue
                 pat = (
                     im.group("op")
                     + r"\s*\(\s*"
+                    + (r"DISTINCT\s+" if im.group("distinct") else "")
                     + re.escape(im.group("arg").strip())
                     + r"\s*\)"
                 )
@@ -916,56 +1052,189 @@ class LakehouseCatalog:
                 df.filter(F.expr(having)).schema
             except Exception:
                 return None
-        # CDC-invertibility state: COUNT/SUM deltas can be SUBTRACTED,
-        # so base DML in the refresh range can maintain the MV from the
-        # changelog instead of a full re-aggregation - provided the MV
-        # stores (a) a per-group row count (__mv_rows, to detect groups
-        # whose last row was deleted: they must LEAVE the view) and (b)
-        # a non-null count per SUM (__mv_nn_<alias>: an inverted sum
-        # reaching "0 non-null rows" must read NULL, not 0). Only
-        # integral SUMs qualify (float subtraction is inexact);
-        # MIN/MAX/AVG are not invertible and keep the full-refresh
-        # fallback on DML.
-        vis_types = {f.name: f.dataType for f in df.schema.fields}
         from pyspark.sql.types import IntegerType, LongType
 
-        cdc_ready = group_cols and aggs and all(
+        group_by_sql = [
+            e if e is not None else a for a, e in group_items
+        ]
+
+        if distinct_item is None:
+            # ---- user-grain storage (bare or expression keys) -------
+            has_avg = any(op == "avg" for _, op in aggs)
+            store_items = list(parts)
+            for alias, op in aggs:
+                if op == "avg":
+                    # the stored partials AVG merges from; the visible
+                    # column keeps the native AVG value at creation and
+                    # is recomputed as sum/count after partial merges
+                    store_items.append(
+                        f"SUM(CAST(({agg_args[alias]}) AS DOUBLE)) "
+                        f"AS __mv_sum_{alias}"
+                    )
+                    store_items.append(
+                        f"COUNT({agg_args[alias]}) AS __mv_cnt_{alias}"
+                    )
+            # CDC-invertibility state: COUNT/SUM deltas can be
+            # SUBTRACTED, so base DML in the refresh range can maintain
+            # the MV from the changelog instead of a full
+            # re-aggregation - provided the MV stores (a) a per-group
+            # row count (__mv_rows, to detect groups whose last row was
+            # deleted: they must LEAVE the view) and (b) a non-null
+            # count per SUM (__mv_nn_<alias>: an inverted sum reaching
+            # "0 non-null rows" must read NULL, not 0). Only integral
+            # SUMs qualify (float subtraction is inexact); MIN/MAX/AVG
+            # are not invertible and keep the full-refresh fallback.
+            cdc_ready = bool(group_cols) and all(
+                op == "count"
+                or (
+                    op == "sum"
+                    and isinstance(
+                        vis_types.get(alias), (IntegerType, LongType)
+                    )
+                )
+                for alias, op in aggs
+            )
+            if cdc_ready:
+                store_items.append("COUNT(*) AS __mv_rows")
+                for alias, op in aggs:
+                    if op == "sum":
+                        store_items.append(
+                            f"COUNT({agg_args[alias]}) AS __mv_nn_{alias}"
+                        )
+            store_query = None
+            if has_avg or having is not None or cdc_ready:
+                # a HAVING/AVG/CDC-ready MV must MATERIALIZE hidden
+                # state alongside the visible columns (running the
+                # plain query would discard it)
+                store_query = (
+                    f"SELECT {', '.join(store_items)} FROM "
+                    + m.group("ref")
+                )
+                if m.group("where"):
+                    store_query += f" WHERE {m.group('where')}"
+                if group_by_sql:
+                    store_query += (
+                        f" GROUP BY {', '.join(group_by_sql)}"
+                    )
+            return (
+                idents[0],
+                group_cols,
+                aggs,
+                store_query,
+                having,
+                agg_args,
+                m.group("where"),
+                key_exprs,
+                None,
+            )
+
+        # ---- COUNT(DISTINCT) tier: finer (keys, value) grain --------
+        dv_owner, dv_arg = distinct_item
+        dv_col = f"__mv_dv_{dv_owner}"
+        inner_items = [
+            (f"{e} AS {a}" if e is not None else a)
+            for a, e in group_items
+        ]
+        inner_items.append(f"({dv_arg}) AS {dv_col}")
+        inner_aggs: list[tuple[str, str]] = []
+        inner_args: dict[str, str] = {}
+        final_exprs: list[str] = []
+        for alias, op in aggs:
+            native = vis_types[alias].simpleString()
+            if alias == dv_owner:
+                # each stored row is one distinct (keys, value) pair:
+                # COUNT of non-null value rows IS the distinct count
+                final_exprs.append(
+                    f"CAST(COUNT({dv_col}) AS {native}) AS {alias}"
+                )
+                continue
+            arg = agg_args[alias]
+            if op == "avg":
+                ps = f"__mv_p_sum_{alias}"
+                pc = f"__mv_p_cnt_{alias}"
+                inner_items.append(
+                    f"SUM(CAST(({arg}) AS DOUBLE)) AS {ps}"
+                )
+                inner_items.append(f"COUNT({arg}) AS {pc}")
+                inner_aggs.append((ps, "sum"))
+                inner_args[ps] = f"CAST(({arg}) AS DOUBLE)"
+                inner_aggs.append((pc, "count"))
+                inner_args[pc] = arg
+                final_exprs.append(
+                    f"CAST(CASE WHEN SUM({pc}) = 0 THEN NULL "
+                    f"ELSE SUM({ps}) / SUM({pc}) END AS DOUBLE) "
+                    f"AS {alias}"
+                )
+                continue
+            p = f"__mv_p_{alias}"
+            inner_fn = {
+                "count": "COUNT", "sum": "SUM", "min": "MIN",
+                "max": "MAX",
+            }[op]
+            inner_items.append(f"{inner_fn}({arg}) AS {p}")
+            inner_aggs.append((p, op))
+            inner_args[p] = arg
+            # counts of subgroups re-aggregate by SUM; SUM/MIN/MAX by
+            # themselves (all distributive over the finer grain)
+            outer_fn = "SUM" if op in ("count", "sum") else inner_fn
+            final_exprs.append(
+                f"CAST({outer_fn}({p}) AS {native}) AS {alias}"
+            )
+        inner_group_by = group_by_sql + [f"({dv_arg})"]
+
+        def build_store() -> str:
+            q = (
+                f"SELECT {', '.join(inner_items)} FROM "
+                + m.group("ref")
+            )
+            if m.group("where"):
+                q += f" WHERE {m.group('where')}"
+            return q + f" GROUP BY {', '.join(inner_group_by)}"
+
+        # CDC-invertibility needs the STORED partial types (a SUM
+        # partial is integral iff its input is): one analysis pass over
+        # the store query decides, then the hidden state appends. An
+        # MV of pure COUNT(DISTINCT) (no other aggregates) is
+        # trivially invertible - grain rows leave via __mv_rows = 0.
+        try:
+            stypes = {
+                f.name: f.dataType
+                for f in self.spark.sql(build_store()).schema.fields
+            }
+        except Exception:
+            return None
+        cdc_ready = all(
             op == "count"
             or (
                 op == "sum"
                 and isinstance(
-                    vis_types.get(alias), (IntegerType, LongType)
+                    stypes.get(name), (IntegerType, LongType)
                 )
             )
-            for alias, op in aggs
+            for name, op in inner_aggs
         )
         if cdc_ready:
-            store_items.append("COUNT(*) AS __mv_rows")
-            for alias, op in aggs:
+            inner_items.append("COUNT(*) AS __mv_rows")
+            for name, op in inner_aggs:
                 if op == "sum":
-                    store_items.append(
-                        f"COUNT({agg_args[alias]}) AS __mv_nn_{alias}"
+                    inner_items.append(
+                        f"COUNT({inner_args[name]}) AS __mv_nn_{name}"
                     )
-        store_query = None
-        if has_avg or having is not None or cdc_ready:
-            # a HAVING/AVG/CDC-ready MV must MATERIALIZE hidden state
-            # alongside the visible columns (running the plain query
-            # would discard it)
-            store_query = f"SELECT {', '.join(store_items)} FROM " + (
-                m.group("ref")
-            )
-            if m.group("where"):
-                store_query += f" WHERE {m.group('where')}"
-            if keys:
-                store_query += f" GROUP BY {', '.join(keys)}"
+        view_agg = {
+            "keys": group_cols,
+            "exprs": final_exprs,
+            "order": select_order,
+        }
         return (
             idents[0],
-            group_cols,
-            aggs,
-            store_query,
+            group_cols + [dv_col],
+            inner_aggs,
+            build_store(),
             having,
-            agg_args,
+            inner_args,
             m.group("where"),
+            {**key_exprs, dv_col: f"({dv_arg})"},
+            view_agg,
         )
 
     def _pin_base_view(self, base_ident: str) -> int:
@@ -1017,6 +1286,8 @@ class LakehouseCatalog:
                     having,
                     agg_args,
                     where_clause,
+                    key_exprs,
+                    view_agg,
                 ) = agg_spec
                 props["mv.base_table"] = base_ident
                 props["mv.base_version"] = str(
@@ -1028,10 +1299,20 @@ class LakehouseCatalog:
                 props["mv.agg_args"] = json.dumps(agg_args)
                 if where_clause:
                     props["mv.where"] = where_clause
+                if key_exprs:
+                    # expression group keys (and the distinct-value
+                    # grain column): CDC maintenance re-derives them
+                    # over changelog rows before grouping
+                    props["mv.key_exprs"] = json.dumps(key_exprs)
+                if view_agg is not None:
+                    # COUNT(DISTINCT) tier: the table stores the finer
+                    # (keys, value) grain; the SQL-surface view
+                    # re-aggregates back to the user grain
+                    props["mv.view_agg"] = json.dumps(view_agg)
                 if store_query is not None:
-                    # AVG decomposition and/or HAVING: the
+                    # AVG decomposition / HAVING / finer grain: the
                     # materialization runs the store query (visible
-                    # cols + __mv_* partials, UNFILTERED)
+                    # cols + __mv_* state, UNFILTERED)
                     props["mv.store_query"] = store_query
                 if having is not None:
                     # applied in the view projection (create_view);
@@ -1487,6 +1768,11 @@ class LakehouseCatalog:
         where = props.get("mv.where")
         if where:
             ch = ch.filter(F.expr(where))
+        # expression keys / the distinct-value grain column do not
+        # exist on changelog rows: re-derive them (aliases are
+        # creation-gated against shadowing base columns)
+        for a, e in json.loads(props.get("mv.key_exprs", "{}")).items():
+            ch = ch.withColumn(a, F.expr(e))
         types = {f.name: f.dataType for f in t.schema.fields}
         sign = F.when(
             F.col("_change_type") == "delete", F.lit(-1)
@@ -2450,7 +2736,7 @@ class LakehouseCatalog:
             return None  # not a lakehouse table (plain temp view etc.)
         t = self.load_table(ident)
         props = t.properties()
-        if "mv.having" in props or any(
+        if "mv.having" in props or "mv.view_agg" in props or any(
             f.name.startswith("__mv_") for f in t.schema.fields
         ):
             # a HAVING-tier MV stores UNFILTERED rows (and AVG-tier MVs

@@ -3048,3 +3048,143 @@ def q7u_table_changes_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, res.schema)
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+@register(
+    "q7v_mv_expression_key",
+    defer=True,  # r9 rotation fodder: never judged yet, oracle-backed
+    # certifies the expression-key tier of incremental MV maintenance:
+    # an aliased deterministic expression (n_chars % 10) is a mergeable
+    # group key - REFRESH after an append MERGES delta partials on the
+    # alias, and base DML maintains the MV from the signed changelog
+    # (cdc_refresh), never rescanning the base.
+    oracle="""
+    SELECT lang, CAST(n_chars % 10 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           TRUE AS merged, TRUE AS cdc
+    FROM documents WHERE doc_id % 7 <> 0
+    GROUP BY lang, bucket ORDER BY lang, bucket
+    """,
+)
+def q7v_mv_expression_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expression-key MV lifecycle: create over half the corpus, append
+    the rest (refresh must be a partial-aggregate MERGE on the aliased
+    expression), then delete every 7th document (refresh must maintain
+    the MV from the signed changelog, cdc_refresh=True). The final view
+    must equal the full GROUP BY over the surviving corpus."""
+    from ..catalog import LakehouseCatalog
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_q7v_")
+    try:
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("tmp")
+        d = load(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars"
+        )
+        t = cat.create_table("tmp.docsv", d.schema)
+        t.append(d.filter(F.col("doc_id") % 2 == 0))
+        mv = cat.create_materialized_view(
+            "tmp.mv_bucket",
+            "SELECT lang, CAST(n_chars % 10 AS BIGINT) AS bucket, "
+            "COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars "
+            "FROM tmp_docsv GROUP BY lang, bucket",
+        )
+        assert mv.properties().get("mv.refresh_mode") == "agg"
+        t.append(d.filter(F.col("doc_id") % 2 == 1))
+        snap1 = cat.refresh_materialized_view("tmp.mv_bucket")
+        merged = snap1 is not None and snap1.operation == "merge"
+        cat.sql("DELETE FROM tmp.docsv WHERE doc_id % 7 = 0")
+        snap2 = cat.refresh_materialized_view("tmp.mv_bucket")
+        cdc = (
+            snap2 is not None
+            and snap2.operation == "merge"
+            and snap2.summary.get("cdc_refresh") is True
+        )
+        res = cat.sql(
+            "SELECT lang, bucket, n_docs, sum_chars FROM tmp_mv_bucket "
+            "ORDER BY lang, bucket"
+        ).select(
+            "lang",
+            "bucket",
+            "n_docs",
+            "sum_chars",
+            F.lit(merged).alias("merged"),
+            F.lit(cdc).alias("cdc"),
+        )
+        rows = res.collect()  # materialize before the warehouse vanishes
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+@register(
+    "q7w_mv_count_distinct",
+    defer=True,  # r9 rotation fodder: never judged yet, oracle-backed
+    # certifies the COUNT(DISTINCT) tier: the MV stores the finer
+    # (lang, n_chars) grain with per-grain partials, the SQL surface
+    # re-aggregates back to the user grain, REFRESH merges at the
+    # finer grain, and base DML maintains it from the signed changelog
+    # (a deleted document's length leaves the distinct set exactly
+    # when its last occurrence goes).
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(DISTINCT n_chars) AS BIGINT) AS n_lengths,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           TRUE AS merged, TRUE AS cdc
+    FROM documents WHERE doc_id % 5 <> 0
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def q7w_mv_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) MV lifecycle: create over half the corpus,
+    append the rest (MERGE at the (lang, n_chars) grain - re-seen
+    lengths must not double-count), delete every 5th document (signed
+    changelog maintenance; a length leaves the distinct set only when
+    its last document goes), then read the re-aggregated SQL view."""
+    from ..catalog import LakehouseCatalog
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_q7w_")
+    try:
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("tmp")
+        d = load(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars"
+        )
+        t = cat.create_table("tmp.docsw", d.schema)
+        t.append(d.filter(F.col("doc_id") % 2 == 0))
+        mv = cat.create_materialized_view(
+            "tmp.mv_dv",
+            "SELECT lang, COUNT(DISTINCT n_chars) AS n_lengths, "
+            "COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars "
+            "FROM tmp_docsw GROUP BY lang",
+        )
+        props = mv.properties()
+        assert props.get("mv.refresh_mode") == "agg"
+        assert "mv.view_agg" in props  # finer-grain storage recorded
+        t.append(d.filter(F.col("doc_id") % 2 == 1))
+        snap1 = cat.refresh_materialized_view("tmp.mv_dv")
+        merged = snap1 is not None and snap1.operation == "merge"
+        cat.sql("DELETE FROM tmp.docsw WHERE doc_id % 5 = 0")
+        snap2 = cat.refresh_materialized_view("tmp.mv_dv")
+        cdc = (
+            snap2 is not None
+            and snap2.operation == "merge"
+            and snap2.summary.get("cdc_refresh") is True
+        )
+        res = cat.sql(
+            "SELECT lang, n_lengths, n_docs, sum_chars FROM tmp_mv_dv "
+            "ORDER BY lang"
+        ).select(
+            "lang",
+            "n_lengths",
+            "n_docs",
+            "sum_chars",
+            F.lit(merged).alias("merged"),
+            F.lit(cdc).alias("cdc"),
+        )
+        rows = res.collect()  # materialize before the warehouse vanishes
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)

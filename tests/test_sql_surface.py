@@ -717,11 +717,12 @@ def test_mv_agg_null_group_key_falls_back(catalog, spark):
 
 
 def test_mv_agg_shape_gates(catalog, spark):
-    """HAVING over an unselected aggregate / expression group keys /
-    COUNT DISTINCT / non-double AVG stay on the always-correct
+    """HAVING over an unselected aggregate / non-double AVG /
+    SUM DISTINCT / multiple distinct arguments / nondeterministic or
+    base-column-shadowing key expressions stay on the always-correct
     full-refresh path (no agg mode recorded). HAVING over SELECTED
-    aggregates is the incremental HAVING tier - covered by
-    test_mv_having_incremental_refresh."""
+    aggregates, aliased expression keys, and a single COUNT(DISTINCT)
+    are incremental tiers with their own tests."""
     t = catalog.create_table(
         "gold.sales4",
         spark.createDataFrame([], "cat string, v long, d decimal(10,2)").schema,
@@ -741,10 +742,22 @@ def test_mv_agg_shape_gates(catalog, spark):
             # DECIMAL average: sum/count recomputation would change the
             # result type, so the conservative gate refuses agg mode
             "SELECT cat, AVG(d) AS m FROM gold_sales4 GROUP BY cat",
-            "SELECT UPPER(cat) AS k, COUNT(*) AS n FROM gold_sales4 "
-            "GROUP BY UPPER(cat)",
-            "SELECT cat, COUNT(DISTINCT v) AS n FROM gold_sales4 "
+            # only COUNT supports the finer-grain DISTINCT rewrite
+            "SELECT cat, SUM(DISTINCT v) AS s FROM gold_sales4 "
             "GROUP BY cat",
+            # a second distinct argument would multiply the grain
+            "SELECT cat, COUNT(DISTINCT v) AS a, COUNT(DISTINCT d) AS b "
+            "FROM gold_sales4 GROUP BY cat",
+            # a refresh-variant key re-derives differently per refresh
+            # (Spark allows current_timestamp in GROUP BY - it is
+            # constant within one query - but the NEXT refresh's delta
+            # would land in a fresh group)
+            "SELECT cat, current_timestamp() AS ts, COUNT(*) AS n "
+            "FROM gold_sales4 GROUP BY cat, ts",
+            # alias shadowing a base column: GROUP BY / CDC re-derive
+            # would silently bind the base column instead
+            "SELECT v + 0 AS d, COUNT(*) AS n FROM gold_sales4 "
+            "GROUP BY v + 0",
         ]
     ):
         mv = catalog.create_materialized_view(f"gold.gate{i}", q)
@@ -1324,6 +1337,213 @@ def test_mv_cdc_incremental_refresh(catalog, spark):
     catalog.sql("DELETE FROM gold.csales WHERE cat = 'a'")
     snap3 = catalog.refresh_materialized_view("gold.minagg")
     assert snap3.operation in ("overwrite", "delete", "replace")
+
+
+def test_mv_expression_key_incremental(catalog, spark):
+    """Aliased expression group keys are the expression-key tier: the
+    MV materializes the alias column, REFRESH aggregates the delta
+    with the same expression and MERGES on the alias; CDC maintenance
+    re-derives the key over changelog rows. GROUP BY may spell the
+    alias, the expression, or the select-list ordinal."""
+    schema = "cat string, v int, w int"
+    t = catalog.create_table(
+        "gold.esales", spark.createDataFrame([], schema).schema
+    )
+    t.append(
+        spark.createDataFrame(
+            [("a", 1, 10), ("a", 2, 20), ("b", 1, 5), ("b", None, 7)],
+            schema,
+        )
+    )
+    mv = catalog.create_materialized_view(
+        "gold.by_parity",
+        "SELECT cat, v % 2 AS parity, COUNT(*) AS n, SUM(w) AS sw "
+        "FROM gold_esales GROUP BY cat, parity",
+    )
+    assert mv.properties().get("mv.refresh_mode") == "agg"
+    assert "parity" in mv.properties().get("mv.key_exprs", "")
+
+    def expected():
+        import pyspark.sql.functions as F
+
+        return {
+            tuple(r)
+            for r in t.to_df()
+            .groupBy("cat", (F.col("v") % 2).alias("parity"))
+            .agg(F.count("*").alias("n"), F.sum("w").alias("sw"))
+            .collect()
+        }
+
+    def via_view():
+        catalog.register_views()
+        return {
+            tuple(r)
+            for r in spark.sql("SELECT * FROM gold_by_parity").collect()
+        }
+
+    # append-only growth merges partials on the expression alias
+    t.append(
+        spark.createDataFrame([("a", 4, 100), ("c", 3, 1)], schema)
+    )
+    snap = catalog.refresh_materialized_view("gold.by_parity")
+    assert snap.operation == "merge"
+    assert via_view() == expected()
+
+    # base DML maintains from the signed changelog (COUNT/int-SUM)
+    catalog.sql("DELETE FROM gold.esales WHERE w = 100")
+    snap = catalog.refresh_materialized_view("gold.by_parity")
+    assert snap.operation == "merge"
+    assert snap.summary.get("cdc_refresh") is True
+    assert via_view() == expected()
+
+    # GROUP BY by expression text and by ordinal parse to the same tier
+    for name, keys in [
+        ("gold.by_parity2", "cat, v % 2"),
+        ("gold.by_parity3", "1, 2"),
+    ]:
+        mvx = catalog.create_materialized_view(
+            name,
+            "SELECT cat, v % 2 AS parity, COUNT(*) AS n "
+            f"FROM gold_esales GROUP BY {keys}",
+        )
+        assert mvx.properties().get("mv.refresh_mode") == "agg", name
+
+
+def test_mv_count_distinct_incremental(catalog, spark):
+    """COUNT(DISTINCT x) switches the materialization to the finer
+    (keys, x) grain - the two-level distinct rewrite: partials for the
+    sibling aggregates merge distributively at that grain and the SQL
+    surface re-aggregates back to the user grain, so REFRESH stays a
+    MERGE (never a rescan of the base) and even base DML maintains a
+    pure COUNT/int-SUM distinct MV from the signed changelog."""
+    schema = "cat string, v int, w int"
+    t = catalog.create_table(
+        "gold.dsales", spark.createDataFrame([], schema).schema
+    )
+    t.append(
+        spark.createDataFrame(
+            [
+                ("a", 1, 10),
+                ("a", 2, 20),
+                ("a", 1, None),
+                ("b", 1, 5),
+                ("b", None, 7),
+            ],
+            schema,
+        )
+    )
+    mv = catalog.create_materialized_view(
+        "gold.dv",
+        "SELECT cat, COUNT(DISTINCT v) AS nv, COUNT(*) AS n, "
+        "SUM(w) AS sw, MIN(w) AS lo, AVG(w) AS aw "
+        "FROM gold_dsales GROUP BY cat",
+    )
+    props = mv.properties()
+    assert props.get("mv.refresh_mode") == "agg"
+    assert "mv.view_agg" in props
+    stored = {f.name for f in mv.schema.fields}
+    assert "__mv_dv_nv" in stored  # the distinct-value grain column
+
+    def expected():
+        import pyspark.sql.functions as F
+
+        return {
+            tuple(r)
+            for r in t.to_df()
+            .groupBy("cat")
+            .agg(
+                F.countDistinct("v").alias("nv"),
+                F.count("*").alias("n"),
+                F.sum("w").alias("sw"),
+                F.min("w").alias("lo"),
+                F.avg("w").alias("aw"),
+            )
+            .collect()
+        }
+
+    def via_view():
+        catalog.register_views()
+        return {
+            tuple(r)
+            for r in spark.sql("SELECT * FROM gold_dv").collect()
+        }
+
+    assert via_view() == expected()
+
+    # new rows: existing distinct values must NOT double-count, new
+    # ones must appear; sibling partials merge at the finer grain
+    t.append(
+        spark.createDataFrame(
+            [("a", 9, 2), ("a", 1, 3), ("d", 5, None)], schema
+        )
+    )
+    snap = catalog.refresh_materialized_view("gold.dv")
+    assert snap.operation == "merge"
+    assert via_view() == expected()
+
+    # a NULL distinct value is countable state but not a distinct
+    # count contribution; the merge path refuses NULL keys, so the
+    # refresh falls back to full - and is still exact
+    t.append(spark.createDataFrame([("a", None, 4)], schema))
+    catalog.refresh_materialized_view("gold.dv")
+    assert via_view() == expected()
+
+    # pure COUNT/int-SUM distinct MV: DML maintains from the changelog
+    mv2 = catalog.create_materialized_view(
+        "gold.dv2",
+        "SELECT cat, COUNT(DISTINCT v) AS nv, SUM(w) AS sw "
+        "FROM gold_dsales GROUP BY cat",
+    )
+    assert "__mv_rows" in {f.name for f in mv2.schema.fields}
+    catalog.sql("DELETE FROM gold.dsales WHERE v = 9")  # drops a value
+    snap = catalog.refresh_materialized_view("gold.dv2")
+    assert snap.operation == "merge"
+    assert snap.summary.get("cdc_refresh") is True
+    import pyspark.sql.functions as F
+
+    exp = {
+        tuple(r)
+        for r in t.to_df()
+        .groupBy("cat")
+        .agg(F.countDistinct("v").alias("nv"), F.sum("w").alias("sw"))
+        .collect()
+    }
+    catalog.register_views()
+    assert {
+        tuple(r) for r in spark.sql("SELECT * FROM gold_dv2").collect()
+    } == exp
+
+    # whole group vanishing under DML leaves the view in one commit
+    catalog.sql("DELETE FROM gold.dsales WHERE cat = 'd'")
+    snap = catalog.refresh_materialized_view("gold.dv2")
+    assert snap.summary.get("cdc_refresh") is True
+    catalog.register_views()
+    cats = {
+        r["cat"]
+        for r in spark.sql("SELECT * FROM gold_dv2").collect()
+    }
+    assert "d" not in cats
+
+    # HAVING over the distinct count filters the re-aggregated view
+    mv3 = catalog.create_materialized_view(
+        "gold.dv3",
+        "SELECT cat, COUNT(DISTINCT v) AS nv FROM gold_dsales "
+        "GROUP BY cat HAVING COUNT(DISTINCT v) >= 2",
+    )
+    catalog.register_views()
+    got = {
+        (r["cat"], r["nv"])
+        for r in spark.sql("SELECT * FROM gold_dv3").collect()
+    }
+    exp = {
+        (r["cat"], r["nv"])
+        for r in t.to_df()
+        .groupBy("cat")
+        .agg(F.countDistinct("v").alias("nv"))
+        .filter("nv >= 2")
+        .collect()
+    }
+    assert got == exp
 
 
 def test_sql_copy_into_idempotent(catalog, spark, tmp_path):
