@@ -778,10 +778,14 @@ class LakehouseCatalog:
     # refresh (delta partials landing in groups the materialization
     # never had) - refuse agg mode for these, conservatively by name
     _MV_NONDETERMINISTIC = re.compile(
-        r"\b(rand|randn|uuid|shuffle|monotonically_increasing_id|"
-        r"current_timestamp|current_date|current_timezone|now|"
+        r"\b(rand|randn|random|uuid|shuffle|monotonically_increasing_id|"
+        r"current_timezone|now|localtimestamp|"
         r"input_file_name|input_file_block_start|input_file_block_length|"
-        r"spark_partition_id)\s*\(|\bunix_timestamp\s*\(\s*\)",
+        r"spark_partition_id)\s*\(|\bunix_timestamp\s*\(\s*\)|"
+        # Spark accepts these as PAREN-LESS keywords too - a bare-word
+        # match covers both spellings (a column happening to carry one
+        # of these names falls back to full refresh: safe, never wrong)
+        r"\b(current_date|current_timestamp|current_user|session_user)\b",
         re.IGNORECASE,
     )
 
@@ -1001,7 +1005,15 @@ class LakehouseCatalog:
                 f.name.lower()
                 for f in self.load_table(idents[0]).schema.fields
             }
-            if any(a.lower() in base_cols for a in key_exprs):
+            # ... and must not shadow the changelog metadata columns
+            # either: CDC maintenance withColumn()s each key expression
+            # onto changelog rows BEFORE reading _change_type's sign,
+            # so an alias named _change_type would flip deletes to +1
+            reserved = {"_change_type", "_change_version"}
+            if any(
+                a.lower() in base_cols or a.lower() in reserved
+                for a in key_exprs
+            ):
                 return None
         # plan-level guard: exactly the one Aggregate, nothing sneaky
         # (a subquery in WHERE would add plan nodes the regex missed)
@@ -1139,6 +1151,20 @@ class LakehouseCatalog:
         inner_aggs: list[tuple[str, str]] = []
         inner_args: dict[str, str] = {}
         final_exprs: list[str] = []
+        # generated hidden names can collide across FAMILIES (an AVG
+        # aliased 'aw' stores __mv_p_sum_aw; a sibling SUM the user
+        # aliased 'sum_aw' stores __mv_p_sum_aw too) - a duplicate
+        # stored column would silently corrupt the stypes probe and
+        # crash the materialization, so reserve each name and fall
+        # back to full refresh on any clash
+        stored_names: set[str] = set(group_cols) | {dv_col}
+
+        def reserve(n: str) -> bool:
+            if n in stored_names:
+                return False
+            stored_names.add(n)
+            return True
+
         for alias, op in aggs:
             native = vis_types[alias].simpleString()
             if alias == dv_owner:
@@ -1152,6 +1178,8 @@ class LakehouseCatalog:
             if op == "avg":
                 ps = f"__mv_p_sum_{alias}"
                 pc = f"__mv_p_cnt_{alias}"
+                if not (reserve(ps) and reserve(pc)):
+                    return None
                 inner_items.append(
                     f"SUM(CAST(({arg}) AS DOUBLE)) AS {ps}"
                 )
@@ -1167,6 +1195,8 @@ class LakehouseCatalog:
                 )
                 continue
             p = f"__mv_p_{alias}"
+            if not reserve(p):
+                return None
             inner_fn = {
                 "count": "COUNT", "sum": "SUM", "min": "MIN",
                 "max": "MAX",
@@ -1175,11 +1205,22 @@ class LakehouseCatalog:
             inner_aggs.append((p, op))
             inner_args[p] = arg
             # counts of subgroups re-aggregate by SUM; SUM/MIN/MAX by
-            # themselves (all distributive over the finer grain)
+            # themselves (all distributive over the finer grain). A
+            # COUNT sibling re-aggregates as SUM of partials, which is
+            # NULL over an EMPTY stored grain (global tier, empty base
+            # or every grain row evicted) where the defining COUNT
+            # returns 0 - COALESCE restores it (no-op for surviving
+            # keyed groups: >=1 grain row means a non-null partial).
             outer_fn = "SUM" if op in ("count", "sum") else inner_fn
-            final_exprs.append(
-                f"CAST({outer_fn}({p}) AS {native}) AS {alias}"
-            )
+            if op == "count":
+                final_exprs.append(
+                    f"CAST(COALESCE(SUM({p}), 0) AS {native}) "
+                    f"AS {alias}"
+                )
+            else:
+                final_exprs.append(
+                    f"CAST({outer_fn}({p}) AS {native}) AS {alias}"
+                )
         inner_group_by = group_by_sql + [f"({dv_arg})"]
 
         def build_store() -> str:

@@ -758,6 +758,20 @@ def test_mv_agg_shape_gates(catalog, spark):
             # would silently bind the base column instead
             "SELECT v + 0 AS d, COUNT(*) AS n FROM gold_sales4 "
             "GROUP BY v + 0",
+            # PAREN-LESS current_date keyword (Spark accepts it without
+            # parens; the nondeterminism gate must too)
+            "SELECT cat, current_date AS d2, COUNT(*) AS n "
+            "FROM gold_sales4 GROUP BY cat, d2",
+            # alias shadowing a CHANGELOG metadata column: CDC
+            # maintenance withColumn()s key expressions onto changelog
+            # rows before reading _change_type's sign
+            "SELECT cat, v % 2 AS _change_type, COUNT(*) AS n "
+            "FROM gold_sales4 GROUP BY cat, _change_type",
+            # hidden-partial name collision: AVG 'aw' stores
+            # __mv_p_sum_aw, which the sibling SUM aliased 'sum_aw'
+            # would also claim - must fall back, not crash
+            "SELECT cat, COUNT(DISTINCT v) AS dv, AVG(v) AS aw, "
+            "SUM(v) AS sum_aw FROM gold_sales4 GROUP BY cat",
         ]
     ):
         mv = catalog.create_materialized_view(f"gold.gate{i}", q)
@@ -769,6 +783,30 @@ def test_mv_agg_shape_gates(catalog, spark):
             )
         )
         catalog.refresh_materialized_view(f"gold.gate{i}")
+
+
+def test_mv_nondeterminism_regex_forms():
+    """The refresh-variant gate must catch Spark's PAREN-LESS keyword
+    spellings (current_date/current_timestamp/current_user) and the
+    random() alias of rand() - and not false-positive on ordinary
+    columns whose names merely embed those words."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.catalog import (
+        LakehouseCatalog,
+    )
+
+    rx = LakehouseCatalog._MV_NONDETERMINISTIC
+    for s in (
+        "rand()", "random()", "rand( )", "uuid()", "now()",
+        "current_date", "CURRENT_DATE", "current_date()",
+        "current_timestamp", "current_timestamp()", "current_user",
+        "date_trunc('day', current_timestamp)", "unix_timestamp()",
+    ):
+        assert rx.search(s), s
+    for s in (
+        "cat", "v % 10", "date_trunc('day', ts)", "randomized_col",
+        "current_date_col", "nowhere", "unix_timestamp(ts)",
+    ):
+        assert not rx.search(s), s
 
 
 def test_mv_avg_incremental_refresh(catalog, spark):
@@ -1544,6 +1582,40 @@ def test_mv_count_distinct_incremental(catalog, spark):
         .collect()
     }
     assert got == exp
+
+
+def test_mv_count_distinct_global_empty(catalog, spark):
+    """Global (no GROUP BY) COUNT(DISTINCT) tier over an EMPTY stored
+    grain: SUM of the COUNT sibling's partials is NULL over zero rows
+    but the defining COUNT(*) returns 0 - the view must COALESCE. Both
+    empty-at-creation and every-grain-row-evicted paths."""
+    schema = "cat string, v int"
+    t = catalog.create_table(
+        "gold.gsales", spark.createDataFrame([], schema).schema
+    )
+    mv = catalog.create_materialized_view(
+        "gold.gdv",
+        "SELECT COUNT(DISTINCT v) AS nv, COUNT(*) AS n "
+        "FROM gold_gsales",
+    )
+    assert mv.properties().get("mv.refresh_mode") == "agg"
+
+    def row():
+        catalog.register_views()
+        return spark.sql("SELECT nv, n FROM gold_gdv").first()
+
+    assert tuple(row()) == (0, 0)  # empty base: 0, not NULL
+    t.append(
+        spark.createDataFrame(
+            [("a", 1), ("a", 1), ("b", 2), ("b", None)], schema
+        )
+    )
+    catalog.refresh_materialized_view("gold.gdv")
+    assert tuple(row()) == (2, 4)
+    # evict every grain row and the view must return to (0, 0)
+    catalog.sql("DELETE FROM gold.gsales WHERE TRUE")
+    catalog.refresh_materialized_view("gold.gdv")
+    assert tuple(row()) == (0, 0)
 
 
 def test_sql_copy_into_idempotent(catalog, spark, tmp_path):
