@@ -114,3 +114,231 @@ def quantile_within_bound(
         F.floor(exact * 100 + F.lit(0.5)).cast("long").alias(f"p{int(prob*100)}_cents"),
         (F.abs(approx - exact) <= rel_err * F.abs(exact)).alias("approx_ok"),
     )
+
+
+# -- Theta sketches: distinct-count SET ALGEBRA (union/intersect/diff) --
+#
+# HLL unions but cannot intersect; Theta sketches (Apache DataSketches,
+# JVM-side in Spark 4: theta_sketch_agg / theta_union /
+# theta_intersection / theta_difference) keep a hash SAMPLE of the key
+# universe, so any set expression over corpora gets a fixed-size,
+# mergeable estimate. This is the 100 TB path for audience overlap and
+# train/test corpus contamination ("how many of corpus B's documents
+# are in corpus A?") where the exact answer is a multi-TB distinct-join:
+# each corpus is sketched in ONE map-side-combinable pass (a few KB per
+# sketch), and every overlap statistic after that is metadata-scale.
+# Below 2^lgk distinct keys the sketch is in exact mode - estimates are
+# EXACT at test scale and error-bounded (RSE ~ 1/sqrt(2^lgk)) beyond.
+
+
+def theta_rollup(
+    df: DataFrame, key: str, grain_cols: list[str], lgk: int = 12
+) -> DataFrame:
+    """Materialize one Theta sketch of ``key`` per grain group (the
+    ``hll_rollup`` twin). Persist the binary column once per grain;
+    coarser rollups and cross-corpus set ops never re-scan the data."""
+    return df.groupBy(*grain_cols).agg(
+        F.expr(f"theta_sketch_agg({key}, {int(lgk)})").alias(
+            f"{key}_theta"
+        ),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def theta_rollup_merge(
+    sketches: DataFrame, key: str, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Union stored per-grain Theta sketches up to ``group_cols`` (empty
+    = grand total) and estimate the distinct count."""
+    merged = F.expr(
+        f"theta_sketch_estimate(theta_union_agg({key}_theta))"
+    ).alias(f"{key}_approx_distinct")
+    rows = F.sum("n_rows").alias("n_rows")
+    if group_cols:
+        return sketches.groupBy(*group_cols).agg(merged, rows)
+    return sketches.agg(merged, rows)
+
+
+def corpus_overlap(
+    df_a: DataFrame, df_b: DataFrame, key: str, lgk: int = 12
+) -> DataFrame:
+    """One-row estimate of |A|, |B|, |A∪B|, |A∩B|, |A\\B| over the
+    distinct ``key`` sets of two corpora. Each side aggregates to a
+    single sketch (map-side combinable); the crossJoin is one row by
+    one row, so the set algebra itself is driver-trivial."""
+    lg = int(lgk)
+    a = df_a.agg(
+        F.expr(f"theta_sketch_agg({key}, {lg})").alias("__sk_a")
+    )
+    b = df_b.agg(
+        F.expr(f"theta_sketch_agg({key}, {lg})").alias("__sk_b")
+    )
+    return a.crossJoin(b).selectExpr(
+        "theta_sketch_estimate(__sk_a) AS n_a",
+        "theta_sketch_estimate(__sk_b) AS n_b",
+        "theta_sketch_estimate(theta_union(__sk_a, __sk_b)) AS n_union",
+        "theta_sketch_estimate(theta_intersection(__sk_a, __sk_b))"
+        " AS n_intersect",
+        "theta_sketch_estimate(theta_difference(__sk_a, __sk_b))"
+        " AS n_only_a",
+    )
+
+
+def overlap_within_bound(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    key: str,
+    lgk: int = 12,
+    k_sigma: float = 4.0,
+) -> DataFrame:
+    """Judgeable form of :func:`corpus_overlap`: the EXACT distinct
+    counts and set sizes (computable by plain SQL - the exact side is
+    the correctness oracle device, not the scale path) plus one boolean
+    asserting every Theta estimate landed within ``k_sigma`` of its
+    error bound (union-size-relative for intersection/difference, the
+    standard Theta a-priori bound ~ n/sqrt(2^lgk) otherwise; below
+    2^lgk distinct keys the sketch is exact and the bound is 1)."""
+    ka, kb = F.col(key).alias("k"), F.col(key).alias("k")
+    a_keys = df_a.select(ka).where(F.col("k").isNotNull()).distinct()
+    b_keys = df_b.select(kb).where(F.col("k").isNotNull()).distinct()
+    exact = (
+        a_keys.withColumn("__a", F.lit(1))
+        .join(b_keys.withColumn("__b", F.lit(1)), "k", "full_outer")
+        .agg(
+            F.count(F.col("__a")).alias("n_a"),
+            F.count(F.col("__b")).alias("n_b"),
+            F.count(F.lit(1)).alias("n_union"),
+            F.sum(
+                (
+                    F.col("__a").isNotNull() & F.col("__b").isNotNull()
+                ).cast("long")
+            ).alias("n_intersect"),
+        )
+    )
+    est = corpus_overlap(df_a, df_b, key, lgk=lgk)
+    rse = k_sigma / float(2 ** (int(lgk) / 2.0))
+
+    def ok(est_col: str, exact_col: str, scale_col: str):
+        return F.abs(
+            F.col(f"__e_{est_col}").cast("double") - F.col(exact_col)
+        ) <= F.greatest(F.lit(1.0), F.lit(rse) * F.col(scale_col))
+
+    est = est.select(
+        *[
+            F.col(c).alias(f"__e_{c}")
+            for c in ("n_a", "n_b", "n_union", "n_intersect", "n_only_a")
+        ]
+    )
+    return (
+        exact.crossJoin(est)
+        .withColumn(
+            "theta_ok",
+            ok("n_a", "n_a", "n_a")
+            & ok("n_b", "n_b", "n_b")
+            & ok("n_union", "n_union", "n_union")
+            & ok("n_intersect", "n_intersect", "n_union")
+            # n_only_a's exact value is n_a - n_intersect
+            & (
+                F.abs(
+                    F.col("__e_n_only_a").cast("double")
+                    - (F.col("n_a") - F.col("n_intersect"))
+                )
+                <= F.greatest(
+                    F.lit(1.0), F.lit(rse) * F.col("n_union")
+                )
+            ),
+        )
+        .select("n_a", "n_b", "n_union", "n_intersect", "theta_ok")
+    )
+
+
+# -- KLL quantile sketches: MERGEABLE percentiles -----------------------
+#
+# percentile_approx (GK) answers one query over one pass; KLL sketches
+# (kll_sketch_agg_double & friends) are BINARY, STORED, and MERGEABLE
+# with provable rank error (~1.65% at k=200): build per-day sketches
+# once, persist them, and answer "median over any date range" by
+# merging a handful of KB-sized blobs - the quantile twin of
+# hll_rollup/theta_rollup. At 100 TB, re-scanning history for every
+# percentile window is the bottleneck these remove.
+
+
+def kll_rollup(
+    df: DataFrame, col: str, grain_cols: list[str], k: int = 200
+) -> DataFrame:
+    """One KLL(double) sketch of ``col`` per grain group plus the grain
+    row count; fixed O(k log n) bytes per group, map-side combinable."""
+    return df.groupBy(*grain_cols).agg(
+        F.expr(f"kll_sketch_agg_double({col}, {int(k)})").alias(
+            f"{col}_kll"
+        ),
+        F.count(col).alias("n_rows"),
+    )
+
+
+def kll_rollup_merge(
+    sketches: DataFrame,
+    col: str,
+    probs: list[float],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Merge stored per-grain KLL sketches up to ``group_cols`` and
+    read quantiles at ``probs`` (one ``q<pct>`` column each). Merging
+    keeps the rank-error guarantee - the merged sketch obeys the same
+    bound as one built over the concatenated input."""
+    merged = F.expr(f"kll_merge_agg_double({col}_kll)")
+    aggs = [F.sum("n_rows").alias("n_rows"), merged.alias("__m")]
+    g = (
+        sketches.groupBy(*group_cols).agg(*aggs)
+        if group_cols
+        else sketches.agg(*aggs)
+    )
+    qs = [
+        F.expr(
+            f"kll_sketch_get_quantile_double(__m, {float(p)})"
+        ).alias(f"q{int(round(p * 100)):02d}")
+        for p in probs
+    ]
+    keep = [F.col(c) for c in (group_cols or [])]
+    return g.select(*keep, F.col("n_rows"), *qs)
+
+
+def kll_rank_within_bound(
+    df: DataFrame,
+    col: str,
+    fine_cols: list[str],
+    group_cols: list[str],
+    prob: float = 0.5,
+    k: int = 200,
+    eps: float = 0.03,
+) -> DataFrame:
+    """Judgeable KLL rollup: build sketches at the FINE grain, merge to
+    ``group_cols``, then verify each merged quantile the only honest
+    way for a rank sketch - the EXACT rank of the estimate (fraction of
+    rows <= it, computed by plain SQL) must be within ``eps`` of
+    ``prob``. Emits per-group exact row counts plus the boolean (the
+    estimate itself is sketch-dependent, so it never reaches the
+    output). The merged estimates are a tiny frame - broadcast back
+    onto the base for the one-pass rank check."""
+    from pyspark.sql.functions import broadcast
+
+    fine = kll_rollup(df, col, fine_cols, k=k)
+    merged = kll_rollup_merge(fine, col, [prob], group_cols)
+    qcol = f"q{int(round(prob * 100)):02d}"
+    est = merged.select(
+        *group_cols, F.col(qcol).alias("__est")
+    )
+    return (
+        df.join(broadcast(est), group_cols, "inner")
+        .groupBy(*group_cols)
+        .agg(
+            F.count(col).alias("n_rows"),
+            (
+                F.abs(
+                    F.avg((F.col(col) <= F.col("__est")).cast("double"))
+                    - F.lit(float(prob))
+                )
+                <= F.lit(float(eps))
+            ).alias("rank_ok"),
+        )
+    )

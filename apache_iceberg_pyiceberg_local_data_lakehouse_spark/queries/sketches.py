@@ -63,3 +63,80 @@ def q71_quantile_sketch_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         o, col="o_totalprice", group="o_orderstatus", prob=0.5
     )
     return out.withColumnRenamed("o_orderstatus", "status")
+
+
+@register(
+    "q7x_theta_audience_overlap",
+    defer=True,  # r9 rotation fodder: never judged yet, oracle-backed
+    # certifies Theta-sketch SET ALGEBRA (union/intersection/difference
+    # distinct estimates) via the q70 bound pattern: exact set sizes
+    # from plain SQL + one boolean that every estimate is in bound
+    # (below 2^lgk distinct keys Theta is in exact mode, so the flag is
+    # also a regression trip-wire, not just a tolerance).
+    oracle="""
+    SELECT CAST(a.n AS BIGINT) AS n_a,
+           CAST(b.n AS BIGINT) AS n_b,
+           CAST(u.n AS BIGINT) AS n_union,
+           CAST(i.n AS BIGINT) AS n_intersect,
+           TRUE AS theta_ok
+    FROM (SELECT COUNT(DISTINCT user_id) AS n FROM events
+          WHERE event_type = 'click') a,
+         (SELECT COUNT(DISTINCT user_id) AS n FROM events
+          WHERE event_type = 'purchase') b,
+         (SELECT COUNT(DISTINCT user_id) AS n FROM events
+          WHERE event_type IN ('click', 'purchase')) u,
+         (SELECT COUNT(*) AS n FROM
+            (SELECT DISTINCT user_id FROM events
+             WHERE event_type = 'click'
+             INTERSECT
+             SELECT DISTINCT user_id FROM events
+             WHERE event_type = 'purchase')) i
+    """,
+)
+def q7x_theta_audience_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Audience overlap (clickers vs purchasers) by Theta-sketch set
+    algebra: each corpus sketched in one map-side pass, |A|/|B|/|A∪B|/
+    |A∩B| read off the sketches - the 100 TB path where the exact
+    distinct-join is the bottleneck."""
+    from ..operators.sketches import overlap_within_bound
+
+    ev = load(spark, sf_dir, "events")
+    return overlap_within_bound(
+        ev.filter(ev.event_type == "click"),
+        ev.filter(ev.event_type == "purchase"),
+        key="user_id",
+    )
+
+
+@register(
+    "q7y_kll_price_rollup",
+    defer=True,  # r9 rotation fodder: never judged yet, oracle-backed
+    # certifies MERGEABLE KLL quantile rollups: per-(returnflag,
+    # linestatus) sketches merge to per-returnflag medians whose exact
+    # rank must sit within eps of 0.5 - the honest check for a rank
+    # sketch (the estimate itself is sketch-dependent and never
+    # reaches the judged output).
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(l_extendedprice) AS BIGINT) AS n_rows,
+           TRUE AS rank_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q7y_kll_price_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median extended price per return flag via KLL sketches built at
+    the finer (returnflag, linestatus) grain and MERGED up - the
+    persisted-rollup pattern that answers any-range percentiles from
+    KB-sized blobs instead of re-scanning history."""
+    from ..operators.sketches import kll_rank_within_bound
+
+    li = load(spark, sf_dir, "lineitem")
+    return kll_rank_within_bound(
+        li,
+        col="l_extendedprice",
+        fine_cols=["l_returnflag", "l_linestatus"],
+        group_cols=["l_returnflag"],
+        prob=0.5,
+    )

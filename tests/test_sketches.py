@@ -130,3 +130,178 @@ def test_sketch_aggregates_use_partial_aggregation(spark):
         .toString()
     )
     assert plan.count("HashAggregate") >= 2, plan
+
+
+# -- Theta sketches: set algebra -----------------------------------------
+
+
+def test_theta_rollup_merge_within_bound(spark, sf_small):
+    """Per-month Theta sketches union up to per-event-type distincts;
+    at sf0.001 cardinalities are far below 2^12 so the sketch is in
+    EXACT mode - the merged estimate must equal the exact distinct."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.sketches import (
+        theta_rollup,
+        theta_rollup_merge,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.queries import load
+
+    ev = load(spark, sf_small, "events").withColumn(
+        "month", F.date_format("ts", "yyyy-MM")
+    )
+    per_month = theta_rollup(
+        ev, key="user_id", grain_cols=["event_type", "month"]
+    )
+    merged = {
+        r["event_type"]: r["user_id_approx_distinct"]
+        for r in theta_rollup_merge(
+            per_month, key="user_id", group_cols=["event_type"]
+        ).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert merged == exact
+
+
+def test_theta_set_algebra_exact_mode(spark):
+    """Union/intersection/difference estimates on constructed sets with
+    known overlap, below the exact-mode threshold: all five numbers are
+    exact."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.sketches import (
+        corpus_overlap,
+    )
+
+    a = spark.range(0, 1000).select(F.col("id").alias("k"))
+    b = spark.range(600, 1500).select(F.col("id").alias("k"))
+    row = corpus_overlap(a, b, "k").collect()[0]
+    assert (
+        row["n_a"],
+        row["n_b"],
+        row["n_union"],
+        row["n_intersect"],
+        row["n_only_a"],
+    ) == (1000, 900, 1500, 400, 600)
+
+
+def test_overlap_within_bound_flags_and_exact_values(spark, sf_small):
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.sketches import (
+        overlap_within_bound,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.queries import load
+
+    ev = load(spark, sf_small, "events")
+    out = overlap_within_bound(
+        ev.filter(ev.event_type == "click"),
+        ev.filter(ev.event_type == "purchase"),
+        key="user_id",
+    ).collect()[0]
+    clicks = {
+        r["user_id"]
+        for r in ev.filter(ev.event_type == "click")
+        .select("user_id").distinct().collect()
+    }
+    buys = {
+        r["user_id"]
+        for r in ev.filter(ev.event_type == "purchase")
+        .select("user_id").distinct().collect()
+    }
+    assert out["n_a"] == len(clicks)
+    assert out["n_b"] == len(buys)
+    assert out["n_union"] == len(clicks | buys)
+    assert out["n_intersect"] == len(clicks & buys)
+    assert out["theta_ok"] is True
+
+
+def test_theta_estimation_mode_bound(spark):
+    """Above 2^lgk distinct keys the sketch samples; the estimate must
+    stay inside the k_sigma/sqrt(2^lgk) relative bound the judged flag
+    uses (lgk=12 -> ~6.25% at 4 sigma; 200k vs 150k keys, 100k shared)."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.sketches import (
+        overlap_within_bound,
+    )
+
+    a = spark.range(0, 200_000).select(F.col("id").alias("k"))
+    b = spark.range(100_000, 250_000).select(F.col("id").alias("k"))
+    out = overlap_within_bound(a, b, "k").collect()[0]
+    assert out["n_a"] == 200_000 and out["n_intersect"] == 100_000
+    assert out["theta_ok"] is True
+
+
+def test_theta_aggregate_is_partial(spark):
+    """theta_sketch_agg must plan as a two-phase aggregate (map-side
+    combine) - the property that bounds shuffle volume at 100 TB."""
+    df = spark.range(10_000).select(
+        (F.col("id") % 7).alias("g"), F.col("id")
+    )
+    plan = (
+        df.groupBy("g")
+        .agg(F.expr("theta_sketch_agg(id, 12)"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("HashAggregate") >= 2 or plan.count(
+        "ObjectHashAggregate"
+    ) >= 2, plan
+
+
+# -- KLL quantile sketches ------------------------------------------------
+
+
+def test_kll_rollup_merge_rank_bound(spark):
+    """Per-grain KLL sketches merged to group medians: the exact rank
+    of each merged estimate must sit within the k=200 rank-error bound
+    of 0.5 (we assert the tighter 2% since the data is unique-valued)."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.sketches import (
+        kll_rank_within_bound,
+    )
+
+    df = spark.range(100_000).select(
+        (F.col("id") % 3).alias("g"),
+        (F.col("id") % 10).alias("fine"),
+        F.col("id").cast("double").alias("v"),
+    )
+    out = kll_rank_within_bound(
+        df, col="v", fine_cols=["g", "fine"], group_cols=["g"],
+        prob=0.5, eps=0.02,
+    ).collect()
+    assert len(out) == 3
+    assert all(r["rank_ok"] for r in out)
+    assert all(r["n_rows"] in (33_333, 33_334) for r in out)
+
+
+def test_kll_merge_equals_sorted_rank_small(spark):
+    """At tiny n (< k) a KLL sketch is lossless: the merged median of
+    per-grain sketches equals a true order statistic."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.sketches import (
+        kll_rollup,
+        kll_rollup_merge,
+    )
+
+    df = spark.range(101).select(
+        (F.col("id") % 2).alias("fine"),
+        F.col("id").cast("double").alias("v"),
+    )
+    fine = kll_rollup(df, "v", ["fine"], k=200)
+    got = kll_rollup_merge(fine, "v", [0.5]).collect()[0]
+    assert got["n_rows"] == 101
+    assert got["q50"] == 50.0
+
+
+def test_kll_rollup_null_handling(spark):
+    """NULL measurements contribute to neither the sketch nor n_rows
+    (COUNT(col) semantics, matching the SQL oracle's COUNT)."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.sketches import (
+        kll_rollup,
+        kll_rollup_merge,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 1.0), (0, None), (1, 3.0), (1, None)], "fine int, v double"
+    )
+    fine = kll_rollup(df, "v", ["fine"], k=200)
+    got = kll_rollup_merge(fine, "v", [0.5]).collect()[0]
+    assert got["n_rows"] == 2
