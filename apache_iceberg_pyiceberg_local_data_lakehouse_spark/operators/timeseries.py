@@ -172,6 +172,52 @@ def gap_fill(
     return out
 
 
+def detect_gaps(
+    df: DataFrame,
+    ts_col: str,
+    min_gap: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-series silence detection: one row per pair of CONSECUTIVE
+    events further apart than ``min_gap`` (a duration like ``'6 hours'``)
+    - (group..., gap_start, gap_end, gap_us). The sensor-went-dark /
+    feed-outage primitive gap_fill's bucket grid cannot express when
+    the interesting unit is the raw event spacing, not a resample grid.
+
+    One lag window per group = a single shuffle on the series key; no
+    grid materializes, so cost is O(events), independent of the gap
+    sizes. Rows tying on ``ts_col`` sort adjacently with a zero diff,
+    so the emitted gap SET is invariant to tie order - safe to judge
+    against a SQL LAG oracle even when timestamps collide."""
+    groups = list(group_cols or [])
+    us = _every_us(min_gap)
+    w = Window.partitionBy(*groups).orderBy(ts_col)
+    prev = F.lag(F.col(ts_col)).over(w)
+    # a parquet-born NTZ column casts through TIMESTAMP for the epoch
+    # arithmetic; both sides of the diff get the same treatment, so
+    # the spacing is unaffected by the session zone
+    from pyspark.sql.types import TimestampNTZType
+
+    ntz = isinstance(df.schema[ts_col].dataType, TimestampNTZType)
+
+    def to_us(c):
+        return F.unix_micros(c.cast("timestamp") if ntz else c)
+
+    gap = to_us(F.col(ts_col)) - to_us(F.col("__prev"))
+    return (
+        df.select(*groups, ts_col)
+        .withColumn("__prev", prev)
+        .where(F.col("__prev").isNotNull())
+        .where(gap > F.lit(us))
+        .select(
+            *groups,
+            F.col("__prev").alias("gap_start"),
+            F.col(ts_col).alias("gap_end"),
+            gap.alias("gap_us"),
+        )
+    )
+
+
 def rolling_zscore(
     df: DataFrame,
     value_col: str,

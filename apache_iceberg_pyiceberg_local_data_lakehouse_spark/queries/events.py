@@ -652,3 +652,38 @@ def q7q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(q("close")).cast("long").alias("sum_close_q"),
         F.sum("n_ticks").cast("long").alias("total_ticks"),
     )
+
+
+@register(
+    "q7z_event_gaps",
+    defer=True,  # r9 rotation fodder: never judged yet, oracle-backed
+    # certifies detect_gaps (per-series silence detection): one lag
+    # window per user = one shuffle; the emitted gap SET is invariant
+    # to timestamp-tie order, so a SQL LAG oracle hash-matches.
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             LAG(CAST(ts AS TIMESTAMP)) OVER
+               (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))
+               AS gap_start,
+             CAST(ts AS TIMESTAMP) AS gap_end
+      FROM events
+    )
+    SELECT user_id, gap_start, gap_end,
+           epoch_us(gap_end) - epoch_us(gap_start) AS gap_us
+    FROM g
+    WHERE gap_start IS NOT NULL
+      AND epoch_us(gap_end) - epoch_us(gap_start)
+          > 86400000000::BIGINT
+    """,
+)
+def q7z_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silences longer than 24 hours per user: when did each user's
+    event feed go dark, and for how long. The raw-event-spacing twin
+    of q7b's resample-grid gap flags."""
+    from ..operators.timeseries import detect_gaps
+
+    ev = load(spark, sf_dir, "events")
+    return detect_gaps(
+        ev, ts_col="ts", min_gap="24 hours", group_cols=["user_id"]
+    )

@@ -223,3 +223,84 @@ def streaming_anomalies(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming gap detection (twin of timeseries.detect_gaps) --------------
+
+GAP_STATE = StructType([StructField("last_ts", LongType())])
+
+
+def streaming_gaps(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    min_gap: str = "6 hours",
+) -> DataFrame:
+    """Streaming twin of ``timeseries.detect_gaps``: per-key silence
+    detection with ONE long of state per key (the last event time).
+    A gap row (key, gap_start_us, gap_end_us, gap_us) emits when the
+    event that ENDS the silence arrives - including silences spanning
+    micro-batch boundaries, which is the case a per-batch lag window
+    cannot see. Same in-order-arrival contract as the other twins
+    (out-of-order rows WITHIN a batch are sorted; a later batch is
+    assumed not to start before the previous one's end), under which a
+    batch replay through ``detect_gaps`` yields the same gap set.
+    NULL-timestamp rows are dropped on both sides."""
+    from pyspark.sql import functions as F
+
+    from ..operators.timeseries import _every_us
+
+    us = _every_us(min_gap)
+    from pyspark.sql.types import TimestampNTZType
+
+    ts = F.col(ts_col)
+    if isinstance(stream.schema[ts_col].dataType, TimestampNTZType):
+        ts = ts.cast("timestamp")  # same treatment as detect_gaps
+    prepared = stream.where(F.col(ts_col).isNotNull()).select(
+        F.col(key_col).alias("key"),
+        F.unix_micros(ts).alias("ts_us"),
+    )
+    out_schema = StructType(
+        [
+            StructField("key", stream.schema[key_col].dataType),
+            StructField("gap_start_us", LongType()),
+            StructField("gap_end_us", LongType()),
+            StructField("gap_us", LongType()),
+        ]
+    )
+
+    def _gap_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        last = state.get[0] if state.exists else None
+        chunks = [pdf for pdf in pdfs]
+        if not chunks:
+            if state.exists:
+                state.update((last,))
+            return
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else chunks[0]
+        ).sort_values("ts_us")
+        rows = []
+        for t in pdf["ts_us"]:
+            t = int(t)
+            if last is not None and t - last > us:
+                rows.append((key[0], last, t, t - last))
+            if last is None or t > last:
+                last = t
+        state.update((last,))
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=["key", "gap_start_us", "gap_end_us", "gap_us"],
+            )
+
+    return prepared.groupBy("key").applyInPandasWithState(
+        _gap_fn,
+        outputStructType=out_schema,
+        stateStructType=GAP_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

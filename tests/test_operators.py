@@ -2199,3 +2199,85 @@ def test_ohlc_bars_with_vwap_and_ties(spark):
             df.withColumnRenamed("sym", "bucket"), "ts", "price",
             "1 minute", group_cols=["bucket"],
         )
+
+
+# -- detect_gaps (per-series silence detection) ---------------------------
+
+
+def test_detect_gaps_known_series(spark):
+    import datetime as dt
+
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.timeseries import (
+        detect_gaps,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # device a: events at 0h, 1h, 9h (8h gap), 9h30
+        ("a", base),
+        ("a", base + dt.timedelta(hours=1)),
+        ("a", base + dt.timedelta(hours=9)),
+        ("a", base + dt.timedelta(hours=9, minutes=30)),
+        # device b: one 30h gap
+        ("b", base),
+        ("b", base + dt.timedelta(hours=30)),
+        # device c: single event - no pair, no gap
+        ("c", base),
+    ]
+    df = spark.createDataFrame(rows, "dev string, ts timestamp")
+    got = {
+        (r["dev"], r["gap_start"], r["gap_end"], r["gap_us"])
+        for r in detect_gaps(
+            df, "ts", "6 hours", group_cols=["dev"]
+        ).collect()
+    }
+    assert got == {
+        (
+            "a",
+            base + dt.timedelta(hours=1),
+            base + dt.timedelta(hours=9),
+            8 * 3600 * 1_000_000,
+        ),
+        ("b", base, base + dt.timedelta(hours=30), 30 * 3600 * 1_000_000),
+    }
+
+
+def test_detect_gaps_exact_threshold_and_ties(spark):
+    """A spacing EQUAL to min_gap is not a gap (strict >); duplicate
+    timestamps contribute zero diffs and never break a real gap."""
+    import datetime as dt
+
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.timeseries import (
+        detect_gaps,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("a", base),
+        ("a", base + dt.timedelta(hours=6)),  # exactly 6h: not a gap
+        ("a", base + dt.timedelta(hours=6)),  # tie
+        ("a", base + dt.timedelta(hours=13)),  # 7h after the tie pair
+    ]
+    df = spark.createDataFrame(rows, "dev string, ts timestamp")
+    got = detect_gaps(df, "ts", "6 hours", group_cols=["dev"]).collect()
+    assert len(got) == 1
+    assert got[0]["gap_start"] == base + dt.timedelta(hours=6)
+    assert got[0]["gap_us"] == 7 * 3600 * 1_000_000
+
+
+def test_detect_gaps_null_ts_ignored(spark):
+    import datetime as dt
+
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.timeseries import (
+        detect_gaps,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [("a", None), ("a", base), ("a", base + dt.timedelta(hours=8))],
+        "dev string, ts timestamp",
+    )
+    got = detect_gaps(df, "ts", "6 hours", group_cols=["dev"]).collect()
+    assert [(r["gap_start"], r["gap_end"]) for r in got] == [
+        (base, base + dt.timedelta(hours=8))
+    ]

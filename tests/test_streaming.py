@@ -1203,3 +1203,91 @@ def test_watch_materialized_view_keeps_mv_fresh(spark, tmp_path):
         stop.set()
         thread.join(timeout=30)
     assert not thread.is_alive()
+
+
+def test_streaming_gaps_cross_batch(spark, tmp_path):
+    """A silence SPANNING the micro-batch boundary is the case a
+    per-batch lag window cannot see: the key's last event time carries
+    as state, the gap emits when the silence-ending event arrives, and
+    a batch replay through detect_gaps yields the same gap set."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import LongType, TimestampType
+
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.timeseries import (
+        detect_gaps,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.streaming.stateful import (
+        streaming_gaps,
+    )
+
+    src = tmp_path / "gstream"
+    src.mkdir()
+    base = dt.datetime(2024, 1, 1)
+
+    def write(name, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "user_id": pa.array(
+                        [r[0] for r in rows], type=pa.int64()
+                    ),
+                    "ts": pa.array(
+                        [base + dt.timedelta(hours=r[1]) for r in rows],
+                        type=pa.timestamp("us"),
+                    ),
+                }
+            ),
+            src / name,
+        )
+
+    # user 1: in-batch 8h gap in batch 1, then 30h silence ACROSS the
+    # boundary; user 2: steady, no gaps
+    write("a.parquet", [(1, 0), (1, 1), (1, 9), (2, 0), (2, 2)])
+    time.sleep(1.1)
+    write("b.parquet", [(1, 39), (1, 40), (2, 5)])
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_gaps(stream, min_gap="6 hours")
+        .writeStream.format("memory")
+        .queryName("gap_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "gckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["key"], r["gap_start_us"], r["gap_end_us"], r["gap_us"])
+        for r in spark.sql("select * from gap_out").collect()
+    }
+
+    batch = spark.read.schema(schema).parquet(str(src))
+    replay = {
+        (
+            r["user_id"],
+            int(r["gap_start"].timestamp() * 1_000_000),
+            int(r["gap_end"].timestamp() * 1_000_000),
+            r["gap_us"],
+        )
+        for r in detect_gaps(
+            batch, "ts", "6 hours", group_cols=["user_id"]
+        ).collect()
+    }
+    assert got == replay
+    assert len(got) == 2  # the 8h in-batch gap + the 30h cross-batch one
+    assert {g[3] for g in got} == {
+        8 * 3600 * 1_000_000,
+        30 * 3600 * 1_000_000,
+    }
