@@ -737,3 +737,143 @@ def q74_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_queries long, n_brute long, brute_sim_qsum long, "
         "pq_result_complete boolean, pq_recall_ok boolean",
     )
+
+
+@register(
+    "q80_pca_quality",
+    defer=True,  # r9 rotation fodder: never judged yet, oracle-backed
+    # certifies exact distributed-moment PCA via deterministic
+    # invariants (the q70 bound pattern): component orthonormality,
+    # eigenvalue ordering, variance-capture sanity, and the
+    # reconstruction identity MSE == trace(C) - sum(top-k eigs) -
+    # which only holds when components AND mean AND transform are all
+    # right. The exact n_vectors hash-anchors the row.
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(8 AS BIGINT) AS k,
+           TRUE AS orthonormal_ok,
+           TRUE AS eigs_sorted_ok,
+           TRUE AS capture_ok,
+           TRUE AS recon_ok
+    FROM embeddings
+    """,
+)
+def q80_pca_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA fit + transform quality gates over the embedding corpus:
+    one distributed moment pass (count/sum/Gram partials per Arrow
+    batch, position-wise reduce), O(dim^2) driver state, then the
+    reconstruction identity verified by a second distributed pass."""
+    import numpy as np
+
+    from ..operators.projection import (
+        pca_fit,
+        pca_reconstruction_error,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    k = 8
+    model = pca_fit(emb, vec_col="embedding", k=k)
+    W = np.asarray(model.components)
+    orthonormal = bool(
+        np.allclose(W @ W.T, np.eye(k), atol=1e-8)
+    )
+    eigs_sorted = all(
+        a >= b - 1e-12
+        for a, b in zip(model.eigenvalues, model.eigenvalues[1:])
+    )
+    capture = 0.0 < sum(model.eigenvalues) <= model.total_variance * (
+        1.0 + 1e-9
+    )
+    mse = pca_reconstruction_error(emb, model, vec_col="embedding")
+    residual = model.total_variance - sum(model.eigenvalues)
+    recon = abs(mse - residual) <= 1e-9 * max(
+        1.0, abs(model.total_variance)
+    )
+    return spark.createDataFrame(
+        [
+            (
+                model.n,
+                k,
+                orthonormal,
+                eigs_sorted,
+                capture,
+                recon,
+            )
+        ],
+        "n_vectors long, k long, orthonormal_ok boolean, "
+        "eigs_sorted_ok boolean, capture_ok boolean, recon_ok boolean",
+    )
+
+
+@register(
+    "q81_random_projection_pairs",
+    defer=True,  # r9 rotation fodder: never judged yet, oracle-backed
+    # certifies seed-deterministic JL projection end-to-end: exact
+    # pair count over the probe subset plus distortion-bound flags
+    # (median tight, max loosely bounded at out_dim=16).
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           TRUE AS median_ok, TRUE AS max_ok
+    FROM embeddings a JOIN embeddings b
+      ON a.vec_id < b.vec_id
+    WHERE a.vec_id < 32 AND b.vec_id < 32
+    """,
+)
+def q81_random_projection_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pairwise squared-distance distortion of a seeded Gaussian
+    projection (64 -> 16) over the 32 lowest-id vectors: the JL
+    property, checked distributed (pair join + HOF distance on both
+    sides - 496 pairs, one dot each; the projection itself is the
+    batched-matmul scale path)."""
+    from ..operators.projection import random_project
+
+    emb = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 32)
+    proj = random_project(
+        emb, out_dim=16, vec_col="embedding", seed=17
+    ).select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        F.col("rp").alias("p"),
+    )
+
+    def sqdist(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    l = proj.select(
+        F.col("vec_id").alias("ida"),
+        F.col("v").alias("va"),
+        F.col("p").alias("pa"),
+    )
+    r = proj.select(
+        F.col("vec_id").alias("idb"),
+        F.col("v").alias("vb"),
+        F.col("p").alias("pb"),
+    )
+    pairs = l.join(F.broadcast(r), F.col("ida") < F.col("idb")).select(
+        (
+            sqdist(F.col("pa"), F.col("pb"))
+            / sqdist(F.col("va"), F.col("vb"))
+        ).alias("ratio")
+    )
+    stats = pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.expr("percentile(ratio, 0.5)").alias("med"),
+        F.max("ratio").alias("mx"),
+        F.min("ratio").alias("mn"),
+    ).first()
+    return spark.createDataFrame(
+        [
+            (
+                stats["n_pairs"],
+                bool(0.5 < stats["med"] < 1.5),
+                bool(stats["mn"] > 0.05 and stats["mx"] < 5.0),
+            )
+        ],
+        "n_pairs long, median_ok boolean, max_ok boolean",
+    )
