@@ -32,6 +32,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _probe_dim(df: DataFrame, vec_col: str, who: str) -> int:
+    """Vector width from the first NON-NULL row (a NULL in an arbitrary
+    first row would read size()=NULL and crash the int() cast)."""
+    first = (
+        df.where(F.col(vec_col).isNotNull())
+        .select(F.size(vec_col).alias("d"))
+        .first()
+    )
+    if first is None:
+        raise ValueError(f"{who}: empty input")
+    return int(first["d"])
+
+
 @dataclass(frozen=True)
 class PCAModel:
     """Driver-side fit result: O(dim^2) scalars, corpus-size-free."""
@@ -51,10 +64,7 @@ def _moments(df: DataFrame, vec_col: str) -> tuple[int, "object", "object"]:
     import numpy as np
     import pandas as pd
 
-    first = df.select(F.size(vec_col).alias("d")).first()
-    if first is None:
-        raise ValueError("pca_fit: empty input")
-    dim = int(first["d"])
+    dim = _probe_dim(df, vec_col, "pca_fit")
 
     base = df.select(F.col(vec_col).cast("array<double>").alias("v")).where(
         F.col("v").isNotNull() & (F.size("v") == dim)
@@ -127,19 +137,34 @@ def pca_fit(df: DataFrame, vec_col: str = "embedding", k: int = 8) -> PCAModel:
 
 
 def _matmul_udf(M: "object", shift: "object" = None):
-    """pandas_udf: (X - shift) @ M.T per Arrow batch, one BLAS call."""
+    """pandas_udf: (X - shift) @ M.T per Arrow batch, one BLAS call.
+    NULL and wrong-width rows pass through as NULL (the transform is
+    total over the same rows the fit excluded - vstack over a mixed
+    batch would otherwise crash the whole job)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     Mt = np.asarray(M, dtype=np.float64).T  # (dim, k)
+    dim = Mt.shape[0]
     mu = None if shift is None else np.asarray(shift, dtype=np.float64)
 
     def _proj(v):
-        X = np.vstack(v.to_numpy())
-        if mu is not None:
-            X = X - mu
-        return pd.Series(list((X @ Mt)))
+        vals = v.to_numpy()
+        ok = np.fromiter(
+            (x is not None and len(x) == dim for x in vals),
+            dtype=bool,
+            count=len(vals),
+        )
+        out = [None] * len(vals)
+        if ok.any():
+            X = np.vstack(vals[ok])
+            if mu is not None:
+                X = X - mu
+            P = X @ Mt
+            for row, i in zip(P, np.nonzero(ok)[0]):
+                out[i] = row
+        return pd.Series(out)
 
     _proj.__annotations__ = {"v": pd.Series, "return": pd.Series}
     return pandas_udf("array<double>")(_proj)
@@ -163,10 +188,12 @@ def pca_reconstruction_error(
 ) -> float:
     """Mean squared L2 reconstruction error over the corpus - equals
     ``total_variance - sum(eigenvalues)`` (the residual eigenvalue
-    mass) up to float tolerance; the honest end-to-end check for a
-    judged PCA (components AND mean AND transform must all be right
-    for the identity to hold). Computed distributed: project, lift
-    back, one avg."""
+    mass) up to float tolerance WHEN ``df`` is the fitted corpus; the
+    honest end-to-end check for a judged PCA (components AND mean AND
+    transform must all be right for the identity to hold). The
+    denominator is THIS df's valid-row count minus one (the covariance
+    convention) - a holdout frame gets its own normalization, not the
+    fit corpus's. Computed distributed: project, lift back, one agg."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -186,9 +213,14 @@ def pca_reconstruction_error(
         F.col(vec_col).cast("array<double>").alias("v")
     ).where(F.col("v").isNotNull() & (F.size("v") == dim))
     out = base.select(errs("v").alias("e")).agg(
-        (F.sum("e") / F.lit(model.n - 1)).alias("mse")
+        F.sum("e").alias("se"), F.count("e").alias("cnt")
     ).first()
-    return float(out["mse"])
+    if out["cnt"] is None or out["cnt"] < 2:
+        raise ValueError(
+            "pca_reconstruction_error: need >= 2 valid vectors, got "
+            f"{out['cnt'] or 0}"
+        )
+    return float(out["se"]) / float(out["cnt"] - 1)
 
 
 def random_project(
@@ -205,10 +237,7 @@ def random_project(
     PCA's one covariance pass is too much."""
     import numpy as np
 
-    first = df.select(F.size(vec_col).alias("d")).first()
-    if first is None:
-        raise ValueError("random_project: empty input")
-    dim = int(first["d"])
+    dim = _probe_dim(df, vec_col, "random_project")
     rng = np.random.default_rng(seed)
     M = rng.standard_normal((out_dim, dim)) / np.sqrt(out_dim)
     udf = _matmul_udf(M)

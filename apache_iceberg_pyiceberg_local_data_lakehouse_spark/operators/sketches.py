@@ -198,9 +198,9 @@ def overlap_within_bound(
     error bound (union-size-relative for intersection/difference, the
     standard Theta a-priori bound ~ n/sqrt(2^lgk) otherwise; below
     2^lgk distinct keys the sketch is exact and the bound is 1)."""
-    ka, kb = F.col(key).alias("k"), F.col(key).alias("k")
-    a_keys = df_a.select(ka).where(F.col("k").isNotNull()).distinct()
-    b_keys = df_b.select(kb).where(F.col("k").isNotNull()).distinct()
+    k_col = F.col(key).alias("k")
+    a_keys = df_a.select(k_col).where(F.col("k").isNotNull()).distinct()
+    b_keys = df_b.select(k_col).where(F.col("k").isNotNull()).distinct()
     exact = (
         a_keys.withColumn("__a", F.lit(1))
         .join(b_keys.withColumn("__b", F.lit(1)), "k", "full_outer")
@@ -208,10 +208,17 @@ def overlap_within_bound(
             F.count(F.col("__a")).alias("n_a"),
             F.count(F.col("__b")).alias("n_b"),
             F.count(F.lit(1)).alias("n_union"),
-            F.sum(
-                (
-                    F.col("__a").isNotNull() & F.col("__b").isNotNull()
-                ).cast("long")
+            # SUM over zero join rows (an empty side) is NULL, but the
+            # exact intersection of anything with the empty set is 0 -
+            # and a NULL here would poison theta_ok into NULL too
+            F.coalesce(
+                F.sum(
+                    (
+                        F.col("__a").isNotNull()
+                        & F.col("__b").isNotNull()
+                    ).cast("long")
+                ),
+                F.lit(0),
             ).alias("n_intersect"),
         )
     )
@@ -293,11 +300,17 @@ def kll_rollup_merge(
         if group_cols
         else sketches.agg(*aggs)
     )
+    names = [f"q{('%g' % (p * 100)).replace('.', '_')}" for p in probs]
+    if len(set(names)) != len(names):
+        raise ValueError(
+            f"kll_rollup_merge: probs {probs} collide in column "
+            f"names {names}"
+        )
     qs = [
         F.expr(
             f"kll_sketch_get_quantile_double(__m, {float(p)})"
-        ).alias(f"q{int(round(p * 100)):02d}")
-        for p in probs
+        ).alias(name)
+        for p, name in zip(probs, names)
     ]
     keep = [F.col(c) for c in (group_cols or [])]
     return g.select(*keep, F.col("n_rows"), *qs)
@@ -324,7 +337,7 @@ def kll_rank_within_bound(
 
     fine = kll_rollup(df, col, fine_cols, k=k)
     merged = kll_rollup_merge(fine, col, [prob], group_cols)
-    qcol = f"q{int(round(prob * 100)):02d}"
+    qcol = f"q{('%g' % (prob * 100)).replace('.', '_')}"
     est = merged.select(
         *group_cols, F.col(qcol).alias("__est")
     )

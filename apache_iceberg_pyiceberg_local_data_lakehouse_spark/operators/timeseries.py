@@ -193,17 +193,12 @@ def detect_gaps(
     us = _every_us(min_gap)
     w = Window.partitionBy(*groups).orderBy(ts_col)
     prev = F.lag(F.col(ts_col)).over(w)
-    # a parquet-born NTZ column casts through TIMESTAMP for the epoch
-    # arithmetic; both sides of the diff get the same treatment, so
-    # the spacing is unaffected by the session zone
-    from pyspark.sql.types import TimestampNTZType
-
-    ntz = isinstance(df.schema[ts_col].dataType, TimestampNTZType)
-
-    def to_us(c):
-        return F.unix_micros(c.cast("timestamp") if ntz else c)
-
-    gap = to_us(F.col(ts_col)) - to_us(F.col("__prev"))
+    # timestampdiff works on BOTH timestamp flavors and is the
+    # zone-safe arithmetic: instant diff for TIMESTAMP, wall-clock
+    # diff for NTZ (a cast-through-TIMESTAMP would warp NTZ spacings
+    # across DST transitions in non-UTC sessions - the load_events
+    # precedent)
+    gap = F.expr(f"timestampdiff(MICROSECOND, __prev, `{ts_col}`)")
     return (
         df.select(*groups, ts_col)
         .withColumn("__prev", prev)

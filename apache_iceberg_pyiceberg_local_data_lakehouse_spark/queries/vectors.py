@@ -827,6 +827,7 @@ def q81_random_projection_pairs(
     property, checked distributed (pair join + HOF distance on both
     sides - 496 pairs, one dot each; the projection itself is the
     batched-matmul scale path)."""
+    from ..operators.clustering import l2_sq
     from ..operators.projection import random_project
 
     emb = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 32)
@@ -837,28 +838,25 @@ def q81_random_projection_pairs(
         F.col("embedding").cast("array<double>").alias("v"),
         F.col("rp").alias("p"),
     )
-
-    def sqdist(a: Column, b: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    l = proj.select(
+    lhs = proj.select(
         F.col("vec_id").alias("ida"),
         F.col("v").alias("va"),
         F.col("p").alias("pa"),
     )
-    r = proj.select(
+    rhs = proj.select(
         F.col("vec_id").alias("idb"),
         F.col("v").alias("vb"),
         F.col("p").alias("pb"),
     )
-    pairs = l.join(F.broadcast(r), F.col("ida") < F.col("idb")).select(
-        (
-            sqdist(F.col("pa"), F.col("pb"))
-            / sqdist(F.col("va"), F.col("vb"))
+    # try_divide: a duplicate-vector pair (zero original distance) has
+    # no defined distortion - it must drop out of the percentile/min/
+    # max as NULL rather than raise under ANSI or skew the flags
+    pairs = lhs.join(
+        F.broadcast(rhs), F.col("ida") < F.col("idb")
+    ).select(
+        F.try_divide(
+            l2_sq(F.col("pa"), F.col("pb")),
+            l2_sq(F.col("va"), F.col("vb")),
         ).alias("ratio")
     )
     stats = pairs.agg(
@@ -867,12 +865,14 @@ def q81_random_projection_pairs(
         F.max("ratio").alias("mx"),
         F.min("ratio").alias("mn"),
     ).first()
+    degenerate = stats["med"] is None  # every pair had zero distance
     return spark.createDataFrame(
         [
             (
                 stats["n_pairs"],
-                bool(0.5 < stats["med"] < 1.5),
-                bool(stats["mn"] > 0.05 and stats["mx"] < 5.0),
+                (not degenerate) and bool(0.5 < stats["med"] < 1.5),
+                (not degenerate)
+                and bool(stats["mn"] > 0.05 and stats["mx"] < 5.0),
             )
         ],
         "n_pairs long, median_ok boolean, max_ok boolean",

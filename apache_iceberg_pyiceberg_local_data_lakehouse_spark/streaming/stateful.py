@@ -253,12 +253,20 @@ def streaming_gaps(
     us = _every_us(min_gap)
     from pyspark.sql.types import TimestampNTZType
 
-    ts = F.col(ts_col)
     if isinstance(stream.schema[ts_col].dataType, TimestampNTZType):
-        ts = ts.cast("timestamp")  # same treatment as detect_gaps
+        # wall-clock micros since the NTZ epoch - zone-free, so the
+        # state diffs match detect_gaps' timestampdiff arithmetic in
+        # ANY session zone (a cast through TIMESTAMP would warp
+        # spacings across DST transitions)
+        ts_us = F.expr(
+            "timestampdiff(MICROSECOND, "
+            f"TIMESTAMP_NTZ '1970-01-01 00:00:00', `{ts_col}`)"
+        )
+    else:
+        ts_us = F.unix_micros(F.col(ts_col))
     prepared = stream.where(F.col(ts_col).isNotNull()).select(
         F.col(key_col).alias("key"),
-        F.unix_micros(ts).alias("ts_us"),
+        ts_us.alias("ts_us"),
     )
     out_schema = StructType(
         [

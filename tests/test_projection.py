@@ -140,3 +140,47 @@ def test_random_project_deterministic_and_jl(spark):
     d_proj = ((P[0] - P[1:]) ** 2).sum(axis=1)
     ratio = d_proj / d_orig
     assert 0.3 < np.median(ratio) < 1.7
+
+
+def test_transform_and_project_null_ragged_passthrough(spark):
+    """The transform is total over the rows the fit excluded: NULL and
+    wrong-width vectors come back as NULL projections, never a crash."""
+    X, _ = _toy(spark, n=10, dim=6)
+    rows = [(i, [float(x) for x in X[i]]) for i in range(10)]
+    rows += [(100, None), (101, [1.0, 2.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    model = pca_fit(df, k=2)
+    got = {r["vec_id"]: r["pca"] for r in pca_transform(df, model).collect()}
+    assert got[100] is None and got[101] is None
+    assert got[0] is not None and len(got[0]) == 2
+    rp = {r["vec_id"]: r["rp"] for r in random_project(df, 3).collect()}
+    assert rp[100] is None and rp[101] is None and len(rp[0]) == 3
+
+
+def test_dim_probe_skips_leading_null(spark):
+    """A NULL vector in the first scanned row must not poison the
+    width probe (ANSI size(NULL) = NULL)."""
+    df = spark.createDataFrame(
+        [(0, None)] + [(i, [float(i), 1.0]) for i in range(1, 6)],
+        "vec_id long, embedding array<double>",
+    )
+    model = pca_fit(df.coalesce(1), k=1)
+    assert model.n == 5
+    assert len(random_project(df.coalesce(1), 2).collect()) == 6
+
+
+def test_reconstruction_error_holdout_normalization(spark):
+    """The denominator comes from the SCORED frame, not the fit corpus:
+    a holdout slice must not be silently divided by the fit count."""
+    X, df = _toy(spark, n=200, dim=6, seed=13)
+    model = pca_fit(df, k=2)
+    holdout = df.where("vec_id < 20")
+    mse_hold = pca_reconstruction_error(holdout, model)
+    W = np.asarray(model.components)
+    mu = np.asarray(model.mean)
+    Xc = X[:20] - mu
+    R = (Xc @ W.T) @ W
+    expected = ((Xc - R) ** 2).sum() / (20 - 1)
+    assert mse_hold == pytest.approx(expected, rel=1e-9)
+    with pytest.raises(ValueError, match=">= 2 valid"):
+        pca_reconstruction_error(df.where("vec_id < 0"), model)

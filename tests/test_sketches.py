@@ -305,3 +305,38 @@ def test_kll_rollup_null_handling(spark):
     fine = kll_rollup(df, "v", ["fine"], k=200)
     got = kll_rollup_merge(fine, "v", [0.5]).collect()[0]
     assert got["n_rows"] == 2
+
+
+def test_overlap_with_empty_side_is_zero_not_null(spark):
+    """Intersecting with an empty corpus must report 0 exact overlap
+    and a TRUE flag - never NULLs from a SUM over zero rows."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.sketches import (
+        overlap_within_bound,
+    )
+
+    a = spark.range(100).select(F.col("id").alias("k"))
+    b = spark.range(0).select(F.col("id").alias("k"))
+    out = overlap_within_bound(a, b, "k").collect()[0]
+    assert (out["n_a"], out["n_b"], out["n_union"], out["n_intersect"]) == (
+        100, 0, 100, 0,
+    )
+    assert out["theta_ok"] is True
+
+
+def test_kll_quantile_naming_and_collision(spark):
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.sketches import (
+        kll_rollup,
+        kll_rollup_merge,
+    )
+
+    df = spark.range(1000).select(
+        (F.col("id") % 2).alias("fine"),
+        F.col("id").cast("double").alias("v"),
+    )
+    fine = kll_rollup(df, "v", ["fine"])
+    got = kll_rollup_merge(fine, "v", [0.5, 0.504, 0.995, 1.0])
+    assert {"q50", "q50_4", "q99_5", "q100"} <= set(got.columns)
+    import pytest
+
+    with pytest.raises(ValueError, match="collide"):
+        kll_rollup_merge(fine, "v", [0.5, 0.5])
