@@ -1278,6 +1278,152 @@ class LakehouseCatalog:
             view_agg,
         )
 
+    # fact-JOIN-dim aggregates: the third incremental-maintenance tier.
+    # With the DIM side frozen at its pinned version, every fact row
+    # contributes to the join result independently, so COUNT/SUM/MIN/
+    # MAX over the join distribute over fact appends exactly like the
+    # single-table tier: REFRESH joins ONLY the fact delta to the dim
+    # and MERGEs the partials - O(delta x dim-match + touched groups),
+    # never the fact history. A moved dim (or fact DML in range) falls
+    # back to full refresh - never to a wrong result.
+    _MV_JOIN_AGG_SHAPE = re.compile(
+        r"^\s*SELECT\s+(?P<items>.+?)\s+FROM\s+(?P<f>[A-Za-z_]\w*)\s+"
+        r"(?:INNER\s+)?JOIN\s+(?P<d>[A-Za-z_]\w*)\s+ON\s+(?P<on>.+?)"
+        r"(?:\s+WHERE\s+(?P<where>.+?))?"
+        r"\s+GROUP\s+BY\s+(?P<keys>.+?)\s*;?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _MV_JOIN_KEY = re.compile(
+        r"^\s*(?:(?P<qual>[A-Za-z_]\w*)\s*\.\s*)?(?P<col>[A-Za-z_]\w*)"
+        r"(?:\s+AS\s+(?P<alias>[A-Za-z_]\w*))?\s*$",
+        re.IGNORECASE,
+    )
+
+    def _mv_join_agg_spec(
+        self, sql_text: str
+    ) -> tuple[str, str, list[str], list[tuple[str, str]]] | None:
+        """Parse a join-aggregate MV: ``SELECT <bare/qualified key cols
+        and COUNT/SUM/MIN/MAX(expr) AS alias> FROM <fact view> [INNER]
+        JOIN <dim view> ON <cond> [WHERE ...] GROUP BY <the keys>``.
+        Returns (fact identifier, dim identifier, group columns, [(agg
+        alias, op)]) or None. Conservative gates in the family
+        tradition: AVG/DISTINCT/HAVING/expression keys, a self-join,
+        outer joins, subqueries, or extra plan nodes all decline to
+        full refresh. Which side is the FACT is positional (the left
+        table): its appends refresh incrementally, the right side is
+        the pinned dim."""
+        if re.search(
+            r"\b(DISTINCT|HAVING|LEFT|RIGHT|FULL|CROSS|SEMI|ANTI)\b",
+            sql_text,
+            re.IGNORECASE,
+        ):
+            return None
+        m = self._MV_JOIN_AGG_SHAPE.match(sql_text)
+        if m is None:
+            return None
+        f_view, d_view = m.group("f"), m.group("d")
+        if f_view.lower() == d_view.lower():
+            return None  # self-join: one delta side is not enough
+
+        def resolve(view: str) -> str | None:
+            hits = [
+                ident
+                for ns in self.list_namespaces()
+                for ident in self.list_tables(ns)
+                if self.view_name(ident) == view
+            ]
+            return hits[0] if len(hits) == 1 else None
+
+        fact, dim = resolve(f_view), resolve(d_view)
+        if fact is None or dim is None:
+            return None
+        group_cols: list[str] = []
+        key_names: dict[str, set[str]] = {}  # out name -> GROUP BY spellings
+        aggs: list[tuple[str, str]] = []
+        out_names: list[str] = []
+        parts = [p.strip() for p in _split_top_level(m.group("items"))]
+        for i, part in enumerate(parts):
+            im = self._MV_AGG_ITEM.match(part)
+            if im is not None:
+                op = im.group("op").lower()
+                arg = im.group("arg").strip()
+                alias = im.group("alias")
+                if (
+                    op == "avg"
+                    or im.group("distinct")
+                    or alias.startswith("__mv_")
+                    or (arg == "*" and op != "count")
+                    or re.search(
+                        r"\b(COUNT|SUM|MIN|MAX|AVG)\b", arg, re.IGNORECASE
+                    )
+                    or self._MV_NONDETERMINISTIC.search(arg)
+                ):
+                    return None
+                aggs.append((alias, op))
+                out_names.append(alias)
+                continue
+            km = self._MV_JOIN_KEY.match(part)
+            if km is None:
+                return None  # expression key: decline
+            name = km.group("alias") or km.group("col")
+            if name.startswith("__mv_"):
+                return None
+            group_cols.append(name)
+            out_names.append(name)
+            spellings = {name.lower(), km.group("col").lower(), str(i + 1)}
+            if km.group("qual"):
+                spellings.add(
+                    f"{km.group('qual')}.{km.group('col')}".lower()
+                )
+            key_names[name] = spellings
+        if not aggs or not group_cols:
+            return None  # global join-agg: keep v1 keyed (merge path)
+        if len(set(out_names)) != len(out_names):
+            return None
+
+        def norm(s: str) -> str:
+            return re.sub(r"\s*\.\s*", ".", re.sub(r"\s+", " ", s.strip())).lower()
+
+        matched: set[str] = set()
+        for k in _split_top_level(m.group("keys")):
+            kn = norm(k)
+            hit = next(
+                (
+                    name
+                    for name, sp in key_names.items()
+                    if kn in sp
+                ),
+                None,
+            )
+            if hit is None:
+                return None
+            matched.add(hit)
+        if matched != set(key_names):
+            return None
+        # plan guard: exactly one Aggregate over exactly one INNER
+        # join, nothing else non-distributive (subqueries, windows, a
+        # hidden second join from a view definition)
+        try:
+            self.register_views()
+            plan = str(
+                self.spark.sql(sql_text)._jdf.queryExecution().analyzed()
+            )
+        except Exception:
+            return None
+        bad = tuple(
+            tok
+            for tok in self._MV_NON_DISTRIBUTIVE
+            if tok not in ("Aggregate", "Join")
+        )
+        if (
+            any(tok in plan for tok in bad)
+            or plan.count("Aggregate") != 1
+            or plan.count("Join") != 1
+            or "Join Inner" not in plan
+        ):
+            return None
+        return fact, dim, group_cols, aggs
+
     def _pin_base_view(self, base_ident: str) -> int:
         """Register the base table's view at an EXACT pinned version and
         return it - the recorded mv.base_version must be precisely the
@@ -1359,6 +1505,21 @@ class LakehouseCatalog:
                     # applied in the view projection (create_view);
                     # the stored rows are the hidden unfiltered state
                     props["mv.having"] = having
+            else:
+                join_spec = self._mv_join_agg_spec(sql_text)
+                if join_spec is not None:
+                    fact, dim, group_cols, aggs = join_spec
+                    props["mv.base_table"] = fact
+                    props["mv.base_version"] = str(
+                        self._pin_base_view(fact)
+                    )
+                    props["mv.join_dim"] = dim
+                    props["mv.join_dim_version"] = str(
+                        self._pin_base_view(dim)
+                    )
+                    props["mv.refresh_mode"] = "join_agg"
+                    props["mv.group_cols"] = json.dumps(group_cols)
+                    props["mv.aggs"] = json.dumps(aggs)
         src = self.spark.sql(
             props.get("mv.store_query", sql_text)
         ).localCheckpoint(eager=True)
@@ -1393,6 +1554,8 @@ class LakehouseCatalog:
             )
         self.register_views()
         self._register_stored_views()
+        if props.get("mv.refresh_mode") == "join_agg":
+            return self._refresh_join_agg(t, props, sql_text)
         base_ident = props.get("mv.base_table")
         base_v = props.get("mv.base_version")
         if base_ident is not None and base_v is not None:
@@ -1919,6 +2082,62 @@ class LakehouseCatalog:
             when_not_matched="insert",
             **merge_kwargs,
         )
+
+    def _refresh_join_agg(
+        self, t: LakehouseTable, props: dict, sql_text: str
+    ):
+        """Refresh a fact-JOIN-dim aggregate MV. Incremental iff the
+        dim is EXACTLY at its pinned version and the fact advanced
+        append-only: the stored query runs with the fact view bound to
+        the append-diff (the dim side small enough to broadcast lets
+        AQE pick the broadcast join on its own) and the partials MERGE
+        on the group keys via the single-table machinery. A moved dim
+        invalidates every materialized group that joined its changed
+        rows - undetectable without dim CDC - so it full-refreshes and
+        re-pins; fact DML in range likewise (join partials are not
+        stored in invertible form)."""
+        from .dml import overwrite_partitions, truncate_table
+
+        fact_ident = props["mv.base_table"]
+        dim_ident = props["mv.join_dim"]
+        ft = self.load_table(fact_ident)
+        dt = self.load_table(dim_ident)
+        fact_v, dim_v = ft.current_version(), dt.current_version()
+        dim_pinned = dim_v == int(props["mv.join_dim_version"])
+        base_v = int(props["mv.base_version"])
+        if dim_pinned and fact_v == base_v:
+            return None  # both sides unmoved: no commit
+        if dim_pinned and fact_v > base_v:
+            try:
+                delta = ft.scan_incremental(base_v, fact_v)
+            except ValueError:
+                pass  # fact DML in range: full refresh below
+            else:
+                delta.createOrReplaceTempView(self.view_name(fact_ident))
+                inc = self.spark.sql(sql_text).localCheckpoint(eager=True)
+                # restore the fact's public view immediately (the MV
+                # watcher / concurrent-reader discipline, r8 finding)
+                ft.scan(
+                    snapshot=ft.snapshot(fact_v)
+                ).createOrReplaceTempView(self.view_name(fact_ident))
+                snap = self._merge_agg_delta(t, props, inc)
+                if snap is not NotImplemented:
+                    t.set_properties(**{"mv.base_version": str(fact_v)})
+                    return snap
+                # NULL group key in the delta: fall through to full
+        new_fact_v = self._pin_base_view(fact_ident)
+        new_dim_v = self._pin_base_view(dim_ident)
+        src = self.spark.sql(sql_text)
+        snap = overwrite_partitions(t, src)
+        if snap is None:
+            snap = truncate_table(t)
+        t.set_properties(
+            **{
+                "mv.base_version": str(new_fact_v),
+                "mv.join_dim_version": str(new_dim_v),
+            }
+        )
+        return snap
 
     def _merge_agg_delta(self, t: LakehouseTable, props: dict, inc: DataFrame):
         """Merge an aggregated append-diff into an 'agg'-mode MV: the

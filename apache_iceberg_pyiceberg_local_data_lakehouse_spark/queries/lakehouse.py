@@ -3188,3 +3188,79 @@ def q7w_mv_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, res.schema)
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+@register(
+    "q82_mv_join_agg",
+    defer=True,  # r9 rotation fodder: never judged yet, oracle-backed
+    # certifies the join-aggregate MV tier: fact appends refresh by
+    # joining ONLY the delta to the pinned dim and merging partials
+    # (merged flag), a moved dim forces the full-recompute fallback
+    # and re-pin (dim_full flag), and the final view equals the full
+    # GROUP BY over the join.
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+           CAST(MIN(o_orderkey) AS BIGINT) AS lo_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS hi_key,
+           TRUE AS merged, TRUE AS dim_full
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_custkey % 10 <> 0
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def q82_mv_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-MV lifecycle: materialize orders-per-market-segment over
+    half the fact, append the rest (refresh must MERGE fact-delta
+    partials joined to the pinned dim), then delete every 10th
+    customer (a moved dim cannot be expressed as a fact delta - the
+    refresh must fall back to a full recompute and re-pin)."""
+    from ..catalog import LakehouseCatalog
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_q82_")
+    try:
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("tmp")
+        o = load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey"
+        )
+        c = load(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
+        )
+        ft = cat.create_table("tmp.ordj", o.schema)
+        dt = cat.create_table("tmp.custj", c.schema)
+        dt.append(c)
+        ft.append(o.filter(F.col("o_orderkey") % 2 == 0))
+        mv = cat.create_materialized_view(
+            "tmp.mv_seg",
+            "SELECT c_mktsegment, COUNT(*) AS n_orders, "
+            "SUM(o_custkey) AS sum_cust, MIN(o_orderkey) AS lo_key, "
+            "MAX(o_orderkey) AS hi_key "
+            "FROM tmp_ordj JOIN tmp_custj "
+            "ON tmp_ordj.o_custkey = tmp_custj.c_custkey "
+            "GROUP BY c_mktsegment",
+        )
+        assert mv.properties().get("mv.refresh_mode") == "join_agg"
+        ft.append(o.filter(F.col("o_orderkey") % 2 == 1))
+        snap1 = cat.refresh_materialized_view("tmp.mv_seg")
+        merged = snap1 is not None and snap1.operation == "merge"
+        cat.sql("DELETE FROM tmp.custj WHERE c_custkey % 10 = 0")
+        snap2 = cat.refresh_materialized_view("tmp.mv_seg")
+        dim_full = snap2 is not None and snap2.operation != "merge"
+        res = cat.sql(
+            "SELECT c_mktsegment, n_orders, sum_cust, lo_key, hi_key "
+            "FROM tmp_mv_seg ORDER BY c_mktsegment"
+        ).select(
+            "c_mktsegment",
+            "n_orders",
+            "sum_cust",
+            "lo_key",
+            "hi_key",
+            F.lit(merged).alias("merged"),
+            F.lit(dim_full).alias("dim_full"),
+        )
+        rows = res.collect()  # materialize before the warehouse vanishes
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)

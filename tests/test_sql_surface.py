@@ -1746,3 +1746,164 @@ def test_sql_metadata_tables(catalog, spark):
         "SELECT MAX(version) AS v FROM gold.meta.snapshots"
     ).first()["v"]
     assert latest == t.current_version()
+
+
+# -- join-aggregate MVs (fact JOIN dim, r8) ----------------------------
+
+
+def _join_fixture(catalog, spark, suffix=""):
+    f = catalog.create_table(
+        f"gold.fact{suffix}",
+        spark.createDataFrame([], "fk long, v long").schema,
+    )
+    d = catalog.create_table(
+        f"gold.dim{suffix}",
+        spark.createDataFrame([], "k long, seg string").schema,
+    )
+    d.append(
+        spark.createDataFrame(
+            [(1, "A"), (2, "A"), (3, "B")], "k long, seg string"
+        )
+    )
+    f.append(
+        spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30), (1, 5)], "fk long, v long"
+        )
+    )
+    return f, d
+
+
+def _expected_join(catalog, spark, suffix=""):
+    catalog.register_views()
+    return {
+        tuple(r)
+        for r in spark.sql(
+            f"SELECT seg, COUNT(*) AS n, SUM(v) AS sv, MIN(v) AS lo, "
+            f"MAX(v) AS hi FROM gold_fact{suffix} JOIN gold_dim{suffix} "
+            f"ON gold_fact{suffix}.fk = gold_dim{suffix}.k GROUP BY seg"
+        ).collect()
+    }
+
+
+def test_mv_join_agg_incremental_refresh(catalog, spark):
+    """Fact-JOIN-dim aggregates refresh by joining ONLY the fact delta
+    to the pinned dim and merging partials - append commits a merge,
+    values always equal the full recompute, and an up-to-date MV is a
+    no-op."""
+    f, d = _join_fixture(catalog, spark)
+    mv = catalog.create_materialized_view(
+        "gold.jmv",
+        "SELECT seg, COUNT(*) AS n, SUM(v) AS sv, MIN(v) AS lo, "
+        "MAX(v) AS hi FROM gold_fact JOIN gold_dim "
+        "ON gold_fact.fk = gold_dim.k GROUP BY seg",
+    )
+    props = mv.properties()
+    assert props.get("mv.refresh_mode") == "join_agg"
+    assert props.get("mv.join_dim") == "gold.dim"
+
+    def via_view():
+        catalog.register_views()
+        return {
+            tuple(r)
+            for r in spark.sql("SELECT * FROM gold_jmv").collect()
+        }
+
+    assert via_view() == _expected_join(catalog, spark)
+    assert catalog.refresh_materialized_view("gold.jmv") is None
+
+    # fact append: new group (seg B gets more) + existing groups merge
+    f.append(
+        spark.createDataFrame([(3, 1), (2, 2)], "fk long, v long")
+    )
+    snap = catalog.refresh_materialized_view("gold.jmv")
+    assert snap.operation == "merge"
+    assert via_view() == _expected_join(catalog, spark)
+
+    # a fact row with no dim match contributes nothing (inner join)
+    f.append(spark.createDataFrame([(99, 1000)], "fk long, v long"))
+    snap = catalog.refresh_materialized_view("gold.jmv")
+    assert snap.operation == "merge"
+    assert via_view() == _expected_join(catalog, spark)
+
+
+def test_mv_join_agg_dim_move_full_refreshes(catalog, spark):
+    """A moved dim invalidates materialized groups in ways fact deltas
+    cannot express: the refresh must be a FULL recompute (and re-pin),
+    after which fact appends are incremental again."""
+    f, d = _join_fixture(catalog, spark, "2")
+    catalog.create_materialized_view(
+        "gold.jmv2",
+        "SELECT seg, COUNT(*) AS n, SUM(v) AS sv, MIN(v) AS lo, "
+        "MAX(v) AS hi FROM gold_fact2 JOIN gold_dim2 "
+        "ON gold_fact2.fk = gold_dim2.k GROUP BY seg",
+    )
+    # dim UPDATE: row 3 changes segment B -> C
+    catalog.sql("UPDATE gold.dim2 SET seg = 'C' WHERE k = 3")
+    snap = catalog.refresh_materialized_view("gold.jmv2")
+    assert snap is not None and snap.operation != "merge"
+
+    def via_view():
+        catalog.register_views()
+        return {
+            tuple(r)
+            for r in spark.sql("SELECT * FROM gold_jmv2").collect()
+        }
+
+    assert via_view() == _expected_join(catalog, spark, "2")
+    # re-pinned: fact appends merge again
+    f.append(spark.createDataFrame([(1, 7)], "fk long, v long"))
+    snap = catalog.refresh_materialized_view("gold.jmv2")
+    assert snap.operation == "merge"
+    assert via_view() == _expected_join(catalog, spark, "2")
+    # fact DML in range: full refresh, still exact
+    catalog.sql("DELETE FROM gold.fact2 WHERE v = 30")
+    snap = catalog.refresh_materialized_view("gold.jmv2")
+    assert snap is not None and snap.operation != "merge"
+    assert via_view() == _expected_join(catalog, spark, "2")
+
+
+def test_mv_join_agg_shape_gates(catalog, spark):
+    """Outer joins, AVG, DISTINCT, expression keys, self-joins and
+    NULL-in-delta group keys stay on the always-correct paths."""
+    f, d = _join_fixture(catalog, spark, "3")
+    declined = [
+        # outer join: dim-side NULL extension is not fact-distributive
+        "SELECT seg, COUNT(*) AS n FROM gold_fact3 LEFT JOIN gold_dim3 "
+        "ON gold_fact3.fk = gold_dim3.k GROUP BY seg",
+        # AVG: needs decomposed partials (single-table tier only)
+        "SELECT seg, AVG(v) AS m FROM gold_fact3 JOIN gold_dim3 "
+        "ON gold_fact3.fk = gold_dim3.k GROUP BY seg",
+        # expression key
+        "SELECT concat(seg, 'x') AS s2, COUNT(*) AS n FROM gold_fact3 "
+        "JOIN gold_dim3 ON gold_fact3.fk = gold_dim3.k GROUP BY s2",
+        # self-join
+        "SELECT a.fk AS fk, COUNT(*) AS n FROM gold_fact3 a "
+        "JOIN gold_fact3 b ON a.fk = b.fk GROUP BY a.fk",
+    ]
+    for i, q in enumerate(declined):
+        mv = catalog.create_materialized_view(f"gold.jgate{i}", q)
+        assert mv.properties().get("mv.refresh_mode") != "join_agg", q
+        f.append(spark.createDataFrame([(1, 1)], "fk long, v long"))
+        catalog.refresh_materialized_view(f"gold.jgate{i}")
+
+
+def test_mv_join_agg_null_delta_key_falls_back(catalog, spark):
+    """A NULL group key arriving in the fact delta (NULL seg via a dim
+    row with NULL seg) cannot be MERGE-addressed: the refresh must
+    fall back to full and stay exact."""
+    f, d = _join_fixture(catalog, spark, "4")
+    d.append(spark.createDataFrame([(7, None)], "k long, seg string"))
+    catalog.create_materialized_view(
+        "gold.jmv4",
+        "SELECT seg, COUNT(*) AS n, SUM(v) AS sv, MIN(v) AS lo, "
+        "MAX(v) AS hi FROM gold_fact4 JOIN gold_dim4 "
+        "ON gold_fact4.fk = gold_dim4.k GROUP BY seg",
+    )
+    f.append(spark.createDataFrame([(7, 70)], "fk long, v long"))
+    snap = catalog.refresh_materialized_view("gold.jmv4")
+    assert snap is not None  # merged or full - but always exact
+    catalog.register_views()
+    got = {
+        tuple(r) for r in spark.sql("SELECT * FROM gold_jmv4").collect()
+    }
+    assert got == _expected_join(catalog, spark, "4")
