@@ -742,6 +742,11 @@ class LakehouseCatalog:
             return None
         if any(tok in plan for tok in self._MV_NON_DISTRIBUTIVE):
             return None
+        if self._MV_NONDETERMINISTIC.search(sql_text):
+            # a refresh-variant predicate/projection (current_date()
+            # etc.) evaluates differently over each delta than it did
+            # over the materialization - decline to full refresh
+            return None
         cands = [
             ident
             for ns in self.list_namespaces()
@@ -788,6 +793,21 @@ class LakehouseCatalog:
         r"\b(current_date|current_timestamp|current_user|session_user)\b",
         re.IGNORECASE,
     )
+
+    @staticmethod
+    def _agg_item_rejected(op: str, arg: str, alias: str) -> bool:
+        """Per-aggregate-item gates shared by the single-table and
+        join parsers: reserved output names, ``*`` outside COUNT, and
+        nested aggregates all decline to full refresh."""
+        return (
+            alias.startswith("__mv_")
+            or (arg == "*" and op != "count")
+            or bool(
+                re.search(
+                    r"\b(COUNT|SUM|MIN|MAX|AVG)\b", arg, re.IGNORECASE
+                )
+            )
+        )
 
     def _mv_agg_spec(
         self, sql_text: str
@@ -872,6 +892,12 @@ class LakehouseCatalog:
         m = self._MV_AGG_SHAPE.match(sql_text)
         if m is None:
             return None
+        if m.group("where") and self._MV_NONDETERMINISTIC.search(
+            m.group("where")
+        ):
+            # a refresh-variant WHERE would admit different rows into
+            # the delta than the materialization's - decline
+            return None
 
         def norm(s: str) -> str:
             return re.sub(r"\s+", " ", s.strip()).lower()
@@ -901,13 +927,7 @@ class LakehouseCatalog:
                 arg = im.group("arg").strip()
                 op = im.group("op").lower()
                 alias = im.group("alias")
-                if alias.startswith("__mv_"):
-                    return None
-                if re.search(
-                    r"\b(COUNT|SUM|MIN|MAX|AVG)\b", arg, re.IGNORECASE
-                ):
-                    return None  # nested aggregate
-                if arg == "*" and op != "count":
+                if self._agg_item_rejected(op, arg, alias):
                     return None
                 if im.group("distinct"):
                     # only a single COUNT(DISTINCT expr) has the
@@ -1321,6 +1341,14 @@ class LakehouseCatalog:
         m = self._MV_JOIN_AGG_SHAPE.match(sql_text)
         if m is None:
             return None
+        # a refresh-variant ON/WHERE (current_date() etc.) would filter
+        # only the DELTA with the new value while materialized rows
+        # keep the old one - decline to full refresh
+        if self._MV_NONDETERMINISTIC.search(m.group("on")) or (
+            m.group("where")
+            and self._MV_NONDETERMINISTIC.search(m.group("where"))
+        ):
+            return None
         f_view, d_view = m.group("f"), m.group("d")
         if f_view.lower() == d_view.lower():
             return None  # self-join: one delta side is not enough
@@ -1351,11 +1379,7 @@ class LakehouseCatalog:
                 if (
                     op == "avg"
                     or im.group("distinct")
-                    or alias.startswith("__mv_")
-                    or (arg == "*" and op != "count")
-                    or re.search(
-                        r"\b(COUNT|SUM|MIN|MAX|AVG)\b", arg, re.IGNORECASE
-                    )
+                    or self._agg_item_rejected(op, arg, alias)
                     or self._MV_NONDETERMINISTIC.search(arg)
                 ):
                     return None
@@ -1437,6 +1461,29 @@ class LakehouseCatalog:
         )
         return v
 
+    @staticmethod
+    def _snap_id(bt, version: int) -> str | None:
+        """The snapshot UUID at ``version``, or None when that version
+        is gone (expired or the table was dropped and recreated)."""
+        try:
+            return bt.snapshot(int(version)).snapshot_id
+        except Exception:
+            return None
+
+    def _pin_props(self, ident: str, vkey: str, skey: str) -> dict:
+        """Pin ``ident``'s view and return {version, snapshot-id}
+        properties. Version NUMBERS alone cannot prove a base is the
+        one the MV materialized - a dropped-and-recreated table counts
+        back up to the same number with different contents (r8 review
+        finding, empirically a wrong-results bug) - so every pin
+        records the snapshot UUID and every refresh checks it."""
+        v = self._pin_base_view(ident)
+        sid = self._snap_id(self.load_table(ident), v)
+        out = {vkey: str(v)}
+        if sid is not None:
+            out[skey] = sid
+        return out
+
     def create_materialized_view(self, identifier: str, sql_text: str):
         """A table whose contents are a stored query's result: created
         by running the query once (CTAS), refreshed on demand. Readers
@@ -1461,7 +1508,11 @@ class LakehouseCatalog:
         base_ident = self._mv_incremental_base(sql_text)
         if base_ident is not None:
             props["mv.base_table"] = base_ident
-            props["mv.base_version"] = str(self._pin_base_view(base_ident))
+            props.update(
+                self._pin_props(
+                    base_ident, "mv.base_version", "mv.base_snapshot"
+                )
+            )
         else:
             agg_spec = self._mv_agg_spec(sql_text)
             if agg_spec is not None:
@@ -1477,8 +1528,10 @@ class LakehouseCatalog:
                     view_agg,
                 ) = agg_spec
                 props["mv.base_table"] = base_ident
-                props["mv.base_version"] = str(
-                    self._pin_base_view(base_ident)
+                props.update(
+                    self._pin_props(
+                        base_ident, "mv.base_version", "mv.base_snapshot"
+                    )
                 )
                 props["mv.refresh_mode"] = "agg"
                 props["mv.group_cols"] = json.dumps(group_cols)
@@ -1510,12 +1563,18 @@ class LakehouseCatalog:
                 if join_spec is not None:
                     fact, dim, group_cols, aggs = join_spec
                     props["mv.base_table"] = fact
-                    props["mv.base_version"] = str(
-                        self._pin_base_view(fact)
+                    props.update(
+                        self._pin_props(
+                            fact, "mv.base_version", "mv.base_snapshot"
+                        )
                     )
                     props["mv.join_dim"] = dim
-                    props["mv.join_dim_version"] = str(
-                        self._pin_base_view(dim)
+                    props.update(
+                        self._pin_props(
+                            dim,
+                            "mv.join_dim_version",
+                            "mv.join_dim_snapshot",
+                        )
                     )
                     props["mv.refresh_mode"] = "join_agg"
                     props["mv.group_cols"] = json.dumps(group_cols)
@@ -1561,12 +1620,29 @@ class LakehouseCatalog:
         if base_ident is not None and base_v is not None:
             bt = self.load_table(base_ident)
             cur_v = bt.current_version()
-            if cur_v == int(base_v):
+            # the pinned version must be the SAME SNAPSHOT the MV
+            # materialized - a dropped-and-recreated base counts back
+            # to the same number with different contents, and version
+            # equality alone would serve stale/wrong results (r8
+            # review finding on the join tier; same hole here)
+            rec_sid = props.get("mv.base_snapshot")
+            lineage_ok = rec_sid is None or (
+                self._snap_id(bt, int(base_v)) == rec_sid
+            )
+
+            def advance_pin(v: int) -> None:
+                upd = {"mv.base_version": str(v)}
+                sid = self._snap_id(bt, v)
+                if sid is not None:
+                    upd["mv.base_snapshot"] = sid
+                t.set_properties(**upd)
+
+            if lineage_ok and cur_v == int(base_v):
                 return None  # already up to date: no commit
             # cur_v < base_v means the base was dropped/recreated (its
             # history restarted): an empty diff would silently miss the
             # new table's initial rows - full-refresh instead
-            if cur_v > int(base_v):
+            if lineage_ok and cur_v > int(base_v):
                 try:
                     delta = bt.scan_incremental(int(base_v), cur_v)
                 except ValueError:
@@ -1579,9 +1655,7 @@ class LakehouseCatalog:
                             t, props, bt, int(base_v), cur_v
                         )
                         if snap is not NotImplemented:
-                            t.set_properties(
-                                **{"mv.base_version": str(cur_v)}
-                            )
+                            advance_pin(cur_v)
                             return snap
                     # not invertible / state missing: full refresh
                 else:
@@ -1608,9 +1682,7 @@ class LakehouseCatalog:
                     if props.get("mv.refresh_mode") == "agg":
                         snap = self._merge_agg_delta(t, props, inc)
                         if snap is not NotImplemented:
-                            t.set_properties(
-                                **{"mv.base_version": str(cur_v)}
-                            )
+                            advance_pin(cur_v)
                             return snap
                         # NULL group key in the delta: fall through to
                         # the full-refresh path below
@@ -1618,18 +1690,20 @@ class LakehouseCatalog:
                         snap = (
                             t.append(inc) if inc.count() else t.snapshot()
                         )
-                        t.set_properties(**{"mv.base_version": str(cur_v)})
+                        advance_pin(cur_v)
                         return snap
         # full refresh; MV tables are created unpartitioned, so the
         # non-empty path is a full-table replace in one commit
         if base_ident is not None:
-            new_base_v = self._pin_base_view(base_ident)
+            new_pin = self._pin_props(
+                base_ident, "mv.base_version", "mv.base_snapshot"
+            )
         src = self.spark.sql(props.get("mv.store_query", sql_text))
         snap = overwrite_partitions(t, src)
         if snap is None:
             snap = truncate_table(t)
         if base_ident is not None:
-            t.set_properties(**{"mv.base_version": str(new_base_v)})
+            t.set_properties(**new_pin)
         return snap
 
     def _sql_merge(self, m: re.Match) -> DataFrame:
@@ -2103,11 +2177,48 @@ class LakehouseCatalog:
         ft = self.load_table(fact_ident)
         dt = self.load_table(dim_ident)
         fact_v, dim_v = ft.current_version(), dt.current_version()
-        dim_pinned = dim_v == int(props["mv.join_dim_version"])
         base_v = int(props["mv.base_version"])
-        if dim_pinned and fact_v == base_v:
-            return None  # both sides unmoved: no commit
-        if dim_pinned and fact_v > base_v:
+        pinned_dim_v = int(props["mv.join_dim_version"])
+        # pins verify SNAPSHOT IDENTITY, not version numbers - a
+        # dropped-and-recreated table counts back to the same number
+        # with different contents (r8 review finding, empirically a
+        # wrong-results bug on this tier)
+        fact_sid = props.get("mv.base_snapshot")
+        fact_lineage = fact_sid is None or (
+            self._snap_id(ft, base_v) == fact_sid
+        )
+        dim_sid = props.get("mv.join_dim_snapshot")
+        dim_lineage = dim_sid is None or (
+            self._snap_id(dt, pinned_dim_v) == dim_sid
+        )
+        dim_pinned = dim_lineage and dim_v == pinned_dim_v
+        dim_repin: dict = {}
+        if dim_lineage and not dim_pinned and dim_v > pinned_dim_v:
+            # content-preserving dim commits (empty appends, property
+            # sets) must not force an O(fact) recompute: an append-only
+            # range contributing ZERO rows proves the join input is
+            # unchanged - re-pin the markers and stay incremental.
+            # Real appends/DML change existing groups' join matches,
+            # which no fact delta can express: full refresh below.
+            try:
+                if (
+                    dt.scan_incremental(pinned_dim_v, dim_v)
+                    .limit(1)
+                    .count()
+                    == 0
+                ):
+                    dim_pinned = True
+                    dim_repin = {"mv.join_dim_version": str(dim_v)}
+                    sid = self._snap_id(dt, dim_v)
+                    if sid is not None:
+                        dim_repin["mv.join_dim_snapshot"] = sid
+            except ValueError:
+                pass
+        if dim_pinned and fact_lineage and fact_v == base_v:
+            if dim_repin:
+                t.set_properties(**dim_repin)
+            return None  # both sides' contents unmoved: no commit
+        if dim_pinned and fact_lineage and fact_v > base_v:
             try:
                 delta = ft.scan_incremental(base_v, fact_v)
             except ValueError:
@@ -2122,21 +2233,26 @@ class LakehouseCatalog:
                 ).createOrReplaceTempView(self.view_name(fact_ident))
                 snap = self._merge_agg_delta(t, props, inc)
                 if snap is not NotImplemented:
-                    t.set_properties(**{"mv.base_version": str(fact_v)})
+                    upd = {"mv.base_version": str(fact_v), **dim_repin}
+                    sid = self._snap_id(ft, fact_v)
+                    if sid is not None:
+                        upd["mv.base_snapshot"] = sid
+                    t.set_properties(**upd)
                     return snap
                 # NULL group key in the delta: fall through to full
-        new_fact_v = self._pin_base_view(fact_ident)
-        new_dim_v = self._pin_base_view(dim_ident)
+        new_pin = self._pin_props(
+            fact_ident, "mv.base_version", "mv.base_snapshot"
+        )
+        new_pin.update(
+            self._pin_props(
+                dim_ident, "mv.join_dim_version", "mv.join_dim_snapshot"
+            )
+        )
         src = self.spark.sql(sql_text)
         snap = overwrite_partitions(t, src)
         if snap is None:
             snap = truncate_table(t)
-        t.set_properties(
-            **{
-                "mv.base_version": str(new_fact_v),
-                "mv.join_dim_version": str(new_dim_v),
-            }
-        )
+        t.set_properties(**new_pin)
         return snap
 
     def _merge_agg_delta(self, t: LakehouseTable, props: dict, inc: DataFrame):

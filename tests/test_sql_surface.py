@@ -1819,11 +1819,16 @@ def test_mv_join_agg_incremental_refresh(catalog, spark):
     assert snap.operation == "merge"
     assert via_view() == _expected_join(catalog, spark)
 
-    # a fact row with no dim match contributes nothing (inner join)
+    # a fact row with no dim match contributes nothing (inner join):
+    # the empty delta advances the pin WITHOUT a new commit, and the
+    # next refresh is a no-op
+    before = mv.current_version()
     f.append(spark.createDataFrame([(99, 1000)], "fk long, v long"))
     snap = catalog.refresh_materialized_view("gold.jmv")
-    assert snap.operation == "merge"
+    assert snap is not None
+    assert catalog.load_table("gold.jmv").current_version() == before
     assert via_view() == _expected_join(catalog, spark)
+    assert catalog.refresh_materialized_view("gold.jmv") is None
 
 
 def test_mv_join_agg_dim_move_full_refreshes(catalog, spark):
@@ -1907,3 +1912,107 @@ def test_mv_join_agg_null_delta_key_falls_back(catalog, spark):
         tuple(r) for r in spark.sql("SELECT * FROM gold_jmv4").collect()
     }
     assert got == _expected_join(catalog, spark, "4")
+
+
+def test_mv_join_agg_recreated_dim_detected(catalog, spark):
+    """A dim dropped and recreated back to the SAME version number has
+    different contents under the same pin: the snapshot-identity check
+    must force a full refresh instead of merging fact deltas against
+    stored groups from the old dim (r8 review finding - previously a
+    silent wrong result)."""
+    f, d = _join_fixture(catalog, spark, "5")
+    catalog.create_materialized_view(
+        "gold.jmv5",
+        "SELECT seg, COUNT(*) AS n, SUM(v) AS sv, MIN(v) AS lo, "
+        "MAX(v) AS hi FROM gold_fact5 JOIN gold_dim5 "
+        "ON gold_fact5.fk = gold_dim5.k GROUP BY seg",
+    )
+    dim_v = d.current_version()
+    catalog.drop_table("gold.dim5")
+    d2 = catalog.create_table(
+        "gold.dim5", spark.createDataFrame([], "k long, seg string").schema
+    )
+    d2.append(
+        spark.createDataFrame(
+            [(1, "Z"), (2, "Z"), (3, "Z")], "k long, seg string"
+        )
+    )
+    assert d2.current_version() == dim_v  # same number, new lineage
+    f.append(spark.createDataFrame([(1, 1)], "fk long, v long"))
+    snap = catalog.refresh_materialized_view("gold.jmv5")
+    assert snap is not None and snap.operation != "merge"
+    catalog.register_views()
+    got = {
+        tuple(r) for r in spark.sql("SELECT * FROM gold_jmv5").collect()
+    }
+    assert got == _expected_join(catalog, spark, "5")
+
+
+def test_mv_join_agg_empty_dim_commit_stays_incremental(catalog, spark):
+    """A content-preserving dim commit (empty append) bumps the
+    version without changing the join input: the refresh must re-pin
+    and STAY on the fact-delta merge path, not recompute the fact."""
+    f, d = _join_fixture(catalog, spark, "6")
+    catalog.create_materialized_view(
+        "gold.jmv6",
+        "SELECT seg, COUNT(*) AS n, SUM(v) AS sv, MIN(v) AS lo, "
+        "MAX(v) AS hi FROM gold_fact6 JOIN gold_dim6 "
+        "ON gold_fact6.fk = gold_dim6.k GROUP BY seg",
+    )
+    d.append(spark.createDataFrame([], "k long, seg string"))
+    f.append(spark.createDataFrame([(1, 100)], "fk long, v long"))
+    snap = catalog.refresh_materialized_view("gold.jmv6")
+    assert snap.operation == "merge"
+    catalog.register_views()
+    got = {
+        tuple(r) for r in spark.sql("SELECT * FROM gold_jmv6").collect()
+    }
+    assert got == _expected_join(catalog, spark, "6")
+    # real dim rows arriving later still force the full path
+    d.append(spark.createDataFrame([(4, "D")], "k long, seg string"))
+    f.append(spark.createDataFrame([(4, 1)], "fk long, v long"))
+    snap = catalog.refresh_materialized_view("gold.jmv6")
+    assert snap is not None and snap.operation != "merge"
+    catalog.register_views()
+    got = {
+        tuple(r) for r in spark.sql("SELECT * FROM gold_jmv6").collect()
+    }
+    assert got == _expected_join(catalog, spark, "6")
+
+
+def test_mv_join_agg_nondeterministic_on_declines(catalog, spark):
+    _join_fixture(catalog, spark, "7")
+    mv = catalog.create_materialized_view(
+        "gold.jgate7",
+        "SELECT seg, COUNT(*) AS n FROM gold_fact7 JOIN gold_dim7 "
+        "ON gold_fact7.fk = gold_dim7.k "
+        "AND current_date > DATE '2000-01-01' GROUP BY seg",
+    )
+    assert mv.properties().get("mv.refresh_mode") != "join_agg"
+
+
+def test_mv_recreated_base_detected(catalog, spark):
+    """Single-table tier, same hole: a base dropped and recreated back
+    to the same version must not read as 'up to date' or feed a wrong
+    delta - snapshot identity forces the full path."""
+    t = catalog.create_table("gold.rb", _sales_df(spark, []).schema)
+    t.append(_sales_df(spark, [("a", 1), ("b", 2)]))
+    catalog.create_materialized_view(
+        "gold.rbmv",
+        "SELECT cat, COUNT(*) AS n, SUM(v) AS sv FROM gold_rb "
+        "GROUP BY cat",
+    )
+    base_v = t.current_version()
+    catalog.drop_table("gold.rb")
+    t2 = catalog.create_table("gold.rb", _sales_df(spark, []).schema)
+    t2.append(_sales_df(spark, [("z", 9)]))
+    assert t2.current_version() == base_v
+    # same version number: without the identity check this returns
+    # None ("fresh") and the MV silently serves the OLD table's groups
+    snap = catalog.refresh_materialized_view("gold.rbmv")
+    assert snap is not None and snap.operation != "merge"
+    catalog.register_views()
+    got = {
+        tuple(r) for r in spark.sql("SELECT * FROM gold_rbmv").collect()
+    }
+    assert got == {("z", 1, 9)}
