@@ -141,3 +141,52 @@ def mix_corpus(
         .filter(F.col("__cum_before") < dom_budget)
         .drop("__cum_before")
     )
+
+
+def train_val_test_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float] | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic, leakage-safe dataset split: every row whose
+    ``key_col`` hashes into the same band gets the same ``split``
+    label, so ALL rows sharing a key (a document's chunks, a user's
+    events, a source's pages) land in the same partition of the split
+    - the grouped-split discipline that keeps eval sets honest.
+
+    A pure projection: no shuffle, no state, append-stable (new rows
+    of a known key join its existing split; re-running on a grown
+    table never reassigns). ``weights`` maps label -> fraction (must
+    sum to 1); band boundaries are cumulative md5-prefix thresholds,
+    the :func:`sample_fraction` convention, so a SQL oracle can
+    reproduce the assignment exactly. ``salt`` re-rolls the assignment
+    (md5 of salt || key) without touching the schema."""
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    if not weights or any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative")
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    key = F.col(key_col).cast("string")
+    if salt:
+        key = F.concat(F.lit(salt), key)
+    prefix = F.substring(F.md5(key), 1, 8)
+    cum = 0.0
+    expr = None
+    labels = list(weights)
+    for label in labels[:-1]:
+        cum += weights[label]
+        thr = F.lit(fraction_threshold_hex(cum))
+        branch = (
+            F.when(prefix < thr, F.lit(label))
+            if expr is None
+            else expr.when(prefix < thr, F.lit(label))
+        )
+        expr = branch
+    expr = (
+        expr.otherwise(F.lit(labels[-1]))
+        if expr is not None
+        else F.lit(labels[-1])
+    )
+    return df.withColumn("split", expr)

@@ -1895,3 +1895,55 @@ def q7l_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             size(min_rows=10),
         ],
     )
+
+
+@register(
+    "q83_train_val_test_split",
+    defer=True,  # r9 rotation fodder: never judged yet, oracle-backed
+    # certifies the leakage-safe deterministic split: band assignment
+    # is cumulative md5-prefix thresholds (the sample_fraction hex
+    # convention), reproduced verbatim by the oracle, and the
+    # leak_free flag asserts every source lands in exactly one split.
+    oracle="""
+    WITH assigned AS (
+      SELECT lang, source,
+             CASE WHEN substring(md5(source), 1, 8) < 'cccccccc'
+                    THEN 'train'
+                  WHEN substring(md5(source), 1, 8) < 'e6666666'
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           TRUE AS leak_free
+    FROM assigned GROUP BY split, lang
+    """,
+)
+def q83_train_val_test_split(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """80/10/10 corpus split keyed by SOURCE (all documents of a
+    source share a split - the grouped-split discipline that keeps
+    eval sets honest), with the no-leakage invariant verified
+    end-to-end. The split itself is a pure projection: no shuffle,
+    append-stable, reproducible."""
+    from ..operators.sampling import train_val_test_split
+
+    docs = load(spark, sf_dir, "documents")
+    s = train_val_test_split(
+        docs, key_col="source",
+        weights={"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    leak_free = (
+        s.groupBy("source")
+        .agg(F.countDistinct("split").alias("k"))
+        .agg((F.max("k") == 1).alias("ok"))
+        .first()["ok"]
+    )
+    return s.groupBy("split", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.lit(bool(leak_free)).alias("leak_free"),
+    )

@@ -2281,3 +2281,83 @@ def test_detect_gaps_null_ts_ignored(spark):
     assert [(r["gap_start"], r["gap_end"]) for r in got] == [
         (base, base + dt.timedelta(hours=8))
     ]
+
+
+# -- train/val/test split --------------------------------------------------
+
+
+def test_split_deterministic_partition_and_weights(spark):
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.sampling import (
+        train_val_test_split,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(20_000).select(F.col("id").alias("k"))
+    out = train_val_test_split(df, "k")
+    counts = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 20_000  # a partition, no loss/dup
+    assert abs(counts["train"] / 20_000 - 0.8) < 0.02
+    assert abs(counts["val"] / 20_000 - 0.1) < 0.02
+    # deterministic run-to-run
+    a = {(r["k"], r["split"]) for r in out.collect()}
+    b = {
+        (r["k"], r["split"])
+        for r in train_val_test_split(df, "k").collect()
+    }
+    assert a == b
+    # salt re-rolls without changing the contract
+    c = {
+        (r["k"], r["split"])
+        for r in train_val_test_split(df, "k", salt="v2").collect()
+    }
+    assert c != a and len(c) == 20_000
+
+
+def test_split_groups_share_assignment_and_append_stable(spark):
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.sampling import (
+        train_val_test_split,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(5_000).select(
+        (F.col("id") % 37).alias("g"), F.col("id")
+    )
+    out = train_val_test_split(df, "g").groupBy("g").agg(
+        F.countDistinct("split").alias("k")
+    )
+    assert out.agg(F.max("k")).first()[0] == 1  # leakage-safe
+    # append-stable: the same keys keep their split on a grown table
+    small = {
+        r["g"]: r["split"]
+        for r in train_val_test_split(
+            spark.range(1_000).select((F.col("id") % 37).alias("g")), "g"
+        ).collect()
+    }
+    big = {
+        r["g"]: r["split"]
+        for r in train_val_test_split(df, "g").select("g", "split")
+        .distinct().collect()
+    }
+    for g, sp in small.items():
+        assert big[g] == sp
+
+
+def test_split_weight_validation(spark):
+    import pytest
+
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.sampling import (
+        train_val_test_split,
+    )
+
+    df = spark.range(10)
+    with pytest.raises(ValueError, match="sum to 1"):
+        train_val_test_split(df, "id", {"a": 0.5, "b": 0.1})
+    with pytest.raises(ValueError, match="non-negative"):
+        train_val_test_split(df, "id", {"a": 1.5, "b": -0.5})
+    # single-band degenerate form still labels everything
+    out = train_val_test_split(df, "id", {"all": 1.0})
+    assert {r["split"] for r in out.collect()} == {"all"}
