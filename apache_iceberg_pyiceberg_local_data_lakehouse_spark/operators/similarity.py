@@ -404,6 +404,74 @@ def load_pq_codebooks(table) -> list[list[list[float]]] | None:
     return _json.loads(raw) if raw is not None else None
 
 
+def opq_rotation(
+    corpus: DataFrame,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Parametric OPQ rotation (Ge et al. 2013, the eigenvalue-
+    allocation variant): a dim x dim orthonormal matrix that
+    decorrelates the space (PCA) and then PERMUTES the principal
+    directions so each of the ``m`` PQ subspaces receives a balanced
+    share of the variance - plain PCA ordering would dump all the
+    energy into the first subspace and starve the rest, which is
+    worse than no rotation for a contiguous split.
+
+    Allocation is the published greedy: eigen-directions in
+    descending-eigenvalue order each go to the unfilled subspace with
+    the smallest current log-variance product. Driver cost is the
+    PCA fit (one distributed moment pass, O(dim^2) state) plus an
+    O(dim log dim) sort; rotation is L2-isometric, so ADC ordering
+    math and the exact refine are unchanged."""
+    import math as _math
+
+    import numpy as np
+
+    from .projection import pca_fit
+
+    first = corpus.select(F.size(vec_col).alias("d")).where(
+        F.col(vec_col).isNotNull()
+    ).first()
+    if first is None:
+        raise ValueError("opq_rotation: empty corpus")
+    dim = int(first["d"])
+    if dim % m:
+        raise ValueError(f"opq_rotation: dim {dim} not divisible by m={m}")
+    ds = dim // m
+    model = pca_fit(corpus, vec_col=vec_col, k=dim)
+    W = np.asarray(model.components)  # (dim, dim), rows orthonormal
+    eigs = list(model.eigenvalues)
+    # greedy balance: each direction (desc eigenvalue) to the open
+    # bucket with the smallest log-product of assigned eigenvalues
+    buckets: list[list[int]] = [[] for _ in range(m)]
+    logs = [0.0] * m
+    floor = max(1e-12, min((e for e in eigs if e > 0), default=1e-12))
+    for i in sorted(range(dim), key=lambda j: -eigs[j]):
+        open_b = [b for b in range(m) if len(buckets[b]) < ds]
+        b = min(open_b, key=lambda x: logs[x])
+        buckets[b].append(i)
+        logs[b] += _math.log(max(eigs[i], floor))
+    order = [i for b in buckets for i in b]
+    R = W[order]  # row r of R = the principal direction for output dim r
+    return [[float(x) for x in row] for row in R]
+
+
+def save_pq_rotation(table, rotation: list[list[float]]) -> None:
+    """Persist the OPQ rotation beside the codebooks - codes are only
+    decodable under the SAME rotation they were encoded with."""
+    import json as _json
+
+    table.set_properties(**{"ann.pq.rotation": _json.dumps(rotation)})
+
+
+def load_pq_rotation(table) -> list[list[float]] | None:
+    import json as _json
+
+    raw = table.properties().get("ann.pq.rotation")
+    return _json.loads(raw) if raw is not None else None
+
+
 def knn_pq(
     corpus: DataFrame,
     queries: DataFrame,
@@ -414,6 +482,7 @@ def knn_pq(
     nbits: int = 4,
     refine_factor: int = 8,
     codebooks: list[list[list[float]]] | None = None,
+    rotation: list[list[float]] | None = None,
 ) -> DataFrame:
     """PQ ANN via asymmetric distance computation + exact refine: the
     corpus is scanned through its codes only (sum over subspaces of the
@@ -442,9 +511,21 @@ def knn_pq(
 
     vn = _unit(F.col(vec_col).cast("array<double>"))
     corpus_n = corpus.select(F.col(id_col), vn.alias(vec_col))
+    if rotation is not None:
+        # OPQ: rotate AFTER unit-normalization (orthonormal, so norms
+        # and all L2/cosine orderings are preserved exactly; only the
+        # subspace quantization error changes). Codes are decodable
+        # only under the rotation they were encoded with -
+        # save_pq_rotation persists it beside the codebooks.
+        from .projection import _matmul_udf
+
+        rot = _matmul_udf(rotation)
+        corpus_n = corpus_n.select(
+            F.col(id_col), rot(F.col(vec_col)).alias(vec_col)
+        )
     # prefit codebooks (save_pq_codebooks) skip the fit entirely - the
     # serve path at scale; they must have been fitted on the SAME
-    # normalization (knn_pq L2-normalizes before fitting)
+    # normalization (knn_pq L2-normalizes before fitting) and rotation
     books = codebooks or pq_fit(
         corpus_n, m=m, nbits=nbits, id_col=id_col, vec_col=vec_col
     )
@@ -469,9 +550,17 @@ def knn_pq(
     # arithmetic of brute force - the opposite of PQ's point).
     nsub = len(books[0])
     q_rows = q.collect()
+    if rotation is not None:
+        import numpy as _np
+
+        _R = _np.asarray(rotation, dtype=_np.float64)
     lut_rows = []
     for row in q_rows:
         qv = row["qv"]
+        if rotation is not None:
+            # same rotation as the corpus side; the refine's cosine
+            # over two rotated unit vectors equals the unrotated one
+            qv = [float(x) for x in (_R @ _np.asarray(qv))]
         flat = []
         for j, book in enumerate(books):
             sub = qv[j * ds : (j + 1) * ds]

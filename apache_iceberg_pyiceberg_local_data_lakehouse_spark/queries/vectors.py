@@ -877,3 +877,88 @@ def q81_random_projection_pairs(
         ],
         "n_pairs long, median_ok boolean, max_ok boolean",
     )
+
+
+@register(
+    "q84_opq_rotated_pq",
+    defer=True,  # r9 rotation fodder: never judged yet, oracle-backed
+    # certifies parametric OPQ (eigenvalue-balanced PCA rotation) end
+    # to end via the q74 bound pattern: exact brute-force anchors plus
+    # measured booleans - full top-k, the q74 recall floor holds under
+    # rotation, and the isometry invariant (reported sims for pairs
+    # the exact baseline also reports are bit-close true cosines).
+    oracle=f"""
+    WITH pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND({_COS_SQL.format(a='q.embedding', b='c.embedding')}, 9) AS sim
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < {N_QUERY_VECS}
+    ), topk AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id) AS rank
+        FROM pairs
+      ) WHERE rank <= {TOP_K}
+    )
+    SELECT (SELECT COUNT(*) FROM embeddings WHERE vec_id < {N_QUERY_VECS})
+             AS n_queries,
+           COUNT(*) AS n_brute,
+           CAST(SUM(CAST(FLOOR(sim * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS brute_sim_qsum,
+           TRUE AS opq_result_complete,
+           TRUE AS opq_recall_ok,
+           TRUE AS isometry_ok
+    FROM topk
+    """,
+)
+def q84_opq_rotated_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ-rotated PQ ANN: the rotation decorrelates the space and
+    balances per-subspace variance (Ge et al. 2013 eigenvalue
+    allocation) before the codebook fit; being an isometry it cannot
+    change any exact ordering, so the q74 anchors and recall floor
+    apply unchanged and reported sims must equal true cosines."""
+    from ..operators.similarity import knn_pq, opq_rotation
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    brute = q50_knn_bruteforce(spark, sf_dir)
+    dim = len(emb.first()["embedding"])
+    m = 4 if dim % 4 == 0 else 2
+    R = opq_rotation(emb, m=m)
+    approx = knn_pq(emb, q, k=TOP_K, m=m, nbits=4, rotation=R)
+    brute_rows = brute.collect()
+    approx_rows = approx.collect()
+    e = {(r["query_id"], r["neighbor_id"]) for r in brute_rows}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx_rows}
+    recall = len(e & a) / len(e) if e else 1.0
+    exact_sim = {
+        (r["query_id"], r["neighbor_id"]): r["sim"] for r in brute_rows
+    }
+    isometric = all(
+        abs(r["sim"] - exact_sim[(r["query_id"], r["neighbor_id"])])
+        < 1e-6
+        for r in approx_rows
+        if (r["query_id"], r["neighbor_id"]) in exact_sim
+    )
+    anchors = brute.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count("*").alias("n_brute"),
+        F.sum(
+            F.floor(F.col("sim") * 1_000_000.0 + 0.5).cast("long")
+        ).alias("brute_sim_qsum"),
+    ).first()
+    return spark.createDataFrame(
+        [
+            (
+                anchors["n_queries"],
+                anchors["n_brute"],
+                anchors["brute_sim_qsum"],
+                len(a) == len(e),
+                recall >= 0.30,
+                isometric,
+            )
+        ],
+        "n_queries long, n_brute long, brute_sim_qsum long, "
+        "opq_result_complete boolean, opq_recall_ok boolean, "
+        "isometry_ok boolean",
+    )

@@ -2361,3 +2361,107 @@ def test_split_weight_validation(spark):
     # single-band degenerate form still labels everything
     out = train_val_test_split(df, "id", {"all": 1.0})
     assert {r["split"] for r in out.collect()} == {"all"}
+
+
+# -- OPQ rotation (parametric, eigenvalue-balanced) ------------------------
+
+
+def test_opq_rotation_orthonormal_and_balanced(spark):
+    import numpy as np
+
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.similarity import (
+        opq_rotation,
+    )
+
+    rng = np.random.default_rng(19)
+    # strongly anisotropic + correlated: mix independent scaled dims
+    dim, m = 16, 4
+    scales = np.linspace(5.0, 0.1, dim)
+    A = rng.standard_normal((dim, dim))
+    X = (rng.standard_normal((400, dim)) * scales) @ A
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<double>",
+    )
+    R = np.asarray(opq_rotation(df, m=m))
+    assert R.shape == (dim, dim)
+    np.testing.assert_allclose(R @ R.T, np.eye(dim), atol=1e-8)
+    # balanced: per-subspace variance of the ROTATED data must be far
+    # more even than PCA ordering would give (max/min ratio bounded)
+    Y = (X - X.mean(axis=0)) @ R.T
+    sub_var = Y.var(axis=0).reshape(m, dim // m).sum(axis=1)
+    assert sub_var.max() / sub_var.min() < 3.0, sub_var
+
+
+def test_knn_pq_rotation_recall_and_exact_sims(spark):
+    """With an OPQ rotation the reported sims stay EXACT (rotation is
+    an isometry; the refine re-scores true vectors) and recall on
+    correlated data is at least as good as unrotated PQ up to noise."""
+    import numpy as np
+
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.similarity import (
+        knn_bruteforce,
+        knn_pq,
+        opq_rotation,
+    )
+
+    rng = np.random.default_rng(23)
+    dim = 16
+    scales = np.linspace(4.0, 0.2, dim)
+    A = rng.standard_normal((dim, dim))
+    X = (rng.standard_normal((300, dim)) * scales) @ A
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<double>",
+    )
+    q = df.filter(F.col("vec_id") < 8)
+    exact = {
+        (r["query_id"], r["neighbor_id"], round(r["sim"], 9))
+        for r in knn_bruteforce(df, q, k=5).collect()
+    }
+    e_pairs = {(a, b) for a, b, _ in exact}
+    R = opq_rotation(df, m=4)
+    rot = knn_pq(df, q, k=5, m=4, nbits=4, rotation=R)
+    rot_rows = rot.collect()
+    r_pairs = {(r["query_id"], r["neighbor_id"]) for r in rot_rows}
+    recall_rot = len(e_pairs & r_pairs) / len(e_pairs)
+    plain = knn_pq(df, q, k=5, m=4, nbits=4)
+    p_pairs = {
+        (r["query_id"], r["neighbor_id"]) for r in plain.collect()
+    }
+    recall_plain = len(e_pairs & p_pairs) / len(e_pairs)
+    assert recall_rot >= 0.5, f"rotated recall {recall_rot:.2f}"
+    assert recall_rot >= recall_plain - 0.1, (recall_rot, recall_plain)
+    # sims of reported pairs are the true cosines (isometry + refine)
+    exact_sim = {
+        (a, b): s for a, b, s in exact
+    }
+    for r in rot_rows:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_sim:
+            assert abs(r["sim"] - exact_sim[key]) < 1e-9
+
+
+def test_pq_rotation_persistence(spark, tmp_path):
+    import numpy as np
+
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.catalog import (
+        LakehouseCatalog,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.similarity import (
+        load_pq_rotation,
+        save_pq_rotation,
+    )
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("g")
+    t = cat.create_table(
+        "g.vecs",
+        spark.createDataFrame(
+            [], "vec_id long, embedding array<double>"
+        ).schema,
+    )
+    R = [[1.0, 0.0], [0.0, 1.0]]
+    assert load_pq_rotation(t) is None
+    save_pq_rotation(t, R)
+    assert load_pq_rotation(cat.load_table("g.vecs")) == R
