@@ -687,3 +687,45 @@ def q7z_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return detect_gaps(
         ev, ts_col="ts", min_gap="24 hours", group_cols=["user_id"]
     )
+
+
+@register(
+    "q85_pivot_event_matrix",
+    defer=True,  # r9 rotation fodder: never judged yet, oracle-backed
+    # certifies the pivot (wide-aggregation) surface: groupBy().pivot()
+    # with an EXPLICIT value list (deterministic schema, single-pass -
+    # Spark plans one aggregate, never one job per column), oracled by
+    # conditional aggregation.
+    oracle="""
+    SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+             AS day,
+           CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT)
+             AS click,
+           CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT)
+             AS error,
+           CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT)
+             AS purchase,
+           CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT)
+             AS signup,
+           CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT)
+             AS view
+    FROM events GROUP BY day
+    """,
+)
+def q85_pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-type matrix via pivot: one hash aggregate over
+    (day x 5 fixed columns). The explicit value list is the scale
+    discipline - without it Spark runs a distinct-scan job just to
+    discover the columns, and the output schema becomes data-dependent
+    (a new event type would silently widen every downstream consumer)."""
+    ev = load(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .pivot("event_type", types)
+        .count()
+    )
+    # pivot counts are NULL for empty cells; the matrix semantic is 0
+    for c in types:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
+    return out
