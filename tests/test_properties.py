@@ -548,3 +548,98 @@ def test_mv_agg_refresh_equals_full_recompute(
             for r in cat.sql(q).collect()
         }
         assert got == want, f"diverged after batch {batch}"
+
+
+# -- join-MV maintenance property (r8) -----------------------------------
+
+_JOIN_OPS = st.lists(
+    st.sampled_from(
+        ["fact_append", "dim_append", "fact_delete", "dim_update",
+         "refresh", "empty_dim_append"]
+    ),
+    min_size=1,
+    max_size=7,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_JOIN_OPS, seed=st.integers(min_value=0, max_value=10_000))
+def test_join_mv_always_equals_recompute(
+    spark, tmp_path_factory, ops, seed
+):
+    """THE join-MV contract: under ANY interleaving of fact appends,
+    dim appends, fact DML, dim DML, content-preserving commits and
+    refreshes, the view after a final refresh equals the full GROUP BY
+    over the current join - whichever path (merge / full / no-op) each
+    refresh happened to take."""
+    import random
+
+    rng = random.Random(seed)
+    wh = tmp_path_factory.mktemp("jwh")
+    cat = LakehouseCatalog(spark, str(wh))
+    cat.create_namespace("g")
+    fschema = "fk long, v long"
+    dschema = "k long, seg string"
+    f = cat.create_table("g.pf", spark.createDataFrame([], fschema).schema)
+    d = cat.create_table("g.pd", spark.createDataFrame([], dschema).schema)
+    d.append(
+        spark.createDataFrame(
+            [(i, chr(65 + i % 3)) for i in range(5)], dschema
+        )
+    )
+    f.append(
+        spark.createDataFrame(
+            [(rng.randrange(7), rng.randrange(100)) for _ in range(6)],
+            fschema,
+        )
+    )
+    cat.create_materialized_view(
+        "g.pmv",
+        "SELECT seg, COUNT(*) AS n, SUM(v) AS sv, MIN(v) AS lo "
+        "FROM g_pf JOIN g_pd ON g_pf.fk = g_pd.k GROUP BY seg",
+    )
+    for op in ops:
+        if op == "fact_append":
+            f.append(
+                spark.createDataFrame(
+                    [
+                        (rng.randrange(7), rng.randrange(100))
+                        for _ in range(rng.randrange(1, 4))
+                    ],
+                    fschema,
+                )
+            )
+        elif op == "dim_append":
+            d.append(
+                spark.createDataFrame(
+                    [(5 + rng.randrange(3), chr(68 + rng.randrange(2)))],
+                    dschema,
+                )
+            )
+        elif op == "empty_dim_append":
+            d.append(spark.createDataFrame([], dschema))
+        elif op == "fact_delete":
+            cat.sql(f"DELETE FROM g.pf WHERE v % 10 = {rng.randrange(10)}")
+        elif op == "dim_update":
+            cat.sql(
+                f"UPDATE g.pd SET seg = 'Z' WHERE k = {rng.randrange(5)}"
+            )
+        else:
+            cat.refresh_materialized_view("g.pmv")
+    cat.refresh_materialized_view("g.pmv")
+    cat.register_views()
+    got = {
+        tuple(r) for r in spark.sql("SELECT * FROM g_pmv").collect()
+    }
+    want = {
+        tuple(r)
+        for r in spark.sql(
+            "SELECT seg, COUNT(*) AS n, SUM(v) AS sv, MIN(v) AS lo "
+            "FROM g_pf JOIN g_pd ON g_pf.fk = g_pd.k GROUP BY seg"
+        ).collect()
+    }
+    assert got == want, (ops, seed)
