@@ -355,3 +355,124 @@ def kll_rank_within_bound(
             ).alias("rank_ok"),
         )
     )
+
+
+# -- approx top-k: MERGEABLE frequent-items sketches ---------------------
+#
+# The frequency member of the sketch family (distinct = HLL/Theta,
+# quantiles = KLL, frequency = this): per-grain DataSketches frequent-
+# items state accumulates once, persists as a binary struct column,
+# and any coarser "top talkers over range X" is a combine of stored
+# states - no re-scan. Counts are exact while the tracked-item budget
+# exceeds the live cardinality, and deterministic-error otherwise.
+
+
+def topk_rollup(
+    df: DataFrame,
+    col: str,
+    grain_cols: list[str],
+    max_tracked: int = 10_000,
+) -> DataFrame:
+    """One frequent-items state of ``col`` per grain group
+    (``approx_top_k_accumulate``) plus the grain row count."""
+    return df.groupBy(*grain_cols).agg(
+        F.expr(
+            f"approx_top_k_accumulate({col}, {int(max_tracked)})"
+        ).alias(f"{col}_topk"),
+        F.count(col).alias("n_rows"),
+    )
+
+
+def topk_rollup_merge(
+    sketches: DataFrame,
+    col: str,
+    k: int,
+    group_cols: list[str] | None = None,
+    max_tracked: int = 10_000,
+) -> DataFrame:
+    """Combine stored states up to ``group_cols`` and read the top
+    ``k`` (item, count) pairs - one array column, never exploded here
+    so callers choose their own output discipline."""
+    merged = F.expr(
+        f"approx_top_k_estimate("
+        f"approx_top_k_combine({col}_topk, {int(max_tracked)}), {int(k)})"
+    ).alias("topk")
+    rows = F.sum("n_rows").alias("n_rows")
+    if group_cols:
+        return sketches.groupBy(*group_cols).agg(merged, rows)
+    return sketches.agg(merged, rows)
+
+
+def topk_within_bound(
+    df: DataFrame,
+    col: str,
+    group: str,
+    k: int = 3,
+    max_tracked: int = 10_000,
+) -> DataFrame:
+    """Judgeable form: per ``group``, the exact row count plus one
+    boolean asserting the sketch's reported set IS a valid exact
+    top-k - every reported count is the true count, and no unreported
+    item outranks a reported one (the tie-robust statement: under
+    count ties ANY maximal set is correct, so the flag cannot flap on
+    tie order). Exact counts come from one groupBy - the oracle
+    device, not the scale path."""
+    fine = topk_rollup(df, col, [group], max_tracked=max_tracked)
+    got = topk_rollup_merge(
+        fine, col, k, [group], max_tracked=max_tracked
+    ).select(group, F.explode("topk").alias("e"), "n_rows")
+    got = got.select(
+        group,
+        F.col("e.item").cast("string").alias("item"),
+        F.col("e.count").alias("est_count"),
+        "n_rows",
+    )
+    exact = df.where(F.col(col).isNotNull()).groupBy(
+        group, F.col(col).cast("string").alias("item")
+    ).agg(F.count("*").alias("true_count"))
+    joined = got.join(exact, [group, "item"], "left")
+    # per group: all reported counts exact, and the smallest reported
+    # true count >= the largest true count among UNREPORTED items
+    reported = joined.groupBy(group).agg(
+        F.min(
+            (F.col("est_count") == F.col("true_count")).cast("int")
+        ).alias("all_exact"),
+        F.min("true_count").alias("min_reported"),
+        F.first("n_rows").alias("n_rows"),
+        F.count("*").alias("n_reported"),
+    )
+    unreported_max = (
+        exact.join(
+            got.select(group, "item").withColumn("__r", F.lit(1)),
+            [group, "item"],
+            "left",
+        )
+        .where(F.col("__r").isNull())
+        .groupBy(group)
+        .agg(F.max("true_count").alias("max_unreported"))
+    )
+    n_items = exact.groupBy(group).agg(
+        F.count("*").alias("n_distinct")
+    )
+    return (
+        reported.join(unreported_max, group, "left")
+        .join(n_items, group)
+        .select(
+            group,
+            F.col("n_rows"),
+            (
+                (F.col("all_exact") == 1)
+                & (
+                    F.col("n_reported")
+                    == F.least(F.lit(k), F.col("n_distinct"))
+                )
+                & (
+                    F.col("max_unreported").isNull()
+                    | (
+                        F.col("min_reported")
+                        >= F.col("max_unreported")
+                    )
+                )
+            ).alias("topk_ok"),
+        )
+    )

@@ -140,3 +140,34 @@ def q7y_kll_price_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_cols=["l_returnflag"],
         prob=0.5,
     )
+
+
+@register(
+    "q86_topk_frequent_items",
+    defer=True,  # r9 rotation fodder: never judged yet, oracle-backed
+    # certifies mergeable frequent-items sketches (approx_top_k
+    # accumulate/combine/estimate) via the tie-robust bound: the
+    # reported set must be A valid exact top-k (every reported count
+    # true, no unreported item outranking a reported one) - under
+    # count ties ANY maximal set passes, so the flag cannot flap.
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(user_id) AS BIGINT) AS n_rows,
+           TRUE AS topk_ok
+    FROM events GROUP BY event_type
+    """,
+)
+def q86_topk_frequent_items(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-3 users per event type via per-group frequent-items states
+    merged with approx_top_k_combine - the frequency member of the
+    mergeable-sketch family (distinct = HLL/Theta, quantiles = KLL):
+    persisted per-grain states answer 'top talkers over any range'
+    without re-scanning history."""
+    from ..operators.sketches import topk_within_bound
+
+    ev = load(spark, sf_dir, "events")
+    return topk_within_bound(
+        ev, col="user_id", group="event_type", k=3
+    )

@@ -340,3 +340,54 @@ def test_kll_quantile_naming_and_collision(spark):
 
     with pytest.raises(ValueError, match="collide"):
         kll_rollup_merge(fine, "v", [0.5, 0.5])
+
+
+# -- approx top-k frequent items ------------------------------------------
+
+
+def test_topk_rollup_merge_exact_under_capacity(spark):
+    """With the tracked-item budget above the live cardinality the
+    sketch is exact: merged per-grain states report true counts and a
+    valid top-k set, including across a skewed distribution."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.sketches import (
+        topk_rollup,
+        topk_rollup_merge,
+    )
+
+    # item i appears (10 - i) * 10 times in each of 2 grains
+    rows = [
+        (g, str(i))
+        for g in range(2)
+        for i in range(10)
+        for _ in range((10 - i) * 10)
+    ]
+    df = spark.createDataFrame(rows, "fine int, item string")
+    fine = topk_rollup(df, "item", ["fine"])
+    got = topk_rollup_merge(fine, "item", k=3).collect()[0]
+    assert got["n_rows"] == len(rows)
+    top = [(e["item"], e["count"]) for e in got["topk"]]
+    assert top == [("0", 200), ("1", 180), ("2", 160)]
+
+
+def test_topk_within_bound_flags_and_ties(spark):
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.sketches import (
+        topk_within_bound,
+    )
+
+    # group 'a': clear top-2 then a 3-way tie at rank 3 - any maximal
+    # choice is a valid top-3, so the flag must hold
+    rows = (
+        [("a", "x")] * 10
+        + [("a", "y")] * 8
+        + [("a", "t1")] * 5
+        + [("a", "t2")] * 5
+        + [("a", "t3")] * 5
+        + [("b", "z")] * 2  # fewer distinct items than k
+    )
+    df = spark.createDataFrame(rows, "g string, item string")
+    out = {
+        r["g"]: (r["n_rows"], r["topk_ok"])
+        for r in topk_within_bound(df, "item", "g", k=3).collect()
+    }
+    assert out["a"] == (33, True)
+    assert out["b"] == (2, True)
