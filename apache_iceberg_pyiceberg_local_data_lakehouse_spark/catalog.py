@@ -1049,22 +1049,11 @@ class LakehouseCatalog:
         if any(tok in plan for tok in bad) or plan.count("Aggregate") != 1:
             return None
         vis_types = {f.name: f.dataType for f in df.schema.fields}
-        from pyspark.sql.types import DecimalType
-
         for alias, op in aggs:
             if op == "avg" and not isinstance(
-                vis_types.get(alias), (DoubleType, DecimalType)
+                vis_types.get(alias), DoubleType
             ):
-                return None  # interval/other AVG: full refresh
-            if (
-                op == "avg"
-                and distinct_item is not None
-                and isinstance(vis_types.get(alias), DecimalType)
-            ):
-                # the finer-grain tier still re-aggregates AVG partials
-                # through DOUBLE arithmetic; decimal stays conservative
-                # there
-                return None
+                return None  # DECIMAL/interval AVG: full refresh
         if having is not None:
             # rewrite into the MV's visible column space: each selected
             # aggregate expression (same spelling, whitespace-tolerant)
@@ -1109,23 +1098,11 @@ class LakehouseCatalog:
                 if op == "avg":
                     # the stored partials AVG merges from; the visible
                     # column keeps the native AVG value at creation and
-                    # is recomputed as sum/count after partial merges.
-                    # DOUBLE avg sums through double (the fold Spark's
-                    # Average uses); DECIMAL avg stores the NATIVE
-                    # exact decimal sum - Average(decimal) is
-                    # definitionally Divide(sum, count) cast to the
-                    # result type, so the merge-side recomputation
-                    # (s / c).cast(visible) reproduces it bit-for-bit
-                    if isinstance(vis_types.get(alias), DecimalType):
-                        store_items.append(
-                            f"SUM({agg_args[alias]}) "
-                            f"AS __mv_sum_{alias}"
-                        )
-                    else:
-                        store_items.append(
-                            f"SUM(CAST(({agg_args[alias]}) AS DOUBLE)) "
-                            f"AS __mv_sum_{alias}"
-                        )
+                    # is recomputed as sum/count after partial merges
+                    store_items.append(
+                        f"SUM(CAST(({agg_args[alias]}) AS DOUBLE)) "
+                        f"AS __mv_sum_{alias}"
+                    )
                     store_items.append(
                         f"COUNT({agg_args[alias]}) AS __mv_cnt_{alias}"
                     )

@@ -739,12 +739,9 @@ def test_mv_agg_shape_gates(catalog, spark):
             # filter on, so the HAVING tier refuses and full-refreshes
             "SELECT cat, COUNT(*) AS n FROM gold_sales4 GROUP BY cat "
             "HAVING MAX(v) > 1",
-            # DECIMAL average inside the COUNT(DISTINCT) tier: the
-            # finer grain re-aggregates through DOUBLE, so decimal
-            # stays conservative THERE (the plain tier is incremental
-            # - test_mv_decimal_avg_incremental)
-            "SELECT cat, COUNT(DISTINCT v) AS nv, AVG(d) AS m "
-            "FROM gold_sales4 GROUP BY cat",
+            # DECIMAL average: sum/count recomputation would change the
+            # result type, so the conservative gate refuses agg mode
+            "SELECT cat, AVG(d) AS m FROM gold_sales4 GROUP BY cat",
             # only COUNT supports the finer-grain DISTINCT rewrite
             "SELECT cat, SUM(DISTINCT v) AS s FROM gold_sales4 "
             "GROUP BY cat",
@@ -869,71 +866,6 @@ def test_mv_avg_incremental_refresh(catalog, spark):
     }
     assert got == want
     assert catalog.refresh_materialized_view("gold.avg5") is None
-
-
-def test_mv_decimal_avg_incremental(catalog, spark):
-    """DECIMAL AVG is incremental in the plain agg tier: the MV stores
-    the NATIVE exact decimal sum + count, REFRESH merges them
-    additively, and the recomputed (sum / count) CAST to the avg
-    result type is bit-identical to the defining query's AVG -
-    Average(decimal) IS Divide(sum, count) cast to that type, so the
-    equality is structural, asserted here against the full recompute
-    after merge-path refreshes (incl. an all-NULL group and values
-    chosen to exercise HALF_UP rounding)."""
-    schema = "cat string, d decimal(10,2)"
-    t = catalog.create_table(
-        "gold.dec", spark.createDataFrame([], schema).schema
-    )
-    t.append(
-        spark.createDataFrame(
-            [("a", "1.01"), ("a", "2.02"), ("b", "0.05"), ("c", None)],
-            "cat string, d string",
-        ).selectExpr("cat", "CAST(d AS DECIMAL(10,2)) AS d")
-    )
-    mv = catalog.create_materialized_view(
-        "gold.decmv",
-        "SELECT cat, AVG(d) AS m, COUNT(*) AS n FROM gold_dec "
-        "GROUP BY cat",
-    )
-    assert mv.properties().get("mv.refresh_mode") == "agg"
-    stored = {f.name: f.dataType.simpleString() for f in mv.schema.fields}
-    assert stored["__mv_sum_m"].startswith("decimal")  # native, exact
-
-    def check():
-        catalog.register_views()
-        got = {
-            (r["cat"], r["m"], r["n"])
-            for r in spark.sql("SELECT * FROM gold_decmv").collect()
-        }
-        want = {
-            (r["cat"], r["m"], r["n"])
-            for r in spark.sql(
-                "SELECT cat, AVG(d) AS m, COUNT(*) AS n FROM gold_dec "
-                "GROUP BY cat"
-            ).collect()
-        }
-        assert got == want, (got, want)
-
-    check()
-    # appends merge partials; 1/3 style divisions exercise rounding
-    t.append(
-        spark.createDataFrame(
-            [("a", "0.10"), ("b", "0.02"), ("b", "0.02"), ("d", "9.99")],
-            "cat string, d string",
-        ).selectExpr("cat", "CAST(d AS DECIMAL(10,2)) AS d")
-    )
-    snap = catalog.refresh_materialized_view("gold.decmv")
-    assert snap.operation == "merge"
-    check()
-    # the all-NULL group stays NULL through the merge path
-    t.append(
-        spark.createDataFrame(
-            [("c", None)], "cat string, d string"
-        ).selectExpr("cat", "CAST(d AS DECIMAL(10,2)) AS d")
-    )
-    snap = catalog.refresh_materialized_view("gold.decmv")
-    assert snap.operation == "merge"
-    check()
 
 
 def test_mv_avg_global_tier(catalog, spark):
