@@ -162,22 +162,29 @@ def train_val_test_split(
     the :func:`sample_fraction` convention, so a SQL oracle can
     reproduce the assignment exactly. ``salt`` re-rolls the assignment
     (md5 of salt || key) without touching the schema."""
-    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
-    if not weights or any(w < 0 for w in weights.values()):
+    if weights is None:
+        weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    if not weights:
+        raise ValueError("weights must be a non-empty mapping")
+    if any(w < 0 for w in weights.values()):
         raise ValueError("weights must be non-negative")
     total = sum(weights.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"weights must sum to 1, got {total}")
+    # zero-weight labels receive no band at all - keeping one in the
+    # threshold walk would push the cumulative fraction to 1.0, whose
+    # 9-hex-char threshold compares wrong against 8-char prefixes and
+    # silently hands the previous band's rows to the wrong label
+    labels = [lab for lab in weights if weights[lab] > 0]
     key = F.col(key_col).cast("string")
     if salt:
         key = F.concat(F.lit(salt), key)
     prefix = F.substring(F.md5(key), 1, 8)
     cum = 0.0
     expr = None
-    labels = list(weights)
     for label in labels[:-1]:
         cum += weights[label]
-        thr = F.lit(fraction_threshold_hex(cum))
+        thr = F.lit(fraction_threshold_hex(min(cum, 1.0 - 1e-12)))
         branch = (
             F.when(prefix < thr, F.lit(label))
             if expr is None

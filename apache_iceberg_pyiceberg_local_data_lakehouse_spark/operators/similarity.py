@@ -439,19 +439,45 @@ def opq_rotation(
     if dim % m:
         raise ValueError(f"opq_rotation: dim {dim} not divisible by m={m}")
     ds = dim // m
+    # fit on the SAME distribution knn_pq quantizes: it L2-normalizes
+    # before rotating/encoding, so the variance being balanced must be
+    # measured on unit vectors too - a few huge-norm outliers would
+    # otherwise dominate the raw covariance and misallocate the
+    # eigen-directions (review finding)
+    v = F.col(vec_col).cast("array<double>")
+    n = F.sqrt(
+        F.aggregate(
+            F.zip_with(v, v, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    unit = F.when(n > 0, F.transform(v, lambda x: x / n)).otherwise(v)
+    corpus = corpus.select(unit.alias(vec_col))
     model = pca_fit(corpus, vec_col=vec_col, k=dim)
     W = np.asarray(model.components)  # (dim, dim), rows orthonormal
     eigs = list(model.eigenvalues)
-    # greedy balance: each direction (desc eigenvalue) to the open
-    # bucket with the smallest log-product of assigned eigenvalues
+    # greedy product balance in LPT form: balancing per-bucket
+    # log-products is multiprocessor scheduling over the POSITIVE
+    # magnitudes |log lambda| - biggest magnitude first, each to the
+    # open bucket with the smallest accumulated magnitude. (Comparing
+    # raw log-products breaks when eigenvalues are < 1: every log is
+    # negative, the fullest bucket always looks "smallest", and the
+    # allocation silently degenerates to PCA-contiguous - caught by
+    # the balance test once the fit moved to unit-normalized vectors,
+    # whose eigenvalues are all < 1.)
     buckets: list[list[int]] = [[] for _ in range(m)]
-    logs = [0.0] * m
+    load = [0.0] * m
     floor = max(1e-12, min((e for e in eigs if e > 0), default=1e-12))
-    for i in sorted(range(dim), key=lambda j: -eigs[j]):
+    ref = _math.log(max(max(eigs), floor))
+    costs = [
+        abs(_math.log(max(e, floor)) - ref) for e in eigs
+    ]  # >= 0, scale-invariant
+    for i in sorted(range(dim), key=lambda j: -costs[j]):
         open_b = [b for b in range(m) if len(buckets[b]) < ds]
-        b = min(open_b, key=lambda x: logs[x])
+        b = min(open_b, key=lambda x: (load[x], len(buckets[x])))
         buckets[b].append(i)
-        logs[b] += _math.log(max(eigs[i], floor))
+        load[b] += costs[i]
     order = [i for b in buckets for i in b]
     R = W[order]  # row r of R = the principal direction for output dim r
     return [[float(x) for x in row] for row in R]

@@ -420,7 +420,15 @@ def topk_within_bound(
     fine = topk_rollup(df, col, [group], max_tracked=max_tracked)
     got = topk_rollup_merge(
         fine, col, k, [group], max_tracked=max_tracked
-    ).select(group, F.explode("topk").alias("e"), "n_rows")
+    ).select(
+        group,
+        # explode_OUTER: a group whose values are all NULL has an
+        # empty sketch, and a plain explode would silently drop the
+        # whole group from the judged output (review finding) - it
+        # must surface with n_rows = 0 and a vacuously-true flag
+        F.explode_outer("topk").alias("e"),
+        "n_rows",
+    )
     got = got.select(
         group,
         F.col("e.item").cast("string").alias("item"),
@@ -435,11 +443,13 @@ def topk_within_bound(
     # true count >= the largest true count among UNREPORTED items
     reported = joined.groupBy(group).agg(
         F.min(
-            (F.col("est_count") == F.col("true_count")).cast("int")
+            F.when(F.col("item").isNull(), F.lit(1)).otherwise(
+                (F.col("est_count") == F.col("true_count")).cast("int")
+            )
         ).alias("all_exact"),
         F.min("true_count").alias("min_reported"),
         F.first("n_rows").alias("n_rows"),
-        F.count("*").alias("n_reported"),
+        F.count("item").alias("n_reported"),
     )
     unreported_max = (
         exact.join(
@@ -456,7 +466,8 @@ def topk_within_bound(
     )
     return (
         reported.join(unreported_max, group, "left")
-        .join(n_items, group)
+        # LEFT + coalesce: the all-NULL group has no exact rows either
+        .join(n_items, group, "left")
         .select(
             group,
             F.col("n_rows"),
@@ -464,7 +475,10 @@ def topk_within_bound(
                 (F.col("all_exact") == 1)
                 & (
                     F.col("n_reported")
-                    == F.least(F.lit(k), F.col("n_distinct"))
+                    == F.least(
+                        F.lit(k),
+                        F.coalesce(F.col("n_distinct"), F.lit(0)),
+                    )
                 )
                 & (
                     F.col("max_unreported").isNull()

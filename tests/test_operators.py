@@ -2358,9 +2358,44 @@ def test_split_weight_validation(spark):
         train_val_test_split(df, "id", {"a": 0.5, "b": 0.1})
     with pytest.raises(ValueError, match="non-negative"):
         train_val_test_split(df, "id", {"a": 1.5, "b": -0.5})
+    with pytest.raises(ValueError, match="non-empty"):
+        train_val_test_split(df, "id", {})
     # single-band degenerate form still labels everything
     out = train_val_test_split(df, "id", {"all": 1.0})
     assert {r["split"] for r in out.collect()} == {"all"}
+
+
+def test_split_zero_weight_band_gets_nothing(spark):
+    """A label weighted 0 must receive ZERO rows - the trailing-zero
+    case pushed the cumulative threshold to a 9-hex-char string that
+    compared wrong and handed it the previous band's rows (review
+    finding)."""
+    from pyspark.sql import functions as F
+
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.sampling import (
+        train_val_test_split,
+    )
+
+    df = spark.range(10_000).select(F.col("id").alias("k"))
+    out = train_val_test_split(
+        df, "k", {"train": 0.9, "val": 0.1, "test": 0.0}
+    )
+    counts = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert "test" not in counts
+    assert abs(counts["val"] / 10_000 - 0.1) < 0.02
+    assert counts["train"] + counts["val"] == 10_000
+    # zero-weight in the middle behaves the same
+    out2 = train_val_test_split(
+        df, "k", {"train": 0.9, "gone": 0.0, "val": 0.1}
+    )
+    c2 = {
+        r["split"]: r["n"]
+        for r in out2.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert "gone" not in c2 and c2["train"] + c2["val"] == 10_000
 
 
 # -- OPQ rotation (parametric, eigenvalue-balanced) ------------------------
@@ -2386,11 +2421,20 @@ def test_opq_rotation_orthonormal_and_balanced(spark):
     R = np.asarray(opq_rotation(df, m=m))
     assert R.shape == (dim, dim)
     np.testing.assert_allclose(R @ R.T, np.eye(dim), atol=1e-8)
-    # balanced: per-subspace variance of the ROTATED data must be far
-    # more even than PCA ordering would give (max/min ratio bounded)
-    Y = (X - X.mean(axis=0)) @ R.T
-    sub_var = Y.var(axis=0).reshape(m, dim // m).sum(axis=1)
-    assert sub_var.max() / sub_var.min() < 3.0, sub_var
+    # balanced IN THE SPACE PQ QUANTIZES (knn_pq L2-normalizes before
+    # rotating/encoding) and in the OBJECTIVE the greedy minimizes:
+    # Ge et al. balance the per-subspace eigenvalue PRODUCT (subspace
+    # distortion scales with (prod lambda)^(1/ds)), so the log-product
+    # spread must be far tighter than the PCA-contiguous allocation's
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    Y = (Xn - Xn.mean(axis=0)) @ R.T
+    ds = dim // m
+    lv = np.log(Y.var(axis=0))
+    bal_spread = np.ptp(lv.reshape(m, ds).sum(axis=1))
+    # PCA-contiguous comparison: same directions, eigen order
+    order = np.argsort(-Y.var(axis=0))
+    pca_spread = np.ptp(lv[order].reshape(m, ds).sum(axis=1))
+    assert bal_spread < pca_spread / 5, (bal_spread, pca_spread)
 
 
 def test_knn_pq_rotation_recall_and_exact_sims(spark):

@@ -391,3 +391,22 @@ def test_topk_within_bound_flags_and_ties(spark):
     }
     assert out["a"] == (33, True)
     assert out["b"] == (2, True)
+
+
+def test_topk_all_null_group_surfaces(spark):
+    """A group whose tracked column is entirely NULL must appear in
+    the judged output with n_rows = 0 and a vacuously-true flag - a
+    plain explode of its empty sketch dropped the group silently
+    (review finding)."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.sketches import (
+        topk_within_bound,
+    )
+
+    rows = [("a", "x"), ("a", "y"), ("b", None), ("b", None)]
+    df = spark.createDataFrame(rows, "g string, item string")
+    out = {
+        r["g"]: (r["n_rows"], r["topk_ok"])
+        for r in topk_within_bound(df, "item", "g", k=2).collect()
+    }
+    assert out["a"] == (2, True)
+    assert out["b"] == (0, True)
