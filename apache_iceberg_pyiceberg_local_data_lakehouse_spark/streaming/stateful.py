@@ -29,6 +29,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -309,6 +310,102 @@ def streaming_gaps(
         _gap_fn,
         outputStructType=out_schema,
         stateStructType=GAP_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --- streaming heavy hitters (Misra-Gries, bounded state) ------------------
+
+HH_STATE = StructType(
+    [
+        StructField("items", ArrayType(StringType())),
+        StructField("counts", ArrayType(LongType())),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def streaming_heavy_hitters(
+    stream: DataFrame,
+    group_col: str,
+    item_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """Streaming frequent items per group with HARD-BOUNDED state: a
+    Misra-Gries summary of at most ``k`` counters per group, carried
+    across micro-batches. The classic guarantee holds over the whole
+    stream regardless of arrival order: every item with true frequency
+    > n/(k+1) is IN the summary, and each kept counter undercounts its
+    true frequency by at most n/(k+1) - so the batch exact heavy
+    hitters (count > n/(k+1)) are always a subset of the last
+    emission (pytest-pinned contract). This is the streaming twin of
+    the persisted ``topk_rollup`` sketches: same question, O(k) longs
+    per key instead of a stored sketch, for the in-flight path.
+
+    Emits the full summary each micro-batch in update style: (group,
+    item, mg_count, n_processed); consumers take the rows with the
+    highest ``n_processed`` per group as current."""
+    from pyspark.sql import functions as F
+
+    prepared = stream.where(
+        F.col(item_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("g"),
+        F.col(item_col).cast("string").alias("item"),
+    )
+    out_schema = StructType(
+        [
+            StructField("g", stream.schema[group_col].dataType),
+            StructField("item", StringType()),
+            StructField("mg_count", LongType()),
+            StructField("n_processed", LongType()),
+        ]
+    )
+
+    def _hh_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            items, counts, n = state.get
+            d = dict(zip(list(items), [int(c) for c in counts]))
+            n = int(n)
+        else:
+            d, n = {}, 0
+        chunks = [pdf for pdf in pdfs]
+        if not chunks:
+            if state.exists:
+                state.update((list(d), [d[i] for i in d], n))
+            return
+        for it in pd.concat(chunks, ignore_index=True)["item"]:
+            n += 1
+            if it in d:
+                d[it] += 1
+            elif len(d) < k:
+                d[it] = 1
+            else:
+                # decrement-all step: every counter pays one, zeros
+                # evict - the move that caps undercount at n/(k+1)
+                for kk in [x for x in d]:
+                    d[kk] -= 1
+                    if d[kk] == 0:
+                        del d[kk]
+        keys = list(d)
+        state.update((keys, [d[i] for i in keys], n))
+        if keys:
+            yield pd.DataFrame(
+                {
+                    "g": [key[0]] * len(keys),
+                    "item": keys,
+                    "mg_count": [d[i] for i in keys],
+                    "n_processed": [n] * len(keys),
+                }
+            )
+
+    return prepared.groupBy("g").applyInPandasWithState(
+        _hh_fn,
+        outputStructType=out_schema,
+        stateStructType=HH_STATE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

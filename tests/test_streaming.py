@@ -1291,3 +1291,103 @@ def test_streaming_gaps_cross_batch(spark, tmp_path):
         8 * 3600 * 1_000_000,
         30 * 3600 * 1_000_000,
     }
+
+
+def test_streaming_heavy_hitters_misra_gries(spark, tmp_path):
+    """Bounded-state frequent items: at most k counters per group
+    carried across micro-batches. The Misra-Gries guarantee must hold
+    over the WHOLE stream: every item with true frequency > n/(k+1)
+    appears in the last emission, and kept counters undercount by at
+    most n/(k+1) - checked against exact batch counts over both
+    files."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from collections import Counter
+
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.streaming.stateful import (
+        streaming_heavy_hitters,
+    )
+
+    from pyspark.sql.types import LongType, StringType
+
+    src = tmp_path / "hhstream"
+    src.mkdir()
+    k = 4
+
+    def write(name, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "g": pa.array([r[0] for r in rows], type=pa.int64()),
+                    "item": pa.array([r[1] for r in rows]),
+                }
+            ),
+            src / name,
+        )
+
+    # group 1: 'hot' dominates across BOTH batches (the cross-batch
+    # case a per-batch count can't see); noise items churn the
+    # counters. group 2: uniform - nothing need survive, but whatever
+    # does must respect the undercount bound.
+    b1 = [(1, "hot")] * 30 + [(1, f"n{i}") for i in range(20)] + [
+        (2, f"u{i % 6}") for i in range(18)
+    ]
+    b2 = [(1, "hot")] * 25 + [(1, "warm")] * 22 + [
+        (1, f"m{i}") for i in range(15)
+    ] + [(2, f"u{i % 6}") for i in range(18)]
+    write("a.parquet", b1)
+    time.sleep(1.1)
+    write("b.parquet", b2)
+
+    schema = StructType(
+        [
+            StructField("g", LongType()),
+            StructField("item", StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_heavy_hitters(stream, "g", "item", k=k)
+        .writeStream.format("memory")
+        .queryName("hh_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "hhckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from hh_out").collect()
+    # the last emission per group = rows at its max n_processed
+    last = {}
+    for r in rows:
+        cur = last.setdefault(r["g"], {})
+        if r["n_processed"] >= max(
+            (x["n_processed"] for x in rows if x["g"] == r["g"])
+        ):
+            cur[r["item"]] = r["mg_count"]
+    truth = {1: Counter(), 2: Counter()}
+    for g, it in b1 + b2:
+        truth[g][it] += 1
+    for g in (1, 2):
+        n = sum(truth[g].values())
+        bound = n / (k + 1)
+        summary = {
+            it: c
+            for it, c in last[g].items()
+        }
+        # guarantee 1: every true heavy hitter survives
+        for it, c in truth[g].items():
+            if c > bound:
+                assert it in summary, (g, it, c, bound, summary)
+        # guarantee 2: undercount bounded; never overcount
+        for it, c in summary.items():
+            assert c <= truth[g][it]
+            assert truth[g][it] - c <= bound
+        # state bound: at most k counters ever
+        assert len(summary) <= k
+    # group 1's dominators must be exactly the survivors' top
+    assert "hot" in last[1]
