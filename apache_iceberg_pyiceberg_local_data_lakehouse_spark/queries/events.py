@@ -356,6 +356,8 @@ def q7b_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q7f_json_flatten",
+    # judged green; deferred in r9 to make window room
+    defer=True,
     # new in r7, registered behind the judged window (r8 rotation
     # fodder); certifies functions/jsonops.py: schema inferred from a
     # bounded sample, one from_json projection expands the field, the
@@ -460,6 +462,8 @@ def q7j_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q7k_cohort_retention",
+    # judged green; deferred in r9 to make window room
+    defer=True,
     # new in r7, registered behind the judged window (r8 rotation
     # fodder); certifies operators/funnel.py cohort_retention: daily
     # first-seen cohorts x age-in-days activity counts, replayed in
@@ -500,6 +504,8 @@ def q7k_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q7m_rolling_anomalies",
+    # judged green; deferred in r9 to make window room
+    defer=True,
     # new in r7, registered behind the judged window (r8 rotation
     # fodder); certifies operators/timeseries.rolling_zscore: the
     # trailing-window integer-sum z-score must be bit-identical to the
@@ -572,6 +578,7 @@ def q7m_rolling_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q7q_ohlc_bars",
+    # promoted to the judged window in r9
     # new in r8, registered behind the judged window (r9 rotation
     # fodder); certifies operators/timeseries.py ohlc_bars - the
     # reference's tick-data domain (Dukascopy streams,
@@ -581,7 +588,6 @@ def q7m_rolling_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     # OHLC components are exact selected doubles, so per-bar 1e-6
     # quantization before the BIGINT sum hashes identically
     # cross-engine.
-    defer=True,
     oracle="""
     WITH ev AS (
       SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, event_id, value
@@ -656,7 +662,7 @@ def q7q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q7z_event_gaps",
-    defer=True,  # r9 rotation fodder: never judged yet, oracle-backed
+    # promoted to the judged window in r9
     # certifies detect_gaps (per-series silence detection): one lag
     # window per user = one shuffle; the emitted gap SET is invariant
     # to timestamp-tie order, so a SQL LAG oracle hash-matches.
@@ -691,7 +697,7 @@ def q7z_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q85_pivot_event_matrix",
-    defer=True,  # r9 rotation fodder: never judged yet, oracle-backed
+    # promoted to the judged window in r9
     # certifies the pivot (wide-aggregation) surface: groupBy().pivot()
     # with an EXPLICIT value list (deterministic schema, single-pass -
     # Spark plans one aggregate, never one job per column), oracled by

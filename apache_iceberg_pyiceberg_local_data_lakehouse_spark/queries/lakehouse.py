@@ -696,6 +696,8 @@ def q6c_lakehouse_position_delete(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @register(
     "q6e_incremental_over_mor",
+    # judged green; deferred in r9 to make window room
+    defer=True,
     oracle="""
     SELECT _change_type, lang, COUNT(*) AS n_rows,
            CAST(SUM(doc_id) AS BIGINT) AS sum_id
@@ -824,6 +826,8 @@ def q6f_lakehouse_branch_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q6d_lakehouse_mor_update",
+    # judged green; deferred in r9 to make window room
+    defer=True,
     oracle="""
     SELECT lang, COUNT(*) AS n_docs,
            CAST(SUM(CASE WHEN n_chars = 0 THEN 1 ELSE 0 END) AS BIGINT)
@@ -1343,6 +1347,8 @@ def q6n_lakehouse_sql_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q6o_lakehouse_column_default",
+    # judged green; deferred in r9 to make window room
+    defer=True,
     # new in r5, registered behind the judged window (rotate in when a
     # slot frees); certifies initial-default column evolution: rows
     # predating the column read the default, later rows their values.
@@ -1394,6 +1400,8 @@ def q6o_lakehouse_column_default(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q6p_lakehouse_materialized_view",
+    # judged green; deferred in r9 to make window room
+    defer=True,
     # new in r5, registered behind the judged window (rotate in when a
     # slot frees); certifies materialized views: the stale MV misses
     # later base commits until REFRESH atomically re-materializes.
@@ -1512,6 +1520,8 @@ def q6q_snapshot_isolation_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q6r_sql_time_travel",
+    # judged green; deferred in r9 to make window room
+    defer=True,
     # new in r6, registered behind the judged window (r7 rotation
     # fodder); certifies the SQL time-travel surface: VERSION AS OF and
     # TIMESTAMP AS OF pin snapshots inside arbitrary SELECT shapes.
@@ -1576,6 +1586,8 @@ def q6r_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q6s_changelog_images",
+    # judged green; deferred in r9 to make window room
+    defer=True,
     # new in r6, registered behind the judged window (r7 rotation
     # fodder); certifies scan_changelog_with_images: Delta-CDF-style
     # update_preimage/update_postimage classification over MoR updates,
@@ -1645,6 +1657,8 @@ def q6s_changelog_images(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q6t_metadata_agg_pushdown",
+    # judged green; deferred in r9 to make window room
+    defer=True,
     # new in r6, registered behind the judged window (r7 rotation
     # fodder); certifies metadata_agg: COUNT/MIN/MAX served purely from
     # manifest footer stats (zero data read) equal plain SQL, and the
@@ -1711,6 +1725,8 @@ def q6t_metadata_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q6u_runtime_join_pruning",
+    # judged green; deferred in r9 to make window room
+    defer=True,
     # new in r6, registered behind the judged window (r7 rotation
     # fodder); certifies scan_join_pruned: build-side keys prune fact
     # files at the manifest level before the join (DPP analogue).
@@ -1846,6 +1862,8 @@ def q6v_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q6w_incremental_mv_refresh",
+    # judged green; deferred in r9 to make window room
+    defer=True,
     # new in r6, registered behind the judged window (r7 rotation
     # fodder); certifies incremental materialized-view maintenance:
     # refresh processes only the base's append-diff.
@@ -2042,6 +2060,8 @@ def q75_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q6y_tombstone_consolidation",
+    # judged green; deferred in r9 to make window room
+    defer=True,
     # new in r6, registered behind the judged window (r7 rotation
     # fodder); certifies rewrite_position_deletes: N tombstone files
     # fold to one with zero data-file rewrites and identical scans.
@@ -2107,6 +2127,8 @@ def q6y_tombstone_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q76_sql_metadata_agg",
+    # judged green; deferred in r9 to make window room
+    defer=True,
     # new in r7, registered behind the judged window (r8 rotation
     # fodder); certifies the SQL-surface wiring of metadata_agg
     # (catalog.sql routes whole-table COUNT/MIN/MAX through the
@@ -2227,6 +2249,8 @@ def q77_mv_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q78_sql_merge_alter",
+    # judged green; deferred in r9 to make window room
+    defer=True,
     # new in r7, registered behind the judged window (r8 rotation
     # fodder); certifies the SQL MERGE INTO verb (subquery source,
     # UPDATE SET * / INSERT *) and the ALTER TABLE verbs (ADD COLUMN
@@ -2296,6 +2320,8 @@ def q78_sql_merge_alter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q79_shallow_clone",
+    # judged green; deferred in r9 to make window room
+    defer=True,
     # new in r7, registered behind the judged window (r8 rotation
     # fodder); certifies clone_table: zero-copy snapshot clone,
     # divergence in both directions, source-expiry pin.
@@ -2367,6 +2393,8 @@ def q79_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q7d_cherrypick_recovery",
+    # judged green; deferred in r9 to make window room
+    defer=True,
     # new in r7, registered behind the judged window (r8 rotation
     # fodder); certifies table.cherrypick: rollback past a good append,
     # re-apply it by reference, refuse the double-pick.
@@ -2437,6 +2465,8 @@ def q7d_cherrypick_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q7e_masked_view",
+    # judged green; deferred in r9 to make window room
+    defer=True,
     # new in r7, registered behind the judged window (r8 rotation
     # fodder); certifies create_masked_view: column masks (cast back to
     # the column type), row filters, and pass-through of the rest -
@@ -2488,6 +2518,8 @@ def q7e_masked_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q7g_auto_maintain",
+    # judged green; deferred in r9 to make window room
+    defer=True,
     # new in r7, registered behind the judged window (r8 rotation
     # fodder); certifies maintenance.auto_maintain + table_metrics:
     # policy-driven tombstone consolidation, bounded compaction and
@@ -2561,6 +2593,8 @@ def q7g_auto_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q7h_scan_estimate",
+    # judged green; deferred in r9 to make window room
+    defer=True,
     # new in r7, registered behind the judged window (r8 rotation
     # fodder); certifies table.scan_estimate: manifest-only cost
     # preview whose row numbers are exact for range-disjoint files and
@@ -2618,6 +2652,8 @@ def q7h_scan_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q7n_mv_avg_incremental",
+    # judged green; deferred in r9 to make window room
+    defer=True,
     # new in r7, registered behind the judged window (r8/r9 rotation
     # fodder); certifies the AVG tier of incremental MV maintenance:
     # AVG is algebraic, so the MV stores hidden SUM/COUNT partials,
@@ -2680,10 +2716,10 @@ def q7n_mv_avg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q7o_branch_writes",
+    # promoted to the judged window in r9
     # new in r8, registered behind the judged window (r9 rotation
     # fodder); certifies divergent branch commits + publish-with-rebase
     # end-to-end (VERDICT r7 missing #2)
-    defer=True,
     oracle="""
     SELECT
       (SELECT COUNT(*) FROM documents WHERE lang IN ('en', 'es'))
@@ -2755,13 +2791,13 @@ def q7o_branch_writes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q7p_mv_having_incremental",
+    # promoted to the judged window in r9
     # new in r8, registered behind the judged window (r9 rotation
     # fodder); certifies the HAVING tier of incremental MV maintenance:
     # the MV stores the UNFILTERED per-group aggregate as hidden state,
     # REFRESH merges partials (commit operation 'merge'), and the
     # HAVING gate applies in the SQL-surface view - groups crossing the
     # threshold only after the second append must appear.
-    defer=True,
     oracle="""
     SELECT lang, COUNT(*) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS sum_chars
@@ -2815,13 +2851,13 @@ def q7p_mv_having_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q7r_sql_procedures",
+    # promoted to the judged window in r9
     # new in r8, registered behind the judged window (r9 rotation
     # fodder); certifies the SQL ops surface end-to-end: RESTORE TABLE
     # ... VERSION AS OF (Delta), CALL system.cherrypick_snapshot /
     # create_branch / publish_branch / compact (Iceberg stored
     # procedures) - the same lifecycle q6g/q7d/q7o judge through the
     # Python APIs, driven entirely from SQL.
-    defer=True,
     oracle="""
     SELECT
       (SELECT COUNT(*) FROM documents WHERE lang = 'en') AS after_restore,
@@ -2891,6 +2927,7 @@ def q7r_sql_procedures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q7s_mv_cdc_incremental",
+    # promoted to the judged window in r9
     # new in r8, registered behind the judged window (r9 rotation
     # fodder); certifies CDC-driven incremental MV maintenance: base
     # DML (a CoW DELETE erasing one language entirely and a doc_id
@@ -2899,7 +2936,6 @@ def q7r_sql_procedures(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 'merge' with cdc_refresh=true, O(changed rows), never re-reading
     # the base - and the group whose last row was deleted LEAVES the
     # view in the same commit.
-    defer=True,
     oracle="""
     SELECT lang, COUNT(*) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS sum_chars
@@ -2945,12 +2981,12 @@ def q7s_mv_cdc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q7t_copy_into",
+    # promoted to the judged window in r9
     # new in r8, registered behind the judged window (r9 rotation
     # fodder); certifies the idempotent bulk-ingest verb: COPY INTO
     # loads the corpus once, the re-run is a zero-commit no-op (ledger
     # reconciled from properties + commit summaries), and the loaded
     # table matches plain SQL over the source exactly.
-    defer=True,
     oracle="""
     SELECT lang, COUNT(*) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS sum_chars
@@ -2992,12 +3028,12 @@ def q7t_copy_into(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q7u_table_changes_cdf",
+    # promoted to the judged window in r9
     # new in r8, registered behind the judged window (r9 rotation
     # fodder); certifies the SQL change-data-feed read: appends + a
     # CoW DELETE produce exactly the insert/delete row streams plain
     # SQL predicts, queried via table_changes('t', from, to) and the
     # ns.table.snapshots metadata table.
-    defer=True,
     oracle="""
     SELECT 'insert' AS change_type,
            (SELECT COUNT(*) FROM documents WHERE lang = 'de')
@@ -3052,7 +3088,7 @@ def q7u_table_changes_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q7v_mv_expression_key",
-    defer=True,  # r9 rotation fodder: never judged yet, oracle-backed
+    # promoted to the judged window in r9
     # certifies the expression-key tier of incremental MV maintenance:
     # an aliased deterministic expression (n_chars % 10) is a mergeable
     # group key - REFRESH after an append MERGES delta partials on the
@@ -3120,7 +3156,7 @@ def q7v_mv_expression_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q7w_mv_count_distinct",
-    defer=True,  # r9 rotation fodder: never judged yet, oracle-backed
+    # promoted to the judged window in r9
     # certifies the COUNT(DISTINCT) tier: the MV stores the finer
     # (lang, n_chars) grain with per-grain partials, the SQL surface
     # re-aggregates back to the user grain, REFRESH merges at the
@@ -3192,7 +3228,7 @@ def q7w_mv_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q82_mv_join_agg",
-    defer=True,  # r9 rotation fodder: never judged yet, oracle-backed
+    # promoted to the judged window in r9
     # certifies the join-aggregate MV tier: fact appends refresh by
     # joining ONLY the delta to the pinned dim and merging partials
     # (merged flag), a moved dim forces the full-recompute fallback
@@ -3264,3 +3300,83 @@ def q82_mv_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, res.schema)
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+@register(
+    "q87_streaming_exactly_once",
+    # new in r9 (VERDICT r8 #2): the only judged entry whose result is
+    # produced by the Structured-Streaming commit path
+    # (streaming/sink.py EpochCommitSink), not a batch shortcut. A
+    # file-source stream drains the documents into a lakehouse table
+    # via foreachBatch (availableNow), then a second stream with a
+    # FRESH checkpoint but the same logical query id replays epoch 0 -
+    # the (query-id, epoch-id) stamp in the snapshot summary makes the
+    # sink skip it, so the table cannot double-append even when the
+    # checkpoint is lost. The readback aggregate equals plain SQL over
+    # the source iff the streamed commit was lossless AND the replay
+    # was skipped.
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           TRUE AS replay_skipped
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q87_streaming_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming ingest (ST2/reference scheduler semantics,
+    lakehouse_pipeline.py ledger discipline re-expressed as Iceberg's
+    epoch-stamped streaming sink): stream -> EpochCommitSink -> table,
+    then a checkpoint-loss replay that must be a no-op."""
+    from ..catalog import LakehouseCatalog
+    from ..streaming.sink import write_stream_to_table
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_q87_")
+    src = tempfile.mkdtemp(prefix="stream_src_q87_")
+    ckpt1 = tempfile.mkdtemp(prefix="ckpt1_q87_")
+    ckpt2 = tempfile.mkdtemp(prefix="ckpt2_q87_")
+    try:
+        d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+        # ONE part file => both runs see exactly one epoch (epoch 0),
+        # so the replay-skip branch is deterministic regardless of the
+        # source's batching heuristics.
+        d.coalesce(1).write.mode("overwrite").parquet(src)
+        file_schema = spark.read.parquet(src).schema
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("tmp")
+        t = cat.create_table("tmp.docs", file_schema)
+        stream = spark.readStream.schema(file_schema).parquet(src)
+        q = write_stream_to_table(
+            stream, t, ckpt1, query_id="q87", available_now=True
+        )
+        q.awaitTermination(300)
+        n1 = t.to_df().count()
+        # checkpoint loss: fresh checkpoint dir, same logical query id.
+        # The file source re-lists every file as epoch 0; the epoch
+        # stamp already committed in the snapshot log skips the append.
+        t2 = cat.load_table("tmp.docs")
+        stream2 = spark.readStream.schema(file_schema).parquet(src)
+        q2 = write_stream_to_table(
+            stream2, t2, ckpt2, query_id="q87", available_now=True
+        )
+        q2.awaitTermination(300)
+        n2 = t2.to_df().count()
+        out = (
+            t2.scan()
+            .groupBy("lang")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("sum_chars"),
+            )
+            .select(
+                "lang",
+                "n_docs",
+                "sum_chars",
+                F.lit(bool(n1 == n2)).alias("replay_skipped"),
+            )
+        )
+        rows = out.collect()  # materialize before the dirs vanish
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        for p in (wh, src, ckpt1, ckpt2):
+            shutil.rmtree(p, ignore_errors=True)

@@ -1494,6 +1494,8 @@ def q72_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q5q_paragraph_dedup",
+    # judged green; deferred in r9 to make window room
+    defer=True,
     # new in r6, registered behind the judged window (r7 rotation
     # fodder); certifies operators/paragraphs.py CCNet-style line dedup
     # end-to-end including reassembly order (md5 of rebuilt text).
@@ -1573,6 +1575,8 @@ def q5q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q5r_exact_substring_dedup",
+    # judged green; deferred in r9 to make window room
+    defer=True,
     # new in r6, registered behind the judged window (r7 rotation
     # fodder); certifies operators/dedup.py exact-substring family:
     # the pair join (distinct spans, stop-window cap) AND the per-doc
@@ -1651,6 +1655,8 @@ def q5r_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q7a_bigram_lm",
+    # judged green; deferred in r9 to make window room
+    defer=True,
     # new in r7, registered behind the judged window (r8 rotation
     # fodder); certifies operators/lm.py fit_bigram/score_bigram
     # (Stupid Backoff) cross-engine: fit on the corpus, score a
@@ -1783,6 +1789,8 @@ def q7c_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q7i_curation_pipeline_v2",
+    # judged green; deferred in r9 to make window room
+    defer=True,
     # new in r7, registered behind the judged window (r8 rotation
     # fodder); certifies the COMPOSITION of the round-7 text operators
     # in one plan: canonical dedup -> length gate -> token chunking ->
@@ -1847,6 +1855,8 @@ def q7i_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q7l_data_expectations",
+    # judged green; deferred in r9 to make window room
+    defer=True,
     # new in r7, registered behind the judged window (r8 rotation
     # fodder); certifies operators/expectations.py: the one-pass
     # Deequ-style audit suite, each check's metric replayed in SQL.
@@ -1899,7 +1909,7 @@ def q7l_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q83_train_val_test_split",
-    defer=True,  # r9 rotation fodder: never judged yet, oracle-backed
+    # promoted to the judged window in r9
     # certifies the leakage-safe deterministic split: band assignment
     # is cumulative md5-prefix thresholds (the sample_fraction hex
     # convention), reproduced verbatim by the oracle, and the

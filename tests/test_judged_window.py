@@ -21,52 +21,103 @@ def test_window_is_exactly_fifty():
     assert list(QUERIES)[:JUDGED_WINDOW] == JUDGED_NAMES
 
 
-def test_round8_rotations_are_in_window():
-    """VERDICT r7 #1: rotate ALL 18 never-judged oracle-backed entries
-    (the entire r7 feature wave) into the window; the deferred residents
-    (the 19 r6 first-timers after their second green plus q5e/q5f/q5g)
-    keep local DuckDB parity via tests/test_oracle_parity.py."""
+def test_round9_rotations_are_in_window():
+    """VERDICT r8 #1: rotate ALL 26 never-driver-judged oracle-backed
+    entries into the window (the r8 session waves q7o-q86 PLUS the 7
+    portable-SQL variants that slipped through every prior rotation),
+    so every registered query has a CORRECTNESS row at least once.
+    Plus the new r9 streaming-path entry q87 (VERDICT r8 #2)."""
     must_be_judged = {
-        "q76_sql_metadata_agg",
+        # r8 session-1/2 wave, never judged
+        "q7o_branch_writes",
+        "q7p_mv_having_incremental",
+        "q7q_ohlc_bars",
+        "q7r_sql_procedures",
+        "q7s_mv_cdc_incremental",
+        "q7t_copy_into",
+        "q7u_table_changes_cdf",
+        # r8 session-3 wave, never judged
+        "q7v_mv_expression_key",
+        "q7w_mv_count_distinct",
+        "q7x_theta_audience_overlap",
+        "q7y_kll_price_rollup",
+        "q7z_event_gaps",
+        "q80_pca_quality",
+        "q81_random_projection_pairs",
+        "q82_mv_join_agg",
+        "q83_train_val_test_split",
+        "q84_opq_rotated_pq",
+        "q85_pivot_event_matrix",
+        "q86_topk_frequent_items",
+        # portable-SQL variants with zero driver evidence across r1-r8
+        "q29_year_extract_volume",
+        "q2a_percentiles",
+        "q2b_stddev_portable",
+        "q13b_rank_functions",
+        "q14b_moving_avg",
+        "q16b_cube_counts",
+        "q43b_regex_tokenization",
+        # new in r9: streaming commit path judged end-to-end
+        "q87_streaming_exactly_once",
+    }
+    assert must_be_judged <= set(JUDGED_NAMES)
+    # the 23 keepers: lakehouse lifecycle spine + one representative
+    # per operator family (each already multi-round green)
+    keepers = {
+        "q60_lakehouse_roundtrip",
+        "q61_lakehouse_dedup_append",
+        "q62_lakehouse_time_travel",
+        "q63_lakehouse_merge_upsert",
+        "q64_lakehouse_compaction",
+        "q65_lakehouse_snapshot_expiry",
+        "q66_full_ingest_pipeline",
+        "q67_bucket_point_lookup",
+        "q68_spec_schema_evolution",
+        "q69_incremental_read",
+        "q6a_lakehouse_mor_delete",
+        "q6b_lakehouse_write_audit_publish",
+        "q6c_lakehouse_position_delete",
+        "q6q_snapshot_isolation_gc",
+        "q6v_row_lineage",
+        "q6x_cdc_replication",
+        "q72_bm25_topk",
+        "q74_pq_ann_topk",
+        "q75_jsonl_ingest",
         "q77_mv_agg_incremental",
+        "q7b_resample_gapfill",
+        "q7c_canonical_dedup",
+        "q7j_event_funnel",
+    }
+    assert keepers <= set(JUDGED_NAMES)
+    rotated_out = {
+        # r9 defer-outs (each judged green r8, most first-timers then)
+        "q5q_paragraph_dedup",
+        "q5r_exact_substring_dedup",
+        "q6d_lakehouse_mor_update",
+        "q6e_incremental_over_mor",
+        "q6o_lakehouse_column_default",
+        "q6p_lakehouse_materialized_view",
+        "q6r_sql_time_travel",
+        "q6s_changelog_images",
+        "q6t_metadata_agg_pushdown",
+        "q6u_runtime_join_pruning",
+        "q6w_incremental_mv_refresh",
+        "q6y_tombstone_consolidation",
+        "q73_hybrid_rrf_fusion",
+        "q76_sql_metadata_agg",
         "q78_sql_merge_alter",
         "q79_shallow_clone",
         "q7a_bigram_lm",
-        "q7b_resample_gapfill",
-        "q7c_canonical_dedup",
         "q7d_cherrypick_recovery",
         "q7e_masked_view",
         "q7f_json_flatten",
         "q7g_auto_maintain",
         "q7h_scan_estimate",
         "q7i_curation_pipeline_v2",
-        "q7j_event_funnel",
         "q7k_cohort_retention",
         "q7l_data_expectations",
         "q7m_rolling_anomalies",
         "q7n_mv_avg_incremental",
-    }
-    assert must_be_judged <= set(JUDGED_NAMES)
-    rotated_out = {
-        # r8 defer-outs (each with >=2 driver greens, r6+r7)
-        "q59_token_chunking",
-        "q4d_bpe_vocab_fit",
-        "q5e_repetition_quality",
-        "q5f_benchmark_contamination",
-        "q5g_semantic_dedup",
-        "q5h_incremental_near_dedup",
-        "q5k_corpus_mix",
-        "q5l_unigram_lm_score",
-        "q5m_sequence_packing",
-        "q5n_bin_packing",
-        "q5o_curation_pipeline",
-        "q5p_quantized_ann",
-        "q6i_lakehouse_merge_sync",
-        "q6j_lakehouse_analyze_stats",
-        "q6k_lakehouse_in_list_lookup",
-        "q6l_lakehouse_hourly_prune",
-        "q6m_lakehouse_partition_overwrite",
-        "q6n_lakehouse_sql_lifecycle",
         # earlier rotations that must stay out
         "q01_pricing_summary",
         "q03_shipping_priority",
@@ -81,8 +132,6 @@ def test_round8_rotations_are_in_window():
         "q37_session_range_join",
         "q70_hll_distinct_bound",
         "q71_quantile_sketch_bound",
-        "q5i_weighted_sample",
-        "q5j_hashed_embeddings",
     }
     assert not rotated_out & set(JUDGED_NAMES)
     # rotated-out entries stay registered (local parity keeps running)
