@@ -165,9 +165,13 @@ _TABLE_CHANGES = re.compile(
 # Iceberg's stored-procedure surface: CALL system.<proc>(arg, ...).
 # Args are positional literals ('str' or int); each proc routes to the
 # corresponding Python API (maintenance / refs / branch publish).
+# The args group is greedy .* with the closing paren anchored at
+# end-of-statement, so a quoted argument containing ')' (e.g.
+# create_tag('t', 'v(1)')) still routes here; the quote-aware
+# _split_top_level parses the list.
 _DML_CALL = re.compile(
-    r"^\s*CALL\s+system\.(?P<proc>\w+)\s*\((?P<args>[^)]*)\)\s*;?\s*$",
-    re.IGNORECASE,
+    r"^\s*CALL\s+system\.(?P<proc>\w+)\s*\((?P<args>.*)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
 )
 
 _DML_VACUUM = re.compile(
@@ -302,6 +306,58 @@ def _split_top_level(s: str) -> list[str]:
     if cur:
         parts.append("".join(cur))
     return parts
+
+
+def _quoted_spans(s: str) -> list[tuple[int, int]]:
+    """[start, end] index ranges of quoted spans ('...' literals and
+    "..." idents), honoring backslash escapes and SQL's doubled-quote
+    escape (''). Used to keep textual statement rewrites (metadata
+    tables, table_changes, HAVING alias substitution) out of string
+    literals."""
+    spans: list[tuple[int, int]] = []
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch in ("'", '"'):
+            j = i + 1
+            while j < n:
+                if s[j] == "\\":
+                    j += 2
+                    continue
+                if s[j] == ch:
+                    if j + 1 < n and s[j + 1] == ch:  # '' escape
+                        j += 2
+                        continue
+                    break
+                j += 1
+            spans.append((i, min(j, n - 1)))
+            i = j + 1
+        else:
+            i += 1
+    return spans
+
+
+def _sub_outside_quotes(pattern: re.Pattern, repl, s: str) -> str:
+    """``pattern.sub(repl, s)`` skipping matches that START inside a
+    quoted span - so ``WHERE note = 'ns.tbl.files'`` keeps its literal
+    while a real ``ns.tbl.files`` table reference is rewritten. (A
+    match beginning outside quotes may legitimately CONTAIN quotes,
+    e.g. ``table_changes('t', 1)``.)"""
+    spans = _quoted_spans(s)
+
+    def _in_quote(pos: int) -> bool:
+        return any(a <= pos <= b for a, b in spans)
+
+    out: list[str] = []
+    last = 0
+    for m in pattern.finditer(s):
+        if _in_quote(m.start()):
+            continue
+        out.append(s[last : m.start()])
+        out.append(repl(m) if callable(repl) else m.expand(repl))
+        last = m.end()
+    out.append(s[last:])
+    return "".join(out)
 
 
 def _split_on_top_level_where(s: str) -> tuple[str, str | None]:
@@ -1064,19 +1120,28 @@ class LakehouseCatalog:
                 im = self._MV_AGG_ITEM.match(part)
                 if im is None:
                     continue
-                pat = (
+                pat = re.compile(
                     im.group("op")
                     + r"\s*\(\s*"
                     + (r"DISTINCT\s+" if im.group("distinct") else "")
                     + re.escape(im.group("arg").strip())
-                    + r"\s*\)"
+                    + r"\s*\)",
+                    re.IGNORECASE,
                 )
-                having = re.sub(
-                    pat, im.group("alias"), having, flags=re.IGNORECASE
+                # quote-aware: an aggregate SPELLING inside a HAVING
+                # string literal (lang = 'COUNT(n_chars)') must stay a
+                # literal, not become an alias reference
+                having = _sub_outside_quotes(
+                    pat, im.group("alias"), having
                 )
-            if re.search(
-                r"\b(COUNT|SUM|MIN|MAX|AVG)\s*\(", having, re.IGNORECASE
-            ):
+            leftover = _sub_outside_quotes(
+                re.compile(
+                    r"\b(COUNT|SUM|MIN|MAX|AVG)\s*\(", re.IGNORECASE
+                ),
+                "\x00",
+                having,
+            )
+            if "\x00" in leftover:
                 return None  # an aggregate with no stored column
             try:
                 # validate against the unfiltered output schema (catches
@@ -1308,9 +1373,18 @@ class LakehouseCatalog:
     # back to full refresh - never to a wrong result.
     _MV_JOIN_AGG_SHAPE = re.compile(
         r"^\s*SELECT\s+(?P<items>.+?)\s+FROM\s+(?P<f>[A-Za-z_]\w*)\s+"
-        r"(?:INNER\s+)?JOIN\s+(?P<d>[A-Za-z_]\w*)\s+ON\s+(?P<on>.+?)"
+        r"(?P<joins>(?:INNER\s+)?JOIN\s+.+?)"
         r"(?:\s+WHERE\s+(?P<where>.+?))?"
         r"\s+GROUP\s+BY\s+(?P<keys>.+?)\s*;?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    # one step of the join chain: JOIN <dim> ON <cond>, the condition
+    # ending where the next JOIN begins (or the chain ends). Real star
+    # queries join several dims (q05's shape) - the tier handles
+    # fact JOIN d1 ON ... JOIN d2 ON ... JOIN dN ON ... uniformly.
+    _MV_JOIN_STEP = re.compile(
+        r"(?:INNER\s+)?JOIN\s+(?P<d>[A-Za-z_]\w*)\s+ON\s+"
+        r"(?P<on>.+?)(?=\s+(?:INNER\s+)?JOIN\s+|\s*$)",
         re.IGNORECASE | re.DOTALL,
     )
     _MV_JOIN_KEY = re.compile(
@@ -1321,17 +1395,17 @@ class LakehouseCatalog:
 
     def _mv_join_agg_spec(
         self, sql_text: str
-    ) -> tuple[str, str, list[str], list[tuple[str, str]]] | None:
+    ) -> tuple[str, list[str], list[str], list[tuple[str, str]]] | None:
         """Parse a join-aggregate MV: ``SELECT <bare/qualified key cols
         and COUNT/SUM/MIN/MAX(expr) AS alias> FROM <fact view> [INNER]
-        JOIN <dim view> ON <cond> [WHERE ...] GROUP BY <the keys>``.
-        Returns (fact identifier, dim identifier, group columns, [(agg
-        alias, op)]) or None. Conservative gates in the family
-        tradition: AVG/DISTINCT/HAVING/expression keys, a self-join,
-        outer joins, subqueries, or extra plan nodes all decline to
-        full refresh. Which side is the FACT is positional (the left
-        table): its appends refresh incrementally, the right side is
-        the pinned dim."""
+        JOIN <dim view> ON <cond> [JOIN <dim2> ON <cond2> ...]
+        [WHERE ...] GROUP BY <the keys>``. Returns (fact identifier,
+        [dim identifiers], group columns, [(agg alias, op)]) or None.
+        Conservative gates in the family tradition: AVG/DISTINCT/
+        HAVING/expression keys, a self-join, outer joins, subqueries,
+        or extra plan nodes all decline to full refresh. Which side is
+        the FACT is positional (the left table): its appends refresh
+        incrementally, every joined side is a pinned dim."""
         if re.search(
             r"\b(DISTINCT|HAVING|LEFT|RIGHT|FULL|CROSS|SEMI|ANTI)\b",
             sql_text,
@@ -1341,16 +1415,34 @@ class LakehouseCatalog:
         m = self._MV_JOIN_AGG_SHAPE.match(sql_text)
         if m is None:
             return None
+        steps = list(self._MV_JOIN_STEP.finditer(m.group("joins")))
+        if not steps:
+            return None
+        # the steps must tile the whole join chain (anything the step
+        # regex could not account for - stray tokens between ON and the
+        # next JOIN - is a shape we don't understand: decline)
+        pos = 0
+        for st in steps:
+            if m.group("joins")[pos : st.start()].strip():
+                return None
+            pos = st.end()
+        if m.group("joins")[pos:].strip():
+            return None
         # a refresh-variant ON/WHERE (current_date() etc.) would filter
         # only the DELTA with the new value while materialized rows
         # keep the old one - decline to full refresh
-        if self._MV_NONDETERMINISTIC.search(m.group("on")) or (
+        if any(
+            self._MV_NONDETERMINISTIC.search(st.group("on"))
+            for st in steps
+        ) or (
             m.group("where")
             and self._MV_NONDETERMINISTIC.search(m.group("where"))
         ):
             return None
-        f_view, d_view = m.group("f"), m.group("d")
-        if f_view.lower() == d_view.lower():
+        f_view = m.group("f")
+        d_views = [st.group("d") for st in steps]
+        lowers = [f_view.lower()] + [d.lower() for d in d_views]
+        if len(set(lowers)) != len(lowers):
             return None  # self-join: one delta side is not enough
 
         def resolve(view: str) -> str | None:
@@ -1362,8 +1454,9 @@ class LakehouseCatalog:
             ]
             return hits[0] if len(hits) == 1 else None
 
-        fact, dim = resolve(f_view), resolve(d_view)
-        if fact is None or dim is None:
+        fact = resolve(f_view)
+        dims = [resolve(d) for d in d_views]
+        if fact is None or any(d is None for d in dims):
             return None
         group_cols: list[str] = []
         key_names: dict[str, set[str]] = {}  # out name -> GROUP BY spellings
@@ -1424,9 +1517,9 @@ class LakehouseCatalog:
             matched.add(hit)
         if matched != set(key_names):
             return None
-        # plan guard: exactly one Aggregate over exactly one INNER
-        # join, nothing else non-distributive (subqueries, windows, a
-        # hidden second join from a view definition)
+        # plan guard: exactly one Aggregate over exactly N INNER
+        # joins, nothing else non-distributive (subqueries, windows, a
+        # hidden extra join from a view definition)
         try:
             self.register_views()
             plan = str(
@@ -1442,11 +1535,11 @@ class LakehouseCatalog:
         if (
             any(tok in plan for tok in bad)
             or plan.count("Aggregate") != 1
-            or plan.count("Join") != 1
-            or "Join Inner" not in plan
+            or plan.count("Join") != len(dims)
+            or plan.count("Join Inner") != len(dims)
         ):
             return None
-        return fact, dim, group_cols, aggs
+        return fact, dims, group_cols, aggs
 
     def _pin_base_view(self, base_ident: str) -> int:
         """Register the base table's view at an EXACT pinned version and
@@ -1561,20 +1654,24 @@ class LakehouseCatalog:
             else:
                 join_spec = self._mv_join_agg_spec(sql_text)
                 if join_spec is not None:
-                    fact, dim, group_cols, aggs = join_spec
+                    fact, dims, group_cols, aggs = join_spec
                     props["mv.base_table"] = fact
                     props.update(
                         self._pin_props(
                             fact, "mv.base_version", "mv.base_snapshot"
                         )
                     )
-                    props["mv.join_dim"] = dim
+                    dim_vs: dict[str, int] = {}
+                    dim_sids: dict[str, str] = {}
+                    for dim in dims:
+                        pin = self._pin_props(dim, "v", "s")
+                        dim_vs[dim] = int(pin["v"])
+                        if "s" in pin:
+                            dim_sids[dim] = pin["s"]
+                    # legacy single-dim spellings mirrored by
+                    # _dim_pin_props so pre-r9 tooling keeps working
                     props.update(
-                        self._pin_props(
-                            dim,
-                            "mv.join_dim_version",
-                            "mv.join_dim_snapshot",
-                        )
+                        self._dim_pin_props(dims, dim_vs, dim_sids)
                     )
                     props["mv.refresh_mode"] = "join_agg"
                     props["mv.group_cols"] = json.dumps(group_cols)
@@ -2157,28 +2254,67 @@ class LakehouseCatalog:
             **merge_kwargs,
         )
 
+    @staticmethod
+    def _join_dim_pins(props: dict) -> tuple[list[str], dict, dict]:
+        """The MV's dim pin state: ([dim idents], {ident: version},
+        {ident: snapshot-uuid}). Reads the r9 multi-dim spellings
+        (mv.join_dims/join_dim_versions/join_dim_snapshots) with a
+        fallback to the pre-r9 single-dim keys."""
+        if "mv.join_dims" in props:
+            dims = json.loads(props["mv.join_dims"])
+            vs = {
+                k: int(v)
+                for k, v in json.loads(
+                    props["mv.join_dim_versions"]
+                ).items()
+            }
+            sids = json.loads(props.get("mv.join_dim_snapshots", "{}"))
+            return dims, vs, sids
+        dim = props["mv.join_dim"]
+        sids = {}
+        if "mv.join_dim_snapshot" in props:
+            sids[dim] = props["mv.join_dim_snapshot"]
+        return [dim], {dim: int(props["mv.join_dim_version"])}, sids
+
+    def _dim_pin_props(
+        self, dims: list[str], vs: dict, sids: dict
+    ) -> dict:
+        """Serialize dim pins back to properties (legacy keys mirrored
+        for a single dim)."""
+        out = {
+            "mv.join_dims": json.dumps(dims),
+            "mv.join_dim_versions": json.dumps(
+                {k: str(v) for k, v in vs.items()}
+            ),
+            "mv.join_dim_snapshots": json.dumps(sids),
+        }
+        if len(dims) == 1:
+            out["mv.join_dim"] = dims[0]
+            out["mv.join_dim_version"] = str(vs[dims[0]])
+            if dims[0] in sids:
+                out["mv.join_dim_snapshot"] = sids[dims[0]]
+        return out
+
     def _refresh_join_agg(
         self, t: LakehouseTable, props: dict, sql_text: str
     ):
-        """Refresh a fact-JOIN-dim aggregate MV. Incremental iff the
-        dim is EXACTLY at its pinned version and the fact advanced
-        append-only: the stored query runs with the fact view bound to
-        the append-diff (the dim side small enough to broadcast lets
-        AQE pick the broadcast join on its own) and the partials MERGE
+        """Refresh a fact-JOIN-dim(s) aggregate MV. Incremental iff
+        EVERY dim is exactly at its pinned snapshot and the fact
+        advanced append-only: the stored query runs with the fact view
+        bound to the append-diff (dim sides small enough to broadcast
+        let AQE pick broadcast joins on its own) and the partials MERGE
         on the group keys via the single-table machinery. A moved dim
         invalidates every materialized group that joined its changed
         rows - undetectable without dim CDC - so it full-refreshes and
-        re-pins; fact DML in range likewise (join partials are not
-        stored in invertible form)."""
+        re-pins all sides; fact DML in range likewise (join partials
+        are not stored in invertible form)."""
         from .dml import overwrite_partitions, truncate_table
 
         fact_ident = props["mv.base_table"]
-        dim_ident = props["mv.join_dim"]
+        dims, dim_vs, dim_sids = self._join_dim_pins(props)
         ft = self.load_table(fact_ident)
-        dt = self.load_table(dim_ident)
-        fact_v, dim_v = ft.current_version(), dt.current_version()
+        fact_v = ft.current_version()
         base_v = int(props["mv.base_version"])
-        pinned_dim_v = int(props["mv.join_dim_version"])
         # pins verify SNAPSHOT IDENTITY, not version numbers - a
         # dropped-and-recreated table counts back to the same number
         # with different contents (r8 review finding, empirically a
@@ -2187,38 +2323,50 @@ class LakehouseCatalog:
         fact_lineage = fact_sid is None or (
             self._snap_id(ft, base_v) == fact_sid
         )
-        dim_sid = props.get("mv.join_dim_snapshot")
-        dim_lineage = dim_sid is None or (
-            self._snap_id(dt, pinned_dim_v) == dim_sid
-        )
-        dim_pinned = dim_lineage and dim_v == pinned_dim_v
+        all_pinned = True
+        new_vs, new_sids = dict(dim_vs), dict(dim_sids)
+        for dim_ident in dims:
+            dt = self.load_table(dim_ident)
+            dim_v = dt.current_version()
+            pinned_v = dim_vs[dim_ident]
+            sid = dim_sids.get(dim_ident)
+            lineage = sid is None or (
+                self._snap_id(dt, pinned_v) == sid
+            )
+            pinned = lineage and dim_v == pinned_v
+            if lineage and not pinned and dim_v > pinned_v:
+                # content-preserving dim commits (empty appends,
+                # property sets) must not force an O(fact) recompute:
+                # an append-only range contributing ZERO rows proves
+                # the join input is unchanged - re-pin the markers and
+                # stay incremental. Real appends/DML change existing
+                # groups' join matches, which no fact delta can
+                # express: full refresh below.
+                try:
+                    if (
+                        dt.scan_incremental(pinned_v, dim_v)
+                        .limit(1)
+                        .count()
+                        == 0
+                    ):
+                        pinned = True
+                        new_vs[dim_ident] = dim_v
+                        s2 = self._snap_id(dt, dim_v)
+                        if s2 is not None:
+                            new_sids[dim_ident] = s2
+                except ValueError:
+                    pass
+            if not pinned:
+                all_pinned = False
+                break
         dim_repin: dict = {}
-        if dim_lineage and not dim_pinned and dim_v > pinned_dim_v:
-            # content-preserving dim commits (empty appends, property
-            # sets) must not force an O(fact) recompute: an append-only
-            # range contributing ZERO rows proves the join input is
-            # unchanged - re-pin the markers and stay incremental.
-            # Real appends/DML change existing groups' join matches,
-            # which no fact delta can express: full refresh below.
-            try:
-                if (
-                    dt.scan_incremental(pinned_dim_v, dim_v)
-                    .limit(1)
-                    .count()
-                    == 0
-                ):
-                    dim_pinned = True
-                    dim_repin = {"mv.join_dim_version": str(dim_v)}
-                    sid = self._snap_id(dt, dim_v)
-                    if sid is not None:
-                        dim_repin["mv.join_dim_snapshot"] = sid
-            except ValueError:
-                pass
-        if dim_pinned and fact_lineage and fact_v == base_v:
+        if (new_vs, new_sids) != (dim_vs, dim_sids):
+            dim_repin = self._dim_pin_props(dims, new_vs, new_sids)
+        if all_pinned and fact_lineage and fact_v == base_v:
             if dim_repin:
                 t.set_properties(**dim_repin)
-            return None  # both sides' contents unmoved: no commit
-        if dim_pinned and fact_lineage and fact_v > base_v:
+            return None  # every side's contents unmoved: no commit
+        if all_pinned and fact_lineage and fact_v > base_v:
             try:
                 delta = ft.scan_incremental(base_v, fact_v)
             except ValueError:
@@ -2243,11 +2391,14 @@ class LakehouseCatalog:
         new_pin = self._pin_props(
             fact_ident, "mv.base_version", "mv.base_snapshot"
         )
-        new_pin.update(
-            self._pin_props(
-                dim_ident, "mv.join_dim_version", "mv.join_dim_snapshot"
-            )
-        )
+        full_vs: dict = {}
+        full_sids: dict = {}
+        for dim_ident in dims:
+            pin = self._pin_props(dim_ident, "v", "s")
+            full_vs[dim_ident] = int(pin["v"])
+            if "s" in pin:
+                full_sids[dim_ident] = pin["s"]
+        new_pin.update(self._dim_pin_props(dims, full_vs, full_sids))
         src = self.spark.sql(sql_text)
         snap = overwrite_partitions(t, src)
         if snap is None:
@@ -2394,7 +2545,9 @@ class LakehouseCatalog:
         if _METADATA_TABLE.search(query):
             # <ns>.<table>.<meta> -> temp view over the matching
             # inspect frame (Iceberg's metadata tables: layout/history
-            # questions in plain SQL, zero data reads)
+            # questions in plain SQL, zero data reads). Quote-aware sub:
+            # a matching token inside a string literal (WHERE note =
+            # 'ns.tbl.files') stays a literal.
             def _meta(m2: re.Match) -> str:
                 ident = f"{m2.group('ns')}.{m2.group('tbl')}"
                 if not self.table_exists(ident):
@@ -2406,7 +2559,7 @@ class LakehouseCatalog:
                 frame.createOrReplaceTempView(vname)
                 return vname
 
-            query = _METADATA_TABLE.sub(_meta, query)
+            query = _sub_outside_quotes(_METADATA_TABLE, _meta, query)
         if _TABLE_CHANGES.search(query):
             # rewrite each table_changes('t', from[, to]) call to a
             # temp view over the version-range changelog (insert/delete
@@ -2424,7 +2577,7 @@ class LakehouseCatalog:
                 )
                 return vname
 
-            query = _TABLE_CHANGES.sub(_tc, query)
+            query = _sub_outside_quotes(_TABLE_CHANGES, _tc, query)
         if _TIME_TRAVEL.search(query):
             query = self._rewrite_time_travel(query)
         m = _DML_DELETE.match(query)
@@ -2803,6 +2956,28 @@ class LakehouseCatalog:
         self._register_stored_views()
         return self.spark.sql(query)
 
+    @staticmethod
+    def _copy_fingerprint(path: str) -> str:
+        """Content fingerprint for COPY INTO keying: size + sha256 of
+        the first and last 64 KiB. The parquet footer (schema,
+        row-group offsets and stats) lives in the tail, so any real
+        content change lands in the hash; a ``touch`` or an
+        atomic-rename rewrite with identical bytes does not. O(128 KiB)
+        driver read per candidate - the same order as the glob listing
+        COPY INTO already does."""
+        import hashlib
+
+        size = os.path.getsize(path)
+        h = hashlib.sha256()
+        with open(path, "rb") as fh:
+            h.update(fh.read(65536))
+            if size > 131072:
+                fh.seek(-65536, 2)
+                h.update(fh.read(65536))
+            elif size > 65536:
+                h.update(fh.read())
+        return f"{size}-{h.hexdigest()[:16]}"
+
     def _sql_copy_into(self, ident: str, src: str) -> DataFrame:
         """Delta's ``COPY INTO t FROM '<path>'``: load every parquet
         file under the path into the table, skipping files loaded by a
@@ -2811,12 +2986,20 @@ class LakehouseCatalog:
         idempotent bulk-ingest verb; the reference's pipeline gets the
         same property from its ingest ledger, S11).
 
-        Ledger discipline: the loaded-file set lives in the table
+        Ledger discipline: the loaded-file map lives in the table
         property ``copy.ledger`` AND in each copy commit's summary;
         reads reconcile the union, so a crash between the commit and
         the property write cannot double-load while the copy snapshot
-        is retained. Files are deduplicated by (absolute path, mtime,
-        size) - a file REWRITTEN in place with new content reloads."""
+        is retained (after both the property write fails AND the copy
+        snapshot expires - a doubly-unlikely window - the file would
+        reload; size the expiry retention floor above the COPY cadence).
+        Files are keyed by (path, content fingerprint): a ``touch`` or
+        a byte-identical rewrite is skipped, a content rewrite at the
+        same path reloads and REPLACES the path's entry, so the ledger
+        holds at most one entry per path ever seen (Delta's path-only
+        ledger, hardened with a fingerprint). A moved/renamed file is a
+        new path and reloads - same as Delta; dedup across renames
+        needs content-addressed ingest, not a COPY verb."""
         import glob as _glob
 
         t = self.load_table(ident)
@@ -2836,34 +3019,59 @@ class LakehouseCatalog:
             paths = [root]
         else:
             raise ValueError(f"COPY INTO source not found: {src}")
-        # nanosecond mtime: a same-size rewrite within one second must
-        # still produce a fresh key (whole-second truncation would
-        # silently skip its new content forever)
-        candidates = {
-            f"{p}::{os.stat(p).st_mtime_ns}::{os.path.getsize(p)}": p
-            for p in paths
-        }
-        ledger: set[str] = set(
-            json.loads(t.properties().get("copy.ledger", "[]"))
-        )
+        candidates = {p: self._copy_fingerprint(p) for p in paths}
+        raw = json.loads(t.properties().get("copy.ledger", "{}"))
+        if isinstance(raw, list):
+            # pre-r9 ledger: flat list of path::mtime_ns::size keys.
+            # Honored as-is (exact-key match still skips); any file the
+            # legacy key no longer matches reloads once and migrates to
+            # the fingerprint map.
+            ledger: dict[str, str] = {}
+            legacy: set[str] = set(raw)
+        else:
+            ledger = dict(raw.get("fp", {}))
+            legacy = set(raw.get("legacy", []))
         for s in t.snapshots():  # reconcile a crashed property write
-            ledger |= set(s.summary.get("copied_file_keys", []))
-        new_keys = sorted(k for k in candidates if k not in ledger)
-        if not new_keys:
+            for k in s.summary.get("copied_file_keys", []):
+                if "::fp::" in k:
+                    p, fp = k.split("::fp::", 1)
+                    ledger[p] = fp
+                else:
+                    legacy.add(k)
+        legacy_paths = {k.rsplit("::", 2)[0] for k in legacy}
+
+        def _loaded(p: str) -> bool:
+            if ledger.get(p) == candidates[p]:
+                return True
+            st = os.stat(p)
+            return f"{p}::{st.st_mtime_ns}::{st.st_size}" in legacy
+
+        new_paths = sorted(p for p in candidates if not _loaded(p))
+        if not new_paths:
             return self.spark.createDataFrame(
                 [("copy", ident, 0, t.current_version())],
                 "operation string, table string, loaded_files long, "
                 "version long",
             )
-        df = self.spark.read.parquet(*[candidates[k] for k in new_keys])
+        new_keys = [f"{p}::fp::{candidates[p]}" for p in new_paths]
+        df = self.spark.read.parquet(*new_paths)
         snap = t.append(
             df,
             extra_summary={"copied_file_keys": new_keys},
         )
-        all_keys = sorted(ledger | set(new_keys))
-        t.set_properties(**{"copy.ledger": json.dumps(all_keys)})
+        for p in new_paths:
+            ledger[p] = candidates[p]
+        # a migrated path's legacy keys are dead: drop them (this is
+        # what bounds the ledger - one entry per path, not per version)
+        legacy = {
+            k for k in legacy if k.rsplit("::", 2)[0] not in set(new_paths)
+        }
+        payload: dict = {"fp": ledger}
+        if legacy:
+            payload["legacy"] = sorted(legacy)
+        t.set_properties(**{"copy.ledger": json.dumps(payload)})
         return self.spark.createDataFrame(
-            [("copy", ident, len(new_keys), snap.version)],
+            [("copy", ident, len(new_paths), snap.version)],
             "operation string, table string, loaded_files long, "
             "version long",
         )

@@ -402,28 +402,47 @@ def watch_materialized_view(
             "instead"
         )
     stop = threading.Event()
+    # a ValueError can be transient (a concurrent DDL/property race
+    # deep inside a refresh) OR permanent (no longer an MV). Only the
+    # provably-permanent kinds stop the loop outright; other
+    # ValueErrors back off like any transient error, but with a
+    # bounded strike count so a genuinely-stuck MV still stops loudly
+    # instead of silently retrying forever.
+    max_value_error_strikes = 5
+
+    def _is_permanent(e: Exception) -> bool:
+        if isinstance(e, (FileNotFoundError, _NoSuchTableError)):
+            return True  # the MV or its base is gone
+        if isinstance(e, ValueError):
+            try:
+                return (
+                    "mv.query"
+                    not in catalog.load_table(identifier).properties()
+                )
+            except Exception:
+                return True  # can't even load the MV anymore
+        return False
 
     def loop():
+        strikes = 0
         while not stop.is_set():
             try:
                 snap = catalog.refresh_materialized_view(identifier)
-            except (
-                FileNotFoundError,
-                ValueError,
-                _NoSuchTableError,
-            ) as e:
-                # the MV or its base is gone / no longer an MV: no
-                # amount of retrying fixes this - stop loudly
-                log.error(
-                    "mv-watch %s: permanent failure, stopping: %s",
-                    identifier,
-                    e,
-                )
-                return
+                strikes = 0
             except Exception as e:
+                if isinstance(e, ValueError):
+                    strikes += 1
+                if _is_permanent(e) or strikes >= max_value_error_strikes:
+                    # no amount of retrying fixes this - stop loudly
+                    log.error(
+                        "mv-watch %s: permanent failure, stopping: %s",
+                        identifier,
+                        e,
+                    )
+                    return
                 # same keep-alive discipline as the ingest watcher: a
-                # transient failure (base mid-commit, executor loss)
-                # must not kill the maintenance loop
+                # transient failure (base mid-commit, executor loss,
+                # concurrent DDL race) must not kill the loop
                 log.warning(
                     "mv-watch %s: transient refresh failure "
                     "(backing off %ss): %s",

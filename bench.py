@@ -136,6 +136,12 @@ def main() -> None:
         "queries_median": medians,
         "queries_min": mins,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # protocol era marker (VERDICT r8 #6): r8+ numbers are recorded
+        # after an untimed page-in of every input parquet; pre-r8 BENCH
+        # files (no protocol field) mixed cold-cache runs and are not
+        # comparable sample-for-sample.
+        "protocol": "warm-page-cache",
+        "warmup_mib": round(warmed_bytes / (1 << 20), 1),
     }
     print(json.dumps(out))
 

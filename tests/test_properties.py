@@ -643,3 +643,104 @@ def test_join_mv_always_equals_recompute(
         ).collect()
     }
     assert got == want, (ops, seed)
+
+
+_MULTI_JOIN_OPS = st.lists(
+    st.sampled_from(
+        ["fact_append", "dim1_append", "dim2_update", "fact_delete",
+         "refresh", "empty_dim2_append"]
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_MULTI_JOIN_OPS, seed=st.integers(min_value=0, max_value=10_000))
+def test_multidim_join_mv_always_equals_recompute(
+    spark, tmp_path_factory, ops, seed
+):
+    """r9 extension of the join-MV contract to fact JOIN dim1 JOIN
+    dim2: under ANY interleaving of fact appends, dim appends/DML on
+    EITHER dim, content-preserving commits and refreshes, the view
+    after a final refresh equals the full GROUP BY over the current
+    3-way join."""
+    import random
+
+    rng = random.Random(seed)
+    wh = tmp_path_factory.mktemp("mjwh")
+    cat = LakehouseCatalog(spark, str(wh))
+    cat.create_namespace("g")
+    fschema = "fk long, rk long, v long"
+    f = cat.create_table("g.mf", spark.createDataFrame([], fschema).schema)
+    d1 = cat.create_table(
+        "g.md1", spark.createDataFrame([], "k long, seg string").schema
+    )
+    d2 = cat.create_table(
+        "g.md2", spark.createDataFrame([], "r long, reg string").schema
+    )
+    d1.append(
+        spark.createDataFrame(
+            [(i, chr(65 + i % 3)) for i in range(5)], "k long, seg string"
+        )
+    )
+    d2.append(
+        spark.createDataFrame(
+            [(i, chr(80 + i % 2)) for i in range(3)], "r long, reg string"
+        )
+    )
+    f.append(
+        spark.createDataFrame(
+            [
+                (rng.randrange(7), rng.randrange(4), rng.randrange(100))
+                for _ in range(6)
+            ],
+            fschema,
+        )
+    )
+    q = (
+        "SELECT seg, reg, COUNT(*) AS n, SUM(v) AS sv, MAX(v) AS hi "
+        "FROM g_mf JOIN g_md1 ON g_mf.fk = g_md1.k "
+        "JOIN g_md2 ON g_mf.rk = g_md2.r GROUP BY seg, reg"
+    )
+    cat.create_materialized_view("g.mmv", q)
+    for op in ops:
+        if op == "fact_append":
+            f.append(
+                spark.createDataFrame(
+                    [
+                        (
+                            rng.randrange(7),
+                            rng.randrange(4),
+                            rng.randrange(100),
+                        )
+                        for _ in range(rng.randrange(1, 4))
+                    ],
+                    fschema,
+                )
+            )
+        elif op == "dim1_append":
+            d1.append(
+                spark.createDataFrame(
+                    [(5 + rng.randrange(3), "X")], "k long, seg string"
+                )
+            )
+        elif op == "empty_dim2_append":
+            d2.append(spark.createDataFrame([], "r long, reg string"))
+        elif op == "fact_delete":
+            cat.sql(f"DELETE FROM g.mf WHERE v % 10 = {rng.randrange(10)}")
+        elif op == "dim2_update":
+            cat.sql(
+                f"UPDATE g.md2 SET reg = 'Z' WHERE r = {rng.randrange(3)}"
+            )
+        else:
+            cat.refresh_materialized_view("g.mmv")
+    cat.refresh_materialized_view("g.mmv")
+    cat.register_views()
+    got = {tuple(r) for r in spark.sql("SELECT * FROM g_mmv").collect()}
+    want = {tuple(r) for r in spark.sql(q).collect()}
+    assert got == want, (ops, seed)

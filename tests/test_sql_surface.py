@@ -2016,3 +2016,293 @@ def test_mv_recreated_base_detected(catalog, spark):
         tuple(r) for r in spark.sql("SELECT * FROM gold_rbmv").collect()
     }
     assert got == {("z", 1, 9)}
+
+
+# ---- r9 ADVICE fixes: quote-aware statement rewrites + COPY ledger ----
+
+
+def test_metadata_table_token_in_string_literal_survives(catalog, spark):
+    """ADVICE r9: a ns.tbl.files SPELLING inside a string literal must
+    stay a literal - the metadata-table rewrite previously corrupted it
+    into a temp-view name."""
+    df = spark.createDataFrame([(1, "gold.lit.files")], "id long, note string")
+    t = catalog.create_table("gold.lit", df.schema)
+    t.append(df)
+    out = catalog.sql(
+        "SELECT COUNT(*) AS n FROM gold_lit "
+        "WHERE note = 'gold.lit.files'"
+    ).first()
+    assert out["n"] == 1
+    # the real metadata table still rewrites (outside quotes)
+    n_files = catalog.sql(
+        "SELECT COUNT(*) AS n FROM gold.lit.files"
+    ).first()["n"]
+    assert n_files >= 1
+
+
+def test_table_changes_in_string_literal_survives(catalog, spark):
+    """table_changes('t', ...) inside a literal stays verbatim."""
+    df = spark.createDataFrame([(1, "x")], "id long, s string")
+    t = catalog.create_table("gold.cdflit", df.schema)
+    t.append(df)
+    out = catalog.sql(
+        "SELECT 'table_changes(''gold.cdflit'', 1)' AS txt"
+    ).first()
+    assert out["txt"] == "table_changes('gold.cdflit', 1)"
+    # and the real call still routes
+    n = catalog.sql(
+        "SELECT COUNT(*) AS n FROM table_changes('gold.cdflit', 0)"
+    ).first()["n"]
+    assert n == 1
+
+
+def test_sql_call_quoted_paren_argument(catalog, spark):
+    """ADVICE r9: CALL args containing ')' inside a quoted literal must
+    still route to the procedure surface (the old [^)]* args group fell
+    through to Spark's parser)."""
+    df = spark.createDataFrame([(1,)], "id long")
+    t = catalog.create_table("gold.parens", df.schema)
+    t.append(df)
+    out = catalog.sql(
+        "CALL system.create_tag('gold.parens', 'v(1)')"
+    ).first()
+    assert out["operation"] == "create_tag"
+    assert "v(1)" in {r.name for r in t.inspect_refs().collect()}
+
+
+def test_mv_having_literal_with_aggregate_spelling(catalog, spark):
+    """ADVICE r9: an aggregate spelling inside a HAVING string literal
+    must not be rewritten into alias space (it previously validated
+    cleanly and filtered on the wrong value)."""
+    df = spark.createDataFrame(
+        [("COUNT(v)", 1), ("COUNT(v)", 2), ("other", 3)],
+        "k string, v long",
+    )
+    t = catalog.create_table("gold.havlit", df.schema)
+    t.append(df)
+    catalog.create_materialized_view(
+        "gold.mv_havlit",
+        "SELECT k, COUNT(v) AS n FROM gold_havlit GROUP BY k "
+        "HAVING k = 'COUNT(v)'",
+    )
+    rows = catalog.sql("SELECT k, n FROM gold_mv_havlit").collect()
+    assert [(r["k"], r["n"]) for r in rows] == [("COUNT(v)", 2)]
+    # incremental refresh path keeps the literal semantics too
+    t.append(spark.createDataFrame([("COUNT(v)", 9)], "k string, v long"))
+    catalog.refresh_materialized_view("gold.mv_havlit")
+    rows = catalog.sql("SELECT k, n FROM gold_mv_havlit").collect()
+    assert [(r["k"], r["n"]) for r in rows] == [("COUNT(v)", 3)]
+
+
+def test_copy_into_touch_does_not_reload(catalog, spark, tmp_path):
+    """ADVICE r9: COPY INTO keys on (path, content fingerprint) - a
+    touched or byte-identical-rewritten file must NOT reload; a real
+    content rewrite at the same path reloads and REPLACES the path's
+    ledger entry (bounded growth)."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    src = tmp_path / "landing9"
+    src.mkdir()
+    df1 = spark.createDataFrame([(1, "x"), (2, "y")], "id long, s string")
+    df1.coalesce(1).write.mode("overwrite").parquet(str(src / "a"))
+    part = next(
+        p for p in (src / "a").iterdir() if p.name.endswith(".parquet")
+    )
+    t = catalog.create_table("gold.copied9", df1.schema, [])
+    catalog.sql(f"COPY INTO gold.copied9 FROM '{src}'")
+    assert t.to_df().count() == 2
+    v = t.current_version()
+    # touch: new mtime, same bytes -> skipped
+    _os.utime(part, None)
+    out = catalog.sql(f"COPY INTO gold.copied9 FROM '{src}'").first()
+    assert out["loaded_files"] == 0 and t.current_version() == v
+    # byte-identical rewrite (copy to temp, move back) -> skipped
+    tmp = src / "a" / "tmpcopy"
+    _shutil.copyfile(part, tmp)
+    _os.replace(tmp, part)
+    out = catalog.sql(f"COPY INTO gold.copied9 FROM '{src}'").first()
+    assert out["loaded_files"] == 0 and t.current_version() == v
+    # real content rewrite at the SAME path -> reloads, entry replaced
+    df2 = spark.createDataFrame([(9, "z")], "id long, s string")
+    df2.coalesce(1).write.mode("overwrite").parquet(str(src / "b"))
+    newpart = next(
+        p for p in (src / "b").iterdir() if p.name.endswith(".parquet")
+    )
+    _shutil.copyfile(newpart, part)
+    _shutil.rmtree(src / "b")
+    # drop the stale Hadoop checksum sidecar from the original write
+    crc = part.parent / f".{part.name}.crc"
+    if crc.exists():
+        crc.unlink()
+    out = catalog.sql(f"COPY INTO gold.copied9 FROM '{src}'").first()
+    assert out["loaded_files"] == 1
+    ledger = _json.loads(t.properties()["copy.ledger"])
+    # dict ledger: exactly one entry for the rewritten path
+    assert list(ledger["fp"].keys()) == [str(part)]
+
+
+def test_copy_into_legacy_list_ledger_honored(catalog, spark, tmp_path):
+    """A pre-r9 flat-list ledger (path::mtime_ns::size keys) still
+    skips exactly-matching files and migrates on reload."""
+    import json as _json
+    import os as _os
+
+    src = tmp_path / "landing_legacy"
+    src.mkdir()
+    df1 = spark.createDataFrame([(1, "x")], "id long, s string")
+    df1.coalesce(1).write.mode("overwrite").parquet(str(src / "a"))
+    part = next(
+        p for p in (src / "a").iterdir() if p.name.endswith(".parquet")
+    )
+    t = catalog.create_table("gold.legacy9", df1.schema, [])
+    st = _os.stat(part)
+    t.set_properties(**{
+        "copy.ledger": _json.dumps(
+            [f"{part}::{st.st_mtime_ns}::{st.st_size}"]
+        )
+    })
+    out = catalog.sql(f"COPY INTO gold.legacy9 FROM '{src}'").first()
+    assert out["loaded_files"] == 0  # legacy key matched -> skip
+    # touching invalidates the legacy key -> reloads once, migrates
+    _os.utime(part, None)
+    out = catalog.sql(f"COPY INTO gold.legacy9 FROM '{src}'").first()
+    assert out["loaded_files"] == 1
+    ledger = _json.loads(t.properties()["copy.ledger"])
+    assert str(part) in ledger["fp"] and "legacy" not in ledger
+
+
+# ---- r9: multi-dim join-MV tier (VERDICT r8 #5) ----
+
+
+def _star_fixture(catalog, spark, suffix=""):
+    f = catalog.create_table(
+        f"gold.sfact{suffix}",
+        spark.createDataFrame([], "fk long, rk long, v long").schema,
+    )
+    d1 = catalog.create_table(
+        f"gold.sdim1{suffix}",
+        spark.createDataFrame([], "k long, seg string").schema,
+    )
+    d2 = catalog.create_table(
+        f"gold.sdim2{suffix}",
+        spark.createDataFrame([], "r long, reg string").schema,
+    )
+    d1.append(
+        spark.createDataFrame(
+            [(1, "A"), (2, "A"), (3, "B")], "k long, seg string"
+        )
+    )
+    d2.append(
+        spark.createDataFrame(
+            [(10, "EU"), (20, "US")], "r long, reg string"
+        )
+    )
+    f.append(
+        spark.createDataFrame(
+            [(1, 10, 100), (2, 20, 200), (3, 10, 300), (1, 20, 5)],
+            "fk long, rk long, v long",
+        )
+    )
+    return f, d1, d2
+
+
+_STAR_Q = (
+    "SELECT seg, reg, COUNT(*) AS n, SUM(v) AS sv "
+    "FROM gold_sfact{s} JOIN gold_sdim1{s} ON gold_sfact{s}.fk = "
+    "gold_sdim1{s}.k JOIN gold_sdim2{s} ON gold_sfact{s}.rk = "
+    "gold_sdim2{s}.r GROUP BY seg, reg"
+)
+
+
+def _star_expected(catalog, spark, suffix=""):
+    catalog.register_views()
+    return {
+        tuple(r)
+        for r in spark.sql(_STAR_Q.format(s=suffix)).collect()
+    }
+
+
+def test_mv_multidim_join_incremental_refresh(catalog, spark):
+    """fact JOIN dim1 JOIN dim2 (the q05 star shape): creation detects
+    the join_agg tier with BOTH dims pinned; fact appends merge only
+    the delta; either dim moving forces full refresh + re-pin of all
+    sides."""
+    import json as _json
+
+    f, d1, d2 = _star_fixture(catalog, spark)
+    mv = catalog.create_materialized_view(
+        "gold.smv", _STAR_Q.format(s="")
+    )
+    props = mv.properties()
+    assert props.get("mv.refresh_mode") == "join_agg"
+    assert _json.loads(props["mv.join_dims"]) == [
+        "gold.sdim1", "gold.sdim2",
+    ]
+    assert set(_json.loads(props["mv.join_dim_versions"])) == {
+        "gold.sdim1", "gold.sdim2",
+    }
+
+    def via_view():
+        catalog.register_views()
+        return {
+            tuple(r)
+            for r in spark.sql("SELECT * FROM gold_smv").collect()
+        }
+
+    assert via_view() == _star_expected(catalog, spark)
+    assert catalog.refresh_materialized_view("gold.smv") is None
+    # fact append -> merge of the delta joined to both pinned dims
+    f.append(
+        spark.createDataFrame(
+            [(3, 20, 7), (2, 10, 9)], "fk long, rk long, v long"
+        )
+    )
+    snap = catalog.refresh_materialized_view("gold.smv")
+    assert snap.operation == "merge"
+    assert via_view() == _star_expected(catalog, spark)
+    # content-preserving commit on ONE dim: re-pin, stay incremental
+    d2.append(spark.createDataFrame([], "r long, reg string"))
+    f.append(
+        spark.createDataFrame([(1, 10, 1)], "fk long, rk long, v long")
+    )
+    snap = catalog.refresh_materialized_view("gold.smv")
+    assert snap.operation == "merge"
+    assert via_view() == _star_expected(catalog, spark)
+    # dim2 UPDATE: no fact delta can express it -> full + re-pin
+    catalog.sql("UPDATE gold.sdim2 SET reg = 'APAC' WHERE r = 20")
+    snap = catalog.refresh_materialized_view("gold.smv")
+    assert snap is not None and snap.operation != "merge"
+    assert via_view() == _star_expected(catalog, spark)
+    # incremental again after the re-pin
+    f.append(
+        spark.createDataFrame([(2, 20, 11)], "fk long, rk long, v long")
+    )
+    snap = catalog.refresh_materialized_view("gold.smv")
+    assert snap.operation == "merge"
+    assert via_view() == _star_expected(catalog, spark)
+
+
+def test_mv_multidim_join_gates(catalog, spark):
+    """A repeated table anywhere in the chain (fact or between dims)
+    and an outer join in the chain decline to full refresh."""
+    f, d1, d2 = _star_fixture(catalog, spark, "g")
+    declined = [
+        # same dim twice
+        "SELECT seg, COUNT(*) AS n FROM gold_sfactg "
+        "JOIN gold_sdim1g ON gold_sfactg.fk = gold_sdim1g.k "
+        "JOIN gold_sdim1g ON gold_sfactg.rk = gold_sdim1g.k "
+        "GROUP BY seg",
+        # outer join in the middle of the chain
+        "SELECT seg, reg, COUNT(*) AS n FROM gold_sfactg "
+        "JOIN gold_sdim1g ON gold_sfactg.fk = gold_sdim1g.k "
+        "LEFT JOIN gold_sdim2g ON gold_sfactg.rk = gold_sdim2g.r "
+        "GROUP BY seg, reg",
+    ]
+    for i, q in enumerate(declined):
+        try:
+            mv = catalog.create_materialized_view(f"gold.sgate{i}", q)
+        except Exception:
+            continue  # self-join ambiguity may fail analysis: fine
+        assert mv.properties().get("mv.refresh_mode") != "join_agg", q
