@@ -419,8 +419,14 @@ def watch_materialized_view(
                     "mv.query"
                     not in catalog.load_table(identifier).properties()
                 )
+            except (FileNotFoundError, _NoSuchTableError):
+                return True  # the MV itself is gone
             except Exception:
-                return True  # can't even load the MV anymore
+                # the permanence PROBE failed (metadata read racing a
+                # writer, an IO blip): that is itself transient - fall
+                # through to backoff; the strike bound still stops a
+                # genuinely stuck MV
+                return False
         return False
 
     def loop():

@@ -2173,6 +2173,76 @@ def test_copy_into_legacy_list_ledger_honored(catalog, spark, tmp_path):
     assert str(part) in ledger["fp"] and "legacy" not in ledger
 
 
+def test_copy_fingerprint_detects_midfile_change(tmp_path):
+    """r9 review: the fingerprint hashes the WHOLE file - a same-size
+    edit confined to the middle (which a head+tail-only hash with
+    unchanged footer stats would miss) must change the key."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.catalog import (
+        LakehouseCatalog,
+    )
+
+    p = tmp_path / "big.bin"
+    data = bytearray(b"\x00" * 300_000)
+    p.write_bytes(bytes(data))
+    fp1 = LakehouseCatalog._copy_fingerprint(str(p))
+    data[150_000] = 0xFF  # same size, middle byte only
+    p.write_bytes(bytes(data))
+    fp2 = LakehouseCatalog._copy_fingerprint(str(p))
+    assert fp1 != fp2
+
+
+def test_copy_into_noop_rerun_is_stat_only(catalog, spark, tmp_path):
+    """r9 review: a steady-state COPY INTO re-run over unchanged files
+    must not re-hash them (the mt stat cache short-circuits) - bulk
+    re-hashing 10k landing files per cadence would be O(corpus) I/O."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark import (
+        catalog as catmod,
+    )
+
+    src = tmp_path / "landing_stat"
+    src.mkdir()
+    df1 = spark.createDataFrame([(1, "x")], "id long, s string")
+    df1.coalesce(1).write.mode("overwrite").parquet(str(src / "a"))
+    t = catalog.create_table("gold.statonly", df1.schema, [])
+    catalog.sql(f"COPY INTO gold.statonly FROM '{src}'")
+    real = catmod.LakehouseCatalog._copy_fingerprint
+    calls = {"n": 0}
+
+    def counting(path):
+        calls["n"] += 1
+        return real(path)
+
+    catmod.LakehouseCatalog._copy_fingerprint = staticmethod(counting)
+    try:
+        out = catalog.sql(f"COPY INTO gold.statonly FROM '{src}'").first()
+    finally:
+        catmod.LakehouseCatalog._copy_fingerprint = staticmethod(real)
+    assert out["loaded_files"] == 0
+    assert calls["n"] == 0  # unchanged (path, mtime_ns): no hashing
+
+
+def test_time_travel_token_in_string_literal_survives(catalog, spark):
+    """r9 review: 'FOR VERSION AS OF n' SPELLED inside a string literal
+    must stay a literal (the sibling metadata-table/table_changes
+    rewrites were made quote-aware in r9; time travel had the same
+    hole)."""
+    df = spark.createDataFrame([(1,)], "id long")
+    t = catalog.create_table("gold.ttlit", df.schema)
+    t.append(df)
+    out = catalog.sql(
+        "SELECT 'gold.ttlit FOR VERSION AS OF 99' AS note, COUNT(*) AS n "
+        "FROM gold_ttlit GROUP BY note"
+    ).first()
+    assert out["note"] == "gold.ttlit FOR VERSION AS OF 99"
+    assert out["n"] == 1
+    # the real (outside-quotes) rewrite still time-travels
+    t.append(spark.createDataFrame([(2,)], "id long"))
+    n_v1 = catalog.sql(
+        "SELECT COUNT(*) AS n FROM gold.ttlit VERSION AS OF 1"
+    ).first()["n"]
+    assert n_v1 == 1
+
+
 # ---- r9: multi-dim join-MV tier (VERDICT r8 #5) ----
 
 

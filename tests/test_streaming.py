@@ -1440,6 +1440,71 @@ def test_watch_mv_transient_value_error_backs_off(spark, tmp_path):
     finally:
         cat.refresh_materialized_view = real
         stop.set()
+        thread.join(timeout=30)
+
+
+def test_watch_mv_probe_failure_is_transient(spark, tmp_path):
+    """r9 review: when the permanence PROBE itself fails transiently
+    (load_table raising mid-refresh during a ValueError strike), the
+    watcher must back off, not stop - only a provably-gone MV is
+    permanent."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.catalog import (
+        LakehouseCatalog,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.streaming.watcher import (
+        watch_materialized_view,
+    )
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("g")
+    df = spark.createDataFrame([("a", 1)], "cat string, v long")
+    t = cat.create_table("g.base10", df.schema)
+    t.append(df)
+    mv = cat.create_materialized_view(
+        "g.w10",
+        "SELECT cat, COUNT(*) AS n FROM g_base10 GROUP BY cat",
+    )
+    real_refresh = cat.refresh_materialized_view
+    real_load = cat.load_table
+    fails = {"left": 1}
+
+    def flaky_refresh(ident):
+        if fails["left"] > 0:
+            fails["left"] -= 1
+            raise ValueError("transient race (synthetic)")
+        return real_refresh(ident)
+
+    def flaky_load(ident):
+        if fails["left"] > 0 or ident != "g.w10":
+            return real_load(ident)
+        if not fails.get("probe_done"):
+            # first probe after the strike: simulate an IO blip
+            fails["probe_done"] = True
+            raise RuntimeError("metadata read racing a writer (synthetic)")
+        return real_load(ident)
+
+    cat.refresh_materialized_view = flaky_refresh
+    cat.load_table = flaky_load
+    stop, thread = watch_materialized_view(
+        cat, "g.w10", poll_secs=1, error_backoff=1
+    )
+    try:
+        t.append(spark.createDataFrame([("a", 5)], "cat string, v long"))
+        deadline = time.time() + 60
+        got = {}
+        while time.time() < deadline:
+            got = {r["cat"]: r["n"] for r in mv.to_df().collect()}
+            if got.get("a") == 2:
+                break
+            time.sleep(0.5)
+        assert got.get("a") == 2  # recovered despite the probe failure
+        assert thread.is_alive()
+    finally:
+        cat.refresh_materialized_view = real_refresh
+        cat.load_table = real_load
+        stop.set()
+        thread.join(timeout=30)
+        stop.set()
         thread.join(30)
 
 
