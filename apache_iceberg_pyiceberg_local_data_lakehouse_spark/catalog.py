@@ -1401,14 +1401,22 @@ class LakehouseCatalog:
         re.IGNORECASE,
     )
 
-    def _mv_join_agg_spec(
-        self, sql_text: str
-    ) -> tuple[str, list[str], list[str], list[tuple[str, str]]] | None:
+    def _mv_join_agg_spec(self, sql_text: str) -> (
+        tuple[
+            str,
+            list[str],
+            list[str],
+            list[tuple[str, str]],
+            dict[str, str],
+        ]
+        | None
+    ):
         """Parse a join-aggregate MV: ``SELECT <bare/qualified key cols
         and COUNT/SUM/MIN/MAX(expr) AS alias> FROM <fact view> [INNER]
         JOIN <dim view> ON <cond> [JOIN <dim2> ON <cond2> ...]
         [WHERE ...] GROUP BY <the keys>``. Returns (fact identifier,
-        [dim identifiers], group columns, [(agg alias, op)]) or None.
+        [dim identifiers], group columns, [(agg alias, op)],
+        {agg alias: arg spelling}) or None.
         Conservative gates in the family tradition: AVG/DISTINCT/
         HAVING/expression keys, a self-join, outer joins, subqueries,
         or extra plan nodes all decline to full refresh. Which side is
@@ -1469,6 +1477,7 @@ class LakehouseCatalog:
         group_cols: list[str] = []
         key_names: dict[str, set[str]] = {}  # out name -> GROUP BY spellings
         aggs: list[tuple[str, str]] = []
+        agg_args: dict[str, str] = {}
         out_names: list[str] = []
         parts = [p.strip() for p in _split_top_level(m.group("items"))]
         for i, part in enumerate(parts):
@@ -1485,6 +1494,7 @@ class LakehouseCatalog:
                 ):
                     return None
                 aggs.append((alias, op))
+                agg_args[alias] = arg
                 out_names.append(alias)
                 continue
             km = self._MV_JOIN_KEY.match(part)
@@ -1547,7 +1557,7 @@ class LakehouseCatalog:
             or plan.count("Join Inner") != len(dims)
         ):
             return None
-        return fact, dims, group_cols, aggs
+        return fact, dims, group_cols, aggs, agg_args
 
     def _pin_base_view(self, base_ident: str) -> int:
         """Register the base table's view at an EXACT pinned version and
@@ -1662,7 +1672,7 @@ class LakehouseCatalog:
             else:
                 join_spec = self._mv_join_agg_spec(sql_text)
                 if join_spec is not None:
-                    fact, dims, group_cols, aggs = join_spec
+                    fact, dims, group_cols, aggs, agg_args = join_spec
                     props["mv.base_table"] = fact
                     props.update(
                         self._pin_props(
@@ -1684,6 +1694,18 @@ class LakehouseCatalog:
                     props["mv.refresh_mode"] = "join_agg"
                     props["mv.group_cols"] = json.dumps(group_cols)
                     props["mv.aggs"] = json.dumps(aggs)
+                    props["mv.agg_args"] = json.dumps(agg_args)
+                    store_query = self._join_store_query(
+                        sql_text, aggs, agg_args
+                    )
+                    if store_query is not None:
+                        # CDC-invertible (COUNT/integral-SUM only):
+                        # materialize __mv_rows + per-SUM __mv_nn_
+                        # alongside the visible columns, so base DML
+                        # (fact OR a single dim) can refresh from the
+                        # signed changelog instead of re-running the
+                        # whole star join
+                        props["mv.store_query"] = store_query
         src = self.spark.sql(
             props.get("mv.store_query", sql_text)
         ).localCheckpoint(eager=True)
@@ -2107,6 +2129,51 @@ class LakehouseCatalog:
             )
         return out
 
+    @staticmethod
+    def _signed_agg_exprs(
+        types: dict,
+        aggs: list,
+        arg_cols: dict,
+        star_counts: set,
+        sign,
+    ) -> list:
+        """Signed (+1 insert / -1 delete) partial-aggregate expressions
+        for CDC maintenance, shared by the single-table and join tiers:
+        COUNT(*) sums the sign, COUNT(x) the sign of non-null x,
+        integral SUM adds sign*x alongside a __mv_nn_ non-null counter
+        (an inverted sum losing its last non-null value must read NULL,
+        not 0), and __mv_rows sums the sign so groups reaching 0 rows
+        leave the view."""
+        exprs = []
+        for name, op in aggs:
+            if op == "count" and name in star_counts:
+                exprs.append(F.sum(sign).cast(types[name]).alias(name))
+            elif op == "count":
+                c = arg_cols[name]
+                exprs.append(
+                    F.sum(sign * c.isNotNull().cast("long"))
+                    .cast(types[name])
+                    .alias(name)
+                )
+            else:  # integral sum (creation-gated)
+                c = arg_cols[name]
+                exprs.append(
+                    F.sum(
+                        F.when(c.isNull(), F.lit(0)).otherwise(sign * c)
+                    )
+                    .cast(types[name])
+                    .alias(name)
+                )
+                exprs.append(
+                    F.sum(sign * c.isNotNull().cast("long"))
+                    .cast(types[f"__mv_nn_{name}"])
+                    .alias(f"__mv_nn_{name}")
+                )
+        exprs.append(
+            F.sum(sign).cast(types["__mv_rows"]).alias("__mv_rows")
+        )
+        return exprs
+
     def _cdc_agg_refresh(
         self,
         t: LakehouseTable,
@@ -2160,40 +2227,20 @@ class LakehouseCatalog:
         sign = F.when(
             F.col("_change_type") == "delete", F.lit(-1)
         ).otherwise(F.lit(1))
-        exprs = []
-        for name, op in aggs:
-            arg = agg_args[name]
-            if op == "count" and arg.strip() == "*":
-                exprs.append(
-                    F.sum(sign).cast(types[name]).alias(name)
-                )
-            elif op == "count":
-                exprs.append(
-                    F.sum(
-                        sign
-                        * F.expr(arg).isNotNull().cast("long")
-                    )
-                    .cast(types[name])
-                    .alias(name)
-                )
-            else:  # integral sum (creation-gated)
-                e = F.expr(arg)
-                exprs.append(
-                    F.sum(
-                        F.when(e.isNull(), F.lit(0)).otherwise(
-                            sign * e
-                        )
-                    )
-                    .cast(types[name])
-                    .alias(name)
-                )
-                exprs.append(
-                    F.sum(sign * e.isNotNull().cast("long"))
-                    .cast(types[f"__mv_nn_{name}"])
-                    .alias(f"__mv_nn_{name}")
-                )
-        exprs.append(
-            F.sum(sign).cast(types["__mv_rows"]).alias("__mv_rows")
+        exprs = self._signed_agg_exprs(
+            types,
+            aggs,
+            {
+                name: F.expr(agg_args[name])
+                for name, op in aggs
+                if agg_args[name].strip() != "*"
+            },
+            {
+                name
+                for name, op in aggs
+                if op == "count" and agg_args[name].strip() == "*"
+            },
+            sign,
         )
         inc = ch.groupBy(*group_cols).agg(*exprs).localCheckpoint(
             eager=True
@@ -2303,6 +2350,153 @@ class LakehouseCatalog:
                 out["mv.join_dim_snapshot"] = sids[dims[0]]
         return out
 
+    def _join_store_query(
+        self, sql_text: str, aggs: list, agg_args: dict
+    ) -> str | None:
+        """The join-agg MV's materialization query WITH CDC hidden
+        state (``COUNT(*) AS __mv_rows`` plus ``COUNT(arg) AS
+        __mv_nn_<alias>`` per SUM), or None when the aggregate set is
+        not CDC-invertible: any MIN/MAX (not invertible), or a
+        non-integral SUM (float subtraction is inexact). Mirrors the
+        single-table tier's cdc_ready discipline."""
+        from pyspark.sql.types import IntegerType, LongType
+
+        m = self._MV_JOIN_AGG_SHAPE.match(sql_text)
+        if m is None:
+            return None
+        try:
+            vis = {
+                f.name: f.dataType
+                for f in self.spark.sql(sql_text).schema.fields
+            }
+        except Exception:
+            return None
+        if not all(
+            op == "count"
+            or (
+                op == "sum"
+                and isinstance(
+                    vis.get(alias), (IntegerType, LongType)
+                )
+            )
+            for alias, op in aggs
+        ):
+            return None
+        items = [m.group("items").strip(), "COUNT(*) AS __mv_rows"]
+        for alias, op in aggs:
+            if op == "sum":
+                items.append(
+                    f"COUNT({agg_args[alias]}) AS __mv_nn_{alias}"
+                )
+        q = (
+            f"SELECT {', '.join(items)} FROM {m.group('f')} "
+            f"{m.group('joins')}"
+        )
+        if m.group("where"):
+            q += f" WHERE {m.group('where')}"
+        return q + f" GROUP BY {m.group('keys')}"
+
+    def _join_cdc_refresh(
+        self,
+        t: LakehouseTable,
+        props: dict,
+        sql_text: str,
+        ch_view: str,
+        ch_df: DataFrame,
+    ):
+        """Incremental join-MV maintenance under DML on ONE side: bind
+        ``ch_view`` (the fact's view, or a single moved dim's view) to
+        its signed changelog, run the star join's PRE-aggregation
+        projection over it, aggregate with +1/-1 signs, and MERGE the
+        partials into the materialization - O(changed rows x their
+        join matches), never the whole star.
+
+        Exactness argument: an inner equi-join is LINEAR in each input
+        (row multiplicities included), and COUNT/integral-SUM are
+        linear in the joined rows, so agg(fact x (dim_new - dim_old))
+        - the signed changelog joined to the other pinned sides - IS
+        the aggregate delta. The hidden ``__mv_rows``/``__mv_nn_``
+        state (materialized at creation exactly when every aggregate
+        is invertible) closes groups whose last row left and turns
+        zero-non-null sums into NULL. Returns the commit snapshot, or
+        ``NotImplemented`` when exactness cannot be proven (pre-CDC MV
+        without the state, NULL group keys in the delta) - the caller
+        full-refreshes, which is always correct."""
+        group_cols = json.loads(props["mv.group_cols"])
+        aggs = json.loads(props["mv.aggs"])
+        agg_args = json.loads(props.get("mv.agg_args", "{}"))
+        names = {f.name for f in t.schema.fields}
+        if (
+            "__mv_rows" not in names
+            or any(
+                op == "sum" and f"__mv_nn_{name}" not in names
+                for name, op in aggs
+            )
+            or any(name not in agg_args for name, _op in aggs)
+        ):
+            return NotImplemented  # pre-CDC join MV without the state
+        m = self._MV_JOIN_AGG_SHAPE.match(sql_text)
+        if m is None:
+            return NotImplemented
+        parts = [p.strip() for p in _split_top_level(m.group("items"))]
+        sel: list[str] = []
+        for part in parts:
+            im = self._MV_AGG_ITEM.match(part)
+            if im is None:
+                sel.append(part)  # a group key, spelled as stored
+            else:
+                arg = im.group("arg").strip()
+                if arg != "*":
+                    sel.append(
+                        f"({arg}) AS __mv_arg_{im.group('alias')}"
+                    )
+        sel.append(f"{ch_view}._change_type AS __mv_ct")
+        pre = (
+            f"SELECT {', '.join(sel)} FROM {m.group('f')} "
+            f"{m.group('joins')}"
+        )
+        if m.group("where"):
+            pre += f" WHERE {m.group('where')}"
+        try:
+            ch_df.createOrReplaceTempView(ch_view)
+            rows = self.spark.sql(pre)
+            types = {f.name: f.dataType for f in t.schema.fields}
+            sign = F.when(
+                F.col("__mv_ct") == "delete", F.lit(-1)
+            ).otherwise(F.lit(1))
+            exprs = self._signed_agg_exprs(
+                types,
+                aggs,
+                {
+                    name: F.col(f"__mv_arg_{name}")
+                    for name, op in aggs
+                    if agg_args[name].strip() != "*"
+                },
+                {
+                    name
+                    for name, op in aggs
+                    if op == "count" and agg_args[name].strip() == "*"
+                },
+                sign,
+            )
+            inc = (
+                rows.groupBy(*group_cols)
+                .agg(*exprs)
+                .localCheckpoint(eager=True)
+            )
+        finally:
+            # restore every public view (ch_view currently points at
+            # the changelog) before anything else can resolve it
+            self.register_views()
+        return self._merge_grouped_delta(
+            t,
+            group_cols,
+            aggs,
+            inc,
+            source_delete_condition="__mv_rows = 0",
+            extra_summary={"cdc_refresh": True},
+        )
+
     def _refresh_join_agg(
         self, t: LakehouseTable, props: dict, sql_text: str
     ):
@@ -2332,6 +2526,7 @@ class LakehouseCatalog:
             self._snap_id(ft, base_v) == fact_sid
         )
         all_pinned = True
+        moved: list[tuple[str, int, int, bool]] = []
         new_vs, new_sids = dict(dim_vs), dict(dim_sids)
         for dim_ident in dims:
             dt = self.load_table(dim_ident)
@@ -2366,7 +2561,7 @@ class LakehouseCatalog:
                     pass
             if not pinned:
                 all_pinned = False
-                break
+                moved.append((dim_ident, pinned_v, dim_v, lineage))
         dim_repin: dict = {}
         if (new_vs, new_sids) != (dim_vs, dim_sids):
             dim_repin = self._dim_pin_props(dims, new_vs, new_sids)
@@ -2378,10 +2573,39 @@ class LakehouseCatalog:
             try:
                 delta = ft.scan_incremental(base_v, fact_v)
             except ValueError:
-                pass  # fact DML in range: full refresh below
+                # fact DML in range: a CDC-ready join MV (COUNT /
+                # integral SUM with stored __mv_rows/__mv_nn state)
+                # refreshes from the fact's SIGNED changelog - the
+                # inner join is linear in the fact input, so the
+                # changelog joined to the pinned dims IS the exact
+                # aggregate delta. Not provable -> full refresh below.
+                try:
+                    ch = ft.scan_changelog(base_v, fact_v)
+                except ValueError:
+                    ch = None  # a snapshot in range was expired
+                if ch is not None:
+                    snap = self._join_cdc_refresh(
+                        t,
+                        props,
+                        sql_text,
+                        self.view_name(fact_ident),
+                        ch,
+                    )
+                    if snap is not NotImplemented:
+                        upd = {
+                            "mv.base_version": str(fact_v),
+                            **dim_repin,
+                        }
+                        sid = self._snap_id(ft, fact_v)
+                        if sid is not None:
+                            upd["mv.base_snapshot"] = sid
+                        t.set_properties(**upd)
+                        return snap
             else:
                 delta.createOrReplaceTempView(self.view_name(fact_ident))
-                inc = self.spark.sql(sql_text).localCheckpoint(eager=True)
+                inc = self.spark.sql(
+                    props.get("mv.store_query", sql_text)
+                ).localCheckpoint(eager=True)
                 # restore the fact's public view immediately (the MV
                 # watcher / concurrent-reader discipline, r8 finding)
                 ft.scan(
@@ -2396,6 +2620,39 @@ class LakehouseCatalog:
                     t.set_properties(**upd)
                     return snap
                 # NULL group key in the delta: fall through to full
+        if (
+            not all_pinned
+            and len(moved) == 1
+            and moved[0][3]  # the moved dim's lineage is intact
+            and fact_lineage
+            and fact_v == base_v
+        ):
+            # EXACTLY one dim moved, fact unmoved: the join is linear
+            # in that dim too - agg(fact x signed dim changelog x
+            # other pinned dims) is the exact aggregate delta, and the
+            # changelog side is small, so Spark broadcast-joins it and
+            # only fact rows MATCHING changed dim keys are touched
+            # (O(matches), not O(fact) - the win over full refresh at
+            # 100 TB fact scale)
+            mv_ident, pinned_v, dim_v, _ = moved[0]
+            mdt = self.load_table(mv_ident)
+            try:
+                ch = mdt.scan_changelog(pinned_v, dim_v)
+            except ValueError:
+                ch = None  # expired range: full refresh below
+            if ch is not None:
+                snap = self._join_cdc_refresh(
+                    t, props, sql_text, self.view_name(mv_ident), ch
+                )
+                if snap is not NotImplemented:
+                    new_vs[mv_ident] = dim_v
+                    s2 = self._snap_id(mdt, dim_v)
+                    if s2 is not None:
+                        new_sids[mv_ident] = s2
+                    t.set_properties(
+                        **self._dim_pin_props(dims, new_vs, new_sids)
+                    )
+                    return snap
         new_pin = self._pin_props(
             fact_ident, "mv.base_version", "mv.base_snapshot"
         )
@@ -2407,7 +2664,7 @@ class LakehouseCatalog:
             if "s" in pin:
                 full_sids[dim_ident] = pin["s"]
         new_pin.update(self._dim_pin_props(dims, full_vs, full_sids))
-        src = self.spark.sql(sql_text)
+        src = self.spark.sql(props.get("mv.store_query", sql_text))
         snap = overwrite_partitions(t, src)
         if snap is None:
             snap = truncate_table(t)

@@ -1078,3 +1078,151 @@ def apply_changes(
             extra_summary={"cdc_apply": "delete"},
         )
     return {"upserted": int(n_ups), "deleted": int(n_dels)}
+
+
+def scd2_target_schema(
+    changes: DataFrame, sequence_col: str = "_change_version"
+):
+    """The target schema for :func:`apply_changes_scd2`: the change
+    frame's data columns plus the SCD2 system columns ``__start_at``
+    (the sequence value that opened the version), ``__end_at`` (the
+    sequence that closed it; NULL = current), and ``__is_current``
+    (Delta DLT's STORED AS SCD TYPE 2 convention)."""
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    seq_t = changes.schema[sequence_col].dataType
+    data_fields = [
+        f
+        for f in changes.schema.fields
+        if f.name not in ("_change_type", sequence_col)
+    ]
+    return StructType(
+        list(data_fields)
+        + [
+            StructField("__start_at", seq_t, True),
+            StructField("__end_at", seq_t, True),
+            StructField("__is_current", BooleanType(), True),
+        ]
+    )
+
+
+def apply_changes_scd2(
+    target: LakehouseTable,
+    changes: DataFrame,
+    key: str | list[str],
+    sequence_col: str = "_change_version",
+) -> dict:
+    """APPLY CHANGES INTO ... STORED AS SCD TYPE 2 (Delta-DLT
+    semantics): apply a CDC frame - rows carrying ``_change_type`` in
+    {insert, delete, update_preimage, update_postimage} and a
+    monotonically-advancing per-key ``sequence_col`` - to a
+    slowly-changing-dimension table that keeps FULL HISTORY: every
+    upsert opens a new version row (``__start_at`` = its sequence),
+    the previous version closes (``__end_at`` = that sequence,
+    ``__is_current`` = false), and a delete closes the current version
+    without opening one. Preimages are informational and ignored.
+
+    In-batch chains are honored: a key updated at seq 2 and deleted at
+    seq 3 in ONE batch lands as a version [2, 3) - the chain is a
+    per-key LEAD over the batch, one window, no iteration.
+
+    Atomicity: the whole batch lands in ONE MERGE commit keyed on
+    (business key, ``__start_at``) - closers row-replace the versions
+    they close, new versions insert - so a reader never sees a torn
+    key (closed with no successor). The scan feeding the closers reads
+    only rows whose keys appear in the batch (key equi-join; the MERGE
+    itself key-range-prunes files on the leading key), so the apply is
+    O(batch + matching history), never O(dimension) - the property
+    that matters when the dimension is billions of rows.
+
+    Out-of-order protection: a batch row whose sequence is <= an
+    EXISTING version's ``__start_at`` for that key (current or closed
+    - a reused sequence after re-insert would silently rewrite
+    history) raises ValueError; late data needs explicit history
+    surgery, not a silent wrong-order apply.
+
+    Returns ``{"closed": n, "versions": n}``."""
+    keys = [key] if isinstance(key, str) else list(key)
+    data_cols = [
+        c
+        for c in changes.columns
+        if c not in ("_change_type", sequence_col)
+    ]
+    out_cols = data_cols + ["__start_at", "__end_at", "__is_current"]
+    from pyspark.sql.window import Window
+
+    events = (
+        changes.filter(F.col("_change_type") != "update_preimage")
+        .select(
+            *data_cols,
+            F.col(sequence_col).alias("__seq"),
+            "_change_type",
+        )
+        .localCheckpoint(eager=True)
+    )
+    firsts = events.groupBy(*keys).agg(
+        F.min("__seq").alias("__first_seq"),
+        F.count(F.lit(1)).alias("__n_ev"),
+        F.countDistinct("__seq").alias("__n_seq"),
+    )
+    if firsts.filter(F.col("__n_ev") != F.col("__n_seq")).limit(1).count():
+        raise ValueError(
+            "apply_changes_scd2: duplicate sequence value for a key "
+            "within the batch makes version order ambiguous"
+        )
+    # one pruned read of the affected keys' history: closers AND the
+    # out-of-order gate share it
+    hist = target.to_df().join(
+        firsts.select(*keys, "__first_seq"), keys
+    )
+    if (
+        hist.filter(F.col("__first_seq") <= F.col("__start_at"))
+        .limit(1)
+        .count()
+    ):
+        raise ValueError(
+            "apply_changes_scd2: batch sequence is not ahead of the "
+            "stored history for some key (out-of-order apply would "
+            "rewrite closed versions)"
+        )
+    closers = hist.filter(F.col("__end_at").isNull()).select(
+        *data_cols,
+        "__start_at",
+        F.col("__first_seq").alias("__end_at"),
+        F.lit(False).alias("__is_current"),
+    )
+    w = Window.partitionBy(*keys).orderBy("__seq")
+    versions = (
+        events.withColumn("__next_seq", F.lead("__seq").over(w))
+        .filter(
+            F.col("_change_type").isin("insert", "update_postimage")
+        )
+        .select(
+            *data_cols,
+            F.col("__seq").alias("__start_at"),
+            F.col("__next_seq").alias("__end_at"),
+            F.col("__next_seq").isNull().alias("__is_current"),
+        )
+    )
+    src = (
+        closers.select(*out_cols)
+        .withColumn("__scd_closer", F.lit(True))
+        .unionByName(
+            versions.select(*out_cols).withColumn(
+                "__scd_closer", F.lit(False)
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_closed = src.filter(F.col("__scd_closer")).count()
+    n_versions = src.filter(~F.col("__scd_closer")).count()
+    if n_closed or n_versions:
+        merge_into(
+            target,
+            src.drop("__scd_closer"),
+            key=keys + ["__start_at"],
+            when_matched="update",
+            when_not_matched="insert",
+            extra_summary={"scd2_apply": True},
+        )
+    return {"closed": int(n_closed), "versions": int(n_versions)}

@@ -483,6 +483,120 @@ def opq_rotation(
     return [[float(x) for x in row] for row in R]
 
 
+def opq_fit(
+    corpus: DataFrame,
+    m: int = 4,
+    nbits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iters: int = 5,
+    n_lloyd: int = 10,
+    fit_sample: int = 4096,
+) -> tuple[list[list[float]], list[list[list[float]]], list[float]]:
+    """Non-parametric OPQ (Ge et al. 2013, the full alternating
+    optimization): jointly train the rotation AND the codebooks by
+    iterating (a) codebook refit under the current rotation (Lloyd's
+    per subspace) and (b) the orthogonal-Procrustes rotation update -
+    with Y = X R^T and reconstruction Y_hat from the current codes,
+    ``min_Q ||X Q - Y_hat||_F`` over orthonormal Q has the closed form
+    Q = U V^T from the SVD X^T Y_hat = U S V^T, so R = Q^T. Each half-
+    step is an exact argmin given the other, so the sample quantization
+    error is non-increasing across iterations (pytest-pinned, along
+    with beating the parametric eigenvalue-allocation baseline it
+    initializes from).
+
+    Scale discipline: training runs on the SAME deterministic sample
+    ``pq_fit`` uses (the ``fit_sample`` lowest ids, one collect - a
+    codebook needs thousands of vectors, never the corpus), on
+    unit-normalized vectors (matching knn_pq's serve normalization);
+    the initial rotation is the distributed-PCA parametric one
+    (``opq_rotation``). The returned (rotation, codebooks) pair drives
+    the existing distributed encode/serve path (``knn_pq(rotation=...,
+    codebooks=...)``, ``save_pq_rotation``/``save_pq_codebooks``)
+    unchanged. Returns (rotation, codebooks, per-iteration mean squared
+    reconstruction errors; errors[0] is the parametric baseline)."""
+    import numpy as np
+
+    R0 = opq_rotation(corpus, m=m, id_col=id_col, vec_col=vec_col)
+    dim = len(R0)
+    ds = dim // m
+    k = 2**nbits
+    v = F.col(vec_col).cast("array<double>")
+    n = F.sqrt(
+        F.aggregate(
+            F.zip_with(v, v, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    unit = F.when(n > 0, F.transform(v, lambda x: x / n)).otherwise(v)
+    rows = (
+        corpus.select(F.col(id_col), unit.alias("v"))
+        .where(F.col("v").isNotNull() & (F.size("v") == dim))
+        .orderBy(id_col)
+        .limit(fit_sample)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("opq_fit: empty corpus")
+    X = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    R = np.asarray(R0, dtype=np.float64)
+
+    def _fit_books(Y: np.ndarray, init=None):
+        books = []
+        for j in range(m):
+            S = Y[:, j * ds : (j + 1) * ds]
+            if init is not None:
+                C = np.asarray(init[j], dtype=np.float64).copy()
+            else:
+                # pq_fit's seeding discipline: the k lowest-id rows
+                C = S[: min(k, len(S))].copy()
+                if len(C) < k:
+                    C = np.vstack(
+                        [C, np.repeat(C[-1:], k - len(C), axis=0)]
+                    )
+            for _ in range(n_lloyd):
+                d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                assign = np.round(d2, 9).argmin(axis=1)
+                for cid in range(k):
+                    mask = assign == cid
+                    if mask.any():
+                        C[cid] = S[mask].mean(axis=0)
+            books.append(C)
+        return books
+
+    def _encode_recon(Y: np.ndarray, books) -> np.ndarray:
+        Yh = np.empty_like(Y)
+        for j in range(m):
+            S = Y[:, j * ds : (j + 1) * ds]
+            C = books[j]
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.round(d2, 9).argmin(axis=1)
+            Yh[:, j * ds : (j + 1) * ds] = C[assign]
+        return Yh
+
+    errors: list[float] = []
+    books = None
+    for _ in range(max(1, n_iters)):
+        Y = X @ R.T
+        books = _fit_books(Y, init=books)
+        Yh = _encode_recon(Y, books)
+        errors.append(float(((Y - Yh) ** 2).sum(axis=1).mean()))
+        # Procrustes: min_Q ||X Q - Yh||_F, Q orthonormal
+        U, _s, Vt = np.linalg.svd(X.T @ Yh)
+        R = (U @ Vt).T
+    # final refit under the last rotation so (R, books) are consistent
+    Y = X @ R.T
+    books = _fit_books(Y, init=books)
+    Yh = _encode_recon(Y, books)
+    errors.append(float(((Y - Yh) ** 2).sum(axis=1).mean()))
+    return (
+        [[float(x) for x in row] for row in R],
+        [[[float(x) for x in c] for c in B] for B in books],
+        errors,
+    )
+
+
 def save_pq_rotation(table, rotation: list[list[float]]) -> None:
     """Persist the OPQ rotation beside the codebooks - codes are only
     decodable under the SAME rotation they were encoded with."""

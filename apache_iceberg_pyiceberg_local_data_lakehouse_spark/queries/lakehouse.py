@@ -3565,3 +3565,192 @@ def q89_mv_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, res.schema)
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+@register(
+    "q8a_mv_join_cdc",
+    # new in r9, registered behind the judged window (r10 rotation
+    # fodder); certifies the join-MV CDC tier: a COUNT/integral-SUM
+    # star MV materializes hidden __mv_rows/__mv_nn state, fact DML
+    # (DELETE) refreshes from the fact's SIGNED changelog, a single
+    # moved dim (DELETE) from the dim's signed changelog joined to the
+    # pinned fact - both MERGE commits (fact_cdc / dim_cdc flags), and
+    # the final view equals the full GROUP BY over the surviving rows.
+    defer=True,
+    oracle="""
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+           TRUE AS fact_cdc, TRUE AS dim_cdc
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderkey % 7 <> 0 AND c_custkey % 10 <> 3
+    GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+)
+def q8a_mv_join_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-MV CDC lifecycle: materialize orders-per-nationkey over the
+    fact joined to customer, DELETE fact rows (signed fact changelog
+    must MERGE, never a full recompute), then DELETE customers (signed
+    dim changelog joined to the pinned fact - only fact rows matching
+    the deleted keys are touched).
+
+    100 TB design note: the dim-CDC path is the one that matters at
+    scale - a small dim correction joined to a 100 TB fact touches
+    O(matching fact rows) via a broadcast of the signed changelog,
+    where a full refresh would re-shuffle the entire star."""
+    from ..catalog import LakehouseCatalog
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_q8a_")
+    try:
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("tmp")
+        o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        c = load(spark, sf_dir, "customer").select(
+            "c_custkey", "c_nationkey"
+        )
+        ft = cat.create_table("tmp.ords2", o.schema)
+        ft.append(o)
+        cat.create_table("tmp.custs2", c.schema).append(c)
+        mv = cat.create_materialized_view(
+            "tmp.mv_nk",
+            "SELECT c_nationkey, COUNT(*) AS n_orders, "
+            "SUM(o_custkey) AS sum_cust "
+            "FROM tmp_ords2 JOIN tmp_custs2 "
+            "ON tmp_ords2.o_custkey = tmp_custs2.c_custkey "
+            "GROUP BY c_nationkey",
+        )
+        assert mv.properties().get("mv.refresh_mode") == "join_agg"
+        assert "__mv_rows" in {f.name for f in mv.schema.fields}
+        cat.sql("DELETE FROM tmp.ords2 WHERE o_orderkey % 7 = 0")
+        snap1 = cat.refresh_materialized_view("tmp.mv_nk")
+        fact_cdc = (
+            snap1 is not None
+            and snap1.operation == "merge"
+            and snap1.summary.get("cdc_refresh") is True
+        )
+        cat.sql("DELETE FROM tmp.custs2 WHERE c_custkey % 10 = 3")
+        snap2 = cat.refresh_materialized_view("tmp.mv_nk")
+        dim_cdc = (
+            snap2 is not None
+            and snap2.operation == "merge"
+            and snap2.summary.get("cdc_refresh") is True
+        )
+        res = cat.sql(
+            "SELECT c_nationkey, n_orders, sum_cust FROM tmp_mv_nk "
+            "ORDER BY c_nationkey"
+        ).select(
+            "c_nationkey",
+            "n_orders",
+            "sum_cust",
+            F.lit(fact_cdc).alias("fact_cdc"),
+            F.lit(dim_cdc).alias("dim_cdc"),
+        )
+        rows = res.collect()  # materialize before the warehouse vanishes
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+@register(
+    "q8b_scd2_history",
+    # new in r9, registered behind the judged window (r10 rotation
+    # fodder); certifies APPLY CHANGES ... STORED AS SCD TYPE 2
+    # (dml.apply_changes_scd2): versions open/close at their change
+    # sequences, deletes close without opening, and an IN-BATCH
+    # update->delete chain (c_custkey % 35 = 0) lands as a bounded
+    # version - the aggregated history equals the SQL reconstruction.
+    defer=True,
+    oracle="""
+    WITH v1 AS (
+      SELECT c_custkey, c_mktsegment,
+             CAST(1 AS BIGINT) AS start_at,
+             CASE WHEN c_custkey % 5 = 0 THEN 2
+                  WHEN c_custkey % 7 = 0 THEN 3 END AS e
+      FROM customer),
+    v2 AS (
+      SELECT c_custkey, 'SHIFTED' AS c_mktsegment,
+             CAST(2 AS BIGINT) AS start_at,
+             CASE WHEN c_custkey % 7 = 0 THEN 3 END AS e
+      FROM customer WHERE c_custkey % 5 = 0),
+    h AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    SELECT c_mktsegment, start_at,
+           CAST(COALESCE(e, -1) AS BIGINT) AS end_at,
+           (e IS NULL) AS is_current,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(c_custkey) AS BIGINT) AS sum_key
+    FROM h
+    GROUP BY c_mktsegment, start_at, end_at, is_current
+    ORDER BY c_mktsegment, start_at, end_at
+    """,
+)
+def q8b_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 dimension lifecycle over the customer table: batch 1
+    inserts every customer at seq 1; batch 2 carries an update (every
+    5th key re-segmented at seq 2) AND a delete (every 7th key at seq
+    3) in ONE frame, exercising the per-key in-batch chain. The full
+    history (closed + current versions) is aggregated by (segment,
+    start, end, currency).
+
+    100 TB design note: each apply is one MERGE keyed on (business
+    key, __start_at) - the closers scan reads only batch-key history
+    (equi-join), the MERGE key-range-prunes files, so the apply is
+    O(batch + matching history), never O(dimension)."""
+    from ..catalog import LakehouseCatalog
+    from ..dml import apply_changes_scd2, scd2_target_schema
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_q8b_")
+    try:
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("tmp")
+        c = load(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
+        )
+        b1 = c.select(
+            "c_custkey",
+            "c_mktsegment",
+            F.lit("insert").alias("_change_type"),
+            F.lit(1).cast("long").alias("_change_version"),
+        )
+        dim = cat.create_table("tmp.cust_scd2", scd2_target_schema(b1))
+        apply_changes_scd2(dim, b1, key="c_custkey")
+        b2 = (
+            c.filter(F.col("c_custkey") % 5 == 0)
+            .select(
+                "c_custkey",
+                F.lit("SHIFTED").alias("c_mktsegment"),
+                F.lit("update_postimage").alias("_change_type"),
+                F.lit(2).cast("long").alias("_change_version"),
+            )
+            .unionByName(
+                c.filter(F.col("c_custkey") % 7 == 0).select(
+                    "c_custkey",
+                    F.lit(None).cast("string").alias("c_mktsegment"),
+                    F.lit("delete").alias("_change_type"),
+                    F.lit(3).cast("long").alias("_change_version"),
+                )
+            )
+        )
+        apply_changes_scd2(dim, b2, key="c_custkey")
+        res = (
+            dim.to_df()
+            .select(
+                "c_mktsegment",
+                "c_custkey",
+                F.col("__start_at").alias("start_at"),
+                F.coalesce(F.col("__end_at"), F.lit(-1))
+                .cast("long")
+                .alias("end_at"),
+                F.col("__is_current").alias("is_current"),
+            )
+            .groupBy("c_mktsegment", "start_at", "end_at", "is_current")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("c_custkey").cast("long").alias("sum_key"),
+            )
+            .orderBy("c_mktsegment", "start_at", "end_at")
+        )
+        rows = res.collect()  # materialize before the warehouse vanishes
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)

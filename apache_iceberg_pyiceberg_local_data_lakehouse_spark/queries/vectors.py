@@ -964,3 +964,99 @@ def q84_opq_rotated_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "opq_result_complete boolean, opq_recall_ok boolean, "
         "isometry_ok boolean",
     )
+
+
+@register(
+    "q8c_opq_np_pq",
+    # new in r9, registered behind the judged window (r10 rotation
+    # fodder); certifies NON-parametric OPQ (opq_fit - the full Ge
+    # et al. alternating Procrustes/codebook optimization) end to end
+    # via the q84 bound pattern, plus the training contract: the
+    # alternating loop's sample quantization error is monotone
+    # non-increasing and ends at or below the parametric baseline it
+    # initializes from.
+    defer=True,
+    oracle=f"""
+    WITH pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND({_COS_SQL.format(a='q.embedding', b='c.embedding')}, 9) AS sim
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < {N_QUERY_VECS}
+    ), topk AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id) AS rank
+        FROM pairs
+      ) WHERE rank <= {TOP_K}
+    )
+    SELECT (SELECT COUNT(*) FROM embeddings WHERE vec_id < {N_QUERY_VECS})
+             AS n_queries,
+           COUNT(*) AS n_brute,
+           CAST(SUM(CAST(FLOOR(sim * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS brute_sim_qsum,
+           TRUE AS result_complete,
+           TRUE AS recall_ok,
+           TRUE AS isometry_ok,
+           TRUE AS objective_monotone,
+           TRUE AS beats_parametric
+    FROM topk
+    """,
+)
+def q8c_opq_np_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-parametric OPQ PQ ANN: rotation AND codebooks co-trained by
+    alternating exact half-steps (Lloyd refit / orthogonal Procrustes);
+    the serve path and the q74/q84 anchors are unchanged because the
+    rotation stays an isometry. objective_monotone pins the
+    non-increasing error sequence; beats_parametric pins final <=
+    initial (the parametric eigenvalue-allocation fit)."""
+    from ..operators.similarity import knn_pq, opq_fit
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    brute = q50_knn_bruteforce(spark, sf_dir)
+    dim = len(emb.first()["embedding"])
+    m = 4 if dim % 4 == 0 else 2
+    R, books, errs = opq_fit(emb, m=m, nbits=4, n_iters=3)
+    approx = knn_pq(
+        emb, q, k=TOP_K, m=m, nbits=4, rotation=R, codebooks=books
+    )
+    brute_rows = brute.collect()
+    approx_rows = approx.collect()
+    e = {(r["query_id"], r["neighbor_id"]) for r in brute_rows}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx_rows}
+    recall = len(e & a) / len(e) if e else 1.0
+    exact_sim = {
+        (r["query_id"], r["neighbor_id"]): r["sim"] for r in brute_rows
+    }
+    isometric = all(
+        abs(r["sim"] - exact_sim[(r["query_id"], r["neighbor_id"])])
+        < 1e-6
+        for r in approx_rows
+        if (r["query_id"], r["neighbor_id"]) in exact_sim
+    )
+    monotone = all(b <= x + 1e-9 for x, b in zip(errs, errs[1:]))
+    anchors = brute.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count("*").alias("n_brute"),
+        F.sum(
+            F.floor(F.col("sim") * 1_000_000.0 + 0.5).cast("long")
+        ).alias("brute_sim_qsum"),
+    ).first()
+    return spark.createDataFrame(
+        [
+            (
+                anchors["n_queries"],
+                anchors["n_brute"],
+                anchors["brute_sim_qsum"],
+                len(a) == len(e),
+                recall >= 0.30,
+                isometric,
+                monotone,
+                errs[-1] <= errs[0] + 1e-12,
+            )
+        ],
+        "n_queries long, n_brute long, brute_sim_qsum long, "
+        "result_complete boolean, recall_ok boolean, "
+        "isometry_ok boolean, objective_monotone boolean, "
+        "beats_parametric boolean",
+    )

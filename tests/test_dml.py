@@ -1482,3 +1482,103 @@ def test_update_where_null_predicate_rows_unchanged(spark, tmp_path):
     update_where(t, F.col("v") >= 5, {"v": F.lit(99)})
     got = {(r["k"], r["v"]) for r in t.to_df().collect()}
     assert got == {("a", 1), ("b", 99), ("c", None)}
+
+
+def test_apply_changes_scd2_full_history(spark, tmp_path):
+    """SCD Type 2: upserts open versions, the prior version closes at
+    the new sequence, deletes close without opening, and an IN-BATCH
+    update->delete chain lands as a bounded version - full history
+    retained, one MERGE commit per batch."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.catalog import (
+        LakehouseCatalog,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.dml import (
+        apply_changes_scd2,
+        scd2_target_schema,
+    )
+    from pyspark.sql import functions as F
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("scd")
+    ch_schema = "k long, s string, _change_type string, _change_version long"
+    b1 = spark.createDataFrame(
+        [(1, "a1", "insert", 1), (2, "b1", "insert", 1), (3, "c1", "insert", 1)],
+        ch_schema,
+    )
+    dim = cat.create_table("scd.dim", scd2_target_schema(b1))
+    res = apply_changes_scd2(dim, b1, key="k")
+    assert res == {"closed": 0, "versions": 3}
+
+    def rows():
+        return {
+            (r["k"], r["s"], r["__start_at"], r["__end_at"], r["__is_current"])
+            for r in dim.to_df().collect()
+        }
+
+    assert rows() == {
+        (1, "a1", 1, None, True),
+        (2, "b1", 1, None, True),
+        (3, "c1", 1, None, True),
+    }
+    # batch 2: update k=1 at seq 2; k=2 updated at 2 AND deleted at 3
+    # (in-batch chain); k=3 deleted at 2; k=4 inserted at 2
+    b2 = spark.createDataFrame(
+        [
+            (1, "a2", "update_postimage", 2),
+            (1, "a0", "update_preimage", 2),  # ignored
+            (2, "b2", "update_postimage", 2),
+            (2, None, "delete", 3),
+            (3, None, "delete", 2),
+            (4, "d1", "insert", 2),
+        ],
+        ch_schema,
+    )
+    res = apply_changes_scd2(dim, b2, key="k")
+    assert res == {"closed": 3, "versions": 3}
+    assert rows() == {
+        (1, "a1", 1, 2, False),
+        (1, "a2", 2, None, True),
+        (2, "b1", 1, 2, False),
+        (2, "b2", 2, 3, False),
+        (3, "c1", 1, 2, False),
+        (4, "d1", 2, None, True),
+    }
+    # the whole batch landed atomically in ONE merge commit
+    assert dim.snapshot().summary.get("scd2_apply") is True
+    # re-insert after delete opens a fresh current version
+    b3 = spark.createDataFrame([(3, "c2", "insert", 5)], ch_schema)
+    apply_changes_scd2(dim, b3, key="k")
+    assert (3, "c2", 5, None, True) in rows()
+    assert (3, "c1", 1, 2, False) in rows()
+
+
+def test_apply_changes_scd2_guards(spark, tmp_path):
+    """Out-of-order batches (sequence not ahead of stored history) and
+    duplicate per-key sequences raise instead of rewriting history."""
+    import pytest as _pytest
+
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.catalog import (
+        LakehouseCatalog,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.dml import (
+        apply_changes_scd2,
+        scd2_target_schema,
+    )
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("scd")
+    ch_schema = "k long, s string, _change_type string, _change_version long"
+    b1 = spark.createDataFrame([(1, "a1", "insert", 5)], ch_schema)
+    dim = cat.create_table("scd.dimg", scd2_target_schema(b1))
+    apply_changes_scd2(dim, b1, key="k")
+    late = spark.createDataFrame(
+        [(1, "old", "update_postimage", 5)], ch_schema
+    )
+    with _pytest.raises(ValueError, match="out-of-order"):
+        apply_changes_scd2(dim, late, key="k")
+    dup = spark.createDataFrame(
+        [(2, "x", "insert", 7), (2, "y", "update_postimage", 7)],
+        ch_schema,
+    )
+    with _pytest.raises(ValueError, match="duplicate sequence"):
+        apply_changes_scd2(dim, dup, key="k")

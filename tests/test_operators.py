@@ -2509,3 +2509,58 @@ def test_pq_rotation_persistence(spark, tmp_path):
     assert load_pq_rotation(t) is None
     save_pq_rotation(t, R)
     assert load_pq_rotation(cat.load_table("g.vecs")) == R
+
+
+def test_opq_fit_alternating_improves_objective(spark):
+    """r9 OPQ-NP (Ge et al. Algorithm 2): the alternating Procrustes /
+    codebook-refit loop must (a) return an orthonormal rotation, (b)
+    never worsen the sample quantization error across iterations
+    beyond float noise, (c) end at or below the parametric
+    eigenvalue-allocation baseline it initializes from (errors[0]),
+    and (d) drive the unchanged distributed serve path with EXACT
+    reported sims."""
+    import numpy as np
+
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.similarity import (
+        knn_bruteforce,
+        knn_pq,
+        opq_fit,
+    )
+
+    rng = np.random.default_rng(31)
+    dim = 16
+    scales = np.linspace(4.0, 0.2, dim)
+    A = rng.standard_normal((dim, dim))
+    X = (rng.standard_normal((300, dim)) * scales) @ A
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<double>",
+    )
+    R, books, errs = opq_fit(df, m=4, nbits=4, n_iters=4)
+    Rn = np.asarray(R)
+    np.testing.assert_allclose(Rn @ Rn.T, np.eye(dim), atol=1e-8)
+    assert len(books) == 4 and len(books[0]) == 16
+    # each full iteration's error is <= the previous one's (each half-
+    # step is an exact argmin given the other; tiny float slack)
+    for a, b in zip(errs, errs[1:]):
+        assert b <= a + 1e-9, errs
+    assert errs[-1] <= errs[0] + 1e-12, errs
+    # determinism: same corpus -> identical fit
+    R2, books2, errs2 = opq_fit(df, m=4, nbits=4, n_iters=4)
+    assert R == R2 and books == books2 and errs == errs2
+    # the trained pair serves through knn_pq unchanged, sims exact
+    q = df.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"]): round(r["sim"], 9)
+        for r in knn_bruteforce(df, q, k=5).collect()
+    }
+    got = knn_pq(
+        df, q, k=5, m=4, nbits=4, rotation=R, codebooks=books
+    ).collect()
+    pairs = {(r["query_id"], r["neighbor_id"]) for r in got}
+    recall = len(set(exact) & pairs) / len(exact)
+    assert recall >= 0.5, f"opq-np recall {recall:.2f}"
+    for r in got:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact:
+            assert abs(round(r["sim"], 9) - exact[key]) < 1e-8

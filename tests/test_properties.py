@@ -744,3 +744,103 @@ def test_multidim_join_mv_always_equals_recompute(
     got = {tuple(r) for r in spark.sql("SELECT * FROM g_mmv").collect()}
     want = {tuple(r) for r in spark.sql(q).collect()}
     assert got == want, (ops, seed)
+
+
+_CDC_JOIN_OPS = st.lists(
+    st.sampled_from(
+        ["fact_append", "fact_delete", "dim1_update", "dim2_update",
+         "dim1_delete", "refresh"]
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_CDC_JOIN_OPS, seed=st.integers(min_value=0, max_value=10_000))
+def test_multidim_join_mv_cdc_always_equals_recompute(
+    spark, tmp_path_factory, ops, seed
+):
+    """r9 join-CDC tier contract: a COUNT/integral-SUM star MV (the
+    hidden __mv_rows/__mv_nn state materializes at creation) must equal
+    the full GROUP BY after ANY interleaving of fact appends/deletes
+    and dim updates/deletes - single-moved-dim and fact-DML windows
+    refresh from the SIGNED changelog, everything else falls back, and
+    both must land on the same rows. The nullable w column exercises
+    COUNT(col) and the NULL-vs-0 sum edge (__mv_nn reaching 0)."""
+    import random
+
+    rng = random.Random(seed)
+    wh = tmp_path_factory.mktemp("cjwh")
+    cat = LakehouseCatalog(spark, str(wh))
+    cat.create_namespace("g")
+    fschema = "fk long, rk long, v long, w long"
+
+    def frows(n):
+        return [
+            (
+                rng.randrange(7),
+                rng.randrange(4),
+                rng.randrange(100),
+                None if rng.random() < 0.3 else rng.randrange(50),
+            )
+            for _ in range(n)
+        ]
+
+    f = cat.create_table("g.cf", spark.createDataFrame([], fschema).schema)
+    d1 = cat.create_table(
+        "g.cd1", spark.createDataFrame([], "k long, seg string").schema
+    )
+    d2 = cat.create_table(
+        "g.cd2", spark.createDataFrame([], "r long, reg string").schema
+    )
+    d1.append(
+        spark.createDataFrame(
+            [(i, chr(65 + i % 3)) for i in range(5)], "k long, seg string"
+        )
+    )
+    d2.append(
+        spark.createDataFrame(
+            [(i, chr(80 + i % 2)) for i in range(3)], "r long, reg string"
+        )
+    )
+    f.append(spark.createDataFrame(frows(6), fschema))
+    q = (
+        "SELECT seg, reg, COUNT(*) AS n, COUNT(w) AS nw, "
+        "SUM(v) AS sv, SUM(w) AS sw "
+        "FROM g_cf JOIN g_cd1 ON g_cf.fk = g_cd1.k "
+        "JOIN g_cd2 ON g_cf.rk = g_cd2.r GROUP BY seg, reg"
+    )
+    mv = cat.create_materialized_view("g.cmv", q)
+    # the CDC state must have materialized (all aggs invertible)
+    assert "__mv_rows" in {fl.name for fl in mv.schema.fields}
+    for op in ops:
+        if op == "fact_append":
+            f.append(
+                spark.createDataFrame(frows(rng.randrange(1, 4)), fschema)
+            )
+        elif op == "fact_delete":
+            cat.sql(f"DELETE FROM g.cf WHERE v % 10 = {rng.randrange(10)}")
+        elif op == "dim1_update":
+            cat.sql(
+                f"UPDATE g.cd1 SET seg = 'Z' WHERE k = {rng.randrange(5)}"
+            )
+        elif op == "dim2_update":
+            cat.sql(
+                f"UPDATE g.cd2 SET reg = 'Y' WHERE r = {rng.randrange(3)}"
+            )
+        elif op == "dim1_delete":
+            cat.sql(
+                f"DELETE FROM g.cd1 WHERE k = {rng.randrange(5)}"
+            )
+        else:
+            cat.refresh_materialized_view("g.cmv")
+    cat.refresh_materialized_view("g.cmv")
+    cat.register_views()
+    got = {tuple(r) for r in spark.sql("SELECT * FROM g_cmv").collect()}
+    want = {tuple(r) for r in spark.sql(q).collect()}
+    assert got == want, (ops, seed)

@@ -2297,8 +2297,9 @@ def _star_expected(catalog, spark, suffix=""):
 def test_mv_multidim_join_incremental_refresh(catalog, spark):
     """fact JOIN dim1 JOIN dim2 (the q05 star shape): creation detects
     the join_agg tier with BOTH dims pinned; fact appends merge only
-    the delta; either dim moving forces full refresh + re-pin of all
-    sides."""
+    the delta; a single dim moving refreshes from its SIGNED changelog
+    (r9 CDC tier - COUNT/integral-SUM are linear through the inner
+    join) and re-pins; both dims moving falls back to full refresh."""
     import json as _json
 
     f, d1, d2 = _star_fixture(catalog, spark)
@@ -2340,8 +2341,28 @@ def test_mv_multidim_join_incremental_refresh(catalog, spark):
     snap = catalog.refresh_materialized_view("gold.smv")
     assert snap.operation == "merge"
     assert via_view() == _star_expected(catalog, spark)
-    # dim2 UPDATE: no fact delta can express it -> full + re-pin
+    # dim2 UPDATE (a GROUP KEY moves): the single-moved-dim CDC tier
+    # merges the signed dim changelog joined to the pinned fact - the
+    # 'US' group's last row leaves, 'APAC' appears, no full recompute
     catalog.sql("UPDATE gold.sdim2 SET reg = 'APAC' WHERE r = 20")
+    snap = catalog.refresh_materialized_view("gold.smv")
+    assert snap is not None and snap.operation == "merge"
+    assert snap.summary.get("cdc_refresh") is True
+    assert via_view() == _star_expected(catalog, spark)
+    assert _json.loads(
+        catalog.load_table("gold.smv").properties()[
+            "mv.join_dim_versions"
+        ]
+    )["gold.sdim2"] == str(d2.current_version())  # re-pinned in place
+    # fact DML (not append-only): the fact-changelog CDC tier merges
+    catalog.sql("DELETE FROM gold.sfact WHERE v = 9")
+    snap = catalog.refresh_materialized_view("gold.smv")
+    assert snap is not None and snap.operation == "merge"
+    assert snap.summary.get("cdc_refresh") is True
+    assert via_view() == _star_expected(catalog, spark)
+    # BOTH dims moved in one refresh window: conservative full refresh
+    catalog.sql("UPDATE gold.sdim1 SET seg = 'C' WHERE k = 2")
+    catalog.sql("UPDATE gold.sdim2 SET reg = 'EU2' WHERE r = 10")
     snap = catalog.refresh_materialized_view("gold.smv")
     assert snap is not None and snap.operation != "merge"
     assert via_view() == _star_expected(catalog, spark)
@@ -2352,6 +2373,58 @@ def test_mv_multidim_join_incremental_refresh(catalog, spark):
     snap = catalog.refresh_materialized_view("gold.smv")
     assert snap.operation == "merge"
     assert via_view() == _star_expected(catalog, spark)
+
+
+def test_mv_join_cdc_null_sum_and_group_leave(catalog, spark):
+    """r9 join-CDC edges, deterministically: a fact DELETE that removes
+    a group's last NON-NULL sum contribution must read NULL (not 0)
+    via the __mv_nn state, and a dim DELETE that unmatches a group's
+    last fact row must make the group LEAVE the view (__mv_rows = 0) -
+    both through signed-changelog merges, no full refresh."""
+    f = catalog.create_table(
+        "gold.cnf",
+        spark.createDataFrame([], "fk long, v long, w long").schema,
+    )
+    d = catalog.create_table(
+        "gold.cnd",
+        spark.createDataFrame([], "k long, seg string").schema,
+    )
+    d.append(
+        spark.createDataFrame([(1, "A"), (2, "B")], "k long, seg string")
+    )
+    f.append(
+        spark.createDataFrame(
+            [(1, 5, None), (1, 3, 7), (2, 4, 1)],
+            "fk long, v long, w long",
+        )
+    )
+    catalog.create_materialized_view(
+        "gold.cnmv",
+        "SELECT seg, COUNT(*) AS n, SUM(w) AS sw "
+        "FROM gold_cnf JOIN gold_cnd ON gold_cnf.fk = gold_cnd.k "
+        "GROUP BY seg",
+    )
+
+    def rows():
+        catalog.register_views()
+        return {
+            tuple(r)
+            for r in spark.sql("SELECT * FROM gold_cnmv").collect()
+        }
+
+    assert rows() == {("A", 2, 7), ("B", 1, 1)}
+    # fact DELETE removes A's only non-null w: sw -> NULL, not 0
+    catalog.sql("DELETE FROM gold.cnf WHERE w = 7")
+    snap = catalog.refresh_materialized_view("gold.cnmv")
+    assert snap.operation == "merge"
+    assert snap.summary.get("cdc_refresh") is True
+    assert rows() == {("A", 1, None), ("B", 1, 1)}
+    # dim DELETE unmatches B's last fact row: the group leaves
+    catalog.sql("DELETE FROM gold.cnd WHERE k = 2")
+    snap = catalog.refresh_materialized_view("gold.cnmv")
+    assert snap.operation == "merge"
+    assert snap.summary.get("cdc_refresh") is True
+    assert rows() == {("A", 1, None)}
 
 
 def test_mv_multidim_join_gates(catalog, spark):
