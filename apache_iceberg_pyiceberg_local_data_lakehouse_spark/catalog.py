@@ -2403,6 +2403,7 @@ class LakehouseCatalog:
         sql_text: str,
         ch_view: str,
         ch_df: DataFrame,
+        ch_table: LakehouseTable,
     ):
         """Incremental join-MV maintenance under DML on ONE side: bind
         ``ch_view`` (the fact's view, or a single moved dim's view) to
@@ -2459,7 +2460,16 @@ class LakehouseCatalog:
             pre += f" WHERE {m.group('where')}"
         try:
             ch_df.createOrReplaceTempView(ch_view)
-            rows = self.spark.sql(pre)
+            try:
+                rows = self.spark.sql(pre)
+            except Exception:
+                # the rebuilt pre-aggregation failed analysis (e.g. the
+                # changelog's _change_type metadata column collides
+                # with an unqualified reference elsewhere in the
+                # query): like every other unprovable case in this
+                # tier, decline - the caller full-refreshes, which is
+                # always correct
+                return NotImplemented
             types = {f.name: f.dataType for f in t.schema.fields}
             sign = F.when(
                 F.col("__mv_ct") == "delete", F.lit(-1)
@@ -2485,9 +2495,11 @@ class LakehouseCatalog:
                 .localCheckpoint(eager=True)
             )
         finally:
-            # restore every public view (ch_view currently points at
-            # the changelog) before anything else can resolve it
-            self.register_views()
+            # restore ONLY the swapped view from its table's current
+            # snapshot (the sibling append path's discipline) - a full
+            # register_views() here would turn every O(changed rows)
+            # refresh into an O(catalog) metadata sweep
+            ch_table.scan().createOrReplaceTempView(ch_view)
         return self._merge_grouped_delta(
             t,
             group_cols,
@@ -2500,17 +2512,21 @@ class LakehouseCatalog:
     def _refresh_join_agg(
         self, t: LakehouseTable, props: dict, sql_text: str
     ):
-        """Refresh a fact-JOIN-dim(s) aggregate MV. Incremental iff
+        """Refresh a fact-JOIN-dim(s) aggregate MV. Incremental when
         EVERY dim is exactly at its pinned snapshot and the fact
         advanced append-only: the stored query runs with the fact view
         bound to the append-diff (dim sides small enough to broadcast
         let AQE pick broadcast joins on its own) and the partials MERGE
-        on the group keys via the single-table machinery. A moved dim
-        invalidates every materialized group that joined its changed
-        rows - undetectable without dim CDC - so it full-refreshes and
-        re-pins all sides; fact DML in range likewise (join partials
-        are not stored in invertible form)."""
+        on the group keys via the single-table machinery. Under DML the
+        CDC tier (r9) takes over when exactness is provable: fact DML
+        refreshes from the fact's SIGNED changelog, a SINGLE moved dim
+        from its signed changelog joined to the pinned fact
+        (:meth:`_join_cdc_refresh`). Everything else - several moved
+        dims, non-invertible aggregates (no stored __mv state), expired
+        changelog ranges - full-refreshes and re-pins all sides."""
         from .dml import overwrite_partitions, truncate_table
+
+        store_sql = props.get("mv.store_query", sql_text)
 
         fact_ident = props["mv.base_table"]
         dims, dim_vs, dim_sids = self._join_dim_pins(props)
@@ -2590,6 +2606,7 @@ class LakehouseCatalog:
                         sql_text,
                         self.view_name(fact_ident),
                         ch,
+                        ft,
                     )
                     if snap is not NotImplemented:
                         upd = {
@@ -2603,9 +2620,9 @@ class LakehouseCatalog:
                         return snap
             else:
                 delta.createOrReplaceTempView(self.view_name(fact_ident))
-                inc = self.spark.sql(
-                    props.get("mv.store_query", sql_text)
-                ).localCheckpoint(eager=True)
+                inc = self.spark.sql(store_sql).localCheckpoint(
+                    eager=True
+                )
                 # restore the fact's public view immediately (the MV
                 # watcher / concurrent-reader discipline, r8 finding)
                 ft.scan(
@@ -2642,7 +2659,7 @@ class LakehouseCatalog:
                 ch = None  # expired range: full refresh below
             if ch is not None:
                 snap = self._join_cdc_refresh(
-                    t, props, sql_text, self.view_name(mv_ident), ch
+                    t, props, sql_text, self.view_name(mv_ident), ch, mdt
                 )
                 if snap is not NotImplemented:
                     new_vs[mv_ident] = dim_v
@@ -2664,7 +2681,7 @@ class LakehouseCatalog:
             if "s" in pin:
                 full_sids[dim_ident] = pin["s"]
         new_pin.update(self._dim_pin_props(dims, full_vs, full_sids))
-        src = self.spark.sql(props.get("mv.store_query", sql_text))
+        src = self.spark.sql(store_sql)
         snap = overwrite_partitions(t, src)
         if snap is None:
             snap = truncate_table(t)

@@ -1170,13 +1170,25 @@ def apply_changes_scd2(
             "apply_changes_scd2: duplicate sequence value for a key "
             "within the batch makes version order ambiguous"
         )
-    # one pruned read of the affected keys' history: closers AND the
-    # out-of-order gate share it
-    hist = target.to_df().join(
-        firsts.select(*keys, "__first_seq"), keys
+    # one pruned read of the affected keys' history (checkpointed: the
+    # out-of-order gate AND the closers both consume it - without the
+    # checkpoint each would re-scan the dimension)
+    hist = (
+        target.to_df()
+        .join(firsts.select(*keys, "__first_seq"), keys)
+        .localCheckpoint(eager=True)
     )
+    # the batch must be ahead of EVERY stored version's interval: a
+    # current row guards with its __start_at, a CLOSED row with its
+    # __end_at (a late sequence landing INSIDE a closed interval -
+    # insert@2 against a closed [1,3) - would otherwise slip past a
+    # start-only check and insert a 'current' version that predates
+    # the recorded close)
     if (
-        hist.filter(F.col("__first_seq") <= F.col("__start_at"))
+        hist.filter(
+            F.col("__first_seq")
+            <= F.coalesce(F.col("__end_at"), F.col("__start_at"))
+        )
         .limit(1)
         .count()
     ):

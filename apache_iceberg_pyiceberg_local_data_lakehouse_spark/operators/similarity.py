@@ -33,6 +33,43 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
+def unit_norm(v: Column) -> Column:
+    """L2-normalize an array<double> column; zero vectors stay zero.
+    THE normalization of the PQ family - knn_pq's serve path,
+    opq_rotation's variance fit and opq_fit's trainer must all measure
+    the same distribution, so they all call this one expression."""
+    v = v.cast("array<double>")
+    n = F.sqrt(dot(v, v))
+    return F.when(n > 0, F.transform(v, lambda x: x / n)).otherwise(v)
+
+
+def _driver_lloyd(S, k: int, n_iters: int, init=None):
+    """Driver-side Lloyd's over a bounded sample (numpy), the SINGLE
+    implementation behind pq_fit's sampled path and opq_fit's codebook
+    refits - the seeding (k lowest-id rows, repeat-last padding),
+    np.round(d2, 9) tie-breaking to the lowest centroid id, and
+    empty-clusters-keep-their-centroid rules mirror
+    operators.clustering.kmeans_fit exactly and MUST stay bit-identical
+    across callers (codes are only decodable under the discipline they
+    were fitted with)."""
+    import numpy as np
+
+    if init is not None:
+        C = np.asarray(init, dtype=np.float64).copy()
+    else:
+        C = S[: min(k, len(S))].copy()
+        if len(C) < k:  # degenerate tiny corpus: repeat last seed
+            C = np.vstack([C, np.repeat(C[-1:], k - len(C), axis=0)])
+    for _ in range(n_iters):
+        d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = np.round(d2, 9).argmin(axis=1)
+        for cid in range(k):
+            mask = assign == cid
+            if mask.any():
+                C[cid] = S[mask].mean(axis=0)
+    return C
+
+
 def knn_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -331,17 +368,7 @@ def pq_fit(
         k = 2**nbits
         books = []
         for j in range(m):
-            S = X[:, j * ds : (j + 1) * ds]
-            C = S[: min(k, len(S))].copy()
-            if len(C) < k:  # degenerate tiny corpus: repeat last seed
-                C = np.vstack([C, np.repeat(C[-1:], k - len(C), axis=0)])
-            for _ in range(n_iters):
-                d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-                assign = np.round(d2, 9).argmin(axis=1)
-                for cid in range(k):
-                    mask = assign == cid
-                    if mask.any():
-                        C[cid] = S[mask].mean(axis=0)
+            C = _driver_lloyd(X[:, j * ds : (j + 1) * ds], k, n_iters)
             books.append([[float(x) for x in c] for c in C])
         return books
     books = []
@@ -444,16 +471,7 @@ def opq_rotation(
     # measured on unit vectors too - a few huge-norm outliers would
     # otherwise dominate the raw covariance and misallocate the
     # eigen-directions (review finding)
-    v = F.col(vec_col).cast("array<double>")
-    n = F.sqrt(
-        F.aggregate(
-            F.zip_with(v, v, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    unit = F.when(n > 0, F.transform(v, lambda x: x / n)).otherwise(v)
-    corpus = corpus.select(unit.alias(vec_col))
+    corpus = corpus.select(unit_norm(F.col(vec_col)).alias(vec_col))
     model = pca_fit(corpus, vec_col=vec_col, k=dim)
     W = np.asarray(model.components)  # (dim, dim), rows orthonormal
     eigs = list(model.eigenvalues)
@@ -521,17 +539,10 @@ def opq_fit(
     dim = len(R0)
     ds = dim // m
     k = 2**nbits
-    v = F.col(vec_col).cast("array<double>")
-    n = F.sqrt(
-        F.aggregate(
-            F.zip_with(v, v, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    unit = F.when(n > 0, F.transform(v, lambda x: x / n)).otherwise(v)
     rows = (
-        corpus.select(F.col(id_col), unit.alias("v"))
+        corpus.select(
+            F.col(id_col), unit_norm(F.col(vec_col)).alias("v")
+        )
         .where(F.col("v").isNotNull() & (F.size("v") == dim))
         .orderBy(id_col)
         .limit(fit_sample)
@@ -543,27 +554,15 @@ def opq_fit(
     R = np.asarray(R0, dtype=np.float64)
 
     def _fit_books(Y: np.ndarray, init=None):
-        books = []
-        for j in range(m):
-            S = Y[:, j * ds : (j + 1) * ds]
-            if init is not None:
-                C = np.asarray(init[j], dtype=np.float64).copy()
-            else:
-                # pq_fit's seeding discipline: the k lowest-id rows
-                C = S[: min(k, len(S))].copy()
-                if len(C) < k:
-                    C = np.vstack(
-                        [C, np.repeat(C[-1:], k - len(C), axis=0)]
-                    )
-            for _ in range(n_lloyd):
-                d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-                assign = np.round(d2, 9).argmin(axis=1)
-                for cid in range(k):
-                    mask = assign == cid
-                    if mask.any():
-                        C[cid] = S[mask].mean(axis=0)
-            books.append(C)
-        return books
+        return [
+            _driver_lloyd(
+                Y[:, j * ds : (j + 1) * ds],
+                k,
+                n_lloyd,
+                init=init[j] if init is not None else None,
+            )
+            for j in range(m)
+        ]
 
     def _encode_recon(Y: np.ndarray, books) -> np.ndarray:
         Yh = np.empty_like(Y)
@@ -637,19 +636,7 @@ def knn_pq(
     # L2-normalize both sides so PQ's L2 ordering equals the cosine
     # ordering the exact baseline uses (||a-b||^2 = 2 - 2 cos on the
     # unit sphere); zero vectors stay zero
-    def _unit(v: Column) -> Column:
-        n = F.sqrt(
-            F.aggregate(
-                F.zip_with(v, v, lambda x, y: x * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        )
-        return F.when(
-            n > 0, F.transform(v, lambda x: x / n)
-        ).otherwise(v)
-
-    vn = _unit(F.col(vec_col).cast("array<double>"))
+    vn = unit_norm(F.col(vec_col))
     corpus_n = corpus.select(F.col(id_col), vn.alias(vec_col))
     if rotation is not None:
         # OPQ: rotate AFTER unit-normalization (orthonormal, so norms

@@ -1582,3 +1582,28 @@ def test_apply_changes_scd2_guards(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="duplicate sequence"):
         apply_changes_scd2(dim, dup, key="k")
+    # r9 review: a late sequence INSIDE a CLOSED interval must raise
+    # too - the current row is gone (delete@9), so a start-only gate
+    # would let insert@7 slip in as a bogus 'current' version that
+    # chronologically predates the recorded delete
+    apply_changes_scd2(
+        dim,
+        spark.createDataFrame([(1, None, "delete", 9)], ch_schema),
+        key="k",
+    )
+    inside_closed = spark.createDataFrame(
+        [(1, "ghost", "insert", 7)], ch_schema
+    )
+    with _pytest.raises(ValueError, match="out-of-order"):
+        apply_changes_scd2(dim, inside_closed, key="k")
+    # ahead of every interval: a re-insert at seq 10 is legitimate
+    apply_changes_scd2(
+        dim,
+        spark.createDataFrame([(1, "a2", "insert", 10)], ch_schema),
+        key="k",
+    )
+    got = {
+        (r["k"], r["s"], r["__start_at"], r["__end_at"])
+        for r in dim.to_df().collect()
+    }
+    assert (1, "a2", 10, None) in got
