@@ -1111,6 +1111,7 @@ def apply_changes_scd2(
     changes: DataFrame,
     key: str | list[str],
     sequence_col: str = "_change_version",
+    extra_summary: dict | None = None,
 ) -> dict:
     """APPLY CHANGES INTO ... STORED AS SCD TYPE 2 (Delta-DLT
     semantics): apply a CDC frame - rows carrying ``_change_type`` in
@@ -1235,6 +1236,6 @@ def apply_changes_scd2(
             key=keys + ["__start_at"],
             when_matched="update",
             when_not_matched="insert",
-            extra_summary={"scd2_apply": True},
+            extra_summary={"scd2_apply": True, **(extra_summary or {})},
         )
     return {"closed": int(n_closed), "versions": int(n_versions)}

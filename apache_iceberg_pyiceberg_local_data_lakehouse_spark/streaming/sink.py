@@ -240,3 +240,79 @@ def upsert_stream_to_table(
     elif trigger_secs is not None:
         writer = writer.trigger(processingTime=f"{trigger_secs} seconds")
     return writer.start()
+
+
+class Scd2Sink(EpochCommitSink):
+    """``foreachBatch`` callable applying each CDC micro-batch STORED
+    AS SCD TYPE 2 (:func:`dml.apply_changes_scd2`), exactly once per
+    epoch - the streaming twin of the batch SCD2 apply, so a changelog
+    stream lands as a full-history dimension instead of a latest-state
+    table (:class:`UpsertSink`'s job).
+
+    Epoch idempotence is inherited: the apply's single MERGE commit
+    carries the (query-id, epoch-id) stamp, so a checkpoint replay of
+    a committed epoch is skipped BEFORE the out-of-order gate would
+    (correctly) reject its now-stale sequences. A batch whose events
+    are genuinely late (behind the stored history) still fails the
+    query loudly - late CDC needs history surgery, not silent drops."""
+
+    def __init__(
+        self,
+        table: LakehouseTable,
+        query_id: str,
+        key: str | list,
+        sequence_col: str = "_change_version",
+        transform: Callable[[DataFrame], DataFrame] | None = None,
+    ):
+        super().__init__(table, query_id, transform=transform)
+        self.key = key
+        self.sequence_col = sequence_col
+
+    def _prepare(self, batch_df: DataFrame) -> DataFrame:
+        # one materialization feeds isEmpty + the apply's gate counts
+        return batch_df.localCheckpoint(eager=True)
+
+    def _commit(self, batch_df: DataFrame, stamp: dict) -> None:
+        from ..dml import apply_changes_scd2
+
+        apply_changes_scd2(
+            self.table,
+            batch_df,
+            key=self.key,
+            sequence_col=self.sequence_col,
+            extra_summary=stamp,
+        )
+
+
+def scd2_stream_to_table(
+    stream_df: DataFrame,
+    table: LakehouseTable,
+    checkpoint_dir: str,
+    query_id: str,
+    key: str | list,
+    sequence_col: str = "_change_version",
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    trigger_secs: int | None = None,
+    available_now: bool = False,
+):
+    """Start a streaming query applying a CDC stream into an SCD Type 2
+    dimension - each micro-batch is one exactly-once MERGE commit that
+    opens/closes version rows."""
+    writer = (
+        stream_df.writeStream.foreachBatch(
+            Scd2Sink(
+                table,
+                query_id,
+                key=key,
+                sequence_col=sequence_col,
+                transform=transform,
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_secs is not None:
+        writer = writer.trigger(processingTime=f"{trigger_secs} seconds")
+    return writer.start()

@@ -1610,3 +1610,107 @@ def test_watch_mv_drives_join_tier_incrementally(spark, tmp_path):
     finally:
         stop.set()
         thread.join(30)
+
+
+def test_scd2_sink_streaming_history(spark, tmp_path):
+    """Scd2Sink: a CDC stream lands as full SCD2 history, one MERGE
+    commit per epoch; a fresh-sink replay of a committed epoch is
+    skipped BEFORE the out-of-order gate would reject it."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.catalog import (
+        LakehouseCatalog,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.dml import (
+        scd2_target_schema,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.streaming.sink import (
+        Scd2Sink,
+    )
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("gold")
+    ch_schema = "k long, s string, _change_type string, _change_version long"
+    b0 = spark.createDataFrame(
+        [(1, "a1", "insert", 1), (2, "b1", "insert", 1)], ch_schema
+    )
+    dim = cat.create_table("gold.sdim", scd2_target_schema(b0))
+    sink = Scd2Sink(dim, query_id="scd", key="k")
+    sink(b0, 0)
+    # epoch 1: update k=1, delete k=2 - versions open/close
+    b1 = spark.createDataFrame(
+        [(1, "a2", "update_postimage", 2), (2, None, "delete", 2)],
+        ch_schema,
+    )
+    sink(b1, 1)
+
+    def rows():
+        return {
+            (r["k"], r["s"], r["__start_at"], r["__end_at"], r["__is_current"])
+            for r in dim.to_df().collect()
+        }
+
+    want = {
+        (1, "a1", 1, 2, False),
+        (1, "a2", 2, None, True),
+        (2, "b1", 1, 2, False),
+    }
+    assert rows() == want
+    # crash replay with a FRESH sink: epoch 1 must be skipped (a
+    # re-apply would otherwise raise out-of-order - sequences now
+    # trail the stored history)
+    v = dim.current_version()
+    replay = Scd2Sink(dim, query_id="scd", key="k")
+    replay(b1, 1)
+    assert dim.current_version() == v and rows() == want
+
+
+def test_scd2_stream_end_to_end(spark, tmp_path):
+    """availableNow file stream -> Scd2Sink: micro-batches of CDC files
+    land as SCD2 history; a drained-checkpoint re-run commits nothing."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.catalog import (
+        LakehouseCatalog,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.dml import (
+        scd2_target_schema,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.streaming.sink import (
+        scd2_stream_to_table,
+    )
+
+    ch_schema = "k long, s string, _change_type string, _change_version long"
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(1, "a1", "insert", 1), (2, "b1", "insert", 1)], ch_schema
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "f0"))
+    spark.createDataFrame(
+        [(1, "a2", "update_postimage", 2)], ch_schema
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "f1"))
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("gold")
+    probe = spark.createDataFrame([], ch_schema)
+    dim = cat.create_table("gold.sdim2e", scd2_target_schema(probe))
+    stream = (
+        spark.readStream.schema(probe.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = scd2_stream_to_table(
+        stream, dim, ckpt, query_id="scd2e", key="k", available_now=True
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["k"], r["s"], r["__start_at"], r["__end_at"], r["__is_current"])
+        for r in dim.to_df().collect()
+    }
+    assert got == {
+        (1, "a1", 1, 2, False),
+        (1, "a2", 2, None, True),
+        (2, "b1", 1, None, True),
+    }
+    v = dim.current_version()
+    q2 = scd2_stream_to_table(
+        stream, dim, ckpt, query_id="scd2e", key="k", available_now=True
+    )
+    q2.awaitTermination(120)
+    assert dim.current_version() == v  # drained checkpoint: no commits
