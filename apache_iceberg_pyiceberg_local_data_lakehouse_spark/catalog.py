@@ -117,9 +117,10 @@ _TIME_TRAVEL = re.compile(
     re.IGNORECASE,
 )
 _DML_OPTIMIZE = re.compile(
-    r"^\s*OPTIMIZE\s+([\w.]+)"
-    r"(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$",
-    re.IGNORECASE,
+    r"^\s*OPTIMIZE\s+(?P<ident>[\w.]+)"
+    r"(?:\s+WHERE\s+(?P<where>.+?))?"
+    r"(?:\s+ZORDER\s+BY\s*\((?P<zorder>[^)]+)\))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
 )
 # Delta's RESTORE TABLE t [TO] VERSION|TIMESTAMP AS OF - routes to
 # restore_to (a NEW commit replicating the target state; history stays)
@@ -3173,18 +3174,22 @@ class LakehouseCatalog:
         if m:
             from .maintenance import compact
 
-            t = self.load_table(m.group(1))
+            t = self.load_table(m.group("ident"))
             zorder = (
-                [c.strip() for c in m.group(2).split(",")]
-                if m.group(2)
+                [c.strip() for c in m.group("zorder").split(",")]
+                if m.group("zorder")
                 else None
             )
-            snap = compact(t, zorder_by=zorder)
+            snap = compact(
+                t,
+                zorder_by=zorder,
+                partition_where=m.group("where"),
+            )
             return self.spark.createDataFrame(
                 [
                     (
                         "optimize",
-                        m.group(1),
+                        m.group("ident"),
                         t.current_version(),
                         int(snap.summary["compacted_files"]) if snap else 0,
                     )

@@ -422,6 +422,7 @@ def compact(
     sort_by: list[str] | None = None,
     zorder_by: list[str] | None = None,
     max_rewrite_bytes: int | None = None,
+    partition_where: str | None = None,
 ) -> Snapshot | None:
     """Rewrite small data files into ~target-sized files.
 
@@ -471,6 +472,39 @@ def compact(
         if e["bytes"] < cutoff:
             key = tuple(sorted((e.get("partition") or {}).items()))
             small_by_part.setdefault(key, []).append(e)
+    if partition_where is not None:
+        # Delta's OPTIMIZE t WHERE <partition predicate>: compact ONLY
+        # matching partitions - at 100 TB "compact yesterday's hot
+        # partition" must not even LOOK at the cold ones. The predicate
+        # is evaluated over the TRANSFORMED partition fields as named
+        # in the manifest (ts_day, region, id_bucket, ...) - one tiny
+        # local frame of distinct candidate partitions, zero data reads.
+        from pyspark.sql import Row
+        from pyspark.sql import functions as F
+
+        part_keys = [k for k in small_by_part if dict(k)]
+        if not part_keys:
+            return None  # unpartitioned candidates: nothing can match
+        pdf = table.spark.createDataFrame(
+            [Row(__idx=i, **dict(k)) for i, k in enumerate(part_keys)]
+        )
+        try:
+            kept_idx = {
+                r["__idx"]
+                for r in pdf.filter(F.expr(partition_where))
+                .select("__idx")
+                .collect()
+            }
+        except Exception as exc:
+            cols = sorted({c for k in part_keys for c, _ in k})
+            raise ValueError(
+                "OPTIMIZE ... WHERE must be a predicate over the "
+                f"partition columns {cols}: {exc}"
+            ) from exc
+        allowed = {part_keys[i] for i in kept_idx}
+        small_by_part = {
+            k: v for k, v in small_by_part.items() if k in allowed
+        }
     small = [e for grp in small_by_part.values() if len(grp) >= 2 for e in grp]
     if not small:
         return None

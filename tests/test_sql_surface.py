@@ -164,6 +164,61 @@ def test_sql_optimize_statement(catalog, spark):
     assert catalog.sql("SELECT COUNT(*) AS n FROM gold_ticks").first()["n"] == 40
 
 
+def test_sql_optimize_where_partition_filter(catalog, spark):
+    """r9: OPTIMIZE t WHERE <partition predicate> (Delta parity)
+    compacts ONLY matching partitions - the cold year's fragments stay
+    byte-for-byte untouched - and a predicate over a non-partition
+    column raises instead of silently compacting everything."""
+    import pytest as _pytest
+
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.table import (
+        PartitionField,
+    )
+
+    t = catalog.create_table(
+        "gold.pticks",
+        TICK_SCHEMA,
+        [PartitionField("DateTime", "years", "DateTime_year")],
+    )
+    for _ in range(3):
+        t.append(
+            tick_df(spark, n=10, start="2020-01-01 00:00:00")
+            .union(tick_df(spark, n=10, start="2021-01-01 00:00:00"))
+            .coalesce(1)
+        )
+
+    def by_year():
+        out = {}
+        for e in t.snapshot().manifest:
+            out.setdefault(
+                e["partition"]["DateTime_year"], []
+            ).append(e["path"])
+        return out
+
+    before = by_year()
+    assert len(before["2020"]) == 3 and len(before["2021"]) == 3
+    out = catalog.sql(
+        "OPTIMIZE gold.pticks WHERE DateTime_year = '2021'"
+    ).first()
+    assert out["operation"] == "optimize"
+    after = by_year()
+    assert len(after["2021"]) == 1  # hot partition compacted
+    assert sorted(after["2020"]) == sorted(before["2020"])  # untouched
+    assert (
+        catalog.sql("SELECT COUNT(*) AS n FROM gold_pticks").first()["n"]
+        == 60
+    )
+    with _pytest.raises(ValueError, match="partition columns"):
+        catalog.sql("OPTIMIZE gold.pticks WHERE Bid > 0")
+    # WHERE composes with ZORDER BY (the full Delta spelling parses)
+    out = catalog.sql(
+        "OPTIMIZE gold.pticks WHERE DateTime_year = '2020' "
+        "ZORDER BY (Bid)"
+    ).first()
+    assert out["operation"] == "optimize"
+    assert len(by_year()["2020"]) == 1
+
+
 def test_sql_vacuum_statement(catalog, spark):
     """VACUUM RETAIN 0 HOURS expires unprotected snapshots."""
     t = catalog.create_table("gold.ticks", TICK_SCHEMA, [])
