@@ -236,6 +236,12 @@ _ALTER_CREATE_REF = re.compile(
 _ALTER_DROP_REF = re.compile(
     r"^DROP\s+(TAG|BRANCH)\s+(\w+)$", re.IGNORECASE
 )
+# Delta's liquid-clustering declaration: ALTER TABLE t CLUSTER BY
+# (c1, c2) | NONE. Maps to the table's write.zorder-by property - the
+# layout every subsequent compaction (OPTIMIZE, auto-maintain) applies.
+_ALTER_CLUSTER_BY = re.compile(
+    r"^CLUSTER\s+BY\s*(?:\(([^)]+)\)|(NONE))\s*$", re.IGNORECASE
+)
 # SQL type aliases -> the schema-json canonical names the table format
 # stores (StructType.fromJson rejects the SQL spellings)
 _SQL_TYPE_ALIAS = {
@@ -2022,6 +2028,23 @@ class LakehouseCatalog:
                 [(f"drop {am.group(1).lower()}", ident, am.group(2))],
                 "operation string, table string, ref string",
             )
+        elif (am := _ALTER_CLUSTER_BY.match(action)) is not None:
+            if am.group(2):  # CLUSTER BY NONE: clear the layout
+                t.set_properties(**{"write.zorder-by": ""})
+            else:
+                cols = [c.strip() for c in am.group(1).split(",")]
+                names = {f.name for f in t.schema.fields}
+                missing = [c for c in cols if c not in names]
+                if missing:
+                    raise ValueError(
+                        f"CLUSTER BY references unknown columns "
+                        f"{missing} (table has {sorted(names)})"
+                    )
+                t.set_properties(
+                    **{"write.zorder-by": ",".join(cols)}
+                )
+            snap = t.snapshot()
+            op = "alter cluster by"
         elif (am := _ALTER_SET_PROPS.match(action)) is not None:
             props = {}
             for part in _split_top_level(am.group(1)):

@@ -219,6 +219,38 @@ def test_sql_optimize_where_partition_filter(catalog, spark):
     assert len(by_year()["2020"]) == 1
 
 
+def test_sql_alter_cluster_by(catalog, spark):
+    """r9: ALTER TABLE ... CLUSTER BY (cols) declares the table's
+    z-order layout (Delta's liquid-clustering spelling); subsequent
+    OPTIMIZE applies it with no explicit ZORDER clause, NONE clears,
+    unknown columns raise."""
+    import pytest as _pytest
+
+    t = catalog.create_table("gold.clus", TICK_SCHEMA, [])
+    for i in range(3):
+        t.append(
+            tick_df(spark, n=10, start=f"2024-03-0{i+1} 00:00:00").coalesce(1)
+        )
+    out = catalog.sql(
+        "ALTER TABLE gold.clus CLUSTER BY (Bid, Ask)"
+    ).first()
+    assert out["operation"] == "alter cluster by"
+    assert t.properties()["write.zorder-by"] == "Bid,Ask"
+    out = catalog.sql("OPTIMIZE gold.clus").first()
+    assert out["compacted_files"] == 3  # the declared layout applied
+    assert (
+        catalog.sql("SELECT COUNT(*) AS n FROM gold_clus").first()["n"]
+        == 30
+    )
+    catalog.sql("ALTER TABLE gold.clus CLUSTER BY NONE")
+    assert (
+        catalog.load_table("gold.clus").properties()["write.zorder-by"]
+        == ""
+    )
+    with _pytest.raises(ValueError, match="unknown columns"):
+        catalog.sql("ALTER TABLE gold.clus CLUSTER BY (nope)")
+
+
 def test_sql_vacuum_statement(catalog, spark):
     """VACUUM RETAIN 0 HOURS expires unprotected snapshots."""
     t = catalog.create_table("gold.ticks", TICK_SCHEMA, [])
