@@ -1607,6 +1607,18 @@ def test_watch_mv_drives_join_tier_incrementally(spark, tmp_path):
         v = cat.load_table("g.jwmv").current_version()
         time.sleep(3)  # idle base: zero further commits
         assert cat.load_table("g.jwmv").current_version() == v
+        # r9: a dim UPDATE under the daemon converges via the CDC tier
+        # (signed dim changelog joined to the pinned fact) - still
+        # merge-only, never a full recompute
+        cat.sql("UPDATE g.jd SET seg = 'C' WHERE k = 2")
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            got = {r["seg"]: (r["n"], r["sv"]) for r in mv.to_df().collect()}
+            if got == {"A": (2, 15), "C": (1, 7)}:
+                break
+            time.sleep(0.5)
+        assert got == {"A": (2, 15), "C": (1, 7)}
+        assert ops and set(ops) == {"merge"}
     finally:
         stop.set()
         thread.join(30)
