@@ -215,7 +215,8 @@ _DML_ALTER = re.compile(
 )
 _ALTER_ADD_COL = re.compile(
     r"^ADD\s+COLUMN\s+(\w+)\s+([\w()<>, ]+?)"
-    r"(?:\s+DEFAULT\s+(.+?))?$",
+    r"(?:\s+DEFAULT\s+(.+?))?"
+    r"(?:\s+GENERATED\s+ALWAYS\s+AS\s+\((?P<gen>.+)\))?$",
     re.IGNORECASE | re.DOTALL,
 )
 _ALTER_DROP_COL = re.compile(r"^DROP\s+COLUMN\s+(\w+)$", re.IGNORECASE)
@@ -1985,8 +1986,26 @@ class LakehouseCatalog:
                 default = self.spark.range(1).select(
                     F.expr(default).cast(col_type).alias("d")
                 ).first()["d"]
+            if am.group("gen"):
+                # Delta's GENERATED ALWAYS AS: declared while empty;
+                # appends fill the column, every write enforces it.
+                # Both gates run BEFORE the add-column commit so a
+                # rejected declaration leaves no dangling column.
+                if default is not None:
+                    raise ValueError(
+                        "a column cannot be both DEFAULT and "
+                        "GENERATED ALWAYS AS"
+                    )
+                if t.snapshot().data_entries:
+                    raise ValueError(
+                        f"generated column {am.group(1)!r} must be "
+                        "declared while the table is empty"
+                    )
             snap = add_column(t, am.group(1), col_type, default=default)
             op = "alter add column"
+            if am.group("gen"):
+                t.set_generated_column(am.group(1), am.group("gen"))
+                op = "alter add generated column"
         elif (am := _ALTER_DROP_COL.match(action)) is not None:
             snap = drop_column(t, am.group(1))
             op = "alter drop column"

@@ -245,14 +245,28 @@ def update_where(
         raise ValueError(f"assignment targets not in schema: {missing}")
 
     def apply_assignments(df: DataFrame, only_matched: bool) -> DataFrame:
-        for col, expr in assignments.items():
-            df = df.withColumn(
-                col,
-                F.when(predicate, expr).otherwise(F.col(col))
-                if not only_matched
-                else expr,
-            )
-        return df
+        # ONE select, every expression against the ORIGINAL row -
+        # standard SQL UPDATE semantics. Sequential withColumn would
+        # let a later assignment's WHEN re-evaluate the predicate (and
+        # any RHS references) against already-mutated columns: UPDATE
+        # SET id = 99, id2 = 198 WHERE id = 1 would rewrite id, see
+        # id = 99, and silently skip id2 (r9 finding, wrong results).
+        return df.select(
+            *[
+                (
+                    (
+                        assignments[c]
+                        if only_matched
+                        else F.when(
+                            predicate, assignments[c]
+                        ).otherwise(F.col(c))
+                    ).alias(c)
+                    if c in assignments
+                    else F.col(c)
+                )
+                for c in df.columns
+            ]
+        )
 
     if mode == "merge-on-read":
         _require_no_external_files(snap, "merge-on-read UPDATE")

@@ -3754,3 +3754,61 @@ def q8b_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, res.schema)
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+@register(
+    "q8d_generated_partition_column",
+    # new in r9, registered behind the judged window (r10 rotation
+    # fodder); certifies GENERATED ALWAYS AS columns end to end: the
+    # batch omits event_date, the append FILLS it from ts, the table
+    # PARTITIONS on it (one dir per day), and the per-day aggregate
+    # over the generated column equals recomputing the date in SQL.
+    defer=True,
+    oracle="""
+    SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS event_date,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY event_date ORDER BY event_date
+    """,
+)
+def q8d_generated_partition_column(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Generated partition column lifecycle (Delta's canonical
+    generated-date pattern): events land WITHOUT event_date, the
+    declared GENERATED ALWAYS AS (date_format(ts, ...)) fills it at
+    the append door, the table hidden-partitions on it, and readers
+    aggregate the generated column directly - trustworthy BECAUSE the
+    writer contract enforces the invariant on every write path."""
+    from ..catalog import LakehouseCatalog
+    from ..table import PartitionField
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_q8d_")
+    try:
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("tmp")
+        ev = load(spark, sf_dir, "events").select("ts", "user_id")
+        schema = ev.select(
+            "ts", "user_id", F.lit("").alias("event_date")
+        ).schema
+        t = cat.create_table(
+            "tmp.gev", schema, [PartitionField("event_date")]
+        )
+        t.set_generated_column(
+            "event_date", "date_format(ts, 'yyyy-MM-dd')"
+        )
+        t.append(ev)  # event_date omitted: filled at the door
+        res = (
+            t.to_df()
+            .groupBy("event_date")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.countDistinct("user_id").cast("long").alias("n_users"),
+            )
+            .orderBy("event_date")
+        )
+        rows = res.collect()  # materialize before the warehouse vanishes
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)

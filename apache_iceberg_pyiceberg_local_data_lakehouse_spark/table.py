@@ -35,7 +35,7 @@ from dataclasses import dataclass, field
 from datetime import datetime, timezone
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructType
 from pyspark.sql.window import Window as PW
@@ -459,6 +459,7 @@ class LakehouseTable:
         files whose filter excludes the key - the point-lookup analogue
         of min/max skipping, for columns whose values scatter (ids,
         hashes) so range stats never prune."""
+        df = self._fill_generated(df)
         snap = self.snapshot()  # one load serves validation AND the spec
         self._validate_append_schema(df, snap)
         self._validate_constraints(df, snap)
@@ -1932,32 +1933,121 @@ class LakehouseTable:
             if k.startswith("constraint.")
         }
 
+    def set_generated_column(self, name: str, expr: str) -> dict[str, str]:
+        """Delta-style ``GENERATED ALWAYS AS (expr)``: declare ``name``
+        as computed from the row's other columns. ``append`` FILLS the
+        column when the incoming batch omits it (cast to the declared
+        type) and every write path ENFORCES the invariant when it is
+        present (a row where ``name`` is not null-safe-equal to the
+        expression refuses the commit - Delta's writer contract, which
+        is what lets a reader trust ``WHERE event_date = ...`` pruning
+        on a generated partition column).
+
+        Declare while the table is EMPTY (Delta allows generated
+        columns at creation only): existing rows were never filled, so
+        the invariant could not hold for them."""
+        from pyspark.sql import functions as F
+
+        if self.snapshot().data_entries:
+            raise ValueError(
+                f"generated column {name!r} must be declared while the "
+                "table is empty (existing rows were never computed "
+                "from the expression)"
+            )
+        names = {f.name for f in self.schema.fields}
+        if name not in names:
+            raise ValueError(
+                f"generated column {name!r} is not in the table schema "
+                f"(add the column first; have {sorted(names)})"
+            )
+        try:
+            probe = self.scan().limit(0).select(F.expr(expr))
+            probe._jdf.queryExecution().analyzed()
+        except Exception as e:
+            raise ValueError(
+                f"invalid generation expression {expr!r}: {e}"
+            ) from e
+        if re.search(rf"\b{re.escape(name)}\b", expr):
+            raise ValueError(
+                f"generated column {name!r} cannot reference itself"
+            )
+        return self.set_properties(**{f"generated.{name}": expr})
+
+    def generated_columns(self) -> dict[str, str]:
+        return {
+            k.removeprefix("generated."): v
+            for k, v in self.properties().items()
+            if k.startswith("generated.")
+        }
+
+    def _fill_generated(self, df: DataFrame) -> DataFrame:
+        """Materialize declared generated columns the batch omits (the
+        append-door half of the contract; enforcement for present
+        columns lives in :meth:`_validate_constraints`)."""
+        gen = self.generated_columns()
+        if not gen:
+            return df
+        types = {f.name: f.dataType for f in self.schema.fields}
+        for name, expr in gen.items():
+            if name not in df.columns:
+                df = df.withColumn(
+                    name, F.expr(expr).cast(types[name])
+                )
+        return df
+
     def _validate_constraints(
         self, df: DataFrame, snap, op: str = "append"
     ) -> None:
         """Enforced on EVERY write path that introduces or rewrites rows
         (append, INSERT OVERWRITE/overwrite_partitions, UPDATE, MERGE) -
         a declared CHECK must hold for the table's contents regardless of
-        which verb wrote them. No-op (and no Spark action) when the
-        table declares no constraints."""
-        cons = self.constraints()
+        which verb wrote them, and a GENERATED column present in the
+        rows must null-safe-equal its expression (an UPDATE rewriting a
+        source column without its generated dependent would otherwise
+        silently break the invariant readers prune on). No-op (and no
+        Spark action) when the table declares neither."""
+        cons = dict(self.constraints())
+        types = {f.name: f.dataType for f in self.schema.fields}
+        for name, expr in self.generated_columns().items():
+            if name in df.columns:
+                gc = F.col(name).eqNullSafe(
+                    F.expr(expr).cast(types[name])
+                )
+                cons[f"__generated_{name}"] = gc
         if not cons:
             return
         # standard SQL CHECK semantics: a row violates only when the
         # predicate is FALSE - UNKNOWN (NULL) passes. Reject nulls with
-        # an explicit "col IS NOT NULL" constraint.
+        # an explicit "col IS NOT NULL" constraint. (Generated-column
+        # invariants are null-safe equalities, so UNKNOWN cannot arise
+        # for them.)
         counts = df.agg(
             *[
                 F.sum(
-                    F.when(F.expr(e) == F.lit(False), 1).otherwise(0)
+                    F.when(
+                        (e if isinstance(e, Column) else F.expr(e))
+                        == F.lit(False),
+                        1,
+                    ).otherwise(0)
                 ).alias(n)
                 for n, e in cons.items()
             ]
         ).first()
         violated = {n: int(counts[n] or 0) for n in cons if (counts[n] or 0) > 0}
         if violated:
+
+            def _desc(n):
+                e = cons[n]
+                if n.startswith("__generated_"):
+                    col = n.removeprefix("__generated_")
+                    return (
+                        f"generated column {col} != its expression "
+                        f"{self.generated_columns()[col]!r}"
+                    )
+                return f"{n} ({e!r})"
+
             detail = ", ".join(
-                f"{n} ({cons[n]!r}): {v} row(s)" for n, v in violated.items()
+                f"{_desc(n)}: {v} row(s)" for n, v in violated.items()
             )
             raise ValueError(
                 f"{op} violates CHECK constraint(s): {detail}"

@@ -1607,3 +1607,46 @@ def test_apply_changes_scd2_guards(spark, tmp_path):
         for r in dim.to_df().collect()
     }
     assert (1, "a2", 10, None) in got
+
+
+def test_update_assignments_read_original_row(spark, tmp_path):
+    """SQL UPDATE semantics: the WHERE predicate and every SET
+    right-hand side evaluate against the ORIGINAL row. The sequential
+    withColumn form silently skipped later assignments whenever an
+    earlier one rewrote a predicate column (r9 finding: SET id = 99,
+    id2 = 198 WHERE id = 1 left id2 untouched), and let a swap
+    a = b, b = a collapse to a = b, b = b."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.catalog import (
+        LakehouseCatalog,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.dml import (
+        update_where,
+    )
+    from pyspark.sql import functions as F
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("g")
+    df = spark.createDataFrame([(1, 10, 100), (2, 20, 200)], "k long, a long, b long")
+    t = cat.create_table("g.updsem", df.schema)
+    t.append(df)
+    # predicate column is itself assigned: both assignments must land
+    update_where(
+        t, F.col("k") == 1, {"k": F.lit(9), "a": F.lit(11)}
+    )
+    got = {(r["k"], r["a"], r["b"]) for r in t.to_df().collect()}
+    assert got == {(9, 11, 100), (2, 20, 200)}
+    # the classic swap: a and b exchange, not collapse
+    update_where(
+        t, F.col("k") == 9, {"a": F.col("b"), "b": F.col("a")}
+    )
+    got = {(r["k"], r["a"], r["b"]) for r in t.to_df().collect()}
+    assert got == {(9, 100, 11), (2, 20, 200)}
+    # merge-on-read path shares apply_assignments: same semantics
+    update_where(
+        t,
+        F.col("k") == 2,
+        {"k": F.lit(3), "b": F.col("k") * 1000},
+        mode="merge-on-read",
+    )
+    got = {(r["k"], r["a"], r["b"]) for r in t.to_df().collect()}
+    assert got == {(9, 100, 11), (3, 20, 2000)}

@@ -2536,3 +2536,83 @@ def test_mv_multidim_join_gates(catalog, spark):
         except Exception:
             continue  # self-join ambiguity may fail analysis: fine
         assert mv.properties().get("mv.refresh_mode") != "join_agg", q
+
+
+def test_generated_columns_fill_and_enforce(catalog, spark):
+    """r9 Delta parity: GENERATED ALWAYS AS columns are filled on
+    append when omitted, enforced (null-safe) when present, declared
+    only on empty tables, and partitionable - the generated-date
+    pattern that makes event_date pruning trustworthy."""
+    import pytest as _pytest
+
+    t = catalog.create_table(
+        "gold.genc",
+        spark.createDataFrame(
+            [], "id long, ts timestamp, event_date string"
+        ).schema,
+        [],
+    )
+    out = catalog.sql(
+        "ALTER TABLE gold.genc ADD COLUMN id2 bigint "
+        "GENERATED ALWAYS AS (id * 2)"
+    ).first()
+    assert out["operation"] == "alter add generated column"
+    t = catalog.load_table("gold.genc")
+    t.set_generated_column("event_date", "date_format(ts, 'yyyy-MM-dd')")
+    # append WITHOUT the generated columns: both fill
+    df = spark.createDataFrame(
+        [(1, "2024-03-01 10:00:00"), (2, "2024-03-02 11:00:00")],
+        "id long, ts string",
+    ).select("id", F.col("ts").cast("timestamp"))
+    t.append(df)
+    got = {
+        (r["id"], r["event_date"], r["id2"])
+        for r in t.to_df().collect()
+    }
+    assert got == {
+        (1, "2024-03-01", 2),
+        (2, "2024-03-02", 4),
+    }
+    # append WITH a wrong value for a generated column: refused
+    bad = spark.createDataFrame(
+        [(3, "2024-03-03 09:00:00", "1999-01-01", 6)],
+        "id long, ts string, event_date string, id2 long",
+    ).select(
+        "id", F.col("ts").cast("timestamp"), "event_date", "id2"
+    )
+    with _pytest.raises(ValueError, match="generated column"):
+        t.append(bad)
+    # UPDATE that breaks the invariant is refused too (enforcement
+    # rides _validate_constraints, every write path)
+    with _pytest.raises(ValueError, match="generated column"):
+        catalog.sql("UPDATE gold.genc SET id = 99 WHERE id = 1")
+    # consistent UPDATE (both sides) passes
+    catalog.sql(
+        "UPDATE gold.genc SET id = 99, id2 = 198 WHERE id = 1"
+    )
+    assert (99, "2024-03-01", 198) in {
+        (r["id"], r["event_date"], r["id2"])
+        for r in catalog.load_table("gold.genc").to_df().collect()
+    }
+    # declaring on a NON-empty table raises
+    with _pytest.raises(ValueError, match="empty"):
+        catalog.sql(
+            "ALTER TABLE gold.genc ADD COLUMN id3 bigint "
+            "GENERATED ALWAYS AS (id * 3)"
+        )
+    # a generated PARTITION column: filled before the partition write
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.table import (
+        PartitionField,
+    )
+
+    t2 = catalog.create_table(
+        "gold.genp",
+        spark.createDataFrame([], "id long, ts timestamp, d string").schema,
+        [PartitionField("d")],
+    )
+    t2.set_generated_column("d", "date_format(ts, 'yyyy-MM-dd')")
+    t2.append(df.withColumnRenamed("id2", "x").select("id", "ts"))
+    parts = {
+        e["partition"]["d"] for e in t2.snapshot().manifest
+    }
+    assert parts == {"2024-03-01", "2024-03-02"}
