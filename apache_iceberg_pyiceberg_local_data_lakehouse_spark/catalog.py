@@ -1989,8 +1989,11 @@ class LakehouseCatalog:
             if am.group("gen"):
                 # Delta's GENERATED ALWAYS AS: declared while empty;
                 # appends fill the column, every write enforces it.
-                # Both gates run BEFORE the add-column commit so a
-                # rejected declaration leaves no dangling column.
+                # EVERY gate - DEFAULT conflict, empty-table, and the
+                # expression itself (analysis, self-reference,
+                # generated-on-generated) - runs BEFORE the add-column
+                # commit so a rejected declaration leaves no dangling
+                # column.
                 if default is not None:
                     raise ValueError(
                         "a column cannot be both DEFAULT and "
@@ -2001,6 +2004,9 @@ class LakehouseCatalog:
                         f"generated column {am.group(1)!r} must be "
                         "declared while the table is empty"
                     )
+                t.validate_generation_expr(
+                    am.group(1), am.group("gen")
+                )
             snap = add_column(t, am.group(1), col_type, default=default)
             op = "alter add column"
             if am.group("gen"):

@@ -21,6 +21,7 @@ Spark-natively:
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -537,6 +538,12 @@ def merge_into(
             "matched row unconditionally)"
         )
 
+    # full-row sources (row-replace / insert) fill omitted generated
+    # columns like the append door; keys-only sources (a delete merge
+    # with when_not_matched='ignore') are left alone - their frames
+    # intentionally carry only the key columns
+    if when_matched == "update" or when_not_matched == "insert":
+        updates = table._fill_generated(updates)
     # one materialization: the key-range bounds, the distinct-key
     # semi/anti joins, and the write all run as INDEPENDENT Spark
     # actions over ``updates`` - a non-deterministic source could make
@@ -716,6 +723,17 @@ def drop_column(table: LakehouseTable, name: str) -> Snapshot:
         raise ValueError(f"no column {name}")
     if any(p.source == name for p in cur.partition_spec):
         raise ValueError(f"{name} is a partition source; evolve the spec first")
+    # generated-column hygiene: dropping the generated column itself
+    # retires its property (a stale one would fail every later append);
+    # dropping a SOURCE of someone else's generation expression would
+    # break that fill - refuse, like the partition-source gate above
+    gen = table.generated_columns()
+    for g, expr in gen.items():
+        if g != name and re.search(rf"\b{re.escape(name)}\b", expr):
+            raise ValueError(
+                f"{name} is referenced by generated column {g!r} "
+                f"({expr!r}); drop or redefine that first"
+            )
     schema_json["fields"] = fields
     snap = Snapshot(
         snapshot_id=_uuid.uuid4().hex,
@@ -730,6 +748,8 @@ def drop_column(table: LakehouseTable, name: str) -> Snapshot:
         summary={"dropped_column": name},
     )
     table._commit(snap)
+    if name in gen:
+        table.unset_properties(f"generated.{name}")
     return snap
 
 
@@ -830,6 +850,16 @@ def rename_column(table: LakehouseTable, old: str, new: str) -> Snapshot:
         raise ValueError(f"no column {old}")
     if new in names:
         raise ValueError(f"column {new} already exists")
+    # generated-column hygiene (mirrors drop_column): renaming the
+    # generated column migrates its property; renaming a SOURCE of a
+    # generation expression would orphan the expression - refuse
+    gen = table.generated_columns()
+    for g, expr in gen.items():
+        if g != old and re.search(rf"\b{re.escape(old)}\b", expr):
+            raise ValueError(
+                f"{old} is referenced by generated column {g!r} "
+                f"({expr!r}); redefine that first"
+            )
     for f in schema_json["fields"]:
         if f["name"] == old:
             meta = dict(f.get("metadata") or {})
@@ -855,6 +885,9 @@ def rename_column(table: LakehouseTable, old: str, new: str) -> Snapshot:
         summary={"renamed_column": {old: new}},
     )
     table._commit(snap)
+    if old in gen:
+        table.unset_properties(f"generated.{old}")
+        table.set_properties(**{f"generated.{new}": gen[old]})
     return snap
 
 
@@ -935,6 +968,10 @@ def overwrite_partitions(table: LakehouseTable, df: DataFrame) -> Snapshot | Non
     replace - matching Iceberg, which treats it as a no-op rather than
     truncating the table)."""
     snap = table.snapshot()
+    # the overwrite door fills omitted generated columns like append
+    # does - otherwise a backfill frame without the generated column
+    # would commit nulls that break the invariant readers prune on
+    df = table._fill_generated(df, snap)
     # same writer-schema gate as append: _write_files alone would let a
     # narrowing-incompatible column (e.g. a bare 5.0 DECIMAL literal
     # into a double column) poison every later scan of the partition

@@ -459,8 +459,8 @@ class LakehouseTable:
         files whose filter excludes the key - the point-lookup analogue
         of min/max skipping, for columns whose values scatter (ids,
         hashes) so range stats never prune."""
-        df = self._fill_generated(df)
-        snap = self.snapshot()  # one load serves validation AND the spec
+        snap = self.snapshot()  # one load serves fill, validation, spec
+        df = self._fill_generated(df, snap)
         self._validate_append_schema(df, snap)
         self._validate_constraints(df, snap)
         spec = snap.partition_spec
@@ -1960,6 +1960,29 @@ class LakehouseTable:
                 f"generated column {name!r} is not in the table schema "
                 f"(add the column first; have {sorted(names)})"
             )
+        self.validate_generation_expr(name, expr)
+        return self.set_properties(**{f"generated.{name}": expr})
+
+    def validate_generation_expr(self, name: str, expr: str) -> None:
+        """Every gate a generation expression must pass, checkable
+        BEFORE any commit (the ALTER DDL runs this ahead of its
+        add-column commit so a rejected declaration leaves no dangling
+        column): the expression analyzes against the table, does not
+        reference the generated column itself, and does not reference
+        ANOTHER generated column (Delta's rule - a chain would make
+        the fill order batch-sensitive)."""
+        if re.search(rf"\b{re.escape(name)}\b", expr):
+            raise ValueError(
+                f"generated column {name!r} cannot reference itself"
+            )
+        for other in self.generated_columns():
+            if other != name and re.search(
+                rf"\b{re.escape(other)}\b", expr
+            ):
+                raise ValueError(
+                    f"generated column {name!r} cannot reference "
+                    f"another generated column ({other!r})"
+                )
         try:
             probe = self.scan().limit(0).select(F.expr(expr))
             probe._jdf.queryExecution().analyzed()
@@ -1967,11 +1990,6 @@ class LakehouseTable:
             raise ValueError(
                 f"invalid generation expression {expr!r}: {e}"
             ) from e
-        if re.search(rf"\b{re.escape(name)}\b", expr):
-            raise ValueError(
-                f"generated column {name!r} cannot reference itself"
-            )
-        return self.set_properties(**{f"generated.{name}": expr})
 
     def generated_columns(self) -> dict[str, str]:
         return {
@@ -1980,15 +1998,30 @@ class LakehouseTable:
             if k.startswith("generated.")
         }
 
-    def _fill_generated(self, df: DataFrame) -> DataFrame:
+    def _fill_generated(
+        self, df: DataFrame, snap: "Snapshot | None" = None
+    ) -> DataFrame:
         """Materialize declared generated columns the batch omits (the
         append-door half of the contract; enforcement for present
         columns lives in :meth:`_validate_constraints`)."""
         gen = self.generated_columns()
         if not gen:
             return df
-        types = {f.name: f.dataType for f in self.schema.fields}
+        snap = snap or self.snapshot()
+        types = {
+            f.name: f.dataType
+            for f in StructType.fromJson(snap.schema_json).fields
+        }
         for name, expr in gen.items():
+            if name not in types:
+                # an orphaned generated.<name> property (possible only
+                # through direct property edits - DROP/RENAME COLUMN
+                # maintain the property) must fail loudly, not KeyError
+                raise ValueError(
+                    f"generated column property for {name!r} has no "
+                    "matching schema column; unset the "
+                    f"'generated.{name}' property"
+                )
             if name not in df.columns:
                 df = df.withColumn(
                     name, F.expr(expr).cast(types[name])
@@ -2006,16 +2039,34 @@ class LakehouseTable:
         source column without its generated dependent would otherwise
         silently break the invariant readers prune on). No-op (and no
         Spark action) when the table declares neither."""
-        cons = dict(self.constraints())
-        types = {f.name: f.dataType for f in self.schema.fields}
-        for name, expr in self.generated_columns().items():
-            if name in df.columns:
-                gc = F.col(name).eqNullSafe(
+        # ONE properties read serves both rule families; the schema is
+        # decoded only when a generated column actually needs its type
+        # (zero extra snapshot loads for the no-rules fast path)
+        props = self.properties()
+        cons: dict = {
+            k.removeprefix("constraint."): v
+            for k, v in props.items()
+            if k.startswith("constraint.")
+        }
+        gen = {
+            k.removeprefix("generated."): v
+            for k, v in props.items()
+            if k.startswith("generated.")
+        }
+        gen_present = {n: e for n, e in gen.items() if n in df.columns}
+        if not cons and not gen_present:
+            return
+        if gen_present:
+            types = {
+                f.name: f.dataType
+                for f in StructType.fromJson(
+                    (snap or self.snapshot()).schema_json
+                ).fields
+            }
+            for name, expr in gen_present.items():
+                cons[f"__generated_{name}"] = F.col(name).eqNullSafe(
                     F.expr(expr).cast(types[name])
                 )
-                cons[f"__generated_{name}"] = gc
-        if not cons:
-            return
         # standard SQL CHECK semantics: a row violates only when the
         # predicate is FALSE - UNKNOWN (NULL) passes. Reject nulls with
         # an explicit "col IS NOT NULL" constraint. (Generated-column
@@ -2037,14 +2088,13 @@ class LakehouseTable:
         if violated:
 
             def _desc(n):
-                e = cons[n]
                 if n.startswith("__generated_"):
                     col = n.removeprefix("__generated_")
                     return (
                         f"generated column {col} != its expression "
-                        f"{self.generated_columns()[col]!r}"
+                        f"{gen[col]!r}"
                     )
-                return f"{n} ({e!r})"
+                return f"{n} ({cons[n]!r})"
 
             detail = ", ".join(
                 f"{_desc(n)}: {v} row(s)" for n, v in violated.items()

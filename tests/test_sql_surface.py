@@ -2616,3 +2616,81 @@ def test_generated_columns_fill_and_enforce(catalog, spark):
         e["partition"]["d"] for e in t2.snapshot().manifest
     }
     assert parts == {"2024-03-01", "2024-03-02"}
+
+
+def test_generated_columns_evolution_and_overwrite(catalog, spark):
+    """r9 review hardening: every write door fills (overwrite, insert
+    merges), schema evolution maintains the generated.* properties
+    (drop retires, rename migrates, source references refuse), a bad
+    GENERATED DDL leaves no dangling column, and generated-on-generated
+    is rejected at declaration."""
+    import pytest as _pytest
+
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.dml import (
+        drop_column,
+        merge_into,
+        overwrite_partitions,
+        rename_column,
+    )
+
+    t = catalog.create_table(
+        "gold.genev",
+        spark.createDataFrame([], "id long, v long, dbl long").schema,
+        [],
+    )
+    t.set_generated_column("dbl", "v * 2")
+    # overwrite door fills the omitted generated column
+    overwrite_partitions(
+        t, spark.createDataFrame([(1, 10), (2, 20)], "id long, v long")
+    )
+    assert {(r["id"], r["dbl"]) for r in t.to_df().collect()} == {
+        (1, 20),
+        (2, 40),
+    }
+    # insert merge fills too
+    merge_into(
+        t,
+        spark.createDataFrame([(3, 30)], "id long, v long"),
+        key="id",
+    )
+    assert (3, 60) in {(r["id"], r["dbl"]) for r in t.to_df().collect()}
+    # generated-on-generated: rejected at declaration (fresh empty
+    # table so the empty-table gate doesn't mask the chain gate)
+    tg = catalog.create_table(
+        "gold.genchain",
+        spark.createDataFrame([], "a long, b long, c long").schema,
+        [],
+    )
+    tg.set_generated_column("b", "a * 2")
+    with _pytest.raises(ValueError, match="another generated column"):
+        tg.set_generated_column("c", "b + 1")
+    # renaming/dropping a SOURCE of the expression refuses
+    with _pytest.raises(ValueError, match="referenced by generated"):
+        rename_column(t, "v", "w")
+    with _pytest.raises(ValueError, match="referenced by generated"):
+        drop_column(t, "v")
+    # renaming the generated column itself migrates the property
+    rename_column(t, "dbl", "twice")
+    t = catalog.load_table("gold.genev")
+    assert t.generated_columns() == {"twice": "v * 2"}
+    t.append(spark.createDataFrame([(4, 40)], "id long, v long"))
+    assert (4, 80) in {
+        (r["id"], r["twice"]) for r in t.to_df().collect()
+    }
+    # dropping the generated column retires the property; appends work
+    drop_column(t, "twice")
+    t = catalog.load_table("gold.genev")
+    assert t.generated_columns() == {}
+    t.append(spark.createDataFrame([(5, 50)], "id long, v long"))
+    # a rejected GENERATED DDL leaves no dangling column
+    t2 = catalog.create_table(
+        "gold.genddl",
+        spark.createDataFrame([], "id long").schema,
+        [],
+    )
+    with _pytest.raises(ValueError, match="invalid generation"):
+        catalog.sql(
+            "ALTER TABLE gold.genddl ADD COLUMN c bigint "
+            "GENERATED ALWAYS AS (nosuch * 2)"
+        )
+    assert [f.name for f in catalog.load_table("gold.genddl").schema.fields] == ["id"]
