@@ -237,6 +237,14 @@ _ALTER_CREATE_REF = re.compile(
 _ALTER_DROP_REF = re.compile(
     r"^DROP\s+(TAG|BRANCH)\s+(\w+)$", re.IGNORECASE
 )
+# Iceberg's partition-spec evolution DDL: ALTER TABLE t ADD PARTITION
+# FIELD days(ts) | DROP PARTITION FIELD ts_day. Metadata-only commits;
+# existing files keep their layout (pruning is per-file), future
+# appends write under the evolved spec.
+_ALTER_PARTITION_FIELD = re.compile(
+    r"^(ADD|DROP)\s+PARTITION\s+FIELD\s+(.+?)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 # Delta's liquid-clustering declaration: ALTER TABLE t CLUSTER BY
 # (c1, c2) | NONE. Maps to the table's write.zorder-by property - the
 # layout every subsequent compaction (OPTIMIZE, auto-maintain) applies.
@@ -2053,6 +2061,52 @@ class LakehouseCatalog:
                 [(f"drop {am.group(1).lower()}", ident, am.group(2))],
                 "operation string, table string, ref string",
             )
+        elif (am := _ALTER_PARTITION_FIELD.match(action)) is not None:
+            from .dml import set_partition_spec
+
+            spec = list(t.partition_spec)
+            target = am.group(2).strip()
+            if am.group(1).upper() == "ADD":
+                pf = _parse_partition_field(target)
+                names = {f.name for f in t.schema.fields}
+                if pf.source not in names:
+                    raise ValueError(
+                        f"partition field source {pf.source!r} is not "
+                        f"a table column (have {sorted(names)})"
+                    )
+                if any(
+                    p.field_name == pf.field_name for p in spec
+                ):
+                    raise ValueError(
+                        f"partition field {pf.field_name!r} already "
+                        "exists in the spec"
+                    )
+                spec.append(pf)
+                op = "alter add partition field"
+            else:
+                matches = [
+                    p for p in spec if p.field_name == target
+                ]
+                if not matches:
+                    try:
+                        pf = _parse_partition_field(target)
+                    except ValueError:
+                        pf = None
+                    if pf is not None:
+                        matches = [
+                            p
+                            for p in spec
+                            if p.source == pf.source
+                            and p.transform == pf.transform
+                        ]
+                if not matches:
+                    raise ValueError(
+                        f"no partition field matching {target!r} "
+                        f"(spec has {[p.field_name for p in spec]})"
+                    )
+                spec = [p for p in spec if p not in matches]
+                op = "alter drop partition field"
+            snap = set_partition_spec(t, spec)
         elif (am := _ALTER_CLUSTER_BY.match(action)) is not None:
             if am.group(2):  # CLUSTER BY NONE: clear the layout
                 t.set_properties(**{"write.zorder-by": ""})

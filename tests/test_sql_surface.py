@@ -2694,3 +2694,42 @@ def test_generated_columns_evolution_and_overwrite(catalog, spark):
             "GENERATED ALWAYS AS (nosuch * 2)"
         )
     assert [f.name for f in catalog.load_table("gold.genddl").schema.fields] == ["id"]
+
+
+def test_sql_alter_partition_field(catalog, spark):
+    """r9 Iceberg parity: ALTER TABLE ... ADD/DROP PARTITION FIELD
+    evolves the spec metadata-only - old files keep their layout,
+    future appends write the new one, and pruning stays correct across
+    the boundary (the hidden-partitioning contract)."""
+    import pytest as _pytest
+
+    t = catalog.create_table("gold.pevo", TICK_SCHEMA, [])
+    t.append(tick_df(spark, n=10, start="2020-06-01 00:00:00").coalesce(1))
+    out = catalog.sql(
+        "ALTER TABLE gold.pevo ADD PARTITION FIELD years(DateTime)"
+    ).first()
+    assert out["operation"] == "alter add partition field"
+    t = catalog.load_table("gold.pevo")
+    assert [p.field_name for p in t.partition_spec] == ["DateTime_year"]
+    t.append(tick_df(spark, n=10, start="2021-06-01 00:00:00").coalesce(1))
+    parts = {
+        e["partition"].get("DateTime_year")
+        for e in t.snapshot().manifest
+    }
+    assert parts == {None, "2021"}  # old file unpartitioned, new laid out
+    assert (
+        catalog.sql("SELECT COUNT(*) AS n FROM gold_pevo").first()["n"]
+        == 20
+    )
+    # DROP accepts the field name or the transform spelling
+    catalog.sql("ALTER TABLE gold.pevo DROP PARTITION FIELD DateTime_year")
+    assert catalog.load_table("gold.pevo").partition_spec == []
+    catalog.sql("ALTER TABLE gold.pevo ADD PARTITION FIELD years(DateTime)")
+    catalog.sql(
+        "ALTER TABLE gold.pevo DROP PARTITION FIELD years(DateTime)"
+    )
+    assert catalog.load_table("gold.pevo").partition_spec == []
+    with _pytest.raises(ValueError, match="no partition field"):
+        catalog.sql("ALTER TABLE gold.pevo DROP PARTITION FIELD nope")
+    with _pytest.raises(ValueError, match="not a table column"):
+        catalog.sql("ALTER TABLE gold.pevo ADD PARTITION FIELD days(zzz)")
