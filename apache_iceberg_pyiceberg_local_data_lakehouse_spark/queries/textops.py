@@ -1957,3 +1957,73 @@ def q83_train_val_test_split(
         F.countDistinct("source").alias("n_sources"),
         F.lit(bool(leak_free)).alias("leak_free"),
     )
+
+
+@register(
+    "q8e_dsir_selection",
+    # new in r9, registered behind the judged window (r10 rotation
+    # fodder); certifies DSIR (operators/dsir.py - Xie et al. 2023
+    # importance resampling) cross-engine: the hashed-unigram bucket
+    # counts that feed the fit are exact integers both engines must
+    # reproduce (md5-u32 % 64), and the selection-enrichment flag pins
+    # the semantics (the top-k by importance weight is more
+    # target-language-like than the corpus).
+    defer=True,
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS tok
+      FROM documents
+    ), b AS (
+      SELECT lang,
+             CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT) % 64
+               AS bucket
+      FROM toks WHERE tok <> ''
+    )
+    SELECT bucket,
+           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_target,
+           CAST(COUNT(*) AS BIGINT) AS n_raw,
+           TRUE AS selection_enriched
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def q8e_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR end-to-end on the documents corpus: target = the English
+    slice, raw = everything; the judged rows are the exact per-bucket
+    hashed-unigram counts both engines must agree on (the fit's
+    sufficient statistics), plus a flag that the top-50 selection by
+    importance weight is more English than the corpus base rate - the
+    semantic point of importance resampling."""
+    from ..operators.dsir import dsir_fit, dsir_select
+    from ..operators.embedding import _token_u32
+
+    d = load(spark, sf_dir, "documents")
+    target = d.filter(F.col("lang") == "en")
+    lr = dsir_fit(target, d, ngrams=(1,), n_buckets=4096)
+    sel = dsir_select(d, lr, k=50, ngrams=(1,))
+    sel_en = (
+        sel.agg(
+            F.avg((F.col("lang") == "en").cast("double")).alias("f")
+        ).first()["f"]
+    )
+    base_en = (
+        d.agg(
+            F.avg((F.col("lang") == "en").cast("double")).alias("f")
+        ).first()["f"]
+    )
+    enriched = bool(sel_en > base_en)
+    toks = d.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    return (
+        toks.select(
+            "lang", (_token_u32(F.col("tok")) % 64).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum((F.col("lang") == "en").cast("long")).alias("n_target"),
+            F.count(F.lit(1)).alias("n_raw"),
+        )
+        .withColumn("selection_enriched", F.lit(enriched))
+        .orderBy("bucket")
+    )

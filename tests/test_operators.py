@@ -2564,3 +2564,63 @@ def test_opq_fit_alternating_improves_objective(spark):
         key = (r["query_id"], r["neighbor_id"])
         if key in exact:
             assert abs(round(r["sim"], 9) - exact[key]) < 1e-8
+
+
+def test_dsir_importance_resampling(spark):
+    """DSIR (Xie et al. 2023): hashed-ngram importance weights rank
+    target-like documents above off-domain ones, the fit is a bounded
+    bucket table, selection is deterministic (and the Gumbel variant
+    reproducible), and the plan is a pure projection (no shuffle
+    before the top-k)."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.dsir import (
+        dsir_fit,
+        dsir_logweights,
+        dsir_select,
+    )
+
+    med = [
+        "patient dose mg treatment clinical trial",
+        "clinical patient symptoms diagnosis dose",
+        "treatment outcome patient trial dose mg",
+    ]
+    web = [
+        "buy cheap shoes online free shipping",
+        "celebrity gossip news today viral video",
+        "football match score goals league table",
+    ]
+    target = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(med)], "doc_id long, text string"
+    )
+    raw_rows = (
+        [(100 + i, t) for i, t in enumerate(web * 3)]
+        + [(200, "patient clinical dose trial treatment"),
+           (201, "dose patient mg clinical outcome")]
+    )
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    lr = dsir_fit(target, raw, n_buckets=512)
+    assert len(lr) == 512
+    w = dsir_logweights(raw, lr)
+    rows = {r["doc_id"]: r["dsir_logw"] for r in w.collect()}
+    # every medical doc outranks every web doc
+    assert min(rows[200], rows[201]) > max(
+        v for k, v in rows.items() if k < 200
+    )
+    sel = dsir_select(raw, lr, k=2)
+    assert {r["doc_id"] for r in sel.collect()} == {200, 201}
+    # deterministic across runs; gumbel variant reproducible too
+    sel2 = dsir_select(raw, lr, k=2)
+    assert [r["doc_id"] for r in sel.collect()] == [
+        r["doc_id"] for r in sel2.collect()
+    ]
+    g1 = [r["doc_id"] for r in dsir_select(raw, lr, k=5, gumbel=True).collect()]
+    g2 = [r["doc_id"] for r in dsir_select(raw, lr, k=5, gumbel=True).collect()]
+    assert g1 == g2 and len(g1) == 5
+    # single-token and empty docs survive the bigram path
+    edge = spark.createDataFrame(
+        [(1, "solo"), (2, "")], "doc_id long, text string"
+    )
+    assert dsir_logweights(edge, lr).count() == 2
+    # plan check: the weight pass is projection-only (no Exchange
+    # before the TakeOrderedAndProject the top-k compiles to)
+    plan = sel._sc is not None and sel._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
