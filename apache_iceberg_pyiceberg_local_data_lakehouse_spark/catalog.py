@@ -24,7 +24,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, StructType
 
+import logging
+
 from .table import LakehouseTable, PartitionField, Snapshot
+
+_log = logging.getLogger(__name__)
 
 # SQL DML statements handled by catalog.sql (Spark temp views are
 # read-only, so DELETE/UPDATE compile to the table-format DML engines)
@@ -2506,7 +2510,7 @@ class LakehouseCatalog:
         sql_text: str,
         ch_view: str,
         ch_df: DataFrame,
-        ch_table: LakehouseTable,
+        ch_ident: str,
     ):
         """Incremental join-MV maintenance under DML on ONE side: bind
         ``ch_view`` (the fact's view, or a single moved dim's view) to
@@ -2561,17 +2565,28 @@ class LakehouseCatalog:
         )
         if m.group("where"):
             pre += f" WHERE {m.group('where')}"
+        from pyspark.errors import AnalysisException
+
         try:
             ch_df.createOrReplaceTempView(ch_view)
             try:
                 rows = self.spark.sql(pre)
-            except Exception:
-                # the rebuilt pre-aggregation failed analysis (e.g. the
+            except AnalysisException as e:
+                # the rebuilt pre-aggregation failed ANALYSIS (e.g. the
                 # changelog's _change_type metadata column collides
                 # with an unqualified reference elsewhere in the
                 # query): like every other unprovable case in this
                 # tier, decline - the caller full-refreshes, which is
-                # always correct
+                # always correct. Narrow to AnalysisException and log:
+                # a bug in the builder or a transient engine error must
+                # surface, not silently degrade every refresh to
+                # O(star)
+                _log.warning(
+                    "join-CDC pre-aggregation failed analysis "
+                    "(changelog side %s; declining to full refresh): %s",
+                    ch_ident,
+                    e,
+                )
                 return NotImplemented
             types = {f.name: f.dataType for f in t.schema.fields}
             sign = F.when(
@@ -2598,11 +2613,12 @@ class LakehouseCatalog:
                 .localCheckpoint(eager=True)
             )
         finally:
-            # restore ONLY the swapped view from its table's current
-            # snapshot (the sibling append path's discipline) - a full
-            # register_views() here would turn every O(changed rows)
-            # refresh into an O(catalog) metadata sweep
-            ch_table.scan().createOrReplaceTempView(ch_view)
+            # restore ONLY the swapped view, but through create_view so
+            # MV semantics survive (a dim that is itself an MV must
+            # come back as its STRIPPED/HAVING-filtered public view,
+            # not a raw scan exposing __mv_* state) - still O(1), never
+            # the O(catalog) register_views() sweep
+            self.create_view(ch_ident)
         return self._merge_grouped_delta(
             t,
             group_cols,
@@ -2709,7 +2725,7 @@ class LakehouseCatalog:
                         sql_text,
                         self.view_name(fact_ident),
                         ch,
-                        ft,
+                        fact_ident,
                     )
                     if snap is not NotImplemented:
                         upd = {
@@ -2762,7 +2778,8 @@ class LakehouseCatalog:
                 ch = None  # expired range: full refresh below
             if ch is not None:
                 snap = self._join_cdc_refresh(
-                    t, props, sql_text, self.view_name(mv_ident), ch, mdt
+                    t, props, sql_text, self.view_name(mv_ident), ch,
+                    mv_ident,
                 )
                 if snap is not NotImplemented:
                     new_vs[mv_ident] = dim_v

@@ -1187,11 +1187,13 @@ def apply_changes_scd2(
     O(batch + matching history), never O(dimension) - the property
     that matters when the dimension is billions of rows.
 
-    Out-of-order protection: a batch row whose sequence is <= an
-    EXISTING version's ``__start_at`` for that key (current or closed
-    - a reused sequence after re-insert would silently rewrite
-    history) raises ValueError; late data needs explicit history
-    surgery, not a silent wrong-order apply.
+    Out-of-order protection: the batch must be AHEAD of every stored
+    interval for its keys - a current version guards with its
+    ``__start_at``, a CLOSED version with its ``__end_at`` (so after a
+    delete at seq 9 closed [5, 9), any sequence <= 9 raises, not just
+    <= 5: a late event landing inside a closed interval would insert a
+    bogus "current" version predating the recorded close). Late data
+    needs explicit history surgery, not a silent wrong-order apply.
 
     Returns ``{"closed": n, "versions": n}``."""
     keys = [key] if isinstance(key, str) else list(key)

@@ -2733,3 +2733,100 @@ def test_sql_alter_partition_field(catalog, spark):
         catalog.sql("ALTER TABLE gold.pevo DROP PARTITION FIELD nope")
     with _pytest.raises(ValueError, match="not a table column"):
         catalog.sql("ALTER TABLE gold.pevo ADD PARTITION FIELD days(zzz)")
+
+
+def test_join_cdc_analysis_failure_declines_and_restores(catalog, spark):
+    """r9 review: when the rebuilt pre-aggregation fails ANALYSIS the
+    CDC refresh returns NotImplemented (caller full-refreshes) and the
+    swapped temp view is restored to the table's public view either
+    way - no changelog leak to subsequent readers."""
+    f = catalog.create_table(
+        "gold.cdcaf",
+        spark.createDataFrame([], "fk long, v long").schema,
+    )
+    d = catalog.create_table(
+        "gold.cdcad",
+        spark.createDataFrame([], "k long, seg string").schema,
+    )
+    d.append(spark.createDataFrame([(1, "A")], "k long, seg string"))
+    f.append(spark.createDataFrame([(1, 5)], "fk long, v long"))
+    mv = catalog.create_materialized_view(
+        "gold.cdcamv",
+        "SELECT seg, COUNT(*) AS n FROM gold_cdcaf "
+        "JOIN gold_cdcad ON gold_cdcaf.fk = gold_cdcad.k GROUP BY seg",
+    )
+    catalog.sql("DELETE FROM gold.cdcaf WHERE v = 99")  # no-op delete
+    f2 = catalog.load_table("gold.cdcaf")
+    ch = f2.scan_changelog(1, f2.current_version())
+    # a doctored sql_text that cannot analyze: decline, not crash
+    bad = (
+        "SELECT seg, COUNT(nosuch_col) AS n FROM gold_cdcaf "
+        "JOIN gold_cdcad ON gold_cdcaf.fk = gold_cdcad.k GROUP BY seg"
+    )
+    props = dict(mv.properties())
+    got = catalog._join_cdc_refresh(
+        mv, props, bad, catalog.view_name("gold.cdcaf"), ch, "gold.cdcaf"
+    )
+    assert got is NotImplemented
+    # the fact's public view is restored (not the changelog binding)
+    cols = spark.sql("SELECT * FROM gold_cdcaf").columns
+    assert "_change_type" not in cols and cols == ["fk", "v"]
+
+
+def test_join_cdc_mv_dim_restore_keeps_view_semantics(catalog, spark):
+    """r9 review: a join-MV whose DIM is itself an (agg) MV must
+    restore the dim's STRIPPED public view after a dim-CDC refresh -
+    a raw scan() restore would expose hidden __mv_* state to plain
+    spark.sql readers until the next register_views()."""
+    b = catalog.create_table(
+        "gold.mvdb",
+        spark.createDataFrame([], "k long, x long").schema,
+    )
+    b.append(
+        spark.createDataFrame(
+            [(1, 5), (1, 7), (2, 9)], "k long, x long"
+        )
+    )
+    # the dim: a CDC-ready single-table agg MV (stores __mv_rows etc.)
+    dim_mv = catalog.create_materialized_view(
+        "gold.mvdim",
+        "SELECT k, COUNT(*) AS nk, SUM(x) AS sx FROM gold_mvdb GROUP BY k",
+    )
+    assert "__mv_rows" in {fl.name for fl in dim_mv.schema.fields}
+    f = catalog.create_table(
+        "gold.mvdf",
+        spark.createDataFrame([], "fk long, v long").schema,
+    )
+    f.append(
+        spark.createDataFrame([(1, 10), (2, 20)], "fk long, v long")
+    )
+    join_mv = catalog.create_materialized_view(
+        "gold.mvjoin",
+        "SELECT nk, COUNT(*) AS n, SUM(v) AS sv FROM gold_mvdf "
+        "JOIN gold_mvdim ON gold_mvdf.fk = gold_mvdim.k GROUP BY nk",
+    )
+    assert join_mv.properties().get("mv.refresh_mode") == "join_agg"
+    # move the dim MV (base DML -> its own CDC refresh), then refresh
+    # the join MV: the single-moved-dim path runs and must restore the
+    # dim's stripped view
+    catalog.sql("DELETE FROM gold.mvdb WHERE x = 7")
+    catalog.refresh_materialized_view("gold.mvdim")
+    catalog.refresh_materialized_view("gold.mvjoin")
+    cols = spark.sql("SELECT * FROM gold_mvdim").columns
+    assert not [c for c in cols if c.startswith("__mv_")], cols
+    # and the join MV's contents are right (whatever refresh path ran)
+    got = {
+        (r["nk"], r["n"], r["sv"])
+        for r in catalog.sql(
+            "SELECT nk, n, sv FROM gold_mvjoin"
+        ).collect()
+    }
+    catalog.register_views()
+    want = {
+        tuple(r)
+        for r in spark.sql(
+            "SELECT nk, COUNT(*) AS n, SUM(v) AS sv FROM gold_mvdf "
+            "JOIN gold_mvdim ON gold_mvdf.fk = gold_mvdim.k GROUP BY nk"
+        ).collect()
+    }
+    assert got == want
