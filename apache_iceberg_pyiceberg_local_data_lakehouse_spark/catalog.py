@@ -2022,7 +2022,12 @@ class LakehouseCatalog:
             snap = add_column(t, am.group(1), col_type, default=default)
             op = "alter add column"
             if am.group("gen"):
-                t.set_generated_column(am.group(1), am.group("gen"))
+                # every gate already ran pre-commit (above); a direct
+                # property write avoids set_generated_column's second
+                # snapshot load + Catalyst analysis round-trip
+                t.set_properties(
+                    **{f"generated.{am.group(1)}": am.group("gen")}
+                )
                 op = "alter add generated column"
         elif (am := _ALTER_DROP_COL.match(action)) is not None:
             snap = drop_column(t, am.group(1))
@@ -2097,11 +2102,15 @@ class LakehouseCatalog:
                     except ValueError:
                         pf = None
                     if pf is not None:
+                        # full parameter match: bucket(4, id) must NOT
+                        # silently drop a bucket(8, id) field
                         matches = [
                             p
                             for p in spec
                             if p.source == pf.source
                             and p.transform == pf.transform
+                            and p.n_buckets == pf.n_buckets
+                            and p.width == pf.width
                         ]
                 if not matches:
                     raise ValueError(

@@ -734,6 +734,12 @@ def drop_column(table: LakehouseTable, name: str) -> Snapshot:
                 f"{name} is referenced by generated column {g!r} "
                 f"({expr!r}); drop or redefine that first"
             )
+    if name in gen:
+        # retire the property BEFORE the schema commit: a crash in
+        # between leaves a plain (un-generated) column - fail-open,
+        # re-running the drop completes it. The other order would
+        # orphan the property and brick every later append.
+        table.unset_properties(f"generated.{name}")
     schema_json["fields"] = fields
     snap = Snapshot(
         snapshot_id=_uuid.uuid4().hex,
@@ -748,8 +754,6 @@ def drop_column(table: LakehouseTable, name: str) -> Snapshot:
         summary={"dropped_column": name},
     )
     table._commit(snap)
-    if name in gen:
-        table.unset_properties(f"generated.{name}")
     return snap
 
 
@@ -886,8 +890,15 @@ def rename_column(table: LakehouseTable, old: str, new: str) -> Snapshot:
     )
     table._commit(snap)
     if old in gen:
-        table.unset_properties(f"generated.{old}")
-        table.set_properties(**{f"generated.{new}": gen[old]})
+        # ONE atomic property write migrates the key - no half-state
+        # where only the unset (enforcement silently off) or only the
+        # set (orphan brick) survived a crash. The commit->write gap
+        # remains one file op wide; RESTORE's reconciliation is the
+        # repair path if it ever hits.
+        table.replace_properties(
+            remove=[f"generated.{old}"],
+            add={f"generated.{new}": gen[old]},
+        )
     return snap
 
 

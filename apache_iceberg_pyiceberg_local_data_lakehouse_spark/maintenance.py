@@ -479,14 +479,35 @@ def compact(
         # is evaluated over the TRANSFORMED partition fields as named
         # in the manifest (ts_day, region, id_bucket, ...) - one tiny
         # local frame of distinct candidate partitions, zero data reads.
+        # Validated against the TABLE's whole partition universe, not
+        # just the small-file candidates, so an invalid predicate
+        # raises in every table state (a no-candidates run must not
+        # silently accept garbage). Spec evolution means partition
+        # dicts can carry DIFFERENT key sets (pre-evolution files an
+        # empty one): every row gets the UNION of columns with NULLs
+        # for fields its spec never wrote - same-shaped Rows (a mixed
+        # shape crashes createDataFrame), and `field IS NULL` can
+        # select pre-evolution files explicitly.
         from pyspark.sql import Row
         from pyspark.sql import functions as F
 
-        part_keys = [k for k in small_by_part if dict(k)]
-        if not part_keys:
-            return None  # unpartitioned candidates: nothing can match
+        all_keys = sorted(
+            {
+                tuple(sorted((e.get("partition") or {}).items()))
+                for e in snap.data_entries
+            }
+        )
+        cols = sorted({c for k in all_keys for c, _ in k})
+        if not cols:
+            raise ValueError(
+                "OPTIMIZE ... WHERE needs a partitioned table (no "
+                "partition fields in any data file)"
+            )
         pdf = table.spark.createDataFrame(
-            [Row(__idx=i, **dict(k)) for i, k in enumerate(part_keys)]
+            [
+                Row(__idx=i, **{c: dict(k).get(c) for c in cols})
+                for i, k in enumerate(all_keys)
+            ]
         )
         try:
             kept_idx = {
@@ -496,12 +517,11 @@ def compact(
                 .collect()
             }
         except Exception as exc:
-            cols = sorted({c for k in part_keys for c, _ in k})
             raise ValueError(
                 "OPTIMIZE ... WHERE must be a predicate over the "
                 f"partition columns {cols}: {exc}"
             ) from exc
-        allowed = {part_keys[i] for i in kept_idx}
+        allowed = {all_keys[i] for i in kept_idx}
         small_by_part = {
             k: v for k, v in small_by_part.items() if k in allowed
         }

@@ -2104,7 +2104,22 @@ class LakehouseTable:
             )
 
     def unset_properties(self, *keys: str) -> dict[str, str]:
-        kept = {k: v for k, v in self.properties().items() if k not in keys}
+        return self.replace_properties(remove=keys)
+
+    def replace_properties(
+        self, remove=(), add: dict | None = None
+    ) -> dict[str, str]:
+        """One atomic read-modify-write of the properties file (single
+        os.replace): removals and additions land TOGETHER, so a
+        key migration (rename_column moving a ``generated.*`` entry)
+        has no half-state window where only the unset or only the set
+        survived a crash."""
+        kept = {
+            k: v
+            for k, v in self.properties().items()
+            if k not in set(remove)
+        }
+        kept.update({str(k): str(v) for k, v in (add or {}).items()})
         tmp = os.path.join(self.metadata_dir, f".props.{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             json.dump(kept, f)
@@ -2528,12 +2543,31 @@ class LakehouseTable:
             )
             try:
                 self._commit(snap)
+                self._reconcile_generated_after_schema_change(snap)
                 return snap
             except CommitConflict:
                 continue
         raise CommitConflict(
             f"restore to v{target.version} lost {max_retries} commit races"
         )
+
+    def _reconcile_generated_after_schema_change(self, snap) -> None:
+        """Generated-column properties are unversioned (the properties
+        file, not the snapshot), so a schema-rewinding commit (RESTORE)
+        can orphan them: drop ``generated.<name>`` for names the
+        restored schema no longer has - otherwise every later append
+        raises the orphan guard. The converse (restoring a schema whose
+        generated column predates its declaration) cannot resurrect the
+        expression; the column comes back as a plain column."""
+        names = {f["name"] for f in snap.schema_json["fields"]}
+        stale = [
+            k
+            for k in self.properties()
+            if k.startswith("generated.")
+            and k.removeprefix("generated.") not in names
+        ]
+        if stale:
+            self.unset_properties(*stale)
 
     def cherrypick(self, version: int, max_retries: int = 5) -> Snapshot:
         """Re-apply one APPEND snapshot's file additions onto the

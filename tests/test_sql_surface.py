@@ -2830,3 +2830,89 @@ def test_join_cdc_mv_dim_restore_keeps_view_semantics(catalog, spark):
         ).collect()
     }
     assert got == want
+
+
+def test_sql_optimize_where_across_spec_evolution(catalog, spark):
+    """r9 review: OPTIMIZE WHERE must work when small files span TWO
+    partition specs (rows get the union of columns, NULL for fields a
+    spec never wrote), must validate the predicate even when no
+    candidates exist, and `field IS NULL` selects pre-evolution files."""
+    import pytest as _pytest
+
+    t = catalog.create_table("gold.pmix", TICK_SCHEMA, [])
+    # two pre-evolution (unpartitioned) fragments
+    for i in range(2):
+        t.append(
+            tick_df(spark, n=10, start=f"2019-0{i+1}-01 00:00:00").coalesce(1)
+        )
+    catalog.sql("ALTER TABLE gold.pmix ADD PARTITION FIELD years(DateTime)")
+    t = catalog.load_table("gold.pmix")
+    for _ in range(2):
+        t.append(
+            tick_df(spark, n=10, start="2022-01-01 00:00:00").coalesce(1)
+        )
+    # predicate over the evolved field: only 2022's fragments compact
+    out = catalog.sql(
+        "OPTIMIZE gold.pmix WHERE DateTime_year = '2022'"
+    ).first()
+    assert out["compacted_files"] == 2
+    # pre-evolution files are addressable via IS NULL
+    out = catalog.sql(
+        "OPTIMIZE gold.pmix WHERE DateTime_year IS NULL"
+    ).first()
+    assert out["compacted_files"] == 2
+    assert (
+        catalog.sql("SELECT COUNT(*) AS n FROM gold_pmix").first()["n"]
+        == 40
+    )
+    # an invalid predicate raises even with NO remaining candidates
+    with _pytest.raises(ValueError, match="partition columns"):
+        catalog.sql("OPTIMIZE gold.pmix WHERE nosuch = 1")
+
+
+def test_sql_drop_partition_field_parameter_match(catalog, spark):
+    """r9 review: DROP PARTITION FIELD bucket(4, col) must NOT silently
+    drop a bucket(8, col) field - parameters are part of the identity."""
+    import pytest as _pytest
+
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.table import (
+        PartitionField,
+    )
+
+    t = catalog.create_table(
+        "gold.pbkt",
+        TICK_SCHEMA,
+        [PartitionField("Bid", "bucket", n_buckets=8)],
+    )
+    with _pytest.raises(ValueError, match="no partition field"):
+        catalog.sql(
+            "ALTER TABLE gold.pbkt DROP PARTITION FIELD bucket(4, Bid)"
+        )
+    catalog.sql(
+        "ALTER TABLE gold.pbkt DROP PARTITION FIELD bucket(8, Bid)"
+    )
+    assert catalog.load_table("gold.pbkt").partition_spec == []
+
+
+def test_restore_reconciles_generated_properties(catalog, spark):
+    """r9 review: RESTORE to a version predating a generated-column
+    declaration drops the now-orphaned generated.* property so appends
+    keep working (properties are unversioned; the snapshot is not)."""
+    t = catalog.create_table(
+        "gold.genres",
+        spark.createDataFrame([], "id long").schema,
+        [],
+    )
+    v_before = t.current_version()  # schema without id2
+    catalog.sql(
+        "ALTER TABLE gold.genres ADD COLUMN id2 bigint "
+        "GENERATED ALWAYS AS (id * 2)"
+    )
+    t = catalog.load_table("gold.genres")
+    assert t.generated_columns() == {"id2": "id * 2"}
+    t.append(spark.createDataFrame([(1,)], "id long"))
+    t.restore_to(v_before)
+    t = catalog.load_table("gold.genres")
+    assert t.generated_columns() == {}  # orphan reconciled away
+    t.append(spark.createDataFrame([(2,)], "id long"))  # must not raise
+    assert t.to_df().count() == 1
