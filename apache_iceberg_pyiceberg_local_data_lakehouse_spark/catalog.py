@@ -187,7 +187,8 @@ _DML_VACUUM = re.compile(
 # MERGE INTO target USING source ON <equi-keys> WHEN ... - compiled to
 # dml.merge_into (row-replace semantics: UPDATE SET * / INSERT *).
 _DML_MERGE_HEAD = re.compile(
-    r"^\s*MERGE\s+INTO\s+(?P<target>[\w.]+)"
+    r"^\s*MERGE\s+(?P<evolve>WITH\s+SCHEMA\s+EVOLUTION\s+)?"
+    r"INTO\s+(?P<target>[\w.]+)"
     r"(?:\s+(?:AS\s+)?(?!USING\b)(?P<talias>\w+))?"
     r"\s+USING\s+(?P<src>\((?:[^()]|\([^()]*\))*\)|[\w.]+)"
     r"(?:\s+(?:AS\s+)?(?!ON\b)(?P<salias>\w+))?"
@@ -1963,6 +1964,7 @@ class LakehouseCatalog:
             matched_condition=matched_condition,
             when_not_matched=when_not_matched,
             when_not_matched_by_source=by_source,
+            with_schema_evolution=bool(m.group("evolve")),
         )
         return self.spark.createDataFrame(
             [("merge", target, snap.version)],

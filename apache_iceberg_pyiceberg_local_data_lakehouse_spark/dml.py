@@ -459,9 +459,16 @@ def merge_into(
     when_not_matched_by_source: str = "keep",
     source_delete_condition: str | Column | None = None,
     extra_summary: dict | None = None,
+    with_schema_evolution: bool = False,
 ) -> Snapshot:
     """MERGE INTO table USING updates ON table.key = updates.key — the
     full SQL MERGE clause matrix over the snapshot format.
+
+    ``with_schema_evolution=True`` (Delta's MERGE WITH SCHEMA
+    EVOLUTION) first reconciles the table schema to the source via
+    :func:`evolve_schema_for` - new source columns are added, legal
+    widenings widen - then merges; existing table rows read the new
+    columns as null.
 
     - ``when_matched``: ``'update'`` (row replace), ``'ignore'`` (table
       row wins — reproduces the reference's J1 dedup-append as one
@@ -538,6 +545,8 @@ def merge_into(
             "matched row unconditionally)"
         )
 
+    if with_schema_evolution:
+        evolve_schema_for(table, updates)
     # full-row sources (row-replace / insert) fill omitted generated
     # columns like the append door; keys-only sources (a delete merge
     # with when_not_matched='ignore') are left alone - their frames
@@ -705,6 +714,42 @@ def add_column(
     )
     table._commit(snap)
     return snap
+
+
+def evolve_schema_for(table: LakehouseTable, df: DataFrame) -> dict:
+    """Delta's schema auto-merge (``mergeSchema`` / ``MERGE WITH SCHEMA
+    EVOLUTION``): reconcile the TABLE schema to accept ``df`` - source
+    columns the table lacks are ADDED (nullable, metadata-only), and
+    existing columns the source writes with a legally-promotable WIDER
+    primitive type are widened (the Iceberg-safe promotions only;
+    int->long, float->double, byte/short widening). Anything else - an
+    incompatible type, a narrowing - is left for the normal writer
+    validation to refuse. Returns ``{"added": [...], "widened":
+    {name: type}}``.
+
+    Each action is its own metadata commit (``add_column`` /
+    ``promote_column``): a crash midway leaves legal, harmless nullable
+    columns and a re-run completes the reconciliation."""
+    added: list[str] = []
+    widened: dict[str, str] = {}
+    fields = {
+        f["name"]: f for f in table.snapshot().schema_json["fields"]
+    }
+    for f in df.schema.fields:
+        src_t = f.dataType.jsonValue()
+        if f.name not in fields:
+            add_column(table, f.name, src_t)
+            added.append(f.name)
+            continue
+        cur_t = fields[f.name]["type"]
+        if (
+            isinstance(cur_t, str)
+            and isinstance(src_t, str)
+            and src_t in _PROMOTIONS.get(cur_t, set())
+        ):
+            promote_column(table, f.name, src_t)
+            widened[f.name] = src_t
+    return {"added": added, "widened": widened}
 
 
 def drop_column(table: LakehouseTable, name: str) -> Snapshot:

@@ -434,6 +434,7 @@ class LakehouseTable:
         cluster_by: list[str] | None = None,
         bloom_cols: list[str] | None = None,
         extra_summary: dict | None = None,
+        merge_schema: bool = False,
     ) -> Snapshot:
         """Append rows as a new snapshot (S5, reference
         ``lakehouse_pipeline.py:394``). Retries on commit conflict -
@@ -459,6 +460,13 @@ class LakehouseTable:
         files whose filter excludes the key - the point-lookup analogue
         of min/max skipping, for columns whose values scatter (ids,
         hashes) so range stats never prune."""
+        if merge_schema:
+            # Delta's mergeSchema write option: reconcile the table
+            # schema to the batch (new columns add, legal widenings
+            # widen) before the normal writer validation runs
+            from .dml import evolve_schema_for
+
+            evolve_schema_for(self, df)
         snap = self.snapshot()  # one load serves fill, validation, spec
         df = self._fill_generated(df, snap)
         self._validate_append_schema(df, snap)

@@ -2916,3 +2916,57 @@ def test_restore_reconciles_generated_properties(catalog, spark):
     assert t.generated_columns() == {}  # orphan reconciled away
     t.append(spark.createDataFrame([(2,)], "id long"))  # must not raise
     assert t.to_df().count() == 1
+
+
+def test_merge_with_schema_evolution(catalog, spark):
+    """r9 Delta parity: MERGE WITH SCHEMA EVOLUTION adds new source
+    columns (existing rows read null) and widens legally-promotable
+    types; append(merge_schema=True) is the write-option twin; without
+    the flag the writer validation still refuses."""
+    import pytest as _pytest
+
+    t = catalog.create_table(
+        "gold.msev",
+        spark.createDataFrame([], "k long, v integer").schema,
+        [],
+    )
+    t.append(
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, v integer")
+    )
+    src = spark.createDataFrame(
+        [(2, 99, "b2"), (3, 30, "c1")], "k long, v long, tag string"
+    )
+    # without evolution, extra source columns are ignored (the merge
+    # aligns to the table's schema - pre-existing contract): no tag
+    # column appears
+    catalog.sql(
+        "MERGE INTO gold.msev USING (SELECT 9 AS k, CAST(1 AS INT)"
+        " AS v, 'x' AS tag) s ON gold.msev.k = s.k "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    t = catalog.load_table("gold.msev")
+    assert "tag" not in {f.name for f in t.schema.fields}
+    catalog.sql("DELETE FROM gold.msev WHERE k = 9")
+    src.createOrReplaceTempView("msev_src")
+    out = catalog.sql(
+        "MERGE WITH SCHEMA EVOLUTION INTO gold.msev USING msev_src "
+        "ON gold.msev.k = msev_src.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    ).first()
+    assert out["operation"] == "merge"
+    t = catalog.load_table("gold.msev")
+    types = {f.name: f.dataType.simpleString() for f in t.schema.fields}
+    assert types == {"k": "bigint", "v": "bigint", "tag": "string"}
+    got = {(r["k"], r["v"], r["tag"]) for r in t.to_df().collect()}
+    assert got == {(1, 10, None), (2, 99, "b2"), (3, 30, "c1")}
+    # append write-option twin
+    t.append(
+        spark.createDataFrame(
+            [(4, 40, "d", True)], "k long, v long, tag string, extra boolean"
+        ),
+        merge_schema=True,
+    )
+    t = catalog.load_table("gold.msev")
+    assert "extra" in {f.name for f in t.schema.fields}
+    assert t.to_df().filter("extra").count() == 1
