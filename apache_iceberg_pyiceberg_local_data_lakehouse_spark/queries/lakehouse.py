@@ -3812,3 +3812,120 @@ def q8d_generated_partition_column(
         return spark.createDataFrame(rows, res.schema)
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+@register(
+    "q8f_partition_ddl_lifecycle",
+    # new in r9, registered behind the judged window (r10 rotation
+    # fodder); certifies the r9 DDL wave end to end: ADD PARTITION
+    # FIELD spec evolution, OPTIMIZE ... WHERE partition-filtered
+    # compaction (pre-evolution files addressable via IS NULL),
+    # CLUSTER BY declaring the z-order layout, and MERGE WITH SCHEMA
+    # EVOLUTION widening the schema - with the final readback equal to
+    # the plain SQL over the source rows.
+    defer=True,
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN 'x' END AS tag
+      FROM orders
+    )
+    SELECT CAST(o_orderkey % 4 AS BIGINT) AS bucket4,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+           CAST(SUM(CASE WHEN tag IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_tagged,
+           TRUE AS hot_compacted, TRUE AS cold_untouched
+    FROM base
+    GROUP BY bucket4 ORDER BY bucket4
+    """,
+)
+def q8f_partition_ddl_lifecycle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The r9 DDL verbs composed: half the orders land unpartitioned,
+    ADD PARTITION FIELD evolves the spec, the rest land partitioned,
+    CLUSTER BY declares a layout, OPTIMIZE WHERE compacts ONLY the hot
+    partition (the cold fragments must keep their files), and MERGE
+    WITH SCHEMA EVOLUTION adds a tag column for every third key."""
+    from ..catalog import LakehouseCatalog
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_q8f_")
+    try:
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("tmp")
+        o = load(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_custkey",
+            (F.col("o_orderkey") % 4).alias("bucket4"),
+        )
+        t = cat.create_table("tmp.ordp", o.schema)
+        for _ in range(2):  # two unpartitioned fragments
+            t.append(o.filter(F.col("o_orderkey") % 2 == 0))
+            cat.sql("DELETE FROM tmp.ordp WHERE o_orderkey % 2 = 0")
+        t.append(o.filter(F.col("o_orderkey") % 2 == 0))
+        cat.sql("ALTER TABLE tmp.ordp ADD PARTITION FIELD bucket4")
+        t = cat.load_table("tmp.ordp")
+        # partitioned fragments: bucket 1 gets ONE file, bucket 3 TWO
+        # (compaction only rewrites partitions holding >= 2 smalls)
+        t.append(o.filter(F.col("o_orderkey") % 4 == 1))
+        t.append(o.filter(F.col("o_orderkey") % 8 == 3))
+        t.append(o.filter(F.col("o_orderkey") % 8 == 7))
+        cat.sql("ALTER TABLE tmp.ordp CLUSTER BY (o_orderkey)")
+        before = {
+            e["path"]
+            for e in cat.load_table("tmp.ordp").snapshot().manifest
+            if e.get("partition", {}).get("bucket4") == "3"
+        }
+        cold_before = {
+            e["path"]
+            for e in cat.load_table("tmp.ordp").snapshot().manifest
+            if e.get("partition", {}).get("bucket4") == "1"
+        }
+        cat.sql("OPTIMIZE tmp.ordp WHERE bucket4 = '3'")
+        t = cat.load_table("tmp.ordp")
+        after = {
+            e["path"]
+            for e in t.snapshot().manifest
+            if e.get("partition", {}).get("bucket4") == "3"
+        }
+        cold_after = {
+            e["path"]
+            for e in t.snapshot().manifest
+            if e.get("partition", {}).get("bucket4") == "1"
+        }
+        hot_compacted = after != before
+        cold_untouched = cold_after == cold_before
+        # row-replace MERGE: the source carries FULL rows plus the new
+        # column schema evolution is about to add
+        tagged = o.filter(F.col("o_orderkey") % 3 == 0).select(
+            "o_orderkey",
+            "o_custkey",
+            "bucket4",
+            F.lit("x").alias("tag"),
+        )
+        tagged.createOrReplaceTempView("tmp_tagsrc")
+        cat.sql(
+            "MERGE WITH SCHEMA EVOLUTION INTO tmp.ordp USING tmp_tagsrc "
+            "ON tmp.ordp.o_orderkey = tmp_tagsrc.o_orderkey "
+            "WHEN MATCHED THEN UPDATE SET *"
+        )
+        res = (
+            cat.load_table("tmp.ordp")
+            .to_df()
+            .groupBy(F.col("bucket4").cast("long").alias("bucket4"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("o_custkey").cast("long").alias("sum_cust"),
+                F.sum(F.col("tag").isNotNull().cast("long"))
+                .cast("long")
+                .alias("n_tagged"),
+            )
+            .withColumn("hot_compacted", F.lit(hot_compacted))
+            .withColumn("cold_untouched", F.lit(cold_untouched))
+            .orderBy("bucket4")
+        )
+        rows = res.collect()  # materialize before the warehouse vanishes
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
