@@ -221,7 +221,11 @@ _DML_ALTER = re.compile(
 _ALTER_ADD_COL = re.compile(
     r"^ADD\s+COLUMN\s+(\w+)\s+([\w()<>, ]+?)"
     r"(?:\s+DEFAULT\s+(.+?))?"
-    r"(?:\s+GENERATED\s+ALWAYS\s+AS\s+\((?P<gen>.+)\))?$",
+    r"(?:\s+GENERATED\s+ALWAYS\s+AS\s+"
+    r"(?:(?P<identity>IDENTITY)"
+    r"(?:\s*\(\s*START\s+WITH\s+(?P<idstart>-?\d+)"
+    r"\s+INCREMENT\s+BY\s+(?P<idstep>-?\d+)\s*\))?"
+    r"|\((?P<gen>.+)\)))?$",
     re.IGNORECASE | re.DOTALL,
 )
 _ALTER_DROP_COL = re.compile(r"^DROP\s+COLUMN\s+(\w+)$", re.IGNORECASE)
@@ -2020,6 +2024,30 @@ class LakehouseCatalog:
                     )
                 t.validate_generation_expr(
                     am.group(1), am.group("gen")
+                )
+            if am.group("identity"):
+                # Delta's GENERATED ALWAYS AS IDENTITY [(START WITH s
+                # INCREMENT BY i)]; gates (empty table, bigint, step)
+                # live in set_identity_column - pre-check emptiness so
+                # rejection leaves no dangling column
+                if default is not None:
+                    raise ValueError(
+                        "a column cannot be both DEFAULT and IDENTITY"
+                    )
+                if t.snapshot().data_entries:
+                    raise ValueError(
+                        f"identity column {am.group(1)!r} must be "
+                        "declared while the table is empty"
+                    )
+                snap = add_column(t, am.group(1), col_type)
+                t.set_identity_column(
+                    am.group(1),
+                    start=int(am.group("idstart") or 1),
+                    step=int(am.group("idstep") or 1),
+                )
+                return self.spark.createDataFrame(
+                    [("alter add identity column", ident, snap.version)],
+                    "operation string, table string, version long",
                 )
             snap = add_column(t, am.group(1), col_type, default=default)
             op = "alter add column"

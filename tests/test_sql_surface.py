@@ -2970,3 +2970,22 @@ def test_merge_with_schema_evolution(catalog, spark):
     t = catalog.load_table("gold.msev")
     assert "extra" in {f.name for f in t.schema.fields}
     assert t.to_df().filter("extra").count() == 1
+
+
+def test_sql_identity_column_ddl(catalog, spark):
+    """r9: ALTER TABLE ... ADD COLUMN rid bigint GENERATED ALWAYS AS
+    IDENTITY (START WITH 5 INCREMENT BY 5) declares the allocator;
+    appends fill it, INSERT INTO via SQL works without the column."""
+    t = catalog.create_table(
+        "gold.idddl",
+        spark.createDataFrame([], "v string").schema,
+        [],
+    )
+    out = catalog.sql(
+        "ALTER TABLE gold.idddl ADD COLUMN rid bigint "
+        "GENERATED ALWAYS AS IDENTITY (START WITH 5 INCREMENT BY 5)"
+    ).first()
+    assert out["operation"] == "alter add identity column"
+    t = catalog.load_table("gold.idddl")
+    t.append(spark.createDataFrame([("a",), ("b",)], "v string"))
+    assert {r["rid"] for r in t.to_df().collect()} == {5, 10}

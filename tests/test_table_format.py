@@ -792,3 +792,53 @@ def test_range_distribution_mode_tightens_stats(catalog, spark):
     assert len(spans) == len(entries)
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2, f"overlapping file ranges {hi1} vs {lo2}"
+
+
+def test_identity_column_allocation(catalog, spark):
+    """r9 Delta parity: GENERATED ALWAYS AS IDENTITY - appends allocate
+    unique monotonically-increasing values (contiguous within a batch,
+    gaps allowed across failures), a writer supplying the column is
+    refused, steps/starts honored, and values survive compaction."""
+    import pytest as _pytest
+
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.maintenance import (
+        compact,
+    )
+
+    t = catalog.create_table(
+        "gold.ident",
+        spark.createDataFrame([], "rid long, v string").schema,
+        [],
+    )
+    t.set_identity_column("rid", start=100, step=10)
+    t.append(
+        spark.createDataFrame([("a",), ("b",), ("c",)], "v string")
+        .repartition(2)
+    )
+    got1 = {r["rid"] for r in t.to_df().collect()}
+    assert got1 == {100, 110, 120}
+    t.append(spark.createDataFrame([("d",)], "v string"))
+    got2 = {r["rid"] for r in t.to_df().collect()}
+    assert got2 == {100, 110, 120, 130}
+    # ALWAYS semantics: a batch carrying the column is refused
+    with _pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        t.append(
+            spark.createDataFrame([(999, "x")], "rid long, v string")
+        )
+    # rewrites carry values through untouched
+    t.append(spark.createDataFrame([("e",)], "v string").coalesce(1))
+    compact(t, target_file_bytes=64 * 1024 * 1024)
+    after = {r["rid"] for r in t.to_df().collect()}
+    assert after == {100, 110, 120, 130, 140}
+    # declaration gates: non-empty, non-bigint, zero step
+    with _pytest.raises(ValueError, match="empty"):
+        t.set_identity_column("rid")
+    t2 = catalog.create_table(
+        "gold.identg",
+        spark.createDataFrame([], "rid string, v long").schema,
+        [],
+    )
+    with _pytest.raises(ValueError, match="BIGINT"):
+        t2.set_identity_column("rid")
+    with _pytest.raises(ValueError, match="step"):
+        t2.set_identity_column("v", step=0)
