@@ -223,8 +223,8 @@ _ALTER_ADD_COL = re.compile(
     r"(?:\s+DEFAULT\s+(.+?))?"
     r"(?:\s+GENERATED\s+ALWAYS\s+AS\s+"
     r"(?:(?P<identity>IDENTITY)"
-    r"(?:\s*\(\s*START\s+WITH\s+(?P<idstart>-?\d+)"
-    r"\s+INCREMENT\s+BY\s+(?P<idstep>-?\d+)\s*\))?"
+    r"(?:\s*\(\s*(?:START\s+WITH\s+(?P<idstart>-?\d+))?"
+    r"\s*(?:INCREMENT\s+BY\s+(?P<idstep>-?\d+))?\s*\))?"
     r"|\((?P<gen>.+)\)))?$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -1995,6 +1995,18 @@ class LakehouseCatalog:
         if am:
             col_type = am.group(2).strip().lower()
             col_type = _SQL_TYPE_ALIAS.get(col_type, col_type)
+            # the type must PARSE before anything commits - a clause
+            # the regex failed to claim (a misspelled IDENTITY spec,
+            # stray keywords) would otherwise be swallowed into the
+            # type group and committed as a garbage type that bricks
+            # every later schema decode
+            try:
+                self.spark.createDataFrame([], f"__probe {col_type}")
+            except Exception as e:
+                raise ValueError(
+                    f"unparseable column type {col_type!r} in ADD "
+                    f"COLUMN (check the clause syntax): {e}"
+                ) from e
             default = am.group(3)
             if default is not None:
                 # literal only: evaluate via a one-row projection so
@@ -2027,9 +2039,10 @@ class LakehouseCatalog:
                 )
             if am.group("identity"):
                 # Delta's GENERATED ALWAYS AS IDENTITY [(START WITH s
-                # INCREMENT BY i)]; gates (empty table, bigint, step)
-                # live in set_identity_column - pre-check emptiness so
-                # rejection leaves no dangling column
+                # [INCREMENT BY i])]; EVERY gate (DEFAULT conflict,
+                # empty table, bigint, nonzero step) runs before the
+                # add-column commit so rejection leaves no dangling
+                # column
                 if default is not None:
                     raise ValueError(
                         "a column cannot be both DEFAULT and IDENTITY"
@@ -2039,11 +2052,19 @@ class LakehouseCatalog:
                         f"identity column {am.group(1)!r} must be "
                         "declared while the table is empty"
                     )
+                if col_type != "long":
+                    raise ValueError(
+                        f"identity column {am.group(1)!r} must be "
+                        f"BIGINT, is {col_type}"
+                    )
+                step = int(am.group("idstep") or 1)
+                if step == 0:
+                    raise ValueError("identity step cannot be 0")
                 snap = add_column(t, am.group(1), col_type)
                 t.set_identity_column(
                     am.group(1),
                     start=int(am.group("idstart") or 1),
-                    step=int(am.group("idstep") or 1),
+                    step=step,
                 )
                 return self.spark.createDataFrame(
                     [("alter add identity column", ident, snap.version)],

@@ -545,6 +545,14 @@ def merge_into(
             "matched row unconditionally)"
         )
 
+    idc = table.identity_columns()
+    if idc and when_not_matched == "insert":
+        raise ValueError(
+            "MERGE INSERT into a table with identity column(s) "
+            f"{sorted(idc)} is not supported - identity values are "
+            "allocated at the append door; use a matched-only MERGE "
+            "(when_not_matched='ignore') or append the new rows"
+        )
     if with_schema_evolution:
         evolve_schema_for(table, updates)
     # full-row sources (row-replace / insert) fill omitted generated
@@ -732,23 +740,29 @@ def evolve_schema_for(table: LakehouseTable, df: DataFrame) -> dict:
     columns and a re-run completes the reconciliation."""
     added: list[str] = []
     widened: dict[str, str] = {}
+    # case-INSENSITIVE name match (Delta's mergeSchema discipline,
+    # matching this engine's case-insensitive read/write resolution):
+    # a source column differing only in case must match, not add a
+    # case-colliding duplicate
     fields = {
-        f["name"]: f for f in table.snapshot().schema_json["fields"]
+        f["name"].lower(): f
+        for f in table.snapshot().schema_json["fields"]
     }
     for f in df.schema.fields:
         src_t = f.dataType.jsonValue()
-        if f.name not in fields:
+        if f.name.lower() not in fields:
             add_column(table, f.name, src_t)
             added.append(f.name)
             continue
-        cur_t = fields[f.name]["type"]
+        cur_t = fields[f.name.lower()]["type"]
         if (
             isinstance(cur_t, str)
             and isinstance(src_t, str)
             and src_t in _PROMOTIONS.get(cur_t, set())
         ):
-            promote_column(table, f.name, src_t)
-            widened[f.name] = src_t
+            tbl_name = fields[f.name.lower()]["name"]  # table's spelling
+            promote_column(table, tbl_name, src_t)
+            widened[tbl_name] = src_t
     return {"added": added, "widened": widened}
 
 
@@ -785,6 +799,13 @@ def drop_column(table: LakehouseTable, name: str) -> Snapshot:
         # re-running the drop completes it. The other order would
         # orphan the property and brick every later append.
         table.unset_properties(f"generated.{name}")
+    if name in table.identity_columns():
+        # same discipline for the identity allocator's three keys
+        table.unset_properties(
+            f"identity.{name}.start",
+            f"identity.{name}.step",
+            f"identity.{name}.high",
+        )
     schema_json["fields"] = fields
     snap = Snapshot(
         snapshot_id=_uuid.uuid4().hex,
@@ -944,6 +965,21 @@ def rename_column(table: LakehouseTable, old: str, new: str) -> Snapshot:
             remove=[f"generated.{old}"],
             add={f"generated.{new}": gen[old]},
         )
+    idc = table.identity_columns()
+    if old in idc:
+        spec = idc[old]
+        table.replace_properties(
+            remove=[
+                f"identity.{old}.start",
+                f"identity.{old}.step",
+                f"identity.{old}.high",
+            ],
+            add={
+                f"identity.{new}.start": str(spec["start"]),
+                f"identity.{new}.step": str(spec["step"]),
+                f"identity.{new}.high": str(spec["high"]),
+            },
+        )
     return snap
 
 
@@ -1028,6 +1064,16 @@ def overwrite_partitions(table: LakehouseTable, df: DataFrame) -> Snapshot | Non
     # does - otherwise a backfill frame without the generated column
     # would commit nulls that break the invariant readers prune on
     df = table._fill_generated(df, snap)
+    idc = table.identity_columns()
+    have = {c.lower() for c in df.columns}
+    missing_ids = [n for n in idc if n.lower() not in have]
+    if missing_ids:
+        raise ValueError(
+            "INSERT OVERWRITE into an identity table must carry the "
+            f"identity column(s) {sorted(missing_ids)} (a backfill "
+            "rewrites EXISTING rows with their allocated values; new "
+            "rows get values only at the append door)"
+        )
     # same writer-schema gate as append: _write_files alone would let a
     # narrowing-incompatible column (e.g. a bare 5.0 DECIMAL literal
     # into a double column) poison every later scan of the partition

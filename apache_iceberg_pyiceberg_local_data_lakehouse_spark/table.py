@@ -469,9 +469,7 @@ class LakehouseTable:
             evolve_schema_for(self, df)
         snap = self.snapshot()  # one load serves fill, validation, spec
         df = self._fill_generated(df, snap)
-        identity_cols = self.identity_columns()
-        if identity_cols:
-            df = self._fill_identity(df)
+        df = self._fill_identity(df, self.identity_columns())
         self._validate_append_schema(df, snap)
         self._validate_constraints(df, snap)
         spec = snap.partition_spec
@@ -2075,7 +2073,9 @@ class LakehouseTable:
                 }
         return out
 
-    def _fill_identity(self, df: DataFrame) -> DataFrame:
+    def _fill_identity(
+        self, df: DataFrame, ids: dict | None = None
+    ) -> DataFrame:
         """Allocate identity values for the batch (the append door):
         one counting pass computes per-partition row counts, the driver
         turns them into P offsets (P = task count, never rows), and an
@@ -2095,11 +2095,15 @@ class LakehouseTable:
         read and reserve. Properties are not transactional; truly
         concurrent identity writers on one table should be serialized
         (Delta serializes them through its commit protocol)."""
-        ids = self.identity_columns()
+        ids = ids if ids is not None else self.identity_columns()
         if not ids:
             return df
+        have = {c.lower() for c in df.columns}
         for name in ids:
-            if name in df.columns:
+            # case-insensitive like the rest of the write path: a
+            # batch carrying 'RID' must not slip past the refusal and
+            # produce duplicate case-colliding columns
+            if name.lower() in have:
                 raise ValueError(
                     f"identity column {name!r} is GENERATED ALWAYS - "
                     "the writer cannot supply it (drop the column from "
@@ -2168,6 +2172,7 @@ class LakehouseTable:
             f.name: f.dataType
             for f in StructType.fromJson(snap.schema_json).fields
         }
+        have = {c.lower() for c in df.columns}
         for name, expr in gen.items():
             if name not in types:
                 # an orphaned generated.<name> property (possible only
@@ -2178,7 +2183,7 @@ class LakehouseTable:
                     "matching schema column; unset the "
                     f"'generated.{name}' property"
                 )
-            if name not in df.columns:
+            if name.lower() not in have:  # case-insensitive presence
                 df = df.withColumn(
                     name, F.expr(expr).cast(types[name])
                 )
@@ -2209,7 +2214,10 @@ class LakehouseTable:
             for k, v in props.items()
             if k.startswith("generated.")
         }
-        gen_present = {n: e for n, e in gen.items() if n in df.columns}
+        have = {c.lower() for c in df.columns}
+        gen_present = {
+            n: e for n, e in gen.items() if n.lower() in have
+        }
         if not cons and not gen_present:
             return
         if gen_present:
@@ -2708,19 +2716,28 @@ class LakehouseTable:
         )
 
     def _reconcile_generated_after_schema_change(self, snap) -> None:
-        """Generated-column properties are unversioned (the properties
-        file, not the snapshot), so a schema-rewinding commit (RESTORE)
-        can orphan them: drop ``generated.<name>`` for names the
-        restored schema no longer has - otherwise every later append
-        raises the orphan guard. The converse (restoring a schema whose
-        generated column predates its declaration) cannot resurrect the
-        expression; the column comes back as a plain column."""
+        """Generated/identity column properties are unversioned (the
+        properties file, not the snapshot), so a schema-rewinding
+        commit (RESTORE) can orphan them: drop ``generated.<name>``
+        and ``identity.<name>.*`` for names the restored schema no
+        longer has - otherwise every later append raises (generated)
+        or injects a column the schema lacks (identity). The converse
+        (restoring a schema whose column predates its declaration)
+        cannot resurrect the expression/allocator; the column comes
+        back as a plain column."""
         names = {f["name"] for f in snap.schema_json["fields"]}
         stale = [
             k
             for k in self.properties()
-            if k.startswith("generated.")
-            and k.removeprefix("generated.") not in names
+            if (
+                k.startswith("generated.")
+                and k.removeprefix("generated.") not in names
+            )
+            or (
+                k.startswith("identity.")
+                and k.removeprefix("identity.").rsplit(".", 1)[0]
+                not in names
+            )
         ]
         if stale:
             self.unset_properties(*stale)

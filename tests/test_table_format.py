@@ -842,3 +842,81 @@ def test_identity_column_allocation(catalog, spark):
         t2.set_identity_column("rid")
     with _pytest.raises(ValueError, match="step"):
         t2.set_identity_column("v", step=0)
+
+
+def test_identity_column_hygiene(catalog, spark):
+    """r9 review: identity DDL single-clause specs parse; unparseable
+    ADD COLUMN clauses raise instead of committing a garbage type;
+    DROP/RENAME/RESTORE reconcile the identity.* properties; MERGE
+    INSERT and identity-less INSERT OVERWRITE are refused; a
+    case-variant batch column cannot bypass the ALWAYS refusal."""
+    import pytest as _pytest
+
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.dml import (
+        merge_into,
+        overwrite_partitions,
+        rename_column,
+    )
+
+    t = catalog.create_table(
+        "gold.idhyg",
+        spark.createDataFrame([], "v string").schema,
+        [],
+    )
+    # single-clause spelling (START WITH only)
+    catalog.sql(
+        "ALTER TABLE gold.idhyg ADD COLUMN rid bigint "
+        "GENERATED ALWAYS AS IDENTITY (START WITH 7)"
+    )
+    t = catalog.load_table("gold.idhyg")
+    assert t.identity_columns()["rid"]["start"] == 7
+    # a garbage clause raises BEFORE anything commits
+    with _pytest.raises(ValueError, match="unparseable column type"):
+        catalog.sql(
+            "ALTER TABLE gold.idhyg ADD COLUMN x bigint "
+            "GENERATED SOMETIMES AS IDENTITY"
+        )
+    assert "x" not in {f.name for f in catalog.load_table("gold.idhyg").schema.fields}
+    t.append(spark.createDataFrame([("a",), ("b",)], "v string"))
+    assert {r["rid"] for r in t.to_df().collect()} == {7, 8}
+    # case-variant supply is refused
+    with _pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        t.append(
+            spark.createDataFrame([("z", 99)], "v string, RID long")
+        )
+    # MERGE INSERT is refused on identity tables
+    with _pytest.raises(ValueError, match="append the new rows"):
+        merge_into(
+            t,
+            spark.createDataFrame([("q", 1)], "v string, rid long"),
+            key="rid",
+        )
+    # identity-less INSERT OVERWRITE is refused (null poisoning)
+    with _pytest.raises(ValueError, match="append door"):
+        overwrite_partitions(
+            t, spark.createDataFrame([("w",)], "v string")
+        )
+    # RENAME migrates the allocator; appends continue the sequence
+    rename_column(t, "rid", "row_id")
+    t = catalog.load_table("gold.idhyg")
+    assert set(t.identity_columns()) == {"row_id"}
+    t.append(spark.createDataFrame([("c",)], "v string"))
+    assert {r["row_id"] for r in t.to_df().collect()} == {7, 8, 9}
+    # RESTORE to pre-identity reconciles the properties
+    t2 = catalog.create_table(
+        "gold.idres",
+        spark.createDataFrame([], "v string").schema,
+        [],
+    )
+    v0 = t2.current_version()
+    catalog.sql(
+        "ALTER TABLE gold.idres ADD COLUMN rid bigint "
+        "GENERATED ALWAYS AS IDENTITY"
+    )
+    t2 = catalog.load_table("gold.idres")
+    t2.append(spark.createDataFrame([("a",)], "v string"))
+    t2.restore_to(v0)
+    assert catalog.load_table("gold.idres").identity_columns() == {}
+    catalog.load_table("gold.idres").append(
+        spark.createDataFrame([("b",)], "v string")
+    )  # must not inject a schema-less column
