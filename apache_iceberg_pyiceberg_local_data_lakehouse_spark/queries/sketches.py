@@ -11,6 +11,7 @@ lifecycle; these still run in tests/test_oracle_parity.py.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from . import load, register
 
@@ -170,4 +171,72 @@ def q86_topk_frequent_items(
     ev = load(spark, sf_dir, "events")
     return topk_within_bound(
         ev, col="user_id", group="event_type", k=3
+    )
+
+
+@register(
+    "q8g_theta_shingle_jaccard",
+    # new in r9, registered behind the judged window (r10 rotation
+    # fodder); certifies Theta set algebra on TEXT SHINGLES (the
+    # near-dup-at-corpus-scale question "how much 3-gram overlap do
+    # two corpora share?" answered from two fixed-size sketches
+    # instead of an exact distinct-join): exact set sizes from plain
+    # SQL + the in-bound flag, q7x's pattern.
+    defer=True,
+    oracle="""
+    WITH t AS (
+      SELECT lang, string_split(text, ' ') AS l
+      FROM documents WHERE lang IN ('en', 'fr')
+    ), sh AS (
+      SELECT lang, l[i] || ' ' || l[i + 1] || ' ' || l[i + 2] AS s
+      FROM t, UNNEST(range(1, len(l) - 1)) AS u(i)
+      WHERE len(l) >= 3
+    )
+    SELECT CAST(a.n AS BIGINT) AS n_a,
+           CAST(b.n AS BIGINT) AS n_b,
+           CAST(u.n AS BIGINT) AS n_union,
+           CAST(i.n AS BIGINT) AS n_intersect,
+           TRUE AS theta_ok
+    FROM (SELECT COUNT(DISTINCT s) AS n FROM sh WHERE lang = 'en') a,
+         (SELECT COUNT(DISTINCT s) AS n FROM sh WHERE lang = 'fr') b,
+         (SELECT COUNT(DISTINCT s) AS n FROM sh) u,
+         (SELECT COUNT(*) AS n FROM
+            (SELECT DISTINCT s FROM sh WHERE lang = 'en'
+             INTERSECT
+             SELECT DISTINCT s FROM sh WHERE lang = 'fr')) i
+    """,
+)
+def q8g_theta_shingle_jaccard(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Corpus-level shingle overlap by Theta-sketch set algebra: each
+    language's 3-token shingle set sketched in one map-side pass,
+    |A|/|B|/|A∪B|/|A∩B| read off the sketches. At 100 TB this replaces
+    the exact distinct-join of two shingle universes (the expensive
+    half of corpus-contamination and near-dup triage) with two
+    fixed-size mergeable summaries."""
+    from ..operators.sketches import overlap_within_bound
+
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("lang").isin("en", "fr")
+    )
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    sh = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    shingled = d.select("lang", F.explode(sh).alias("s"))
+    return overlap_within_bound(
+        shingled.filter(F.col("lang") == "en"),
+        shingled.filter(F.col("lang") == "fr"),
+        key="s",
     )
