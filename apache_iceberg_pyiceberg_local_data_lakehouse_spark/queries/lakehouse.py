@@ -2199,7 +2199,10 @@ def q76_sql_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # MV maintenance: REFRESH after an append merges the diff's partial
     # aggregates into the materialization (one MERGE on the group keys,
     # O(delta + touched groups)) and equals the full recompute.
-    # promoted to the judged window in r8
+    # promoted to the judged window in r8; green r8+r9, deferred r10
+    # for the q88-q8g rotation - the MV family keeps five judged reps
+    # (q7p/q7s/q7v/q7w/q82) plus the new q89/q8a.
+    defer=True,
     oracle="""
     SELECT lang, COUNT(*) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
@@ -3389,7 +3392,9 @@ def q87_streaming_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tombstones consolidate per (seq, equality-cols) group ONLY, the
     # early-horizon tombstone is never raised (reverse resurrection),
     # and the post-consolidation scan equals plain SQL.
-    defer=True,
+    # promoted to the judged window in r10 (VERDICT r9 #1: the
+    # last 9 never-driver-judged registrations)
+    defer=False,
     oracle="""
     SELECT lang, COUNT(*) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
@@ -3498,7 +3503,9 @@ def q88_eq_delete_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # joins ONLY the fact delta to BOTH pinned dims (merged flag), a
     # moved dim forces full recompute + re-pin of every side
     # (dim_full flag), and the final view equals the full GROUP BY.
-    defer=True,
+    # promoted to the judged window in r10 (VERDICT r9 #1: the
+    # last 9 never-driver-judged registrations)
+    defer=False,
     oracle="""
     SELECT n_name,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
@@ -3576,7 +3583,9 @@ def q89_mv_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # moved dim (DELETE) from the dim's signed changelog joined to the
     # pinned fact - both MERGE commits (fact_cdc / dim_cdc flags), and
     # the final view equals the full GROUP BY over the surviving rows.
-    defer=True,
+    # promoted to the judged window in r10 (VERDICT r9 #1: the
+    # last 9 never-driver-judged registrations)
+    defer=False,
     oracle="""
     SELECT c_nationkey,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
@@ -3660,7 +3669,9 @@ def q8a_mv_join_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sequences, deletes close without opening, and an IN-BATCH
     # update->delete chain (c_custkey % 35 = 0) lands as a bounded
     # version - the aggregated history equals the SQL reconstruction.
-    defer=True,
+    # promoted to the judged window in r10 (VERDICT r9 #1: the
+    # last 9 never-driver-judged registrations)
+    defer=False,
     oracle="""
     WITH v1 AS (
       SELECT c_custkey, c_mktsegment,
@@ -3763,7 +3774,9 @@ def q8b_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     # batch omits event_date, the append FILLS it from ts, the table
     # PARTITIONS on it (one dir per day), and the per-day aggregate
     # over the generated column equals recomputing the date in SQL.
-    defer=True,
+    # promoted to the judged window in r10 (VERDICT r9 #1: the
+    # last 9 never-driver-judged registrations)
+    defer=False,
     oracle="""
     SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS event_date,
            CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -3823,7 +3836,9 @@ def q8d_generated_partition_column(
     # CLUSTER BY declaring the z-order layout, and MERGE WITH SCHEMA
     # EVOLUTION widening the schema - with the final readback equal to
     # the plain SQL over the source rows.
-    defer=True,
+    # promoted to the judged window in r10 (VERDICT r9 #1: the
+    # last 9 never-driver-judged registrations)
+    defer=False,
     oracle="""
     WITH base AS (
       SELECT o_orderkey, o_custkey,

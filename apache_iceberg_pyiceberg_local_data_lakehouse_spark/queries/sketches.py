@@ -182,7 +182,9 @@ def q86_topk_frequent_items(
     # two corpora share?" answered from two fixed-size sketches
     # instead of an exact distinct-join): exact set sizes from plain
     # SQL + the in-bound flag, q7x's pattern.
-    defer=True,
+    # promoted to the judged window in r10 (VERDICT r9 #1: the
+    # last 9 never-driver-judged registrations)
+    defer=False,
     oracle="""
     WITH t AS (
       SELECT lang, string_split(text, ' ') AS l

@@ -138,9 +138,9 @@ _register_sql(
     FROM lineitem
     GROUP BY 1
     """,
-    # promoted to the judged window in r9 (VERDICT r8: zero
-    # driver evidence across eight rounds)
-    defer=False,
+    # judged green r9 (first driver evidence); deferred r10 to make
+    # room for the q88-q8g rotation (VERDICT r9 #1)
+    defer=True,
 )
 
 _register_sql(
@@ -155,9 +155,9 @@ _register_sql(
     FROM orders
     GROUP BY o_orderstatus
     """,
-    # promoted to the judged window in r9 (VERDICT r8: zero
-    # driver evidence across eight rounds)
-    defer=False,
+    # judged green r9 (first driver evidence); deferred r10 to make
+    # room for the q88-q8g rotation (VERDICT r9 #1)
+    defer=True,
 )
 
 _register_sql(
@@ -173,15 +173,16 @@ _register_sql(
           FROM orders)
     GROUP BY status
     """,
-    # promoted to the judged window in r9 (VERDICT r8: zero
-    # driver evidence across eight rounds)
-    defer=False,
+    # judged green r9 (first driver evidence); deferred r10 to make
+    # room for the q88-q8g rotation (VERDICT r9 #1)
+    defer=True,
 )
 
 @register(
     "q43b_regex_tokenization",
-    # promoted to the judged window in r9 (VERDICT r8: zero driver
-    # evidence across eight rounds)
+    # judged green r9 (first driver evidence); deferred r10 to make
+    # room for the q88-q8g rotation (VERDICT r9 #1)
+    defer=True,
     oracle="""
     SELECT tok, COUNT(*) AS n
     FROM (
@@ -221,9 +222,9 @@ _register_sql(
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
-    # promoted to the judged window in r9 (VERDICT r8: zero
-    # driver evidence across eight rounds)
-    defer=False,
+    # judged green r9 (first driver evidence); deferred r10 to make
+    # room for the q88-q8g rotation (VERDICT r9 #1)
+    defer=True,
 )
 
 _register_sql(
@@ -236,9 +237,9 @@ _register_sql(
                 AS DOUBLE) AS pr
     FROM customer
     """,
-    # promoted to the judged window in r9 (VERDICT r8: zero
-    # driver evidence across eight rounds)
-    defer=False,
+    # judged green r9 (first driver evidence); deferred r10 to make
+    # room for the q88-q8g rotation (VERDICT r9 #1)
+    defer=True,
 )
 
 _register_sql(
@@ -256,7 +257,7 @@ _register_sql(
                  o_orderdate AS orderdate, o_totalprice AS totalprice
           FROM orders)
     """,
-    # promoted to the judged window in r9 (VERDICT r8: zero
-    # driver evidence across eight rounds)
-    defer=False,
+    # judged green r9 (first driver evidence); deferred r10 to make
+    # room for the q88-q8g rotation (VERDICT r9 #1)
+    defer=True,
 )

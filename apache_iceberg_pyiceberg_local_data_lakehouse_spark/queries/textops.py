@@ -1747,7 +1747,10 @@ def q7a_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fodder); certifies canonical_dedup: normalization-invariant exact
     # dedup (lowercase, punctuation->space, whitespace collapse) - the
     # Dolma/C4 fuzzy-exact tier between byte-exact and MinHash.
-    # promoted to the judged window in r8
+    # promoted to the judged window in r8; green r8+r9, deferred r10
+    # for the q88-q8g rotation - dedup keeps judged reps in q61/q83
+    # and the new q8g shingle-jaccard.
+    defer=True,
     oracle="""
     WITH canon AS (
       SELECT doc_id, lang,
@@ -1968,7 +1971,9 @@ def q83_train_val_test_split(
     # reproduce (md5-u32 % 64), and the selection-enrichment flag pins
     # the semantics (the top-k by importance weight is more
     # target-language-like than the corpus).
-    defer=True,
+    # promoted to the judged window in r10 (VERDICT r9 #1: the
+    # last 9 never-driver-judged registrations)
+    defer=False,
     oracle="""
     WITH toks AS (
       SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS tok

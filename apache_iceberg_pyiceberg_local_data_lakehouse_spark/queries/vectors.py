@@ -975,7 +975,9 @@ def q84_opq_rotated_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # alternating loop's sample quantization error is monotone
     # non-increasing and ends at or below the parametric baseline it
     # initializes from.
-    defer=True,
+    # promoted to the judged window in r10 (VERDICT r9 #1: the
+    # last 9 never-driver-judged registrations)
+    defer=False,
     oracle=f"""
     WITH pairs AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

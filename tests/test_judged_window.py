@@ -21,48 +21,26 @@ def test_window_is_exactly_fifty():
     assert list(QUERIES)[:JUDGED_WINDOW] == JUDGED_NAMES
 
 
-def test_round9_rotations_are_in_window():
-    """VERDICT r8 #1: rotate ALL 26 never-driver-judged oracle-backed
-    entries into the window (the r8 session waves q7o-q86 PLUS the 7
-    portable-SQL variants that slipped through every prior rotation),
-    so every registered query has a CORRECTNESS row at least once.
-    Plus the new r9 streaming-path entry q87 (VERDICT r8 #2)."""
+def test_round10_rotations_are_in_window():
+    """VERDICT r9 #1: rotate the last 9 never-driver-judged registrations
+    (the r9 deferred wave q88-q8g) into the window, so EVERY registered
+    query has a CORRECTNESS row at least once."""
     must_be_judged = {
-        # r8 session-1/2 wave, never judged
-        "q7o_branch_writes",
-        "q7p_mv_having_incremental",
-        "q7q_ohlc_bars",
-        "q7r_sql_procedures",
-        "q7s_mv_cdc_incremental",
-        "q7t_copy_into",
-        "q7u_table_changes_cdf",
-        # r8 session-3 wave, never judged
-        "q7v_mv_expression_key",
-        "q7w_mv_count_distinct",
-        "q7x_theta_audience_overlap",
-        "q7y_kll_price_rollup",
-        "q7z_event_gaps",
-        "q80_pca_quality",
-        "q81_random_projection_pairs",
-        "q82_mv_join_agg",
-        "q83_train_val_test_split",
-        "q84_opq_rotated_pq",
-        "q85_pivot_event_matrix",
-        "q86_topk_frequent_items",
-        # portable-SQL variants with zero driver evidence across r1-r8
-        "q29_year_extract_volume",
-        "q2a_percentiles",
-        "q2b_stddev_portable",
-        "q13b_rank_functions",
-        "q14b_moving_avg",
-        "q16b_cube_counts",
-        "q43b_regex_tokenization",
-        # new in r9: streaming commit path judged end-to-end
-        "q87_streaming_exactly_once",
+        # r9 deferred wave, never judged before r10
+        "q88_eq_delete_consolidation",
+        "q89_mv_star_join",
+        "q8a_mv_join_cdc",
+        "q8b_scd2_history",
+        "q8c_opq_np_pq",
+        "q8d_generated_partition_column",
+        "q8e_dsir_selection",
+        "q8f_partition_ddl_lifecycle",
+        "q8g_theta_shingle_jaccard",
     }
     assert must_be_judged <= set(JUDGED_NAMES)
-    # the 23 keepers: lakehouse lifecycle spine + one representative
-    # per operator family (each already multi-round green)
+    # the 41 keepers: lakehouse lifecycle spine, the streaming-path
+    # entry, and one-plus representatives per operator family (each
+    # already driver-green at least once)
     keepers = {
         "q60_lakehouse_roundtrip",
         "q61_lakehouse_dedup_append",
@@ -83,13 +61,41 @@ def test_round9_rotations_are_in_window():
         "q72_bm25_topk",
         "q74_pq_ann_topk",
         "q75_jsonl_ingest",
-        "q77_mv_agg_incremental",
         "q7b_resample_gapfill",
-        "q7c_canonical_dedup",
         "q7j_event_funnel",
+        "q7o_branch_writes",
+        "q7p_mv_having_incremental",
+        "q7q_ohlc_bars",
+        "q7r_sql_procedures",
+        "q7s_mv_cdc_incremental",
+        "q7t_copy_into",
+        "q7u_table_changes_cdf",
+        "q7v_mv_expression_key",
+        "q7w_mv_count_distinct",
+        "q7x_theta_audience_overlap",
+        "q7y_kll_price_rollup",
+        "q7z_event_gaps",
+        "q80_pca_quality",
+        "q81_random_projection_pairs",
+        "q82_mv_join_agg",
+        "q83_train_val_test_split",
+        "q84_opq_rotated_pq",
+        "q85_pivot_event_matrix",
+        "q86_topk_frequent_items",
+        "q87_streaming_exactly_once",
     }
     assert keepers <= set(JUDGED_NAMES)
     rotated_out = {
+        # r10 defer-outs (judged green r9; shape-redundant with keepers)
+        "q29_year_extract_volume",
+        "q2a_percentiles",
+        "q2b_stddev_portable",
+        "q13b_rank_functions",
+        "q14b_moving_avg",
+        "q16b_cube_counts",
+        "q43b_regex_tokenization",
+        "q77_mv_agg_incremental",
+        "q7c_canonical_dedup",
         # r9 defer-outs (each judged green r8, most first-timers then)
         "q5q_paragraph_dedup",
         "q5r_exact_substring_dedup",
