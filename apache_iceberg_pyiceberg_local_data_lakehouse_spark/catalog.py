@@ -3515,6 +3515,8 @@ class LakehouseCatalog:
                 else:
                     legacy.add(k)
 
+        refreshed: list[str] = []
+
         def _loaded(p: str) -> bool:
             st = stats[p]
             # stat fast path: (path, mtime_ns) unchanged since the run
@@ -3526,14 +3528,29 @@ class LakehouseCatalog:
                 return True
             if ledger.get(p) == _fp(p):
                 # touched / byte-identical rewrite: refresh the stat
-                # cache in memory (persisted at the next real load -
-                # skipping the write keeps the no-op run commit-free)
+                # cache so the NEXT run takes the stat fast path
                 mtimes[p] = st.st_mtime_ns
+                refreshed.append(p)
                 return True
             return False
 
+        def _persist_ledger() -> None:
+            payload: dict = {"fp": ledger}
+            mt = {p: v for p, v in mtimes.items() if p in ledger}
+            if mt:
+                payload["mt"] = mt
+            if legacy:
+                payload["legacy"] = sorted(legacy)
+            t.set_properties(**{"copy.ledger": json.dumps(payload)})
+
         new_paths = sorted(p for p in stats if not _loaded(p))
         if not new_paths:
+            if refreshed:
+                # a touched-but-byte-identical file was re-hashed this
+                # run; persist the refreshed stat cache NOW (property
+                # write, commit-free) so steady-state reruns never
+                # re-hash it again (ADVICE r9)
+                _persist_ledger()
             return self.spark.createDataFrame(
                 [("copy", ident, 0, t.current_version())],
                 "operation string, table string, loaded_files long, "
@@ -3552,13 +3569,7 @@ class LakehouseCatalog:
         # what bounds the ledger - one entry per path, not per version)
         new_set = set(new_paths)
         legacy = {k for k in legacy if k.rsplit("::", 2)[0] not in new_set}
-        payload: dict = {"fp": ledger}
-        mt = {p: v for p, v in mtimes.items() if p in ledger}
-        if mt:
-            payload["mt"] = mt
-        if legacy:
-            payload["legacy"] = sorted(legacy)
-        t.set_properties(**{"copy.ledger": json.dumps(payload)})
+        _persist_ledger()
         return self.spark.createDataFrame(
             [("copy", ident, len(new_paths), snap.version)],
             "operation string, table string, loaded_files long, "

@@ -468,7 +468,13 @@ def merge_into(
     EVOLUTION) first reconciles the table schema to the source via
     :func:`evolve_schema_for` - new source columns are added, legal
     widenings widen - then merges; existing table rows read the new
-    columns as null.
+    columns as null. DIVERGENCE from Delta: evolution commits as
+    metadata BEFORE the merge, so a merge that subsequently fails
+    leaves the schema evolved (fail-open; nullable columns are
+    harmless and a re-run completes the merge). The fast path
+    (update+insert, no conditions) probes the CHECK/generated gate
+    against the source before the first schema commit, so the most
+    common failure cannot strand an evolved schema.
 
     - ``when_matched``: ``'update'`` (row replace), ``'ignore'`` (table
       row wins — reproduces the reference's J1 dedup-append as one
@@ -554,6 +560,29 @@ def merge_into(
             "(when_not_matched='ignore') or append the new rows"
         )
     if with_schema_evolution:
+        # Evolution is fail-open (each add/widen is its own metadata
+        # commit), so a merge that fails AFTER it leaves the table
+        # schema evolved - unlike Delta, which applies evolution
+        # atomically with the merge; a re-run completes the merge
+        # against the already-evolved schema (ADVICE r9). Refuse what
+        # is decidable BEFORE the first schema commit: on the
+        # every-source-row-enters fast path the CHECK/generated gate
+        # depends on the source alone, so probe it now - a constraint
+        # violation then cannot strand an evolved schema.
+        if (
+            when_matched == "update"
+            and when_not_matched == "insert"
+            and cond is None
+            and src_del is None
+        ):
+            probe = table._fill_generated(updates)
+            have = {c.lower() for c in probe.columns}
+            if all(
+                f.name.lower() in have for f in table.schema.fields
+            ):
+                table._validate_constraints(
+                    probe, table.snapshot(), op="merge"
+                )
         evolve_schema_for(table, updates)
     # full-row sources (row-replace / insert) fill omitted generated
     # columns like the append door; keys-only sources (a delete merge

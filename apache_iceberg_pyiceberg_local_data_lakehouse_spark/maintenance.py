@@ -497,18 +497,38 @@ def compact(
                 for e in snap.data_entries
             }
         )
-        cols = sorted({c for k in all_keys for c, _ in k})
+        # the candidate universe is file-derived keys UNIONED with the
+        # DECLARED spec fields (ADVICE r9): right after ADD PARTITION
+        # FIELD - before any partitioned append - the new field exists
+        # only in the spec, and the advertised `field IS NULL`
+        # addressing of pre-evolution files must still validate
+        cols = sorted(
+            {c for k in all_keys for c, _ in k}
+            | {f.field_name for f in table.partition_spec}
+        )
         if not cols:
             raise ValueError(
                 "OPTIMIZE ... WHERE needs a partitioned table (no "
-                "partition fields in any data file)"
+                "partition fields declared or in any data file)"
             )
+        if not all_keys:
+            # declared-but-empty partitioned table: nothing to compact,
+            # and an unvalidatable predicate over zero files is a no-op
+            # (Delta parity), not an error
+            return None
+        file_cols = sorted({c for k in all_keys for c, _ in k})
         pdf = table.spark.createDataFrame(
             [
-                Row(__idx=i, **{c: dict(k).get(c) for c in cols})
+                Row(__idx=i, **{c: dict(k).get(c) for c in file_cols})
                 for i, k in enumerate(all_keys)
             ]
         )
+        for c in cols:
+            if c not in file_cols:
+                # declared-but-never-written spec field: all files
+                # predate it, so it reads NULL (untyped in the files -
+                # string-typed NULL keeps createDataFrame inference out)
+                pdf = pdf.withColumn(c, F.lit(None).cast("string"))
         try:
             kept_idx = {
                 r["__idx"]

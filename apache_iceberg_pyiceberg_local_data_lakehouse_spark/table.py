@@ -2046,15 +2046,26 @@ class LakehouseTable:
             )
         if int(step) == 0:
             raise ValueError("identity step cannot be 0")
-        return self.set_properties(
+        out = self.set_properties(
             **{
                 f"identity.{name}.start": str(int(start)),
                 f"identity.{name}.step": str(int(step)),
                 f"identity.{name}.high": str(int(start) - int(step)),
             }
         )
+        # a re-declared name (dropped column, emptied table) must not
+        # inherit a stale chain watermark - commit a reset entry
+        if self._identity_chain_head()[1].get(name) is not None:
+            self._identity_chain_commit(
+                lambda cur: {**cur, name: int(start) - int(step)}
+            )
+        return out
 
     def identity_columns(self) -> dict[str, dict]:
+        """Declared identity columns with their AUTHORITATIVE high
+        watermarks: the reservation chain head wins over the (mirror)
+        ``identity.<name>.high`` property - see
+        :meth:`_identity_chain_commit`."""
         props = self.properties()
         out: dict[str, dict] = {}
         for k, v in props.items():
@@ -2071,7 +2082,113 @@ class LakehouseTable:
                         )
                     ),
                 }
+        if out:
+            _seq, chain = self._identity_chain_head()
+            for name, high in chain.items():
+                if name in out:
+                    out[name]["high"] = int(high)
         return out
+
+    # -- identity reservation chain (CAS watermark, ADVICE r9) --------------
+
+    def _identity_rsv_dir(self) -> str:
+        return os.path.join(self.metadata_dir, "identity-rsv")
+
+    def _identity_chain_head(self) -> tuple[int, dict[str, int]]:
+        """(seq, highs) of the newest reservation commit; (0, {}) when
+        the chain is empty (pre-chain tables fall back to the
+        ``identity.<name>.high`` property)."""
+        for _ in range(10):
+            try:
+                names = os.listdir(self._identity_rsv_dir())
+            except FileNotFoundError:
+                return 0, {}
+            best = 0
+            for n in names:
+                if n.startswith("r") and n.endswith(".json"):
+                    try:
+                        best = max(best, int(n[1:-5]))
+                    except ValueError:
+                        pass
+            if not best:
+                return 0, {}
+            try:
+                with open(
+                    os.path.join(self._identity_rsv_dir(), f"r{best}.json")
+                ) as f:
+                    return best, {
+                        k: int(v) for k, v in json.load(f).items()
+                    }
+            except FileNotFoundError:
+                # pruned between listdir and open - a NEWER head exists
+                # by the prune invariant (only entries behind head are
+                # removed); re-list and it shows up
+                continue
+        raise CommitConflict(
+            f"identity reservation chain unreadable at {self.location}"
+        )
+
+    def _identity_chain_commit(self, advance) -> dict[str, int]:
+        """CAS-advance the identity watermarks: ``advance(current)`` maps
+        the merged current highs (chain head over props) to the new
+        highs; the commit is a hard-link claim of ``r<seq+1>.json``
+        carrying the FULL post-commit map, so exactly one writer wins
+        each link and a loser re-reads and retries - two concurrent
+        appends can never reserve from the same watermark (the
+        unversioned-props read-modify-write raced; ADVICE r9). A crash
+        after the link burns the reserved range (a gap, inside the
+        documented identity contract) and blocks nobody. Returns the
+        PRE-commit highs (the reservation bases)."""
+        os.makedirs(self._identity_rsv_dir(), exist_ok=True)
+        for _ in range(200):
+            seq, chain = self._identity_chain_head()
+            props = self.identity_columns()
+            cur = {
+                n: int(chain.get(n, s["high"])) for n, s in props.items()
+            }
+            new = {n: int(v) for n, v in advance(dict(cur)).items()}
+            tmp = os.path.join(
+                self._identity_rsv_dir(), f".tmp.{uuid.uuid4().hex}"
+            )
+            with open(tmp, "w") as f:
+                json.dump(new, f)
+            dst = os.path.join(self._identity_rsv_dir(), f"r{seq + 1}.json")
+            try:
+                os.link(tmp, dst)  # atomic claim, file appears complete
+            except FileExistsError:
+                os.unlink(tmp)
+                continue  # lost the link race - re-read, recompute
+            os.unlink(tmp)
+            # mirror into props for inspect/readers (best-effort: the
+            # chain stays authoritative, a stale mirror is cosmetic)
+            try:
+                self.set_properties(
+                    **{f"identity.{n}.high": str(v) for n, v in new.items()}
+                )
+            except OSError:
+                pass
+            # prune far behind head; head readers re-list on a miss
+            for k in range(max(1, seq - 40), seq - 20):
+                try:
+                    os.unlink(
+                        os.path.join(self._identity_rsv_dir(), f"r{k}.json")
+                    )
+                except FileNotFoundError:
+                    pass
+            return cur
+        raise CommitConflict(
+            f"identity reservation contention at {self.location}"
+        )
+
+    def _reserve_identity(self, n_rows: int) -> dict[str, int]:
+        """Reserve ``n_rows`` contiguous identity values per column;
+        returns the base highs the batch assigns from."""
+        ids = self.identity_columns()
+        return self._identity_chain_commit(
+            lambda cur: {
+                n: cur[n] + ids[n]["step"] * int(n_rows) for n in cur
+            }
+        )
 
     def _fill_identity(
         self, df: DataFrame, ids: dict | None = None
@@ -2090,11 +2207,10 @@ class LakehouseTable:
         RESERVE-FIRST: the watermark advances by the batch size right
         after the counting pass, BEFORE the write - a failed append
         burns its range (a gap, inside Delta's documented identity
-        contract) and the window where a concurrent identity append
-        could read the same watermark shrinks to the instant between
-        read and reserve. Properties are not transactional; truly
-        concurrent identity writers on one table should be serialized
-        (Delta serializes them through its commit protocol)."""
+        contract). The reservation itself is a compare-and-swap commit
+        on the table's identity chain (:meth:`_identity_chain_commit`),
+        so concurrent identity appends get DISJOINT ranges - the same
+        exactly-one-winner discipline as the O_EXCL snapshot commit."""
         ids = ids if ids is not None else self.identity_columns()
         if not ids:
             return df
@@ -2123,14 +2239,11 @@ class LakehouseTable:
         for pid in sorted(counts):
             offs[pid] = acc
             acc += counts[pid]
-        specs = {n: (s["high"], s["step"]) for n, s in ids.items()}
         if acc:
-            self.set_properties(
-                **{
-                    f"identity.{n}.high": str(high + step * acc)
-                    for n, (high, step) in specs.items()
-                }
-            )
+            base = self._reserve_identity(acc)
+        else:
+            base = {n: s["high"] for n, s in ids.items()}
+        specs = {n: (base[n], ids[n]["step"]) for n in ids}
         from pyspark.sql.types import LongType, StructField, StructType
 
         out_schema = StructType(

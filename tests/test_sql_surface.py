@@ -219,6 +219,49 @@ def test_sql_optimize_where_partition_filter(catalog, spark):
     assert len(by_year()["2020"]) == 1
 
 
+def test_optimize_where_spec_declared_universe(catalog, spark):
+    """ADVICE r9: the OPTIMIZE ... WHERE candidate universe is the
+    DECLARED spec unioned with file-derived keys - an empty partitioned
+    table is a no-op (not 'needs a partitioned table'), and right after
+    ADD PARTITION FIELD the advertised `field IS NULL` addressing of
+    pre-evolution files works before any partitioned append."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.table import (
+        PartitionField,
+    )
+
+    # empty partitioned table: no-op, no error
+    t0 = catalog.create_table(
+        "gold.poptempty",
+        TICK_SCHEMA,
+        [PartitionField("DateTime", "years", "DateTime_year")],
+    )
+    out = catalog.sql(
+        "OPTIMIZE gold.poptempty WHERE DateTime_year = '2020'"
+    ).first()
+    assert out["operation"] == "optimize"
+    del t0
+    # unpartitioned files + a freshly added partition field:
+    # `field IS NULL` selects (and compacts) the pre-evolution files
+    t = catalog.create_table("gold.poptevo", TICK_SCHEMA, [])
+    for _ in range(3):
+        t.append(tick_df(spark, n=10).coalesce(1))
+    catalog.sql(
+        "ALTER TABLE gold.poptevo ADD PARTITION FIELD years(DateTime)"
+    )
+    t = catalog.load_table("gold.poptevo")
+    assert len(t.snapshot().data_entries) == 3
+    out = catalog.sql(
+        "OPTIMIZE gold.poptevo WHERE DateTime_year IS NULL"
+    ).first()
+    assert out["operation"] == "optimize"
+    t = catalog.load_table("gold.poptevo")
+    assert len(t.snapshot().data_entries) == 1
+    assert (
+        catalog.sql("SELECT COUNT(*) AS n FROM gold_poptevo").first()["n"]
+        == 30
+    )
+
+
 def test_sql_alter_cluster_by(catalog, spark):
     """r9: ALTER TABLE ... CLUSTER BY (cols) declares the table's
     z-order layout (Delta's liquid-clustering spelling); subsequent
@@ -2308,6 +2351,48 @@ def test_copy_into_noop_rerun_is_stat_only(catalog, spark, tmp_path):
     assert calls["n"] == 0  # unchanged (path, mtime_ns): no hashing
 
 
+def test_copy_into_touched_file_rehashes_exactly_once(
+    catalog, spark, tmp_path
+):
+    """ADVICE r9: a touched-but-byte-identical file is re-hashed on the
+    run that sees the new mtime, and the refreshed stat cache is
+    PERSISTED by that (no-op) run - so every later steady-state re-run
+    is stat-only again, never hash-per-cadence."""
+    import os as _os
+
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark import (
+        catalog as catmod,
+    )
+
+    src = tmp_path / "landing_touch1x"
+    src.mkdir()
+    df1 = spark.createDataFrame([(1, "x")], "id long, s string")
+    df1.coalesce(1).write.mode("overwrite").parquet(str(src / "a"))
+    part = next(
+        p for p in (src / "a").iterdir() if p.name.endswith(".parquet")
+    )
+    catalog.create_table("gold.touch1x", df1.schema, [])
+    catalog.sql(f"COPY INTO gold.touch1x FROM '{src}'")
+    _os.utime(part, None)  # touch: new mtime, same bytes
+    real = catmod.LakehouseCatalog._copy_fingerprint
+    calls = {"n": 0}
+
+    def counting(path):
+        calls["n"] += 1
+        return real(path)
+
+    catmod.LakehouseCatalog._copy_fingerprint = staticmethod(counting)
+    try:
+        out1 = catalog.sql(f"COPY INTO gold.touch1x FROM '{src}'").first()
+        n_first = calls["n"]
+        out2 = catalog.sql(f"COPY INTO gold.touch1x FROM '{src}'").first()
+    finally:
+        catmod.LakehouseCatalog._copy_fingerprint = staticmethod(real)
+    assert out1["loaded_files"] == 0 and out2["loaded_files"] == 0
+    assert n_first == 1  # the touch run hashes once
+    assert calls["n"] == n_first  # ...and the next run is stat-only
+
+
 def test_time_travel_token_in_string_literal_survives(catalog, spark):
     """r9 review: 'FOR VERSION AS OF n' SPELLED inside a string literal
     must stay a literal (the sibling metadata-table/table_changes
@@ -2970,6 +3055,43 @@ def test_merge_with_schema_evolution(catalog, spark):
     t = catalog.load_table("gold.msev")
     assert "extra" in {f.name for f in t.schema.fields}
     assert t.to_df().filter("extra").count() == 1
+
+
+def test_merge_evolution_constraint_fails_before_schema_commit(
+    catalog, spark
+):
+    """ADVICE r9: evolution commits schema changes BEFORE the merge, so
+    a merge failing afterwards would strand an evolved schema. On the
+    fast path (update+insert, no conditions) the CHECK gate is
+    decidable from the source alone and must fire BEFORE the first
+    schema commit - the refused merge leaves the schema untouched."""
+    import pytest as _pytest
+
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.dml import (
+        merge_into,
+    )
+
+    t = catalog.create_table(
+        "gold.msevgate",
+        spark.createDataFrame([], "k long, v long").schema,
+        [],
+    )
+    t.append(spark.createDataFrame([(1, 10)], "k long, v long"))
+    t.add_constraint("v_pos", "v > 0")
+    bad = spark.createDataFrame(
+        [(2, -5, "oops")], "k long, v long, tag string"
+    )
+    with _pytest.raises(ValueError, match="v_pos"):
+        merge_into(t, bad, key="k", with_schema_evolution=True)
+    t = catalog.load_table("gold.msevgate")
+    assert "tag" not in {f.name for f in t.schema.fields}  # not evolved
+    # a clean source still evolves and merges
+    good = spark.createDataFrame(
+        [(2, 5, "ok")], "k long, v long, tag string"
+    )
+    merge_into(t, good, key="k", with_schema_evolution=True)
+    t = catalog.load_table("gold.msevgate")
+    assert "tag" in {f.name for f in t.schema.fields}
 
 
 def test_sql_identity_column_ddl(catalog, spark):

@@ -920,3 +920,68 @@ def test_identity_column_hygiene(catalog, spark):
     catalog.load_table("gold.idres").append(
         spark.createDataFrame([("b",)], "v string")
     )  # must not inject a schema-less column
+
+
+def test_identity_reservation_cas_disjoint_ranges(catalog, spark):
+    """ADVICE r9->r10: the identity watermark reservation is a CAS
+    commit on a per-table chain (hard-link claim of r<seq+1>.json), so
+    a writer whose watermark read went stale (a competitor reserved
+    between its read and its commit) retries PAST the competitor
+    instead of silently handing out the same range. The race is forced
+    by pre-claiming the exact link the first attempt targets."""
+    import json
+    import os
+
+    t = catalog.create_table(
+        "gold.idcas",
+        spark.createDataFrame([], "rid long, v string").schema,
+        [],
+    )
+    t.set_identity_column("rid", start=1, step=1)
+    tb = catalog.load_table("gold.idcas")  # second writer, same table
+    seq, _ = t._identity_chain_head()
+    os.makedirs(t._identity_rsv_dir(), exist_ok=True)
+    with open(
+        os.path.join(t._identity_rsv_dir(), f"r{seq + 1}.json"), "w"
+    ) as f:
+        json.dump({"rid": 50}, f)  # competitor reserved through 50
+    base = t._reserve_identity(3)  # loses the link race once, retries
+    assert base == {"rid": 50}  # reserves FROM the competitor's high
+    head_seq, head = t._identity_chain_head()
+    assert head_seq == seq + 2
+    assert head == {"rid": 53}
+    # the props mirror converges to the chain head
+    assert t.identity_columns()["rid"]["high"] == 53
+    # interleaved appends through both handles stay disjoint
+    t.append(spark.createDataFrame([("a",), ("b",)], "v string"))
+    tb.append(spark.createDataFrame([("c",), ("d",)], "v string"))
+    vals = [r["rid"] for r in t.to_df().collect()]
+    assert len(vals) == 4 and len(set(vals)) == 4
+    assert min(vals) == 54  # nothing re-used the pre-claimed range
+
+
+def test_identity_redeclare_resets_chain_watermark(catalog, spark):
+    """A re-declared identity column (dropped and re-added while the
+    table is empty) must restart at START WITH, not inherit the stale
+    chain watermark from its previous life."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.dml import (
+        drop_column,
+    )
+
+    t = catalog.create_table(
+        "gold.idreset",
+        spark.createDataFrame([], "rid long, v string").schema,
+        [],
+    )
+    t.set_identity_column("rid", start=1, step=1)
+    t._reserve_identity(40)  # burn a range (a crashed append's gap)
+    drop_column(t, "rid")
+    t = catalog.load_table("gold.idreset")
+    catalog.sql(
+        "ALTER TABLE gold.idreset ADD COLUMN rid bigint "
+        "GENERATED ALWAYS AS IDENTITY (START WITH 1)"
+    )
+    t = catalog.load_table("gold.idreset")
+    assert t.identity_columns()["rid"]["high"] == 0
+    t.append(spark.createDataFrame([("a",)], "v string"))
+    assert {r["rid"] for r in t.to_df().collect()} == {1}
