@@ -2532,15 +2532,34 @@ def test_mv_multidim_join_incremental_refresh(catalog, spark):
     assert snap is not None and snap.operation == "merge"
     assert snap.summary.get("cdc_refresh") is True
     assert via_view() == _star_expected(catalog, spark)
-    # BOTH dims moved in one refresh window: conservative full refresh
+    # BOTH dims moved in one refresh window (r10): the single-dim CDC
+    # terms compose telescopically - dim1's changelog against the
+    # PINNED dim2, then dim2's changelog against the NEW dim1 - two
+    # merges, no full recompute
     catalog.sql("UPDATE gold.sdim1 SET seg = 'C' WHERE k = 2")
     catalog.sql("UPDATE gold.sdim2 SET reg = 'EU2' WHERE r = 10")
+    snap = catalog.refresh_materialized_view("gold.smv")
+    assert snap is not None and snap.operation == "merge"
+    assert snap.summary.get("cdc_refresh") is True
+    assert via_view() == _star_expected(catalog, spark)
+    vs = _json.loads(
+        catalog.load_table("gold.smv").properties()[
+            "mv.join_dim_versions"
+        ]
+    )
+    assert vs["gold.sdim1"] == str(d1.current_version())
+    assert vs["gold.sdim2"] == str(d2.current_version())
+    # fact AND a dim moved together: conservative full refresh
+    f.append(
+        spark.createDataFrame([(2, 20, 11)], "fk long, rk long, v long")
+    )
+    catalog.sql("UPDATE gold.sdim1 SET seg = 'D' WHERE k = 3")
     snap = catalog.refresh_materialized_view("gold.smv")
     assert snap is not None and snap.operation != "merge"
     assert via_view() == _star_expected(catalog, spark)
     # incremental again after the re-pin
     f.append(
-        spark.createDataFrame([(2, 20, 11)], "fk long, rk long, v long")
+        spark.createDataFrame([(2, 20, 13)], "fk long, rk long, v long")
     )
     snap = catalog.refresh_materialized_view("gold.smv")
     assert snap.operation == "merge"
