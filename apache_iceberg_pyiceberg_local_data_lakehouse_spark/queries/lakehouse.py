@@ -3662,6 +3662,108 @@ def q8a_mv_join_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q8h_mv_two_dim_cdc",
+    # new in r10, registered behind the judged window (r11 rotation
+    # fodder); certifies the two-moved-dims CDC composition
+    # (catalog._refresh_join_agg r10 tier): BOTH dims of an
+    # orders-customer-nation star change in ONE refresh window and the
+    # refresh composes the per-dim signed-changelog terms (dim1's
+    # changelog against the pinned dim2, dim2's against the NEW dim1)
+    # as MERGEs - never a full recompute - with the final view equal
+    # to the plain GROUP BY over the mutated inputs.
+    defer=True,
+    oracle="""
+    WITH c2 AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 10 = 3 THEN (c_nationkey + 1) % 25
+                  ELSE c_nationkey END AS nk
+      FROM customer),
+    n2 AS (
+      SELECT n_nationkey,
+             CASE WHEN n_nationkey % 5 = 0
+                  THEN 'ZONE_' || CAST(n_nationkey AS VARCHAR)
+                  ELSE n_name END AS n_name
+      FROM nation)
+    SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+           TRUE AS two_dim_cdc
+    FROM orders
+    JOIN c2 ON o_custkey = c_custkey
+    JOIN n2 ON c2.nk = n2.n_nationkey
+    GROUP BY n_name ORDER BY n_name
+    """,
+)
+def q8h_mv_two_dim_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-moved-dims CDC star refresh: materialize orders-per-nation
+    over orders JOIN customer JOIN nation, then in ONE window UPDATE
+    customer (re-homing some customers' nations - the dim1-dim2 join
+    key moves) AND UPDATE nation (renaming group keys). The single
+    refresh must compose the per-dim changelog terms as MERGEs with
+    ``cdc_refresh`` stamped, and the view must equal the recompute.
+
+    100 TB design note: each term broadcast-joins a small signed
+    changelog to the pinned/new other sides, touching O(matching fact
+    rows); the telescoping identity Q(f,d1',d2') - Q(f,d1,d2) =
+    Q(f,d1'-d1,d2) + Q(f,d1',d2'-d2) is exact because the inner join
+    is multilinear and COUNT/integral-SUM are linear."""
+    from ..catalog import LakehouseCatalog
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_q8h_")
+    try:
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("tmp")
+        o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        c = load(spark, sf_dir, "customer").select(
+            "c_custkey", "c_nationkey"
+        )
+        n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+        cat.create_table("tmp.ords3", o.schema).append(o)
+        cat.create_table("tmp.custs3", c.schema).append(c)
+        cat.create_table("tmp.nats3", n.schema).append(n)
+        mv = cat.create_materialized_view(
+            "tmp.mv_2d",
+            "SELECT n_name, COUNT(*) AS n_orders, "
+            "SUM(o_custkey) AS sum_cust "
+            "FROM tmp_ords3 JOIN tmp_custs3 "
+            "ON tmp_ords3.o_custkey = tmp_custs3.c_custkey "
+            "JOIN tmp_nats3 "
+            "ON tmp_custs3.c_nationkey = tmp_nats3.n_nationkey "
+            "GROUP BY n_name",
+        )
+        assert mv.properties().get("mv.refresh_mode") == "join_agg"
+        assert "__mv_rows" in {f.name for f in mv.schema.fields}
+        # BOTH dims move before the one refresh
+        cat.sql(
+            "UPDATE tmp.custs3 SET c_nationkey = (c_nationkey + 1) % 25 "
+            "WHERE c_custkey % 10 = 3"
+        )
+        cat.sql(
+            "UPDATE tmp.nats3 "
+            "SET n_name = 'ZONE_' || CAST(n_nationkey AS STRING) "
+            "WHERE n_nationkey % 5 = 0"
+        )
+        snap = cat.refresh_materialized_view("tmp.mv_2d")
+        two_dim_cdc = (
+            snap is not None
+            and snap.operation == "merge"
+            and snap.summary.get("cdc_refresh") is True
+        )
+        res = cat.sql(
+            "SELECT n_name, n_orders, sum_cust FROM tmp_mv_2d "
+            "ORDER BY n_name"
+        ).select(
+            "n_name",
+            "n_orders",
+            "sum_cust",
+            F.lit(two_dim_cdc).alias("two_dim_cdc"),
+        )
+        rows = res.collect()  # materialize before the warehouse vanishes
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+@register(
     "q8b_scd2_history",
     # new in r9, registered behind the judged window (r10 rotation
     # fodder); certifies APPLY CHANGES ... STORED AS SCD TYPE 2
