@@ -198,7 +198,9 @@ _DML_MERGE_HEAD = re.compile(
 _DML_MERGE_CLAUSE = re.compile(
     r"WHEN\s+(?P<kind>NOT\s+MATCHED\s+BY\s+SOURCE|NOT\s+MATCHED|MATCHED)"
     r"(?:\s+AND\s+(?P<cond>.+?))?"
-    r"\s+THEN\s+(?P<action>UPDATE\s+SET\s+\*|INSERT\s+\*|DELETE)",
+    r"\s+THEN\s+(?P<action>UPDATE\s+SET\s+\*"
+    r"|UPDATE\s+SET\s+(?P<sets>(?:(?!\bWHEN\b).)+)"
+    r"|INSERT\s+\*|DELETE)",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -1912,6 +1914,7 @@ class LakehouseCatalog:
         matched_condition = None
         when_not_matched = "ignore"
         by_source = "keep"
+        column_sets: list[tuple[str, str]] | None = None
         clauses = m.group("clauses")
         seen_spans = []
         seen_kinds: set[str] = set()
@@ -1934,6 +1937,20 @@ class LakehouseCatalog:
                     when_matched = "delete"
                 elif action == "UPDATE SET *":
                     when_matched = "update"
+                elif cm.group("sets") is not None:
+                    # column-level SET (r10): explicit assignments
+                    # instead of row-replace
+                    when_matched = "update"
+                    column_sets = self._parse_merge_sets(
+                        cm.group("sets"),
+                        (m.group("talias"), target,
+                         target.rsplit(".", 1)[-1]),
+                        (m.group("salias"),
+                         None if src_txt.startswith("(") else src_txt,
+                         None
+                         if src_txt.startswith("(")
+                         else src_txt.rsplit(".", 1)[-1]),
+                    )
                 else:
                     raise ValueError(f"WHEN MATCHED cannot {action}")
                 if cond is not None:
@@ -1960,16 +1977,28 @@ class LakehouseCatalog:
             raise ValueError(
                 f"unparsed MERGE clause text: {leftover!r}"
             )
-        snap = merge_into(
-            t,
-            src_df,
-            key=keys,
-            when_matched=when_matched,
-            matched_condition=matched_condition,
-            when_not_matched=when_not_matched,
-            when_not_matched_by_source=by_source,
-            with_schema_evolution=bool(m.group("evolve")),
-        )
+        if column_sets is not None:
+            snap = self._merge_column_sets(
+                t,
+                src_df,
+                keys,
+                column_sets,
+                matched_condition,
+                when_not_matched,
+                by_source,
+                evolve=bool(m.group("evolve")),
+            )
+        else:
+            snap = merge_into(
+                t,
+                src_df,
+                key=keys,
+                when_matched=when_matched,
+                matched_condition=matched_condition,
+                when_not_matched=when_not_matched,
+                when_not_matched_by_source=by_source,
+                with_schema_evolution=bool(m.group("evolve")),
+            )
         return self.spark.createDataFrame(
             [("merge", target, snap.version)],
             "operation string, table string, version long",
@@ -2218,6 +2247,157 @@ class LakehouseCatalog:
                     rf"\b{re.escape(prefix)}\.", "", cond
                 )
         return cond.strip()
+
+    @staticmethod
+    def _parse_merge_sets(
+        sets_txt: str,
+        t_prefixes: tuple,
+        s_prefixes: tuple,
+    ) -> list[tuple[str, str]]:
+        """Parse ``WHEN MATCHED THEN UPDATE SET a = expr, b = expr``
+        assignments. Target/source qualifiers (alias, table ident, bare
+        table name) in the expressions are rewritten to the internal
+        ``__mt``/``__ms`` join aliases; unqualified names resolve
+        against the joined frame (ambiguous common columns raise in
+        analysis, same as Delta)."""
+        items: list[tuple[str, str]] = []
+        for part in _split_top_level(sets_txt):
+            em = re.match(r"\s*([\w.]+)\s*=\s*(.+?)\s*$", part, re.DOTALL)
+            if em is None:
+                raise ValueError(
+                    f"unparseable SET assignment: {part.strip()!r}"
+                )
+            lhs = em.group(1)
+            col = lhs.rsplit(".", 1)[-1]
+            qual = lhs[: -len(col)].rstrip(".")
+            if qual and qual not in {p for p in t_prefixes if p}:
+                raise ValueError(
+                    f"SET target {lhs!r} must be a TARGET column "
+                    "(qualify with the target alias or leave bare)"
+                )
+            expr = em.group(2)
+            for pref, repl in (
+                (t_prefixes, "__mt."),
+                (s_prefixes, "__ms."),
+            ):
+                for p in sorted(
+                    {p for p in pref if p}, key=len, reverse=True
+                ):
+                    expr = re.sub(rf"\b{re.escape(p)}\.", repl, expr)
+            items.append((col, expr.strip()))
+        seen: set[str] = set()
+        for col, _ in items:
+            if col.lower() in seen:
+                raise ValueError(f"duplicate SET target {col!r}")
+            seen.add(col.lower())
+        return items
+
+    def _merge_column_sets(
+        self,
+        t: LakehouseTable,
+        src_df: DataFrame,
+        keys: list[str],
+        sets: list[tuple[str, str]],
+        matched_condition: str | None,
+        when_not_matched: str,
+        by_source: str,
+        evolve: bool,
+    ):
+        """Execute MERGE with column-level ``UPDATE SET``: compute the
+        full post-update rows (target joined to source on the keys,
+        assigned columns from their expressions, everything else
+        carried through) and run them through :func:`dml.merge_into`'s
+        row-replace door. Every assignment expression evaluates against
+        the ORIGINAL joined row (simultaneous assignment - ``SET a=b,
+        b=a`` swaps), and each result is cast to the table column's
+        type (Delta's store-assignment casting).
+
+        ``evolve=True`` (MERGE WITH SCHEMA EVOLUTION) adds SET-target
+        columns the table lacks, typed from their expression, before
+        computing; without it an unknown SET target refuses. INSERT *
+        maps source columns by name and fills missing table columns
+        with typed NULLs (Delta's INSERT * under evolution)."""
+        from .dml import add_column, merge_into
+
+        lower_keys = {k.lower() for k in keys}
+        for col, _ in sets:
+            if col.lower() in lower_keys:
+                raise ValueError(f"MERGE cannot SET the key column {col!r}")
+        if by_source == "delete" and matched_condition is not None:
+            # a cond-failing matched row's key would be absent from the
+            # computed updates and sync would wrongly drop it
+            raise ValueError(
+                "column-level SET cannot combine WHEN MATCHED AND <cond> "
+                "with WHEN NOT MATCHED BY SOURCE THEN DELETE"
+            )
+        tdf = t.scan()
+        if matched_condition is not None:
+            # rows failing the condition keep the table version; the
+            # bare-name predicate is unambiguous against the target
+            # scan alone (merge_into re-applies it on the kept side)
+            tdf_m = tdf.filter(F.expr(matched_condition))
+        else:
+            tdf_m = tdf
+        cond_expr = None
+        for k in keys:  # plain equality - merge_into's key model
+            eq = F.col(f"__mt.{k}") == F.col(f"__ms.{k}")
+            cond_expr = eq if cond_expr is None else (cond_expr & eq)
+        joined = tdf_m.alias("__mt").join(
+            src_df.alias("__ms"), cond_expr, "inner"
+        )
+        tcols = {f.name.lower() for f in t.schema.fields}
+        for col, expr in sets:
+            if col.lower() not in tcols:
+                if not evolve:
+                    raise ValueError(
+                        f"SET target {col!r} is not a table column; "
+                        "MERGE WITH SCHEMA EVOLUTION adds it"
+                    )
+                dt = (
+                    joined.select(F.expr(expr).alias("__probe"))
+                    .schema[0]
+                    .dataType
+                )
+                add_column(t, col, dt.jsonValue())
+        set_map = {c.lower(): e for c, e in sets}
+        fields = t.schema.fields  # post-evolution order
+        computed = joined.select(
+            *[
+                F.expr(set_map[f.name.lower()])
+                .cast(f.dataType)
+                .alias(f.name)
+                if f.name.lower() in set_map
+                else F.col(f"__mt.{f.name}").alias(f.name)
+                for f in fields
+            ]
+        )
+        updates = computed
+        if when_not_matched == "insert":
+            ins = src_df.join(
+                tdf.select(*keys).distinct(), on=keys, how="left_anti"
+            )
+            scols = {c.lower(): c for c in ins.columns}
+            updates = computed.unionByName(
+                ins.select(
+                    *[
+                        F.col(scols[f.name.lower()])
+                        .cast(f.dataType)
+                        .alias(f.name)
+                        if f.name.lower() in scols
+                        else F.lit(None).cast(f.dataType).alias(f.name)
+                        for f in fields
+                    ]
+                )
+            )
+        return merge_into(
+            t,
+            updates,
+            key=keys,
+            when_matched="update",
+            matched_condition=matched_condition,
+            when_not_matched=when_not_matched,
+            when_not_matched_by_source=by_source,
+        )
 
     @staticmethod
     def _combine_partial(op: str, tv, dv):

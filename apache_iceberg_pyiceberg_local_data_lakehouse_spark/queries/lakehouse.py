@@ -3936,8 +3936,9 @@ def q8d_generated_partition_column(
     # FIELD spec evolution, OPTIMIZE ... WHERE partition-filtered
     # compaction (pre-evolution files addressable via IS NULL),
     # CLUSTER BY declaring the z-order layout, and MERGE WITH SCHEMA
-    # EVOLUTION widening the schema - with the final readback equal to
-    # the plain SQL over the source rows.
+    # EVOLUTION through the r10 COLUMN-LEVEL SET door (keys-only
+    # source, so row-replace is impossible) - with the final readback
+    # equal to the plain SQL over the source rows.
     # promoted to the judged window in r10 (VERDICT r9 #1: the
     # last 9 never-driver-judged registrations)
     defer=False,
@@ -4013,19 +4014,19 @@ def q8f_partition_ddl_lifecycle(
         }
         hot_compacted = after != before
         cold_untouched = cold_after == cold_before
-        # row-replace MERGE: the source carries FULL rows plus the new
-        # column schema evolution is about to add
+        # COLUMN-LEVEL SET with evolution (r10): the source carries
+        # ONLY the join key, so row-replace (SET *) is impossible -
+        # the merge can succeed only through the column-level door,
+        # which adds the tag column (typed from its expression) and
+        # assigns just it, carrying every other column through
         tagged = o.filter(F.col("o_orderkey") % 3 == 0).select(
-            "o_orderkey",
-            "o_custkey",
-            "bucket4",
-            F.lit("x").alias("tag"),
+            "o_orderkey"
         )
         tagged.createOrReplaceTempView("tmp_tagsrc")
         cat.sql(
             "MERGE WITH SCHEMA EVOLUTION INTO tmp.ordp USING tmp_tagsrc "
             "ON tmp.ordp.o_orderkey = tmp_tagsrc.o_orderkey "
-            "WHEN MATCHED THEN UPDATE SET *"
+            "WHEN MATCHED THEN UPDATE SET tag = 'x'"
         )
         res = (
             cat.load_table("tmp.ordp")
