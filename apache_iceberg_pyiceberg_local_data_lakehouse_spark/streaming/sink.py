@@ -91,11 +91,20 @@ class EpochCommitSink:
         return batch_df
 
     def _commit(self, batch_df: DataFrame, stamp: dict) -> None:
-        """Subclass hook: one atomic table commit carrying ``stamp``."""
+        """Subclass hook: one atomic table commit carrying ``stamp``.
+
+        The identity epoch tag makes identity allocation exactly-once
+        too: the first attempt of an epoch reserves (and records) its
+        watermark range, a crash-replay of the same epoch reuses that
+        range - deterministic values, no duplicates, no gap per replay
+        (``table._reserve_identity_epoch``)."""
         self.table.append(
             batch_df,
             optimize_write=self.optimize_write,
             extra_summary=stamp,
+            identity_epoch=(
+                f"{self.query_id}:{stamp[_EPOCH_KEY]}"
+            ),
         )
 
 

@@ -435,6 +435,7 @@ class LakehouseTable:
         bloom_cols: list[str] | None = None,
         extra_summary: dict | None = None,
         merge_schema: bool = False,
+        identity_epoch: str | None = None,
     ) -> Snapshot:
         """Append rows as a new snapshot (S5, reference
         ``lakehouse_pipeline.py:394``). Retries on commit conflict -
@@ -469,7 +470,9 @@ class LakehouseTable:
             evolve_schema_for(self, df)
         snap = self.snapshot()  # one load serves fill, validation, spec
         df = self._fill_generated(df, snap)
-        df = self._fill_identity(df, self.identity_columns())
+        df = self._fill_identity(
+            df, self.identity_columns(), epoch_tag=identity_epoch
+        )
         self._validate_append_schema(df, snap)
         self._validate_constraints(df, snap)
         spec = snap.partition_spec
@@ -2190,8 +2193,64 @@ class LakehouseTable:
             }
         )
 
+    def _reserve_identity_epoch(
+        self, tag: str, n_rows: int
+    ) -> dict[str, int]:
+        """Exactly-once identity reservation for a streaming epoch: the
+        first attempt CAS-reserves and RECORDS the bases under ``tag``
+        (``<query-id>:<epoch-id>``); a crash-replay of the same epoch
+        reuses the recorded range instead of burning a new one, so the
+        assigned values are deterministic across replays. A replay
+        whose batch size differs (a fresh checkpoint re-cutting epochs)
+        cannot reuse the undersized range - it reserves fresh and the
+        recorded range becomes a gap (within the identity contract)."""
+        import hashlib
+
+        os.makedirs(self._identity_rsv_dir(), exist_ok=True)
+        safe = hashlib.sha256(tag.encode()).hexdigest()[:24]
+        path = os.path.join(
+            self._identity_rsv_dir(), f"epoch-{safe}.json"
+        )
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+            if int(rec.get("__n_rows", -1)) == int(n_rows):
+                return {
+                    k: int(v)
+                    for k, v in rec.items()
+                    if k != "__n_rows"
+                }
+        except FileNotFoundError:
+            pass
+        base = self._reserve_identity(n_rows)
+        tmp = os.path.join(
+            self._identity_rsv_dir(), f".tmp.{uuid.uuid4().hex}"
+        )
+        with open(tmp, "w") as f:
+            json.dump({**base, "__n_rows": int(n_rows)}, f)
+        try:
+            os.link(tmp, path)  # exactly one attempt records the epoch
+        except FileExistsError:
+            # a concurrent twin of this epoch recorded first: use ITS
+            # range (ours is burned) so both attempts assign identically
+            os.unlink(tmp)
+            with open(path) as f:
+                rec = json.load(f)
+            if int(rec.get("__n_rows", -1)) == int(n_rows):
+                return {
+                    k: int(v)
+                    for k, v in rec.items()
+                    if k != "__n_rows"
+                }
+            return base  # size-mismatched record: keep our fresh range
+        os.unlink(tmp)
+        return base
+
     def _fill_identity(
-        self, df: DataFrame, ids: dict | None = None
+        self,
+        df: DataFrame,
+        ids: dict | None = None,
+        epoch_tag: str | None = None,
     ) -> DataFrame:
         """Allocate identity values for the batch (the append door):
         one counting pass computes per-partition row counts, the driver
@@ -2239,7 +2298,9 @@ class LakehouseTable:
         for pid in sorted(counts):
             offs[pid] = acc
             acc += counts[pid]
-        if acc:
+        if acc and epoch_tag is not None:
+            base = self._reserve_identity_epoch(epoch_tag, acc)
+        elif acc:
             base = self._reserve_identity(acc)
         else:
             base = {n: s["high"] for n, s in ids.items()}

@@ -1726,3 +1726,82 @@ def test_scd2_stream_end_to_end(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert dim.current_version() == v  # drained checkpoint: no commits
+
+
+def test_streaming_identity_exactly_once(spark, tmp_path):
+    """VERDICT r9 #5: an availableNow stream into an IDENTITY table
+    allocates unique ids; a checkpoint-loss replay (fresh checkpoint,
+    same query id) skips via the epoch stamp and assigns NO duplicate
+    ids; a direct crash-replay of an epoch that reserved but never
+    committed REUSES its recorded range (deterministic values, no
+    extra gap)."""
+    from pyspark.sql.types import LongType, StringType, StructField
+    from pyspark.sql.types import StructType as _ST
+
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.catalog import (
+        LakehouseCatalog,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.streaming.sink import (
+        EpochCommitSink,
+        write_stream_to_table,
+    )
+
+    schema = _ST([StructField("v", StringType())])
+    src = tmp_path / "id_src"
+    src.mkdir()
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    _pq.write_table(
+        _pa.table({"v": [f"r{i}" for i in range(40)]}),
+        src / "a.parquet",
+    )
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("gold")
+    t = cat.create_table(
+        "gold.sid",
+        _ST(
+            [
+                StructField("rid", LongType()),
+                StructField("v", StringType()),
+            ]
+        ),
+        [],
+    )
+    t.set_identity_column("rid", start=1, step=1)
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    write_stream_to_table(
+        stream,
+        t,
+        str(tmp_path / "ck1"),
+        query_id="idq",
+        available_now=True,
+    ).awaitTermination(120)
+    ids1 = sorted(r["rid"] for r in t.to_df().collect())
+    assert ids1 == list(range(1, 41))
+    # checkpoint loss: fresh checkpoint replays epoch 0 - the epoch
+    # stamp skips the append, so no duplicate ids and no gap burn
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    write_stream_to_table(
+        stream,
+        t,
+        str(tmp_path / "ck2"),
+        query_id="idq",
+        available_now=True,
+    ).awaitTermination(120)
+    ids2 = sorted(r["rid"] for r in t.to_df().collect())
+    assert ids2 == ids1
+    # crash between reservation and commit: the retry of the SAME
+    # epoch reuses the recorded range - deterministic values
+    batch = spark.createDataFrame([("x",), ("y",)], "v string")
+    sink = EpochCommitSink(t, "idq2")
+    base1 = t._reserve_identity_epoch("idq2:5", 2)
+    sink(batch, 5)  # the "retry" allocates from the SAME bases
+    got = {
+        r["rid"]
+        for r in t.to_df().filter("v IN ('x','y')").collect()
+    }
+    assert got == {base1["rid"] + 1, base1["rid"] + 2}
+    # and nothing collided with the earlier 40
+    allv = [r["rid"] for r in t.to_df().collect()]
+    assert len(allv) == len(set(allv)) == 42
