@@ -1966,23 +1966,34 @@ def q83_train_val_test_split(
     "q8e_dsir_selection",
     # new in r9, registered behind the judged window (r10 rotation
     # fodder); certifies DSIR (operators/dsir.py - Xie et al. 2023
-    # importance resampling) cross-engine: the hashed-unigram bucket
-    # counts that feed the fit are exact integers both engines must
-    # reproduce (md5-u32 % 64), and the selection-enrichment flag pins
-    # the semantics (the top-k by importance weight is more
-    # target-language-like than the corpus).
+    # importance resampling) cross-engine IN THE PAPER'S DEFAULT
+    # ngrams=(1,2) configuration (VERDICT r9 #6): the hashed uni+bigram
+    # bucket counts that feed the fit are exact integers both engines
+    # must reproduce (md5-u32 % 64; bigrams join adjacent tokens with
+    # chr(31) - DuckDB's list_zip spelling mirrors Spark's zip_with),
+    # and the selection-enrichment flag pins the semantics (the top-k
+    # by importance weight is more target-language-like than the
+    # corpus).
     # promoted to the judged window in r10 (VERDICT r9 #1: the
     # last 9 never-driver-judged registrations)
     defer=False,
     oracle="""
-    WITH toks AS (
-      SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS tok
-      FROM documents
+    WITH docs AS (
+      SELECT lang, string_split(text, ' ') AS l FROM documents
+    ), grams AS (
+      SELECT lang, UNNEST(l) AS g FROM docs
+      UNION ALL
+      SELECT lang,
+             UNNEST(list_transform(
+               list_zip(l[1:len(l)-1], l[2:len(l)]),
+               p -> p[1] || chr(31) || p[2]
+             )) AS g
+      FROM docs
     ), b AS (
       SELECT lang,
-             CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT) % 64
+             CAST('0x' || substring(md5(g), 1, 8) AS BIGINT) % 64
                AS bucket
-      FROM toks WHERE tok <> ''
+      FROM grams WHERE g <> ''
     )
     SELECT bucket,
            CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
@@ -1993,19 +2004,21 @@ def q83_train_val_test_split(
     """,
 )
 def q8e_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DSIR end-to-end on the documents corpus: target = the English
-    slice, raw = everything; the judged rows are the exact per-bucket
-    hashed-unigram counts both engines must agree on (the fit's
-    sufficient statistics), plus a flag that the top-50 selection by
-    importance weight is more English than the corpus base rate - the
-    semantic point of importance resampling."""
-    from ..operators.dsir import dsir_fit, dsir_select
+    """DSIR end-to-end on the documents corpus in the paper's default
+    ngrams=(1,2) configuration: target = the English slice, raw =
+    everything; the judged rows are the exact per-bucket hashed
+    uni+bigram counts both engines must agree on (the fit's sufficient
+    statistics - bigrams join adjacent tokens with chr(31) on both
+    sides), plus a flag that the top-50 selection by importance weight
+    is more English than the corpus base rate - the semantic point of
+    importance resampling."""
+    from ..operators.dsir import _grams, dsir_fit, dsir_select
     from ..operators.embedding import _token_u32
 
     d = load(spark, sf_dir, "documents")
     target = d.filter(F.col("lang") == "en")
-    lr = dsir_fit(target, d, ngrams=(1,), n_buckets=4096)
-    sel = dsir_select(d, lr, k=50, ngrams=(1,))
+    lr = dsir_fit(target, d, ngrams=(1, 2), n_buckets=4096)
+    sel = dsir_select(d, lr, k=50, ngrams=(1, 2))
     sel_en = (
         sel.agg(
             F.avg((F.col("lang") == "en").cast("double")).alias("f")
@@ -2017,12 +2030,16 @@ def q8e_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).first()["f"]
     )
     enriched = bool(sel_en > base_en)
-    toks = d.select(
-        "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
-    ).where(F.col("tok") != "")
+    grams = d.select(
+        "lang", F.explode(_grams(F.col("text"), " ", 1)).alias("g")
+    ).unionByName(
+        d.select(
+            "lang", F.explode(_grams(F.col("text"), " ", 2)).alias("g")
+        )
+    ).where(F.col("g") != "")
     return (
-        toks.select(
-            "lang", (_token_u32(F.col("tok")) % 64).alias("bucket")
+        grams.select(
+            "lang", (_token_u32(F.col("g")) % 64).alias("bucket")
         )
         .groupBy("bucket")
         .agg(
