@@ -373,8 +373,20 @@ def lsh_candidate_pairs(
     true near-duplicate cluster bigger than the cap still surfaces
     through its OTHER bands (boilerplate shares one band's tokens;
     near-identical documents collide in most of the 32), so recall
-    degrades gracefully while the worst case becomes bounded. None
-    (default) keeps exact historical behavior."""
+    degrades gracefully while the worst case becomes bounded.
+
+    DECISION (r10, closing the r6 perf-watch): ``None`` stays the
+    default. (1) The default path keeps the documented exact-banding
+    semantics - every registered near-dup query is judged against an
+    exact SQL oracle, and a default cap would silently drop candidate
+    pairs; (2) the right cap is corpus-relative (what counts as a
+    boilerplate-sized bucket on a web crawl is three orders of
+    magnitude above a curated corpus), so any universal number would
+    be wrong for most callers; (3) moderate skew is already absorbed
+    without recall loss by AQE's skew-join split on the band-bucket
+    join. Corpus-scale callers doing 100 TB web dedup should pass an
+    explicit cap (~1000) - that is a tuning decision the caller owns,
+    not a silent default."""
     sig = F.col("minhash")
     bands = []
     for b in range(n_bands):
