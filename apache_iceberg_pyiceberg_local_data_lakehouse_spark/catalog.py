@@ -196,10 +196,14 @@ _DML_MERGE_HEAD = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _DML_MERGE_CLAUSE = re.compile(
+    # column-level SET assignments run to the next CLAUSE-starting
+    # "WHEN [NOT] MATCHED" (not any WHEN - CASE WHEN must stay inside
+    # the assignment expression)
     r"WHEN\s+(?P<kind>NOT\s+MATCHED\s+BY\s+SOURCE|NOT\s+MATCHED|MATCHED)"
     r"(?:\s+AND\s+(?P<cond>.+?))?"
     r"\s+THEN\s+(?P<action>UPDATE\s+SET\s+\*"
-    r"|UPDATE\s+SET\s+(?P<sets>(?:(?!\bWHEN\b).)+)"
+    r"|UPDATE\s+SET\s+"
+    r"(?P<sets>(?:(?!\bWHEN\s+(?:NOT\s+)?MATCHED\b).)+)"
     r"|INSERT\s+\*|DELETE)",
     re.IGNORECASE | re.DOTALL,
 )
@@ -2283,7 +2287,10 @@ class LakehouseCatalog:
                 for p in sorted(
                     {p for p in pref if p}, key=len, reverse=True
                 ):
-                    expr = re.sub(rf"\b{re.escape(p)}\.", repl, expr)
+                    # quote-aware: 'contact s.smith' keeps its literal
+                    expr = _sub_outside_quotes(
+                        re.compile(rf"\b{re.escape(p)}\."), repl, expr
+                    )
             items.append((col, expr.strip()))
         seen: set[str] = set()
         for col, _ in items:
@@ -2312,12 +2319,19 @@ class LakehouseCatalog:
         b=a`` swaps), and each result is cast to the table column's
         type (Delta's store-assignment casting).
 
-        ``evolve=True`` (MERGE WITH SCHEMA EVOLUTION) adds SET-target
-        columns the table lacks, typed from their expression, before
-        computing; without it an unknown SET target refuses. INSERT *
-        maps source columns by name and fills missing table columns
-        with typed NULLs (Delta's INSERT * under evolution)."""
-        from .dml import add_column, merge_into
+        ``evolve=True`` (MERGE WITH SCHEMA EVOLUTION) reconciles the
+        schema BEFORE computing - new SET targets add (typed from their
+        expression) and, when INSERT * is present, the full source
+        schema unions in via :func:`dml.evolve_schema_for` (the same
+        semantics as the row-replace door) - but only AFTER the
+        incoming rows pass the CHECK/generated gate against the
+        PRE-evolution schema, so a refused merge cannot strand an
+        evolved schema. Without the flag an unknown SET target refuses.
+        INSERT * maps source columns by name and fills missing
+        non-generated table columns with typed NULLs; generated columns
+        are always RECOMPUTED from their expressions (both branches)
+        unless explicitly SET."""
+        from .dml import add_column, evolve_schema_for, merge_into
 
         lower_keys = {k.lower() for k in keys}
         for col, _ in sets:
@@ -2330,54 +2344,71 @@ class LakehouseCatalog:
                 "column-level SET cannot combine WHEN MATCHED AND <cond> "
                 "with WHEN NOT MATCHED BY SOURCE THEN DELETE"
             )
-        tdf = t.scan()
-        if matched_condition is not None:
-            # rows failing the condition keep the table version; the
-            # bare-name predicate is unambiguous against the target
-            # scan alone (merge_into re-applies it on the kept side)
-            tdf_m = tdf.filter(F.expr(matched_condition))
-        else:
-            tdf_m = tdf
-        cond_expr = None
-        for k in keys:  # plain equality - merge_into's key model
-            eq = F.col(f"__mt.{k}") == F.col(f"__ms.{k}")
-            cond_expr = eq if cond_expr is None else (cond_expr & eq)
-        joined = tdf_m.alias("__mt").join(
-            src_df.alias("__ms"), cond_expr, "inner"
-        )
-        tcols = {f.name.lower() for f in t.schema.fields}
-        for col, expr in sets:
-            if col.lower() not in tcols:
-                if not evolve:
-                    raise ValueError(
-                        f"SET target {col!r} is not a table column; "
-                        "MERGE WITH SCHEMA EVOLUTION adds it"
-                    )
-                dt = (
-                    joined.select(F.expr(expr).alias("__probe"))
-                    .schema[0]
-                    .dataType
-                )
-                add_column(t, col, dt.jsonValue())
         set_map = {c.lower(): e for c, e in sets}
-        fields = t.schema.fields  # post-evolution order
-        computed = joined.select(
-            *[
-                F.expr(set_map[f.name.lower()])
-                .cast(f.dataType)
-                .alias(f.name)
-                if f.name.lower() in set_map
-                else F.col(f"__mt.{f.name}").alias(f.name)
+        gen = t.generated_columns()
+        gen_lower = {g.lower() for g in gen}
+
+        def build(fields):
+            """Full-row updates frame over ``fields``: matched rows
+            computed from the join (assigned columns from their
+            expressions against the ORIGINAL row, the rest carried),
+            plus - when INSERT * - unmatched source rows aligned by
+            name. Unassigned generated columns recompute from their
+            expressions AFTER the base select so they see assigned
+            values (a SET touching a generated column's dependency
+            stays consistent)."""
+            tdf = t.scan()
+            tdf_m = (
+                tdf.filter(F.expr(matched_condition))
+                if matched_condition is not None
+                else tdf
+            )
+            cond_expr = None
+            for k in keys:  # plain equality - merge_into's key model
+                eq = F.col(f"__mt.{k}") == F.col(f"__ms.{k}")
+                cond_expr = eq if cond_expr is None else (cond_expr & eq)
+            joined = tdf_m.alias("__mt").join(
+                src_df.alias("__ms"), cond_expr, "inner"
+            )
+            base_fields = [
+                f
                 for f in fields
+                if f.name.lower() in set_map
+                or f.name.lower() not in gen_lower
             ]
-        )
-        updates = computed
-        if when_not_matched == "insert":
+
+            def finish(df):
+                for gname, gexpr in gen.items():
+                    if gname.lower() not in set_map:
+                        gtype = next(
+                            f.dataType
+                            for f in fields
+                            if f.name.lower() == gname.lower()
+                        )
+                        df = df.withColumn(
+                            gname, F.expr(gexpr).cast(gtype)
+                        )
+                return df.select(*[f.name for f in fields])
+
+            computed = finish(
+                joined.select(
+                    *[
+                        F.expr(set_map[f.name.lower()])
+                        .cast(f.dataType)
+                        .alias(f.name)
+                        if f.name.lower() in set_map
+                        else F.col(f"__mt.{f.name}").alias(f.name)
+                        for f in base_fields
+                    ]
+                )
+            )
+            if when_not_matched != "insert":
+                return computed, joined
             ins = src_df.join(
                 tdf.select(*keys).distinct(), on=keys, how="left_anti"
             )
             scols = {c.lower(): c for c in ins.columns}
-            updates = computed.unionByName(
+            aligned = finish(
                 ins.select(
                     *[
                         F.col(scols[f.name.lower()])
@@ -2385,10 +2416,47 @@ class LakehouseCatalog:
                         .alias(f.name)
                         if f.name.lower() in scols
                         else F.lit(None).cast(f.dataType).alias(f.name)
-                        for f in fields
+                        for f in base_fields
                     ]
                 )
             )
+            return computed.unionByName(aligned), joined
+
+        tcols = {f.name.lower() for f in t.schema.fields}
+        missing = [(c, e) for c, e in sets if c.lower() not in tcols]
+        if missing and not evolve:
+            raise ValueError(
+                f"SET target {missing[0][0]!r} is not a table column; "
+                "MERGE WITH SCHEMA EVOLUTION adds it"
+            )
+        if evolve:
+            # the incoming rows are exactly computable from the
+            # PRE-evolution columns alone (new columns cannot carry
+            # constraints), so the CHECK/generated gate runs BEFORE the
+            # first schema commit - a refused merge leaves the schema
+            # untouched (the dml.py fast-path probe's discipline)
+            pre_fields = [
+                f
+                for f in t.schema.fields
+                if f.name.lower() not in {c.lower() for c, _ in missing}
+            ]
+            probe, joined0 = build(pre_fields)
+            t._validate_constraints(probe, t.snapshot(), op="merge")
+            if when_not_matched == "insert":
+                # INSERT * under evolution unions the full source
+                # schema in, same as the row-replace door
+                evolve_schema_for(t, src_df)
+            now = {f.name.lower() for f in t.schema.fields}
+            for col, expr in missing:
+                if col.lower() in now:
+                    continue  # evolve_schema_for already added it
+                dt = (
+                    joined0.select(F.expr(expr).alias("__probe"))
+                    .schema[0]
+                    .dataType
+                )
+                add_column(t, col, dt.jsonValue())
+        updates, _ = build(t.schema.fields)  # post-evolution
         return merge_into(
             t,
             updates,
@@ -3069,12 +3137,16 @@ class LakehouseCatalog:
             # each term is one single-dim signed-changelog refresh with
             # the EARLIER moved dims bound to their NEW snapshots and
             # the LATER ones to their PINNED snapshots (any fixed dim
-            # order works; the declared order is used). Pins update
-            # only after BOTH terms commit - a declined second term
-            # leaves a half-merged MV that the full refresh below
-            # immediately overwrites (always correct). Three+ moved
-            # dims stay full-refresh: the terms multiply while the
-            # full recompute stays O(star) once.
+            # order works; the declared order is used). Each dim's pin
+            # updates IMMEDIATELY after its term commits - a crash (or
+            # commit conflict) between terms then leaves a state the
+            # next refresh resumes as a plain single-moved-dim CDC
+            # refresh, never a double-apply of the committed term. A
+            # term DECLINING (NotImplemented) falls through to the full
+            # refresh below, which overwrites the half-merged state
+            # (always correct). Three+ moved dims stay full-refresh:
+            # the terms multiply while the full recompute stays O(star)
+            # once.
             moved_by = {mv[0]: mv for mv in moved}
             ordered = [d for d in dims if d in moved_by]
             chs: dict[str, DataFrame] = {}
@@ -3112,16 +3184,17 @@ class LakehouseCatalog:
                     if snap is NotImplemented:
                         ok = False
                         break
-            if ok:
-                for ident in ordered:
+                    # pin THIS dim now: the committed term must never
+                    # be re-applied by a later (crash-resumed) refresh
                     _, pv, dv, _ = moved_by[ident]
                     new_vs[ident] = dv
                     s2 = self._snap_id(self.load_table(ident), dv)
                     if s2 is not None:
                         new_sids[ident] = s2
-                t.set_properties(
-                    **self._dim_pin_props(dims, new_vs, new_sids)
-                )
+                    t.set_properties(
+                        **self._dim_pin_props(dims, new_vs, new_sids)
+                    )
+            if ok:
                 return snap
         new_pin = self._pin_props(
             fact_ident, "mv.base_version", "mv.base_snapshot"

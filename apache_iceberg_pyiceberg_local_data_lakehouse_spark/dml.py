@@ -559,6 +559,7 @@ def merge_into(
             "allocated at the append door; use a matched-only MERGE "
             "(when_not_matched='ignore') or append the new rows"
         )
+    constraints_prevalidated = False
     if with_schema_evolution:
         # Evolution is fail-open (each add/widen is its own metadata
         # commit), so a merge that fails AFTER it leaves the table
@@ -583,6 +584,9 @@ def merge_into(
                 table._validate_constraints(
                     probe, table.snapshot(), op="merge"
                 )
+                # on this exact path incoming == entering == updates,
+                # so the later gate would re-aggregate the same rows
+                constraints_prevalidated = True
         evolve_schema_for(table, updates)
     # full-row sources (row-replace / insert) fill omitted generated
     # columns like the append door; keys-only sources (a delete merge
@@ -666,9 +670,10 @@ def merge_into(
     if incoming is not None:
         # only source-derived rows are new values; kept rows passed the
         # gate when they were written (CHECK holds for every write verb)
-        table._validate_constraints(
-            incoming.select(*touched_df.columns), snap, op="merge"
-        )
+        if not constraints_prevalidated:
+            table._validate_constraints(
+                incoming.select(*touched_df.columns), snap, op="merge"
+            )
         merged = kept.unionByName(incoming.select(*touched_df.columns))
     new_entries = table._write_files(merged, snap.partition_spec)
     # delta commit: manifest files holding only untouched entries carry

@@ -512,9 +512,22 @@ def compact(
                 "partition fields declared or in any data file)"
             )
         if not all_keys:
-            # declared-but-empty partitioned table: nothing to compact,
-            # and an unvalidatable predicate over zero files is a no-op
-            # (Delta parity), not an error
+            # declared-but-empty partitioned table: nothing to compact -
+            # but the predicate still VALIDATES against the declared
+            # fields ('an invalid predicate raises in every table
+            # state'), via one all-NULL candidate row
+            pdf0 = table.spark.createDataFrame(
+                [Row(__idx=0)]
+            )
+            for c in cols:
+                pdf0 = pdf0.withColumn(c, F.lit(None).cast("string"))
+            try:
+                pdf0.filter(F.expr(partition_where)).collect()
+            except Exception as exc:
+                raise ValueError(
+                    "OPTIMIZE ... WHERE must be a predicate over the "
+                    f"partition columns {cols}: {exc}"
+                ) from exc
             return None
         file_cols = sorted({c for k in all_keys for c, _ in k})
         pdf = table.spark.createDataFrame(

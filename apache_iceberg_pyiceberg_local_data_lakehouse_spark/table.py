@@ -2244,6 +2244,27 @@ class LakehouseTable:
                 }
             return base  # size-mismatched record: keep our fresh range
         os.unlink(tmp)
+        # bound the record directory: Spark only ever replays the LAST
+        # epoch, so records far behind are dead weight - without this a
+        # long-running stream would grow one file per micro-batch
+        # forever and every chain-head read would pay the listdir
+        try:
+            eps = [
+                os.path.join(self._identity_rsv_dir(), n)
+                for n in os.listdir(self._identity_rsv_dir())
+                if n.startswith("epoch-") or n.startswith(".tmp.")
+            ]
+            if len(eps) > 256:
+                eps.sort(key=lambda p: os.stat(p).st_mtime_ns)
+                for p in eps[: len(eps) - 128]:
+                    if p == path:
+                        continue  # never prune the record just written
+                    try:
+                        os.unlink(p)
+                    except FileNotFoundError:
+                        pass
+        except OSError:
+            pass  # pruning is best-effort
         return base
 
     def _fill_identity(

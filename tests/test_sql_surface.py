@@ -3191,6 +3191,159 @@ def test_merge_column_set_schema_evolution(catalog, spark):
     assert got == {(1, 101, "HOT"), (2, 20, None)}
 
 
+def test_merge_column_set_review_edges(catalog, spark):
+    """r10 review findings on the column-level SET door: (a) a string
+    literal containing an alias-dot token is NOT rewritten; (b) CASE
+    WHEN inside an assignment expression parses (only clause-starting
+    'WHEN [NOT] MATCHED' ends the SET list); (c) generated columns
+    RECOMPUTE when a SET touches their dependency, and INSERT * fills
+    them from their expression instead of poisoning with NULL."""
+    t = catalog.create_table(
+        "gold.cledge",
+        spark.createDataFrame([], "k long, v long, note string").schema,
+        [],
+    )
+    t.append(
+        spark.createDataFrame(
+            [(1, 5, "a"), (2, -3, "b")], "k long, v long, note string"
+        )
+    )
+    spark.createDataFrame(
+        [(1,), (2,)], "k long"
+    ).createOrReplaceTempView("cledge_src")
+    catalog.sql(
+        "MERGE INTO gold.cledge USING cledge_src s "
+        "ON gold.cledge.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET "
+        "note = 'contact s.smith', "
+        "v = CASE WHEN gold.cledge.v > 0 THEN gold.cledge.v ELSE 0 END"
+    )
+    got = {
+        (r["k"], r["v"], r["note"])
+        for r in catalog.load_table("gold.cledge").to_df().collect()
+    }
+    assert got == {(1, 5, "contact s.smith"), (2, 0, "contact s.smith")}
+    # generated column recomputes from its dependency
+    g = catalog.create_table(
+        "gold.clgen",
+        spark.createDataFrame([], "k long, ts timestamp, d date").schema,
+        [],
+    )
+    g.set_generated_column("d", "to_date(ts)")
+    g.append(
+        spark.createDataFrame(
+            [(1, "2024-03-01 10:00:00")], "k long, ts string"
+        ).selectExpr("k", "CAST(ts AS TIMESTAMP) AS ts")
+    )
+    spark.createDataFrame(
+        [(1, "2024-06-15 09:00:00"), (2, "2024-07-04 12:00:00")],
+        "k long, ts string",
+    ).selectExpr(
+        "k", "CAST(ts AS TIMESTAMP) AS ts"
+    ).createOrReplaceTempView("clgen_src")
+    catalog.sql(
+        "MERGE INTO gold.clgen USING clgen_src s ON gold.clgen.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET ts = s.ts "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = {
+        (r["k"], str(r["d"]))
+        for r in catalog.load_table("gold.clgen").to_df().collect()
+    }
+    assert got == {(1, "2024-06-15"), (2, "2024-07-04")}
+
+
+def test_merge_column_set_evolution_review_edges(catalog, spark):
+    """r10 review findings on column-level SET + evolution: (a) a CHECK
+    violation refuses BEFORE the first schema commit (no stranded
+    column); (b) INSERT * under evolution unions the FULL source
+    schema in (a non-SET source column is added and populated, the
+    row-replace door's semantics)."""
+    import pytest as _pytest
+
+    t = catalog.create_table(
+        "gold.clsev2",
+        spark.createDataFrame([], "k long, v long").schema,
+        [],
+    )
+    t.append(spark.createDataFrame([(1, 10)], "k long, v long"))
+    t.add_constraint("v_pos", "v > 0")
+    spark.createDataFrame(
+        [(1, "hot", 77)], "k long, tag string, z long"
+    ).createOrReplaceTempView("clsev2_src")
+    with _pytest.raises(ValueError, match="v_pos"):
+        catalog.sql(
+            "MERGE WITH SCHEMA EVOLUTION INTO gold.clsev2 "
+            "USING clsev2_src s ON gold.clsev2.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET tag = s.tag, v = -1 "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+    assert {
+        f.name for f in catalog.load_table("gold.clsev2").schema.fields
+    } == {"k", "v"}  # nothing stranded
+    catalog.sql(
+        "MERGE WITH SCHEMA EVOLUTION INTO gold.clsev2 "
+        "USING clsev2_src s ON gold.clsev2.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET tag = s.tag "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    t = catalog.load_table("gold.clsev2")
+    # z (never a SET target) evolved in via INSERT * union semantics
+    assert {f.name for f in t.schema.fields} == {"k", "v", "tag", "z"}
+    got = {
+        (r["k"], r["v"], r["tag"], r["z"]) for r in t.to_df().collect()
+    }
+    assert got == {(1, 10, "hot", None)}
+
+
+def test_mv_two_dim_cdc_resumes_after_partial_failure(catalog, spark):
+    """r10 review finding: the two-moved-dims composition pins each dim
+    IMMEDIATELY after its term commits - a failure between terms leaves
+    a state the next refresh resumes as a single-moved-dim CDC refresh,
+    never a double-apply of the committed term."""
+    import json as _json
+
+    f, d1, d2 = _star_fixture(catalog, spark, "pf")
+    catalog.create_materialized_view("gold.smvpf", _STAR_Q.format(s="pf"))
+    catalog.sql("UPDATE gold.sdim1pf SET seg = 'C' WHERE k = 2")
+    catalog.sql("UPDATE gold.sdim2pf SET reg = 'EU2' WHERE r = 10")
+    real = type(catalog)._join_cdc_refresh
+    calls = {"n": 0}
+
+    def failing(self, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected crash between terms")
+        return real(self, *a, **kw)
+
+    type(catalog)._join_cdc_refresh = failing
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="injected"):
+            catalog.refresh_materialized_view("gold.smvpf")
+    finally:
+        type(catalog)._join_cdc_refresh = real
+    # term 1 (dim1) committed AND pinned; dim2 still at its old pin
+    vs = _json.loads(
+        catalog.load_table("gold.smvpf").properties()[
+            "mv.join_dim_versions"
+        ]
+    )
+    assert vs["gold.sdim1pf"] == str(d1.current_version())
+    assert vs["gold.sdim2pf"] != str(d2.current_version())
+    # the resumed refresh is a single-moved-dim CDC merge, and the view
+    # equals the recompute (no double-apply of term 1)
+    snap = catalog.refresh_materialized_view("gold.smvpf")
+    assert snap is not None and snap.operation == "merge"
+    assert snap.summary.get("cdc_refresh") is True
+    catalog.register_views()
+    got = {
+        tuple(r) for r in spark.sql("SELECT * FROM gold_smvpf").collect()
+    }
+    assert got == _star_expected(catalog, spark, "pf")
+
+
 def test_merge_evolution_constraint_fails_before_schema_commit(
     catalog, spark
 ):
