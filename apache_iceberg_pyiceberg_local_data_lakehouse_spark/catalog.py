@@ -50,6 +50,13 @@ _DML_INSERT = re.compile(
     r"^\s*INSERT\s+(INTO|OVERWRITE)\s+([\w.]+)\s+(SELECT\b.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+# Delta's predicate-scoped atomic overwrite:
+# INSERT INTO t REPLACE WHERE <pred> SELECT ...
+_DML_REPLACE_WHERE = re.compile(
+    r"^\s*INSERT\s+INTO\s+([\w.]+)\s+REPLACE\s+WHERE\s+(.+?)"
+    r"\s+(SELECT\b.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _DML_SHOW_TABLES = re.compile(
     r"^\s*SHOW\s+TABLES(?:\s+IN\s+(\w+))?\s*;?\s*$", re.IGNORECASE
 )
@@ -2240,6 +2247,47 @@ class LakehouseCatalog:
             "operation string, table string, version long",
         )
 
+    def _positional_cast(self, src: DataFrame, t: LakehouseTable):
+        """ANSI INSERT resolution: the SELECT's columns map to the
+        target's by POSITION and coerce to its types (a computed column
+        keeps its expression name; a bare 5.0 literal is DECIMAL).
+        Positional resolution also sidesteps computed-expression names
+        (`CAST(-1.0 AS DOUBLE)` contains dots that df[name] would
+        mis-parse as struct access). ANSI store assignment: a cast that
+        turns a value into NULL is an error, not silent corruption."""
+        fields = t.schema.fields
+        if len(src.columns) != len(fields):
+            raise ValueError(
+                f"INSERT column count {len(src.columns)} does not "
+                f"match table arity {len(fields)}"
+            )
+        src = src.toDF(*[f"_c{i}" for i in range(len(src.columns))])
+        # one materialization feeds the cast audit AND the write
+        src = src.localCheckpoint(eager=True)
+        bad = src.select(
+            *[
+                F.sum(
+                    (
+                        src[c].isNotNull()
+                        & src[c].try_cast(f.dataType).isNull()
+                    ).cast("long")
+                ).alias(f.name)
+                for c, f in zip(src.columns, fields)
+            ]
+        ).first()
+        broken = [f.name for f in fields if (bad[f.name] or 0) > 0]
+        if broken:
+            raise ValueError(
+                f"INSERT cast produced NULLs in columns {broken}; "
+                "fix the SELECT's types (ANSI store assignment)"
+            )
+        return src.select(
+            *[
+                src[c].cast(f.dataType).alias(f.name)
+                for c, f in zip(src.columns, fields)
+            ]
+        )
+
     @staticmethod
     def _strip_alias(cond: str, alias: str | None, target: str) -> str:
         """Rewrite ``t.col`` / ``ns.tbl.col`` references in a matched
@@ -3622,6 +3670,23 @@ class LakehouseCatalog:
                 [("drop table", ident, existed)],
                 "operation string, table string, existed boolean",
             )
+        m = _DML_REPLACE_WHERE.match(query)
+        if m:
+            # must match BEFORE plain INSERT (whose SELECT-group would
+            # swallow the REPLACE WHERE clause as garbage)
+            from .dml import replace_where
+
+            t = self.load_table(m.group(1))
+            self.register_views()
+            self._register_stored_views()
+            src = self._positional_cast(
+                self.spark.sql(m.group(3)), t
+            )
+            snap = replace_where(t, src, m.group(2))
+            return self.spark.createDataFrame(
+                [("replace where", m.group(1), snap.version)],
+                "operation string, table string, version long",
+            )
         m = _DML_INSERT.match(query)
         if m:
             # the SELECT runs over the registered views (reads may
@@ -3633,47 +3698,7 @@ class LakehouseCatalog:
             t = self.load_table(m.group(2))
             self.register_views()
             self._register_stored_views()
-            src = self.spark.sql(m.group(3))
-            # ANSI INSERT resolves the SELECT's columns by POSITION and
-            # coerces to the target's types (a computed column keeps its
-            # expression name; a bare 5.0 literal is DECIMAL)
-            fields = t.schema.fields
-            if len(src.columns) != len(fields):
-                raise ValueError(
-                    f"INSERT column count {len(src.columns)} does not "
-                    f"match table arity {len(fields)}"
-                )
-            # positional resolution also sidesteps computed-expression
-            # names (`CAST(-1.0 AS DOUBLE)` contains dots that df[name]
-            # would mis-parse as struct access)
-            src = src.toDF(*[f"_c{i}" for i in range(len(src.columns))])
-            # one materialization feeds the cast audit AND the write
-            src = src.localCheckpoint(eager=True)
-            # ANSI store assignment: a cast that turns a value into
-            # NULL is an error, not silent corruption
-            bad = src.select(
-                *[
-                    F.sum(
-                        (
-                            src[c].isNotNull()
-                            & src[c].try_cast(f.dataType).isNull()
-                        ).cast("long")
-                    ).alias(f.name)
-                    for c, f in zip(src.columns, fields)
-                ]
-            ).first()
-            broken = [f.name for f in fields if (bad[f.name] or 0) > 0]
-            if broken:
-                raise ValueError(
-                    f"INSERT cast produced NULLs in columns {broken}; "
-                    "fix the SELECT's types (ANSI store assignment)"
-                )
-            src = src.select(
-                *[
-                    src[c].cast(f.dataType).alias(f.name)
-                    for c, f in zip(src.columns, fields)
-                ]
-            )
+            src = self._positional_cast(self.spark.sql(m.group(3)), t)
             if m.group(1).upper() == "INTO":
                 snap = t.append(src)
                 op = "insert"

@@ -1182,6 +1182,119 @@ def overwrite_partitions(table: LakehouseTable, df: DataFrame) -> Snapshot | Non
     )
 
 
+def replace_where(
+    table: LakehouseTable, df: DataFrame, predicate: Column | str
+) -> Snapshot:
+    """Delta's ``INSERT INTO t REPLACE WHERE <pred> SELECT ...``: ONE
+    atomic commit that drops the rows matching ``predicate`` and
+    inserts ``df``. Enforcement (Delta's replaceWhere constraint
+    check): every incoming row must itself satisfy the predicate -
+    otherwise the "replace" would silently widen into an overwrite of
+    unrelated data.
+
+    Physical plan: files containing matches are located by one
+    predicate scan over the file-metadata column, ONLY those rewrite
+    (their surviving rows re-written next to the new rows), untouched
+    files carry by reference - at 100 TB replacing one day's slice
+    rewrites O(that day's files), not the table. The predicate must be
+    deterministic (same two-pass discipline as copy-on-write
+    update_where). Pending merge-on-read tombstones fall back to a full
+    logical rewrite (a partial rewrite cannot keep tombstones
+    consistent across both file sets - update_where's rule)."""
+    import os as _os
+    from urllib.parse import unquote, urlparse
+
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    snap = table.snapshot()
+    df = table._fill_generated(df, snap)
+    df = table._fill_identity(df, table.identity_columns())
+    # one materialization: the replaceWhere gate, the constraint gate,
+    # and the write must all see the same rows even for a
+    # non-deterministic source
+    df = df.localCheckpoint(eager=True)
+    table._validate_append_schema(df, snap)
+    table._validate_constraints(df, snap, op="replace where")
+    bad = (
+        df.filter(~F.coalesce(pred, F.lit(False))).limit(1).count()
+    )
+    if bad:
+        raise ValueError(
+            "REPLACE WHERE: every inserted row must satisfy the "
+            "predicate (Delta's replaceWhere constraint check) - "
+            "widen the predicate or fix the source"
+        )
+    if not snap.data_entries and not snap.delete_entries:
+        new_entries = table._write_files(df, snap.partition_spec)
+        return table.commit_delta(
+            added=new_entries,
+            removed_paths=set(),
+            operation="overwrite",
+            summary={"mode": "replace-where", "rewritten_files": 0},
+            base_version=snap.version,
+        )
+    if snap.delete_entries:
+        # pending MoR tombstones: full logical rewrite (scan applies
+        # the tombstones; the commit retires them with the data files)
+        survivors = table.scan(snapshot=snap).filter(
+            ~F.coalesce(pred, F.lit(False))
+        )
+        new_entries = table._write_files(
+            survivors.unionByName(df), snap.partition_spec
+        )
+        return table.commit_delta(
+            added=new_entries,
+            removed_paths={e["path"] for e in snap.manifest},
+            operation="overwrite",
+            summary={
+                "mode": "replace-where",
+                "rewritten_files": len(snap.data_entries),
+            },
+            base_version=snap.version,
+        )
+    probe = table._read_data(snap.data_entries, snap).filter(pred)
+    if not probe._jdf.queryExecution().analyzed().deterministic():
+        raise ValueError(
+            "REPLACE WHERE requires a deterministic predicate (it is "
+            "evaluated once to prune files and once to rewrite)"
+        )
+    matched_uris = [
+        r["file_path"]
+        for r in table._read_data(snap.data_entries, snap)
+        .filter(pred)
+        .select(F.col("_metadata.file_path").alias("file_path"))
+        .distinct()
+        .collect()
+    ]
+    matched_files = {
+        _os.path.relpath(unquote(urlparse(u).path), table.location)
+        for u in matched_uris
+    }
+    touched = [e for e in snap.data_entries if e["path"] in matched_files]
+    if len(touched) != len(matched_files):
+        raise RuntimeError(
+            "REPLACE WHERE file pruning could not map every matched "
+            "scan URI back to a manifest entry; refusing a partial "
+            "rewrite"
+        )
+    kept = table.scan(
+        snapshot=snap, file_filter=lambda e: e in touched
+    ).filter(~F.coalesce(pred, F.lit(False)))
+    new_entries = table._write_files(
+        kept.unionByName(df), snap.partition_spec
+    )
+    return table.commit_delta(
+        added=new_entries,
+        removed_paths={e["path"] for e in touched},
+        operation="overwrite",
+        summary={
+            "mode": "replace-where",
+            "rewritten_files": len(touched),
+            "carried_files": len(snap.data_entries) - len(touched),
+        },
+        base_version=snap.version,
+    )
+
+
 def truncate_table(table: LakehouseTable) -> Snapshot:
     """TRUNCATE TABLE: drop every row as pure metadata - a delete
     snapshot removing all file references, no data read or written

@@ -3764,6 +3764,84 @@ def q8h_mv_two_dim_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q8i_replace_where",
+    # new in r10, registered behind the judged window (r11 rotation
+    # fodder); certifies dml.replace_where / the INSERT INTO ... REPLACE
+    # WHERE SQL verb (Delta parity): one atomic commit drops the
+    # predicate's slice and inserts its replacement, rows outside the
+    # predicate survive in files carried BY REFERENCE (the flag trips
+    # if the untouched file was rewritten), and the readback equals the
+    # SQL reconstruction.
+    defer=True,
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderpriority AS pri,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ), fin AS (
+      SELECT o_orderkey, pri,
+             CASE WHEN pri = '1-URGENT' THEN cents - (cents % 100)
+                  ELSE cents END AS cents
+      FROM base
+    )
+    SELECT pri, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           TRUE AS files_carried
+    FROM fin GROUP BY pri ORDER BY pri
+    """,
+)
+def q8i_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REPLACE WHERE lifecycle on the orders table: urgent orders load
+    into their own file, the rest into another; the verb atomically
+    replaces the urgent slice with whole-dollar-truncated copies. The
+    non-urgent file must carry by reference (path identity checked) -
+    at 100 TB that is the difference between rewriting one slice and
+    rewriting the table."""
+    from ..catalog import LakehouseCatalog
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_q8i_")
+    try:
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("tmp")
+        o = load(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.col("o_orderpriority").alias("pri"),
+            F.expr(
+                "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
+            ).alias("cents"),
+        )
+        t = cat.create_table("tmp.rw_orders", o.schema)
+        t.append(o.filter(F.col("pri") == "1-URGENT").coalesce(1))
+        t.append(o.filter(F.col("pri") != "1-URGENT").coalesce(1))
+        cold = {
+            e["path"]
+            for e in t.snapshot().data_entries
+        }
+        cat.sql(
+            "INSERT INTO tmp.rw_orders REPLACE WHERE pri = '1-URGENT' "
+            "SELECT o_orderkey, pri, cents - (cents % 100) "
+            "FROM tmp_rw_orders WHERE pri = '1-URGENT'"
+        )
+        t = cat.load_table("tmp.rw_orders")
+        after = {e["path"] for e in t.snapshot().data_entries}
+        files_carried = len(cold & after) == 1  # the non-urgent file
+        res = (
+            t.to_df()
+            .groupBy("pri")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                F.sum("cents").cast("long").alias("sum_cents"),
+            )
+            .withColumn("files_carried", F.lit(files_carried))
+            .orderBy("pri")
+        )
+        rows = res.collect()  # materialize before the warehouse vanishes
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+@register(
     "q8b_scd2_history",
     # new in r9, registered behind the judged window (r10 rotation
     # fodder); certifies APPLY CHANGES ... STORED AS SCD TYPE 2

@@ -3398,3 +3398,70 @@ def test_sql_identity_column_ddl(catalog, spark):
     t = catalog.load_table("gold.idddl")
     t.append(spark.createDataFrame([("a",), ("b",)], "v string"))
     assert {r["rid"] for r in t.to_df().collect()} == {5, 10}
+
+
+def test_replace_where(catalog, spark):
+    """r10 Delta parity: INSERT INTO t REPLACE WHERE <pred> SELECT ... -
+    ONE atomic commit drops the predicate's rows and inserts the new
+    ones; rows NOT matching the predicate survive untouched, files
+    outside the predicate carry by reference, and an inserted row
+    violating the predicate refuses the whole statement."""
+    import pytest as _pytest
+
+    t = catalog.create_table(
+        "gold.rwh",
+        spark.createDataFrame([], "day string, k long, v long").schema,
+        [],
+    )
+    t.append(
+        spark.createDataFrame(
+            [("2024-01-01", 1, 10), ("2024-01-01", 2, 20)],
+            "day string, k long, v long",
+        ).coalesce(1)
+    )
+    t.append(
+        spark.createDataFrame(
+            [("2024-01-02", 3, 30)], "day string, k long, v long"
+        ).coalesce(1)
+    )
+    cold = {
+        e["path"]
+        for e in t.snapshot().data_entries
+    }
+    out = catalog.sql(
+        "INSERT INTO gold.rwh REPLACE WHERE day = '2024-01-01' "
+        "SELECT '2024-01-01', 9, CAST(99 AS BIGINT)"
+    ).first()
+    assert out["operation"] == "replace where"
+    got = {
+        (r["day"], r["k"], r["v"])
+        for r in catalog.load_table("gold.rwh").to_df().collect()
+    }
+    assert got == {("2024-01-01", 9, 99), ("2024-01-02", 3, 30)}
+    # the day-02 file carried by reference (never rewritten)
+    after = {e["path"] for e in catalog.load_table("gold.rwh").snapshot().data_entries}
+    assert len(cold & after) == 1  # exactly the untouched day-02 file
+    # an inserted row OUTSIDE the predicate refuses atomically
+    v = catalog.load_table("gold.rwh").current_version()
+    with _pytest.raises(ValueError, match="satisfy the predicate"):
+        catalog.sql(
+            "INSERT INTO gold.rwh REPLACE WHERE day = '2024-01-02' "
+            "SELECT '2024-09-09', 5, CAST(5 AS BIGINT)"
+        )
+    assert catalog.load_table("gold.rwh").current_version() == v
+    # NULL-predicate rows (three-valued logic) survive the replace
+    t = catalog.load_table("gold.rwh")
+    t.append(
+        spark.createDataFrame(
+            [(None, 7, 70)], "day string, k long, v long"
+        )
+    )
+    catalog.sql(
+        "INSERT INTO gold.rwh REPLACE WHERE day = '2024-01-01' "
+        "SELECT '2024-01-01', 8, CAST(88 AS BIGINT)"
+    )
+    got = {
+        (r["day"], r["k"])
+        for r in catalog.load_table("gold.rwh").to_df().collect()
+    }
+    assert got == {("2024-01-01", 8), ("2024-01-02", 3), (None, 7)}
