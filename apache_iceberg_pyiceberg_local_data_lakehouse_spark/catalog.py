@@ -1926,16 +1926,19 @@ class LakehouseCatalog:
         when_not_matched = "ignore"
         by_source = "keep"
         column_sets: list[tuple[str, str]] | None = None
+        matched_clauses: list[tuple[str | None, str, list | None]] = []
         clauses = m.group("clauses")
         seen_spans = []
         seen_kinds: set[str] = set()
         for cm in _DML_MERGE_CLAUSE.finditer(clauses):
             seen_spans.append(cm.span())
             kind = re.sub(r"\s+", " ", cm.group("kind").upper())
-            if kind in seen_kinds:
+            if kind != "MATCHED" and kind in seen_kinds:
                 # last-wins would silently mix actions and conditions
                 # across duplicate clauses (a stale matched_condition
-                # surviving an overwritten action) - reject instead
+                # surviving an overwritten action) - reject instead.
+                # Multiple WHEN MATCHED clauses are the Delta matrix
+                # (first-match-wins per row, r10) and are collected.
                 raise ValueError(
                     f"duplicate WHEN {kind} clause; the engine supports "
                     "one clause per kind"
@@ -1944,30 +1947,40 @@ class LakehouseCatalog:
             action = re.sub(r"\s+", " ", cm.group("action").upper())
             cond = cm.group("cond")
             if kind == "MATCHED":
+                stripped = (
+                    self._strip_alias(cond, m.group("talias"), target)
+                    if cond is not None
+                    else None
+                )
                 if action == "DELETE":
-                    when_matched = "delete"
+                    matched_clauses.append((stripped, "delete", None))
                 elif action == "UPDATE SET *":
-                    when_matched = "update"
+                    matched_clauses.append(
+                        (stripped, "update_star", None)
+                    )
                 elif cm.group("sets") is not None:
                     # column-level SET (r10): explicit assignments
                     # instead of row-replace
-                    when_matched = "update"
-                    column_sets = self._parse_merge_sets(
-                        cm.group("sets"),
-                        (m.group("talias"), target,
-                         target.rsplit(".", 1)[-1]),
-                        (m.group("salias"),
-                         None if src_txt.startswith("(") else src_txt,
-                         None
-                         if src_txt.startswith("(")
-                         else src_txt.rsplit(".", 1)[-1]),
+                    matched_clauses.append(
+                        (
+                            stripped,
+                            "update_sets",
+                            self._parse_merge_sets(
+                                cm.group("sets"),
+                                (m.group("talias"), target,
+                                 target.rsplit(".", 1)[-1]),
+                                (m.group("salias"),
+                                 None
+                                 if src_txt.startswith("(")
+                                 else src_txt,
+                                 None
+                                 if src_txt.startswith("(")
+                                 else src_txt.rsplit(".", 1)[-1]),
+                            ),
+                        )
                     )
                 else:
                     raise ValueError(f"WHEN MATCHED cannot {action}")
-                if cond is not None:
-                    matched_condition = self._strip_alias(
-                        cond, m.group("talias"), target
-                    )
             elif kind == "NOT MATCHED":
                 if action != "INSERT *":
                     raise ValueError(f"WHEN NOT MATCHED cannot {action}")
@@ -1988,6 +2001,34 @@ class LakehouseCatalog:
             raise ValueError(
                 f"unparsed MERGE clause text: {leftover!r}"
             )
+        if len(matched_clauses) > 1:
+            # the Delta multi-clause matrix: first-match-wins per row
+            if bool(m.group("evolve")):
+                raise ValueError(
+                    "MERGE WITH SCHEMA EVOLUTION composes with a single "
+                    "WHEN MATCHED clause only"
+                )
+            snap = self._merge_multi_clauses(
+                t,
+                src_df,
+                keys,
+                matched_clauses,
+                when_not_matched,
+                by_source,
+            )
+            return self.spark.createDataFrame(
+                [("merge", target, snap.version)],
+                "operation string, table string, version long",
+            )
+        if matched_clauses:
+            cond0, action0, sets0 = matched_clauses[0]
+            matched_condition = cond0
+            if action0 == "delete":
+                when_matched = "delete"
+            else:
+                when_matched = "update"
+                if action0 == "update_sets":
+                    column_sets = sets0
         if column_sets is not None:
             snap = self._merge_column_sets(
                 t,
@@ -2346,6 +2387,182 @@ class LakehouseCatalog:
                 raise ValueError(f"duplicate SET target {col!r}")
             seen.add(col.lower())
         return items
+
+    def _merge_multi_clauses(
+        self,
+        t: LakehouseTable,
+        src_df: DataFrame,
+        keys: list[str],
+        clauses: list[tuple[str | None, str, list | None]],
+        when_not_matched: str,
+        by_source: str,
+    ):
+        """Delta's multi-clause WHEN MATCHED matrix, first-match-wins
+        per target row: each clause is ``(condition, action, sets)``
+        with action ``delete`` / ``update_star`` / ``update_sets``;
+        conditions range over TABLE columns and every clause but the
+        last must carry one (Delta's rule). Compiled onto
+        :func:`dml.merge_into`'s row-replace door: the updates frame
+        holds one computed row per (fired target row), delete-clause
+        rows carry a ``__merge_del`` directive flag (consumed keys,
+        nothing re-enters), the matched condition is the OR of all
+        clause conditions, and each clause's rows are built from the
+        target pre-filtered by its FIRST-FIRE predicate (its condition
+        AND NOT any earlier one). One atomic file-pruned commit."""
+        from .dml import merge_into
+
+        if by_source == "delete":
+            # a matched key whose rows fire NO clause would be absent
+            # from the computed key set and sync would wrongly drop it
+            raise ValueError(
+                "multiple WHEN MATCHED clauses cannot combine with "
+                "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+            )
+        conds = [c for c, _, _ in clauses]
+        if any(c is None for c in conds[:-1]):
+            raise ValueError(
+                "only the LAST of multiple WHEN MATCHED clauses may "
+                "omit AND <condition>"
+            )
+        fields = t.schema.fields
+        lower_keys = {k.lower() for k in keys}
+        tcols = {f.name.lower() for f in fields}
+        scols = {c.lower(): c for c in src_df.columns}
+        if "__merge_del" in tcols or "__merge_del" in scols:
+            raise ValueError(
+                "multi-clause MERGE reserves the column name "
+                "'__merge_del'"
+            )
+        gen = t.generated_columns()
+        gen_lower = {g.lower() for g in gen}
+        for _c, action, sets in clauses:
+            if action == "update_sets":
+                for col, _e in sets:
+                    if col.lower() in lower_keys:
+                        raise ValueError(
+                            f"MERGE cannot SET the key column {col!r}"
+                        )
+                    if col.lower() not in tcols:
+                        raise ValueError(
+                            f"SET target {col!r} is not a table column "
+                            "(multi-clause MERGE does not evolve the "
+                            "schema)"
+                        )
+
+        def fire(i: int) -> str:
+            own = conds[i] if conds[i] is not None else "true"
+            parts = [f"coalesce(({own}), false)"]
+            for c in conds[:i]:
+                parts.append(f"NOT coalesce(({c}), false)")
+            return " AND ".join(parts)
+
+        combined = " OR ".join(
+            f"coalesce(({c if c is not None else 'true'}), false)"
+            for c in conds
+        )
+        tdf = t.scan()
+
+        def finish(df):
+            for gname, gexpr in gen.items():
+                gtype = next(
+                    f.dataType
+                    for f in fields
+                    if f.name.lower() == gname.lower()
+                )
+                df = df.withColumn(gname, F.expr(gexpr).cast(gtype))
+            return df.select(*[f.name for f in fields])
+
+        key_eq = None
+        for k in keys:
+            eq = F.col(f"__mt.{k}") == F.col(f"__ms.{k}")
+            key_eq = eq if key_eq is None else (key_eq & eq)
+        parts: list[DataFrame] = []
+        for i, (_c, action, sets) in enumerate(clauses):
+            j = (
+                tdf.filter(F.expr(fire(i)))
+                .alias("__mt")
+                .join(src_df.alias("__ms"), key_eq, "inner")
+            )
+            if action == "delete":
+                row = j.select(
+                    *[
+                        F.col(f"__mt.{f.name}").alias(f.name)
+                        for f in fields
+                    ]
+                )
+                parts.append(row.withColumn("__merge_del", F.lit(True)))
+                continue
+            if action == "update_star":
+                set_map = {
+                    f.name.lower(): f"__ms.{scols[f.name.lower()]}"
+                    for f in fields
+                    if f.name.lower() in scols
+                    and f.name.lower() not in lower_keys
+                }
+            else:
+                set_map = {c.lower(): e for c, e in sets}
+            base = j.select(
+                *[
+                    F.expr(set_map[f.name.lower()])
+                    .cast(f.dataType)
+                    .alias(f.name)
+                    if f.name.lower() in set_map
+                    else F.col(f"__mt.{f.name}").alias(f.name)
+                    for f in fields
+                    if f.name.lower() in set_map
+                    or f.name.lower() not in gen_lower
+                ]
+            )
+            # unassigned generated columns recompute (see the
+            # column-level door); EXPLICITLY set ones keep their
+            # assignment and face the write-path equality gate
+            gen_recompute = {
+                g: e for g, e in gen.items() if g.lower() not in set_map
+            }
+            out = base
+            for gname, gexpr in gen_recompute.items():
+                gtype = next(
+                    f.dataType
+                    for f in fields
+                    if f.name.lower() == gname.lower()
+                )
+                out = out.withColumn(gname, F.expr(gexpr).cast(gtype))
+            parts.append(
+                out.select(*[f.name for f in fields]).withColumn(
+                    "__merge_del", F.lit(False)
+                )
+            )
+        updates = parts[0]
+        for p in parts[1:]:
+            updates = updates.unionByName(p)
+        if when_not_matched == "insert":
+            ins = src_df.join(
+                tdf.select(*keys).distinct(), on=keys, how="left_anti"
+            )
+            aligned = ins.select(
+                *[
+                    F.col(scols[f.name.lower()])
+                    .cast(f.dataType)
+                    .alias(f.name)
+                    if f.name.lower() in scols
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in fields
+                    if f.name.lower() not in gen_lower
+                ]
+            )
+            updates = updates.unionByName(
+                finish(aligned).withColumn("__merge_del", F.lit(False))
+            )
+        return merge_into(
+            t,
+            updates,
+            key=keys,
+            when_matched="update",
+            matched_condition=combined,
+            when_not_matched=when_not_matched,
+            when_not_matched_by_source="keep",
+            source_delete_condition="__merge_del",
+        )
 
     def _merge_column_sets(
         self,

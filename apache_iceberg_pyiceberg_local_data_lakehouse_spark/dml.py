@@ -542,14 +542,15 @@ def merge_into(
         if isinstance(source_delete_condition, str)
         else source_delete_condition
     )
-    if src_del is not None and (
-        when_matched != "update" or cond is not None
-    ):
+    if src_del is not None and when_matched != "update":
         raise ValueError(
-            "source_delete_condition requires when_matched='update' "
-            "with no matched_condition (delete directives consume the "
-            "matched row unconditionally)"
+            "source_delete_condition requires when_matched='update'"
         )
+    # With BOTH source_delete_condition and matched_condition set, the
+    # condition gates the delete per target row: matched rows failing
+    # it keep the table version, matched rows passing it are consumed
+    # by the directive. This composition is what multi-clause MERGE
+    # (WHEN MATCHED AND c THEN DELETE among other clauses) compiles to.
 
     idc = table.identity_columns()
     if idc and when_not_matched == "insert":

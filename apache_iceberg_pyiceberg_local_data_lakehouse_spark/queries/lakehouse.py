@@ -3842,6 +3842,93 @@ def q8i_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q8j_merge_multi_clause",
+    # new in r10, registered behind the judged window (r11 rotation
+    # fodder); certifies the multi-clause WHEN MATCHED matrix
+    # (catalog._merge_multi_clauses): a conditioned DELETE, a
+    # conditioned column-level SET, and an unconditional row-replace
+    # evaluate FIRST-MATCH-WINS per target row in one atomic commit,
+    # and the readback equals the SQL reconstruction.
+    defer=True,
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus AS status,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ), src AS (
+      SELECT o_orderkey, 'T' AS status,
+             CAST(0 AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 3 = 0
+    ), fin AS (
+      SELECT b.o_orderkey,
+             CASE WHEN s.o_orderkey IS NULL THEN b.status
+                  WHEN b.cents > 20000000 THEN NULL         -- deleted
+                  WHEN b.status = 'O' THEN 'OPENFLAG'        -- SET
+                  ELSE s.status END AS status,               -- replace
+             CASE WHEN s.o_orderkey IS NULL THEN b.cents
+                  WHEN b.cents > 20000000 THEN NULL
+                  WHEN b.status = 'O' THEN b.cents
+                  ELSE s.cents END AS cents
+      FROM base b LEFT JOIN src s ON b.o_orderkey = s.o_orderkey
+    )
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM fin WHERE status IS NOT NULL
+    GROUP BY status ORDER BY status
+    """,
+)
+def q8j_merge_multi_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Delta WHEN MATCHED matrix judged end-to-end on orders: the
+    source touches every third order; per matched row, expensive orders
+    (> $200k) DELETE, open orders get a column-level SET (cents kept),
+    everything else row-replaces from the source - one commit,
+    first-match-wins. Unmatched orders survive untouched."""
+    from ..catalog import LakehouseCatalog
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_q8j_")
+    try:
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("tmp")
+        o = load(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.col("o_orderstatus").alias("status"),
+            F.expr(
+                "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
+            ).alias("cents"),
+        )
+        t = cat.create_table("tmp.mmc_orders", o.schema)
+        t.append(o)
+        o.filter(F.col("o_orderkey") % 3 == 0).select(
+            "o_orderkey",
+            F.lit("T").alias("status"),
+            F.lit(0).cast("long").alias("cents"),
+        ).createOrReplaceTempView("tmp_mmc_src")
+        cat.sql(
+            "MERGE INTO tmp.mmc_orders USING tmp_mmc_src s "
+            "ON tmp.mmc_orders.o_orderkey = s.o_orderkey "
+            "WHEN MATCHED AND tmp.mmc_orders.cents > 20000000 "
+            "THEN DELETE "
+            "WHEN MATCHED AND tmp.mmc_orders.status = 'O' "
+            "THEN UPDATE SET status = 'OPENFLAG' "
+            "WHEN MATCHED THEN UPDATE SET *"
+        )
+        res = (
+            cat.load_table("tmp.mmc_orders")
+            .to_df()
+            .groupBy("status")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                F.sum("cents").cast("long").alias("sum_cents"),
+            )
+            .orderBy("status")
+        )
+        rows = res.collect()  # materialize before the warehouse vanishes
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+@register(
     "q8b_scd2_history",
     # new in r9, registered behind the judged window (r10 rotation
     # fodder); certifies APPLY CHANGES ... STORED AS SCD TYPE 2

@@ -1188,18 +1188,82 @@ def test_masked_view(catalog, spark):
     assert catalog.sql("SELECT COUNT(*) AS n FROM gold_pii_eu").first()["n"] == 3
 
 
-def test_sql_merge_duplicate_clause_rejected(catalog, spark):
-    t = catalog.create_table("gold.m5", _sales_df(spark, []).schema)
-    t.append(_sales_df(spark, [("a", 1)]))
-    spark.createDataFrame(
-        [("a", 9)], "cat string, v long"
-    ).createOrReplaceTempView("m5src")
-    with pytest.raises(ValueError, match="duplicate WHEN MATCHED"):
-        catalog.sql(
-            "MERGE INTO gold.m5 USING m5src ON m5.cat = m5src.cat "
-            "WHEN MATCHED AND m5.v > 5 THEN DELETE "
-            "WHEN MATCHED THEN UPDATE SET *"
+def test_sql_merge_multi_matched_clauses(catalog, spark):
+    """r10: multiple WHEN MATCHED clauses (the Delta matrix) evaluate
+    first-match-wins per target row - a conditioned DELETE, a
+    conditioned column SET, and an unconditional row-replace compose in
+    ONE atomic commit; only the last clause may omit its condition."""
+    t = catalog.create_table(
+        "gold.m5",
+        spark.createDataFrame([], "cat string, v long, note string").schema,
+    )
+    t.append(
+        spark.createDataFrame(
+            [("a", 9, "x"), ("b", 2, "y"), ("c", 5, "z"), ("d", 1, "w")],
+            "cat string, v long, note string",
         )
+    )
+    spark.createDataFrame(
+        [("a", 100, "s"), ("b", 200, "s"), ("c", 300, "s")],
+        "cat string, v long, note string",
+    ).createOrReplaceTempView("m5src")
+    catalog.sql(
+        "MERGE INTO gold.m5 USING m5src ON gold.m5.cat = m5src.cat "
+        "WHEN MATCHED AND gold.m5.v > 5 THEN DELETE "
+        "WHEN MATCHED AND gold.m5.v > 3 THEN UPDATE SET note = 'mid' "
+        "WHEN MATCHED THEN UPDATE SET *"
+    )
+    got = {
+        (r["cat"], r["v"], r["note"])
+        for r in catalog.load_table("gold.m5").to_df().collect()
+    }
+    # a (v=9): deleted; c (v=5): note set, v kept; b (v=2): row-replaced;
+    # d: unmatched, untouched
+    assert got == {("b", 200, "s"), ("c", 5, "mid"), ("d", 1, "w")}
+    # a non-last clause without a condition refuses
+    with pytest.raises(ValueError, match="LAST"):
+        catalog.sql(
+            "MERGE INTO gold.m5 USING m5src ON gold.m5.cat = m5src.cat "
+            "WHEN MATCHED THEN DELETE "
+            "WHEN MATCHED AND gold.m5.v > 3 THEN UPDATE SET *"
+        )
+    # duplicate NOT MATCHED clauses still reject
+    with pytest.raises(ValueError, match="duplicate WHEN NOT MATCHED"):
+        catalog.sql(
+            "MERGE INTO gold.m5 USING m5src ON gold.m5.cat = m5src.cat "
+            "WHEN NOT MATCHED THEN INSERT * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+
+
+def test_sql_merge_multi_clause_insert_and_mixed_key(catalog, spark):
+    """Multi-clause + INSERT *: unmatched source rows insert; a key
+    whose target rows split across clauses (one fires UPDATE, one fires
+    DELETE, one fires nothing) resolves per ROW."""
+    t = catalog.create_table(
+        "gold.m6", spark.createDataFrame([], "k long, v long").schema
+    )
+    t.append(
+        spark.createDataFrame(
+            [(1, 10), (1, 3), (1, 1), (2, 7)], "k long, v long"
+        )
+    )
+    spark.createDataFrame(
+        [(1, 99), (5, 50)], "k long, v long"
+    ).createOrReplaceTempView("m6src")
+    catalog.sql(
+        "MERGE INTO gold.m6 USING m6src s ON gold.m6.k = s.k "
+        "WHEN MATCHED AND gold.m6.v >= 10 THEN DELETE "
+        "WHEN MATCHED AND gold.m6.v >= 3 THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = sorted(
+        (r["k"], r["v"])
+        for r in catalog.load_table("gold.m6").to_df().collect()
+    )
+    # k=1: v=10 deleted, v=3 updated to 99, v=1 kept; k=2 unmatched by
+    # source (kept); k=5 inserted
+    assert got == [(1, 1), (1, 99), (2, 7), (5, 50)]
 
 
 def test_sql_ref_verbs(catalog, spark):
