@@ -1819,10 +1819,17 @@ class LakehouseCatalog:
                         snap = self._cdc_agg_refresh(
                             t, props, bt, int(base_v), cur_v
                         )
+                        if snap is NotImplemented:
+                            # MIN/MAX (or missing signed state): the
+                            # touched-group recompute tier (r10) -
+                            # still O(changed groups), never the view
+                            snap = self._cdc_group_recompute(
+                                t, props, bt, int(base_v), cur_v
+                            )
                         if snap is not NotImplemented:
                             advance_pin(cur_v)
                             return snap
-                    # not invertible / state missing: full refresh
+                    # not modelable incrementally: full refresh
                 else:
                     # the stored query over ONLY the new rows;
                     # distributivity was proven at creation (pure
@@ -2853,6 +2860,146 @@ class LakehouseCatalog:
             F.sum(sign).cast(types["__mv_rows"]).alias("__mv_rows")
         )
         return exprs
+
+    def _cdc_group_recompute(
+        self,
+        t: LakehouseTable,
+        props: dict,
+        bt: LakehouseTable,
+        from_v: int,
+        to_v: int,
+    ):
+        """MIN/MAX (and state-less COUNT/SUM) CDC tier (r10): recompute
+        ONLY the groups the changelog touched, from the pinned base
+        snapshot, and MERGE them - groups with no surviving rows leave
+        via a delete directive in the same commit.
+
+        MIN/MAX are not invertible (a retracted minimum says nothing
+        about the runner-up), but a per-group RECOMPUTE equals the full
+        refresh for touched groups BY CONSTRUCTION, and untouched
+        groups cannot have changed (the changelog is total over base
+        changes). Cost: O(changelog) + one semi-joined aggregation over
+        the touched groups' base rows - at 100 TB a correction hitting
+        K groups re-aggregates K groups' rows, not every group.
+        Declines (``NotImplemented``) on: the COUNT-DISTINCT grain or
+        HAVING tiers (stored grain differs), AVG (stored partials),
+        NULL group keys, an expired changelog, unexpected stored
+        columns, or more touched groups than the recompute threshold
+        (a mass rewrite is full-refresh-shaped anyway)."""
+        from functools import reduce
+
+        from .dml import merge_into
+
+        group_cols = json.loads(props["mv.group_cols"])
+        aggs = json.loads(props["mv.aggs"])
+        agg_args = json.loads(props.get("mv.agg_args", "{}"))
+        if (
+            not group_cols
+            or "mv.view_agg" in props
+            or props.get("mv.having")
+        ):
+            return NotImplemented
+        if any(
+            op not in ("count", "sum", "min", "max") for _n, op in aggs
+        ):
+            return NotImplemented
+        if any(name not in agg_args for name, _op in aggs):
+            return NotImplemented
+        types = {f.name: f.dataType for f in t.schema.fields}
+        hidden = {n for n in types if n.startswith("__mv_")}
+        expected = set(group_cols) | {n for n, _ in aggs} | hidden
+        if set(types) != expected or not all(
+            h == "__mv_rows" or h.startswith("__mv_nn_") for h in hidden
+        ):
+            return NotImplemented  # a tier this recompute doesn't model
+        try:
+            ch = bt.scan_changelog(from_v, to_v)
+        except ValueError:
+            return NotImplemented  # a snapshot in range was expired
+        where = props.get("mv.where")
+        key_exprs = json.loads(props.get("mv.key_exprs", "{}"))
+
+        def prep(df):
+            if where:
+                df = df.filter(F.expr(where))
+            for a, e in key_exprs.items():
+                df = df.withColumn(a, F.expr(e))
+            return df
+
+        touched = (
+            prep(ch)
+            .select(*group_cols)
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if (
+            touched.filter(
+                reduce(
+                    lambda a, b: a | b,
+                    [F.col(k).isNull() for k in group_cols],
+                )
+            )
+            .limit(1)
+            .count()
+        ):
+            return NotImplemented  # MERGE cannot address a NULL group
+        n_touched = touched.count()
+        if n_touched == 0:
+            return t.snapshot()  # the changelog nets outside the view
+        if n_touched > 10_000:
+            return NotImplemented  # full-refresh-shaped anyway
+        base = prep(bt.scan(snapshot=bt.snapshot(to_v)))
+        agg_exprs = []
+        for name, op in aggs:
+            agg_exprs.append(
+                F.expr(f"{op}({agg_args[name]})")
+                .cast(types[name])
+                .alias(name)
+            )
+        if "__mv_rows" in types:
+            agg_exprs.append(
+                F.expr("COUNT(*)")
+                .cast(types["__mv_rows"])
+                .alias("__mv_rows")
+            )
+        for name, op in aggs:
+            h = f"__mv_nn_{name}"
+            if op == "sum" and h in types:
+                agg_exprs.append(
+                    F.expr(f"COUNT({agg_args[name]})")
+                    .cast(types[h])
+                    .alias(h)
+                )
+        recomputed = (
+            base.join(F.broadcast(touched), on=group_cols, how="left_semi")
+            .groupBy(*group_cols)
+            .agg(*agg_exprs)
+        )
+        gone = touched.join(
+            recomputed.select(*group_cols), on=group_cols, how="left_anti"
+        )
+        upd = recomputed.withColumn("__mv_gone", F.lit(False)).unionByName(
+            gone.select(
+                *group_cols,
+                *[
+                    F.lit(None).cast(types[f.name]).alias(f.name)
+                    for f in t.schema.fields
+                    if f.name not in group_cols
+                ],
+            ).withColumn("__mv_gone", F.lit(True))
+        )
+        return merge_into(
+            t,
+            upd,
+            key=group_cols,
+            when_matched="update",
+            when_not_matched="insert",
+            source_delete_condition="__mv_gone",
+            extra_summary={
+                "cdc_refresh": True,
+                "group_recompute": True,
+            },
+        )
 
     def _cdc_agg_refresh(
         self,

@@ -3929,6 +3929,92 @@ def q8j_merge_multi_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q8k_mv_minmax_group_recompute",
+    # new in r10, registered behind the judged window (r11 rotation
+    # fodder); certifies the MIN/MAX CDC tier
+    # (catalog._cdc_group_recompute): base DML that retracts current
+    # minima/maxima refreshes the MV by recomputing ONLY the touched
+    # groups (merge stamped group_recompute - the flag trips on a full
+    # refresh), and the view equals the plain GROUP BY.
+    defer=True,
+    oracle="""
+    WITH mutated AS (
+      SELECT o_orderstatus AS status,
+             CASE WHEN o_orderkey % 7 = 0
+                  THEN CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                       % 1000000
+                  ELSE CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+             END AS cents
+      FROM orders WHERE o_orderkey % 5 <> 0
+    )
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(cents) AS BIGINT) AS min_cents,
+           CAST(MAX(cents) AS BIGINT) AS max_cents,
+           TRUE AS group_recompute
+    FROM mutated GROUP BY status ORDER BY status
+    """,
+)
+def q8k_mv_minmax_group_recompute(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MIN/MAX MV lifecycle under DML: materialize per-status order
+    extremes, DELETE every fifth order and re-price every seventh (both
+    move minima/maxima), then ONE refresh - which must land as a
+    touched-group recompute merge, never a full O(view) refresh.
+
+    100 TB design note: MIN/MAX are not invertible, so the tier
+    re-aggregates ONLY the groups the changelog touched (semi-join on
+    the broadcast touched-key set); a correction to K groups costs K
+    groups' rows, and untouched groups are provably unchanged because
+    the changelog is total over base changes."""
+    from ..catalog import LakehouseCatalog
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_q8k_")
+    try:
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("tmp")
+        o = load(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.col("o_orderstatus").alias("status"),
+            F.expr(
+                "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
+            ).alias("cents"),
+        )
+        cat.create_table("tmp.mmx_orders", o.schema).append(o)
+        catq = (
+            "SELECT status, COUNT(*) AS n_orders, "
+            "MIN(cents) AS min_cents, MAX(cents) AS max_cents "
+            "FROM tmp_mmx_orders GROUP BY status"
+        )
+        cat.create_materialized_view("tmp.mmx_mv", catq)
+        cat.sql("DELETE FROM tmp.mmx_orders WHERE o_orderkey % 5 = 0")
+        cat.sql(
+            "UPDATE tmp.mmx_orders SET cents = cents % 1000000 "
+            "WHERE o_orderkey % 7 = 0"
+        )
+        snap = cat.refresh_materialized_view("tmp.mmx_mv")
+        flag = (
+            snap is not None
+            and snap.operation == "merge"
+            and snap.summary.get("group_recompute") is True
+        )
+        res = cat.sql(
+            "SELECT status, n_orders, min_cents, max_cents "
+            "FROM tmp_mmx_mv ORDER BY status"
+        ).select(
+            "status",
+            "n_orders",
+            "min_cents",
+            "max_cents",
+            F.lit(flag).alias("group_recompute"),
+        )
+        rows = res.collect()  # materialize before the warehouse vanishes
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+@register(
     "q8b_scd2_history",
     # new in r9, registered behind the judged window (r10 rotation
     # fodder); certifies APPLY CHANGES ... STORED AS SCD TYPE 2

@@ -844,3 +844,76 @@ def test_multidim_join_mv_cdc_always_equals_recompute(
     got = {tuple(r) for r in spark.sql("SELECT * FROM g_cmv").collect()}
     want = {tuple(r) for r in spark.sql(q).collect()}
     assert got == want, (ops, seed)
+
+
+# -- MIN/MAX CDC group-recompute property (r10) ---------------------------
+
+_MM_OPS = st.lists(
+    st.sampled_from(["append", "delete", "update", "refresh"]),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_MM_OPS, seed=st.integers(min_value=0, max_value=10_000))
+def test_mv_minmax_cdc_always_equals_recompute(
+    spark, tmp_path_factory, ops, seed
+):
+    """r10 group-recompute tier contract: a MIN/MAX (+COUNT/SUM,
+    nullable column) aggregate MV equals the full GROUP BY after ANY
+    interleaving of appends, deletes, updates and refreshes - DML
+    windows refresh by recomputing only the touched groups, and every
+    unprovable case falls back to full refresh."""
+    import random
+
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.catalog import (
+        LakehouseCatalog,
+    )
+
+    rng = random.Random(seed)
+    wh = tmp_path_factory.mktemp("mmwh")
+    cat = LakehouseCatalog(spark, str(wh))
+    cat.create_namespace("g")
+    schema = "cat string, v long, w long"
+
+    def rows(n):
+        return [
+            (
+                chr(97 + rng.randrange(4)),
+                rng.randrange(100),
+                None if rng.random() < 0.3 else rng.randrange(50),
+            )
+            for _ in range(n)
+        ]
+
+    t = cat.create_table("g.mmb", spark.createDataFrame([], schema).schema)
+    t.append(spark.createDataFrame(rows(6), schema))
+    q = (
+        "SELECT cat, COUNT(*) AS n, COUNT(w) AS nw, SUM(v) AS sv, "
+        "MIN(v) AS lo, MAX(w) AS hi FROM g_mmb GROUP BY cat"
+    )
+    cat.create_materialized_view("g.mmmv", q)
+    for op in ops:
+        if op == "append":
+            t.append(
+                spark.createDataFrame(rows(rng.randrange(1, 4)), schema)
+            )
+        elif op == "delete":
+            cat.sql(f"DELETE FROM g.mmb WHERE v % 10 = {rng.randrange(10)}")
+        elif op == "update":
+            cat.sql(
+                f"UPDATE g.mmb SET v = v + 7, w = NULL "
+                f"WHERE v % 7 = {rng.randrange(7)}"
+            )
+        else:
+            cat.refresh_materialized_view("g.mmmv")
+    cat.refresh_materialized_view("g.mmmv")
+    cat.register_views()
+    got = {tuple(r) for r in spark.sql("SELECT * FROM g_mmmv").collect()}
+    want = {tuple(r) for r in spark.sql(q).collect()}
+    assert got == want, (ops, seed)

@@ -778,10 +778,12 @@ def test_mv_agg_incremental_refresh(catalog, spark):
     # and a no-op again
     assert catalog.refresh_materialized_view("gold.by_cat") is None
 
-    # base DML in range: falls back to full refresh, result still exact
+    # base DML in range: this MIN/MAX-carrying MV refreshes through the
+    # r10 touched-group recompute tier (a merge), result still exact
     catalog.sql("DELETE FROM gold.sales WHERE v >= 100")
     snap = catalog.refresh_materialized_view("gold.by_cat")
-    assert snap.operation in ("overwrite", "delete")
+    assert snap.operation == "merge"
+    assert snap.summary.get("group_recompute") is True
     got = {
         r["cat"]: (r["n"], r["s"], r["lo"], r["hi"])
         for r in mv.to_df().collect()
@@ -1561,14 +1563,24 @@ def test_mv_cdc_incremental_refresh(catalog, spark):
         for r in mv.to_df().drop("__mv_rows", "__mv_nn_s").collect()
     } == expect
 
-    # MIN/MAX are not invertible: DML still full-refreshes those MVs
+    # MIN/MAX are not invertible: DML refreshes those MVs through the
+    # r10 touched-group RECOMPUTE tier (a merge, never a full refresh)
     mv2 = catalog.create_materialized_view(
         "gold.minagg",
         "SELECT cat, MIN(v) AS lo FROM gold_csales GROUP BY cat",
     )
     catalog.sql("DELETE FROM gold.csales WHERE cat = 'a'")
     snap3 = catalog.refresh_materialized_view("gold.minagg")
-    assert snap3.operation in ("overwrite", "delete", "replace")
+    assert snap3.operation == "merge"
+    assert snap3.summary.get("group_recompute") is True
+    assert {
+        (r["cat"], r["lo"]) for r in mv2.to_df().collect()
+    } == {
+        (r["cat"], r["lo"])
+        for r in catalog.sql(
+            "SELECT cat, MIN(v) AS lo FROM gold_csales GROUP BY cat"
+        ).collect()
+    }
 
 
 def test_mv_expression_key_incremental(catalog, spark):
@@ -3529,3 +3541,51 @@ def test_replace_where(catalog, spark):
         for r in catalog.load_table("gold.rwh").to_df().collect()
     }
     assert got == {("2024-01-01", 8), ("2024-01-02", 3), (None, 7)}
+
+
+def test_mv_minmax_cdc_group_recompute(catalog, spark):
+    """r10: MIN/MAX aggregate MVs refresh under base DML by
+    RECOMPUTING only the touched groups (retraction of a group's
+    current min/max falls to the runner-up; a group losing its last
+    row leaves the view; untouched groups never re-aggregate) - the
+    commit is a merge stamped group_recompute, never a full refresh."""
+    b = catalog.create_table(
+        "gold.mmbase",
+        spark.createDataFrame([], "cat string, v long").schema,
+    )
+    b.append(
+        spark.createDataFrame(
+            [("a", 5), ("a", 3), ("a", 9), ("b", 7), ("c", 2), ("c", 4)],
+            "cat string, v long",
+        )
+    )
+    q = (
+        "SELECT cat, COUNT(*) AS n, MIN(v) AS lo, MAX(v) AS hi "
+        "FROM gold_mmbase GROUP BY cat"
+    )
+    catalog.create_materialized_view("gold.mmv", q)
+
+    def rows():
+        catalog.register_views()
+        return {
+            tuple(r)
+            for r in spark.sql("SELECT * FROM gold_mmv").collect()
+        }
+
+    assert rows() == {("a", 3, 3, 9), ("b", 1, 7, 7), ("c", 2, 2, 4)}
+    # retract a's min AND b's only row in one refresh window
+    catalog.sql("DELETE FROM gold.mmbase WHERE v = 3")
+    catalog.sql("DELETE FROM gold.mmbase WHERE v = 7")
+    snap = catalog.refresh_materialized_view("gold.mmv")
+    assert snap is not None and snap.operation == "merge"
+    assert snap.summary.get("cdc_refresh") is True
+    assert snap.summary.get("group_recompute") is True
+    assert rows() == {("a", 2, 5, 9), ("c", 2, 2, 4)}
+    # an UPDATE moving c's max recomputes c only; a append-new-group
+    # in the same window merges in too
+    catalog.sql("UPDATE gold.mmbase SET v = 1 WHERE v = 4")
+    b.append(spark.createDataFrame([("d", 8)], "cat string, v long"))
+    snap = catalog.refresh_materialized_view("gold.mmv")
+    assert snap is not None and snap.operation == "merge"
+    assert snap.summary.get("group_recompute") is True
+    assert rows() == {("a", 2, 5, 9), ("c", 2, 1, 2), ("d", 1, 8, 8)}
