@@ -52,10 +52,17 @@ _DML_INSERT = re.compile(
 )
 # Delta's predicate-scoped atomic overwrite:
 # INSERT INTO t REPLACE WHERE <pred> SELECT ...
+# The predicate may not contain SELECT (a subquery predicate would
+# otherwise split at the wrong token and mis-parse); the head pattern
+# below turns that case into a clear refusal instead of a fall-through.
 _DML_REPLACE_WHERE = re.compile(
-    r"^\s*INSERT\s+INTO\s+([\w.]+)\s+REPLACE\s+WHERE\s+(.+?)"
+    r"^\s*INSERT\s+INTO\s+([\w.]+)\s+REPLACE\s+WHERE\s+"
+    r"((?:(?!\bSELECT\b).)+?)"
     r"\s+(SELECT\b.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
+)
+_DML_REPLACE_WHERE_HEAD = re.compile(
+    r"^\s*INSERT\s+INTO\s+[\w.]+\s+REPLACE\s+WHERE\b", re.IGNORECASE
 )
 _DML_SHOW_TABLES = re.compile(
     r"^\s*SHOW\s+TABLES(?:\s+IN\s+(\w+))?\s*;?\s*$", re.IGNORECASE
@@ -2395,6 +2402,71 @@ class LakehouseCatalog:
             seen.add(col.lower())
         return items
 
+    @staticmethod
+    def _computed_row_projection(joined, set_map, fields, gen):
+        """Full-row projection for a computed MERGE update row:
+        assigned columns evaluate their expressions against the
+        ORIGINAL ``__mt``/``__ms`` joined row (cast to the column type,
+        simultaneous-assignment semantics), everything else carries
+        from the target, and UNASSIGNED generated columns recompute
+        AFTER the base select so they see assigned values. Shared by
+        the column-level and multi-clause MERGE doors."""
+        gen_lower = {g.lower() for g in gen}
+        out = joined.select(
+            *[
+                F.expr(set_map[f.name.lower()])
+                .cast(f.dataType)
+                .alias(f.name)
+                if f.name.lower() in set_map
+                else F.col(f"__mt.{f.name}").alias(f.name)
+                for f in fields
+                if f.name.lower() in set_map
+                or f.name.lower() not in gen_lower
+            ]
+        )
+        for gname, gexpr in gen.items():
+            if gname.lower() not in set_map:
+                gtype = next(
+                    f.dataType
+                    for f in fields
+                    if f.name.lower() == gname.lower()
+                )
+                out = out.withColumn(gname, F.expr(gexpr).cast(gtype))
+        return out.select(*[f.name for f in fields])
+
+    @staticmethod
+    def _aligned_insert_rows(ins, fields, gen):
+        """Unmatched source rows aligned to the table schema by name:
+        missing non-generated columns fill with typed NULLs, generated
+        columns MISSING from the source recompute from their
+        expressions (source-provided ones pass through and face the
+        write-path equality gate, same as the append door). Shared by
+        the column-level and multi-clause MERGE doors."""
+        scols = {c.lower(): c for c in ins.columns}
+        gen_missing = {
+            g: e for g, e in gen.items() if g.lower() not in scols
+        }
+        gm_lower = {g.lower() for g in gen_missing}
+        out = ins.select(
+            *[
+                F.col(scols[f.name.lower()])
+                .cast(f.dataType)
+                .alias(f.name)
+                if f.name.lower() in scols
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in fields
+                if f.name.lower() not in gm_lower
+            ]
+        )
+        for gname, gexpr in gen_missing.items():
+            gtype = next(
+                f.dataType
+                for f in fields
+                if f.name.lower() == gname.lower()
+            )
+            out = out.withColumn(gname, F.expr(gexpr).cast(gtype))
+        return out.select(*[f.name for f in fields])
+
     def _merge_multi_clauses(
         self,
         t: LakehouseTable,
@@ -2415,7 +2487,14 @@ class LakehouseCatalog:
         nothing re-enters), the matched condition is the OR of all
         clause conditions, and each clause's rows are built from the
         target pre-filtered by its FIRST-FIRE predicate (its condition
-        AND NOT any earlier one). One atomic file-pruned commit."""
+        AND NOT any earlier one). One atomic file-pruned commit.
+
+        Cost shape: the N first-fire filters PARTITION the matched
+        rows, so total row work across the N clause joins is one
+        pass's worth; the target's matched files are scanned once per
+        clause (N small re-reads of pruned files, traded for keeping
+        every clause on the shared computed-row builder instead of a
+        per-column CASE tangle)."""
         from .dml import merge_into
 
         if by_source == "delete":
@@ -2431,6 +2510,11 @@ class LakehouseCatalog:
                 "only the LAST of multiple WHEN MATCHED clauses may "
                 "omit AND <condition>"
             )
+        # one materialization: the source feeds N clause joins plus the
+        # INSERT anti-join as INDEPENDENT subtrees - a non-deterministic
+        # source could fire different clauses per subtree (merge_into
+        # checkpoints its source for the same reason)
+        src_df = src_df.localCheckpoint(eager=True)
         fields = t.schema.fields
         lower_keys = {k.lower() for k in keys}
         tcols = {f.name.lower() for f in fields}
@@ -2441,7 +2525,6 @@ class LakehouseCatalog:
                 "'__merge_del'"
             )
         gen = t.generated_columns()
-        gen_lower = {g.lower() for g in gen}
         for _c, action, sets in clauses:
             if action == "update_sets":
                 for col, _e in sets:
@@ -2468,17 +2551,6 @@ class LakehouseCatalog:
             for c in conds
         )
         tdf = t.scan()
-
-        def finish(df):
-            for gname, gexpr in gen.items():
-                gtype = next(
-                    f.dataType
-                    for f in fields
-                    if f.name.lower() == gname.lower()
-                )
-                df = df.withColumn(gname, F.expr(gexpr).cast(gtype))
-            return df.select(*[f.name for f in fields])
-
         key_eq = None
         for k in keys:
             eq = F.col(f"__mt.{k}") == F.col(f"__ms.{k}")
@@ -2500,6 +2572,20 @@ class LakehouseCatalog:
                 parts.append(row.withColumn("__merge_del", F.lit(True)))
                 continue
             if action == "update_star":
+                # row-replace parity with the single-clause door: a
+                # source missing a non-key table column errors instead
+                # of silently keeping stale target values
+                missing = [
+                    f.name
+                    for f in fields
+                    if f.name.lower() not in scols
+                    and f.name.lower() not in lower_keys
+                ]
+                if missing:
+                    raise ValueError(
+                        "UPDATE SET * requires the source to carry "
+                        f"every table column; missing {missing}"
+                    )
                 set_map = {
                     f.name.lower(): f"__ms.{scols[f.name.lower()]}"
                     for f in fields
@@ -2508,36 +2594,10 @@ class LakehouseCatalog:
                 }
             else:
                 set_map = {c.lower(): e for c, e in sets}
-            base = j.select(
-                *[
-                    F.expr(set_map[f.name.lower()])
-                    .cast(f.dataType)
-                    .alias(f.name)
-                    if f.name.lower() in set_map
-                    else F.col(f"__mt.{f.name}").alias(f.name)
-                    for f in fields
-                    if f.name.lower() in set_map
-                    or f.name.lower() not in gen_lower
-                ]
-            )
-            # unassigned generated columns recompute (see the
-            # column-level door); EXPLICITLY set ones keep their
-            # assignment and face the write-path equality gate
-            gen_recompute = {
-                g: e for g, e in gen.items() if g.lower() not in set_map
-            }
-            out = base
-            for gname, gexpr in gen_recompute.items():
-                gtype = next(
-                    f.dataType
-                    for f in fields
-                    if f.name.lower() == gname.lower()
-                )
-                out = out.withColumn(gname, F.expr(gexpr).cast(gtype))
             parts.append(
-                out.select(*[f.name for f in fields]).withColumn(
-                    "__merge_del", F.lit(False)
-                )
+                self._computed_row_projection(
+                    j, set_map, fields, gen
+                ).withColumn("__merge_del", F.lit(False))
             )
         updates = parts[0]
         for p in parts[1:]:
@@ -2546,19 +2606,10 @@ class LakehouseCatalog:
             ins = src_df.join(
                 tdf.select(*keys).distinct(), on=keys, how="left_anti"
             )
-            aligned = ins.select(
-                *[
-                    F.col(scols[f.name.lower()])
-                    .cast(f.dataType)
-                    .alias(f.name)
-                    if f.name.lower() in scols
-                    else F.lit(None).cast(f.dataType).alias(f.name)
-                    for f in fields
-                    if f.name.lower() not in gen_lower
-                ]
-            )
             updates = updates.unionByName(
-                finish(aligned).withColumn("__merge_del", F.lit(False))
+                self._aligned_insert_rows(ins, fields, gen).withColumn(
+                    "__merge_del", F.lit(False)
+                )
             )
         return merge_into(
             t,
@@ -2618,17 +2669,14 @@ class LakehouseCatalog:
             )
         set_map = {c.lower(): e for c, e in sets}
         gen = t.generated_columns()
-        gen_lower = {g.lower() for g in gen}
 
         def build(fields):
             """Full-row updates frame over ``fields``: matched rows
-            computed from the join (assigned columns from their
-            expressions against the ORIGINAL row, the rest carried),
+            computed from the join (shared
+            :meth:`_computed_row_projection` - assignments against the
+            ORIGINAL row, unassigned generated columns recomputed),
             plus - when INSERT * - unmatched source rows aligned by
-            name. Unassigned generated columns recompute from their
-            expressions AFTER the base select so they see assigned
-            values (a SET touching a generated column's dependency
-            stays consistent)."""
+            name (shared :meth:`_aligned_insert_rows`)."""
             tdf = t.scan()
             tdf_m = (
                 tdf.filter(F.expr(matched_condition))
@@ -2642,57 +2690,20 @@ class LakehouseCatalog:
             joined = tdf_m.alias("__mt").join(
                 src_df.alias("__ms"), cond_expr, "inner"
             )
-            base_fields = [
-                f
-                for f in fields
-                if f.name.lower() in set_map
-                or f.name.lower() not in gen_lower
-            ]
-
-            def finish(df):
-                for gname, gexpr in gen.items():
-                    if gname.lower() not in set_map:
-                        gtype = next(
-                            f.dataType
-                            for f in fields
-                            if f.name.lower() == gname.lower()
-                        )
-                        df = df.withColumn(
-                            gname, F.expr(gexpr).cast(gtype)
-                        )
-                return df.select(*[f.name for f in fields])
-
-            computed = finish(
-                joined.select(
-                    *[
-                        F.expr(set_map[f.name.lower()])
-                        .cast(f.dataType)
-                        .alias(f.name)
-                        if f.name.lower() in set_map
-                        else F.col(f"__mt.{f.name}").alias(f.name)
-                        for f in base_fields
-                    ]
-                )
+            computed = self._computed_row_projection(
+                joined, set_map, fields, gen
             )
             if when_not_matched != "insert":
                 return computed, joined
             ins = src_df.join(
                 tdf.select(*keys).distinct(), on=keys, how="left_anti"
             )
-            scols = {c.lower(): c for c in ins.columns}
-            aligned = finish(
-                ins.select(
-                    *[
-                        F.col(scols[f.name.lower()])
-                        .cast(f.dataType)
-                        .alias(f.name)
-                        if f.name.lower() in scols
-                        else F.lit(None).cast(f.dataType).alias(f.name)
-                        for f in base_fields
-                    ]
-                )
+            return (
+                computed.unionByName(
+                    self._aligned_insert_rows(ins, fields, gen)
+                ),
+                joined,
             )
-            return computed.unionByName(aligned), joined
 
         tcols = {f.name.lower() for f in t.schema.fields}
         missing = [(c, e) for c, e in sets if c.lower() not in tcols]
@@ -4033,6 +4044,15 @@ class LakehouseCatalog:
             return self.spark.createDataFrame(
                 [("drop table", ident, existed)],
                 "operation string, table string, existed boolean",
+            )
+        if _DML_REPLACE_WHERE_HEAD.match(query) and not (
+            _DML_REPLACE_WHERE.match(query)
+        ):
+            raise ValueError(
+                "REPLACE WHERE takes a plain predicate followed by a "
+                "SELECT (subqueries in the predicate are not "
+                "supported): INSERT INTO t REPLACE WHERE <pred> "
+                "SELECT ..."
             )
         m = _DML_REPLACE_WHERE.match(query)
         if m:

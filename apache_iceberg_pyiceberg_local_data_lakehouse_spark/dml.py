@@ -85,6 +85,43 @@ def _require_no_external_files(snap: Snapshot, op: str) -> None:
         )
 
 
+def _prune_matched_files(table, snap, predicate, verb: str) -> list:
+    """Locate the data files containing rows matching ``predicate`` -
+    the copy-on-write pruning pass shared by UPDATE and REPLACE WHERE.
+    The pruned path evaluates the predicate TWICE (file-pruning scan,
+    then rewrite) in independent jobs; a non-deterministic predicate
+    could pick files under one draw and rewrite rows under another, so
+    it is refused. The collected set is bounded by the live file count."""
+    from urllib.parse import unquote, urlparse
+
+    probe = table._read_data(snap.data_entries, snap).filter(predicate)
+    if not probe._jdf.queryExecution().analyzed().deterministic():
+        raise ValueError(
+            f"copy-on-write {verb} requires a deterministic predicate "
+            "(it is evaluated once to prune files and once to rewrite)"
+        )
+    matched_uris = [
+        r["file_path"]
+        for r in table._read_data(snap.data_entries, snap)
+        .filter(predicate)
+        .select(F.col("_metadata.file_path").alias("file_path"))
+        .distinct()
+        .collect()
+    ]
+    matched_files = {
+        os.path.relpath(unquote(urlparse(u).path), table.location)
+        for u in matched_uris
+    }
+    touched = [e for e in snap.data_entries if e["path"] in matched_files]
+    if len(touched) != len(matched_files):
+        raise RuntimeError(
+            f"{verb} file pruning could not map every matched scan "
+            "URI back to a manifest entry; refusing a partial rewrite. "
+            f"unmatched: {sorted(matched_files - {e['path'] for e in touched})[:5]}"
+        )
+    return touched
+
+
 def delete_where(
     table: LakehouseTable,
     predicate: Column,
@@ -395,41 +432,7 @@ def update_where(
     # UPDATE on a 100 TB table rewrites a handful of files, not the
     # table. The collected set is bounded by the live file count, same
     # as the position-delete target list.
-    # The pruned CoW path evaluates the predicate TWICE (file-pruning
-    # scan, then rewrite) in independent jobs; a non-deterministic
-    # predicate could pick files under one draw and update rows under
-    # another, leaving the update scope inconsistent. The MoR branch
-    # solves this with localCheckpoint; here the two-pass structure is
-    # the point (never materialize the table), so refuse instead.
-    from urllib.parse import unquote, urlparse
-
-    probe = table._read_data(snap.data_entries, snap).filter(predicate)
-    if not probe._jdf.queryExecution().analyzed().deterministic():
-        raise ValueError(
-            "copy-on-write update_where requires a deterministic "
-            "predicate (it is evaluated once to prune files and once to "
-            "rewrite); use mode='merge-on-read', which materializes the "
-            "matched set exactly once"
-        )
-    matched_uris = [
-        r["file_path"]
-        for r in table._read_data(snap.data_entries, snap)
-        .filter(predicate)
-        .select(F.col("_metadata.file_path").alias("file_path"))
-        .distinct()
-        .collect()
-    ]
-    matched_files = {
-        os.path.relpath(unquote(urlparse(u).path), table.location)
-        for u in matched_uris
-    }
-    touched = [e for e in snap.data_entries if e["path"] in matched_files]
-    if len(touched) != len(matched_files):
-        raise RuntimeError(
-            "update_where file pruning could not map every matched scan "
-            "URI back to a manifest entry; refusing a partial rewrite. "
-            f"unmatched: {sorted(matched_files - {e['path'] for e in touched})[:5]}"
-        )
+    touched = _prune_matched_files(table, snap, predicate, "update_where")
     rewritten = apply_assignments(
         table.scan(snapshot=snap, file_filter=lambda e: e in touched),
         only_matched=False,
@@ -500,8 +503,17 @@ def merge_into(
       the same commit that updates its siblings. Requires
       ``when_matched='update'``.
 
-    ``key`` may be a list for composite business keys; source keys must
-    be unique (duplicate source keys make row-replace ambiguous).
+    ``key`` may be a list for composite business keys. The engine's
+    actual semantics are PER-ROW: every matched-and-replaced target row
+    is dropped and every entering source row is appended, so a source
+    carrying several rows per key is well-defined (all of them land) -
+    the multi-clause MERGE compiler and the MV delta merges rely on
+    this, passing one computed row per fired target row. For the plain
+    row-replace door, callers should still keep source keys unique:
+    N source rows for one key replace ALL of that key's matched target
+    rows with N copies, which is rarely what a business-key upsert
+    means. Do NOT add a uniqueness check - it would break the per-row
+    compilers above.
 
     Physical plan: collect the updates' key range (one tiny agg), prune
     manifest files to those overlapping it on the leading key, rewrite
@@ -1202,9 +1214,6 @@ def replace_where(
     update_where). Pending merge-on-read tombstones fall back to a full
     logical rewrite (a partial rewrite cannot keep tombstones
     consistent across both file sets - update_where's rule)."""
-    import os as _os
-    from urllib.parse import unquote, urlparse
-
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
     snap = table.snapshot()
     df = table._fill_generated(df, snap)
@@ -1252,31 +1261,7 @@ def replace_where(
             },
             base_version=snap.version,
         )
-    probe = table._read_data(snap.data_entries, snap).filter(pred)
-    if not probe._jdf.queryExecution().analyzed().deterministic():
-        raise ValueError(
-            "REPLACE WHERE requires a deterministic predicate (it is "
-            "evaluated once to prune files and once to rewrite)"
-        )
-    matched_uris = [
-        r["file_path"]
-        for r in table._read_data(snap.data_entries, snap)
-        .filter(pred)
-        .select(F.col("_metadata.file_path").alias("file_path"))
-        .distinct()
-        .collect()
-    ]
-    matched_files = {
-        _os.path.relpath(unquote(urlparse(u).path), table.location)
-        for u in matched_uris
-    }
-    touched = [e for e in snap.data_entries if e["path"] in matched_files]
-    if len(touched) != len(matched_files):
-        raise RuntimeError(
-            "REPLACE WHERE file pruning could not map every matched "
-            "scan URI back to a manifest entry; refusing a partial "
-            "rewrite"
-        )
+    touched = _prune_matched_files(table, snap, pred, "REPLACE WHERE")
     kept = table.scan(
         snapshot=snap, file_filter=lambda e: e in touched
     ).filter(~F.coalesce(pred, F.lit(False)))
