@@ -2892,11 +2892,16 @@ class LakehouseCatalog:
         changes). Cost: O(changelog) + one semi-joined aggregation over
         the touched groups' base rows - at 100 TB a correction hitting
         K groups re-aggregates K groups' rows, not every group.
-        Declines (``NotImplemented``) on: the COUNT-DISTINCT grain or
-        HAVING tiers (stored grain differs), AVG (stored partials),
-        NULL group keys, an expired changelog, unexpected stored
-        columns, or more touched groups than the recompute threshold
-        (a mass rewrite is full-refresh-shaped anyway)."""
+        AVG is covered too (r10): the visible value AND its stored
+        ``__mv_sum_``/``__mv_cnt_`` partials recompute from the base
+        with the SAME expressions creation used - bit-identical to a
+        full refresh by construction, which is exactly what the
+        partial-merge arithmetic (reverted r8 for DECIMAL) could not
+        guarantee. Declines (``NotImplemented``) on: the COUNT-DISTINCT
+        grain or HAVING tiers (stored grain differs), NULL group keys,
+        an expired changelog, unexpected stored columns, or more
+        touched groups than the recompute threshold (a mass rewrite is
+        full-refresh-shaped anyway)."""
         from functools import reduce
 
         from .dml import merge_into
@@ -2911,16 +2916,28 @@ class LakehouseCatalog:
         ):
             return NotImplemented
         if any(
-            op not in ("count", "sum", "min", "max") for _n, op in aggs
+            op not in ("count", "sum", "min", "max", "avg")
+            for _n, op in aggs
         ):
             return NotImplemented
         if any(name not in agg_args for name, _op in aggs):
             return NotImplemented
         types = {f.name: f.dataType for f in t.schema.fields}
         hidden = {n for n in types if n.startswith("__mv_")}
+        avg_aliases = {n for n, op in aggs if op == "avg"}
         expected = set(group_cols) | {n for n, _ in aggs} | hidden
         if set(types) != expected or not all(
-            h == "__mv_rows" or h.startswith("__mv_nn_") for h in hidden
+            h == "__mv_rows"
+            or h.startswith("__mv_nn_")
+            or (
+                h.startswith("__mv_sum_")
+                and h[len("__mv_sum_"):] in avg_aliases
+            )
+            or (
+                h.startswith("__mv_cnt_")
+                and h[len("__mv_cnt_"):] in avg_aliases
+            )
+            for h in hidden
         ):
             return NotImplemented  # a tier this recompute doesn't model
         try:
@@ -2980,6 +2997,21 @@ class LakehouseCatalog:
                     F.expr(f"COUNT({agg_args[name]})")
                     .cast(types[h])
                     .alias(h)
+                )
+            if op == "avg":
+                # the stored partials, recomputed with creation's exact
+                # expressions (incremental append merges keep combining
+                # them afterwards)
+                arg = agg_args[name]
+                agg_exprs.append(
+                    F.expr(f"SUM(CAST(({arg}) AS DOUBLE))")
+                    .cast(types[f"__mv_sum_{name}"])
+                    .alias(f"__mv_sum_{name}")
+                )
+                agg_exprs.append(
+                    F.expr(f"COUNT({arg})")
+                    .cast(types[f"__mv_cnt_{name}"])
+                    .alias(f"__mv_cnt_{name}")
                 )
         recomputed = (
             base.join(F.broadcast(touched), on=group_cols, how="left_semi")

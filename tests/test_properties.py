@@ -895,7 +895,8 @@ def test_mv_minmax_cdc_always_equals_recompute(
     t.append(spark.createDataFrame(rows(6), schema))
     q = (
         "SELECT cat, COUNT(*) AS n, COUNT(w) AS nw, SUM(v) AS sv, "
-        "MIN(v) AS lo, MAX(w) AS hi FROM g_mmb GROUP BY cat"
+        "MIN(v) AS lo, MAX(w) AS hi, AVG(w) AS m "
+        "FROM g_mmb GROUP BY cat"
     )
     cat.create_materialized_view("g.mmmv", q)
     for op in ops:

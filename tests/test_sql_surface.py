@@ -3589,3 +3589,47 @@ def test_mv_minmax_cdc_group_recompute(catalog, spark):
     assert snap is not None and snap.operation == "merge"
     assert snap.summary.get("group_recompute") is True
     assert rows() == {("a", 2, 5, 9), ("c", 2, 1, 2), ("d", 1, 8, 8)}
+
+
+def test_mv_avg_cdc_group_recompute(catalog, spark):
+    """r10: AVG MVs refresh under base DML through the touched-group
+    recompute tier - the visible value AND the stored sum/count
+    partials recompute from the base with creation's exact
+    expressions (bit-identical to full refresh by construction),
+    and later APPEND refreshes keep combining the refreshed
+    partials."""
+    b = catalog.create_table(
+        "gold.avgbase",
+        spark.createDataFrame([], "cat string, v long").schema,
+    )
+    b.append(
+        spark.createDataFrame(
+            [("a", 2), ("a", 4), ("b", 10)], "cat string, v long"
+        )
+    )
+    catalog.create_materialized_view(
+        "gold.avgmv",
+        "SELECT cat, COUNT(*) AS n, AVG(v) AS m "
+        "FROM gold_avgbase GROUP BY cat",
+    )
+
+    def rows():
+        catalog.register_views()
+        return {
+            tuple(r)
+            for r in spark.sql("SELECT * FROM gold_avgmv").collect()
+        }
+
+    assert rows() == {("a", 2, 3.0), ("b", 1, 10.0)}
+    catalog.sql("DELETE FROM gold.avgbase WHERE v = 4")
+    snap = catalog.refresh_materialized_view("gold.avgmv")
+    assert snap is not None and snap.operation == "merge"
+    assert snap.summary.get("group_recompute") is True
+    assert rows() == {("a", 1, 2.0), ("b", 1, 10.0)}
+    # an APPEND after the recompute merges partials on top of the
+    # refreshed state (the stored sum/count must have been refreshed
+    # too, or this would average against stale partials)
+    b.append(spark.createDataFrame([("a", 8)], "cat string, v long"))
+    snap = catalog.refresh_materialized_view("gold.avgmv")
+    assert snap is not None and snap.operation == "merge"
+    assert rows() == {("a", 2, 5.0), ("b", 1, 10.0)}
