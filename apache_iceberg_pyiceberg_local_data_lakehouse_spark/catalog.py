@@ -1938,6 +1938,7 @@ class LakehouseCatalog:
         when_matched = "ignore"
         matched_condition = None
         when_not_matched = "ignore"
+        not_matched_condition = None
         by_source = "keep"
         column_sets: list[tuple[str, str]] | None = None
         matched_clauses: list[tuple[str | None, str, list | None]] = []
@@ -1998,11 +1999,15 @@ class LakehouseCatalog:
             elif kind == "NOT MATCHED":
                 if action != "INSERT *":
                     raise ValueError(f"WHEN NOT MATCHED cannot {action}")
-                if cond is not None:
-                    raise ValueError(
-                        "WHEN NOT MATCHED AND <cond> is not supported"
-                    )
                 when_not_matched = "insert"
+                if cond is not None:
+                    # condition over SOURCE columns (r10): unmatched
+                    # source rows failing it drop
+                    not_matched_condition = self._strip_alias(
+                        cond,
+                        m.group("salias"),
+                        "" if src_txt.startswith("(") else src_txt,
+                    )
             else:  # NOT MATCHED BY SOURCE
                 if action != "DELETE" or cond is not None:
                     raise ValueError(
@@ -2028,6 +2033,7 @@ class LakehouseCatalog:
                 keys,
                 matched_clauses,
                 when_not_matched,
+                not_matched_condition,
                 by_source,
             )
             return self.spark.createDataFrame(
@@ -2051,6 +2057,7 @@ class LakehouseCatalog:
                 column_sets,
                 matched_condition,
                 when_not_matched,
+                not_matched_condition,
                 by_source,
                 evolve=bool(m.group("evolve")),
             )
@@ -2062,6 +2069,7 @@ class LakehouseCatalog:
                 when_matched=when_matched,
                 matched_condition=matched_condition,
                 when_not_matched=when_not_matched,
+                not_matched_condition=not_matched_condition,
                 when_not_matched_by_source=by_source,
                 with_schema_evolution=bool(m.group("evolve")),
             )
@@ -2474,6 +2482,7 @@ class LakehouseCatalog:
         keys: list[str],
         clauses: list[tuple[str | None, str, list | None]],
         when_not_matched: str,
+        not_matched_condition: str | None,
         by_source: str,
     ):
         """Delta's multi-clause WHEN MATCHED matrix, first-match-wins
@@ -2606,6 +2615,12 @@ class LakehouseCatalog:
             ins = src_df.join(
                 tdf.select(*keys).distinct(), on=keys, how="left_anti"
             )
+            if not_matched_condition is not None:
+                ins = ins.filter(
+                    F.coalesce(
+                        F.expr(not_matched_condition), F.lit(False)
+                    )
+                )
             updates = updates.unionByName(
                 self._aligned_insert_rows(ins, fields, gen).withColumn(
                     "__merge_del", F.lit(False)
@@ -2630,6 +2645,7 @@ class LakehouseCatalog:
         sets: list[tuple[str, str]],
         matched_condition: str | None,
         when_not_matched: str,
+        not_matched_condition: str | None,
         by_source: str,
         evolve: bool,
     ):
@@ -2698,6 +2714,12 @@ class LakehouseCatalog:
             ins = src_df.join(
                 tdf.select(*keys).distinct(), on=keys, how="left_anti"
             )
+            if not_matched_condition is not None:
+                ins = ins.filter(
+                    F.coalesce(
+                        F.expr(not_matched_condition), F.lit(False)
+                    )
+                )
             return (
                 computed.unionByName(
                     self._aligned_insert_rows(ins, fields, gen)

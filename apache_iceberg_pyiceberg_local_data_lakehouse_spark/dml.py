@@ -459,6 +459,7 @@ def merge_into(
     when_matched: str = "update",
     matched_condition: str | Column | None = None,
     when_not_matched: str = "insert",
+    not_matched_condition: str | Column | None = None,
     when_not_matched_by_source: str = "keep",
     source_delete_condition: str | Column | None = None,
     extra_summary: dict | None = None,
@@ -490,6 +491,10 @@ def merge_into(
       columns.
     - ``when_not_matched``: ``'insert'`` (default) or ``'ignore'`` —
       source rows with keys absent from the table insert or drop.
+    - ``not_matched_condition``: optional predicate over SOURCE
+      columns gating the insert (``WHEN NOT MATCHED AND cond THEN
+      INSERT *``) — unmatched source rows failing it drop. Must be
+      deterministic over the (checkpointed) source frame.
     - ``when_not_matched_by_source``: ``'keep'`` (default) or
       ``'delete'`` — Delta/SQL:2003's WHEN NOT MATCHED BY SOURCE THEN
       DELETE. ``'delete'`` turns MERGE into full sync: after the
@@ -536,6 +541,15 @@ def merge_into(
         raise ValueError(
             "when_not_matched_by_source must be keep|delete, "
             f"got {when_not_matched_by_source!r}"
+        )
+    nm_cond = (
+        F.expr(not_matched_condition)
+        if isinstance(not_matched_condition, str)
+        else not_matched_condition
+    )
+    if nm_cond is not None and when_not_matched != "insert":
+        raise ValueError(
+            "not_matched_condition requires when_not_matched='insert'"
         )
     sync = when_not_matched_by_source == "delete"
     cond = (
@@ -588,6 +602,7 @@ def merge_into(
             and when_not_matched == "insert"
             and cond is None
             and src_del is None
+            and nm_cond is None
         ):
             probe = table._fill_generated(updates)
             have = {c.lower() for c in probe.columns}
@@ -662,7 +677,12 @@ def merge_into(
         else updates.filter(~F.coalesce(src_del, F.lit(False)))
     )
     parts: list[DataFrame] = []
-    if when_matched == "update" and when_not_matched == "insert" and cond is None:
+    if (
+        when_matched == "update"
+        and when_not_matched == "insert"
+        and cond is None
+        and nm_cond is None
+    ):
         # fast path: every entering source row lands
         parts.append(entering)
     else:
@@ -674,7 +694,12 @@ def merge_into(
                 upd_keys = marked.filter(replaced).select(*keys).distinct()
             parts.append(entering.join(upd_keys, on=keys, how="left_semi"))
         if when_not_matched == "insert":
-            parts.append(entering.join(tbl_keys, on=keys, how="left_anti"))
+            ins_src = (
+                entering
+                if nm_cond is None
+                else entering.filter(F.coalesce(nm_cond, F.lit(False)))
+            )
+            parts.append(ins_src.join(tbl_keys, on=keys, how="left_anti"))
     incoming = parts[0] if parts else None
     for p in parts[1:]:
         incoming = incoming.unionByName(p)

@@ -3633,3 +3633,57 @@ def test_mv_avg_cdc_group_recompute(catalog, spark):
     snap = catalog.refresh_materialized_view("gold.avgmv")
     assert snap is not None and snap.operation == "merge"
     assert rows() == {("a", 2, 5.0), ("b", 1, 10.0)}
+
+
+def test_sql_merge_not_matched_condition(catalog, spark):
+    """r10: WHEN NOT MATCHED AND <cond over source columns> THEN
+    INSERT * - unmatched source rows failing the condition drop,
+    across all three merge doors (row-replace, column-level SET,
+    multi-clause)."""
+    t = catalog.create_table(
+        "gold.nmc", spark.createDataFrame([], "k long, v long").schema
+    )
+    t.append(spark.createDataFrame([(1, 10)], "k long, v long"))
+    spark.createDataFrame(
+        [(1, 100), (2, 5), (3, 50)], "k long, v long"
+    ).createOrReplaceTempView("nmcsrc")
+    # row-replace door
+    catalog.sql(
+        "MERGE INTO gold.nmc USING nmcsrc s ON gold.nmc.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED AND s.v >= 10 THEN INSERT *"
+    )
+    got = {
+        (r["k"], r["v"])
+        for r in catalog.load_table("gold.nmc").to_df().collect()
+    }
+    assert got == {(1, 100), (3, 50)}  # k=2 failed the gate
+    # column-level door
+    catalog.sql(
+        "MERGE INTO gold.nmc USING nmcsrc s ON gold.nmc.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = gold.nmc.v + 1 "
+        "WHEN NOT MATCHED AND s.v < 10 THEN INSERT *"
+    )
+    got = {
+        (r["k"], r["v"])
+        for r in catalog.load_table("gold.nmc").to_df().collect()
+    }
+    assert got == {(1, 101), (3, 51), (2, 5)}
+    # multi-clause door
+    catalog.sql("DELETE FROM gold.nmc WHERE k = 2")
+    spark.createDataFrame(
+        [(1, 7), (3, 200), (9, 3), (8, 30)], "k long, v long"
+    ).createOrReplaceTempView("nmcsrc2")
+    catalog.sql(
+        "MERGE INTO gold.nmc USING nmcsrc2 s ON gold.nmc.k = s.k "
+        "WHEN MATCHED AND gold.nmc.v > 100 THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED AND s.v >= 10 THEN INSERT *"
+    )
+    got = {
+        (r["k"], r["v"])
+        for r in catalog.load_table("gold.nmc").to_df().collect()
+    }
+    # k=1 (v=101 > 100) deleted; k=3 replaced with 200; k=9 fails the
+    # insert gate; k=8 inserts
+    assert got == {(3, 200), (8, 30)}
