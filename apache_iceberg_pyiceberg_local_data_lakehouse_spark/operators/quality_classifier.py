@@ -1,0 +1,202 @@
+"""Quality-classifier filtering — the GPT-3/LLaMA curation step: a
+linear classifier over hashed n-gram bag-of-words features scores every
+document's "looks like the high-quality reference" log-odds, and the
+corpus filters on the score (optionally with stochastic Pareto-style
+acceptance, the GPT-3 trick that keeps a long tail of lower-scoring
+documents instead of a hard cliff).
+
+Public-knowledge provenance: GPT-3 (Brown et al. 2020, Appendix A)
+filtered Common Crawl with a logistic-regression classifier trained on
+WebText-vs-crawl; LLaMA (Touvron et al. 2023) used a fastText-style
+linear classifier for the same purpose. Both are linear models over
+sparse lexical features — exactly what hashed bag-of-words reproduces
+portably.
+
+Scale discipline (the 100 TB shape):
+- FIT is driver-side logistic regression (plain numpy gradient
+  descent) on a BOUNDED deterministic sample: one pass collects
+  ``sample`` rows' hashed feature vectors (md5-u32 ordering, so the
+  sample is stable across runs and engines), driver state is
+  O(sample x n_buckets) with n_buckets ~ 2^10.
+- SCORE is a pure projection: the weight vector inlines as a
+  plan-literal array and each document folds its grams through
+  ``element_at`` + ``aggregate`` — zero shuffles, zero UDFs, the same
+  machinery as ``operators.dsir`` (whole-stage codegen absorbs it into
+  the scan).
+- FILTER composes the score with a deterministic hash-uniform
+  acceptance (``keep if score > T or u < exp(score - T)``-style), so
+  reruns and engines agree row-for-row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dsir import _grams
+from .embedding import _token_u32
+
+
+def _doc_buckets(
+    df: DataFrame,
+    text_col: str,
+    sep: str,
+    ngrams: tuple,
+    n_buckets: int,
+) -> DataFrame:
+    """array<int> of hashed gram buckets per document (duplicates kept
+    — term frequency matters to the classifier)."""
+    parts = []
+    for n in ngrams:
+        grams = F.filter(
+            _grams(F.col(text_col), sep, n), lambda g: g != ""
+        )
+        parts.append(
+            F.transform(
+                grams,
+                lambda g: (_token_u32(g) % n_buckets).cast("int"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = F.concat(out, p)
+    return df.withColumn("__qc_buckets", out)
+
+
+def quality_classifier_fit(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    sep: str = " ",
+    ngrams: tuple = (1,),
+    n_buckets: int = 1024,
+    sample: int = 4000,
+    iters: int = 300,
+    lr: float = 0.5,
+    l2: float = 1e-3,
+    id_col: str = "doc_id",
+) -> dict:
+    """Fit the linear quality model: logistic regression of
+    ``label_col`` (boolean/0-1: 1 = high quality reference) on
+    L2-normalized hashed gram counts.
+
+    The training sample is the first ``sample`` rows by md5-u32 of the
+    id — deterministic across runs, engines, and partitionings (the
+    ``_driver_lloyd`` fit discipline). Features are collected as
+    bucket-index arrays (O(tokens) per row, never a dense matrix on
+    executors); densification happens driver-side on the bounded
+    sample only. Returns ``{"w": [n_buckets floats], "b": float,
+    "n_buckets": int, "ngrams": tuple, "sep": str}`` — the whole model
+    is a broadcastable plan literal."""
+    import numpy as np
+
+    feats = _doc_buckets(df, text_col, sep, ngrams, n_buckets)
+    rows = (
+        feats.select(
+            F.col(label_col).cast("double").alias("__y"),
+            "__qc_buckets",
+            _token_u32(F.col(id_col).cast("string")).alias("__ord"),
+        )
+        .orderBy("__ord", F.col(id_col).cast("string"))
+        .limit(int(sample))
+        .collect()
+    )
+    if not rows:
+        raise ValueError("quality_classifier_fit: empty corpus")
+    X = np.zeros((len(rows), n_buckets))
+    y = np.array([r["__y"] for r in rows])
+    if len(set(y.tolist())) < 2:
+        raise ValueError(
+            "quality_classifier_fit needs both labels in the sample"
+        )
+    for i, r in enumerate(rows):
+        for b in r["__qc_buckets"] or []:
+            X[i, b] += 1.0
+    norms = np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    X = X / norms
+    w = np.zeros(n_buckets)
+    b = 0.0
+    n = float(len(rows))
+    for _ in range(int(iters)):  # deterministic full-batch GD
+        z = X @ w + b
+        p = 1.0 / (1.0 + np.exp(-np.clip(z, -30, 30)))
+        g = p - y
+        w -= lr * ((X.T @ g) / n + l2 * w)
+        b -= lr * float(g.mean())
+    return {
+        "w": [float(x) for x in w],
+        "b": float(b),
+        "n_buckets": int(n_buckets),
+        "ngrams": tuple(ngrams),
+        "sep": sep,
+    }
+
+
+def quality_classifier_score(
+    df: DataFrame,
+    model: dict,
+    text_col: str = "text",
+    out_col: str = "quality_score",
+) -> DataFrame:
+    """Append the per-document log-odds score: each gram looks its
+    bucket's weight up in the plan-literal table, the doc sums them,
+    and the sum normalizes by the gram count (matching the fit's L2
+    normalization up to a per-document scale — monotone, so
+    thresholds behave identically). Pure projection: no shuffle, no
+    UDF, absorbed by the scan at 100 TB."""
+    n_buckets = int(model["n_buckets"])
+    table = F.array(*[F.lit(float(x)) for x in model["w"]])
+    total = None
+    count = None
+    for n in model["ngrams"]:
+        grams = F.filter(
+            _grams(F.col(text_col), model["sep"], n), lambda g: g != ""
+        )
+        s = F.aggregate(
+            grams,
+            F.lit(0.0),
+            lambda acc, g: acc
+            + F.element_at(
+                table, (_token_u32(g) % n_buckets + 1).cast("int")
+            ),
+        )
+        c = F.size(grams)
+        total = s if total is None else total + s
+        count = c if count is None else count + c
+    score = F.lit(float(model["b"])) + total / F.sqrt(
+        F.greatest(count.cast("double"), F.lit(1.0))
+    )
+    return df.withColumn(out_col, score)
+
+
+def quality_filter(
+    df: DataFrame,
+    model: dict,
+    text_col: str = "text",
+    threshold: float = 0.0,
+    pareto_alpha: float | None = None,
+    id_col: str = "doc_id",
+    seed: str = "qc",
+) -> DataFrame:
+    """Keep documents the classifier likes. ``pareto_alpha=None`` is a
+    hard threshold on the log-odds score. With ``pareto_alpha`` set,
+    GPT-3's stochastic acceptance keeps a sub-threshold document when
+    ``u < exp(alpha * (score - threshold))`` — a soft cliff that
+    retains a long tail of lower-scoring documents. ``u`` is the
+    DETERMINISTIC hash-uniform of (seed, id): reproducible across
+    runs, engines, and partitionings, no RNG state."""
+    scored = quality_classifier_score(df, model, text_col=text_col)
+    if pareto_alpha is None:
+        return scored.filter(F.col("quality_score") > F.lit(threshold))
+    u32 = _token_u32(
+        F.concat_ws("\x1f", F.lit(seed), F.col(id_col).cast("string"))
+    )
+    u = (u32 + F.lit(0.5)) / F.lit(4294967296.0)
+    accept = (F.col("quality_score") > F.lit(threshold)) | (
+        u
+        < F.exp(
+            F.lit(float(pareto_alpha))
+            * (F.col("quality_score") - F.lit(threshold))
+        )
+    )
+    return scored.filter(accept)

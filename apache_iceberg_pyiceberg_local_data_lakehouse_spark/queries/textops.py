@@ -2049,3 +2049,95 @@ def q8e_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("selection_enriched", F.lit(enriched))
         .orderBy("bucket")
     )
+
+
+@register(
+    "q8l_quality_classifier",
+    # new in r10, registered behind the judged window (r11 rotation
+    # fodder); certifies quality-classifier curation
+    # (operators/quality_classifier.py - the GPT-3 Appendix A /
+    # LLaMA linear-classifier filtering step): the judged rows pin the
+    # DETERMINISTIC fit-sample composition cross-engine (first 500
+    # documents by md5-u32 of the id - the part both engines must
+    # agree on exactly), and the flags pin the semantics: the fitted
+    # scores separate the reference label, and the top-k by score is
+    # more reference-like than the corpus.
+    defer=True,
+    oracle="""
+    WITH s AS (
+      SELECT lang FROM (
+        SELECT lang,
+               CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                 AS BIGINT) AS o,
+               CAST(doc_id AS VARCHAR) AS ds
+        FROM documents ORDER BY o, ds LIMIT 500
+      )
+    ), c AS (
+      SELECT lang, COUNT(*) AS n_corpus FROM documents GROUP BY lang
+    ), sc AS (
+      SELECT lang, COUNT(*) AS n_sample FROM s GROUP BY lang
+    )
+    SELECT c.lang, CAST(COALESCE(sc.n_sample, 0) AS BIGINT) AS n_sample,
+           CAST(c.n_corpus AS BIGINT) AS n_corpus,
+           TRUE AS separated, TRUE AS enriched
+    FROM c LEFT JOIN sc ON c.lang = sc.lang ORDER BY c.lang
+    """,
+)
+def q8l_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier filtering end-to-end on the documents corpus:
+    reference label = the English slice, model = hashed-feature
+    logistic regression fit on the deterministic 500-doc sample,
+    scoring = plan-literal projection. Judged: the sample composition
+    (exact integers), plus flags that the scores separate the label
+    and that the top-200 by score is more English than the corpus."""
+    from ..operators.embedding import _token_u32
+    from ..operators.quality_classifier import (
+        quality_classifier_fit,
+        quality_classifier_score,
+    )
+
+    d = load(spark, sf_dir, "documents").withColumn(
+        "__is_en", (F.col("lang") == "en").cast("int")
+    )
+    model = quality_classifier_fit(
+        d, "__is_en", n_buckets=512, sample=500, iters=200
+    )
+    scored = quality_classifier_score(d, model)
+    means = {
+        r["__is_en"]: r["m"]
+        for r in scored.groupBy("__is_en")
+        .agg(F.avg("quality_score").alias("m"))
+        .collect()
+    }
+    separated = bool(means[1] > means[0])
+    topk = scored.orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    ).limit(200)
+    top_en = topk.agg(F.avg("__is_en")).first()[0]
+    base_en = d.agg(F.avg("__is_en")).first()[0]
+    enriched = bool(top_en > base_en)
+    sample = (
+        d.select(
+            "lang",
+            _token_u32(F.col("doc_id").cast("string")).alias("o"),
+            F.col("doc_id").cast("string").alias("ds"),
+        )
+        .orderBy("o", "ds")
+        .limit(500)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sample"))
+    )
+    corpus = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_corpus"))
+    return (
+        corpus.join(sample, on="lang", how="left")
+        .select(
+            "lang",
+            F.coalesce(F.col("n_sample"), F.lit(0))
+            .cast("long")
+            .alias("n_sample"),
+            F.col("n_corpus").cast("long"),
+            F.lit(separated).alias("separated"),
+            F.lit(enriched).alias("enriched"),
+        )
+        .orderBy("lang")
+    )

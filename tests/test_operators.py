@@ -2624,3 +2624,80 @@ def test_dsir_importance_resampling(spark):
     # before the TakeOrderedAndProject the top-k compiles to)
     plan = sel._sc is not None and sel._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_quality_classifier_filtering(spark):
+    """r10 quality-classifier curation (GPT-3 Appendix A / LLaMA
+    pattern): a hashed-feature logistic regression fit driver-side on
+    a deterministic sample separates reference-like from junk text,
+    scoring is a pure projection, the hard threshold keeps the good
+    slice, and the Pareto acceptance keeps a reproducible long tail."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.quality_classifier import (
+        quality_classifier_fit,
+        quality_classifier_score,
+        quality_filter,
+    )
+
+    good = [
+        "the committee published its annual report on climate policy",
+        "researchers measured the effect of treatment on patient outcomes",
+        "the council approved a detailed budget for public transport",
+        "historians documented the economic causes of the crisis",
+    ]
+    junk = [
+        "click here buy now cheap cheap deals deals",
+        "win win win free prize click subscribe now",
+        "hot singles online click now free free",
+        "zzz qqq xxx spam spam spam click click",
+    ]
+    rows = [(i, t, 1) for i, t in enumerate(good * 3)] + [
+        (100 + i, t, 0) for i, t in enumerate(junk * 3)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, label int"
+    )
+    model = quality_classifier_fit(
+        df, "label", n_buckets=256, sample=100, iters=200
+    )
+    assert len(model["w"]) == 256
+    scored = quality_classifier_score(df, model)
+    by_label = {
+        r["label"]: r["m"]
+        for r in scored.groupBy("label")
+        .agg(F.avg("quality_score").alias("m"))
+        .collect()
+    }
+    assert by_label[1] > by_label[0]  # separation
+    # hard threshold: every kept doc scores above it
+    kept = quality_filter(df, model, threshold=0.0)
+    assert kept.filter("label = 0").count() < df.filter("label = 0").count()
+    assert kept.filter("quality_score <= 0").count() == 0
+    # unseen text scores by its words (no leakage from doc identity)
+    unseen = spark.createDataFrame(
+        [(900, "the committee report on policy outcomes"),
+         (901, "click click free free spam now")],
+        "doc_id long, text string",
+    )
+    s = {
+        r["doc_id"]: r["quality_score"]
+        for r in quality_classifier_score(unseen, model).collect()
+    }
+    assert s[900] > s[901]
+    # Pareto acceptance: reproducible, keeps everything the hard
+    # threshold keeps plus a sub-threshold tail
+    p1 = {r["doc_id"] for r in quality_filter(
+        df, model, threshold=0.0, pareto_alpha=0.5).collect()}
+    p2 = {r["doc_id"] for r in quality_filter(
+        df, model, threshold=0.0, pareto_alpha=0.5).collect()}
+    assert p1 == p2
+    hard = {r["doc_id"] for r in kept.collect()}
+    assert hard <= p1
+    # the scoring plan is a pure projection - no shuffle (Exchange)
+    plan = quality_classifier_score(df, model)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Exchange" not in plan
+    # fit determinism: same inputs, same weights
+    model2 = quality_classifier_fit(
+        df, "label", n_buckets=256, sample=100, iters=200
+    )
+    assert model2["w"] == model["w"] and model2["b"] == model["b"]
