@@ -2022,11 +2022,6 @@ class LakehouseCatalog:
             )
         if len(matched_clauses) > 1:
             # the Delta multi-clause matrix: first-match-wins per row
-            if bool(m.group("evolve")):
-                raise ValueError(
-                    "MERGE WITH SCHEMA EVOLUTION composes with a single "
-                    "WHEN MATCHED clause only"
-                )
             snap = self._merge_multi_clauses(
                 t,
                 src_df,
@@ -2035,6 +2030,7 @@ class LakehouseCatalog:
                 when_not_matched,
                 not_matched_condition,
                 by_source,
+                evolve=bool(m.group("evolve")),
             )
             return self.spark.createDataFrame(
                 [("merge", target, snap.version)],
@@ -2484,6 +2480,7 @@ class LakehouseCatalog:
         when_not_matched: str,
         not_matched_condition: str | None,
         by_source: str,
+        evolve: bool = False,
     ):
         """Delta's multi-clause WHEN MATCHED matrix, first-match-wins
         per target row: each clause is ``(condition, action, sets)``
@@ -2541,11 +2538,11 @@ class LakehouseCatalog:
                         raise ValueError(
                             f"MERGE cannot SET the key column {col!r}"
                         )
-                    if col.lower() not in tcols:
+                    if col.lower() not in tcols and not evolve:
                         raise ValueError(
-                            f"SET target {col!r} is not a table column "
-                            "(multi-clause MERGE does not evolve the "
-                            "schema)"
+                            f"SET target {col!r} is not a table "
+                            "column; MERGE WITH SCHEMA EVOLUTION "
+                            "adds it"
                         )
 
         def fire(i: int) -> str:
@@ -2559,73 +2556,139 @@ class LakehouseCatalog:
             f"coalesce(({c if c is not None else 'true'}), false)"
             for c in conds
         )
-        tdf = t.scan()
-        key_eq = None
-        for k in keys:
-            eq = F.col(f"__mt.{k}") == F.col(f"__ms.{k}")
-            key_eq = eq if key_eq is None else (key_eq & eq)
-        parts: list[DataFrame] = []
-        for i, (_c, action, sets) in enumerate(clauses):
-            j = (
-                tdf.filter(F.expr(fire(i)))
-                .alias("__mt")
-                .join(src_df.alias("__ms"), key_eq, "inner")
-            )
-            if action == "delete":
-                row = j.select(
-                    *[
-                        F.col(f"__mt.{f.name}").alias(f.name)
+        def build_updates(fields):
+            tdf = t.scan()
+            key_eq = None
+            for k in keys:
+                eq = F.col(f"__mt.{k}") == F.col(f"__ms.{k}")
+                key_eq = eq if key_eq is None else (key_eq & eq)
+            fnames = {f.name.lower() for f in fields}
+            parts: list[DataFrame] = []
+            for i, (_c, action, sets) in enumerate(clauses):
+                j = (
+                    tdf.filter(F.expr(fire(i)))
+                    .alias("__mt")
+                    .join(src_df.alias("__ms"), key_eq, "inner")
+                )
+                if action == "delete":
+                    row = j.select(
+                        *[
+                            F.col(f"__mt.{f.name}").alias(f.name)
+                            for f in fields
+                        ]
+                    )
+                    parts.append(
+                        row.withColumn("__merge_del", F.lit(True))
+                    )
+                    continue
+                if action == "update_star":
+                    # row-replace parity with the single-clause door:
+                    # a source missing a non-key table column errors
+                    # instead of silently keeping stale target values
+                    missing = [
+                        f.name
                         for f in fields
+                        if f.name.lower() not in scols
+                        and f.name.lower() not in lower_keys
                     ]
+                    if missing:
+                        raise ValueError(
+                            "UPDATE SET * requires the source to carry "
+                            f"every table column; missing {missing}"
+                        )
+                    set_map = {
+                        f.name.lower(): f"__ms.{scols[f.name.lower()]}"
+                        for f in fields
+                        if f.name.lower() in scols
+                        and f.name.lower() not in lower_keys
+                    }
+                else:
+                    # pre-evolution probe passes restrict assignments
+                    # to columns that exist in `fields`
+                    set_map = {
+                        c.lower(): e
+                        for c, e in sets
+                        if c.lower() in fnames
+                    }
+                parts.append(
+                    self._computed_row_projection(
+                        j, set_map, fields, gen
+                    ).withColumn("__merge_del", F.lit(False))
                 )
-                parts.append(row.withColumn("__merge_del", F.lit(True)))
-                continue
-            if action == "update_star":
-                # row-replace parity with the single-clause door: a
-                # source missing a non-key table column errors instead
-                # of silently keeping stale target values
-                missing = [
-                    f.name
-                    for f in fields
-                    if f.name.lower() not in scols
-                    and f.name.lower() not in lower_keys
-                ]
-                if missing:
-                    raise ValueError(
-                        "UPDATE SET * requires the source to carry "
-                        f"every table column; missing {missing}"
+            updates = parts[0]
+            for p in parts[1:]:
+                updates = updates.unionByName(p)
+            if when_not_matched == "insert":
+                ins = src_df.join(
+                    tdf.select(*keys).distinct(),
+                    on=keys,
+                    how="left_anti",
+                )
+                if not_matched_condition is not None:
+                    ins = ins.filter(
+                        F.coalesce(
+                            F.expr(not_matched_condition), F.lit(False)
+                        )
                     )
-                set_map = {
-                    f.name.lower(): f"__ms.{scols[f.name.lower()]}"
-                    for f in fields
-                    if f.name.lower() in scols
-                    and f.name.lower() not in lower_keys
-                }
-            else:
-                set_map = {c.lower(): e for c, e in sets}
-            parts.append(
-                self._computed_row_projection(
-                    j, set_map, fields, gen
-                ).withColumn("__merge_del", F.lit(False))
-            )
-        updates = parts[0]
-        for p in parts[1:]:
-            updates = updates.unionByName(p)
-        if when_not_matched == "insert":
-            ins = src_df.join(
-                tdf.select(*keys).distinct(), on=keys, how="left_anti"
-            )
-            if not_matched_condition is not None:
-                ins = ins.filter(
-                    F.coalesce(
-                        F.expr(not_matched_condition), F.lit(False)
-                    )
+                updates = updates.unionByName(
+                    self._aligned_insert_rows(
+                        ins, fields, gen
+                    ).withColumn("__merge_del", F.lit(False))
                 )
-            updates = updates.unionByName(
-                self._aligned_insert_rows(ins, fields, gen).withColumn(
-                    "__merge_del", F.lit(False)
-                )
-            )
+            return updates
+
+        missing_targets = sorted(
+            {
+                col.lower()
+                for _c, action, sets in clauses
+                if action == "update_sets"
+                for col, _e in sets
+                if col.lower() not in tcols
+            }
+        )
+        if evolve:
+            # the same fail-open discipline as the column-level door:
+            # validate the CHECK/generated gate against the
+            # PRE-evolution schema BEFORE the first schema commit (the
+            # entering rows are exactly computable from pre-evolution
+            # columns - new columns cannot carry constraints)
+            from .dml import add_column, evolve_schema_for
+
+            probe = build_updates(fields).filter(
+                ~F.col("__merge_del")
+            ).drop("__merge_del")
+            t._validate_constraints(probe, t.snapshot(), op="merge")
+            if when_not_matched == "insert":
+                evolve_schema_for(t, src_df)
+            now = {f.name.lower() for f in t.schema.fields}
+            for _c, action, sets in clauses:
+                if action != "update_sets":
+                    continue
+                for col, expr in sets:
+                    if (
+                        col.lower() in missing_targets
+                        and col.lower() not in now
+                    ):
+                        i = clauses.index((_c, action, sets))
+                        j0 = (
+                            t.scan()
+                            .filter(F.expr(fire(i)))
+                            .alias("__mt")
+                            .join(
+                                src_df.alias("__ms"),
+                                F.lit(True),
+                                "inner",
+                            )
+                        )
+                        dt = (
+                            j0.select(F.expr(expr).alias("__probe"))
+                            .schema[0]
+                            .dataType
+                        )
+                        add_column(t, col, dt.jsonValue())
+                        now.add(col.lower())
+            fields = t.schema.fields  # post-evolution
+        updates = build_updates(fields)
         return merge_into(
             t,
             updates,

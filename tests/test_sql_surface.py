@@ -3687,3 +3687,57 @@ def test_sql_merge_not_matched_condition(catalog, spark):
     # k=1 (v=101 > 100) deleted; k=3 replaced with 200; k=9 fails the
     # insert gate; k=8 inserts
     assert got == {(3, 200), (8, 30)}
+
+
+def test_merge_multi_clause_schema_evolution(catalog, spark):
+    """r10: the multi-clause matrix composes with MERGE WITH SCHEMA
+    EVOLUTION - a SET target the table lacks is added (typed from its
+    expression) AFTER the CHECK gate passes against the pre-evolution
+    schema, and a failing merge strands nothing."""
+    import pytest as _pytest
+
+    t = catalog.create_table(
+        "gold.mcev", spark.createDataFrame([], "k long, v long").schema
+    )
+    t.append(
+        spark.createDataFrame(
+            [(1, 500), (2, 10), (3, 20)], "k long, v long"
+        )
+    )
+    t.add_constraint("v_pos", "v > 0")
+    spark.createDataFrame(
+        [(1, 0), (2, 0), (9, 7)], "k long, v long"
+    ).createOrReplaceTempView("mcevsrc")
+    # without evolution: unknown SET target refuses
+    with _pytest.raises(ValueError, match="SCHEMA EVOLUTION"):
+        catalog.sql(
+            "MERGE INTO gold.mcev USING mcevsrc s ON gold.mcev.k = s.k "
+            "WHEN MATCHED AND gold.mcev.v > 100 THEN DELETE "
+            "WHEN MATCHED THEN UPDATE SET tag = 'seen'"
+        )
+    # a constraint-violating multi-clause evolution merge strands nothing
+    with _pytest.raises(ValueError, match="v_pos"):
+        catalog.sql(
+            "MERGE WITH SCHEMA EVOLUTION INTO gold.mcev USING mcevsrc s "
+            "ON gold.mcev.k = s.k "
+            "WHEN MATCHED AND gold.mcev.v > 100 THEN DELETE "
+            "WHEN MATCHED THEN UPDATE SET tag = 'seen', v = -5"
+        )
+    assert {
+        f.name for f in catalog.load_table("gold.mcev").schema.fields
+    } == {"k", "v"}
+    # the clean merge evolves and applies first-match-wins per row
+    catalog.sql(
+        "MERGE WITH SCHEMA EVOLUTION INTO gold.mcev USING mcevsrc s "
+        "ON gold.mcev.k = s.k "
+        "WHEN MATCHED AND gold.mcev.v > 100 THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET tag = 'seen' "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    t = catalog.load_table("gold.mcev")
+    got = {
+        (r["k"], r["v"], r["tag"]) for r in t.to_df().collect()
+    }
+    # k=1 (v=500) deleted; k=2 tagged, v kept; k=3 unmatched-by-source
+    # untouched; k=9 inserted (tag NULL - not a source column)
+    assert got == {(2, 10, "seen"), (3, 20, None), (9, 7, None)}
