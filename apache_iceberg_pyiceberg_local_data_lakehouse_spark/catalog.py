@@ -2349,13 +2349,14 @@ class LakehouseCatalog:
 
     @staticmethod
     def _strip_alias(cond: str, alias: str | None, target: str) -> str:
-        """Rewrite ``t.col`` / ``ns.tbl.col`` references in a matched
-        condition to bare column names (merge_into predicates range
-        over the TABLE row only)."""
+        """Rewrite ``t.col`` / ``ns.tbl.col`` references in a matched /
+        not-matched condition to bare column names (merge_into
+        predicates range over one side's row only). Quote-aware: a
+        string literal containing ``<alias>.`` keeps its bytes."""
         for prefix in (alias, target, target.rsplit(".", 1)[-1]):
             if prefix:
-                cond = re.sub(
-                    rf"\b{re.escape(prefix)}\.", "", cond
+                cond = _sub_outside_quotes(
+                    re.compile(rf"\b{re.escape(prefix)}\."), "", cond
                 )
         return cond.strip()
 
@@ -2654,14 +2655,26 @@ class LakehouseCatalog:
             # columns - new columns cannot carry constraints)
             from .dml import add_column, evolve_schema_for
 
+            has_star = any(a == "update_star" for _c, a, _s in clauses)
+            if has_star and missing_targets:
+                # decidable BEFORE any schema commit: an evolving SET
+                # target the source lacks would make every UPDATE SET *
+                # clause fail AFTER evolution - forever (the column is
+                # still not a source column on retry)
+                raise ValueError(
+                    "UPDATE SET * cannot compose with evolving SET "
+                    f"target(s) the source lacks: {missing_targets}"
+                )
             probe = build_updates(fields).filter(
                 ~F.col("__merge_del")
             ).drop("__merge_del")
             t._validate_constraints(probe, t.snapshot(), op="merge")
-            if when_not_matched == "insert":
+            if when_not_matched == "insert" or has_star:
+                # SET * / INSERT * under evolution union the full
+                # source schema in (the row-replace door's semantics)
                 evolve_schema_for(t, src_df)
             now = {f.name.lower() for f in t.schema.fields}
-            for _c, action, sets in clauses:
+            for i, (_c, action, sets) in enumerate(clauses):
                 if action != "update_sets":
                     continue
                 for col, expr in sets:
@@ -2669,7 +2682,6 @@ class LakehouseCatalog:
                         col.lower() in missing_targets
                         and col.lower() not in now
                     ):
-                        i = clauses.index((_c, action, sets))
                         j0 = (
                             t.scan()
                             .filter(F.expr(fire(i)))

@@ -138,34 +138,59 @@ def quality_classifier_score(
     text_col: str = "text",
     out_col: str = "quality_score",
 ) -> DataFrame:
-    """Append the per-document log-odds score: each gram looks its
-    bucket's weight up in the plan-literal table, the doc sums them,
-    and the sum normalizes by the gram count (matching the fit's L2
-    normalization up to a per-document scale — monotone, so
-    thresholds behave identically). Pure projection: no shuffle, no
-    UDF, absorbed by the scan at 100 TB."""
+    """Append the per-document log-odds score the FITTED model assigns:
+    each gram looks its bucket's weight up in the plan-literal table,
+    the doc sums them, and the sum normalizes by the EXACT L2 norm of
+    the hashed term-frequency vector - the same normalization the fit
+    applied, so scores are the model's calibrated log-odds (a sqrt of
+    the gram count would overweight repetitive documents by up to
+    sqrt(k)). The norm is computed in-plan: sort the bucket array and
+    fold run lengths into a sum of squares. Pure projection: no
+    shuffle, no UDF, absorbed by the scan at 100 TB."""
     n_buckets = int(model["n_buckets"])
     table = F.array(*[F.lit(float(x)) for x in model["w"]])
+    all_buckets = None
     total = None
-    count = None
     for n in model["ngrams"]:
         grams = F.filter(
             _grams(F.col(text_col), model["sep"], n), lambda g: g != ""
         )
-        s = F.aggregate(
-            grams,
-            F.lit(0.0),
-            lambda acc, g: acc
-            + F.element_at(
-                table, (_token_u32(g) % n_buckets + 1).cast("int")
-            ),
+        b = F.transform(
+            grams, lambda g: (_token_u32(g) % n_buckets).cast("int")
         )
-        c = F.size(grams)
+        s = F.aggregate(
+            b,
+            F.lit(0.0),
+            lambda acc, i: acc + F.element_at(table, i + 1),
+        )
         total = s if total is None else total + s
-        count = c if count is None else count + c
-    score = F.lit(float(model["b"])) + total / F.sqrt(
-        F.greatest(count.cast("double"), F.lit(1.0))
+        all_buckets = (
+            b if all_buckets is None else F.concat(all_buckets, b)
+        )
+    # ||tf||_2^2 = sum over buckets of count^2: fold the SORTED bucket
+    # array with (prev, run, sumsq) state - equal neighbors extend the
+    # run, a new bucket flushes run^2
+    srt = F.array_sort(all_buckets)
+    state = F.aggregate(
+        srt,
+        F.struct(
+            F.lit(-1).alias("prev"),
+            F.lit(0.0).alias("run"),
+            F.lit(0.0).alias("ss"),
+        ),
+        lambda st, i: F.struct(
+            i.alias("prev"),
+            F.when(i == st["prev"], st["run"] + 1.0)
+            .otherwise(F.lit(1.0))
+            .alias("run"),
+            F.when(i == st["prev"], st["ss"])
+            .otherwise(st["ss"] + st["run"] * st["run"])
+            .alias("ss"),
+        ),
+        lambda st: st["ss"] + st["run"] * st["run"],
     )
+    norm = F.sqrt(F.greatest(state, F.lit(1.0)))
+    score = F.lit(float(model["b"])) + total / norm
     return df.withColumn(out_col, score)
 
 

@@ -2701,3 +2701,16 @@ def test_quality_classifier_filtering(spark):
         df, "label", n_buckets=256, sample=100, iters=200
     )
     assert model2["w"] == model["w"] and model2["b"] == model["b"]
+    # calibration (r10 review): scoring normalizes by the EXACT L2 of
+    # the term-frequency vector, so a doc that repeats one gram k
+    # times scores identically to the single-gram doc (a sqrt(count)
+    # normalization would inflate it sqrt(k)-fold)
+    rep = spark.createDataFrame(
+        [(1, "spam"), (2, " ".join(["spam"] * 8))],
+        "doc_id long, text string",
+    )
+    rs = {
+        r["doc_id"]: r["quality_score"]
+        for r in quality_classifier_score(rep, model).collect()
+    }
+    assert abs(rs[1] - rs[2]) < 1e-9

@@ -3689,6 +3689,71 @@ def test_sql_merge_not_matched_condition(catalog, spark):
     assert got == {(3, 200), (8, 30)}
 
 
+def test_merge_multi_clause_evolution_star_edges(catalog, spark):
+    """r10 review: (a) multi-clause MERGE WITH SCHEMA EVOLUTION with an
+    UPDATE SET * clause unions the full source schema in, matching the
+    single-clause row-replace door; (b) composing UPDATE SET * with an
+    evolving SET target the source lacks refuses BEFORE any schema
+    commit (the statement could never succeed - nothing strands); (c)
+    a merge condition's string literal containing '<alias>.' keeps its
+    bytes through alias stripping."""
+    import pytest as _pytest
+
+    t = catalog.create_table(
+        "gold.mcse", spark.createDataFrame([], "k long, v long").schema
+    )
+    t.append(
+        spark.createDataFrame(
+            [(1, 500), (2, 10)], "k long, v long"
+        )
+    )
+    spark.createDataFrame(
+        [(1, 0, "x"), (2, 7, "y")], "k long, v long, extra string"
+    ).createOrReplaceTempView("mcsesrc")
+    catalog.sql(
+        "MERGE WITH SCHEMA EVOLUTION INTO gold.mcse USING mcsesrc s "
+        "ON gold.mcse.k = s.k "
+        "WHEN MATCHED AND gold.mcse.v > 100 THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET *"
+    )
+    t = catalog.load_table("gold.mcse")
+    assert {f.name for f in t.schema.fields} == {"k", "v", "extra"}
+    assert {
+        (r["k"], r["v"], r["extra"]) for r in t.to_df().collect()
+    } == {(2, 7, "y")}
+    # (b) star + evolving SET target the source lacks: refuse, strand
+    # nothing
+    v0 = t.current_version()
+    with _pytest.raises(ValueError, match="source lacks"):
+        catalog.sql(
+            "MERGE WITH SCHEMA EVOLUTION INTO gold.mcse USING mcsesrc s "
+            "ON gold.mcse.k = s.k "
+            "WHEN MATCHED AND gold.mcse.v > 100 THEN UPDATE SET * "
+            "WHEN MATCHED THEN UPDATE SET tag = 'seen'"
+        )
+    t = catalog.load_table("gold.mcse")
+    assert "tag" not in {f.name for f in t.schema.fields}
+    assert t.current_version() == v0
+    # (c) a string literal containing the source alias keeps its bytes
+    catalog.sql(
+        "MERGE INTO gold.mcse USING mcsesrc s ON gold.mcse.k = s.k "
+        "WHEN NOT MATCHED AND s.extra = 's.x' THEN INSERT *"
+    )
+    assert catalog.load_table("gold.mcse").to_df().count() == 1
+    spark.createDataFrame(
+        [(9, 1, "s.x")], "k long, v long, extra string"
+    ).createOrReplaceTempView("mcsesrc2")
+    catalog.sql(
+        "MERGE INTO gold.mcse USING mcsesrc2 s ON gold.mcse.k = s.k "
+        "WHEN NOT MATCHED AND s.extra = 's.x' THEN INSERT *"
+    )
+    got = {
+        (r["k"], r["extra"])
+        for r in catalog.load_table("gold.mcse").to_df().collect()
+    }
+    assert got == {(2, "y"), (9, "s.x")}
+
+
 def test_merge_multi_clause_schema_evolution(catalog, spark):
     """r10: the multi-clause matrix composes with MERGE WITH SCHEMA
     EVOLUTION - a SET target the table lacks is added (typed from its
