@@ -4015,6 +4015,92 @@ def q8k_mv_minmax_group_recompute(
 
 
 @register(
+    "q8m_merge_conditioned_insert",
+    # new in r10, registered behind the judged window (r11 rotation
+    # fodder); certifies WHEN NOT MATCHED AND <cond over source
+    # columns> THEN INSERT *: matched rows row-replace from the
+    # doubled-price source, unmatched source rows insert ONLY when
+    # they pass the gate, and the readback equals the SQL
+    # reconstruction.
+    defer=True,
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ), fin AS (
+      SELECT o_orderkey, cents * 2 AS cents
+      FROM base WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderkey, cents * 2 AS cents
+      FROM base WHERE o_orderkey % 2 = 1 AND cents * 2 >= 20000000
+    )
+    SELECT CAST(o_orderkey % 2 AS BIGINT) AS is_odd,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           TRUE AS gated
+    FROM fin GROUP BY 1 ORDER BY 1
+    """,
+)
+def q8m_merge_conditioned_insert(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Conditioned inserts judged end-to-end: the target holds the
+    even-keyed orders, the source carries EVERY order at double price;
+    matched (even) rows row-replace, unmatched (odd) rows insert only
+    when the doubled price clears $200k - the insert gate evaluates
+    over SOURCE columns. The gated flag trips if any sub-threshold odd
+    order slipped in."""
+    from ..catalog import LakehouseCatalog
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_q8m_")
+    try:
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("tmp")
+        o = load(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.expr(
+                "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
+            ).alias("cents"),
+        )
+        t = cat.create_table("tmp.cin_orders", o.schema)
+        t.append(o.filter(F.col("o_orderkey") % 2 == 0))
+        o.select(
+            "o_orderkey", (F.col("cents") * 2).alias("cents")
+        ).createOrReplaceTempView("tmp_cin_src")
+        cat.sql(
+            "MERGE INTO tmp.cin_orders USING tmp_cin_src s "
+            "ON tmp.cin_orders.o_orderkey = s.o_orderkey "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED AND s.cents >= 20000000 THEN INSERT *"
+        )
+        t = cat.load_table("tmp.cin_orders")
+        gated = (
+            t.to_df()
+            .filter(
+                (F.col("o_orderkey") % 2 == 1)
+                & (F.col("cents") < 20000000)
+            )
+            .count()
+            == 0
+        )
+        res = (
+            t.to_df()
+            .groupBy((F.col("o_orderkey") % 2).cast("long").alias("is_odd"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                F.sum("cents").cast("long").alias("sum_cents"),
+            )
+            .withColumn("gated", F.lit(gated))
+            .orderBy("is_odd")
+        )
+        rows = res.collect()  # materialize before the warehouse vanishes
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+@register(
     "q8b_scd2_history",
     # new in r9, registered behind the judged window (r10 rotation
     # fodder); certifies APPLY CHANGES ... STORED AS SCD TYPE 2
