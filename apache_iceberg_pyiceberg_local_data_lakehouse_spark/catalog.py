@@ -3520,10 +3520,10 @@ class LakehouseCatalog:
         CDC tier (r9) takes over when exactness is provable: fact DML
         refreshes from the fact's SIGNED changelog, a SINGLE moved dim
         from its signed changelog joined to the pinned fact
-        (:meth:`_join_cdc_refresh`), and TWO moved dims (r10) compose
-        the single-dim terms telescopically (each term binds earlier
-        dims to their new snapshots, later dims to the pinned ones).
-        Everything else - three+ moved dims, fact and dim moved
+        (:meth:`_join_cdc_refresh`), and TWO or THREE moved dims (r10)
+        compose the single-dim terms telescopically (each term binds
+        earlier dims to their new snapshots, later dims to the pinned
+        ones). Everything else - four+ moved dims, fact and dim moved
         together, non-invertible aggregates (no stored __mv state),
         expired changelog ranges - full-refreshes and re-pins all
         sides."""
@@ -3676,29 +3676,29 @@ class LakehouseCatalog:
                     return snap
         if (
             not all_pinned
-            and len(moved) == 2
-            and all(mv[3] for mv in moved)  # both lineages intact
+            and 2 <= len(moved) <= 3
+            and all(mv[3] for mv in moved)  # every lineage intact
             and fact_lineage
             and fact_v == base_v
         ):
-            # TWO dims moved, fact unmoved (VERDICT r9 #3): the inner
+            # TWO or THREE dims moved, fact unmoved (r10): the inner
             # join is multilinear, so the delta TELESCOPES into per-dim
             # terms -
             #   Q(f, d1', d2') - Q(f, d1, d2)
             #     = Q(f, d1'-d1, d2) + Q(f, d1', d2'-d2)
-            # each term is one single-dim signed-changelog refresh with
-            # the EARLIER moved dims bound to their NEW snapshots and
-            # the LATER ones to their PINNED snapshots (any fixed dim
-            # order works; the declared order is used). Each dim's pin
-            # updates IMMEDIATELY after its term commits - a crash (or
-            # commit conflict) between terms then leaves a state the
-            # next refresh resumes as a plain single-moved-dim CDC
-            # refresh, never a double-apply of the committed term. A
-            # term DECLINING (NotImplemented) falls through to the full
-            # refresh below, which overwrites the half-merged state
-            # (always correct). Three+ moved dims stay full-refresh:
-            # the terms multiply while the full recompute stays O(star)
-            # once.
+            # (and for K dims, K terms: term i binds every EARLIER
+            # moved dim to its NEW snapshot and every LATER one to its
+            # PINNED snapshot - any fixed dim order works; the declared
+            # order is used). Each dim's pin updates IMMEDIATELY after
+            # its term commits - a crash (or commit conflict) between
+            # terms then leaves a state the next refresh resumes as a
+            # fewer-moved-dims CDC refresh, never a double-apply of a
+            # committed term. A term DECLINING (NotImplemented) falls
+            # through to the full refresh below, which overwrites the
+            # half-merged state (always correct). Beyond three moved
+            # dims the window is rewrite-shaped: the terms multiply
+            # while the full recompute stays O(star) once - full
+            # refresh.
             moved_by = {mv[0]: mv for mv in moved}
             ordered = [d for d in dims if d in moved_by]
             chs: dict[str, DataFrame] = {}

@@ -3806,3 +3806,81 @@ def test_merge_multi_clause_schema_evolution(catalog, spark):
     # k=1 (v=500) deleted; k=2 tagged, v kept; k=3 unmatched-by-source
     # untouched; k=9 inserted (tag NULL - not a source column)
     assert got == {(2, 10, "seen"), (3, 20, None), (9, 7, None)}
+
+
+def test_mv_three_dim_cdc_composition(catalog, spark):
+    """r10: THREE dims of a 4-table star moved in one refresh window
+    compose telescopically (three changelog-merge terms, pins per
+    term), and the view equals the recompute; a 4th moved side would
+    full-refresh (gate pinned by the fact+dim case elsewhere)."""
+    import json as _json
+
+    f = catalog.create_table(
+        "gold.t3f",
+        spark.createDataFrame([], "a long, b long, c long, v long").schema,
+    )
+    d1 = catalog.create_table(
+        "gold.t3d1", spark.createDataFrame([], "k long, s1 string").schema
+    )
+    d2 = catalog.create_table(
+        "gold.t3d2", spark.createDataFrame([], "r long, s2 string").schema
+    )
+    d3 = catalog.create_table(
+        "gold.t3d3", spark.createDataFrame([], "q long, s3 string").schema
+    )
+    d1.append(
+        spark.createDataFrame(
+            [(1, "A"), (2, "B")], "k long, s1 string"
+        )
+    )
+    d2.append(
+        spark.createDataFrame(
+            [(10, "X"), (20, "Y")], "r long, s2 string"
+        )
+    )
+    d3.append(
+        spark.createDataFrame(
+            [(5, "P"), (6, "Q")], "q long, s3 string"
+        )
+    )
+    f.append(
+        spark.createDataFrame(
+            [
+                (1, 10, 5, 100),
+                (2, 20, 6, 200),
+                (1, 20, 5, 300),
+                (2, 10, 6, 400),
+            ],
+            "a long, b long, c long, v long",
+        )
+    )
+    q = (
+        "SELECT s1, s2, s3, COUNT(*) AS n, SUM(v) AS sv "
+        "FROM gold_t3f "
+        "JOIN gold_t3d1 ON gold_t3f.a = gold_t3d1.k "
+        "JOIN gold_t3d2 ON gold_t3f.b = gold_t3d2.r "
+        "JOIN gold_t3d3 ON gold_t3f.c = gold_t3d3.q "
+        "GROUP BY s1, s2, s3"
+    )
+    mv = catalog.create_materialized_view("gold.t3mv", q)
+    assert mv.properties().get("mv.refresh_mode") == "join_agg"
+    # ALL THREE dims move before one refresh
+    catalog.sql("UPDATE gold.t3d1 SET s1 = 'A2' WHERE k = 1")
+    catalog.sql("UPDATE gold.t3d2 SET s2 = 'Y2' WHERE r = 20")
+    catalog.sql("DELETE FROM gold.t3d3 WHERE q = 6")
+    snap = catalog.refresh_materialized_view("gold.t3mv")
+    assert snap is not None and snap.operation == "merge"
+    assert snap.summary.get("cdc_refresh") is True
+    catalog.register_views()
+    got = {tuple(r) for r in spark.sql("SELECT * FROM gold_t3mv").collect()}
+    want = {tuple(r) for r in spark.sql(q).collect()}
+    assert got == want
+    # all three pins advanced
+    vs = _json.loads(
+        catalog.load_table("gold.t3mv").properties()[
+            "mv.join_dim_versions"
+        ]
+    )
+    assert vs["gold.t3d1"] == str(d1.current_version())
+    assert vs["gold.t3d2"] == str(d2.current_version())
+    assert vs["gold.t3d3"] == str(d3.current_version())
