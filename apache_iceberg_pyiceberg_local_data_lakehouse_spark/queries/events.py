@@ -285,7 +285,10 @@ def q39_first_seen_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     # event type, grid expansion via sequence(), zero-fill for counts
     # and LOCF for the (BIGINT-quantized) value sums - integer math
     # throughout, so the filled series hashes exactly cross-engine.
-    # promoted to the judged window in r8
+    # promoted to the judged window in r8; driver-green r8-r10 (3x) -
+    # deferred out in r11 for the q8h-q8m first-timers (local DuckDB
+    # parity keeps running via test_oracle_parity.py).
+    defer=True,
     oracle="""
     WITH ev AS (
       SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events
@@ -397,7 +400,10 @@ def q7f_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fodder); certifies operators/funnel.py: ordered greedy sequence
     # matching (signup -> view -> purchase) with a completion window,
     # replayed in the oracle as the same chain of min-after joins.
-    # promoted to the judged window in r8
+    # promoted to the judged window in r8; driver-green r8-r10 (3x) -
+    # deferred out in r11 for the q8h-q8m first-timers (local DuckDB
+    # parity keeps running via test_oracle_parity.py).
+    defer=True,
     oracle="""
     WITH ev AS (
       SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events

@@ -2007,6 +2007,10 @@ def q6x_cdc_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
     # new in r6, registered behind the judged window (r7 rotation
     # fodder); certifies the JSONL corpus source: explicit-schema read,
     # PERMISSIVE quarantine, lossless round-trip into the lakehouse.
+    # promoted to the judged window in r7; driver-green r7-r10 (4x) -
+    # deferred out in r11 for the q8h-q8m first-timers (local DuckDB
+    # parity keeps running via test_oracle_parity.py).
+    defer=True,
     oracle="""
     SELECT lang, COUNT(*) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
@@ -3663,15 +3667,14 @@ def q8a_mv_join_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q8h_mv_two_dim_cdc",
-    # new in r10, registered behind the judged window (r11 rotation
-    # fodder); certifies the two-moved-dims CDC composition
+    # new in r10; promoted to the judged window in r11 (VERDICT r10
+    # #1 rotation). Certifies the two-moved-dims CDC composition
     # (catalog._refresh_join_agg r10 tier): BOTH dims of an
     # orders-customer-nation star change in ONE refresh window and the
     # refresh composes the per-dim signed-changelog terms (dim1's
     # changelog against the pinned dim2, dim2's against the NEW dim1)
     # as MERGEs - never a full recompute - with the final view equal
     # to the plain GROUP BY over the mutated inputs.
-    defer=True,
     oracle="""
     WITH c2 AS (
       SELECT c_custkey,
@@ -3765,14 +3768,13 @@ def q8h_mv_two_dim_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q8i_replace_where",
-    # new in r10, registered behind the judged window (r11 rotation
-    # fodder); certifies dml.replace_where / the INSERT INTO ... REPLACE
+    # new in r10; promoted to the judged window in r11 (VERDICT r10
+    # #1 rotation). Certifies dml.replace_where / the INSERT INTO ... REPLACE
     # WHERE SQL verb (Delta parity): one atomic commit drops the
     # predicate's slice and inserts its replacement, rows outside the
     # predicate survive in files carried BY REFERENCE (the flag trips
     # if the untouched file was rewritten), and the readback equals the
     # SQL reconstruction.
-    defer=True,
     oracle="""
     WITH base AS (
       SELECT o_orderkey, o_orderpriority AS pri,
@@ -3843,13 +3845,12 @@ def q8i_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q8j_merge_multi_clause",
-    # new in r10, registered behind the judged window (r11 rotation
-    # fodder); certifies the multi-clause WHEN MATCHED matrix
+    # new in r10; promoted to the judged window in r11 (VERDICT r10
+    # #1 rotation). Certifies the multi-clause WHEN MATCHED matrix
     # (catalog._merge_multi_clauses): a conditioned DELETE, a
     # conditioned column-level SET, and an unconditional row-replace
     # evaluate FIRST-MATCH-WINS per target row in one atomic commit,
     # and the readback equals the SQL reconstruction.
-    defer=True,
     oracle="""
     WITH base AS (
       SELECT o_orderkey, o_orderstatus AS status,
@@ -3930,13 +3931,12 @@ def q8j_merge_multi_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q8k_mv_minmax_group_recompute",
-    # new in r10, registered behind the judged window (r11 rotation
-    # fodder); certifies the MIN/MAX CDC tier
+    # new in r10; promoted to the judged window in r11 (VERDICT r10
+    # #1 rotation). Certifies the MIN/MAX CDC tier
     # (catalog._cdc_group_recompute): base DML that retracts current
     # minima/maxima refreshes the MV by recomputing ONLY the touched
     # groups (merge stamped group_recompute - the flag trips on a full
     # refresh), and the view equals the plain GROUP BY.
-    defer=True,
     oracle="""
     WITH mutated AS (
       SELECT o_orderstatus AS status,
@@ -4016,13 +4016,12 @@ def q8k_mv_minmax_group_recompute(
 
 @register(
     "q8m_merge_conditioned_insert",
-    # new in r10, registered behind the judged window (r11 rotation
-    # fodder); certifies WHEN NOT MATCHED AND <cond over source
+    # new in r10; promoted to the judged window in r11 (VERDICT r10
+    # #1 rotation). Certifies WHEN NOT MATCHED AND <cond over source
     # columns> THEN INSERT *: matched rows row-replace from the
     # doubled-price source, unmatched source rows insert ONLY when
     # they pass the gate, and the readback equals the SQL
     # reconstruction.
-    defer=True,
     oracle="""
     WITH base AS (
       SELECT o_orderkey,

@@ -1439,6 +1439,10 @@ def q5o_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # new in r6, registered behind the judged window (r7 rotation
     # fodder); certifies operators/retrieval.py BM25: quantized
     # per-term contributions, exact integer rollup, deterministic rank.
+    # promoted to the judged window in r7; driver-green r7-r10 (4x) -
+    # deferred out in r11 for the q8h-q8m first-timers (local DuckDB
+    # parity keeps running via test_oracle_parity.py).
+    defer=True,
     oracle="""
     WITH toks AS (
       SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
@@ -2053,8 +2057,8 @@ def q8e_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q8l_quality_classifier",
-    # new in r10, registered behind the judged window (r11 rotation
-    # fodder); certifies quality-classifier curation
+    # new in r10; promoted to the judged window in r11 (VERDICT r10
+    # #1 rotation). Certifies quality-classifier curation
     # (operators/quality_classifier.py - the GPT-3 Appendix A /
     # LLaMA linear-classifier filtering step): the judged rows pin the
     # DETERMINISTIC fit-sample composition cross-engine (first 500
@@ -2062,7 +2066,6 @@ def q8e_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     # agree on exactly), and the flags pin the semantics: the fitted
     # scores separate the reference label, and the top-k by score is
     # more reference-like than the corpus.
-    defer=True,
     oracle="""
     WITH s AS (
       SELECT lang FROM (

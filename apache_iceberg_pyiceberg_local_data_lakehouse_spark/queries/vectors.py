@@ -743,7 +743,10 @@ def q74_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q80_pca_quality",
-    # promoted to the judged window in r9
+    # promoted to the judged window in r9; driver-green r9-r10 (2x) -
+    # deferred out in r11 for the q8h-q8m first-timers (local DuckDB
+    # parity keeps running via test_oracle_parity.py).
+    defer=True,
     # certifies exact distributed-moment PCA via deterministic
     # invariants (the q70 bound pattern): component orthonormality,
     # eigenvalue ordering, variance-capture sanity, and the
@@ -809,7 +812,10 @@ def q80_pca_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q81_random_projection_pairs",
-    # promoted to the judged window in r9
+    # promoted to the judged window in r9; driver-green r9-r10 (2x) -
+    # deferred out in r11 for the q8h-q8m first-timers (local DuckDB
+    # parity keeps running via test_oracle_parity.py).
+    defer=True,
     # certifies seed-deterministic JL projection end-to-end: exact
     # pair count over the probe subset plus distortion-bound flags
     # (median tight, max loosely bounded at out_dim=16).

@@ -21,26 +21,23 @@ def test_window_is_exactly_fifty():
     assert list(QUERIES)[:JUDGED_WINDOW] == JUDGED_NAMES
 
 
-def test_round10_rotations_are_in_window():
-    """VERDICT r9 #1: rotate the last 9 never-driver-judged registrations
-    (the r9 deferred wave q88-q8g) into the window, so EVERY registered
+def test_round11_rotations_are_in_window():
+    """VERDICT r10 #1: rotate the 6 never-driver-judged registrations
+    (the r10 deferred wave q8h-q8m) into the window, so EVERY registered
     query has a CORRECTNESS row at least once."""
     must_be_judged = {
-        # r9 deferred wave, never judged before r10
-        "q88_eq_delete_consolidation",
-        "q89_mv_star_join",
-        "q8a_mv_join_cdc",
-        "q8b_scd2_history",
-        "q8c_opq_np_pq",
-        "q8d_generated_partition_column",
-        "q8e_dsir_selection",
-        "q8f_partition_ddl_lifecycle",
-        "q8g_theta_shingle_jaccard",
+        # r10 deferred wave, never judged before r11
+        "q8h_mv_two_dim_cdc",
+        "q8i_replace_where",
+        "q8j_merge_multi_clause",
+        "q8k_mv_minmax_group_recompute",
+        "q8l_quality_classifier",
+        "q8m_merge_conditioned_insert",
     }
     assert must_be_judged <= set(JUDGED_NAMES)
-    # the 41 keepers: lakehouse lifecycle spine, the streaming-path
-    # entry, and one-plus representatives per operator family (each
-    # already driver-green at least once)
+    # the 44 keepers: lakehouse lifecycle spine, the streaming-path
+    # entry, the r10 first-timers (one green each), and one-plus
+    # representatives per operator family
     keepers = {
         "q60_lakehouse_roundtrip",
         "q61_lakehouse_dedup_append",
@@ -58,11 +55,7 @@ def test_round10_rotations_are_in_window():
         "q6q_snapshot_isolation_gc",
         "q6v_row_lineage",
         "q6x_cdc_replication",
-        "q72_bm25_topk",
         "q74_pq_ann_topk",
-        "q75_jsonl_ingest",
-        "q7b_resample_gapfill",
-        "q7j_event_funnel",
         "q7o_branch_writes",
         "q7p_mv_having_incremental",
         "q7q_ohlc_bars",
@@ -75,17 +68,32 @@ def test_round10_rotations_are_in_window():
         "q7x_theta_audience_overlap",
         "q7y_kll_price_rollup",
         "q7z_event_gaps",
-        "q80_pca_quality",
-        "q81_random_projection_pairs",
         "q82_mv_join_agg",
         "q83_train_val_test_split",
         "q84_opq_rotated_pq",
         "q85_pivot_event_matrix",
         "q86_topk_frequent_items",
         "q87_streaming_exactly_once",
+        # r10 first-timers (judged green once, in r10)
+        "q88_eq_delete_consolidation",
+        "q89_mv_star_join",
+        "q8a_mv_join_cdc",
+        "q8b_scd2_history",
+        "q8c_opq_np_pq",
+        "q8d_generated_partition_column",
+        "q8e_dsir_selection",
+        "q8f_partition_ddl_lifecycle",
+        "q8g_theta_shingle_jaccard",
     }
     assert keepers <= set(JUDGED_NAMES)
     rotated_out = {
+        # r11 defer-outs (multi-green; shape-redundant with keepers)
+        "q72_bm25_topk",
+        "q75_jsonl_ingest",
+        "q7b_resample_gapfill",
+        "q7j_event_funnel",
+        "q80_pca_quality",
+        "q81_random_projection_pairs",
         # r10 defer-outs (judged green r9; shape-redundant with keepers)
         "q29_year_extract_volume",
         "q2a_percentiles",
