@@ -218,7 +218,14 @@ _DML_MERGE_CLAUSE = re.compile(
     r"\s+THEN\s+(?P<action>UPDATE\s+SET\s+\*"
     r"|UPDATE\s+SET\s+"
     r"(?P<sets>(?:(?!\bWHEN\s+(?:NOT\s+)?MATCHED\b).)+)"
-    r"|INSERT\s+\*|DELETE)",
+    r"|INSERT\s+\*"
+    # explicit column-list insert: INSERT (a, b) VALUES (e1, e2) -
+    # the VALUES body runs to its closing paren before the next
+    # clause (greedy within the tempered span, so nested function
+    # parens stay inside)
+    r"|INSERT\s*\((?P<icols>[^()]*)\)\s*VALUES\s*\("
+    r"(?P<ivals>(?:(?!\bWHEN\s+(?:NOT\s+)?MATCHED\b).)+)\)"
+    r"|DELETE)",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -1941,6 +1948,7 @@ class LakehouseCatalog:
         not_matched_condition = None
         by_source = "keep"
         column_sets: list[tuple[str, str]] | None = None
+        insert_list: list[tuple[str, str]] | None = None
         matched_clauses: list[tuple[str | None, str, list | None]] = []
         clauses = m.group("clauses")
         seen_spans = []
@@ -1997,7 +2005,16 @@ class LakehouseCatalog:
                 else:
                     raise ValueError(f"WHEN MATCHED cannot {action}")
             elif kind == "NOT MATCHED":
-                if action != "INSERT *":
+                if cm.group("icols") is not None:
+                    # explicit column-list insert (r11): INSERT (a, b)
+                    # VALUES (e1, e2) - exprs range over SOURCE columns
+                    insert_list = self._parse_insert_list(
+                        cm.group("icols"),
+                        cm.group("ivals"),
+                        m.group("salias"),
+                        "" if src_txt.startswith("(") else src_txt,
+                    )
+                elif action != "INSERT *":
                     raise ValueError(f"WHEN NOT MATCHED cannot {action}")
                 when_not_matched = "insert"
                 if cond is not None:
@@ -2020,8 +2037,12 @@ class LakehouseCatalog:
             raise ValueError(
                 f"unparsed MERGE clause text: {leftover!r}"
             )
-        if len(matched_clauses) > 1:
-            # the Delta multi-clause matrix: first-match-wins per row
+        if len(matched_clauses) > 1 or insert_list is not None:
+            # the Delta multi-clause matrix (first-match-wins per row),
+            # and every column-list INSERT (r11) - the computed-row
+            # compiler owns the insert projection, so a single or even
+            # zero WHEN MATCHED clauses route here too when the insert
+            # names explicit columns
             snap = self._merge_multi_clauses(
                 t,
                 src_df,
@@ -2031,6 +2052,7 @@ class LakehouseCatalog:
                 not_matched_condition,
                 by_source,
                 evolve=bool(m.group("evolve")),
+                insert_list=insert_list,
             )
             return self.spark.createDataFrame(
                 [("merge", target, snap.version)],
@@ -2408,6 +2430,48 @@ class LakehouseCatalog:
         return items
 
     @staticmethod
+    def _parse_insert_list(
+        icols: str,
+        ivals: str,
+        salias: str | None,
+        src_name: str,
+    ) -> list[tuple[str, str]]:
+        """Parse ``WHEN NOT MATCHED THEN INSERT (a, b) VALUES (e1, e2)``
+        into ``[(column, expr)]`` pairs. Column names are TARGET columns
+        (a qualifier is tolerated and stripped); value expressions range
+        over SOURCE columns only - source alias/table qualifiers rewrite
+        to bare names (quote-aware), since the insert projection runs on
+        the unmatched source frame, not a join."""
+        cols = [c.strip() for c in icols.split(",") if c.strip()]
+        vals = [v.strip() for v in _split_top_level(ivals) if v.strip()]
+        if not cols:
+            raise ValueError("INSERT column list is empty")
+        if len(cols) != len(vals):
+            raise ValueError(
+                f"INSERT lists {len(cols)} column(s) but VALUES has "
+                f"{len(vals)} expression(s)"
+            )
+        items: list[tuple[str, str]] = []
+        seen: set[str] = set()
+        for col, val in zip(cols, vals):
+            if not re.fullmatch(r"[\w.]+", col):
+                raise ValueError(
+                    f"INSERT column must be an identifier, got {col!r}"
+                )
+            name = col.rsplit(".", 1)[-1]
+            if name.lower() in seen:
+                raise ValueError(f"duplicate INSERT column {name!r}")
+            seen.add(name.lower())
+            for prefix in (salias, src_name,
+                           src_name.rsplit(".", 1)[-1] if src_name else None):
+                if prefix:
+                    val = _sub_outside_quotes(
+                        re.compile(rf"\b{re.escape(prefix)}\."), "", val
+                    )
+            items.append((name, val.strip()))
+        return items
+
+    @staticmethod
     def _computed_row_projection(joined, set_map, fields, gen):
         """Full-row projection for a computed MERGE update row:
         assigned columns evaluate their expressions against the
@@ -2482,12 +2546,19 @@ class LakehouseCatalog:
         not_matched_condition: str | None,
         by_source: str,
         evolve: bool = False,
+        insert_list: list[tuple[str, str]] | None = None,
     ):
         """Delta's multi-clause WHEN MATCHED matrix, first-match-wins
         per target row: each clause is ``(condition, action, sets)``
         with action ``delete`` / ``update_star`` / ``update_sets``;
         conditions range over TABLE columns and every clause but the
-        last must carry one (Delta's rule). Compiled onto
+        last must carry one (Delta's rule). ``insert_list`` (r11) is
+        the explicit-column-list insert ``INSERT (a, b) VALUES (e1,
+        e2)``: unmatched (and condition-passing) source rows project
+        through the VALUES expressions, unlisted target columns fill
+        with typed NULLs and missing generated columns recompute -
+        zero or one WHEN MATCHED clauses route here too when the
+        insert names columns. Compiled onto
         :func:`dml.merge_into`'s row-replace door: the updates frame
         holds one computed row per (fired target row), delete-clause
         rows carry a ``__merge_del`` directive flag (consumed keys,
@@ -2506,10 +2577,17 @@ class LakehouseCatalog:
 
         if by_source == "delete":
             # a matched key whose rows fire NO clause would be absent
-            # from the computed key set and sync would wrongly drop it
+            # from the computed key set and sync would wrongly drop it;
+            # for column-list inserts the projected keys can differ
+            # from the raw source keys, breaking sync's key-set model
             raise ValueError(
-                "multiple WHEN MATCHED clauses cannot combine with "
-                "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+                "multiple WHEN MATCHED clauses / column-list INSERT "
+                "cannot combine with WHEN NOT MATCHED BY SOURCE THEN "
+                "DELETE"
+            )
+        if insert_list is not None and when_not_matched != "insert":
+            raise ValueError(
+                "insert_list requires when_not_matched='insert'"
             )
         conds = [c for c, _, _ in clauses]
         if any(c is None for c in conds[:-1]):
@@ -2545,6 +2623,33 @@ class LakehouseCatalog:
                             "column; MERGE WITH SCHEMA EVOLUTION "
                             "adds it"
                         )
+        if insert_list is not None:
+            # unlike SET, the insert list may (and normally must) name
+            # the key columns - inserted rows need key values
+            for col, _e in insert_list:
+                if col.lower() not in tcols and not evolve:
+                    raise ValueError(
+                        f"INSERT column {col!r} is not a table "
+                        "column; MERGE WITH SCHEMA EVOLUTION adds it"
+                    )
+            # the compiled frame flows through merge_into's key model
+            # (anti-join on the BUILT rows' keys): a VALUES expression
+            # that transforms a key could collide with an existing
+            # table key and silently drop or double-apply the row -
+            # require each merge key to map identically from the
+            # source (the common Delta spelling; anything else refuses
+            # loudly instead of risking wrong results)
+            imap = {c.lower(): e for c, e in insert_list}
+            for k in keys:
+                e = imap.get(k.lower())
+                if e is None or e.strip().lower() != k.lower():
+                    raise ValueError(
+                        "column-list INSERT must assign key column "
+                        f"{k!r} its bare source column "
+                        f"(... INSERT (..., {k}, ...) VALUES "
+                        f"(..., {k}, ...)); got "
+                        f"{e!r}"
+                    )
 
         def fire(i: int) -> str:
             own = conds[i] if conds[i] is not None else "true"
@@ -2553,9 +2658,14 @@ class LakehouseCatalog:
                 parts.append(f"NOT coalesce(({c}), false)")
             return " AND ".join(parts)
 
-        combined = " OR ".join(
-            f"coalesce(({c if c is not None else 'true'}), false)"
-            for c in conds
+        combined = (
+            " OR ".join(
+                f"coalesce(({c if c is not None else 'true'}), false)"
+                for c in conds
+            )
+            # zero WHEN MATCHED clauses (insert-only column-list
+            # MERGE): matched target rows all keep the table version
+            or "false"
         )
         def build_updates(fields):
             tdf = t.scan()
@@ -2616,7 +2726,7 @@ class LakehouseCatalog:
                         j, set_map, fields, gen
                     ).withColumn("__merge_del", F.lit(False))
                 )
-            updates = parts[0]
+            updates = parts[0] if parts else None
             for p in parts[1:]:
                 updates = updates.unionByName(p)
             if when_not_matched == "insert":
@@ -2631,10 +2741,32 @@ class LakehouseCatalog:
                             F.expr(not_matched_condition), F.lit(False)
                         )
                     )
-                updates = updates.unionByName(
-                    self._aligned_insert_rows(
-                        ins, fields, gen
-                    ).withColumn("__merge_del", F.lit(False))
+                if insert_list is not None:
+                    # column-list insert: the row is BUILT from the
+                    # VALUES expressions over the source row; the
+                    # pre-evolution probe pass restricts to columns
+                    # that exist in `fields` (same discipline as
+                    # update_sets), post-evolution re-runs with the
+                    # full list
+                    ins = ins.select(
+                        *[
+                            F.expr(e).alias(c)
+                            for c, e in insert_list
+                            if c.lower() in fnames
+                        ]
+                    )
+                ins_rows = self._aligned_insert_rows(
+                    ins, fields, gen
+                ).withColumn("__merge_del", F.lit(False))
+                updates = (
+                    ins_rows
+                    if updates is None
+                    else updates.unionByName(ins_rows)
+                )
+            if updates is None:
+                raise ValueError(
+                    "MERGE compiled to no clause work (no WHEN "
+                    "MATCHED clauses and no INSERT)"
                 )
             return updates
 
@@ -2669,9 +2801,13 @@ class LakehouseCatalog:
                 ~F.col("__merge_del")
             ).drop("__merge_del")
             t._validate_constraints(probe, t.snapshot(), op="merge")
-            if when_not_matched == "insert" or has_star:
+            if (
+                when_not_matched == "insert" and insert_list is None
+            ) or has_star:
                 # SET * / INSERT * under evolution union the full
-                # source schema in (the row-replace door's semantics)
+                # source schema in (the row-replace door's semantics);
+                # a column-list INSERT evolves only its NAMED targets
+                # (Delta parity), handled below like SET targets
                 evolve_schema_for(t, src_df)
             now = {f.name.lower() for f in t.schema.fields}
             for i, (_c, action, sets) in enumerate(clauses):
@@ -2694,6 +2830,19 @@ class LakehouseCatalog:
                         )
                         dt = (
                             j0.select(F.expr(expr).alias("__probe"))
+                            .schema[0]
+                            .dataType
+                        )
+                        add_column(t, col, dt.jsonValue())
+                        now.add(col.lower())
+            if insert_list is not None:
+                # evolving INSERT targets: typed from the VALUES
+                # expression probed over the SOURCE frame (the insert
+                # projection runs on unmatched source rows)
+                for col, expr in insert_list:
+                    if col.lower() not in now:
+                        dt = (
+                            src_df.select(F.expr(expr).alias("__probe"))
                             .schema[0]
                             .dataType
                         )

@@ -3850,7 +3850,11 @@ def q8i_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (catalog._merge_multi_clauses): a conditioned DELETE, a
     # conditioned column-level SET, and an unconditional row-replace
     # evaluate FIRST-MATCH-WINS per target row in one atomic commit,
-    # and the readback equals the SQL reconstruction.
+    # and the readback equals the SQL reconstruction. Extended in r11
+    # with the conditioned COLUMN-LIST INSERT (VERDICT r10 #3): the
+    # same commit inserts never-matched source keys through WHEN NOT
+    # MATCHED AND <cond> THEN INSERT (cols) VALUES (exprs) - unlisted
+    # target columns (cents) read back NULL.
     oracle="""
     WITH base AS (
       SELECT o_orderkey, o_orderstatus AS status,
@@ -3871,10 +3875,20 @@ def q8i_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
                   WHEN b.status = 'O' THEN b.cents
                   ELSE s.cents END AS cents
       FROM base b LEFT JOIN src s ON b.o_orderkey = s.o_orderkey
+    ), ins AS (
+      -- the column-list INSERT arm: new keys (offset far past the
+      -- orderkey domain), condition keeps only the even ones, the
+      -- built row lists (o_orderkey, status) so cents is NULL
+      SELECT o_orderkey + 100000000 AS o_orderkey,
+             'NEW_N' AS status, CAST(NULL AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 2 = 0
+    ), allrows AS (
+      SELECT * FROM fin WHERE status IS NOT NULL
+      UNION ALL SELECT * FROM ins
     )
     SELECT status, CAST(COUNT(*) AS BIGINT) AS n_orders,
            CAST(SUM(cents) AS BIGINT) AS sum_cents
-    FROM fin WHERE status IS NOT NULL
+    FROM allrows
     GROUP BY status ORDER BY status
     """,
 )
@@ -3883,7 +3897,10 @@ def q8j_merge_multi_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     source touches every third order; per matched row, expensive orders
     (> $200k) DELETE, open orders get a column-level SET (cents kept),
     everything else row-replaces from the source - one commit,
-    first-match-wins. Unmatched orders survive untouched."""
+    first-match-wins. Unmatched orders survive untouched. The source
+    also carries NEVER-MATCHED keys (offset past the orderkey domain):
+    a conditioned column-list INSERT keeps the even ones and builds
+    (o_orderkey, status) rows, so cents reads back NULL (r11)."""
     from ..catalog import LakehouseCatalog
 
     wh = tempfile.mkdtemp(prefix="lakehouse_q8j_")
@@ -3899,11 +3916,19 @@ def q8j_merge_multi_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         t = cat.create_table("tmp.mmc_orders", o.schema)
         t.append(o)
-        o.filter(F.col("o_orderkey") % 3 == 0).select(
+        matched_src = o.filter(F.col("o_orderkey") % 3 == 0).select(
             "o_orderkey",
             F.lit("T").alias("status"),
             F.lit(0).cast("long").alias("cents"),
-        ).createOrReplaceTempView("tmp_mmc_src")
+        )
+        new_src = o.filter(F.col("o_orderkey") % 5 == 0).select(
+            (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+            F.lit("N").alias("status"),
+            (F.col("o_orderkey") % 2).cast("long").alias("cents"),
+        )
+        matched_src.unionByName(new_src).createOrReplaceTempView(
+            "tmp_mmc_src"
+        )
         cat.sql(
             "MERGE INTO tmp.mmc_orders USING tmp_mmc_src s "
             "ON tmp.mmc_orders.o_orderkey = s.o_orderkey "
@@ -3911,7 +3936,10 @@ def q8j_merge_multi_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
             "THEN DELETE "
             "WHEN MATCHED AND tmp.mmc_orders.status = 'O' "
             "THEN UPDATE SET status = 'OPENFLAG' "
-            "WHEN MATCHED THEN UPDATE SET *"
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED AND s.cents = 0 THEN "
+            "INSERT (o_orderkey, status) "
+            "VALUES (s.o_orderkey, concat('NEW_', s.status))"
         )
         res = (
             cat.load_table("tmp.mmc_orders")

@@ -3884,3 +3884,148 @@ def test_mv_three_dim_cdc_composition(catalog, spark):
     assert vs["gold.t3d1"] == str(d1.current_version())
     assert vs["gold.t3d2"] == str(d2.current_version())
     assert vs["gold.t3d3"] == str(d3.current_version())
+
+
+def test_merge_insert_column_list(catalog, spark):
+    """r11: WHEN NOT MATCHED THEN INSERT (a, b) VALUES (e1, e2) -
+    explicit-column-list inserts. Unlisted target columns fill with
+    typed NULLs; VALUES expressions range over source columns; the
+    clause composes with a condition and with WHEN MATCHED clauses."""
+    t = catalog.create_table(
+        "gold.icl",
+        spark.createDataFrame(
+            [], "k long, v long, tag string, extra long"
+        ).schema,
+    )
+    t.append(
+        spark.createDataFrame(
+            [(1, 10, "old", 7)], "k long, v long, tag string, extra long"
+        )
+    )
+    spark.createDataFrame(
+        [(1, 100, "s"), (2, 200, "s"), (3, 5, "s")],
+        "k long, v long, note string",
+    ).createOrReplaceTempView("iclsrc")
+
+    # insert-only (zero WHEN MATCHED clauses): matched key 1 keeps the
+    # table version; unmatched keys build rows from the VALUES exprs
+    catalog.sql(
+        "MERGE INTO gold.icl USING iclsrc s ON gold.icl.k = s.k "
+        "WHEN NOT MATCHED AND s.v >= 100 THEN "
+        "INSERT (k, v, tag) VALUES (s.k, s.v * 2, upper(s.note))"
+    )
+    got = sorted(
+        (r["k"], r["v"], r["tag"], r["extra"])
+        for r in catalog.load_table("gold.icl").to_df().collect()
+    )
+    # k=1 matched (kept); k=2 inserted with v doubled, extra NULL;
+    # k=3 failed the insert condition (dropped)
+    assert got == [(1, 10, "old", 7), (2, 400, "S", None)]
+
+    # composes with a conditioned WHEN MATCHED clause in one commit
+    catalog.sql(
+        "MERGE INTO gold.icl USING iclsrc s ON gold.icl.k = s.k "
+        "WHEN MATCHED AND gold.icl.v < 50 THEN UPDATE SET tag = 'bumped' "
+        "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)"
+    )
+    got = sorted(
+        (r["k"], r["v"], r["tag"], r["extra"])
+        for r in catalog.load_table("gold.icl").to_df().collect()
+    )
+    assert got == [
+        (1, 10, "bumped", 7),
+        (2, 400, "S", None),
+        (3, 5, None, None),
+    ]
+
+
+def test_merge_insert_column_list_errors(catalog, spark):
+    """Column-list INSERT refusals: arity mismatch, duplicate targets,
+    unknown columns without evolution, a transformed key expression
+    (the key model requires identity mapping), and BY SOURCE DELETE."""
+    import pytest
+
+    t = catalog.create_table(
+        "gold.icle", spark.createDataFrame([], "k long, v long").schema
+    )
+    t.append(spark.createDataFrame([(1, 10)], "k long, v long"))
+    spark.createDataFrame(
+        [(2, 20)], "k long, v long"
+    ).createOrReplaceTempView("iclesrc")
+    head = "MERGE INTO gold.icle USING iclesrc s ON gold.icle.k = s.k "
+    with pytest.raises(ValueError, match="VALUES has"):
+        catalog.sql(
+            head + "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k)"
+        )
+    with pytest.raises(ValueError, match="duplicate INSERT column"):
+        catalog.sql(
+            head
+            + "WHEN NOT MATCHED THEN INSERT (k, k) VALUES (s.k, s.k)"
+        )
+    with pytest.raises(ValueError, match="not a table column"):
+        catalog.sql(
+            head
+            + "WHEN NOT MATCHED THEN INSERT (k, w) VALUES (s.k, s.v)"
+        )
+    # a transformed key could collide with an existing table key and
+    # silently drop or double-apply through the merge key model
+    with pytest.raises(ValueError, match="bare source column"):
+        catalog.sql(
+            head
+            + "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k + 1, s.v)"
+        )
+    with pytest.raises(ValueError, match="key column"):
+        catalog.sql(
+            head + "WHEN NOT MATCHED THEN INSERT (v) VALUES (s.v)"
+        )
+    with pytest.raises(ValueError, match="BY SOURCE"):
+        catalog.sql(
+            head
+            + "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v) "
+            + "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+        )
+    # nothing committed by the refusals
+    assert catalog.load_table("gold.icle").to_df().count() == 1
+
+
+def test_merge_insert_column_list_generated_and_evolution(catalog, spark):
+    """Column-list INSERT recomputes MISSING generated columns from the
+    BUILT row (not the raw source), and under MERGE WITH SCHEMA
+    EVOLUTION evolves ONLY the named insert targets - never the full
+    source schema (Delta parity)."""
+    t = catalog.create_table(
+        "gold.iclg",
+        spark.createDataFrame([], "k long, v long, vdouble long").schema,
+    )
+    t.set_generated_column("vdouble", "v * 2")
+    t.append(spark.createDataFrame([(1, 10)], "k long, v long"))
+    spark.createDataFrame(
+        [(1, 50, "drop", 1), (2, 30, "keep", 2)],
+        "k long, v long, junk string, grade long",
+    ).createOrReplaceTempView("iclgsrc")
+    catalog.sql(
+        "MERGE INTO gold.iclg USING iclgsrc s ON gold.iclg.k = s.k "
+        "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v + 1)"
+    )
+    got = sorted(
+        (r["k"], r["v"], r["vdouble"])
+        for r in catalog.load_table("gold.iclg").to_df().collect()
+    )
+    # the generated column derives from the BUILT v (31), not source 30
+    assert got == [(1, 10, 20), (2, 31, 62)]
+
+    # evolution adds ONLY the named target 'grade'; 'junk' stays out
+    catalog.sql("DELETE FROM gold.iclg WHERE k = 2")
+    catalog.sql(
+        "MERGE WITH SCHEMA EVOLUTION INTO gold.iclg USING iclgsrc s "
+        "ON gold.iclg.k = s.k "
+        "WHEN NOT MATCHED THEN INSERT (k, v, grade) "
+        "VALUES (s.k, s.v, s.grade * 10)"
+    )
+    cols = [f.name for f in catalog.load_table("gold.iclg").schema.fields]
+    assert "grade" in cols and "junk" not in cols
+    got = sorted(
+        (r["k"], r["v"], r["vdouble"], r["grade"])
+        for r in catalog.load_table("gold.iclg").to_df().collect()
+    )
+    assert got == [(1, 10, 20, None), (2, 30, 60, 20)]
