@@ -243,12 +243,48 @@ def expire_snapshots(
                     deleted_manifests += 1
                 except FileNotFoundError:
                     pass
+    # Streaming identity-epoch reservation records (table.
+    # _reserve_identity_epoch) age out under the SAME policy as
+    # snapshots: records older than the horizon prune, but the newest
+    # `identity.epoch.min-records-to-keep` (default 8) survive
+    # regardless of age - Spark replays at most the LAST epoch per
+    # query, so a long-idle live stream still finds its replay record.
+    # The chain files (r<seq>.json) are the identity WATERMARK, pruned
+    # by their own head-preserving logic - never touched here. The
+    # 256-file cap inside the reservation path stays as a backstop for
+    # tables that never run maintenance.
+    epoch_records_pruned = 0
+    rsv_dir = table._identity_rsv_dir()
+    if os.path.isdir(rsv_dir):
+        keep_floor = int(
+            props.get("identity.epoch.min-records-to-keep", 8)
+        )
+        eps = []
+        for name in os.listdir(rsv_dir):
+            if not name.startswith("epoch-"):
+                continue
+            p = os.path.join(rsv_dir, name)
+            try:
+                eps.append((os.stat(p).st_mtime_ns, p))
+            except FileNotFoundError:
+                pass
+        eps.sort(reverse=True)  # newest first
+        for mtime_ns, p in eps[keep_floor:]:
+            if mtime_ns // 1_000_000 >= older_than_ms:
+                continue
+            try:
+                if not dry_run:
+                    os.unlink(p)
+                epoch_records_pruned += 1
+            except FileNotFoundError:
+                pass
     return {
         "expired_snapshots": len(expired),
         "deleted_files": deleted_files,
         "deleted_manifests": deleted_manifests,
         "retained_snapshots": len(snaps) - len(expired),
         "expired_refs": expired_refs,
+        "identity_epoch_records_pruned": epoch_records_pruned,
         "dry_run": dry_run,
     }
 
