@@ -3669,13 +3669,15 @@ class LakehouseCatalog:
         CDC tier (r9) takes over when exactness is provable: fact DML
         refreshes from the fact's SIGNED changelog, a SINGLE moved dim
         from its signed changelog joined to the pinned fact
-        (:meth:`_join_cdc_refresh`), and TWO or THREE moved dims (r10)
+        (:meth:`_join_cdc_refresh`), TWO or THREE moved dims (r10)
         compose the single-dim terms telescopically (each term binds
         earlier dims to their new snapshots, later dims to the pinned
-        ones). Everything else - four+ moved dims, fact and dim moved
-        together, non-invertible aggregates (no stored __mv state),
-        expired changelog ranges - full-refreshes and re-pins all
-        sides."""
+        ones), and the FACT moving together with one-to-three dims
+        (r11) appends one fact-changelog term LAST (dim terms bind the
+        fact at its PINNED version, the fact term joins every dim at
+        its NEW view). Everything else - four+ moved dims,
+        non-invertible aggregates (no stored __mv state), expired
+        changelog ranges - full-refreshes and re-pins all sides."""
         from .dml import overwrite_partitions, truncate_table
 
         store_sql = props.get("mv.store_query", sql_text)
@@ -3823,27 +3825,34 @@ class LakehouseCatalog:
                         **self._dim_pin_props(dims, new_vs, new_sids)
                     )
                     return snap
+        fact_moved = fact_lineage and fact_v > base_v
         if (
             not all_pinned
-            and 2 <= len(moved) <= 3
             and all(mv[3] for mv in moved)  # every lineage intact
             and fact_lineage
-            and fact_v == base_v
+            and (
+                (fact_v == base_v and 2 <= len(moved) <= 3)
+                or (fact_moved and 1 <= len(moved) <= 3)
+            )
         ):
-            # TWO or THREE dims moved, fact unmoved (r10): the inner
-            # join is multilinear, so the delta TELESCOPES into per-dim
-            # terms -
-            #   Q(f, d1', d2') - Q(f, d1, d2)
+            # TWO or THREE dims moved (r10), or the FACT moved together
+            # with one-to-three dims (r11): the inner join is
+            # multilinear, so the delta TELESCOPES into per-side terms -
+            #   Q(f', d1', d2') - Q(f, d1, d2)
             #     = Q(f, d1'-d1, d2) + Q(f, d1', d2'-d2)
-            # (and for K dims, K terms: term i binds every EARLIER
-            # moved dim to its NEW snapshot and every LATER one to its
-            # PINNED snapshot - any fixed dim order works; the declared
-            # order is used). Each dim's pin updates IMMEDIATELY after
-            # its term commits - a crash (or commit conflict) between
-            # terms then leaves a state the next refresh resumes as a
-            # fewer-moved-dims CDC refresh, never a double-apply of a
-            # committed term. A term DECLINING (NotImplemented) falls
-            # through to the full refresh below, which overwrites the
+            #       + Q(f'-f, d1', d2')
+            # (for K moved dims, K dim terms plus - when the fact moved
+            # - ONE fact term LAST: term i binds every EARLIER moved
+            # side to its NEW snapshot and every LATER one to its
+            # PINNED snapshot, with the fact ordered last, so every dim
+            # term binds the fact at its PINNED version and the fact
+            # term sees every dim at its NEW public view. Any fixed
+            # order works; this one makes a crash between terms resume
+            # EXACTLY as an existing narrower window: dim pins advance
+            # per term, so a crash before the fact term leaves
+            # all-dims-pinned + fact-moved - the plain fact-CDC
+            # refresh.) A term DECLINING (NotImplemented) falls through
+            # to the full refresh below, which overwrites the
             # half-merged state (always correct). Beyond three moved
             # dims the window is rewrite-shaped: the terms multiply
             # while the full recompute stays O(star) once - full
@@ -3851,6 +3860,7 @@ class LakehouseCatalog:
             moved_by = {mv[0]: mv for mv in moved}
             ordered = [d for d in dims if d in moved_by]
             chs: dict[str, DataFrame] = {}
+            fact_ch = None
             ok = True
             for ident in ordered:
                 _, pv, dv, _ = moved_by[ident]
@@ -3861,6 +3871,11 @@ class LakehouseCatalog:
                 except ValueError:
                     ok = False  # expired range: full refresh below
                     break
+            if ok and fact_moved:
+                try:
+                    fact_ch = ft.scan_changelog(base_v, fact_v)
+                except ValueError:
+                    ok = False  # expired range: full refresh below
             snap = None
             if ok:
                 for i, ident in enumerate(ordered):
@@ -3873,6 +3888,10 @@ class LakehouseCatalog:
                         for j, other in enumerate(ordered)
                         if other != ident
                     }
+                    if fact_moved:
+                        # the fact orders LAST: every dim term joins
+                        # the PINNED fact, not the moved public view
+                        binds[fact_ident] = base_v
                     snap = self._join_cdc_refresh(
                         t,
                         props,
@@ -3895,6 +3914,26 @@ class LakehouseCatalog:
                     t.set_properties(
                         **self._dim_pin_props(dims, new_vs, new_sids)
                     )
+            if ok and fact_moved:
+                # the fact term: its signed changelog against every dim
+                # at its NEW snapshot - the dims' public views already
+                # show those (no binds needed)
+                snap = self._join_cdc_refresh(
+                    t,
+                    props,
+                    sql_text,
+                    self.view_name(fact_ident),
+                    fact_ch,
+                    fact_ident,
+                )
+                if snap is NotImplemented:
+                    ok = False
+                else:
+                    upd = {"mv.base_version": str(fact_v)}
+                    sid = self._snap_id(ft, fact_v)
+                    if sid is not None:
+                        upd["mv.base_snapshot"] = sid
+                    t.set_properties(**upd)
             if ok:
                 return snap
         new_pin = self._pin_props(

@@ -918,3 +918,101 @@ def test_mv_minmax_cdc_always_equals_recompute(
     got = {tuple(r) for r in spark.sql("SELECT * FROM g_mmmv").collect()}
     want = {tuple(r) for r in spark.sql(q).collect()}
     assert got == want, (ops, seed)
+
+
+# -- fact+dim moved together CDC (r11) ------------------------------------
+
+_FD_FACT_OPS = st.sampled_from(["fact_append", "fact_delete", "fact_both"])
+_FD_DIM_OPS = st.sampled_from(
+    ["dim1_update", "dim2_update", "dim1_delete", "both_dims"]
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    fact_op=_FD_FACT_OPS,
+    dim_op=_FD_DIM_OPS,
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+def test_fact_and_dim_moved_cdc_always_equals_recompute(
+    spark, tmp_path_factory, fact_op, dim_op, seed
+):
+    """r11 (VERDICT r10 #5): the FACT and one-to-two dims mutate in the
+    SAME refresh window - the telescoping composition appends a
+    fact-changelog term last (dim terms bind the PINNED fact, the fact
+    term joins the NEW dims). Every example asserts the refresh was
+    merge-only with cdc_refresh=True AND equals the full recompute."""
+    import random
+
+    rng = random.Random(seed)
+    wh = tmp_path_factory.mktemp("fdwh")
+    cat = LakehouseCatalog(spark, str(wh))
+    cat.create_namespace("g")
+    fschema = "fk long, rk long, v long, w long"
+
+    def frows(n):
+        return [
+            (
+                rng.randrange(7),
+                rng.randrange(4),
+                rng.randrange(100),
+                None if rng.random() < 0.3 else rng.randrange(50),
+            )
+            for _ in range(n)
+        ]
+
+    f = cat.create_table("g.ff", spark.createDataFrame([], fschema).schema)
+    d1 = cat.create_table(
+        "g.fd1", spark.createDataFrame([], "k long, seg string").schema
+    )
+    d2 = cat.create_table(
+        "g.fd2", spark.createDataFrame([], "r long, reg string").schema
+    )
+    d1.append(
+        spark.createDataFrame(
+            [(i, chr(65 + i % 3)) for i in range(5)], "k long, seg string"
+        )
+    )
+    d2.append(
+        spark.createDataFrame(
+            [(i, chr(80 + i % 2)) for i in range(3)], "r long, reg string"
+        )
+    )
+    f.append(spark.createDataFrame(frows(8), fschema))
+    q = (
+        "SELECT seg, reg, COUNT(*) AS n, COUNT(w) AS nw, "
+        "SUM(v) AS sv, SUM(w) AS sw "
+        "FROM g_ff JOIN g_fd1 ON g_ff.fk = g_fd1.k "
+        "JOIN g_fd2 ON g_ff.rk = g_fd2.r GROUP BY seg, reg"
+    )
+    mv = cat.create_materialized_view("g.fmv", q)
+    assert "__mv_rows" in {fl.name for fl in mv.schema.fields}
+    # mutate the FACT ...
+    if fact_op in ("fact_append", "fact_both"):
+        f.append(spark.createDataFrame(frows(rng.randrange(1, 4)), fschema))
+    if fact_op in ("fact_delete", "fact_both"):
+        cat.sql(f"DELETE FROM g.ff WHERE v % 10 = {rng.randrange(10)}")
+    # ... AND one-to-two dims in the SAME window
+    if dim_op in ("dim1_update", "both_dims"):
+        cat.sql(f"UPDATE g.fd1 SET seg = 'Z' WHERE k = {rng.randrange(5)}")
+    if dim_op == "dim1_delete":
+        cat.sql(f"DELETE FROM g.fd1 WHERE k = {rng.randrange(5)}")
+    if dim_op in ("dim2_update", "both_dims"):
+        cat.sql(f"UPDATE g.fd2 SET reg = 'Y' WHERE r = {rng.randrange(3)}")
+    snap = cat.refresh_materialized_view("g.fmv")
+    assert snap is not None and snap.operation == "merge", (fact_op, dim_op)
+    assert snap.summary.get("cdc_refresh") is True, (fact_op, dim_op)
+    cat.register_views()
+    got = {tuple(r) for r in spark.sql("SELECT * FROM g_fmv").collect()}
+    want = {tuple(r) for r in spark.sql(q).collect()}
+    assert got == want, (fact_op, dim_op, seed)
+    # pins advanced on every side
+    props = cat.load_table("g.fmv").properties()
+    assert props["mv.base_version"] == str(f.current_version())
+    vs = __import__("json").loads(props["mv.join_dim_versions"])
+    assert vs["g.fd1"] == str(d1.current_version())
+    assert vs["g.fd2"] == str(d2.current_version())

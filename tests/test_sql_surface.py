@@ -2625,14 +2625,26 @@ def test_mv_multidim_join_incremental_refresh(catalog, spark):
     )
     assert vs["gold.sdim1"] == str(d1.current_version())
     assert vs["gold.sdim2"] == str(d2.current_version())
-    # fact AND a dim moved together: conservative full refresh
+    # fact AND a dim moved together (r11): the telescoping composition
+    # adds a fact-changelog term LAST - the dim term binds the PINNED
+    # fact, the fact term joins the NEW dim; still merge-only
     f.append(
         spark.createDataFrame([(2, 20, 11)], "fk long, rk long, v long")
     )
     catalog.sql("UPDATE gold.sdim1 SET seg = 'D' WHERE k = 3")
     snap = catalog.refresh_materialized_view("gold.smv")
-    assert snap is not None and snap.operation != "merge"
+    assert snap is not None and snap.operation == "merge"
+    assert snap.summary.get("cdc_refresh") is True
     assert via_view() == _star_expected(catalog, spark)
+    # both pins advanced
+    assert _json.loads(
+        catalog.load_table("gold.smv").properties()[
+            "mv.join_dim_versions"
+        ]
+    )["gold.sdim1"] == str(d1.current_version())
+    assert catalog.load_table("gold.smv").properties()[
+        "mv.base_version"
+    ] == str(f.current_version())
     # incremental again after the re-pin
     f.append(
         spark.createDataFrame([(2, 20, 13)], "fk long, rk long, v long")
