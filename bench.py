@@ -72,6 +72,179 @@ def bench_ingest(spark, sf_dir: str) -> float:
         shutil.rmtree(wh, ignore_errors=True)
 
 
+def bench_depth(spark, sf_dir: str) -> dict[str, float]:
+    """Depth-tier benchmarks (r11, VERDICT r10 #6): one timed sample
+    each for the hot post-r7 surfaces, reported under the separate
+    ``depth`` key so the headline total stays baseline-comparable.
+
+    - ``mv_star_full_materialize``: CREATE MATERIALIZED VIEW over an
+      orders-customer-nation star = the FULL-refresh cost (query +
+      write + pins) the CDC tier is measured against.
+    - ``mv_join_cdc_refresh``: a dim UPDATE refreshed through the
+      signed-changelog CDC tier. NOTE: at sf0.1 the CDC refresh can
+      read SLOWER than the full materialize - fixed costs (changelog
+      scan, view binds, checkpoint, MERGE commit) dominate a 150k-row
+      star. The entry tracks the TREND; the tier's win is asymptotic
+      (shuffle/compute O(changelog matches) vs O(star), and the MERGE
+      rewrites only matching MV groups).
+    - ``merge_multi_clause``: the Delta WHEN MATCHED matrix (DELETE /
+      column SET / row replace / conditioned column-list INSERT) over
+      the orders-scale table, one atomic commit.
+    - ``scd2_apply``: a CDC batch touching ~10% of a customer-scale
+      dimension through apply_changes_scd2 (one MERGE, full history).
+    - ``quality_classifier_score``: plan-literal scoring fold over the
+      documents corpus (fit on the bounded sample is untimed).
+    """
+    import shutil
+    import tempfile
+
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.catalog import (
+        LakehouseCatalog,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.dml import (
+        apply_changes_scd2,
+        scd2_target_schema,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.quality_classifier import (
+        quality_classifier_fit,
+        quality_classifier_score,
+    )
+    from pyspark.sql import functions as F
+
+    out: dict[str, float] = {}
+    wh = tempfile.mkdtemp(prefix="bench_depth_")
+    try:
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("bench")
+        # ---- star MV setup (untimed): orders JOIN customer JOIN nation
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+            "c_custkey", "c_nationkey"
+        )
+        nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+            "n_nationkey", "n_name"
+        )
+        f = cat.create_table("bench.sorders", orders.schema)
+        f.append(orders)
+        d1 = cat.create_table("bench.scustomer", cust.schema)
+        d1.append(cust)
+        d2 = cat.create_table("bench.snation", nation.schema)
+        d2.append(nation)
+        q = (
+            "SELECT n_name, COUNT(*) AS n_orders, "
+            "SUM(o_custkey) AS sum_cust "
+            "FROM bench_sorders "
+            "JOIN bench_scustomer "
+            "ON bench_sorders.o_custkey = bench_scustomer.c_custkey "
+            "JOIN bench_snation "
+            "ON bench_scustomer.c_nationkey = bench_snation.n_nationkey "
+            "GROUP BY n_name"
+        )
+        t0 = time.perf_counter()
+        cat.create_materialized_view("bench.star_mv", q)
+        out["mv_star_full_materialize"] = round(time.perf_counter() - t0, 3)
+        # ---- dim update -> CDC refresh (timed; flag printed)
+        cat.sql(
+            "UPDATE bench.snation SET n_name = concat('Z_', n_name) "
+            "WHERE n_nationkey % 5 = 0"
+        )
+        t0 = time.perf_counter()
+        snap = cat.refresh_materialized_view("bench.star_mv")
+        out["mv_join_cdc_refresh"] = round(time.perf_counter() - t0, 3)
+        print(
+            f"# mv_join_cdc_refresh: cdc_refresh="
+            f"{snap.summary.get('cdc_refresh')} "
+            f"({out['mv_join_cdc_refresh']:.2f}s vs full "
+            f"{out['mv_star_full_materialize']:.2f}s)",
+            file=sys.stderr,
+        )
+        # ---- multi-clause MERGE over the orders-scale table (timed)
+        src = orders.select(
+            "o_orderkey",
+            (F.col("o_custkey") + 1).alias("o_custkey"),
+            F.col("o_totalprice"),
+        ).filter(F.col("o_orderkey") % 3 == 0)
+        new_keys = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+            (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+            "o_custkey",
+            "o_totalprice",
+        )
+        src.unionByName(new_keys).createOrReplaceTempView(
+            "bench_merge_src"
+        )
+        t0 = time.perf_counter()
+        cat.sql(
+            "MERGE INTO bench.sorders USING bench_merge_src s "
+            "ON bench.sorders.o_orderkey = s.o_orderkey "
+            "WHEN MATCHED AND bench.sorders.o_totalprice > 200000 "
+            "THEN DELETE "
+            "WHEN MATCHED AND bench.sorders.o_totalprice > 100000 "
+            "THEN UPDATE SET o_custkey = s.o_custkey "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED AND s.o_custkey % 2 = 0 THEN "
+            "INSERT (o_orderkey, o_custkey) "
+            "VALUES (s.o_orderkey, s.o_custkey)"
+        )
+        out["merge_multi_clause"] = round(time.perf_counter() - t0, 3)
+        print(
+            f"# merge_multi_clause: {out['merge_multi_clause']:.2f}s",
+            file=sys.stderr,
+        )
+        # ---- SCD2 apply: CDC batch over a customer-scale dim (timed)
+        dim_rows = spark.read.parquet(
+            f"{sf_dir}/customer.parquet"
+        ).select("c_custkey", "c_nationkey", "c_acctbal")
+        seed = dim_rows.select(
+            "c_custkey",
+            "c_nationkey",
+            "c_acctbal",
+            F.lit("insert").alias("_change_type"),
+            F.lit(1).cast("long").alias("_change_version"),
+        )
+        scd = cat.create_table(
+            "bench.scd_customer", scd2_target_schema(seed)
+        )
+        apply_changes_scd2(scd, seed, key="c_custkey")
+        batch = dim_rows.filter(F.col("c_custkey") % 10 == 0).select(
+            "c_custkey",
+            ((F.col("c_nationkey") + 1) % 25).alias("c_nationkey"),
+            (F.col("c_acctbal") + 1).alias("c_acctbal"),
+            F.lit("update_postimage").alias("_change_type"),
+            F.lit(2).cast("long").alias("_change_version"),
+        )
+        t0 = time.perf_counter()
+        apply_changes_scd2(scd, batch, key="c_custkey")
+        out["scd2_apply"] = round(time.perf_counter() - t0, 3)
+        print(f"# scd2_apply: {out['scd2_apply']:.2f}s", file=sys.stderr)
+        # ---- quality-classifier scoring fold (fit untimed)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        model = quality_classifier_fit(
+            docs.withColumn(
+                "__label", (F.col("lang") == "en").cast("int")
+            ),
+            "__label",
+            sample=500,
+        )
+        t0 = time.perf_counter()
+        n = quality_classifier_score(docs, model).agg(
+            F.count("quality_score"),
+            F.sum("quality_score"),
+        ).collect()[0][0]
+        out["quality_classifier_score"] = round(
+            time.perf_counter() - t0, 3
+        )
+        print(
+            f"# quality_classifier_score: {n} docs in "
+            f"{out['quality_classifier_score']:.2f}s",
+            file=sys.stderr,
+        )
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     from apache_iceberg_pyiceberg_local_data_lakehouse_spark.queries import QUERIES
     from apache_iceberg_pyiceberg_local_data_lakehouse_spark.session import get_spark
@@ -126,6 +299,9 @@ def main() -> None:
     medians["ingest_lineitem"] = mins["ingest_lineitem"] = times[
         "ingest_lineitem"
     ]  # write path: one sample (re-running would re-create the table)
+    # depth-tier entries live under their own key: adding them to
+    # `queries` would inflate the baseline-comparable headline total
+    depth = bench_depth(spark, SF_DIR)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -142,6 +318,10 @@ def main() -> None:
         # comparable sample-for-sample.
         "protocol": "warm-page-cache",
         "warmup_mib": round(warmed_bytes / (1 << 20), 1),
+        # r11+: depth-tier surfaces (MV CDC refresh vs full, MERGE
+        # matrix, SCD2, classifier scoring) - one cold sample each,
+        # excluded from `value` for baseline comparability
+        "depth": depth,
     }
     print(json.dumps(out))
 
