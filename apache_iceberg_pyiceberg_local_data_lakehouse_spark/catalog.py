@@ -1792,6 +1792,9 @@ class LakehouseCatalog:
             )
         self.register_views()
         self._register_stored_views()
+        # complete a crashed refresh's pin write BEFORE computing what
+        # moved - otherwise the committed delta would re-apply
+        props = self._recover_mv_pins(t, props)
         if props.get("mv.refresh_mode") == "join_agg":
             return self._refresh_join_agg(t, props, sql_text)
         base_ident = props.get("mv.base_table")
@@ -1809,12 +1812,12 @@ class LakehouseCatalog:
                 self._snap_id(bt, int(base_v)) == rec_sid
             )
 
-            def advance_pin(v: int) -> None:
+            def pin_upd(v: int) -> dict:
                 upd = {"mv.base_version": str(v)}
                 sid = self._snap_id(bt, v)
                 if sid is not None:
                     upd["mv.base_snapshot"] = sid
-                t.set_properties(**upd)
+                return upd
 
             if lineage_ok and cur_v == int(base_v):
                 return None  # already up to date: no commit
@@ -1830,18 +1833,21 @@ class LakehouseCatalog:
                     # from the changelog (insert adds, delete
                     # subtracts) - O(changed rows), never the base
                     if props.get("mv.refresh_mode") == "agg":
+                        upd = pin_upd(cur_v)
                         snap = self._cdc_agg_refresh(
-                            t, props, bt, int(base_v), cur_v
+                            t, props, bt, int(base_v), cur_v,
+                            pin_updates=upd,
                         )
                         if snap is NotImplemented:
                             # MIN/MAX (or missing signed state): the
                             # touched-group recompute tier (r10) -
                             # still O(changed groups), never the view
                             snap = self._cdc_group_recompute(
-                                t, props, bt, int(base_v), cur_v
+                                t, props, bt, int(base_v), cur_v,
+                                pin_updates=upd,
                             )
                         if snap is not NotImplemented:
-                            advance_pin(cur_v)
+                            t.set_properties(**upd)
                             return snap
                     # not modelable incrementally: full refresh
                 else:
@@ -1865,18 +1871,25 @@ class LakehouseCatalog:
                     ).createOrReplaceTempView(
                         self.view_name(base_ident)
                     )
+                    upd = pin_upd(cur_v)
                     if props.get("mv.refresh_mode") == "agg":
-                        snap = self._merge_agg_delta(t, props, inc)
+                        snap = self._merge_agg_delta(
+                            t, props, inc, pin_updates=upd
+                        )
                         if snap is not NotImplemented:
-                            advance_pin(cur_v)
+                            t.set_properties(**upd)
                             return snap
                         # NULL group key in the delta: fall through to
                         # the full-refresh path below
                     else:
                         snap = (
-                            t.append(inc) if inc.count() else t.snapshot()
+                            t.append(
+                                inc, extra_summary={"mv_pins": upd}
+                            )
+                            if inc.count()
+                            else t.snapshot()
                         )
-                        advance_pin(cur_v)
+                        t.set_properties(**upd)
                         return snap
         # full refresh; MV tables are created unpartitioned, so the
         # non-empty path is a full-table replace in one commit
@@ -2462,12 +2475,22 @@ class LakehouseCatalog:
             if name.lower() in seen:
                 raise ValueError(f"duplicate INSERT column {name!r}")
             seen.add(name.lower())
-            for prefix in (salias, src_name,
-                           src_name.rsplit(".", 1)[-1] if src_name else None):
-                if prefix:
-                    val = _sub_outside_quotes(
-                        re.compile(rf"\b{re.escape(prefix)}\."), "", val
-                    )
+            # longest prefix first (the _parse_merge_sets discipline):
+            # stripping the alias before the dotted table name would
+            # corrupt 'db.src.k' into 'db.k' when the alias is 'src'
+            prefixes = {
+                p
+                for p in (
+                    salias,
+                    src_name,
+                    src_name.rsplit(".", 1)[-1] if src_name else None,
+                )
+                if p
+            }
+            for prefix in sorted(prefixes, key=len, reverse=True):
+                val = _sub_outside_quotes(
+                    re.compile(rf"\b{re.escape(prefix)}\."), "", val
+                )
             items.append((name, val.strip()))
         return items
 
@@ -3125,6 +3148,7 @@ class LakehouseCatalog:
         bt: LakehouseTable,
         from_v: int,
         to_v: int,
+        pin_updates: dict | None = None,
     ):
         """MIN/MAX (and state-less COUNT/SUM) CDC tier (r10): recompute
         ONLY the groups the changelog touched, from the pinned base
@@ -3287,6 +3311,9 @@ class LakehouseCatalog:
             extra_summary={
                 "cdc_refresh": True,
                 "group_recompute": True,
+                **(
+                    {"mv_pins": pin_updates} if pin_updates else {}
+                ),
             },
         )
 
@@ -3297,6 +3324,7 @@ class LakehouseCatalog:
         bt: LakehouseTable,
         from_v: int,
         to_v: int,
+        pin_updates: dict | None = None,
     ):
         """Incremental MV maintenance UNDER BASE DML: aggregate the
         base's changelog rows with a sign (+1 insert / -1 delete) per
@@ -3369,7 +3397,10 @@ class LakehouseCatalog:
             # a group whose last row was deleted leaves the view in
             # the SAME commit its siblings update in
             source_delete_condition="__mv_rows = 0",
-            extra_summary={"cdc_refresh": True},
+            extra_summary={
+                "cdc_refresh": True,
+                **({"mv_pins": pin_updates} if pin_updates else {}),
+            },
         )
 
     def _merge_grouped_delta(
@@ -3424,6 +3455,64 @@ class LakehouseCatalog:
             when_not_matched="insert",
             **merge_kwargs,
         )
+
+    def _recover_mv_pins(self, t: LakehouseTable, props: dict) -> dict:
+        """Complete a crashed refresh's pin write (r11 review finding):
+        every incremental MV commit carries its intended post-commit
+        pins in the snapshot summary (``mv_pins``); the property write
+        that mirrors them is a SEPARATE step, so a crash between the
+        two would re-apply the committed delta on the next refresh -
+        double-counted aggregates with no error. On refresh entry,
+        fast-forward any pin the CURRENT snapshot's intent holds ahead
+        of the recorded properties. Monotone by version comparison:
+        a pin a later content-preserving re-pin already advanced is
+        never regressed, and intent from a snapshot that is no longer
+        current (superseded by a full refresh, which records no
+        ``mv_pins``) is never consulted."""
+        intent = (t.snapshot().summary or {}).get("mv_pins")
+        if not intent:
+            return props
+        upd: dict[str, str] = {}
+        iv = intent.get("mv.base_version")
+        if iv is not None and int(iv) > int(
+            props.get("mv.base_version", -1)
+        ):
+            upd["mv.base_version"] = str(iv)
+            if "mv.base_snapshot" in intent:
+                upd["mv.base_snapshot"] = intent["mv.base_snapshot"]
+        raw_vs = intent.get("mv.join_dim_versions")
+        if raw_vs:
+            int_vs = json.loads(raw_vs) if isinstance(raw_vs, str) else raw_vs
+            raw_sids = intent.get("mv.join_dim_snapshots")
+            int_sids = (
+                json.loads(raw_sids)
+                if isinstance(raw_sids, str)
+                else (raw_sids or {})
+            )
+            cur_vs = json.loads(props.get("mv.join_dim_versions", "{}"))
+            cur_sids = json.loads(
+                props.get("mv.join_dim_snapshots", "{}")
+            )
+            changed = False
+            for d, v in int_vs.items():
+                if int(v) > int(cur_vs.get(d, -1)):
+                    cur_vs[d] = str(v)
+                    if d in int_sids:
+                        cur_sids[d] = int_sids[d]
+                    changed = True
+            if changed:
+                upd["mv.join_dim_versions"] = json.dumps(cur_vs)
+                if cur_sids:
+                    upd["mv.join_dim_snapshots"] = json.dumps(cur_sids)
+        if upd:
+            _log.warning(
+                "completing crashed MV pin write for %s: %s",
+                t.location,
+                sorted(upd),
+            )
+            t.set_properties(**upd)
+            props = t.properties()
+        return props
 
     @staticmethod
     def _join_dim_pins(props: dict) -> tuple[list[str], dict, dict]:
@@ -3521,6 +3610,7 @@ class LakehouseCatalog:
         ch_df: DataFrame,
         ch_ident: str,
         binds: dict[str, int] | None = None,
+        pin_updates: dict | None = None,
     ):
         """Incremental join-MV maintenance under DML on ONE side: bind
         ``ch_view`` (the fact's view, or a single moved dim's view) to
@@ -3654,7 +3744,13 @@ class LakehouseCatalog:
             aggs,
             inc,
             source_delete_condition="__mv_rows = 0",
-            extra_summary={"cdc_refresh": True},
+            # the commit carries its intended post-commit pins so a
+            # crash between commit and property write is recoverable
+            # (_recover_mv_pins) instead of a double-apply
+            extra_summary={
+                "cdc_refresh": True,
+                **({"mv_pins": pin_updates} if pin_updates else {}),
+            },
         )
 
     def _refresh_join_agg(
@@ -3754,6 +3850,13 @@ class LakehouseCatalog:
                 except ValueError:
                     ch = None  # a snapshot in range was expired
                 if ch is not None:
+                    upd = {
+                        "mv.base_version": str(fact_v),
+                        **dim_repin,
+                    }
+                    sid = self._snap_id(ft, fact_v)
+                    if sid is not None:
+                        upd["mv.base_snapshot"] = sid
                     snap = self._join_cdc_refresh(
                         t,
                         props,
@@ -3761,15 +3864,9 @@ class LakehouseCatalog:
                         self.view_name(fact_ident),
                         ch,
                         fact_ident,
+                        pin_updates=upd,
                     )
                     if snap is not NotImplemented:
-                        upd = {
-                            "mv.base_version": str(fact_v),
-                            **dim_repin,
-                        }
-                        sid = self._snap_id(ft, fact_v)
-                        if sid is not None:
-                            upd["mv.base_snapshot"] = sid
                         t.set_properties(**upd)
                         return snap
             else:
@@ -3782,12 +3879,14 @@ class LakehouseCatalog:
                 ft.scan(
                     snapshot=ft.snapshot(fact_v)
                 ).createOrReplaceTempView(self.view_name(fact_ident))
-                snap = self._merge_agg_delta(t, props, inc)
+                upd = {"mv.base_version": str(fact_v), **dim_repin}
+                sid = self._snap_id(ft, fact_v)
+                if sid is not None:
+                    upd["mv.base_snapshot"] = sid
+                snap = self._merge_agg_delta(
+                    t, props, inc, pin_updates=upd
+                )
                 if snap is not NotImplemented:
-                    upd = {"mv.base_version": str(fact_v), **dim_repin}
-                    sid = self._snap_id(ft, fact_v)
-                    if sid is not None:
-                        upd["mv.base_snapshot"] = sid
                     t.set_properties(**upd)
                     return snap
                 # NULL group key in the delta: fall through to full
@@ -3812,18 +3911,20 @@ class LakehouseCatalog:
             except ValueError:
                 ch = None  # expired range: full refresh below
             if ch is not None:
+                pin_vs = {**new_vs, mv_ident: dim_v}
+                pin_sids = dict(new_sids)
+                s2 = self._snap_id(mdt, dim_v)
+                if s2 is not None:
+                    pin_sids[mv_ident] = s2
+                upd = self._dim_pin_props(dims, pin_vs, pin_sids)
                 snap = self._join_cdc_refresh(
                     t, props, sql_text, self.view_name(mv_ident), ch,
                     mv_ident,
+                    pin_updates=upd,
                 )
                 if snap is not NotImplemented:
-                    new_vs[mv_ident] = dim_v
-                    s2 = self._snap_id(mdt, dim_v)
-                    if s2 is not None:
-                        new_sids[mv_ident] = s2
-                    t.set_properties(
-                        **self._dim_pin_props(dims, new_vs, new_sids)
-                    )
+                    new_vs, new_sids = pin_vs, pin_sids
+                    t.set_properties(**upd)
                     return snap
         fact_moved = fact_lineage and fact_v > base_v
         if (
@@ -3892,6 +3993,17 @@ class LakehouseCatalog:
                         # the fact orders LAST: every dim term joins
                         # the PINNED fact, not the moved public view
                         binds[fact_ident] = base_v
+                    # compute THIS term's post-commit pins up front:
+                    # the commit carries them (mv_pins) so a crash
+                    # between the MERGE and the property write is
+                    # completed by _recover_mv_pins, never re-applied
+                    _, pv, dv, _ = moved_by[ident]
+                    pin_vs = {**new_vs, ident: dv}
+                    pin_sids = dict(new_sids)
+                    s2 = self._snap_id(self.load_table(ident), dv)
+                    if s2 is not None:
+                        pin_sids[ident] = s2
+                    upd = self._dim_pin_props(dims, pin_vs, pin_sids)
                     snap = self._join_cdc_refresh(
                         t,
                         props,
@@ -3900,24 +4012,29 @@ class LakehouseCatalog:
                         chs[ident],
                         ident,
                         binds=binds,
+                        pin_updates=upd,
                     )
                     if snap is NotImplemented:
                         ok = False
                         break
                     # pin THIS dim now: the committed term must never
                     # be re-applied by a later (crash-resumed) refresh
-                    _, pv, dv, _ = moved_by[ident]
-                    new_vs[ident] = dv
-                    s2 = self._snap_id(self.load_table(ident), dv)
-                    if s2 is not None:
-                        new_sids[ident] = s2
-                    t.set_properties(
-                        **self._dim_pin_props(dims, new_vs, new_sids)
-                    )
+                    new_vs, new_sids = pin_vs, pin_sids
+                    t.set_properties(**upd)
             if ok and fact_moved:
                 # the fact term: its signed changelog against every dim
                 # at its NEW snapshot - the dims' public views already
                 # show those (no binds needed)
+                # CUMULATIVE intent: include the dim pins the earlier
+                # terms advanced, so recovery works even if several
+                # property writes were lost, not just the last one
+                upd = {
+                    "mv.base_version": str(fact_v),
+                    **self._dim_pin_props(dims, new_vs, new_sids),
+                }
+                sid = self._snap_id(ft, fact_v)
+                if sid is not None:
+                    upd["mv.base_snapshot"] = sid
                 snap = self._join_cdc_refresh(
                     t,
                     props,
@@ -3925,14 +4042,11 @@ class LakehouseCatalog:
                     self.view_name(fact_ident),
                     fact_ch,
                     fact_ident,
+                    pin_updates=upd,
                 )
                 if snap is NotImplemented:
                     ok = False
                 else:
-                    upd = {"mv.base_version": str(fact_v)}
-                    sid = self._snap_id(ft, fact_v)
-                    if sid is not None:
-                        upd["mv.base_snapshot"] = sid
                     t.set_properties(**upd)
             if ok:
                 return snap
@@ -3954,7 +4068,13 @@ class LakehouseCatalog:
         t.set_properties(**new_pin)
         return snap
 
-    def _merge_agg_delta(self, t: LakehouseTable, props: dict, inc: DataFrame):
+    def _merge_agg_delta(
+        self,
+        t: LakehouseTable,
+        props: dict,
+        inc: DataFrame,
+        pin_updates: dict | None = None,
+    ):
         """Merge an aggregated append-diff into an 'agg'-mode MV: the
         delta's partial aggregates combine with the materialized groups
         (COUNT/SUM add, MIN least, MAX greatest, AVG via its stored
@@ -3976,8 +4096,22 @@ class LakehouseCatalog:
             joined = inc.alias("d").crossJoin(t.to_df().alias("t"))
             by_name = self._merged_agg_columns(t, aggs)
             merged_cols = [by_name[f.name] for f in t.schema.fields]
-            return overwrite_partitions(t, joined.select(*merged_cols))
-        return self._merge_grouped_delta(t, group_cols, aggs, inc)
+            return overwrite_partitions(
+                t,
+                joined.select(*merged_cols),
+                extra_summary=(
+                    {"mv_pins": pin_updates} if pin_updates else None
+                ),
+            )
+        return self._merge_grouped_delta(
+            t,
+            group_cols,
+            aggs,
+            inc,
+            extra_summary=(
+                {"mv_pins": pin_updates} if pin_updates else None
+            ),
+        )
 
     def sql(self, query: str) -> DataFrame:
         """Run SQL over the registered views (sugar for

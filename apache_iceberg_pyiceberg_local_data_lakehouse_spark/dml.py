@@ -1114,7 +1114,11 @@ def retry_on_conflict(op, attempts: int = 3):
     raise last
 
 
-def overwrite_partitions(table: LakehouseTable, df: DataFrame) -> Snapshot | None:
+def overwrite_partitions(
+    table: LakehouseTable,
+    df: DataFrame,
+    extra_summary: dict | None = None,
+) -> Snapshot | None:
     """INSERT OVERWRITE with dynamic partition resolution (Iceberg's
     dynamic overwrite): atomically replace every partition the incoming
     frame touches - untouched partitions carry forward by reference.
@@ -1166,7 +1170,10 @@ def overwrite_partitions(table: LakehouseTable, df: DataFrame) -> Snapshot | Non
             added=new_entries,
             removed_paths={e["path"] for e in snap.data_entries},
             operation="overwrite",
-            summary={"overwritten_partitions": "all (unpartitioned)"},
+            summary={
+                "overwritten_partitions": "all (unpartitioned)",
+                **(extra_summary or {}),
+            },
             base_version=snap.version,
         )
 
@@ -1215,6 +1222,7 @@ def overwrite_partitions(table: LakehouseTable, df: DataFrame) -> Snapshot | Non
             "overwritten_partitions": len(touched),
             "replaced_files": len(removed),
             "new_files": len(new_entries),
+            **(extra_summary or {}),
         },
         base_version=snap.version,
     )

@@ -1004,8 +1004,17 @@ def test_fact_and_dim_moved_cdc_always_equals_recompute(
     if dim_op in ("dim2_update", "both_dims"):
         cat.sql(f"UPDATE g.fd2 SET reg = 'Y' WHERE r = {rng.randrange(3)}")
     snap = cat.refresh_materialized_view("g.fmv")
-    assert snap is not None and snap.operation == "merge", (fact_op, dim_op)
-    assert snap.summary.get("cdc_refresh") is True, (fact_op, dim_op)
+    # the CDC path: merge commits per term, or - when a term's
+    # changelog joins ZERO fact rows - an empty-delta echo of the
+    # current snapshot. NEVER the full-refresh overwrite/truncate.
+    assert snap is not None, (fact_op, dim_op)
+    assert snap.operation not in ("overwrite", "truncate"), (
+        fact_op,
+        dim_op,
+        snap.operation,
+    )
+    if snap.operation == "merge":
+        assert snap.summary.get("cdc_refresh") is True, (fact_op, dim_op)
     cat.register_views()
     got = {tuple(r) for r in spark.sql("SELECT * FROM g_fmv").collect()}
     want = {tuple(r) for r in spark.sql(q).collect()}

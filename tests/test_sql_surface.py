@@ -4041,3 +4041,122 @@ def test_merge_insert_column_list_generated_and_evolution(catalog, spark):
         for r in catalog.load_table("gold.iclg").to_df().collect()
     )
     assert got == [(1, 10, 20, None), (2, 30, 60, 20)]
+
+
+def test_merge_insert_column_list_qualified_source(catalog, spark):
+    """r11 review: VALUES expressions naming the source by its FULL
+    dotted identifier must strip the longest qualifier first - the
+    bare table name is a suffix of the dotted one, and stripping it
+    first would corrupt 'ns.tbl.col' into 'ns.col'."""
+    t = catalog.create_table(
+        "gold.qsrc_t", spark.createDataFrame([], "k long, v long").schema
+    )
+    t.append(spark.createDataFrame([(1, 10)], "k long, v long"))
+    s = catalog.create_table(
+        "gold.qsrc_s", spark.createDataFrame([], "k long, v long").schema
+    )
+    s.append(spark.createDataFrame([(1, 99), (2, 20)], "k long, v long"))
+    catalog.sql(
+        "MERGE INTO gold.qsrc_t USING gold.qsrc_s "
+        "ON gold.qsrc_t.k = gold.qsrc_s.k "
+        "WHEN NOT MATCHED THEN INSERT (k, v) "
+        "VALUES (gold.qsrc_s.k, gold.qsrc_s.v + 1)"
+    )
+    got = sorted(
+        (r["k"], r["v"])
+        for r in catalog.load_table("gold.qsrc_t").to_df().collect()
+    )
+    assert got == [(1, 10), (2, 21)]
+
+
+def test_mv_pin_crash_recovery_no_double_apply(catalog, spark):
+    """r11 review finding: every incremental MV commit carries its
+    intended post-commit pins (mv_pins) in the snapshot summary; a
+    crash BETWEEN the commit and the property write must not re-apply
+    the committed delta on the next refresh. Simulated by rewinding
+    the pin properties to their pre-refresh values while the commit
+    (and its intent) stands - exactly the crash state."""
+    import json as _json
+
+    # ---- join tier: fact + dim moved, telescoping terms
+    f = catalog.create_table(
+        "gold.pcr_f",
+        spark.createDataFrame([], "fk long, v long").schema,
+    )
+    d = catalog.create_table(
+        "gold.pcr_d",
+        spark.createDataFrame([], "k long, seg string").schema,
+    )
+    d.append(
+        spark.createDataFrame(
+            [(i, chr(65 + i % 2)) for i in range(4)], "k long, seg string"
+        )
+    )
+    f.append(
+        spark.createDataFrame(
+            [(i % 4, i * 10) for i in range(8)], "fk long, v long"
+        )
+    )
+    q = (
+        "SELECT seg, COUNT(*) AS n, SUM(v) AS sv FROM gold_pcr_f "
+        "JOIN gold_pcr_d ON gold_pcr_f.fk = gold_pcr_d.k GROUP BY seg"
+    )
+    catalog.create_materialized_view("gold.pcr_mv", q)
+    mv = catalog.load_table("gold.pcr_mv")
+    before = {
+        k: v
+        for k, v in mv.properties().items()
+        if k.startswith("mv.base_") or k.startswith("mv.join_dim")
+    }
+    # fact and dim both move -> CDC terms commit, pins advance
+    f.append(spark.createDataFrame([(0, 7), (1, 9)], "fk long, v long"))
+    catalog.sql("UPDATE gold.pcr_d SET seg = 'Z' WHERE k = 2")
+    snap = catalog.refresh_materialized_view("gold.pcr_mv")
+    assert snap.summary.get("cdc_refresh") is True
+    assert snap.summary.get("mv_pins")  # the commit carries its intent
+    catalog.register_views()
+    want = {tuple(r) for r in spark.sql(q).collect()}
+    got = {tuple(r) for r in spark.sql("SELECT * FROM gold_pcr_mv").collect()}
+    assert got == want
+    # CRASH SIMULATION: the property write never happened
+    mv = catalog.load_table("gold.pcr_mv")
+    mv.set_properties(**before)
+    # the next refresh completes the pin write instead of re-applying
+    snap2 = catalog.refresh_materialized_view("gold.pcr_mv")
+    assert snap2 is None  # recovery + nothing moved -> no commit
+    got = {tuple(r) for r in spark.sql("SELECT * FROM gold_pcr_mv").collect()}
+    assert got == want  # NOT doubled
+    props = catalog.load_table("gold.pcr_mv").properties()
+    assert props["mv.base_version"] == str(f.current_version())
+    assert _json.loads(props["mv.join_dim_versions"])["gold.pcr_d"] == str(
+        d.current_version()
+    )
+
+    # ---- single-table agg tier: CDC refresh then rewound base pin
+    b = catalog.create_table(
+        "gold.pcr_b",
+        spark.createDataFrame([], "cat string, v long").schema,
+    )
+    b.append(
+        spark.createDataFrame(
+            [("a", 1), ("a", 2), ("b", 5)], "cat string, v long"
+        )
+    )
+    q2 = "SELECT cat, COUNT(*) AS n, SUM(v) AS sv FROM gold_pcr_b GROUP BY cat"
+    catalog.create_materialized_view("gold.pcr_amv", q2)
+    base_pin = {
+        k: v
+        for k, v in catalog.load_table("gold.pcr_amv").properties().items()
+        if k.startswith("mv.base_")
+    }
+    catalog.sql("DELETE FROM gold.pcr_b WHERE v = 2")
+    snap = catalog.refresh_materialized_view("gold.pcr_amv")
+    assert snap.summary.get("mv_pins")
+    catalog.register_views()
+    want2 = {tuple(r) for r in spark.sql(q2).collect()}
+    catalog.load_table("gold.pcr_amv").set_properties(**base_pin)
+    assert catalog.refresh_materialized_view("gold.pcr_amv") is None
+    got2 = {
+        tuple(r) for r in spark.sql("SELECT * FROM gold_pcr_amv").collect()
+    }
+    assert got2 == want2
