@@ -325,3 +325,51 @@ def scd2_stream_to_table(
     elif trigger_secs is not None:
         writer = writer.trigger(processingTime=f"{trigger_secs} seconds")
     return writer.start()
+
+
+def curate_stream_to_table(
+    stream_df: DataFrame,
+    table: LakehouseTable,
+    checkpoint_dir: str,
+    query_id: str,
+    model: dict,
+    text_col: str = "text",
+    threshold: float = 0.0,
+    pareto_alpha: float | None = None,
+    id_col: str = "doc_id",
+    trigger_secs: int | None = None,
+    available_now: bool = False,
+):
+    """Streaming twin of quality-classifier curation (r11, VERDICT r10
+    #8): score + filter each micro-batch of documents inside
+    ``foreachBatch`` and append the survivors exactly-once.
+
+    The ``model`` is the plan-literal dict ``quality_classifier_fit``
+    returns, so per-batch scoring stays a zero-shuffle projection and
+    the filter semantics are byte-identical to the batch
+    ``quality_filter`` - including the Pareto acceptance, whose
+    hash-uniform is deterministic in (seed, id), so a checkpoint
+    REPLAY of an epoch re-derives the same keep/drop decisions (and
+    the epoch stamp skips the re-append anyway). The appended rows
+    carry ``quality_score``; the target schema must include it."""
+    from ..operators.quality_classifier import quality_filter
+
+    def transform(batch_df: DataFrame) -> DataFrame:
+        return quality_filter(
+            batch_df,
+            model,
+            text_col=text_col,
+            threshold=threshold,
+            pareto_alpha=pareto_alpha,
+            id_col=id_col,
+        )
+
+    return write_stream_to_table(
+        stream_df,
+        table,
+        checkpoint_dir,
+        query_id,
+        transform=transform,
+        trigger_secs=trigger_secs,
+        available_now=available_now,
+    )

@@ -1805,3 +1805,102 @@ def test_streaming_identity_exactly_once(spark, tmp_path):
     # and nothing collided with the earlier 40
     allv = [r["rid"] for r in t.to_df().collect()]
     assert len(allv) == len(set(allv)) == 42
+
+
+def test_streaming_quality_curation_exactly_once(spark, tmp_path):
+    """r11 (VERDICT r10 #8): the quality-classifier curation streaming
+    twin - an availableNow document stream scores + filters inside
+    foreachBatch and appends survivors exactly-once; the kept set
+    equals the batch quality_filter over the same input (one operator
+    path, plan-literal model), and a fresh-checkpoint replay with the
+    same query id appends nothing."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+    )
+    from pyspark.sql.types import StructType as _ST
+
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.catalog import (
+        LakehouseCatalog,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.quality_classifier import (
+        quality_classifier_fit,
+        quality_filter,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.streaming.sink import (
+        curate_stream_to_table,
+    )
+
+    # corpus: "good" docs share reference-like vocabulary
+    good = [f"the quick brown fox jumps over dog {i}" for i in range(30)]
+    bad = [f"zz{i} qq{i} xx{i} ww{i} vv{i}" for i in range(30)]
+    docs = {
+        "doc_id": list(range(60)),
+        "text": good + bad,
+        "label": [1] * 30 + [0] * 30,
+    }
+    fit_df = spark.createDataFrame(
+        list(zip(docs["doc_id"], docs["text"], docs["label"])),
+        "doc_id long, text string, label int",
+    )
+    model = quality_classifier_fit(fit_df, "label", sample=60)
+
+    src = tmp_path / "cur_src"
+    src.mkdir()
+    _pq.write_table(
+        _pa.table({"doc_id": docs["doc_id"], "text": docs["text"]}),
+        src / "a.parquet",
+    )
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("gold")
+    t = cat.create_table(
+        "gold.curated",
+        _ST(
+            [
+                StructField("doc_id", LongType()),
+                StructField("text", StringType()),
+                StructField("quality_score", DoubleType()),
+            ]
+        ),
+    )
+    schema = _ST(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    curate_stream_to_table(
+        stream,
+        t,
+        str(tmp_path / "ck1"),
+        query_id="curq",
+        model=model,
+        threshold=0.0,
+    ).awaitTermination(120)
+    kept = {
+        r["doc_id"]: r["quality_score"] for r in t.to_df().collect()
+    }
+    # twin equality: the streamed survivors == the batch filter
+    batch = {
+        r["doc_id"]: r["quality_score"]
+        for r in quality_filter(
+            fit_df.select("doc_id", "text"), model, threshold=0.0
+        ).collect()
+    }
+    assert kept == batch
+    # the model separates: most good docs kept, most bad dropped
+    assert sum(1 for d in kept if d < 30) > 20
+    assert sum(1 for d in kept if d >= 30) < 10
+    # fresh-checkpoint replay with the SAME query id: epoch stamp skips
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    curate_stream_to_table(
+        stream,
+        t,
+        str(tmp_path / "ck2"),
+        query_id="curq",
+        model=model,
+        threshold=0.0,
+    ).awaitTermination(120)
+    assert t.to_df().count() == len(kept)
