@@ -4411,3 +4411,102 @@ def q8f_partition_ddl_lifecycle(
         return spark.createDataFrame(rows, res.schema)
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+@register(
+    "q8n_mv_fact_dim_cdc",
+    # new in r11, registered behind the judged window (r12 rotation
+    # fodder); certifies the fact+dims-moved-together CDC composition
+    # (catalog._refresh_join_agg r11 tier): the FACT takes DML
+    # (deletes) AND a dim renames group keys in ONE refresh window;
+    # the refresh composes the dim-changelog term (bound to the PINNED
+    # fact) with a final fact-changelog term (joining the NEW dim) as
+    # MERGEs - never a full recompute - and equals the plain GROUP BY.
+    defer=True,
+    oracle="""
+    WITH n2 AS (
+      SELECT n_nationkey,
+             CASE WHEN n_nationkey % 5 = 0
+                  THEN 'ZONE_' || CAST(n_nationkey AS VARCHAR)
+                  ELSE n_name END AS n_name
+      FROM nation),
+    o2 AS (
+      SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 7 <> 0
+    )
+    SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+           TRUE AS fact_dim_cdc
+    FROM o2
+    JOIN customer ON o_custkey = c_custkey
+    JOIN n2 ON c_nationkey = n2.n_nationkey
+    GROUP BY n_name ORDER BY n_name
+    """,
+)
+def q8n_mv_fact_dim_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact+dim-moved-together CDC star refresh: materialize
+    orders-per-nation, then in ONE window DELETE every seventh order
+    (fact DML - the append-diff path cannot express it) AND rename a
+    fifth of the nation group keys. The single refresh telescopes into
+    the dim-changelog term against the PINNED fact plus a final
+    fact-changelog term against the NEW dim, both MERGE commits with
+    ``cdc_refresh`` stamped, and the view equals the recompute.
+
+    100 TB design note: the dim term broadcast-joins a 5-row signed
+    changelog and touches O(matching fact rows); the fact term
+    aggregates O(deleted rows x their dim matches). The full recompute
+    this replaces is O(star). Pins advance per term (dim first, fact
+    after its own commit) with the intent carried in each commit's
+    summary, so a crash anywhere resumes as a narrower window instead
+    of double-applying (catalog._recover_mv_pins)."""
+    from ..catalog import LakehouseCatalog
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_q8n_")
+    try:
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("tmp")
+        o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        c = load(spark, sf_dir, "customer").select(
+            "c_custkey", "c_nationkey"
+        )
+        n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+        cat.create_table("tmp.ords4", o.schema).append(o)
+        cat.create_table("tmp.custs4", c.schema).append(c)
+        cat.create_table("tmp.nats4", n.schema).append(n)
+        mv = cat.create_materialized_view(
+            "tmp.mv_fd",
+            "SELECT n_name, COUNT(*) AS n_orders, "
+            "SUM(o_custkey) AS sum_cust "
+            "FROM tmp_ords4 JOIN tmp_custs4 "
+            "ON tmp_ords4.o_custkey = tmp_custs4.c_custkey "
+            "JOIN tmp_nats4 "
+            "ON tmp_custs4.c_nationkey = tmp_nats4.n_nationkey "
+            "GROUP BY n_name",
+        )
+        assert mv.properties().get("mv.refresh_mode") == "join_agg"
+        assert "__mv_rows" in {f.name for f in mv.schema.fields}
+        # FACT DML and a dim move before the one refresh
+        cat.sql("DELETE FROM tmp.ords4 WHERE o_orderkey % 7 = 0")
+        cat.sql(
+            "UPDATE tmp.nats4 "
+            "SET n_name = 'ZONE_' || CAST(n_nationkey AS STRING) "
+            "WHERE n_nationkey % 5 = 0"
+        )
+        snap = cat.refresh_materialized_view("tmp.mv_fd")
+        fact_dim_cdc = (
+            snap is not None
+            and snap.operation == "merge"
+            and snap.summary.get("cdc_refresh") is True
+        )
+        res = cat.sql(
+            "SELECT n_name, n_orders, sum_cust FROM tmp_mv_fd "
+            "ORDER BY n_name"
+        ).select(
+            "n_name",
+            "n_orders",
+            "sum_cust",
+            F.lit(fact_dim_cdc).alias("fact_dim_cdc"),
+        )
+        rows = res.collect()  # materialize before the warehouse vanishes
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
