@@ -1960,6 +1960,7 @@ class LakehouseCatalog:
         when_not_matched = "ignore"
         not_matched_condition = None
         by_source = "keep"
+        by_source_condition: str | None = None
         column_sets: list[tuple[str, str]] | None = None
         insert_list: list[tuple[str, str]] | None = None
         matched_clauses: list[tuple[str | None, str, list | None]] = []
@@ -2039,12 +2040,18 @@ class LakehouseCatalog:
                         "" if src_txt.startswith("(") else src_txt,
                     )
             else:  # NOT MATCHED BY SOURCE
-                if action != "DELETE" or cond is not None:
+                if action != "DELETE":
                     raise ValueError(
                         "WHEN NOT MATCHED BY SOURCE supports only "
-                        "unconditional DELETE"
+                        "DELETE"
                     )
                 by_source = "delete"
+                if cond is not None:
+                    # condition over TARGET columns (r11): unmatched
+                    # target rows failing it survive the sync
+                    by_source_condition = self._strip_alias(
+                        cond, m.group("talias"), target
+                    )
         leftover = _DML_MERGE_CLAUSE.sub("", clauses).strip()
         if leftover or not seen_spans:
             raise ValueError(
@@ -2091,6 +2098,7 @@ class LakehouseCatalog:
                 not_matched_condition,
                 by_source,
                 evolve=bool(m.group("evolve")),
+                by_source_condition=by_source_condition,
             )
         else:
             snap = merge_into(
@@ -2102,6 +2110,7 @@ class LakehouseCatalog:
                 when_not_matched=when_not_matched,
                 not_matched_condition=not_matched_condition,
                 when_not_matched_by_source=by_source,
+                by_source_condition=by_source_condition,
                 with_schema_evolution=bool(m.group("evolve")),
             )
         return self.spark.createDataFrame(
@@ -2895,6 +2904,7 @@ class LakehouseCatalog:
         not_matched_condition: str | None,
         by_source: str,
         evolve: bool,
+        by_source_condition: str | None = None,
     ):
         """Execute MERGE with column-level ``UPDATE SET``: compute the
         full post-update rows (target joined to source on the keys,
@@ -3017,6 +3027,7 @@ class LakehouseCatalog:
             matched_condition=matched_condition,
             when_not_matched=when_not_matched,
             when_not_matched_by_source=by_source,
+            by_source_condition=by_source_condition,
         )
 
     @staticmethod

@@ -461,6 +461,7 @@ def merge_into(
     when_not_matched: str = "insert",
     not_matched_condition: str | Column | None = None,
     when_not_matched_by_source: str = "keep",
+    by_source_condition: str | Column | None = None,
     source_delete_condition: str | Column | None = None,
     extra_summary: dict | None = None,
     with_schema_evolution: bool = False,
@@ -499,6 +500,14 @@ def merge_into(
       ``'delete'`` — Delta/SQL:2003's WHEN NOT MATCHED BY SOURCE THEN
       DELETE. ``'delete'`` turns MERGE into full sync: after the
       commit the table's key set equals the source's key set.
+    - ``by_source_condition`` (r11): optional extra predicate over the
+      TABLE row gating the by-source delete (``WHEN NOT MATCHED BY
+      SOURCE AND cond THEN DELETE``) — unmatched target rows failing
+      it (or evaluating NULL) survive. Must be deterministic. With a
+      condition set, out-of-key-range files are no longer droppable as
+      pure metadata: files containing condition matches rewrite (the
+      delete reduces to the bare condition there — every row is
+      unmatched), files with none still carry forward by reference.
     - ``source_delete_condition``: optional predicate over SOURCE
       columns turning a source row into a DELETE directive: matched
       target rows for those keys are dropped (instead of replaced) and
@@ -552,6 +561,16 @@ def merge_into(
             "not_matched_condition requires when_not_matched='insert'"
         )
     sync = when_not_matched_by_source == "delete"
+    bs_cond = (
+        F.expr(by_source_condition)
+        if isinstance(by_source_condition, str)
+        else by_source_condition
+    )
+    if bs_cond is not None and not sync:
+        raise ValueError(
+            "by_source_condition requires "
+            "when_not_matched_by_source='delete'"
+        )
     cond = (
         F.expr(matched_condition)
         if isinstance(matched_condition, str)
@@ -665,7 +684,16 @@ def merge_into(
         replaced = matched & F.coalesce(cond, F.lit(False))
     else:
         replaced = matched
-    keep_pred = (matched & ~replaced) if sync else ~replaced
+    if sync and bs_cond is not None:
+        # conditioned by-source delete: unmatched rows survive unless
+        # the condition holds (SQL deletes TRUE rows only - NULL keeps)
+        keep_pred = (matched & ~replaced) | (
+            ~matched & ~F.coalesce(bs_cond, F.lit(False))
+        )
+    elif sync:
+        keep_pred = matched & ~replaced
+    else:
+        keep_pred = ~replaced
     kept = marked.filter(keep_pred).drop("__m")
 
     # Which source rows enter the table. Delete directives (rows
@@ -704,7 +732,45 @@ def merge_into(
     for p in parts[1:]:
         incoming = incoming.unionByName(p)
 
+    bs_hit: set = set()
+    if sync and bs_cond is not None and untouched:
+        # out-of-range files hold ONLY not-matched-by-source rows, so
+        # the conditioned delete reduces to the bare condition there.
+        # Prune to the files that actually contain matches - only those
+        # rewrite; clean files carry forward by reference (the same
+        # O(affected files) discipline as copy-on-write DELETE).
+        from urllib.parse import unquote, urlparse
+
+        unt_df = table.scan(
+            snapshot=snap, file_filter=lambda e: e in untouched
+        )
+        probe = unt_df.filter(bs_cond)
+        if not probe._jdf.queryExecution().analyzed().deterministic():
+            raise ValueError(
+                "merge_into requires a deterministic "
+                "by_source_condition (it is evaluated once to prune "
+                "files and once to rewrite)"
+            )
+        hit_uris = [
+            r["file_path"]
+            for r in probe.select(
+                F.col("_metadata.file_path").alias("file_path")
+            )
+            .distinct()
+            .collect()
+        ]
+        bs_hit = {
+            os.path.relpath(unquote(urlparse(u).path), table.location)
+            for u in hit_uris
+        }
+
     merged = kept
+    if sync and bs_cond is not None and bs_hit:
+        bs_kept = table.scan(
+            snapshot=snap,
+            file_filter=lambda e: e in untouched and e["path"] in bs_hit,
+        ).filter(~F.coalesce(bs_cond, F.lit(False)))
+        merged = merged.unionByName(bs_kept)
     if incoming is not None:
         # only source-derived rows are new values; kept rows passed the
         # gate when they were written (CHECK holds for every write verb)
@@ -712,23 +778,33 @@ def merge_into(
             table._validate_constraints(
                 incoming.select(*touched_df.columns), snap, op="merge"
             )
-        merged = kept.unionByName(incoming.select(*touched_df.columns))
+        merged = merged.unionByName(incoming.select(*touched_df.columns))
     new_entries = table._write_files(merged, snap.partition_spec)
     # delta commit: manifest files holding only untouched entries carry
     # over by reference - a key-range MERGE re-serializes the overlapped
     # files' manifests, not the table's. Sync mode instead REMOVES the
     # out-of-range files: every row in them is not-matched-by-source.
     removed = {e["path"] for e in touched}
-    if sync:
+    if sync and bs_cond is not None:
+        # conditioned sync: only condition-matching out-of-range files
+        # were rewritten; clean ones carry forward by reference
+        removed |= bs_hit
+        carried = len(untouched) - len(bs_hit)
+        dropped = 0
+        rewritten = len(touched) + len(bs_hit)
+    elif sync:
         removed |= {e["path"] for e in untouched}
+        carried, dropped, rewritten = 0, len(untouched), len(touched)
+    else:
+        carried, dropped, rewritten = len(untouched), 0, len(touched)
     return table.commit_delta(
         added=new_entries,
         removed_paths=removed,
         operation="merge",
         summary={
-            "rewritten_files": len(touched),
-            "carried_files": 0 if sync else len(untouched),
-            "dropped_files": len(untouched) if sync else 0,
+            "rewritten_files": rewritten,
+            "carried_files": carried,
+            "dropped_files": dropped,
             "mode": when_matched,
             "sync": sync,
             **(extra_summary or {}),

@@ -4510,3 +4510,97 @@ def q8n_mv_fact_dim_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, res.schema)
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+@register(
+    "q8o_merge_by_source_conditioned",
+    # new in r11, registered behind the judged window (r12 rotation
+    # fodder); certifies WHEN NOT MATCHED BY SOURCE AND <cond over
+    # target> THEN DELETE (dml.merge_into by_source_condition): the
+    # sync deletes only unmatched target rows satisfying the condition
+    # (NULL keeps), matched rows row-replace in the same commit, and
+    # the conditioned sync never drops out-of-range files wholesale
+    # (dropped_files == 0 - clean files carry by reference).
+    defer=True,
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus AS status,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ), src AS (
+      SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0
+    ), fin AS (
+      SELECT b.o_orderkey,
+             CASE WHEN s.o_orderkey IS NOT NULL THEN 'T'
+                  WHEN b.cents > 15000000 THEN NULL      -- synced out
+                  ELSE b.status END AS status,
+             CASE WHEN s.o_orderkey IS NOT NULL THEN CAST(0 AS BIGINT)
+                  WHEN b.cents > 15000000 THEN NULL
+                  ELSE b.cents END AS cents
+      FROM base b LEFT JOIN src s ON b.o_orderkey = s.o_orderkey
+    )
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           TRUE AS conditioned_sync
+    FROM fin WHERE status IS NOT NULL
+    GROUP BY status ORDER BY status
+    """,
+)
+def q8o_merge_by_source_conditioned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Conditioned by-source sync judged end-to-end on orders: the
+    source names every third order; matched rows row-replace (status
+    'T', cents 0), and of the UNMATCHED target rows only those over
+    $150k are deleted - the rest survive, which an unconditional BY
+    SOURCE DELETE (full sync) would have dropped. The flag pins that
+    the conditioned sync ran (summary.sync) without wholesale file
+    drops (dropped_files == 0; clean out-of-range files carry forward
+    by reference - the O(affected files) discipline at 100 TB)."""
+    from ..catalog import LakehouseCatalog
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_q8o_")
+    try:
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("tmp")
+        o = load(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.col("o_orderstatus").alias("status"),
+            F.expr(
+                "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
+            ).alias("cents"),
+        )
+        t = cat.create_table("tmp.bso_orders", o.schema)
+        t.append(o)
+        o.filter(F.col("o_orderkey") % 3 == 0).select(
+            "o_orderkey",
+            F.lit("T").alias("status"),
+            F.lit(0).cast("long").alias("cents"),
+        ).createOrReplaceTempView("tmp_bso_src")
+        cat.sql(
+            "MERGE INTO tmp.bso_orders USING tmp_bso_src s "
+            "ON tmp.bso_orders.o_orderkey = s.o_orderkey "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED BY SOURCE "
+            "AND tmp.bso_orders.cents > 15000000 THEN DELETE"
+        )
+        summary = cat.load_table("tmp.bso_orders").snapshot().summary
+        conditioned_sync = (
+            summary.get("sync") is True
+            and summary.get("dropped_files") == 0
+        )
+        res = (
+            cat.load_table("tmp.bso_orders")
+            .to_df()
+            .groupBy("status")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                F.sum("cents").cast("long").alias("sum_cents"),
+            )
+            .withColumn("conditioned_sync", F.lit(conditioned_sync))
+            .orderBy("status")
+        )
+        rows = res.collect()  # materialize before the warehouse vanishes
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)

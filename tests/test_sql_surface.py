@@ -4160,3 +4160,73 @@ def test_mv_pin_crash_recovery_no_double_apply(catalog, spark):
         tuple(r) for r in spark.sql("SELECT * FROM gold_pcr_amv").collect()
     }
     assert got2 == want2
+
+
+def test_merge_by_source_conditioned_delete(catalog, spark):
+    """r11 Delta-matrix cell: WHEN NOT MATCHED BY SOURCE AND <cond over
+    target> THEN DELETE - unmatched target rows failing the condition
+    (or evaluating NULL) survive the sync; out-of-key-range files with
+    NO condition matches carry forward by reference instead of being
+    dropped wholesale."""
+    import pytest
+
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.dml import (
+        merge_into,
+    )
+
+    t = catalog.create_table(
+        "gold.bsc",
+        spark.createDataFrame([], "k long, v long, flag long").schema,
+    )
+    # three files in distinct key ranges: [1-2], [10-11], [20-21]
+    t.append(
+        spark.createDataFrame(
+            [(1, 10, 1), (2, 20, None)], "k long, v long, flag long"
+        ).coalesce(1)
+    )
+    t.append(
+        spark.createDataFrame(
+            [(10, 100, 1), (11, 110, 0)], "k long, v long, flag long"
+        ).coalesce(1)
+    )
+    t.append(
+        spark.createDataFrame(
+            [(20, 200, 0), (21, 210, 0)], "k long, v long, flag long"
+        ).coalesce(1)
+    )
+    spark.createDataFrame(
+        [(1, 99, 1)], "k long, v long, flag long"
+    ).createOrReplaceTempView("bscsrc")
+    catalog.sql(
+        "MERGE INTO gold.bsc USING bscsrc s ON gold.bsc.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED BY SOURCE AND gold.bsc.flag = 1 THEN DELETE"
+    )
+    got = sorted(
+        (r["k"], r["v"])
+        for r in catalog.load_table("gold.bsc").to_df().collect()
+    )
+    # k=1 matched (replaced); k=10 unmatched with flag=1 (deleted);
+    # k=2 flag NULL survives; k=11/20/21 flag=0 survive
+    assert got == [(1, 99), (2, 20), (11, 110), (20, 200), (21, 210)]
+    summary = catalog.load_table("gold.bsc").snapshot().summary
+    # the [20-21] file has no flag=1 rows and is out of the source key
+    # range: it must carry forward by reference, not rewrite or drop
+    assert summary["carried_files"] >= 1
+    assert summary["dropped_files"] == 0
+
+    # engine-level gates
+    t2 = catalog.load_table("gold.bsc")
+    src = spark.createDataFrame([(1, 1, 1)], "k long, v long, flag long")
+    with pytest.raises(ValueError, match="requires"):
+        merge_into(
+            t2, src, key="k",
+            when_not_matched_by_source="keep",
+            by_source_condition="flag = 1",
+        )
+    with pytest.raises(ValueError, match="deterministic"):
+        merge_into(
+            t2, src, key="k",
+            when_not_matched_by_source="delete",
+            by_source_condition="rand() > 0.5",
+        )
