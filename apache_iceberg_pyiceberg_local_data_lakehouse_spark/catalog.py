@@ -1962,20 +1962,20 @@ class LakehouseCatalog:
         by_source = "keep"
         by_source_condition: str | None = None
         column_sets: list[tuple[str, str]] | None = None
-        insert_list: list[tuple[str, str]] | None = None
         matched_clauses: list[tuple[str | None, str, list | None]] = []
+        not_matched_clauses: list[tuple[str | None, list | None]] = []
         clauses = m.group("clauses")
         seen_spans = []
         seen_kinds: set[str] = set()
         for cm in _DML_MERGE_CLAUSE.finditer(clauses):
             seen_spans.append(cm.span())
             kind = re.sub(r"\s+", " ", cm.group("kind").upper())
-            if kind != "MATCHED" and kind in seen_kinds:
+            if kind == "NOT MATCHED BY SOURCE" and kind in seen_kinds:
                 # last-wins would silently mix actions and conditions
-                # across duplicate clauses (a stale matched_condition
-                # surviving an overwritten action) - reject instead.
-                # Multiple WHEN MATCHED clauses are the Delta matrix
-                # (first-match-wins per row, r10) and are collected.
+                # across duplicate clauses - reject instead. Multiple
+                # WHEN MATCHED (r10) and WHEN NOT MATCHED (r11)
+                # clauses are the Delta matrix (first-match-wins per
+                # row) and are collected.
                 raise ValueError(
                     f"duplicate WHEN {kind} clause; the engine supports "
                     "one clause per kind"
@@ -2019,10 +2019,11 @@ class LakehouseCatalog:
                 else:
                     raise ValueError(f"WHEN MATCHED cannot {action}")
             elif kind == "NOT MATCHED":
+                ilist = None
                 if cm.group("icols") is not None:
                     # explicit column-list insert (r11): INSERT (a, b)
                     # VALUES (e1, e2) - exprs range over SOURCE columns
-                    insert_list = self._parse_insert_list(
+                    ilist = self._parse_insert_list(
                         cm.group("icols"),
                         cm.group("ivals"),
                         m.group("salias"),
@@ -2030,15 +2031,21 @@ class LakehouseCatalog:
                     )
                 elif action != "INSERT *":
                     raise ValueError(f"WHEN NOT MATCHED cannot {action}")
-                when_not_matched = "insert"
-                if cond is not None:
-                    # condition over SOURCE columns (r10): unmatched
-                    # source rows failing it drop
-                    not_matched_condition = self._strip_alias(
-                        cond,
-                        m.group("salias"),
-                        "" if src_txt.startswith("(") else src_txt,
+                # condition over SOURCE columns (r10): unmatched
+                # source rows failing it fall to the next clause (r11:
+                # several clauses compose first-match-wins)
+                not_matched_clauses.append(
+                    (
+                        self._strip_alias(
+                            cond,
+                            m.group("salias"),
+                            "" if src_txt.startswith("(") else src_txt,
+                        )
+                        if cond is not None
+                        else None,
+                        ilist,
                     )
+                )
             else:  # NOT MATCHED BY SOURCE
                 if action != "DELETE":
                     raise ValueError(
@@ -2057,22 +2064,29 @@ class LakehouseCatalog:
             raise ValueError(
                 f"unparsed MERGE clause text: {leftover!r}"
             )
-        if len(matched_clauses) > 1 or insert_list is not None:
-            # the Delta multi-clause matrix (first-match-wins per row),
-            # and every column-list INSERT (r11) - the computed-row
-            # compiler owns the insert projection, so a single or even
-            # zero WHEN MATCHED clauses route here too when the insert
-            # names explicit columns
+        if not_matched_clauses:
+            when_not_matched = "insert"
+            if len(not_matched_clauses) == 1:
+                not_matched_condition = not_matched_clauses[0][0]
+        needs_compiler = (
+            len(matched_clauses) > 1
+            or len(not_matched_clauses) > 1
+            or any(il is not None for _c, il in not_matched_clauses)
+        )
+        if needs_compiler:
+            # the Delta multi-clause matrix (first-match-wins per row
+            # on BOTH sides, r10/r11), and every column-list INSERT -
+            # the computed-row compiler owns the insert projection, so
+            # a single or even zero WHEN MATCHED clauses route here
+            # too when the insert side needs it
             snap = self._merge_multi_clauses(
                 t,
                 src_df,
                 keys,
                 matched_clauses,
-                when_not_matched,
-                not_matched_condition,
+                not_matched_clauses,
                 by_source,
                 evolve=bool(m.group("evolve")),
-                insert_list=insert_list,
             )
             return self.spark.createDataFrame(
                 [("merge", target, snap.version)],
@@ -2574,23 +2588,24 @@ class LakehouseCatalog:
         src_df: DataFrame,
         keys: list[str],
         clauses: list[tuple[str | None, str, list | None]],
-        when_not_matched: str,
-        not_matched_condition: str | None,
+        insert_clauses: list[tuple[str | None, list | None]],
         by_source: str,
         evolve: bool = False,
-        insert_list: list[tuple[str, str]] | None = None,
     ):
         """Delta's multi-clause WHEN MATCHED matrix, first-match-wins
         per target row: each clause is ``(condition, action, sets)``
         with action ``delete`` / ``update_star`` / ``update_sets``;
         conditions range over TABLE columns and every clause but the
-        last must carry one (Delta's rule). ``insert_list`` (r11) is
-        the explicit-column-list insert ``INSERT (a, b) VALUES (e1,
-        e2)``: unmatched (and condition-passing) source rows project
-        through the VALUES expressions, unlisted target columns fill
-        with typed NULLs and missing generated columns recompute -
-        zero or one WHEN MATCHED clauses route here too when the
-        insert names columns. Compiled onto
+        last must carry one (Delta's rule). ``insert_clauses`` (r11)
+        is the WHEN NOT MATCHED side of the same matrix: each entry is
+        ``(condition over SOURCE columns | None, column-list | None)``
+        - ``None`` column-list means ``INSERT *`` - evaluated
+        first-match-wins per UNMATCHED source row (a row firing no
+        clause drops); a column list projects the row through its
+        VALUES expressions, unlisted target columns fill with typed
+        NULLs and missing generated columns recompute. Zero or one
+        WHEN MATCHED clauses route here too when the insert side needs
+        the compiler. Compiled onto
         :func:`dml.merge_into`'s row-replace door: the updates frame
         holds one computed row per (fired target row), delete-clause
         rows carry a ``__merge_del`` directive flag (consumed keys,
@@ -2617,15 +2632,17 @@ class LakehouseCatalog:
                 "cannot combine with WHEN NOT MATCHED BY SOURCE THEN "
                 "DELETE"
             )
-        if insert_list is not None and when_not_matched != "insert":
-            raise ValueError(
-                "insert_list requires when_not_matched='insert'"
-            )
         conds = [c for c, _, _ in clauses]
         if any(c is None for c in conds[:-1]):
             raise ValueError(
                 "only the LAST of multiple WHEN MATCHED clauses may "
                 "omit AND <condition>"
+            )
+        nm_conds = [c for c, _ in insert_clauses]
+        if any(c is None for c in nm_conds[:-1]):
+            raise ValueError(
+                "only the LAST of multiple WHEN NOT MATCHED clauses "
+                "may omit AND <condition>"
             )
         # one materialization: the source feeds N clause joins plus the
         # INSERT anti-join as INDEPENDENT subtrees - a non-deterministic
@@ -2655,10 +2672,12 @@ class LakehouseCatalog:
                             "column; MERGE WITH SCHEMA EVOLUTION "
                             "adds it"
                         )
-        if insert_list is not None:
+        for _c, ilist in insert_clauses:
+            if ilist is None:
+                continue  # INSERT *: aligns by name, nothing to check
             # unlike SET, the insert list may (and normally must) name
             # the key columns - inserted rows need key values
-            for col, _e in insert_list:
+            for col, _e in ilist:
                 if col.lower() not in tcols and not evolve:
                     raise ValueError(
                         f"INSERT column {col!r} is not a table "
@@ -2671,7 +2690,7 @@ class LakehouseCatalog:
             # require each merge key to map identically from the
             # source (the common Delta spelling; anything else refuses
             # loudly instead of risking wrong results)
-            imap = {c.lower(): e for c, e in insert_list}
+            imap = {c.lower(): e for c, e in ilist}
             for k in keys:
                 e = imap.get(k.lower())
                 if e is None or e.strip().lower() != k.lower():
@@ -2761,40 +2780,43 @@ class LakehouseCatalog:
             updates = parts[0] if parts else None
             for p in parts[1:]:
                 updates = updates.unionByName(p)
-            if when_not_matched == "insert":
-                ins = src_df.join(
+            if insert_clauses:
+                ins0 = src_df.join(
                     tdf.select(*keys).distinct(),
                     on=keys,
                     how="left_anti",
                 )
-                if not_matched_condition is not None:
-                    ins = ins.filter(
-                        F.coalesce(
-                            F.expr(not_matched_condition), F.lit(False)
+                for i, (c_i, ilist) in enumerate(insert_clauses):
+                    # first-match-wins over SOURCE rows: this clause's
+                    # condition AND NOT any earlier clause's
+                    own = c_i if c_i is not None else "true"
+                    fire_nm = [f"coalesce(({own}), false)"] + [
+                        f"NOT coalesce(({c}), false)"
+                        for c in nm_conds[:i]
+                    ]
+                    ins = ins0.filter(F.expr(" AND ".join(fire_nm)))
+                    if ilist is not None:
+                        # column-list insert: the row is BUILT from the
+                        # VALUES expressions over the source row; the
+                        # pre-evolution probe pass restricts to columns
+                        # that exist in `fields` (same discipline as
+                        # update_sets), post-evolution re-runs with the
+                        # full list
+                        ins = ins.select(
+                            *[
+                                F.expr(e).alias(c)
+                                for c, e in ilist
+                                if c.lower() in fnames
+                            ]
                         )
+                    ins_rows = self._aligned_insert_rows(
+                        ins, fields, gen
+                    ).withColumn("__merge_del", F.lit(False))
+                    updates = (
+                        ins_rows
+                        if updates is None
+                        else updates.unionByName(ins_rows)
                     )
-                if insert_list is not None:
-                    # column-list insert: the row is BUILT from the
-                    # VALUES expressions over the source row; the
-                    # pre-evolution probe pass restricts to columns
-                    # that exist in `fields` (same discipline as
-                    # update_sets), post-evolution re-runs with the
-                    # full list
-                    ins = ins.select(
-                        *[
-                            F.expr(e).alias(c)
-                            for c, e in insert_list
-                            if c.lower() in fnames
-                        ]
-                    )
-                ins_rows = self._aligned_insert_rows(
-                    ins, fields, gen
-                ).withColumn("__merge_del", F.lit(False))
-                updates = (
-                    ins_rows
-                    if updates is None
-                    else updates.unionByName(ins_rows)
-                )
             if updates is None:
                 raise ValueError(
                     "MERGE compiled to no clause work (no WHEN "
@@ -2833,9 +2855,9 @@ class LakehouseCatalog:
                 ~F.col("__merge_del")
             ).drop("__merge_del")
             t._validate_constraints(probe, t.snapshot(), op="merge")
-            if (
-                when_not_matched == "insert" and insert_list is None
-            ) or has_star:
+            if has_star or any(
+                ilist is None for _c, ilist in insert_clauses
+            ):
                 # SET * / INSERT * under evolution union the full
                 # source schema in (the row-replace door's semantics);
                 # a column-list INSERT evolves only its NAMED targets
@@ -2867,11 +2889,13 @@ class LakehouseCatalog:
                         )
                         add_column(t, col, dt.jsonValue())
                         now.add(col.lower())
-            if insert_list is not None:
+            for _c, ilist in insert_clauses:
+                if ilist is None:
+                    continue
                 # evolving INSERT targets: typed from the VALUES
                 # expression probed over the SOURCE frame (the insert
                 # projection runs on unmatched source rows)
-                for col, expr in insert_list:
+                for col, expr in ilist:
                     if col.lower() not in now:
                         dt = (
                             src_df.select(F.expr(expr).alias("__probe"))
@@ -2888,7 +2912,10 @@ class LakehouseCatalog:
             key=keys,
             when_matched="update",
             matched_condition=combined,
-            when_not_matched=when_not_matched,
+            # insert conditions were applied while BUILDING the frame
+            # (they range over raw source columns a projected row may
+            # not carry)
+            when_not_matched="insert" if insert_clauses else "ignore",
             when_not_matched_by_source="keep",
             source_delete_condition="__merge_del",
         )

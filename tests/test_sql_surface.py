@@ -1229,8 +1229,9 @@ def test_sql_merge_multi_matched_clauses(catalog, spark):
             "WHEN MATCHED THEN DELETE "
             "WHEN MATCHED AND gold.m5.v > 3 THEN UPDATE SET *"
         )
-    # duplicate NOT MATCHED clauses still reject
-    with pytest.raises(ValueError, match="duplicate WHEN NOT MATCHED"):
+    # multiple NOT MATCHED clauses are the Delta matrix (r11), but
+    # only the LAST may omit its condition - two unconditioned reject
+    with pytest.raises(ValueError, match="LAST of multiple WHEN NOT"):
         catalog.sql(
             "MERGE INTO gold.m5 USING m5src ON gold.m5.cat = m5src.cat "
             "WHEN NOT MATCHED THEN INSERT * "
@@ -4230,3 +4231,45 @@ def test_merge_by_source_conditioned_delete(catalog, spark):
             when_not_matched_by_source="delete",
             by_source_condition="rand() > 0.5",
         )
+
+
+def test_merge_multi_not_matched_clauses(catalog, spark):
+    """r11: several WHEN NOT MATCHED clauses evaluate first-match-wins
+    per UNMATCHED source row (the insert side of the Delta matrix) -
+    a conditioned column-list insert, a conditioned INSERT *, and an
+    unconditional column-list fallback compose in ONE commit; rows
+    firing no clause drop; composes with WHEN MATCHED clauses."""
+    t = catalog.create_table(
+        "gold.mnm",
+        spark.createDataFrame([], "k long, v long, tag string").schema,
+    )
+    t.append(
+        spark.createDataFrame([(1, 10, "old")], "k long, v long, tag string")
+    )
+    spark.createDataFrame(
+        [(1, 100, "a"), (2, 200, "b"), (3, 30, "c"), (4, 4, "d")],
+        "k long, v long, tag string",
+    ).createOrReplaceTempView("mnmsrc")
+    catalog.sql(
+        "MERGE INTO gold.mnm USING mnmsrc s ON gold.mnm.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET tag = 'hit' "
+        "WHEN NOT MATCHED AND s.v >= 100 THEN "
+        "INSERT (k, v) VALUES (s.k, s.v * 10) "
+        "WHEN NOT MATCHED AND s.v >= 10 THEN INSERT * "
+        "WHEN NOT MATCHED AND s.v >= 5 THEN "
+        "INSERT (k, tag) VALUES (s.k, upper(s.tag))"
+    )
+    got = sorted(
+        (r["k"], r["v"], r["tag"])
+        for r in catalog.load_table("gold.mnm").to_df().collect()
+    )
+    # k=1 matched (tag set); k=2 fires clause 1 (v*10, tag NULL);
+    # k=3 fires clause 2 (INSERT *); k=4 (v=4) fires NO clause: drops
+    assert got == [
+        (1, 10, "hit"),
+        (2, 2000, None),
+        (3, 30, "c"),
+    ]
+    # first-match-wins: k=2 must NOT also fire clause 2/3 (exactly one
+    # row per unmatched key)
+    assert catalog.load_table("gold.mnm").to_df().count() == 3
