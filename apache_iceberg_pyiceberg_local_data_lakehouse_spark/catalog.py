@@ -1915,7 +1915,9 @@ class LakehouseCatalog:
           table version, merge_into's 'ignore');
         - ``WHEN NOT MATCHED THEN INSERT *`` (absent -> source-only
           keys are dropped);
-        - ``WHEN NOT MATCHED BY SOURCE THEN DELETE`` (full sync).
+        - ``WHEN NOT MATCHED BY SOURCE [AND <cond over target cols>]
+          THEN DELETE | UPDATE SET col = <expr over target cols>, ...``
+          (full sync / mark-stale-rows; r11 adds the UPDATE arm).
 
         ON must be a conjunction of equality predicates naming the
         SAME column on both sides (``t.k = s.k [AND t.k2 = s.k2]``) -
@@ -1961,6 +1963,7 @@ class LakehouseCatalog:
         not_matched_condition = None
         by_source = "keep"
         by_source_condition: str | None = None
+        by_source_sets: list[tuple[str, str]] | None = None
         column_sets: list[tuple[str, str]] | None = None
         matched_clauses: list[tuple[str | None, str, list | None]] = []
         not_matched_clauses: list[tuple[str | None, list | None]] = []
@@ -2047,15 +2050,37 @@ class LakehouseCatalog:
                     )
                 )
             else:  # NOT MATCHED BY SOURCE
-                if action != "DELETE":
-                    raise ValueError(
-                        "WHEN NOT MATCHED BY SOURCE supports only "
-                        "DELETE"
+                if action == "DELETE":
+                    by_source = "delete"
+                elif cm.group("sets") is not None:
+                    # by-source UPDATE SET (r11): mark unmatched
+                    # target rows - expressions over TARGET columns
+                    # only (there is no source row on this side)
+                    by_source = "update"
+                    by_source_sets = self._parse_by_source_sets(
+                        cm.group("sets"),
+                        (
+                            m.group("talias"),
+                            target,
+                            target.rsplit(".", 1)[-1],
+                        ),
+                        (
+                            m.group("salias"),
+                            None if src_txt.startswith("(") else src_txt,
+                            None
+                            if src_txt.startswith("(")
+                            else src_txt.rsplit(".", 1)[-1],
+                        ),
                     )
-                by_source = "delete"
+                else:
+                    raise ValueError(
+                        "WHEN NOT MATCHED BY SOURCE supports DELETE "
+                        "or UPDATE SET <assignments> (UPDATE SET * "
+                        "has no source row to replace from)"
+                    )
                 if cond is not None:
                     # condition over TARGET columns (r11): unmatched
-                    # target rows failing it survive the sync
+                    # target rows failing it survive untouched
                     by_source_condition = self._strip_alias(
                         cond, m.group("talias"), target
                     )
@@ -2113,6 +2138,7 @@ class LakehouseCatalog:
                 by_source,
                 evolve=bool(m.group("evolve")),
                 by_source_condition=by_source_condition,
+                by_source_sets=by_source_sets,
             )
         else:
             snap = merge_into(
@@ -2125,6 +2151,7 @@ class LakehouseCatalog:
                 not_matched_condition=not_matched_condition,
                 when_not_matched_by_source=by_source,
                 by_source_condition=by_source_condition,
+                by_source_sets=by_source_sets,
                 with_schema_evolution=bool(m.group("evolve")),
             )
         return self.spark.createDataFrame(
@@ -2466,6 +2493,59 @@ class LakehouseCatalog:
         return items
 
     @staticmethod
+    def _parse_by_source_sets(
+        sets_txt: str,
+        t_prefixes: tuple,
+        s_prefixes: tuple,
+    ) -> list[tuple[str, str]]:
+        """Parse ``WHEN NOT MATCHED BY SOURCE THEN UPDATE SET a =
+        expr, ...`` assignments. Unlike the matched door, by-source
+        rows have NO source side: expressions range over TARGET
+        columns only - target qualifiers strip to bare names
+        (quote-aware), any source qualifier refuses loudly."""
+        items: list[tuple[str, str]] = []
+        tset = {p for p in t_prefixes if p}
+        sset = {p for p in s_prefixes if p} - tset
+        for part in _split_top_level(sets_txt):
+            em = re.match(r"\s*([\w.]+)\s*=\s*(.+?)\s*$", part, re.DOTALL)
+            if em is None:
+                raise ValueError(
+                    f"unparseable SET assignment: {part.strip()!r}"
+                )
+            lhs = em.group(1)
+            col = lhs.rsplit(".", 1)[-1]
+            qual = lhs[: -len(col)].rstrip(".")
+            if qual and qual not in tset:
+                raise ValueError(
+                    f"by-source SET target {lhs!r} must be a TARGET "
+                    "column (qualify with the target alias or leave "
+                    "bare)"
+                )
+            expr = em.group(2)
+            for p in sorted(tset, key=len, reverse=True):
+                expr = _sub_outside_quotes(
+                    re.compile(rf"\b{re.escape(p)}\."), "", expr
+                )
+            for p in sset:
+                probe = _sub_outside_quotes(
+                    re.compile(rf"\b{re.escape(p)}\."), "\0", expr
+                )
+                if probe != expr:
+                    raise ValueError(
+                        "WHEN NOT MATCHED BY SOURCE ... UPDATE SET "
+                        "expressions may reference only TARGET columns "
+                        f"(found source qualifier {p!r} in "
+                        f"{em.group(2).strip()!r})"
+                    )
+            items.append((col, expr.strip()))
+        seen: set[str] = set()
+        for col, _ in items:
+            if col.lower() in seen:
+                raise ValueError(f"duplicate SET target {col!r}")
+            seen.add(col.lower())
+        return items
+
+    @staticmethod
     def _parse_insert_list(
         icols: str,
         ivals: str,
@@ -2622,15 +2702,16 @@ class LakehouseCatalog:
         per-column CASE tangle)."""
         from .dml import merge_into
 
-        if by_source == "delete":
+        if by_source != "keep":
             # a matched key whose rows fire NO clause would be absent
-            # from the computed key set and sync would wrongly drop it;
+            # from the computed key set and the by-source action would
+            # wrongly fire on it (sync drops it / update mutates it);
             # for column-list inserts the projected keys can differ
-            # from the raw source keys, breaking sync's key-set model
+            # from the raw source keys, breaking the key-set model
             raise ValueError(
                 "multiple WHEN MATCHED clauses / column-list INSERT "
-                "cannot combine with WHEN NOT MATCHED BY SOURCE THEN "
-                "DELETE"
+                "cannot combine with WHEN NOT MATCHED BY SOURCE "
+                "clauses"
             )
         conds = [c for c, _, _ in clauses]
         if any(c is None for c in conds[:-1]):
@@ -2932,6 +3013,7 @@ class LakehouseCatalog:
         by_source: str,
         evolve: bool,
         by_source_condition: str | None = None,
+        by_source_sets: list[tuple[str, str]] | None = None,
     ):
         """Execute MERGE with column-level ``UPDATE SET``: compute the
         full post-update rows (target joined to source on the keys,
@@ -2960,12 +3042,18 @@ class LakehouseCatalog:
         for col, _ in sets:
             if col.lower() in lower_keys:
                 raise ValueError(f"MERGE cannot SET the key column {col!r}")
-        if by_source == "delete" and matched_condition is not None:
+        if by_source != "keep" and matched_condition is not None:
             # a cond-failing matched row's key would be absent from the
-            # computed updates and sync would wrongly drop it
+            # computed updates and the by-source action would wrongly
+            # fire on it (sync drops it / update mutates it)
             raise ValueError(
                 "column-level SET cannot combine WHEN MATCHED AND <cond> "
-                "with WHEN NOT MATCHED BY SOURCE THEN DELETE"
+                "with WHEN NOT MATCHED BY SOURCE clauses"
+            )
+        if by_source == "update" and evolve:
+            raise ValueError(
+                "WHEN NOT MATCHED BY SOURCE ... UPDATE SET does not "
+                "compose with WITH SCHEMA EVOLUTION; evolve first"
             )
         set_map = {c.lower(): e for c, e in sets}
         gen = t.generated_columns()
@@ -3055,6 +3143,7 @@ class LakehouseCatalog:
             when_not_matched=when_not_matched,
             when_not_matched_by_source=by_source,
             by_source_condition=by_source_condition,
+            by_source_sets=by_source_sets,
         )
 
     @staticmethod

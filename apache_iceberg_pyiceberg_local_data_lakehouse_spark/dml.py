@@ -462,6 +462,7 @@ def merge_into(
     not_matched_condition: str | Column | None = None,
     when_not_matched_by_source: str = "keep",
     by_source_condition: str | Column | None = None,
+    by_source_sets: list[tuple[str, str | Column]] | None = None,
     source_delete_condition: str | Column | None = None,
     extra_summary: dict | None = None,
     with_schema_evolution: bool = False,
@@ -496,18 +497,33 @@ def merge_into(
       columns gating the insert (``WHEN NOT MATCHED AND cond THEN
       INSERT *``) — unmatched source rows failing it drop. Must be
       deterministic over the (checkpointed) source frame.
-    - ``when_not_matched_by_source``: ``'keep'`` (default) or
-      ``'delete'`` — Delta/SQL:2003's WHEN NOT MATCHED BY SOURCE THEN
-      DELETE. ``'delete'`` turns MERGE into full sync: after the
-      commit the table's key set equals the source's key set.
+    - ``when_not_matched_by_source``: ``'keep'`` (default),
+      ``'delete'``, or ``'update'`` — Delta/SQL:2003's WHEN NOT
+      MATCHED BY SOURCE THEN DELETE / UPDATE SET. ``'delete'`` turns
+      MERGE into full sync: after the commit the table's key set
+      equals the source's key set. ``'update'`` (r11) applies
+      ``by_source_sets`` column assignments to every unmatched target
+      row (the Delta "mark stale rows" cell).
     - ``by_source_condition`` (r11): optional extra predicate over the
-      TABLE row gating the by-source delete (``WHEN NOT MATCHED BY
-      SOURCE AND cond THEN DELETE``) — unmatched target rows failing
-      it (or evaluating NULL) survive. Must be deterministic. With a
-      condition set, out-of-key-range files are no longer droppable as
-      pure metadata: files containing condition matches rewrite (the
-      delete reduces to the bare condition there — every row is
-      unmatched), files with none still carry forward by reference.
+      TABLE row gating the by-source action (``WHEN NOT MATCHED BY
+      SOURCE AND cond THEN DELETE | UPDATE SET ...``) — unmatched
+      target rows failing it (or evaluating NULL) survive untouched.
+      Must be deterministic. With a condition set, out-of-key-range
+      files are no longer pure metadata: files containing condition
+      matches rewrite (the action reduces to the bare condition there
+      — every row is unmatched), files with none still carry forward
+      by reference.
+    - ``by_source_sets`` (r11, requires
+      ``when_not_matched_by_source='update'``): ``[(column, expr)]``
+      assignments over TARGET columns only, evaluated simultaneously
+      against the ORIGINAL row and cast to the column type (the
+      store-assignment discipline of the column-level matched door);
+      unassigned generated columns recompute from the assigned row.
+      Key columns refuse (a rewritten key could collide with a row
+      inserted in the same commit). Without a ``by_source_condition``
+      EVERY out-of-range file rewrites — at 100 TB that is a full
+      table rewrite, same as Delta; condition the clause to keep the
+      cost O(files containing matches).
     - ``source_delete_condition``: optional predicate over SOURCE
       columns turning a source row into a DELETE directive: matched
       target rows for those keys are dropped (instead of replaced) and
@@ -546,9 +562,9 @@ def merge_into(
         raise ValueError(
             f"when_not_matched must be insert|ignore, got {when_not_matched!r}"
         )
-    if when_not_matched_by_source not in ("keep", "delete"):
+    if when_not_matched_by_source not in ("keep", "delete", "update"):
         raise ValueError(
-            "when_not_matched_by_source must be keep|delete, "
+            "when_not_matched_by_source must be keep|delete|update, "
             f"got {when_not_matched_by_source!r}"
         )
     nm_cond = (
@@ -561,16 +577,111 @@ def merge_into(
             "not_matched_condition requires when_not_matched='insert'"
         )
     sync = when_not_matched_by_source == "delete"
+    bs_update = when_not_matched_by_source == "update"
     bs_cond = (
         F.expr(by_source_condition)
         if isinstance(by_source_condition, str)
         else by_source_condition
     )
-    if bs_cond is not None and not sync:
+    if bs_cond is not None and not (sync or bs_update):
         raise ValueError(
             "by_source_condition requires "
-            "when_not_matched_by_source='delete'"
+            "when_not_matched_by_source='delete'/'update'"
         )
+    if bs_update and not by_source_sets:
+        raise ValueError(
+            "when_not_matched_by_source='update' requires "
+            "by_source_sets assignments"
+        )
+    if by_source_sets and not bs_update:
+        raise ValueError(
+            "by_source_sets requires when_not_matched_by_source='update'"
+        )
+    bs_sets: dict[str, Column] = {}
+    bs_gen: dict[str, str] = {}
+    if bs_update and with_schema_evolution:
+        # the assignments resolve and cast against the PRE-evolution
+        # schema while the rewrite reads the evolved one - a widened
+        # SET target would silently narrow. Loud refusal; evolve
+        # first, then merge.
+        raise ValueError(
+            "when_not_matched_by_source='update' does not compose "
+            "with with_schema_evolution; run the evolution first"
+        )
+    if bs_update:
+        field_by_lower = {f.name.lower(): f for f in table.schema.fields}
+        lower_keys0 = {k.lower() for k in keys}
+        for col, expr in by_source_sets:
+            lc = col.lower()
+            if lc in lower_keys0:
+                raise ValueError(
+                    f"by-source UPDATE cannot SET the key column {col!r} "
+                    "(a rewritten key could collide with a row inserted "
+                    "in the same commit)"
+                )
+            f0 = field_by_lower.get(lc)
+            if f0 is None:
+                raise ValueError(
+                    f"by-source SET target {col!r} is not a table column"
+                )
+            if lc in bs_sets:
+                raise ValueError(f"duplicate by-source SET target {col!r}")
+            e = F.expr(expr) if isinstance(expr, str) else expr
+            bs_sets[lc] = e.cast(f0.dataType)
+        if "__bs_u" in field_by_lower or any(
+            c.lower() == "__bs_u" for c in updates.columns
+        ):
+            raise ValueError(
+                "by-source UPDATE reserves the column name '__bs_u'"
+            )
+        bs_gen = table.generated_columns()
+        # the assignments are evaluated in independent subtrees (the
+        # constraint probe vs the rewritten files) - refuse
+        # non-determinism, same discipline as the conditions
+        chk = table.scan().select(
+            *[e.alias(f"__p{i}") for i, e in enumerate(bs_sets.values())]
+        )
+        if not chk._jdf.queryExecution().analyzed().deterministic():
+            raise ValueError(
+                "merge_into requires deterministic by_source_sets "
+                "expressions (they are evaluated once for the "
+                "constraint probe and once for the rewrite)"
+            )
+
+    def _apply_by_source_sets(df: DataFrame) -> DataFrame:
+        """Apply the by-source assignments to the rows flagged by the
+        boolean ``__bs_u`` column: one select, every expression against
+        the ORIGINAL row (simultaneous assignment), then unassigned
+        generated columns recompute so they see assigned values. The
+        flag column is retained for the caller's constraint probe."""
+        out = df.select(
+            *[
+                (
+                    F.when(F.col("__bs_u"), bs_sets[c.lower()])
+                    .otherwise(F.col(c))
+                    .alias(c)
+                    if c.lower() in bs_sets
+                    else F.col(c)
+                )
+                for c in df.columns
+            ]
+        )
+        for gname, gexpr in bs_gen.items():
+            if gname.lower() in bs_sets:
+                continue  # explicitly assigned: the assignment wins
+            gtype = next(
+                f.dataType
+                for f in table.schema.fields
+                if f.name.lower() == gname.lower()
+            )
+            out = out.withColumn(
+                gname,
+                F.when(
+                    F.col("__bs_u"), F.expr(gexpr).cast(gtype)
+                ).otherwise(F.col(gname)),
+            )
+        return out
+
     cond = (
         F.expr(matched_condition)
         if isinstance(matched_condition, str)
@@ -694,7 +805,24 @@ def merge_into(
         keep_pred = matched & ~replaced
     else:
         keep_pred = ~replaced
-    kept = marked.filter(keep_pred).drop("__m")
+    kept = marked.filter(keep_pred)
+    bs_probe_parts: list[DataFrame] = []
+    if bs_update:
+        # surviving unmatched rows in the touched (key-range) files
+        # take the by-source assignments; matched survivors keep the
+        # table version (they matched - the by-source clause is theirs
+        # to miss)
+        upd_flag = (~matched) & (
+            F.coalesce(bs_cond, F.lit(False))
+            if bs_cond is not None
+            else F.lit(True)
+        )
+        kept = _apply_by_source_sets(kept.withColumn("__bs_u", upd_flag))
+        bs_probe_parts.append(
+            kept.filter(F.col("__bs_u")).drop("__bs_u", "__m")
+        )
+        kept = kept.drop("__bs_u")
+    kept = kept.drop("__m")
 
     # Which source rows enter the table. Delete directives (rows
     # matching source_delete_condition) consumed their matched target
@@ -733,9 +861,9 @@ def merge_into(
         incoming = incoming.unionByName(p)
 
     bs_hit: set = set()
-    if sync and bs_cond is not None and untouched:
+    if (sync or bs_update) and bs_cond is not None and untouched:
         # out-of-range files hold ONLY not-matched-by-source rows, so
-        # the conditioned delete reduces to the bare condition there.
+        # the conditioned action reduces to the bare condition there.
         # Prune to the files that actually contain matches - only those
         # rewrite; clean files carry forward by reference (the same
         # O(affected files) discipline as copy-on-write DELETE).
@@ -771,6 +899,31 @@ def merge_into(
             file_filter=lambda e: e in untouched and e["path"] in bs_hit,
         ).filter(~F.coalesce(bs_cond, F.lit(False)))
         merged = merged.unionByName(bs_kept)
+    elif bs_update and untouched and (bs_cond is None or bs_hit):
+        # by-source UPDATE over the out-of-range files: every row is
+        # unmatched, so the assignments apply to condition matches
+        # (all rows when unconditioned - the documented full-rewrite
+        # cost). Conditioned, only the hit files rewrite.
+        bs_df = table.scan(
+            snapshot=snap,
+            file_filter=lambda e: e in untouched
+            and (bs_cond is None or e["path"] in bs_hit),
+        ).withColumn(
+            "__bs_u",
+            F.coalesce(bs_cond, F.lit(False))
+            if bs_cond is not None
+            else F.lit(True),
+        )
+        bs_df = _apply_by_source_sets(bs_df)
+        bs_probe_parts.append(bs_df.filter(F.col("__bs_u")).drop("__bs_u"))
+        merged = merged.unionByName(bs_df.drop("__bs_u"))
+    if bs_probe_parts:
+        # assignments can violate a CHECK even when the original rows
+        # passed it on write - gate exactly the rewritten values
+        probe = bs_probe_parts[0]
+        for p in bs_probe_parts[1:]:
+            probe = probe.unionByName(p)
+        table._validate_constraints(probe, snap, op="merge")
     if incoming is not None:
         # only source-derived rows are new values; kept rows passed the
         # gate when they were written (CHECK holds for every write verb)
@@ -795,6 +948,16 @@ def merge_into(
     elif sync:
         removed |= {e["path"] for e in untouched}
         carried, dropped, rewritten = 0, len(untouched), len(touched)
+    elif bs_update and bs_cond is not None:
+        # conditioned by-source update: only hit out-of-range files
+        # were rewritten; clean ones carry forward by reference
+        removed |= bs_hit
+        carried = len(untouched) - len(bs_hit)
+        dropped = 0
+        rewritten = len(touched) + len(bs_hit)
+    elif bs_update:
+        removed |= {e["path"] for e in untouched}
+        carried, dropped, rewritten = 0, 0, len(touched) + len(untouched)
     else:
         carried, dropped, rewritten = len(untouched), 0, len(touched)
     return table.commit_delta(
@@ -807,6 +970,7 @@ def merge_into(
             "dropped_files": dropped,
             "mode": when_matched,
             "sync": sync,
+            **({"by_source_update": True} if bs_update else {}),
             **(extra_summary or {}),
         },
         base_version=snap.version,

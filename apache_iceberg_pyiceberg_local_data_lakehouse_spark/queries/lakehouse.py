@@ -4604,3 +4604,98 @@ def q8o_merge_by_source_conditioned(
         return spark.createDataFrame(rows, res.schema)
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+@register(
+    "q8p_merge_by_source_update",
+    # new in r11, registered behind the judged window (r12 rotation
+    # fodder); certifies WHEN NOT MATCHED BY SOURCE AND <cond over
+    # target> THEN UPDATE SET (dml.merge_into by_source_sets): the
+    # Delta "mark stale rows" cell - unmatched target rows passing the
+    # condition take simultaneous column assignments against the
+    # ORIGINAL row, matched rows row-replace in the same commit, and
+    # conditioned out-of-range files with no matches carry by
+    # reference (dropped_files == 0).
+    defer=True,
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus AS status,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ), src AS (
+      SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0
+    ), fin AS (
+      SELECT b.o_orderkey,
+             CASE WHEN s.o_orderkey IS NOT NULL THEN 'T'
+                  WHEN b.status = 'O' THEN 'STALE'   -- marked, not dropped
+                  ELSE b.status END AS status,
+             CASE WHEN s.o_orderkey IS NOT NULL THEN CAST(0 AS BIGINT)
+                  WHEN b.status = 'O' THEN b.cents + 7
+                  ELSE b.cents END AS cents
+      FROM base b LEFT JOIN src s ON b.o_orderkey = s.o_orderkey
+    )
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           TRUE AS by_source_update
+    FROM fin GROUP BY status ORDER BY status
+    """,
+)
+def q8p_merge_by_source_update(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """By-source UPDATE judged end-to-end on orders: the source names
+    every third order; matched rows row-replace (status 'T', cents 0),
+    and of the UNMATCHED target rows the open ones ('O') are MARKED
+    stale in place - status rewritten and cents bumped, simultaneously
+    against the original row - instead of deleted. No row leaves the
+    table (COUNT is conserved); the flag pins that the by-source
+    update arm ran (summary.by_source_update) without wholesale file
+    drops (dropped_files == 0 - the O(affected files) discipline at
+    100 TB)."""
+    from ..catalog import LakehouseCatalog
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_q8p_")
+    try:
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("tmp")
+        o = load(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.col("o_orderstatus").alias("status"),
+            F.expr(
+                "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
+            ).alias("cents"),
+        )
+        t = cat.create_table("tmp.bsp_orders", o.schema)
+        t.append(o)
+        o.filter(F.col("o_orderkey") % 3 == 0).select(
+            "o_orderkey",
+            F.lit("T").alias("status"),
+            F.lit(0).cast("long").alias("cents"),
+        ).createOrReplaceTempView("tmp_bsp_src")
+        cat.sql(
+            "MERGE INTO tmp.bsp_orders USING tmp_bsp_src s "
+            "ON tmp.bsp_orders.o_orderkey = s.o_orderkey "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED BY SOURCE AND tmp.bsp_orders.status = 'O' "
+            "THEN UPDATE SET status = 'STALE', cents = cents + 7"
+        )
+        summary = cat.load_table("tmp.bsp_orders").snapshot().summary
+        flag = (
+            summary.get("by_source_update") is True
+            and summary.get("dropped_files") == 0
+        )
+        res = (
+            cat.load_table("tmp.bsp_orders")
+            .to_df()
+            .groupBy("status")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                F.sum("cents").cast("long").alias("sum_cents"),
+            )
+            .withColumn("by_source_update", F.lit(flag))
+            .orderBy("status")
+        )
+        rows = res.collect()  # materialize before the warehouse vanishes
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)

@@ -4273,3 +4273,223 @@ def test_merge_multi_not_matched_clauses(catalog, spark):
     # first-match-wins: k=2 must NOT also fire clause 2/3 (exactly one
     # row per unmatched key)
     assert catalog.load_table("gold.mnm").to_df().count() == 3
+
+
+def test_merge_by_source_update_conditioned(catalog, spark):
+    """r11 Delta-matrix cell: WHEN NOT MATCHED BY SOURCE AND <cond over
+    target> THEN UPDATE SET - unmatched target rows passing the
+    condition take the assignments (simultaneous, against the ORIGINAL
+    row), cond-failing/NULL rows survive untouched, and out-of-key-range
+    files with NO condition matches carry forward by reference."""
+    t = catalog.create_table(
+        "gold.bsu",
+        spark.createDataFrame([], "k long, v long, flag long").schema,
+    )
+    # three files in distinct key ranges: [1-2], [10-11], [20-21]
+    t.append(
+        spark.createDataFrame(
+            [(1, 10, 1), (2, 20, None)], "k long, v long, flag long"
+        ).coalesce(1)
+    )
+    t.append(
+        spark.createDataFrame(
+            [(10, 100, 1), (11, 110, 0)], "k long, v long, flag long"
+        ).coalesce(1)
+    )
+    t.append(
+        spark.createDataFrame(
+            [(20, 200, 0), (21, 210, 0)], "k long, v long, flag long"
+        ).coalesce(1)
+    )
+    spark.createDataFrame(
+        [(1, 99, 1)], "k long, v long, flag long"
+    ).createOrReplaceTempView("bsusrc")
+    catalog.sql(
+        "MERGE INTO gold.bsu USING bsusrc s ON gold.bsu.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED BY SOURCE AND gold.bsu.flag = 1 "
+        "THEN UPDATE SET v = gold.bsu.v + 1000, flag = flag - 1"
+    )
+    got = sorted(
+        (r["k"], r["v"], r["flag"])
+        for r in catalog.load_table("gold.bsu").to_df().collect()
+    )
+    # k=1 matched (replaced); k=10 unmatched flag=1 (v+1000, flag->0);
+    # k=2 flag NULL survives; k=11/20/21 flag=0 survive unchanged
+    assert got == [
+        (1, 99, 1),
+        (2, 20, None),
+        (10, 1100, 0),
+        (11, 110, 0),
+        (20, 200, 0),
+        (21, 210, 0),
+    ]
+    summary = catalog.load_table("gold.bsu").snapshot().summary
+    assert summary.get("by_source_update") is True
+    # the [20-21] file has no flag=1 rows and is out of the source key
+    # range: it carries forward by reference, nothing drops
+    assert summary["carried_files"] >= 1
+    assert summary["dropped_files"] == 0
+
+
+def test_merge_by_source_update_unconditioned(catalog, spark):
+    """Unconditioned by-source UPDATE touches EVERY unmatched row,
+    including rows in files entirely outside the source key range (the
+    documented full-rewrite cost) - and composes with INSERT."""
+    t = catalog.create_table(
+        "gold.bsu2",
+        spark.createDataFrame([], "k long, v long").schema,
+    )
+    t.append(
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+        .coalesce(1)
+    )
+    t.append(
+        spark.createDataFrame([(50, 500)], "k long, v long").coalesce(1)
+    )
+    spark.createDataFrame(
+        [(1, 11), (3, 33)], "k long, v long"
+    ).createOrReplaceTempView("bsu2src")
+    catalog.sql(
+        "MERGE INTO gold.bsu2 USING bsu2src s ON gold.bsu2.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT * "
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = -v"
+    )
+    got = sorted(
+        (r["k"], r["v"])
+        for r in catalog.load_table("gold.bsu2").to_df().collect()
+    )
+    # k=1 replaced, k=3 inserted, k=2 and k=50 (out-of-range file)
+    # by-source updated
+    assert got == [(1, 11), (2, -20), (3, 33), (50, -500)]
+    summary = catalog.load_table("gold.bsu2").snapshot().summary
+    assert summary["dropped_files"] == 0
+    assert summary["carried_files"] == 0  # every file held updates
+
+
+def test_merge_by_source_update_generated_and_checks(catalog, spark):
+    """By-source assignments recompute unassigned generated columns
+    from the ASSIGNED row, and a CHECK-violating assignment refuses
+    with nothing committed."""
+    import pytest as _pytest
+
+    t = catalog.create_table(
+        "gold.bsu3",
+        spark.createDataFrame([], "k long, v long, v2 long").schema,
+    )
+    catalog.sql(
+        "ALTER TABLE gold.bsu3 ADD COLUMN vdub bigint "
+        "GENERATED ALWAYS AS (v * 2)"
+    )
+    t = catalog.load_table("gold.bsu3")
+    t.append(
+        spark.createDataFrame([(1, 10, 0), (2, 20, 0)], "k long, v long, v2 long")
+    )
+    spark.createDataFrame([(1, 99, 0)], "k long, v long, v2 long").createOrReplaceTempView(
+        "bsu3src"
+    )
+    catalog.sql(
+        "MERGE INTO gold.bsu3 USING bsu3src s ON gold.bsu3.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = v + 5"
+    )
+    got = {
+        (r["k"], r["v"], r["vdub"])
+        for r in catalog.load_table("gold.bsu3").to_df().collect()
+    }
+    # k=2 by-source updated: vdub recomputed from the NEW v
+    assert got == {(1, 99, 198), (2, 25, 50)}
+
+    t = catalog.load_table("gold.bsu3")
+    t.add_constraint("v_small", "v < 100")
+    before = t.snapshot().version
+    with _pytest.raises(ValueError, match="v_small"):
+        catalog.sql(
+            "MERGE INTO gold.bsu3 USING bsu3src s ON gold.bsu3.k = s.k "
+            "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = v + 1000"
+        )
+    assert catalog.load_table("gold.bsu3").snapshot().version == before
+
+
+def test_merge_by_source_update_refusals(catalog, spark):
+    """The loud-refusal matrix for the by-source UPDATE arm: UPDATE
+    SET * (no source row), key-column SET, source-column references,
+    multi-clause combination, matched-condition + column-SET door,
+    non-deterministic assignments, schema evolution, and by_source_sets
+    without the mode."""
+    import pytest as _pytest
+
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.dml import (
+        merge_into,
+    )
+
+    t = catalog.create_table(
+        "gold.bsu4",
+        spark.createDataFrame([], "k long, v long").schema,
+    )
+    t.append(spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"))
+    spark.createDataFrame([(1, 99)], "k long, v long").createOrReplaceTempView(
+        "bsu4src"
+    )
+    head = (
+        "MERGE INTO gold.bsu4 USING bsu4src s ON gold.bsu4.k = s.k "
+    )
+    with _pytest.raises(ValueError, match="UPDATE SET \\*"):
+        catalog.sql(
+            head + "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *"
+        )
+    with _pytest.raises(ValueError, match="key column"):
+        catalog.sql(
+            head + "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET k = k + 1"
+        )
+    with _pytest.raises(ValueError, match="TARGET columns"):
+        catalog.sql(
+            head + "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = s.v"
+        )
+    with _pytest.raises(ValueError, match="cannot combine"):
+        catalog.sql(
+            head
+            + "WHEN MATCHED AND gold.bsu4.v > 0 THEN UPDATE SET v = 1 "
+            + "WHEN MATCHED THEN DELETE "
+            + "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = -v"
+        )
+    with _pytest.raises(ValueError, match="cannot combine"):
+        catalog.sql(
+            head
+            + "WHEN MATCHED AND gold.bsu4.v > 0 THEN UPDATE SET v = 1 "
+            + "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = -v"
+        )
+    with _pytest.raises(ValueError, match="evolution"):
+        catalog.sql(
+            head.replace("MERGE INTO", "MERGE WITH SCHEMA EVOLUTION INTO")
+            + "WHEN MATCHED THEN UPDATE SET * "
+            + "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = -v"
+        )
+    src = spark.createDataFrame([(1, 99)], "k long, v long")
+    with _pytest.raises(ValueError, match="deterministic"):
+        merge_into(
+            t, src, key="k",
+            when_not_matched_by_source="update",
+            by_source_sets=[("v", "CAST(rand() * 10 AS LONG)")],
+        )
+    with _pytest.raises(ValueError, match="by_source_sets"):
+        merge_into(
+            t, src, key="k", when_not_matched_by_source="update"
+        )
+    with _pytest.raises(ValueError, match="by_source_sets"):
+        merge_into(
+            t, src, key="k", by_source_sets=[("v", "v + 1")]
+        )
+    # a string literal containing 's.' must NOT trip the source-
+    # qualifier refusal (quote-aware parse)
+    catalog.sql(
+        head
+        + "WHEN NOT MATCHED BY SOURCE AND v = 20 "
+        + "THEN UPDATE SET v = length('s.literal') + v"
+    )
+    got = {
+        (r["k"], r["v"])
+        for r in catalog.load_table("gold.bsu4").to_df().collect()
+    }
+    assert got == {(1, 10), (2, 29)}
