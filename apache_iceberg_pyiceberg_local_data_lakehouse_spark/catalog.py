@@ -1917,7 +1917,9 @@ class LakehouseCatalog:
           keys are dropped);
         - ``WHEN NOT MATCHED BY SOURCE [AND <cond over target cols>]
           THEN DELETE | UPDATE SET col = <expr over target cols>, ...``
-          (full sync / mark-stale-rows; r11 adds the UPDATE arm).
+          (full sync / mark-stale-rows; r11 adds the UPDATE arm and
+          MULTIPLE by-source clauses, first-match-wins per unmatched
+          target row - only the last may omit the condition).
 
         ON must be a conjunction of equality predicates naming the
         SAME column on both sides (``t.k = s.k [AND t.k2 = s.k2]``) -
@@ -1961,29 +1963,15 @@ class LakehouseCatalog:
         matched_condition = None
         when_not_matched = "ignore"
         not_matched_condition = None
-        by_source = "keep"
-        by_source_condition: str | None = None
-        by_source_sets: list[tuple[str, str]] | None = None
+        bs_clause_list: list[tuple[str | None, str, list | None]] = []
         column_sets: list[tuple[str, str]] | None = None
         matched_clauses: list[tuple[str | None, str, list | None]] = []
         not_matched_clauses: list[tuple[str | None, list | None]] = []
         clauses = m.group("clauses")
         seen_spans = []
-        seen_kinds: set[str] = set()
         for cm in _DML_MERGE_CLAUSE.finditer(clauses):
             seen_spans.append(cm.span())
             kind = re.sub(r"\s+", " ", cm.group("kind").upper())
-            if kind == "NOT MATCHED BY SOURCE" and kind in seen_kinds:
-                # last-wins would silently mix actions and conditions
-                # across duplicate clauses - reject instead. Multiple
-                # WHEN MATCHED (r10) and WHEN NOT MATCHED (r11)
-                # clauses are the Delta matrix (first-match-wins per
-                # row) and are collected.
-                raise ValueError(
-                    f"duplicate WHEN {kind} clause; the engine supports "
-                    "one clause per kind"
-                )
-            seen_kinds.add(kind)
             action = re.sub(r"\s+", " ", cm.group("action").upper())
             cond = cm.group("cond")
             if kind == "MATCHED":
@@ -2050,39 +2038,45 @@ class LakehouseCatalog:
                     )
                 )
             else:  # NOT MATCHED BY SOURCE
+                # conditions and UPDATE expressions range over TARGET
+                # columns only (there is no source row on this side);
+                # several clauses compose first-match-wins (r11)
+                bcond = (
+                    self._strip_alias(cond, m.group("talias"), target)
+                    if cond is not None
+                    else None
+                )
                 if action == "DELETE":
-                    by_source = "delete"
+                    bs_clause_list.append((bcond, "delete", None))
                 elif cm.group("sets") is not None:
-                    # by-source UPDATE SET (r11): mark unmatched
-                    # target rows - expressions over TARGET columns
-                    # only (there is no source row on this side)
-                    by_source = "update"
-                    by_source_sets = self._parse_by_source_sets(
-                        cm.group("sets"),
+                    bs_clause_list.append(
                         (
-                            m.group("talias"),
-                            target,
-                            target.rsplit(".", 1)[-1],
-                        ),
-                        (
-                            m.group("salias"),
-                            None if src_txt.startswith("(") else src_txt,
-                            None
-                            if src_txt.startswith("(")
-                            else src_txt.rsplit(".", 1)[-1],
-                        ),
+                            bcond,
+                            "update",
+                            self._parse_by_source_sets(
+                                cm.group("sets"),
+                                (
+                                    m.group("talias"),
+                                    target,
+                                    target.rsplit(".", 1)[-1],
+                                ),
+                                (
+                                    m.group("salias"),
+                                    None
+                                    if src_txt.startswith("(")
+                                    else src_txt,
+                                    None
+                                    if src_txt.startswith("(")
+                                    else src_txt.rsplit(".", 1)[-1],
+                                ),
+                            ),
+                        )
                     )
                 else:
                     raise ValueError(
                         "WHEN NOT MATCHED BY SOURCE supports DELETE "
                         "or UPDATE SET <assignments> (UPDATE SET * "
                         "has no source row to replace from)"
-                    )
-                if cond is not None:
-                    # condition over TARGET columns (r11): unmatched
-                    # target rows failing it survive untouched
-                    by_source_condition = self._strip_alias(
-                        cond, m.group("talias"), target
                     )
         leftover = _DML_MERGE_CLAUSE.sub("", clauses).strip()
         if leftover or not seen_spans:
@@ -2110,7 +2104,7 @@ class LakehouseCatalog:
                 keys,
                 matched_clauses,
                 not_matched_clauses,
-                by_source,
+                "delete" if bs_clause_list else "keep",
                 evolve=bool(m.group("evolve")),
             )
             return self.spark.createDataFrame(
@@ -2135,10 +2129,9 @@ class LakehouseCatalog:
                 matched_condition,
                 when_not_matched,
                 not_matched_condition,
-                by_source,
+                "keep",
                 evolve=bool(m.group("evolve")),
-                by_source_condition=by_source_condition,
-                by_source_sets=by_source_sets,
+                by_source_clauses=bs_clause_list or None,
             )
         else:
             snap = merge_into(
@@ -2149,9 +2142,7 @@ class LakehouseCatalog:
                 matched_condition=matched_condition,
                 when_not_matched=when_not_matched,
                 not_matched_condition=not_matched_condition,
-                when_not_matched_by_source=by_source,
-                by_source_condition=by_source_condition,
-                by_source_sets=by_source_sets,
+                by_source_clauses=bs_clause_list or None,
                 with_schema_evolution=bool(m.group("evolve")),
             )
         return self.spark.createDataFrame(
@@ -3014,6 +3005,7 @@ class LakehouseCatalog:
         evolve: bool,
         by_source_condition: str | None = None,
         by_source_sets: list[tuple[str, str]] | None = None,
+        by_source_clauses: list[tuple] | None = None,
     ):
         """Execute MERGE with column-level ``UPDATE SET``: compute the
         full post-update rows (target joined to source on the keys,
@@ -3042,7 +3034,8 @@ class LakehouseCatalog:
         for col, _ in sets:
             if col.lower() in lower_keys:
                 raise ValueError(f"MERGE cannot SET the key column {col!r}")
-        if by_source != "keep" and matched_condition is not None:
+        bs_present = by_source != "keep" or bool(by_source_clauses)
+        if bs_present and matched_condition is not None:
             # a cond-failing matched row's key would be absent from the
             # computed updates and the by-source action would wrongly
             # fire on it (sync drops it / update mutates it)
@@ -3050,7 +3043,10 @@ class LakehouseCatalog:
                 "column-level SET cannot combine WHEN MATCHED AND <cond> "
                 "with WHEN NOT MATCHED BY SOURCE clauses"
             )
-        if by_source == "update" and evolve:
+        if evolve and (
+            by_source == "update"
+            or any(a == "update" for _c, a, _s in by_source_clauses or [])
+        ):
             raise ValueError(
                 "WHEN NOT MATCHED BY SOURCE ... UPDATE SET does not "
                 "compose with WITH SCHEMA EVOLUTION; evolve first"
@@ -3144,6 +3140,7 @@ class LakehouseCatalog:
             when_not_matched_by_source=by_source,
             by_source_condition=by_source_condition,
             by_source_sets=by_source_sets,
+            by_source_clauses=by_source_clauses,
         )
 
     @staticmethod

@@ -463,6 +463,7 @@ def merge_into(
     when_not_matched_by_source: str = "keep",
     by_source_condition: str | Column | None = None,
     by_source_sets: list[tuple[str, str | Column]] | None = None,
+    by_source_clauses: list[tuple] | None = None,
     source_delete_condition: str | Column | None = None,
     extra_summary: dict | None = None,
     with_schema_evolution: bool = False,
@@ -524,6 +525,14 @@ def merge_into(
       EVERY out-of-range file rewrites — at 100 TB that is a full
       table rewrite, same as Delta; condition the clause to keep the
       cost O(files containing matches).
+    - ``by_source_clauses`` (r11, mutually exclusive with the three
+      scalars above): the MULTI-CLAUSE by-source matrix —
+      ``[(condition | None, 'delete' | 'update', sets | None)]``
+      evaluated FIRST-MATCH-WINS per unmatched target row (Delta's
+      rule: every clause but the last must carry a condition). A row
+      firing no clause survives untouched. File pruning uses the OR
+      of all conditions; one unconditioned clause makes every
+      out-of-range file rewrite.
     - ``source_delete_condition``: optional predicate over SOURCE
       columns turning a source row into a DELETE directive: matched
       target rows for those keys are dropped (instead of replaced) and
@@ -576,99 +585,212 @@ def merge_into(
         raise ValueError(
             "not_matched_condition requires when_not_matched='insert'"
         )
-    sync = when_not_matched_by_source == "delete"
-    bs_update = when_not_matched_by_source == "update"
+    # --- by-source side: normalize the scalar trio OR the clause list
+    # into bs_clauses = [(cond Column|None, action, sets dict|None)],
+    # evaluated FIRST-MATCH-WINS per unmatched target row (r11).
     bs_cond = (
         F.expr(by_source_condition)
         if isinstance(by_source_condition, str)
         else by_source_condition
     )
-    if bs_cond is not None and not (sync or bs_update):
-        raise ValueError(
-            "by_source_condition requires "
-            "when_not_matched_by_source='delete'/'update'"
-        )
-    if bs_update and not by_source_sets:
-        raise ValueError(
-            "when_not_matched_by_source='update' requires "
-            "by_source_sets assignments"
-        )
-    if by_source_sets and not bs_update:
-        raise ValueError(
-            "by_source_sets requires when_not_matched_by_source='update'"
-        )
-    bs_sets: dict[str, Column] = {}
-    bs_gen: dict[str, str] = {}
-    if bs_update and with_schema_evolution:
-        # the assignments resolve and cast against the PRE-evolution
-        # schema while the rewrite reads the evolved one - a widened
-        # SET target would silently narrow. Loud refusal; evolve
-        # first, then merge.
-        raise ValueError(
-            "when_not_matched_by_source='update' does not compose "
-            "with with_schema_evolution; run the evolution first"
-        )
-    if bs_update:
-        field_by_lower = {f.name.lower(): f for f in table.schema.fields}
-        lower_keys0 = {k.lower() for k in keys}
-        for col, expr in by_source_sets:
-            lc = col.lower()
-            if lc in lower_keys0:
-                raise ValueError(
-                    f"by-source UPDATE cannot SET the key column {col!r} "
-                    "(a rewritten key could collide with a row inserted "
-                    "in the same commit)"
-                )
-            f0 = field_by_lower.get(lc)
-            if f0 is None:
-                raise ValueError(
-                    f"by-source SET target {col!r} is not a table column"
-                )
-            if lc in bs_sets:
-                raise ValueError(f"duplicate by-source SET target {col!r}")
-            e = F.expr(expr) if isinstance(expr, str) else expr
-            bs_sets[lc] = e.cast(f0.dataType)
-        if "__bs_u" in field_by_lower or any(
-            c.lower() == "__bs_u" for c in updates.columns
+    if by_source_clauses is not None:
+        if (
+            when_not_matched_by_source != "keep"
+            or bs_cond is not None
+            or by_source_sets
         ):
             raise ValueError(
-                "by-source UPDATE reserves the column name '__bs_u'"
+                "by_source_clauses is mutually exclusive with the "
+                "when_not_matched_by_source / by_source_condition / "
+                "by_source_sets scalars"
+            )
+        raw_clauses = list(by_source_clauses)
+    elif when_not_matched_by_source == "keep":
+        if bs_cond is not None:
+            raise ValueError(
+                "by_source_condition requires "
+                "when_not_matched_by_source='delete'/'update'"
+            )
+        if by_source_sets:
+            raise ValueError(
+                "by_source_sets requires "
+                "when_not_matched_by_source='update'"
+            )
+        raw_clauses = []
+    elif when_not_matched_by_source == "delete":
+        if by_source_sets:
+            raise ValueError(
+                "by_source_sets requires "
+                "when_not_matched_by_source='update'"
+            )
+        raw_clauses = [(bs_cond, "delete", None)]
+    else:  # update
+        if not by_source_sets:
+            raise ValueError(
+                "when_not_matched_by_source='update' requires "
+                "by_source_sets assignments"
+            )
+        raw_clauses = [(bs_cond, "update", by_source_sets)]
+
+    bs_clauses: list[tuple[Column | None, str, dict[str, Column]]] = []
+    bs_gen: dict[str, str] = {}
+    if raw_clauses:
+        field_by_lower = {f.name.lower(): f for f in table.schema.fields}
+        lower_keys0 = {k.lower() for k in keys}
+        for ci, (c0, action, sets0) in enumerate(raw_clauses):
+            if action not in ("delete", "update"):
+                raise ValueError(
+                    "by-source clause action must be delete|update, "
+                    f"got {action!r}"
+                )
+            cc = F.expr(c0) if isinstance(c0, str) else c0
+            if cc is None and ci != len(raw_clauses) - 1:
+                raise ValueError(
+                    "only the LAST of multiple WHEN NOT MATCHED BY "
+                    "SOURCE clauses may omit AND <condition>"
+                )
+            setd: dict[str, Column] = {}
+            if action == "update":
+                if not sets0:
+                    raise ValueError(
+                        "a by-source UPDATE clause requires SET "
+                        "assignments"
+                    )
+                if with_schema_evolution:
+                    # the assignments resolve and cast against the
+                    # PRE-evolution schema while the rewrite reads the
+                    # evolved one - a widened SET target would
+                    # silently narrow. Loud refusal; evolve first.
+                    raise ValueError(
+                        "by-source UPDATE does not compose with "
+                        "with_schema_evolution; run the evolution first"
+                    )
+                for col, expr in sets0:
+                    lc = col.lower()
+                    if lc in lower_keys0:
+                        raise ValueError(
+                            "by-source UPDATE cannot SET the key "
+                            f"column {col!r} (a rewritten key could "
+                            "collide with a row inserted in the same "
+                            "commit)"
+                        )
+                    f0 = field_by_lower.get(lc)
+                    if f0 is None:
+                        raise ValueError(
+                            f"by-source SET target {col!r} is not a "
+                            "table column"
+                        )
+                    if lc in setd:
+                        raise ValueError(
+                            f"duplicate by-source SET target {col!r}"
+                        )
+                    e = F.expr(expr) if isinstance(expr, str) else expr
+                    setd[lc] = e.cast(f0.dataType)
+            elif sets0:
+                raise ValueError(
+                    "a by-source DELETE clause takes no SET assignments"
+                )
+            bs_clauses.append((cc, action, setd))
+        if "__bs_f" in field_by_lower or any(
+            c.lower() == "__bs_f" for c in updates.columns
+        ):
+            raise ValueError(
+                "by-source clauses reserve the column name '__bs_f'"
             )
         bs_gen = table.generated_columns()
-        # the assignments are evaluated in independent subtrees (the
-        # constraint probe vs the rewritten files) - refuse
-        # non-determinism, same discipline as the conditions
-        chk = table.scan().select(
-            *[e.alias(f"__p{i}") for i, e in enumerate(bs_sets.values())]
-        )
-        if not chk._jdf.queryExecution().analyzed().deterministic():
-            raise ValueError(
-                "merge_into requires deterministic by_source_sets "
-                "expressions (they are evaluated once for the "
-                "constraint probe and once for the rewrite)"
+        # conditions and assignments are evaluated in independent
+        # subtrees (file pruning / the constraint probe / the rewrite)
+        # - refuse non-determinism up front
+        probes = [
+            c for c, _a, _s in bs_clauses if c is not None
+        ] + [e for _c, _a, s in bs_clauses for e in s.values()]
+        if probes:
+            chk = table.scan().select(
+                *[e.alias(f"__p{i}") for i, e in enumerate(probes)]
             )
+            if not chk._jdf.queryExecution().analyzed().deterministic():
+                raise ValueError(
+                    "merge_into requires deterministic by-source "
+                    "conditions and SET expressions (they are "
+                    "evaluated once to prune/probe and once to "
+                    "rewrite)"
+                )
+    bs_any = bool(bs_clauses)
+    # summary/back-compat flags: sync == a delete arm exists; the
+    # single unconditioned-delete clause keeps its metadata-only
+    # drop of out-of-range files (full sync fast path)
+    sync = any(a == "delete" for _c, a, _s in bs_clauses)
+    bs_update = any(a == "update" for _c, a, _s in bs_clauses)
+    full_sync = (
+        len(bs_clauses) == 1
+        and bs_clauses[0][1] == "delete"
+        and bs_clauses[0][0] is None
+    )
+    bs_upd_idx = [
+        i for i, (_c, a, _s) in enumerate(bs_clauses) if a == "update"
+    ]
+    bs_del_idx = [
+        i for i, (_c, a, _s) in enumerate(bs_clauses) if a == "delete"
+    ]
 
-    def _apply_by_source_sets(df: DataFrame) -> DataFrame:
-        """Apply the by-source assignments to the rows flagged by the
-        boolean ``__bs_u`` column: one select, every expression against
-        the ORIGINAL row (simultaneous assignment), then unassigned
-        generated columns recompute so they see assigned values. The
-        flag column is retained for the caller's constraint probe."""
+    def _bs_fire_col() -> Column:
+        """FIRST-MATCH-WINS clause index for an unmatched TARGET row:
+        the index of the first clause whose condition holds (NULL =
+        does not hold; an unconditioned last clause always fires), or
+        -1 when none fires (the row survives untouched)."""
+        out: Column = F.lit(-1)
+        for i in range(len(bs_clauses) - 1, -1, -1):
+            ci = bs_clauses[i][0]
+            cc = (
+                F.lit(True)
+                if ci is None
+                else F.coalesce(ci, F.lit(False))
+            )
+            out = F.when(cc, F.lit(i)).otherwise(out)
+        return out
+
+    def _apply_bs_clauses(df: DataFrame) -> DataFrame:
+        """Apply the by-source clause actions to rows carrying their
+        first-fire index in ``__bs_f``: delete-fired rows drop, each
+        update-fired row takes ITS clause's assignments in one select
+        against the ORIGINAL row (simultaneous assignment), then
+        unassigned generated columns recompute so they see assigned
+        values. ``__bs_f`` is retained for the caller's constraint
+        probe."""
+        if bs_del_idx:
+            df = df.filter(
+                ~F.col("__bs_f").isin([int(i) for i in bs_del_idx])
+            )
+        assigned_cols = {
+            lc for i in bs_upd_idx for lc in bs_clauses[i][2]
+        }
+
+        def cell(c: str) -> Column:
+            e: Column = F.col(c)
+            for i in bs_upd_idx:
+                s = bs_clauses[i][2]
+                if c.lower() in s:
+                    e = F.when(
+                        F.col("__bs_f") == i, s[c.lower()]
+                    ).otherwise(e)
+            return e.alias(c)
+
         out = df.select(
             *[
-                (
-                    F.when(F.col("__bs_u"), bs_sets[c.lower()])
-                    .otherwise(F.col(c))
-                    .alias(c)
-                    if c.lower() in bs_sets
-                    else F.col(c)
-                )
+                cell(c) if c.lower() in assigned_cols else F.col(c)
                 for c in df.columns
             ]
         )
         for gname, gexpr in bs_gen.items():
-            if gname.lower() in bs_sets:
-                continue  # explicitly assigned: the assignment wins
+            # recompute per firing clause that did NOT explicitly
+            # assign this generated column (explicit wins)
+            idxs = [
+                i
+                for i in bs_upd_idx
+                if gname.lower() not in bs_clauses[i][2]
+            ]
+            if not idxs:
+                continue
             gtype = next(
                 f.dataType
                 for f in table.schema.fields
@@ -677,7 +799,8 @@ def merge_into(
             out = out.withColumn(
                 gname,
                 F.when(
-                    F.col("__bs_u"), F.expr(gexpr).cast(gtype)
+                    F.col("__bs_f").isin([int(i) for i in idxs]),
+                    F.expr(gexpr).cast(gtype),
                 ).otherwise(F.col(gname)),
             )
         return out
@@ -795,33 +918,32 @@ def merge_into(
         replaced = matched & F.coalesce(cond, F.lit(False))
     else:
         replaced = matched
-    if sync and bs_cond is not None:
-        # conditioned by-source delete: unmatched rows survive unless
-        # the condition holds (SQL deletes TRUE rows only - NULL keeps)
-        keep_pred = (matched & ~replaced) | (
-            ~matched & ~F.coalesce(bs_cond, F.lit(False))
-        )
-    elif sync:
+    if full_sync:
+        # unconditioned single-delete sync: unmatched rows drop here
+        # (and out-of-range files drop as pure metadata below)
         keep_pred = matched & ~replaced
     else:
         keep_pred = ~replaced
     kept = marked.filter(keep_pred)
     bs_probe_parts: list[DataFrame] = []
-    if bs_update:
-        # surviving unmatched rows in the touched (key-range) files
-        # take the by-source assignments; matched survivors keep the
-        # table version (they matched - the by-source clause is theirs
-        # to miss)
-        upd_flag = (~matched) & (
-            F.coalesce(bs_cond, F.lit(False))
-            if bs_cond is not None
-            else F.lit(True)
+    if bs_any and not full_sync:
+        # unmatched rows in the touched (key-range) files run the
+        # by-source clause matrix first-match-wins: delete-fired rows
+        # drop, update-fired rows take their clause's assignments;
+        # matched survivors keep the table version (they matched - the
+        # by-source clauses are theirs to miss)
+        kept = kept.withColumn(
+            "__bs_f",
+            F.when(~matched, _bs_fire_col()).otherwise(F.lit(-1)),
         )
-        kept = _apply_by_source_sets(kept.withColumn("__bs_u", upd_flag))
-        bs_probe_parts.append(
-            kept.filter(F.col("__bs_u")).drop("__bs_u", "__m")
-        )
-        kept = kept.drop("__bs_u")
+        kept = _apply_bs_clauses(kept)
+        if bs_upd_idx:
+            bs_probe_parts.append(
+                kept.filter(
+                    F.col("__bs_f").isin([int(i) for i in bs_upd_idx])
+                ).drop("__bs_f", "__m")
+            )
+        kept = kept.drop("__bs_f")
     kept = kept.drop("__m")
 
     # Which source rows enter the table. Delete directives (rows
@@ -861,62 +983,59 @@ def merge_into(
         incoming = incoming.unionByName(p)
 
     bs_hit: set = set()
-    if (sync or bs_update) and bs_cond is not None and untouched:
-        # out-of-range files hold ONLY not-matched-by-source rows, so
-        # the conditioned action reduces to the bare condition there.
-        # Prune to the files that actually contain matches - only those
-        # rewrite; clean files carry forward by reference (the same
-        # O(affected files) discipline as copy-on-write DELETE).
-        from urllib.parse import unquote, urlparse
+    bs_all_conditioned = bs_any and all(
+        c is not None for c, _a, _s in bs_clauses
+    )
+    if bs_any and not full_sync and untouched:
+        if bs_all_conditioned:
+            # out-of-range files hold ONLY not-matched-by-source rows,
+            # so the clause matrix reduces to its bare conditions
+            # there. Prune to the files containing a row matching ANY
+            # clause condition - only those rewrite; clean files carry
+            # forward by reference (the same O(affected files)
+            # discipline as copy-on-write DELETE).
+            from urllib.parse import unquote, urlparse
 
-        unt_df = table.scan(
-            snapshot=snap, file_filter=lambda e: e in untouched
-        )
-        probe = unt_df.filter(bs_cond)
-        if not probe._jdf.queryExecution().analyzed().deterministic():
-            raise ValueError(
-                "merge_into requires a deterministic "
-                "by_source_condition (it is evaluated once to prune "
-                "files and once to rewrite)"
+            or_cond: Column = F.lit(False)
+            for c0, _a, _s in bs_clauses:
+                or_cond = or_cond | F.coalesce(c0, F.lit(False))
+            unt_df = table.scan(
+                snapshot=snap, file_filter=lambda e: e in untouched
             )
-        hit_uris = [
-            r["file_path"]
-            for r in probe.select(
-                F.col("_metadata.file_path").alias("file_path")
-            )
-            .distinct()
-            .collect()
-        ]
-        bs_hit = {
-            os.path.relpath(unquote(urlparse(u).path), table.location)
-            for u in hit_uris
-        }
+            hit_uris = [
+                r["file_path"]
+                for r in unt_df.filter(or_cond)
+                .select(F.col("_metadata.file_path").alias("file_path"))
+                .distinct()
+                .collect()
+            ]
+            bs_hit = {
+                os.path.relpath(
+                    unquote(urlparse(u).path), table.location
+                )
+                for u in hit_uris
+            }
+        else:
+            # an unconditioned clause fires on every unmatched row:
+            # all out-of-range files rewrite (the documented
+            # full-rewrite cost of an unconditioned by-source UPDATE)
+            bs_hit = {e["path"] for e in untouched}
 
     merged = kept
-    if sync and bs_cond is not None and bs_hit:
-        bs_kept = table.scan(
-            snapshot=snap,
-            file_filter=lambda e: e in untouched and e["path"] in bs_hit,
-        ).filter(~F.coalesce(bs_cond, F.lit(False)))
-        merged = merged.unionByName(bs_kept)
-    elif bs_update and untouched and (bs_cond is None or bs_hit):
-        # by-source UPDATE over the out-of-range files: every row is
-        # unmatched, so the assignments apply to condition matches
-        # (all rows when unconditioned - the documented full-rewrite
-        # cost). Conditioned, only the hit files rewrite.
+    if bs_any and not full_sync and bs_hit:
         bs_df = table.scan(
             snapshot=snap,
             file_filter=lambda e: e in untouched
-            and (bs_cond is None or e["path"] in bs_hit),
-        ).withColumn(
-            "__bs_u",
-            F.coalesce(bs_cond, F.lit(False))
-            if bs_cond is not None
-            else F.lit(True),
-        )
-        bs_df = _apply_by_source_sets(bs_df)
-        bs_probe_parts.append(bs_df.filter(F.col("__bs_u")).drop("__bs_u"))
-        merged = merged.unionByName(bs_df.drop("__bs_u"))
+            and e["path"] in bs_hit,
+        ).withColumn("__bs_f", _bs_fire_col())
+        bs_df = _apply_bs_clauses(bs_df)
+        if bs_upd_idx:
+            bs_probe_parts.append(
+                bs_df.filter(
+                    F.col("__bs_f").isin([int(i) for i in bs_upd_idx])
+                ).drop("__bs_f")
+            )
+        merged = merged.unionByName(bs_df.drop("__bs_f"))
     if bs_probe_parts:
         # assignments can violate a CHECK even when the original rows
         # passed it on write - gate exactly the rewritten values
@@ -938,26 +1057,17 @@ def merge_into(
     # files' manifests, not the table's. Sync mode instead REMOVES the
     # out-of-range files: every row in them is not-matched-by-source.
     removed = {e["path"] for e in touched}
-    if sync and bs_cond is not None:
-        # conditioned sync: only condition-matching out-of-range files
-        # were rewritten; clean ones carry forward by reference
-        removed |= bs_hit
-        carried = len(untouched) - len(bs_hit)
-        dropped = 0
-        rewritten = len(touched) + len(bs_hit)
-    elif sync:
+    if full_sync:
         removed |= {e["path"] for e in untouched}
         carried, dropped, rewritten = 0, len(untouched), len(touched)
-    elif bs_update and bs_cond is not None:
-        # conditioned by-source update: only hit out-of-range files
-        # were rewritten; clean ones carry forward by reference
+    elif bs_any:
+        # clause-matrix by-source: only hit out-of-range files were
+        # rewritten (all of them when a clause is unconditioned);
+        # clean ones carry forward by reference
         removed |= bs_hit
         carried = len(untouched) - len(bs_hit)
         dropped = 0
         rewritten = len(touched) + len(bs_hit)
-    elif bs_update:
-        removed |= {e["path"] for e in untouched}
-        carried, dropped, rewritten = 0, 0, len(touched) + len(untouched)
     else:
         carried, dropped, rewritten = len(untouched), 0, len(touched)
     return table.commit_delta(

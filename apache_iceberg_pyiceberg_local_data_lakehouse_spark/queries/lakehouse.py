@@ -4699,3 +4699,104 @@ def q8p_merge_by_source_update(
         return spark.createDataFrame(rows, res.schema)
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+@register(
+    "q8q_merge_multi_by_source",
+    # new in r11, registered behind the judged window (r12 rotation
+    # fodder); certifies MULTIPLE WHEN NOT MATCHED BY SOURCE clauses
+    # evaluated FIRST-MATCH-WINS per unmatched target row
+    # (dml.merge_into by_source_clauses): a conditioned DELETE, a
+    # conditioned UPDATE SET, and an unconditional UPDATE fallback in
+    # ONE atomic commit - an expensive open order must DELETE (clause
+    # 1), not also take clause 2's mark.
+    defer=True,
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus AS status,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ), src AS (
+      SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0
+    ), fin AS (
+      SELECT b.o_orderkey,
+             CASE WHEN s.o_orderkey IS NOT NULL THEN 'T'
+                  WHEN b.cents > 20000000 THEN NULL        -- clause 1
+                  WHEN b.status = 'O' THEN 'STALE'          -- clause 2
+                  ELSE 'Z_' || b.status END AS status,      -- clause 3
+             CASE WHEN s.o_orderkey IS NOT NULL THEN CAST(0 AS BIGINT)
+                  WHEN b.cents > 20000000 THEN NULL
+                  WHEN b.status = 'O' THEN b.cents + 7
+                  ELSE b.cents END AS cents
+      FROM base b LEFT JOIN src s ON b.o_orderkey = s.o_orderkey
+    )
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           TRUE AS multi_by_source
+    FROM fin WHERE status IS NOT NULL
+    GROUP BY status ORDER BY status
+    """,
+)
+def q8q_merge_multi_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The by-source clause matrix judged end-to-end on orders: the
+    source names every third order (row-replaced to status 'T'); of
+    the UNMATCHED target rows, expensive orders (> $200k) DELETE
+    first, remaining open ones are MARKED stale (status + cents bump,
+    simultaneous against the original row), and everything else takes
+    the unconditional fallback prefix - first-match-wins, one commit.
+    The flag pins that both by-source arms ran (summary.sync AND
+    summary.by_source_update) with no wholesale file drops."""
+    from ..catalog import LakehouseCatalog
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_q8q_")
+    try:
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("tmp")
+        o = load(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.col("o_orderstatus").alias("status"),
+            F.expr(
+                "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
+            ).alias("cents"),
+        )
+        t = cat.create_table("tmp.bsq_orders", o.schema)
+        t.append(o)
+        o.filter(F.col("o_orderkey") % 3 == 0).select(
+            "o_orderkey",
+            F.lit("T").alias("status"),
+            F.lit(0).cast("long").alias("cents"),
+        ).createOrReplaceTempView("tmp_bsq_src")
+        cat.sql(
+            "MERGE INTO tmp.bsq_orders USING tmp_bsq_src s "
+            "ON tmp.bsq_orders.o_orderkey = s.o_orderkey "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED BY SOURCE AND tmp.bsq_orders.cents > "
+            "20000000 THEN DELETE "
+            "WHEN NOT MATCHED BY SOURCE AND tmp.bsq_orders.status = 'O' "
+            "THEN UPDATE SET status = 'STALE', cents = cents + 7 "
+            "WHEN NOT MATCHED BY SOURCE "
+            "THEN UPDATE SET status = concat('Z_', status)"
+        )
+        summary = cat.load_table("tmp.bsq_orders").snapshot().summary
+        flag = (
+            summary.get("sync") is True
+            and summary.get("by_source_update") is True
+            and summary.get("dropped_files") == 0
+        )
+        res = (
+            cat.load_table("tmp.bsq_orders")
+            .to_df()
+            .groupBy("status")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                F.sum("cents").cast("long").alias("sum_cents"),
+            )
+            .withColumn("multi_by_source", F.lit(flag))
+            .orderBy("status")
+        )
+        rows = res.collect()  # materialize before the warehouse vanishes
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)

@@ -4493,3 +4493,105 @@ def test_merge_by_source_update_refusals(catalog, spark):
         for r in catalog.load_table("gold.bsu4").to_df().collect()
     }
     assert got == {(1, 10), (2, 29)}
+
+
+def test_merge_multi_by_source_clauses(catalog, spark):
+    """r11: several WHEN NOT MATCHED BY SOURCE clauses evaluate
+    first-match-wins per UNMATCHED target row - a conditioned DELETE,
+    a conditioned UPDATE SET, and an unconditional UPDATE fallback
+    compose in ONE commit; matched rows row-replace; only the last
+    clause may omit its condition."""
+    import pytest as _pytest
+
+    t = catalog.create_table(
+        "gold.mbs",
+        spark.createDataFrame([], "k long, v long, flag long").schema,
+    )
+    t.append(
+        spark.createDataFrame(
+            [
+                (1, 10, 0),   # matched: replaced
+                (2, 20, 1),   # clause 1: deleted
+                (3, 300, 0),  # clause 2: v -= 100 (NOT also clause 3)
+                (4, 40, 0),   # clause 3 fallback: flag = 9
+                (5, 50, None),  # clause 3 fallback (NULL flag != 1)
+            ],
+            "k long, v long, flag long",
+        )
+    )
+    spark.createDataFrame(
+        [(1, 11, 7)], "k long, v long, flag long"
+    ).createOrReplaceTempView("mbssrc")
+    catalog.sql(
+        "MERGE INTO gold.mbs USING mbssrc s ON gold.mbs.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED BY SOURCE AND gold.mbs.flag = 1 THEN DELETE "
+        "WHEN NOT MATCHED BY SOURCE AND gold.mbs.v > 100 "
+        "THEN UPDATE SET v = v - 100 "
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET flag = 9"
+    )
+    got = sorted(
+        (r["k"], r["v"], r["flag"])
+        for r in catalog.load_table("gold.mbs").to_df().collect()
+    )
+    assert got == [
+        (1, 11, 7),
+        (3, 200, 0),  # first-match-wins: clause 2 fired, NOT clause 3
+        (4, 40, 9),
+        (5, 50, 9),
+    ]
+    summary = catalog.load_table("gold.mbs").snapshot().summary
+    assert summary.get("sync") is True  # a delete arm ran
+    assert summary.get("by_source_update") is True
+    assert summary["dropped_files"] == 0  # rows dropped via rewrite
+
+    # only the LAST clause may omit AND <condition>
+    with _pytest.raises(ValueError, match="LAST"):
+        catalog.sql(
+            "MERGE INTO gold.mbs USING mbssrc s ON gold.mbs.k = s.k "
+            "WHEN NOT MATCHED BY SOURCE THEN DELETE "
+            "WHEN NOT MATCHED BY SOURCE AND gold.mbs.flag = 1 "
+            "THEN UPDATE SET flag = 0"
+        )
+
+
+def test_merge_multi_by_source_file_pruning(catalog, spark):
+    """All-conditioned by-source clause stacks prune out-of-range
+    files to those matching ANY clause condition; clean files carry
+    by reference."""
+    t = catalog.create_table(
+        "gold.mbs2",
+        spark.createDataFrame([], "k long, v long").schema,
+    )
+    # three files: in-range [1-2], hit out-of-range [10-11], clean [20-21]
+    t.append(
+        spark.createDataFrame([(1, 1), (2, 2)], "k long, v long")
+        .coalesce(1)
+    )
+    t.append(
+        spark.createDataFrame([(10, 100), (11, 7)], "k long, v long")
+        .coalesce(1)
+    )
+    t.append(
+        spark.createDataFrame([(20, 5), (21, 6)], "k long, v long")
+        .coalesce(1)
+    )
+    spark.createDataFrame([(1, 99)], "k long, v long").createOrReplaceTempView(
+        "mbs2src"
+    )
+    catalog.sql(
+        "MERGE INTO gold.mbs2 USING mbs2src s ON gold.mbs2.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED BY SOURCE AND gold.mbs2.v >= 100 THEN DELETE "
+        "WHEN NOT MATCHED BY SOURCE AND gold.mbs2.v = 7 "
+        "THEN UPDATE SET v = 70"
+    )
+    got = sorted(
+        (r["k"], r["v"])
+        for r in catalog.load_table("gold.mbs2").to_df().collect()
+    )
+    assert got == [(1, 99), (2, 2), (11, 70), (20, 5), (21, 6)]
+    summary = catalog.load_table("gold.mbs2").snapshot().summary
+    # the [20-21] file matches NO clause condition: carried by reference
+    assert summary["carried_files"] >= 1
+    assert summary["dropped_files"] == 0
