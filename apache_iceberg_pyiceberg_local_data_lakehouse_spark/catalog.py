@@ -1624,6 +1624,19 @@ class LakehouseCatalog:
         )
         return v
 
+    def _base_pin_props_for(
+        self, bt, version: int, extra: dict | None = None
+    ) -> dict:
+        """``{mv.base_version, mv.base_snapshot?}`` for a base table
+        at ``version``, merged with ``extra`` pin keys - the ONE
+        spelling every refresh path and ``_recover_mv_pins`` consumer
+        shares (review r11: four hand-rolled copies had to agree)."""
+        upd = {"mv.base_version": str(version), **(extra or {})}
+        sid = self._snap_id(bt, version)
+        if sid is not None:
+            upd["mv.base_snapshot"] = sid
+        return upd
+
     @staticmethod
     def _snap_id(bt, version: int) -> str | None:
         """The snapshot UUID at ``version``, or None when that version
@@ -1813,11 +1826,7 @@ class LakehouseCatalog:
             )
 
             def pin_upd(v: int) -> dict:
-                upd = {"mv.base_version": str(v)}
-                sid = self._snap_id(bt, v)
-                if sid is not None:
-                    upd["mv.base_snapshot"] = sid
-                return upd
+                return self._base_pin_props_for(bt, v)
 
             if lineage_ok and cur_v == int(base_v):
                 return None  # already up to date: no commit
@@ -3628,6 +3637,16 @@ class LakehouseCatalog:
                 upd["mv.join_dim_versions"] = json.dumps(cur_vs)
                 if cur_sids:
                     upd["mv.join_dim_snapshots"] = json.dumps(cur_sids)
+                # keep the legacy single-dim mirror keys consistent
+                # (review r11: _dim_pin_props writes both spellings;
+                # a recovery that advances only the multi-dim keys
+                # would leave pre-r9 tooling reading a stale pin)
+                if len(cur_vs) == 1 and "mv.join_dim_version" in props:
+                    (d0, v0), = cur_vs.items()
+                    upd["mv.join_dim"] = d0
+                    upd["mv.join_dim_version"] = str(v0)
+                    if d0 in cur_sids:
+                        upd["mv.join_dim_snapshot"] = cur_sids[d0]
         if upd:
             _log.warning(
                 "completing crashed MV pin write for %s: %s",
@@ -3974,13 +3993,9 @@ class LakehouseCatalog:
                 except ValueError:
                     ch = None  # a snapshot in range was expired
                 if ch is not None:
-                    upd = {
-                        "mv.base_version": str(fact_v),
-                        **dim_repin,
-                    }
-                    sid = self._snap_id(ft, fact_v)
-                    if sid is not None:
-                        upd["mv.base_snapshot"] = sid
+                    upd = self._base_pin_props_for(
+                        ft, fact_v, dim_repin
+                    )
                     snap = self._join_cdc_refresh(
                         t,
                         props,
@@ -4003,10 +4018,7 @@ class LakehouseCatalog:
                 ft.scan(
                     snapshot=ft.snapshot(fact_v)
                 ).createOrReplaceTempView(self.view_name(fact_ident))
-                upd = {"mv.base_version": str(fact_v), **dim_repin}
-                sid = self._snap_id(ft, fact_v)
-                if sid is not None:
-                    upd["mv.base_snapshot"] = sid
+                upd = self._base_pin_props_for(ft, fact_v, dim_repin)
                 snap = self._merge_agg_delta(
                     t, props, inc, pin_updates=upd
                 )
@@ -4152,13 +4164,11 @@ class LakehouseCatalog:
                 # CUMULATIVE intent: include the dim pins the earlier
                 # terms advanced, so recovery works even if several
                 # property writes were lost, not just the last one
-                upd = {
-                    "mv.base_version": str(fact_v),
-                    **self._dim_pin_props(dims, new_vs, new_sids),
-                }
-                sid = self._snap_id(ft, fact_v)
-                if sid is not None:
-                    upd["mv.base_snapshot"] = sid
+                upd = self._base_pin_props_for(
+                    ft,
+                    fact_v,
+                    self._dim_pin_props(dims, new_vs, new_sids),
+                )
                 snap = self._join_cdc_refresh(
                     t,
                     props,

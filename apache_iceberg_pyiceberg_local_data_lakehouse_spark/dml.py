@@ -999,12 +999,15 @@ def merge_into(
             or_cond: Column = F.lit(False)
             for c0, _a, _s in bs_clauses:
                 or_cond = or_cond | F.coalesce(c0, F.lit(False))
-            unt_df = table.scan(
-                snapshot=snap, file_filter=lambda e: e in untouched
-            )
+            # probe via _read_data, not scan(): _metadata does not
+            # resolve through the delete-applying joins scan() builds
+            # on a MoR-tombstoned table (the _prune_matched_files
+            # discipline; a tombstoned row false-positively marking a
+            # file only costs an extra rewrite)
             hit_uris = [
                 r["file_path"]
-                for r in unt_df.filter(or_cond)
+                for r in table._read_data(untouched, snap)
+                .filter(or_cond)
                 .select(F.col("_metadata.file_path").alias("file_path"))
                 .distinct()
                 .collect()
@@ -1015,6 +1018,14 @@ def merge_into(
                 )
                 for u in hit_uris
             }
+            unmapped = bs_hit - {e["path"] for e in untouched}
+            if unmapped:
+                raise RuntimeError(
+                    "by-source file pruning could not map every "
+                    "matched scan URI back to a manifest entry; "
+                    "refusing a partial rewrite. unmatched: "
+                    f"{sorted(unmapped)[:5]}"
+                )
         else:
             # an unconditioned clause fires on every unmatched row:
             # all out-of-range files rewrite (the documented

@@ -17,6 +17,7 @@
 
 from __future__ import annotations
 
+import json
 import os
 import time
 
@@ -247,37 +248,47 @@ def expire_snapshots(
     # _reserve_identity_epoch) age out under the SAME policy as
     # snapshots: records older than the horizon prune, but the newest
     # `identity.epoch.min-records-to-keep` (default 8) survive
-    # regardless of age - Spark replays at most the LAST epoch per
-    # query, so a long-idle live stream still finds its replay record.
-    # The chain files (r<seq>.json) are the identity WATERMARK, pruned
-    # by their own head-preserving logic - never touched here. The
-    # 256-file cap inside the reservation path stays as a backstop for
-    # tables that never run maintenance.
+    # regardless of age PER QUERY (records carry a __query
+    # fingerprint; review r11 - a global floor let a busy sibling
+    # stream age out an idle stream's replay record; pre-r11 records
+    # without the fingerprint share one legacy group). Spark replays
+    # at most the LAST epoch per query, so a long-idle live stream
+    # still finds its replay record. The chain files (r<seq>.json) are
+    # the identity WATERMARK, pruned by their own head-preserving
+    # logic - never touched here. The 256-file cap inside the
+    # reservation path stays as a backstop for tables that never run
+    # maintenance.
     epoch_records_pruned = 0
     rsv_dir = table._identity_rsv_dir()
     if os.path.isdir(rsv_dir):
         keep_floor = int(
             props.get("identity.epoch.min-records-to-keep", 8)
         )
-        eps = []
+        by_query: dict[str, list] = {}
         for name in os.listdir(rsv_dir):
             if not name.startswith("epoch-"):
                 continue
             p = os.path.join(rsv_dir, name)
             try:
-                eps.append((os.stat(p).st_mtime_ns, p))
+                mtime_ns = os.stat(p).st_mtime_ns
+                with open(p) as f:
+                    q = str(json.load(f).get("__query", "legacy"))
             except FileNotFoundError:
-                pass
-        eps.sort(reverse=True)  # newest first
-        for mtime_ns, p in eps[keep_floor:]:
-            if mtime_ns // 1_000_000 >= older_than_ms:
                 continue
-            try:
-                if not dry_run:
-                    os.unlink(p)
-                epoch_records_pruned += 1
-            except FileNotFoundError:
-                pass
+            except (ValueError, OSError):
+                q = "legacy"
+            by_query.setdefault(q, []).append((mtime_ns, p))
+        for eps in by_query.values():
+            eps.sort(reverse=True)  # newest first within the query
+            for mtime_ns, p in eps[keep_floor:]:
+                if mtime_ns // 1_000_000 >= older_than_ms:
+                    continue
+                try:
+                    if not dry_run:
+                        os.unlink(p)
+                    epoch_records_pruned += 1
+                except FileNotFoundError:
+                    pass
     return {
         "expired_snapshots": len(expired),
         "deleted_files": deleted_files,

@@ -2218,7 +2218,7 @@ class LakehouseTable:
                 return {
                     k: int(v)
                     for k, v in rec.items()
-                    if k != "__n_rows"
+                    if not k.startswith("__")
                 }
         except FileNotFoundError:
             pass
@@ -2226,8 +2226,18 @@ class LakehouseTable:
         tmp = os.path.join(
             self._identity_rsv_dir(), f".tmp.{uuid.uuid4().hex}"
         )
+        # __query fingerprints the stream so maintenance GC can keep a
+        # per-QUERY floor of newest records (review r11: a global floor
+        # let a busy sibling stream age out an idle stream's replay
+        # record); the tag is "<query-id>:<epoch-id>", query ids are
+        # UUIDs (no colons)
+        qhash = hashlib.sha256(
+            tag.rsplit(":", 1)[0].encode()
+        ).hexdigest()[:16]
         with open(tmp, "w") as f:
-            json.dump({**base, "__n_rows": int(n_rows)}, f)
+            json.dump(
+                {**base, "__n_rows": int(n_rows), "__query": qhash}, f
+            )
         try:
             os.link(tmp, path)  # exactly one attempt records the epoch
         except FileExistsError:

@@ -4595,3 +4595,94 @@ def test_merge_multi_by_source_file_pruning(catalog, spark):
     # the [20-21] file matches NO clause condition: carried by reference
     assert summary["carried_files"] >= 1
     assert summary["dropped_files"] == 0
+
+
+def test_merge_by_source_conditioned_on_mor_tombstoned_table(
+    catalog, spark
+):
+    """Review r11: the by-source file-pruning probe must read via
+    _read_data, not scan() - _metadata does not resolve through the
+    delete-applying joins scan() builds on a MoR-tombstoned table, so
+    a conditioned by-source MERGE right after a merge-on-read DELETE
+    used to crash with AnalysisException."""
+    t = catalog.create_table(
+        "gold.bsmor",
+        spark.createDataFrame([], "k long, v long").schema,
+    )
+    t.append(
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+        .coalesce(1)
+    )
+    t.append(
+        spark.createDataFrame([(10, 100), (11, 110)], "k long, v long")
+        .coalesce(1)
+    )
+    # merge-on-read DELETE leaves tombstone entries pending
+    t.delete_where(F.col("k") == 11, mode="merge-on-read")
+    assert catalog.load_table("gold.bsmor").snapshot().delete_entries
+    spark.createDataFrame([(1, 99)], "k long, v long").createOrReplaceTempView(
+        "bsmorsrc"
+    )
+    catalog.sql(
+        "MERGE INTO gold.bsmor USING bsmorsrc s ON gold.bsmor.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED BY SOURCE AND gold.bsmor.v >= 100 "
+        "THEN UPDATE SET v = v + 1"
+    )
+    got = sorted(
+        (r["k"], r["v"])
+        for r in catalog.load_table("gold.bsmor").to_df().collect()
+    )
+    # k=11 was tombstoned before the merge and must NOT resurrect
+    assert got == [(1, 99), (2, 20), (10, 101)]
+
+
+def test_mv_pin_recovery_mirrors_legacy_single_dim_keys(catalog, spark):
+    """Review r11: completing a crashed pin write on a SINGLE-dim join
+    MV must advance the legacy mirror keys (mv.join_dim_version /
+    mv.join_dim_snapshot) together with the multi-dim spellings -
+    _dim_pin_props writes both, so recovery has to as well or the two
+    spellings contradict."""
+    import json as _json
+
+    f = catalog.create_table(
+        "gold.lgm_f",
+        spark.createDataFrame([], "fk long, v long").schema,
+    )
+    d = catalog.create_table(
+        "gold.lgm_d",
+        spark.createDataFrame([], "k long, seg string").schema,
+    )
+    d.append(
+        spark.createDataFrame(
+            [(i, chr(65 + i % 2)) for i in range(4)], "k long, seg string"
+        )
+    )
+    f.append(
+        spark.createDataFrame(
+            [(i % 4, i * 10) for i in range(8)], "fk long, v long"
+        )
+    )
+    q = (
+        "SELECT seg, COUNT(*) AS n, SUM(v) AS sv FROM gold_lgm_f "
+        "JOIN gold_lgm_d ON gold_lgm_f.fk = gold_lgm_d.k GROUP BY seg"
+    )
+    catalog.create_materialized_view("gold.lgm_mv", q)
+    mv = catalog.load_table("gold.lgm_mv")
+    assert "mv.join_dim_version" in mv.properties()  # legacy mirror
+    before = {
+        k: v
+        for k, v in mv.properties().items()
+        if k.startswith("mv.base_") or k.startswith("mv.join_dim")
+    }
+    catalog.sql("UPDATE gold.lgm_d SET seg = 'Z' WHERE k = 2")
+    snap = catalog.refresh_materialized_view("gold.lgm_mv")
+    assert snap.summary.get("cdc_refresh") is True
+    # CRASH SIMULATION + recovery
+    catalog.load_table("gold.lgm_mv").set_properties(**before)
+    assert catalog.refresh_materialized_view("gold.lgm_mv") is None
+    props = catalog.load_table("gold.lgm_mv").properties()
+    dv = str(d.current_version())
+    assert _json.loads(props["mv.join_dim_versions"])["gold.lgm_d"] == dv
+    # the legacy mirror advanced too - both spellings agree
+    assert props["mv.join_dim_version"] == dv

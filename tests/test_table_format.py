@@ -1048,3 +1048,47 @@ def test_expire_snapshots_prunes_identity_epoch_records(catalog, spark):
     left = [n for n in os.listdir(rsv) if n.startswith("epoch-")]
     assert res["identity_epoch_records_pruned"] == 7
     assert len(left) == 2
+
+
+def test_epoch_record_gc_floor_is_per_query(catalog, spark):
+    """Review r11: the epoch-record retention floor groups by the
+    stream's __query fingerprint - a busy sibling stream cannot age
+    out an idle stream's last replay record, and legacy records
+    (no fingerprint) share one group without crashing GC."""
+    import json as _json
+    import os
+
+    t = catalog.create_table(
+        "gold.idexq",
+        spark.createDataFrame([], "rid long, v string").schema,
+        [],
+    )
+    t.set_identity_column("rid", start=1, step=1)
+    t.append(spark.createDataFrame([("seed",)], "v string"))
+    # an idle stream with ONE old epoch, a busy stream with ten
+    idle_base = t._reserve_identity_epoch("idleq:0", 2)
+    for ep in range(10):
+        t._reserve_identity_epoch(f"busyq:{ep}", 2)
+    # one legacy record without the fingerprint (pre-r11 format)
+    rsv = t._identity_rsv_dir()
+    legacy = os.path.join(rsv, "epoch-legacyrecord.json")
+    with open(legacy, "w") as f:
+        _json.dump({"rid": 999, "__n_rows": 2}, f)
+    # age EVERYTHING far past the horizon, idle's record oldest
+    old = int((time.time() - 90 * 86400) * 1e9)
+    for i, n in enumerate(
+        sorted(
+            (n for n in os.listdir(rsv) if n.startswith("epoch-")),
+            key=lambda n: os.stat(os.path.join(rsv, n)).st_mtime_ns,
+        )
+    ):
+        os.utime(os.path.join(rsv, n), ns=(old + i, old + i))
+    t.set_properties(**{"identity.epoch.min-records-to-keep": "2"})
+    res = expire_snapshots(t, retain_last=1, delete_orphan_files=False)
+    # busy keeps its newest 2 (8 pruned), idle keeps its only record,
+    # the legacy group keeps its only record
+    assert res["identity_epoch_records_pruned"] == 8
+    left = [n for n in os.listdir(rsv) if n.startswith("epoch-")]
+    assert len(left) == 4
+    # the idle stream's replay still finds its RECORDED base
+    assert t._reserve_identity_epoch("idleq:0", 2) == idle_base
