@@ -1059,3 +1059,27 @@ def canonical_dedup(
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__ck")
     )
+
+
+def minhash_band_rows(
+    signatures: DataFrame,
+    id_col: str,
+    n_bands: int = 32,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Explode MinHash signatures into their LSH band rows
+    ``(id, band, bkt)`` - the storable/joinable form of the banding
+    inside :func:`lsh_candidate_pairs`. Persisting these rows for an
+    accumulated corpus (the streaming near-dedup sidecar) means a new
+    batch probes the corpus with ONE equality join on ``(band, bkt)``
+    - the corpus is never re-shingled, re-hashed, or re-banded."""
+    sig = F.col("minhash")
+    bands = []
+    for b in range(n_bands):
+        band = F.slice(sig, b * rows_per_band + 1, rows_per_band)
+        bands.append(
+            F.struct(F.lit(b).alias("band"), F.hash(band).alias("bkt"))
+        )
+    return signatures.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bkt").alias("bkt"))

@@ -4800,3 +4800,220 @@ def q8q_merge_multi_by_source(
         return spark.createDataFrame(rows, res.schema)
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+@register(
+    "q8r_streaming_near_dedup",
+    # new in r11, registered behind the judged window (r12 rotation
+    # fodder); certifies the streaming near-dedup curation sink
+    # (streaming.dedup_sink.NearDedupSink): batch 1 lands after
+    # intra-batch near-dedup, batch 2 is filtered against the
+    # ACCUMULATED corpus through the banded signature sidecar (exact
+    # copies of surviving batch-1 docs all drop at jaccard 1.0) plus
+    # its own intra-batch pass, and a fresh-checkpoint replay with the
+    # same query id appends nothing (exactly-once across BOTH tables).
+    # The oracle reconstructs the full greedy rule with exact jaccard:
+    # LSH banding is deterministic (seeded), and every candidate is
+    # exact-verified, so the survivor set is SQL-expressible.
+    defer=True,
+    oracle="""
+    WITH sub AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0
+    ), b1 AS (
+      SELECT doc_id, text FROM sub WHERE doc_id % 2 = 0
+    ), b2 AS (
+      SELECT doc_id + 10000000 AS doc_id, text
+      FROM sub WHERE doc_id % 2 = 1
+      UNION ALL
+      SELECT doc_id + 20000000 AS doc_id, text
+      FROM b1 WHERE doc_id % 3 = 0
+    ), t1 AS (
+      SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS tok
+      FROM b1
+    ), s1 AS (
+      SELECT doc_id, COUNT(*) AS n FROM t1 GROUP BY doc_id
+    ), p1 AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS c
+      FROM t1 a JOIN t1 b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), drop1 AS (
+      SELECT DISTINCT p1.ib AS doc_id
+      FROM p1 JOIN s1 sa ON sa.doc_id = p1.ia
+              JOIN s1 sb ON sb.doc_id = p1.ib
+      WHERE CAST(p1.c AS DOUBLE) / (sa.n + sb.n - p1.c) >= 0.95
+    ), surv1 AS (
+      SELECT * FROM b1
+      WHERE doc_id NOT IN (SELECT doc_id FROM drop1)
+    ), t2 AS (
+      SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS tok
+      FROM b2
+    ), s2 AS (
+      SELECT doc_id, COUNT(*) AS n FROM t2 GROUP BY doc_id
+    ), tc AS (
+      SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS tok
+      FROM surv1
+    ), sc AS (
+      SELECT doc_id, COUNT(*) AS n FROM tc GROUP BY doc_id
+    ), px AS (
+      SELECT t2.doc_id AS nid, tc.doc_id AS cid, COUNT(*) AS c
+      FROM t2 JOIN tc ON t2.tok = tc.tok
+      GROUP BY t2.doc_id, tc.doc_id
+    ), cross_drop AS (
+      SELECT DISTINCT px.nid AS doc_id
+      FROM px JOIN s2 ON s2.doc_id = px.nid
+              JOIN sc ON sc.doc_id = px.cid
+      WHERE CAST(px.c AS DOUBLE) / (s2.n + sc.n - px.c) >= 0.95
+    ), b2s AS (
+      SELECT * FROM b2
+      WHERE doc_id NOT IN (SELECT doc_id FROM cross_drop)
+    ), t2s AS (
+      SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS tok
+      FROM b2s
+    ), s2s AS (
+      SELECT doc_id, COUNT(*) AS n FROM t2s GROUP BY doc_id
+    ), p2 AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS c
+      FROM t2s a JOIN t2s b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), drop2 AS (
+      SELECT DISTINCT p2.ib AS doc_id
+      FROM p2 JOIN s2s sa ON sa.doc_id = p2.ia
+              JOIN s2s sb ON sb.doc_id = p2.ib
+      WHERE CAST(p2.c AS DOUBLE) / (sa.n + sb.n - p2.c) >= 0.95
+    ), allsurv AS (
+      SELECT doc_id FROM surv1
+      UNION ALL
+      SELECT doc_id FROM b2s
+      WHERE doc_id NOT IN (SELECT doc_id FROM drop2)
+    )
+    SELECT CASE WHEN doc_id >= 20000000 THEN 'copy'
+                WHEN doc_id >= 10000000 THEN 'fresh'
+                ELSE 'original' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           TRUE AS exactly_once
+    FROM allsurv GROUP BY bucket ORDER BY bucket
+    """,
+)
+def q8r_streaming_near_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming near-dedup curation judged end-to-end on documents:
+    batch 1 (even doc_ids of a 1-in-7 subset) streams in and lands
+    after intra-batch dedup; batch 2 carries the odd docs (fresh ids)
+    PLUS exact copies of every third batch-1 doc - the copies drop at
+    jaccard 1.0 against the accumulated corpus, probed through the
+    bucket-partitioned signature sidecar, never by re-reading corpus
+    text wholesale. A fresh-checkpoint second run with the same query
+    id appends nothing; the flag pins both (row counts stable across
+    the replay on BOTH tables)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..catalog import LakehouseCatalog
+    from ..streaming.dedup_sink import (
+        signature_sidecar_spec,
+        write_dedup_stream_to_table,
+    )
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_q8r_")
+    try:
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("tmp")
+        sub = (
+            load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 7 == 0)
+            .select("doc_id", "text")
+        )
+        b1 = sub.filter(F.col("doc_id") % 2 == 0)
+        b2 = (
+            sub.filter(F.col("doc_id") % 2 == 1)
+            .select(
+                (F.col("doc_id") + 10000000).alias("doc_id"), "text"
+            )
+            .unionByName(
+                b1.filter(F.col("doc_id") % 3 == 0).select(
+                    (F.col("doc_id") + 20000000).alias("doc_id"),
+                    "text",
+                )
+            )
+        )
+        src = os.path.join(wh, "stream_src")
+        os.makedirs(src)
+        p1 = b1.toPandas()
+        pq.write_table(pa.Table.from_pandas(p1), os.path.join(src, "a.parquet"))
+        t = cat.create_table(
+            "tmp.nd_docs",
+            StructType(
+                [
+                    StructField("doc_id", LongType()),
+                    StructField("text", StringType()),
+                ]
+            ),
+        )
+        sig = cat.create_table(
+            "tmp.nd_sigs",
+            StructType(
+                [
+                    StructField("doc_id", LongType()),
+                    StructField("band", IntegerType()),
+                    StructField("bkt", IntegerType()),
+                ]
+            ),
+            signature_sidecar_spec(16),
+        )
+        schema = StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("text", StringType()),
+            ]
+        )
+        ck = os.path.join(wh, "ck")
+
+        def run(ckdir):
+            stream = spark.readStream.schema(schema).parquet(src)
+            write_dedup_stream_to_table(
+                stream,
+                t,
+                sig,
+                ckdir,
+                query_id="q8r",
+                text_col="text",
+                id_col="doc_id",
+                threshold=0.95,
+                available_now=True,
+            ).awaitTermination(300)
+
+        run(ck)
+        p2 = b2.toPandas()
+        pq.write_table(pa.Table.from_pandas(p2), os.path.join(src, "b.parquet"))
+        run(ck)  # same checkpoint: only the new file forms the batch
+        n_docs = t.to_df().count()
+        n_sigs = sig.to_df().count()
+        run(os.path.join(wh, "ck2"))  # fresh-checkpoint replay
+        exactly_once = (
+            t.to_df().count() == n_docs
+            and sig.to_df().count() == n_sigs
+        )
+        res = (
+            t.to_df()
+            .groupBy(
+                F.when(F.col("doc_id") >= 20000000, F.lit("copy"))
+                .when(F.col("doc_id") >= 10000000, F.lit("fresh"))
+                .otherwise(F.lit("original"))
+                .alias("bucket")
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+            .withColumn("exactly_once", F.lit(exactly_once))
+            .orderBy("bucket")
+        )
+        rows = res.collect()  # materialize before the warehouse vanishes
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)

@@ -1,0 +1,284 @@
+"""Streaming near-dedup curation sink: each micro-batch is MinHash/LSH
+near-dedup-filtered against the accumulated corpus BEFORE it lands,
+exactly-once, with the corpus side probed through a banded signature
+SIDECAR table so per-batch cost never re-reads the corpus text.
+
+The batch twin is ``operators.dedup.filter_near_duplicates_of``; its
+cost shape does not survive streaming (it re-shingles and re-bands the
+whole corpus every call). This sink keeps the corpus's LSH band rows
+``(id, band, bkt)`` in a second lakehouse table maintained in the SAME
+exactly-once protocol as the data:
+
+1. batch -> MinHash signatures -> band rows (O(batch));
+2. candidate corpus ids = band rows equi-joined to the SIDECAR scan on
+   ``(band, bkt)`` - with the sidecar bucket-partitioned on ``bkt``,
+   ``scan_where_in`` prunes the probe to the files holding the batch's
+   bucket values, so the join touches O(matching files), not the
+   corpus;
+3. candidates verify with EXACT jaccard against the matched corpus
+   docs' text, fetched by id through ``scan_where_in`` on the MAIN
+   table (key-range/bloom-pruned point lookups);
+4. batch rows near-duplicating the corpus drop; intra-batch near-dups
+   drop keep-smallest-id (greedy pairwise, deterministic);
+5. ONE append of the survivors to the main table and ONE append of
+   their band rows to the sidecar, each stamped ``(query-id, epoch)``.
+
+Exactly-once across TWO tables: each append is individually
+epoch-idempotent, and the dedup decision is REPLAY-DETERMINISTIC
+because the corpus side always excludes the current batch's ids - a
+crash between the two appends replays into "skip the committed one,
+redo the other" with byte-identical survivors. (Without the exclusion,
+a replay would see the batch's own rows in the corpus and drop
+everything - the classic self-match trap.)
+
+Contract: ``id_col`` uniquely identifies a document across the stream's
+lifetime. A re-delivered id is excluded from the corpus probe (it IS
+the same document), so it re-enters only through the epoch skip, never
+as a self-duplicate.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    _token_array,
+    minhash_band_rows,
+    minhash_near_duplicates,
+    minhash_signatures,
+)
+from ..table import LakehouseTable
+from .sink import _EPOCH_KEY, _QUERY_KEY, EpochCommitSink
+
+# above this many distinct bucket probes the per-file pruning loop on
+# the driver costs more than one sidecar scan: fall back to the plain
+# band join (still one equality shuffle, no pruning)
+_MAX_BUCKET_PROBES = 4096
+
+
+def signature_sidecar_spec(n_buckets: int = 64) -> list:
+    """Partition spec for the sidecar table: bucket-partitioned on the
+    band-bucket value so a batch's probe prunes to matching files."""
+    from ..table import PartitionField
+
+    return [
+        PartitionField("bkt", "bucket", "bkt_bucket", n_buckets=n_buckets)
+    ]
+
+
+class NearDedupSink(EpochCommitSink):
+    """``foreachBatch`` callable appending only near-dup-free rows.
+
+    ``sig_table`` is the banded-signature sidecar: schema
+    ``(<id_col> <id type>, band int, bkt int)``, ideally created with
+    :func:`signature_sidecar_spec` so corpus probes prune. Both tables
+    are epoch-stamped; see the module docstring for the two-table
+    replay argument."""
+
+    def __init__(
+        self,
+        table: LakehouseTable,
+        sig_table: LakehouseTable,
+        query_id: str,
+        text_col: str,
+        id_col: str,
+        threshold: float = 0.9,
+        n_hashes: int = 128,
+        n_bands: int = 32,
+        shingle_len: int = 1,
+        seed: int = 42,
+        transform: Callable[[DataFrame], DataFrame] | None = None,
+    ):
+        super().__init__(table, query_id, transform=transform)
+        self.sig_table = sig_table
+        self.text_col = text_col
+        self.id_col = id_col
+        self.threshold = threshold
+        self.n_hashes = n_hashes
+        self.n_bands = n_bands
+        self.rows_per_band = n_hashes // n_bands
+        self.shingle_len = shingle_len
+        self.seed = seed
+        self._sig_committed: set[int] | None = None
+
+    def _sig_committed_epochs(self) -> set[int]:
+        if self._sig_committed is None:
+            self._sig_committed = {
+                int(s.summary[_EPOCH_KEY])
+                for s in self.sig_table.snapshots()
+                if s.summary.get(_QUERY_KEY) == self.query_id
+                and _EPOCH_KEY in s.summary
+            }
+        return self._sig_committed
+
+    def _survivors(self, batch_df: DataFrame) -> DataFrame:
+        """The near-dup-free subset of the batch, replay-deterministic
+        (corpus side excludes the batch's own ids)."""
+        batch_df = batch_df.localCheckpoint(eager=True)
+        sigs = minhash_signatures(
+            batch_df,
+            self.text_col,
+            self.id_col,
+            self.n_hashes,
+            self.shingle_len,
+            self.seed,
+        ).localCheckpoint(eager=True)
+        bands = minhash_band_rows(
+            sigs, self.id_col, self.n_bands, self.rows_per_band
+        )
+        # --- corpus candidates via the sidecar
+        probes = [
+            r["bkt"] for r in bands.select("bkt").distinct().collect()
+        ]
+        if not probes:
+            return batch_df
+        if len(probes) <= _MAX_BUCKET_PROBES:
+            corpus_bands = self.sig_table.scan_where_in("bkt", probes)
+        else:
+            corpus_bands = self.sig_table.scan()
+        batch_ids = batch_df.select(self.id_col)
+        corpus_bands = corpus_bands.join(
+            batch_ids, on=self.id_col, how="left_anti"
+        )
+        cands = (
+            bands.withColumnRenamed(self.id_col, "__new_id")
+            .join(
+                corpus_bands.withColumnRenamed(self.id_col, "__corp_id"),
+                on=["band", "bkt"],
+            )
+            .select("__new_id", "__corp_id")
+            .distinct()
+        )
+        corp_ids = [
+            r["__corp_id"]
+            for r in cands.select("__corp_id").distinct().collect()
+        ]
+        dropped = None
+        if corp_ids:
+            # exact-jaccard verification against the matched corpus
+            # docs' text - point lookups, never a corpus scan
+            corp_toks = self.table.scan_where_in(
+                self.id_col, corp_ids
+            ).select(
+                F.col(self.id_col).alias("__corp_id"),
+                F.array_distinct(
+                    _token_array(
+                        F.col(self.text_col), self.shingle_len
+                    )
+                ).alias("__tc"),
+            )
+            new_toks = batch_df.select(
+                F.col(self.id_col).alias("__new_id"),
+                F.array_distinct(
+                    _token_array(
+                        F.col(self.text_col), self.shingle_len
+                    )
+                ).alias("__tn"),
+            )
+            inter = F.size(F.array_intersect("__tn", "__tc"))
+            union = F.size("__tn") + F.size("__tc") - inter
+            dropped = (
+                cands.join(new_toks, "__new_id")
+                .join(corp_toks, "__corp_id")
+                .filter(
+                    (inter / union) >= F.lit(self.threshold)
+                )
+                .select(F.col("__new_id").alias(self.id_col))
+                .distinct()
+            )
+        out = batch_df
+        if dropped is not None:
+            out = out.join(dropped, on=self.id_col, how="left_anti")
+        # --- intra-batch: greedy pairwise, keep the smallest id
+        pairs = minhash_near_duplicates(
+            out,
+            self.text_col,
+            self.id_col,
+            self.threshold,
+            self.n_hashes,
+            self.n_bands,
+            self.shingle_len,
+            self.seed,
+        ).select(F.col("id_b").alias(self.id_col)).distinct()
+        return out.join(pairs, on=self.id_col, how="left_anti")
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        """Two individually epoch-idempotent appends; a crash between
+        them replays into completing only the missing one, with the
+        SAME survivors (see module docstring)."""
+        epoch_id = int(epoch_id)
+        main_done = epoch_id in self.committed_epochs()
+        sig_done = epoch_id in self._sig_committed_epochs()
+        if main_done and sig_done:
+            return
+        if self.transform is not None:
+            batch_df = self.transform(batch_df)
+        survivors = self._survivors(batch_df).localCheckpoint(
+            eager=True
+        )
+        if survivors.isEmpty():
+            return  # nothing to commit; replay recomputes identically
+        stamp = {_QUERY_KEY: self.query_id, _EPOCH_KEY: epoch_id}
+        if not main_done:
+            self.table.append(
+                survivors,
+                extra_summary=stamp,
+                identity_epoch=f"{self.query_id}:{epoch_id}",
+            )
+            self.committed_epochs().add(epoch_id)
+        if not sig_done:
+            sig_rows = minhash_band_rows(
+                minhash_signatures(
+                    survivors,
+                    self.text_col,
+                    self.id_col,
+                    self.n_hashes,
+                    self.shingle_len,
+                    self.seed,
+                ),
+                self.id_col,
+                self.n_bands,
+                self.rows_per_band,
+            )
+            self.sig_table.append(sig_rows, extra_summary=stamp)
+            self._sig_committed_epochs().add(epoch_id)
+
+
+def write_dedup_stream_to_table(
+    stream_df: DataFrame,
+    table: LakehouseTable,
+    sig_table: LakehouseTable,
+    checkpoint_dir: str,
+    query_id: str,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.9,
+    available_now: bool = False,
+    trigger_secs: int | None = None,
+    **kwargs,
+):
+    """Start a streaming query near-dedup-curating ``stream_df`` into
+    ``table`` (see :class:`NearDedupSink`)."""
+    writer = (
+        stream_df.writeStream.foreachBatch(
+            NearDedupSink(
+                table,
+                sig_table,
+                query_id,
+                text_col,
+                id_col,
+                threshold=threshold,
+                **kwargs,
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_secs is not None:
+        writer = writer.trigger(processingTime=f"{trigger_secs} seconds")
+    return writer.start()

