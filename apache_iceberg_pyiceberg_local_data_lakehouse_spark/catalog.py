@@ -3606,6 +3606,7 @@ class LakehouseCatalog:
         if not intent:
             return props
         upd: dict[str, str] = {}
+        unset: list[str] = []
         iv = intent.get("mv.base_version")
         if iv is not None and int(iv) > int(
             props.get("mv.base_version", -1)
@@ -3613,6 +3614,12 @@ class LakehouseCatalog:
             upd["mv.base_version"] = str(iv)
             if "mv.base_snapshot" in intent:
                 upd["mv.base_snapshot"] = intent["mv.base_snapshot"]
+            elif "mv.base_snapshot" in props:
+                # the intent carries no uuid for the new version (its
+                # snapshot was expired at commit time): an advanced
+                # version must not keep the OLD uuid alongside it
+                # (review r11) - version-only pins skip lineage checks
+                unset.append("mv.base_snapshot")
         raw_vs = intent.get("mv.join_dim_versions")
         if raw_vs:
             int_vs = json.loads(raw_vs) if isinstance(raw_vs, str) else raw_vs
@@ -3632,6 +3639,10 @@ class LakehouseCatalog:
                     cur_vs[d] = str(v)
                     if d in int_sids:
                         cur_sids[d] = int_sids[d]
+                    else:
+                        # no uuid in the intent: drop the stale one
+                        # rather than pair it with the new version
+                        cur_sids.pop(d, None)
                     changed = True
             if changed:
                 upd["mv.join_dim_versions"] = json.dumps(cur_vs)
@@ -3647,13 +3658,15 @@ class LakehouseCatalog:
                     upd["mv.join_dim_version"] = str(v0)
                     if d0 in cur_sids:
                         upd["mv.join_dim_snapshot"] = cur_sids[d0]
+                    elif "mv.join_dim_snapshot" in props:
+                        unset.append("mv.join_dim_snapshot")
         if upd:
             _log.warning(
                 "completing crashed MV pin write for %s: %s",
                 t.location,
                 sorted(upd),
             )
-            t.set_properties(**upd)
+            t.replace_properties(remove=unset, add=upd)
             props = t.properties()
         return props
 

@@ -387,14 +387,17 @@ def lsh_candidate_pairs(
     join. Corpus-scale callers doing 100 TB web dedup should pass an
     explicit cap (~1000) - that is a tuning decision the caller owns,
     not a silent default."""
-    sig = F.col("minhash")
-    bands = []
-    for b in range(n_bands):
-        band = F.slice(sig, b * rows_per_band + 1, rows_per_band)
-        bands.append(F.struct(F.lit(b).alias("band"), F.hash(band).alias("bucket")))
-    exploded = signatures.select(
-        F.col(id_col).alias("__id"), F.explode(F.array(*bands)).alias("bb")
-    ).select("__id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # ONE banding definition corpus-wide (minhash_band_rows): the r11
+    # streaming sidecar PERSISTS these band rows, so every consumer
+    # must band byte-identically or stored corpus bands silently stop
+    # colliding with fresh ones
+    exploded = minhash_band_rows(
+        signatures, id_col, n_bands, rows_per_band
+    ).select(
+        F.col(id_col).alias("__id"),
+        "band",
+        F.col("bkt").alias("bucket"),
+    )
     if max_bucket_size is not None:
         keep = (
             exploded.groupBy("band", "bucket")
@@ -852,16 +855,14 @@ def minhash_against_corpus(
     rows_per_band = n_hashes // n_bands
 
     def bandit(sig_df: DataFrame, name: str) -> DataFrame:
-        sig = F.col("minhash")
-        bands = []
-        for b in range(n_bands):
-            band = F.slice(sig, b * rows_per_band + 1, rows_per_band)
-            bands.append(
-                F.struct(F.lit(b).alias("band"), F.hash(band).alias("bucket"))
-            )
-        return sig_df.select(
-            F.col(id_col).alias(name), F.explode(F.array(*bands)).alias("bb")
-        ).select(name, "bb.band", "bb.bucket")
+        # shared banding (minhash_band_rows) - see lsh_candidate_pairs
+        return minhash_band_rows(
+            sig_df, id_col, n_bands, rows_per_band
+        ).select(
+            F.col(id_col).alias(name),
+            "band",
+            F.col("bkt").alias("bucket"),
+        )
 
     new_sig = minhash_signatures(
         new_df, text_col, id_col, n_hashes, shingle_len, seed

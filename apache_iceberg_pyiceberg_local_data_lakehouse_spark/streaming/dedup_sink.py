@@ -114,9 +114,15 @@ class NearDedupSink(EpochCommitSink):
             }
         return self._sig_committed
 
-    def _survivors(self, batch_df: DataFrame) -> DataFrame:
-        """The near-dup-free subset of the batch, replay-deterministic
-        (corpus side excludes the batch's own ids)."""
+    def _survivors(
+        self, batch_df: DataFrame
+    ) -> tuple[DataFrame, DataFrame]:
+        """``(survivors, band_rows)``: the near-dup-free subset of the
+        batch, replay-deterministic (corpus side excludes the batch's
+        own ids), plus the batch's LSH band rows - returned so the
+        sidecar append reuses them instead of re-signing the
+        survivors (review r11: the signature pass is the dominant
+        per-batch cost)."""
         batch_df = batch_df.localCheckpoint(eager=True)
         sigs = minhash_signatures(
             batch_df,
@@ -134,7 +140,7 @@ class NearDedupSink(EpochCommitSink):
             r["bkt"] for r in bands.select("bkt").distinct().collect()
         ]
         if not probes:
-            return batch_df
+            return batch_df, bands
         if len(probes) <= _MAX_BUCKET_PROBES:
             corpus_bands = self.sig_table.scan_where_in("bkt", probes)
         else:
@@ -203,7 +209,7 @@ class NearDedupSink(EpochCommitSink):
             self.shingle_len,
             self.seed,
         ).select(F.col("id_b").alias(self.id_col)).distinct()
-        return out.join(pairs, on=self.id_col, how="left_anti")
+        return out.join(pairs, on=self.id_col, how="left_anti"), bands
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         """Two individually epoch-idempotent appends; a crash between
@@ -216,9 +222,8 @@ class NearDedupSink(EpochCommitSink):
             return
         if self.transform is not None:
             batch_df = self.transform(batch_df)
-        survivors = self._survivors(batch_df).localCheckpoint(
-            eager=True
-        )
+        survivors, band_rows = self._survivors(batch_df)
+        survivors = survivors.localCheckpoint(eager=True)
         if survivors.isEmpty():
             return  # nothing to commit; replay recomputes identically
         stamp = {_QUERY_KEY: self.query_id, _EPOCH_KEY: epoch_id}
@@ -230,18 +235,13 @@ class NearDedupSink(EpochCommitSink):
             )
             self.committed_epochs().add(epoch_id)
         if not sig_done:
-            sig_rows = minhash_band_rows(
-                minhash_signatures(
-                    survivors,
-                    self.text_col,
-                    self.id_col,
-                    self.n_hashes,
-                    self.shingle_len,
-                    self.seed,
-                ),
-                self.id_col,
-                self.n_bands,
-                self.rows_per_band,
+            # the batch's band rows were computed (and checkpointed
+            # upstream) once in _survivors: the survivors' sidecar
+            # rows are a semi-join away, no re-signing
+            sig_rows = band_rows.join(
+                survivors.select(self.id_col),
+                on=self.id_col,
+                how="left_semi",
             )
             self.sig_table.append(sig_rows, extra_summary=stamp)
             self._sig_committed_epochs().add(epoch_id)

@@ -70,9 +70,12 @@ class EpochCommitSink:
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         """The exactly-once protocol, shared by every sink flavor: skip
         already-committed epochs, transform + prepare the batch, commit
-        via the subclass hook, record the epoch. Subclasses override
-        ``_prepare`` / ``_commit``, never this method — so a protocol
-        fix applies to all sinks."""
+        via the subclass hook, record the epoch. Single-table subclasses
+        override ``_prepare`` / ``_commit``, never this method — so a
+        protocol fix applies to all of them. The ONE sanctioned
+        exception is ``dedup_sink.NearDedupSink``, whose TWO-table
+        commit cannot fit the single skip-then-commit shape — protocol
+        changes here must be mirrored there."""
         if epoch_id in self.committed_epochs():
             return  # checkpoint replay of an epoch the table already holds
         if self.transform is not None:

@@ -2250,7 +2250,7 @@ class LakehouseTable:
                 return {
                     k: int(v)
                     for k, v in rec.items()
-                    if k != "__n_rows"
+                    if not k.startswith("__")
                 }
             return base  # size-mismatched record: keep our fresh range
         os.unlink(tmp)

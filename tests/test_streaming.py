@@ -2021,10 +2021,13 @@ def test_streaming_near_dedup_curation_exactly_once(spark, tmp_path):
     got = {r["doc_id"] for r in t.to_df().collect()}
     assert got == set(range(10)) | {11, 13}
     assert {r["doc_id"] for r in sig.to_df().collect()} == got
-    # fresh-checkpoint replay with the SAME query id: epoch skip
+    # fresh-checkpoint replay with the SAME query id: epoch skip on
+    # BOTH tables (capture the sidecar count BEFORE the replay -
+    # review r11 caught a self-comparing assert here)
+    n_sigs = sig.to_df().count()
     run("ndck2")
     assert t.to_df().count() == len(got)
-    assert sig.to_df().count() == sig.to_df().count()
+    assert sig.to_df().count() == n_sigs
 
 
 def test_near_dedup_sink_two_table_replay(spark, tmp_path):

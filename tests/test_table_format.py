@@ -1092,3 +1092,41 @@ def test_epoch_record_gc_floor_is_per_query(catalog, spark):
     assert len(left) == 4
     # the idle stream's replay still finds its RECORDED base
     assert t._reserve_identity_epoch("idleq:0", 2) == idle_base
+
+
+def test_epoch_race_branch_skips_query_fingerprint(
+    catalog, spark, monkeypatch
+):
+    """Review r11: the FileExistsError race branch of
+    _reserve_identity_epoch must skip ALL dunder bookkeeping keys when
+    adopting the twin's record - with the r11 __query fingerprint in
+    the record, the old '__n_rows'-only filter fed hex into int()."""
+    import json as _json
+    import os as _os
+
+    t = catalog.create_table(
+        "gold.idrace",
+        spark.createDataFrame([], "rid long, v string").schema,
+        [],
+    )
+    t.set_identity_column("rid", start=1, step=1)
+    t.append(spark.createDataFrame([("seed",)], "v string"))
+    rsv = t._identity_rsv_dir()
+
+    real_link = _os.link
+
+    def racing_link(src, dst, *a, **k):
+        # the concurrent twin records the EPOCH first (with the r11
+        # fingerprint), then our link attempt loses the race; the
+        # identity CAS chain's own links pass through untouched
+        if "epoch-" not in _os.path.basename(dst):
+            return real_link(src, dst, *a, **k)
+        with open(dst, "w") as f:
+            _json.dump(
+                {"rid": 42, "__n_rows": 2, "__query": "abcdef12feed"}, f
+            )
+        raise FileExistsError(dst)
+
+    monkeypatch.setattr(_os, "link", racing_link)
+    base = t._reserve_identity_epoch("raceq:0", 2)
+    assert base == {"rid": 42}  # the twin's range, fingerprint skipped
