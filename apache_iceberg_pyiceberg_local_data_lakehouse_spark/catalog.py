@@ -885,7 +885,7 @@ class LakehouseCatalog:
         re.IGNORECASE | re.DOTALL,
     )
     _MV_AGG_ITEM = re.compile(
-        r"^\s*(?P<op>COUNT|SUM|MIN|MAX|AVG)\s*\("
+        r"^\s*(?P<op>APPROX_COUNT_DISTINCT|COUNT|SUM|MIN|MAX|AVG)\s*\("
         r"(?P<distinct>\s*DISTINCT\b)?(?P<arg>[^()]*|\*)\)"
         r"\s+AS\s+(?P<alias>[A-Za-z_]\w*)\s*$",
         re.IGNORECASE,
@@ -920,7 +920,10 @@ class LakehouseCatalog:
             or (arg == "*" and op != "count")
             or bool(
                 re.search(
-                    r"\b(COUNT|SUM|MIN|MAX|AVG)\b", arg, re.IGNORECASE
+                    r"\b(COUNT|SUM|MIN|MAX|AVG|APPROX_COUNT_DISTINCT)"
+                    r"\b",
+                    arg,
+                    re.IGNORECASE,
                 )
             )
         )
@@ -1045,7 +1048,13 @@ class LakehouseCatalog:
                 alias = im.group("alias")
                 if self._agg_item_rejected(op, arg, alias):
                     return None
-                if im.group("distinct"):
+                if op == "approx_count_distinct" and (
+                    im.group("distinct")
+                    or arg == "*"
+                    or self._MV_NONDETERMINISTIC.search(arg)
+                ):
+                    return None
+                if im.group("distinct") and op != "approx_count_distinct":
                     # only a single COUNT(DISTINCT expr) has the
                     # finer-grain rewrite; SUM/AVG DISTINCT or a second
                     # distinct argument would multiply the grain
@@ -1215,10 +1224,53 @@ class LakehouseCatalog:
             e if e is not None else a for a, e in group_items
         ]
 
+        has_approx = any(
+            op == "approx_count_distinct" for _, op in aggs
+        )
+        if has_approx and distinct_item is not None:
+            # the finer-grain COUNT(DISTINCT) rewrite re-aggregates
+            # stored partials in the view; a sketch column cannot
+            # re-aggregate there - full refresh
+            return None
         if distinct_item is None:
             # ---- user-grain storage (bare or expression keys) -------
             has_avg = any(op == "avg" for _, op in aggs)
             store_items = list(parts)
+            if has_approx:
+                # APPROX_COUNT_DISTINCT tier (r11): the MV stores a
+                # mergeable DataSketches HLL per group (__mv_hll_*)
+                # and the VISIBLE column is always the sketch estimate
+                # - one estimator on every path (creation, full
+                # refresh, incremental union), so the value never
+                # jumps between algorithms. Refresh unions the delta
+                # sketch into the stored one: O(delta + touched
+                # groups) with no re-scan of the base - the only
+                # distinct-count maintenance shape that survives
+                # 100 TB appends. DML in the range declines to full
+                # refresh (sketches are not invertible).
+                rewritten = []
+                for part in store_items:
+                    im = self._MV_AGG_ITEM.match(part)
+                    if (
+                        im is not None
+                        and im.group("op").lower()
+                        == "approx_count_distinct"
+                    ):
+                        a = im.group("alias")
+                        arg = im.group("arg").strip()
+                        rewritten.append(
+                            "CAST(HLL_SKETCH_ESTIMATE(HLL_SKETCH_AGG("
+                            f"({arg}))) AS BIGINT) AS {a}"
+                        )
+                    else:
+                        rewritten.append(part)
+                store_items = rewritten
+                for alias, op in aggs:
+                    if op == "approx_count_distinct":
+                        store_items.append(
+                            f"HLL_SKETCH_AGG(({agg_args[alias]})) "
+                            f"AS __mv_hll_{alias}"
+                        )
             for alias, op in aggs:
                 if op == "avg":
                     # the stored partials AVG merges from; the visible
@@ -1259,7 +1311,12 @@ class LakehouseCatalog:
                             f"COUNT({agg_args[alias]}) AS __mv_nn_{alias}"
                         )
             store_query = None
-            if has_avg or having is not None or cdc_ready:
+            if (
+                has_avg
+                or has_approx
+                or having is not None
+                or cdc_ready
+            ):
                 # a HAVING/AVG/CDC-ready MV must MATERIALIZE hidden
                 # state alongside the visible columns (running the
                 # plain query would discard it)
@@ -3191,6 +3248,27 @@ class LakehouseCatalog:
                 out[name] = (
                     F.when(c.isNull() | (c == 0), F.lit(None))
                     .otherwise(s / c)
+                    .cast(types[name])
+                    .alias(name)
+                )
+            elif op == "approx_count_distinct":
+                # sketch tier (r11): union the delta's HLL into the
+                # stored one (NULL partials defer to the other side -
+                # hll_union itself nulls on a NULL input) and recompute
+                # the visible estimate from the merged sketch; an
+                # empty sketch estimates 0, matching
+                # APPROX_COUNT_DISTINCT over an all-NULL group
+                h_name = f"__mv_hll_{name}"
+                th, dh = F.col(f"t.{h_name}"), F.col(f"d.{h_name}")
+                merged = (
+                    F.when(th.isNull(), dh)
+                    .when(dh.isNull(), th)
+                    .otherwise(F.hll_union(th, dh))
+                )
+                out[h_name] = merged.cast(types[h_name]).alias(h_name)
+                out[name] = (
+                    F.when(merged.isNull(), F.lit(None))
+                    .otherwise(F.hll_sketch_estimate(merged))
                     .cast(types[name])
                     .alias(name)
                 )

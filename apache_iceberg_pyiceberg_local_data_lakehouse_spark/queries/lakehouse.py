@@ -5017,3 +5017,84 @@ def q8r_streaming_near_dedup(
         return spark.createDataFrame(rows, res.schema)
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+@register(
+    "q8s_mv_approx_distinct_sketch",
+    # new in r11, registered behind the judged window (r12 rotation
+    # fodder); certifies the APPROX_COUNT_DISTINCT MV sketch tier
+    # (catalog._mv_agg_spec / _merged_agg_columns): the MV stores a
+    # mergeable DataSketches HLL per group, an append refreshes by
+    # UNIONING the delta sketch into the stored one (commit operation
+    # 'merge' - O(delta), never a base re-scan), and the estimate
+    # stays within the HLL error envelope of the exact distinct
+    # (bound-check judged, the q70 sketch pattern).
+    defer=True,
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS du_exact,
+           TRUE AS sketch_in_bound,
+           TRUE AS incremental_union
+    FROM documents
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def q8s_mv_approx_distinct_sketch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sketch-backed distinct-count MV judged end-to-end on documents:
+    materialize per-language doc counts + APPROX_COUNT_DISTINCT of the
+    source column over two thirds of the corpus, append the remaining
+    third, refresh - which must land as a sketch UNION merge, not a
+    rebuild - and compare the final estimates against the exact
+    distinct (within 5% - at these cardinalities the HLL is exact).
+    At 100 TB this is the only distinct-count maintenance shape that
+    works: the refresh touches O(delta + touched groups)."""
+    from ..catalog import LakehouseCatalog
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_q8s_")
+    try:
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("tmp")
+        d = load(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "source"
+        )
+        t = cat.create_table("tmp.adocs", d.schema)
+        t.append(d.filter(F.col("doc_id") % 3 != 0))
+        cat.create_materialized_view(
+            "tmp.adocs_mv",
+            "SELECT lang, COUNT(*) AS n_docs, "
+            "APPROX_COUNT_DISTINCT(source) AS du_src "
+            "FROM tmp_adocs GROUP BY lang",
+        )
+        t.append(d.filter(F.col("doc_id") % 3 == 0))
+        snap = cat.refresh_materialized_view("tmp.adocs_mv")
+        incremental = snap is not None and snap.operation == "merge"
+        cat.register_views()
+        mv = spark.sql("SELECT * FROM tmp_adocs_mv")
+        exact = d.groupBy("lang").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("source").cast("long").alias("du_exact"),
+        )
+        res = (
+            mv.select("lang", "du_src")
+            .join(exact, on="lang")
+            .select(
+                "lang",
+                "n_docs",
+                "du_exact",
+                (
+                    F.abs(F.col("du_src") - F.col("du_exact"))
+                    <= F.greatest(
+                        F.lit(1), (F.col("du_exact") * 0.05)
+                    )
+                ).alias("sketch_in_bound"),
+                F.lit(incremental).alias("incremental_union"),
+            )
+            .orderBy("lang")
+        )
+        rows = res.collect()  # materialize before the warehouse vanishes
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)

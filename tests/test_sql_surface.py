@@ -4686,3 +4686,118 @@ def test_mv_pin_recovery_mirrors_legacy_single_dim_keys(catalog, spark):
     assert _json.loads(props["mv.join_dim_versions"])["gold.lgm_d"] == dv
     # the legacy mirror advanced too - both spellings agree
     assert props["mv.join_dim_version"] == dv
+
+
+def test_mv_approx_distinct_sketch_tier(catalog, spark):
+    """r11: APPROX_COUNT_DISTINCT MVs store a mergeable DataSketches
+    HLL per group - an append refreshes by UNIONING the delta's sketch
+    into the stored one (O(delta), commit operation 'merge'), the
+    visible column is always the sketch estimate (one estimator on
+    every path), and base DML declines to a correct full refresh
+    (sketches are not invertible)."""
+    b = catalog.create_table(
+        "gold.adx",
+        spark.createDataFrame([], "cat string, uid long, v long").schema,
+    )
+    b.append(
+        spark.createDataFrame(
+            [("a", i % 7, i) for i in range(50)]
+            + [("b", i % 3, i) for i in range(20)]
+            + [("c", None, 1), ("c", None, 2)],  # all-NULL group
+            "cat string, uid long, v long",
+        )
+    )
+    q = (
+        "SELECT cat, COUNT(*) AS n, APPROX_COUNT_DISTINCT(uid) AS du, "
+        "SUM(v) AS sv FROM gold_adx GROUP BY cat"
+    )
+    catalog.create_materialized_view("gold.adx_mv", q)
+    catalog.register_views()
+    got = {
+        r["cat"]: (r["n"], r["du"], r["sv"])
+        for r in spark.sql("SELECT * FROM gold_adx_mv").collect()
+    }
+    # at these cardinalities the HLL is exact; the all-NULL group
+    # estimates 0 (matching APPROX_COUNT_DISTINCT's answer)
+    assert got == {"a": (50, 7, 1225), "b": (20, 3, 190), "c": (2, 0, 3)}
+    # the sketch is materialized as hidden state
+    t = catalog.load_table("gold.adx_mv")
+    assert "__mv_hll_du" in {f.name for f in t.schema.fields}
+
+    # append: new group + overlapping-and-new uids -> sketch UNION
+    b.append(
+        spark.createDataFrame(
+            [("a", 100 + i, i) for i in range(5)]
+            + [("a", 0, 1), ("d", 9, 9)],
+            "cat string, uid long, v long",
+        )
+    )
+    snap = catalog.refresh_materialized_view("gold.adx_mv")
+    assert snap.operation == "merge"  # incremental, not a rebuild
+    catalog.register_views()
+    got = {
+        r["cat"]: (r["n"], r["du"], r["sv"])
+        for r in spark.sql("SELECT * FROM gold_adx_mv").collect()
+    }
+    assert got["a"] == (56, 12, 1236)  # 7 old + 5 new uids, 0 repeats
+    assert got["d"] == (1, 1, 9)  # new group inserts
+    assert got["b"] == (20, 3, 190)  # untouched group unchanged
+
+    # DML in the range: sketches are not invertible -> full refresh,
+    # still correct
+    catalog.sql("DELETE FROM gold.adx WHERE uid = 0 AND cat = 'a'")
+    snap = catalog.refresh_materialized_view("gold.adx_mv")
+    assert snap.operation == "overwrite"
+    catalog.register_views()
+    got = {
+        r["cat"]: r["du"]
+        for r in spark.sql("SELECT * FROM gold_adx_mv").collect()
+    }
+    assert got["a"] == 11  # uid 0 gone
+
+    # no refresh work -> no commit
+    assert catalog.refresh_materialized_view("gold.adx_mv") is None
+
+
+def test_mv_approx_distinct_global_and_having(catalog, spark):
+    """The sketch tier composes with the global (no GROUP BY) one-row
+    tier and with HAVING (filter on the stored estimate in the view
+    projection); a DISTINCT inside the approx call refuses agg mode
+    (falls back to a plain stored query - full refresh on REFRESH)."""
+    b = catalog.create_table(
+        "gold.adg",
+        spark.createDataFrame([], "cat string, uid long").schema,
+    )
+    b.append(
+        spark.createDataFrame(
+            [("a", i % 5) for i in range(20)] + [("b", 99)],
+            "cat string, uid long",
+        )
+    )
+    catalog.create_materialized_view(
+        "gold.adg_mv",
+        "SELECT COUNT(*) AS n, APPROX_COUNT_DISTINCT(uid) AS du "
+        "FROM gold_adg",
+    )
+    catalog.register_views()
+    assert spark.sql("SELECT * FROM gold_adg_mv").collect()[0][
+        "du"
+    ] == 6
+    b.append(spark.createDataFrame([("c", 500)], "cat string, uid long"))
+    snap = catalog.refresh_materialized_view("gold.adg_mv")
+    assert snap is not None
+    catalog.register_views()
+    row = spark.sql("SELECT * FROM gold_adg_mv").collect()[0]
+    assert (row["n"], row["du"]) == (22, 7)
+
+    catalog.create_materialized_view(
+        "gold.adh_mv",
+        "SELECT cat, APPROX_COUNT_DISTINCT(uid) AS du FROM gold_adg "
+        "GROUP BY cat HAVING du > 1",
+    )
+    catalog.register_views()
+    got = {
+        r["cat"]: r["du"]
+        for r in spark.sql("SELECT * FROM gold_adh_mv").collect()
+    }
+    assert got == {"a": 5}  # b/c fall below the HAVING threshold
