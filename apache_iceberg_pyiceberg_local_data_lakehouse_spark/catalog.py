@@ -3397,7 +3397,15 @@ class LakehouseCatalog:
         ):
             return NotImplemented
         if any(
-            op not in ("count", "sum", "min", "max", "avg")
+            op
+            not in (
+                "count",
+                "sum",
+                "min",
+                "max",
+                "avg",
+                "approx_count_distinct",
+            )
             for _n, op in aggs
         ):
             return NotImplemented
@@ -3406,6 +3414,9 @@ class LakehouseCatalog:
         types = {f.name: f.dataType for f in t.schema.fields}
         hidden = {n for n in types if n.startswith("__mv_")}
         avg_aliases = {n for n, op in aggs if op == "avg"}
+        hll_aliases = {
+            n for n, op in aggs if op == "approx_count_distinct"
+        }
         expected = set(group_cols) | {n for n, _ in aggs} | hidden
         if set(types) != expected or not all(
             h == "__mv_rows"
@@ -3417,6 +3428,10 @@ class LakehouseCatalog:
             or (
                 h.startswith("__mv_cnt_")
                 and h[len("__mv_cnt_"):] in avg_aliases
+            )
+            or (
+                h.startswith("__mv_hll_")
+                and h[len("__mv_hll_"):] in hll_aliases
             )
             for h in hidden
         ):
@@ -3460,6 +3475,25 @@ class LakehouseCatalog:
         base = prep(bt.scan(snapshot=bt.snapshot(to_v)))
         agg_exprs = []
         for name, op in aggs:
+            if op == "approx_count_distinct":
+                # creation's exact spelling: the visible value is
+                # ALWAYS the DataSketches estimate, never Spark's
+                # HLL++ approx - one estimator on every path (r11)
+                agg_exprs.append(
+                    F.expr(
+                        "CAST(HLL_SKETCH_ESTIMATE(HLL_SKETCH_AGG("
+                        f"({agg_args[name]}))) AS BIGINT)"
+                    )
+                    .cast(types[name])
+                    .alias(name)
+                )
+                h = f"__mv_hll_{name}"
+                agg_exprs.append(
+                    F.expr(f"HLL_SKETCH_AGG(({agg_args[name]}))")
+                    .cast(types[h])
+                    .alias(h)
+                )
+                continue
             agg_exprs.append(
                 F.expr(f"{op}({agg_args[name]})")
                 .cast(types[name])

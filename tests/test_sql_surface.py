@@ -4743,17 +4743,32 @@ def test_mv_approx_distinct_sketch_tier(catalog, spark):
     assert got["d"] == (1, 1, 9)  # new group inserts
     assert got["b"] == (20, 3, 190)  # untouched group unchanged
 
-    # DML in the range: sketches are not invertible -> full refresh,
-    # still correct
+    # DML in the range: sketches are not invertible, but the
+    # TOUCHED-GROUP recompute tier rebuilds only the changed groups'
+    # sketches from the base - O(changed groups), never the view
     catalog.sql("DELETE FROM gold.adx WHERE uid = 0 AND cat = 'a'")
     snap = catalog.refresh_materialized_view("gold.adx_mv")
-    assert snap.operation == "overwrite"
+    assert snap.summary.get("group_recompute") is True
     catalog.register_views()
     got = {
         r["cat"]: r["du"]
         for r in spark.sql("SELECT * FROM gold_adx_mv").collect()
     }
     assert got["a"] == 11  # uid 0 gone
+    assert got["b"] == 3  # untouched group kept its sketch
+    # the recomputed sketch keeps MERGING on later appends
+    b.append(
+        spark.createDataFrame(
+            [("a", 777, 1)], "cat string, uid long, v long"
+        )
+    )
+    snap = catalog.refresh_materialized_view("gold.adx_mv")
+    assert snap.operation == "merge"
+    catalog.register_views()
+    assert {
+        r["cat"]: r["du"]
+        for r in spark.sql("SELECT * FROM gold_adx_mv").collect()
+    }["a"] == 12
 
     # no refresh work -> no commit
     assert catalog.refresh_materialized_view("gold.adx_mv") is None
