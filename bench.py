@@ -94,6 +94,9 @@ def bench_depth(spark, sf_dir: str) -> dict[str, float]:
       dimension through apply_changes_scd2 (one MERGE, full history).
     - ``quality_classifier_score``: plan-literal scoring fold over the
       documents corpus (fit on the bounded sample is untimed).
+    - ``mv_sketch_union_refresh``: an orders append refreshed into an
+      APPROX_COUNT_DISTINCT MV by HLL union (r11) - O(delta + touched
+      groups) vs the full re-aggregation.
     """
     import shutil
     import tempfile
@@ -238,6 +241,31 @@ def bench_depth(spark, sf_dir: str) -> dict[str, float]:
         print(
             f"# quality_classifier_score: {n} docs in "
             f"{out['quality_classifier_score']:.2f}s",
+            file=sys.stderr,
+        )
+        # ---- sketch-MV union refresh (r11): distinct custkeys per
+        # status; the append refreshes by HLL union - O(delta +
+        # touched groups), never a base re-scan
+        o2 = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_orderstatus", "o_custkey"
+        )
+        so = cat.create_table("bench.aorders", o2.schema)
+        so.append(o2.filter(F.col("o_orderkey") % 4 != 0))
+        cat.create_materialized_view(
+            "bench.approx_mv",
+            "SELECT o_orderstatus, COUNT(*) AS n, "
+            "APPROX_COUNT_DISTINCT(o_custkey) AS du "
+            "FROM bench_aorders GROUP BY o_orderstatus",
+        )
+        so.append(o2.filter(F.col("o_orderkey") % 4 == 0))
+        t0 = time.perf_counter()
+        snap = cat.refresh_materialized_view("bench.approx_mv")
+        out["mv_sketch_union_refresh"] = round(
+            time.perf_counter() - t0, 3
+        )
+        print(
+            f"# mv_sketch_union_refresh: op={snap.operation} "
+            f"({out['mv_sketch_union_refresh']:.2f}s)",
             file=sys.stderr,
         )
     finally:
