@@ -282,3 +282,46 @@ def write_dedup_stream_to_table(
     elif trigger_secs is not None:
         writer = writer.trigger(processingTime=f"{trigger_secs} seconds")
     return writer.start()
+
+
+def near_dedup_append(
+    table: LakehouseTable,
+    sig_table: LakehouseTable,
+    batch_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.9,
+    **kwargs,
+):
+    """Batch twin of :class:`NearDedupSink`: near-dedup-filter ONE
+    batch against the accumulated corpus through the banded signature
+    sidecar and append the survivors (plus their band rows) - the
+    COPY INTO-shaped curation path, sharing the sink's probe so batch
+    and streaming ingestion keep one dedup semantics and one sidecar.
+
+    Returns ``{"appended": n, "dropped": m}``. NOT exactly-once: a
+    re-run of the same batch re-probes the corpus - its ids are now
+    PRESENT in the sidecar, and id-matching corpus rows are excluded
+    from the probe (the re-delivery contract), so re-appending the
+    same ids is the caller's bug to avoid (wrap in the ingest ledger
+    or use the streaming sink for replayable sources)."""
+    sink = NearDedupSink(
+        table,
+        sig_table,
+        query_id="__batch__",
+        text_col=text_col,
+        id_col=id_col,
+        threshold=threshold,
+        **kwargs,
+    )
+    survivors, band_rows = sink._survivors(batch_df)
+    survivors = survivors.localCheckpoint(eager=True)
+    n = survivors.count()
+    if n:
+        table.append(survivors)
+        sig_table.append(
+            band_rows.join(
+                survivors.select(id_col), on=id_col, how="left_semi"
+            )
+        )
+    return {"appended": n, "dropped": batch_df.count() - n}

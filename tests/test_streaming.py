@@ -2095,3 +2095,42 @@ def test_near_dedup_sink_two_table_replay(spark, tmp_path):
     assert (
         sig.to_df().filter("doc_id = 3").count() > 0
     )
+
+
+def test_near_dedup_append_batch_twin(spark, tmp_path):
+    """r11: the batch twin shares the sink's sidecar probe - batch and
+    streaming ingestion keep ONE dedup semantics and one sidecar, so a
+    batch-curated doc blocks a later near-dup in either door."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.streaming.dedup_sink import (
+        NearDedupSink,
+        near_dedup_append,
+    )
+
+    cat, t, sig = _neardedup_tables(spark, tmp_path)
+    out = near_dedup_append(
+        t,
+        sig,
+        spark.createDataFrame(
+            [
+                (0, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+                (1, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11x"),  # intra dup
+                (2, "k1 k2 k3 k4 k5 k6 k7 k8 k9 k10"),
+            ],
+            "doc_id long, text string",
+        ),
+        "text",
+        "doc_id",
+        threshold=0.8,
+    )
+    assert out == {"appended": 2, "dropped": 1}
+    assert {r["doc_id"] for r in t.to_df().collect()} == {0, 2}
+    # the STREAMING door sees the batch-curated corpus
+    sink = NearDedupSink(t, sig, "bq", "text", "doc_id", threshold=0.8)
+    sink(
+        spark.createDataFrame(
+            [(10, "k1 k2 k3 k4 k5 k6 k7 k8 k9 k10 k11x"), (11, "z1 z2 z3 z4 z5")],
+            "doc_id long, text string",
+        ),
+        0,
+    )
+    assert {r["doc_id"] for r in t.to_df().collect()} == {0, 2, 11}
