@@ -4605,6 +4605,10 @@ def test_merge_by_source_conditioned_on_mor_tombstoned_table(
     delete-applying joins scan() builds on a MoR-tombstoned table, so
     a conditioned by-source MERGE right after a merge-on-read DELETE
     used to crash with AnalysisException."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.dml import (
+        delete_where,
+    )
+
     t = catalog.create_table(
         "gold.bsmor",
         spark.createDataFrame([], "k long, v long").schema,
@@ -4618,7 +4622,9 @@ def test_merge_by_source_conditioned_on_mor_tombstoned_table(
         .coalesce(1)
     )
     # merge-on-read DELETE leaves tombstone entries pending
-    t.delete_where(F.col("k") == 11, mode="merge-on-read")
+    delete_where(
+        t, F.col("k") == 11, mode="merge-on-read", positional=True
+    )
     assert catalog.load_table("gold.bsmor").snapshot().delete_entries
     spark.createDataFrame([(1, 99)], "k long, v long").createOrReplaceTempView(
         "bsmorsrc"
