@@ -1826,7 +1826,10 @@ class LakehouseCatalog:
                         # alongside the visible columns, so base DML
                         # (fact OR a single dim) can refresh from the
                         # signed changelog instead of re-running the
-                        # whole star join
+                        # whole star join. APPROX_COUNT_DISTINCT
+                        # instead stores a mergeable HLL sketch per
+                        # group (__mv_hll_*) so fact appends union
+                        # instead of re-scanning the star (r11)
                         props["mv.store_query"] = store_query
         src = self.spark.sql(
             props.get("mv.store_query", sql_text)
@@ -3223,6 +3226,20 @@ class LakehouseCatalog:
             merged = F.greatest(tv, dv)
         return F.when(tv.isNull(), dv).when(dv.isNull(), tv).otherwise(merged)
 
+    @staticmethod
+    def _missing_hll_state(t: LakehouseTable, aggs: list) -> bool:
+        """True when an APPROX_COUNT_DISTINCT aggregate has no stored
+        ``__mv_hll_`` sketch column - an MV created before the sketch
+        tier materialized the state. Merging is impossible (the
+        estimate alone cannot union); callers decline to full refresh,
+        which is always correct."""
+        names = {f.name for f in t.schema.fields}
+        return any(
+            op == "approx_count_distinct"
+            and f"__mv_hll_{name}" not in names
+            for name, op in aggs
+        )
+
     def _merged_agg_columns(
         self, t: LakehouseTable, aggs: list
     ) -> dict[str, "F.Column"]:
@@ -3668,6 +3685,8 @@ class LakehouseCatalog:
 
         from .dml import merge_into
 
+        if self._missing_hll_state(t, aggs):
+            return NotImplemented  # pre-sketch-tier approx MV
         if not inc.count():
             return t.snapshot()
         has_null_key = (
@@ -3826,12 +3845,25 @@ class LakehouseCatalog:
     def _join_store_query(
         self, sql_text: str, aggs: list, agg_args: dict
     ) -> str | None:
-        """The join-agg MV's materialization query WITH CDC hidden
-        state (``COUNT(*) AS __mv_rows`` plus ``COUNT(arg) AS
-        __mv_nn_<alias>`` per SUM), or None when the aggregate set is
-        not CDC-invertible: any MIN/MAX (not invertible), or a
-        non-integral SUM (float subtraction is inexact). Mirrors the
-        single-table tier's cdc_ready discipline."""
+        """The join-agg MV's materialization query with hidden state,
+        or None when the plain query needs none. Two tiers, mirroring
+        the single-table discipline:
+
+        - CDC-invertible set (COUNT/integral-SUM only): materialize
+          ``COUNT(*) AS __mv_rows`` plus ``COUNT(arg) AS
+          __mv_nn_<alias>`` per SUM, so base DML refreshes from the
+          signed changelog. Any MIN/MAX (not invertible) or a
+          non-integral SUM (float subtraction is inexact) declines.
+        - APPROX_COUNT_DISTINCT present (sketch tier, r11): store a
+          mergeable DataSketches HLL per group (``__mv_hll_<alias>``)
+          and rewrite the visible column to the SKETCH estimate - one
+          estimator on every path (creation, append union, full
+          refresh), never Spark's HLL++, so the value cannot jump
+          between algorithms. Fact appends union the delta sketch into
+          the stored one (O(delta + touched groups)); sketches are not
+          invertible, so no CDC state is stored and any DML / moved
+          dim full-refreshes (which re-runs THIS query - still the
+          sketch estimator)."""
         from pyspark.sql.types import IntegerType, LongType
 
         m = self._MV_JOIN_AGG_SHAPE.match(sql_text)
@@ -3844,7 +3876,10 @@ class LakehouseCatalog:
             }
         except Exception:
             return None
-        if not all(
+        has_approx = any(
+            op == "approx_count_distinct" for _, op in aggs
+        )
+        cdc_ready = not has_approx and all(
             op == "count"
             or (
                 op == "sum"
@@ -3853,14 +3888,40 @@ class LakehouseCatalog:
                 )
             )
             for alias, op in aggs
-        ):
+        )
+        if not (cdc_ready or has_approx):
             return None
-        items = [m.group("items").strip(), "COUNT(*) AS __mv_rows"]
-        for alias, op in aggs:
-            if op == "sum":
-                items.append(
-                    f"COUNT({agg_args[alias]}) AS __mv_nn_{alias}"
-                )
+        if has_approx:
+            items = []
+            for part in _split_top_level(m.group("items")):
+                part = part.strip()
+                im = self._MV_AGG_ITEM.match(part)
+                if (
+                    im is not None
+                    and im.group("op").lower()
+                    == "approx_count_distinct"
+                ):
+                    a = im.group("alias")
+                    arg = im.group("arg").strip()
+                    items.append(
+                        "CAST(HLL_SKETCH_ESTIMATE(HLL_SKETCH_AGG("
+                        f"({arg}))) AS BIGINT) AS {a}"
+                    )
+                else:
+                    items.append(part)
+            for alias, op in aggs:
+                if op == "approx_count_distinct":
+                    items.append(
+                        f"HLL_SKETCH_AGG(({agg_args[alias]})) "
+                        f"AS __mv_hll_{alias}"
+                    )
+        else:
+            items = [m.group("items").strip(), "COUNT(*) AS __mv_rows"]
+            for alias, op in aggs:
+                if op == "sum":
+                    items.append(
+                        f"COUNT({agg_args[alias]}) AS __mv_nn_{alias}"
+                    )
         q = (
             f"SELECT {', '.join(items)} FROM {m.group('f')} "
             f"{m.group('joins')}"
@@ -4352,6 +4413,8 @@ class LakehouseCatalog:
             # replaces the contents atomically - O(1) either way
             from .dml import overwrite_partitions
 
+            if self._missing_hll_state(t, aggs):
+                return NotImplemented  # pre-sketch-tier approx MV
             joined = inc.alias("d").crossJoin(t.to_df().alias("t"))
             by_name = self._merged_agg_columns(t, aggs)
             merged_cols = [by_name[f.name] for f in t.schema.fields]

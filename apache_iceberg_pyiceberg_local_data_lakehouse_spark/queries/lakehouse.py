@@ -5020,6 +5020,108 @@ def q8r_streaming_near_dedup(
 
 
 @register(
+    "q8t_mv_join_approx_sketch",
+    # new in r11 (late), registered behind the judged window (r12
+    # rotation fodder); certifies the JOIN-MV sketch tier
+    # (catalog._join_store_query): an APPROX_COUNT_DISTINCT over a
+    # two-dim star (orders x customer x nation) materializes a
+    # mergeable HLL per group alongside the SKETCH estimate, and a
+    # fact append refreshes by sketch UNION (commit operation 'merge',
+    # O(delta + touched groups)) - never a star re-scan. Exact COUNT
+    # and exact-distinct columns carry the judged hash; the sketch
+    # feeds the bound flag (the q70/q8s pattern).
+    defer=True,
+    oracle="""
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS du_exact,
+           TRUE AS sketch_in_bound,
+           TRUE AS incremental_union
+    FROM orders JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY n_name
+    """,
+)
+def q8t_mv_join_approx_sketch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sketch-backed distinct-count MV over a STAR JOIN, judged
+    end-to-end: materialize per-nation order counts +
+    APPROX_COUNT_DISTINCT of the ordering customer over two thirds of
+    the fact, append the remaining third, refresh - which must land as
+    a sketch-UNION merge against the pinned dims, not a star rebuild -
+    and compare the final estimates against the exact distinct (within
+    5%). At 100 TB this is the only distinct-count star-maintenance
+    shape that works: the refresh unions O(delta) sketches while the
+    dims stay pinned; a moved dim or fact DML full-refreshes (sketches
+    are not invertible), which is always correct."""
+    from ..catalog import LakehouseCatalog
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_q8t_")
+    try:
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("tmp")
+        o = load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey"
+        )
+        c = load(spark, sf_dir, "customer").select(
+            "c_custkey", "c_nationkey"
+        )
+        n = load(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name"
+        )
+        ft = cat.create_table("tmp.jord", o.schema)
+        ft.append(o.filter(F.col("o_orderkey") % 3 != 0))
+        for ident, df in (("tmp.jcust", c), ("tmp.jnat", n)):
+            dt = cat.create_table(ident, df.schema)
+            dt.append(df)
+        cat.create_materialized_view(
+            "tmp.jord_mv",
+            "SELECT n_name, COUNT(*) AS n_orders, "
+            "APPROX_COUNT_DISTINCT(o_custkey) AS du_cust "
+            "FROM tmp_jord "
+            "JOIN tmp_jcust ON tmp_jord.o_custkey = tmp_jcust.c_custkey "
+            "JOIN tmp_jnat ON tmp_jcust.c_nationkey = tmp_jnat.n_nationkey "
+            "GROUP BY n_name",
+        )
+        ft.append(o.filter(F.col("o_orderkey") % 3 == 0))
+        snap = cat.refresh_materialized_view("tmp.jord_mv")
+        incremental = snap is not None and snap.operation == "merge"
+        cat.register_views()
+        mv = spark.sql("SELECT * FROM tmp_jord_mv")
+        exact = (
+            o.join(c, o.o_custkey == c.c_custkey)
+            .join(n, c.c_nationkey == n.n_nationkey)
+            .groupBy("n_name")
+            .agg(
+                F.countDistinct("o_custkey")
+                .cast("long")
+                .alias("du_exact"),
+            )
+        )
+        res = (
+            mv.join(exact, on="n_name")
+            .select(
+                "n_name",
+                F.col("n_orders").cast("long").alias("n_orders"),
+                "du_exact",
+                (
+                    F.abs(F.col("du_cust") - F.col("du_exact"))
+                    <= F.greatest(
+                        F.lit(1), (F.col("du_exact") * 0.05)
+                    )
+                ).alias("sketch_in_bound"),
+                F.lit(incremental).alias("incremental_union"),
+            )
+            .orderBy("n_name")
+        )
+        rows = res.collect()  # materialize before the warehouse vanishes
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+@register(
     "q8s_mv_approx_distinct_sketch",
     # new in r11, registered behind the judged window (r12 rotation
     # fodder); certifies the APPROX_COUNT_DISTINCT MV sketch tier

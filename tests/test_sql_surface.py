@@ -4822,3 +4822,165 @@ def test_mv_approx_distinct_global_and_having(catalog, spark):
         for r in spark.sql("SELECT * FROM gold_adh_mv").collect()
     }
     assert got == {"a": 5}  # b/c fall below the HAVING threshold
+
+
+def test_mv_join_approx_distinct_sketch_tier(catalog, spark):
+    """r11 (late): the sketch tier composes with the JOIN-MV star. The
+    store query materializes a mergeable HLL per group alongside the
+    visible SKETCH estimate (one estimator on every path - pre-fix,
+    creation used Spark's HLL++ and the first fact append CRASHED with
+    KeyError __mv_hll_*), fact appends refresh by sketch UNION
+    ('merge' commit, O(delta), never a star re-scan), and sketches are
+    NOT invertible so no CDC state is stored: fact DML and moved dims
+    decline to a correct full refresh that re-runs the store query -
+    still the sketch estimator."""
+    f = catalog.create_table(
+        "gold.jfact",
+        spark.createDataFrame(
+            [], "k long, u string, v long"
+        ).schema,
+    )
+    f.append(
+        spark.createDataFrame(
+            [(i % 3, f"u{i % 11}", i) for i in range(40)],
+            "k long, u string, v long",
+        )
+    )
+    d = catalog.create_table(
+        "gold.jdim",
+        spark.createDataFrame([], "k long, lbl string").schema,
+    )
+    d.append(
+        spark.createDataFrame(
+            [(0, "x"), (1, "y"), (2, "y")], "k long, lbl string"
+        )
+    )
+    catalog.register_views()
+    catalog.create_materialized_view(
+        "gold.jad_mv",
+        "SELECT lbl, COUNT(*) AS n, APPROX_COUNT_DISTINCT(u) AS du "
+        "FROM gold_jfact JOIN gold_jdim ON gold_jfact.k = gold_jdim.k "
+        "GROUP BY lbl",
+    )
+    t = catalog.load_table("gold.jad_mv")
+    names = {fld.name for fld in t.schema.fields}
+    assert "__mv_hll_du" in names  # sketch state materialized
+    assert "__mv_rows" not in names  # sketches gate the CDC tier off
+
+    def readback():
+        catalog.register_views()
+        return {
+            r["lbl"]: (r["n"], r["du"])
+            for r in spark.sql("SELECT * FROM gold_jad_mv").collect()
+        }
+
+    # k%3==0 -> 14 rows (u0..u9,u10 subset), exact at this cardinality
+    exact = {
+        "x": (14, len({f"u{i % 11}" for i in range(40) if i % 3 == 0})),
+        "y": (26, len({f"u{i % 11}" for i in range(40) if i % 3 != 0})),
+    }
+    assert readback() == exact
+
+    # fact append: new uids in one group -> sketch UNION, merge commit
+    f.append(
+        spark.createDataFrame(
+            [(0, "zz1", 1), (0, "u0", 2), (2, "zz2", 3)],
+            "k long, u string, v long",
+        )
+    )
+    snap = catalog.refresh_materialized_view("gold.jad_mv")
+    assert snap.operation == "merge"  # incremental, not a rebuild
+    got = readback()
+    assert got["x"] == (16, exact["x"][1] + 1)  # zz1 new, u0 repeat
+    assert got["y"] == (27, exact["y"][1] + 1)
+
+    # visible column == DataSketches estimate of the stored sketch
+    # (the one-estimator invariant, checked against the raw state)
+    raw = catalog.load_table("gold.jad_mv").to_df().selectExpr(
+        "du",
+        "CAST(HLL_SKETCH_ESTIMATE(__mv_hll_du) AS BIGINT) AS est",
+    )
+    assert all(r["du"] == r["est"] for r in raw.collect())
+
+    # a moved dim cannot union or subtract a sketch: full refresh,
+    # still correct and still the sketch estimator
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark import dml
+
+    dml.update_where(
+        catalog.load_table("gold.jdim"),
+        F.col("k") == 2,
+        {"lbl": F.lit("x")},
+    )
+    catalog.refresh_materialized_view("gold.jad_mv")
+    got = readback()
+    # k in {0,2} now both 'x': 14+13+3 appended rows = 30 rows
+    assert got["x"][0] == 30 and got["y"][0] == 13
+    # and the refreshed MV keeps MERGING on later fact appends
+    f.append(
+        spark.createDataFrame(
+            [(1, "zz3", 5)], "k long, u string, v long"
+        )
+    )
+    snap = catalog.refresh_materialized_view("gold.jad_mv")
+    assert snap.operation == "merge"
+    assert readback()["y"] == (14, got["y"][1] + 1)
+
+    # up to date -> no commit
+    assert catalog.refresh_materialized_view("gold.jad_mv") is None
+
+
+def test_mv_join_approx_legacy_without_state_full_refreshes(
+    catalog, spark
+):
+    """A join MV whose properties claim an approx aggregate but whose
+    table has no ``__mv_hll_`` state (created before the sketch tier)
+    must decline the merge and full-refresh - pre-fix this path
+    CRASHED with KeyError on the first fact append."""
+    f = catalog.create_table(
+        "gold.lfact",
+        spark.createDataFrame([], "k long, u string").schema,
+    )
+    f.append(
+        spark.createDataFrame(
+            [(0, "a"), (0, "b"), (1, "a")], "k long, u string"
+        )
+    )
+    d = catalog.create_table(
+        "gold.ldim",
+        spark.createDataFrame([], "k long, lbl string").schema,
+    )
+    d.append(
+        spark.createDataFrame([(0, "x"), (1, "y")], "k long, lbl string")
+    )
+    catalog.register_views()
+    catalog.create_materialized_view(
+        "gold.lad_mv",
+        "SELECT lbl, APPROX_COUNT_DISTINCT(u) AS du FROM gold_lfact "
+        "JOIN gold_ldim ON gold_lfact.k = gold_ldim.k GROUP BY lbl",
+    )
+    # simulate the legacy layout: strip the store query and rebuild the
+    # table WITHOUT the hidden sketch column (visible estimate only)
+    t = catalog.load_table("gold.lad_mv")
+    legacy_props = {
+        k: v
+        for k, v in t.properties().items()
+        if k.startswith("mv.") and k != "mv.store_query"
+    }
+    catalog.drop_table("gold.lad_mv")
+    catalog.register_views()
+    lt = catalog.create_table(
+        "gold.lad_mv",
+        spark.sql(legacy_props["mv.query"]).schema,
+    )
+    lt.append(spark.sql(legacy_props["mv.query"]))
+    lt.set_properties(**legacy_props)
+
+    f.append(spark.createDataFrame([(0, "c")], "k long, u string"))
+    snap = catalog.refresh_materialized_view("gold.lad_mv")
+    assert snap is not None and snap.operation != "merge"  # full, no crash
+    catalog.register_views()
+    got = {
+        r["lbl"]: r["du"]
+        for r in spark.sql("SELECT * FROM gold_lad_mv").collect()
+    }
+    assert got == {"x": 3, "y": 1}
