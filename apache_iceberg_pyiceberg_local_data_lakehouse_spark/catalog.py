@@ -928,6 +928,56 @@ class LakehouseCatalog:
             )
         )
 
+    # the ONE estimator spelling every sketch-MV path shares: the
+    # visible distinct count is ALWAYS the DataSketches estimate
+    # (creation, append union, full refresh, touched-group recompute) -
+    # never Spark's HLL++ approx, so the value cannot jump between
+    # algorithms (review r11: three hand-rolled copies had to agree)
+    _HLL_EST_FMT = (
+        "CAST(HLL_SKETCH_ESTIMATE(HLL_SKETCH_AGG(({arg}))) AS BIGINT)"
+    )
+    _HLL_AGG_FMT = "HLL_SKETCH_AGG(({arg}))"
+
+    def _approx_rewrite_items(
+        self, parts: list[str], aggs: list, agg_args: dict
+    ) -> list[str]:
+        """Rewrite APPROX_COUNT_DISTINCT select items so the VISIBLE
+        column is the DataSketches estimate and append the mergeable
+        ``__mv_hll_`` sketch columns - shared by the single-table and
+        join store-query builders."""
+        items = []
+        for part in parts:
+            im = self._MV_AGG_ITEM.match(part)
+            if (
+                im is not None
+                and im.group("op").lower() == "approx_count_distinct"
+            ):
+                a = im.group("alias")
+                arg = im.group("arg").strip()
+                items.append(
+                    self._HLL_EST_FMT.format(arg=arg) + f" AS {a}"
+                )
+            else:
+                items.append(part)
+        for alias, op in aggs:
+            if op == "approx_count_distinct":
+                items.append(
+                    self._HLL_AGG_FMT.format(arg=agg_args[alias])
+                    + f" AS __mv_hll_{alias}"
+                )
+        return items
+
+    def _analyzes(self, query: str) -> bool:
+        """True when ``query`` passes Spark analysis over the current
+        views - the gate a REWRITTEN store query must clear before the
+        MV commits to it (a sketch rewrite can turn a valid user query
+        into an invalid one, e.g. HLL_SKETCH_AGG over a DOUBLE)."""
+        try:
+            self.spark.sql(query).schema
+            return True
+        except Exception:
+            return False
+
     def _mv_agg_spec(
         self, sql_text: str
     ) -> (
@@ -1248,29 +1298,9 @@ class LakehouseCatalog:
                 # distinct-count maintenance shape that survives
                 # 100 TB appends. DML in the range declines to full
                 # refresh (sketches are not invertible).
-                rewritten = []
-                for part in store_items:
-                    im = self._MV_AGG_ITEM.match(part)
-                    if (
-                        im is not None
-                        and im.group("op").lower()
-                        == "approx_count_distinct"
-                    ):
-                        a = im.group("alias")
-                        arg = im.group("arg").strip()
-                        rewritten.append(
-                            "CAST(HLL_SKETCH_ESTIMATE(HLL_SKETCH_AGG("
-                            f"({arg}))) AS BIGINT) AS {a}"
-                        )
-                    else:
-                        rewritten.append(part)
-                store_items = rewritten
-                for alias, op in aggs:
-                    if op == "approx_count_distinct":
-                        store_items.append(
-                            f"HLL_SKETCH_AGG(({agg_args[alias]})) "
-                            f"AS __mv_hll_{alias}"
-                        )
+                store_items = self._approx_rewrite_items(
+                    store_items, aggs, agg_args
+                )
             for alias, op in aggs:
                 if op == "avg":
                     # the stored partials AVG merges from; the visible
@@ -1330,6 +1360,17 @@ class LakehouseCatalog:
                     store_query += (
                         f" GROUP BY {', '.join(group_by_sql)}"
                     )
+                if has_approx and not self._analyzes(store_query):
+                    # HLL_SKETCH_AGG rejects this argument (a type
+                    # outside INT/BIGINT/STRING/BINARY, or the rsd
+                    # form APPROX_COUNT_DISTINCT(x, 0.05) whose
+                    # parenthesized arg becomes a struct): no
+                    # mergeable sketch state is possible, so decline
+                    # agg mode entirely - the plain full-refresh MV
+                    # keeps the NATIVE estimator on every path
+                    # (review r11: the unvalidated rewrite crashed MV
+                    # creation with AnalysisException)
+                    return None
             return (
                 idents[0],
                 group_cols,
@@ -1793,6 +1834,22 @@ class LakehouseCatalog:
                     props["mv.having"] = having
             else:
                 join_spec = self._mv_join_agg_spec(sql_text)
+                if join_spec is not None and any(
+                    op == "approx_count_distinct"
+                    for _, op in join_spec[3]
+                ):
+                    # an approx aggregate whose sketch store query
+                    # cannot materialize (incompatible arg type, rsd
+                    # form) has nothing mergeable: decline join_agg
+                    # mode entirely - the plain full-refresh MV keeps
+                    # the native estimator on every path (review r11)
+                    if (
+                        self._join_store_query(
+                            sql_text, join_spec[3], join_spec[4]
+                        )
+                        is None
+                    ):
+                        join_spec = None
                 if join_spec is not None:
                     fact, dims, group_cols, aggs, agg_args = join_spec
                     props["mv.base_table"] = fact
@@ -3411,6 +3468,11 @@ class LakehouseCatalog:
             not group_cols
             or "mv.view_agg" in props
             or props.get("mv.having")
+            # an approx MV without its __mv_hll_ sketch column (pre-
+            # sketch-tier layout) cannot recompute the stored state
+            # (review r11: this path crashed with KeyError instead of
+            # declining to the always-correct full refresh)
+            or self._missing_hll_state(t, aggs)
         ):
             return NotImplemented
         if any(
@@ -3493,20 +3555,18 @@ class LakehouseCatalog:
         agg_exprs = []
         for name, op in aggs:
             if op == "approx_count_distinct":
-                # creation's exact spelling: the visible value is
-                # ALWAYS the DataSketches estimate, never Spark's
-                # HLL++ approx - one estimator on every path (r11)
+                # creation's exact spelling (shared _HLL_*_FMT): the
+                # visible value is ALWAYS the DataSketches estimate,
+                # never Spark's HLL++ approx - one estimator on every
+                # path (r11)
                 agg_exprs.append(
-                    F.expr(
-                        "CAST(HLL_SKETCH_ESTIMATE(HLL_SKETCH_AGG("
-                        f"({agg_args[name]}))) AS BIGINT)"
-                    )
+                    F.expr(self._HLL_EST_FMT.format(arg=agg_args[name]))
                     .cast(types[name])
                     .alias(name)
                 )
                 h = f"__mv_hll_{name}"
                 agg_exprs.append(
-                    F.expr(f"HLL_SKETCH_AGG(({agg_args[name]}))")
+                    F.expr(self._HLL_AGG_FMT.format(arg=agg_args[name]))
                     .cast(types[h])
                     .alias(h)
                 )
@@ -3892,29 +3952,11 @@ class LakehouseCatalog:
         if not (cdc_ready or has_approx):
             return None
         if has_approx:
-            items = []
-            for part in _split_top_level(m.group("items")):
-                part = part.strip()
-                im = self._MV_AGG_ITEM.match(part)
-                if (
-                    im is not None
-                    and im.group("op").lower()
-                    == "approx_count_distinct"
-                ):
-                    a = im.group("alias")
-                    arg = im.group("arg").strip()
-                    items.append(
-                        "CAST(HLL_SKETCH_ESTIMATE(HLL_SKETCH_AGG("
-                        f"({arg}))) AS BIGINT) AS {a}"
-                    )
-                else:
-                    items.append(part)
-            for alias, op in aggs:
-                if op == "approx_count_distinct":
-                    items.append(
-                        f"HLL_SKETCH_AGG(({agg_args[alias]})) "
-                        f"AS __mv_hll_{alias}"
-                    )
+            items = self._approx_rewrite_items(
+                [p.strip() for p in _split_top_level(m.group("items"))],
+                aggs,
+                agg_args,
+            )
         else:
             items = [m.group("items").strip(), "COUNT(*) AS __mv_rows"]
             for alias, op in aggs:
@@ -3928,7 +3970,16 @@ class LakehouseCatalog:
         )
         if m.group("where"):
             q += f" WHERE {m.group('where')}"
-        return q + f" GROUP BY {m.group('keys')}"
+        q += f" GROUP BY {m.group('keys')}"
+        if has_approx and not self._analyzes(q):
+            # HLL_SKETCH_AGG rejects this argument (a type outside
+            # INT/BIGINT/STRING/BINARY, or the rsd form
+            # APPROX_COUNT_DISTINCT(x, 0.05) whose parenthesized arg
+            # becomes a struct): no mergeable sketch state is
+            # possible (review r11: the unvalidated rewrite crashed
+            # MV creation). The caller declines join_agg mode.
+            return None
+        return q
 
     def _join_cdc_refresh(
         self,
@@ -4195,23 +4246,39 @@ class LakehouseCatalog:
                         t.set_properties(**upd)
                         return snap
             else:
-                delta.createOrReplaceTempView(self.view_name(fact_ident))
-                inc = self.spark.sql(store_sql).localCheckpoint(
-                    eager=True
-                )
-                # restore the fact's public view immediately (the MV
-                # watcher / concurrent-reader discipline, r8 finding)
-                ft.scan(
-                    snapshot=ft.snapshot(fact_v)
-                ).createOrReplaceTempView(self.view_name(fact_ident))
-                upd = self._base_pin_props_for(ft, fact_v, dim_repin)
-                snap = self._merge_agg_delta(
-                    t, props, inc, pin_updates=upd
-                )
-                if snap is not NotImplemented:
-                    t.set_properties(**upd)
-                    return snap
-                # NULL group key in the delta: fall through to full
+                if self._missing_hll_state(
+                    t, json.loads(props["mv.aggs"])
+                ):
+                    # legacy approx MV (no stored sketch): the merge
+                    # would only decline AFTER aggregating the delta -
+                    # skip the wasted pass, full-refresh directly
+                    # (review r11)
+                    pass
+                else:
+                    delta.createOrReplaceTempView(
+                        self.view_name(fact_ident)
+                    )
+                    inc = self.spark.sql(store_sql).localCheckpoint(
+                        eager=True
+                    )
+                    # restore the fact's public view immediately (the
+                    # MV watcher / concurrent-reader discipline, r8
+                    # finding)
+                    ft.scan(
+                        snapshot=ft.snapshot(fact_v)
+                    ).createOrReplaceTempView(
+                        self.view_name(fact_ident)
+                    )
+                    upd = self._base_pin_props_for(
+                        ft, fact_v, dim_repin
+                    )
+                    snap = self._merge_agg_delta(
+                        t, props, inc, pin_updates=upd
+                    )
+                    if snap is not NotImplemented:
+                        t.set_properties(**upd)
+                        return snap
+                    # NULL group key in delta: fall through to full
         if (
             not all_pinned
             and len(moved) == 1

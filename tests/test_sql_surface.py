@@ -4929,6 +4929,126 @@ def test_mv_join_approx_distinct_sketch_tier(catalog, spark):
     assert catalog.refresh_materialized_view("gold.jad_mv") is None
 
 
+def test_mv_approx_incompatible_arg_declines_to_plain(catalog, spark):
+    """review r11: HLL_SKETCH_AGG accepts only INT/BIGINT/STRING/
+    BINARY, and the two-arg rsd form APPROX_COUNT_DISTINCT(x, 0.05)
+    rewrites to a struct argument - both used to CRASH MV creation
+    with AnalysisException once the sketch rewrite was attempted. The
+    store query is now validated before the MV commits to it; on
+    failure the MV declines agg/join_agg mode entirely and stays a
+    plain full-refresh MV with the NATIVE estimator on every path."""
+    b = catalog.create_table(
+        "gold.inc_f",
+        spark.createDataFrame([], "k long, x double").schema,
+    )
+    b.append(
+        spark.createDataFrame(
+            [(1, 2.5), (2, 3.5), (1, 2.5)], "k long, x double"
+        )
+    )
+    d = catalog.create_table(
+        "gold.inc_d",
+        spark.createDataFrame([], "k long, lbl string").schema,
+    )
+    d.append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, lbl string")
+    )
+    catalog.register_views()
+
+    # DOUBLE argument, single-table and join tiers
+    mv1 = catalog.create_materialized_view(
+        "gold.inc_m1",
+        "SELECT k, APPROX_COUNT_DISTINCT(x) AS dx FROM gold_inc_f "
+        "GROUP BY k",
+    )
+    assert mv1.properties().get("mv.refresh_mode") is None
+    assert "mv.store_query" not in mv1.properties()
+    mv2 = catalog.create_materialized_view(
+        "gold.inc_m2",
+        "SELECT lbl, APPROX_COUNT_DISTINCT(x) AS dx FROM gold_inc_f "
+        "JOIN gold_inc_d ON gold_inc_f.k = gold_inc_d.k GROUP BY lbl",
+    )
+    assert mv2.properties().get("mv.refresh_mode") is None
+
+    # rsd two-arg form, both tiers
+    mv3 = catalog.create_materialized_view(
+        "gold.inc_m3",
+        "SELECT k, APPROX_COUNT_DISTINCT(x, 0.05) AS dx "
+        "FROM gold_inc_f GROUP BY k",
+    )
+    assert mv3.properties().get("mv.refresh_mode") is None
+    mv4 = catalog.create_materialized_view(
+        "gold.inc_m4",
+        "SELECT lbl, APPROX_COUNT_DISTINCT(x, 0.05) AS dx "
+        "FROM gold_inc_f JOIN gold_inc_d ON gold_inc_f.k = "
+        "gold_inc_d.k GROUP BY lbl",
+    )
+    assert mv4.properties().get("mv.refresh_mode") is None
+
+    # the plain MVs still refresh correctly (full re-run)
+    b.append(spark.createDataFrame([(1, 9.9)], "k long, x double"))
+    catalog.refresh_materialized_view("gold.inc_m1")
+    catalog.refresh_materialized_view("gold.inc_m2")
+    catalog.register_views()
+    assert {
+        r["k"]: r["dx"]
+        for r in spark.sql("SELECT * FROM gold_inc_m1").collect()
+    } == {1: 2, 2: 1}
+    assert {
+        r["lbl"]: r["dx"]
+        for r in spark.sql("SELECT * FROM gold_inc_m2").collect()
+    } == {"a": 2, "b": 1}
+
+
+def test_mv_approx_legacy_single_table_dml_full_refreshes(
+    catalog, spark
+):
+    """review r11: a single-table approx MV WITHOUT its __mv_hll_
+    state (pre-sketch-tier layout) under base DML used to reach
+    _cdc_group_recompute and crash with KeyError '__mv_hll_*' - the
+    column-shape gate passed vacuously on an empty hidden set. It now
+    declines there too, and the refresh lands as a correct full
+    overwrite."""
+    b = catalog.create_table(
+        "gold.leg_f",
+        spark.createDataFrame([], "k long, v long").schema,
+    )
+    b.append(
+        spark.createDataFrame(
+            [(1, 10), (1, 30), (2, 20)], "k long, v long"
+        )
+    )
+    catalog.register_views()
+    catalog.create_materialized_view(
+        "gold.leg_mv",
+        "SELECT k, APPROX_COUNT_DISTINCT(v) AS dv FROM gold_leg_f "
+        "GROUP BY k",
+    )
+    t = catalog.load_table("gold.leg_mv")
+    legacy_props = {
+        k: v
+        for k, v in t.properties().items()
+        if k.startswith("mv.") and k != "mv.store_query"
+    }
+    catalog.drop_table("gold.leg_mv")
+    catalog.register_views()
+    lt = catalog.create_table(
+        "gold.leg_mv",
+        spark.sql(legacy_props["mv.query"]).schema,
+    )
+    lt.append(spark.sql(legacy_props["mv.query"]))
+    lt.set_properties(**legacy_props)
+
+    catalog.sql("DELETE FROM gold.leg_f WHERE v = 30")
+    snap = catalog.refresh_materialized_view("gold.leg_mv")
+    assert snap is not None and snap.operation != "merge"
+    catalog.register_views()
+    assert {
+        r["k"]: r["dv"]
+        for r in spark.sql("SELECT * FROM gold_leg_mv").collect()
+    } == {1: 1, 2: 1}
+
+
 def test_mv_join_approx_legacy_without_state_full_refreshes(
     catalog, spark
 ):
