@@ -885,7 +885,8 @@ class LakehouseCatalog:
         re.IGNORECASE | re.DOTALL,
     )
     _MV_AGG_ITEM = re.compile(
-        r"^\s*(?P<op>APPROX_COUNT_DISTINCT|COUNT|SUM|MIN|MAX|AVG)\s*\("
+        r"^\s*(?P<op>APPROX_COUNT_DISTINCT|APPROX_PERCENTILE|"
+        r"COUNT|SUM|MIN|MAX|AVG)\s*\("
         r"(?P<distinct>\s*DISTINCT\b)?(?P<arg>[^()]*|\*)\)"
         r"\s+AS\s+(?P<alias>[A-Za-z_]\w*)\s*$",
         re.IGNORECASE,
@@ -920,8 +921,8 @@ class LakehouseCatalog:
             or (arg == "*" and op != "count")
             or bool(
                 re.search(
-                    r"\b(COUNT|SUM|MIN|MAX|AVG|APPROX_COUNT_DISTINCT)"
-                    r"\b",
+                    r"\b(COUNT|SUM|MIN|MAX|AVG|APPROX_COUNT_DISTINCT"
+                    r"|APPROX_PERCENTILE)\b",
                     arg,
                     re.IGNORECASE,
                 )
@@ -929,34 +930,94 @@ class LakehouseCatalog:
         )
 
     # the ONE estimator spelling every sketch-MV path shares: the
-    # visible distinct count is ALWAYS the DataSketches estimate
-    # (creation, append union, full refresh, touched-group recompute) -
-    # never Spark's HLL++ approx, so the value cannot jump between
-    # algorithms (review r11: three hand-rolled copies had to agree)
+    # visible distinct count / quantile is ALWAYS the DataSketches
+    # estimate (creation, append union, full refresh, touched-group
+    # recompute) - never Spark's HLL++/GK approx, so the value cannot
+    # jump between algorithms (review r11: hand-rolled copies had to
+    # agree)
     _HLL_EST_FMT = (
         "CAST(HLL_SKETCH_ESTIMATE(HLL_SKETCH_AGG(({arg}))) AS BIGINT)"
     )
     _HLL_AGG_FMT = "HLL_SKETCH_AGG(({arg}))"
+    # KLL quantile spellings: the agg over an all-NULL group returns a
+    # non-NULL EMPTY buffer whose GET_QUANTILE THROWS (probe-confirmed,
+    # r11), so every estimate guards on GET_N = 0 first - NULL, exactly
+    # APPROX_PERCENTILE's answer for an all-NULL group
+    _KLL_AGG_FMT = "KLL_SKETCH_AGG_{f}(CAST(({arg}) AS {t}))"
+    _KLL_EST_FMT = (
+        "CASE WHEN KLL_SKETCH_GET_N_{f}({sk}) = 0 THEN NULL "
+        "ELSE KLL_SKETCH_GET_QUANTILE_{f}({sk}, {p}) END"
+    )
+
+    @staticmethod
+    def _kll_spec(arg: str, vis_type) -> tuple[str, str, str, str] | None:
+        """Parse an APPROX_PERCENTILE argument list into (KLL family
+        suffix, cast type, value expression, percentile literal), or
+        None when the KLL tier cannot model it: a third accuracy
+        argument, an array of percentiles, a non-literal percentile
+        (the stored sketch must answer ONE fixed quantile), or a value
+        type outside the KLL families (DECIMAL would change type under
+        the BIGINT/DOUBLE cast)."""
+        from pyspark.sql.types import (
+            ByteType,
+            DoubleType,
+            FloatType,
+            IntegerType,
+            LongType,
+            ShortType,
+        )
+
+        pieces = [p.strip() for p in _split_top_level(arg)]
+        if len(pieces) != 2:
+            return None
+        expr, p = pieces
+        if not re.fullmatch(r"[0-9]*\.?[0-9]+([eE]-?[0-9]+)?", p):
+            return None
+        if not 0.0 <= float(p) <= 1.0:
+            return None
+        if isinstance(
+            vis_type, (ByteType, ShortType, IntegerType, LongType)
+        ):
+            return "BIGINT", "BIGINT", expr, p
+        if isinstance(vis_type, (FloatType, DoubleType)):
+            return "DOUBLE", "DOUBLE", expr, p
+        return None
 
     def _approx_rewrite_items(
-        self, parts: list[str], aggs: list, agg_args: dict
-    ) -> list[str]:
-        """Rewrite APPROX_COUNT_DISTINCT select items so the VISIBLE
-        column is the DataSketches estimate and append the mergeable
-        ``__mv_hll_`` sketch columns - shared by the single-table and
-        join store-query builders."""
+        self,
+        parts: list[str],
+        aggs: list,
+        agg_args: dict,
+        vis_types: dict,
+    ) -> list[str] | None:
+        """Rewrite APPROX_COUNT_DISTINCT / APPROX_PERCENTILE select
+        items so the VISIBLE column is the DataSketches estimate and
+        append the mergeable ``__mv_hll_`` / ``__mv_kll_`` sketch
+        columns - shared by the single-table and join store-query
+        builders. Returns None when a percentile item is outside the
+        KLL tier (the caller declines agg mode)."""
         items = []
         for part in parts:
             im = self._MV_AGG_ITEM.match(part)
-            if (
-                im is not None
-                and im.group("op").lower() == "approx_count_distinct"
-            ):
+            op = im.group("op").lower() if im is not None else ""
+            if op == "approx_count_distinct":
                 a = im.group("alias")
                 arg = im.group("arg").strip()
                 items.append(
                     self._HLL_EST_FMT.format(arg=arg) + f" AS {a}"
                 )
+            elif op == "approx_percentile":
+                a = im.group("alias")
+                spec = self._kll_spec(
+                    im.group("arg").strip(), vis_types.get(a)
+                )
+                if spec is None:
+                    return None
+                fam, ct, expr, p = spec
+                sk = self._KLL_AGG_FMT.format(f=fam, arg=expr, t=ct)
+                est = self._KLL_EST_FMT.format(f=fam, sk=sk, p=p)
+                native = vis_types[a].simpleString()
+                items.append(f"CAST({est} AS {native}) AS {a}")
             else:
                 items.append(part)
         for alias, op in aggs:
@@ -964,6 +1025,17 @@ class LakehouseCatalog:
                 items.append(
                     self._HLL_AGG_FMT.format(arg=agg_args[alias])
                     + f" AS __mv_hll_{alias}"
+                )
+            elif op == "approx_percentile":
+                spec = self._kll_spec(
+                    agg_args[alias], vis_types.get(alias)
+                )
+                if spec is None:
+                    return None
+                fam, ct, expr, _p = spec
+                items.append(
+                    self._KLL_AGG_FMT.format(f=fam, arg=expr, t=ct)
+                    + f" AS __mv_kll_{alias}"
                 )
         return items
 
@@ -1098,7 +1170,10 @@ class LakehouseCatalog:
                 alias = im.group("alias")
                 if self._agg_item_rejected(op, arg, alias):
                     return None
-                if op == "approx_count_distinct" and (
+                if op in (
+                    "approx_count_distinct",
+                    "approx_percentile",
+                ) and (
                     im.group("distinct")
                     or arg == "*"
                     or self._MV_NONDETERMINISTIC.search(arg)
@@ -1277,16 +1352,28 @@ class LakehouseCatalog:
         has_approx = any(
             op == "approx_count_distinct" for _, op in aggs
         )
-        if has_approx and distinct_item is not None:
+        has_kll = any(op == "approx_percentile" for _, op in aggs)
+        if (has_approx or has_kll) and distinct_item is not None:
             # the finer-grain COUNT(DISTINCT) rewrite re-aggregates
             # stored partials in the view; a sketch column cannot
             # re-aggregate there - full refresh
+            return None
+        if has_kll and any(
+            op == "approx_percentile"
+            and self._kll_spec(agg_args[alias], vis_types.get(alias))
+            is None
+            for alias, op in aggs
+        ):
+            # a percentile the KLL tier cannot model (accuracy arg,
+            # percentile array, non-literal p, DECIMAL/temporal value):
+            # decline agg mode entirely - the plain full-refresh MV
+            # keeps the native estimator on every path
             return None
         if distinct_item is None:
             # ---- user-grain storage (bare or expression keys) -------
             has_avg = any(op == "avg" for _, op in aggs)
             store_items = list(parts)
-            if has_approx:
+            if has_approx or has_kll:
                 # APPROX_COUNT_DISTINCT tier (r11): the MV stores a
                 # mergeable DataSketches HLL per group (__mv_hll_*)
                 # and the VISIBLE column is always the sketch estimate
@@ -1299,8 +1386,10 @@ class LakehouseCatalog:
                 # 100 TB appends. DML in the range declines to full
                 # refresh (sketches are not invertible).
                 store_items = self._approx_rewrite_items(
-                    store_items, aggs, agg_args
+                    store_items, aggs, agg_args, vis_types
                 )
+                if store_items is None:
+                    return None  # ineligible sketch item: plain MV
             for alias, op in aggs:
                 if op == "avg":
                     # the stored partials AVG merges from; the visible
@@ -1344,6 +1433,7 @@ class LakehouseCatalog:
             if (
                 has_avg
                 or has_approx
+                or has_kll
                 or having is not None
                 or cdc_ready
             ):
@@ -1360,7 +1450,9 @@ class LakehouseCatalog:
                     store_query += (
                         f" GROUP BY {', '.join(group_by_sql)}"
                     )
-                if has_approx and not self._analyzes(store_query):
+                if (has_approx or has_kll) and not self._analyzes(
+                    store_query
+                ):
                     # HLL_SKETCH_AGG rejects this argument (a type
                     # outside INT/BIGINT/STRING/BINARY, or the rsd
                     # form APPROX_COUNT_DISTINCT(x, 0.05) whose
@@ -1835,7 +1927,7 @@ class LakehouseCatalog:
             else:
                 join_spec = self._mv_join_agg_spec(sql_text)
                 if join_spec is not None and any(
-                    op == "approx_count_distinct"
+                    op in ("approx_count_distinct", "approx_percentile")
                     for _, op in join_spec[3]
                 ):
                     # an approx aggregate whose sketch store query
@@ -3283,29 +3375,50 @@ class LakehouseCatalog:
             merged = F.greatest(tv, dv)
         return F.when(tv.isNull(), dv).when(dv.isNull(), tv).otherwise(merged)
 
-    @staticmethod
-    def _missing_hll_state(t: LakehouseTable, aggs: list) -> bool:
-        """True when an APPROX_COUNT_DISTINCT aggregate has no stored
-        ``__mv_hll_`` sketch column - an MV created before the sketch
-        tier materialized the state. Merging is impossible (the
-        estimate alone cannot union); callers decline to full refresh,
-        which is always correct."""
-        names = {f.name for f in t.schema.fields}
-        return any(
-            op == "approx_count_distinct"
-            and f"__mv_hll_{name}" not in names
-            for name, op in aggs
-        )
+    def _missing_sketch_state(
+        self,
+        t: LakehouseTable,
+        aggs: list,
+        agg_args: dict | None = None,
+    ) -> bool:
+        """True when an APPROX_COUNT_DISTINCT / APPROX_PERCENTILE
+        aggregate has no stored ``__mv_hll_`` / ``__mv_kll_`` sketch
+        column - an MV created before the sketch tier materialized the
+        state - or when a KLL column's recorded argument no longer
+        parses to a usable (family, percentile) spec. Merging is
+        impossible either way; callers decline to full refresh, which
+        is always correct."""
+        types = {f.name: f.dataType for f in t.schema.fields}
+        for name, op in aggs:
+            if (
+                op == "approx_count_distinct"
+                and f"__mv_hll_{name}" not in types
+            ):
+                return True
+            if op == "approx_percentile":
+                if f"__mv_kll_{name}" not in types:
+                    return True
+                if agg_args is not None and (
+                    self._kll_spec(
+                        agg_args.get(name, ""), types.get(name)
+                    )
+                    is None
+                ):
+                    return True
+        return False
 
     def _merged_agg_columns(
-        self, t: LakehouseTable, aggs: list
+        self, t: LakehouseTable, aggs: list, agg_args: dict | None = None
     ) -> dict[str, "F.Column"]:
         """Combined expressions (over a ``d``/``t``-aliased join of the
         delta partials and the materialization) for every non-key MV
         column, keyed by name. Distributive ops combine directly; AVG
         merges its stored ``__mv_sum_``/``__mv_cnt_`` partials and
         recomputes the visible column as sum/count (NULL when the
-        merged count is 0: an all-NULL group, exactly AVG's answer)."""
+        merged count is 0: an all-NULL group, exactly AVG's answer);
+        sketch ops union/merge their stored sketches and recompute the
+        visible estimate (``agg_args`` carries the percentile literal
+        a KLL column re-answers)."""
         types = {f.name: f.dataType for f in t.schema.fields}
         out: dict = {}
         for name, op in aggs:
@@ -3343,6 +3456,46 @@ class LakehouseCatalog:
                 out[name] = (
                     F.when(merged.isNull(), F.lit(None))
                     .otherwise(F.hll_sketch_estimate(merged))
+                    .cast(types[name])
+                    .alias(name)
+                )
+            elif op == "approx_percentile":
+                # KLL quantile tier (r11): merge the delta's sketch
+                # into the stored one (kll_sketch_merge nulls on a
+                # NULL side, so NULL partials defer manually) and
+                # recompute the visible quantile from the merged
+                # sketch. An all-NULL group's sketch is a non-NULL
+                # EMPTY buffer whose GET_QUANTILE THROWS, so the
+                # estimate guards on GET_N = 0 -> NULL, exactly
+                # APPROX_PERCENTILE's answer (probe-confirmed r11)
+                k_name = f"__mv_kll_{name}"
+                fam, _ct, _e, p = self._kll_spec(
+                    (agg_args or {}).get(name, ""), types.get(name)
+                )
+                f_lo = fam.lower()
+                tk, dk = F.col(f"t.{k_name}"), F.col(f"d.{k_name}")
+                merged = (
+                    F.when(tk.isNull(), dk)
+                    .when(dk.isNull(), tk)
+                    .otherwise(
+                        F.call_function(
+                            f"kll_sketch_merge_{f_lo}", tk, dk
+                        )
+                    )
+                )
+                out[k_name] = merged.cast(types[k_name]).alias(k_name)
+                n = F.call_function(f"kll_sketch_get_n_{f_lo}", merged)
+                out[name] = (
+                    F.when(
+                        merged.isNull() | (n == 0), F.lit(None)
+                    )
+                    .otherwise(
+                        F.call_function(
+                            f"kll_sketch_get_quantile_{f_lo}",
+                            merged,
+                            F.lit(float(p)),
+                        )
+                    )
                     .cast(types[name])
                     .alias(name)
                 )
@@ -3468,11 +3621,12 @@ class LakehouseCatalog:
             not group_cols
             or "mv.view_agg" in props
             or props.get("mv.having")
-            # an approx MV without its __mv_hll_ sketch column (pre-
-            # sketch-tier layout) cannot recompute the stored state
-            # (review r11: this path crashed with KeyError instead of
-            # declining to the always-correct full refresh)
-            or self._missing_hll_state(t, aggs)
+            # an approx MV without its __mv_hll_/__mv_kll_ sketch
+            # column (pre-sketch-tier layout) cannot recompute the
+            # stored state (review r11: this path crashed with
+            # KeyError instead of declining to the always-correct
+            # full refresh)
+            or self._missing_sketch_state(t, aggs, agg_args)
         ):
             return NotImplemented
         if any(
@@ -3484,6 +3638,7 @@ class LakehouseCatalog:
                 "max",
                 "avg",
                 "approx_count_distinct",
+                "approx_percentile",
             )
             for _n, op in aggs
         ):
@@ -3495,6 +3650,9 @@ class LakehouseCatalog:
         avg_aliases = {n for n, op in aggs if op == "avg"}
         hll_aliases = {
             n for n, op in aggs if op == "approx_count_distinct"
+        }
+        kll_aliases = {
+            n for n, op in aggs if op == "approx_percentile"
         }
         expected = set(group_cols) | {n for n, _ in aggs} | hidden
         if set(types) != expected or not all(
@@ -3511,6 +3669,10 @@ class LakehouseCatalog:
             or (
                 h.startswith("__mv_hll_")
                 and h[len("__mv_hll_"):] in hll_aliases
+            )
+            or (
+                h.startswith("__mv_kll_")
+                and h[len("__mv_kll_"):] in kll_aliases
             )
             for h in hidden
         ):
@@ -3569,6 +3731,23 @@ class LakehouseCatalog:
                     F.expr(self._HLL_AGG_FMT.format(arg=agg_args[name]))
                     .cast(types[h])
                     .alias(h)
+                )
+                continue
+            if op == "approx_percentile":
+                # creation's exact spelling (shared _KLL_*_FMT): the
+                # visible quantile is ALWAYS the KLL estimate, with
+                # the empty-sketch GET_N guard (one estimator, r11)
+                fam, ct, expr, p = self._kll_spec(
+                    agg_args[name], types[name]
+                )
+                sk = self._KLL_AGG_FMT.format(f=fam, arg=expr, t=ct)
+                est = self._KLL_EST_FMT.format(f=fam, sk=sk, p=p)
+                agg_exprs.append(
+                    F.expr(est).cast(types[name]).alias(name)
+                )
+                k = f"__mv_kll_{name}"
+                agg_exprs.append(
+                    F.expr(sk).cast(types[k]).alias(k)
                 )
                 continue
             agg_exprs.append(
@@ -3731,6 +3910,7 @@ class LakehouseCatalog:
         group_cols: list,
         aggs: list,
         inc: DataFrame,
+        agg_args: dict | None = None,
         **merge_kwargs,
     ):
         """Shared merge tail for keyed agg-MV refreshes (append partials
@@ -3745,7 +3925,7 @@ class LakehouseCatalog:
 
         from .dml import merge_into
 
-        if self._missing_hll_state(t, aggs):
+        if self._missing_sketch_state(t, aggs, agg_args):
             return NotImplemented  # pre-sketch-tier approx MV
         if not inc.count():
             return t.snapshot()
@@ -3763,7 +3943,7 @@ class LakehouseCatalog:
             return NotImplemented
         cur = t.to_df().alias("t")
         joined = inc.alias("d").join(cur, on=group_cols, how="left")
-        by_name = self._merged_agg_columns(t, aggs)
+        by_name = self._merged_agg_columns(t, aggs, agg_args)
         # select in the MV's schema order (keys resolve via the join's
         # coalesced output; a key-first SELECT is not guaranteed)
         merged_cols = [
@@ -3936,10 +4116,11 @@ class LakehouseCatalog:
             }
         except Exception:
             return None
-        has_approx = any(
-            op == "approx_count_distinct" for _, op in aggs
+        has_sketch = any(
+            op in ("approx_count_distinct", "approx_percentile")
+            for _, op in aggs
         )
-        cdc_ready = not has_approx and all(
+        cdc_ready = not has_sketch and all(
             op == "count"
             or (
                 op == "sum"
@@ -3949,14 +4130,17 @@ class LakehouseCatalog:
             )
             for alias, op in aggs
         )
-        if not (cdc_ready or has_approx):
+        if not (cdc_ready or has_sketch):
             return None
-        if has_approx:
+        if has_sketch:
             items = self._approx_rewrite_items(
                 [p.strip() for p in _split_top_level(m.group("items"))],
                 aggs,
                 agg_args,
+                vis,
             )
+            if items is None:
+                return None  # ineligible sketch item (KLL spec)
         else:
             items = [m.group("items").strip(), "COUNT(*) AS __mv_rows"]
             for alias, op in aggs:
@@ -3971,7 +4155,7 @@ class LakehouseCatalog:
         if m.group("where"):
             q += f" WHERE {m.group('where')}"
         q += f" GROUP BY {m.group('keys')}"
-        if has_approx and not self._analyzes(q):
+        if has_sketch and not self._analyzes(q):
             # HLL_SKETCH_AGG rejects this argument (a type outside
             # INT/BIGINT/STRING/BINARY, or the rsd form
             # APPROX_COUNT_DISTINCT(x, 0.05) whose parenthesized arg
@@ -4123,6 +4307,7 @@ class LakehouseCatalog:
             group_cols,
             aggs,
             inc,
+            agg_args=agg_args,
             source_delete_condition="__mv_rows = 0",
             # the commit carries its intended post-commit pins so a
             # crash between commit and property write is recoverable
@@ -4246,8 +4431,10 @@ class LakehouseCatalog:
                         t.set_properties(**upd)
                         return snap
             else:
-                if self._missing_hll_state(
-                    t, json.loads(props["mv.aggs"])
+                if self._missing_sketch_state(
+                    t,
+                    json.loads(props["mv.aggs"]),
+                    json.loads(props.get("mv.agg_args", "{}")),
                 ):
                     # legacy approx MV (no stored sketch): the merge
                     # would only decline AFTER aggregating the delta -
@@ -4474,16 +4661,17 @@ class LakehouseCatalog:
         group; the caller full-refreshes - rare and always correct)."""
         group_cols = json.loads(props["mv.group_cols"])
         aggs = json.loads(props["mv.aggs"])
+        agg_args = json.loads(props.get("mv.agg_args", "{}"))
         if not group_cols:
             # global-aggregate tier: the MV is ONE row; the diff's
             # single partial row combines with it and the result
             # replaces the contents atomically - O(1) either way
             from .dml import overwrite_partitions
 
-            if self._missing_hll_state(t, aggs):
+            if self._missing_sketch_state(t, aggs, agg_args):
                 return NotImplemented  # pre-sketch-tier approx MV
             joined = inc.alias("d").crossJoin(t.to_df().alias("t"))
-            by_name = self._merged_agg_columns(t, aggs)
+            by_name = self._merged_agg_columns(t, aggs, agg_args)
             merged_cols = [by_name[f.name] for f in t.schema.fields]
             return overwrite_partitions(
                 t,
@@ -4497,6 +4685,7 @@ class LakehouseCatalog:
             group_cols,
             aggs,
             inc,
+            agg_args=agg_args,
             extra_summary=(
                 {"mv_pins": pin_updates} if pin_updates else None
             ),

@@ -5020,6 +5020,104 @@ def q8r_streaming_near_dedup(
 
 
 @register(
+    "q8u_mv_quantile_kll_sketch",
+    # new in r11 (late), registered behind the judged window (r12
+    # rotation fodder); certifies the APPROX_PERCENTILE KLL MV tier
+    # (catalog._approx_rewrite_items / _merged_agg_columns): the MV
+    # stores a mergeable KLL sketch per group, an append refreshes by
+    # sketch MERGE (commit operation 'merge' - O(delta), never a base
+    # re-scan), and the merged quantile is judged by its EXACT RANK
+    # in the full data (|rank(est) - p| <= eps, the q7y pattern -
+    # a value-space bound would be distribution-dependent). Exact
+    # COUNT carries the judged hash alongside the boolean flags.
+    defer=True,
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           TRUE AS rank_in_bound,
+           TRUE AS incremental_merge
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q8u_mv_quantile_kll_sketch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sketch-backed median MV judged end-to-end on orders: materialize
+    per-priority order counts + APPROX_PERCENTILE(o_totalprice, 0.5)
+    over two thirds of the table, append the remaining third, refresh -
+    which must land as a KLL sketch MERGE, not a rebuild - then judge
+    each merged median by its exact rank: the fraction of values at or
+    below the estimate must straddle 0.5 within the KLL error envelope
+    (k=200 default: ~1.65% single-sided; 5%-padded here). At 100 TB
+    this is the only percentile-maintenance shape that works: the
+    refresh merges O(delta) sketches, never re-scanning the base."""
+    from ..catalog import LakehouseCatalog
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_q8u_")
+    try:
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("tmp")
+        o = load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        )
+        t = cat.create_table("tmp.qord", o.schema)
+        t.append(o.filter(F.col("o_orderkey") % 3 != 0))
+        cat.create_materialized_view(
+            "tmp.qord_mv",
+            "SELECT o_orderpriority, COUNT(*) AS n_orders, "
+            "APPROX_PERCENTILE(o_totalprice, 0.5) AS p50 "
+            "FROM tmp_qord GROUP BY o_orderpriority",
+        )
+        t.append(o.filter(F.col("o_orderkey") % 3 == 0))
+        snap = cat.refresh_materialized_view("tmp.qord_mv")
+        incremental = snap is not None and snap.operation == "merge"
+        cat.register_views()
+        mv = spark.sql("SELECT * FROM tmp_qord_mv")
+        ranks = (
+            o.join(
+                mv.select("o_orderpriority", "p50"),
+                on="o_orderpriority",
+            )
+            .groupBy("o_orderpriority")
+            .agg(
+                (
+                    F.sum(
+                        (F.col("o_totalprice") < F.col("p50")).cast(
+                            "long"
+                        )
+                    )
+                    / F.count("o_totalprice")
+                ).alias("frac_lt"),
+                (
+                    F.sum(
+                        (F.col("o_totalprice") <= F.col("p50")).cast(
+                            "long"
+                        )
+                    )
+                    / F.count("o_totalprice")
+                ).alias("frac_le"),
+            )
+        )
+        res = (
+            mv.join(ranks, on="o_orderpriority")
+            .select(
+                "o_orderpriority",
+                F.col("n_orders").cast("long").alias("n_orders"),
+                (
+                    (F.col("frac_lt") - F.lit(0.05) <= F.lit(0.5))
+                    & (F.lit(0.5) <= F.col("frac_le") + F.lit(0.05))
+                ).alias("rank_in_bound"),
+                F.lit(incremental).alias("incremental_merge"),
+            )
+            .orderBy("o_orderpriority")
+        )
+        rows = res.collect()  # materialize before the warehouse vanishes
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+@register(
     "q8t_mv_join_approx_sketch",
     # new in r11 (late), registered behind the judged window (r12
     # rotation fodder); certifies the JOIN-MV sketch tier

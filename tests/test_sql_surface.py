@@ -4929,6 +4929,195 @@ def test_mv_join_approx_distinct_sketch_tier(catalog, spark):
     assert catalog.refresh_materialized_view("gold.jad_mv") is None
 
 
+def test_mv_approx_percentile_kll_tier(catalog, spark):
+    """r11 (late): APPROX_PERCENTILE MVs store a mergeable KLL sketch
+    per group (__mv_kll_*) and the visible column is ALWAYS the KLL
+    quantile (one estimator on every path). Appends refresh by sketch
+    MERGE ('merge' commit, O(delta)); base DML takes the touched-group
+    recompute tier (sketches are not invertible, but a per-group
+    rebuild equals full refresh by construction); an all-NULL group
+    reads NULL - the KLL agg returns a non-NULL EMPTY buffer whose
+    GET_QUANTILE throws, so every estimate guards on GET_N first."""
+    b = catalog.create_table(
+        "gold.kp",
+        spark.createDataFrame([], "k string, x double").schema,
+    )
+    b.append(
+        spark.createDataFrame(
+            [("a", float(i)) for i in range(1, 101)]
+            + [("b", 5.0), ("b", 15.0), ("c", None)],
+            "k string, x double",
+        )
+    )
+    catalog.register_views()
+    catalog.create_materialized_view(
+        "gold.kp_mv",
+        "SELECT k, COUNT(*) AS n, APPROX_PERCENTILE(x, 0.5) AS p50 "
+        "FROM gold_kp GROUP BY k",
+    )
+    t = catalog.load_table("gold.kp_mv")
+    assert "__mv_kll_p50" in {f.name for f in t.schema.fields}
+
+    def readback():
+        catalog.register_views()
+        return {
+            r["k"]: (r["n"], r["p50"])
+            for r in spark.sql("SELECT * FROM gold_kp_mv").collect()
+        }
+
+    # exact at these sizes; the all-NULL group reads NULL
+    assert readback() == {"a": (100, 50.0), "b": (2, 5.0), "c": (1, None)}
+
+    # append: sketch MERGE, not a rebuild; NULL group stays NULL
+    b.append(
+        spark.createDataFrame(
+            [("b", 25.0), ("d", 7.0), ("c", None)],
+            "k string, x double",
+        )
+    )
+    snap = catalog.refresh_materialized_view("gold.kp_mv")
+    assert snap.operation == "merge"
+    got = readback()
+    assert got["b"] == (3, 15.0) and got["d"] == (1, 7.0)
+    assert got["c"] == (2, None)
+
+    # DML: touched-group recompute (O(changed groups), never the view)
+    catalog.sql("DELETE FROM gold.kp WHERE k = 'b' AND x = 25.0")
+    snap = catalog.refresh_materialized_view("gold.kp_mv")
+    assert snap.summary.get("group_recompute") is True
+    got = readback()
+    assert got["b"] == (2, 5.0)
+    assert got["a"] == (100, 50.0)  # untouched group kept its sketch
+
+    # the recomputed sketch keeps MERGING on later appends
+    b.append(
+        spark.createDataFrame([("b", 30.0)], "k string, x double")
+    )
+    snap = catalog.refresh_materialized_view("gold.kp_mv")
+    assert snap.operation == "merge"
+    assert readback()["b"] == (3, 15.0)
+
+    # up to date -> no commit
+    assert catalog.refresh_materialized_view("gold.kp_mv") is None
+
+
+def test_mv_approx_percentile_families_and_gates(catalog, spark):
+    """Integral columns ride the BIGINT KLL family with the native
+    visible type preserved; the 3-arg accuracy form, a non-literal or
+    array percentile, and DECIMAL values are outside the tier and
+    decline to a plain full-refresh MV; percentile composes with an
+    HLL distinct sketch in the same MV (both merge on append)."""
+    b = catalog.create_table(
+        "gold.kf",
+        spark.createDataFrame([], "k int, v int, u string").schema,
+    )
+    b.append(
+        spark.createDataFrame(
+            [(1, 10, "x"), (1, 20, "y"), (1, 30, "x"), (2, 7, "z")],
+            "k int, v int, u string",
+        )
+    )
+    catalog.register_views()
+    mv = catalog.create_materialized_view(
+        "gold.kf_mv",
+        "SELECT k, APPROX_PERCENTILE(v, 0.5) AS med, "
+        "APPROX_COUNT_DISTINCT(u) AS du FROM gold_kf GROUP BY k",
+    )
+    names = {f.name: f.dataType.simpleString() for f in mv.schema.fields}
+    assert names["med"] == "int"  # native type preserved over BIGINT KLL
+    assert "__mv_kll_med" in names and "__mv_hll_du" in names
+    catalog.register_views()
+    got = {
+        r["k"]: (r["med"], r["du"])
+        for r in spark.sql("SELECT * FROM gold_kf_mv").collect()
+    }
+    assert got == {1: (20, 2), 2: (7, 1)}
+    b.append(
+        spark.createDataFrame(
+            [(1, 40, "w"), (2, 9, "z")], "k int, v int, u string"
+        )
+    )
+    snap = catalog.refresh_materialized_view("gold.kf_mv")
+    assert snap.operation == "merge"  # both sketches merged in one pass
+    catalog.register_views()
+    got = {
+        r["k"]: (r["med"], r["du"])
+        for r in spark.sql("SELECT * FROM gold_kf_mv").collect()
+    }
+    assert got == {1: (20, 3), 2: (7, 1)}
+
+    for bad in (
+        "APPROX_PERCENTILE(v, 0.5, 100) AS med",  # accuracy arg
+        "APPROX_PERCENTILE(CAST(v AS DECIMAL(10,2)), 0.5) AS med",
+        "APPROX_PERCENTILE(v, 0.25 + 0.25) AS med",  # non-literal p
+        "APPROX_PERCENTILE(v, array(0.25, 0.5)) AS med",  # array p
+    ):
+        ident = f"gold.kf_bad{abs(hash(bad)) % 1000}"
+        p = catalog.create_materialized_view(
+            ident, f"SELECT k, {bad} FROM gold_kf GROUP BY k"
+        )
+        assert p.properties().get("mv.refresh_mode") is None, bad
+
+
+def test_mv_join_approx_percentile_sketch_tier(catalog, spark):
+    """The KLL tier composes with the JOIN-MV star: fact appends merge
+    the delta's sketches against pinned dims; a moved dim declines to
+    a correct full refresh that re-runs the store query - still the
+    KLL estimator."""
+    f = catalog.create_table(
+        "gold.kjf",
+        spark.createDataFrame([], "k long, x double").schema,
+    )
+    f.append(
+        spark.createDataFrame(
+            [(1, 10.0), (1, 20.0), (1, 30.0), (2, 7.0)],
+            "k long, x double",
+        )
+    )
+    d = catalog.create_table(
+        "gold.kjd",
+        spark.createDataFrame([], "k long, grp string").schema,
+    )
+    d.append(
+        spark.createDataFrame([(1, "g1"), (2, "g2")], "k long, grp string")
+    )
+    catalog.register_views()
+    mv = catalog.create_materialized_view(
+        "gold.kj_mv",
+        "SELECT grp, APPROX_PERCENTILE(x, 0.5) AS p50 FROM gold_kjf "
+        "JOIN gold_kjd ON gold_kjf.k = gold_kjd.k GROUP BY grp",
+    )
+    assert mv.properties().get("mv.refresh_mode") == "join_agg"
+    assert "__mv_kll_p50" in {fl.name for fl in mv.schema.fields}
+
+    def readback():
+        catalog.register_views()
+        return {
+            r["grp"]: r["p50"]
+            for r in spark.sql("SELECT * FROM gold_kj_mv").collect()
+        }
+
+    assert readback() == {"g1": 20.0, "g2": 7.0}
+    f.append(
+        spark.createDataFrame([(1, 5.0), (2, 100.0)], "k long, x double")
+    )
+    snap = catalog.refresh_materialized_view("gold.kj_mv")
+    assert snap.operation == "merge"
+    assert readback() == {"g1": 10.0, "g2": 7.0}
+
+    # moved dim: full refresh (sketches not invertible), still correct
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark import dml
+
+    dml.update_where(
+        catalog.load_table("gold.kjd"),
+        F.col("k") == 2,
+        {"grp": F.lit("g1")},
+    )
+    catalog.refresh_materialized_view("gold.kj_mv")
+    got = readback()
+    assert set(got) == {"g1"} and got["g1"] == 10.0  # all 6 values
+
+
 def test_mv_approx_incompatible_arg_declines_to_plain(catalog, spark):
     """review r11: HLL_SKETCH_AGG accepts only INT/BIGINT/STRING/
     BINARY, and the two-arg rsd form APPROX_COUNT_DISTINCT(x, 0.05)
