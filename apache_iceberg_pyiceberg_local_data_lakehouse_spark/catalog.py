@@ -1926,22 +1926,29 @@ class LakehouseCatalog:
                     props["mv.having"] = having
             else:
                 join_spec = self._mv_join_agg_spec(sql_text)
-                if join_spec is not None and any(
-                    op in ("approx_count_distinct", "approx_percentile")
-                    for _, op in join_spec[3]
+                store_query = (
+                    self._join_store_query(
+                        sql_text, join_spec[3], join_spec[4]
+                    )
+                    if join_spec is not None
+                    else None
+                )
+                if (
+                    join_spec is not None
+                    and store_query is None
+                    and any(
+                        op
+                        in ("approx_count_distinct", "approx_percentile")
+                        for _, op in join_spec[3]
+                    )
                 ):
-                    # an approx aggregate whose sketch store query
-                    # cannot materialize (incompatible arg type, rsd
-                    # form) has nothing mergeable: decline join_agg
-                    # mode entirely - the plain full-refresh MV keeps
-                    # the native estimator on every path (review r11)
-                    if (
-                        self._join_store_query(
-                            sql_text, join_spec[3], join_spec[4]
-                        )
-                        is None
-                    ):
-                        join_spec = None
+                    # a sketch aggregate whose store query cannot
+                    # materialize (incompatible arg type, rsd form,
+                    # ineligible percentile) has nothing mergeable:
+                    # decline join_agg mode entirely - the plain
+                    # full-refresh MV keeps the native estimator on
+                    # every path (review r11)
+                    join_spec = None
                 if join_spec is not None:
                     fact, dims, group_cols, aggs, agg_args = join_spec
                     props["mv.base_table"] = fact
@@ -1966,9 +1973,6 @@ class LakehouseCatalog:
                     props["mv.group_cols"] = json.dumps(group_cols)
                     props["mv.aggs"] = json.dumps(aggs)
                     props["mv.agg_args"] = json.dumps(agg_args)
-                    store_query = self._join_store_query(
-                        sql_text, aggs, agg_args
-                    )
                     if store_query is not None:
                         # CDC-invertible (COUNT/integral-SUM only):
                         # materialize __mv_rows + per-SUM __mv_nn_

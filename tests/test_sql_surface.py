@@ -5046,13 +5046,15 @@ def test_mv_approx_percentile_families_and_gates(catalog, spark):
     }
     assert got == {1: (20, 3), 2: (7, 1)}
 
-    for bad in (
-        "APPROX_PERCENTILE(v, 0.5, 100) AS med",  # accuracy arg
-        "APPROX_PERCENTILE(CAST(v AS DECIMAL(10,2)), 0.5) AS med",
-        "APPROX_PERCENTILE(v, 0.25 + 0.25) AS med",  # non-literal p
-        "APPROX_PERCENTILE(v, array(0.25, 0.5)) AS med",  # array p
+    for i, bad in enumerate(
+        (
+            "APPROX_PERCENTILE(v, 0.5, 100) AS med",  # accuracy arg
+            "APPROX_PERCENTILE(CAST(v AS DECIMAL(10,2)), 0.5) AS med",
+            "APPROX_PERCENTILE(v, 0.25 + 0.25) AS med",  # non-literal p
+            "APPROX_PERCENTILE(v, array(0.25, 0.5)) AS med",  # array p
+        )
     ):
-        ident = f"gold.kf_bad{abs(hash(bad)) % 1000}"
+        ident = f"gold.kf_bad{i}"
         p = catalog.create_materialized_view(
             ident, f"SELECT k, {bad} FROM gold_kf GROUP BY k"
         )
