@@ -886,11 +886,20 @@ class LakehouseCatalog:
     )
     _MV_AGG_ITEM = re.compile(
         r"^\s*(?P<op>APPROX_COUNT_DISTINCT|APPROX_PERCENTILE|"
-        r"COUNT|SUM|MIN|MAX|AVG)\s*\("
+        r"PERCENTILE_APPROX|COUNT|SUM|MIN|MAX|AVG)\s*\("
         r"(?P<distinct>\s*DISTINCT\b)?(?P<arg>[^()]*|\*)\)"
         r"\s+AS\s+(?P<alias>[A-Za-z_]\w*)\s*$",
         re.IGNORECASE,
     )
+
+    @staticmethod
+    def _norm_op(op: str) -> str:
+        """Canonical aggregate-op tag: Spark spells the same quantile
+        aggregate both ``APPROX_PERCENTILE`` and ``PERCENTILE_APPROX``;
+        everything downstream (mv.aggs, the sketch tiers, CDC gates)
+        keys on the one canonical name."""
+        op = op.lower()
+        return "approx_percentile" if op == "percentile_approx" else op
     # expression group key: any non-aggregate select item with an alias
     _MV_KEY_EXPR = re.compile(
         r"^\s*(?P<expr>.+?)\s+AS\s+(?P<alias>[A-Za-z_]\w*)\s*$",
@@ -922,7 +931,7 @@ class LakehouseCatalog:
             or bool(
                 re.search(
                     r"\b(COUNT|SUM|MIN|MAX|AVG|APPROX_COUNT_DISTINCT"
-                    r"|APPROX_PERCENTILE)\b",
+                    r"|APPROX_PERCENTILE|PERCENTILE_APPROX)\b",
                     arg,
                     re.IGNORECASE,
                 )
@@ -999,7 +1008,7 @@ class LakehouseCatalog:
         items = []
         for part in parts:
             im = self._MV_AGG_ITEM.match(part)
-            op = im.group("op").lower() if im is not None else ""
+            op = self._norm_op(im.group("op")) if im is not None else ""
             if op == "approx_count_distinct":
                 a = im.group("alias")
                 arg = im.group("arg").strip()
@@ -1166,7 +1175,7 @@ class LakehouseCatalog:
             im = self._MV_AGG_ITEM.match(part)
             if im is not None:
                 arg = im.group("arg").strip()
-                op = im.group("op").lower()
+                op = self._norm_op(im.group("op"))
                 alias = im.group("alias")
                 if self._agg_item_rejected(op, arg, alias):
                     return None
@@ -1725,7 +1734,7 @@ class LakehouseCatalog:
         for i, part in enumerate(parts):
             im = self._MV_AGG_ITEM.match(part)
             if im is not None:
-                op = im.group("op").lower()
+                op = self._norm_op(im.group("op"))
                 arg = im.group("arg").strip()
                 alias = im.group("alias")
                 if (

@@ -268,6 +268,29 @@ def bench_depth(spark, sf_dir: str) -> dict[str, float]:
             f"({out['mv_sketch_union_refresh']:.2f}s)",
             file=sys.stderr,
         )
+        # ---- KLL quantile-MV merge refresh (r11 late): per-status
+        # median order value; the append refreshes by KLL sketch merge
+        cat.create_materialized_view(
+            "bench.kll_mv",
+            "SELECT o_orderstatus, COUNT(*) AS n, "
+            "APPROX_PERCENTILE(o_custkey, 0.5) AS med_cust "
+            "FROM bench_aorders GROUP BY o_orderstatus",
+        )
+        so.append(
+            o2.filter(F.col("o_orderkey") % 4 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + 100_000_000
+            )
+        )
+        t0 = time.perf_counter()
+        snap = cat.refresh_materialized_view("bench.kll_mv")
+        out["mv_kll_merge_refresh"] = round(
+            time.perf_counter() - t0, 3
+        )
+        print(
+            f"# mv_kll_merge_refresh: op={snap.operation} "
+            f"({out['mv_kll_merge_refresh']:.2f}s)",
+            file=sys.stderr,
+        )
     finally:
         shutil.rmtree(wh, ignore_errors=True)
     return out

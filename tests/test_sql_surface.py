@@ -5060,6 +5060,28 @@ def test_mv_approx_percentile_families_and_gates(catalog, spark):
         )
         assert p.properties().get("mv.refresh_mode") is None, bad
 
+    # PERCENTILE_APPROX is Spark's other spelling of the same
+    # aggregate - it rides the same KLL tier (canonical op tag)
+    syn = catalog.create_materialized_view(
+        "gold.kf_syn",
+        "SELECT k, PERCENTILE_APPROX(v, 0.5) AS med FROM gold_kf "
+        "GROUP BY k",
+    )
+    assert syn.properties().get("mv.refresh_mode") == "agg"
+    assert "__mv_kll_med" in {f.name for f in syn.schema.fields}
+    b.append(
+        spark.createDataFrame(
+            [(2, 11, "q")], "k int, v int, u string"
+        )
+    )
+    snap = catalog.refresh_materialized_view("gold.kf_syn")
+    assert snap.operation == "merge"
+    catalog.register_views()
+    assert {
+        r["k"]: r["med"]
+        for r in spark.sql("SELECT * FROM gold_kf_syn").collect()
+    } == {1: 20, 2: 9}
+
 
 def test_mv_join_approx_percentile_sketch_tier(catalog, spark):
     """The KLL tier composes with the JOIN-MV star: fact appends merge
