@@ -2144,3 +2144,99 @@ def q8l_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "q8v_curation_v3",
+    # new in r11 (late), registered behind the judged window (r12
+    # rotation fodder); certifies the COMPOSED three-stage curation
+    # funnel (canonical dedup -> classifier gate -> DSIR selection).
+    # The dedup count is exact cross-engine (q7c's canon rule), the
+    # gate/selection sizes are exact arithmetic over it, and the
+    # enrichment flags pin the learned stages' semantics (the q8l
+    # pattern). DuckDB '//' is the integer division (the q7p parity
+    # lesson - '/' on integers is FLOAT division there).
+    defer=True,
+    oracle="""
+    WITH canon AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text),
+                  '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS c
+      FROM documents
+    ), grp AS (
+      SELECT c, MIN(doc_id) AS keeper FROM canon GROUP BY c
+    )
+    SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_dedup,
+           CAST((COUNT(*) + 1) // 2 AS BIGINT) AS n_gated,
+           CAST(LEAST(300, (COUNT(*) + 1) // 2) AS BIGINT)
+             AS n_selected,
+           TRUE AS classifier_enriched,
+           TRUE AS dsir_enriched
+    FROM grp
+    """,
+)
+def q8v_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation pipeline v3 - the modern LLM-data stack's
+    three-stage funnel in one run: (1) canonical-form exact dedup
+    (Dolma/C4 tier, the q7c operator), (2) quality-classifier gating
+    keeping the top half by fitted log-odds (GPT-3 Appendix A /
+    LLaMA), (3) DSIR importance resampling toward an English target
+    (Xie et al. 2023). Judged: the dedup survivor count is exact
+    cross-engine (the q7c canon rule), the gate and selection sizes
+    are exact arithmetic, and the flags pin the semantics - each
+    learned stage leaves the pool MORE English-like than the deduped
+    corpus. At 100 TB every stage is one plan: window dedup,
+    plan-literal scoring projection, TakeOrderedAndProject selection -
+    no driver loops over data, only O(buckets) fitted state."""
+    from ..operators.dedup import canonical_dedup
+    from ..operators.dsir import dsir_fit, dsir_select
+    from ..operators.quality_classifier import (
+        quality_classifier_fit,
+        quality_classifier_score,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    n_docs = d.count()
+    kept = canonical_dedup(d, "text", "doc_id").withColumn(
+        "__is_en", (F.col("lang") == "en").cast("int")
+    )
+    kept = kept.localCheckpoint(eager=True)  # three stages read it
+    n_dedup = kept.count()
+    en_base = kept.agg(F.avg("__is_en")).first()[0]
+
+    model = quality_classifier_fit(
+        kept, "__is_en", n_buckets=512, sample=500, iters=200
+    )
+    n_gated = (n_dedup + 1) // 2
+    gated = (
+        quality_classifier_score(kept, model)
+        .orderBy(F.desc("quality_score"), F.asc("doc_id"))
+        .limit(n_gated)
+        .localCheckpoint(eager=True)
+    )
+    classifier_enriched = bool(
+        gated.agg(F.avg("__is_en")).first()[0] > en_base
+    )
+
+    ratios = dsir_fit(kept.filter(F.col("lang") == "en"), gated)
+    k = min(300, n_gated)
+    selected = dsir_select(gated, ratios, k)
+    n_selected = selected.count()
+    dsir_enriched = bool(
+        selected.agg(F.avg("__is_en")).first()[0] > en_base
+    )
+    return spark.createDataFrame(
+        [
+            (
+                n_docs,
+                n_dedup,
+                n_gated,
+                n_selected,
+                classifier_enriched,
+                dsir_enriched,
+            )
+        ],
+        "n_docs long, n_dedup long, n_gated long, n_selected long, "
+        "classifier_enriched boolean, dsir_enriched boolean",
+    )
