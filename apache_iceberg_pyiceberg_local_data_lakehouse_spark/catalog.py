@@ -4115,8 +4115,9 @@ class LakehouseCatalog:
           between algorithms. Fact appends union the delta sketch into
           the stored one (O(delta + touched groups)); sketches are not
           invertible, so no CDC state is stored and any DML / moved
-          dim full-refreshes (which re-runs THIS query - still the
-          sketch estimator)."""
+          dim takes the touched-group recompute tier (re-running THIS
+          query restricted to affected groups - still the sketch
+          estimator), falling to full refresh when unprovable."""
         from pyspark.sql.types import IntegerType, LongType
 
         m = self._MV_JOIN_AGG_SHAPE.match(sql_text)
@@ -4331,6 +4332,174 @@ class LakehouseCatalog:
             },
         )
 
+    def _join_group_recompute(
+        self,
+        t: LakehouseTable,
+        props: dict,
+        sql_text: str,
+        ch_view: str,
+        ch_df: DataFrame,
+        ch_ident: str,
+        pin_updates: dict | None = None,
+    ):
+        """Touched-group recompute for join-agg MVs under DML on ONE
+        side (fact, or a single moved dim) when signed CDC cannot
+        model the aggregates - MIN/MAX (not invertible), sketches
+        (not invertible), or a pre-CDC MV without hidden state. Mirrors
+        the single-table tier (r10): derive the TOUCHED groups by
+        pushing the moved side's changelog through the star (both the
+        delete and insert images join the other pinned sides, so a row
+        moving between groups touches BOTH), then re-run the STORE
+        query restricted to those groups - an IN-subquery the optimizer
+        plants as a semi-join inside the star - and MERGE. Groups with
+        no surviving rows leave via a delete directive in the same
+        commit. Correctness is by construction: a per-group recompute
+        over the post-DML snapshots equals the full refresh for
+        touched groups, and untouched groups cannot have changed (the
+        changelog is total over the moved side, the join is the only
+        coupling, and every other side is pinned). Write amplification
+        is O(touched groups), never the whole view - at 100 TB a
+        one-row fact correction merges a handful of groups instead of
+        overwriting the star MV. Declines (``NotImplemented``) on NULL
+        group keys, an unmatched shape, analysis failures, or more
+        touched groups than the recompute threshold."""
+        import uuid
+        from functools import reduce
+
+        from pyspark.errors import AnalysisException
+
+        from .dml import merge_into
+
+        group_cols = json.loads(props["mv.group_cols"])
+        aggs = json.loads(props["mv.aggs"])
+        agg_args = json.loads(props.get("mv.agg_args", "{}"))
+        store_sql = props.get("mv.store_query", sql_text)
+        if not group_cols or self._missing_sketch_state(
+            t, aggs, agg_args
+        ):
+            return NotImplemented
+        m = self._MV_JOIN_AGG_SHAPE.match(sql_text)
+        sm = self._MV_JOIN_AGG_SHAPE.match(store_sql)
+        if m is None or sm is None:
+            return NotImplemented
+        key_src: dict[str, str] = {}
+        for part in _split_top_level(m.group("items")):
+            part = part.strip()
+            if self._MV_AGG_ITEM.match(part):
+                continue
+            km = self._MV_JOIN_KEY.match(part)
+            if km is None:
+                return NotImplemented
+            name = km.group("alias") or km.group("col")
+            key_src[name] = (
+                f"{km.group('qual')}.{km.group('col')}"
+                if km.group("qual")
+                else km.group("col")
+            )
+        if set(key_src) != set(group_cols):
+            return NotImplemented
+        sel = ", ".join(f"{key_src[g]} AS {g}" for g in group_cols)
+        probe = (
+            f"SELECT {sel} FROM {m.group('f')} {m.group('joins')}"
+        )
+        if m.group("where"):
+            probe += f" WHERE {m.group('where')}"
+        try:
+            ch_df.createOrReplaceTempView(ch_view)
+            try:
+                touched = (
+                    self.spark.sql(probe)
+                    .distinct()
+                    .localCheckpoint(eager=True)
+                )
+            except AnalysisException as e:
+                _log.warning(
+                    "join group-recompute probe failed analysis "
+                    "(changelog side %s; declining to full refresh): %s",
+                    ch_ident,
+                    e,
+                )
+                return NotImplemented
+        finally:
+            # restore through create_view so MV view semantics survive
+            self.create_view(ch_ident)
+        if (
+            touched.filter(
+                reduce(
+                    lambda a, b: a | b,
+                    [F.col(k).isNull() for k in group_cols],
+                )
+            )
+            .limit(1)
+            .count()
+        ):
+            return NotImplemented  # MERGE cannot address a NULL group
+        n_touched = touched.count()
+        if n_touched == 0:
+            return t.snapshot()  # the changelog nets outside the view
+        if n_touched > 10_000:
+            return NotImplemented  # full-refresh-shaped anyway
+        tv = f"__mv_touched_{uuid.uuid4().hex[:12]}"
+        tup = ", ".join(key_src[g] for g in group_cols)
+        filt = (
+            f"({tup}) IN (SELECT {', '.join(group_cols)} FROM {tv})"
+        )
+        re_sql = (
+            f"SELECT {sm.group('items')} FROM {sm.group('f')} "
+            f"{sm.group('joins')} WHERE "
+            + (f"({sm.group('where')}) AND " if sm.group("where") else "")
+            + filt
+            + f" GROUP BY {sm.group('keys')}"
+        )
+        try:
+            touched.createOrReplaceTempView(tv)
+            try:
+                recomputed = self.spark.sql(re_sql).localCheckpoint(
+                    eager=True
+                )
+            except AnalysisException as e:
+                _log.warning(
+                    "join group-recompute failed analysis "
+                    "(declining to full refresh): %s",
+                    e,
+                )
+                return NotImplemented
+        finally:
+            self.spark.catalog.dropTempView(tv)
+        types = {f.name: f.dataType for f in t.schema.fields}
+        if set(recomputed.columns) != set(types):
+            return NotImplemented  # store query drifted from the table
+        gone = touched.join(
+            recomputed.select(*group_cols), on=group_cols, how="left_anti"
+        )
+        upd = recomputed.withColumn(
+            "__mv_gone", F.lit(False)
+        ).unionByName(
+            gone.select(
+                *group_cols,
+                *[
+                    F.lit(None).cast(types[f.name]).alias(f.name)
+                    for f in t.schema.fields
+                    if f.name not in group_cols
+                ],
+            ).withColumn("__mv_gone", F.lit(True))
+        )
+        return merge_into(
+            t,
+            upd,
+            key=group_cols,
+            when_matched="update",
+            when_not_matched="insert",
+            source_delete_condition="__mv_gone",
+            extra_summary={
+                "cdc_refresh": True,
+                "group_recompute": True,
+                **(
+                    {"mv_pins": pin_updates} if pin_updates else {}
+                ),
+            },
+        )
+
     def _refresh_join_agg(
         self, t: LakehouseTable, props: dict, sql_text: str
     ):
@@ -4440,6 +4609,19 @@ class LakehouseCatalog:
                         fact_ident,
                         pin_updates=upd,
                     )
+                    if snap is NotImplemented:
+                        # MIN/MAX/sketch or pre-CDC join MV: the
+                        # touched-group recompute tier (r11) - still
+                        # O(changed groups), never the whole view
+                        snap = self._join_group_recompute(
+                            t,
+                            props,
+                            sql_text,
+                            self.view_name(fact_ident),
+                            ch,
+                            fact_ident,
+                            pin_updates=upd,
+                        )
                     if snap is not NotImplemented:
                         t.set_properties(**upd)
                         return snap
@@ -4511,6 +4693,21 @@ class LakehouseCatalog:
                     mv_ident,
                     pin_updates=upd,
                 )
+                if snap is NotImplemented:
+                    # MIN/MAX/sketch or pre-CDC join MV under a moved
+                    # dim: recompute only the groups the dim change
+                    # touches (r11) - the changelog's delete AND
+                    # insert images both join the pinned fact, so a
+                    # dim row moving between groups touches both
+                    snap = self._join_group_recompute(
+                        t,
+                        props,
+                        sql_text,
+                        self.view_name(mv_ident),
+                        ch,
+                        mv_ident,
+                        pin_updates=upd,
+                    )
                 if snap is not NotImplemented:
                     new_vs, new_sids = pin_vs, pin_sids
                     t.set_properties(**upd)

@@ -3238,16 +3238,17 @@ def q7w_mv_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # promoted to the judged window in r9
     # certifies the join-aggregate MV tier: fact appends refresh by
     # joining ONLY the delta to the pinned dim and merging partials
-    # (merged flag), a moved dim forces the full-recompute fallback
-    # and re-pin (dim_full flag), and the final view equals the full
-    # GROUP BY over the join.
+    # (merged flag), a moved dim recomputes ONLY the touched groups
+    # (r11 tier; dim_incremental flag - MIN/MAX have no signed-CDC
+    # state, so pre-r11 this was a full overwrite), and the final
+    # view equals the full GROUP BY over the join.
     oracle="""
     SELECT c_mktsegment,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
            CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
            CAST(MIN(o_orderkey) AS BIGINT) AS lo_key,
            CAST(MAX(o_orderkey) AS BIGINT) AS hi_key,
-           TRUE AS merged, TRUE AS dim_full
+           TRUE AS merged, TRUE AS dim_incremental
     FROM orders JOIN customer ON o_custkey = c_custkey
     WHERE c_custkey % 10 <> 0
     GROUP BY c_mktsegment ORDER BY c_mktsegment
@@ -3258,6 +3259,7 @@ def q82_mv_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     half the fact, append the rest (refresh must MERGE fact-delta
     partials joined to the pinned dim), then delete every 10th
     customer (a moved dim cannot be expressed as a fact delta - the
+    touched-group recompute tier rebuilds only affected segments; the
     refresh must fall back to a full recompute and re-pin)."""
     from ..catalog import LakehouseCatalog
 
@@ -3290,7 +3292,11 @@ def q82_mv_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged = snap1 is not None and snap1.operation == "merge"
         cat.sql("DELETE FROM tmp.custj WHERE c_custkey % 10 = 0")
         snap2 = cat.refresh_materialized_view("tmp.mv_seg")
-        dim_full = snap2 is not None and snap2.operation != "merge"
+        dim_incremental = (
+            snap2 is not None
+            and snap2.operation == "merge"
+            and (snap2.summary or {}).get("group_recompute") is True
+        )
         res = cat.sql(
             "SELECT c_mktsegment, n_orders, sum_cust, lo_key, hi_key "
             "FROM tmp_mv_seg ORDER BY c_mktsegment"
@@ -3301,7 +3307,7 @@ def q82_mv_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lo_key",
             "hi_key",
             F.lit(merged).alias("merged"),
-            F.lit(dim_full).alias("dim_full"),
+            F.lit(dim_incremental).alias("dim_incremental"),
         )
         rows = res.collect()  # materialize before the warehouse vanishes
         return spark.createDataFrame(rows, res.schema)
@@ -3505,8 +3511,10 @@ def q88_eq_delete_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (r10 rotation fodder); certifies the MULTI-dim join-MV tier on
     # the q05 star shape: orders JOIN customer JOIN nation, refresh
     # joins ONLY the fact delta to BOTH pinned dims (merged flag), a
-    # moved dim forces full recompute + re-pin of every side
-    # (dim_full flag), and the final view equals the full GROUP BY.
+    # moved dim recomputes ONLY the touched groups (r11 tier;
+    # dim_incremental flag - MAX has no signed-CDC state, so pre-r11
+    # this was a full overwrite), and the final view equals the full
+    # GROUP BY.
     # promoted to the judged window in r10 (VERDICT r9 #1: the
     # last 9 never-driver-judged registrations)
     defer=False,
@@ -3515,7 +3523,7 @@ def q88_eq_delete_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_orders,
            CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
            CAST(MAX(o_orderkey) AS BIGINT) AS hi_key,
-           TRUE AS merged, TRUE AS dim_full
+           TRUE AS merged, TRUE AS dim_incremental
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation ON c_nationkey = n_nationkey
@@ -3528,7 +3536,8 @@ def q89_mv_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     half the fact joined to two dims, append the rest (refresh must
     MERGE fact-delta partials against both pinned dims), then delete
     customers (a moved dim between fact and nation cannot be expressed
-    as a fact delta - full recompute + re-pin)."""
+    as a fact delta - the touched-group recompute tier rebuilds only
+    the affected nations and re-pins)."""
     from ..catalog import LakehouseCatalog
 
     wh = tempfile.mkdtemp(prefix="lakehouse_q89_")
@@ -3560,7 +3569,11 @@ def q89_mv_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged = snap1 is not None and snap1.operation == "merge"
         cat.sql("DELETE FROM tmp.custs WHERE c_custkey % 10 = 3")
         snap2 = cat.refresh_materialized_view("tmp.mv_nat")
-        dim_full = snap2 is not None and snap2.operation != "merge"
+        dim_incremental = (
+            snap2 is not None
+            and snap2.operation == "merge"
+            and (snap2.summary or {}).get("group_recompute") is True
+        )
         res = cat.sql(
             "SELECT n_name, n_orders, sum_cust, hi_key FROM tmp_mv_nat "
             "ORDER BY n_name"
@@ -3570,7 +3583,7 @@ def q89_mv_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_cust",
             "hi_key",
             F.lit(merged).alias("merged"),
-            F.lit(dim_full).alias("dim_full"),
+            F.lit(dim_incremental).alias("dim_incremental"),
         )
         rows = res.collect()  # materialize before the warehouse vanishes
         return spark.createDataFrame(rows, res.schema)
@@ -5151,8 +5164,9 @@ def q8t_mv_join_approx_sketch(
     and compare the final estimates against the exact distinct (within
     5%). At 100 TB this is the only distinct-count star-maintenance
     shape that works: the refresh unions O(delta) sketches while the
-    dims stay pinned; a moved dim or fact DML full-refreshes (sketches
-    are not invertible), which is always correct."""
+    dims stay pinned; a moved dim or fact DML recomputes only the
+    touched groups (sketches are not invertible, but a per-group
+    rebuild equals full refresh by construction)."""
     from ..catalog import LakehouseCatalog
 
     wh = tempfile.mkdtemp(prefix="lakehouse_q8t_")

@@ -2040,8 +2040,12 @@ def test_mv_join_agg_incremental_refresh(catalog, spark):
 
 def test_mv_join_agg_dim_move_full_refreshes(catalog, spark):
     """A moved dim invalidates materialized groups in ways fact deltas
-    cannot express: the refresh must be a FULL recompute (and re-pin),
-    after which fact appends are incremental again."""
+    cannot express. A MIN/MAX join MV has no signed-CDC state, so the
+    refresh used to be a FULL recompute; since the r11 touched-group
+    tier it recomputes ONLY the groups the dim change reaches
+    (group_recompute flag, still a 'merge' commit) - and the values
+    must stay exactly those of a full recompute. Fact appends stay
+    incremental throughout."""
     f, d = _join_fixture(catalog, spark, "2")
     catalog.create_materialized_view(
         "gold.jmv2",
@@ -2052,7 +2056,8 @@ def test_mv_join_agg_dim_move_full_refreshes(catalog, spark):
     # dim UPDATE: row 3 changes segment B -> C
     catalog.sql("UPDATE gold.dim2 SET seg = 'C' WHERE k = 3")
     snap = catalog.refresh_materialized_view("gold.jmv2")
-    assert snap is not None and snap.operation != "merge"
+    assert snap is not None
+    assert snap.summary.get("group_recompute") is True
 
     def via_view():
         catalog.register_views()
@@ -2066,11 +2071,13 @@ def test_mv_join_agg_dim_move_full_refreshes(catalog, spark):
     f.append(spark.createDataFrame([(1, 7)], "fk long, v long"))
     snap = catalog.refresh_materialized_view("gold.jmv2")
     assert snap.operation == "merge"
+    assert snap.summary.get("group_recompute") is None
     assert via_view() == _expected_join(catalog, spark, "2")
-    # fact DML in range: full refresh, still exact
+    # fact DML in range: touched-group recompute, still exact
     catalog.sql("DELETE FROM gold.fact2 WHERE v = 30")
     snap = catalog.refresh_materialized_view("gold.jmv2")
-    assert snap is not None and snap.operation != "merge"
+    assert snap is not None
+    assert snap.summary.get("group_recompute") is True
     assert via_view() == _expected_join(catalog, spark, "2")
 
 
@@ -4832,8 +4839,9 @@ def test_mv_join_approx_distinct_sketch_tier(catalog, spark):
     KeyError __mv_hll_*), fact appends refresh by sketch UNION
     ('merge' commit, O(delta), never a star re-scan), and sketches are
     NOT invertible so no CDC state is stored: fact DML and moved dims
-    decline to a correct full refresh that re-runs the store query -
-    still the sketch estimator."""
+    take the touched-group recompute (r11 late) or a correct full
+    refresh - either way re-running the store query, still the sketch
+    estimator."""
     f = catalog.create_table(
         "gold.jfact",
         spark.createDataFrame(
@@ -5140,6 +5148,103 @@ def test_mv_join_approx_percentile_sketch_tier(catalog, spark):
     catalog.refresh_materialized_view("gold.kj_mv")
     got = readback()
     assert set(got) == {"g1"} and got["g1"] == 10.0  # all 6 values
+
+
+def test_mv_join_group_recompute_under_dml(catalog, spark):
+    """r11 (late): join-star MVs whose aggregates signed CDC cannot
+    model (MIN/MAX, sketches, pre-CDC state-less MVs) refresh under
+    DML by TOUCHED-GROUP recompute instead of a full star rebuild -
+    the moved side's changelog (delete AND insert images) joins the
+    pinned sides to find affected groups, the store query re-runs
+    restricted to them (an IN-subquery semi-join inside the star),
+    and groups with no surviving rows leave the view in the same
+    commit. Write amplification O(touched), never O(view)."""
+    f = catalog.create_table(
+        "gold.grf",
+        spark.createDataFrame([], "k long, v long, u string").schema,
+    )
+    f.append(
+        spark.createDataFrame(
+            [(1, 10, "a"), (1, 30, "b"), (2, 7, "a"), (3, 99, "c")],
+            "k long, v long, u string",
+        )
+    )
+    d = catalog.create_table(
+        "gold.grd",
+        spark.createDataFrame([], "k long, grp string").schema,
+    )
+    d.append(
+        spark.createDataFrame(
+            [(1, "g1"), (2, "g2"), (3, "g3")], "k long, grp string"
+        )
+    )
+    catalog.register_views()
+    # MIN/MAX: no CDC state is stored (not invertible)
+    catalog.create_materialized_view(
+        "gold.gr_mv",
+        "SELECT grp, MIN(v) AS lo, MAX(v) AS hi, "
+        "APPROX_COUNT_DISTINCT(u) AS du "
+        "FROM gold_grf JOIN gold_grd ON gold_grf.k = gold_grd.k "
+        "GROUP BY grp",
+    )
+    t = catalog.load_table("gold.gr_mv")
+    assert "__mv_rows" not in {fl.name for fl in t.schema.fields}
+
+    def readback():
+        catalog.register_views()
+        return {
+            r["grp"]: (r["lo"], r["hi"], r["du"])
+            for r in spark.sql("SELECT * FROM gold_gr_mv").collect()
+        }
+
+    assert readback() == {
+        "g1": (10, 30, 2),
+        "g2": (7, 7, 1),
+        "g3": (99, 99, 1),
+    }
+
+    # fact DML: delete the g1 minimum -> only g1 recomputes
+    catalog.sql("DELETE FROM gold.grf WHERE v = 10")
+    snap = catalog.refresh_materialized_view("gold.gr_mv")
+    assert snap.summary.get("group_recompute") is True
+    assert readback() == {
+        "g1": (30, 30, 1),
+        "g2": (7, 7, 1),
+        "g3": (99, 99, 1),
+    }
+
+    # fact DML wiping a group: g3 must LEAVE the view
+    catalog.sql("DELETE FROM gold.grf WHERE v = 99")
+    snap = catalog.refresh_materialized_view("gold.gr_mv")
+    assert snap.summary.get("group_recompute") is True
+    assert readback() == {"g1": (30, 30, 1), "g2": (7, 7, 1)}
+
+    # moved dim: k=2 hops from g2 to g1 - BOTH groups recompute (the
+    # delete image touches g2, the insert image g1); g2 leaves
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark import dml
+
+    dml.update_where(
+        catalog.load_table("gold.grd"),
+        F.col("k") == 2,
+        {"grp": F.lit("g1")},
+    )
+    snap = catalog.refresh_materialized_view("gold.gr_mv")
+    assert snap.summary.get("group_recompute") is True
+    assert readback() == {"g1": (7, 30, 2)}
+
+    # appends afterwards keep the ordinary merge path
+    f.append(
+        spark.createDataFrame(
+            [(3, 50, "z")], "k long, v long, u string"
+        )
+    )
+    snap = catalog.refresh_materialized_view("gold.gr_mv")
+    assert snap.operation == "merge"
+    assert snap.summary.get("group_recompute") is None
+    assert readback() == {"g1": (7, 30, 2), "g3": (50, 50, 1)}
+
+    # up to date -> no commit
+    assert catalog.refresh_materialized_view("gold.gr_mv") is None
 
 
 def test_mv_approx_incompatible_arg_declines_to_plain(catalog, spark):
