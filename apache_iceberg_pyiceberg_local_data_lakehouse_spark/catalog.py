@@ -3388,6 +3388,75 @@ class LakehouseCatalog:
             merged = F.greatest(tv, dv)
         return F.when(tv.isNull(), dv).when(dv.isNull(), tv).otherwise(merged)
 
+    # a recompute touching more groups than this is full-refresh-shaped
+    # anyway (shared by the single-table and join recompute tiers)
+    _GROUP_RECOMPUTE_CAP = 10_000
+
+    @staticmethod
+    def _has_null_group_key(df: DataFrame, group_cols: list) -> bool:
+        """True when any row's group key is NULL - an equality-keyed
+        MERGE cannot address the NULL group, so incremental tiers
+        decline (shared gate)."""
+        from functools import reduce
+
+        return bool(
+            df.filter(
+                reduce(
+                    lambda a, b: a | b,
+                    [F.col(k).isNull() for k in group_cols],
+                )
+            )
+            .limit(1)
+            .count()
+        )
+
+    def _merge_recomputed_groups(
+        self,
+        t: LakehouseTable,
+        touched: DataFrame,
+        recomputed: DataFrame,
+        group_cols: list,
+        pin_updates: dict | None,
+    ):
+        """Shared tail of the touched-group recompute tiers
+        (single-table r10, join-star r11): touched groups absent from
+        the recomputation have no surviving rows and LEAVE the view via
+        a delete directive in the same MERGE commit as the updated
+        groups."""
+        from .dml import merge_into
+
+        types = {f.name: f.dataType for f in t.schema.fields}
+        gone = touched.join(
+            recomputed.select(*group_cols), on=group_cols, how="left_anti"
+        )
+        upd = recomputed.withColumn(
+            "__mv_gone", F.lit(False)
+        ).unionByName(
+            gone.select(
+                *group_cols,
+                *[
+                    F.lit(None).cast(types[f.name]).alias(f.name)
+                    for f in t.schema.fields
+                    if f.name not in group_cols
+                ],
+            ).withColumn("__mv_gone", F.lit(True))
+        )
+        return merge_into(
+            t,
+            upd,
+            key=group_cols,
+            when_matched="update",
+            when_not_matched="insert",
+            source_delete_condition="__mv_gone",
+            extra_summary={
+                "cdc_refresh": True,
+                "group_recompute": True,
+                **(
+                    {"mv_pins": pin_updates} if pin_updates else {}
+                ),
+            },
+        )
+
     def _missing_sketch_state(
         self,
         t: LakehouseTable,
@@ -3623,10 +3692,6 @@ class LakehouseCatalog:
         an expired changelog, unexpected stored columns, or more
         touched groups than the recompute threshold (a mass rewrite is
         full-refresh-shaped anyway)."""
-        from functools import reduce
-
-        from .dml import merge_into
-
         group_cols = json.loads(props["mv.group_cols"])
         aggs = json.loads(props["mv.aggs"])
         agg_args = json.loads(props.get("mv.agg_args", "{}"))
@@ -3710,21 +3775,12 @@ class LakehouseCatalog:
             .distinct()
             .localCheckpoint(eager=True)
         )
-        if (
-            touched.filter(
-                reduce(
-                    lambda a, b: a | b,
-                    [F.col(k).isNull() for k in group_cols],
-                )
-            )
-            .limit(1)
-            .count()
-        ):
+        if self._has_null_group_key(touched, group_cols):
             return NotImplemented  # MERGE cannot address a NULL group
         n_touched = touched.count()
         if n_touched == 0:
             return t.snapshot()  # the changelog nets outside the view
-        if n_touched > 10_000:
+        if n_touched > self._GROUP_RECOMPUTE_CAP:
             return NotImplemented  # full-refresh-shaped anyway
         base = prep(bt.scan(snapshot=bt.snapshot(to_v)))
         agg_exprs = []
@@ -3802,33 +3858,8 @@ class LakehouseCatalog:
             .groupBy(*group_cols)
             .agg(*agg_exprs)
         )
-        gone = touched.join(
-            recomputed.select(*group_cols), on=group_cols, how="left_anti"
-        )
-        upd = recomputed.withColumn("__mv_gone", F.lit(False)).unionByName(
-            gone.select(
-                *group_cols,
-                *[
-                    F.lit(None).cast(types[f.name]).alias(f.name)
-                    for f in t.schema.fields
-                    if f.name not in group_cols
-                ],
-            ).withColumn("__mv_gone", F.lit(True))
-        )
-        return merge_into(
-            t,
-            upd,
-            key=group_cols,
-            when_matched="update",
-            when_not_matched="insert",
-            source_delete_condition="__mv_gone",
-            extra_summary={
-                "cdc_refresh": True,
-                "group_recompute": True,
-                **(
-                    {"mv_pins": pin_updates} if pin_updates else {}
-                ),
-            },
+        return self._merge_recomputed_groups(
+            t, touched, recomputed, group_cols, pin_updates
         )
 
     def _cdc_agg_refresh(
@@ -3934,25 +3965,13 @@ class LakehouseCatalog:
         empty delta, or ``NotImplemented`` on a NULL group key (an
         equality-keyed MERGE cannot address the NULL group; the caller
         full-refreshes - rare and always correct)."""
-        from functools import reduce
-
         from .dml import merge_into
 
         if self._missing_sketch_state(t, aggs, agg_args):
             return NotImplemented  # pre-sketch-tier approx MV
         if not inc.count():
             return t.snapshot()
-        has_null_key = (
-            inc.filter(
-                reduce(
-                    lambda a, b: a | b,
-                    [F.col(k).isNull() for k in group_cols],
-                )
-            )
-            .limit(1)
-            .count()
-        )
-        if has_null_key:
+        if self._has_null_group_key(inc, group_cols):
             return NotImplemented
         cur = t.to_df().alias("t")
         joined = inc.alias("d").join(cur, on=group_cols, how="left")
@@ -4364,11 +4383,8 @@ class LakehouseCatalog:
         group keys, an unmatched shape, analysis failures, or more
         touched groups than the recompute threshold."""
         import uuid
-        from functools import reduce
 
         from pyspark.errors import AnalysisException
-
-        from .dml import merge_into
 
         group_cols = json.loads(props["mv.group_cols"])
         aggs = json.loads(props["mv.aggs"])
@@ -4423,21 +4439,12 @@ class LakehouseCatalog:
         finally:
             # restore through create_view so MV view semantics survive
             self.create_view(ch_ident)
-        if (
-            touched.filter(
-                reduce(
-                    lambda a, b: a | b,
-                    [F.col(k).isNull() for k in group_cols],
-                )
-            )
-            .limit(1)
-            .count()
-        ):
+        if self._has_null_group_key(touched, group_cols):
             return NotImplemented  # MERGE cannot address a NULL group
         n_touched = touched.count()
         if n_touched == 0:
             return t.snapshot()  # the changelog nets outside the view
-        if n_touched > 10_000:
+        if n_touched > self._GROUP_RECOMPUTE_CAP:
             return NotImplemented  # full-refresh-shaped anyway
         tv = f"__mv_touched_{uuid.uuid4().hex[:12]}"
         tup = ", ".join(key_src[g] for g in group_cols)
@@ -4466,38 +4473,12 @@ class LakehouseCatalog:
                 return NotImplemented
         finally:
             self.spark.catalog.dropTempView(tv)
-        types = {f.name: f.dataType for f in t.schema.fields}
-        if set(recomputed.columns) != set(types):
+        if set(recomputed.columns) != {
+            f.name for f in t.schema.fields
+        }:
             return NotImplemented  # store query drifted from the table
-        gone = touched.join(
-            recomputed.select(*group_cols), on=group_cols, how="left_anti"
-        )
-        upd = recomputed.withColumn(
-            "__mv_gone", F.lit(False)
-        ).unionByName(
-            gone.select(
-                *group_cols,
-                *[
-                    F.lit(None).cast(types[f.name]).alias(f.name)
-                    for f in t.schema.fields
-                    if f.name not in group_cols
-                ],
-            ).withColumn("__mv_gone", F.lit(True))
-        )
-        return merge_into(
-            t,
-            upd,
-            key=group_cols,
-            when_matched="update",
-            when_not_matched="insert",
-            source_delete_condition="__mv_gone",
-            extra_summary={
-                "cdc_refresh": True,
-                "group_recompute": True,
-                **(
-                    {"mv_pins": pin_updates} if pin_updates else {}
-                ),
-            },
+        return self._merge_recomputed_groups(
+            t, touched, recomputed, group_cols, pin_updates
         )
 
     def _refresh_join_agg(

@@ -3259,8 +3259,8 @@ def q82_mv_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     half the fact, append the rest (refresh must MERGE fact-delta
     partials joined to the pinned dim), then delete every 10th
     customer (a moved dim cannot be expressed as a fact delta - the
-    touched-group recompute tier rebuilds only affected segments; the
-    refresh must fall back to a full recompute and re-pin)."""
+    touched-group recompute tier rebuilds only the affected segments
+    and re-pins)."""
     from ..catalog import LakehouseCatalog
 
     wh = tempfile.mkdtemp(prefix="lakehouse_q82_")

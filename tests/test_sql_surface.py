@@ -2038,7 +2038,7 @@ def test_mv_join_agg_incremental_refresh(catalog, spark):
     assert catalog.refresh_materialized_view("gold.jmv") is None
 
 
-def test_mv_join_agg_dim_move_full_refreshes(catalog, spark):
+def test_mv_join_agg_dim_move_group_recomputes(catalog, spark):
     """A moved dim invalidates materialized groups in ways fact deltas
     cannot express. A MIN/MAX join MV has no signed-CDC state, so the
     refresh used to be a FULL recompute; since the r11 touched-group
