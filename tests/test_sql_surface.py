@@ -5150,6 +5150,67 @@ def test_mv_join_approx_percentile_sketch_tier(catalog, spark):
     assert set(got) == {"g1"} and got["g1"] == 10.0  # all 6 values
 
 
+def test_mv_approx_percentile_having_and_expr_keys(catalog, spark):
+    """The KLL tier composes with HAVING (the predicate rewrites to
+    the visible alias and filters the view over the KLL estimate -
+    below-threshold groups keep accumulating hidden sketches and
+    reappear when later appends push them back over) and with
+    expression group keys."""
+    b = catalog.create_table(
+        "gold.kh",
+        spark.createDataFrame([], "k string, x double").schema,
+    )
+    b.append(
+        spark.createDataFrame(
+            [("a", 5.0), ("a", 50.0), ("a", 70.0), ("b", 1.0), ("b", 2.0)],
+            "k string, x double",
+        )
+    )
+    catalog.register_views()
+    catalog.create_materialized_view(
+        "gold.kh_mv",
+        "SELECT k, APPROX_PERCENTILE(x, 0.5) AS p50 FROM gold_kh "
+        "GROUP BY k HAVING APPROX_PERCENTILE(x, 0.5) > 10",
+    )
+
+    def readback():
+        catalog.register_views()
+        return {
+            r["k"]: r["p50"]
+            for r in spark.sql("SELECT * FROM gold_kh_mv").collect()
+        }
+
+    assert readback() == {"a": 50.0}  # b is below the threshold
+    # appends push b's median over the threshold: it REAPPEARS (the
+    # hidden sketch kept accumulating), and the commit is a merge
+    b.append(
+        spark.createDataFrame(
+            [("b", 90.0), ("b", 95.0), ("b", 99.0)], "k string, x double"
+        )
+    )
+    snap = catalog.refresh_materialized_view("gold.kh_mv")
+    assert snap.operation == "merge"
+    assert readback() == {"a": 50.0, "b": 90.0}
+
+    # expression group key + sketch: upper(k) aliased and grouped
+    catalog.create_materialized_view(
+        "gold.ke_mv",
+        "SELECT upper(k) AS ku, APPROX_PERCENTILE(x, 0.5) AS p50 "
+        "FROM gold_kh GROUP BY ku",
+    )
+    mv = catalog.load_table("gold.ke_mv")
+    assert mv.properties().get("mv.refresh_mode") == "agg"
+    b.append(spark.createDataFrame([("a", 60.0)], "k string, x double"))
+    snap = catalog.refresh_materialized_view("gold.ke_mv")
+    assert snap.operation == "merge"
+    catalog.register_views()
+    got = {
+        r["ku"]: r["p50"]
+        for r in spark.sql("SELECT * FROM gold_ke_mv").collect()
+    }
+    assert got["A"] == 50.0 and got["B"] == 90.0
+
+
 def test_mv_join_group_recompute_under_dml(catalog, spark):
     """r11 (late): join-star MVs whose aggregates signed CDC cannot
     model (MIN/MAX, sketches, pre-CDC state-less MVs) refresh under
