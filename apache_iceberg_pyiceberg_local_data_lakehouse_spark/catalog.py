@@ -3410,6 +3410,26 @@ class LakehouseCatalog:
             .count()
         )
 
+    def _changelog_bound(self, ident: str, df: DataFrame):
+        """Context manager: bind ``ident``'s public view to ``df`` (a
+        changelog frame) for the duration, then ALWAYS restore through
+        :meth:`create_view` so MV view semantics survive (a side that
+        is itself an MV must come back as its STRIPPED/HAVING-filtered
+        public view, not a raw scan exposing ``__mv_*`` state) - one
+        restore discipline for every changelog-swap site (review
+        r11)."""
+        from contextlib import contextmanager
+
+        @contextmanager
+        def _bound():
+            df.createOrReplaceTempView(self.view_name(ident))
+            try:
+                yield
+            finally:
+                self.create_view(ident)
+
+        return _bound()
+
     def _merge_recomputed_groups(
         self,
         t: LakehouseTable,
@@ -4271,70 +4291,72 @@ class LakehouseCatalog:
         from pyspark.errors import AnalysisException
 
         bound: list[str] = []
-        try:
-            ch_df.createOrReplaceTempView(ch_view)
-            for b_ident, b_version in (binds or {}).items():
-                # create_view applies the MV view semantics (stripped
-                # __mv_* state, HAVING filter) to the pinned snapshot -
-                # a raw time-travel scan would expose hidden columns
-                self.create_view(
-                    b_ident,
-                    view_name=self.view_name(b_ident),
-                    version=b_version,
-                )
-                bound.append(b_ident)
+        with self._changelog_bound(ch_ident, ch_df):
             try:
-                rows = self.spark.sql(pre)
-            except AnalysisException as e:
-                # the rebuilt pre-aggregation failed ANALYSIS (e.g. the
-                # changelog's _change_type metadata column collides
-                # with an unqualified reference elsewhere in the
-                # query): like every other unprovable case in this
-                # tier, decline - the caller full-refreshes, which is
-                # always correct. Narrow to AnalysisException and log:
-                # a bug in the builder or a transient engine error must
-                # surface, not silently degrade every refresh to
-                # O(star)
-                _log.warning(
-                    "join-CDC pre-aggregation failed analysis "
-                    "(changelog side %s; declining to full refresh): %s",
-                    ch_ident,
-                    e,
+                for b_ident, b_version in (binds or {}).items():
+                    # create_view applies the MV view semantics
+                    # (stripped __mv_* state, HAVING filter) to the
+                    # pinned snapshot - a raw time-travel scan would
+                    # expose hidden columns
+                    self.create_view(
+                        b_ident,
+                        view_name=self.view_name(b_ident),
+                        version=b_version,
+                    )
+                    bound.append(b_ident)
+                try:
+                    rows = self.spark.sql(pre)
+                except AnalysisException as e:
+                    # the rebuilt pre-aggregation failed ANALYSIS (e.g.
+                    # the changelog's _change_type metadata column
+                    # collides with an unqualified reference elsewhere
+                    # in the query): like every other unprovable case
+                    # in this tier, decline - the caller
+                    # full-refreshes, which is always correct. Narrow
+                    # to AnalysisException and log: a bug in the
+                    # builder or a transient engine error must surface,
+                    # not silently degrade every refresh to O(star)
+                    _log.warning(
+                        "join-CDC pre-aggregation failed analysis "
+                        "(changelog side %s; declining to full "
+                        "refresh): %s",
+                        ch_ident,
+                        e,
+                    )
+                    return NotImplemented
+                types = {f.name: f.dataType for f in t.schema.fields}
+                sign = F.when(
+                    F.col("__mv_ct") == "delete", F.lit(-1)
+                ).otherwise(F.lit(1))
+                exprs = self._signed_agg_exprs(
+                    types,
+                    aggs,
+                    {
+                        name: F.col(f"__mv_arg_{name}")
+                        for name, op in aggs
+                        if agg_args[name].strip() != "*"
+                    },
+                    {
+                        name
+                        for name, op in aggs
+                        if op == "count" and agg_args[name].strip() == "*"
+                    },
+                    sign,
                 )
-                return NotImplemented
-            types = {f.name: f.dataType for f in t.schema.fields}
-            sign = F.when(
-                F.col("__mv_ct") == "delete", F.lit(-1)
-            ).otherwise(F.lit(1))
-            exprs = self._signed_agg_exprs(
-                types,
-                aggs,
-                {
-                    name: F.col(f"__mv_arg_{name}")
-                    for name, op in aggs
-                    if agg_args[name].strip() != "*"
-                },
-                {
-                    name
-                    for name, op in aggs
-                    if op == "count" and agg_args[name].strip() == "*"
-                },
-                sign,
-            )
-            inc = (
-                rows.groupBy(*group_cols)
-                .agg(*exprs)
-                .localCheckpoint(eager=True)
-            )
-        finally:
-            # restore ONLY the swapped views, but through create_view so
-            # MV semantics survive (a dim that is itself an MV must
-            # come back as its STRIPPED/HAVING-filtered public view,
-            # not a raw scan exposing __mv_* state) - still O(1), never
-            # the O(catalog) register_views() sweep
-            self.create_view(ch_ident)
-            for b_ident in bound:
-                self.create_view(b_ident)
+                inc = (
+                    rows.groupBy(*group_cols)
+                    .agg(*exprs)
+                    .localCheckpoint(eager=True)
+                )
+            finally:
+                # restore the bound views through create_view so MV
+                # semantics survive (a dim that is itself an MV must
+                # come back as its STRIPPED/HAVING-filtered public
+                # view); the changelog side restores via the context
+                # manager - still O(swapped), never the O(catalog)
+                # register_views() sweep
+                for b_ident in bound:
+                    self.create_view(b_ident)
         return self._merge_grouped_delta(
             t,
             group_cols,
@@ -4356,7 +4378,6 @@ class LakehouseCatalog:
         t: LakehouseTable,
         props: dict,
         sql_text: str,
-        ch_view: str,
         ch_df: DataFrame,
         ch_ident: str,
         pin_updates: dict | None = None,
@@ -4420,8 +4441,7 @@ class LakehouseCatalog:
         )
         if m.group("where"):
             probe += f" WHERE {m.group('where')}"
-        try:
-            ch_df.createOrReplaceTempView(ch_view)
+        with self._changelog_bound(ch_ident, ch_df):
             try:
                 touched = (
                     self.spark.sql(probe)
@@ -4436,9 +4456,6 @@ class LakehouseCatalog:
                     e,
                 )
                 return NotImplemented
-        finally:
-            # restore through create_view so MV view semantics survive
-            self.create_view(ch_ident)
         if self._has_null_group_key(touched, group_cols):
             return NotImplemented  # MERGE cannot address a NULL group
         n_touched = touched.count()
@@ -4598,7 +4615,6 @@ class LakehouseCatalog:
                             t,
                             props,
                             sql_text,
-                            self.view_name(fact_ident),
                             ch,
                             fact_ident,
                             pin_updates=upd,
@@ -4684,7 +4700,6 @@ class LakehouseCatalog:
                         t,
                         props,
                         sql_text,
-                        self.view_name(mv_ident),
                         ch,
                         mv_ident,
                         pin_updates=upd,

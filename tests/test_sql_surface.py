@@ -4910,7 +4910,8 @@ def test_mv_join_approx_distinct_sketch_tier(catalog, spark):
     )
     assert all(r["du"] == r["est"] for r in raw.collect())
 
-    # a moved dim cannot union or subtract a sketch: full refresh,
+    # a moved dim cannot union or subtract a sketch: the touched-
+    # group recompute tier rebuilds only affected groups (r11 late),
     # still correct and still the sketch estimator
     from apache_iceberg_pyiceberg_local_data_lakehouse_spark import dml
 
@@ -4919,7 +4920,8 @@ def test_mv_join_approx_distinct_sketch_tier(catalog, spark):
         F.col("k") == 2,
         {"lbl": F.lit("x")},
     )
-    catalog.refresh_materialized_view("gold.jad_mv")
+    snap = catalog.refresh_materialized_view("gold.jad_mv")
+    assert snap.summary.get("group_recompute") is True
     got = readback()
     # k in {0,2} now both 'x': 14+13+3 appended rows = 30 rows
     assert got["x"][0] == 30 and got["y"][0] == 13
@@ -5137,7 +5139,8 @@ def test_mv_join_approx_percentile_sketch_tier(catalog, spark):
     assert snap.operation == "merge"
     assert readback() == {"g1": 10.0, "g2": 7.0}
 
-    # moved dim: full refresh (sketches not invertible), still correct
+    # moved dim: sketches are not invertible, so the touched-group
+    # recompute tier rebuilds only affected groups (r11 late)
     from apache_iceberg_pyiceberg_local_data_lakehouse_spark import dml
 
     dml.update_where(
@@ -5145,7 +5148,8 @@ def test_mv_join_approx_percentile_sketch_tier(catalog, spark):
         F.col("k") == 2,
         {"grp": F.lit("g1")},
     )
-    catalog.refresh_materialized_view("gold.kj_mv")
+    snap = catalog.refresh_materialized_view("gold.kj_mv")
+    assert snap.summary.get("group_recompute") is True
     got = readback()
     assert set(got) == {"g1"} and got["g1"] == 10.0  # all 6 values
 
