@@ -1624,6 +1624,79 @@ def test_watch_mv_drives_join_tier_incrementally(spark, tmp_path):
         thread.join(30)
 
 
+def test_watch_mv_drives_sketch_and_recompute_tiers(spark, tmp_path):
+    """r11: the MV watcher daemon drives the sketch tiers - an append
+    under the daemon converges an APPROX_COUNT_DISTINCT + MIN star MV
+    by HLL union merge, and a fact DELETE converges via the
+    touched-group recompute (still a merge commit), never a full
+    rebuild."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.catalog import (
+        LakehouseCatalog,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.streaming.watcher import (
+        watch_materialized_view,
+    )
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("g")
+    f = cat.create_table(
+        "g.sf", spark.createDataFrame([], "fk long, u string, v long").schema
+    )
+    d = cat.create_table(
+        "g.sd", spark.createDataFrame([], "k long, seg string").schema
+    )
+    d.append(
+        spark.createDataFrame([(1, "A"), (2, "B")], "k long, seg string")
+    )
+    f.append(
+        spark.createDataFrame(
+            [(1, "x", 10), (2, "y", 7)], "fk long, u string, v long"
+        )
+    )
+    mv = cat.create_materialized_view(
+        "g.swmv",
+        "SELECT seg, MIN(v) AS lo, APPROX_COUNT_DISTINCT(u) AS du "
+        "FROM g_sf JOIN g_sd ON g_sf.fk = g_sd.k GROUP BY seg",
+    )
+    assert mv.properties().get("mv.refresh_mode") == "join_agg"
+    ops = []
+    stop, thread = watch_materialized_view(
+        cat, "g.swmv", poll_secs=1,
+        on_refresh=lambda s: ops.append(
+            (s.operation, (s.summary or {}).get("group_recompute"))
+        ),
+    )
+    try:
+        f.append(
+            spark.createDataFrame(
+                [(1, "z", 5)], "fk long, u string, v long"
+            )
+        )
+        deadline = time.time() + 60
+        got = {}
+        while time.time() < deadline:
+            got = {r["seg"]: (r["lo"], r["du"]) for r in mv.to_df().collect()}
+            if got == {"A": (5, 2), "B": (7, 1)}:
+                break
+            time.sleep(0.5)
+        assert got == {"A": (5, 2), "B": (7, 1)}
+        assert ops and ops[0] == ("merge", None)  # sketch union merge
+        # fact DELETE: the daemon converges via touched-group recompute
+        cat.sql("DELETE FROM g.sf WHERE v = 5")
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            got = {r["seg"]: (r["lo"], r["du"]) for r in mv.to_df().collect()}
+            if got == {"A": (10, 1), "B": (7, 1)}:
+                break
+            time.sleep(0.5)
+        assert got == {"A": (10, 1), "B": (7, 1)}
+        assert ("merge", True) in ops  # the recompute tier fired
+        assert all(op == "merge" for op, _ in ops)  # never a rebuild
+    finally:
+        stop.set()
+        thread.join(30)
+
+
 def test_scd2_sink_streaming_history(spark, tmp_path):
     """Scd2Sink: a CDC stream lands as full SCD2 history, one MERGE
     commit per epoch; a fresh-sink replay of a committed epoch is
