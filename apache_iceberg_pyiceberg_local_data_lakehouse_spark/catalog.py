@@ -3707,18 +3707,22 @@ class LakehouseCatalog:
         with the SAME expressions creation used - bit-identical to a
         full refresh by construction, which is exactly what the
         partial-merge arithmetic (reverted r8 for DECIMAL) could not
-        guarantee. Declines (``NotImplemented``) on: the COUNT-DISTINCT
-        grain or HAVING tiers (stored grain differs), NULL group keys,
-        an expired changelog, unexpected stored columns, or more
-        touched groups than the recompute threshold (a mass rewrite is
-        full-refresh-shaped anyway)."""
+        guarantee. HAVING MVs qualify too (r11): the table stores the
+        UNFILTERED aggregate at the user grain - exactly what the
+        per-group recompute rebuilds - and the predicate lives only in
+        the view projection, so a group dipping below the threshold
+        keeps its stored row and merely disappears from the view.
+        Declines (``NotImplemented``) on: the COUNT-DISTINCT grain
+        (stored grain differs), NULL group keys, an expired changelog,
+        unexpected stored columns, or more touched groups than the
+        recompute threshold (a mass rewrite is full-refresh-shaped
+        anyway)."""
         group_cols = json.loads(props["mv.group_cols"])
         aggs = json.loads(props["mv.aggs"])
         agg_args = json.loads(props.get("mv.agg_args", "{}"))
         if (
             not group_cols
             or "mv.view_agg" in props
-            or props.get("mv.having")
             # an approx MV without its __mv_hll_/__mv_kll_ sketch
             # column (pre-sketch-tier layout) cannot recompute the
             # stored state (review r11: this path crashed with

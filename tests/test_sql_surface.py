@@ -5215,6 +5215,69 @@ def test_mv_approx_percentile_having_and_expr_keys(catalog, spark):
     assert got["A"] == 50.0 and got["B"] == 90.0
 
 
+def test_mv_having_group_recompute_under_dml(catalog, spark):
+    """r11 (late): HAVING MVs ride the touched-group recompute tier
+    under DML - the table stores the UNFILTERED aggregate at the user
+    grain (exactly what the per-group rebuild reproduces), the
+    predicate filters only the view, so a group dipping below the
+    threshold keeps its stored row, disappears from the view, and
+    REAPPEARS when later appends push it back over. Pre-r11 any DML on
+    a MIN/MAX HAVING MV forced a full overwrite."""
+    b = catalog.create_table(
+        "gold.hgr",
+        spark.createDataFrame([], "k string, v long").schema,
+    )
+    b.append(
+        spark.createDataFrame(
+            [("a", 10), ("a", 90), ("b", 5), ("b", 50), ("c", 7)],
+            "k string, v long",
+        )
+    )
+    catalog.register_views()
+    catalog.create_materialized_view(
+        "gold.hgr_mv",
+        "SELECT k, MAX(v) AS hi FROM gold_hgr GROUP BY k "
+        "HAVING MAX(v) > 20",
+    )
+
+    def readback():
+        catalog.register_views()
+        return {
+            r["k"]: r["hi"]
+            for r in spark.sql("SELECT * FROM gold_hgr_mv").collect()
+        }
+
+    assert readback() == {"a": 90, "b": 50}  # c is under the threshold
+
+    # DML retracting a maximum: only the touched group recomputes,
+    # and it DIPS BELOW the threshold (stored row stays, view filters)
+    catalog.sql("DELETE FROM gold.hgr WHERE v = 50")
+    snap = catalog.refresh_materialized_view("gold.hgr_mv")
+    assert snap.summary.get("group_recompute") is True
+    assert readback() == {"a": 90}
+    stored = {
+        r["k"]: r["hi"]
+        for r in catalog.load_table("gold.hgr_mv").to_df().collect()
+    }
+    assert stored == {"a": 90, "b": 5, "c": 7}  # unfiltered state kept
+
+    # later appends push b back over the threshold: it reappears via
+    # the ordinary merge path
+    b.append(spark.createDataFrame([("b", 77)], "k string, v long"))
+    snap = catalog.refresh_materialized_view("gold.hgr_mv")
+    assert snap.operation == "merge"
+    assert readback() == {"a": 90, "b": 77}
+
+    # a group losing its LAST row leaves the stored table entirely
+    catalog.sql("DELETE FROM gold.hgr WHERE k = 'c'")
+    snap = catalog.refresh_materialized_view("gold.hgr_mv")
+    assert snap.summary.get("group_recompute") is True
+    assert "c" not in {
+        r["k"]
+        for r in catalog.load_table("gold.hgr_mv").to_df().collect()
+    }
+
+
 def test_mv_join_group_recompute_under_dml(catalog, spark):
     """r11 (late): join-star MVs whose aggregates signed CDC cannot
     model (MIN/MAX, sketches, pre-CDC state-less MVs) refresh under
