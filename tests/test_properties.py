@@ -920,6 +920,71 @@ def test_mv_minmax_cdc_always_equals_recompute(
     assert got == want, (ops, seed)
 
 
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_MM_OPS, seed=st.integers(min_value=0, max_value=10_000))
+def test_mv_having_recompute_always_equals_view(
+    spark, tmp_path_factory, ops, seed
+):
+    """r11 HAVING + group-recompute contract: a MIN/MAX HAVING MV's
+    VIEW equals the HAVING'd full GROUP BY after ANY interleaving of
+    appends, deletes, updates and refreshes - the stored row is the
+    UNFILTERED aggregate, DML recomputes only touched groups, and
+    groups crossing the threshold in either direction appear/disappear
+    exactly as a full recompute would have them."""
+    import random
+
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.catalog import (
+        LakehouseCatalog,
+    )
+
+    rng = random.Random(seed)
+    wh = tmp_path_factory.mktemp("hvwh")
+    cat = LakehouseCatalog(spark, str(wh))
+    cat.create_namespace("g")
+    schema = "cat string, v long, w long"
+
+    def rows(n):
+        return [
+            (
+                chr(97 + rng.randrange(4)),
+                rng.randrange(100),
+                None if rng.random() < 0.3 else rng.randrange(50),
+            )
+            for _ in range(n)
+        ]
+
+    t = cat.create_table("g.hvb", spark.createDataFrame([], schema).schema)
+    t.append(spark.createDataFrame(rows(6), schema))
+    q = (
+        "SELECT cat, COUNT(*) AS n, MIN(v) AS lo, MAX(w) AS hi "
+        "FROM g_hvb GROUP BY cat HAVING MAX(w) > 20"
+    )
+    cat.create_materialized_view("g.hvmv", q)
+    for op in ops:
+        if op == "append":
+            t.append(
+                spark.createDataFrame(rows(rng.randrange(1, 4)), schema)
+            )
+        elif op == "delete":
+            cat.sql(f"DELETE FROM g.hvb WHERE v % 10 = {rng.randrange(10)}")
+        elif op == "update":
+            cat.sql(
+                f"UPDATE g.hvb SET v = v + 7, w = NULL "
+                f"WHERE v % 7 = {rng.randrange(7)}"
+            )
+        else:
+            cat.refresh_materialized_view("g.hvmv")
+    cat.refresh_materialized_view("g.hvmv")
+    cat.register_views()
+    got = {tuple(r) for r in spark.sql("SELECT * FROM g_hvmv").collect()}
+    want = {tuple(r) for r in spark.sql(q).collect()}
+    assert got == want, (ops, seed)
+
+
 # -- fact+dim moved together CDC (r11) ------------------------------------
 
 _FD_FACT_OPS = st.sampled_from(["fact_append", "fact_delete", "fact_both"])
