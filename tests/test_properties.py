@@ -855,20 +855,15 @@ _MM_OPS = st.lists(
 )
 
 
-@settings(
-    max_examples=8,
-    deadline=None,
-    suppress_health_check=[HealthCheck.function_scoped_fixture],
-)
-@given(ops=_MM_OPS, seed=st.integers(min_value=0, max_value=10_000))
-def test_mv_minmax_cdc_always_equals_recompute(
-    spark, tmp_path_factory, ops, seed
+def _run_single_table_mv_op_soup(
+    spark, tmp_path_factory, ops, seed, base, mv, q_fmt
 ):
-    """r10 group-recompute tier contract: a MIN/MAX (+COUNT/SUM,
-    nullable column) aggregate MV equals the full GROUP BY after ANY
-    interleaving of appends, deletes, updates and refreshes - DML
-    windows refresh by recomputing only the touched groups, and every
-    unprovable case falls back to full refresh."""
+    """Shared Hypothesis driver for single-table agg-MV contracts: a
+    base table of (cat, v, nullable w) rows takes a random interleaving
+    of appends/deletes/updates/refreshes, and the MV's VIEW must equal
+    the query re-run from scratch. ``q_fmt`` receives the base view
+    name; ``base``/``mv`` are dotted idents (unique per test so
+    Hypothesis examples never collide)."""
     import random
 
     from apache_iceberg_pyiceberg_local_data_lakehouse_spark.catalog import (
@@ -876,7 +871,7 @@ def test_mv_minmax_cdc_always_equals_recompute(
     )
 
     rng = random.Random(seed)
-    wh = tmp_path_factory.mktemp("mmwh")
+    wh = tmp_path_factory.mktemp(mv.split(".")[-1])
     cat = LakehouseCatalog(spark, str(wh))
     cat.create_namespace("g")
     schema = "cat string, v long, w long"
@@ -891,33 +886,61 @@ def test_mv_minmax_cdc_always_equals_recompute(
             for _ in range(n)
         ]
 
-    t = cat.create_table("g.mmb", spark.createDataFrame([], schema).schema)
+    t = cat.create_table(base, spark.createDataFrame([], schema).schema)
     t.append(spark.createDataFrame(rows(6), schema))
-    q = (
-        "SELECT cat, COUNT(*) AS n, COUNT(w) AS nw, SUM(v) AS sv, "
-        "MIN(v) AS lo, MAX(w) AS hi, AVG(w) AS m "
-        "FROM g_mmb GROUP BY cat"
-    )
-    cat.create_materialized_view("g.mmmv", q)
+    q = q_fmt.format(base=cat.view_name(base))
+    cat.create_materialized_view(mv, q)
     for op in ops:
         if op == "append":
             t.append(
                 spark.createDataFrame(rows(rng.randrange(1, 4)), schema)
             )
         elif op == "delete":
-            cat.sql(f"DELETE FROM g.mmb WHERE v % 10 = {rng.randrange(10)}")
+            cat.sql(f"DELETE FROM {base} WHERE v % 10 = {rng.randrange(10)}")
         elif op == "update":
             cat.sql(
-                f"UPDATE g.mmb SET v = v + 7, w = NULL "
+                f"UPDATE {base} SET v = v + 7, w = NULL "
                 f"WHERE v % 7 = {rng.randrange(7)}"
             )
         else:
-            cat.refresh_materialized_view("g.mmmv")
-    cat.refresh_materialized_view("g.mmmv")
+            cat.refresh_materialized_view(mv)
+    cat.refresh_materialized_view(mv)
     cat.register_views()
-    got = {tuple(r) for r in spark.sql("SELECT * FROM g_mmmv").collect()}
+    got = {
+        tuple(r)
+        for r in spark.sql(
+            f"SELECT * FROM {cat.view_name(mv)}"
+        ).collect()
+    }
     want = {tuple(r) for r in spark.sql(q).collect()}
     assert got == want, (ops, seed)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_MM_OPS, seed=st.integers(min_value=0, max_value=10_000))
+def test_mv_minmax_cdc_always_equals_recompute(
+    spark, tmp_path_factory, ops, seed
+):
+    """r10 group-recompute tier contract: a MIN/MAX (+COUNT/SUM,
+    nullable column) aggregate MV equals the full GROUP BY after ANY
+    interleaving of appends, deletes, updates and refreshes - DML
+    windows refresh by recomputing only the touched groups, and every
+    unprovable case falls back to full refresh."""
+    _run_single_table_mv_op_soup(
+        spark,
+        tmp_path_factory,
+        ops,
+        seed,
+        "g.mmb",
+        "g.mmmv",
+        "SELECT cat, COUNT(*) AS n, COUNT(w) AS nw, SUM(v) AS sv, "
+        "MIN(v) AS lo, MAX(w) AS hi, AVG(w) AS m "
+        "FROM {base} GROUP BY cat",
+    )
 
 
 @settings(
@@ -935,54 +958,16 @@ def test_mv_having_recompute_always_equals_view(
     UNFILTERED aggregate, DML recomputes only touched groups, and
     groups crossing the threshold in either direction appear/disappear
     exactly as a full recompute would have them."""
-    import random
-
-    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.catalog import (
-        LakehouseCatalog,
-    )
-
-    rng = random.Random(seed)
-    wh = tmp_path_factory.mktemp("hvwh")
-    cat = LakehouseCatalog(spark, str(wh))
-    cat.create_namespace("g")
-    schema = "cat string, v long, w long"
-
-    def rows(n):
-        return [
-            (
-                chr(97 + rng.randrange(4)),
-                rng.randrange(100),
-                None if rng.random() < 0.3 else rng.randrange(50),
-            )
-            for _ in range(n)
-        ]
-
-    t = cat.create_table("g.hvb", spark.createDataFrame([], schema).schema)
-    t.append(spark.createDataFrame(rows(6), schema))
-    q = (
+    _run_single_table_mv_op_soup(
+        spark,
+        tmp_path_factory,
+        ops,
+        seed,
+        "g.hvb",
+        "g.hvmv",
         "SELECT cat, COUNT(*) AS n, MIN(v) AS lo, MAX(w) AS hi "
-        "FROM g_hvb GROUP BY cat HAVING MAX(w) > 20"
+        "FROM {base} GROUP BY cat HAVING MAX(w) > 20",
     )
-    cat.create_materialized_view("g.hvmv", q)
-    for op in ops:
-        if op == "append":
-            t.append(
-                spark.createDataFrame(rows(rng.randrange(1, 4)), schema)
-            )
-        elif op == "delete":
-            cat.sql(f"DELETE FROM g.hvb WHERE v % 10 = {rng.randrange(10)}")
-        elif op == "update":
-            cat.sql(
-                f"UPDATE g.hvb SET v = v + 7, w = NULL "
-                f"WHERE v % 7 = {rng.randrange(7)}"
-            )
-        else:
-            cat.refresh_materialized_view("g.hvmv")
-    cat.refresh_materialized_view("g.hvmv")
-    cat.register_views()
-    got = {tuple(r) for r in spark.sql("SELECT * FROM g_hvmv").collect()}
-    want = {tuple(r) for r in spark.sql(q).collect()}
-    assert got == want, (ops, seed)
 
 
 # -- fact+dim moved together CDC (r11) ------------------------------------

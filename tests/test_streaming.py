@@ -1676,7 +1676,9 @@ def test_watch_mv_drives_sketch_and_recompute_tiers(spark, tmp_path):
         got = {}
         while time.time() < deadline:
             got = {r["seg"]: (r["lo"], r["du"]) for r in mv.to_df().collect()}
-            if got == {"A": (5, 2), "B": (7, 1)}:
+            # wait for the CALLBACK too: the data converges at the
+            # commit, before the watcher thread reaches on_refresh
+            if got == {"A": (5, 2), "B": (7, 1)} and ops:
                 break
             time.sleep(0.5)
         assert got == {"A": (5, 2), "B": (7, 1)}
@@ -1686,7 +1688,10 @@ def test_watch_mv_drives_sketch_and_recompute_tiers(spark, tmp_path):
         deadline = time.time() + 60
         while time.time() < deadline:
             got = {r["seg"]: (r["lo"], r["du"]) for r in mv.to_df().collect()}
-            if got == {"A": (10, 1), "B": (7, 1)}:
+            if got == {"A": (10, 1), "B": (7, 1)} and (
+                "merge",
+                True,
+            ) in ops:
                 break
             time.sleep(0.5)
         assert got == {"A": (10, 1), "B": (7, 1)}
