@@ -584,6 +584,7 @@ def q7m_rolling_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q7q_ohlc_bars",
+    defer=True,  # rotated out r12 after 3+ driver greens; local parity kept
     # promoted to the judged window in r9
     # new in r8, registered behind the judged window (r9 rotation
     # fodder); certifies operators/timeseries.py ohlc_bars - the
@@ -703,6 +704,7 @@ def q7z_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q85_pivot_event_matrix",
+    defer=True,  # rotated out r12 after 3+ driver greens; local parity kept
     # promoted to the judged window in r9
     # certifies the pivot (wide-aggregation) surface: groupBy().pivot()
     # with an EXPLICIT value list (deterministic schema, single-pass -

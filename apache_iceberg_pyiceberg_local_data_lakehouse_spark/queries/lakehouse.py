@@ -2858,6 +2858,7 @@ def q7p_mv_having_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q7r_sql_procedures",
+    defer=True,  # rotated out r12 after 3+ driver greens; local parity kept
     # promoted to the judged window in r9
     # new in r8, registered behind the judged window (r9 rotation
     # fodder); certifies the SQL ops surface end-to-end: RESTORE TABLE
@@ -2988,6 +2989,7 @@ def q7s_mv_cdc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q7t_copy_into",
+    defer=True,  # rotated out r12 after 3+ driver greens; local parity kept
     # promoted to the judged window in r9
     # new in r8, registered behind the judged window (r9 rotation
     # fodder); certifies the idempotent bulk-ingest verb: COPY INTO
@@ -3095,6 +3097,7 @@ def q7u_table_changes_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q7v_mv_expression_key",
+    defer=True,  # rotated out r12 after 3+ driver greens; local parity kept
     # promoted to the judged window in r9
     # certifies the expression-key tier of incremental MV maintenance:
     # an aliased deterministic expression (n_chars % 10) is a mergeable
@@ -3163,6 +3166,7 @@ def q7v_mv_expression_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q7w_mv_count_distinct",
+    defer=True,  # rotated out r12 after 3+ driver greens; local parity kept
     # promoted to the judged window in r9
     # certifies the COUNT(DISTINCT) tier: the MV stores the finer
     # (lang, n_chars) grain with per-grain partials, the SQL surface
@@ -4435,7 +4439,7 @@ def q8f_partition_ddl_lifecycle(
     # the refresh composes the dim-changelog term (bound to the PINNED
     # fact) with a final fact-changelog term (joining the NEW dim) as
     # MERGEs - never a full recompute - and equals the plain GROUP BY.
-    defer=True,
+    # promoted to the judged window in r12
     oracle="""
     WITH n2 AS (
       SELECT n_nationkey,
@@ -4534,7 +4538,7 @@ def q8n_mv_fact_dim_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (NULL keeps), matched rows row-replace in the same commit, and
     # the conditioned sync never drops out-of-range files wholesale
     # (dropped_files == 0 - clean files carry by reference).
-    defer=True,
+    # promoted to the judged window in r12
     oracle="""
     WITH base AS (
       SELECT o_orderkey, o_orderstatus AS status,
@@ -4629,7 +4633,7 @@ def q8o_merge_by_source_conditioned(
     # ORIGINAL row, matched rows row-replace in the same commit, and
     # conditioned out-of-range files with no matches carry by
     # reference (dropped_files == 0).
-    defer=True,
+    # promoted to the judged window in r12
     oracle="""
     WITH base AS (
       SELECT o_orderkey, o_orderstatus AS status,
@@ -4723,7 +4727,7 @@ def q8p_merge_by_source_update(
     # conditioned UPDATE SET, and an unconditional UPDATE fallback in
     # ONE atomic commit - an expensive open order must DELETE (clause
     # 1), not also take clause 2's mark.
-    defer=True,
+    # promoted to the judged window in r12
     oracle="""
     WITH base AS (
       SELECT o_orderkey, o_orderstatus AS status,
@@ -4828,7 +4832,7 @@ def q8q_merge_multi_by_source(
     # The oracle reconstructs the full greedy rule with exact jaccard:
     # LSH banding is deterministic (seeded), and every candidate is
     # exact-verified, so the survivor set is SQL-expressible.
-    defer=True,
+    # promoted to the judged window in r12
     oracle="""
     WITH sub AS (
       SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0
@@ -5043,7 +5047,7 @@ def q8r_streaming_near_dedup(
     # in the full data (|rank(est) - p| <= eps, the q7y pattern -
     # a value-space bound would be distribution-dependent). Exact
     # COUNT carries the judged hash alongside the boolean flags.
-    defer=True,
+    # promoted to the judged window in r12
     oracle="""
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
@@ -5141,7 +5145,7 @@ def q8u_mv_quantile_kll_sketch(
     # O(delta + touched groups)) - never a star re-scan. Exact COUNT
     # and exact-distinct columns carry the judged hash; the sketch
     # feeds the bound flag (the q70/q8s pattern).
-    defer=True,
+    # promoted to the judged window in r12
     oracle="""
     SELECT n_name,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
@@ -5243,7 +5247,7 @@ def q8t_mv_join_approx_sketch(
     # 'merge' - O(delta), never a base re-scan), and the estimate
     # stays within the HLL error envelope of the exact distinct
     # (bound-check judged, the q70 sketch pattern).
-    defer=True,
+    # promoted to the judged window in r12
     oracle="""
     SELECT lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,

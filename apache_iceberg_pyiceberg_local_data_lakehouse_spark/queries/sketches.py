@@ -68,6 +68,7 @@ def q71_quantile_sketch_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q7x_theta_audience_overlap",
+    defer=True,  # rotated out r12 after 3+ driver greens; local parity kept
     # promoted to the judged window in r9
     # certifies Theta-sketch SET ALGEBRA (union/intersection/difference
     # distinct estimates) via the q70 bound pattern: exact set sizes
@@ -113,6 +114,7 @@ def q7x_theta_audience_overlap(
 
 @register(
     "q7y_kll_price_rollup",
+    defer=True,  # rotated out r12 after 3+ driver greens; local parity kept
     # promoted to the judged window in r9
     # certifies MERGEABLE KLL quantile rollups: per-(returnflag,
     # linestatus) sketches merge to per-returnflag medians whose exact

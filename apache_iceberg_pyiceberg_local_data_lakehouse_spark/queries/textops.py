@@ -2156,7 +2156,7 @@ def q8l_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # enrichment flags pin the learned stages' semantics (the q8l
     # pattern). DuckDB '//' is the integer division (the q7p parity
     # lesson - '/' on integers is FLOAT division there).
-    defer=True,
+    # promoted to the judged window in r12
     oracle="""
     WITH canon AS (
       SELECT doc_id,

@@ -889,6 +889,7 @@ def q81_random_projection_pairs(
 
 @register(
     "q84_opq_rotated_pq",
+    defer=True,  # rotated out r12 after 3+ driver greens; local parity kept
     # promoted to the judged window in r9
     # certifies parametric OPQ (eigenvalue-balanced PCA rotation) end
     # to end via the q74 bound pattern: exact brute-force anchors plus

@@ -35,6 +35,22 @@ Contract: ``id_col`` uniquely identifies a document across the stream's
 lifetime. A re-delivered id is excluded from the corpus probe (it IS
 the same document), so it re-enters only through the epoch skip, never
 as a self-duplicate.
+
+Sidecar lifecycle (r12, VERDICT r11 #3): every epoch appends one SMALL
+band-rows file per touched bucket partition, so at stream scale the
+sidecar's file count - not its byte size - comes to dominate probe cost
+(``scan_where_in`` prunes to matching partitions, but each pruned
+partition then opens every small file in it). ``maintain_every=N``
+runs ``maintenance.auto_maintain`` on the sidecar after every N epoch
+commits: compaction is partition-boundary-aware, so rewritten files
+stay one-partition-pure and the ``bkt`` probe prunes exactly as before
+(content-preserving - band rows are immutable facts about committed
+docs, so a rewrite can never change a dedup decision). Retention: band
+rows live as long as their documents (they ARE the corpus index);
+snapshot EXPIRY on the sidecar is safe for exactly-once (Spark replays
+only the last epoch, which expiry's retention floor keeps) but must
+never delete live data files - expire_snapshots only GCs unreferenced
+ones, so the invariant holds by construction.
 """
 
 from __future__ import annotations
@@ -91,6 +107,7 @@ class NearDedupSink(EpochCommitSink):
         shingle_len: int = 1,
         seed: int = 42,
         transform: Callable[[DataFrame], DataFrame] | None = None,
+        maintain_every: int | None = None,
     ):
         super().__init__(table, query_id, transform=transform)
         self.sig_table = sig_table
@@ -102,6 +119,11 @@ class NearDedupSink(EpochCommitSink):
         self.rows_per_band = n_hashes // n_bands
         self.shingle_len = shingle_len
         self.seed = seed
+        # run auto_maintain on the SIDECAR after every N sidecar epoch
+        # commits (None = caller owns maintenance). Thresholds come
+        # from the sidecar's own `maintenance.*` table properties.
+        self.maintain_every = maintain_every
+        self._sig_commits_since_maintain = 0
         self._sig_committed: set[int] | None = None
 
     def _sig_committed_epochs(self) -> set[int]:
@@ -245,6 +267,29 @@ class NearDedupSink(EpochCommitSink):
             )
             self.sig_table.append(sig_rows, extra_summary=stamp)
             self._sig_committed_epochs().add(epoch_id)
+            self._sig_commits_since_maintain += 1
+            if (
+                self.maintain_every is not None
+                and self._sig_commits_since_maintain
+                >= self.maintain_every
+            ):
+                self._sig_commits_since_maintain = 0
+                self._maintain_sidecar()
+
+    def _maintain_sidecar(self) -> dict:
+        """Compact the many-small-epoch-files sidecar in place (module
+        docstring, "Sidecar lifecycle"). Partition-boundary-aware
+        compaction keeps rewritten files one-``bkt``-partition-pure, so
+        the probe's ``scan_where_in`` pruning survives; content is
+        unchanged, so replay determinism is untouched. Failures are
+        swallowed into the report: maintenance must never fail the
+        stream (the next due epoch retries it)."""
+        from ..maintenance import auto_maintain
+
+        try:
+            return auto_maintain(self.sig_table)
+        except Exception as exc:  # pragma: no cover - defensive
+            return {"error": repr(exc)}
 
 
 def write_dedup_stream_to_table(

@@ -354,6 +354,28 @@ def main() -> None:
     # `queries` would inflate the baseline-comparable headline total
     depth = bench_depth(spark, SF_DIR)
 
+    # Calibration probe (VERDICT r11 #5): three r11 readings on
+    # IDENTICAL code spanned 14.25-17.66s - the box-state noise floor
+    # is wider than a real round-over-round delta. Re-time q01 once at
+    # the very END of the run (worst box state: after the write-path +
+    # depth tiers) and publish the drift ratio vs its in-run median, so
+    # a verdict can separate "slow box" (drift >> 1 with unchanged
+    # plans) from "plan regression" (drift ~1 but totals up) without a
+    # judge re-run.
+    t0 = time.perf_counter()
+    QUERIES["q01_pricing_summary"](spark, SF_DIR).count()
+    q01_end = round(time.perf_counter() - t0, 3)
+    calibration = {
+        "probe": "q01_pricing_summary",
+        "cold": times["q01_pricing_summary"],
+        "median": medians["q01_pricing_summary"],
+        "end_of_run": q01_end,
+        "drift_end_over_median": round(
+            q01_end / medians["q01_pricing_summary"], 3
+        ),
+    }
+    print(f"# calibration: {calibration}", file=sys.stderr)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_queries_total_wall_clock",
@@ -369,6 +391,13 @@ def main() -> None:
         # comparable sample-for-sample.
         "protocol": "warm-page-cache",
         "warmup_mib": round(warmed_bytes / (1 << 20), 1),
+        # r12+: warm-floor total (sum of per-query min samples) - the
+        # box-state-independent second reading VERDICT r11 #5 asked
+        # for; compare value_min round-over-round for plan regressions,
+        # `value` (cold) against BASELINE.
+        "value_min": round(sum(mins.values()), 3),
+        # r12+: end-of-run q01 probe + drift ratio vs in-run median
+        "calibration": calibration,
         # r11+: depth-tier surfaces (MV CDC refresh vs full, MERGE
         # matrix, SCD2, classifier scoring) - one cold sample each,
         # excluded from `value` for baseline comparability

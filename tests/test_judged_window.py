@@ -21,22 +21,25 @@ def test_window_is_exactly_fifty():
     assert list(QUERIES)[:JUDGED_WINDOW] == JUDGED_NAMES
 
 
-def test_round11_rotations_are_in_window():
-    """VERDICT r10 #1: rotate the 6 never-driver-judged registrations
-    (the r10 deferred wave q8h-q8m) into the window, so EVERY registered
+def test_round12_rotations_are_in_window():
+    """VERDICT r11 #1: rotate the 9 never-driver-judged registrations
+    (the r11 deferred wave q8n-q8v) into the window, so EVERY registered
     query has a CORRECTNESS row at least once."""
     must_be_judged = {
-        # r10 deferred wave, never judged before r11
-        "q8h_mv_two_dim_cdc",
-        "q8i_replace_where",
-        "q8j_merge_multi_clause",
-        "q8k_mv_minmax_group_recompute",
-        "q8l_quality_classifier",
-        "q8m_merge_conditioned_insert",
+        # r11 deferred wave, never judged before r12
+        "q8n_mv_fact_dim_cdc",
+        "q8o_merge_by_source_conditioned",
+        "q8p_merge_by_source_update",
+        "q8q_merge_multi_by_source",
+        "q8r_streaming_near_dedup",
+        "q8s_mv_approx_distinct_sketch",
+        "q8t_mv_join_approx_sketch",
+        "q8u_mv_quantile_kll_sketch",
+        "q8v_curation_v3",
     }
     assert must_be_judged <= set(JUDGED_NAMES)
-    # the 44 keepers: lakehouse lifecycle spine, the streaming-path
-    # entry, the r10 first-timers (one green each), and one-plus
+    # the 41 keepers: lakehouse lifecycle spine, the streaming-path
+    # entry, the r11 first-timers (one green each), and one-plus
     # representatives per operator family
     keepers = {
         "q60_lakehouse_roundtrip",
@@ -58,23 +61,14 @@ def test_round11_rotations_are_in_window():
         "q74_pq_ann_topk",
         "q7o_branch_writes",
         "q7p_mv_having_incremental",
-        "q7q_ohlc_bars",
-        "q7r_sql_procedures",
         "q7s_mv_cdc_incremental",
-        "q7t_copy_into",
         "q7u_table_changes_cdf",
-        "q7v_mv_expression_key",
-        "q7w_mv_count_distinct",
-        "q7x_theta_audience_overlap",
-        "q7y_kll_price_rollup",
         "q7z_event_gaps",
         "q82_mv_join_agg",
         "q83_train_val_test_split",
-        "q84_opq_rotated_pq",
-        "q85_pivot_event_matrix",
         "q86_topk_frequent_items",
         "q87_streaming_exactly_once",
-        # r10 first-timers (judged green once, in r10)
+        # r10 first-timers (judged green r10 + r11)
         "q88_eq_delete_consolidation",
         "q89_mv_star_join",
         "q8a_mv_join_cdc",
@@ -84,9 +78,29 @@ def test_round11_rotations_are_in_window():
         "q8e_dsir_selection",
         "q8f_partition_ddl_lifecycle",
         "q8g_theta_shingle_jaccard",
+        # r11 first-timers (judged green once, in r11)
+        "q8h_mv_two_dim_cdc",
+        "q8i_replace_where",
+        "q8j_merge_multi_clause",
+        "q8k_mv_minmax_group_recompute",
+        "q8l_quality_classifier",
+        "q8m_merge_conditioned_insert",
     }
     assert keepers <= set(JUDGED_NAMES)
     rotated_out = {
+        # r12 defer-outs (3+ driver greens each; one rep per family
+        # stays in-window: q8c for OPQ, q7z for events, q8g for theta,
+        # q8u for KLL, q7p/q7s/q8h/q8k for single-table MV tiers,
+        # q7u/q8i-q8m for the SQL verb surface)
+        "q84_opq_rotated_pq",
+        "q7v_mv_expression_key",
+        "q7w_mv_count_distinct",
+        "q7q_ohlc_bars",
+        "q85_pivot_event_matrix",
+        "q7x_theta_audience_overlap",
+        "q7y_kll_price_rollup",
+        "q7r_sql_procedures",
+        "q7t_copy_into",
         # r11 defer-outs (multi-green; shape-redundant with keepers)
         "q72_bm25_topk",
         "q75_jsonl_ingest",
