@@ -884,10 +884,16 @@ class LakehouseCatalog:
         r"(?:\s+GROUP\s+BY\s+(?P<keys>.+?))?\s*;?\s*$",
         re.IGNORECASE | re.DOTALL,
     )
+    # the arg may nest ONE paren level (r12: APPROX_PERCENTILE's
+    # array(p1, p2) form; single-call exprs like SUM(coalesce(a, b))).
+    # Deeper nesting falls out of the tier at the parse level - and
+    # _agg_item_rejected separately rejects args containing aggregate
+    # tokens, so the widening cannot admit a nested aggregate.
     _MV_AGG_ITEM = re.compile(
         r"^\s*(?P<op>APPROX_COUNT_DISTINCT|APPROX_PERCENTILE|"
         r"PERCENTILE_APPROX|COUNT|SUM|MIN|MAX|AVG)\s*\("
-        r"(?P<distinct>\s*DISTINCT\b)?(?P<arg>[^()]*|\*)\)"
+        r"(?P<distinct>\s*DISTINCT\b)?"
+        r"(?P<arg>(?:[^()]|\([^()]*\))*|\*)\)"
         r"\s+AS\s+(?P<alias>[A-Za-z_]\w*)\s*$",
         re.IGNORECASE,
     )
@@ -920,11 +926,17 @@ class LakehouseCatalog:
         re.IGNORECASE,
     )
 
-    @staticmethod
-    def _agg_item_rejected(op: str, arg: str, alias: str) -> bool:
+    @classmethod
+    def _agg_item_rejected(cls, op: str, arg: str, alias: str) -> bool:
         """Per-aggregate-item gates shared by the single-table and
-        join parsers: reserved output names, ``*`` outside COUNT, and
-        nested aggregates all decline to full refresh."""
+        join parsers: reserved output names, ``*`` outside COUNT,
+        nested aggregates, and refresh-variant (nondeterministic or
+        time-dependent) argument expressions all decline to full
+        refresh. The last gate matters since r12's one-paren-level
+        arg widening: ``MAX(now())`` analyzes fine but a delta
+        re-aggregation at refresh time would merge refresh-time values
+        into creation-time ones - a state no single run of the store
+        query can produce."""
         return (
             alias.startswith("__mv_")
             or (arg == "*" and op != "count")
@@ -936,6 +948,7 @@ class LakehouseCatalog:
                     re.IGNORECASE,
                 )
             )
+            or bool(cls._MV_NONDETERMINISTIC.search(arg))
         )
 
     # the ONE estimator spelling every sketch-MV path shares: the
@@ -959,15 +972,21 @@ class LakehouseCatalog:
     )
 
     @staticmethod
-    def _kll_spec(arg: str, vis_type) -> tuple[str, str, str, str] | None:
+    def _kll_spec(
+        arg: str, vis_type
+    ) -> tuple[str, str, str, list[str], bool] | None:
         """Parse an APPROX_PERCENTILE argument list into (KLL family
-        suffix, cast type, value expression, percentile literal), or
-        None when the KLL tier cannot model it: a third accuracy
-        argument, an array of percentiles, a non-literal percentile
-        (the stored sketch must answer ONE fixed quantile), or a value
-        type outside the KLL families (DECIMAL would change type under
-        the BIGINT/DOUBLE cast)."""
+        suffix, cast type, value expression, percentile literals,
+        array-form flag), or None when the KLL tier cannot model it:
+        a third accuracy argument, a non-literal percentile (the
+        stored sketch must answer FIXED quantiles), or a value type
+        outside the KLL families (DECIMAL would change type under the
+        BIGINT/DOUBLE cast). ``array(p1, p2, ...)`` of literals IS
+        modeled (r12, VERDICT r11 #4): ONE stored sketch answers
+        every requested quantile - the literals list carries them and
+        the visible column is the guarded ARRAY of estimates."""
         from pyspark.sql.types import (
+            ArrayType,
             ByteType,
             DoubleType,
             FloatType,
@@ -976,21 +995,53 @@ class LakehouseCatalog:
             ShortType,
         )
 
+        def _lit_ok(p: str) -> bool:
+            return bool(
+                re.fullmatch(r"[0-9]*\.?[0-9]+([eE]-?[0-9]+)?", p)
+            ) and 0.0 <= float(p) <= 1.0
+
         pieces = [p.strip() for p in _split_top_level(arg)]
         if len(pieces) != 2:
             return None
         expr, p = pieces
-        if not re.fullmatch(r"[0-9]*\.?[0-9]+([eE]-?[0-9]+)?", p):
-            return None
-        if not 0.0 <= float(p) <= 1.0:
-            return None
+        arr = re.fullmatch(r"(?is)array\s*\((?P<inner>.*)\)", p)
+        if arr is not None:
+            ps = [s.strip() for s in _split_top_level(arr.group("inner"))]
+            if not ps or not all(_lit_ok(s) for s in ps):
+                return None
+            if not isinstance(vis_type, ArrayType):
+                return None
+            elem, is_array = vis_type.elementType, True
+        else:
+            if not _lit_ok(p):
+                return None
+            ps, elem, is_array = [p], vis_type, False
         if isinstance(
-            vis_type, (ByteType, ShortType, IntegerType, LongType)
+            elem, (ByteType, ShortType, IntegerType, LongType)
         ):
-            return "BIGINT", "BIGINT", expr, p
-        if isinstance(vis_type, (FloatType, DoubleType)):
-            return "DOUBLE", "DOUBLE", expr, p
+            return "BIGINT", "BIGINT", expr, ps, is_array
+        if isinstance(elem, (FloatType, DoubleType)):
+            return "DOUBLE", "DOUBLE", expr, ps, is_array
         return None
+
+    @classmethod
+    def _kll_est_sql(
+        cls, fam: str, sk: str, ps: list[str], is_array: bool
+    ) -> str:
+        """The ONE visible-quantile spelling over a (possibly inlined)
+        sketch expression ``sk``: GET_N = 0 guards the whole result
+        (an all-NULL group's sketch is a non-NULL EMPTY buffer whose
+        GET_QUANTILE THROWS; APPROX_PERCENTILE answers NULL there for
+        BOTH the scalar and the array form - probe-confirmed r12)."""
+        if not is_array:
+            return cls._KLL_EST_FMT.format(f=fam, sk=sk, p=ps[0])
+        qs = ", ".join(
+            f"KLL_SKETCH_GET_QUANTILE_{fam}({sk}, {p})" for p in ps
+        )
+        return (
+            f"CASE WHEN KLL_SKETCH_GET_N_{fam}({sk}) = 0 THEN NULL "
+            f"ELSE ARRAY({qs}) END"
+        )
 
     def _approx_rewrite_items(
         self,
@@ -1022,9 +1073,9 @@ class LakehouseCatalog:
                 )
                 if spec is None:
                     return None
-                fam, ct, expr, p = spec
+                fam, ct, expr, ps, is_arr = spec
                 sk = self._KLL_AGG_FMT.format(f=fam, arg=expr, t=ct)
-                est = self._KLL_EST_FMT.format(f=fam, sk=sk, p=p)
+                est = self._kll_est_sql(fam, sk, ps, is_arr)
                 native = vis_types[a].simpleString()
                 items.append(f"CAST({est} AS {native}) AS {a}")
             else:
@@ -1041,7 +1092,7 @@ class LakehouseCatalog:
                 )
                 if spec is None:
                     return None
-                fam, ct, expr, _p = spec
+                fam, ct, expr, _ps, _arr = spec
                 items.append(
                     self._KLL_AGG_FMT.format(f=fam, arg=expr, t=ct)
                     + f" AS __mv_kll_{alias}"
@@ -1374,9 +1425,10 @@ class LakehouseCatalog:
             for alias, op in aggs
         ):
             # a percentile the KLL tier cannot model (accuracy arg,
-            # percentile array, non-literal p, DECIMAL/temporal value):
-            # decline agg mode entirely - the plain full-refresh MV
-            # keeps the native estimator on every path
+            # non-literal p - scalar or array element - or a
+            # DECIMAL/temporal value; literal arrays ride the tier
+            # since r12): decline agg mode entirely - the plain
+            # full-refresh MV keeps the native estimator on every path
             return None
         if distinct_item is None:
             # ---- user-grain storage (bare or expression keys) -------
@@ -3571,7 +3623,7 @@ class LakehouseCatalog:
                 # estimate guards on GET_N = 0 -> NULL, exactly
                 # APPROX_PERCENTILE's answer (probe-confirmed r11)
                 k_name = f"__mv_kll_{name}"
-                fam, _ct, _e, p = self._kll_spec(
+                fam, _ct, _e, ps, is_arr = self._kll_spec(
                     (agg_args or {}).get(name, ""), types.get(name)
                 )
                 f_lo = fam.lower()
@@ -3587,17 +3639,25 @@ class LakehouseCatalog:
                 )
                 out[k_name] = merged.cast(types[k_name]).alias(k_name)
                 n = F.call_function(f"kll_sketch_get_n_{f_lo}", merged)
+                # array form (r12): the ONE merged sketch answers every
+                # requested quantile; the guard still covers the whole
+                # result (all-NULL group -> NULL array, probe-confirmed)
+                quantiles = [
+                    F.call_function(
+                        f"kll_sketch_get_quantile_{f_lo}",
+                        merged,
+                        F.lit(float(p)),
+                    )
+                    for p in ps
+                ]
+                visible = (
+                    F.array(*quantiles) if is_arr else quantiles[0]
+                )
                 out[name] = (
                     F.when(
                         merged.isNull() | (n == 0), F.lit(None)
                     )
-                    .otherwise(
-                        F.call_function(
-                            f"kll_sketch_get_quantile_{f_lo}",
-                            merged,
-                            F.lit(float(p)),
-                        )
-                    )
+                    .otherwise(visible)
                     .cast(types[name])
                     .alias(name)
                 )
@@ -3830,11 +3890,11 @@ class LakehouseCatalog:
                 # creation's exact spelling (shared _KLL_*_FMT): the
                 # visible quantile is ALWAYS the KLL estimate, with
                 # the empty-sketch GET_N guard (one estimator, r11)
-                fam, ct, expr, p = self._kll_spec(
+                fam, ct, expr, ps, is_arr = self._kll_spec(
                     agg_args[name], types[name]
                 )
                 sk = self._KLL_AGG_FMT.format(f=fam, arg=expr, t=ct)
-                est = self._KLL_EST_FMT.format(f=fam, sk=sk, p=p)
+                est = self._kll_est_sql(fam, sk, ps, is_arr)
                 agg_exprs.append(
                     F.expr(est).cast(types[name]).alias(name)
                 )

@@ -281,14 +281,24 @@ class NearDedupSink(EpochCommitSink):
         docstring, "Sidecar lifecycle"). Partition-boundary-aware
         compaction keeps rewritten files one-``bkt``-partition-pure, so
         the probe's ``scan_where_in`` pruning survives; content is
-        unchanged, so replay determinism is untouched. Failures are
-        swallowed into the report: maintenance must never fail the
-        stream (the next due epoch retries it)."""
+        unchanged, so replay determinism is untouched. Failures must
+        never fail the stream (the next due epoch retries), but they
+        are LOGGED - a persistently failing compaction silently
+        regrows exactly the small-file problem this hook exists to
+        solve (review r12)."""
+        import logging
+
         from ..maintenance import auto_maintain
 
         try:
             return auto_maintain(self.sig_table)
         except Exception as exc:  # pragma: no cover - defensive
+            logging.getLogger(__name__).warning(
+                "sidecar auto_maintain failed for %s: %r "
+                "(stream continues; next due epoch retries)",
+                self.sig_table.location,
+                exc,
+            )
             return {"error": repr(exc)}
 
 

@@ -391,11 +391,18 @@ def main() -> None:
         # comparable sample-for-sample.
         "protocol": "warm-page-cache",
         "warmup_mib": round(warmed_bytes / (1 << 20), 1),
-        # r12+: warm-floor total (sum of per-query min samples) - the
-        # box-state-independent second reading VERDICT r11 #5 asked
-        # for; compare value_min round-over-round for plan regressions,
-        # `value` (cold) against BASELINE.
-        "value_min": round(sum(mins.values()), 3),
+        # r12+: warm-floor total (sum of per-query min samples over the
+        # HEADLINE reads only) - the box-state-independent second
+        # reading VERDICT r11 #5 asked for; compare value_min
+        # round-over-round for plan regressions, `value` (cold) against
+        # BASELINE. ingest_lineitem is EXCLUDED: its single one-shot
+        # sample is itself cold, and summing it back in would re-inject
+        # exactly the write-path box noise this field factors out
+        # (review r12).
+        "value_min": round(
+            sum(v for k, v in mins.items() if k != "ingest_lineitem"),
+            3,
+        ),
         # r12+: end-of-run q01 probe + drift ratio vs in-run median
         "calibration": calibration,
         # r11+: depth-tier surfaces (MV CDC refresh vs full, MERGE

@@ -904,6 +904,17 @@ def test_mv_agg_shape_gates(catalog, spark):
             # would also claim - must fall back, not crash
             "SELECT cat, COUNT(DISTINCT v) AS dv, AVG(v) AS aw, "
             "SUM(v) AS sum_aw FROM gold_sales4 GROUP BY cat",
+            # refresh-variant AGGREGATE ARGUMENTS (reachable since
+            # r12's one-paren-level arg widening): Spark itself
+            # rejects truly-nondeterministic args (uuid/rand) inside
+            # aggregates, but QUERY-CONSTANT time functions analyze
+            # fine - and a delta re-aggregation at refresh time would
+            # merge refresh-time values into creation-time ones, a
+            # state no single run of the store query can produce
+            # (review r12)
+            "SELECT cat, MAX(now()) AS t FROM gold_sales4 GROUP BY cat",
+            "SELECT cat, MIN(current_date) AS d3 "
+            "FROM gold_sales4 GROUP BY cat",
         ]
     ):
         mv = catalog.create_materialized_view(f"gold.gate{i}", q)
@@ -5013,10 +5024,12 @@ def test_mv_approx_percentile_kll_tier(catalog, spark):
 
 def test_mv_approx_percentile_families_and_gates(catalog, spark):
     """Integral columns ride the BIGINT KLL family with the native
-    visible type preserved; the 3-arg accuracy form, a non-literal or
-    array percentile, and DECIMAL values are outside the tier and
-    decline to a plain full-refresh MV; percentile composes with an
-    HLL distinct sketch in the same MV (both merge on append)."""
+    visible type preserved; the 3-arg accuracy form, a non-literal
+    percentile (scalar or array element), and DECIMAL values are
+    outside the tier and decline to a plain full-refresh MV;
+    percentile composes with an HLL distinct sketch in the same MV
+    (both merge on append). Literal-array percentiles ride the tier
+    since r12 (test_mv_approx_percentile_array_form)."""
     b = catalog.create_table(
         "gold.kf",
         spark.createDataFrame([], "k int, v int, u string").schema,
@@ -5061,7 +5074,9 @@ def test_mv_approx_percentile_families_and_gates(catalog, spark):
             "APPROX_PERCENTILE(v, 0.5, 100) AS med",  # accuracy arg
             "APPROX_PERCENTILE(CAST(v AS DECIMAL(10,2)), 0.5) AS med",
             "APPROX_PERCENTILE(v, 0.25 + 0.25) AS med",  # non-literal p
-            "APPROX_PERCENTILE(v, array(0.25, 0.5)) AS med",  # array p
+            # array of NON-literals stays out (r12 lifted the literal
+            # array gate; a computed element still can't be stored)
+            "APPROX_PERCENTILE(v, array(0.25, 0.25 + 0.25)) AS med",
         )
     ):
         ident = f"gold.kf_bad{i}"
@@ -5213,6 +5228,106 @@ def test_mv_approx_percentile_having_and_expr_keys(catalog, spark):
         for r in spark.sql("SELECT * FROM gold_ke_mv").collect()
     }
     assert got["A"] == 50.0 and got["B"] == 90.0
+
+
+def test_mv_approx_percentile_array_form(catalog, spark):
+    """r12 (VERDICT r11 #4): ``APPROX_PERCENTILE(x, array(p1, p2))``
+    rides the KLL tier - the MV stores ONE sketch per group and the
+    visible column is the guarded ARRAY of its quantile estimates
+    (all-NULL group -> NULL array, matching Spark's native answer).
+    Appends refresh by sketch MERGE; DML takes the touched-group
+    recompute; the integral family keeps the native array<int> type."""
+    b = catalog.create_table(
+        "gold.ka",
+        spark.createDataFrame([], "k string, x double").schema,
+    )
+    b.append(
+        spark.createDataFrame(
+            [("a", float(i)) for i in range(1, 101)]
+            + [("b", 5.0), ("b", 15.0), ("c", None)],
+            "k string, x double",
+        )
+    )
+    catalog.register_views()
+    mv = catalog.create_materialized_view(
+        "gold.ka_mv",
+        "SELECT k, COUNT(*) AS n, "
+        "APPROX_PERCENTILE(x, array(0.25, 0.5, 0.75)) AS qs "
+        "FROM gold_ka GROUP BY k",
+    )
+    assert mv.properties().get("mv.refresh_mode") == "agg"
+    names = {f.name: f.dataType.simpleString() for f in mv.schema.fields}
+    assert "__mv_kll_qs" in names  # ONE sketch answers all three
+    assert names["qs"].startswith("array<double")
+
+    def readback():
+        catalog.register_views()
+        return {
+            r["k"]: (r["n"], list(r["qs"]) if r["qs"] is not None else None)
+            for r in spark.sql("SELECT * FROM gold_ka_mv").collect()
+        }
+
+    # exact at these sizes; the all-NULL group reads a NULL array
+    assert readback() == {
+        "a": (100, [25.0, 50.0, 75.0]),
+        "b": (2, [5.0, 5.0, 15.0]),
+        "c": (1, None),
+    }
+
+    # append: ONE sketch MERGE answers every requested quantile
+    b.append(
+        spark.createDataFrame(
+            [("b", 25.0), ("d", 7.0), ("c", None)],
+            "k string, x double",
+        )
+    )
+    snap = catalog.refresh_materialized_view("gold.ka_mv")
+    assert snap.operation == "merge"
+    got = readback()
+    assert got["b"] == (3, [5.0, 15.0, 25.0])
+    assert got["d"] == (1, [7.0, 7.0, 7.0])
+    assert got["c"] == (2, None)
+
+    # DML: touched-group recompute keeps the array estimator spelling
+    catalog.sql("DELETE FROM gold.ka WHERE k = 'b' AND x = 25.0")
+    snap = catalog.refresh_materialized_view("gold.ka_mv")
+    assert snap.summary.get("group_recompute") is True
+    got = readback()
+    assert got["b"] == (2, [5.0, 5.0, 15.0])
+    assert got["a"] == (100, [25.0, 50.0, 75.0])  # untouched
+
+    # the recomputed sketch keeps MERGING on later appends
+    b.append(spark.createDataFrame([("b", 30.0)], "k string, x double"))
+    snap = catalog.refresh_materialized_view("gold.ka_mv")
+    assert snap.operation == "merge"
+    assert readback()["b"] == (3, [5.0, 15.0, 30.0])
+
+    # integral family: native array<int> visible type preserved
+    bi = catalog.create_table(
+        "gold.kai",
+        spark.createDataFrame([], "k int, v int").schema,
+    )
+    bi.append(
+        spark.createDataFrame(
+            [(1, 10), (1, 20), (1, 30), (2, 7)], "k int, v int"
+        )
+    )
+    catalog.register_views()
+    mvi = catalog.create_materialized_view(
+        "gold.kai_mv",
+        "SELECT k, APPROX_PERCENTILE(v, array(0.5, 1.0)) AS qs "
+        "FROM gold_kai GROUP BY k",
+    )
+    ni = {f.name: f.dataType.simpleString() for f in mvi.schema.fields}
+    assert ni["qs"].startswith("array<int") and "__mv_kll_qs" in ni
+    bi.append(spark.createDataFrame([(2, 9)], "k int, v int"))
+    snap = catalog.refresh_materialized_view("gold.kai_mv")
+    assert snap.operation == "merge"
+    catalog.register_views()
+    assert {
+        r["k"]: list(r["qs"])
+        for r in spark.sql("SELECT * FROM gold_kai_mv").collect()
+    } == {1: [20, 30], 2: [7, 9]}
 
 
 def test_mv_having_group_recompute_under_dml(catalog, spark):
