@@ -470,10 +470,14 @@ class LakehouseCatalog:
         os.makedirs(os.path.join(self.warehouse, namespace), exist_ok=True)
 
     def list_namespaces(self) -> list[str]:
+        # underscore-prefixed dirs are catalog bookkeeping, not user
+        # namespaces (e.g. _transactions - review r12: it leaked into
+        # SHOW NAMESPACES after the first transaction)
         return sorted(
             d
             for d in os.listdir(self.warehouse)
             if os.path.isdir(os.path.join(self.warehouse, d))
+            and not d.startswith("_")
         )
 
     # -- tables -------------------------------------------------------------
@@ -4960,6 +4964,19 @@ class LakehouseCatalog:
                 {"mv_pins": pin_updates} if pin_updates else None
             ),
         )
+
+    def transaction(self) -> "MultiTableTransaction":
+        """Begin a catalog-level multi-table transaction: stage appends
+        on N tables, commit them all-or-nothing through one atomic
+        record swap (see ``transactions`` module docstring for the
+        exact semantics). Entry first RECOVERS any crashed transaction
+        in this warehouse - committed ones roll forward, uncommitted
+        ones roll back - so the all-or-nothing invariant holds before
+        new work stages on top."""
+        from .transactions import MultiTableTransaction, recover_transactions
+
+        recover_transactions(self)
+        return MultiTableTransaction(self)
 
     def sql(self, query: str) -> DataFrame:
         """Run SQL over the registered views (sugar for

@@ -4548,6 +4548,130 @@ def q8n_mv_fact_dim_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q8w_mv_three_dim_cdc",
+    # new in r12, registered behind the judged window (r13 rotation
+    # fodder); certifies the THREE-moved-dims telescoping CDC
+    # composition on a 4-table star (catalog._refresh_join_agg;
+    # pytest-only since r10 - test_mv_three_dim_cdc_composition): all
+    # three dims of orders><customer><nation><region move in ONE
+    # refresh window and the refresh composes three per-dim
+    # changelog-merge terms (each binding already-refreshed dims NEW,
+    # later dims OLD) - never a full recompute - equaling the plain
+    # GROUP BY. A 4th moved side declines to full refresh (gate).
+    defer=True,
+    oracle="""
+    WITH c2 AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 11 = 0
+                  THEN (c_nationkey + 1) % 25
+                  ELSE c_nationkey END AS c_nationkey
+      FROM customer),
+    n2 AS (
+      SELECT n_nationkey, n_regionkey,
+             CASE WHEN n_nationkey % 5 = 0
+                  THEN 'ZONE_' || CAST(n_nationkey AS VARCHAR)
+                  ELSE n_name END AS n_name
+      FROM nation),
+    r2 AS (
+      SELECT r_regionkey,
+             CASE WHEN r_regionkey % 2 = 0
+                  THEN 'R_' || CAST(r_regionkey AS VARCHAR)
+                  ELSE r_name END AS r_name
+      FROM region)
+    SELECT r_name, n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+           TRUE AS three_dim_cdc
+    FROM orders
+    JOIN c2 ON o_custkey = c_custkey
+    JOIN n2 ON c2.c_nationkey = n2.n_nationkey
+    JOIN r2 ON n2.n_regionkey = r2.r_regionkey
+    GROUP BY r_name, n_name ORDER BY r_name, n_name
+    """,
+)
+def q8w_mv_three_dim_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-moved-dims CDC star refresh judged end-to-end: materialize
+    orders-per-(region, nation), then in ONE window re-key a slice of
+    customers, rename a fifth of the nations, AND rename the even
+    regions. The single refresh telescopes into three changelog-merge
+    terms (pins advance per term) with ``cdc_refresh`` stamped, and
+    the view equals the recompute.
+
+    100 TB design note: each dim term broadcast-joins that dim's
+    signed changelog (5-30 rows here; O(changed dim rows) always) to
+    the PINNED fact and touches O(matching fact rows); the full
+    recompute this replaces is O(star). A crash between terms resumes
+    as a narrower window (catalog._recover_mv_pins)."""
+    from ..catalog import LakehouseCatalog
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_q8w_")
+    try:
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("tmp")
+        o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        c = load(spark, sf_dir, "customer").select(
+            "c_custkey", "c_nationkey"
+        )
+        n = load(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_regionkey", "n_name"
+        )
+        r = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+        cat.create_table("tmp.ords5", o.schema).append(o)
+        cat.create_table("tmp.custs5", c.schema).append(c)
+        cat.create_table("tmp.nats5", n.schema).append(n)
+        cat.create_table("tmp.regs5", r.schema).append(r)
+        mv = cat.create_materialized_view(
+            "tmp.mv_3d",
+            "SELECT r_name, n_name, COUNT(*) AS n_orders, "
+            "SUM(o_custkey) AS sum_cust "
+            "FROM tmp_ords5 JOIN tmp_custs5 "
+            "ON tmp_ords5.o_custkey = tmp_custs5.c_custkey "
+            "JOIN tmp_nats5 "
+            "ON tmp_custs5.c_nationkey = tmp_nats5.n_nationkey "
+            "JOIN tmp_regs5 "
+            "ON tmp_nats5.n_regionkey = tmp_regs5.r_regionkey "
+            "GROUP BY r_name, n_name",
+        )
+        assert mv.properties().get("mv.refresh_mode") == "join_agg"
+        # ALL THREE dims move before the one refresh
+        cat.sql(
+            "UPDATE tmp.custs5 "
+            "SET c_nationkey = (c_nationkey + 1) % 25 "
+            "WHERE c_custkey % 11 = 0"
+        )
+        cat.sql(
+            "UPDATE tmp.nats5 "
+            "SET n_name = 'ZONE_' || CAST(n_nationkey AS STRING) "
+            "WHERE n_nationkey % 5 = 0"
+        )
+        cat.sql(
+            "UPDATE tmp.regs5 "
+            "SET r_name = 'R_' || CAST(r_regionkey AS STRING) "
+            "WHERE r_regionkey % 2 = 0"
+        )
+        snap = cat.refresh_materialized_view("tmp.mv_3d")
+        three_dim_cdc = (
+            snap is not None
+            and snap.operation == "merge"
+            and snap.summary.get("cdc_refresh") is True
+        )
+        res = cat.sql(
+            "SELECT r_name, n_name, n_orders, sum_cust FROM tmp_mv_3d "
+            "ORDER BY r_name, n_name"
+        ).select(
+            "r_name",
+            "n_name",
+            "n_orders",
+            "sum_cust",
+            F.lit(three_dim_cdc).alias("three_dim_cdc"),
+        )
+        rows = res.collect()  # materialize before the warehouse vanishes
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+@register(
     "q8o_merge_by_source_conditioned",
     # new in r11, registered behind the judged window (r12 rotation
     # fodder); certifies WHEN NOT MATCHED BY SOURCE AND <cond over
@@ -5344,6 +5468,122 @@ def q8s_mv_approx_distinct_sketch(
                 F.lit(incremental).alias("incremental_union"),
             )
             .orderBy("lang")
+        )
+        rows = res.collect()  # materialize before the warehouse vanishes
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+@register(
+    "q8x_multi_table_transaction",
+    # new in r12, registered behind the judged window (r13 rotation
+    # fodder); certifies catalog-level multi-table transactions
+    # (transactions.py): the reference's data-then-audit double commit
+    # (lakehouse_pipeline.py:348-366) becomes ONE all-or-nothing unit.
+    # Three transactions run: a normal commit, a crash BEFORE the
+    # commit point (recovery rolls it back - its rows must be absent),
+    # and a crash AFTER the commit point pre-publish (recovery rolls
+    # it forward - its rows must be present). The oracle reconstructs
+    # the surviving row set exactly; the audit count and the atomicity
+    # flag ride every judged row.
+    defer=True,
+    oracle="""
+    WITH survivors AS (
+      SELECT o_orderkey, o_orderstatus FROM orders
+      WHERE o_orderkey % 3 <> 0       -- txn1 (committed)
+         OR o_orderkey % 6 = 0        -- txn3 (rolled forward)
+      -- txn2 staged o_orderkey % 3 = 0 AND % 6 <> 0: rolled back
+    )
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(2 AS BIGINT) AS n_audit_rows,
+           TRUE AS txn_atomic
+    FROM survivors GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def q8x_multi_table_transaction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multi-table transactional ingest judged end-to-end: orders land
+    in a data table AND an audit row lands in an ops table as ONE
+    all-or-nothing unit (catalog.transaction). A second transaction
+    crashes before its commit point (recovery must erase its staged
+    rows); a third crashes after the commit point but before any
+    publish (recovery must complete BOTH its tables). The judged rows
+    carry the surviving per-status counts, the audit-row count (one
+    per COMMITTED transaction - never one without its data), and an
+    atomicity flag asserting both recovery arms landed as claimed.
+
+    100 TB design note: staging is the ordinary distributed write
+    (restartable, parallel); the commit point is ONE driver rename;
+    publishes and recovery read snapshot summaries only - O(tables),
+    never O(rows)."""
+    from ..catalog import LakehouseCatalog
+    from ..transactions import _write_record, recover_transactions
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_q8x_")
+    try:
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("tmp")
+        o = load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus"
+        )
+        data = cat.create_table("tmp.txdata", o.schema)
+        audit = cat.create_table(
+            "tmp.txops",
+            spark.createDataFrame([], "run string, n long").schema,
+        )
+        # txn1: data + its audit row, committed atomically
+        b1 = o.filter(F.col("o_orderkey") % 3 != 0)
+        with cat.transaction() as txn:
+            txn.append("tmp.txdata", b1)
+            txn.append(
+                "tmp.txops",
+                spark.createDataFrame([("batch1", b1.count())], audit.schema),
+            )
+        # txn2: crash BEFORE the commit point (stage only, no commit)
+        b2 = o.filter(
+            (F.col("o_orderkey") % 3 == 0) & (F.col("o_orderkey") % 6 != 0)
+        )
+        t2 = cat.transaction()
+        t2.append("tmp.txdata", b2)
+        t2.append(
+            "tmp.txops",
+            spark.createDataFrame([("batch2", b2.count())], audit.schema),
+        )
+        # age txn2 out (grace 0 = 'the record went stale') and recover:
+        # a fresh pending record is a LIVE transaction the entry
+        # recovery must NOT touch, so staleness is simulated explicitly
+        rb = recover_transactions(cat, grace_ms=0)
+        rolled_back = (
+            rb.get(t2.txn_id) == "rolled_back"
+            and data.to_df().count() == b1.count()
+        )
+        # txn3: crash AFTER the commit point, before any publish
+        b3 = o.filter(F.col("o_orderkey") % 6 == 0)
+        t3 = cat.transaction()
+        t3.append("tmp.txdata", b3)
+        t3.append(
+            "tmp.txops",
+            spark.createDataFrame([("batch3", b3.count())], audit.schema),
+        )
+        _write_record(cat, t3._record("committed"))  # the commit point
+        report = recover_transactions(cat)  # rolls txn3 FORWARD
+        rolled_forward = report.get(t3.txn_id) == "rolled_forward"
+        n_audit = audit.to_df().count()
+        txn_atomic = bool(rolled_back and rolled_forward)
+        res = (
+            data.to_df()
+            .groupBy(F.col("o_orderstatus").alias("status"))
+            .agg(F.count("*").cast("long").alias("n_orders"))
+            .select(
+                "status",
+                "n_orders",
+                F.lit(n_audit).cast("long").alias("n_audit_rows"),
+                F.lit(txn_atomic).alias("txn_atomic"),
+            )
+            .orderBy("status")
         )
         rows = res.collect()  # materialize before the warehouse vanishes
         return spark.createDataFrame(rows, res.schema)

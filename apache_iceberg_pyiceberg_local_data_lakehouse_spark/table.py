@@ -1799,7 +1799,10 @@ class LakehouseTable:
         return os.path.join(self._staged_dir(), f"{staged_id}.json")
 
     def stage_append(
-        self, df: DataFrame, bloom_cols: list[str] | None = None
+        self,
+        df: DataFrame,
+        bloom_cols: list[str] | None = None,
+        staged_id: str | None = None,
     ) -> str:
         """Write an append's data files WITHOUT committing a snapshot
         (Iceberg's write-audit-publish pattern). The staged rows are
@@ -1809,11 +1812,27 @@ class LakehouseTable:
         is how a pipeline gates a multi-TB batch behind quality checks
         without either double-writing it or letting consumers see it
         early. Staged files are protected from orphan GC by their marker
-        until published or aborted."""
+        until published or aborted.
+
+        ``staged_id`` lets a coordinator PRE-ALLOCATE the id and record
+        its intent durably BEFORE the write (multi-table transactions,
+        r12): a crash mid-staging then leaves only ordinary orphans
+        (no marker yet), never a GC-protected staged batch that no
+        record names."""
+        if staged_id is not None:
+            if not staged_id:
+                raise ValueError("staged_id must be a non-empty string")
+            if os.path.exists(self._staged_marker(staged_id)):
+                # a silent overwrite would orphan the prior batch's
+                # data files AND publish the wrong batch under the old
+                # intent (review r12)
+                raise ValueError(
+                    f"staged id {staged_id!r} already exists"
+                )
         entries = self._write_files(
             df, self.partition_spec, bloom_cols=tuple(bloom_cols or ())
         )
-        staged_id = uuid.uuid4().hex[:16]
+        staged_id = staged_id or uuid.uuid4().hex[:16]
         os.makedirs(self._staged_dir(), exist_ok=True)
         doc = {
             "id": staged_id,
@@ -1856,16 +1875,27 @@ class LakehouseTable:
         deletes don't apply (the staged rows postdate them)."""
         return self._read_data(self.staged_entries(staged_id), self.snapshot())
 
-    def publish_staged(self, staged_id: str, max_retries: int = 5) -> Snapshot:
+    def publish_staged(
+        self,
+        staged_id: str,
+        max_retries: int = 5,
+        extra_summary: dict | None = None,
+    ) -> Snapshot:
         """Make a staged append visible: one metadata commit, zero data
         movement. Rebase-and-retry like any append; sequence numbers are
         stamped at PUBLISH time, so tombstones committed while the batch
-        sat in audit don't claim its rows."""
+        sat in audit don't claim its rows. ``extra_summary`` merges
+        extra stamps into the snapshot summary (multi-table
+        transactions stamp their ``txn_id``); ``published_stage`` is
+        always stamped and is the idempotence evidence recovery reads."""
         entries = self.staged_entries(staged_id)
         snap = self._commit_append(
             entries,
             max_retries=max_retries,
-            extra_summary={"published_stage": staged_id},
+            extra_summary={
+                **(extra_summary or {}),
+                "published_stage": staged_id,
+            },
         )
         try:
             os.remove(self._staged_marker(staged_id))

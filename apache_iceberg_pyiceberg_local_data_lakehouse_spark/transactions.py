@@ -1,0 +1,563 @@
+"""Catalog-level multi-table transactions (r12).
+
+The reference pipeline lands a data batch AND its audit/ops rows as two
+separate commits (`lakehouse_pipeline.py:348-366` appends the ops table
+after the data table), so a crash between them leaves the audit trail
+disagreeing with the data. This module gives the lakehouse the missing
+primitive: stage writes on N tables, then make them durable
+ALL-OR-NOTHING through one atomic commit record - the shape Iceberg
+exposes as catalog-level multi-table transactions.
+
+Protocol (two-phase, coordinator record in ``<warehouse>/_transactions``):
+
+1. **Intent, then stage**: every ``txn.append(table, df)`` first
+   records the PRE-ALLOCATED staged id in the transaction's PENDING
+   record (atomic ``os.replace``), THEN runs the distributed write
+   through the table's write-audit-publish path
+   (``LakehouseTable.stage_append``) - full parallel write, zero
+   visibility, files GC-protected by their staged marker. Intent-first
+   ordering means a crash mid-staging leaves only ordinary orphans or
+   a record-named staged batch recovery knows to abort - never a
+   GC-protected batch no record names (review r12).
+2. **Commit point**: ``txn.commit()`` atomically swaps the record to
+   state=COMMITTED. This single rename IS the transaction's durability
+   edge: before it, recovery rolls every participant BACK; after it,
+   recovery rolls every participant FORWARD.
+3. **Claimed publish**: the committer CLAIMS the record (one more
+   atomic rename - exactly one process can hold a record's claim, so
+   a concurrently-running recovery can never double-publish it), then
+   publishes each staged append in order via
+   ``LakehouseTable.publish_staged`` - a metadata-only commit stamped
+   ``published_stage`` + ``txn_id``. After each publish the claim doc's
+   per-participant ``published`` flag is persisted, so roll-forward
+   progress survives crashes even if snapshot expiry later erases a
+   stamp (review r12).
+4. The claim is removed once every participant is visible; a failure
+   mid-publish releases the claim back to a plain COMMITTED record for
+   the next recovery to finish.
+
+Recovery (``recover_transactions``, also run on every
+``catalog.transaction()`` entry):
+
+- COMMITTED records roll FORWARD immediately (claim -> publish the
+  not-yet-published participants -> remove).
+- PENDING records roll BACK only once their last update is older than
+  ``grace_ms`` - a fresh pending record is a LIVE transaction still
+  staging, and destroying it would violate exactly the invariant this
+  module exists to provide (review r12). In-flight records are
+  reported, not touched.
+- Stale CLAIMS (older than ``grace_ms``: their owner crashed
+  mid-publish) are re-claimed and completed. ``grace_ms`` must exceed
+  the worst-case single publish duration; the ``published`` flags plus
+  ``published_stage`` stamps make even a mistaken takeover idempotent
+  unless BOTH the flag write and the stamp's snapshot were lost.
+- A committed participant whose staged marker is gone WITHOUT a
+  ``published`` flag or summary stamp is DATA LOSS, not a no-op: the
+  record is kept, a warning is logged, and the transaction reports
+  ``incomplete`` (review r12 - silence here would convert loss into
+  success).
+- Crashed ``.tmp.*`` record swaps older than ``grace_ms`` are swept.
+
+Semantics - stated precisely, because "atomic" hides three claims:
+
+- **Atomic durability**: after recovery, either every participant's
+  write is visible or none is.
+- **Per-table visibility is monotonic but not synchronized**: during
+  the publish window a reader may see table A's new snapshot before
+  table B's (publishes are ordered, so the ops/audit pattern should
+  stage the AUDIT table LAST - readers then never see audit rows for
+  invisible data). A single atomic multi-table *visibility* point
+  would need every reader to resolve snapshots through one shared
+  pointer; that is a catalog-service feature, not a file-layout one,
+  and pretending otherwise would be wrong at 100 TB.
+- **Isolation**: staged writes never conflict with concurrent
+  committed writers (publish rebases like any append); two
+  transactions touching the same tables serialize at publish.
+
+100 TB design: staging is the ordinary distributed write path (the
+expensive part, fully parallel, restartable); the commit point is ONE
+driver-side rename; publishes are metadata-only commits, O(tables) not
+O(rows). The idempotence-stamp scan reads raw snapshot-version JSON
+summaries only - manifests are never resolved (review r12).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame
+
+from .table import LakehouseTable
+
+_TXN_DIR = "_transactions"
+# pending records younger than this are LIVE transactions; claims
+# younger than this have a live owner mid-publish. Must exceed the
+# worst-case stage-record-update gap / single publish duration.
+_DEFAULT_GRACE_MS = 15 * 60 * 1000
+
+_log = logging.getLogger(__name__)
+
+
+def _now_ms() -> int:
+    return int(time.time() * 1000)
+
+
+def _txn_dir(catalog) -> str:
+    return os.path.join(catalog.warehouse, _TXN_DIR)
+
+
+def _txn_path(catalog, txn_id: str) -> str:
+    return os.path.join(_txn_dir(catalog), f"{txn_id}.json")
+
+
+def _write_doc(path: str, doc: dict) -> None:
+    """Atomic doc swap (tmp + rename); the COMMITTED swap of the record
+    path is the transaction's commit point."""
+    d = os.path.dirname(path)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f".tmp.{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        json.dump(doc, f)
+    os.replace(tmp, path)
+
+
+def _write_record(catalog, doc: dict) -> None:
+    _write_doc(_txn_path(catalog, doc["id"]), doc)
+
+
+def _claim(path: str) -> str | None:
+    """Exclusive takeover of a record file: exactly one claimer wins
+    the rename; losers see FileNotFoundError and back off. The claim
+    path keeps the record's name prefix so stale-claim recovery can
+    find it. The winner's claim mtime is refreshed: rename preserves
+    the ORIGINAL write time, which would make a 20-minute-old record's
+    fresh claim instantly 'stale' to a concurrent recovery - two
+    recoverers would then roll the same transaction forward in
+    parallel (review r12)."""
+    claimed = f"{path}.claim.{uuid.uuid4().hex[:12]}"
+    try:
+        os.replace(path, claimed)
+    except FileNotFoundError:
+        return None
+    try:
+        os.utime(claimed, None)
+    except OSError:  # pragma: no cover - claim still held
+        pass
+    return claimed
+
+
+def _release(claimed: str, path: str) -> None:
+    """Put a claimed record back WITHOUT clobbering: if the owner
+    re-created the record meanwhile (its copy is a superset - owners
+    only append participants), our older claimed copy is dropped.
+    ``os.link`` is the no-clobber restore ``os.replace`` cannot be
+    (review r12)."""
+    try:
+        os.link(claimed, path)
+    except FileExistsError:
+        pass  # the owner's newer record wins
+    try:
+        os.remove(claimed)
+    except FileNotFoundError:  # pragma: no cover
+        pass
+
+
+def _published_stage_ids(table: LakehouseTable) -> set[str]:
+    """Staged ids already published into ``table``, read from the RAW
+    snapshot-version JSON summaries - O(retained snapshots) small-file
+    reads, no manifest resolution (``snapshots()`` would extend every
+    manifest entry list; review r12)."""
+    out: set[str] = set()
+    meta = table.metadata_dir
+    try:
+        names = os.listdir(meta)
+    except FileNotFoundError:
+        return out
+    for name in names:
+        if not (name.startswith("v") and name.endswith(".json")):
+            continue
+        try:
+            with open(os.path.join(meta, name)) as f:
+                summary = json.load(f).get("summary") or {}
+        except (OSError, json.JSONDecodeError):
+            continue
+        sid = summary.get("published_stage")
+        if sid:
+            out.add(sid)
+    return out
+
+
+class MultiTableTransaction:
+    """Stage appends across N tables; commit them all-or-nothing.
+
+    Use through ``catalog.transaction()``::
+
+        with cat.transaction() as txn:
+            txn.append("gold.trades", trades_df)
+            txn.append("gold.ops", audit_df)   # audit LAST (see module
+        # exiting the block commits; an exception aborts   docstring)
+
+    or drive ``commit()`` / ``abort()`` explicitly. After a crash,
+    ``recover_transactions(cat)`` (also run on the next
+    ``catalog.transaction()`` entry) completes committed transactions
+    and rolls back stale uncommitted ones.
+    """
+
+    def __init__(self, catalog):
+        self.catalog = catalog
+        self.txn_id = uuid.uuid4().hex[:16]
+        # [{"table": ..., "staged_id": ..., "published": bool}] in
+        # append order = publish order
+        self.participants: list[dict] = []
+        self._state = "pending"
+
+    # -- staging --------------------------------------------------------
+
+    def append(
+        self,
+        identifier: str,
+        df: DataFrame,
+        bloom_cols: list[str] | None = None,
+    ) -> str:
+        """Stage an append to ``identifier`` inside this transaction:
+        the intent (pre-allocated staged id) is recorded durably FIRST,
+        then the distributed write runs; visibility waits for
+        ``commit``. Returns the staged id. Multiple appends to the same
+        table stage (and later publish) independently, in order."""
+        if self._state != "pending":
+            raise ValueError(f"transaction is {self._state}")
+        t = self.catalog.load_table(identifier)
+        staged_id = uuid.uuid4().hex[:16]
+        self.participants.append(
+            {"table": identifier, "staged_id": staged_id, "published": False}
+        )
+        _write_record(self.catalog, self._record("pending"))
+        t.stage_append(df, bloom_cols=bloom_cols, staged_id=staged_id)
+        # heartbeat AFTER the (possibly long) distributed write too, so
+        # the record's age reflects liveness, not just append() entry -
+        # a stage outrunning grace_ms would otherwise look crashed to a
+        # concurrent recovery (review r12). For single stages expected
+        # to outrun grace_ms, call touch() from a caller-side timer.
+        _write_record(self.catalog, self._record("pending"))
+        return staged_id
+
+    def touch(self) -> None:
+        """Refresh the pending record's liveness stamp. Call this
+        periodically (caller-side timer) when ONE staged write is
+        expected to run longer than the recovery grace window - the
+        append() heartbeats only between stages."""
+        if self._state == "pending" and self.participants:
+            _write_record(self.catalog, self._record("pending"))
+
+    def staged_scan(self, identifier: str) -> DataFrame:
+        """Audit this transaction's staged rows for one table (union of
+        its staged appends) - the WAP audit step, pre-commit."""
+        t = self.catalog.load_table(identifier)
+        dfs = [
+            t.staged_scan(p["staged_id"])
+            for p in self.participants
+            if p["table"] == identifier
+        ]
+        if not dfs:
+            raise ValueError(f"{identifier} is not in this transaction")
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    # -- commit / abort --------------------------------------------------
+
+    def commit(self) -> dict:
+        """Make every staged append durable all-or-nothing: ONE atomic
+        record swap to COMMITTED (the durability edge), then a CLAIMED,
+        ordered, idempotent publish pass. Returns
+        {identifier: [Snapshot, ...]}."""
+        if self._state != "pending":
+            raise ValueError(f"transaction is {self._state}")
+        if not self.participants:
+            self._state = "committed"
+            self._remove_record()
+            return {}
+        _write_record(self.catalog, self._record("committed"))
+        self._state = "committed"
+        path = _txn_path(self.catalog, self.txn_id)
+        claimed = _claim(path)
+        if claimed is None:  # pragma: no cover - a racing recovery won
+            return {}
+        doc = self._record("committed")
+        out: dict[str, list] = {}
+        try:
+            for p in doc["participants"]:
+                # check_stamps=False: this process just generated the
+                # staged ids and holds the claim - a stamp scan here is
+                # O(participants x snapshots) of provably empty work
+                # (review r12); recovery arms DO scan.
+                snap = _publish_participant(
+                    self.catalog, p, self.txn_id, check_stamps=False
+                )
+                if snap is not None:
+                    out.setdefault(p["table"], []).append(snap)
+                p["published"] = True
+                _write_doc(claimed, doc)  # progress survives a crash
+        except BaseException:
+            # release the claim for recovery to finish the rest (the
+            # published flags written so far ride along)
+            os.replace(claimed, path)
+            raise
+        os.remove(claimed)
+        return out
+
+    def abort(self) -> int:
+        """Discard every staged append (delete staged files + markers).
+        Returns the number of data files removed."""
+        if self._state == "committed":
+            raise ValueError("transaction already committed")
+        n = 0
+        for p in self.participants:
+            try:
+                n += self.catalog.load_table(p["table"]).abort_staged(
+                    p["staged_id"]
+                )
+            except ValueError:
+                pass  # marker never written (crash mid-stage) or gone
+        self._state = "aborted"
+        self._remove_record()
+        return n
+
+    # -- context manager --------------------------------------------------
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        if exc_type is not None:
+            if self._state == "pending":
+                self.abort()
+            return False
+        if self._state == "pending":
+            self.commit()
+        return False
+
+    # -- record plumbing ---------------------------------------------------
+
+    def _record(self, state: str) -> dict:
+        return {
+            "id": self.txn_id,
+            "state": state,
+            "updated_ms": _now_ms(),
+            "participants": [dict(p) for p in self.participants],
+        }
+
+    def _remove_record(self) -> None:
+        try:
+            os.remove(_txn_path(self.catalog, self.txn_id))
+        except FileNotFoundError:
+            pass
+
+
+def _publish_participant(
+    catalog, p: dict, txn_id: str, check_stamps: bool = True
+):
+    """Publish one staged append if it is not already visible - the
+    idempotence cell every crash-replay lands on. Evidence, cheapest
+    first: the record's own ``published`` flag, then (on recovery arms
+    only) the ``published_stage`` summary stamps. Returns the published
+    Snapshot or None when already published. Raises ValueError when the
+    marker is gone with NO publish evidence (lost staged data - the
+    caller must surface it, never swallow it)."""
+    if p.get("published"):
+        return None
+    t = catalog.load_table(p["table"])
+    sid = p["staged_id"]
+    if check_stamps and sid in _published_stage_ids(t):
+        try:  # crash between publish and marker removal: finish the job
+            os.remove(t._staged_marker(sid))
+        except FileNotFoundError:
+            pass
+        return None
+    # raises ValueError if the marker is gone (no evidence + no data)
+    return t.publish_staged(sid, extra_summary={"txn_id": txn_id})
+
+
+def recover_transactions(
+    catalog, grace_ms: int = _DEFAULT_GRACE_MS
+) -> dict:
+    """Crash recovery over the transaction log. COMMITTED records roll
+    FORWARD immediately; PENDING records roll BACK only when stale
+    (last update older than ``grace_ms`` - fresh ones are LIVE
+    transactions and are only reported); stale claims (owner died
+    mid-publish) are re-claimed and completed; stale ``.tmp.*`` swap
+    leftovers are swept. Returns {txn_id: "rolled_forward" |
+    "rolled_back" | "in_flight" | "incomplete"}. Every arm is
+    idempotent and claim-serialized, so concurrent recoveries (or a
+    recovery racing a live commit) never double-publish."""
+    d = _txn_dir(catalog)
+    if not os.path.isdir(d):
+        return {}
+    now = _now_ms()
+    report: dict[str, str] = {}
+    names = sorted(os.listdir(d))
+    # stale CLAIMS first: a claim is always past its commit point, and
+    # completing it deposits publish evidence that steers a same-id
+    # resurrected record (hairline races below) toward roll-FORWARD
+    # instead of a destructive roll-back (review r12)
+    for name in [n for n in names if ".json.claim." in n] + [
+        n for n in names if ".json.claim." not in n
+    ]:
+        path = os.path.join(d, name)
+        if name.startswith(".tmp."):
+            try:  # crashed _write_doc swap: sweep once stale
+                if now - os.path.getmtime(path) * 1000 > grace_ms:
+                    os.remove(path)
+            except OSError:
+                pass
+            continue
+        if ".json.claim." in name:
+            # a claim whose owner died mid-publish: re-claim once stale
+            try:
+                stale = now - os.path.getmtime(path) * 1000 > grace_ms
+            except OSError:
+                continue
+            if not stale:
+                continue
+            claimed = _claim(path)  # re-claim (refreshes mtime)
+            if claimed is None:
+                continue
+            record_path = path.split(".claim.")[0]
+            _process_claimed(catalog, claimed, record_path, report)
+            continue
+        if not name.endswith(".json"):
+            continue
+        # plain record: READ WITHOUT CLAIMING first - claiming a LIVE
+        # pending record just to look at it would clobber the owner's
+        # concurrent updates on release (review r12)
+        try:
+            with open(path) as f:
+                peek = json.load(f)
+        except FileNotFoundError:
+            continue  # someone claimed it since listdir
+        except (OSError, json.JSONDecodeError):
+            continue  # torn record: a later (possibly fixed) pass
+        if peek.get("state") != "committed" and (
+            now - int(peek.get("updated_ms", 0)) <= grace_ms
+        ):
+            report[peek.get("id", name)] = "in_flight"
+            continue  # LIVE transaction still staging: hands off
+        claimed = _claim(path)
+        if claimed is None:
+            continue  # a committer/recoverer got there first
+        _process_claimed(catalog, claimed, path, report, now, grace_ms)
+    return report
+
+
+def _process_claimed(
+    catalog,
+    claimed: str,
+    path: str,
+    report: dict,
+    now: int | None = None,
+    grace_ms: int | None = None,
+) -> None:
+    """Act on a record we exclusively hold. The content is RE-READ from
+    the claimed file: the claim rename moved whatever the owner wrote
+    LAST, so a decision taken on a pre-claim peek can never act on a
+    stale copy (review r12). Any unexpected error releases the claim
+    (never brick the txn dir - review r12: a dropped participant table
+    used to leak the claim and fail every later recovery)."""
+    try:
+        with open(claimed) as f:
+            doc = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        _release(claimed, path)
+        return
+    try:
+        if doc.get("state") == "committed":
+            report[doc["id"]] = _roll_forward(catalog, doc, claimed, path)
+            return
+        # pending: re-verify staleness on the authoritative copy (the
+        # owner may have heartbeat between our peek and our claim)
+        if (
+            now is not None
+            and grace_ms is not None
+            and now - int(doc.get("updated_ms", 0)) <= grace_ms
+        ):
+            _release(claimed, path)
+            report[doc["id"]] = "in_flight"
+            return
+        # roll back - unless any participant already shows publish
+        # evidence, which means the owner crossed its commit point in
+        # the claim window: aborting staged data then would destroy a
+        # committed transaction's unpublished tail (review r12)
+        if any(
+            p["staged_id"]
+            in _published_stage_ids(catalog.load_table(p["table"]))
+            for p in doc.get("participants", [])
+            if _table_exists(catalog, p["table"])
+        ):
+            doc["state"] = "committed"
+            _write_doc(claimed, doc)  # survive a crash mid-forward
+            report[doc["id"]] = _roll_forward(catalog, doc, claimed, path)
+            return
+        for p in doc.get("participants", []):
+            try:
+                catalog.load_table(p["table"]).abort_staged(
+                    p["staged_id"]
+                )
+            except ValueError:
+                pass  # crash before this participant's marker
+            except Exception:
+                pass  # table dropped: its staged files went with it
+        os.remove(claimed)
+        report[doc["id"]] = "rolled_back"
+    except BaseException:
+        _release(claimed, path)
+        raise
+
+
+def _table_exists(catalog, identifier: str) -> bool:
+    try:
+        return catalog.table_exists(identifier)
+    except Exception:  # pragma: no cover - malformed identifier
+        return False
+
+
+def _roll_forward(catalog, doc: dict, claimed: str, path: str) -> str:
+    """Complete a committed transaction under an exclusive claim.
+    Publishes the unpublished participants in order, persisting each
+    ``published`` flag; on lost staged data OR a dropped participant
+    table the record is RELEASED and the loss reported (never silently
+    dropped)."""
+    incomplete = False
+    for p in doc.get("participants", []):
+        try:
+            _publish_participant(catalog, p, doc["id"])
+        except Exception as exc:
+            if not isinstance(exc, ValueError) and _table_exists(
+                catalog, p["table"]
+            ):
+                # a transient failure (commit conflict storm, IO):
+                # release for the next recovery pass to retry
+                _release(claimed, path)
+                raise
+            incomplete = True
+            _log.warning(
+                "transaction %s: participant %s staged batch %s has no "
+                "publish evidence and no staged marker (or its table "
+                "was dropped) - committed data was lost; keeping the "
+                "record as evidence",
+                doc["id"],
+                p["table"],
+                p["staged_id"],
+            )
+            continue
+        p["published"] = True
+        _write_doc(claimed, doc)
+    if incomplete:
+        _release(claimed, path)  # keep for audit / a later fix
+        return "incomplete"
+    os.remove(claimed)
+    return "rolled_forward"

@@ -1,0 +1,333 @@
+"""Catalog-level multi-table transactions (r12): stage appends across N
+tables, commit all-or-nothing through one atomic record swap, recover
+crashes by rolling committed transactions FORWARD and stale uncommitted
+ones BACK - without ever touching a LIVE transaction or
+double-publishing under concurrent recovery. The reference pipeline's
+data-then-audit double commit (`lakehouse_pipeline.py:348-366`) is the
+motivating shape: the audit row and its data must never disagree after
+a crash."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from apache_iceberg_pyiceberg_local_data_lakehouse_spark.catalog import (
+    LakehouseCatalog,
+)
+from apache_iceberg_pyiceberg_local_data_lakehouse_spark.transactions import (
+    MultiTableTransaction,
+    _txn_dir,
+    _write_record,
+    recover_transactions,
+)
+
+
+@pytest.fixture
+def cat(spark, tmp_path):
+    c = LakehouseCatalog(spark, str(tmp_path / "txn_wh"))
+    c.create_namespace("gold")
+    return c
+
+
+def _tables(cat, spark):
+    data = cat.create_table(
+        "gold.trades", spark.createDataFrame([], "k long, v long").schema
+    )
+    audit = cat.create_table(
+        "gold.ops", spark.createDataFrame([], "run string, n long").schema
+    )
+    return data, audit
+
+
+def test_transaction_commits_both_tables(cat, spark):
+    data, audit = _tables(cat, spark)
+    with cat.transaction() as txn:
+        txn.append("gold.trades", spark.createDataFrame(
+            [(1, 10), (2, 20)], "k long, v long"))
+        txn.append("gold.ops", spark.createDataFrame(
+            [("r1", 2)], "run string, n long"))
+        # staged rows are invisible until commit, auditable via the txn
+        assert data.to_df().count() == 0 and audit.to_df().count() == 0
+        assert txn.staged_scan("gold.trades").count() == 2
+    assert {r["k"] for r in data.to_df().collect()} == {1, 2}
+    assert audit.to_df().count() == 1
+    # both publishes carry the txn stamp; no record or claim lingers
+    tid = txn.txn_id
+    for t in (data, audit):
+        assert any(
+            s.summary.get("txn_id") == tid for s in t.snapshots()
+        )
+    assert os.listdir(_txn_dir(cat)) == []
+
+
+def test_transaction_abort_on_exception(cat, spark):
+    data, audit = _tables(cat, spark)
+    with pytest.raises(RuntimeError, match="boom"):
+        with cat.transaction() as txn:
+            txn.append("gold.trades", spark.createDataFrame(
+                [(1, 10)], "k long, v long"))
+            txn.append("gold.ops", spark.createDataFrame(
+                [("r1", 1)], "run string, n long"))
+            raise RuntimeError("boom")
+    assert data.to_df().count() == 0 and audit.to_df().count() == 0
+    # staged files and markers are gone; no record lingers
+    assert data.list_staged() == [] and audit.list_staged() == []
+    assert os.listdir(_txn_dir(cat)) == []
+
+
+def test_crash_before_commit_point_rolls_back_when_stale(cat, spark):
+    """Stage both appends, then 'crash' (no commit/abort). The pending
+    record rolls back once STALE (grace_ms=0 here); a fresh pending
+    record is a live transaction and must be left alone."""
+    data, audit = _tables(cat, spark)
+    txn = cat.transaction()
+    txn.append("gold.trades", spark.createDataFrame(
+        [(1, 10)], "k long, v long"))
+    txn.append("gold.ops", spark.createDataFrame(
+        [("r1", 1)], "run string, n long"))
+    # a LIVE (fresh) pending transaction is reported, not destroyed
+    report = recover_transactions(cat)
+    assert report == {txn.txn_id: "in_flight"}
+    assert data.list_staged() and audit.list_staged()
+    # ... and its record survives intact, so staging can continue
+    txn.append("gold.trades", spark.createDataFrame(
+        [(2, 20)], "k long, v long"))
+    # now 'crash' and age the record out (grace 0): full roll-back
+    report = recover_transactions(cat, grace_ms=0)
+    assert report == {txn.txn_id: "rolled_back"}
+    assert data.to_df().count() == 0 and audit.to_df().count() == 0
+    assert data.list_staged() == [] and audit.list_staged() == []
+
+
+def test_live_transaction_survives_concurrent_entry(cat, spark):
+    """review r12: opening a SECOND transaction must not roll back a
+    concurrent in-flight one - catalog.transaction() entry recovery is
+    grace-gated."""
+    data, audit = _tables(cat, spark)
+    t1 = cat.transaction()
+    t1.append("gold.trades", spark.createDataFrame(
+        [(1, 10)], "k long, v long"))
+    with cat.transaction() as t2:  # entry recovery must skip t1
+        t2.append("gold.ops", spark.createDataFrame(
+            [("r2", 1)], "run string, n long"))
+    # t1 continues unharmed and commits
+    t1.append("gold.ops", spark.createDataFrame(
+        [("r1", 1)], "run string, n long"))
+    t1.commit()
+    assert data.to_df().count() == 1
+    assert audit.to_df().count() == 2
+    assert os.listdir(_txn_dir(cat)) == []
+
+
+def test_crash_after_commit_point_rolls_forward(cat, spark):
+    """Swap the record to COMMITTED but 'crash' before any publish: the
+    durability edge was crossed, so recovery must complete BOTH
+    publishes - the all-or-nothing invariant. Committed records roll
+    forward IMMEDIATELY (no grace: only pending roll-back is gated)."""
+    data, audit = _tables(cat, spark)
+    txn = cat.transaction()
+    txn.append("gold.trades", spark.createDataFrame(
+        [(1, 10), (2, 20)], "k long, v long"))
+    txn.append("gold.ops", spark.createDataFrame(
+        [("r1", 2)], "run string, n long"))
+    _write_record(cat, txn._record("committed"))  # the commit point
+    report = recover_transactions(cat)
+    assert report == {txn.txn_id: "rolled_forward"}
+    assert data.to_df().count() == 2 and audit.to_df().count() == 1
+    # idempotent: a second recovery publishes nothing new
+    va, vb = data.current_version(), audit.current_version()
+    assert recover_transactions(cat) == {}
+    assert (data.current_version(), audit.current_version()) == (va, vb)
+
+
+def test_crash_mid_publish_never_double_applies(cat, spark, monkeypatch):
+    """Crash AFTER table A published but BEFORE B: the released record
+    carries A's persisted ``published`` flag, so recovery publishes
+    only B - replaying A would double its rows."""
+    import apache_iceberg_pyiceberg_local_data_lakehouse_spark.transactions as tx
+
+    data, audit = _tables(cat, spark)
+    txn = cat.transaction()
+    txn.append("gold.trades", spark.createDataFrame(
+        [(1, 10)], "k long, v long"))
+    txn.append("gold.ops", spark.createDataFrame(
+        [("r1", 1)], "run string, n long"))
+
+    real = tx._publish_participant
+    calls = []
+
+    def crashing(catalog, p, tid, **kw):
+        calls.append(p["table"])
+        if len(calls) == 2:
+            raise RuntimeError("crash between publishes")
+        return real(catalog, p, tid, **kw)
+
+    monkeypatch.setattr(tx, "_publish_participant", crashing)
+    with pytest.raises(RuntimeError, match="between publishes"):
+        txn.commit()
+    monkeypatch.setattr(tx, "_publish_participant", real)
+    # half-committed: A visible, B not; the COMMITTED record was
+    # RELEASED back (claim -> record) for recovery to finish
+    assert data.to_df().count() == 1 and audit.to_df().count() == 0
+    report = recover_transactions(cat)
+    assert report == {txn.txn_id: "rolled_forward"}
+    assert data.to_df().count() == 1  # NOT 2 - no double apply
+    assert audit.to_df().count() == 1
+
+
+def test_lost_staged_data_reports_incomplete(cat, spark):
+    """review r12: a committed participant whose staged marker is gone
+    with NO publish evidence is DATA LOSS - recovery must report
+    ``incomplete`` and KEEP the record as evidence, never silently
+    succeed."""
+    data, audit = _tables(cat, spark)
+    txn = cat.transaction()
+    txn.append("gold.trades", spark.createDataFrame(
+        [(1, 10)], "k long, v long"))
+    txn.append("gold.ops", spark.createDataFrame(
+        [("r1", 1)], "run string, n long"))
+    # destroy the first participant's staged batch, then commit-crash
+    data.abort_staged(txn.participants[0]["staged_id"])
+    _write_record(cat, txn._record("committed"))
+    report = recover_transactions(cat)
+    assert report == {txn.txn_id: "incomplete"}
+    # the surviving participant DID publish; the record remains
+    assert audit.to_df().count() == 1
+    assert any(
+        n == f"{txn.txn_id}.json" for n in os.listdir(_txn_dir(cat))
+    )
+    # a later pass still reports the loss (idempotently)
+    assert recover_transactions(cat) == {txn.txn_id: "incomplete"}
+
+
+def test_transaction_serializes_with_concurrent_appender(cat, spark):
+    """A plain append lands between stage and commit: the publish
+    rebases like any append, and both writers' rows survive."""
+    data, _ = _tables(cat, spark)
+    txn = cat.transaction()
+    txn.append("gold.trades", spark.createDataFrame(
+        [(1, 10)], "k long, v long"))
+    data.append(spark.createDataFrame([(99, 990)], "k long, v long"))
+    txn.commit()
+    assert {r["k"] for r in data.to_df().collect()} == {1, 99}
+
+
+def test_empty_and_multi_append_transactions(cat, spark):
+    data, _ = _tables(cat, spark)
+    with cat.transaction():
+        pass  # empty commit is a no-op
+    assert data.to_df().count() == 0
+    # two appends to the SAME table publish in order within one txn
+    with cat.transaction() as txn:
+        txn.append("gold.trades", spark.createDataFrame(
+            [(1, 10)], "k long, v long"))
+        txn.append("gold.trades", spark.createDataFrame(
+            [(2, 20)], "k long, v long"))
+    assert {r["k"] for r in data.to_df().collect()} == {1, 2}
+    # reuse after commit is refused
+    with pytest.raises(ValueError, match="committed"):
+        txn.append("gold.trades", spark.createDataFrame(
+            [(3, 30)], "k long, v long"))
+
+
+def test_recovery_skips_torn_and_tmp_files(cat, spark):
+    """A mid-swap tmp file or torn JSON in the txn dir must not crash
+    recovery; stale tmp files are swept, torn records are released for
+    a later pass."""
+    d = _txn_dir(cat)
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, ".tmp.deadbeef"), "w") as f:
+        f.write("{}")
+    with open(os.path.join(d, "torn.json"), "w") as f:
+        f.write('{"id": "torn", "state": "comm')  # torn write
+    assert recover_transactions(cat) == {}
+    # the torn record is left for a later (possibly fixed) pass;
+    # the fresh tmp survives the grace window...
+    assert os.path.exists(os.path.join(d, "torn.json"))
+    assert os.path.exists(os.path.join(d, ".tmp.deadbeef"))
+    # ...and a stale tmp is swept (backdate it: age is mtime-based)
+    past = os.path.getmtime(os.path.join(d, ".tmp.deadbeef")) - 10
+    os.utime(os.path.join(d, ".tmp.deadbeef"), (past, past))
+    assert recover_transactions(cat, grace_ms=0) == {}
+    assert not os.path.exists(os.path.join(d, ".tmp.deadbeef"))
+
+
+def test_transaction_entry_recovers_prior_crash(cat, spark):
+    """catalog.transaction() itself runs recovery, so the next writer
+    restores the invariant without anyone calling the function."""
+    data, audit = _tables(cat, spark)
+    txn = MultiTableTransaction(cat)
+    txn.append("gold.trades", spark.createDataFrame(
+        [(7, 70)], "k long, v long"))
+    _write_record(cat, txn._record("committed"))  # crash pre-publish
+    with cat.transaction() as t2:  # entry rolls the old txn forward
+        t2.append("gold.ops", spark.createDataFrame(
+            [("r2", 1)], "run string, n long"))
+    assert data.to_df().count() == 1 and audit.to_df().count() == 1
+
+
+def test_stale_claim_is_taken_over(cat, spark):
+    """A claim whose owner died mid-publish (stale by grace) is
+    re-claimed and completed by the next recovery."""
+    data, audit = _tables(cat, spark)
+    txn = cat.transaction()
+    txn.append("gold.trades", spark.createDataFrame(
+        [(5, 50)], "k long, v long"))
+    txn.append("gold.ops", spark.createDataFrame(
+        [("r5", 1)], "run string, n long"))
+    # simulate: commit point crossed, claim taken, owner died
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.transactions import (
+        _claim,
+        _txn_path,
+    )
+
+    _write_record(cat, txn._record("committed"))
+    claimed = _claim(_txn_path(cat, txn.txn_id))
+    assert claimed is not None
+    # fresh claim: recovery must NOT touch it (owner may be alive)
+    assert recover_transactions(cat) == {}
+    assert data.to_df().count() == 0
+    # stale claim (grace 0): taken over and completed (backdate the
+    # claim - age is mtime-based and the rename preserved write time)
+    past = os.path.getmtime(claimed) - 10
+    os.utime(claimed, (past, past))
+    report = recover_transactions(cat, grace_ms=0)
+    assert report == {txn.txn_id: "rolled_forward"}
+    assert data.to_df().count() == 1 and audit.to_df().count() == 1
+
+
+def test_dropped_participant_table_does_not_brick_recovery(cat, spark):
+    """review r12: a participant table dropped after staging must not
+    leak a claim and fail every later recovery - the roll-back arm
+    skips it (its staged files went with the table), and OTHER records
+    still process."""
+    data, audit = _tables(cat, spark)
+    txn = cat.transaction()
+    txn.append("gold.trades", spark.createDataFrame(
+        [(1, 10)], "k long, v long"))
+    txn.append("gold.ops", spark.createDataFrame(
+        [("r1", 1)], "run string, n long"))
+    cat.drop_table("gold.trades")
+    report = recover_transactions(cat, grace_ms=0)
+    assert report == {txn.txn_id: "rolled_back"}
+    assert audit.list_staged() == []  # the live table was cleaned
+    assert os.listdir(_txn_dir(cat)) == []
+    # a fresh transaction still works afterwards
+    with cat.transaction() as t2:
+        t2.append("gold.ops", spark.createDataFrame(
+            [("r2", 2)], "run string, n long"))
+    assert audit.to_df().count() == 1
+
+
+def test_stage_append_rejects_duplicate_staged_id(cat, spark):
+    """review r12: a reused pre-allocated staged id must raise, not
+    silently orphan the first batch and publish the wrong one."""
+    data, _ = _tables(cat, spark)
+    df = spark.createDataFrame([(1, 10)], "k long, v long")
+    data.stage_append(df, staged_id="sid1")
+    with pytest.raises(ValueError, match="already exists"):
+        data.stage_append(df, staged_id="sid1")
+    with pytest.raises(ValueError, match="non-empty"):
+        data.stage_append(df, staged_id="")
