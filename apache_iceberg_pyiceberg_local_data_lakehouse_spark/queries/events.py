@@ -743,3 +743,102 @@ def q85_pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in types:
         out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
     return out
+
+
+@register(
+    "q8y_streaming_heavy_hitters",
+    # new in r12, registered behind the judged window (r13 rotation
+    # fodder); certifies the Misra-Gries streaming heavy-hitters
+    # operator (streaming/stateful.py:streaming_heavy_hitters,
+    # pytest-only since r10) end-to-end against a DuckDB oracle: the
+    # events stream replays as THREE micro-batches (cross-batch
+    # applyInPandasWithState state), and with k >= distinct item count
+    # Misra-Gries is in EXACT mode (no counter ever evicts), so the
+    # final emission must equal the batch GROUP BY exactly - the q70
+    # "exact mode as regression trip-wire" pattern. The hash carries
+    # exact counts; the booleans pin the summary-membership and
+    # streaming==batch contracts.
+    defer=True,
+    oracle="""
+    SELECT CAST(user_id % 2 AS BIGINT) AS g, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           TRUE AS in_summary,
+           TRUE AS streaming_equals_batch
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q8y_streaming_heavy_hitters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming frequent items judged end-to-end: replay events as a
+    3-micro-batch stream, carry a bounded Misra-Gries summary (k=8,
+    at most k counters per group - HARD state bound regardless of
+    stream length) across batches via applyInPandasWithState, and
+    compare the final emission against the exact batch counts. At
+    k >= distinct items the summary is exact, making the comparison
+    deterministic under ANY batch split; below that the classic
+    guarantees (true heavy hitters survive; undercount <= n/(k+1))
+    are pytest-pinned (test_streaming_heavy_hitters_misra_gries).
+
+    100 TB design note: state is O(k) longs per group - a billion-row
+    stream with a thousand groups carries ~8k counters total, while
+    the exact GROUP BY it replaces would shuffle every row."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    from ..streaming.stateful import streaming_heavy_hitters
+
+    ev = load(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).cast("long").alias("g"),
+        "event_type",
+    )
+    work = _tempfile.mkdtemp(prefix="q8y_hh_")
+    try:
+        src = f"{work}/src"
+        ev.repartition(3).write.parquet(src)
+        stream = (
+            spark.readStream.schema("g long, event_type string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        qn = f"q8y_hh_{_uuid.uuid4().hex[:8]}"
+        q = (
+            streaming_heavy_hitters(stream, "g", "event_type", k=8)
+            .writeStream.format("memory")
+            .queryName(qn)
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        emissions = spark.sql(f"SELECT * FROM {qn}")
+        last = (
+            emissions.withColumn(
+                "mx",
+                F.max("n_processed").over(Window.partitionBy("g")),
+            )
+            .filter(F.col("n_processed") == F.col("mx"))
+            .select("g", F.col("item").alias("event_type"), "mg_count")
+        )
+        exact = ev.groupBy("g", "event_type").agg(
+            F.count("*").cast("long").alias("n_events")
+        )
+        res = (
+            exact.join(last, on=["g", "event_type"], how="left")
+            .select(
+                "g",
+                "event_type",
+                "n_events",
+                F.col("mg_count").isNotNull().alias("in_summary"),
+                (F.col("mg_count") == F.col("n_events")).alias(
+                    "streaming_equals_batch"
+                ),
+            )
+            .orderBy("g", "event_type")
+        )
+        rows = res.collect()  # materialize before the workdir vanishes
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
