@@ -2240,3 +2240,127 @@ def q8v_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs long, n_dedup long, n_gated long, n_selected long, "
         "classifier_enriched boolean, dsir_enriched boolean",
     )
+
+
+@register(
+    "q8z_streaming_quality_curation",
+    # new in r12, registered behind the judged window (r13 rotation
+    # fodder); certifies the streaming quality-classifier curation
+    # twin (streaming/sink.py:curate_stream_to_table, pytest-only
+    # since r11) end-to-end: documents replay as THREE micro-batches,
+    # each scored by the plan-literal model and filtered inside
+    # foreachBatch, appended exactly-once into a lakehouse table. The
+    # judged flags pin the contracts a bug would break: the streamed
+    # survivor set equals the BATCH quality_filter byte-identically
+    # (one scoring semantics on both doors), and a fresh-checkpoint
+    # replay appends nothing (epoch idempotence). Corpus counts carry
+    # the hash; survivor counts are model-dependent and ride only
+    # through the equality flag (the q8l oracle lesson).
+    defer=True,
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_corpus,
+           TRUE AS streamed_equals_batch,
+           TRUE AS exactly_once,
+           TRUE AS curated_strict_subset
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def q8z_streaming_quality_curation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming quality-classifier curation judged end-to-end: fit the
+    hashed-feature LR on the deterministic 500-doc sample (the q8l
+    model), then stream the corpus as 3 micro-batches through
+    ``curate_stream_to_table`` - per-batch scoring is the plan-literal
+    zero-shuffle projection, survivors append exactly-once. Judged:
+    the streamed table equals the batch ``quality_filter`` exactly, a
+    fresh-checkpoint replay is a no-op, and the curated set is a
+    strict non-empty subset (the threshold is the corpus's median
+    score - a driver-computed plan literal, so both doors cut
+    identically and roughly half the corpus passes at any SF).
+
+    100 TB design note: the model is O(buckets) driver floats folded
+    into the plan - each micro-batch scores in one projection, no
+    shuffle, no UDF; the corpus is never re-read (contrast the batch
+    twin, which scans everything per run)."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from ..catalog import LakehouseCatalog
+    from ..operators.quality_classifier import (
+        quality_classifier_fit,
+        quality_filter,
+    )
+    from ..streaming.sink import curate_stream_to_table
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text", "lang")
+        .withColumn("__is_en", (F.col("lang") == "en").cast("int"))
+    )
+    model = quality_classifier_fit(
+        d, "__is_en", n_buckets=512, sample=500, iters=200
+    )
+    base = d.drop("__is_en")
+    # threshold = exact median score (driver float, deterministic):
+    # a fixed 0.0 keeps the WHOLE tiny sf0.001 corpus - the strict-
+    # subset flag needs a data-relative cut, and any driver-computed
+    # constant folds into the plan identically on both doors
+    from ..operators.quality_classifier import quality_classifier_score
+
+    thr = float(
+        quality_classifier_score(base, model)
+        .agg(F.expr("percentile(quality_score, 0.5)"))
+        .first()[0]
+    )
+    expected = quality_filter(base, model, threshold=thr)
+    work = _tempfile.mkdtemp(prefix="q8z_curate_")
+    try:
+        src = f"{work}/src"
+        base.repartition(3).write.parquet(src)
+        cat = LakehouseCatalog(spark, f"{work}/wh")
+        cat.create_namespace("tmp")
+        t = cat.create_table(
+            "tmp.curated",
+            expected.schema,  # survivors carry quality_score
+        )
+        stream = spark.readStream.schema(base.schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+
+        def run(ck):
+            curate_stream_to_table(
+                stream,
+                t,
+                f"{work}/{ck}",
+                query_id="q8z",
+                model=model,
+                threshold=thr,
+                available_now=True,
+            ).awaitTermination(300)
+
+        run("ck1")
+        streamed = {r["doc_id"] for r in t.to_df().select("doc_id").collect()}
+        want = {r["doc_id"] for r in expected.select("doc_id").collect()}
+        equals_batch = streamed == want
+        n_after_first = t.to_df().count()
+        run("ck2")  # fresh checkpoint, same query id: epoch skip
+        exactly_once = t.to_df().count() == n_after_first
+        n_corpus_total = base.count()
+        strict_subset = 0 < len(streamed) < n_corpus_total
+        res = (
+            base.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_corpus"))
+            .select(
+                "lang",
+                "n_corpus",
+                F.lit(bool(equals_batch)).alias("streamed_equals_batch"),
+                F.lit(bool(exactly_once)).alias("exactly_once"),
+                F.lit(bool(strict_subset)).alias("curated_strict_subset"),
+            )
+            .orderBy("lang")
+        )
+        rows = res.collect()  # materialize before the workdir vanishes
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
