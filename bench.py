@@ -291,6 +291,42 @@ def bench_depth(spark, sf_dir: str) -> dict[str, float]:
             f"({out['mv_kll_merge_refresh']:.2f}s)",
             file=sys.stderr,
         )
+        # ---- multi-table transaction (r12): orders + its audit row
+        # land all-or-nothing; the timed span covers staging (the
+        # distributed write), the commit-record swap (one rename), and
+        # both metadata-only publishes - against the two-plain-appends
+        # baseline this costs ONE extra rename + two summary stamps
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        txd = cat.create_table("bench.txn_orders", o2.schema)
+        txa = cat.create_table(
+            "bench.txn_ops",
+            StructType(
+                [
+                    StructField("run", StringType()),
+                    StructField("n", LongType()),
+                ]
+            ),
+        )
+        n_rows = o2.count()
+        t0 = time.perf_counter()
+        with cat.transaction() as txn:
+            txn.append("bench.txn_orders", o2)
+            txn.append(
+                "bench.txn_ops",
+                spark.createDataFrame([("bench", n_rows)], txa.schema),
+            )
+        out["txn_two_table_commit"] = round(time.perf_counter() - t0, 3)
+        print(
+            f"# txn_two_table_commit: {n_rows} rows + audit in "
+            f"{out['txn_two_table_commit']:.2f}s",
+            file=sys.stderr,
+        )
     finally:
         shutil.rmtree(wh, ignore_errors=True)
     return out
