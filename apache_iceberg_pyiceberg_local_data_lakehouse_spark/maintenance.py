@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 
 from .functions.zorder import zorder_key
@@ -936,6 +937,10 @@ def auto_maintain(
     Triggers (thresholds overridable per table via properties, all
     prefixed ``maintenance.``):
 
+    - ``retention`` (r12) when the table declares a row-retention
+      policy (``retention.column`` + ``retention.keep-days`` /
+      ``retention.cutoff`` - see :func:`apply_retention`); runs FIRST
+      so its merge-on-read tombstones feed the passes below;
     - ``compact`` when >= ``min-small-files`` live data files are below
       half the target size (compact()'s own small-file criterion);
     - ``rewrite_position_deletes`` when more than
@@ -965,6 +970,33 @@ def auto_maintain(
 
     snap = table.snapshot()
     report: dict[str, object] = {}
+
+    # row-level retention FIRST (r12): its MoR tombstones then feed the
+    # consolidation/compaction passes below in the same call. A
+    # malformed policy is REPORTED, not raised - one bad property must
+    # not abort the rest of the maintenance pass (review r12).
+    if props.get("retention.column"):
+        try:
+            if dry_run:
+                r = apply_retention(table, dry_run=True)
+                report["retention"] = (
+                    f"would delete {r['would_delete']} rows"
+                    if r
+                    else "nothing expired"
+                )
+            else:
+                rs = apply_retention(table)
+                report["retention"] = (
+                    f"deleted ({rs.operation})"
+                    if rs
+                    else "nothing expired"
+                )
+                if rs is not None:
+                    snap = table.snapshot()  # fresh tombstone count
+        except ValueError as exc:
+            report["retention"] = f"policy error: {exc}"
+    else:
+        report["retention"] = "no policy"
 
     n_tomb = len(snap.pos_delete_entries)
     if n_tomb > max_tombstone_files:
@@ -1074,3 +1106,109 @@ def table_metrics(table: LakehouseTable) -> dict:
         "partitions": len(parts),
         "snapshots": len(table.snapshots()),
     }
+
+
+def apply_retention(
+    table: LakehouseTable,
+    now_ms: int | None = None,
+    dry_run: bool = False,
+):
+    """Declarative row-level retention (r12): DELETE rows past the
+    table's own policy, read entirely from table properties - the
+    compliance/TTL loop a table service runs after ingest, with zero
+    per-call configuration:
+
+    - ``retention.column`` (required to arm the policy): the
+      timestamp/date column rows age out by;
+    - ``retention.keep-days`` (int) - cutoff = now - N days - OR
+      ``retention.cutoff`` - an explicit SQL literal (e.g.
+      ``TIMESTAMP '2024-01-01 00:00:00'``), which wins when both are
+      set and makes the policy reproducible;
+    - ``retention.sql-mode``: ``copy-on-write`` (default - rewrite
+      survivors once) or ``merge-on-read`` (positional tombstones,
+      O(matched) commit; compaction materializes them later).
+
+    Returns ``None`` when the policy is unset or nothing matches,
+    ``{"would_delete": n}`` under ``dry_run``, else the DELETE's
+    Snapshot. At 100 TB the matter is the MoR option: a daily TTL pass
+    over a petabyte table must commit O(expired rows), not rewrite the
+    table - and the scan-side anti-join cost is bounded by the next
+    compaction, which ``auto_maintain`` schedules right after this.
+
+    A MALFORMED armed policy raises ``ValueError`` naming the bad
+    property (review r12) - a typo'd mode must never silently rewrite
+    a 100 TB table, and a half-configured policy must never read as
+    "nothing expired". ``auto_maintain`` catches these into its report
+    so one bad policy cannot abort the rest of the maintenance pass.
+    """
+    from pyspark.sql import functions as F
+
+    from .dml import delete_where
+
+    props = table.properties()
+    col = props.get("retention.column")
+    if not col:
+        return None
+    if col not in {f.name for f in table.schema.fields}:
+        raise ValueError(
+            f"retention.column {col!r} is not a column of the table"
+        )
+    mode = props.get("retention.sql-mode", "copy-on-write")
+    if mode not in ("copy-on-write", "merge-on-read"):
+        raise ValueError(
+            f"retention.sql-mode {mode!r} is not one of "
+            "'copy-on-write' / 'merge-on-read'"
+        )
+    cutoff = (props.get("retention.cutoff") or "").strip()
+    if cutoff:
+        # restrict to literal shapes: a table property must never
+        # execute arbitrary SQL (review r12)
+        if not re.fullmatch(
+            r"(?is)(TIMESTAMP|DATE)\s*'[^']+'"
+            r"|TIMESTAMP_MILLIS\(\s*\d+\s*\)",
+            cutoff,
+        ):
+            raise ValueError(
+                f"retention.cutoff {cutoff!r} must be a TIMESTAMP/DATE "
+                "literal or TIMESTAMP_MILLIS(n)"
+            )
+    else:
+        days_raw = (props.get("retention.keep-days") or "").strip()
+        if not days_raw:
+            raise ValueError(
+                "retention.column is set but neither retention.cutoff "
+                "nor retention.keep-days is - the policy is armed but "
+                "has no horizon"
+            )
+        try:
+            days = int(days_raw)
+        except ValueError:
+            raise ValueError(
+                f"retention.keep-days {days_raw!r} is not an integer"
+            ) from None
+        now = now_ms if now_ms is not None else int(time.time() * 1000)
+        cutoff = f"TIMESTAMP_MILLIS({now - days * 86_400_000})"
+    # resolve the (shape-checked) literal once; a Python value feeds
+    # both the manifest-pruned probe (stats/partition-transform file
+    # skipping) and the exact residual predicate
+    try:
+        cutoff_val = table.spark.sql(f"SELECT ({cutoff}) AS c").first()["c"]
+    except Exception as exc:
+        raise ValueError(
+            f"retention.cutoff {cutoff!r} does not evaluate: {exc}"
+        ) from None
+    pred = F.col(col) < F.lit(cutoff_val)
+    expired = table.scan_where(col, upper=cutoff_val).filter(pred)
+    if dry_run:
+        n = expired.count()  # one job serves probe + report
+        return {"would_delete": n} if n else None
+    # manifest-pruned existence probe: a table with nothing expired
+    # must cost O(pruned files), not a full scan (and never a commit)
+    if expired.limit(1).count() == 0:
+        return None
+    if mode == "merge-on-read":
+        # positional: retention predicates range over a non-key column
+        return delete_where(
+            table, pred, mode="merge-on-read", positional=True
+        )
+    return delete_where(table, pred, mode="copy-on-write")

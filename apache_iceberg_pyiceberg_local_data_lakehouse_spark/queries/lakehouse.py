@@ -5589,3 +5589,81 @@ def q8x_multi_table_transaction(
         return spark.createDataFrame(rows, res.schema)
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+@register(
+    "q90_retention_policy",
+    # new in r12, registered behind the judged window (r13 rotation
+    # fodder); certifies declarative row-level retention
+    # (maintenance.apply_retention + the auto_maintain wiring): the
+    # policy lives in TABLE PROPERTIES (column + explicit cutoff +
+    # merge-on-read), auto_maintain applies it as its first trigger,
+    # and the judged rows read the survivors THROUGH the positional
+    # tombstones (the MoR scan path is part of what is judged). The
+    # oracle is the plain filtered GROUP BY.
+    defer=True,
+    oracle="""
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+           TRUE AS retention_applied,
+           TRUE AS quiesced
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def q90_retention_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-retention judged end-to-end: load orders into a lakehouse
+    table, declare ``retention.column=o_orderdate`` with an explicit
+    reproducible cutoff and ``merge-on-read`` mode in table properties,
+    run ``auto_maintain`` - retention fires first, committing O(expired
+    rows) positional tombstones instead of rewriting the table - and
+    read the survivors back through the tombstone anti-join. A second
+    pass must find nothing expired (quiesced flag).
+
+    100 TB design note: the daily TTL pass over a petabyte table
+    commits O(expired) + O(1) metadata; the scan-side anti-join cost
+    is bounded by the next compaction, which the SAME auto_maintain
+    call schedules right after retention."""
+    from ..catalog import LakehouseCatalog
+    from ..maintenance import auto_maintain
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_q90_")
+    try:
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("tmp")
+        o = load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"
+        )
+        t = cat.create_table("tmp.rorders", o.schema)
+        t.append(o)
+        t.set_properties(**{
+            "retention.column": "o_orderdate",
+            "retention.cutoff": "TIMESTAMP '1997-01-01 00:00:00'",
+            "retention.sql-mode": "merge-on-read",
+        })
+        report = auto_maintain(t)
+        applied = report.get("retention") == "deleted (delete)"
+        report2 = auto_maintain(t)
+        quiesced = report2.get("retention") == "nothing expired"
+        res = (
+            t.to_df()
+            .groupBy(F.col("o_orderstatus").alias("status"))
+            .agg(
+                F.count("*").cast("long").alias("n_orders"),
+                F.sum("o_custkey").cast("long").alias("sum_cust"),
+            )
+            .select(
+                "status",
+                "n_orders",
+                "sum_cust",
+                F.lit(bool(applied)).alias("retention_applied"),
+                F.lit(bool(quiesced)).alias("quiesced"),
+            )
+            .orderBy("status")
+        )
+        rows = res.collect()  # materialize before the warehouse vanishes
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)

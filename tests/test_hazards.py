@@ -350,3 +350,111 @@ def test_table_level_sort_order_property(catalog, spark):
     for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2  # pairwise-disjoint: the sort applied
     assert t.to_df().count() == 32
+
+
+def test_apply_retention_policy(spark, tmp_path):
+    """r12: declarative row-level retention - the policy lives in table
+    properties, apply_retention reads it, the CoW arm rewrites
+    survivors, the MoR arm commits positional tombstones; no policy /
+    nothing expired are clean no-ops; auto_maintain drives it first so
+    the same call's compaction consolidates the tombstones."""
+    import datetime as dtm
+
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.catalog import (
+        LakehouseCatalog,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.maintenance import (
+        apply_retention,
+        auto_maintain,
+    )
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "rwh"))
+    cat.create_namespace("m")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        F.expr(
+            "timestampadd(DAY, CAST(id AS INT), "
+            "TIMESTAMP '2024-01-01 00:00:00')"
+        ).alias("ts"),
+    )
+    t = cat.create_table("m.ret", df.schema)
+    t.append(df)
+
+    # no policy -> no-op, no commit
+    v0 = t.current_version()
+    assert apply_retention(t) is None
+    assert t.current_version() == v0
+
+    # explicit cutoff (reproducible policy); dry run reports only
+    t.set_properties(**{
+        "retention.column": "ts",
+        "retention.cutoff": "TIMESTAMP '2024-02-01 00:00:00'",
+    })
+    assert apply_retention(t, dry_run=True) == {"would_delete": 31}
+    assert t.current_version() == v0
+    snap = apply_retention(t)
+    assert snap is not None and t.to_df().count() == 69
+    assert t.to_df().agg(F.min("ts")).first()[0] == dtm.datetime(
+        2024, 2, 1
+    )
+    # quiesced: nothing expired anymore
+    assert apply_retention(t) is None
+
+    # keep-days arm (now_ms pinned for determinism): keep 10 days
+    # from a fake 'now' of 2024-03-01 -> cutoff 2024-02-20. Clearing
+    # the explicit cutoff via the empty string is the supported path
+    # (set_properties cannot delete keys; review r12 made '' falsy)
+    fake_now = int(dtm.datetime(2024, 3, 1).timestamp() * 1000)
+    t.set_properties(**{"retention.cutoff": "", "retention.keep-days": "10"})
+    snap = apply_retention(t, now_ms=fake_now)
+    assert snap is not None
+    assert t.to_df().agg(F.min("ts")).first()[0] == dtm.datetime(
+        2024, 2, 20
+    )
+
+    # MoR arm + auto_maintain wiring: tombstones, then the SAME call's
+    # consolidation pass (max-tombstone-files 0 pins the retention-
+    # runs-FIRST ordering - the fresh tombstone must be counted by the
+    # trigger below it; review r12)
+    t.set_properties(**{
+        "retention.cutoff": "TIMESTAMP '2024-03-01 00:00:00'",
+        "retention.sql-mode": "merge-on-read",
+        "maintenance.max-tombstone-files": "0",
+    })
+    report = auto_maintain(t, dry_run=True)
+    assert report["retention"].startswith("would delete")
+    report = auto_maintain(t)
+    assert report["retention"] == "deleted (delete)"
+    # the trigger COUNTED the fresh tombstone (pre-retention count was
+    # 0 -> "not due"); one singleton file may consolidate or no-op,
+    # but "not due" would mean retention ran after the count
+    assert report["rewrite_position_deletes"] != "not due"
+    assert t.to_df().agg(F.min("ts")).first()[0] == dtm.datetime(
+        2024, 3, 1
+    )
+    report2 = auto_maintain(t)
+    assert report2["retention"] == "nothing expired"
+
+    # malformed policies REPORT, never brick the pass or silently
+    # fall back (review r12): a typo'd mode, a missing horizon, and a
+    # non-literal cutoff each name the bad property
+    t.set_properties(**{"retention.sql-mode": "merge_on_read"})
+    assert "policy error" in auto_maintain(t)["retention"]
+    with pytest.raises(ValueError, match="sql-mode"):
+        apply_retention(t)
+    t.set_properties(**{
+        "retention.sql-mode": "copy-on-write",
+        "retention.cutoff": "",
+        "retention.keep-days": "",
+    })
+    with pytest.raises(ValueError, match="no horizon"):
+        apply_retention(t)
+    t.set_properties(**{
+        "retention.cutoff": "(SELECT max(ts) FROM somewhere)",
+    })
+    with pytest.raises(ValueError, match="literal"):
+        apply_retention(t)
+    rep = auto_maintain(t)
+    assert "policy error" in rep["retention"]
+    # ...and the rest of the pass still ran
+    assert "compact" in rep and "expire_snapshots" in rep
