@@ -5705,6 +5705,7 @@ class LakehouseCatalog:
         "create_branch",
         "create_tag",
         "auto_maintain",
+        "apply_retention",
     }
 
     def _sql_call(self, proc: str, args_txt: str) -> DataFrame:
@@ -5720,7 +5721,7 @@ class LakehouseCatalog:
         cherrypick_snapshot(t, version), rollback_to_snapshot(t,
         version), fast_forward(t, branch [, version]), publish_branch(t,
         branch), create_branch(t, branch [, version]), create_tag(t,
-        tag [, version]), auto_maintain(t)."""
+        tag [, version]), auto_maintain(t), apply_retention(t)."""
         if proc not in self._CALL_PROCS:
             raise ValueError(
                 f"unknown procedure system.{proc}; supported: "
@@ -5826,6 +5827,16 @@ class LakehouseCatalog:
             return self.spark.createDataFrame(
                 [(k, str(v)) for k, v in report.items()],
                 "trigger string, outcome string",
+            )
+        if proc == "apply_retention":
+            # row-level TTL from the table's own properties (r12); a
+            # malformed policy raises with the property named, exactly
+            # like the Python API - the CALL surface adds no leniency
+            snap = M.apply_retention(t)
+            return row(
+                operation=proc,
+                version=t.current_version(),
+                changed=1 if snap is not None else 0,
             )
         if proc == "cherrypick_snapshot":
             snap = t.cherrypick(int(rest[0]))

@@ -5665,3 +5665,40 @@ def test_mv_join_approx_legacy_without_state_full_refreshes(
         for r in spark.sql("SELECT * FROM gold_lad_mv").collect()
     }
     assert got == {"x": 3, "y": 1}
+
+
+def test_call_apply_retention_procedure(catalog, spark):
+    """r12: CALL system.apply_retention('t') drives the declarative
+    row-TTL from the table's own properties; the summary row reports
+    whether anything changed, and a malformed policy raises with the
+    property named (no CALL-surface leniency)."""
+    import pytest as _pytest
+
+    t = catalog.create_table(
+        "gold.callret",
+        spark.createDataFrame([], "k long, ts timestamp").schema,
+    )
+    t.append(
+        spark.sql(
+            "SELECT id AS k, timestampadd(DAY, CAST(id AS INT), "
+            "TIMESTAMP '2024-01-01 00:00:00') AS ts FROM range(40)"
+        )
+    )
+    t.set_properties(**{
+        "retention.column": "ts",
+        "retention.cutoff": "TIMESTAMP '2024-01-11 00:00:00'",
+    })
+    res = catalog.sql(
+        "CALL system.apply_retention('gold.callret')"
+    ).first()
+    assert res["changed"] == 1
+    assert t.to_df().count() == 30
+    # quiesced second call reports changed = 0
+    res = catalog.sql(
+        "CALL system.apply_retention('gold.callret')"
+    ).first()
+    assert res["changed"] == 0
+    # malformed policy surfaces the property name through the verb
+    t.set_properties(**{"retention.sql-mode": "nope"})
+    with _pytest.raises(ValueError, match="sql-mode"):
+        catalog.sql("CALL system.apply_retention('gold.callret')")
