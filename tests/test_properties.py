@@ -1075,3 +1075,77 @@ def test_fact_and_dim_moved_cdc_always_equals_recompute(
     vs = __import__("json").loads(props["mv.join_dim_versions"])
     assert vs["g.fd1"] == str(d1.current_version())
     assert vs["g.fd2"] == str(d2.current_version())
+
+
+# --- array-percentile KLL MV == full recompute (r12) ------------------------
+
+_kll_ops = st.lists(
+    st.one_of(
+        st.lists(  # an append batch
+            st.tuples(
+                st.sampled_from(["a", "b", "c"]),
+                st.integers(min_value=-50, max_value=50),
+            ),
+            min_size=0,
+            max_size=6,
+        ),
+        st.sampled_from(["del_even", "del_neg"]),  # DML -> recompute
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_kll_ops)
+def test_mv_array_percentile_always_equals_recompute(
+    spark, tmp_path_factory, ops
+):
+    """r12: the ARRAY-of-percentiles KLL tier under ANY interleaving of
+    appends (sketch merges) and deletes (touched-group recomputes)
+    equals the user query run fresh. At these sizes KLL is exact, so
+    the stored-sketch path and Spark's native approx_percentile agree
+    element-for-element - any divergence is a maintenance bug, not
+    estimator noise."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.catalog import (
+        LakehouseCatalog,
+    )
+
+    wh = tmp_path_factory.mktemp("kllmvwh")
+    cat = LakehouseCatalog(spark, str(wh))
+    cat.create_namespace("g")
+    schema = "cat string, v long"
+    t = cat.create_table("g.kb", spark.createDataFrame([], schema).schema)
+    t.append(spark.createDataFrame([("a", 1), ("b", -3)], schema))
+    q = (
+        "SELECT cat, COUNT(*) AS n, "
+        "APPROX_PERCENTILE(v, array(0.1, 0.5, 0.9)) AS qs "
+        "FROM g_kb GROUP BY cat"
+    )
+    mv = cat.create_materialized_view("g.kmv", q)
+    assert mv.properties().get("mv.refresh_mode") == "agg"
+
+    def canon(rows):
+        return {
+            r["cat"]: (
+                r["n"],
+                None if r["qs"] is None else tuple(r["qs"]),
+            )
+            for r in rows
+        }
+
+    for op in ops:
+        if op == "del_even":
+            cat.sql("DELETE FROM g.kb WHERE v % 2 = 0")
+        elif op == "del_neg":
+            cat.sql("DELETE FROM g.kb WHERE v < 0")
+        elif op:
+            t.append(spark.createDataFrame(op, schema))
+        cat.refresh_materialized_view("g.kmv")
+        got = canon(cat.load_table("g.kmv").to_df().collect())
+        want = canon(cat.sql(q).collect())
+        assert got == want, f"diverged after {op}"
