@@ -401,6 +401,21 @@ def main() -> None:
     t0 = time.perf_counter()
     QUERIES["q01_pricing_summary"](spark, SF_DIR).count()
     q01_end = round(time.perf_counter() - t0, 3)
+    # CPU clock at bench time: NOTES r8 + r12 both caught the box
+    # throttled to 2.1 GHz producing +40-70% totals on identical plans
+    # - the single biggest box-state confounder, now recorded.
+    cpu_mhz = None
+    try:
+        with open("/proc/cpuinfo") as f:
+            mhz = [
+                float(line.split(":")[1])
+                for line in f
+                if line.lower().startswith("cpu mhz")
+            ]
+        if mhz:
+            cpu_mhz = round(sum(mhz) / len(mhz), 0)
+    except OSError:
+        pass
     calibration = {
         "probe": "q01_pricing_summary",
         "cold": times["q01_pricing_summary"],
@@ -409,6 +424,7 @@ def main() -> None:
         "drift_end_over_median": round(
             q01_end / medians["q01_pricing_summary"], 3
         ),
+        "cpu_mhz": cpu_mhz,
     }
     print(f"# calibration: {calibration}", file=sys.stderr)
 
