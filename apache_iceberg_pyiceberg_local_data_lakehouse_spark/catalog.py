@@ -5815,6 +5815,10 @@ class LakehouseCatalog:
             "rewrite_position_deletes",
             "rewrite_equality_deletes",
             "materialize_deletes",
+            # row-level TTL from the table's own properties (r12); a
+            # malformed policy raises with the property named, exactly
+            # like the Python API - the CALL surface adds no leniency
+            "apply_retention",
         ):
             snap = getattr(M, proc)(t)
             return row(
@@ -5827,16 +5831,6 @@ class LakehouseCatalog:
             return self.spark.createDataFrame(
                 [(k, str(v)) for k, v in report.items()],
                 "trigger string, outcome string",
-            )
-        if proc == "apply_retention":
-            # row-level TTL from the table's own properties (r12); a
-            # malformed policy raises with the property named, exactly
-            # like the Python API - the CALL surface adds no leniency
-            snap = M.apply_retention(t)
-            return row(
-                operation=proc,
-                version=t.current_version(),
-                changed=1 if snap is not None else 0,
             )
         if proc == "cherrypick_snapshot":
             snap = t.cherrypick(int(rest[0]))

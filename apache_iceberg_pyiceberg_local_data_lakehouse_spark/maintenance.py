@@ -35,6 +35,16 @@ MIN_SNAPSHOTS_TO_KEEP = 2  # lakehouse_pipeline.py:242
 _GC_JOB_THRESHOLD = 16
 
 
+class RetentionPolicyError(ValueError):
+    """A malformed row-retention POLICY (bad property value). Distinct
+    from execution errors so ``auto_maintain`` can report the former
+    per table while letting the latter fail LOUDLY - mislabeling an
+    operational failure (e.g. positional deletes on an adopted-files
+    table) as a policy typo would silently disable a compliance TTL
+    forever (review r12)."""
+
+
+
 def _walk_parquet(root: str) -> list[tuple[str, float]]:
     """(path, mtime) for every parquet file under ``root``. Module-level
     so Spark tasks can pickle it."""
@@ -978,9 +988,15 @@ def auto_maintain(
     if props.get("retention.column"):
         try:
             if dry_run:
-                r = apply_retention(table, dry_run=True)
+                # probe-only (exact_count=False): the dry run keeps
+                # auto_maintain's zero-data-read posture - one
+                # limit(1) job over the PRUNED file set, never a full
+                # count (review r12)
+                r = apply_retention(
+                    table, dry_run=True, exact_count=False
+                )
                 report["retention"] = (
-                    f"would delete {r['would_delete']} rows"
+                    "would delete expired rows"
                     if r
                     else "nothing expired"
                 )
@@ -993,7 +1009,9 @@ def auto_maintain(
                 )
                 if rs is not None:
                     snap = table.snapshot()  # fresh tombstone count
-        except ValueError as exc:
+        except RetentionPolicyError as exc:
+            # ONLY policy (property) errors are contained per table;
+            # execution errors propagate loudly (review r12)
             report["retention"] = f"policy error: {exc}"
     else:
         report["retention"] = "no policy"
@@ -1112,6 +1130,7 @@ def apply_retention(
     table: LakehouseTable,
     now_ms: int | None = None,
     dry_run: bool = False,
+    exact_count: bool = True,
 ):
     """Declarative row-level retention (r12): DELETE rows past the
     table's own policy, read entirely from table properties - the
@@ -1135,8 +1154,8 @@ def apply_retention(
     table - and the scan-side anti-join cost is bounded by the next
     compaction, which ``auto_maintain`` schedules right after this.
 
-    A MALFORMED armed policy raises ``ValueError`` naming the bad
-    property (review r12) - a typo'd mode must never silently rewrite
+    A MALFORMED armed policy raises :class:`RetentionPolicyError`
+    naming the bad property (review r12) - a typo'd mode must never silently rewrite
     a 100 TB table, and a half-configured policy must never read as
     "nothing expired". ``auto_maintain`` catches these into its report
     so one bad policy cannot abort the rest of the maintenance pass.
@@ -1150,12 +1169,12 @@ def apply_retention(
     if not col:
         return None
     if col not in {f.name for f in table.schema.fields}:
-        raise ValueError(
+        raise RetentionPolicyError(
             f"retention.column {col!r} is not a column of the table"
         )
     mode = props.get("retention.sql-mode", "copy-on-write")
     if mode not in ("copy-on-write", "merge-on-read"):
-        raise ValueError(
+        raise RetentionPolicyError(
             f"retention.sql-mode {mode!r} is not one of "
             "'copy-on-write' / 'merge-on-read'"
         )
@@ -1168,14 +1187,14 @@ def apply_retention(
             r"|TIMESTAMP_MILLIS\(\s*\d+\s*\)",
             cutoff,
         ):
-            raise ValueError(
+            raise RetentionPolicyError(
                 f"retention.cutoff {cutoff!r} must be a TIMESTAMP/DATE "
                 "literal or TIMESTAMP_MILLIS(n)"
             )
     else:
         days_raw = (props.get("retention.keep-days") or "").strip()
         if not days_raw:
-            raise ValueError(
+            raise RetentionPolicyError(
                 "retention.column is set but neither retention.cutoff "
                 "nor retention.keep-days is - the policy is armed but "
                 "has no horizon"
@@ -1183,7 +1202,7 @@ def apply_retention(
         try:
             days = int(days_raw)
         except ValueError:
-            raise ValueError(
+            raise RetentionPolicyError(
                 f"retention.keep-days {days_raw!r} is not an integer"
             ) from None
         now = now_ms if now_ms is not None else int(time.time() * 1000)
@@ -1194,12 +1213,18 @@ def apply_retention(
     try:
         cutoff_val = table.spark.sql(f"SELECT ({cutoff}) AS c").first()["c"]
     except Exception as exc:
-        raise ValueError(
+        raise RetentionPolicyError(
             f"retention.cutoff {cutoff!r} does not evaluate: {exc}"
         ) from None
     pred = F.col(col) < F.lit(cutoff_val)
     expired = table.scan_where(col, upper=cutoff_val).filter(pred)
     if dry_run:
+        if not exact_count:  # probe-only (auto_maintain's dry run)
+            return (
+                {"would_delete": "some"}
+                if expired.limit(1).count()
+                else None
+            )
         n = expired.count()  # one job serves probe + report
         return {"would_delete": n} if n else None
     # manifest-pruned existence probe: a table with nothing expired

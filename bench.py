@@ -414,8 +414,8 @@ def main() -> None:
             ]
         if mhz:
             cpu_mhz = round(sum(mhz) / len(mhz), 0)
-    except OSError:
-        pass
+    except (OSError, ValueError, IndexError):
+        pass  # calibration extras must never kill a finished run
     calibration = {
         "probe": "q01_pricing_summary",
         "cold": times["q01_pricing_summary"],

@@ -404,7 +404,10 @@ def test_apply_retention_policy(spark, tmp_path):
     # from a fake 'now' of 2024-03-01 -> cutoff 2024-02-20. Clearing
     # the explicit cutoff via the empty string is the supported path
     # (set_properties cannot delete keys; review r12 made '' falsy)
-    fake_now = int(dtm.datetime(2024, 3, 1).timestamp() * 1000)
+    fake_now = int(
+        dtm.datetime(2024, 3, 1, tzinfo=dtm.timezone.utc).timestamp()
+        * 1000
+    )  # tz-pinned: naive .timestamp() would shift with the system TZ
     t.set_properties(**{"retention.cutoff": "", "retention.keep-days": "10"})
     snap = apply_retention(t, now_ms=fake_now)
     assert snap is not None
