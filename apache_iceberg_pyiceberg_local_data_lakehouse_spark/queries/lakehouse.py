@@ -385,6 +385,9 @@ def q68_spec_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q6a_lakehouse_mor_delete",
+    # rotated out r13 after many driver greens (q6c keeps the
+    # MoR-delete family rep in-window); local DuckDB parity kept
+    defer=True,
     oracle="""
     SELECT lang, COUNT(*) AS n_docs,
            MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
@@ -446,6 +449,10 @@ def q6a_lakehouse_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q6b_lakehouse_write_audit_publish",
+    # rotated out r13 after many driver greens (q7o keeps the
+    # branch/WAP family rep; q8x exercises stage/publish end-to-end);
+    # local DuckDB parity kept
+    defer=True,
     oracle="""
     SELECT lang, COUNT(*) AS n_docs,
            MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
@@ -4067,6 +4074,9 @@ def q8k_mv_minmax_group_recompute(
     # doubled-price source, unmatched source rows insert ONLY when
     # they pass the gate, and the readback equals the SQL
     # reconstruction.
+    # rotated out r13 after 2 driver greens (q8o keeps the conditioned
+    # clause rep, q8j the multi-clause rep); local DuckDB parity kept
+    defer=True,
     oracle="""
     WITH base AS (
       SELECT o_orderkey,
@@ -4558,7 +4568,7 @@ def q8n_mv_fact_dim_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # changelog-merge terms (each binding already-refreshed dims NEW,
     # later dims OLD) - never a full recompute - equaling the plain
     # GROUP BY. A 4th moved side declines to full refresh (gate).
-    defer=True,
+    # promoted to the judged window in r13 (VERDICT r12 #2 rotation)
     oracle="""
     WITH c2 AS (
       SELECT c_custkey,
@@ -4775,7 +4785,10 @@ def q8o_merge_by_source_conditioned(
     # ORIGINAL row, matched rows row-replace in the same commit, and
     # conditioned out-of-range files with no matches carry by
     # reference (dropped_files == 0).
-    # promoted to the judged window in r12
+    # promoted to the judged window in r12; rotated out r13 after its
+    # first green (q8o + q8q keep two BY-SOURCE reps in-window per the
+    # r12 verdict); local DuckDB parity kept
+    defer=True,
     oracle="""
     WITH base AS (
       SELECT o_orderkey, o_orderstatus AS status,
@@ -5404,7 +5417,10 @@ def q8t_mv_join_approx_sketch(
     # 'merge' - O(delta), never a base re-scan), and the estimate
     # stays within the HLL error envelope of the exact distinct
     # (bound-check judged, the q70 sketch pattern).
-    # promoted to the judged window in r12
+    # promoted to the judged window in r12; rotated out r13 after its
+    # first green (q8t keeps the join-star sketch rep - a strict
+    # superset shape - and q8u the KLL rep); local DuckDB parity kept
+    defer=True,
     oracle="""
     SELECT lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -5487,7 +5503,9 @@ def q8s_mv_approx_distinct_sketch(
     # it forward - its rows must be present). The oracle reconstructs
     # the surviving row set exactly; the audit count and the atomicity
     # flag ride every judged row.
-    defer=True,
+    # promoted to the judged window in r13 (VERDICT r12 #2 rotation),
+    # after the grace-window race fix (backdate_for_recovery) was
+    # proven 20/20 green in a parity-test loop
     oracle="""
     WITH survivors AS (
       SELECT o_orderkey, o_orderstatus FROM orders
@@ -5520,7 +5538,11 @@ def q8x_multi_table_transaction(
     publishes and recovery read snapshot summaries only - O(tables),
     never O(rows)."""
     from ..catalog import LakehouseCatalog
-    from ..transactions import _write_record, recover_transactions
+    from ..transactions import (
+        _write_record,
+        backdate_for_recovery,
+        recover_transactions,
+    )
 
     wh = tempfile.mkdtemp(prefix="lakehouse_q8x_")
     try:
@@ -5552,9 +5574,13 @@ def q8x_multi_table_transaction(
             "tmp.txops",
             spark.createDataFrame([("batch2", b2.count())], audit.schema),
         )
-        # age txn2 out (grace 0 = 'the record went stale') and recover:
-        # a fresh pending record is a LIVE transaction the entry
-        # recovery must NOT touch, so staleness is simulated explicitly
+        # age txn2 out and recover: a fresh pending record is a LIVE
+        # transaction the entry recovery must NOT touch, so staleness
+        # is simulated explicitly. grace_ms=0 ALONE races the record's
+        # own post-stage heartbeat (same-millisecond stamp => reported
+        # in_flight; judge r12 measured ~30% flake) - backdating the
+        # stamp makes the staleness deterministic.
+        backdate_for_recovery(cat, t2.txn_id)
         rb = recover_transactions(cat, grace_ms=0)
         rolled_back = (
             rb.get(t2.txn_id) == "rolled_back"
@@ -5601,7 +5627,7 @@ def q8x_multi_table_transaction(
     # and the judged rows read the survivors THROUGH the positional
     # tombstones (the MoR scan path is part of what is judged). The
     # oracle is the plain filtered GROUP BY.
-    defer=True,
+    # promoted to the judged window in r13 (VERDICT r12 #2 rotation)
     oracle="""
     SELECT o_orderstatus AS status,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
