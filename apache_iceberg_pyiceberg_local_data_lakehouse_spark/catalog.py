@@ -192,6 +192,20 @@ _DML_CALL = re.compile(
     r"^\s*CALL\s+system\.(?P<proc>\w+)\s*\((?P<args>.*)\)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+# catalog-level multi-table transactions as SQL verbs (r13, VERDICT r12
+# #4, matching the retention CALL precedent): BEGIN [TRANSACTION] opens
+# one, INSERT INTO ... SELECT statements stage into it, COMMIT makes
+# them durable all-or-nothing, ROLLBACK aborts. Recovery is
+# CALL system.recover_transactions([grace_ms]).
+_DML_BEGIN = re.compile(
+    r"^\s*BEGIN(\s+TRANSACTION)?\s*;?\s*$", re.IGNORECASE
+)
+_DML_COMMIT = re.compile(
+    r"^\s*COMMIT(\s+TRANSACTION)?\s*;?\s*$", re.IGNORECASE
+)
+_DML_ROLLBACK = re.compile(
+    r"^\s*ROLLBACK(\s+TRANSACTION)?\s*;?\s*$", re.IGNORECASE
+)
 
 _DML_VACUUM = re.compile(
     r"^\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+HOURS)?"
@@ -462,12 +476,31 @@ class LakehouseCatalog:
         self.spark = spark
         self.warehouse = os.path.abspath(warehouse)
         os.makedirs(self.warehouse, exist_ok=True)
+        # the SQL surface's open BEGIN..COMMIT transaction, if any
+        self._active_txn = None
 
     # -- namespaces ---------------------------------------------------------
 
     def create_namespace(self, namespace: str) -> None:
-        """Idempotent (reference swallows NamespaceAlreadyExistsError)."""
+        """Idempotent (reference swallows NamespaceAlreadyExistsError).
+        Underscore-prefixed names are RESERVED for catalog bookkeeping
+        (``_transactions``): list_namespaces hides them, so a user
+        namespace named ``_staging`` would become half-visible - loadable
+        but absent from SHOW NAMESPACES, register_views, and MV
+        candidate resolution (advice r13)."""
+        self._check_namespace_name(namespace)
         os.makedirs(os.path.join(self.warehouse, namespace), exist_ok=True)
+
+    @staticmethod
+    def _check_namespace_name(namespace: str) -> None:
+        for seg in namespace.split("."):
+            if seg.startswith("_"):
+                raise ValueError(
+                    f"namespace {namespace!r} is reserved: "
+                    "underscore-prefixed names are catalog bookkeeping "
+                    "(hidden from SHOW NAMESPACES and view/MV "
+                    "resolution)"
+                )
 
     def list_namespaces(self) -> list[str]:
         # underscore-prefixed dirs are catalog bookkeeping, not user
@@ -512,6 +545,8 @@ class LakehouseCatalog:
         partition_spec: list[PartitionField] | None = None,
     ) -> LakehouseTable:
         namespace, _, name = identifier.rpartition(".")
+        if namespace:
+            self._check_namespace_name(namespace)
         if namespace and name in self._load_stored_views(namespace):
             raise ValueError(
                 f"a stored view already holds the name {identifier}; "
@@ -4990,9 +5025,63 @@ class LakehouseCatalog:
         :func:`dml.update_where` (file-pruned copy-on-write) and return
         a one-row summary frame. The table is named by its dotted
         identifier; conditions and assignment expressions are any Spark
-        SQL expressions over the table's columns."""
+        SQL expressions over the table's columns.
+
+        ``BEGIN [TRANSACTION]`` / ``COMMIT`` / ``ROLLBACK`` drive a
+        catalog-level multi-table transaction (r13): between BEGIN and
+        COMMIT every ``INSERT INTO ... SELECT`` STAGES (invisible,
+        GC-protected) instead of appending, and COMMIT publishes them
+        all-or-nothing through one atomic record swap. Other row-DML
+        verbs are refused while a transaction is open - they would
+        silently autocommit outside it. Crash recovery is
+        ``CALL system.recover_transactions([grace_ms])``."""
         from pyspark.sql import functions as F
 
+        txn = self._active_txn
+        if txn is not None and txn._state != "pending":
+            # resolved through the Python handle: drop the stale pointer
+            self._active_txn = txn = None
+        m = _DML_BEGIN.match(query)
+        if m:
+            if txn is not None:
+                raise ValueError(
+                    f"transaction {txn.txn_id} is already open; COMMIT "
+                    "or ROLLBACK it first (nested transactions are not "
+                    "supported)"
+                )
+            self._active_txn = self.transaction()
+            return self.spark.createDataFrame(
+                [("begin transaction", self._active_txn.txn_id)],
+                "operation string, txn_id string",
+            )
+        m = _DML_COMMIT.match(query)
+        if m:
+            if txn is None:
+                raise ValueError("COMMIT without an open transaction")
+            self._active_txn = None
+            published = txn.commit()
+            return self.spark.createDataFrame(
+                [(
+                    "commit transaction",
+                    txn.txn_id,
+                    len(txn.participants),
+                    len(published),
+                )],
+                "operation string, txn_id string, staged_appends long, "
+                "tables_published long",
+            )
+        m = _DML_ROLLBACK.match(query)
+        if m:
+            if txn is None:
+                raise ValueError("ROLLBACK without an open transaction")
+            self._active_txn = None
+            n = txn.abort()
+            return self.spark.createDataFrame(
+                [("rollback transaction", txn.txn_id, n)],
+                "operation string, txn_id string, files_removed long",
+            )
+        if txn is not None:
+            self._txn_statement_guard(query)
         m = _DML_CLONE.match(query)
         if m:
             if not m.group("shallow"):
@@ -5400,6 +5489,21 @@ class LakehouseCatalog:
             self._register_stored_views()
             src = self._positional_cast(self.spark.sql(m.group(3)), t)
             if m.group(1).upper() == "INTO":
+                if self._active_txn is not None:
+                    # inside BEGIN..COMMIT: stage, don't append - the
+                    # rows become visible only at COMMIT, atomically
+                    # with every other staged INSERT (r13)
+                    sid = self._active_txn.append(m.group(2), src)
+                    return self.spark.createDataFrame(
+                        [(
+                            "insert staged",
+                            m.group(2),
+                            self._active_txn.txn_id,
+                            sid,
+                        )],
+                        "operation string, table string, txn_id string, "
+                        "staged_id string",
+                    )
                 snap = t.append(src)
                 op = "insert"
             else:
@@ -5691,7 +5795,42 @@ class LakehouseCatalog:
             [(ident, ddl)], "table string, create_statement string"
         )
 
+    def _txn_statement_guard(self, query: str) -> None:
+        """Inside an open BEGIN..COMMIT transaction only ``INSERT INTO
+        ... SELECT`` participates (the staging protocol covers appends -
+        see the transactions module docstring). Any other row-DML verb
+        would silently AUTOCOMMIT outside the transaction, which is
+        exactly the broken expectation BEGIN exists to prevent - refuse
+        it loudly. Reads, SHOW/DESCRIBE, and DDL stay available (DDL is
+        autocommit, as in Delta/Spark)."""
+        for verb, rx in (
+            ("DELETE", _DML_DELETE),
+            ("UPDATE", _DML_UPDATE),
+            ("TRUNCATE", _DML_TRUNCATE),
+            ("MERGE", _DML_MERGE_HEAD),
+            ("INSERT ... REPLACE WHERE", _DML_REPLACE_WHERE_HEAD),
+            ("OPTIMIZE", _DML_OPTIMIZE),
+            ("RESTORE", _DML_RESTORE),
+            ("COPY INTO", _DML_COPY_INTO),
+            ("VACUUM", _DML_VACUUM),
+        ):
+            if rx.match(query):
+                raise ValueError(
+                    f"{verb} cannot run inside the open transaction "
+                    f"{self._active_txn.txn_id}: only INSERT INTO ... "
+                    "SELECT stages transactionally; COMMIT or ROLLBACK "
+                    "first"
+                )
+        m = _DML_INSERT.match(query)
+        if m and m.group(1).upper() == "OVERWRITE":
+            raise ValueError(
+                "INSERT OVERWRITE cannot run inside the open "
+                f"transaction {self._active_txn.txn_id}; COMMIT or "
+                "ROLLBACK first"
+            )
+
     _CALL_PROCS = {
+        "recover_transactions",
         "expire_snapshots",
         "compact",
         "rewrite_manifests",
@@ -5721,7 +5860,8 @@ class LakehouseCatalog:
         cherrypick_snapshot(t, version), rollback_to_snapshot(t,
         version), fast_forward(t, branch [, version]), publish_branch(t,
         branch), create_branch(t, branch [, version]), create_tag(t,
-        tag [, version]), auto_maintain(t), apply_retention(t)."""
+        tag [, version]), auto_maintain(t), apply_retention(t);
+        catalog-level: recover_transactions([grace_ms])."""
         if proc not in self._CALL_PROCS:
             raise ValueError(
                 f"unknown procedure system.{proc}; supported: "
@@ -5741,6 +5881,25 @@ class LakehouseCatalog:
                     f"CALL args must be 'string' or integer literals, "
                     f"got {part!r}"
                 )
+        if proc == "recover_transactions":
+            # catalog-level, not table-level: crash recovery over the
+            # transaction log (r13, VERDICT r12 #4). Optional integer
+            # grace_ms; returns one row per touched transaction.
+            from .transactions import recover_transactions
+
+            if len(args) > 1 or (args and not isinstance(args[0], int)):
+                raise ValueError(
+                    "system.recover_transactions takes at most one "
+                    "integer grace_ms argument"
+                )
+            rep = (
+                recover_transactions(self, grace_ms=int(args[0]))
+                if args
+                else recover_transactions(self)
+            )
+            return self.spark.createDataFrame(
+                sorted(rep.items()), "txn_id string, outcome string"
+            )
         if not args or not isinstance(args[0], str):
             raise ValueError(
                 f"system.{proc} takes the table identifier first"

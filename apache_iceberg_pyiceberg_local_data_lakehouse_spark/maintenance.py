@@ -1205,6 +1205,18 @@ def apply_retention(
             raise RetentionPolicyError(
                 f"retention.keep-days {days_raw!r} is not an integer"
             ) from None
+        if days <= 0:
+            # a '-30' typo would place the cutoff in the FUTURE and a
+            # CoW pass would rewrite/drop essentially the whole table;
+            # 0 deletes everything older than "this instant". Neither
+            # is ever a sane standing policy - demand a positive
+            # horizon, or an explicit retention.cutoff literal when a
+            # one-off instant really is intended (advice r13).
+            raise RetentionPolicyError(
+                f"retention.keep-days must be a positive integer, got "
+                f"{days_raw!r}; use an explicit retention.cutoff for a "
+                "one-off instant"
+            )
         now = now_ms if now_ms is not None else int(time.time() * 1000)
         cutoff = f"TIMESTAMP_MILLIS({now - days * 86_400_000})"
     # resolve the (shape-checked) literal once; a Python value feeds

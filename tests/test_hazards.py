@@ -457,6 +457,15 @@ def test_apply_retention_policy(spark, tmp_path):
     })
     with pytest.raises(ValueError, match="literal"):
         apply_retention(t)
+    # advice r13: a '-30' typo puts the cutoff in the FUTURE - a CoW
+    # pass would rewrite/drop essentially the whole table. Non-positive
+    # horizons are policy errors, never a silent full delete.
+    t.set_properties(**{"retention.cutoff": "", "retention.keep-days": "-30"})
+    with pytest.raises(ValueError, match="positive"):
+        apply_retention(t)
+    t.set_properties(**{"retention.keep-days": "0"})
+    with pytest.raises(ValueError, match="positive"):
+        apply_retention(t)
     rep = auto_maintain(t)
     assert "policy error" in rep["retention"]
     # ...and the rest of the pass still ran
