@@ -758,7 +758,7 @@ def q85_pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # "exact mode as regression trip-wire" pattern. The hash carries
     # exact counts; the booleans pin the summary-membership and
     # streaming==batch contracts.
-    defer=True,
+    # promoted to the judged window in r13 (VERDICT r12 #2 rotation)
     oracle="""
     SELECT CAST(user_id % 2 AS BIGINT) AS g, event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,

@@ -2256,7 +2256,7 @@ def q8v_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     # replay appends nothing (epoch idempotence). Corpus counts carry
     # the hash; survivor counts are model-dependent and ride only
     # through the equality flag (the q8l oracle lesson).
-    defer=True,
+    # promoted to the judged window in r13 (VERDICT r12 #2 rotation)
     oracle="""
     SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_corpus,
            TRUE AS streamed_equals_batch,
