@@ -470,3 +470,74 @@ def test_apply_retention_policy(spark, tmp_path):
     assert "policy error" in rep["retention"]
     # ...and the rest of the pass still ran
     assert "compact" in rep and "expire_snapshots" in rep
+
+
+def test_retention_lifecycle_composition(spark, tmp_path):
+    """r13 (VERDICT r12 #5): retention composes with time travel,
+    snapshot expiry, and compaction. A tag pinned BEFORE the retention
+    delete still reads the pre-delete rows; an aggressive expiry honors
+    the tag's pin (neither the snapshot nor its data files go); a later
+    compaction materializes the merge-on-read tombstones away; and once
+    the tag is dropped, expiry GCs the pre-retention files while the
+    survivors keep reading correctly."""
+    import datetime as dtm
+
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.catalog import (
+        LakehouseCatalog,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.maintenance import (
+        apply_retention,
+        expire_snapshots,
+        materialize_deletes,
+    )
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "rlc"))
+    cat.create_namespace("m")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        F.expr(
+            "timestampadd(DAY, CAST(id AS INT), "
+            "TIMESTAMP '2024-01-01 00:00:00')"
+        ).alias("ts"),
+    )
+    t = cat.create_table("m.ret2", df.schema)
+    t.append(df)
+    t.create_tag("pre_retention")
+    t.set_properties(**{
+        "retention.column": "ts",
+        "retention.cutoff": "TIMESTAMP '2024-02-01 00:00:00'",
+        "retention.sql-mode": "merge-on-read",
+    })
+    snap = apply_retention(t)
+    assert snap is not None and t.to_df().count() == 69
+    assert t.snapshot().delete_entries  # MoR: tombstones, not rewrite
+    # time travel THROUGH the tag: pre-delete rows remain readable
+    pinned = t.scan(snapshot=t.snapshot_by_tag("pre_retention"))
+    assert pinned.count() == 100
+    assert pinned.agg(F.min("ts")).first()[0] == dtm.datetime(2024, 1, 1)
+    # aggressive expiry: the tagged snapshot (and its files) are pinned
+    expire_snapshots(
+        t, older_than_ms=10**18, retain_last=1, orphan_grace_secs=0.0
+    )
+    assert t.scan(snapshot=t.snapshot_by_tag("pre_retention")).count() == 100
+    assert t.to_df().count() == 69
+    # materialization rewrites the tombstoned files: the new snapshot
+    # carries no delete entries and the survivors are unchanged
+    # (compact() alone would no-op here - one data file per partition
+    # is below its >=2-small-files grouping threshold)
+    materialize_deletes(t)
+    assert not t.snapshot().delete_entries
+    assert t.to_df().count() == 69
+    assert t.to_df().agg(F.min("ts")).first()[0] == dtm.datetime(2024, 2, 1)
+    # drop the pin: expiry may now GC the pre-retention generation,
+    # and the current read stays correct on the compacted files
+    t.drop_tag("pre_retention")
+    res = expire_snapshots(
+        t, older_than_ms=10**18, retain_last=1, orphan_grace_secs=0.0
+    )
+    assert res["deleted_files"] > 0
+    assert t.to_df().count() == 69
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        t.snapshot_by_tag("pre_retention")
