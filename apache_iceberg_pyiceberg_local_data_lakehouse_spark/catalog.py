@@ -5058,8 +5058,12 @@ class LakehouseCatalog:
         if m:
             if txn is None:
                 raise ValueError("COMMIT without an open transaction")
-            self._active_txn = None
+            # clear the pointer only AFTER the verb succeeds: a
+            # transient failure must leave the SQL handle retryable
+            # (review r13; the entry check above already drops handles
+            # a failed commit left in state=committed for recovery)
             published = txn.commit()
+            self._active_txn = None
             return self.spark.createDataFrame(
                 [(
                     "commit transaction",
@@ -5074,8 +5078,8 @@ class LakehouseCatalog:
         if m:
             if txn is None:
                 raise ValueError("ROLLBACK without an open transaction")
+            n = txn.abort()  # pointer cleared only on success, as above
             self._active_txn = None
-            n = txn.abort()
             return self.spark.createDataFrame(
                 [("rollback transaction", txn.txn_id, n)],
                 "operation string, txn_id string, files_removed long",
@@ -5828,6 +5832,18 @@ class LakehouseCatalog:
                 f"transaction {self._active_txn.txn_id}; COMMIT or "
                 "ROLLBACK first"
             )
+        if _DML_CALL.match(query):
+            # every system.* procedure either mutates tables
+            # (retention, compaction, restore, ...) or - worse -
+            # recover_transactions, which would roll back the caller's
+            # OWN open transaction while the handle still thinks it is
+            # pending (review r13: the subsequent COMMIT then strands a
+            # committed record with no staged data)
+            raise ValueError(
+                "CALL procedures are autocommit maintenance and cannot "
+                "run inside the open transaction "
+                f"{self._active_txn.txn_id}; COMMIT or ROLLBACK first"
+            )
 
     _CALL_PROCS = {
         "recover_transactions",
@@ -5887,10 +5903,15 @@ class LakehouseCatalog:
             # grace_ms; returns one row per touched transaction.
             from .transactions import recover_transactions
 
-            if len(args) > 1 or (args and not isinstance(args[0], int)):
+            if len(args) > 1 or (
+                args and (not isinstance(args[0], int) or args[0] < 0)
+            ):
+                # negative grace would make every LIVE pending record
+                # look stale and roll back in-flight transactions - the
+                # exact invariant the grace window protects (review r13)
                 raise ValueError(
                     "system.recover_transactions takes at most one "
-                    "integer grace_ms argument"
+                    "non-negative integer grace_ms argument"
                 )
             rep = (
                 recover_transactions(self, grace_ms=int(args[0]))
@@ -6335,6 +6356,12 @@ class LakehouseCatalog:
         src = self._table_location(from_identifier)
         if not self._has_metadata(src):
             raise NoSuchTableError(from_identifier)
+        ns, _, _ = to_identifier.rpartition(".")
+        if ns:
+            # renaming INTO a reserved (underscore) namespace would
+            # recreate exactly the half-visible state create_namespace
+            # refuses - and could pollute _transactions (review r13)
+            self._check_namespace_name(ns)
         dst = self._table_location(to_identifier)
         ns_dir = os.path.dirname(dst)
         if not os.path.isdir(ns_dir):

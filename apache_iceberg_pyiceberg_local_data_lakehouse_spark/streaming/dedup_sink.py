@@ -122,6 +122,12 @@ class NearDedupSink(EpochCommitSink):
         # run auto_maintain on the SIDECAR after every N sidecar epoch
         # commits (None = caller owns maintenance). Thresholds come
         # from the sidecar's own `maintenance.*` table properties.
+        if maintain_every is not None and maintain_every < 1:
+            # same gate as EpochCommitSink: 0 would fire maintenance
+            # on every epoch instead of meaning "off" (review r13)
+            raise ValueError(
+                f"maintain_every must be >= 1 or None, got {maintain_every}"
+            )
         self.maintain_every = maintain_every
         self._sig_commits_since_maintain = 0
         self._sig_committed: set[int] | None = None

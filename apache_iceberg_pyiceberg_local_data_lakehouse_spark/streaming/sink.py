@@ -59,6 +59,13 @@ class EpochCommitSink:
         # floor always keeps the last epoch's summary (module
         # docstring), and a replayed epoch skips on its stamp before
         # any retention-deleted rows could matter.
+        if maintain_every is not None and maintain_every < 1:
+            # 0 would fire a blocking maintenance pass on EVERY epoch
+            # of the hot path - a misconfig meant as "off" must say
+            # None, not 0 (review r13)
+            raise ValueError(
+                f"maintain_every must be >= 1 or None, got {maintain_every}"
+            )
         self.maintain_every = maintain_every
         self._commits_since_maintain = 0
         # loaded from the snapshot log on first use, then maintained

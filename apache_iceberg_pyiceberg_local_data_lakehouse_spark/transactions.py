@@ -184,12 +184,13 @@ def _release(claimed: str, path: str) -> None:
         pass
 
 
-def _published_stage_ids(table: LakehouseTable) -> set[str]:
-    """Staged ids already published into ``table``, read from the RAW
-    snapshot-version JSON summaries - O(retained snapshots) small-file
-    reads, no manifest resolution (``snapshots()`` would extend every
-    manifest entry list; review r12)."""
-    out: set[str] = set()
+def _published_stage_versions(table: LakehouseTable) -> dict[str, int]:
+    """{staged id -> snapshot version} for every publish evidenced in
+    ``table``, read from the RAW snapshot-version JSON summaries -
+    O(retained snapshots) small-file reads, no manifest resolution
+    (``snapshots()`` would extend every manifest entry list; review
+    r12)."""
+    out: dict[str, int] = {}
     meta = table.metadata_dir
     try:
         names = os.listdir(meta)
@@ -200,13 +201,18 @@ def _published_stage_ids(table: LakehouseTable) -> set[str]:
             continue
         try:
             with open(os.path.join(meta, name)) as f:
-                summary = json.load(f).get("summary") or {}
+                doc = json.load(f)
         except (OSError, json.JSONDecodeError):
             continue
-        sid = summary.get("published_stage")
+        sid = (doc.get("summary") or {}).get("published_stage")
         if sid:
-            out.add(sid)
+            out[sid] = int(doc.get("version", name[1:-5]))
     return out
+
+
+def _published_stage_ids(table: LakehouseTable) -> set[str]:
+    """Staged ids already published into ``table`` (raw-summary scan)."""
+    return set(_published_stage_versions(table))
 
 
 class MultiTableTransaction:
@@ -391,18 +397,19 @@ class MultiTableTransaction:
             time.sleep(0.05)
         out: dict[str, list] = {}
         for p in self.participants:
-            snaps = [
-                s
-                for s in self.catalog.load_table(p["table"]).snapshots()
-                if s.summary.get("published_stage") == p["staged_id"]
-            ]
-            if not snaps:
+            t = self.catalog.load_table(p["table"])
+            # raw-summary stamp scan (O(snapshots) small JSON reads),
+            # then resolve ONLY the matching snapshot - never
+            # snapshots(), which extends every manifest entry list
+            # (review r13; same 100TB note as _published_stage_ids)
+            version = _published_stage_versions(t).get(p["staged_id"])
+            if version is None:
                 raise RuntimeError(
                     f"transaction {self.txn_id}: committed and claimed "
                     f"by a recovery, but {p['table']} staged batch "
                     f"{p['staged_id']} shows no publish evidence"
                 )
-            out.setdefault(p["table"], []).extend(snaps)
+            out.setdefault(p["table"], []).append(t.snapshot(version))
         return out
 
     # -- record plumbing ---------------------------------------------------

@@ -5763,6 +5763,11 @@ def test_sql_transaction_rollback_and_dml_guard(catalog, spark):
         "TRUNCATE TABLE gold.txg",
         "INSERT OVERWRITE gold.txg SELECT 9, 9",
         "OPTIMIZE gold.txg",
+        # review r13: CALL procedures mutate tables (or, for
+        # recover_transactions, would roll back the caller's OWN open
+        # transaction) - blocked like any other autocommit write
+        "CALL system.apply_retention('gold.txg')",
+        "CALL system.recover_transactions()",
     ):
         with pytest.raises(ValueError, match="open transaction"):
             catalog.sql(stmt)
@@ -5813,3 +5818,36 @@ def test_sql_call_recover_transactions(catalog, spark):
     assert catalog.load_table("gold.txr").to_df().count() == 1
     with pytest.raises(ValueError, match="grace_ms"):
         catalog.sql("CALL system.recover_transactions('gold.txr')")
+    # review r13: negative grace would make every LIVE record stale
+    with pytest.raises(ValueError, match="non-negative"):
+        catalog.sql("CALL system.recover_transactions(-60000)")
+
+
+def test_sql_rollback_retryable_after_transient_failure(
+    catalog, spark, monkeypatch
+):
+    """review r13: COMMIT/ROLLBACK clear the SQL handle only on
+    SUCCESS - a transient failure must leave the verb retryable
+    instead of orphaning a still-pending transaction with no handle."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.table import (
+        LakehouseTable,
+    )
+
+    catalog.create_table(
+        "gold.txf", spark.createDataFrame([], "k long, v long").schema
+    )
+    catalog.sql("BEGIN")
+    catalog.sql("INSERT INTO gold.txf SELECT 1, 1")
+    real = LakehouseTable.abort_staged
+    monkeypatch.setattr(
+        LakehouseTable,
+        "abort_staged",
+        lambda self, sid: (_ for _ in ()).throw(OSError("transient")),
+    )
+    with pytest.raises(OSError, match="transient"):
+        catalog.sql("ROLLBACK")
+    monkeypatch.setattr(LakehouseTable, "abort_staged", real)
+    rb = catalog.sql("ROLLBACK").first()  # retry succeeds
+    assert rb["operation"] == "rollback transaction"
+    t = catalog.load_table("gold.txf")
+    assert t.to_df().count() == 0 and t.list_staged() == []

@@ -2487,6 +2487,11 @@ def test_epoch_sink_maintain_every_holds_retention_ttl(spark, tmp_path):
         "retention.cutoff": "TIMESTAMP '2024-02-01 00:00:00'",
         "retention.sql-mode": "merge-on-read",
     })
+    # review r13: 0 would fire maintenance on EVERY epoch, not "off"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="maintain_every"):
+        EpochCommitSink(t, query_id="bad", maintain_every=0)
     sink = EpochCommitSink(t, query_id="ttl_q", maintain_every=2)
     sink(batch(0), 0)
     # not due yet: epoch 0's expired rows are still readable

@@ -352,6 +352,11 @@ def test_underscore_namespaces_are_reserved(cat, spark):
         cat.create_table(
             "_staging.t", spark.createDataFrame([], "k long").schema
         )
+    # ...and renaming INTO one is refused too (review r13: it would
+    # recreate the half-visible state and pollute _transactions)
+    cat.create_table("gold.rn", spark.createDataFrame([], "k long").schema)
+    with pytest.raises(ValueError, match="reserved"):
+        cat.rename_table("gold.rn", "_transactions.rn")
     # the bookkeeping dir itself stays hidden and harmless
     with cat.transaction() as t:
         pass
