@@ -4613,15 +4613,16 @@ class LakehouseCatalog:
         CDC tier (r9) takes over when exactness is provable: fact DML
         refreshes from the fact's SIGNED changelog, a SINGLE moved dim
         from its signed changelog joined to the pinned fact
-        (:meth:`_join_cdc_refresh`), TWO or THREE moved dims (r10)
-        compose the single-dim terms telescopically (each term binds
-        earlier dims to their new snapshots, later dims to the pinned
-        ones), and the FACT moving together with one-to-three dims
-        (r11) appends one fact-changelog term LAST (dim terms bind the
-        fact at its PINNED version, the fact term joins every dim at
-        its NEW view). Everything else - four+ moved dims,
+        (:meth:`_join_cdc_refresh`), ANY NUMBER of moved dims (r10
+        capped at 3, generalized r13) compose the single-dim terms
+        telescopically (each term binds earlier dims to their new
+        snapshots, later dims to the pinned ones), and the FACT moving
+        together with moved dims (r11) appends one fact-changelog term
+        LAST (dim terms bind the fact at its PINNED version, the fact
+        term joins every dim at its NEW view). Everything else -
         non-invertible aggregates (no stored __mv state), expired
-        changelog ranges - full-refreshes and re-pins all sides."""
+        changelog ranges, a width past ``mv.max-moved-dims`` when set -
+        full-refreshes and re-pins all sides."""
         from .dml import overwrite_partitions, truncate_table
 
         store_sql = props.get("mv.store_query", sql_text)
@@ -4812,17 +4813,25 @@ class LakehouseCatalog:
                     t.set_properties(**upd)
                     return snap
         fact_moved = fact_lineage and fact_v > base_v
+        # K moved dims compose as K telescoping terms - LINEAR in K,
+        # each O(its changelog x matches), so the tier scales to any
+        # star width (r13; r10-r12 capped K at 3 out of caution, but
+        # the loop below never depended on the cap). Operators of very
+        # wide refresh windows can force full refresh past a width
+        # with mv.max-moved-dims (0/unset = unbounded).
+        max_moved = int(props.get("mv.max-moved-dims", "0") or 0)
         if (
             not all_pinned
             and all(mv[3] for mv in moved)  # every lineage intact
             and fact_lineage
             and (
-                (fact_v == base_v and 2 <= len(moved) <= 3)
-                or (fact_moved and 1 <= len(moved) <= 3)
+                (fact_v == base_v and len(moved) >= 2)
+                or (fact_moved and len(moved) >= 1)
             )
+            and (max_moved <= 0 or len(moved) <= max_moved)
         ):
-            # TWO or THREE dims moved (r10), or the FACT moved together
-            # with one-to-three dims (r11): the inner join is
+            # K >= 2 dims moved (r10; any K since r13), or the FACT
+            # moved together with moved dims (r11): the inner join is
             # multilinear, so the delta TELESCOPES into per-side terms -
             #   Q(f', d1', d2') - Q(f, d1, d2)
             #     = Q(f, d1'-d1, d2) + Q(f, d1', d2'-d2)
@@ -4839,10 +4848,12 @@ class LakehouseCatalog:
             # all-dims-pinned + fact-moved - the plain fact-CDC
             # refresh.) A term DECLINING (NotImplemented) falls through
             # to the full refresh below, which overwrites the
-            # half-merged state (always correct). Beyond three moved
-            # dims the window is rewrite-shaped: the terms multiply
-            # while the full recompute stays O(star) once - full
-            # refresh.
+            # half-merged state (always correct). The term count is
+            # LINEAR in the number of moved dims - K terms, each
+            # O(its changelog x matches) - so width alone never makes
+            # this rewrite-shaped; mv.max-moved-dims exists for
+            # operators who still want a forced full refresh past a
+            # chosen width.
             moved_by = {mv[0]: mv for mv in moved}
             ordered = [d for d in dims if d in moved_by]
             chs: dict[str, DataFrame] = {}

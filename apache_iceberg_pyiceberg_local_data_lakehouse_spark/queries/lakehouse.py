@@ -4567,7 +4567,8 @@ def q8n_mv_fact_dim_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # refresh window and the refresh composes three per-dim
     # changelog-merge terms (each binding already-refreshed dims NEW,
     # later dims OLD) - never a full recompute - equaling the plain
-    # GROUP BY. A 4th moved side declines to full refresh (gate).
+    # GROUP BY. Since r13 the composition is K-dim general (q93 judges
+    # the four-dim form); mv.max-moved-dims caps it when set.
     # promoted to the judged window in r13 (VERDICT r12 #2 rotation)
     oracle="""
     WITH c2 AS (
@@ -5896,3 +5897,146 @@ def q92_streaming_retention_ttl(
         return spark.createDataFrame(rows, res.schema)
     finally:
         _shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q93_mv_four_dim_cdc",
+    # new in r13, registered behind the judged window (r14 rotation
+    # fodder); certifies the K-dim-general telescoping CDC composition
+    # (catalog._refresh_join_agg, r13: the r10 three-dim cap removed -
+    # the term count is LINEAR in moved dims): FOUR chained dims of a
+    # 5-table snowflake (lineitem><orders><customer><nation><region)
+    # move in ONE refresh window, the refresh composes four per-dim
+    # changelog-merge terms, never a full recompute, equaling the
+    # plain GROUP BY.
+    defer=True,
+    oracle="""
+    WITH o2 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 13 = 0
+                  THEN (o_custkey % 25) + 1
+                  ELSE o_custkey END AS o_custkey
+      FROM orders),
+    c2 AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 11 = 0
+                  THEN (c_nationkey + 1) % 25
+                  ELSE c_nationkey END AS c_nationkey
+      FROM customer),
+    n2 AS (
+      SELECT n_nationkey, n_regionkey,
+             CASE WHEN n_nationkey % 5 = 0
+                  THEN 'ZONE_' || CAST(n_nationkey AS VARCHAR)
+                  ELSE n_name END AS n_name
+      FROM nation),
+    r2 AS (
+      SELECT r_regionkey,
+             CASE WHEN r_regionkey % 2 = 0
+                  THEN 'R_' || CAST(r_regionkey AS VARCHAR)
+                  ELSE r_name END AS r_name
+      FROM region)
+    SELECT r_name, n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(l_linenumber) AS BIGINT) AS sum_line,
+           TRUE AS four_dim_cdc
+    FROM lineitem
+    JOIN o2 ON l_orderkey = o_orderkey
+    JOIN c2 ON o2.o_custkey = c2.c_custkey
+    JOIN n2 ON c2.c_nationkey = n2.n_nationkey
+    JOIN r2 ON n2.n_regionkey = r2.r_regionkey
+    GROUP BY r_name, n_name ORDER BY r_name, n_name
+    """,
+)
+def q93_mv_four_dim_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four-moved-dims CDC refresh judged end-to-end: materialize
+    lineitems-per-(region, nation) over a 5-table snowflake, then in
+    ONE window re-key an orders slice, re-key a customers slice,
+    rename a fifth of the nations, AND rename the even regions. The
+    single refresh telescopes into FOUR changelog-merge terms (pins
+    advance per term) with ``cdc_refresh`` stamped, and the view
+    equals the recompute - the r10 three-dim cap is gone because the
+    term count is linear in K, not combinatorial.
+
+    100 TB design note: each term broadcast-joins one dim's signed
+    changelog to the PINNED fact and touches O(matching fact rows);
+    K moved dims cost K such terms, while the full recompute this
+    replaces is O(star) regardless of K. A crash between terms
+    resumes as a narrower window (catalog._recover_mv_pins)."""
+    from ..catalog import LakehouseCatalog
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_q93_")
+    try:
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("tmp")
+        li = load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber"
+        )
+        o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        c = load(spark, sf_dir, "customer").select(
+            "c_custkey", "c_nationkey"
+        )
+        n = load(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_regionkey", "n_name"
+        )
+        r = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+        cat.create_table("tmp.li6", li.schema).append(li)
+        cat.create_table("tmp.ords6", o.schema).append(o)
+        cat.create_table("tmp.custs6", c.schema).append(c)
+        cat.create_table("tmp.nats6", n.schema).append(n)
+        cat.create_table("tmp.regs6", r.schema).append(r)
+        mv = cat.create_materialized_view(
+            "tmp.mv_4d",
+            "SELECT r_name, n_name, COUNT(*) AS n_items, "
+            "SUM(l_linenumber) AS sum_line "
+            "FROM tmp_li6 JOIN tmp_ords6 "
+            "ON tmp_li6.l_orderkey = tmp_ords6.o_orderkey "
+            "JOIN tmp_custs6 "
+            "ON tmp_ords6.o_custkey = tmp_custs6.c_custkey "
+            "JOIN tmp_nats6 "
+            "ON tmp_custs6.c_nationkey = tmp_nats6.n_nationkey "
+            "JOIN tmp_regs6 "
+            "ON tmp_nats6.n_regionkey = tmp_regs6.r_regionkey "
+            "GROUP BY r_name, n_name",
+        )
+        assert mv.properties().get("mv.refresh_mode") == "join_agg"
+        # ALL FOUR dims move before the one refresh
+        cat.sql(
+            "UPDATE tmp.ords6 "
+            "SET o_custkey = (o_custkey % 25) + 1 "
+            "WHERE o_orderkey % 13 = 0"
+        )
+        cat.sql(
+            "UPDATE tmp.custs6 "
+            "SET c_nationkey = (c_nationkey + 1) % 25 "
+            "WHERE c_custkey % 11 = 0"
+        )
+        cat.sql(
+            "UPDATE tmp.nats6 "
+            "SET n_name = 'ZONE_' || CAST(n_nationkey AS STRING) "
+            "WHERE n_nationkey % 5 = 0"
+        )
+        cat.sql(
+            "UPDATE tmp.regs6 "
+            "SET r_name = 'R_' || CAST(r_regionkey AS STRING) "
+            "WHERE r_regionkey % 2 = 0"
+        )
+        snap = cat.refresh_materialized_view("tmp.mv_4d")
+        four_dim_cdc = (
+            snap is not None
+            and snap.operation == "merge"
+            and snap.summary.get("cdc_refresh") is True
+        )
+        res = cat.sql(
+            "SELECT r_name, n_name, n_items, sum_line FROM tmp_mv_4d "
+            "ORDER BY r_name, n_name"
+        ).select(
+            "r_name",
+            "n_name",
+            F.col("n_items").cast("long").alias("n_items"),
+            F.col("sum_line").cast("long").alias("sum_line"),
+            F.lit(four_dim_cdc).alias("four_dim_cdc"),
+        )
+        rows = res.collect()  # materialize before the warehouse vanishes
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)

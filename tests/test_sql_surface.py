@@ -5851,3 +5851,93 @@ def test_sql_rollback_retryable_after_transient_failure(
     assert rb["operation"] == "rollback transaction"
     t = catalog.load_table("gold.txf")
     assert t.to_df().count() == 0 and t.list_staged() == []
+
+
+def test_mv_four_dim_cdc_composition(catalog, spark):
+    """r13: the telescoping tier is LINEAR in the number of moved dims
+    (K terms, one per dim), so the r10 three-dim cap is gone - FOUR
+    dims of a 5-table star move in one refresh window and the refresh
+    composes four changelog-merge terms, equaling the recompute. An
+    operator can still force full refresh past a chosen width with
+    mv.max-moved-dims."""
+    import json as _json
+
+    f = catalog.create_table(
+        "gold.t4f",
+        spark.createDataFrame(
+            [], "a long, b long, c long, d long, v long"
+        ).schema,
+    )
+    dims = []
+    for i, (key, col) in enumerate(
+        [("k", "s1"), ("r", "s2"), ("q", "s3"), ("p", "s4")]
+    ):
+        dt = catalog.create_table(
+            f"gold.t4d{i + 1}",
+            spark.createDataFrame([], f"{key} long, {col} string").schema,
+        )
+        dt.append(
+            spark.createDataFrame(
+                [(1 + i * 10, "A"), (2 + i * 10, "B")],
+                f"{key} long, {col} string",
+            )
+        )
+        dims.append(dt)
+    f.append(
+        spark.createDataFrame(
+            [
+                (1, 11, 21, 31, 100),
+                (2, 12, 22, 32, 200),
+                (1, 12, 21, 32, 300),
+                (2, 11, 22, 31, 400),
+            ],
+            "a long, b long, c long, d long, v long",
+        )
+    )
+    q = (
+        "SELECT s1, s2, s3, s4, COUNT(*) AS n, SUM(v) AS sv "
+        "FROM gold_t4f "
+        "JOIN gold_t4d1 ON gold_t4f.a = gold_t4d1.k "
+        "JOIN gold_t4d2 ON gold_t4f.b = gold_t4d2.r "
+        "JOIN gold_t4d3 ON gold_t4f.c = gold_t4d3.q "
+        "JOIN gold_t4d4 ON gold_t4f.d = gold_t4d4.p "
+        "GROUP BY s1, s2, s3, s4"
+    )
+    mv = catalog.create_materialized_view("gold.t4mv", q)
+    assert mv.properties().get("mv.refresh_mode") == "join_agg"
+    # ALL FOUR dims move before one refresh (update/update/delete/insert)
+    catalog.sql("UPDATE gold.t4d1 SET s1 = 'A2' WHERE k = 1")
+    catalog.sql("UPDATE gold.t4d2 SET s2 = 'B2' WHERE r = 12")
+    catalog.sql("DELETE FROM gold.t4d3 WHERE q = 22")
+    dims[3].append(
+        spark.createDataFrame([(33, "C")], "p long, s4 string")
+    )
+    snap = catalog.refresh_materialized_view("gold.t4mv")
+    assert snap is not None and snap.operation == "merge"
+    assert snap.summary.get("cdc_refresh") is True
+    catalog.register_views()
+    got = {tuple(r) for r in spark.sql("SELECT * FROM gold_t4mv").collect()}
+    want = {tuple(r) for r in spark.sql(q).collect()}
+    assert got == want
+    # all four pins advanced
+    vs = _json.loads(
+        catalog.load_table("gold.t4mv").properties()[
+            "mv.join_dim_versions"
+        ]
+    )
+    for i, dt in enumerate(dims):
+        assert vs[f"gold.t4d{i + 1}"] == str(dt.current_version())
+    # the operator cap: width past mv.max-moved-dims full-refreshes
+    catalog.load_table("gold.t4mv").set_properties(
+        **{"mv.max-moved-dims": "3"}
+    )
+    catalog.sql("UPDATE gold.t4d1 SET s1 = 'A3' WHERE k = 2")
+    catalog.sql("UPDATE gold.t4d2 SET s2 = 'B3' WHERE r = 11")
+    catalog.sql("UPDATE gold.t4d3 SET s3 = 'A3' WHERE q = 21")
+    catalog.sql("UPDATE gold.t4d4 SET s4 = 'A3' WHERE p = 31")
+    snap2 = catalog.refresh_materialized_view("gold.t4mv")
+    assert snap2 is not None and not snap2.summary.get("cdc_refresh")
+    catalog.register_views()
+    got2 = {tuple(r) for r in spark.sql("SELECT * FROM gold_t4mv").collect()}
+    want2 = {tuple(r) for r in spark.sql(q).collect()}
+    assert got2 == want2
