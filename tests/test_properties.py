@@ -1149,3 +1149,98 @@ def test_mv_array_percentile_always_equals_recompute(
         got = canon(cat.load_table("g.kmv").to_df().collect())
         want = canon(cat.sql(q).collect())
         assert got == want, f"diverged after {op}"
+
+
+# -- K-dim telescoping CDC property (r13: the 3-dim cap removed) ----------
+
+_WIDE_CDC_OPS = st.lists(
+    st.sampled_from(
+        ["fact_append", "d1", "d2", "d3", "d4", "d_delete", "refresh"]
+    ),
+    min_size=1,
+    max_size=7,
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_WIDE_CDC_OPS, seed=st.integers(min_value=0, max_value=10_000))
+def test_four_dim_join_mv_cdc_always_equals_recompute(
+    spark, tmp_path_factory, ops, seed
+):
+    """r13: the telescoping tier is K-dim general (the r10 cap at 3 is
+    gone), so a 5-table star must equal the full GROUP BY after ANY
+    interleaving of fact appends and updates/deletes across all FOUR
+    dims - whether a window refreshes incrementally (K terms) or falls
+    back, both land on the same rows."""
+    import random
+
+    rng = random.Random(seed)
+    wh = tmp_path_factory.mktemp("w4wh")
+    cat = LakehouseCatalog(spark, str(wh))
+    cat.create_namespace("g")
+    fschema = "a long, b long, c long, d long, v long"
+
+    def frows(n):
+        return [
+            (
+                rng.randrange(4),
+                rng.randrange(3),
+                rng.randrange(3),
+                rng.randrange(3),
+                rng.randrange(100),
+            )
+            for _ in range(n)
+        ]
+
+    f = cat.create_table("g.w4f", spark.createDataFrame([], fschema).schema)
+    dims = []
+    for i, key in enumerate(["k", "r", "q", "p"]):
+        t = cat.create_table(
+            f"g.w4d{i + 1}",
+            spark.createDataFrame([], f"{key} long, s{i + 1} string").schema,
+        )
+        t.append(
+            spark.createDataFrame(
+                [(j, chr(65 + j + i)) for j in range(4)],
+                f"{key} long, s{i + 1} string",
+            )
+        )
+        dims.append(t)
+    f.append(spark.createDataFrame(frows(8), fschema))
+    q = (
+        "SELECT s1, s2, s3, s4, COUNT(*) AS n, SUM(v) AS sv "
+        "FROM g_w4f "
+        "JOIN g_w4d1 ON g_w4f.a = g_w4d1.k "
+        "JOIN g_w4d2 ON g_w4f.b = g_w4d2.r "
+        "JOIN g_w4d3 ON g_w4f.c = g_w4d3.q "
+        "JOIN g_w4d4 ON g_w4f.d = g_w4d4.p "
+        "GROUP BY s1, s2, s3, s4"
+    )
+    cat.create_materialized_view("g.w4mv", q)
+    for op in ops:
+        if op == "fact_append":
+            f.append(
+                spark.createDataFrame(frows(rng.randrange(1, 3)), fschema)
+            )
+        elif op in ("d1", "d2", "d3", "d4"):
+            i = int(op[1])
+            key = ["k", "r", "q", "p"][i - 1]
+            cat.sql(
+                f"UPDATE g.w4d{i} SET s{i} = 'Z{rng.randrange(3)}' "
+                f"WHERE {key} = {rng.randrange(4)}"
+            )
+        elif op == "d_delete":
+            i = rng.randrange(1, 5)
+            key = ["k", "r", "q", "p"][i - 1]
+            cat.sql(f"DELETE FROM g.w4d{i} WHERE {key} = 3")
+        else:
+            cat.refresh_materialized_view("g.w4mv")
+    cat.refresh_materialized_view("g.w4mv")
+    cat.register_views()
+    got = {tuple(r) for r in spark.sql("SELECT * FROM g_w4mv").collect()}
+    want = {tuple(r) for r in spark.sql(q).collect()}
+    assert got == want, (ops, seed)
