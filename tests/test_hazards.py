@@ -541,3 +541,48 @@ def test_retention_lifecycle_composition(spark, tmp_path):
 
     with _pytest.raises(Exception):
         t.snapshot_by_tag("pre_retention")
+
+
+def test_retention_delete_refreshes_mv_incrementally(spark, tmp_path):
+    """r13: retention composes with the MV CDC tier - the TTL pass is
+    ordinary DML (a merge-on-read delete with a signed changelog), so
+    a COUNT/SUM MV over the table refreshes O(delta) from the
+    changelog (cdc_refresh stamped), never a full recompute, and
+    equals the plain GROUP BY over the survivors."""
+    import datetime as dtm
+
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.catalog import (
+        LakehouseCatalog,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.maintenance import (
+        apply_retention,
+    )
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "rmv"))
+    cat.create_namespace("m")
+    df = spark.range(0, 90).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).alias("g"),
+        F.expr(
+            "timestampadd(DAY, CAST(id AS INT), "
+            "TIMESTAMP '2024-01-01 00:00:00')"
+        ).alias("ts"),
+    )
+    t = cat.create_table("m.retmv", df.schema)
+    t.append(df)
+    q = "SELECT g, COUNT(*) AS n, SUM(k) AS sk FROM m_retmv GROUP BY g"
+    cat.create_materialized_view("m.retmv_agg", q)
+    t.set_properties(**{
+        "retention.column": "ts",
+        "retention.cutoff": "TIMESTAMP '2024-02-01 00:00:00'",
+        "retention.sql-mode": "merge-on-read",
+    })
+    assert apply_retention(t) is not None
+    assert t.to_df().count() == 59
+    snap = cat.refresh_materialized_view("m.retmv_agg")
+    assert snap is not None and snap.summary.get("cdc_refresh") is True
+    cat.register_views()
+    got = {tuple(r) for r in spark.sql("SELECT * FROM m_retmv_agg").collect()}
+    want = {tuple(r) for r in spark.sql(q).collect()}
+    assert got == want
+    assert t.to_df().agg(F.min("ts")).first()[0] == dtm.datetime(2024, 2, 1)
