@@ -4818,8 +4818,25 @@ class LakehouseCatalog:
         # star width (r13; r10-r12 capped K at 3 out of caution, but
         # the loop below never depended on the cap). Operators of very
         # wide refresh windows can force full refresh past a width
-        # with mv.max-moved-dims (0/unset = unbounded).
-        max_moved = int(props.get("mv.max-moved-dims", "0") or 0)
+        # with mv.max-moved-dims (unset/empty = unbounded; must be a
+        # POSITIVE integer - 0 silently meaning "unbounded" would
+        # invert the natural reading of a zero cap, and a typo must
+        # name the property, not crash as a bare int() error; review
+        # r13, same gates as retention.keep-days / maintain_every)
+        raw_cap = (props.get("mv.max-moved-dims") or "").strip()
+        max_moved = 0  # unbounded
+        if raw_cap:
+            try:
+                max_moved = int(raw_cap)
+            except ValueError:
+                raise ValueError(
+                    f"mv.max-moved-dims {raw_cap!r} is not an integer"
+                ) from None
+            if max_moved < 1:
+                raise ValueError(
+                    "mv.max-moved-dims must be a positive integer "
+                    f"(unset = unbounded), got {raw_cap!r}"
+                )
         if (
             not all_pinned
             and all(mv[3] for mv in moved)  # every lineage intact

@@ -5832,16 +5832,13 @@ def q92_streaming_retention_ttl(
     metadata every N epochs, amortized across the stream; the same
     auto_maintain call compacts the small per-epoch files, so the
     sink pays the table's whole maintenance debt in one place."""
-    import shutil as _shutil
-    import tempfile as _tempfile
-
     from ..catalog import LakehouseCatalog
     from ..streaming.sink import write_stream_to_table
 
     o = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"
     )
-    work = _tempfile.mkdtemp(prefix="q92_ttl_")
+    work = tempfile.mkdtemp(prefix="q92_ttl_")
     try:
         src = f"{work}/src"
         o.repartition(4).write.parquet(src)
@@ -5896,7 +5893,7 @@ def q92_streaming_retention_ttl(
         rows = res.collect()  # materialize before the warehouse vanishes
         return spark.createDataFrame(rows, res.schema)
     finally:
-        _shutil.rmtree(work, ignore_errors=True)
+        shutil.rmtree(work, ignore_errors=True)
 
 
 @register(

@@ -244,8 +244,19 @@ class NearDedupSink(EpochCommitSink):
         them replays into completing only the missing one, with the
         SAME survivors (see module docstring)."""
         epoch_id = int(epoch_id)
-        main_done = epoch_id in self.committed_epochs()
-        sig_done = epoch_id in self._sig_committed_epochs()
+        main = self.committed_epochs()
+        sigs = self._sig_committed_epochs()
+        # the base sink's epoch high-watermark guard, mirrored per its
+        # __call__ contract (review r13): expiry - which this sink's
+        # own maintain_every can trigger on the sidecar - may prune an
+        # old epoch's stamp, and "stamp absent" alone must not let an
+        # at-or-below-watermark replay re-append
+        main_done = epoch_id in main or bool(
+            main and epoch_id <= max(main)
+        )
+        sig_done = epoch_id in sigs or bool(
+            sigs and epoch_id <= max(sigs)
+        )
         if main_done and sig_done:
             return
         if self.transform is not None:

@@ -13,8 +13,13 @@ query got (the crash window between table commit and checkpoint commit).
 Scale: the dedup check reads only snapshot *summaries* (O(retained
 snapshots) driver-side JSON, no data files); the append itself is the
 ordinary distributed write path. Snapshot expiry can GC old epochs'
-summaries — safe, because Spark's checkpoint only ever replays the LAST
-epoch, which expiry's retention floor always keeps.
+summaries — safe twice over: Spark's checkpoint only ever replays the
+LAST epoch, which expiry's retention floor always keeps, and a
+fresh-checkpoint full replay is caught by the epoch HIGH-WATERMARK
+guard (any epoch at-or-below the newest committed one is a replay —
+epoch ids only grow under a stable checkpoint), so even epochs whose
+stamps expiry pruned cannot re-append (review r13; matters once
+``maintain_every`` lets the sink itself trigger expiry).
 """
 
 from __future__ import annotations
@@ -95,8 +100,20 @@ class EpochCommitSink:
         exception is ``dedup_sink.NearDedupSink``, whose TWO-table
         commit cannot fit the single skip-then-commit shape — protocol
         changes here must be mirrored there."""
-        if epoch_id in self.committed_epochs():
+        committed = self.committed_epochs()
+        if epoch_id in committed:
             return  # checkpoint replay of an epoch the table already holds
+        if committed and epoch_id <= max(committed):
+            # high-watermark guard (review r13): snapshot EXPIRY may
+            # have pruned an old epoch's stamped summary - with
+            # maintain_every armed the sink itself eventually triggers
+            # that expiry - so "stamp absent" alone cannot prove an
+            # epoch at-or-below the newest committed one is new. Epoch
+            # ids only grow under a stable checkpoint, and a
+            # fresh-checkpoint replay of identical input re-batches the
+            # same epochs, so anything <= the watermark is a replay
+            # whose re-append would duplicate rows.
+            return
         if self.transform is not None:
             batch_df = self.transform(batch_df)
         batch_df = self._prepare(batch_df)

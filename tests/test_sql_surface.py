@@ -5941,3 +5941,39 @@ def test_mv_four_dim_cdc_composition(catalog, spark):
     got2 = {tuple(r) for r in spark.sql("SELECT * FROM gold_t4mv").collect()}
     want2 = {tuple(r) for r in spark.sql(q).collect()}
     assert got2 == want2
+
+
+def test_mv_max_moved_dims_validated(catalog, spark):
+    """review r13: a typo'd mv.max-moved-dims must raise naming the
+    property, and 0/negative must be refused - 0 silently meaning
+    'unbounded' would invert the natural reading of a zero cap."""
+    f = catalog.create_table(
+        "gold.vgf", spark.createDataFrame([], "a long, v long").schema
+    )
+    d = catalog.create_table(
+        "gold.vgd", spark.createDataFrame([], "k long, s string").schema
+    )
+    d.append(spark.createDataFrame([(1, "A"), (2, "B")], "k long, s string"))
+    f.append(spark.createDataFrame([(1, 10), (2, 20)], "a long, v long"))
+    q = (
+        "SELECT s, COUNT(*) AS n FROM gold_vgf "
+        "JOIN gold_vgd ON gold_vgf.a = gold_vgd.k GROUP BY s"
+    )
+    catalog.create_materialized_view("gold.vgmv", q)
+    mvt = catalog.load_table("gold.vgmv")
+    # two dims... well, one dim: move it twice so the multi-dim gate
+    # parses the cap (the single-dim path does not need it, so move
+    # the dim AND the fact to reach the composed arm)
+    catalog.sql("UPDATE gold.vgd SET s = 'Z' WHERE k = 1")
+    f.append(spark.createDataFrame([(2, 30)], "a long, v long"))
+    for bad in ("three", "3.5", "0", "-2"):
+        mvt.set_properties(**{"mv.max-moved-dims": bad})
+        with pytest.raises(ValueError, match="mv.max-moved-dims"):
+            catalog.refresh_materialized_view("gold.vgmv")
+    # unset/empty = unbounded: the refresh proceeds and equals recompute
+    mvt.set_properties(**{"mv.max-moved-dims": ""})
+    assert catalog.refresh_materialized_view("gold.vgmv") is not None
+    catalog.register_views()
+    got = {tuple(r) for r in spark.sql("SELECT * FROM gold_vgmv").collect()}
+    want = {tuple(r) for r in spark.sql(q).collect()}
+    assert got == want

@@ -2523,3 +2523,41 @@ def test_epoch_sink_maintain_every_holds_retention_ttl(spark, tmp_path):
     fresh(batch(5), 5)
     assert t.to_df().count() == 18
     assert t.to_df().filter("ts < TIMESTAMP '2024-02-01'").count() == 0
+
+
+def test_epoch_watermark_survives_expired_stamps(spark, tmp_path):
+    """review r13: snapshot expiry (which maintain_every itself can
+    trigger) may prune an OLD epoch's stamped summary - 'stamp absent'
+    alone must not let a fresh-checkpoint replay re-append that epoch.
+    The high-watermark guard skips any epoch at-or-below the newest
+    committed one."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.catalog import (
+        LakehouseCatalog,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.maintenance import (
+        expire_snapshots,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.streaming.sink import (
+        EpochCommitSink,
+    )
+    from test_table_format import TICK_SCHEMA, tick_df
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("gold")
+    t = cat.create_table("gold.wm", TICK_SCHEMA, [])
+    sink = EpochCommitSink(t, query_id="wm_q")
+    for e in range(4):
+        sink(tick_df(spark, n=5, start=f"2024-0{e + 1}-01 00:00:00"), e)
+    assert t.to_df().count() == 20
+    # expiry prunes the EARLY epochs' stamped snapshots
+    expire_snapshots(
+        t, older_than_ms=10**18, retain_last=2, orphan_grace_secs=0.0
+    )
+    fresh = EpochCommitSink(t, query_id="wm_q")
+    remaining = fresh.committed_epochs()
+    assert 0 not in remaining  # the stamp really is gone...
+    fresh(tick_df(spark, n=5), 0)  # ...yet the replay must not land
+    assert t.to_df().count() == 20
+    # a genuinely NEW epoch (above the watermark) still lands
+    fresh(tick_df(spark, n=5, start="2024-06-01 00:00:00"), 4)
+    assert t.to_df().count() == 25
