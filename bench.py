@@ -163,6 +163,32 @@ def bench_depth(spark, sf_dir: str) -> dict[str, float]:
             f"{out['mv_star_full_materialize']:.2f}s)",
             file=sys.stderr,
         )
+        # ---- BOTH dims move in one window -> telescoping refresh
+        # (timed; K terms, K-general since r13). The customer re-key
+        # touches ~9% of fact matches, the nation rename ~20% of
+        # groups - each term is a broadcast changelog join, so the
+        # pair should land near 2x the single-dim entry, never near
+        # the full materialize.
+        cat.sql(
+            "UPDATE bench.scustomer "
+            "SET c_nationkey = (c_nationkey + 1) % 25 "
+            "WHERE c_custkey % 11 = 0"
+        )
+        cat.sql(
+            "UPDATE bench.snation SET n_name = concat('Y_', n_name) "
+            "WHERE n_nationkey % 5 = 1"
+        )
+        t0 = time.perf_counter()
+        snap = cat.refresh_materialized_view("bench.star_mv")
+        out["mv_multi_dim_cdc_refresh"] = round(
+            time.perf_counter() - t0, 3
+        )
+        print(
+            f"# mv_multi_dim_cdc_refresh: cdc_refresh="
+            f"{snap.summary.get('cdc_refresh')} "
+            f"({out['mv_multi_dim_cdc_refresh']:.2f}s, two moved dims)",
+            file=sys.stderr,
+        )
         # ---- multi-clause MERGE over the orders-scale table (timed)
         src = orders.select(
             "o_orderkey",
