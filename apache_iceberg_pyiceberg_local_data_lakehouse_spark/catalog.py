@@ -89,6 +89,9 @@ _DML_SHOW_PARTITIONS = re.compile(
 _DML_SHOW_REFS = re.compile(
     r"^\s*SHOW\s+REFS\s+([\w.]+)\s*;?\s*$", re.IGNORECASE
 )
+_DML_SHOW_TRANSACTIONS = re.compile(
+    r"^\s*SHOW\s+TRANSACTIONS\s*;?\s*$", re.IGNORECASE
+)
 _DML_ANALYZE = re.compile(
     r"^\s*ANALYZE\s+TABLE\s+([\w.]+)"
     r"(?:\s+FOR\s+COLUMNS\s*\(([^)]+)\))?\s*;?\s*$",
@@ -5377,6 +5380,12 @@ class LakehouseCatalog:
         m = _DML_SHOW_REFS.match(query)
         if m:
             return self.load_table(m.group(1)).inspect_refs()
+        if _DML_SHOW_TRANSACTIONS.match(query):
+            # the transaction log as rows (r13): one per record -
+            # pending/committed state, age, participant tables. Claims
+            # surface as state='publishing' (an owner or recovery is
+            # mid-publish). Read-only peek; never claims or mutates.
+            return self._sql_show_transactions()
         m = _DML_DESCRIBE.match(query)
         if m:
             t = self.load_table(m.group(1))
@@ -5825,6 +5834,52 @@ class LakehouseCatalog:
             ddl += f"\nTBLPROPERTIES ({kv})"
         return self.spark.createDataFrame(
             [(ident, ddl)], "table string, create_statement string"
+        )
+
+    def _sql_show_transactions(self) -> DataFrame:
+        """``SHOW TRANSACTIONS``: the coordinator log as rows - txn id,
+        state (pending / committed / publishing for a claimed record),
+        milliseconds since the last heartbeat, and the participant
+        tables in stage order. Read-only: unlike recovery it never
+        claims a record, so it is safe to run at any time (including
+        inside an open transaction - it is how you inspect one)."""
+        import json as _json
+        import time as _time
+
+        from .transactions import _txn_dir
+
+        rows: list[tuple] = []
+        d = _txn_dir(self)
+        now = int(_time.time() * 1000)
+        for name in sorted(os.listdir(d)) if os.path.isdir(d) else []:
+            if name.startswith(".tmp."):
+                continue
+            if not (name.endswith(".json") or ".json.claim." in name):
+                continue
+            try:
+                with open(os.path.join(d, name)) as f:
+                    doc = _json.load(f)
+            except (OSError, ValueError):
+                continue  # claimed away or torn mid-read: skip the peek
+            state = (
+                "publishing"
+                if ".json.claim." in name
+                else doc.get("state", "pending")
+            )
+            rows.append(
+                (
+                    doc.get("id", name.split(".json")[0]),
+                    state,
+                    max(0, now - int(doc.get("updated_ms", now))),
+                    ", ".join(
+                        p.get("table", "?")
+                        for p in doc.get("participants", [])
+                    ),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "txn_id string, state string, age_ms long, tables string",
         )
 
     def _txn_statement_guard(self, query: str) -> None:

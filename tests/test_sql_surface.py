@@ -5977,3 +5977,36 @@ def test_mv_max_moved_dims_validated(catalog, spark):
     got = {tuple(r) for r in spark.sql("SELECT * FROM gold_vgmv").collect()}
     want = {tuple(r) for r in spark.sql(q).collect()}
     assert got == want
+
+
+def test_sql_show_transactions(catalog, spark):
+    """r13: SHOW TRANSACTIONS lists the coordinator log read-only -
+    pending records (including the session's own open transaction),
+    crashed committed ones, and nothing once all are resolved."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.transactions import (
+        _write_record,
+    )
+
+    catalog.create_table(
+        "gold.txs", spark.createDataFrame([], "k long, v long").schema
+    )
+    assert catalog.sql("SHOW TRANSACTIONS").count() == 0
+    catalog.sql("BEGIN")
+    catalog.sql("INSERT INTO gold.txs SELECT 1, 1")
+    rows = catalog.sql("SHOW TRANSACTIONS").collect()
+    assert len(rows) == 1
+    assert rows[0]["state"] == "pending"
+    assert rows[0]["tables"] == "gold.txs"
+    assert rows[0]["age_ms"] >= 0
+    catalog.sql("COMMIT")
+    assert catalog.sql("SHOW TRANSACTIONS").count() == 0
+    # a crashed committed record shows up until recovery resolves it
+    txn = catalog.transaction()
+    txn.append("gold.txs", spark.createDataFrame([(2, 2)], "k long, v long"))
+    _write_record(catalog, txn._record("committed"))
+    rows = catalog.sql("SHOW TRANSACTIONS").collect()
+    assert [(r["state"], r["tables"]) for r in rows] == [
+        ("committed", "gold.txs")
+    ]
+    catalog.sql("CALL system.recover_transactions()")
+    assert catalog.sql("SHOW TRANSACTIONS").count() == 0
