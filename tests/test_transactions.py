@@ -399,3 +399,39 @@ def test_rollback_transient_failure_keeps_record(cat, spark, monkeypatch):
     assert report == {txn.txn_id: "rolled_back"}
     assert data.list_staged() == []
     assert os.listdir(_txn_dir(cat)) == []
+
+
+def test_concurrent_transactions_all_commit(cat, spark):
+    """r13 stress: four threads each run stage-stage-commit on the SAME
+    two tables concurrently. Publishes rebase like any append, so every
+    transaction's rows land exactly once - no lost updates, no stray
+    records."""
+    import threading
+
+    data, audit = _tables(cat, spark)
+    errors: list[Exception] = []
+
+    def worker(i: int) -> None:
+        try:
+            txn = MultiTableTransaction(cat)  # skip entry recovery:
+            # the grace window protects live peers anyway; this isolates
+            # the commit/publish race itself
+            txn.append("gold.trades", spark.createDataFrame(
+                [(i, i * 10)], "k long, v long"))
+            txn.append("gold.ops", spark.createDataFrame(
+                [(f"r{i}", 1)], "run string, n long"))
+            txn.commit()
+        except Exception as e:  # pragma: no cover - failure recorded
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert {r["k"] for r in data.to_df().collect()} == {0, 1, 2, 3}
+    assert audit.to_df().count() == 4
+    assert os.listdir(_txn_dir(cat)) == []
+    # and a recovery pass on the quiet log is a no-op
+    assert recover_transactions(cat) == {}
