@@ -4630,6 +4630,27 @@ class LakehouseCatalog:
 
         store_sql = props.get("mv.store_query", sql_text)
 
+        # validate the width-cap policy knob UP FRONT, on every refresh
+        # (review r13): parsing it only inside the multi-dim arm would
+        # let a typo'd value lie dormant through months of fact-only
+        # refreshes and then abort the first wide window at runtime.
+        # unset/empty = unbounded; anything else must be a positive int
+        # (0 silently meaning "unbounded" would invert a zero cap).
+        raw_cap = (props.get("mv.max-moved-dims") or "").strip()
+        max_moved = 0  # unbounded
+        if raw_cap:
+            try:
+                max_moved = int(raw_cap)
+            except ValueError:
+                raise ValueError(
+                    f"mv.max-moved-dims {raw_cap!r} is not an integer"
+                ) from None
+            if max_moved < 1:
+                raise ValueError(
+                    "mv.max-moved-dims must be a positive integer "
+                    f"(unset = unbounded), got {raw_cap!r}"
+                )
+
         fact_ident = props["mv.base_table"]
         dims, dim_vs, dim_sids = self._join_dim_pins(props)
         ft = self.load_table(fact_ident)
@@ -4819,27 +4840,8 @@ class LakehouseCatalog:
         # K moved dims compose as K telescoping terms - LINEAR in K,
         # each O(its changelog x matches), so the tier scales to any
         # star width (r13; r10-r12 capped K at 3 out of caution, but
-        # the loop below never depended on the cap). Operators of very
-        # wide refresh windows can force full refresh past a width
-        # with mv.max-moved-dims (unset/empty = unbounded; must be a
-        # POSITIVE integer - 0 silently meaning "unbounded" would
-        # invert the natural reading of a zero cap, and a typo must
-        # name the property, not crash as a bare int() error; review
-        # r13, same gates as retention.keep-days / maintain_every)
-        raw_cap = (props.get("mv.max-moved-dims") or "").strip()
-        max_moved = 0  # unbounded
-        if raw_cap:
-            try:
-                max_moved = int(raw_cap)
-            except ValueError:
-                raise ValueError(
-                    f"mv.max-moved-dims {raw_cap!r} is not an integer"
-                ) from None
-            if max_moved < 1:
-                raise ValueError(
-                    "mv.max-moved-dims must be a positive integer "
-                    f"(unset = unbounded), got {raw_cap!r}"
-                )
+        # the loop below never depended on the cap). max_moved is the
+        # operator's optional width cap, validated up top.
         if (
             not all_pinned
             and all(mv[3] for mv in moved)  # every lineage intact
@@ -5838,47 +5840,44 @@ class LakehouseCatalog:
 
     def _sql_show_transactions(self) -> DataFrame:
         """``SHOW TRANSACTIONS``: the coordinator log as rows - txn id,
-        state (pending / committed / publishing for a claimed record),
-        milliseconds since the last heartbeat, and the participant
-        tables in stage order. Read-only: unlike recovery it never
-        claims a record, so it is safe to run at any time (including
-        inside an open transaction - it is how you inspect one)."""
-        import json as _json
-        import time as _time
+        state (pending / committed / publishing / recovering),
+        age in milliseconds (heartbeat-based for plain records,
+        claim-mtime for claimed ones - the same liveness bases recovery
+        uses), and the participant tables in stage order. The session's
+        own OPEN transaction is listed even before its first append
+        writes a record (review r13 - BEGIN alone must be visible
+        here). Read-only: it never claims a record, so it is safe to
+        run at any time, including inside an open transaction."""
+        from .transactions import list_records
 
-        from .transactions import _txn_dir
-
-        rows: list[tuple] = []
-        d = _txn_dir(self)
-        now = int(_time.time() * 1000)
-        for name in sorted(os.listdir(d)) if os.path.isdir(d) else []:
-            if name.startswith(".tmp."):
-                continue
-            if not (name.endswith(".json") or ".json.claim." in name):
-                continue
-            try:
-                with open(os.path.join(d, name)) as f:
-                    doc = _json.load(f)
-            except (OSError, ValueError):
-                continue  # claimed away or torn mid-read: skip the peek
-            state = (
-                "publishing"
-                if ".json.claim." in name
-                else doc.get("state", "pending")
-            )
-            rows.append(
-                (
-                    doc.get("id", name.split(".json")[0]),
-                    state,
-                    max(0, now - int(doc.get("updated_ms", now))),
-                    ", ".join(
-                        p.get("table", "?")
-                        for p in doc.get("participants", [])
-                    ),
-                )
+        recs = list_records(self)
+        txn = self._active_txn
+        if (
+            txn is not None
+            and txn._state == "pending"
+            and txn.txn_id not in {r["id"] for r in recs}
+        ):
+            recs.insert(
+                0,
+                {
+                    "id": txn.txn_id,
+                    "state": "pending",
+                    "age_ms": 0,
+                    "participants": [
+                        p["table"] for p in txn.participants
+                    ],
+                },
             )
         return self.spark.createDataFrame(
-            rows,
+            [
+                (
+                    r["id"],
+                    r["state"],
+                    r["age_ms"],
+                    ", ".join(r["participants"]),
+                )
+                for r in recs
+            ],
             "txn_id string, state string, age_ms long, tables string",
         )
 

@@ -243,6 +243,8 @@ class NearDedupSink(EpochCommitSink):
         """Two individually epoch-idempotent appends; a crash between
         them replays into completing only the missing one, with the
         SAME survivors (see module docstring)."""
+        from .sink import _advance_watermark, _read_watermark
+
         epoch_id = int(epoch_id)
         main = self.committed_epochs()
         sigs = self._sig_committed_epochs()
@@ -250,12 +252,17 @@ class NearDedupSink(EpochCommitSink):
         # __call__ contract (review r13): expiry - which this sink's
         # own maintain_every can trigger on the sidecar - may prune an
         # old epoch's stamp, and "stamp absent" alone must not let an
-        # at-or-below-watermark replay re-append
-        main_done = epoch_id in main or bool(
-            main and epoch_id <= max(main)
+        # at-or-below-watermark replay re-append. Membership in the
+        # stamp set is implied by <= max, so the watermark (which also
+        # folds in the persisted sidecar file, surviving even an
+        # all-stamps-pruned expiry) is the one test per table.
+        main_done = epoch_id <= max(
+            _read_watermark(self.table, self.query_id),
+            max(main) if main else -1,
         )
-        sig_done = epoch_id in sigs or bool(
-            sigs and epoch_id <= max(sigs)
+        sig_done = epoch_id <= max(
+            _read_watermark(self.sig_table, self.query_id),
+            max(sigs) if sigs else -1,
         )
         if main_done and sig_done:
             return
@@ -273,6 +280,7 @@ class NearDedupSink(EpochCommitSink):
                 identity_epoch=f"{self.query_id}:{epoch_id}",
             )
             self.committed_epochs().add(epoch_id)
+            _advance_watermark(self.table, self.query_id, epoch_id)
         if not sig_done:
             # the batch's band rows were computed (and checkpointed
             # upstream) once in _survivors: the survivors' sidecar
@@ -284,6 +292,7 @@ class NearDedupSink(EpochCommitSink):
             )
             self.sig_table.append(sig_rows, extra_summary=stamp)
             self._sig_committed_epochs().add(epoch_id)
+            _advance_watermark(self.sig_table, self.query_id, epoch_id)
             self._sig_commits_since_maintain += 1
             if (
                 self.maintain_every is not None

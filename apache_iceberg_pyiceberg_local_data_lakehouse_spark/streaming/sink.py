@@ -19,11 +19,18 @@ fresh-checkpoint full replay is caught by the epoch HIGH-WATERMARK
 guard (any epoch at-or-below the newest committed one is a replay —
 epoch ids only grow under a stable checkpoint), so even epochs whose
 stamps expiry pruned cannot re-append (review r13; matters once
-``maintain_every`` lets the sink itself trigger expiry).
+``maintain_every`` lets the sink itself trigger expiry). The watermark
+itself persists in a per-table sidecar file, so the guard holds even
+when expiry pruned EVERY stamp; watermark skips are logged, because a
+recreated checkpoint that re-batched genuinely new rows into an old
+epoch id would surface only there.
 """
 
 from __future__ import annotations
 
+import json
+import os
+import uuid
 from typing import Callable
 
 from pyspark.sql import DataFrame
@@ -32,6 +39,39 @@ from ..table import LakehouseTable
 
 _QUERY_KEY = "streaming-query-id"
 _EPOCH_KEY = "streaming-epoch-id"
+# per-table sidecar persisting each query's max committed epoch OUTSIDE
+# the snapshot summaries, so the high-watermark replay guard survives
+# even an expiry that pruned EVERY stamped snapshot (review r13). Tiny
+# JSON {query_id: max_epoch}, atomic tmp+rename, strictly monotonic;
+# written AFTER the epoch's table commit, so a crash between them only
+# lags the file behind a stamp the expiry retention floor still keeps.
+_WATERMARK_FILE = "streaming-watermarks.json"
+
+
+def _read_watermark(table: LakehouseTable, query_id: str) -> int:
+    try:
+        with open(os.path.join(table.metadata_dir, _WATERMARK_FILE)) as f:
+            return int(json.load(f).get(query_id, -1))
+    except (OSError, ValueError):
+        return -1
+
+
+def _advance_watermark(
+    table: LakehouseTable, query_id: str, epoch_id: int
+) -> None:
+    path = os.path.join(table.metadata_dir, _WATERMARK_FILE)
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+    except (OSError, ValueError):
+        doc = {}
+    if int(doc.get(query_id, -1)) >= epoch_id:
+        return  # monotonic: never rewind another writer's progress
+    doc[query_id] = int(epoch_id)
+    tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(doc, f)
+    os.replace(tmp, path)
 
 
 class EpochCommitSink:
@@ -103,16 +143,33 @@ class EpochCommitSink:
         committed = self.committed_epochs()
         if epoch_id in committed:
             return  # checkpoint replay of an epoch the table already holds
-        if committed and epoch_id <= max(committed):
-            # high-watermark guard (review r13): snapshot EXPIRY may
-            # have pruned an old epoch's stamped summary - with
-            # maintain_every armed the sink itself eventually triggers
-            # that expiry - so "stamp absent" alone cannot prove an
-            # epoch at-or-below the newest committed one is new. Epoch
-            # ids only grow under a stable checkpoint, and a
-            # fresh-checkpoint replay of identical input re-batches the
-            # same epochs, so anything <= the watermark is a replay
-            # whose re-append would duplicate rows.
+        # high-watermark guard (review r13): snapshot EXPIRY may have
+        # pruned an old epoch's stamped summary - with maintain_every
+        # armed the sink itself eventually triggers that expiry - so
+        # "stamp absent" alone cannot prove an epoch at-or-below the
+        # newest committed one is new. Epoch ids only grow under a
+        # stable checkpoint, and a fresh-checkpoint replay of identical
+        # input re-batches the same epochs, so anything <= the
+        # watermark is a replay whose re-append would duplicate rows.
+        # The watermark is max(retained stamps, the persisted sidecar)
+        # - the sidecar survives even an expiry that pruned EVERY
+        # stamp. Logged, not silent: if a recreated checkpoint ever
+        # re-batched genuinely NEW rows into an old epoch id, this
+        # skip is where they would go missing.
+        wm = max(
+            _read_watermark(self.table, self.query_id),
+            max(committed) if committed else -1,
+        )
+        if epoch_id <= wm:
+            import logging
+
+            logging.getLogger(__name__).info(
+                "sink %s: skipping epoch %d at-or-below watermark %d "
+                "(replay; stamp may have been expired)",
+                self.query_id,
+                epoch_id,
+                wm,
+            )
             return
         if self.transform is not None:
             batch_df = self.transform(batch_df)
@@ -124,6 +181,7 @@ class EpochCommitSink:
             {_QUERY_KEY: self.query_id, _EPOCH_KEY: int(epoch_id)},
         )
         self.committed_epochs().add(int(epoch_id))
+        _advance_watermark(self.table, self.query_id, int(epoch_id))
         self._commits_since_maintain += 1
         if (
             self.maintain_every is not None

@@ -129,6 +129,59 @@ def _write_record(catalog, doc: dict) -> None:
     _write_doc(_txn_path(catalog, doc["id"]), doc)
 
 
+def list_records(catalog) -> list[dict]:
+    """Read-only peek at the transaction log: one dict per record -
+    ``{id, state, age_ms, participants}``. A CLAIMED record reports
+    state ``publishing`` (claimed committed: an owner or recovery is
+    mid-publish) or ``recovering`` (claimed pending: a recovery is
+    rolling it back), and ages by the CLAIM's mtime - the same
+    liveness basis stale-claim recovery uses, since ``_claim``
+    refreshes mtime but publish progress never rewrites
+    ``updated_ms``. Plain records age by their heartbeat. Never
+    claims or mutates; the on-disk naming conventions live HERE so
+    SHOW TRANSACTIONS cannot drift from recovery (review r13)."""
+    d = _txn_dir(catalog)
+    now = _now_ms()
+    out: list[dict] = []
+    for name in sorted(os.listdir(d)) if os.path.isdir(d) else []:
+        if name.startswith(".tmp."):
+            continue
+        is_claim = ".json.claim." in name
+        if not (is_claim or name.endswith(".json")):
+            continue
+        path = os.path.join(d, name)
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+        except (OSError, ValueError):
+            continue  # claimed away or torn mid-read: skip the peek
+        if is_claim:
+            state = (
+                "publishing"
+                if doc.get("state") == "committed"
+                else "recovering"
+            )
+            try:
+                age = max(0, now - int(os.path.getmtime(path) * 1000))
+            except OSError:
+                age = 0
+        else:
+            state = doc.get("state", "pending")
+            age = max(0, now - int(doc.get("updated_ms", now)))
+        out.append(
+            {
+                "id": doc.get("id", name.split(".json")[0]),
+                "state": state,
+                "age_ms": age,
+                "participants": [
+                    p.get("table", "?")
+                    for p in doc.get("participants", [])
+                ],
+            }
+        )
+    return out
+
+
 def backdate_for_recovery(catalog, txn_id: str, ms: int = 1) -> None:
     """Rewrite a pending record's ``updated_ms`` ``ms`` milliseconds
     into its own past, making it deterministically stale to a

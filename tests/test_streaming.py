@@ -2561,3 +2561,42 @@ def test_epoch_watermark_survives_expired_stamps(spark, tmp_path):
     # a genuinely NEW epoch (above the watermark) still lands
     fresh(tick_df(spark, n=5, start="2024-06-01 00:00:00"), 4)
     assert t.to_df().count() == 25
+
+
+def test_epoch_watermark_survives_all_stamps_pruned(spark, tmp_path):
+    """review r13 (second pass): the watermark persists in a per-table
+    sidecar file, so the replay guard holds even when expiry pruned
+    EVERY stamped snapshot - the stamp-set max alone would fail open
+    and re-append the whole stream."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.catalog import (
+        LakehouseCatalog,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.maintenance import (
+        expire_snapshots,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.streaming.sink import (
+        EpochCommitSink,
+    )
+    from test_table_format import TICK_SCHEMA, tick_df
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("gold")
+    t = cat.create_table("gold.wm2", TICK_SCHEMA, [])
+    sink = EpochCommitSink(t, query_id="wm2_q")
+    for e in range(3):
+        sink(tick_df(spark, n=4, start=f"2024-0{e + 1}-01 00:00:00"), e)
+    assert t.to_df().count() == 12
+    # two non-epoch commits push every STAMPED snapshot past the
+    # retain floor, then expiry prunes them all
+    t.append(tick_df(spark, n=1, start="2024-05-01 00:00:00"))
+    t.append(tick_df(spark, n=1, start="2024-05-02 00:00:00"))
+    expire_snapshots(
+        t, older_than_ms=10**18, retain_last=2, orphan_grace_secs=0.0
+    )
+    fresh = EpochCommitSink(t, query_id="wm2_q")
+    assert fresh.committed_epochs() == set()  # every stamp is gone
+    for e in range(3):  # fresh-checkpoint full replay
+        fresh(tick_df(spark, n=4, start=f"2024-0{e + 1}-01 00:00:00"), e)
+    assert t.to_df().count() == 14  # nothing re-appended
+    fresh(tick_df(spark, n=4, start="2024-06-01 00:00:00"), 3)
+    assert t.to_df().count() == 18  # a new epoch still lands
