@@ -435,3 +435,41 @@ def test_concurrent_transactions_all_commit(cat, spark):
     assert os.listdir(_txn_dir(cat)) == []
     # and a recovery pass on the quiet log is a no-op
     assert recover_transactions(cat) == {}
+
+
+def test_list_records_labels_claims_by_action(cat, spark):
+    """review r13: a claimed COMMITTED record is 'publishing' (owner or
+    recovery mid-publish), a claimed PENDING one is 'recovering' (a
+    roll-back in progress), and claim age is mtime-based - the same
+    liveness basis stale-claim recovery uses."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.transactions import (
+        _claim,
+        _txn_path,
+        list_records,
+    )
+
+    data, audit = _tables(cat, spark)
+    t1 = cat.transaction()
+    t1.append("gold.trades", spark.createDataFrame(
+        [(1, 1)], "k long, v long"))
+    _write_record(cat, t1._record("committed"))
+    claimed = _claim(_txn_path(cat, t1.txn_id))
+    assert claimed is not None
+    recs = {r["id"]: r for r in list_records(cat)}
+    assert recs[t1.txn_id]["state"] == "publishing"
+    assert recs[t1.txn_id]["participants"] == ["gold.trades"]
+    # backdate the claim: age must track the CLAIM mtime, not the
+    # record's updated_ms heartbeat
+    past = os.path.getmtime(claimed) - 30
+    os.utime(claimed, (past, past))
+    recs = {r["id"]: r for r in list_records(cat)}
+    assert recs[t1.txn_id]["age_ms"] >= 29_000
+    os.replace(claimed, _txn_path(cat, t1.txn_id))  # release
+    # a claimed PENDING record reads as a roll-back in progress
+    t2 = MultiTableTransaction(cat)
+    t2.append("gold.ops", spark.createDataFrame(
+        [("r", 1)], "run string, n long"))
+    c2 = _claim(_txn_path(cat, t2.txn_id))
+    assert c2 is not None
+    recs = {r["id"]: r for r in list_records(cat)}
+    assert recs[t2.txn_id]["state"] == "recovering"
