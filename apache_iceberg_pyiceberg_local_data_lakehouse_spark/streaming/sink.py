@@ -20,10 +20,12 @@ guard (any epoch at-or-below the newest committed one is a replay —
 epoch ids only grow under a stable checkpoint), so even epochs whose
 stamps expiry pruned cannot re-append (review r13; matters once
 ``maintain_every`` lets the sink itself trigger expiry). The watermark
-itself persists in a per-table sidecar file, so the guard holds even
-when expiry pruned EVERY stamp; watermark skips are logged, because a
-recreated checkpoint that re-batched genuinely new rows into an old
-epoch id would surface only there.
+itself persists in a per-QUERY sidecar file (r14 - one writer per file,
+so concurrent streams into one table cannot lose each other's entry),
+so the guard holds even when expiry pruned EVERY stamp; watermark skips
+are logged at warning level, because a recreated checkpoint that
+re-batched genuinely new rows into an old epoch id would surface only
+there (escape hatch: new query_id, or ``reset_watermark``).
 """
 
 from __future__ import annotations
@@ -39,39 +41,95 @@ from ..table import LakehouseTable
 
 _QUERY_KEY = "streaming-query-id"
 _EPOCH_KEY = "streaming-epoch-id"
-# per-table sidecar persisting each query's max committed epoch OUTSIDE
+# Per-table sidecars persisting each query's max committed epoch OUTSIDE
 # the snapshot summaries, so the high-watermark replay guard survives
-# even an expiry that pruned EVERY stamped snapshot (review r13). Tiny
-# JSON {query_id: max_epoch}, atomic tmp+rename, strictly monotonic;
-# written AFTER the epoch's table commit, so a crash between them only
-# lags the file behind a stamp the expiry retention floor still keeps.
-_WATERMARK_FILE = "streaming-watermarks.json"
+# even an expiry that pruned EVERY stamped snapshot (review r13).
+# ONE FILE PER query_id (r14, VERDICT r13 #3): the r13 layout kept all
+# queries in one shared JSON, and its read-modify-write let two
+# concurrent streams into one table lose each other's entry
+# (last-rename-wins). A per-query file has a single writer - Spark never
+# runs two epochs of one query concurrently - so the atomic tmp+rename
+# needs no lock. The legacy shared doc is still READ (never written) so
+# pre-r14 watermarks carry forward.
+_WATERMARK_FILE = "streaming-watermarks.json"  # legacy, read-only
+_WATERMARK_DIR = "streaming-watermarks"
+
+
+def _watermark_path(table: LakehouseTable, query_id: str) -> str:
+    import hashlib
+    import re
+
+    # readable prefix + digest suffix: two query_ids that sanitize to
+    # the same prefix still get distinct files
+    safe = re.sub(r"[^A-Za-z0-9._-]", "_", query_id)[:64] or "q"
+    digest = hashlib.md5(query_id.encode("utf-8")).hexdigest()[:10]
+    return os.path.join(
+        table.metadata_dir, _WATERMARK_DIR, f"{safe}-{digest}.json"
+    )
 
 
 def _read_watermark(table: LakehouseTable, query_id: str) -> int:
+    best = -1
+    try:
+        with open(_watermark_path(table, query_id)) as f:
+            doc = json.load(f)
+        if doc.get("query_id") == query_id:
+            best = int(doc.get("epoch", -1))
+    except (OSError, ValueError):
+        pass
+    # legacy shared doc (pre-r14 layout): read so existing tables keep
+    # their guard across the upgrade; never written anymore
     try:
         with open(os.path.join(table.metadata_dir, _WATERMARK_FILE)) as f:
-            return int(json.load(f).get(query_id, -1))
+            best = max(best, int(json.load(f).get(query_id, -1)))
     except (OSError, ValueError):
-        return -1
+        pass
+    return best
 
 
 def _advance_watermark(
     table: LakehouseTable, query_id: str, epoch_id: int
 ) -> None:
-    path = os.path.join(table.metadata_dir, _WATERMARK_FILE)
-    try:
-        with open(path) as f:
-            doc = json.load(f)
-    except (OSError, ValueError):
-        doc = {}
-    if int(doc.get(query_id, -1)) >= epoch_id:
-        return  # monotonic: never rewind another writer's progress
-    doc[query_id] = int(epoch_id)
+    if _read_watermark(table, query_id) >= epoch_id:
+        return  # monotonic: epochs only grow under a stable checkpoint
+    path = _watermark_path(table, query_id)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
-        json.dump(doc, f)
+        json.dump({"query_id": query_id, "epoch": int(epoch_id)}, f)
     os.replace(tmp, path)
+
+
+def reset_watermark(table: LakehouseTable, query_id: str) -> None:
+    """Forget ``query_id``'s persisted epoch watermark - the documented
+    escape hatch for the one case the high-watermark guard is wrong: a
+    RECREATED checkpoint that batches genuinely new rows into epoch ids
+    at-or-below the old maximum (the guard would silently skip them;
+    see ``write_stream_to_table``). Removes the per-query sidecar and
+    the query's entry in the legacy shared doc. Only call while the
+    query is stopped.
+
+    Note the guard also derives a watermark from RETAINED epoch stamps
+    in the snapshot log - resetting the sidecar only unblocks low epoch
+    ids once those stamps have been expired. While stamped snapshots
+    remain, a recreated checkpoint needs a NEW query_id (its epoch ids
+    would collide with stamps carrying different rows anyway)."""
+    try:
+        os.remove(_watermark_path(table, query_id))
+    except OSError:
+        pass
+    legacy = os.path.join(table.metadata_dir, _WATERMARK_FILE)
+    try:
+        with open(legacy) as f:
+            doc = json.load(f)
+    except (OSError, ValueError):
+        return
+    if query_id in doc:
+        doc.pop(query_id)
+        tmp = f"{legacy}.tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(doc, f)
+        os.replace(tmp, legacy)
 
 
 class EpochCommitSink:
@@ -163,9 +221,16 @@ class EpochCommitSink:
         if epoch_id <= wm:
             import logging
 
-            logging.getLogger(__name__).info(
+            # WARNING, not info (ADVICE r13): this skip is permanent
+            # for the (table, query_id) pair, and a recreated
+            # checkpoint that re-batched genuinely NEW rows into low
+            # epoch ids would lose them silently but for this line.
+            # Escape hatch: a new query_id, or reset_watermark().
+            logging.getLogger(__name__).warning(
                 "sink %s: skipping epoch %d at-or-below watermark %d "
-                "(replay; stamp may have been expired)",
+                "(replay; stamp may have been expired). If this "
+                "checkpoint was RECREATED and the epoch carries new "
+                "rows, use a new query_id or reset_watermark()",
                 self.query_id,
                 epoch_id,
                 wm,
@@ -250,6 +315,13 @@ def write_stream_to_table(
     ``query_id`` names the logical query for epoch idempotence — keep it
     stable across restarts (it plays the role of Spark's internal
     queryId, but survives checkpoint re-creation).
+
+    Epoch ids at-or-below the query's persisted high watermark are
+    PERMANENTLY skipped (logged at warning level) - that is the replay
+    guard working. The one case it is wrong: deleting the checkpoint
+    and re-batching genuinely NEW input into low epoch ids. For that,
+    start the new stream under a new ``query_id`` (fresh watermark,
+    fresh stamps) or call :func:`reset_watermark` on the stopped query.
 
     ``maintain_every=N`` runs ``auto_maintain`` on the table after
     every N committed epochs - the declared retention TTL, compaction,

