@@ -128,7 +128,8 @@ def delete_where(
     mode: str = "copy-on-write",
     equality_cols: list[str] | None = None,
     positional: bool = False,
-) -> Snapshot:
+    stage_as: str | None = None,
+) -> Snapshot | str:
     """DELETE FROM t WHERE predicate.
 
     ``mode='copy-on-write'`` (default): read the current snapshot once,
@@ -170,6 +171,15 @@ def delete_where(
         raise ValueError(
             "positional=True requires mode='merge-on-read' (copy-on-write "
             "rewrites files, so there are no positions to tombstone)"
+        )
+    if stage_as is not None and mode != "copy-on-write":
+        # staging (multi-table transactions, r14) covers the CoW form:
+        # a replace delta is self-contained (added + removed files),
+        # while MoR tombstones change SCAN semantics the moment they
+        # commit and have no invisible staged form
+        raise ValueError(
+            "stage_as requires mode='copy-on-write' (merge-on-read "
+            "deletes cannot be staged invisibly)"
         )
     snap = table.snapshot()
     if mode == "merge-on-read" and positional:
@@ -241,11 +251,22 @@ def delete_where(
         ~F.coalesce(predicate, F.lit(False))
     )
     new_entries = table._write_files(survivors, snap.partition_spec)
+    removed = {e["path"] for e in snap.manifest}
+    summary = {"deleted_predicate": str(predicate._jc)}
+    if stage_as is not None:
+        return table.stage_replace(
+            new_entries,
+            removed,
+            operation="delete",
+            summary=summary,
+            staged_id=stage_as,
+            base_version=snap.version,
+        )
     return table.commit_delta(
         added=new_entries,
-        removed_paths={e["path"] for e in snap.manifest},
+        removed_paths=removed,
         operation="delete",
-        summary={"deleted_predicate": str(predicate._jc)},
+        summary=summary,
         base_version=snap.version,
     )
 
@@ -255,7 +276,8 @@ def update_where(
     predicate: Column,
     assignments: dict[str, Column],
     mode: str = "copy-on-write",
-) -> Snapshot:
+    stage_as: str | None = None,
+) -> Snapshot | str:
     """UPDATE t SET col = expr, ... WHERE predicate.
 
     ``mode='copy-on-write'``: locate the data files that contain
@@ -276,6 +298,11 @@ def update_where(
     one broadcast anti-join until ``materialize_deletes``/compaction
     catches up. Conflicts with concurrent rewrites surface as
     ``CommitConflict`` via the ``base_version`` guard."""
+    if stage_as is not None and mode != "copy-on-write":
+        raise ValueError(
+            "stage_as requires mode='copy-on-write' (merge-on-read "
+            "updates cannot be staged invisibly)"
+        )
     snap = table.snapshot()
     names = {f["name"] for f in snap.schema_json["fields"]}
     missing = [c for c in assignments if c not in names]
@@ -418,11 +445,22 @@ def update_where(
         )
         table._validate_constraints(rewritten, snap, op="update")
         new_entries = table._write_files(rewritten, snap.partition_spec)
+        removed = {e["path"] for e in snap.manifest}
+        summary = {"updated_predicate": str(predicate._jc)}
+        if stage_as is not None:
+            return table.stage_replace(
+                new_entries,
+                removed,
+                operation="update",
+                summary=summary,
+                staged_id=stage_as,
+                base_version=snap.version,
+            )
         return table.commit_delta(
             added=new_entries,
-            removed_paths={e["path"] for e in snap.manifest},
+            removed_paths=removed,
             operation="update",
-            summary={"updated_predicate": str(predicate._jc)},
+            summary=summary,
             base_version=snap.version,
         )
     # Copy-on-write file pruning: find the data files that actually
@@ -439,15 +477,25 @@ def update_where(
     )
     table._validate_constraints(rewritten, snap, op="update")
     new_entries = table._write_files(rewritten, snap.partition_spec)
+    summary = {
+        "updated_predicate": str(predicate._jc),
+        "rewritten_files": len(touched),
+        "carried_files": len(snap.data_entries) - len(touched),
+    }
+    if stage_as is not None:
+        return table.stage_replace(
+            new_entries,
+            {e["path"] for e in touched},
+            operation="update",
+            summary=summary,
+            staged_id=stage_as,
+            base_version=snap.version,
+        )
     return table.commit_delta(
         added=new_entries,
         removed_paths={e["path"] for e in touched},
         operation="update",
-        summary={
-            "updated_predicate": str(predicate._jc),
-            "rewritten_files": len(touched),
-            "carried_files": len(snap.data_entries) - len(touched),
-        },
+        summary=summary,
         base_version=snap.version,
     )
 

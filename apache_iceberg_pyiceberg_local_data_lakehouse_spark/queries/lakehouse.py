@@ -3246,7 +3246,11 @@ def q7w_mv_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q82_mv_join_agg",
-    # promoted to the judged window in r9
+    # promoted to the judged window in r9; deferred out in r14 for the
+    # q91-q93 first-timers (q89 keeps the join-agg MV family rep in
+    # window; five driver greens r9-r13; local DuckDB parity continues
+    # via tests/test_oracle_parity.py)
+    defer=True,
     # certifies the join-aggregate MV tier: fact appends refresh by
     # joining ONLY the delta to the pinned dim and merging partials
     # (merged flag), a moved dim recomputes ONLY the touched groups
@@ -3691,6 +3695,10 @@ def q8a_mv_join_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q8h_mv_two_dim_cdc",
+    # deferred out in r14 for the q91-q93 first-timers (q8a keeps the
+    # single-dim CDC rep, q8w the multi-dim rep; three driver greens
+    # r11-r13; local DuckDB parity continues)
+    defer=True,
     # new in r10; promoted to the judged window in r11 (VERDICT r10
     # #1 rotation). Certifies the two-moved-dims CDC composition
     # (catalog._refresh_join_agg r10 tier): BOTH dims of an
@@ -4691,7 +4699,11 @@ def q8w_mv_three_dim_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (NULL keeps), matched rows row-replace in the same commit, and
     # the conditioned sync never drops out-of-range files wholesale
     # (dropped_files == 0 - clean files carry by reference).
-    # promoted to the judged window in r12
+    # promoted to the judged window in r12; deferred out in r14 for the
+    # q91-q93 first-timers (q8q keeps the BY-SOURCE merge family rep -
+    # its multi-clause matrix subsumes this single conditioned DELETE;
+    # two driver greens r12-r13; local DuckDB parity continues)
+    defer=True,
     oracle="""
     WITH base AS (
       SELECT o_orderkey, o_orderstatus AS status,
@@ -5706,7 +5718,8 @@ def q90_retention_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cleanly, and the audit row never disagreeing with the data. The
     # oracle reconstructs the committed half; the flags pin the
     # invisibility and clean-rollback contracts.
-    defer=True,
+    # promoted to the judged window in r14 (VERDICT r13 #1; builder
+    # 8/8 isolated loops + judge 3/3 loops before promotion)
     oracle="""
     SELECT o_orderstatus AS status,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
@@ -5804,7 +5817,7 @@ def q91_sql_transaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # external scheduler. A fresh-checkpoint replay appends nothing
     # (epoch idempotence survives the interleaved maintenance
     # commits). The oracle is the plain filtered GROUP BY.
-    defer=True,
+    # promoted to the judged window in r14 (VERDICT r13 #1; builder 8/8 + judge 3/3 loops pre-promotion)
     oracle="""
     SELECT o_orderstatus AS status,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
@@ -5906,7 +5919,7 @@ def q92_streaming_retention_ttl(
     # move in ONE refresh window, the refresh composes four per-dim
     # changelog-merge terms, never a full recompute, equaling the
     # plain GROUP BY.
-    defer=True,
+    # promoted to the judged window in r14 (VERDICT r13 #1; builder 8/8 + judge 3/3 loops pre-promotion)
     oracle="""
     WITH o2 AS (
       SELECT o_orderkey,
@@ -6032,6 +6045,118 @@ def q93_mv_four_dim_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_items").cast("long").alias("n_items"),
             F.col("sum_line").cast("long").alias("sum_line"),
             F.lit(four_dim_cdc).alias("four_dim_cdc"),
+        )
+        rows = res.collect()  # materialize before the warehouse vanishes
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+@register(
+    "q94_txn_row_dml",
+    # new in r14, registered behind the judged window (r15 rotation
+    # fodder); certifies transactional row-DML (VERDICT r13 #4): a CoW
+    # UPDATE on the data table and an INSERT on the audit table inside
+    # ONE BEGIN..COMMIT land atomically - the staged rewrite invisible
+    # mid-transaction - and a second transaction's DELETE ROLLBACKs to
+    # a byte-identical table (same version, no staged residue). The
+    # oracle reconstructs the committed state; the flags pin the
+    # invisibility and pristine-rollback contracts.
+    defer=True,
+    oracle="""
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                    + CASE WHEN o_orderkey % 2 = 0 THEN 7 ELSE 0 END)
+                AS BIGINT) AS sum_cents,
+           CAST(1 AS BIGINT) AS n_audit_rows,
+           TRUE AS staged_invisible,
+           TRUE AS rolled_back_clean
+    FROM orders
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def q94_txn_row_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-DML inside a SQL multi-table transaction: BEGIN; UPDATE
+    (CoW rewrite staged, invisible); INSERT INTO the audit table;
+    COMMIT publishes both all-or-nothing. A second transaction stages
+    a DELETE and ROLLBACKs - the table keeps its exact version and no
+    staged files linger.
+
+    100 TB design note: the UPDATE's rewrite is the ordinary
+    distributed CoW path (O(files containing matches)) run at
+    statement time; COMMIT stays one driver rename + O(tables)
+    metadata publishes - the replace lands as one commit_delta.
+
+    Reference parity: extends the reference's data-then-audit commit
+    pair (`lakehouse_pipeline.py:348-366`) to mutations, which the
+    reference cannot do atomically at all."""
+    from ..catalog import LakehouseCatalog
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_q94_")
+    try:
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("tmp")
+        o = load(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.expr(
+                "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
+            ).alias("cents"),
+        )
+        data = cat.create_table("tmp.rdd", o.schema)
+        audit = cat.create_table(
+            "tmp.rda",
+            spark.createDataFrame([], "run string, n long").schema,
+        )
+        data.append(o)
+        pre_sum = cat.sql(
+            "SELECT SUM(cents) AS s FROM tmp_rdd"
+        ).first()["s"]
+        cat.sql("BEGIN TRANSACTION")
+        cat.sql(
+            "UPDATE tmp.rdd SET cents = cents + 7 "
+            "WHERE o_orderkey % 2 = 0"
+        )
+        cat.sql("INSERT INTO tmp.rda SELECT 'u1', 1")
+        staged_invisible = (
+            cat.sql("SELECT SUM(cents) AS s FROM tmp_rdd").first()["s"]
+            == pre_sum
+            and cat.sql(
+                "SELECT COUNT(*) AS n FROM tmp_rda"
+            ).first()["n"]
+            == 0
+        )
+        cat.sql("COMMIT")
+        # second transaction: stage a DELETE, then ROLLBACK
+        v_before = data.current_version()
+        cat.sql("BEGIN")
+        cat.sql("DELETE FROM tmp.rdd WHERE o_orderstatus = 'F'")
+        cat.sql("ROLLBACK")
+        rolled_back_clean = (
+            data.current_version() == v_before
+            and data.list_staged() == []
+            and audit.list_staged() == []
+        )
+        n_audit = audit.to_df().count()
+        res = (
+            data.to_df()
+            .groupBy(F.col("o_orderstatus").alias("status"))
+            .agg(
+                F.count("*").cast("long").alias("n_orders"),
+                F.sum("cents").cast("long").alias("sum_cents"),
+            )
+            .select(
+                "status",
+                "n_orders",
+                "sum_cents",
+                F.lit(n_audit).cast("long").alias("n_audit_rows"),
+                F.lit(bool(staged_invisible)).alias("staged_invisible"),
+                F.lit(bool(rolled_back_clean)).alias(
+                    "rolled_back_clean"
+                ),
+            )
+            .orderBy("status")
         )
         rows = res.collect()  # materialize before the warehouse vanishes
         return spark.createDataFrame(rows, res.schema)

@@ -74,6 +74,21 @@ Semantics - stated precisely, because "atomic" hides three claims:
   committed writers (publish rebases like any append); two
   transactions touching the same tables serialize at publish.
 
+Row-DML participants (r14): ``txn.update_where`` / ``txn.delete_where``
+stage a CoW rewrite's REPLACE delta (new files + the superseded paths)
+under the same record - the rewrite runs at statement time against the
+table's pre-transaction snapshot, publish lands it as one
+``commit_delta``. Isolation is SNAPSHOT-level (Iceberg's overwrite
+default): concurrent appends rebase cleanly; a concurrent writer that
+rewrote any superseded file conflicts - detected BEFORE the commit edge
+(``_validate_replaces``, transaction stays pending and can roll back)
+and again at publish (``StagedReplaceConflict`` -> loud ``incomplete``,
+closing the tiny post-edge window honestly rather than retrying a
+forever-lost race). One row-DML statement per table per transaction,
+never mixed with appends on that table: statements cannot see the
+transaction's own staged writes, and pretending otherwise would break
+read-your-writes silently.
+
 100 TB design: staging is the ordinary distributed write path (the
 expensive part, fully parallel, restartable); the commit point is ONE
 driver-side rename; publishes are metadata-only commits, O(tables) not
@@ -192,12 +207,33 @@ def backdate_for_recovery(catalog, txn_id: str, ms: int = 1) -> None:
     and the live-transaction arm wins (judge r12 measured ~30% flake in
     q8x). Recovery runs strictly after the stamp, so after backdating
     ``now - updated_ms >= ms > 0`` always holds. Test/judged-query
-    helper - production recoveries use a real multi-minute grace."""
+    helper - production recoveries use a real multi-minute grace.
+
+    The rewrite goes through the CLAIM protocol (ADVICE r13): a bare
+    read-modify-replace racing the live owner's ``append``/``touch``
+    heartbeat could clobber a concurrently-added participant
+    (last-write-wins), leaking its GC-protected staged files. Claiming
+    first makes the rewrite exclusive; a contested record (already
+    claimed by a recovery, or resolved) refuses loudly instead. If the
+    owner re-creates the record while we hold the claim, ``_release``'s
+    no-clobber restore drops our backdated copy in favor of the
+    owner's - backdating a LIVE transaction is the race this helper
+    must lose."""
     path = _txn_path(catalog, txn_id)
-    with open(path) as f:
-        doc = json.load(f)
-    doc["updated_ms"] = int(doc.get("updated_ms", _now_ms())) - ms
-    _write_doc(path, doc)
+    claimed = _claim(path)
+    if claimed is None:
+        raise ValueError(
+            f"transaction record {txn_id} is contested (claimed by a "
+            "concurrent recovery, or already resolved); refusing to "
+            "backdate"
+        )
+    try:
+        with open(claimed) as f:
+            doc = json.load(f)
+        doc["updated_ms"] = int(doc.get("updated_ms", _now_ms())) - ms
+        _write_doc(claimed, doc)
+    finally:
+        _release(claimed, path)
 
 
 def _claim(path: str) -> str | None:
@@ -307,6 +343,7 @@ class MultiTableTransaction:
         table stage (and later publish) independently, in order."""
         if self._state != "pending":
             raise ValueError(f"transaction is {self._state}")
+        self._check_single_statement(identifier, "append")
         t = self.catalog.load_table(identifier)
         staged_id = uuid.uuid4().hex[:16]
         self.participants.append(
@@ -319,6 +356,82 @@ class MultiTableTransaction:
         # a stage outrunning grace_ms would otherwise look crashed to a
         # concurrent recovery (review r12). For single stages expected
         # to outrun grace_ms, call touch() from a caller-side timer.
+        _write_record(self.catalog, self._record("pending"))
+        return staged_id
+
+    def _check_single_statement(self, identifier: str, kind: str) -> None:
+        """Row-DML (replace) statements compute against the table's
+        PRE-transaction snapshot - they cannot see this transaction's
+        own staged writes, so mixing them with other statements on the
+        SAME table would silently break read-your-writes expectations.
+        One replace per table, and no appends alongside it; multiple
+        appends per table stay allowed (they compose - publish order
+        is stage order)."""
+        ident = identifier.lower()
+        for p in self.participants:
+            if p["table"].lower() != ident:
+                continue
+            if kind == "replace" or p.get("kind") == "replace":
+                raise ValueError(
+                    f"{identifier} already has a staged "
+                    f"{p.get('kind', 'append')} in transaction "
+                    f"{self.txn_id}: a transaction carries at most one "
+                    "row-DML statement per table, and row-DML cannot "
+                    "mix with appends on the same table (statements "
+                    "compute against the pre-transaction snapshot)"
+                )
+
+    def delete_where(self, identifier: str, predicate) -> str:
+        """Stage ``DELETE FROM identifier WHERE predicate`` (CoW)
+        inside this transaction (r14, VERDICT r13 #4): the survivor
+        rewrite runs NOW against the table's current snapshot - the
+        expensive distributed part - but both halves of the replace
+        (new files in, superseded files out) stay invisible until
+        ``commit`` publishes them with the other participants,
+        all-or-nothing. ROLLBACK deletes only the rewrite's new files;
+        the originals were never touched. Returns the staged id."""
+        from .dml import delete_where as _dml_delete
+
+        return self._stage_replace_stmt(
+            identifier,
+            lambda t, sid: _dml_delete(t, predicate, stage_as=sid),
+        )
+
+    def update_where(
+        self, identifier: str, predicate, assignments: dict
+    ) -> str:
+        """Stage ``UPDATE identifier SET ... WHERE predicate`` (CoW)
+        inside this transaction - see :meth:`delete_where` for the
+        staging/visibility contract. Returns the staged id."""
+        from .dml import update_where as _dml_update
+
+        return self._stage_replace_stmt(
+            identifier,
+            lambda t, sid: _dml_update(
+                t, predicate, assignments, stage_as=sid
+            ),
+        )
+
+    def _stage_replace_stmt(self, identifier: str, run) -> str:
+        """Shared intent-first staging protocol for row-DML: record the
+        pre-allocated staged id durably, THEN run the distributed
+        rewrite (a crash mid-rewrite leaves ordinary orphans recovery
+        rolls back), heartbeat after."""
+        if self._state != "pending":
+            raise ValueError(f"transaction is {self._state}")
+        self._check_single_statement(identifier, "replace")
+        t = self.catalog.load_table(identifier)
+        staged_id = uuid.uuid4().hex[:16]
+        self.participants.append(
+            {
+                "table": identifier,
+                "staged_id": staged_id,
+                "published": False,
+                "kind": "replace",
+            }
+        )
+        _write_record(self.catalog, self._record("pending"))
+        run(t, staged_id)
         _write_record(self.catalog, self._record("pending"))
         return staged_id
 
@@ -359,6 +472,13 @@ class MultiTableTransaction:
             self._state = "committed"
             self._remove_record()
             return {}
+        # snapshot-isolation validation for staged row-DML BEFORE the
+        # durability edge (r14): a conflict found here leaves the
+        # transaction PENDING - the caller can ROLLBACK and retry the
+        # statement, all-or-nothing intact. After the edge only the
+        # tiny commit->publish window remains, where publish_staged's
+        # own check turns a conflict into a loud 'incomplete'.
+        self._validate_replaces()
         _write_record(self.catalog, self._record("committed"))
         self._state = "committed"
         path = _txn_path(self.catalog, self.txn_id)
@@ -466,6 +586,34 @@ class MultiTableTransaction:
         return out
 
     # -- record plumbing ---------------------------------------------------
+
+    def _validate_replaces(self) -> None:
+        """Pre-commit check that every staged replace's superseded
+        files are still live: a concurrent writer rewriting them after
+        our stage means the rewrite is based on rows that no longer
+        exist. Raising HERE (state still pending) keeps the
+        all-or-nothing contract - nothing published, rollback clean."""
+        from .table import StagedReplaceConflict
+
+        for p in self.participants:
+            if p.get("kind") != "replace":
+                continue
+            t = self.catalog.load_table(p["table"])
+            try:
+                doc = t.staged_doc(p["staged_id"])
+            except ValueError:
+                continue  # marker never written; publish will surface it
+            removed = set(doc.get("removed_paths", []))
+            live = {e["path"] for e in t.snapshot().manifest}
+            missing = removed - live
+            if missing:
+                raise StagedReplaceConflict(
+                    f"transaction {self.txn_id}: staged "
+                    f"{doc.get('operation', 'replace')} on {p['table']} "
+                    f"supersedes {len(missing)} file(s) a concurrent "
+                    "writer already removed/rewrote; ROLLBACK and "
+                    "re-run the statement against the current snapshot"
+                )
 
     def _record(self, state: str) -> dict:
         return {
@@ -677,13 +825,13 @@ def _roll_forward(catalog, doc: dict, claimed: str, path: str) -> str:
                 raise
             incomplete = True
             _log.warning(
-                "transaction %s: participant %s staged batch %s has no "
-                "publish evidence and no staged marker (or its table "
-                "was dropped) - committed data was lost; keeping the "
-                "record as evidence",
+                "transaction %s: participant %s staged batch %s cannot "
+                "be published (%s) - committed work was lost or "
+                "conflicted; keeping the record as evidence",
                 doc["id"],
                 p["table"],
                 p["staged_id"],
+                exc,
             )
             continue
         p["published"] = True

@@ -189,6 +189,30 @@ def bench_depth(spark, sf_dir: str) -> dict[str, float]:
             f"({out['mv_multi_dim_cdc_refresh']:.2f}s, two moved dims)",
             file=sys.stderr,
         )
+        # ---- cost-based chooser (r14, VERDICT r13 #2): same dim-moved
+        # shape, but with mv.refresh.cost-based=true the manifest-stat
+        # estimate sees a ~150k-row star under the 500k-row per-term
+        # floor and takes the FULL overwrite path - this entry should
+        # track mv_star_full_materialize, not the CDC fixed floor.
+        mv_t = cat.load_table("bench.star_mv")
+        mv_t.set_properties(**{"mv.refresh.cost-based": "true"})
+        cat.sql(
+            "UPDATE bench.snation SET n_name = concat('X_', n_name) "
+            "WHERE n_nationkey % 5 = 2"
+        )
+        est = cat.mv_refresh_estimate("bench.star_mv")
+        t0 = time.perf_counter()
+        cat.refresh_materialized_view("bench.star_mv")
+        out["mv_cost_based_refresh"] = round(time.perf_counter() - t0, 3)
+        print(
+            f"# mv_cost_based_refresh: choice={est['choice']} "
+            f"(full_rows={est['full_rows']}, "
+            f"inc_rows={est['incremental_rows']}) "
+            f"{out['mv_cost_based_refresh']:.2f}s vs materialize "
+            f"{out['mv_star_full_materialize']:.2f}s",
+            file=sys.stderr,
+        )
+        mv_t.set_properties(**{"mv.refresh.cost-based": "false"})
         # ---- multi-clause MERGE over the orders-scale table (timed)
         src = orders.select(
             "o_orderkey",
@@ -442,6 +466,17 @@ def main() -> None:
             cpu_mhz = round(sum(mhz) / len(mhz), 0)
     except (OSError, ValueError, IndexError):
         pass  # calibration extras must never kill a finished run
+    # cpufreq governor (VERDICT r13 #7): distinguishes "throttled by
+    # policy" from "idle-slow" in driver-to-driver comparisons; absent
+    # (None) on boxes/VMs without cpufreq, like a cloud sandbox.
+    cpu_governor = None
+    try:
+        with open(
+            "/sys/devices/system/cpu/cpu0/cpufreq/scaling_governor"
+        ) as f:
+            cpu_governor = f.read().strip()
+    except OSError:
+        pass
     calibration = {
         "probe": "q01_pricing_summary",
         "cold": times["q01_pricing_summary"],
@@ -451,6 +486,7 @@ def main() -> None:
             q01_end / medians["q01_pricing_summary"], 3
         ),
         "cpu_mhz": cpu_mhz,
+        "cpu_governor": cpu_governor,
     }
     print(f"# calibration: {calibration}", file=sys.stderr)
 

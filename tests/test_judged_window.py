@@ -21,20 +21,24 @@ def test_window_is_exactly_fifty():
     assert list(QUERIES)[:JUDGED_WINDOW] == JUDGED_NAMES
 
 
-def test_round13_rotations_are_in_window():
-    """VERDICT r12 #2: rotate the 5 never-driver-judged r12
-    registrations (q8w/q8x/q8y/q8z/q90) into the window, so EVERY
-    registered query has a CORRECTNESS row at least once."""
+def test_round14_rotations_are_in_window():
+    """VERDICT r13 #1: rotate the 3 never-driver-judged r13
+    registrations (q91/q92/q93) into the window, so EVERY registered
+    query has a CORRECTNESS row at least once."""
     must_be_judged = {
-        # r12 deferred wave, never judged before r13
+        # r13 deferred wave, never judged before r14 (pre-flake-proofed:
+        # builder 8/8 isolated loops each, r13 judge 3/3 loops each)
+        "q91_sql_transaction",
+        "q92_streaming_retention_ttl",
+        "q93_mv_four_dim_cdc",
+        # r13 first-timers (one green each, keep for a second green)
         "q8w_mv_three_dim_cdc",
         "q8x_multi_table_transaction",
         "q8y_streaming_heavy_hitters",
         "q8z_streaming_quality_curation",
         "q90_retention_policy",
-        # r12 first-timers (one green each, keep for a second green)
+        # r12 first-timers (two greens each, keep as family reps)
         "q8n_mv_fact_dim_cdc",
-        "q8o_merge_by_source_conditioned",
         "q8q_merge_multi_by_source",
         "q8r_streaming_near_dedup",
         "q8t_mv_join_approx_sketch",
@@ -65,7 +69,6 @@ def test_round13_rotations_are_in_window():
         "q7s_mv_cdc_incremental",
         "q7u_table_changes_cdf",
         "q7z_event_gaps",
-        "q82_mv_join_agg",
         "q83_train_val_test_split",
         "q86_topk_frequent_items",
         "q87_streaming_exactly_once",
@@ -79,8 +82,7 @@ def test_round13_rotations_are_in_window():
         "q8e_dsir_selection",
         "q8f_partition_ddl_lifecycle",
         "q8g_theta_shingle_jaccard",
-        # r11 first-timers (judged green once, in r11)
-        "q8h_mv_two_dim_cdc",
+        # r11 first-timers (multi-green)
         "q8i_replace_where",
         "q8j_merge_multi_clause",
         "q8k_mv_minmax_group_recompute",
@@ -88,6 +90,12 @@ def test_round13_rotations_are_in_window():
     }
     assert keepers <= set(JUDGED_NAMES)
     rotated_out = {
+        # r14 defer-outs (VERDICT r13 #1: q89 keeps the join-agg MV
+        # rep, q8a single-dim CDC + q8w multi-dim CDC, q8q the
+        # BY-SOURCE merge rep; all multi-green, local parity kept)
+        "q82_mv_join_agg",
+        "q8h_mv_two_dim_cdc",
+        "q8o_merge_by_source_conditioned",
         # r13 defer-outs (VERDICT r12 #2: family coverage keeps q6c
         # for MoR delete, q7o+q8x for branch/WAP/stage-publish, q8o+q8q
         # for BY-SOURCE merge, q8j for multi-clause, q8t/q8u for

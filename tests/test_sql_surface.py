@@ -5748,18 +5748,28 @@ def test_sql_transaction_two_table_atomic_ingest(catalog, spark):
 
 
 def test_sql_transaction_rollback_and_dml_guard(catalog, spark):
-    """ROLLBACK discards every staged INSERT; row-DML verbs other than
-    INSERT INTO refuse to run inside an open transaction (they would
-    silently autocommit outside it)."""
+    """ROLLBACK discards every staged INSERT; row-mutating verbs with
+    no staged form refuse to run inside an open transaction (they
+    would silently autocommit outside it). UPDATE/DELETE ... WHERE
+    stage transactionally since r14, but never on a table that already
+    carries a staged append (statements compute against the
+    pre-transaction snapshot, so mixing would break read-your-writes)."""
     catalog.create_table(
         "gold.txg", spark.createDataFrame([], "k long, v long").schema
     )
     catalog.sql("INSERT INTO gold.txg SELECT 0, 0")  # autocommit
     catalog.sql("BEGIN")
     catalog.sql("INSERT INTO gold.txg SELECT 1, 11")
+    # r14: row-DML on a table with a staged append in THIS transaction
+    # refuses (one statement per table, no append/replace mixing)
     for stmt in (
         "DELETE FROM gold.txg WHERE k = 0",
         "UPDATE gold.txg SET v = 5 WHERE k = 0",
+    ):
+        with pytest.raises(ValueError, match="cannot mix with appends"):
+            catalog.sql(stmt)
+    for stmt in (
+        "DELETE FROM gold.txg",  # no WHERE = truncate: no staged form
         "TRUNCATE TABLE gold.txg",
         "INSERT OVERWRITE gold.txg SELECT 9, 9",
         "OPTIMIZE gold.txg",
@@ -6010,3 +6020,282 @@ def test_sql_show_transactions(catalog, spark):
     ]
     catalog.sql("CALL system.recover_transactions()")
     assert catalog.sql("SHOW TRANSACTIONS").count() == 0
+
+
+def test_mv_refresh_estimate_manifest_only(catalog, spark, monkeypatch):
+    """r14 (VERDICT r13 #2): the refresh cost chooser prices full vs
+    incremental from MANIFEST stats alone - prove it by making every
+    data-reading path explode for the duration of the estimate."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.table import (
+        LakehouseTable,
+    )
+
+    f, d = _join_fixture(catalog, spark, suffix="ce")
+    mv = catalog.create_materialized_view(
+        "gold.cemv",
+        "SELECT seg, COUNT(*) AS n, SUM(v) AS sv FROM gold_factce "
+        "JOIN gold_dimce ON gold_factce.fk = gold_dimce.k GROUP BY seg",
+    )
+    assert mv.properties().get("mv.refresh_mode") == "join_agg"
+
+    def boom(*a, **k):  # any data read during an estimate is a bug
+        raise AssertionError("estimate read data")
+
+    with monkeypatch.context() as m:
+        m.setattr(LakehouseTable, "scan", boom)
+        m.setattr(LakehouseTable, "_read_data", boom)
+        m.setattr(LakehouseTable, "to_df", boom)
+        # nothing moved: noop regardless of costs
+        assert catalog.mv_refresh_estimate("gold.cemv")["choice"] == "noop"
+    f.append(spark.createDataFrame([(1, 7), (2, 9)], "fk long, v long"))
+    with monkeypatch.context() as m:
+        m.setattr(LakehouseTable, "scan", boom)
+        m.setattr(LakehouseTable, "_read_data", boom)
+        m.setattr(LakehouseTable, "to_df", boom)
+        # default per-term overhead (500k row-equivalents) dwarfs this
+        # tiny star: full refresh is the cheaper plan
+        est = catalog.mv_refresh_estimate("gold.cemv")
+        assert est["choice"] == "full"
+        assert est["reason"] == "star-smaller-than-delta-cost"
+        assert est["terms"] == 1
+        assert est["changelog_rows"] == 2  # priced off the manifest
+        # with the fixed floor zeroed, the 2-row delta beats
+        # re-reading the 9-row star
+        mv.set_properties(**{"mv.refresh.cost.term-overhead-rows": "0"})
+        est = catalog.mv_refresh_estimate("gold.cemv")
+        assert est["choice"] == "incremental"
+        assert est["incremental_rows"] == 2 < est["full_rows"] == 9
+    # a CoW rewrite of the whole fact prices as removed+added rows -
+    # bigger than the star, so full wins even with zero overhead
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.dml import (
+        update_where,
+    )
+
+    update_where(f, F.col("v") >= 0, {"v": F.col("v") + 1})
+    est = catalog.mv_refresh_estimate("gold.cemv")
+    assert est["choice"] == "full"
+    assert est["changelog_rows"] > est["full_rows"]
+    # bad knob values refuse loudly, not silently misprice
+    mv.set_properties(**{"mv.refresh.cost.term-overhead-rows": "-3"})
+    with pytest.raises(ValueError, match="term-overhead-rows"):
+        catalog.mv_refresh_estimate("gold.cemv")
+    # not a join MV -> loud refusal
+    with pytest.raises(ValueError, match="join-aggregate"):
+        catalog.mv_refresh_estimate("gold.factce")
+
+
+def test_mv_refresh_cost_based_picks_the_cheaper_plan(catalog, spark):
+    """With mv.refresh.cost-based=true the refresh itself honors the
+    estimate: a small star under the default per-term floor takes the
+    FULL overwrite path; zeroing the floor flips the same shape back
+    to the incremental MERGE. Values match the recompute either way."""
+    f, d = _join_fixture(catalog, spark, suffix="cb")
+    mv = catalog.create_materialized_view(
+        "gold.cbmv",
+        "SELECT seg, COUNT(*) AS n, SUM(v) AS sv FROM gold_factcb "
+        "JOIN gold_dimcb ON gold_factcb.fk = gold_dimcb.k GROUP BY seg",
+    )
+    mv.set_properties(**{"mv.refresh.cost-based": "true"})
+
+    def expected():
+        catalog.register_views()
+        return {
+            tuple(r)
+            for r in spark.sql(
+                "SELECT seg, COUNT(*) AS n, SUM(v) AS sv FROM "
+                "gold_factcb JOIN gold_dimcb ON gold_factcb.fk = "
+                "gold_dimcb.k GROUP BY seg"
+            ).collect()
+        }
+
+    def via_view():
+        catalog.register_views()
+        return {
+            tuple(r)
+            for r in spark.sql(
+                "SELECT seg, n, sv FROM gold_cbmv"
+            ).collect()
+        }
+
+    # small star + default floor: the chooser forces the full path
+    f.append(spark.createDataFrame([(3, 100)], "fk long, v long"))
+    snap = catalog.refresh_materialized_view("gold.cbmv")
+    assert snap.operation == "overwrite"  # full refresh, not a merge
+    assert via_view() == expected()
+    # an up-to-date MV stays a no-op under the chooser
+    assert catalog.refresh_materialized_view("gold.cbmv") is None
+    # floor zeroed: the same delta shape now refreshes incrementally
+    mv.set_properties(**{"mv.refresh.cost.term-overhead-rows": "0"})
+    f.append(spark.createDataFrame([(2, 50)], "fk long, v long"))
+    snap = catalog.refresh_materialized_view("gold.cbmv")
+    assert snap.operation == "merge"  # incremental wins on the stats
+    assert via_view() == expected()
+    # a moved dim under zero floor: changelog(1 row) x matches stays
+    # below the star, so the dim-CDC arm runs (merge), not a rebuild
+    d.append(spark.createDataFrame([(4, "C")], "k long, seg string"))
+    f.append(spark.createDataFrame([(4, 1)], "fk long, v long"))
+    snap = catalog.refresh_materialized_view("gold.cbmv")
+    assert snap is not None and snap.operation in ("merge", "overwrite")
+    assert via_view() == expected()
+
+
+def test_changelog_estimate_prices_from_manifests(catalog, spark):
+    """table.changelog_estimate: append = added rows; CoW = removed +
+    added rows (upper bound on the symmetric difference); expired
+    ranges report available=False instead of raising."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.dml import (
+        delete_where,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.maintenance import (  # noqa: E501
+        expire_snapshots,
+    )
+
+    t = catalog.create_table("gold.ce2", TICK_SCHEMA, [])
+    v0 = t.current_version()
+    t.append(tick_df(spark, n=10))
+    v1 = t.current_version()
+    est = t.changelog_estimate(v0, v1)
+    assert est == {
+        "available": True,
+        "rows": 10,
+        "bytes": est["bytes"],
+        "commits": 1,
+    }
+    assert est["bytes"] > 0
+    t.append(tick_df(spark, n=4, start="2024-02-01 00:00:00"))
+    assert t.changelog_estimate(v0)["rows"] == 14
+    # CoW delete rewrites the touched file: removed + added rows
+    v2 = t.current_version()
+    delete_where(t, F.col("Bid") < 1.0908)  # rewrites one file
+    est = t.changelog_estimate(v2)
+    assert est["available"] and est["rows"] >= 4
+    # property commits are content-preserving: zero contribution
+    v3 = t.current_version()
+    t.set_properties(note="x")
+    assert t.changelog_estimate(v3)["rows"] == 0
+    expire_snapshots(
+        t, older_than_ms=10**18, retain_last=1, orphan_grace_secs=0.0
+    )
+    assert t.changelog_estimate(v0)["available"] is False
+
+
+def test_txn_guard_refuses_ddl_on_participants(catalog, spark):
+    """ADVICE r13 (medium): DROP TABLE on a table with staged appends
+    inside the open transaction let COMMIT publish the OTHER table and
+    then die on NoSuchTableError - half-published, from the very
+    surface that advertises all-or-nothing. DROP/ALTER/CLONE-into now
+    refuse on participants; non-participants stay autocommit DDL."""
+    catalog.create_namespace("gold")
+    for n in ("ga", "gb", "gc"):
+        catalog.create_table(
+            f"gold.{n}",
+            spark.createDataFrame([], "k long, v long").schema,
+        )
+    catalog.sql("BEGIN")
+    catalog.sql("INSERT INTO gold.ga SELECT 1, 1")
+    catalog.sql("INSERT INTO gold.gb SELECT 2, 2")
+    with pytest.raises(ValueError, match="participant"):
+        catalog.sql("DROP TABLE gold.gb")
+    with pytest.raises(ValueError, match="participant"):
+        catalog.sql("DROP TABLE GOLD.GB")  # case-insensitive match
+    with pytest.raises(ValueError, match="participant"):
+        catalog.sql("ALTER TABLE gold.ga ADD COLUMN w long")
+    with pytest.raises(ValueError, match="participant"):
+        catalog.sql("CREATE TABLE gold.gb SHALLOW CLONE gold.gc")
+    # non-participant DDL stays autocommit, as documented
+    catalog.sql("DROP TABLE gold.gc")
+    res = catalog.sql("COMMIT").first()
+    assert res["tables_published"] == 2
+    assert catalog.sql("SELECT COUNT(*) AS n FROM gold_ga").first()["n"] == 1
+    assert catalog.sql("SELECT COUNT(*) AS n FROM gold_gb").first()["n"] == 1
+    # with the transaction resolved the same DDL goes through
+    catalog.sql("DROP TABLE gold.gb")
+
+
+def test_sql_begin_check_and_set_is_atomic(catalog, spark):
+    """ADVICE r13: two threads racing BEGIN through one catalog handle
+    must serialize - exactly one wins, the loser gets the loud
+    'already open' error, and the winner's transaction still commits."""
+    import threading
+
+    catalog.create_table(
+        "gold.race", spark.createDataFrame([], "k long, v long").schema
+    )
+    for _ in range(5):
+        results: list = [None, None]
+        barrier = threading.Barrier(2)
+
+        def begin(i):
+            barrier.wait()
+            try:
+                catalog.sql("BEGIN")
+                results[i] = "ok"
+            except ValueError as e:
+                results[i] = str(e)
+
+        ts = [
+            threading.Thread(target=begin, args=(i,)) for i in range(2)
+        ]
+        for th in ts:
+            th.start()
+        for th in ts:
+            th.join()
+        assert sorted(r == "ok" for r in results) == [False, True]
+        loser = next(r for r in results if r != "ok")
+        assert "already open" in loser
+        catalog.sql("INSERT INTO gold.race SELECT 1, 1")
+        catalog.sql("COMMIT")
+    assert (
+        catalog.sql("SELECT COUNT(*) AS n FROM gold_race").first()["n"]
+        == 5
+    )
+
+
+def test_sql_txn_update_insert_atomic(catalog, spark):
+    """r14 (VERDICT r13 #4): UPDATE + INSERT across two tables driven
+    entirely through SQL land atomically - staged rewrites invisible
+    mid-transaction, COMMIT publishes both, ROLLBACK leaves both
+    pristine."""
+    catalog.create_namespace("gold")
+    a = catalog.create_table(
+        "gold.dmla", spark.createDataFrame([], "k long, v long").schema
+    )
+    b = catalog.create_table(
+        "gold.dmlb", spark.createDataFrame([], "run string, n long").schema
+    )
+    a.append(
+        spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30)], "k long, v long"
+        ).coalesce(1)
+    )
+    catalog.sql("BEGIN")
+    res = catalog.sql("UPDATE gold.dmla SET v = v + 1 WHERE k >= 2").first()
+    assert res["operation"] == "update staged"
+    catalog.sql("INSERT INTO gold.dmlb SELECT 'u', 2")
+    # invisible mid-transaction
+    assert catalog.sql(
+        "SELECT SUM(v) AS s FROM gold_dmla"
+    ).first()["s"] == 60
+    assert catalog.sql("SELECT COUNT(*) AS n FROM gold_dmlb").first()["n"] == 0
+    catalog.sql("COMMIT")
+    assert catalog.sql(
+        "SELECT SUM(v) AS s FROM gold_dmla"
+    ).first()["s"] == 62
+    assert catalog.sql("SELECT COUNT(*) AS n FROM gold_dmlb").first()["n"] == 1
+    # DELETE + ROLLBACK: both pristine, no staged residue
+    v_a = a.current_version()
+    catalog.sql("BEGIN")
+    res = catalog.sql("DELETE FROM gold.dmla WHERE k = 1").first()
+    assert res["operation"] == "delete staged"
+    catalog.sql("INSERT INTO gold.dmlb SELECT 'd', 1")
+    catalog.sql("ROLLBACK")
+    assert a.current_version() == v_a
+    assert catalog.sql("SELECT COUNT(*) AS n FROM gold_dmla").first()["n"] == 3
+    assert catalog.sql("SELECT COUNT(*) AS n FROM gold_dmlb").first()["n"] == 1
+    assert a.list_staged() == [] and b.list_staged() == []
+    # one row-DML statement per table: a second UPDATE on dmla refuses
+    catalog.sql("BEGIN")
+    catalog.sql("UPDATE gold.dmla SET v = 0 WHERE k = 1")
+    with pytest.raises(ValueError, match="at most one"):
+        catalog.sql("DELETE FROM gold.dmla WHERE k = 2")
+    catalog.sql("ROLLBACK")

@@ -473,3 +473,245 @@ def test_list_records_labels_claims_by_action(cat, spark):
     assert c2 is not None
     recs = {r["id"]: r for r in list_records(cat)}
     assert recs[t2.txn_id]["state"] == "recovering"
+
+
+def test_backdate_refuses_contested_record(cat, spark):
+    """ADVICE r13: backdate_for_recovery used to read-modify-replace
+    the record WITHOUT claiming it - racing a live owner's heartbeat it
+    could clobber a concurrently-added participant. It now claims
+    first: a contested record refuses loudly, and a successful
+    backdate releases the claim so the record stays recoverable."""
+    import json
+
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.transactions import (  # noqa: E501
+        _claim,
+        _release,
+        _txn_path,
+        recover_transactions,
+    )
+
+    data, _ = _tables(cat, spark)
+    txn = cat.transaction()
+    txn.append(
+        "gold.trades", spark.createDataFrame([(1, 10)], "k long, v long")
+    )
+    # someone else holds the claim (a concurrent recovery): refuse
+    claimed = _claim(_txn_path(cat, txn.txn_id))
+    with pytest.raises(ValueError, match="contested"):
+        backdate_for_recovery(cat, txn.txn_id)
+    _release(claimed, _txn_path(cat, txn.txn_id))
+    # uncontested: the backdate lands and the record is intact
+    backdate_for_recovery(cat, txn.txn_id, ms=7)
+    with open(_txn_path(cat, txn.txn_id)) as f:
+        doc = json.load(f)
+    assert len(doc["participants"]) == 1  # nothing clobbered
+    report = recover_transactions(cat, grace_ms=0)
+    assert report == {txn.txn_id: "rolled_back"}
+    assert data.to_df().count() == 0
+
+
+def _seed_trades(cat, spark):
+    data, audit = _tables(cat, spark)
+    # ONE data file, so any two row-DML statements provably touch the
+    # same file (the conflict test needs a guaranteed overlap)
+    data.append(
+        spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30)], "k long, v long"
+        ).coalesce(1)
+    )
+    return data, audit
+
+
+def test_txn_update_and_insert_two_tables_atomic(cat, spark):
+    """r14 (VERDICT r13 #4): a CoW UPDATE and an INSERT on two tables
+    inside one transaction - the rewrite runs at statement time but
+    stays invisible; COMMIT publishes both all-or-nothing."""
+    from pyspark.sql import functions as F
+
+    data, audit = _seed_trades(cat, spark)
+    v_data = data.current_version()
+    txn = cat.transaction()
+    txn.update_where(
+        "gold.trades", F.col("k") == 2, {"v": F.col("v") + 100}
+    )
+    txn.append(
+        "gold.ops", spark.createDataFrame([("u1", 1)], "run string, n long")
+    )
+    # both invisible mid-transaction
+    assert data.current_version() == v_data
+    assert {r["v"] for r in data.to_df().collect()} == {10, 20, 30}
+    assert audit.to_df().count() == 0
+    out = txn.commit()
+    assert set(out) == {"gold.trades", "gold.ops"}
+    assert {(r["k"], r["v"]) for r in data.to_df().collect()} == {
+        (1, 10), (2, 120), (3, 30)
+    }
+    assert audit.to_df().count() == 1
+    assert data.snapshot().operation == "update"
+    assert data.list_staged() == [] and audit.list_staged() == []
+
+
+def test_txn_delete_rollback_pristine(cat, spark):
+    """ROLLBACK of a staged CoW DELETE discards only the rewrite's new
+    files - the superseded originals were never touched, so the table
+    is byte-identical (same version, same file set)."""
+    from pyspark.sql import functions as F
+
+    data, audit = _seed_trades(cat, spark)
+    v = data.current_version()
+    paths = {e["path"] for e in data.snapshot().manifest}
+    txn = cat.transaction()
+    txn.delete_where("gold.trades", F.col("k") >= 2)
+    txn.append(
+        "gold.ops", spark.createDataFrame([("d1", 2)], "run string, n long")
+    )
+    n = txn.abort()
+    assert n >= 1  # the staged rewrite's files were physically removed
+    assert data.current_version() == v
+    assert {e["path"] for e in data.snapshot().manifest} == paths
+    assert data.to_df().count() == 3
+    assert data.list_staged() == [] and audit.list_staged() == []
+
+
+def test_txn_row_dml_crash_rolls_forward(cat, spark):
+    """Crash between the commit edge and the publish pass: recovery
+    rolls the staged UPDATE + INSERT forward - the replace publishes as
+    one commit_delta, stamped for idempotence."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.transactions import (  # noqa: E501
+        _write_record,
+        recover_transactions,
+    )
+    from pyspark.sql import functions as F
+
+    data, audit = _seed_trades(cat, spark)
+    txn = cat.transaction()
+    txn.update_where(
+        "gold.trades", F.col("k") == 1, {"v": F.lit(-1).cast("long")}
+    )
+    txn.append(
+        "gold.ops", spark.createDataFrame([("c1", 1)], "run string, n long")
+    )
+    _write_record(cat, txn._record("committed"))  # crash after the edge
+    report = recover_transactions(cat, grace_ms=0)
+    assert report == {txn.txn_id: "rolled_forward"}
+    assert {(r["k"], r["v"]) for r in data.to_df().collect()} == {
+        (1, -1), (2, 20), (3, 30)
+    }
+    assert audit.to_df().count() == 1
+    # idempotence: a second recovery pass publishes nothing new
+    v = data.current_version()
+    assert recover_transactions(cat, grace_ms=0) == {}
+    assert data.current_version() == v
+
+
+def test_txn_replace_conflict_detected_before_commit_edge(cat, spark):
+    """A concurrent writer rewriting the superseded files between stage
+    and COMMIT: the pre-edge validation raises, the transaction stays
+    PENDING (rollback-able) and nothing published - all-or-nothing
+    survives the conflict."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.dml import (
+        update_where,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.table import (
+        StagedReplaceConflict,
+    )
+    from pyspark.sql import functions as F
+
+    data, audit = _seed_trades(cat, spark)
+    txn = cat.transaction()
+    txn.update_where(
+        "gold.trades", F.col("k") == 2, {"v": F.lit(0).cast("long")}
+    )
+    txn.append(
+        "gold.ops", spark.createDataFrame([("x", 1)], "run string, n long")
+    )
+    # concurrent autocommit rewrite of the same rows' files
+    update_where(data, F.col("k") == 3, {"v": F.lit(99).cast("long")})
+    with pytest.raises(StagedReplaceConflict, match="concurrent"):
+        txn.commit()
+    assert txn._state == "pending"  # still abortable
+    assert audit.to_df().count() == 0  # nothing published
+    txn.abort()
+    assert {(r["k"], r["v"]) for r in data.to_df().collect()} == {
+        (1, 10), (2, 20), (3, 99)
+    }
+    assert data.list_staged() == [] and audit.list_staged() == []
+
+
+def test_txn_one_row_dml_statement_per_table(cat, spark):
+    """Statements compute against the pre-transaction snapshot, so a
+    second statement on the same table could not see the first - refuse
+    every mixing shape loudly."""
+    from pyspark.sql import functions as F
+
+    data, _ = _seed_trades(cat, spark)
+    txn = cat.transaction()
+    txn.update_where(
+        "gold.trades", F.col("k") == 1, {"v": F.lit(0).cast("long")}
+    )
+    with pytest.raises(ValueError, match="at most one"):
+        txn.delete_where("gold.trades", F.col("k") == 2)
+    with pytest.raises(ValueError, match="at most one"):
+        txn.append(
+            "gold.trades",
+            spark.createDataFrame([(9, 9)], "k long, v long"),
+        )
+    # append-then-replace refuses too; append-then-append stays legal
+    txn2_audit = cat.load_table("gold.ops")
+    txn.append(
+        "gold.ops", spark.createDataFrame([("a", 1)], "run string, n long")
+    )
+    txn.append(
+        "gold.ops", spark.createDataFrame([("b", 2)], "run string, n long")
+    )
+    with pytest.raises(ValueError, match="cannot mix with appends"):
+        txn.update_where(
+            "gold.ops", F.lit(True), {"n": F.lit(0).cast("long")}
+        )
+    txn.commit()
+    assert txn2_audit.to_df().count() == 2
+    assert data.to_df().filter("k = 1").first()["v"] == 0
+
+
+def test_txn_replace_conflict_in_publish_window_reports_incomplete(
+    cat, spark
+):
+    """The tiny window between the commit edge and publish: a
+    concurrent rewrite of a superseded file there cannot be rolled
+    back (the edge passed) - recovery must report the transaction
+     'incomplete' loudly, never retry a forever-lost race and never
+    publish a rewrite that would resurrect the concurrent writer's
+    deleted rows."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.dml import (
+        update_where,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.transactions import (  # noqa: E501
+        _write_record,
+        recover_transactions,
+    )
+    from pyspark.sql import functions as F
+
+    data, audit = _seed_trades(cat, spark)
+    txn = cat.transaction()
+    txn.update_where(
+        "gold.trades", F.col("k") == 2, {"v": F.lit(0).cast("long")}
+    )
+    # crash exactly after the edge...
+    _write_record(cat, txn._record("committed"))
+    # ...and a concurrent writer rewrites the superseded file before
+    # recovery runs
+    update_where(data, F.col("k") == 3, {"v": F.lit(99).cast("long")})
+    report = recover_transactions(cat, grace_ms=0)
+    assert report == {txn.txn_id: "incomplete"}
+    # the concurrent writer's result stands; the staged rewrite did
+    # NOT land (it would have reverted k=3 to 30)
+    assert {(r["k"], r["v"]) for r in data.to_df().collect()} == {
+        (1, 10), (2, 20), (3, 99)
+    }
+    # the record stays as evidence
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.transactions import (  # noqa: E501
+        list_records,
+    )
+
+    recs = {r["id"]: r["state"] for r in list_records(cat)}
+    assert recs.get(txn.txn_id) == "committed"
