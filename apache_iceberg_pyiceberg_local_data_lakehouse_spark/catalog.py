@@ -4692,6 +4692,12 @@ class LakehouseCatalog:
                 out["choice"] = "full"
                 out["reason"] = "changelog-expired"
                 return out
+            if est["rows"] == 0:
+                # content-preserving commits only (empty appends,
+                # compactions): the refresh re-pins or merges an empty
+                # delta - charging a full per-term floor here would
+                # force a pointless full rewrite (review r14)
+                continue
             dim_rows = dt.snapshot().total_rows
             # each changed dim row joins ~fact_rows/dim_keys fact rows
             # (uniform-key estimate - the same assumption AQE starts
@@ -4705,8 +4711,9 @@ class LakehouseCatalog:
                 out["choice"] = "full"
                 out["reason"] = "changelog-expired"
                 return out
-            ch_rows += est["rows"]
-            terms += 1
+            if est["rows"] > 0:  # empty fact advance: near-no-op merge
+                ch_rows += est["rows"]
+                terms += 1
         inc_total = ch_rows + terms * overhead
         out["terms"] = terms
         out["changelog_rows"] = int(ch_rows)
@@ -5277,9 +5284,13 @@ class LakehouseCatalog:
                         "already open; COMMIT or ROLLBACK it first "
                         "(nested transactions are not supported)"
                     )
-                self._active_txn = self.transaction()
+                self._active_txn = new_txn = self.transaction()
+            # read the LOCAL, not self._active_txn: another misusing
+            # thread could clear the pointer between lock release and
+            # here, turning the designed loud error into an
+            # AttributeError (review r14)
             return self.spark.createDataFrame(
-                [("begin transaction", self._active_txn.txn_id)],
+                [("begin transaction", new_txn.txn_id)],
                 "operation string, txn_id string",
             )
         m = _DML_COMMIT.match(query)
@@ -6149,8 +6160,8 @@ class LakehouseCatalog:
                 raise ValueError(
                     f"{verb} cannot run inside the open transaction "
                     f"{self._active_txn.txn_id}: only INSERT INTO ... "
-                    "SELECT stages transactionally; COMMIT or ROLLBACK "
-                    "first"
+                    "SELECT, UPDATE, and DELETE ... WHERE stage "
+                    "transactionally; COMMIT or ROLLBACK first"
                 )
         m = _DML_INSERT.match(query)
         if m and m.group(1).upper() == "OVERWRITE":

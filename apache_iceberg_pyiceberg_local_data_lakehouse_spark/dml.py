@@ -515,7 +515,8 @@ def merge_into(
     source_delete_condition: str | Column | None = None,
     extra_summary: dict | None = None,
     with_schema_evolution: bool = False,
-) -> Snapshot:
+    stage_as: str | None = None,
+) -> Snapshot | str:
     """MERGE INTO table USING updates ON table.key = updates.key — the
     full SQL MERGE clause matrix over the snapshot format.
 
@@ -887,6 +888,14 @@ def merge_into(
             "allocated at the append door; use a matched-only MERGE "
             "(when_not_matched='ignore') or append the new rows"
         )
+    if stage_as is not None and with_schema_evolution:
+        # evolution commits schema metadata BEFORE the merge (fail-open,
+        # see below) - a staged merge must stay fully invisible until
+        # publish, which a pre-committed schema change cannot be
+        raise ValueError(
+            "stage_as cannot combine with with_schema_evolution "
+            "(evolution commits metadata before the merge)"
+        )
     constraints_prevalidated = False
     if with_schema_evolution:
         # Evolution is fail-open (each add/widen is its own metadata
@@ -1129,19 +1138,29 @@ def merge_into(
         rewritten = len(touched) + len(bs_hit)
     else:
         carried, dropped, rewritten = len(untouched), 0, len(touched)
+    summary = {
+        "rewritten_files": rewritten,
+        "carried_files": carried,
+        "dropped_files": dropped,
+        "mode": when_matched,
+        "sync": sync,
+        **({"by_source_update": True} if bs_update else {}),
+        **(extra_summary or {}),
+    }
+    if stage_as is not None:
+        return table.stage_replace(
+            new_entries,
+            removed,
+            operation="merge",
+            summary=summary,
+            staged_id=stage_as,
+            base_version=snap.version,
+        )
     return table.commit_delta(
         added=new_entries,
         removed_paths=removed,
         operation="merge",
-        summary={
-            "rewritten_files": rewritten,
-            "carried_files": carried,
-            "dropped_files": dropped,
-            "mode": when_matched,
-            "sync": sync,
-            **({"by_source_update": True} if bs_update else {}),
-            **(extra_summary or {}),
-        },
+        summary=summary,
         base_version=snap.version,
     )
 

@@ -981,11 +981,28 @@ def auto_maintain(
     snap = table.snapshot()
     report: dict[str, object] = {}
 
+    # file-rewriting passes DEFER while a staged REPLACE is pending
+    # (review r14): a compaction/retention/consolidation commit that
+    # rewrites one of the staged rewrite's superseded files (or lands
+    # new tombstones) turns the owning transaction's publish into a
+    # write-write conflict - routine maintenance must never kill a
+    # pending transaction. Staged APPENDS don't block anything (their
+    # publish rebases over rewrites of other files), and snapshot
+    # expiry / manifest rewrite stay enabled (metadata-only; orphan GC
+    # already excludes marker-protected staged files).
+    replace_pending = any(
+        table.staged_doc(sid).get("kind") == "replace"
+        for sid in table.list_staged()
+    )
+    _DEFER = "deferred: staged replace pending"
+
     # row-level retention FIRST (r12): its MoR tombstones then feed the
     # consolidation/compaction passes below in the same call. A
     # malformed policy is REPORTED, not raised - one bad property must
     # not abort the rest of the maintenance pass (review r12).
-    if props.get("retention.column"):
+    if props.get("retention.column") and replace_pending:
+        report["retention"] = _DEFER
+    elif props.get("retention.column"):
         try:
             if dry_run:
                 # probe-only (exact_count=False): the dry run keeps
@@ -1017,7 +1034,9 @@ def auto_maintain(
         report["retention"] = "no policy"
 
     n_tomb = len(snap.pos_delete_entries)
-    if n_tomb > max_tombstone_files:
+    if n_tomb > max_tombstone_files and replace_pending:
+        report["rewrite_position_deletes"] = _DEFER
+    elif n_tomb > max_tombstone_files:
         report["rewrite_position_deletes"] = (
             f"would consolidate {n_tomb} files"
             if dry_run
@@ -1031,7 +1050,9 @@ def auto_maintain(
         report["rewrite_position_deletes"] = "not due"
 
     n_eq = len(snap.eq_delete_entries)
-    if n_eq > max_tombstone_files:
+    if n_eq > max_tombstone_files and replace_pending:
+        report["rewrite_equality_deletes"] = _DEFER
+    elif n_eq > max_tombstone_files:
         report["rewrite_equality_deletes"] = (
             f"would consolidate {n_eq} files"
             if dry_run
@@ -1049,7 +1070,9 @@ def auto_maintain(
         for e in table.snapshot().data_entries
         if int(e.get("bytes", 0)) < target_file_bytes // 2
     ]
-    if len(small) >= min_small_files:
+    if len(small) >= min_small_files and replace_pending:
+        report["compact"] = _DEFER
+    elif len(small) >= min_small_files:
         raw_budget = props.get("maintenance.max-rewrite-bytes")
         budget = int(raw_budget) if raw_budget is not None else None
         report["compact"] = (

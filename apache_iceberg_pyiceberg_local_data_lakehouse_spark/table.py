@@ -2017,6 +2017,48 @@ class LakehouseTable:
         deletes don't apply (the staged rows postdate them)."""
         return self._read_data(self.staged_entries(staged_id), self.snapshot())
 
+    def staged_replace_conflict(self, doc: dict, snap: Snapshot) -> str | None:
+        """Snapshot-isolation validation for a staged REPLACE against
+        ``snap``: returns a human-readable conflict reason, or None when
+        publishing is safe. Two hazards (review r14):
+
+        - a superseded path no longer live: a concurrent writer
+          rewrote/removed it, so committing the rewrite would resurrect
+          that writer's deleted rows or double-apply ours;
+        - ANY merge-on-read tombstone committed after the rewrite's
+          base version: the published rewrite's files get a sequence
+          number ABOVE the tombstones' horizon, so rows those
+          tombstones deleted from the superseded files would silently
+          reappear (tombstone-only commits remove no paths, making
+          them invisible to the path check alone). Conservative on
+          position deletes - their target paths live in file CONTENT,
+          which this metadata-only check must not read."""
+        removed = set(doc.get("removed_paths", []))
+        live = {e["path"] for e in snap.manifest}
+        missing = removed - live
+        if missing:
+            return (
+                f"supersedes {len(missing)} file(s) a concurrent "
+                "writer already removed/rewrote (e.g. "
+                f"{sorted(missing)[:3]})"
+            )
+        bv = doc.get("base_version")
+        bv = -1 if bv is None else int(bv)
+        new_dels = [
+            e
+            for e in snap.delete_entries
+            if int(e.get("seq", 0)) > bv
+        ]
+        if new_dels:
+            return (
+                f"{len(new_dels)} merge-on-read tombstone file(s) "
+                f"committed after the rewrite's base v{bv}; "
+                "re-publishing the rewritten rows above the "
+                "tombstones' sequence horizon would resurrect "
+                "deleted rows"
+            )
+        return None
+
     def publish_staged(
         self,
         staged_id: str,
@@ -2032,34 +2074,46 @@ class LakehouseTable:
         always stamped and is the idempotence evidence recovery reads.
 
         A staged REPLACE (``stage_replace``) publishes as one
-        ``commit_delta`` after a snapshot-isolation check: every path it
-        removes must still be live. Concurrent appends rebase cleanly;
-        a concurrent rewrite of a removed file raises
-        ``StagedReplaceConflict`` - committing anyway would resurrect
-        the rewriter's deleted rows or double-apply ours."""
+        ``commit_delta`` after a snapshot-isolation check
+        (``staged_replace_conflict``): every superseded path must still
+        be live and no merge-on-read tombstones may have landed since
+        the rewrite's base. The check-and-commit is a CAS loop
+        (``base_version`` = the checked snapshot, retried like the
+        append path): a benign concurrent append rebases on retry, a
+        real conflict raises ``StagedReplaceConflict``."""
         doc = self.staged_doc(staged_id)
         stamp = {
             **(extra_summary or {}),
             "published_stage": staged_id,
         }
         if doc.get("kind") == "replace":
-            removed = set(doc.get("removed_paths", []))
-            live = {e["path"] for e in self.snapshot().manifest}
-            missing = removed - live
-            if missing:
-                raise StagedReplaceConflict(
-                    f"staged replace {staged_id!r} supersedes "
-                    f"{len(missing)} file(s) a concurrent writer "
-                    "already removed/rewrote (e.g. "
-                    f"{sorted(missing)[:3]}); the rewrite must be "
-                    "recomputed against the current snapshot"
-                )
-            snap = self.commit_delta(
-                added=doc["entries"],
-                removed_paths=removed,
-                operation=doc.get("operation", "replace"),
-                summary={**doc.get("summary", {}), **stamp},
-            )
+            last_exc: Exception | None = None
+            for _ in range(max(1, max_retries)):
+                cur = self.snapshot()
+                why = self.staged_replace_conflict(doc, cur)
+                if why:
+                    raise StagedReplaceConflict(
+                        f"staged replace {staged_id!r} {why}; the "
+                        "rewrite must be recomputed against the "
+                        "current snapshot"
+                    )
+                try:
+                    # base_version pins the commit to the EXACT
+                    # snapshot the conflict check read - a writer
+                    # slipping between check and commit bounces to a
+                    # re-check, never a silent double-apply (review r14)
+                    snap = self.commit_delta(
+                        added=doc["entries"],
+                        removed_paths=set(doc.get("removed_paths", [])),
+                        operation=doc.get("operation", "replace"),
+                        summary={**doc.get("summary", {}), **stamp},
+                        base_version=cur.version,
+                    )
+                    break
+                except CommitConflict as exc:
+                    last_exc = exc  # concurrent commit: re-check, retry
+            else:
+                raise last_exc
         else:
             snap = self._commit_append(
                 doc["entries"],

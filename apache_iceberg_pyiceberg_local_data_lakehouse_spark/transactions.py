@@ -350,7 +350,11 @@ class MultiTableTransaction:
             {"table": identifier, "staged_id": staged_id, "published": False}
         )
         _write_record(self.catalog, self._record("pending"))
-        t.stage_append(df, bloom_cols=bloom_cols, staged_id=staged_id)
+        try:
+            t.stage_append(df, bloom_cols=bloom_cols, staged_id=staged_id)
+        except BaseException:
+            self._drop_failed_participant(staged_id)
+            raise
         # heartbeat AFTER the (possibly long) distributed write too, so
         # the record's age reflects liveness, not just append() entry -
         # a stage outrunning grace_ms would otherwise look crashed to a
@@ -358,6 +362,35 @@ class MultiTableTransaction:
         # to outrun grace_ms, call touch() from a caller-side timer.
         _write_record(self.catalog, self._record("pending"))
         return staged_id
+
+    def _drop_failed_participant(self, staged_id: str) -> None:
+        """A staged statement raised after its intent was recorded: the
+        participant has no marker (or a half-written one already
+        cleaned) and will never publish. LEAVING it in the record makes
+        the later COMMIT half-publish (the marker-less participant
+        raises mid-publish while others land) and blocks a corrected
+        retry of the same statement behind the one-per-table gate
+        (review r14). Pop it, discard any marker the statement did
+        manage to write, and rewrite the record - the statement's
+        failure was already reported to the caller, and marker-less
+        orphan files belong to ordinary GC."""
+        dropped = [
+            p for p in self.participants if p["staged_id"] == staged_id
+        ]
+        self.participants[:] = [
+            p for p in self.participants if p["staged_id"] != staged_id
+        ]
+        for p in dropped:
+            try:
+                self.catalog.load_table(p["table"]).abort_staged(
+                    p["staged_id"]
+                )
+            except Exception:  # marker never written: nothing staged
+                pass
+        try:
+            _write_record(self.catalog, self._record("pending"))
+        except OSError:  # pragma: no cover - record rewrite best-effort
+            pass
 
     def _check_single_statement(self, identifier: str, kind: str) -> None:
         """Row-DML (replace) statements compute against the table's
@@ -412,6 +445,22 @@ class MultiTableTransaction:
             ),
         )
 
+    def merge_into(self, identifier: str, updates, key, **kwargs) -> str:
+        """Stage a full MERGE clause matrix (CoW) inside this
+        transaction - same staging/visibility contract as
+        :meth:`update_where`. ``kwargs`` pass through to
+        :func:`dml.merge_into` (``with_schema_evolution`` is refused:
+        evolution commits metadata before the merge and cannot stage
+        invisibly). Returns the staged id."""
+        from .dml import merge_into as _dml_merge
+
+        return self._stage_replace_stmt(
+            identifier,
+            lambda t, sid: _dml_merge(
+                t, updates, key, stage_as=sid, **kwargs
+            ),
+        )
+
     def _stage_replace_stmt(self, identifier: str, run) -> str:
         """Shared intent-first staging protocol for row-DML: record the
         pre-allocated staged id durably, THEN run the distributed
@@ -431,7 +480,13 @@ class MultiTableTransaction:
             }
         )
         _write_record(self.catalog, self._record("pending"))
-        run(t, staged_id)
+        try:
+            run(t, staged_id)
+        except BaseException:
+            # a failed statement (bad column, analysis error, ...)
+            # must not leave a phantom participant behind (review r14)
+            self._drop_failed_participant(staged_id)
+            raise
         _write_record(self.catalog, self._record("pending"))
         return staged_id
 
@@ -603,16 +658,13 @@ class MultiTableTransaction:
                 doc = t.staged_doc(p["staged_id"])
             except ValueError:
                 continue  # marker never written; publish will surface it
-            removed = set(doc.get("removed_paths", []))
-            live = {e["path"] for e in t.snapshot().manifest}
-            missing = removed - live
-            if missing:
+            why = t.staged_replace_conflict(doc, t.snapshot())
+            if why:
                 raise StagedReplaceConflict(
                     f"transaction {self.txn_id}: staged "
                     f"{doc.get('operation', 'replace')} on {p['table']} "
-                    f"supersedes {len(missing)} file(s) a concurrent "
-                    "writer already removed/rewrote; ROLLBACK and "
-                    "re-run the statement against the current snapshot"
+                    f"{why}; ROLLBACK and re-run the statement against "
+                    "the current snapshot"
                 )
 
     def _record(self, state: str) -> dict:

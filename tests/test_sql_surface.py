@@ -6299,3 +6299,30 @@ def test_sql_txn_update_insert_atomic(catalog, spark):
     with pytest.raises(ValueError, match="at most one"):
         catalog.sql("DELETE FROM gold.dmla WHERE k = 2")
     catalog.sql("ROLLBACK")
+
+
+def test_mv_refresh_estimate_ignores_content_preserving_commits(
+    catalog, spark
+):
+    """review r14: an empty dim append / property commit advances the
+    version without changing content - the refresh re-pins and no-ops,
+    so the estimate must say 'noop', not charge a per-term floor and
+    claim a full rewrite is coming."""
+    f, d = _join_fixture(catalog, spark, suffix="cp")
+    catalog.create_materialized_view(
+        "gold.cpmv",
+        "SELECT seg, COUNT(*) AS n, SUM(v) AS sv FROM gold_factcp "
+        "JOIN gold_dimcp ON gold_factcp.fk = gold_dimcp.k GROUP BY seg",
+    )
+    # empty append: version moves, zero content
+    d.append(spark.createDataFrame([], "k long, seg string"))
+    est = catalog.mv_refresh_estimate("gold.cpmv")
+    assert est["choice"] == "noop" and est["terms"] == 0
+    # an empty fact advance is a near-no-op merge, never a full rewrite
+    f.append(spark.createDataFrame([], "fk long, v long"))
+    est = catalog.mv_refresh_estimate("gold.cpmv")
+    assert est["choice"] == "noop"
+    # a REAL dim change still counts
+    d.append(spark.createDataFrame([(9, "C")], "k long, seg string"))
+    est = catalog.mv_refresh_estimate("gold.cpmv")
+    assert est["choice"] in ("full", "incremental") and est["terms"] >= 1

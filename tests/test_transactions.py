@@ -715,3 +715,194 @@ def test_txn_replace_conflict_in_publish_window_reports_incomplete(
 
     recs = {r["id"]: r["state"] for r in list_records(cat)}
     assert recs.get(txn.txn_id) == "committed"
+
+
+def test_txn_failed_statement_leaves_no_phantom_participant(
+    cat, spark, monkeypatch
+):
+    """review r14: a row-DML statement that raises (bad column) after
+    recording its intent must not leave a phantom participant - a
+    later COMMIT would half-publish, and the corrected retry would be
+    refused by the one-per-table gate."""
+    from pyspark.sql import functions as F
+
+    data, audit = _seed_trades(cat, spark)
+    txn = cat.transaction()
+    with pytest.raises(ValueError, match="not in schema"):
+        txn.update_where(
+            "gold.trades", F.col("k") == 1, {"nope": F.lit(1)}
+        )
+    assert txn.participants == []  # phantom dropped
+    # the corrected retry is accepted, and COMMIT publishes fully
+    txn.update_where(
+        "gold.trades", F.col("k") == 1, {"v": F.lit(5).cast("long")}
+    )
+    txn.append(
+        "gold.ops", spark.createDataFrame([("ok", 1)], "run string, n long")
+    )
+    out = txn.commit()
+    assert set(out) == {"gold.trades", "gold.ops"}
+    assert data.to_df().filter("k = 1").first()["v"] == 5
+    assert audit.to_df().count() == 1
+    # same contract for a failing INSERT staging (write-path failure)
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.table import (
+        LakehouseTable,
+    )
+
+    txn2 = cat.transaction()
+    with monkeypatch.context() as m:
+        m.setattr(
+            LakehouseTable,
+            "stage_append",
+            lambda self, *a, **k: (_ for _ in ()).throw(
+                RuntimeError("io failure")
+            ),
+        )
+        with pytest.raises(RuntimeError, match="io failure"):
+            txn2.append(
+                "gold.ops",
+                spark.createDataFrame([("x", 1)], "run string, n long"),
+            )
+    assert txn2.participants == []
+    txn2.abort()
+
+
+def test_txn_replace_conflicts_with_concurrent_mor_tombstones(cat, spark):
+    """review r14: a merge-on-read DELETE commits tombstones WITHOUT
+    removing any path, so the path-liveness check alone would publish
+    the staged rewrite ABOVE the tombstones' sequence horizon and
+    resurrect the deleted rows. The tombstone check must catch it."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.dml import (
+        delete_where,
+    )
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.table import (
+        StagedReplaceConflict,
+    )
+    from pyspark.sql import functions as F
+
+    data, audit = _seed_trades(cat, spark)
+    txn = cat.transaction()
+    txn.update_where(
+        "gold.trades", F.col("k") == 1, {"v": F.lit(0).cast("long")}
+    )
+    # concurrent MoR delete: tombstone-only commit, no path removed
+    delete_where(
+        data, F.col("k") == 3, mode="merge-on-read", equality_cols=["k"]
+    )
+    with pytest.raises(StagedReplaceConflict, match="tombstone"):
+        txn.commit()
+    assert txn._state == "pending"
+    txn.abort()
+    # the MoR delete's result stands untouched
+    assert {r["k"] for r in data.to_df().collect()} == {1, 2}
+
+
+def test_txn_replace_publish_rebases_over_concurrent_append(cat, spark):
+    """A benign concurrent APPEND between the commit edge and the
+    publish must not fail the transaction: the publish CAS-loop
+    re-checks and rebases (review r14 - commit_delta now carries
+    base_version, conflicts retry instead of silently double-applying
+    or throwing after the edge)."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.transactions import (  # noqa: E501
+        _write_record,
+        recover_transactions,
+    )
+    from pyspark.sql import functions as F
+
+    data, _ = _seed_trades(cat, spark)
+    txn = cat.transaction()
+    txn.update_where(
+        "gold.trades", F.col("k") == 2, {"v": F.lit(0).cast("long")}
+    )
+    _write_record(cat, txn._record("committed"))  # crash after the edge
+    # concurrent append lands before recovery publishes
+    data.append(
+        spark.createDataFrame([(7, 70)], "k long, v long").coalesce(1)
+    )
+    report = recover_transactions(cat, grace_ms=0)
+    assert report == {txn.txn_id: "rolled_forward"}
+    assert {(r["k"], r["v"]) for r in data.to_df().collect()} == {
+        (1, 10), (2, 0), (3, 30), (7, 70)
+    }
+
+
+def test_auto_maintain_defers_while_replace_staged(cat, spark):
+    """review r14: routine maintenance (compaction/retention/
+    consolidation) rewriting a staged rewrite's superseded files would
+    turn the pending transaction's publish into a spurious conflict -
+    auto_maintain defers the file-rewriting passes until the replace
+    resolves."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.maintenance import (  # noqa: E501
+        auto_maintain,
+    )
+    from pyspark.sql import functions as F
+
+    data, _ = _tables(cat, spark)
+    for i in range(10):  # enough small files to make compaction due
+        data.append(
+            spark.createDataFrame([(i, i)], "k long, v long").coalesce(1)
+        )
+    txn = cat.transaction()
+    txn.update_where(
+        "gold.trades", F.col("k") == 0, {"v": F.lit(-1).cast("long")}
+    )
+    report = auto_maintain(data)
+    assert report["compact"] == "deferred: staged replace pending"
+    # ... so the pending transaction still commits cleanly
+    txn.commit()
+    assert data.to_df().filter("k = 0").first()["v"] == -1
+    # with the replace resolved, the next pass compacts normally
+    report = auto_maintain(data)
+    assert report["compact"] == "compacted"
+
+
+def test_txn_merge_stages_and_commits_atomically(cat, spark):
+    """r14: the full MERGE clause matrix stages inside a transaction -
+    upsert invisible mid-transaction, COMMIT publishes it with the
+    audit row all-or-nothing, ROLLBACK leaves the table pristine."""
+    from pyspark.sql import functions as F
+
+    data, audit = _seed_trades(cat, spark)
+    src = spark.createDataFrame(
+        [(2, 200), (9, 90)], "k long, v long"
+    ).coalesce(1)
+    txn = cat.transaction()
+    txn.merge_into("gold.trades", src, key="k")
+    txn.append(
+        "gold.ops", spark.createDataFrame([("m1", 2)], "run string, n long")
+    )
+    # invisible mid-transaction
+    assert {(r["k"], r["v"]) for r in data.to_df().collect()} == {
+        (1, 10), (2, 20), (3, 30)
+    }
+    txn.commit()
+    assert {(r["k"], r["v"]) for r in data.to_df().collect()} == {
+        (1, 10), (2, 200), (3, 30), (9, 90)
+    }
+    assert audit.to_df().count() == 1
+    assert data.snapshot().operation == "merge"
+    # ROLLBACK leg: a staged delete-merge discards cleanly
+    v = data.current_version()
+    txn2 = cat.transaction()
+    txn2.merge_into(
+        "gold.trades",
+        spark.createDataFrame([(9,)], "k long").coalesce(1),
+        key="k",
+        when_matched="delete",
+        when_not_matched="ignore",
+    )
+    txn2.abort()
+    assert data.current_version() == v
+    assert data.to_df().count() == 4
+    assert data.list_staged() == []
+    # schema evolution cannot stage (pre-merge metadata commit)
+    txn3 = cat.transaction()
+    with pytest.raises(ValueError, match="schema_evolution"):
+        txn3.merge_into(
+            "gold.trades",
+            spark.createDataFrame([(1, 1, 1)], "k long, v long, w long"),
+            key="k",
+            with_schema_evolution=True,
+        )
+    assert txn3.participants == []  # no phantom from the refusal
+    txn3.abort()
