@@ -2243,9 +2243,13 @@ class LakehouseCatalog:
             t.set_properties(**new_pin)
         return snap
 
-    def _sql_merge(self, m: re.Match) -> DataFrame:
+    def _sql_merge(self, m: re.Match, txn=None) -> DataFrame:
         """Compile ``MERGE INTO t USING s ON t.k = s.k WHEN ...`` to
-        :func:`dml.merge_into`. Supported matrix (row-replace form, the
+        :func:`dml.merge_into`. With ``txn`` (r14) the compiled merge
+        STAGES into the open transaction instead of committing - same
+        contract as the routed UPDATE/DELETE; WITH SCHEMA EVOLUTION is
+        refused there (its metadata commits precede the merge).
+        Supported matrix (row-replace form, the
         one the engine's MERGE implements):
 
         - ``WHEN MATCHED [AND <cond over target cols>] THEN
@@ -2266,6 +2270,13 @@ class LakehouseCatalog:
         from .dml import merge_into
 
         target = m.group("target")
+        if txn is not None and m.group("evolve"):
+            raise ValueError(
+                "MERGE WITH SCHEMA EVOLUTION cannot run inside the "
+                f"open transaction {txn.txn_id}: evolution commits "
+                "schema metadata before the merge and cannot stage "
+                "invisibly; COMMIT or ROLLBACK first"
+            )
         t = self.load_table(target)
         src_txt = m.group("src")
         self.register_views()
@@ -2436,15 +2447,28 @@ class LakehouseCatalog:
             # the computed-row compiler owns the insert projection, so
             # a single or even zero WHEN MATCHED clauses route here
             # too when the insert side needs it
-            snap = self._merge_multi_clauses(
-                t,
-                src_df,
-                keys,
-                matched_clauses,
-                not_matched_clauses,
-                "delete" if bs_clause_list else "keep",
-                evolve=bool(m.group("evolve")),
-            )
+            def run_mc(stage_as=None):
+                return self._merge_multi_clauses(
+                    t,
+                    src_df,
+                    keys,
+                    matched_clauses,
+                    not_matched_clauses,
+                    "delete" if bs_clause_list else "keep",
+                    evolve=bool(m.group("evolve")),
+                    stage_as=stage_as,
+                )
+
+            if txn is not None:
+                sid = txn._stage_replace_stmt(
+                    target, lambda _t, s2: run_mc(stage_as=s2)
+                )
+                return self.spark.createDataFrame(
+                    [("merge staged", target, txn.txn_id, sid)],
+                    "operation string, table string, txn_id string, "
+                    "staged_id string",
+                )
+            snap = run_mc()
             return self.spark.createDataFrame(
                 [("merge", target, snap.version)],
                 "operation string, table string, version long",
@@ -2458,21 +2482,22 @@ class LakehouseCatalog:
                 when_matched = "update"
                 if action0 == "update_sets":
                     column_sets = sets0
-        if column_sets is not None:
-            snap = self._merge_column_sets(
-                t,
-                src_df,
-                keys,
-                column_sets,
-                matched_condition,
-                when_not_matched,
-                not_matched_condition,
-                "keep",
-                evolve=bool(m.group("evolve")),
-                by_source_clauses=bs_clause_list or None,
-            )
-        else:
-            snap = merge_into(
+        def run_plain(stage_as=None):
+            if column_sets is not None:
+                return self._merge_column_sets(
+                    t,
+                    src_df,
+                    keys,
+                    column_sets,
+                    matched_condition,
+                    when_not_matched,
+                    not_matched_condition,
+                    "keep",
+                    evolve=bool(m.group("evolve")),
+                    by_source_clauses=bs_clause_list or None,
+                    stage_as=stage_as,
+                )
+            return merge_into(
                 t,
                 src_df,
                 key=keys,
@@ -2482,7 +2507,19 @@ class LakehouseCatalog:
                 not_matched_condition=not_matched_condition,
                 by_source_clauses=bs_clause_list or None,
                 with_schema_evolution=bool(m.group("evolve")),
+                stage_as=stage_as,
             )
+
+        if txn is not None:
+            sid = txn._stage_replace_stmt(
+                target, lambda _t, s2: run_plain(stage_as=s2)
+            )
+            return self.spark.createDataFrame(
+                [("merge staged", target, txn.txn_id, sid)],
+                "operation string, table string, txn_id string, "
+                "staged_id string",
+            )
+        snap = run_plain()
         return self.spark.createDataFrame(
             [("merge", target, snap.version)],
             "operation string, table string, version long",
@@ -3000,6 +3037,7 @@ class LakehouseCatalog:
         insert_clauses: list[tuple[str | None, list | None]],
         by_source: str,
         evolve: bool = False,
+        stage_as: str | None = None,
     ):
         """Delta's multi-clause WHEN MATCHED matrix, first-match-wins
         per target row: each clause is ``(condition, action, sets)``
@@ -3328,6 +3366,7 @@ class LakehouseCatalog:
             when_not_matched="insert" if insert_clauses else "ignore",
             when_not_matched_by_source="keep",
             source_delete_condition="__merge_del",
+            stage_as=stage_as,
         )
 
     def _merge_column_sets(
@@ -3344,6 +3383,7 @@ class LakehouseCatalog:
         by_source_condition: str | None = None,
         by_source_sets: list[tuple[str, str]] | None = None,
         by_source_clauses: list[tuple] | None = None,
+        stage_as: str | None = None,
     ):
         """Execute MERGE with column-level ``UPDATE SET``: compute the
         full post-update rows (target joined to source on the keys,
@@ -3479,6 +3519,7 @@ class LakehouseCatalog:
             by_source_condition=by_source_condition,
             by_source_sets=by_source_sets,
             by_source_clauses=by_source_clauses,
+            stage_as=stage_as,
         )
 
     @staticmethod
@@ -5255,9 +5296,11 @@ class LakehouseCatalog:
         GC-protected) instead of appending, and ``UPDATE`` /
         ``DELETE ... WHERE`` stage their CoW rewrites the same way
         (r14; one row-DML statement per table per transaction, no
-        mixing with appends on the same table). COMMIT publishes
+        mixing with appends on the same table), as does the full
+        ``MERGE`` clause matrix (except WITH SCHEMA EVOLUTION, whose
+        metadata commits precede the merge). COMMIT publishes
         everything all-or-nothing through one atomic record swap.
-        Remaining row-DML verbs (MERGE, TRUNCATE, INSERT OVERWRITE,
+        Remaining row-mutating verbs (TRUNCATE, INSERT OVERWRITE,
         maintenance CALLs) are refused while a transaction is open -
         they would silently autocommit outside it. Crash recovery is
         ``CALL system.recover_transactions([grace_ms])``."""
@@ -6135,13 +6178,18 @@ class LakehouseCatalog:
                 "operation string, table string, txn_id string, "
                 "staged_id string",
             )
+        m = _DML_MERGE_HEAD.match(query)
+        if m:
+            # the full clause matrix compiles as usual; the compiled
+            # merge stages under the transaction instead of committing
+            return self._sql_merge(m, txn=txn)
         return None
 
     def _txn_statement_guard(self, query: str) -> None:
         """Inside an open BEGIN..COMMIT transaction, ``INSERT INTO ...
         SELECT`` stages (appends) and ``UPDATE`` / ``DELETE ... WHERE``
-        stage CoW replaces (r14 - routed by ``_txn_row_dml`` before
-        this guard runs). Every OTHER row-mutating verb would silently
+        / ``MERGE`` stage CoW replaces (r14 - routed by
+        ``_txn_row_dml`` before this guard runs). Every OTHER row-mutating verb would silently
         AUTOCOMMIT outside the transaction, which is exactly the broken
         expectation BEGIN exists to prevent - refuse it loudly. Reads,
         SHOW/DESCRIBE, and DDL stay available (DDL is autocommit, as in
@@ -6149,7 +6197,6 @@ class LakehouseCatalog:
         participants, refused below."""
         for verb, rx in (
             ("TRUNCATE", _DML_TRUNCATE),
-            ("MERGE", _DML_MERGE_HEAD),
             ("INSERT ... REPLACE WHERE", _DML_REPLACE_WHERE_HEAD),
             ("OPTIMIZE", _DML_OPTIMIZE),
             ("RESTORE", _DML_RESTORE),

@@ -6162,3 +6162,115 @@ def q94_txn_row_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, res.schema)
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+@register(
+    "q95_txn_sql_merge",
+    # new in r14, registered behind the judged window (r15 rotation
+    # fodder); certifies SQL MERGE inside BEGIN..COMMIT (r14 row-DML
+    # staging, the clause-matrix arm): a conditioned DELETE + UPDATE
+    # merge stages invisibly, COMMITs atomically with the audit INSERT,
+    # and the oracle reconstructs the post-merge state. The flags pin
+    # the invisibility and the staged routing.
+    defer=True,
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus AS status,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ), fin AS (
+      SELECT status,
+             CASE WHEN o_orderkey % 3 = 0 AND cents > 20000000
+                  THEN NULL                       -- clause 1: DELETE
+                  WHEN o_orderkey % 3 = 0 THEN cents + 11
+                  ELSE cents END AS cents
+      FROM base
+    )
+    SELECT status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(1 AS BIGINT) AS n_audit_rows,
+           TRUE AS staged_invisible,
+           TRUE AS merge_staged
+    FROM fin WHERE cents IS NOT NULL
+    GROUP BY status ORDER BY status
+    """,
+)
+def q95_txn_sql_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL MERGE inside a multi-table transaction: the multi-clause
+    matrix (conditioned DELETE first-match-wins over an UPDATE arm)
+    compiles as usual but STAGES under the open transaction - invisible
+    until COMMIT publishes it together with the audit row.
+
+    100 TB design note: the merge's rewrite is the ordinary
+    key-range-pruned CoW path run at statement time; the staged
+    replace publishes as one commit_delta after a snapshot-isolation
+    CAS check.
+
+    Reference parity: none - the reference has no MERGE and no
+    transactions; this is the engine's own surface."""
+    from ..catalog import LakehouseCatalog
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_q95_")
+    try:
+        cat = LakehouseCatalog(spark, wh)
+        cat.create_namespace("tmp")
+        o = load(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.col("o_orderstatus").alias("status"),
+            F.expr(
+                "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
+            ).alias("cents"),
+        )
+        data = cat.create_table("tmp.mrd", o.schema)
+        audit = cat.create_table(
+            "tmp.mra",
+            spark.createDataFrame([], "run string, n long").schema,
+        )
+        data.append(o)
+        src = o.filter("o_orderkey % 3 = 0").select("o_orderkey", "cents")
+        src.createOrReplaceTempView("q95_src")
+        pre_sum = cat.sql(
+            "SELECT SUM(cents) AS s FROM tmp_mrd"
+        ).first()["s"]
+        cat.sql("BEGIN")
+        res = cat.sql(
+            "MERGE INTO tmp.mrd USING q95_src s "
+            "ON tmp.mrd.o_orderkey = s.o_orderkey "
+            "WHEN MATCHED AND tmp.mrd.cents > 20000000 THEN DELETE "
+            "WHEN MATCHED THEN UPDATE SET cents = s.cents + 11"
+        ).first()
+        merge_staged = res["operation"] == "merge staged"
+        cat.sql("INSERT INTO tmp.mra SELECT 'm1', 1")
+        staged_invisible = (
+            cat.sql("SELECT SUM(cents) AS s FROM tmp_mrd").first()["s"]
+            == pre_sum
+            and cat.sql(
+                "SELECT COUNT(*) AS n FROM tmp_mra"
+            ).first()["n"]
+            == 0
+        )
+        cat.sql("COMMIT")
+        n_audit = audit.to_df().count()
+        res_df = (
+            data.to_df()
+            .groupBy("status")
+            .agg(
+                F.count("*").cast("long").alias("n_orders"),
+                F.sum("cents").cast("long").alias("sum_cents"),
+            )
+            .select(
+                "status",
+                "n_orders",
+                "sum_cents",
+                F.lit(n_audit).cast("long").alias("n_audit_rows"),
+                F.lit(bool(staged_invisible)).alias("staged_invisible"),
+                F.lit(bool(merge_staged)).alias("merge_staged"),
+            )
+            .orderBy("status")
+        )
+        rows = res_df.collect()  # materialize before warehouse vanishes
+        spark.catalog.dropTempView("q95_src")
+        return spark.createDataFrame(rows, res_df.schema)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)

@@ -6326,3 +6326,68 @@ def test_mv_refresh_estimate_ignores_content_preserving_commits(
     d.append(spark.createDataFrame([(9, "C")], "k long, seg string"))
     est = catalog.mv_refresh_estimate("gold.cpmv")
     assert est["choice"] in ("full", "incremental") and est["terms"] >= 1
+
+
+def test_sql_txn_merge_stages_atomically(catalog, spark):
+    """r14: SQL MERGE inside BEGIN..COMMIT stages the compiled clause
+    matrix - invisible mid-transaction, atomic with the audit INSERT,
+    and WITH SCHEMA EVOLUTION refuses (its metadata commits precede
+    the merge)."""
+    catalog.create_namespace("gold")
+    a = catalog.create_table(
+        "gold.mga", spark.createDataFrame([], "k long, v long").schema
+    )
+    b = catalog.create_table(
+        "gold.mgb", spark.createDataFrame([], "run string, n long").schema
+    )
+    a.append(
+        spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30)], "k long, v long"
+        ).coalesce(1)
+    )
+    spark.createDataFrame(
+        [(2, 200), (9, 90)], "k long, v long"
+    ).createOrReplaceTempView("mg_src")
+    catalog.sql("BEGIN")
+    res = catalog.sql(
+        "MERGE INTO gold.mga USING mg_src s ON gold.mga.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    ).first()
+    assert res["operation"] == "merge staged"
+    catalog.sql("INSERT INTO gold.mgb SELECT 'm', 2")
+    # invisible mid-transaction
+    assert catalog.sql("SELECT SUM(v) AS s FROM gold_mga").first()["s"] == 60
+    catalog.sql("COMMIT")
+    assert {
+        (r["k"], r["v"]) for r in catalog.sql(
+            "SELECT k, v FROM gold_mga"
+        ).collect()
+    } == {(1, 10), (2, 200), (3, 30), (9, 90)}
+    assert catalog.sql("SELECT COUNT(*) AS n FROM gold_mgb").first()["n"] == 1
+    # multi-clause matrix stages too, and ROLLBACK discards it
+    v = a.current_version()
+    catalog.sql("BEGIN")
+    res = catalog.sql(
+        "MERGE INTO gold.mga USING mg_src s ON gold.mga.k = s.k "
+        "WHEN MATCHED AND gold.mga.v > 100 THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET v = s.v + 1"
+    ).first()
+    assert res["operation"] == "merge staged"
+    catalog.sql("ROLLBACK")
+    assert a.current_version() == v and a.list_staged() == []
+    # schema evolution refuses inside the transaction, loudly
+    catalog.sql("BEGIN")
+    with pytest.raises(ValueError, match="SCHEMA EVOLUTION"):
+        catalog.sql(
+            "MERGE WITH SCHEMA EVOLUTION INTO gold.mga USING mg_src s "
+            "ON gold.mga.k = s.k WHEN MATCHED THEN UPDATE SET *"
+        )
+    # MERGE on a table already carrying a staged append still refuses
+    catalog.sql("INSERT INTO gold.mga SELECT 50, 500")
+    with pytest.raises(ValueError, match="cannot mix with appends"):
+        catalog.sql(
+            "MERGE INTO gold.mga USING mg_src s ON gold.mga.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET *"
+        )
+    catalog.sql("ROLLBACK")
