@@ -137,10 +137,14 @@ def exact_jaccard_pairs(
         F.col(id_col).alias("__id"),
         F.array_sort(F.array_distinct(F.split(F.col(text_col), " "))).alias("toks"),
     )
-    # cache the exploded (id, token) pairs: ONE tokenization pass feeds
-    # both the vocab probe and the mask build (previously each ran its
-    # own split/explode over the corpus)
-    toks = sets.select("__id", F.explode("toks").alias("tok")).cache()
+    # NOT cached (r14): materializing the exploded (id, token) pairs is
+    # the guide-§5 anti-pattern - the exploded corpus is the LARGEST
+    # table in this query, and the deserialized cache write cost more
+    # than the two cheap passes it saved (measured 6.0s -> 1.9s warm at
+    # sf0.1 removing it; tokenize+explode itself is 0.1s). The vocab
+    # probe and the mask build each re-tokenize: two streaming passes,
+    # zero materialized state.
+    toks = sets.select("__id", F.explode("toks").alias("tok"))
     # one bounded pass decides the strategy AND materializes the
     # dictionary: collect at most max+1 distinct tokens (the dictionary
     # is driver-sized by definition of the bitmap path)
@@ -150,10 +154,23 @@ def exact_jaccard_pairs(
     if vocab_size <= max_bitmap_vocab:
         n_words = (vocab_size + 63) // 64
         tok2id = {r["tok"]: i for i, r in enumerate(sorted(vocab_rows))}
-        id_map = F.create_map(
-            *[x for tok, i in tok2id.items() for x in (F.lit(tok), F.lit(i))]
-        )
-        with_tid = toks.withColumn("tid", id_map[F.col("tok")])
+        if vocab_size <= 256:
+            # tiny dictionary: a literal-map lookup beats the extra
+            # broadcast-build job
+            id_map = F.create_map(
+                *[x for tok, i in tok2id.items() for x in (F.lit(tok), F.lit(i))]
+            )
+            with_tid = toks.withColumn("tid", id_map[F.col("tok")])
+        else:
+            # large dictionary: Catalyst's GetMapValue on a literal map
+            # is a LINEAR scan per lookup (O(V) string compares per
+            # token row); a broadcast hash join probes in O(1)
+            dict_df = df.sparkSession.createDataFrame(
+                list(tok2id.items()), "tok string, tid int"
+            )
+            with_tid = toks.join(F.broadcast(dict_df), "tok").select(
+                "__id", "tid"
+            )
         masks = (
             with_tid.groupBy("__id")
             .agg(

@@ -917,6 +917,34 @@ def test_exact_jaccard_low_threshold_guard(spark):
     assert out.count() == 0  # disjoint vocabularies: no pairs
 
 
+def test_exact_jaccard_large_vocab_broadcast_dict(spark):
+    """The bitmap path switches its token->id mapping from a literal map
+    to a broadcast hash join above 256 distinct tokens (r14: GetMapValue
+    on a literal map is a linear scan per lookup). Pairs and scores must
+    be identical through the join-mapped masks."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.dedup import (
+        exact_jaccard_pairs,
+    )
+
+    # 300-token shared vocabulary (> the 256 literal-map cutoff, < the
+    # 4096 bitmap budget); docs 1/2 share 57/60 tokens (jaccard 57/63 ~
+    # 0.905), doc 3 is an exact duplicate of doc 1, doc 4 is disjoint
+    base = [f"w{j}" for j in range(60)]
+    docs = [
+        (1, " ".join(base)),
+        (2, " ".join(base[:57] + ["w100", "w101", "w102"])),
+        (3, " ".join(base)),
+        (4, " ".join(f"w{j}" for j in range(150, 450))),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = exact_jaccard_pairs(df, "text", "doc_id", threshold=0.9)
+    rows = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    assert set(rows) == {(1, 3), (1, 2), (2, 3)}
+    assert rows[(1, 3)] == 1.0
+    assert abs(rows[(1, 2)] - 57 / 63) < 1e-12
+    assert abs(rows[(2, 3)] - 57 / 63) < 1e-12
+
+
 # ---------------------------------------------------------------------------
 # benchmark contamination (operators/contamination.py)
 # ---------------------------------------------------------------------------
