@@ -4149,9 +4149,22 @@ class LakehouseCatalog:
 
         if self._missing_sketch_state(t, aggs, agg_args):
             return NotImplemented  # pre-sketch-tier approx MV
-        if not inc.count():
+        # ONE probe job for both gates (r14: the empty-delta count and
+        # the NULL-group-key scan each cost a fixed job floor on every
+        # refresh term; ``inc`` is checkpointed by every caller, so one
+        # aggregate pass answers both)
+        from functools import reduce
+
+        null_key = reduce(
+            lambda a, b: a | b, [F.col(k).isNull() for k in group_cols]
+        )
+        probe = inc.agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.max(F.when(null_key, 1).otherwise(0)).alias("__null_key"),
+        ).collect()[0]
+        if not probe["__n"]:
             return t.snapshot()
-        if self._has_null_group_key(inc, group_cols):
+        if probe["__null_key"]:
             return NotImplemented
         cur = t.to_df().alias("t")
         joined = inc.alias("d").join(cur, on=group_cols, how="left")
