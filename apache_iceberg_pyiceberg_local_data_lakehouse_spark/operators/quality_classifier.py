@@ -132,6 +132,87 @@ def quality_classifier_fit(
     }
 
 
+def _score_arrow(model: dict):
+    """Arrow-batched scorer, bit-identical to the Catalyst fold path.
+
+    Why (r14, guide §4.2): the in-plan path evaluates the gram->bucket
+    pipeline TWICE per document (once under the weight fold, once under
+    the norm fold - Catalyst's subexpression elimination excludes
+    higher-order-function subtrees), and every token pays an md5 + hex
+    conv each time. This UDF computes buckets ONCE per document, caches
+    token->bucket across the task (Zipfian vocab makes the md5 cost
+    ~O(distinct tokens)), and replays the exact same IEEE double
+    arithmetic: per-n sequential left-folds of the bucket weights,
+    per-n partials added in ngram order, integer run-length sum of
+    squares, ``b + total / sqrt(max(ss, 1))``. Only the text column
+    crosses the boundary.
+
+    Restricted to ``sep == " "`` (the only sep used in-repo): Python
+    ``str.split(" ")`` matches Java ``Pattern.split(" ", -1)`` exactly
+    for a literal single space; other seps are regexes and take the
+    Catalyst path."""
+    import hashlib
+    import math
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    w = [float(x) for x in model["w"]]
+    bias = float(model["b"])
+    nb = int(model["n_buckets"])
+    ngrams = tuple(model["ngrams"])
+    cache: dict[str, int] = {}
+
+    def _bucket(tok: str) -> int:
+        v = cache.get(tok)
+        if v is None:
+            v = (
+                int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:8], 16)
+                % nb
+            )
+            cache[tok] = v
+        return v
+
+    def _scores(texts):
+        out = []
+        for text in texts:
+            if text is None:
+                # split(NULL) -> NULL propagates through the folds
+                out.append(None)
+                continue
+            toks = text.split(" ")
+            total = None
+            counts: dict[int, int] = {}
+            for n in ngrams:
+                if n == 1:
+                    grams = toks
+                else:
+                    # replicate dsir._grams exactly: any n > 1 zips
+                    # ADJACENT PAIRS (one-shifted slices), so the
+                    # Catalyst and Arrow paths hash identical grams
+                    grams = [
+                        toks[i] + "\x1f" + toks[i + 1]
+                        for i in range(len(toks) - 1)
+                    ]
+                s = 0.0  # the fold's F.lit(0.0) seed
+                for g in grams:
+                    if g == "":
+                        continue
+                    bk = _bucket(g)
+                    s += w[bk]  # sequential left-fold, doc order
+                    counts[bk] = counts.get(bk, 0) + 1
+                total = s if total is None else total + s
+            ss = 0
+            for c in counts.values():
+                ss += c * c  # exact ints < 2^53
+            norm = math.sqrt(ss) if ss >= 1 else 1.0
+            out.append(bias + total / norm)
+        return pd.Series(out, dtype="object")
+
+    _scores.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return pandas_udf("double")(_scores)
+
+
 def quality_classifier_score(
     df: DataFrame,
     model: dict,
@@ -144,9 +225,17 @@ def quality_classifier_score(
     the hashed term-frequency vector - the same normalization the fit
     applied, so scores are the model's calibrated log-odds (a sqrt of
     the gram count would overweight repetitive documents by up to
-    sqrt(k)). The norm is computed in-plan: sort the bucket array and
-    fold run lengths into a sum of squares. Pure projection: no
-    shuffle, no UDF, absorbed by the scan at 100 TB."""
+    sqrt(k)). With the default single-space sep the scoring runs as an
+    Arrow-batched projection (one gram pass per doc, token->bucket
+    cached per task - see :func:`_score_arrow`; bit-identical folds,
+    pytest-asserted); regex seps keep the pure-Catalyst fold: sort the
+    bucket array and fold run lengths into a sum of squares. Either
+    way a pure projection: no shuffle, absorbed by the scan at
+    100 TB."""
+    if model["sep"] == " ":
+        return df.withColumn(
+            out_col, _score_arrow(model)(F.col(text_col))
+        )
     n_buckets = int(model["n_buckets"])
     table = F.array(*[F.lit(float(x)) for x in model["w"]])
     all_buckets = None
