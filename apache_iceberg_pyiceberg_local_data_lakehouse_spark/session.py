@@ -45,6 +45,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # guide §3.1/§9: let the planner take a shuffled-hash join when
+        # one side fits per-partition memory instead of always paying
+        # sort-merge's two sorts. Locally NEUTRAL (at bench scale every
+        # dimension join broadcasts - plan-verified r14); matters on a
+        # cluster where dims exceed the broadcast threshold.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or int(DEFAULT_CPUS) * 2),
