@@ -2122,7 +2122,17 @@ class LakehouseCatalog:
 
         Full path: re-run the query and atomically replace the contents
         (one overwrite commit; a zero-row result commits an explicit
-        truncate instead of silently keeping the stale contents)."""
+        truncate instead of silently keeping the stale contents).
+
+        Side-effect contract (r15, ADVICE r14): since the r14 narrowed
+        binding, refresh re-registers temp views ONLY for the stored
+        query's recorded base table and dim pins (plus the stored-view
+        pass, whose definitions bind against whatever table views the
+        session currently holds). Refresh is NOT a freshen-the-whole-
+        SQL-surface operation: callers that relied on it re-binding
+        every catalog table's view should call ``register_views()``
+        themselves. MVs created without a recorded base keep the full
+        sweep because their query may reference any table."""
         from .dml import overwrite_partitions, truncate_table
 
         t = self.load_table(identifier)

@@ -517,6 +517,7 @@ def merge_into(
     with_schema_evolution: bool = False,
     stage_as: str | None = None,
     source_stable: bool = False,
+    _source_bounds: tuple | None = None,
 ) -> Snapshot | str:
     """MERGE INTO table USING updates ON table.key = updates.key — the
     full SQL MERGE clause matrix over the snapshot format.
@@ -932,7 +933,11 @@ def merge_into(
     # with when_not_matched='ignore') are left alone - their frames
     # intentionally carry only the key columns
     if when_matched == "update" or when_not_matched == "insert":
+        pre_fill = set(updates.columns)
         updates = table._fill_generated(updates)
+        fill_added = set(updates.columns) - pre_fill
+    else:
+        fill_added = set()
     # one materialization: the key-range bounds, the distinct-key
     # semi/anti joins, and the write all run as INDEPENDENT Spark
     # actions over ``updates`` - a non-deterministic source could make
@@ -944,11 +949,40 @@ def merge_into(
     # from materialized blocks, no table re-scan) - re-checkpointing it
     # would materialize the same rows a second time for nothing (r14:
     # ~0.4s of the scd2_apply floor).
+    if source_stable and fill_added:
+        # ADVICE r14: _fill_generated just layered expressions ON TOP
+        # of the caller's checkpoint - a nondeterministic generated
+        # expression (e.g. current_timestamp()) would re-evaluate
+        # independently in the bounds metric, the key joins, and the
+        # write. The stability guarantee does not cover columns added
+        # here, so checkpoint after all.
+        source_stable = False
     if not source_stable:
+        # the key-range bounds ride the checkpoint job as an observed
+        # metric (r15, VERDICT r14 #6 / guide §2.4): one job
+        # materializes the source AND yields min/max - previously a
+        # separate agg job per MERGE (and per MV refresh term). The
+        # metrics are computed over exactly the rows being
+        # materialized, and the checkpointed frame's plan is a fresh
+        # LogicalRDD, so no downstream action re-fires the collector.
+        from pyspark.sql import Observation
+
+        _obs = Observation()
+        updates = updates.observe(
+            _obs, F.min(lead).alias("lo"), F.max(lead).alias("hi")
+        )
         updates = updates.localCheckpoint(eager=True)
-    bounds = updates.agg(
-        F.min(lead).alias("lo"), F.max(lead).alias("hi")
-    ).collect()[0]
+        bounds = _obs.get  # blocks only on listener delivery
+    elif _source_bounds is not None:
+        # internal fast path (r15): a source_stable caller that already
+        # aggregated over the SAME materialized frame passes the lead
+        # key's (min, max) along - e.g. apply_changes_scd2 folds them
+        # into its counters agg - saving the one remaining probe job
+        bounds = {"lo": _source_bounds[0], "hi": _source_bounds[1]}
+    else:
+        bounds = updates.agg(
+            F.min(lead).alias("lo"), F.max(lead).alias("hi")
+        ).collect()[0]
     # one snapshot read anchors BOTH the manifest split and the commit's
     # base version - a second read could silently skip a concurrent append
     snap = table.snapshot()
@@ -1984,10 +2018,14 @@ def apply_changes_scd2(
         .localCheckpoint(eager=True)
     )
     # one agg job for both counters (r14: two filter+count jobs each
-    # paid a fixed floor over the same checkpointed frame)
+    # paid a fixed floor over the same checkpointed frame) + the merge
+    # lead-key bounds (r15: previously merge_into's own probe job; the
+    # marker-column drop below does not change key values or row set)
     counts = src.agg(
         F.sum(F.when(F.col("__scd_closer"), 1).otherwise(0)).alias("c"),
         F.sum(F.when(~F.col("__scd_closer"), 1).otherwise(0)).alias("v"),
+        F.min(F.col(keys[0])).alias("lo"),
+        F.max(F.col(keys[0])).alias("hi"),
     ).collect()[0]
     n_closed = counts["c"] or 0
     n_versions = counts["v"] or 0
@@ -2003,5 +2041,6 @@ def apply_changes_scd2(
             # Project over its materialized blocks - re-checkpointing
             # inside the merge would rematerialize identical rows
             source_stable=True,
+            _source_bounds=(counts["lo"], counts["hi"]),
         )
     return {"closed": int(n_closed), "versions": int(n_versions)}

@@ -810,9 +810,13 @@ def semantic_duplicates(
     of the self-join (the q48 LSH lesson). By construction, pairs whose
     members land in different clusters are invisible — the documented
     SemDeDup trade-off (raise K for speed, lower K for recall)."""
-    from .similarity import cosine
+    from .similarity import dot, norm
     from .clustering import assign_clusters
 
+    # per-row norm computed ONCE and cached with the vector (r15 hoist,
+    # the q50/q52 pattern): the ~n^2/K pair scoring below then runs one
+    # HOF dot per pair instead of three - identical IEEE doubles, so the
+    # 9-dp-rounded sims are unchanged
     assigned = assign_clusters(
         df.select(id_col, vec_col), centroids, vec_col=vec_col,
         distance=distance,
@@ -820,13 +824,19 @@ def semantic_duplicates(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("__v"),
         "cluster_id",
-    )
+    ).withColumn("__n", norm(F.col("__v")))
     assigned.cache()
     a = assigned.select(
-        F.col(id_col).alias("id_a"), F.col("__v").alias("__va"), "cluster_id"
+        F.col(id_col).alias("id_a"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+        "cluster_id",
     )
     b = assigned.select(
-        F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"), "cluster_id"
+        F.col(id_col).alias("id_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+        "cluster_id",
     )
     return (
         a.join(b, ["cluster_id"])
@@ -835,7 +845,11 @@ def semantic_duplicates(
             "id_a",
             "id_b",
             "cluster_id",
-            F.round(cosine(F.col("__va"), F.col("__vb")), 9).alias("sim"),
+            F.round(
+                dot(F.col("__va"), F.col("__vb"))
+                / (F.col("__na") * F.col("__nb")),
+                9,
+            ).alias("sim"),
         )
         .filter(F.col("sim") >= F.lit(threshold))
     )

@@ -95,6 +95,79 @@ def dsir_fit(
     ]
 
 
+def _logw_arrow(log_ratios: list[float], ngrams: tuple):
+    """Arrow-batched DSIR weigher, bit-identical to the Catalyst fold
+    path (r15, guide §4.2 — the quality-classifier ``_score_arrow``
+    pattern applied to dsir):
+
+    - grams are hashed ONCE per document in Python instead of paying an
+      interpreted md5 + hex-conv expression per gram inside the HOF
+      fold;
+    - the token->bucket memo amortizes the md5 over a Zipfian vocab
+      (~O(distinct grams) hashing per task), bounded so a reused Python
+      worker can't grow it forever (ADVICE r14 on the classifier memo);
+    - the arithmetic replays the exact fold: per-n sequential left-fold
+      of ``table[bucket]`` in document order seeded 0.0, per-n partials
+      added in ngram order, NULL text -> NULL. Only the text column
+      crosses the boundary.
+
+    Restricted to ``sep == " "``: Python ``str.split(" ")`` matches Java
+    ``Pattern.split(" ", -1)`` exactly for a literal single space; regex
+    seps keep the Catalyst path."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    table = [float(x) for x in log_ratios]
+    nb = len(table)
+    orders = tuple(ngrams)
+    cache: dict[str, int] = {}
+    _CACHE_CAP = 1 << 16
+
+    def _bucket(g: str) -> int:
+        v = cache.get(g)
+        if v is None:
+            v = (
+                int(hashlib.md5(g.encode("utf-8")).hexdigest()[:8], 16)
+                % nb
+            )
+            if len(cache) < _CACHE_CAP:
+                cache[g] = v
+        return v
+
+    def _weights(texts):
+        out = []
+        for text in texts:
+            if text is None:
+                # split(NULL) -> NULL propagates through the folds
+                out.append(None)
+                continue
+            toks = text.split(" ")
+            total = None
+            for n in orders:
+                if n == 1:
+                    grams = toks
+                else:
+                    # replicate _grams exactly: n > 1 zips ADJACENT
+                    # PAIRS (one-shifted slices) joined by \x1f
+                    grams = [
+                        toks[i] + "\x1f" + toks[i + 1]
+                        for i in range(len(toks) - 1)
+                    ]
+                s = 0.0  # the fold's F.lit(0.0) seed
+                for g in grams:
+                    if g == "":
+                        continue
+                    s += table[_bucket(g)]  # sequential left-fold
+                total = s if total is None else total + s
+            out.append(total)
+        return pd.Series(out, dtype="object")
+
+    _weights.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return pandas_udf("double")(_weights)
+
+
 def dsir_logweights(
     df: DataFrame,
     log_ratios: list[float],
@@ -105,8 +178,17 @@ def dsir_logweights(
 ) -> DataFrame:
     """Append the per-document log importance weight: each gram looks
     its bucket's log-ratio up in the plan-literal table and the doc
-    sums them. Pure projection — no shuffle, no UDF; at 100 TB this is
-    a map-only pass the scan absorbs."""
+    sums them. With the default single-space sep the pass runs as one
+    Arrow-batched projection (grams hashed once per doc, md5 memoized
+    per task — see :func:`_logw_arrow`; bit-identical folds,
+    pytest-asserted), so ``dsir_select``'s ordering is unchanged; regex
+    seps keep the plan-literal Catalyst fold. Either way a pure
+    projection — no shuffle; at 100 TB this is a map-only pass the scan
+    absorbs."""
+    if sep == " ":
+        return df.withColumn(
+            out_col, _logw_arrow(log_ratios, ngrams)(F.col(text_col))
+        )
     n_buckets = len(log_ratios)
     table = F.array(*[F.lit(float(x)) for x in log_ratios])
     total = None

@@ -161,7 +161,14 @@ def _score_arrow(model: dict):
     bias = float(model["b"])
     nb = int(model["n_buckets"])
     ngrams = tuple(model["ngrams"])
+    # Bounded memo (r15, ADVICE r14): a reused Python worker keeps the
+    # deserialized closure alive across tasks, so an unbounded dict
+    # would grow for the worker's lifetime (bigram keys especially).
+    # Once full it stops ADMITTING - under a Zipfian vocab the head
+    # tokens are seen (and admitted) first, so the hit rate stays high
+    # while the footprint is capped at ~a few MB of short strings.
     cache: dict[str, int] = {}
+    _CACHE_CAP = 1 << 16
 
     def _bucket(tok: str) -> int:
         v = cache.get(tok)
@@ -170,7 +177,8 @@ def _score_arrow(model: dict):
                 int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:8], 16)
                 % nb
             )
-            cache[tok] = v
+            if len(cache) < _CACHE_CAP:
+                cache[tok] = v
         return v
 
     def _scores(texts):

@@ -33,6 +33,31 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
+def norm(v: Column) -> Column:
+    """sqrt(dot(v, v)) — factored out so pair-scoring joins compute each
+    side's norm ONCE per row instead of once per pair (the r14 q50/q52
+    hoist). ``dot(a, b) / (norm_a * norm_b)`` performs the exact same
+    IEEE-double operations in the same order as :func:`cosine`, so
+    similarities (and the 9-dp-rounded driver hashes) are bit-identical;
+    only the redundant per-pair recomputation of the two self-dots is
+    removed (3 interpreted HOF folds per pair -> 1)."""
+    return F.sqrt(dot(v, v))
+
+
+def _py_norm(v) -> float:
+    """Driver-side twin of :func:`norm` for plan-literal vectors: the
+    left-fold ``acc = 0.0; acc += x*x`` in element order is the same
+    IEEE-double sequence Catalyst's ``aggregate(zip_with(v, v, *))``
+    executes, so ``F.lit(_py_norm(c))`` is bit-identical to
+    ``norm(_lit_vec(c))`` while costing nothing per row."""
+    import math
+
+    acc = 0.0
+    for x in v:
+        acc += float(x) * float(x)
+    return math.sqrt(acc)
+
+
 def unit_norm(v: Column) -> Column:
     """L2-normalize an array<double> column; zero vectors stay zero.
     THE normalization of the PQ family - knn_pq's serve path,
@@ -81,15 +106,19 @@ def knn_bruteforce(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-    )
+    ).withColumn("__cn", norm(F.col("cv")))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    )
+    ).withColumn("__qn", norm(F.col("qv")))
+    # norms hoisted below the join (r15, the q50 pattern): one HOF dot
+    # per pair instead of three; identical doubles, identical sims
     pairs = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("qv"), F.col("cv")).alias("sim"),
+        (
+            dot(F.col("qv"), F.col("cv")) / (F.col("__qn") * F.col("__cn"))
+        ).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -163,14 +192,18 @@ def knn_lsh(
     import random
 
     rng = random.Random(seed)
+    # per-row norms computed BEFORE bucketize/explode (r15 hoist): one
+    # extra 8-byte double rides the bucket join instead of two HOF
+    # self-dots re-running per candidate pair. norm() is a pure function
+    # of the vector, so the candidate distinct() is unchanged.
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-    )
+    ).withColumn("__cn", norm(F.col("cv")))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    )
+    ).withColumn("__qn", norm(F.col("qv")))
 
     # one flat plane list shared by both sides (table t owns planes
     # [t*n_bits, (t+1)*n_bits); same draw order as the historical
@@ -180,26 +213,29 @@ def knn_lsh(
     ]
     buckets = _bucket_udf(planes, n_tables, n_bits)
 
-    def bucketize(df: DataFrame, id_name: str, vec_name: str) -> DataFrame:
+    def bucketize(df: DataFrame, id_name: str, vec_name: str, norm_name: str) -> DataFrame:
         return df.select(
             id_name,
             vec_name,
+            norm_name,
             F.posexplode(buckets(F.col(vec_name))).alias("t", "bucket"),
         )
 
-    c_buckets = bucketize(c, "neighbor_id", "cv")
-    q_buckets = bucketize(q, "query_id", "qv")
+    c_buckets = bucketize(c, "neighbor_id", "cv", "__cn")
+    q_buckets = bucketize(q, "query_id", "qv", "__qn")
 
     cands = (
         c_buckets.join(q_buckets, on=["t", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "qv", "neighbor_id", "cv")
+        .select("query_id", "qv", "__qn", "neighbor_id", "cv", "__cn")
         .distinct()
     )
     scored = cands.select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("qv"), F.col("cv")).alias("sim"),
+        (
+            dot(F.col("qv"), F.col("cv")) / (F.col("__qn") * F.col("__cn"))
+        ).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -269,16 +305,23 @@ def knn_ivf(
             vec_col="cv",
             cluster_col="cell",
         ).select("neighbor_id", "cv", "cell")
+    # corpus norm once per row, below the probe join (r15 hoist)
+    assigned = assigned.withColumn("__cn", norm(F.col("cv")))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    )
+    ).withColumn("__qn", norm(F.col("qv")))
+    # query norm hoisted out of the per-centroid cosine (was one
+    # dot(qv,qv) per cell per query); centroid norms are plan literals
+    # via _py_norm (same fold order as norm(_lit_vec(ctr)) -> same
+    # doubles -> same csim ordering in the probe sort)
     cell_sims = F.array(
         *[
             F.struct(
                 F.lit(i).alias("cell"),
-                cosine(
-                    F.col("qv"), F.array(*[F.lit(x) for x in ctr])
+                (
+                    dot(F.col("qv"), F.array(*[F.lit(x) for x in ctr]))
+                    / (F.col("__qn") * F.lit(_py_norm(ctr)))
                 ).alias("csim"),
             )
             for i, ctr in enumerate(centroids)
@@ -295,13 +338,17 @@ def knn_ivf(
                 )
             ),
         )
-        .select("query_id", "qv", F.col("probe.cell").alias("cell"))
+        .select("query_id", "qv", "__qn", F.col("probe.cell").alias("cell"))
     )
     cands = probes.join(assigned, on="cell").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
     scored = cands.select(
-        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim")
+        "query_id",
+        "neighbor_id",
+        (
+            dot(F.col("qv"), F.col("cv")) / (F.col("__qn") * F.col("__cn"))
+        ).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -697,7 +744,10 @@ def knn_pq(
                     d = x - y
                     acc += d * d
                 flat.append(acc)
-        lut_rows.append((row["query_id"], qv, flat))
+        # query norm once per QUERY on the driver (r15 hoist): same
+        # left-fold order as the Catalyst dot, so the refine's sim is
+        # bit-identical to the old per-pair cosine
+        lut_rows.append((row["query_id"], qv, flat, _py_norm(qv)))
     from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
 
     lut_schema = StructType(
@@ -705,6 +755,7 @@ def knn_pq(
             StructField("query_id", q.schema["query_id"].dataType),
             StructField("qv", ArrayType(DoubleType())),
             StructField("lut", ArrayType(DoubleType())),
+            StructField("qn", DoubleType()),
         ]
     )
     lut_df = corpus.sparkSession.createDataFrame(lut_rows, lut_schema)
@@ -728,17 +779,20 @@ def knn_pq(
     shortlist = scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= refine_factor * k
     )
+    # corpus norm once per refine row, below the join (r15 hoist)
     true_vecs = corpus_n.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-    )
+    ).withColumn("__cn", norm(F.col("cv")))
     refined = (
         shortlist.select("query_id", "neighbor_id")
         .join(true_vecs, on="neighbor_id")
-        .join(F.broadcast(lut_df.select("query_id", "qv")), on="query_id")
+        .join(F.broadcast(lut_df.select("query_id", "qv", "qn")), on="query_id")
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("sim"),
+            (
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("__cn"))
+            ).alias("sim"),
         )
     )
     w2 = Window.partitionBy("query_id").orderBy(

@@ -215,6 +215,15 @@ class StagedReplaceConflict(ValueError):
 # Table
 # ---------------------------------------------------------------------------
 
+# Scan-plan memo (r15): (session, location, snapshot uuid+version, file
+# set, pos flag, extra fields) -> the base read DataFrame. Module-level
+# because load_table constructs a fresh LakehouseTable per call; bounded
+# LRU so dead snapshots age out. See _read_data_plain.
+from collections import OrderedDict as _OrderedDict  # noqa: E402
+
+_SCAN_DF_CACHE: _OrderedDict = _OrderedDict()
+_SCAN_DF_CACHE_MAX = 32
+
 
 class LakehouseTable:
     """Handle to one table directory; all mutation goes through snapshot
@@ -1009,6 +1018,58 @@ class LakehouseTable:
         return self._read_data_plain(entries, snap, with_pos, extra_fields)
 
     def _read_data_plain(
+        self,
+        entries: list[dict],
+        snap: Snapshot,
+        with_pos: bool = False,
+        extra_fields: list | None = None,
+    ) -> DataFrame:
+        # Driver-floor memo (r15, VERDICT r14 #5): every call used to
+        # build a fresh ``spark.read.schema(...).parquet(*paths)`` -
+        # DataSource resolution + file-index construction on the
+        # driver, repeated ~9x per MV refresh term for IDENTICAL
+        # (snapshot, file-set) scans (view binds, changelog reads,
+        # public-view restores). The key pins everything the plan
+        # depends on - session, table location, snapshot identity
+        # (uuid + version, so a commit or a drop/recreate can never
+        # serve a stale frame), the exact entry paths (file_filter
+        # subsets key apart), the pos-identity flag and extra fields -
+        # and the value is the immutable logical plan (callers only
+        # derive from it, never mutate). Bounded LRU; entries for old
+        # snapshots age out.
+        key = None
+        if entries:
+            import hashlib as _hl
+
+            digest = _hl.md5(
+                "\n".join(e["path"] for e in entries).encode()
+            ).hexdigest()
+            key = (
+                id(self.spark),
+                self.location,
+                snap.snapshot_id,
+                snap.version,
+                with_pos,
+                tuple(
+                    (f.name, f.dataType.simpleString())
+                    for f in (extra_fields or [])
+                ),
+                digest,
+            )
+            hit = _SCAN_DF_CACHE.get(key)
+            if hit is not None:
+                _SCAN_DF_CACHE.move_to_end(key)
+                return hit
+        df = self._read_data_plain_uncached(
+            entries, snap, with_pos, extra_fields
+        )
+        if key is not None:
+            _SCAN_DF_CACHE[key] = df
+            while len(_SCAN_DF_CACHE) > _SCAN_DF_CACHE_MAX:
+                _SCAN_DF_CACHE.popitem(last=False)
+        return df
+
+    def _read_data_plain_uncached(
         self,
         entries: list[dict],
         snap: Snapshot,

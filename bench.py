@@ -477,6 +477,16 @@ def main() -> None:
             cpu_governor = f.read().strip()
     except OSError:
         pass
+    # Pure-Python CPU spin (VERDICT r14 #10): a fixed 20M-add loop, no
+    # Spark, no I/O - the host-contention control r14 ran ad hoc in
+    # NOTES (it oscillated 1.6-2.7s across minutes on the same box).
+    # Recorded so a comparator can see host state without NOTES
+    # archaeology; ~1.4-2s of untimed overhead at the very end.
+    t0 = time.perf_counter()
+    _acc = 0
+    for _i in range(20_000_000):
+        _acc += _i
+    spin_sec = round(time.perf_counter() - t0, 3)
     calibration = {
         "probe": "q01_pricing_summary",
         "cold": times["q01_pricing_summary"],
@@ -487,6 +497,7 @@ def main() -> None:
         ),
         "cpu_mhz": cpu_mhz,
         "cpu_governor": cpu_governor,
+        "spin_sec": spin_sec,
     }
     print(f"# calibration: {calibration}", file=sys.stderr)
 

@@ -2654,6 +2654,71 @@ def test_dsir_importance_resampling(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_dsir_arrow_matches_catalyst_exactly(spark, sf_small):
+    """r15: the default-sep DSIR weight pass moved to an Arrow
+    pandas_udf (grams hashed once per doc, bounded per-task md5 memo -
+    the r14 classifier pattern, VERDICT r14 #8). The weights must be
+    BIT-IDENTICAL to the pure-Catalyst fold - q8e's judged selection
+    orders by them - so compare both paths over the fixture corpus plus
+    adversarial shapes (empty text, multi-space runs, repeated tokens,
+    NULL, single token) for uni- and bigram models, and assert the
+    selected ids are unchanged."""
+    from apache_iceberg_pyiceberg_local_data_lakehouse_spark.operators.dsir import (
+        dsir_fit,
+        dsir_logweights,
+        dsir_select,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    weird = spark.createDataFrame(
+        [
+            (9001, ""),
+            (9002, "  leading  and  double  spaces "),
+            (9003, "spam spam spam spam"),
+            (9004, None),
+            (9005, "one"),
+        ],
+        "doc_id long, text string",
+    )
+    corpus = docs.select("doc_id", "text").unionByName(weird)
+    target = docs.filter(F.col("lang") == "en").select("doc_id", "text")
+    for ngrams in [(1,), (1, 2)]:
+        lr = dsir_fit(target, corpus, ngrams=ngrams, n_buckets=512)
+        # the public entry takes the Arrow path for sep == " "
+        arrow_df = dsir_logweights(corpus, lr, ngrams=ngrams)
+        assert "ArrowEvalPython" in (
+            arrow_df._jdf.queryExecution().executedPlan().toString()
+        )
+        arrow = {r["doc_id"]: r["dsir_logw"] for r in arrow_df.collect()}
+        # Catalyst reference: sep spelled as the regex class "[ ]"
+        # splits identically but routes down the pure-fold branch
+        reference = {
+            r["doc_id"]: r["dsir_logw"]
+            for r in dsir_logweights(
+                corpus, lr, sep="[ ]", ngrams=ngrams
+            ).collect()
+        }
+        assert set(arrow) == set(reference)
+        for k in reference:
+            assert arrow[k] == reference[k], (
+                f"ngrams={ngrams} doc {k}: arrow {arrow[k]!r} != "
+                f"catalyst {reference[k]!r}"
+            )
+        # selection identical (both orderings, incl. the Gumbel one)
+        sel_a = [
+            r["doc_id"]
+            for r in dsir_select(corpus, lr, k=5, ngrams=ngrams).collect()
+        ]
+        sel_c = [
+            r["doc_id"]
+            for r in dsir_select(
+                corpus, lr, k=5, sep="[ ]", ngrams=ngrams
+            ).collect()
+        ]
+        assert sel_a == sel_c
+
+
 def test_quality_classifier_filtering(spark):
     """r10 quality-classifier curation (GPT-3 Appendix A / LLaMA
     pattern): a hashed-feature logistic regression fit driver-side on
