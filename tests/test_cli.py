@@ -3,6 +3,8 @@
 from __future__ import annotations
 
 import datetime as dt
+
+import pytest
 import os
 import subprocess
 import sys
@@ -14,6 +16,7 @@ import pyarrow.parquet as pq
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow
 def test_cli_now_mode(tmp_path):
     src = tmp_path / "src" / "EURUSD"
     src.mkdir(parents=True)
@@ -54,6 +57,7 @@ def test_cli_now_mode(tmp_path):
     assert "1 skipped" in out2.stdout
 
 
+@pytest.mark.slow
 def test_cli_maintain_mode(tmp_path):
     """--maintain walks every table, prints the metrics + actions line,
     and --dry-run never commits."""

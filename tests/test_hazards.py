@@ -588,6 +588,7 @@ def test_retention_delete_refreshes_mv_incrementally(spark, tmp_path):
     assert t.to_df().agg(F.min("ts")).first()[0] == dtm.datetime(2024, 2, 1)
 
 
+@pytest.mark.slow
 def test_multi_stream_txn_maintain_soak(spark, tmp_path):
     """VERDICT r13 #6: two streaming sinks (distinct query_ids), a
     multi-table transaction runner, and sink-driven auto_maintain all

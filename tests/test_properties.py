@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from pyspark.sql import functions as F
 from hypothesis import strategies as st
@@ -58,6 +60,7 @@ def make_df(spark, keys):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(a=keys_strategy, b=keys_strategy)
+@pytest.mark.slow
 def test_dedup_append_union_semantics(spark, tmp_path_factory, a, b):
     wh = tmp_path_factory.mktemp("wh")
     cat = LakehouseCatalog(spark, str(wh))
@@ -106,6 +109,7 @@ def test_dedup_append_union_semantics(spark, tmp_path_factory, a, b):
     width=st.integers(min_value=1, max_value=60),
     n_batches=st.integers(min_value=1, max_value=3),
 )
+@pytest.mark.slow
 def test_mor_delete_equivalent_to_cow(spark, tmp_path_factory, lo, width, n_batches):
     """DELETE equivalence: for any value-range predicate, merge-on-read
     position deletes, merge-on-read equality deletes, and copy-on-write
@@ -176,6 +180,7 @@ def test_mor_delete_equivalent_to_cow(spark, tmp_path_factory, lo, width, n_batc
     sync=st.booleans(),
     cond_mod=st.sampled_from([None, 2, 3]),
 )
+@pytest.mark.slow
 def test_merge_matrix_matches_set_model(
     spark, tmp_path_factory, tbl_keys, src_keys,
     when_matched, when_not_matched, sync, cond_mod,
@@ -251,6 +256,7 @@ def test_merge_matrix_matches_set_model(
     width_days=st.integers(min_value=0, max_value=40),
     date_bounds=st.booleans(),
 )
+@pytest.mark.slow
 def test_scan_where_equals_full_scan_filter(
     spark, tmp_path_factory, transform, lo_day, width_days, date_bounds
 ):
@@ -309,6 +315,7 @@ def test_scan_where_equals_full_scan_filter(
     target=st.integers(min_value=0, max_value=9),
     n_new=st.integers(min_value=0, max_value=6),
 )
+@pytest.mark.slow
 def test_overwrite_partitions_set_model(
     spark, tmp_path_factory, days, target, n_new
 ):
@@ -376,6 +383,7 @@ def test_overwrite_partitions_set_model(
         max_size=5,
     )
 )
+@pytest.mark.slow
 def test_cdc_replication_converges(spark, tmp_path_factory, ops):
     """For ANY sequence of appends / MoR updates / CoW deletes on the
     source, tailing the image-paired changelog and apply_changes-ing
@@ -441,6 +449,7 @@ def test_cdc_replication_converges(spark, tmp_path_factory, ops):
     ),
     del_mod=st.integers(min_value=2, max_value=5),
 )
+@pytest.mark.slow
 def test_metadata_agg_matches_scan(spark, tmp_path_factory, batches, del_mod):
     """metadata_agg either equals the real aggregate exactly or refuses
     (None) - it never returns a wrong number, including after MoR
@@ -512,6 +521,7 @@ _mv_batches = st.lists(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(batches=_mv_batches)
+@pytest.mark.slow
 def test_mv_agg_refresh_equals_full_recompute(
     spark, tmp_path_factory, batches
 ):
@@ -568,6 +578,7 @@ _JOIN_OPS = st.lists(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(ops=_JOIN_OPS, seed=st.integers(min_value=0, max_value=10_000))
+@pytest.mark.slow
 def test_join_mv_always_equals_recompute(
     spark, tmp_path_factory, ops, seed
 ):
@@ -661,6 +672,7 @@ _MULTI_JOIN_OPS = st.lists(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(ops=_MULTI_JOIN_OPS, seed=st.integers(min_value=0, max_value=10_000))
+@pytest.mark.slow
 def test_multidim_join_mv_always_equals_recompute(
     spark, tmp_path_factory, ops, seed
 ):
@@ -762,6 +774,7 @@ _CDC_JOIN_OPS = st.lists(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(ops=_CDC_JOIN_OPS, seed=st.integers(min_value=0, max_value=10_000))
+@pytest.mark.slow
 def test_multidim_join_mv_cdc_always_equals_recompute(
     spark, tmp_path_factory, ops, seed
 ):
@@ -922,6 +935,7 @@ def _run_single_table_mv_op_soup(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(ops=_MM_OPS, seed=st.integers(min_value=0, max_value=10_000))
+@pytest.mark.slow
 def test_mv_minmax_cdc_always_equals_recompute(
     spark, tmp_path_factory, ops, seed
 ):
@@ -949,6 +963,7 @@ def test_mv_minmax_cdc_always_equals_recompute(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(ops=_MM_OPS, seed=st.integers(min_value=0, max_value=10_000))
+@pytest.mark.slow
 def test_mv_having_recompute_always_equals_view(
     spark, tmp_path_factory, ops, seed
 ):
@@ -988,6 +1003,7 @@ _FD_DIM_OPS = st.sampled_from(
     dim_op=_FD_DIM_OPS,
     seed=st.integers(min_value=0, max_value=10_000),
 )
+@pytest.mark.slow
 def test_fact_and_dim_moved_cdc_always_equals_recompute(
     spark, tmp_path_factory, fact_op, dim_op, seed
 ):
@@ -1102,6 +1118,7 @@ _kll_ops = st.lists(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(ops=_kll_ops)
+@pytest.mark.slow
 def test_mv_array_percentile_always_equals_recompute(
     spark, tmp_path_factory, ops
 ):
@@ -1168,6 +1185,7 @@ _WIDE_CDC_OPS = st.lists(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(ops=_WIDE_CDC_OPS, seed=st.integers(min_value=0, max_value=10_000))
+@pytest.mark.slow
 def test_four_dim_join_mv_cdc_always_equals_recompute(
     spark, tmp_path_factory, ops, seed
 ):

@@ -306,6 +306,7 @@ def test_streaming_session_window(spark, tmp_path):
         assert 3 in counts  # the first burst finalized with 3 events
 
 
+@pytest.mark.slow
 def test_stateful_streaming_dedup_first_seen(spark, tmp_path):
     """applyInPandasWithState: keys emit on first appearance only, across
     micro-batches (state survives between batches)."""
@@ -1885,6 +1886,7 @@ def test_streaming_identity_exactly_once(spark, tmp_path):
     assert len(allv) == len(set(allv)) == 42
 
 
+@pytest.mark.slow
 def test_streaming_quality_curation_exactly_once(spark, tmp_path):
     """r11 (VERDICT r10 #8): the quality-classifier curation streaming
     twin - an availableNow document stream scores + filters inside
@@ -2025,6 +2027,7 @@ def _neardedup_tables(spark, tmp_path):
     return cat, t, sig
 
 
+@pytest.mark.slow
 def test_streaming_near_dedup_curation_exactly_once(spark, tmp_path):
     """r11: the streaming near-dedup curation sink - each availableNow
     batch is MinHash-filtered against the accumulated corpus through
@@ -2108,6 +2111,7 @@ def test_streaming_near_dedup_curation_exactly_once(spark, tmp_path):
     assert sig.to_df().count() == n_sigs
 
 
+@pytest.mark.slow
 def test_near_dedup_sink_two_table_replay(spark, tmp_path):
     """r11: the two-table exactly-once argument - a crash BETWEEN the
     main append and the sidecar append replays into completing only
@@ -2175,6 +2179,7 @@ def test_near_dedup_sink_two_table_replay(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_near_dedup_append_batch_twin(spark, tmp_path):
     """r11: the batch twin shares the sink's sidecar probe - batch and
     streaming ingestion keep ONE dedup semantics and one sidecar, so a
@@ -2214,6 +2219,7 @@ def test_near_dedup_append_batch_twin(spark, tmp_path):
     assert {r["doc_id"] for r in t.to_df().collect()} == {0, 2, 11}
 
 
+@pytest.mark.slow
 def test_near_dedup_sidecar_auto_maintenance(spark, tmp_path):
     """r12 (VERDICT r11 #3): the sidecar grows one SMALL band-rows file
     per (epoch x touched bucket partition) and nothing compacted it.
@@ -2451,6 +2457,7 @@ def test_streaming_sketch_mv_converges_under_live_stream(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_epoch_sink_maintain_every_holds_retention_ttl(spark, tmp_path):
     """r13 (VERDICT r12 #6): the streaming twin of declarative row
     retention. With ``maintain_every=2`` and a retention policy armed

@@ -826,6 +826,7 @@ def test_txn_replace_publish_rebases_over_concurrent_append(cat, spark):
     }
 
 
+@pytest.mark.slow
 def test_auto_maintain_defers_while_replace_staged(cat, spark):
     """review r14: routine maintenance (compaction/retention/
     consolidation) rewriting a staged rewrite's superseded files would
