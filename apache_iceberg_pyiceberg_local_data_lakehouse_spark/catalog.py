@@ -2224,9 +2224,35 @@ class LakehouseCatalog:
                     delta.createOrReplaceTempView(
                         self.view_name(base_ident)
                     )
-                    inc = self.spark.sql(
+                    inc_q = self.spark.sql(
                         props.get("mv.store_query", sql_text)
-                    ).localCheckpoint(eager=True)
+                    )
+                    # the mode's gate metrics ride the checkpoint job
+                    # (r15, guide §2.4): agg mode probes (count, NULL
+                    # group key) through _checkpoint_group_probe;
+                    # projection mode observes only the row count that
+                    # previously cost a separate inc.count() job
+                    agg_groups = (
+                        json.loads(props.get("mv.group_cols", "[]"))
+                        if props.get("mv.refresh_mode") == "agg"
+                        else []
+                    )
+                    if agg_groups:
+                        inc, inc_n, inc_null = (
+                            self._checkpoint_group_probe(
+                                inc_q, agg_groups
+                            )
+                        )
+                        probe = (inc_n, inc_null)
+                    else:
+                        from pyspark.sql import Observation
+
+                        _obs = Observation()
+                        inc = inc_q.observe(
+                            _obs, F.count(F.lit(1)).alias("__n")
+                        ).localCheckpoint(eager=True)
+                        inc_n = int(_obs.get["__n"] or 0)
+                        probe = None
                     # inc is MATERIALIZED (eager checkpoint): restore
                     # the base's PUBLIC view immediately so concurrent
                     # readers - and the daemon MV watcher's foreground
@@ -2240,7 +2266,8 @@ class LakehouseCatalog:
                     upd = pin_upd(cur_v)
                     if props.get("mv.refresh_mode") == "agg":
                         snap = self._merge_agg_delta(
-                            t, props, inc, pin_updates=upd
+                            t, props, inc, pin_updates=upd,
+                            probe=probe,
                         )
                         if snap is not NotImplemented:
                             t.set_properties(**upd)
@@ -2252,7 +2279,7 @@ class LakehouseCatalog:
                             t.append(
                                 inc, extra_summary={"mv_pins": upd}
                             )
-                            if inc.count()
+                            if inc_n
                             else t.snapshot()
                         )
                         t.set_properties(**upd)
@@ -4139,14 +4166,15 @@ class LakehouseCatalog:
             },
             sign,
         )
-        inc = ch.groupBy(*group_cols).agg(*exprs).localCheckpoint(
-            eager=True
+        inc, n_rows, has_null = self._checkpoint_group_probe(
+            ch.groupBy(*group_cols).agg(*exprs), group_cols
         )
         return self._merge_grouped_delta(
             t,
             group_cols,
             aggs,
             inc,
+            probe=(n_rows, has_null),
             # a group whose last row was deleted leaves the view in
             # the SAME commit its siblings update in
             source_delete_condition="__mv_rows = 0",
@@ -4156,6 +4184,36 @@ class LakehouseCatalog:
             },
         )
 
+    def _checkpoint_group_probe(
+        self, df: DataFrame, group_cols: list
+    ) -> tuple[DataFrame, int, bool]:
+        """Eagerly checkpoint a refresh delta with the empty-delta /
+        NULL-group-key probe riding the materialization job as observed
+        metrics (r15, guide §2.4): the r14 fold already collapsed the
+        two gate jobs into one aggregate; this removes that remaining
+        job by computing both gates in the SAME job that materializes
+        the delta. Returns (checkpointed frame, row count, has NULL
+        group key). The metrics are computed over exactly the rows
+        being materialized, and the checkpointed frame's plan is a
+        fresh LogicalRDD, so no downstream action re-fires the
+        collector."""
+        from functools import reduce
+
+        from pyspark.sql import Observation
+
+        null_key = reduce(
+            lambda a, b: a | b, [F.col(k).isNull() for k in group_cols]
+        )
+        obs = Observation()
+        df = df.observe(
+            obs,
+            F.count(F.lit(1)).alias("__n"),
+            F.max(F.when(null_key, 1).otherwise(0)).alias("__null_key"),
+        )
+        cp = df.localCheckpoint(eager=True)
+        m = obs.get
+        return cp, int(m["__n"] or 0), bool(m["__null_key"] or 0)
+
     def _merge_grouped_delta(
         self,
         t: LakehouseTable,
@@ -4163,6 +4221,7 @@ class LakehouseCatalog:
         aggs: list,
         inc: DataFrame,
         agg_args: dict | None = None,
+        probe: tuple[int, bool] | None = None,
         **merge_kwargs,
     ):
         """Shared merge tail for keyed agg-MV refreshes (append partials
@@ -4172,27 +4231,33 @@ class LakehouseCatalog:
         commit. Returns the commit snapshot, the current snapshot for an
         empty delta, or ``NotImplemented`` on a NULL group key (an
         equality-keyed MERGE cannot address the NULL group; the caller
-        full-refreshes - rare and always correct)."""
+        full-refreshes - rare and always correct).
+
+        ``probe`` is the (row count, has-NULL-group-key) pair a caller
+        that checkpointed through :meth:`_checkpoint_group_probe`
+        already holds; callers without it pay the one probe aggregate
+        (r14's fold of the two separate gate jobs)."""
         from .dml import merge_into
 
         if self._missing_sketch_state(t, aggs, agg_args):
             return NotImplemented  # pre-sketch-tier approx MV
-        # ONE probe job for both gates (r14: the empty-delta count and
-        # the NULL-group-key scan each cost a fixed job floor on every
-        # refresh term; ``inc`` is checkpointed by every caller, so one
-        # aggregate pass answers both)
-        from functools import reduce
+        if probe is None:
+            from functools import reduce
 
-        null_key = reduce(
-            lambda a, b: a | b, [F.col(k).isNull() for k in group_cols]
-        )
-        probe = inc.agg(
-            F.count(F.lit(1)).alias("__n"),
-            F.max(F.when(null_key, 1).otherwise(0)).alias("__null_key"),
-        ).collect()[0]
-        if not probe["__n"]:
+            null_key = reduce(
+                lambda a, b: a | b,
+                [F.col(k).isNull() for k in group_cols],
+            )
+            row = inc.agg(
+                F.count(F.lit(1)).alias("__n"),
+                F.max(F.when(null_key, 1).otherwise(0)).alias(
+                    "__null_key"
+                ),
+            ).collect()[0]
+            probe = (int(row["__n"] or 0), bool(row["__null_key"] or 0))
+        if not probe[0]:
             return t.snapshot()
-        if probe["__null_key"]:
+        if probe[1]:
             return NotImplemented
         cur = t.to_df().alias("t")
         joined = inc.alias("d").join(cur, on=group_cols, how="left")
@@ -4544,10 +4609,8 @@ class LakehouseCatalog:
                     },
                     sign,
                 )
-                inc = (
-                    rows.groupBy(*group_cols)
-                    .agg(*exprs)
-                    .localCheckpoint(eager=True)
+                inc, n_rows, has_null = self._checkpoint_group_probe(
+                    rows.groupBy(*group_cols).agg(*exprs), group_cols
                 )
             finally:
                 # restore the bound views through create_view so MV
@@ -4564,6 +4627,7 @@ class LakehouseCatalog:
             aggs,
             inc,
             agg_args=agg_args,
+            probe=(n_rows, has_null),
             source_delete_condition="__mv_rows = 0",
             # the commit carries its intended post-commit pins so a
             # crash between commit and property write is recoverable
@@ -5261,6 +5325,7 @@ class LakehouseCatalog:
         props: dict,
         inc: DataFrame,
         pin_updates: dict | None = None,
+        probe: tuple[int, bool] | None = None,
     ):
         """Merge an aggregated append-diff into an 'agg'-mode MV: the
         delta's partial aggregates combine with the materialized groups
@@ -5299,6 +5364,7 @@ class LakehouseCatalog:
             aggs,
             inc,
             agg_args=agg_args,
+            probe=probe,
             extra_summary=(
                 {"mv_pins": pin_updates} if pin_updates else None
             ),
